@@ -1,13 +1,235 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is an operator from SURVEY.md §2 (the
+  * reference's surface) or a training-data-pipeline extension
+  * (dedup / similarity / multimodal / text analysis). Entries with an
+  * exact ANSI-SQL twin appear in [[oracleSql]] for the DuckDB
+  * differential check; sketch-based ops (MinHash/SimHash/LSH-ANN) are
+  * not SQL-expressible and are property-tested in ScalaTest instead
+  * (SURVEY.md §7.4).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (AMPLab 2a shape — the reference's shipped job,
+    * `/root/reference/src/python/mapper.py:51-54`) on sf0.001;
+    * driver smoke-checks rows > 0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    ReferenceQueries.agg2a(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- reference surface (SURVEY.md §2 O1-O10) ---
+    "q01_scan_1a" -> (ReferenceQueries.scan1a _),
+    "q02_scan_1b" -> (ReferenceQueries.scan1b _),
+    "q03_project_scalar" -> (ReferenceQueries.projectScalar _),
+    "q04_agg_2a" -> (ReferenceQueries.agg2a _),
+    "q05_agg_multi" -> (ReferenceQueries.aggMulti _),
+    "q06_global_sum" -> (ReferenceQueries.globalSum _),
+    "q07_distinct" -> (ReferenceQueries.distinctKeys _),
+    "q08_topk" -> (ReferenceQueries.topK _),
+    "q18_mapreduce_typed" -> (MapReduceSurface.agg2aTyped _),
+    // --- relational completeness (ABSENT in reference) ---
+    "q09_join_broadcast" -> (Relational.joinBroadcast _),
+    "q10_join_large" -> (Relational.joinLarge _),
+    "q11_join_star" -> (Relational.joinStar _),
+    "q12_join_semi" -> (Relational.joinSemi _),
+    "q13_join_anti" -> (Relational.joinAnti _),
+    "q14_window_top" -> (Relational.windowTopPerKey _),
+    "q15_union" -> (Relational.unionScans _),
+    "q16_events_hourly" -> (Relational.eventsHourly _),
+    "q17_rollup" -> (Relational.rollupAgg _),
+    // --- dedup suite ---
+    "q20_dedup_exact" -> (Dedup.exact _),
+    "q21_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
+    "q22_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLshPairs(s, d)),
+    "q23_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    "q24_embed_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingPairs(s, d)),
+    // --- similarity search ---
+    "q30_ann_brute" -> ((s: SparkSession, d: String) => Similarity.annBrute(s, d)),
+    "q31_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
+    // --- text analysis ---
+    "q40_lang_id" -> (TextAnalysis.langId _),
+    "q41_quality" -> (TextAnalysis.quality _),
+    "q42_token_stats" -> (TextAnalysis.tokenStats _),
+    "q43_fingerprint" -> (TextAnalysis.fingerprint _),
+    // --- multimodal plumbing ---
+    "q50_multimodal_meta" -> (Multimodal.mediaMeta _),
+    "q51_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d))
+  )
+
+  /** Normalized-text SQL twin of TextAnalysis.normalizedText. */
+  private val normText = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_1a" ->
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000.0",
+    "q02_scan_1b" ->
+      "SELECT p_partkey, p_retailprice FROM part WHERE p_retailprice > 1200.0",
+    "q03_project_scalar" ->
+      """SELECT c_custkey, substr(c_name, 1, 8) AS name_prefix,
+         CAST(c_acctbal AS DOUBLE) AS acctbal FROM customer""",
+    "q04_agg_2a" ->
+      """SELECT substr(event_type, 1, 4) AS etype_prefix,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1""",
+    "q05_agg_multi" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         MIN(l_quantity) AS min_qty,
+         MAX(l_extendedprice) AS max_price,
+         COUNT(*) AS n_rows
+         FROM lineitem GROUP BY 1, 2""",
+    "q06_global_sum" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price, COUNT(*) AS n_rows FROM lineitem""",
+    "q07_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q08_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q18_mapreduce_typed" ->
+      """SELECT substr(event_type, 1, 4) AS etype_prefix,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1""",
+    "q09_join_broadcast" ->
+      """SELECT c_mktsegment,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         COUNT(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1""",
+    "q10_join_large" ->
+      """SELECT o_orderpriority,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
+    "q11_join_star" ->
+      """SELECT r_name,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         COUNT(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1""",
+    "q12_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""",
+    "q13_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q14_window_top" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+               FROM orders) WHERE rk <= 2""",
+    "q15_union" ->
+      """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+         UNION ALL
+         SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 450000.0""",
+    "q16_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q17_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         COUNT(*) AS n_rows
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q20_dedup_exact" ->
+      s"""SELECT MD5($normText) AS h, MIN(doc_id) AS keep_id,
+         COUNT(*) AS n_copies FROM documents GROUP BY 1""",
+    "q21_ngram_jaccard" ->
+      s"""WITH words AS (
+           SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t
+           WHERE len(w) >= 5),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, n_common,
+           CAST(n_common AS DOUBLE) /
+             CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+         FROM common
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(n_common AS DOUBLE) /
+             CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5""",
+    "q40_lang_id" -> langIdOracle,
+    "q41_quality" ->
+      """SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE len(regexp_extract_all(trim(text), '\S+')) END AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|for|on|with)\b')) AS BIGINT) AS n_stopwords,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+         CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|for|on|with)\b')) AS DOUBLE) /
+           CAST(GREATEST(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_extract_all(trim(text), '\S+')) END, 1) AS DOUBLE) AS stopword_ratio,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) /
+           CAST(GREATEST(length(text), 1) AS DOUBLE) AS punct_ratio,
+         CAST(length(text) AS DOUBLE) /
+           CAST(GREATEST(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_extract_all(trim(text), '\S+')) END, 1) AS DOUBLE) AS mean_token_len
+         FROM documents""",
+    "q42_token_stats" ->
+      """SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE len(regexp_extract_all(trim(text), '\S+')) END AS BIGINT) AS n_ws_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+         FROM documents""",
+    "q43_fingerprint" ->
+      s"""SELECT doc_id, MD5($normText) AS fp,
+         substr(MD5($normText), 1, 8) AS fp_short FROM documents""",
+    "q50_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+           ELSE 'video/mp4' END AS media_type,
+         CAST(strlen(text) AS BIGINT) AS n_bytes,
+         CAST(16 + strlen(text) % 64 AS INTEGER) AS width,
+         CAST(16 + strlen(text) % 48 AS INTEGER) AS height,
+         CAST(1 + strlen(text) % 24 AS INTEGER) AS n_frames
+         FROM documents""",
+    "q51_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+             ELSE 'video/mp4' END AS media_type,
+           CAST(1 + strlen(text) % 24 AS INTEGER) AS n_frames
+         FROM documents)
+         SELECT media_id, n_frames, CAST(f AS INTEGER) AS frame_idx
+         FROM m, LATERAL (SELECT UNNEST(range(0, n_frames, 8)) AS f) t
+         WHERE media_type = 'video/mp4'"""
+  )
+
+  /** SQL twin of TextAnalysis.langId: same marker sets, same argmax
+    * tie order.
+    */
+  private def langIdOracle: String = {
+    val scores = TextAnalysis.langMarkers.map { case (lang, ws) =>
+      lang -> s"len(regexp_extract_all(text, '\\b(${ws.mkString("|")})\\b'))"
+    }
+    val best = scores.map(_._2).reduce((a, b) => s"GREATEST($a, $b)")
+    val cases = scores.map { case (lang, s) =>
+      s"WHEN $s = best AND best > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"""SELECT doc_id,
+       CASE ${cases} ELSE 'und' END AS lang_pred,
+       CAST(best AS BIGINT) AS marker_hits
+       FROM (SELECT doc_id, text, $best AS best FROM documents)"""
+  }
 }

@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Deduplication suite over the `documents` table: exact,
+  * n-gram-Jaccard (exact set similarity — the ground truth), MinHash
+  * LSH (the 100 TB path), SimHash, and embedding-cosine near-dup.
+  *
+  * Scale posture (100 TB / billions of docs):
+  *  - exact dedup is a single hash shuffle on md5(text);
+  *  - the n-gram self-join is quadratic in bucket size and exists as
+  *    the correctness oracle for the sketch methods;
+  *  - MinHash bands it to O(n) candidate generation: shingle ->
+  *    64-slot signature -> 16 bands of 4 -> bucket join -> verify.
+  *    Only candidate pairs (tiny) ever hit the quadratic step;
+  *  - SimHash is one 64-bit value per doc; pigeonhole blocking on
+  *    16-bit chunks finds all pairs within Hamming distance 3.
+  */
+object Dedup {
+
+  import TextAnalysis.normalizedText
+
+  /** Exact dedup: group identical (normalized) texts, keep the lowest
+    * doc_id as the survivor. One shuffle on the digest — never on the
+    * full text bytes (at 100 TB the texts are KB-scale, the digests
+    * 16 bytes; shuffling digests is ~1000x less traffic).
+    */
+  def exact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), md5(normalizedText(col("text"))).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Survivors only (the materialized deduped table). */
+  def exactSurvivors(spark: SparkSession, sfDir: String): DataFrame =
+    exact(spark, sfDir).select(col("keep_id").as("doc_id"))
+
+  // -------- word shingles --------
+
+  /** Distinct word n-gram shingles per doc: (doc_id, shingle).
+    * Words = whitespace split of normalized text; shingle = n
+    * consecutive words joined by a single space. Docs shorter than n
+    * words produce no shingles (dropped, like the reference drops
+    * malformed lines).
+    */
+  def shingles(docs: DataFrame, n: Int): DataFrame = {
+    val words = split(normalizedText(col("text")), " ")
+    docs
+      .filter(size(words) >= n)
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(0), size(words) - n),
+            i => array_join(slice(words, i + 1, lit(n)), " "))).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (jaccard >= threshold,
+    * a < b). This is the brute-force ground truth: an equi-join on
+    * shingle inverted index, then |A∩B| / (|A|+|B|-|A∩B|). The join
+    * key is a 64-bit shingle hash, not the shingle text (shuffle
+    * volume). Quadratic only within identical-shingle buckets.
+    */
+  def ngramJaccardPairs(
+      spark: SparkSession, sfDir: String,
+      n: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(Tables.load(spark, sfDir, "documents"), n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val common = a.join(b,
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
+  }
+
+  // -------- MinHash + LSH --------
+
+  val numHashes = 64
+  val numBands = 16
+  val rowsPerBand: Int = numHashes / numBands
+
+  /** MinHash signature: for seed i, h_i(doc) = min over shingles of
+    * xxhash64(i, shingle). Computed as 64 `min` aggregates in ONE
+    * hash-aggregate pass over the exploded shingles — no per-doc
+    * collect, no UDF; whole-stage codegen end to end.
+    */
+  def minhashSignatures(docs: DataFrame, n: Int = 5): DataFrame = {
+    val sh = shingles(docs, n)
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs: split the 64-slot signature into 16 bands of
+    * 4; docs sharing any band hash are candidates. Emits (id_a, id_b,
+    * est_jaccard) where est = fraction of matching signature slots —
+    * the unbiased MinHash estimator of Jaccard.
+    */
+  def minhashLshPairs(
+      spark: SparkSession, sfDir: String,
+      n: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val sig = minhashSignatures(Tables.load(spark, sfDir, "documents"), n)
+
+    val bandCols = (0 until numBands).map { b =>
+      val slots = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(slots: _*).as("bh")).as(s"band_$b")
+    }
+    val banded = sig
+      .select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"),
+        explode(array((0 until numBands).map(b => col(s"band_$b")): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+
+    // verify candidates against full signatures (cheap: pairs are few)
+    val sigA = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
+    val sigB = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"a_mh_$i") === col(s"b_mh_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sigA, col("id_a") === col("a_doc_id"))
+      .join(sigB, col("id_b") === col("b_doc_id"))
+      .withColumn("est_jaccard", matches.cast("double") / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  // -------- SimHash --------
+
+  /** 64-bit SimHash per doc: per token hash, each bit votes +1/-1
+    * weighted by term frequency; the sign of each bit-sum is the
+    * fingerprint bit. One explode + one aggregate, all codegen'd
+    * expressions.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"),
+      explode(split(normalizedText(col("text")), " ")).as("tok"))
+      .withColumn("th", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"bit_$b")
+    }
+    val sums = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sh = (0 until 64).map { b =>
+      when(col(s"bit_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((a, c) => a.bitwiseOR(c))
+    sums.select(col("doc_id"), sh.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within Hamming distance <= maxDist.
+    * Blocking: split the 64-bit hash into 4 x 16-bit chunks; any pair
+    * within distance 3 must agree on >= 1 chunk (pigeonhole), so an
+    * equi-join per chunk finds all of them without O(n^2).
+    */
+  def simhashPairs(
+      spark: SparkSession, sfDir: String, maxDist: Int = 3): DataFrame = {
+    val sh = simhash(Tables.load(spark, sfDir, "documents"))
+    val chunks = sh.select(
+      col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("ck"))
+      }: _*)).as("blk"))
+      .select(col("doc_id"), col("simhash"),
+        col("blk.chunk").as("chunk"), col("blk.ck").as("ck"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  // -------- embedding near-dup --------
+
+  /** Embedding-cosine near-duplicates: pairs with cosine >= threshold.
+    * Exact all-pairs here (the oracle baseline); the LSH-bucketed
+    * scale path is Similarity.annLsh. Cosine is computed in double
+    * with a fixed left-to-right accumulation (higher-order
+    * `aggregate`), deterministic under any partitioning.
+    */
+  def embeddingPairs(
+      spark: SparkSession, sfDir: String, threshold: Double = 0.95): DataFrame = {
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), graft.functions.Vectors.l2normalize(col("embedding")).as("u"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        graft.functions.Vectors.dot(col("a.u"), col("b.u")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** The reference's user-pluggable map/reduce surface (SURVEY.md §2
+  * "UDF/UDAF surface"): the entire mapper/reducer body is
+  * user-replaceable code over raw lines plus a keyed numeric merge
+  * (`/root/reference/src/nodejs/reducer.js:46` "YOUR REDUCER LOGIC";
+  * handler contracts `src/python/mapper.py:25-33`,
+  * `src/python/reducer.py:28-38`).
+  *
+  * Spark-native equivalents:
+  *  - the mapper slot  -> `Dataset.flatMap` (record -> 0..n key/value pairs);
+  *  - the combiner/reducer slot -> `Aggregator[IN, BUF, OUT]` — Spark
+  *    runs it partially per partition (the map-side combine of
+  *    `mapper.py:52-54`) and merges across the shuffle (the reduce
+  *    rounds of `reducer.py:47-56`), collapsing the reference's
+  *    multi-round S3 tree into one exchange;
+  *  - the reduction tree itself -> [[treeSum]] shows the literal
+  *    `treeAggregate` twin for when a driver-side scalar is wanted.
+  */
+object MapReduceSurface {
+
+  /** The generic surface: user map fn + keyed sum, like the shipped
+    * AMPLab 2a handlers. `mapper` runs distributed per record; the
+    * aggregation is Spark's partial+final hash agg.
+    */
+  def mapReduce[T](
+      input: Dataset[T],
+      mapper: T => IterableOnce[(String, Double)]): DataFrame = {
+    implicit val enc: Encoder[(String, Double)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaDouble)
+    input.flatMap(mapper)
+      .toDF("key", "value")
+      .groupBy(col("key"))
+      .agg(sum(col("value")).as("value"))
+  }
+
+  /** Deterministic keyed money-sum Aggregator: accumulates exact
+    * cents (Long) so the merge is order-independent — the same
+    * determinism the oracle needs, achieved in the *typed* path where
+    * DECIMAL casts aren't available. Integer addition is associative
+    * and commutative, so any partitioning and any reduction-tree
+    * shape yields identical output (the property the reference's
+    * coordinator relies on, ScalaCheck'd in MapReduceSpec).
+    */
+  class CentsSumOf[T](f: T => Double) extends Aggregator[T, Long, Double] {
+    def zero: Long = 0L
+    def reduce(b: Long, a: T): Long = b + Math.round(f(a) * 100.0)
+    def merge(b1: Long, b2: Long): Long = b1 + b2
+    def finish(b: Long): Double = b / 100.0
+    def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  object CentsSum extends CentsSumOf[Double](identity)
+
+  /** The flagship 2a query implemented through the *typed*
+    * user-pluggable path (flatMap mapper + Aggregator reducer)
+    * instead of DataFrame expressions. Same oracle SQL as agg2a —
+    * differential proof that the pluggable surface agrees with the
+    * declarative one.
+    */
+  def agg2aTyped(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)]
+    events
+      .groupByKey { case (etype, _) => etype.substring(0, math.min(4, etype.length)) }
+      .agg(new CentsSumOf[(String, Double)](_._2).toColumn.name("sum_value"))
+      .toDF("etype_prefix", "sum_value")
+  }
+
+  /** Literal reduction-tree twin (O8): `treeAggregate` with depth
+    * ⌈log_b(nPartitions)⌉ merges partials through executor-side
+    * rounds exactly like the coordinator's reducer rounds
+    * (`src/python/reducerCoordinator.py:153-159`) — but in-memory,
+    * no S3 round-trips. Only for driver-side scalars; keyed
+    * aggregation uses the shuffle path above.
+    */
+  def treeSum(spark: SparkSession, sfDir: String, fanIn: Int = 2): Double = {
+    val vals = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_extendedprice")).rdd.map(r => Math.round(r.getDouble(0) * 100.0))
+    val parts = math.max(vals.getNumPartitions, 2)
+    val depth = math.max(1, math.ceil(math.log(parts) / math.log(math.max(fanIn, 2))).toInt)
+    vals.treeAggregate(0L)(_ + _, _ + _, depth) / 100.0
+  }
+}

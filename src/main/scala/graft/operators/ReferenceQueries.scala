@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+
+/** The reference's own query surface (SURVEY.md §2 O4-O8), re-shaped
+  * onto the local fixtures (FIXTURES.md "Mapping reference workloads
+  * onto fixtures").
+  *
+  * Key semantic pin: `SUBSTR(s, 1, n)` follows the Python mapper
+  * (`/root/reference/src/python/mapper.py:51`, `data[0][:8]`), NOT the
+  * Node mapper's off-by-one `substr(1, 8)`
+  * (`src/nodejs/mapper.js:44`) — see SURVEY.md §2 "String functions".
+  */
+object ReferenceQueries {
+
+  /** Deterministic double aggregation: money-shaped doubles in the
+    * fixtures are 2-decimal values, so summing them as DECIMAL(18,2)
+    * is exact and order-independent — which makes the Spark result
+    * hash-identical to the DuckDB oracle regardless of partitioning
+    * (the IEEE-754 accumulation-order hazard flagged in SURVEY.md §7.4).
+    */
+  def moneySum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Scan 1a shape: `SELECT pageURL, pageRank FROM rankings WHERE
+    * pageRank > 1000` (`/root/reference/README.md:139`) on `orders`.
+    * Filter + projection both reach the parquet scan (PushedFilters).
+    */
+  def scan1a(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  /** Scan 1b shape: lower selectivity threshold (`README.md:142`). */
+  def scan1b(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "part")
+      .filter(col("p_retailprice") > 1200.0)
+      .select(col("p_partkey"), col("p_retailprice"))
+
+  /** Projection + scalar expressions (O4): per-record
+    * `(substr(key,1,8), cast(double))` — the mapper's record transform
+    * (`src/python/mapper.py:50-54`).
+    */
+  def projectScalar(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "customer")
+      .select(
+        col("c_custkey"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        col("c_acctbal").cast("double").as("acctbal"))
+
+  /** Aggregate 2a — the flagship: `SELECT SUBSTR(sourceIP,1,8),
+    * SUM(adRevenue) FROM uservisits GROUP BY 1` (`README.md:146`) on
+    * `events`: substring group key over a string column + SUM of a
+    * double. One shuffle; partial aggregation (the reference's
+    * map-side combiner, `src/python/mapper.py:52-54`) is automatic in
+    * `HashAggregateExec(partial)`.
+    */
+  def agg2a(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "events")
+      .select(substring(col("event_type"), 1, 4).as("etype_prefix"), col("value"))
+      .groupBy(col("etype_prefix"))
+      .agg(moneySum(col("value")).as("sum_value"))
+
+  /** Multi-aggregate group-by: the general O6+O7 surface beyond the
+    * single SUM the reference hard-codes.
+    */
+  def aggMulti(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_price"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_extendedprice")).as("max_price"),
+        count(lit(1)).as("n_rows"))
+
+  /** Reduction tree to ONE global row (O8): the reference's entire
+    * coordinator state machine (`src/python/reducerCoordinator.py:
+    * 107-189`) exists to merge partials down to a single `result`
+    * object. In Spark that is a global aggregate: partial per
+    * partition, single final merge — one round, no S3 round-trips.
+    * (An explicit `treeAggregate` twin lives in MapReduceSurface.)
+    */
+  def globalSum(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .agg(
+        moneySum(col("l_extendedprice")).as("total_price"),
+        count(lit(1)).as("n_rows"))
+
+  /** DISTINCT (beyond the reference — SURVEY.md §2 ABSENT list).
+    * Map-side partial distinct before the shuffle keeps this
+    * scale-safe on low-cardinality keys.
+    */
+  def distinctKeys(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+
+  /** Top-k: global top 10 orders by price. Spark's `TakeOrderedAndProject`
+    * keeps k rows per partition then merges — no global sort, the
+    * scale-safe pattern (vs the reference's no-sort-at-all).
+    * Deterministic tie-break on the unique key.
+    */
+  def topK(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import ReferenceQueries.moneySum
+
+/** Relational operators ABSENT from the reference (SURVEY.md §2
+  * "ABSENT categories": joins, sorts, windows, set ops) but required
+  * for a complete analytics engine. Every join here is annotated with
+  * its 100 TB strategy: dimensions broadcast, fact-fact joins shuffle
+  * on their keys with AQE skew handling (GraftSession).
+  */
+object Relational {
+
+  /** Broadcast hash join: fact `orders` x dim `customer`. At 100 TB the
+    * dim side stays MB-scale, so the explicit `broadcast()` hint
+    * removes the shuffle entirely — each scan task joins locally.
+    */
+  def joinBroadcast(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .join(
+        broadcast(Tables.load(spark, sfDir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        moneySum(col("o_totalprice")).as("sum_price"),
+        count(lit(1)).as("n_orders"))
+
+  /** Shuffle (sort-merge) join: fact x fact on the join key. Both
+    * sides hash-partition on orderkey — the one unavoidable shuffle;
+    * AQE splits skewed partitions at runtime.
+    */
+  def joinLarge(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(
+        Tables.load(spark, sfDir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        // cast each 2-decimal factor to DECIMAL BEFORE multiplying:
+        // rounding the double *product* to 2 decimals is engine-
+        // dependent at .005 boundaries; exact decimal x decimal is not.
+        sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) *
+            (lit(1).cast(org.apache.spark.sql.types.DecimalType(18, 2)) -
+             col("l_discount").cast(org.apache.spark.sql.types.DecimalType(18, 2))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Star join through the dimension chain customer->nation->region:
+    * all three dims broadcast; the fact table is scanned once with no
+    * shuffle until the final group-by.
+    */
+  def joinStar(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .join(broadcast(Tables.load(spark, sfDir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.load(spark, sfDir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.load(spark, sfDir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        moneySum(col("o_totalprice")).as("sum_price"),
+        count(lit(1)).as("n_orders"))
+
+  /** Left semi join (EXISTS): customers having at least one
+    * high-value order. Semi joins ship only the key column of the
+    * probe side — cheaper than inner join + distinct.
+    */
+  def joinSemi(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "customer")
+      .join(
+        Tables.load(spark, sfDir, "orders")
+          .filter(col("o_totalprice") > 300000.0)
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"),
+        "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Left anti join (NOT EXISTS): customers with no orders at all. */
+  def joinAnti(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "customer")
+      .join(
+        Tables.load(spark, sfDir, "orders").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Window function: top-2 orders per customer by price.
+    * Deterministic tie-break on the unique order key. One shuffle on
+    * the partition key; rank prunes within partitions (no global sort).
+    */
+  def windowTopPerKey(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+  }
+
+  /** Set operations: UNION ALL + EXCEPT-shaped behavior via anti join
+    * is covered above; here the direct union of two filtered scans
+    * (the reference's only union-like behavior is concatenating
+    * objects into a mapper batch, `src/python/mapper.py:43`).
+    */
+  def unionScans(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+    o.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .unionAll(
+        o.filter(col("o_totalprice") > 450000.0)
+          .select(col("o_orderkey"), col("o_totalprice")))
+  }
+
+  /** Tumbling time window as a batch query (events table): the
+    * batch-equivalent twin of the streaming demo, per SURVEY.md §7.4
+    * "any Structured-Streaming showcase must also ship a
+    * batch-equivalent query". Hour bucket via date_trunc, portable to
+    * the DuckDB oracle.
+    */
+  def eventsHourly(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "events")
+      .groupBy(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("sum_value"))
+
+  /** Grouping sets (cube) over lineitem flags — ABSENT in the
+    * reference, table stakes for an analytics engine. Uses rollup to
+    * keep the oracle SQL portable.
+    */
+  def rollupAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+}

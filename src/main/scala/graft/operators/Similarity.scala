@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Vectors
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (64-dim float vectors).
+  *
+  * Two paths:
+  *  - [[annBrute]]: exact brute-force cosine top-k — the correctness
+  *    baseline. O(Q·N); at 100 TB it is only viable when Q (the query
+  *    set) is small enough to broadcast, which is exactly how it is
+  *    written: broadcast(queries) x scan(corpus), no shuffle of the
+  *    corpus side, then per-query top-k via window rank over the
+  *    (small) scored set.
+  *  - [[annLsh]]: random-hyperplane LSH (sign bits of projections onto
+  *    deterministic pseudo-random hyperplanes) buckets the corpus; at
+  *    scale only same-bucket candidates are scored. Recall is tested
+  *    against the brute baseline in SimilaritySpec.
+  */
+object Similarity {
+
+  /** Queries = the first `numQueries` vectors (lowest vec_id). */
+  def queries(spark: SparkSession, sfDir: String, numQueries: Int): DataFrame =
+    Tables.load(spark, sfDir, "embeddings")
+      .orderBy(col("vec_id")).limit(numQueries)
+      .select(col("vec_id").as("q_id"),
+        Vectors.l2normalize(col("embedding")).as("q"))
+
+  /** Exact top-k neighbors per query by cosine (self excluded).
+    * Deterministic: ties broken by vec_id.
+    */
+  def annBrute(
+      spark: SparkSession, sfDir: String,
+      numQueries: Int = 5, k: Int = 10): DataFrame = {
+    val corpus = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), Vectors.l2normalize(col("embedding")).as("u"))
+    val scored = corpus
+      .join(broadcast(queries(spark, sfDir, numQueries)),
+        col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        Vectors.dot(col("q"), col("u")).as("cosine"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), col("cosine"), col("rk"))
+  }
+
+  /** Number of hyperplanes = bucket bits. 2^12 buckets. */
+  val lshBits = 12
+
+  /** Deterministic pseudo-random hyperplane component for (plane p,
+    * dim i): a fixed hash mapped to [-0.5, 0.5). No RNG state — every
+    * executor derives the same planes from pure expressions.
+    */
+  private def planeComponent(p: Int, i: Int): Double = {
+    // splitmix64-ish integer scramble, then scale to [-0.5, 0.5)
+    var z = p.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z.toDouble / Long.MaxValue.toDouble) / 2.0
+  }
+
+  /** LSH bucket id for a vector column of the given dimension:
+    * bit p = sign(v · plane_p). Pure codegen'd expressions.
+    */
+  def lshBucket(dim: Int)(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    (0 until lshBits).map { p =>
+      val proj = (0 until dim).map { i =>
+        element_at(v, i + 1).cast("double") * lit(planeComponent(p, i))
+      }.reduce(_ + _)
+      when(proj >= 0.0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN via LSH buckets: score only corpus vectors whose bucket
+    * matches the query's bucket in >= 1 of the 4 bit-chunks
+    * (multi-probe by pigeonhole, same blocking trick as SimHash).
+    */
+  def annLsh(
+      spark: SparkSession, sfDir: String,
+      numQueries: Int = 5, k: Int = 10, dim: Int = 64): DataFrame = {
+    def chunked(df: DataFrame, vcol: String, idCols: Seq[String]): DataFrame =
+      df.withColumn("bucket", lshBucket(dim)(col(vcol)))
+        .select(idCols.map(col) ++ Seq(col(vcol)) :+
+          explode(array((0 until 4).map { c =>
+            struct(lit(c).as("chunk"),
+              shiftright(col("bucket"), c * 3).bitwiseAND(0x7L).as("ck"))
+          }: _*)).as("blk"): _*)
+        .select(idCols.map(col) ++ Seq(col(vcol),
+          col("blk.chunk").as("chunk"), col("blk.ck").as("ck")): _*)
+
+    val corpus = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), Vectors.l2normalize(col("embedding")).as("u"))
+    val q = queries(spark, sfDir, numQueries)
+    val cChunk = chunked(corpus, "u", Seq("vec_id"))
+    val qChunk = chunked(q, "q", Seq("q_id"))
+    val cand = cChunk.as("c")
+      .join(broadcast(qChunk.as("qq")),
+        col("c.chunk") === col("qq.chunk") && col("c.ck") === col("qq.ck") &&
+          col("c.vec_id") =!= col("qq.q_id"))
+      .select(col("qq.q_id").as("q_id"), col("c.vec_id").as("vec_id"),
+        col("qq.q").as("q"), col("c.u").as("u"))
+      .distinct()
+    val scored = cand.select(col("q_id"), col("vec_id"),
+      Vectors.dot(col("q"), col("u")).as("cosine"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), col("cosine"), col("rk"))
+  }
+}

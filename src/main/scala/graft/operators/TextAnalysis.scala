@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: language ID (stopword-marker heuristic), quality
+  * scoring, token counting, and document fingerprinting. All are
+  * narrow (per-row) transformations — they pipeline inside one
+  * whole-stage-codegen scan task with zero shuffles, so they scale
+  * linearly to 100 TB by adding executors.
+  *
+  * Every function here is built from codegen'd `functions._`
+  * expressions (no Scala UDF in the hot path), and each has an exact
+  * ANSI-SQL twin in SparkEntry.oracleSql for differential testing.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens: non-empty runs of non-space characters. */
+  def tokensCol(text: Column): Column =
+    // split on whitespace runs; trim first so no leading "" token.
+    split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(tokensCol(text)).cast("long"))
+
+  /** BPE-ish subword proxy: letter runs, digit runs, and single
+    * punctuation marks each count as one token — the standard
+    * pre-tokenizer regex shape (GPT-2 style, simplified to stay
+    * portable between Java and RE2 regex dialects).
+    */
+  val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(bpeTokenPattern)).cast("long")
+
+  /** Quality-score features: length, token stats, punctuation density,
+    * stopword ratio — the classic cheap text-quality heuristics
+    * (Gopher/C4-style rules, arithmetic only).
+    */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+  val stopwordPattern: String =
+    stopwords.mkString("\\b(", "|", ")\\b")
+
+  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val nTok = tokenCount(col("text"))
+    val nStop = regexp_count(col("text"), lit(stopwordPattern)).cast("long")
+    val nPunct = regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("long")
+    val nChars = length(col("text")).cast("long")
+    d.select(
+      col("doc_id"),
+      nChars.as("n_chars"),
+      nTok.as("n_tokens"),
+      nStop.as("n_stopwords"),
+      nPunct.as("n_punct"),
+      // ratios: exact int/int division in double is bit-identical
+      // across engines (single IEEE op, no accumulation order).
+      (nStop.cast("double") / greatest(nTok, lit(1L)).cast("double"))
+        .as("stopword_ratio"),
+      (nPunct.cast("double") / greatest(nChars, lit(1L)).cast("double"))
+        .as("punct_ratio"),
+      (nChars.cast("double") / greatest(nTok, lit(1L)).cast("double"))
+        .as("mean_token_len"))
+  }
+
+  /** Language-ID heuristic: count marker-word hits per language and
+    * take the argmax with a fixed tie order (en > de > fr > es > zh >
+    * und). Deterministic and SQL-expressible — the point is the
+    * operator shape (portable n-gram scoring), not linguistic quality.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "est"),
+    "es" -> Seq("el", "los", "las", "es"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4"))
+
+  private def markerPattern(ws: Seq[String]): String =
+    ws.mkString("\\b(", "|", ")\\b")
+
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val scores = langMarkers.map { case (lang, ws) =>
+      lang -> regexp_count(col("text"), lit(markerPattern(ws))).cast("long")
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first language in declared order reaching the max (and > 0) wins
+    val pred = scores.reverse.foldLeft(lit("und")) {
+      case (acc, (lang, s)) => when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    d.select(col("doc_id"), pred.as("lang_pred"), best.as("marker_hits"))
+  }
+
+  /** Document fingerprint: md5 of the normalized text (lowercased,
+    * whitespace collapsed) — the exact-dedup key. md5 hex is
+    * bit-portable across engines. A Rabin-Karp rolling hash over
+    * shingles (not SQL-portable) lives in graft.functions.RollingHash
+    * with property tests.
+    */
+  def normalizedText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        md5(normalizedText(col("text"))).as("fp"),
+        substring(md5(normalizedText(col("text"))), 1, 8).as("fp_short"))
+
+  /** Full text-stats query used by SparkEntry: one pass, all features. */
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_ws_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"))
+}

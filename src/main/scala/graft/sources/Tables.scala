@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import org.apache.spark.util.LongAccumulator
+
+/** Source layer (SURVEY.md §2 O1-O3, O10).
+  *
+  * The reference's "table" is a set of S3 objects of newline-delimited
+  * CSV under a prefix, enumerated by the driver
+  * (`src/python/driver.py:91-94`), split into lines
+  * (`src/python/mapper.py:43-47`), optionally gunzipped
+  * (`src/nodejs/mapper.js:71-79`), with malformed lines swallowed and
+  * counted (`src/python/mapper.py:48-57`). All of that maps onto
+  * Spark's `DataFrameReader`: `InMemoryFileIndex` enumerates + packs
+  * file splits (O1/O10), `TextInputFormat` yields line records (O2),
+  * codecs handle `.gz` natively (O3), and `mode=PERMISSIVE/DROPMALFORMED`
+  * plus an accumulator reproduce the bad-record policy.
+  */
+object Tables {
+
+  // -------- fixture parquet tables (TESTDATA.md) --------
+
+  val fixtureNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS): read as long nanos
+    // (spark.sql.legacy.parquet.nanosAsLong, set by GraftSession) and
+    // convert with exact integer division — double division would lose
+    // precision above 2^53 ns (~1970+104 days).
+    if (name == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    else df
+  }
+
+  /** Register every fixture table as a temp view so `spark.sql` text
+    * matches the DuckDB oracle text.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    fixtureNames.foreach { n =>
+      load(spark, sfDir, n).createOrReplaceTempView(n)
+    }
+
+  // -------- reference workload schemas (FIXTURES.md §A) --------
+
+  /** AMPLab `uservisits`: schema-on-read replaces the reference's
+    * by-convention positional fields (`src/python/mapper.py:50-54`).
+    */
+  val uservisitsSchema: StructType = StructType(Seq(
+    StructField("sourceIP", StringType),
+    StructField("destURL", StringType),
+    StructField("visitDate", DateType),
+    StructField("adRevenue", DoubleType),
+    StructField("userAgent", StringType),
+    StructField("countryCode", StringType),
+    StructField("languageCode", StringType),
+    StructField("searchWord", StringType),
+    StructField("duration", IntegerType)))
+
+  /** AMPLab `rankings` (`/root/reference/README.md:139`). */
+  val rankingsSchema: StructType = StructType(Seq(
+    StructField("pageURL", StringType),
+    StructField("pageRank", IntegerType),
+    StructField("avgDuration", IntegerType)))
+
+  /** CSV reader with the reference's bad-record tolerance
+    * (`src/python/mapper.py:49-57`: whole-line try/except + counter).
+    * `.gz` paths decompress transparently (O3). DROPMALFORMED drops
+    * unparseable lines; the dropped count is (total file lines -
+    * surviving rows), observable via [[countingCsv]] when the caller
+    * needs the reference's `line_count` metric.
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("mode", "DROPMALFORMED")
+      .csv(path)
+
+  /** Same, but also count raw input lines into `linesIn` the way every
+    * reference task counts lines (`src/python/mapper.py:37,48`). The
+    * accumulator is populated lazily when the returned frame executes.
+    */
+  def countingCsv(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      linesIn: LongAccumulator
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val raw = spark.read.textFile(path)
+    val counted = raw.map { line => linesIn.add(1L); line }(raw.encoder)
+    spark.read
+      .schema(schema)
+      .option("mode", "DROPMALFORMED")
+      .csv(counted)
+      // DROPMALFORMED still emits all-null rows for lines whose field
+      // count mismatches in some corner cases; enforce non-null on the
+      // first column like the reference's split-index access would.
+      .filter(col(schema.fields.head.name).isNotNull)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming layer. The reference's S3-event loop is
+  * control-plane only (SURVEY.md §2 "Streaming semantics: none"), but
+  * a complete engine needs data-plane streaming: file-source ingest,
+  * watermarked tumbling windows, and custom keyed state.
+  *
+  * Per SURVEY.md §7.4, every streaming query here has a batch twin
+  * (Relational.eventsHourly) so correctness stays oracle-checkable;
+  * EventStreamSpec asserts streaming == batch on the fixtures via
+  * Trigger.AvailableNow.
+  */
+object EventStream {
+
+  /** File-source schema: `ts` arrives as long NANOS (the fixture's
+    * parquet TIMESTAMP(NANOS) read via nanosAsLong — see Tables.load);
+    * [[readEvents]] converts to TimestampType with exact integer math.
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def readEvents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Streaming hourly tumbling-window aggregate over the events file
+    * source. Watermark bounds state: at scale, state store size is
+    * (watermark horizon x key cardinality), never unbounded.
+    */
+  def hourlyStream(spark: SparkSession, sfDir: String): DataFrame =
+    readEvents(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n_events"))
+
+  /** Run a streaming frame to completion on the fixture files
+    * (Trigger.AvailableNow + memory sink) and return the final result
+    * as a batch DataFrame — the harness for batch-parity tests.
+    */
+  def runToBatch(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  case class SessionSummary(
+      user_id: Long, n_events: Long, total_value: Double, n_purchases: Long)
+
+  /** Custom keyed state (the reference's "arbitrary reducer logic"
+    * slot, streaming edition): per-user running session summary via
+    * mapGroupsWithState. Cents-accumulated so output is deterministic.
+    */
+  def userSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val events = readEvents(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .as[(Long, String, Double)]
+
+    val summarized = events
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, String, Double)],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (n, cents, buys) =
+            state.getOption.getOrElse((0L, 0L, 0L))
+          rows.foreach { case (_, etype, v) =>
+            n += 1
+            cents += Math.round(v * 100.0)
+            if (etype == "purchase") buys += 1
+          }
+          state.update((n, cents, buys))
+          SessionSummary(uid, n, cents / 100.0, buys)
+      }
+    summarized.toDF()
+  }
+
+  /** Run userSessions to completion (update mode) and return the last
+    * state per user as a batch frame.
+    */
+  def userSessionsBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = userSessions(spark, sfDir).writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName("user_sessions")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("user_sessions")
+  }
+}
