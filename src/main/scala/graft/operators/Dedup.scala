@@ -191,7 +191,8 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }

@@ -50,8 +50,13 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("cosine"), col("rk"))
   }
 
-  /** Number of hyperplanes = bucket bits. 2^12 buckets. */
-  val lshBits = 12
+  /** Number of hyperplanes: 8 tables x 4 bits (multi-table LSH — a
+    * pair is a candidate if ANY table's 4-bit code matches; more
+    * tables = higher recall at higher candidate cost).
+    */
+  val lshBits = 32
+  val lshTables = 8
+  val lshBitsPerTable: Int = lshBits / lshTables
 
   /** Deterministic pseudo-random hyperplane component for (plane p,
     * dim i): a fixed hash mapped to [-0.5, 0.5). No RNG state — every
@@ -78,9 +83,12 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** ANN via LSH buckets: score only corpus vectors whose bucket
-    * matches the query's bucket in >= 1 of the 4 bit-chunks
-    * (multi-probe by pigeonhole, same blocking trick as SimHash).
+  /** ANN via multi-table LSH: score only corpus vectors sharing at
+    * least one table's full code with the query. On near-random data
+    * (the fixture: top-10 neighbor cosine only ~0.3) recall is
+    * fundamentally bounded; in the high-similarity regime the method
+    * targets (near-dup retrieval, cosine >= 0.9) recall approaches 1 —
+    * SimilaritySpec tests both.
     */
   def annLsh(
       spark: SparkSession, sfDir: String,
@@ -88,9 +96,10 @@ object Similarity {
     def chunked(df: DataFrame, vcol: String, idCols: Seq[String]): DataFrame =
       df.withColumn("bucket", lshBucket(dim)(col(vcol)))
         .select(idCols.map(col) ++ Seq(col(vcol)) :+
-          explode(array((0 until 4).map { c =>
+          explode(array((0 until lshTables).map { c =>
             struct(lit(c).as("chunk"),
-              shiftright(col("bucket"), c * 3).bitwiseAND(0x7L).as("ck"))
+              shiftright(col("bucket"), c * lshBitsPerTable)
+                .bitwiseAND((1L << lshBitsPerTable) - 1).as("ck"))
           }: _*)).as("blk"): _*)
         .select(idCols.map(col) ++ Seq(col(vcol),
           col("blk.chunk").as("chunk"), col("blk.ck").as("ck")): _*)

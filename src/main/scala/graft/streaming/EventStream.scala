@@ -32,7 +32,9 @@ object EventStream {
   private def readEvents(spark: SparkSession, sfDir: String): DataFrame =
     spark.readStream
       .schema(eventsSchema)
-      .parquet(s"$sfDir/events.parquet")
+      // file stream source requires a directory; glob selects the table
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
 
   /** Streaming hourly tumbling-window aggregate over the events file

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Synthetic docs with KNOWN duplicate structure: 0/1 identical,
+    * 2 a near-dup of 0 (one word changed), 3 unrelated.
+    */
+  def docsFixture = {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = (1 to 60).map(i => if (i == 30) "CHANGED" else s"w$i").mkString(" ")
+    val other = (100 to 160).map(i => s"x$i").mkString(" ")
+    Seq((0L, base), (1L, base), (2L, near), (3L, other)).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts, keeps min id") {
+    docsFixture.createOrReplaceTempView("documents_tmp")
+    val got = docsFixture
+      .select(col("doc_id"), md5(graft.operators.TextAnalysis.normalizedText(col("text"))).as("h"))
+      .groupBy("h").agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == Map(0L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("exact dedup normalizes case and whitespace") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world "), (3L, "different"))
+      .toDF("doc_id", "text")
+    val groups = df
+      .groupBy(md5(graft.operators.TextAnalysis.normalizedText(col("text"))))
+      .count().collect().map(_.getLong(1)).sorted
+    assert(groups.toSeq == Seq(1L, 2L))
+  }
+
+  test("shingles produce distinct n-grams") {
+    val df = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(df, 5).collect().map(_.getString(1)).sorted
+    assert(sh.toSeq == Seq("a b c d e", "b c d e f"))
+  }
+
+  test("docs shorter than n words yield no shingles") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(Dedup.shingles(df, 5).count() == 0)
+  }
+
+  test("ngram jaccard finds identical and near-dup pairs with exact scores") {
+    docsFixture.write.mode("overwrite").parquet("/tmp/graft-dedup-test/documents.parquet")
+    val pairs = Dedup.ngramJaccardPairs(spark, "/tmp/graft-dedup-test", n = 5, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).sortBy(p => (p._1, p._2))
+    // identical pair (0,1): jaccard 1.0
+    assert(pairs.exists { case (a, b, j) => a == 0 && b == 1 && j == 1.0 })
+    // near pair (0,2) and (1,2): one changed word kills 5 of 56 shingles
+    // |A|=|B|=56, common=51, union=61 → 51/61
+    val near = pairs.filter { case (a, b, _) => (a, b) == (0L, 2L) || (a, b) == (1L, 2L) }
+    assert(near.length == 2)
+    near.foreach { case (_, _, j) => assert(math.abs(j - 51.0 / 61.0) < 1e-12) }
+    // unrelated doc 3 appears in no pair
+    assert(!pairs.exists { case (a, b, _) => a == 3 || b == 3 })
+  }
+
+  test("minhash LSH finds the same dup pairs as exact jaccard at high threshold") {
+    val pairs = Dedup.minhashLshPairs(spark, "/tmp/graft-dedup-test", n = 5, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L)) && keys.contains((0L, 2L)) && keys.contains((1L, 2L)))
+    assert(!keys.exists { case (a, b) => a == 3 || b == 3 })
+    // identical docs estimate jaccard 1.0 exactly
+    assert(pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3 == 1.0)
+    // near-dup estimate within 0.2 of true 51/61 ≈ 0.836 (64 hashes)
+    val est = pairs.find(p => (p._1, p._2) == (0L, 2L)).get._3
+    assert(math.abs(est - 51.0 / 61.0) < 0.2, s"estimate $est")
+  }
+
+  test("simhash: identical docs distance 0; near-dups close; unrelated far") {
+    val pairs = Dedup.simhashPairs(spark, "/tmp/graft-dedup-test", maxDist = 63)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((0L, 1L)) == 0)
+    assert(pairs((0L, 2L)) < 16, s"near-dup hamming ${pairs((0L, 2L))}")
+    // unrelated pairs, if blocked together at all, must be far
+    pairs.filter { case ((a, b), _) => b == 3L || a == 3L }
+      .foreach { case (_, d) => assert(d > 16) }
+  }
+
+  test("embedding near-dup pairs: identical vectors cosine 1.0") {
+    val v = Array(1.0f, 2.0f, 3.0f)
+    Seq((0L, v, 0), (1L, v, 0), (2L, Array(-3.0f, 0.1f, 9.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet("/tmp/graft-embed-test/embeddings.parquet")
+    val pairs = Dedup.embeddingPairs(spark, "/tmp/graft-embed-test", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length == 1)
+    assert(pairs.head._1 == 0 && pairs.head._2 == 1)
+    assert(math.abs(pairs.head._3 - 1.0) < 1e-12)
+  }
+}

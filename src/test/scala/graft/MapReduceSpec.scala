@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.operators.{MapReduceSurface, ReferenceQueries}
+
+class MapReduceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  def sf: String = SparkTestSession.sf
+  import spark.implicits._
+
+  test("typed Aggregator path agrees with the declarative flagship") {
+    val typed = MapReduceSurface.agg2aTyped(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val declarative = ReferenceQueries.agg2a(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(typed == declarative)
+  }
+
+  test("mapReduce surface runs arbitrary user map logic (reference's splice point)") {
+    val lines = Seq(
+      "1.2.3.4,x,y,0.5", "1.2.3.9,x,y,1.0", "9.9.9.9,x,y,2.25").toDS()
+    // user mapper: the AMPLab 2a handler body, as a plain Scala closure
+    val result = MapReduceSurface.mapReduce[String](lines, { line =>
+      val f = line.split(',')
+      Seq(f(0).take(7) -> f(3).toDouble)
+    }).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(result == Map("1.2.3.4" -> 0.5, "1.2.3.9" -> 1.0, "9.9.9.9" -> 2.25))
+  }
+
+  test("CentsSum merge is associative and commutative (ScalaCheck)") {
+    // the algebra the reference's reduction tree assumes (SURVEY.md §5):
+    // agg(data) == merge(parts.map(agg)) under ANY partitioning
+    val moneyGen = Gen.listOf(
+      Gen.chooseNum(-99999999L, 99999999L).map(_ / 100.0))
+    val prop = Prop.forAll(moneyGen) { vals =>
+      val whole = vals.foldLeft(0L)((b, a) => MapReduceSurface.CentsSum.reduce(b, a))
+      (0 to vals.length).forall { cut =>
+        val (l, r) = vals.splitAt(cut)
+        val lb = l.foldLeft(0L)((b, a) => MapReduceSurface.CentsSum.reduce(b, a))
+        val rb = r.foldLeft(0L)((b, a) => MapReduceSurface.CentsSum.reduce(b, a))
+        MapReduceSurface.CentsSum.merge(lb, rb) == whole &&
+          MapReduceSurface.CentsSum.merge(rb, lb) == whole
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("treeAggregate twin equals the shuffle global sum") {
+    val tree = MapReduceSurface.treeSum(spark, sf, fanIn = 2)
+    val shuffle = ReferenceQueries.globalSum(spark, sf).head().getDouble(0)
+    assert(math.abs(tree - shuffle) < 1e-9, s"$tree vs $shuffle")
+  }
+}
