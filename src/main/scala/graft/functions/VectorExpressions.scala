@@ -1,0 +1,163 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.{columnToExpr, exprToColumn}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the vector hot paths (SURVEY.md
+  * §7.3: "custom Expression (codegen) as an optimization, never for
+  * correctness").
+  *
+  * The built-in composition (`aggregate(zip_with(...))`) is
+  * semantically identical but runs interpreted — per 2M-pair
+  * similarity join that is ~40s of lambda dispatch at sf0.1. These
+  * expressions generate a tight primitive loop inside whole-stage
+  * codegen. Accumulation order is left-to-right, matching the
+  * higher-order-function evaluation exactly, so swapping them in
+  * changes nothing about results.
+  */
+object VectorExpressions {
+
+  private[functions] def elementGetter(
+      dt: DataType, arr: String, i: String): String = dt match {
+    case ArrayType(FloatType, _) => s"$arr.getFloat($i)"
+    case ArrayType(DoubleType, _) => s"$arr.getDouble($i)"
+    case other => throw new IllegalArgumentException(
+      s"dot product needs array<float|double>, got $other")
+  }
+
+  private[functions] def elementAt(dt: DataType, arr: ArrayData, i: Int): Double =
+    dt match {
+      case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
+      case ArrayType(DoubleType, _) => arr.getDouble(i)
+      case other => throw new IllegalArgumentException(
+        s"dot product needs array<float|double>, got $other")
+    }
+
+  /** Σ a_i·b_i in double, left-to-right. Codegen'd primitive loop. */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = left.nullable || right.nullable
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      def ok(dt: DataType) = dt match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+        case _ => false
+      }
+      if (ok(left.dataType) && ok(right.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dot_product needs array<float|double> args, got " +
+            s"${left.dataType} and ${right.dataType}")
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += elementAt(left.dataType, x, i) * elementAt(right.dataType, y, i)
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $acc += (double)${elementGetter(left.dataType, a, i)} *
+                  (double)${elementGetter(right.dataType, b, i)};
+        }
+        ${ev.value} = $acc;
+        """
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): DotProduct =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Multi-table hyperplane-LSH code: bit p of the result is
+    * sign(v · plane_p), planes derived deterministically from a
+    * splitmix64 scramble of (plane, dim) — no RNG state, identical on
+    * every executor. One pass over the vector computes all planes
+    * (vs. numPlanes·dim `element_at` expression nodes).
+    * Interpreted eval is fine here: it runs once per corpus row, not
+    * per candidate pair.
+    */
+  case class HyperplaneBucket(child: Expression, numPlanes: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = LongType
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"lsh_bucket needs array<float|double>, got $other")
+      }
+
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val dim = arr.numElements()
+      val sums = new Array[Double](numPlanes)
+      var i = 0
+      while (i < dim) {
+        val x = elementAt(child.dataType, arr, i)
+        var p = 0
+        while (p < numPlanes) {
+          sums(p) += x * HyperplaneBucket.component(p, i)
+          p += 1
+        }
+        i += 1
+      }
+      var bucket = 0L
+      var p = 0
+      while (p < numPlanes) {
+        if (sums(p) >= 0.0) bucket |= (1L << p)
+        p += 1
+      }
+      bucket
+    }
+
+    override protected def withNewChildInternal(c: Expression): HyperplaneBucket =
+      copy(child = c)
+  }
+
+  object HyperplaneBucket {
+    /** Deterministic pseudo-random plane component in [-0.5, 0.5). */
+    def component(p: Int, i: Int): Double = {
+      var z = p.toLong * 0x9E3779B97F4A7C15L +
+        i.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      (z.toDouble / Long.MaxValue.toDouble) / 2.0
+    }
+  }
+
+  def dot_product(a: Column, b: Column): Column =
+    exprToColumn(DotProduct(columnToExpr(a), columnToExpr(b)))
+
+  def lsh_bucket(v: Column, numPlanes: Int): Column =
+    exprToColumn(HyperplaneBucket(columnToExpr(v), numPlanes))
+}

@@ -15,8 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** Σ a_i * b_i, double accumulation in element order. */
+  /** Σ a_i * b_i, double accumulation in element order. Codegen'd
+    * custom expression; the HOF twin `aggregate(zip_with(...))` is
+    * semantically identical but interpreted (VectorsSpec pins the
+    * equivalence).
+    */
   def dot(a: Column, b: Column): Column =
+    VectorExpressions.dot_product(a, b)
+
+  /** HOF reference implementation of [[dot]] — kept for the
+    * differential spec; not on any hot path.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
@@ -24,8 +34,7 @@ object Vectors {
 
   /** Σ a_i², double. */
   def normSq(a: Column): Column =
-    aggregate(a, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    VectorExpressions.dot_product(a, a)
 
   def norm(a: Column): Column = sqrt(normSq(a))
 

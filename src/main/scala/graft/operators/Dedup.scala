@@ -45,9 +45,9 @@ object Dedup {
     * words produce no shingles (dropped, like the reference drops
     * malformed lines).
     */
-  def shingles(docs: DataFrame, n: Int): DataFrame = {
+  def shingles(docs: DataFrame, n: Int, distinctPerDoc: Boolean = true): DataFrame = {
     val words = split(normalizedText(col("text")), " ")
-    docs
+    val exploded = docs
       .filter(size(words) >= n)
       .select(
         col("doc_id"),
@@ -55,25 +55,49 @@ object Dedup {
           transform(
             sequence(lit(0), size(words) - n),
             i => array_join(slice(words, i + 1, lit(n)), " "))).as("shingle"))
-      .distinct()
+    // distinct costs a shuffle; skip it when the consumer is
+    // idempotent under duplicates (min-agg, collect_set)
+    if (distinctPerDoc) exploded.distinct() else exploded
   }
 
+  /** (doc_id, sh) 64-bit shingle hashes via the custom single-pass
+    * expression — the hot-path twin of [[shingles]] (which builds
+    * strings; DedupSpec pins that both agree on shingle counts).
+    */
+  def shingleHashes(docs: DataFrame, n: Int): DataFrame =
+    docs.select(
+      col("doc_id"),
+      explode(graft.functions.TextExpressions.shingle_hashes(
+        normalizedText(col("text")), n)).as("sh"))
+
   /** Exact n-gram Jaccard near-dup pairs (jaccard >= threshold,
-    * a < b). This is the brute-force ground truth: an equi-join on
-    * shingle inverted index, then |A∩B| / (|A|+|B|-|A∩B|). The join
-    * key is a 64-bit shingle hash, not the shingle text (shuffle
-    * volume). Quadratic only within identical-shingle buckets.
+    * a < b) via an inverted index: ONE shuffle builds posting lists
+    * keyed by 64-bit shingle hash (distinct-per-doc folds into
+    * collect_set — no separate distinct shuffle, no self-join
+    * recompute of the shingle scan), then pairs are generated inside
+    * each posting list and counted. Quadratic only within
+    * identical-shingle postings; at 100 TB hot shingles are exactly
+    * the skew AQE splits, and the sketch path (minhashLshPairs) is
+    * the intended scale method — this operator is the exact oracle.
     */
   def ngramJaccardPairs(
       spark: SparkSession, sfDir: String,
       n: Int = 5, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(Tables.load(spark, sfDir, "documents"), n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val common = a.join(b,
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val raw = shingleHashes(Tables.load(spark, sfDir, "documents"), n)
+    val index = raw
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .persist()
+    val sizes = index
+      .select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // all ordered pairs within each posting list
+    val common = index
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+          struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
     common
       .join(sizes.withColumnRenamed("doc_id", "id_a")
@@ -93,15 +117,17 @@ object Dedup {
   val numBands = 16
   val rowsPerBand: Int = numHashes / numBands
 
-  /** MinHash signature: for seed i, h_i(doc) = min over shingles of
-    * xxhash64(i, shingle). Computed as 64 `min` aggregates in ONE
-    * hash-aggregate pass over the exploded shingles — no per-doc
-    * collect, no UDF; whole-stage codegen end to end.
+  /** MinHash signature: hash each shingle string ONCE (xxhash64),
+    * then derive the 64 per-seed hashes from the cheap fixed-width
+    * mix xxhash64(i, base). 64 `min` aggregates in ONE hash-aggregate
+    * pass — no per-doc collect, no UDF, whole-stage codegen end to
+    * end. Duplicate shingles don't change a min, so the distinct
+    * shuffle is skipped.
     */
   def minhashSignatures(docs: DataFrame, n: Int = 5): DataFrame = {
-    val sh = shingles(docs, n)
+    val sh = shingleHashes(docs, n)
     val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+      min(xxhash64(lit(i), col("sh"))).as(s"mh_$i"))
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
@@ -113,7 +139,11 @@ object Dedup {
   def minhashLshPairs(
       spark: SparkSession, sfDir: String,
       n: Int = 5, threshold: Double = 0.5): DataFrame = {
+    // sig feeds banding once and verification twice: cache it (tiny —
+    // 64 longs per doc; at 1B docs this is the standard cluster-wide
+    // persist for LSH verification).
     val sig = minhashSignatures(Tables.load(spark, sfDir, "documents"), n)
+      .persist()
 
     val bandCols = (0 until numBands).map { b =>
       val slots = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))

@@ -58,30 +58,13 @@ object Similarity {
   val lshTables = 8
   val lshBitsPerTable: Int = lshBits / lshTables
 
-  /** Deterministic pseudo-random hyperplane component for (plane p,
-    * dim i): a fixed hash mapped to [-0.5, 0.5). No RNG state — every
-    * executor derives the same planes from pure expressions.
+  /** LSH code for a vector column: bit p = sign(v · plane_p), planes
+    * derived deterministically (graft.functions.VectorExpressions.
+    * HyperplaneBucket — one pass over the vector; the expression-tree
+    * formulation was numPlanes x dim element_at nodes).
     */
-  private def planeComponent(p: Int, i: Int): Double = {
-    // splitmix64-ish integer scramble, then scale to [-0.5, 0.5)
-    var z = p.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    (z.toDouble / Long.MaxValue.toDouble) / 2.0
-  }
-
-  /** LSH bucket id for a vector column of the given dimension:
-    * bit p = sign(v · plane_p). Pure codegen'd expressions.
-    */
-  def lshBucket(dim: Int)(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    (0 until lshBits).map { p =>
-      val proj = (0 until dim).map { i =>
-        element_at(v, i + 1).cast("double") * lit(planeComponent(p, i))
-      }.reduce(_ + _)
-      when(proj >= 0.0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def lshBucket(dim: Int)(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.VectorExpressions.lsh_bucket(v, lshBits)
 
   /** ANN via multi-table LSH: score only corpus vectors sharing at
     * least one table's full code with the query. On near-random data

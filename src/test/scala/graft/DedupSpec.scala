@@ -45,6 +45,24 @@ class DedupSpec extends AnyFunSuite {
   test("docs shorter than n words yield no shingles") {
     val df = Seq((1L, "a b c")).toDF("doc_id", "text")
     assert(Dedup.shingles(df, 5).count() == 0)
+    assert(Dedup.shingleHashes(df, 5).count() == 0)
+  }
+
+  test("hashed shingles agree with string shingles (count and collisions)") {
+    val df = docsFixture
+    val strings = Dedup.shingles(df, 5).groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hashes = Dedup.shingleHashes(df, 5)
+      .distinct().groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical distinct counts per doc = no collisions, same windows
+    assert(strings == hashes)
+    // identical docs produce identical hash sets
+    val h0 = Dedup.shingleHashes(df.filter($"doc_id" === 0L), 5)
+      .select("sh").collect().map(_.getLong(0)).toSet
+    val h1 = Dedup.shingleHashes(df.filter($"doc_id" === 1L), 5)
+      .select("sh").collect().map(_.getLong(0)).toSet
+    assert(h0 == h1)
   }
 
   test("ngram jaccard finds identical and near-dup pairs with exact scores") {
