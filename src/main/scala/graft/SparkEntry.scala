@@ -66,6 +66,16 @@ object SparkEntry {
   /** Normalized-text SQL twin of TextAnalysis.normalizedText. */
   private val normText = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
+  /** SQL twin of Vectors.l2normalize over the embeddings table. */
+  private val normalizedVectors =
+    """SELECT vec_id,
+       list_transform(embedding,
+         x -> CASE WHEN nrm > 0 THEN CAST(x AS DOUBLE)/nrm ELSE 0.0 END) AS v
+       FROM (SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+           x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+         FROM embeddings)"""
+
   def oracleSql: Map[String, String] = Map(
     "q01_scan_1a" ->
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000.0",
@@ -170,6 +180,28 @@ object SparkEntry {
          JOIN sizes sb ON sb.doc_id = id_b
          WHERE CAST(n_common AS DOUBLE) /
              CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5""",
+    // exact float-math oracles: Spark's DotProduct accumulates double
+    // left-to-right, bit-identical to DuckDB list_sum/list_transform
+    // (validated pairwise over the fixture — tools/CosineProbe).
+    "q24_embed_neardup" ->
+      s"""WITH u AS ($normalizedVectors)
+         SELECT id_a, id_b, cosine FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS cosine
+           FROM u a JOIN u b ON a.vec_id < b.vec_id)
+         WHERE cosine >= 0.95""",
+    "q30_ann_brute" ->
+      s"""WITH u AS ($normalizedVectors),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM u
+               WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)),
+         s AS (SELECT q_id, u.vec_id,
+                 list_sum(list_transform(list_zip(qv, u.v), p -> p[1]*p[2])) AS cosine
+               FROM q JOIN u ON u.vec_id != q.q_id)
+         SELECT q_id, vec_id, cosine, CAST(rk AS INTEGER) AS rk FROM (
+           SELECT q_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rk
+           FROM s)
+         WHERE rk <= 10""",
     "q40_lang_id" -> langIdOracle,
     "q41_quality" ->
       """SELECT doc_id,
