@@ -1,0 +1,111 @@
+package graft.sinks
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.util.concurrent.atomic.{AtomicLong, LongAdder}
+
+/** Sink + metrics layer (SURVEY.md §2 O9, §3.1 step 11).
+  *
+  * The reference writes every task output to S3 with `linecount` /
+  * `processingtime` / `memoryUsage` user-metadata
+  * (`src/python/mapper.py:64-72`, `src/python/reducer.py:73-77`) and
+  * the driver folds that into a Lambda-seconds + S3-requests cost
+  * model (`src/python/driver.py:216-279`, formulas `:259-269`).
+  * Spark-native: writers are `df.write`, per-task metrics come from a
+  * SparkListener, and the cost model is reproduced as a reporting
+  * utility over those metrics.
+  */
+object Sinks {
+
+  /** Columnar sink — the default at scale. One file per partition;
+    * never coalesce(1) large outputs (the reference's single-reducer
+    * cliff, /root/reference/README.md:149).
+    */
+  def writeParquet(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
+
+  /** Line sink matching the reference's key,value CSV output format
+    * (`src/nodejs/utils.js:33-39`).
+    */
+  def writeCsv(df: DataFrame, path: String, header: Boolean = false): Unit =
+    df.write.mode("overwrite")
+      .option("header", header.toString)
+      .csv(path)
+
+  /** Per-job metrics the reference tracks per task object: rows out,
+    * wall seconds, executor cpu-seconds, bytes read/written, shuffle
+    * traffic.
+    */
+  case class JobMetrics(
+      rowsOut: Long,
+      wallSeconds: Double,
+      executorCpuSeconds: Double,
+      executorRunSeconds: Double,
+      bytesRead: Long,
+      bytesWritten: Long,
+      shuffleBytes: Long,
+      peakMemory: Long) {
+
+    /** The reference's published cost model (driver.py:259-269):
+      * Lambda $0.00001667/GB-s at the configured container size plus
+      * S3 request costs. Mapped: executor-run-seconds stand in for
+      * Lambda-seconds at `containerGb`; storage requests are scans
+      * (GET-shaped) and written files (PUT-shaped) approximated from
+      * 128 MB request granularity. A reporting utility, not billing.
+      */
+    def estimatedCostUsd(containerGb: Double = 1.5): Double = {
+      val lambdaRate = 0.00001667 // $/GB-s (driver.py:261)
+      val getRate = 0.004 / 10000 // $/GET (driver.py:267)
+      val putRate = 0.005 / 1000  // $/PUT (driver.py:266)
+      val gets = math.ceil(bytesRead.toDouble / (128 << 20)).toLong
+      val puts = math.ceil(bytesWritten.toDouble / (128 << 20)).toLong
+      executorRunSeconds * containerGb * lambdaRate +
+        gets * getRate + puts * putRate
+    }
+  }
+
+  /** Run `action` while aggregating task metrics — the Spark twin of
+    * the reference's metadata-on-every-object protocol. Thread-safe;
+    * listener is removed afterwards.
+    */
+  def withMetrics[T](spark: SparkSession)(action: => T): (T, JobMetrics) = {
+    val rows = new LongAdder; val cpu = new LongAdder; val run = new LongAdder
+    val read = new LongAdder; val written = new LongAdder
+    val shuffle = new LongAdder; val peak = new AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          rows.add(m.outputMetrics.recordsWritten)
+          cpu.add(m.executorCpuTime)        // ns
+          run.add(m.executorRunTime)        // ms
+          read.add(m.inputMetrics.bytesRead)
+          written.add(m.outputMetrics.bytesWritten)
+          shuffle.add(m.shuffleWriteMetrics.bytesWritten)
+          peak.accumulateAndGet(m.peakExecutionMemory, math.max)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    try {
+      val out = action
+      // listener events are async; drain before reading
+      org.apache.spark.graftbus.drainListenerBus(spark.sparkContext)
+      val metrics = JobMetrics(
+        rowsOut = rows.sum(),
+        wallSeconds = (System.nanoTime() - t0) / 1e9,
+        executorCpuSeconds = cpu.sum() / 1e9,
+        executorRunSeconds = run.sum() / 1e3,
+        bytesRead = read.sum(),
+        bytesWritten = written.sum(),
+        shuffleBytes = shuffle.sum(),
+        peakMemory = peak.get())
+      (out, metrics)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}
