@@ -49,7 +49,7 @@ object SparkEntry {
     "q21_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
     "q22_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLshPairs(s, d)),
     "q23_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
-    "q24_embed_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingPairs(s, d)),
+    "q24_embed_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingPairsLsh(s, d)),
     // --- similarity search ---
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Similarity.annBrute(s, d)),
     "q31_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),

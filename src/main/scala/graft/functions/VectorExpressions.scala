@@ -94,14 +94,17 @@ object VectorExpressions {
   }
 
   /** Multi-table hyperplane-LSH code: bit p of the result is
-    * sign(v · plane_p), planes derived deterministically from a
-    * splitmix64 scramble of (plane, dim) — no RNG state, identical on
-    * every executor. One pass over the vector computes all planes
-    * (vs. numPlanes·dim `element_at` expression nodes).
+    * sign(v · plane_{p+planeOffset}), planes derived deterministically
+    * from a splitmix64 scramble of (plane, dim) — no RNG state,
+    * identical on every executor. One pass over the vector computes all
+    * planes (vs. numPlanes·dim `element_at` expression nodes).
     * Interpreted eval is fine here: it runs once per corpus row, not
-    * per candidate pair.
+    * per candidate pair. `planeOffset` selects a disjoint plane family,
+    * so a 128-plane code is two calls (offset 0 and 64) — a Long holds
+    * at most 64 sign bits.
     */
-  case class HyperplaneBucket(child: Expression, numPlanes: Int)
+  case class HyperplaneBucket(child: Expression, numPlanes: Int,
+      planeOffset: Int = 0)
       extends UnaryExpression with CodegenFallback {
 
     override def dataType: DataType = LongType
@@ -125,7 +128,7 @@ object VectorExpressions {
         val x = elementAt(child.dataType, arr, i)
         var p = 0
         while (p < numPlanes) {
-          sums(p) += x * HyperplaneBucket.component(p, i)
+          sums(p) += x * HyperplaneBucket.component(p + planeOffset, i)
           p += 1
         }
         i += 1
@@ -158,6 +161,6 @@ object VectorExpressions {
   def dot_product(a: Column, b: Column): Column =
     exprToColumn(DotProduct(columnToExpr(a), columnToExpr(b)))
 
-  def lsh_bucket(v: Column, numPlanes: Int): Column =
-    exprToColumn(HyperplaneBucket(columnToExpr(v), numPlanes))
+  def lsh_bucket(v: Column, numPlanes: Int, planeOffset: Int = 0): Column =
+    exprToColumn(HyperplaneBucket(columnToExpr(v), numPlanes, planeOffset))
 }

@@ -229,11 +229,12 @@ object Dedup {
 
   // -------- embedding near-dup --------
 
-  /** Embedding-cosine near-duplicates: pairs with cosine >= threshold.
-    * Exact all-pairs here (the oracle baseline); the LSH-bucketed
-    * scale path is Similarity.annLsh. Cosine is computed in double
-    * with a fixed left-to-right accumulation (higher-order
-    * `aggregate`), deterministic under any partitioning.
+  /** Embedding-cosine near-duplicates, exact all-pairs cartesian.
+    * TEST-ONLY ORACLE: O(n²) pairs — correct at fixture scale, a
+    * scale-killer at 10⁹ vectors. The production path is
+    * [[embeddingPairsLsh]]; DedupSpec asserts the two agree on planted
+    * near-dups. Cosine is computed in double with a fixed
+    * left-to-right accumulation, deterministic under any partitioning.
     */
   def embeddingPairs(
       spark: SparkSession, sfDir: String, threshold: Double = 0.95): DataFrame = {
@@ -243,6 +244,64 @@ object Dedup {
       .select(
         col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         graft.functions.Vectors.dot(col("a.u"), col("b.u")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** LSH table layout for corpus×corpus near-dup: 128 deterministic
+    * hyperplanes (two 64-bit sign codes, disjoint plane families via
+    * planeOffset) sliced into 16 tables of 8 bits. A pair is a
+    * candidate iff ALL 8 bits of at least one table agree.
+    *
+    * Recall math at the operator's contract point (cosine >= 0.95,
+    * angle <= 18.2°, per-plane agree prob 1 - θ/π ≈ 0.899):
+    * per-table match 0.899⁸ ≈ 0.43, miss-all-16 ≈ 0.57¹⁶ ≈ 1.2e-4;
+    * at cosine 0.99 the miss probability is ~7e-9. Precision is exact:
+    * every candidate is verified with the true DotProduct cosine.
+    */
+  val embedLshTables = 16
+  val embedLshBitsPerTable = 8
+  val embedLshPlanesPerCode = 64
+
+  /** Scale path for embedding near-dup: corpus×corpus multi-table
+    * hyperplane LSH. Candidate generation is an equi-join on
+    * (table, 8-bit chunk) — O(n) bucket rows, quadratic only within a
+    * bucket (expected n/256 per table; AQE skew-join splits hot
+    * buckets) — then candidates are verified with the exact cosine.
+    * The corpus shuffles its (vec_id, table, chunk) triples — 16 small
+    * rows per vector, never the vector itself; vectors are joined back
+    * only for the (few) verified candidate ids.
+    */
+  def embeddingPairsLsh(
+      spark: SparkSession, sfDir: String, threshold: Double = 0.95): DataFrame = {
+    import graft.functions.VectorExpressions.lsh_bucket
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), graft.functions.Vectors.l2normalize(col("embedding")).as("u"))
+    val coded = e.select(
+      col("vec_id"),
+      lsh_bucket(col("u"), embedLshPlanesPerCode, 0).as("c0"),
+      lsh_bucket(col("u"), embedLshPlanesPerCode, embedLshPlanesPerCode).as("c1"))
+    val tablesPerCode = embedLshPlanesPerCode / embedLshBitsPerTable
+    val chunks = coded.select(
+      col("vec_id"),
+      explode(array((0 until embedLshTables).map { t =>
+        val src = if (t < tablesPerCode) col("c0") else col("c1")
+        val off = (t % tablesPerCode) * embedLshBitsPerTable
+        struct(lit(t).as("tbl"),
+          shiftright(src, off)
+            .bitwiseAND((1L << embedLshBitsPerTable) - 1).as("ck"))
+      }: _*)).as("blk"))
+      .select(col("vec_id"), col("blk.tbl").as("tbl"), col("blk.ck").as("ck"))
+    val cand = chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.ck") === col("b.ck") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("u").as("ua")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("u").as("ub")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.Vectors.dot(col("ua"), col("ub")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -63,7 +63,7 @@ object Similarity {
     * HyperplaneBucket — one pass over the vector; the expression-tree
     * formulation was numPlanes x dim element_at nodes).
     */
-  def lshBucket(dim: Int)(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  def lshBucket(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.VectorExpressions.lsh_bucket(v, lshBits)
 
   /** ANN via multi-table LSH: score only corpus vectors sharing at
@@ -75,9 +75,9 @@ object Similarity {
     */
   def annLsh(
       spark: SparkSession, sfDir: String,
-      numQueries: Int = 5, k: Int = 10, dim: Int = 64): DataFrame = {
+      numQueries: Int = 5, k: Int = 10): DataFrame = {
     def chunked(df: DataFrame, vcol: String, idCols: Seq[String]): DataFrame =
-      df.withColumn("bucket", lshBucket(dim)(col(vcol)))
+      df.withColumn("bucket", lshBucket(col(vcol)))
         .select(idCols.map(col) ++ Seq(col(vcol)) :+
           explode(array((0 until lshTables).map { c =>
             struct(lit(c).as("chunk"),

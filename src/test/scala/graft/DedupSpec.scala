@@ -114,4 +114,38 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.head._1 == 0 && pairs.head._2 == 1)
     assert(math.abs(pairs.head._3 - 1.0) < 1e-12)
   }
+
+  test("LSH embedding near-dup agrees with the exact cartesian oracle on planted dups") {
+    // 300 random 32-dim vectors (pairwise cosine far below threshold)
+    // plus 8 planted near-dups at cosine ~0.999. The LSH path must
+    // return exactly the oracle's pairs — same ids, same cosines
+    // (verification uses the identical DotProduct, so scores are
+    // bit-equal, not approximate).
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val base = (0 until 300).map(i => (i.toLong, vec(), 0))
+    val planted = (0 until 8).map { i =>
+      val v = base(i)._2.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      (2000L + i, v, 1)
+    }
+    (base ++ planted).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet("/tmp/graft-embed-lsh-test/embeddings.parquet")
+    val oracle = Dedup.embeddingPairs(spark, "/tmp/graft-embed-lsh-test", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.embeddingPairsLsh(spark, "/tmp/graft-embed-lsh-test", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(oracle.size >= 8, s"fixture must plant dups, got ${oracle.size}")
+    assert(lsh == oracle)
+  }
+
+  test("hyperplane plane families are disjoint across offsets") {
+    import graft.functions.VectorExpressions.lsh_bucket
+    val df = Seq((1L, Array.fill(16)(0.5f))).toDF("vec_id", "embedding")
+      .select(
+        lsh_bucket(col("embedding"), 64, 0).as("c0"),
+        lsh_bucket(col("embedding"), 64, 64).as("c1"))
+    val r = df.head()
+    // different plane families give different sign codes
+    assert(r.getLong(0) != r.getLong(1))
+  }
 }

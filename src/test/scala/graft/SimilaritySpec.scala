@@ -59,7 +59,7 @@ class SimilaritySpec extends AnyFunSuite {
     (base ++ planted).toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet("/tmp/graft-ann-test/embeddings.parquet")
     val lsh = Similarity.annLsh(spark, "/tmp/graft-ann-test",
-        numQueries = 5, k = 10, dim = 16)
+        numQueries = 5, k = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     (0 until 5).foreach { i =>
       assert(lsh.contains((i.toLong, 1000L + i)),
@@ -81,7 +81,7 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("LSH bucket is deterministic across evaluations") {
     val e = graft.sources.Tables.load(spark, sf, "embeddings").limit(50)
-      .select(col("vec_id"), Similarity.lshBucket(64)(col("embedding")).as("b"))
+      .select(col("vec_id"), Similarity.lshBucket(col("embedding")).as("b"))
     val a = e.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val b = e.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
