@@ -34,6 +34,7 @@ object SparkEntry {
     "q07_distinct" -> (ReferenceQueries.distinctKeys _),
     "q08_topk" -> (ReferenceQueries.topK _),
     "q18_mapreduce_typed" -> (MapReduceSurface.agg2aTyped _),
+    "q19_csv_lifecycle" -> (ReferenceQueries.csvLifecycle _),
     // --- relational completeness (ABSENT in reference) ---
     "q09_join_broadcast" -> (Relational.joinBroadcast _),
     "q10_join_large" -> (Relational.joinLarge _),
@@ -105,6 +106,13 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
     "q18_mapreduce_typed" ->
+      """SELECT substr(event_type, 1, 4) AS etype_prefix,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1""",
+    // q19 reads the CSV/CSV.gz render of `events` (with injected bad
+    // lines dropped); lossless round-trip makes the parquet-side
+    // aggregate the exact oracle for the whole CSV source lifecycle.
+    "q19_csv_lifecycle" ->
       """SELECT substr(event_type, 1, 4) AS etype_prefix,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1""",

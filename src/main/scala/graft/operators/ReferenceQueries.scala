@@ -108,4 +108,59 @@ object ReferenceQueries {
       .select(col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(10)
+
+  /** CSV line schema for the rendered `events` table ([[csvLifecycle]]):
+    * `ts` travels as epoch micros (long) — CSV has no timestamp type,
+    * and integer micros round-trip exactly.
+    */
+  val eventsCsvSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_us", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+
+  /** The reference's FULL source lifecycle under the hard oracle:
+    * O1 (prefix enumeration: two directories of part files) → O2 (CSV
+    * line records) → O3 (gzip decompression: the odd half is written
+    * `.csv.gz`) → bad-record drop (injected malformed lines, the
+    * mapper's try/except at `src/python/mapper.py:49-57`) → O4–O7 (the
+    * 2a substring group-sum). The CSV render is lossless (doubles use
+    * shortest-round-trip text; quotes self-consistently escaped), so
+    * the DuckDB oracle is the same aggregate over the parquet `events`
+    * table — any CSV-path infidelity breaks the hash match.
+    */
+  def csvLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = s"/tmp/graft_q19_csv/${new java.io.File(sfDir).getName}"
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    ev.filter(col("event_id") % 2 === 0)
+      .write.mode("overwrite").csv(s"$dir/plain")
+    ev.filter(col("event_id") % 2 === 1)
+      .write.mode("overwrite").option("compression", "gzip").csv(s"$dir/gz")
+    // injected malformed lines: wrong arity, bad casts, raw garbage —
+    // all must be swallowed by DROPMALFORMED like the reference
+    // swallows bad splits
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/plain/zz_badlines.csv"),
+      ("garbage line with no commas\n" +
+        "1,2\n" +
+        "9,9,9,click,NOT_A_DOUBLE,p\n" +
+        "NOT_A_LONG,0,0,view,1.0,p\n").getBytes("UTF-8"))
+    Tables.csv(spark, Seq(s"$dir/plain", s"$dir/gz"), eventsCsvSchema)
+      // DROPMALFORMED corner: under CSV column pruning a short row
+      // (fewer tokens than the schema) is padded with nulls, not
+      // dropped. The reference's positional access (`data[3]`) raises
+      // on such lines and drops them — mirror that by requiring every
+      // consumed field non-null.
+      .filter(col("event_id").isNotNull &&
+        col("event_type").isNotNull && col("value").isNotNull)
+      .select(substring(col("event_type"), 1, 4).as("etype_prefix"), col("value"))
+      .groupBy(col("etype_prefix"))
+      .agg(moneySum(col("value")).as("sum_value"))
+  }
 }

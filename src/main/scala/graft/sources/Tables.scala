@@ -76,14 +76,28 @@ object Tables {
     * needs the reference's `line_count` metric.
     */
   def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    csv(spark, Seq(path), schema)
+
+  /** Multi-path variant: one logical table spread over several
+    * directories (e.g. a plain-CSV prefix and a gzip prefix), exactly
+    * the reference's many-objects-one-table model.
+    */
+  def csv(spark: SparkSession, paths: Seq[String], schema: StructType): DataFrame =
     spark.read
       .schema(schema)
       .option("mode", "DROPMALFORMED")
-      .csv(path)
+      .csv(paths: _*)
 
   /** Same, but also count raw input lines into `linesIn` the way every
     * reference task counts lines (`src/python/mapper.py:37,48`). The
     * accumulator is populated lazily when the returned frame executes.
+    *
+    * AT-LEAST-ONCE caveat: the count is incremented inside a
+    * transformation, so task retries / speculative execution /
+    * stage recomputation can overcount — unlike the reference's
+    * exactly-once per-object `line_count`. When the exact metric
+    * matters, use [[droppedLineCount]], which derives both counts
+    * from actions.
     */
   def countingCsv(
       spark: SparkSession,
@@ -102,5 +116,26 @@ object Tables {
       // count mismatches in some corner cases; enforce non-null on the
       // first column like the reference's split-index access would.
       .filter(col(schema.fields.head.name).isNotNull)
+  }
+
+  /** Exactly-once line accounting for a CSV read: (raw lines,
+    * surviving rows, dropped). Each count comes from its own ACTION —
+    * immune to the at-least-once accumulator hazard — which is the
+    * faithful twin of the reference driver's dropped-record rollup
+    * (`src/python/driver.py:223-228`: Σ task line_counts vs output
+    * rows). Two passes over the source; use when the metric must be
+    * exact, not on the hot path.
+    */
+  def droppedLineCount(
+      spark: SparkSession, path: String, schema: StructType): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val raw = spark.read.textFile(path).count()
+    // .rdd.count() materializes FULL rows: a bare DataFrame count()
+    // would let CSV column pruning skip parsing entirely and malformed
+    // lines would never be detected (see SourcesSpec).
+    val surviving = csv(spark, path, schema)
+      .filter(col(schema.fields.head.name).isNotNull)
+      .rdd.count()
+    (raw, surviving, raw - surviving)
   }
 }

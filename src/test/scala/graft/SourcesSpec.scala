@@ -60,6 +60,15 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("CSV lifecycle (q19) equals the parquet-side 2a aggregate exactly") {
+    import graft.operators.ReferenceQueries
+    val viaCsv = ReferenceQueries.csvLifecycle(spark, SparkTestSession.sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaParquet = ReferenceQueries.agg2a(spark, SparkTestSession.sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaCsv == viaParquet) // bit-exact: lossless render + decimal sums
+  }
+
   test("events.ts converts to a real timestamp (nanos parquet)") {
     val df = Tables.load(spark, SparkTestSession.sf, "events")
     assert(df.schema("ts").dataType ==
