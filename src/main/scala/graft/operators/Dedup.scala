@@ -70,45 +70,66 @@ object Dedup {
       explode(graft.functions.TextExpressions.shingle_hashes(
         normalizedText(col("text")), n)).as("sh"))
 
+  /** Stop-shingle cutoff: posting lists longer than this are dropped
+    * from the index BEFORE sizes and pairs are computed, so the
+    * semantics are "Jaccard over non-stop shingles". Without a cap,
+    * one boilerplate shingle shared by 10⁶ docs yields 10¹² in-list
+    * pairs — the classic inverted-index explosion. 1000 keeps every
+    * fixture list (max ~dozens) and bounds any list's pair fan-out to
+    * ~5·10⁵ at scale.
+    */
+  val defaultMaxPostingLen = 1000
+
   /** Exact n-gram Jaccard near-dup pairs (jaccard >= threshold,
     * a < b) via an inverted index: ONE shuffle builds posting lists
     * keyed by 64-bit shingle hash (distinct-per-doc folds into
     * collect_set — no separate distinct shuffle, no self-join
     * recompute of the shingle scan), then pairs are generated inside
     * each posting list and counted. Quadratic only within
-    * identical-shingle postings; at 100 TB hot shingles are exactly
-    * the skew AQE splits, and the sketch path (minhashLshPairs) is
-    * the intended scale method — this operator is the exact oracle.
+    * identical-shingle postings, and those are capped at
+    * `maxPostingLen` (stop-shingle cutoff); the sketch path
+    * (minhashLshPairs) remains the intended 100 TB method — this
+    * operator is the exact oracle.
+    *
+    * The posting index is persisted for its two consumers (sizes +
+    * pair generation), the small pair result is materialized eagerly
+    * (localCheckpoint), and the cache is released before returning —
+    * no block-manager residue in long-lived sessions.
     */
   def ngramJaccardPairs(
       spark: SparkSession, sfDir: String,
-      n: Int = 5, threshold: Double = 0.5): DataFrame = {
+      n: Int = 5, threshold: Double = 0.5,
+      maxPostingLen: Int = defaultMaxPostingLen): DataFrame = {
     val raw = shingleHashes(Tables.load(spark, sfDir, "documents"), n)
     val index = raw
       .groupBy(col("sh"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= maxPostingLen)
       .persist()
-    val sizes = index
-      .select(explode(col("ids")).as("doc_id"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    // all ordered pairs within each posting list
-    val common = index
-      .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
-          struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("n_sh", "n_b"), "id_b")
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
+    try {
+      val sizes = index
+        .select(explode(col("ids")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      // all ordered pairs within each posting list
+      val common = index
+        .filter(size(col("ids")) > 1)
+        .select(explode(flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+            struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+        .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        .agg(count(lit(1)).as("n_common"))
+      common
+        .join(sizes.withColumnRenamed("doc_id", "id_a")
+          .withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b")
+          .withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("jaccard",
+          col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
+        .localCheckpoint(true)
+    } finally index.unpersist()
   }
 
   // -------- MinHash + LSH --------
@@ -141,39 +162,42 @@ object Dedup {
       n: Int = 5, threshold: Double = 0.5): DataFrame = {
     // sig feeds banding once and verification twice: cache it (tiny —
     // 64 longs per doc; at 1B docs this is the standard cluster-wide
-    // persist for LSH verification).
+    // persist for LSH verification). Released before returning: the
+    // small pair result is materialized eagerly (localCheckpoint).
     val sig = minhashSignatures(Tables.load(spark, sfDir, "documents"), n)
       .persist()
+    try {
+      val bandCols = (0 until numBands).map { b =>
+        val slots = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+        struct(lit(b).as("band"), xxhash64(slots: _*).as("bh")).as(s"band_$b")
+      }
+      val banded = sig
+        .select(col("doc_id") +: bandCols: _*)
+        .select(col("doc_id"),
+          explode(array((0 until numBands).map(b => col(s"band_$b")): _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
 
-    val bandCols = (0 until numBands).map { b =>
-      val slots = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(slots: _*).as("bh")).as(s"band_$b")
-    }
-    val banded = sig
-      .select(col("doc_id") +: bandCols: _*)
-      .select(col("doc_id"),
-        explode(array((0 until numBands).map(b => col(s"band_$b")): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
 
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-
-    // verify candidates against full signatures (cheap: pairs are few)
-    val sigA = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
-    val sigB = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
-    val matches = (0 until numHashes)
-      .map(i => when(col(s"a_mh_$i") === col(s"b_mh_$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand
-      .join(sigA, col("id_a") === col("a_doc_id"))
-      .join(sigB, col("id_b") === col("b_doc_id"))
-      .withColumn("est_jaccard", matches.cast("double") / lit(numHashes.toDouble))
-      .filter(col("est_jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      // verify candidates against full signatures (cheap: pairs are few)
+      val sigA = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
+      val sigB = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
+      val matches = (0 until numHashes)
+        .map(i => when(col(s"a_mh_$i") === col(s"b_mh_$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      cand
+        .join(sigA, col("id_a") === col("a_doc_id"))
+        .join(sigB, col("id_b") === col("b_doc_id"))
+        .withColumn("est_jaccard", matches.cast("double") / lit(numHashes.toDouble))
+        .filter(col("est_jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("est_jaccard"))
+        .localCheckpoint(true)
+    } finally sig.unpersist()
   }
 
   // -------- SimHash --------

@@ -80,6 +80,30 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b, _) => a == 3 || b == 3 })
   }
 
+  test("posting-list cap kills the hot-shingle pair explosion, keeps true near-dups") {
+    // 30 docs sharing ONE boilerplate shingle (plus unique tails) and
+    // an identical pair (100, 101) that also carries the boilerplate.
+    val hot = "c1 c2 c3 c4 c5"
+    val same = s"$hot s1 s2 s3 s4 s5 s6"
+    val docs = (0 until 30).map(i =>
+      (i.toLong, s"$hot u${i}a u${i}b u${i}c u${i}d u${i}e")) ++
+      Seq((100L, same), (101L, same))
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft-dedup-cap/documents.parquet")
+    // uncapped at threshold 0: every one of the 32 docs pairs with
+    // every other through the single hot shingle — C(32,2) = 496
+    val uncapped = Dedup.ngramJaccardPairs(spark, "/tmp/graft-dedup-cap",
+      n = 5, threshold = 0.0, maxPostingLen = Int.MaxValue).count()
+    assert(uncapped == 496L)
+    // capped (stop-shingle dropped): only genuinely similar docs pair
+    val capped = Dedup.ngramJaccardPairs(spark, "/tmp/graft-dedup-cap",
+      n = 5, threshold = 0.0, maxPostingLen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(capped.keySet == Set((100L, 101L)))
+    // identical docs: all surviving (non-stop) shingles shared → 1.0
+    assert(capped((100L, 101L)) == 1.0)
+  }
+
   test("minhash LSH finds the same dup pairs as exact jaccard at high threshold") {
     val pairs = Dedup.minhashLshPairs(spark, "/tmp/graft-dedup-test", n = 5, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
