@@ -20,11 +20,11 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
-  test("stateful user sessions match batch per-user aggregates") {
-    val sessions = EventStream.userSessionsBatch(spark, sf)
-      .groupBy("user_id")
-      .agg(max("n_events").as("n_events"), max("n_purchases").as("n_purchases"))
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+  test("stateful user sessions match batch per-user aggregates (one row per user)") {
+    val rows = EventStream.userSessionsBatch(spark, sf).collect()
+    // userSessionsBatch dedupes to the final state: exactly one row/user
+    val sessions = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(sessions.size == rows.length, "duplicate users in batch view")
     val batch = graft.sources.Tables.load(spark, sf, "events")
       .groupBy("user_id")
       .agg(count(lit(1)).as("n"),
