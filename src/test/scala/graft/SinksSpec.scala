@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sinks.Sinks
+import graft.sources.Tables
+
+/** O9 — sink + per-task metrics/cost (reference twin:
+  * `src/python/mapper.py:64-72` metadata PUTs and the driver cost
+  * rollup `src/python/driver.py:216-279`).
+  */
+class SinksSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  def sf: String = SparkTestSession.sf
+
+  test("writeParquet round-trips rows and schema exactly") {
+    val src = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Sinks.writeParquet(src, "/tmp/graft-sink-test/orders_pq")
+    val back = spark.read.parquet("/tmp/graft-sink-test/orders_pq")
+    assert(back.schema == src.schema)
+    val a = src.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = back.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b)
+  }
+
+  test("writeParquet with partitionBy lays out one directory per key") {
+    val src = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"))
+    Sinks.writeParquet(src, "/tmp/graft-sink-test/li_part", Seq("l_returnflag"))
+    val dirs = new java.io.File("/tmp/graft-sink-test/li_part")
+      .listFiles().filter(_.isDirectory).map(_.getName).toSet
+    val flags = src.select("l_returnflag").distinct()
+      .collect().map(r => s"l_returnflag=${r.getString(0)}").toSet
+    assert(dirs == flags)
+    // partition pruning: reading one key touches only its directory
+    val one = spark.read.parquet("/tmp/graft-sink-test/li_part")
+      .filter(col("l_returnflag") === "R")
+    val expected = src.filter(col("l_returnflag") === "R").count()
+    assert(one.count() == expected)
+  }
+
+  test("writeCsv emits the reference's key,value line format and round-trips") {
+    val agg = operators.ReferenceQueries.agg2a(spark, sf)
+    Sinks.writeCsv(agg, "/tmp/graft-sink-test/agg_csv")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("etype_prefix",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("sum_value",
+        org.apache.spark.sql.types.DoubleType)))
+    val back = Tables.csv(spark, "/tmp/graft-sink-test/agg_csv", schema)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val orig = agg.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(back == orig) // doubles survive text round-trip bit-exactly
+  }
+
+  test("withMetrics captures rows/bytes for a known write") {
+    val n = 1000L
+    val (_, m) = Sinks.withMetrics(spark) {
+      spark.range(n).toDF("id")
+        .write.mode("overwrite").parquet("/tmp/graft-sink-test/metrics_pq")
+    }
+    assert(m.rowsOut == n, s"rowsOut ${m.rowsOut}")
+    assert(m.bytesWritten > 0)
+    assert(m.executorRunSeconds > 0)
+    assert(m.wallSeconds > 0)
+  }
+
+  test("withMetrics captures bytesRead for a scan") {
+    val (cnt, m) = Sinks.withMetrics(spark) {
+      Tables.load(spark, sf, "lineitem").count()
+    }
+    assert(cnt.asInstanceOf[Long] > 0)
+    assert(m.bytesRead > 0)
+  }
+
+  test("estimatedCostUsd reproduces the reference formula on hand-computed inputs") {
+    // driver.py:259-269: lambdaCost = totalLambdaSecs * memory/1024 *
+    // 0.00001667; s3 = GETs * 0.004/10000 + PUTs * 0.005/1000.
+    // Mapped: 120 run-seconds at 1.5 GB, 256 MiB read (= 2 GET-shaped
+    // requests at 128 MiB granularity), 128 MiB written (= 1 PUT).
+    val m = Sinks.JobMetrics(
+      rowsOut = 0, wallSeconds = 0, executorCpuSeconds = 0,
+      executorRunSeconds = 120.0,
+      bytesRead = 256L << 20, bytesWritten = 128L << 20,
+      shuffleBytes = 0, peakMemory = 0)
+    val expected = 120.0 * 1.5 * 0.00001667 +
+      2 * (0.004 / 10000) + 1 * (0.005 / 1000)
+    assert(math.abs(m.estimatedCostUsd(1.5) - expected) < 1e-12)
+    // zero work costs zero
+    val z = Sinks.JobMetrics(0, 0, 0, 0, 0, 0, 0, 0)
+    assert(z.estimatedCostUsd() == 0.0)
+  }
+
+  test("droppedLineCount is exact: raw lines, survivors, dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dropped").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/mix.csv"),
+      ("1.2.3.4,http://a,2011-01-01,0.5,ua,US,en,w,3\n" +
+        "5.6.7.8,http://b,2011-01-02,1.5,ua,US,en,w,4\n" +
+        "garbage\n" +
+        "9.9.9.9,http://c,2011-01-03,NOT_A_NUMBER,ua,US,en,w,5\n").getBytes("UTF-8"))
+    val (raw, surviving, dropped) =
+      Tables.droppedLineCount(spark, s"$dir/mix.csv", Tables.uservisitsSchema)
+    assert(raw == 4)
+    assert(surviving == 2)
+    assert(dropped == 2)
+  }
+}
