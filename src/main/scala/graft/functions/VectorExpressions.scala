@@ -38,12 +38,28 @@ object VectorExpressions {
         s"dot product needs array<float|double>, got $other")
     }
 
-  /** Σ a_i·b_i in double, left-to-right. Codegen'd primitive loop. */
+  /** Σ a_i·b_i in double, left-to-right. Codegen'd primitive loop.
+    *
+    * Edge semantics match the HOF twin `aggregate(zip_with(a, b,
+    * (x,y) -> x*y), 0D, (acc,v) -> acc+v)` EXACTLY: mismatched array
+    * lengths → NULL (zip_with null-pads, null poisons the sum), any
+    * null element → NULL. The per-element null check is emitted only
+    * when the child types admit nulls (VectorExpressionsSpec pins all
+    * three cases against the twin).
+    */
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
 
     override def dataType: DataType = DoubleType
-    override def nullable: Boolean = left.nullable || right.nullable
+    // result can be null even for non-null inputs (length mismatch)
+    override def nullable: Boolean = true
+
+    private def containsNull(dt: DataType): Boolean = dt match {
+      case ArrayType(_, n) => n
+      case _ => true
+    }
+    private def needElementNullCheck: Boolean =
+      containsNull(left.dataType) || containsNull(right.dataType)
 
     override def checkInputDataTypes()
         : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -62,10 +78,12 @@ object VectorExpressions {
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (n != y.numElements()) return null
       var acc = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         acc += elementAt(left.dataType, x, i) * elementAt(right.dataType, y, i)
         i += 1
       }
@@ -77,14 +95,23 @@ object VectorExpressions {
         val i = ctx.freshName("i")
         val n = ctx.freshName("n")
         val acc = ctx.freshName("acc")
+        val elemNullCheck =
+          if (needElementNullCheck)
+            s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+          else ""
         s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $acc += (double)${elementGetter(left.dataType, a, i)} *
-                  (double)${elementGetter(right.dataType, b, i)};
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $elemNullCheck
+            $acc += (double)${elementGetter(left.dataType, a, i)} *
+                    (double)${elementGetter(right.dataType, b, i)};
+          }
+          ${ev.value} = $acc;
         }
-        ${ev.value} = $acc;
         """
       })
 
@@ -119,12 +146,16 @@ object VectorExpressions {
             s"lsh_bucket needs array<float|double>, got $other")
       }
 
+    // null element → null code (not raw slot bytes)
+    override def nullable: Boolean = true
+
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
       val dim = arr.numElements()
       val sums = new Array[Double](numPlanes)
       var i = 0
       while (i < dim) {
+        if (arr.isNullAt(i)) return null
         val x = elementAt(child.dataType, arr, i)
         var p = 0
         while (p < numPlanes) {

@@ -45,6 +45,31 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("DotProduct edge semantics equal the HOF twin: length mismatch and null elements") {
+    // mismatched lengths: zip_with null-pads → sum is NULL; DotProduct
+    // must agree (not silently sum over min(n))
+    val mism = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)))
+      .toDF("a", "b")
+      .select(Vectors.dot(col("a"), col("b")).as("fast"),
+        Vectors.dotHof(col("a"), col("b")).as("ref"))
+      .head()
+    assert(mism.isNullAt(0) && mism.isNullAt(1))
+    // a null element poisons the sum in both formulations
+    val withNull = Seq((Seq(Some(1.0f), None, Some(3.0f)), Seq(Some(1.0f), Some(2.0f), Some(3.0f))))
+      .toDF("a", "b")
+      .select(Vectors.dot(col("a"), col("b")).as("fast"),
+        Vectors.dotHof(col("a"), col("b")).as("ref"))
+      .head()
+    assert(withNull.isNullAt(0) && withNull.isNullAt(1))
+    // interpreted path agrees too
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val e = VectorExpressions.DotProduct(
+      Literal.create(Array(1.0f, 2.0f, 3.0f), ArrayType(FloatType)),
+      Literal.create(Array(1.0f, 2.0f), ArrayType(FloatType)))
+    assert(e.eval(null) == null)
+  }
+
   test("HyperplaneBucket is stable and spreads vectors across codes") {
     val e = graft.sources.Tables.load(spark, SparkTestSession.sf, "embeddings")
     val buckets = e.select(

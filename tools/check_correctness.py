@@ -23,9 +23,13 @@ def canon(rows, cols):
     out = []
     for r in rows:
         out.append(tuple(r[i] for i in order))
-    return sorted(cols), sorted(out, key=lambda t: tuple(
-        (x is None, str(type(x)), x if not isinstance(x, float) or not math.isnan(x) else 'nan')
-        for x in t))
+    # fully type-homogeneous sort key: NaN floats map to (is_nan=True,
+    # 0.0) so a float column mixing NaN and numbers never compares
+    # float-to-str (which would raise and crash the whole gate)
+    def key(x):
+        nan = isinstance(x, float) and math.isnan(x)
+        return (x is None, str(type(x)), nan, 0.0 if nan else x)
+    return sorted(cols), sorted(out, key=lambda t: tuple(key(x) for x in t))
 
 def close(a, b):
     if isinstance(a, float) and isinstance(b, float):
