@@ -7,11 +7,12 @@ import graft.operators._
   *
   * Every entry in [[queries]] is an operator from SURVEY.md §2 (the
   * reference's surface) or a training-data-pipeline extension
-  * (dedup / similarity / multimodal / text analysis). Entries with an
-  * exact ANSI-SQL twin appear in [[oracleSql]] for the DuckDB
-  * differential check; sketch-based ops (MinHash/SimHash/LSH-ANN) are
-  * not SQL-expressible and are property-tested in ScalaTest instead
-  * (SURVEY.md §7.4).
+  * (dedup / similarity / multimodal / text analysis). EVERY entry has
+  * an exact DuckDB oracle in [[oracleSql]] — including the sketch ops:
+  * q22 verifies LSH candidates with exact Jaccard (oracle = the
+  * exhaustive truth), and q23/q31 use md5-derived hashes/planes chosen
+  * specifically so DuckDB recomputes the identical sketch (integer
+  * votes; IEEE-double plane math proven bit-portable by q24/q30).
   */
 object SparkEntry {
 
@@ -48,7 +49,7 @@ object SparkEntry {
     // --- dedup suite ---
     "q20_dedup_exact" -> (Dedup.exact _),
     "q21_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
-    "q22_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLshPairs(s, d)),
+    "q22_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLshPairsVerified(s, d)),
     "q23_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q24_embed_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingPairsLsh(s, d)),
     // --- similarity search ---
@@ -188,6 +189,59 @@ object SparkEntry {
          JOIN sizes sb ON sb.doc_id = id_b
          WHERE CAST(n_common AS DOUBLE) /
              CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5""",
+    // q22 runs the production pipeline (LSH candidates + EXACT Jaccard
+    // verification), so its oracle is the exhaustive-truth SQL: equal
+    // whenever banded recall at the threshold is complete on the
+    // fixture (16 bands x 4 rows; verified at sf0.01).
+    "q22_minhash_lsh" ->
+      s"""WITH words AS (
+           SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t
+           WHERE len(w) >= 5),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, n_common,
+           CAST(n_common AS DOUBLE) /
+             CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+         FROM common
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(n_common AS DOUBLE) /
+             CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5""",
+    // q23's 60-bit SimHash uses md5-prefix token hashes precisely so
+    // DuckDB can recompute the identical fingerprints: all-integer
+    // votes/sign/OR, then the same 15-bit pigeonhole blocking.
+    "q23_simhash" ->
+      s"""WITH toks AS (
+           SELECT doc_id, UNNEST(string_split($normText, ' ')) AS tok
+           FROM documents),
+         th AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+           FROM toks),
+         bits AS (
+           SELECT doc_id, b,
+             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM th, LATERAL (SELECT UNNEST(range(60)) AS b) t
+           GROUP BY 1, 2),
+         fp AS (
+           SELECT doc_id,
+             SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+           FROM bits GROUP BY 1),
+         chunks AS (
+           SELECT doc_id, simhash, c,
+             (simhash >> (c * 15)) & 32767 AS ck
+           FROM fp, LATERAL (SELECT UNNEST(range(4)) AS c) t)
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         FROM chunks a
+         JOIN chunks b ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
     // exact float-math oracles: Spark's DotProduct accumulates double
     // left-to-right, bit-identical to DuckDB list_sum/list_transform
     // (validated pairwise over the fixture — tools/CosineProbe).
@@ -209,6 +263,43 @@ object SparkEntry {
            SELECT q_id, vec_id, cosine,
              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rk
            FROM s)
+         WHERE rk <= 10""",
+    // q31's hyperplane components are md5-derived doubles (see
+    // VectorExpressions.HyperplaneBucket.component), so the full LSH —
+    // 32 sign bits, 8 tables x 4 bits, candidate join, exact cosine,
+    // top-k — replays in SQL with bit-identical floats.
+    "q31_ann_lsh" ->
+      s"""WITH u AS ($normalizedVectors),
+         codes AS (
+           SELECT vec_id,
+             SUM(CASE WHEN s >= 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+           FROM (
+             SELECT vec_id, p,
+               list_sum(list_transform(range(1, len(v) + 1), i ->
+                 v[i] * (('0x' || substr(md5(p::VARCHAR || '_' || (i - 1)::VARCHAR), 1, 15))::BIGINT
+                   / 1152921504606846976.0 - 0.5))) AS s
+             FROM u, (SELECT UNNEST(range(32)) AS p) planes)
+           GROUP BY 1),
+         chunks AS (
+           SELECT vec_id, c, (bucket >> (c * 4)) & 15 AS ck
+           FROM codes, (SELECT UNNEST(range(8)) AS c) t),
+         qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5),
+         cand AS (
+           SELECT DISTINCT q.vec_id AS q_id, c.vec_id
+           FROM chunks c
+           JOIN chunks q ON c.c = q.c AND c.ck = q.ck
+           WHERE q.vec_id IN (SELECT vec_id FROM qids)
+             AND c.vec_id != q.vec_id),
+         scored AS (
+           SELECT cand.q_id, cand.vec_id,
+             list_sum(list_transform(list_zip(uq.v, uc.v), p -> p[1] * p[2])) AS cosine
+           FROM cand
+           JOIN u uq ON uq.vec_id = cand.q_id
+           JOIN u uc ON uc.vec_id = cand.vec_id)
+         SELECT q_id, vec_id, cosine, CAST(rk AS INTEGER) AS rk FROM (
+           SELECT q_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rk
+           FROM scored)
          WHERE rk <= 10""",
     "q40_lang_id" -> langIdOracle,
     "q41_quality" ->

@@ -149,9 +149,34 @@ object VectorExpressions {
     // null element → null code (not raw slot bytes)
     override def nullable: Boolean = true
 
+    // plane matrix for the observed dim, filled once per (task, dim):
+    // md5 per (plane, i) is far too slow inside the row loop
+    @transient private lazy val planeCache =
+      new java.util.concurrent.atomic.AtomicReference[(Int, Array[Double])]()
+
+    private def planes(dim: Int): Array[Double] = {
+      val cur = planeCache.get()
+      if (cur != null && cur._1 == dim) cur._2
+      else {
+        val arr = new Array[Double](numPlanes * dim)
+        var p = 0
+        while (p < numPlanes) {
+          var i = 0
+          while (i < dim) {
+            arr(p * dim + i) = HyperplaneBucket.component(p + planeOffset, i)
+            i += 1
+          }
+          p += 1
+        }
+        planeCache.set((dim, arr))
+        arr
+      }
+    }
+
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
       val dim = arr.numElements()
+      val pl = planes(dim)
       val sums = new Array[Double](numPlanes)
       var i = 0
       while (i < dim) {
@@ -159,7 +184,7 @@ object VectorExpressions {
         val x = elementAt(child.dataType, arr, i)
         var p = 0
         while (p < numPlanes) {
-          sums(p) += x * HyperplaneBucket.component(p + planeOffset, i)
+          sums(p) += x * pl(p * dim + i)
           p += 1
         }
         i += 1
@@ -178,14 +203,21 @@ object VectorExpressions {
   }
 
   object HyperplaneBucket {
-    /** Deterministic pseudo-random plane component in [-0.5, 0.5). */
+    /** Deterministic pseudo-random plane component in [-0.5, 0.5):
+      * the first 15 hex chars of md5("p_i") as a 60-bit integer,
+      * scaled by 2^-60. Chosen to be ORACLE-PORTABLE: DuckDB computes
+      * the bit-identical value as
+      * `('0x'||substr(md5(p||'_'||i),1,15))::BIGINT / 2^60 - 0.5`,
+      * so LSH bucketing (and thus q31) is reproducible in SQL and runs
+      * under the hard hash-compare. Both sides divide and subtract in
+      * IEEE double → identical planes everywhere.
+      */
     def component(p: Int, i: Int): Double = {
-      var z = p.toLong * 0x9E3779B97F4A7C15L +
-        i.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z = z ^ (z >>> 31)
-      (z.toDouble / Long.MaxValue.toDouble) / 2.0
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${p}_${i}".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val v = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      v.toDouble / 1152921504606846976.0 - 0.5 // 2^60
     }
   }
 

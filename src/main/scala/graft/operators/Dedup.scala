@@ -157,6 +157,27 @@ object Dedup {
     * est_jaccard) where est = fraction of matching signature slots —
     * the unbiased MinHash estimator of Jaccard.
     */
+  /** LSH candidate pairs from a signature frame: band, bucket-join,
+    * distinct. O(n) bucket rows; quadratic only within a band bucket.
+    */
+  private def minhashCandidates(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until numBands).map { b =>
+      val slots = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(slots: _*).as("bh")).as(s"band_$b")
+    }
+    val banded = sig
+      .select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"),
+        explode(array((0 until numBands).map(b => col(s"band_$b")): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
   def minhashLshPairs(
       spark: SparkSession, sfDir: String,
       n: Int = 5, threshold: Double = 0.5): DataFrame = {
@@ -167,24 +188,8 @@ object Dedup {
     val sig = minhashSignatures(Tables.load(spark, sfDir, "documents"), n)
       .persist()
     try {
-      val bandCols = (0 until numBands).map { b =>
-        val slots = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
-        struct(lit(b).as("band"), xxhash64(slots: _*).as("bh")).as(s"band_$b")
-      }
-      val banded = sig
-        .select(col("doc_id") +: bandCols: _*)
-        .select(col("doc_id"),
-          explode(array((0 until numBands).map(b => col(s"band_$b")): _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-
-      val cand = banded.as("a")
-        .join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
-
-      // verify candidates against full signatures (cheap: pairs are few)
+      val cand = minhashCandidates(sig)
+      // estimate Jaccard from full signatures (cheap: pairs are few)
       val sigA = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
       val sigB = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
       val matches = (0 until numHashes)
@@ -200,31 +205,83 @@ object Dedup {
     } finally sig.unpersist()
   }
 
+  /** The full production MinHash-LSH dedup pipeline: sketch-banded
+    * candidate generation (O(n), the 100 TB path) + EXACT n-gram
+    * Jaccard verification of the (few) candidates — so the output is
+    * exact similarity scores, not estimates, and the operator runs
+    * under the hard DuckDB oracle (the same SQL as the exhaustive
+    * q21; equality holds whenever LSH recall at the threshold is
+    * complete, which the banding parameters are chosen for).
+    * Verification joins candidate ids back to per-doc shingle sets;
+    * only candidate docs' sets are intersected.
+    */
+  def minhashLshPairsVerified(
+      spark: SparkSession, sfDir: String,
+      n: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val sh = shingleHashes(Tables.load(spark, sfDir, "documents"), n)
+      .persist() // feeds signatures AND verification sets; released below
+    try {
+      val mins = (0 until numHashes).map(i =>
+        min(xxhash64(lit(i), col("sh"))).as(s"mh_$i"))
+      val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      val cand = minhashCandidates(sig)
+      val sets = sh.groupBy(col("doc_id"))
+        .agg(collect_set(col("sh")).as("shs"))
+      cand
+        .join(sets.select(col("doc_id").as("id_a"), col("shs").as("shs_a")), "id_a")
+        .join(sets.select(col("doc_id").as("id_b"), col("shs").as("shs_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("shs_a"), col("shs_b"))).cast("long").as("n_common"),
+          size(col("shs_a")).as("n_a"), size(col("shs_b")).as("n_b"))
+        .withColumn("jaccard",
+          col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
+        .localCheckpoint(true)
+    } finally sh.unpersist()
+  }
+
   // -------- SimHash --------
 
-  /** 64-bit SimHash per doc: per token hash, each bit votes +1/-1
+  /** SimHash width: 60 bits. The token hash is the first 15 hex chars
+    * of md5 — a deliberately ORACLE-PORTABLE choice: DuckDB computes
+    * the identical value as `('0x'||substr(md5(tok),1,15))::BIGINT`,
+    * so the whole fingerprint (integer votes, integer sign, integer
+    * OR) is reproducible in ANSI-ish SQL and q23 runs under the hard
+    * hash-compare instead of `no_oracle`. 60 vs 64 bits changes
+    * nothing about the method; 15-bit chunks keep the pigeonhole
+    * property for dist <= 3.
+    */
+  val simhashBits = 60
+  val simhashChunks = 4
+  val simhashChunkBits: Int = simhashBits / simhashChunks // 15
+
+  /** 60-bit SimHash per doc: per token hash, each bit votes +1/-1
     * weighted by term frequency; the sign of each bit-sum is the
     * fingerprint bit. One explode + one aggregate, all codegen'd
-    * expressions.
+    * expressions; all-integer math, so the result is exact under any
+    * partitioning.
     */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs.select(
       col("doc_id"),
       explode(split(normalizedText(col("text")), " ")).as("tok"))
-      .withColumn("th", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
+      .withColumn("th",
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until simhashBits).map { b =>
       sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"bit_$b")
     }
     val sums = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sh = (0 until 64).map { b =>
+    val sh = (0 until simhashBits).map { b =>
       when(col(s"bit_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce((a, c) => a.bitwiseOR(c))
     sums.select(col("doc_id"), sh.as("simhash"))
   }
 
   /** SimHash near-dup pairs within Hamming distance <= maxDist.
-    * Blocking: split the 64-bit hash into 4 x 16-bit chunks; any pair
+    * Blocking: split the 60-bit hash into 4 x 15-bit chunks; any pair
     * within distance 3 must agree on >= 1 chunk (pigeonhole), so an
     * equi-join per chunk finds all of them without O(n^2).
     */
@@ -233,9 +290,10 @@ object Dedup {
     val sh = simhash(Tables.load(spark, sfDir, "documents"))
     val chunks = sh.select(
       col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map { c =>
+      explode(array((0 until simhashChunks).map { c =>
         struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("ck"))
+          shiftright(col("simhash"), c * simhashChunkBits)
+            .bitwiseAND((1L << simhashChunkBits) - 1).as("ck"))
       }: _*)).as("blk"))
       .select(col("doc_id"), col("simhash"),
         col("blk.chunk").as("chunk"), col("blk.ck").as("ck"))

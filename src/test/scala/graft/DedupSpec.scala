@@ -117,6 +117,15 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(est - 51.0 / 61.0) < 0.2, s"estimate $est")
   }
 
+  test("verified minhash LSH returns EXACT jaccard scores equal to the exhaustive path") {
+    val exact = Dedup.ngramJaccardPairs(spark, "/tmp/graft-dedup-test", n = 5, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val verified = Dedup.minhashLshPairsVerified(spark, "/tmp/graft-dedup-test", n = 5, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // complete recall on this fixture + exact verification → identical
+    assert(verified == exact)
+  }
+
   test("simhash: identical docs distance 0; near-dups close; unrelated far") {
     val pairs = Dedup.simhashPairs(spark, "/tmp/graft-dedup-test", maxDist = 63)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
