@@ -52,9 +52,11 @@ object SparkEntry {
     "q22_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLshPairsVerified(s, d)),
     "q23_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q24_embed_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingPairsLsh(s, d)),
+    "q25_clean_corpus" -> ((s: SparkSession, d: String) => CleanPipeline.cleanCorpus(s, d)),
     // --- similarity search ---
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Similarity.annBrute(s, d)),
     "q31_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
+    "q32_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     // --- text analysis ---
     "q40_lang_id" -> (TextAnalysis.langId _),
     "q41_quality" -> (TextAnalysis.quality _),
@@ -290,6 +292,79 @@ object SparkEntry {
            JOIN chunks q ON c.c = q.c AND c.ck = q.ck
            WHERE q.vec_id IN (SELECT vec_id FROM qids)
              AND c.vec_id != q.vec_id),
+         scored AS (
+           SELECT cand.q_id, cand.vec_id,
+             list_sum(list_transform(list_zip(uq.v, uc.v), p -> p[1] * p[2])) AS cosine
+           FROM cand
+           JOIN u uq ON uq.vec_id = cand.q_id
+           JOIN u uc ON uc.vec_id = cand.vec_id)
+         SELECT q_id, vec_id, cosine, CAST(rk AS INTEGER) AS rk FROM (
+           SELECT q_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rk
+           FROM scored)
+         WHERE rk <= 10""",
+    // q25 composes the oracles of its stages: lang gate (q40's SQL),
+    // token gate (q42's), exact-dedup survivors (q20's), near-dup
+    // drop-b set (q21/q22's exhaustive pairs at the same threshold).
+    "q25_clean_corpus" ->
+      s"""WITH lang AS ($langIdOracle),
+         toks AS (
+           SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_extract_all(trim(text), '\\S+')) END AS BIGINT) AS n_ws_tokens
+           FROM documents),
+         exact_keep AS (
+           SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY MD5($normText)),
+         words AS (
+           SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t
+           WHERE len(w) >= 5),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         near_drop AS (
+           SELECT DISTINCT id_b FROM common
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(n_common AS DOUBLE) /
+             CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5)
+         SELECT l.doc_id, l.lang_pred, t.n_ws_tokens
+         FROM lang l JOIN toks t ON l.doc_id = t.doc_id
+         WHERE l.lang_pred <> 'und' AND t.n_ws_tokens >= 20
+           AND l.doc_id IN (SELECT doc_id FROM exact_keep)
+           AND l.doc_id NOT IN (SELECT id_b FROM near_drop)""",
+    // q32 replays the IVF structure in SQL: seeded codebook, argmax
+    // cell assignment (ties to lowest centroid id), probe the 4
+    // nearest cells, exact cosine top-k — float math bit-identical by
+    // the q24/q30 precedent.
+    "q32_ann_ivf" ->
+      s"""WITH u AS ($normalizedVectors),
+         cents AS (SELECT vec_id AS c_id, v AS cv FROM u WHERE vec_id < 16),
+         sims AS (
+           SELECT u.vec_id, c_id,
+             list_sum(list_transform(list_zip(u.v, cv), p -> p[1] * p[2])) AS sim
+           FROM u CROSS JOIN cents),
+         assigned AS (
+           SELECT vec_id, c_id FROM (
+             SELECT vec_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY sim DESC, c_id ASC) AS rn
+             FROM sims) WHERE rn = 1),
+         qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5),
+         qprobes AS (
+           SELECT vec_id AS q_id, c_id FROM (
+             SELECT vec_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY sim DESC, c_id ASC) AS rn
+             FROM sims WHERE vec_id IN (SELECT vec_id FROM qids))
+           WHERE rn <= 4),
+         cand AS (
+           SELECT q_id, a.vec_id FROM qprobes p
+           JOIN assigned a ON a.c_id = p.c_id
+           WHERE a.vec_id != p.q_id),
          scored AS (
            SELECT cand.q_id, cand.vec_id,
              list_sum(list_transform(list_zip(uq.v, uc.v), p -> p[1] * p[2])) AS cosine

@@ -107,4 +107,64 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("q_id"), col("vec_id"), col("cosine"), col("rk"))
   }
+
+  /** IVF coarse-quantizer defaults: 16 cells, 4 probed per query. */
+  val ivfClusters = 16
+  val ivfProbes = 4
+
+  /** ANN via an IVF (inverted-file) index — the second classic scale
+    * path next to LSH. Structure: a small centroid codebook partitions
+    * the corpus into cells (each vector assigned to its nearest
+    * centroid by cosine, ties to the lowest centroid id); a query
+    * scores only the vectors in its `probes` nearest cells.
+    *
+    * The codebook here is SEEDED — the `clusters` lowest-id vectors —
+    * which keeps the whole operator deterministic and oracle-checkable
+    * (q32); a k-means-trained codebook drops in by replacing `cents`
+    * (training changes the codebook, not the operator shape).
+    *
+    * Scale: assignment is `clusters` dot products per corpus vector
+    * (linear, broadcast codebook, no corpus shuffle beyond one
+    * argmax aggregation of (vec_id, sim, c_id) triples — the vectors
+    * themselves rejoin by id once). Probing touches ~probes/clusters
+    * of the corpus per query.
+    */
+  def annIvf(
+      spark: SparkSession, sfDir: String,
+      numQueries: Int = 5, k: Int = 10,
+      clusters: Int = ivfClusters, probes: Int = ivfProbes): DataFrame = {
+    val corpus = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), Vectors.l2normalize(col("embedding")).as("u"))
+    val cents = corpus.filter(col("vec_id") < clusters)
+      .select(col("vec_id").as("c_id"), col("u").as("cv"))
+    val sims = corpus.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("c_id"),
+        Vectors.dot(col("u"), col("cv")).as("sim"))
+    // argmax centroid per vector: max of (sim, -c_id) = highest sim,
+    // lowest c_id on ties — matches the oracle's ORDER BY sim DESC,
+    // c_id ASC row_number()=1 without shuffling the vectors themselves
+    val assigned = sims
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("c_id")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("c_id"))
+      .join(corpus, "vec_id")
+    val q = queries(spark, sfDir, numQueries)
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id").asc)
+    val qprobes = q.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("q"), col("c_id"),
+        Vectors.dot(col("q"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= probes)
+      .select(col("q_id"), col("q"), col("c_id"))
+    val scored = assigned.join(broadcast(qprobes), "c_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        Vectors.dot(col("q"), col("u")).as("cosine"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), col("cosine"), col("rk"))
+  }
 }

@@ -118,6 +118,24 @@ object Tables {
       .filter(col(schema.fields.head.name).isNotNull)
   }
 
+  /** CSV read with an `observe()` row counter attached: the returned
+    * Observation yields the exact surviving-row count ("rows_out")
+    * after ANY single action on the frame — exactly-once semantics
+    * (observed metrics are collected per-query, immune to task
+    * retries), zero extra passes. The streaming-safe, first-class
+    * twin of the reference's per-task `line_count` metadata.
+    */
+  def observedCsv(
+      spark: SparkSession, path: String, schema: StructType
+  ): (DataFrame, org.apache.spark.sql.Observation) = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val obs = org.apache.spark.sql.Observation()
+    val df = csv(spark, path, schema)
+      .filter(col(schema.fields.head.name).isNotNull)
+      .observe(obs, count(lit(1)).as("rows_out"))
+    (df, obs)
+  }
+
   /** Exactly-once line accounting for a CSV read: (raw lines,
     * surviving rows, dropped). Each count comes from its own ACTION —
     * immune to the at-least-once accumulator hazard — which is the

@@ -48,6 +48,69 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("hour"), col("event_type"), col("n_events"))
 
+  /** Sliding windows (2 h window, 1 h slide): each event lands in two
+    * overlapping windows. Same bounded-state posture as
+    * [[hourlyStream]]; the batch twin is the identical expression on
+    * the batch frame (window() is batch-legal), asserted in
+    * EventStreamSpec.
+    */
+  def slidingStream(spark: SparkSession, sfDir: String): DataFrame =
+    readEvents(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n_events"))
+
+  /** Batch twin of [[slidingStream]] on the same fixture. */
+  def slidingBatch(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.Tables.load(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n_events"))
+
+  /** Static user-tier dimension: deterministic function of user_id.
+    * Stands in for the classic slowly-changing dimension; at scale
+    * this is the broadcast side of a stream-static join (no state, no
+    * stream shuffle).
+    */
+  def userTiers(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (0L until 3L).map(t => (t, s"tier_$t")).toDF("tier_key", "tier")
+  }
+
+  /** Stream-static join: enrich the event stream with the static tier
+    * dimension, then a watermarked hourly aggregate per tier.
+    * Stream-static joins are stateless on the static side — Spark
+    * broadcasts the dimension to every microbatch.
+    */
+  def tierHourlyStream(spark: SparkSession, sfDir: String): DataFrame =
+    readEvents(spark, sfDir)
+      .withColumn("tier_key", col("user_id") % 3)
+      .join(broadcast(userTiers(spark)), "tier_key")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("tier"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("hour"), col("tier"), col("n_events"))
+
+  /** Batch twin of [[tierHourlyStream]]. */
+  def tierHourlyBatch(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.Tables.load(spark, sfDir, "events")
+      .withColumn("tier_key", col("user_id") % 3)
+      .join(broadcast(userTiers(spark)), "tier_key")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("tier"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("hour"), col("tier"), col("n_events"))
+
+  /** Streaming exact dedup: dropDuplicates on the event key within the
+    * watermark horizon — state is bounded by (horizon x arrival rate),
+    * the streaming twin of Dedup.exact's batch digest-shuffle.
+    */
+  def dedupedEvents(spark: SparkSession, sfDir: String): DataFrame =
+    readEvents(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("event_type"), col("value"))
+
   /** Run a streaming frame to completion on the fixture files
     * (Trigger.AvailableNow + memory sink) and return the final result
     * as a batch DataFrame — the harness for batch-parity tests.

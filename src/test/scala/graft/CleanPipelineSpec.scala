@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{CleanPipeline, Dedup, TextAnalysis}
+
+class CleanPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  def sf: String = SparkTestSession.sf
+  import spark.implicits._
+
+  test("cleanCorpus applies all four gates on a fixture with known structure") {
+    // doc 1: good English text, unique           -> survives
+    // doc 2: exact copy of 1 (higher id)         -> dropped (exact dedup)
+    // doc 3: near-dup of 1, one word changed     -> dropped (near-dup, id_b)
+    // doc 4: no language markers at all ('und')  -> dropped (lang gate)
+    // doc 5: too short                           -> dropped (token gate)
+    // doc 6: good English, unrelated             -> survives
+    val good = ("the project is built of many parts and " +
+      "the tests are run for each of them with care in every case " +
+      "and the results are kept on record for the future")
+    val near = good.replace("record", "CHANGED")
+    val unidentifiable = Seq.tabulate(25)(i => s"zz${i}qx").mkString(" ")
+    val short = "the end is here"
+    val other = ("a list of other words and phrases for the second " +
+      "document that is long enough to pass the gate and stands on " +
+      "its own with no copies in the corpus at all everywhere")
+    Seq((1L, good), (2L, good), (3L, near), (4L, unidentifiable), (5L, short), (6L, other))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft-clean-test/documents.parquet")
+    val out = CleanPipeline.cleanCorpus(spark, "/tmp/graft-clean-test",
+      minTokens = 20, jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.map(_._1).sorted.toSeq == Seq(1L, 6L), s"got ${out.toSeq}")
+    assert(out.forall(_._2 == "en"))
+    assert(out.forall(_._3 >= 20))
+  }
+
+  test("cleanCorpus on the fixture equals the stage-by-stage composition") {
+    val out = CleanPipeline.cleanCorpus(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val lang = TextAnalysis.langId(spark, sf)
+      .filter(col("lang_pred") =!= "und")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val toks = TextAnalysis.tokenStats(spark, sf)
+      .filter(col("n_ws_tokens") >= 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = Dedup.exactSurvivors(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val nearDrop = Dedup.minhashLshPairsVerified(spark, sf)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    assert(out == ((lang & toks & exact) -- nearDrop))
+    assert(out.nonEmpty)
+  }
+}

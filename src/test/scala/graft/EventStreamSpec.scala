@@ -20,6 +20,46 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("sliding-window stream equals its batch twin") {
+    val streamed = EventStream.runToBatch(
+      spark, EventStream.slidingStream(spark, sf), "sliding_test")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = EventStream.slidingBatch(spark, sf)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+    // sliding: total window-event memberships = 2x event count
+    val nEvents = graft.sources.Tables.load(spark, sf, "events").count()
+    assert(streamed.values.sum == 2 * nEvents)
+  }
+
+  test("stream-static join (tier dimension) equals its batch twin") {
+    val streamed = EventStream.runToBatch(
+      spark, EventStream.tierHourlyStream(spark, sf), "tier_test")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = EventStream.tierHourlyBatch(spark, sf)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+    assert(streamed.keys.map(_._2).toSet == Set("tier_0", "tier_1", "tier_2"))
+  }
+
+  test("streaming dedup keeps each event key once (append mode)") {
+    val q = EventStream.dedupedEvents(spark, sf).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("dedup_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val ids = spark.table("dedup_test").collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length)
+    // fixture event_ids are unique, so dedup passes everything through
+    assert(ids.length == graft.sources.Tables.load(spark, sf, "events").count())
+  }
+
   test("stateful user sessions match batch per-user aggregates (one row per user)") {
     val rows = EventStream.userSessionsBatch(spark, sf).collect()
     // userSessionsBatch dedupes to the final state: exactly one row/user

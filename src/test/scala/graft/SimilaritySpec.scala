@@ -79,6 +79,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("IVF ANN finds planted near-duplicates (same harness as LSH)") {
+    // reuses the planted fixture written by the LSH test ordering is
+    // not guaranteed across tests — write our own copy
+    val rnd = new scala.util.Random(43)
+    def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val base = (0 until 200).map(i => (i.toLong, vec(), 0))
+    val planted = (0 until 5).map { i =>
+      val v = base(i)._2.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+      (1000L + i, v, 1)
+    }
+    (base ++ planted).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet("/tmp/graft-ivf-test/embeddings.parquet")
+    val ivf = Similarity.annIvf(spark, "/tmp/graft-ivf-test",
+        numQueries = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach { i =>
+      assert(ivf.contains((i.toLong, 1000L + i)),
+        s"planted near-dup of query $i not retrieved")
+    }
+  }
+
+  test("IVF ANN: every vector lands in exactly one cell; k results per query") {
+    val res = Similarity.annIvf(spark, sf, numQueries = 3, k = 5).collect()
+    assert(res.length == 15)
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ.size == 3)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getLong(1)).distinct.length == rows.length,
+        "no duplicate candidates — assignment is a partition")
+      assert(!rows.exists(r => r.getLong(1) == r.getLong(0)), "self excluded")
+    }
+  }
+
   test("LSH bucket is deterministic across evaluations") {
     val e = graft.sources.Tables.load(spark, sf, "embeddings").limit(50)
       .select(col("vec_id"), Similarity.lshBucket(col("embedding")).as("b"))

@@ -54,6 +54,14 @@ class SourcesSpec extends AnyFunSuite {
     assert(acc.value == 3)
   }
 
+  test("observedCsv reports exact surviving rows via observe()") {
+    val p = writeTemp("obs.csv", goodLines ++ Seq("garbage", "a,b,c"))
+    val (df, obs) = Tables.observedCsv(spark, p, Tables.uservisitsSchema)
+    val materialized = df.collect().length
+    assert(materialized == 2)
+    assert(obs.get("rows_out") == 2L)
+  }
+
   test("all fixture tables load") {
     Tables.fixtureNames.foreach { n =>
       assert(Tables.load(spark, SparkTestSession.sf, n).count() > 0, n)
