@@ -46,5 +46,7 @@ object GraftSession {
     // fixture `events.ts` is parquet TIMESTAMP(NANOS) which Spark has
     // no native type for: read as long nanos; Tables.load converts.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // catalog tables (bucketed writes) land under /tmp, not the repo
+    .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
     .config("spark.ui.enabled", "false")
 }

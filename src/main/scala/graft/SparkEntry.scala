@@ -46,6 +46,8 @@ object SparkEntry {
     "q15_union" -> (Relational.unionScans _),
     "q16_events_hourly" -> (Relational.eventsHourly _),
     "q17_rollup" -> (Relational.rollupAgg _),
+    "q26_json_props" -> (Relational.jsonProps _),
+    "q27_cube" -> (Relational.cubeAgg _),
     // --- dedup suite ---
     "q20_dedup_exact" -> (Dedup.exact _),
     "q21_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
@@ -168,6 +170,16 @@ object SparkEntry {
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
          COUNT(*) AS n_rows
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q26_json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1""",
+    "q27_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         COUNT(*) AS n_rows
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
     "q20_dedup_exact" ->
       s"""SELECT MD5($normText) AS h, MIN(doc_id) AS keep_id,
          COUNT(*) AS n_copies FROM documents GROUP BY 1""",

@@ -142,4 +142,54 @@ object Relational {
       .agg(
         moneySum(col("l_quantity")).as("sum_qty"),
         count(lit(1)).as("n_rows"))
+
+  /** Full CUBE (all 2^k grouping sets), the rollup's superset. */
+  def cubeAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+
+  /** JSON scalar functions over the `props` column (the fixture's
+    * events carry real JSON): extract a field, cast, bucket, and
+    * aggregate. JSON is a first-class scalar surface the reference
+    * lacks entirely (it uses JSON only as a serialization envelope,
+    * SURVEY.md §2 ABSENT list).
+    */
+  def jsonProps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "events")
+      .select(
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"),
+        col("value"))
+      .groupBy((col("k_val") % 10).as("k_bucket"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("sum_value"))
+
+  /** Manual salted join for EXTREME key skew (beyond what AQE's
+    * runtime skew-split handles): the left (large, skewed) side gets a
+    * deterministic salt in [0, salts) derived from non-key columns;
+    * the right side is replicated once per salt value. The join key
+    * becomes (key, salt), spreading one hot key over `salts`
+    * partitions. Result is row-identical to the unsalted join.
+    *
+    * At 100 TB this is the standard fallback when a single key exceeds
+    * one executor's memory even after AQE splitting; salts ~= number
+    * of partitions the hot key should span.
+    */
+  def saltedJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, salts: Int): DataFrame = {
+    val saltedLeft = left.withColumn(
+      "__salt",
+      pmod(hash(left.columns.filter(_ != leftKey).map(col).toSeq: _*),
+        lit(salts)))
+    val saltedRight = right.withColumn(
+      "__salt", explode(array((0 until salts).map(lit): _*)))
+    saltedLeft.join(saltedRight,
+        saltedLeft(leftKey) === saltedRight(rightKey) &&
+          saltedLeft("__salt") === saltedRight("__salt"))
+      .drop("__salt")
+  }
 }

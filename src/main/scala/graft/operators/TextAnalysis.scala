@@ -98,9 +98,9 @@ object TextAnalysis {
 
   /** Document fingerprint: md5 of the normalized text (lowercased,
     * whitespace collapsed) — the exact-dedup key. md5 hex is
-    * bit-portable across engines. A Rabin-Karp rolling hash over
-    * shingles (not SQL-portable) lives in graft.functions.RollingHash
-    * with property tests.
+    * bit-portable across engines. The polynomial rolling hash over
+    * word windows lives in graft.functions.TextExpressions
+    * (`shingle_hashes`), spec-pinned against the string-shingle twin.
     */
   def normalizedText(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")

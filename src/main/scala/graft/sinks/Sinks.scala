@@ -36,6 +36,30 @@ object Sinks {
       .option("header", header.toString)
       .csv(path)
 
+  /** Bucketed catalog table: rows hash-partitioned into `buckets`
+    * files per partition by `bucketCol`, sorted within buckets. Two
+    * tables bucketed the same way join WITHOUT any shuffle exchange —
+    * the co-located-join strategy for repeated fact-fact joins at
+    * 100 TB (pay the shuffle once at write time, never again at read).
+    * RelationalSpec asserts the exchange-free plan.
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // true overwrite: a location orphaned by a previous session (the
+    // in-memory catalog forgets tables on exit, files persist) blocks
+    // CREATE, so clear both catalog entry and location first
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    loc.getFileSystem(spark.sessionState.newHadoopConf()).delete(loc, true)
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+  }
+
   /** Per-job metrics the reference tracks per task object: rows out,
     * wall seconds, executor cpu-seconds, bytes read/written, shuffle
     * traffic.

@@ -44,6 +44,61 @@ class RelationalSpec extends AnyFunSuite {
     assert(subtotal.map(_.getLong(3)).sum == grand.head.getLong(3))
   }
 
+  test("cube emits all four grouping-set families; counts reconcile") {
+    val rows = Relational.cubeAgg(spark, sf).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    val byFlag = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    val byStatus = rows.filter(r => r.isNullAt(0) && !r.isNullAt(1))
+    val leaf = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(byFlag.nonEmpty && byStatus.nonEmpty && leaf.nonEmpty)
+    assert(byFlag.map(_.getLong(3)).sum == grand.head.getLong(3))
+    assert(byStatus.map(_.getLong(3)).sum == grand.head.getLong(3))
+    assert(leaf.map(_.getLong(3)).sum == grand.head.getLong(3))
+  }
+
+  test("json extraction buckets cover the props key range; counts reconcile") {
+    val rows = Relational.jsonProps(spark, sf).collect()
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == graft.sources.Tables.load(spark, sf, "events").count())
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 10))
+  }
+
+  test("bucketed tables join with NO shuffle exchange (co-located join)") {
+    import graft.sinks.Sinks
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val o = graft.sources.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    Sinks.writeBucketed(li, "li_bkt", "l_orderkey", 8)
+    Sinks.writeBucketed(o, "o_bkt", "o_orderkey", 8)
+    // hint forces sort-merge (broadcast would bypass bucketing at this
+    // tiny SF); with equal bucket counts SMJ needs no exchange
+    val joined = spark.table("li_bkt").hint("merge")
+      .join(spark.table("o_bkt").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed join should not shuffle:\n$plan")
+    // co-located result equals the shuffled join
+    assert(joined.count() == li.join(o, col("l_orderkey") === col("o_orderkey")).count())
+  }
+
+  test("salted join is row-identical to the plain join under a hot key") {
+    import spark.implicits._
+    // hot key: 90% of left rows share key 1
+    val left = (0 until 1000).map(i =>
+      (if (i % 10 == 0) i.toLong % 7 else 1L, s"payload_$i")).toDF("k", "payload")
+    val right = (0L until 7L).map(k => (k, s"dim_$k")).toDF("rk", "dim")
+    val plain = left.join(right, col("k") === col("rk"))
+      .select("k", "payload", "dim")
+      .collect().map(_.toString).sorted.toSeq
+    val salted = Relational.saltedJoin(left, right, "k", "rk", salts = 8)
+      .select("k", "payload", "dim")
+      .collect().map(_.toString).sorted.toSeq
+    assert(salted == plain)
+  }
+
   test("union keeps duplicates (UNION ALL semantics)") {
     val o = graft.sources.Tables.load(spark, sf, "orders")
     val both = o.filter(col("o_orderstatus") === "F")
