@@ -48,6 +48,7 @@ object SparkEntry {
     "q17_rollup" -> (Relational.rollupAgg _),
     "q26_json_props" -> (Relational.jsonProps _),
     "q27_cube" -> (Relational.cubeAgg _),
+    "q28_percentiles" -> (Relational.percentiles _),
     // --- dedup suite ---
     "q20_dedup_exact" -> (Dedup.exact _),
     "q21_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
@@ -66,7 +67,8 @@ object SparkEntry {
     "q43_fingerprint" -> (TextAnalysis.fingerprint _),
     // --- multimodal plumbing ---
     "q50_multimodal_meta" -> (Multimodal.mediaMeta _),
-    "q51_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d))
+    "q51_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
+    "q52_media_features" -> (Multimodal.mediaFeatures _)
   )
 
   /** Normalized-text SQL twin of TextAnalysis.normalizedText. */
@@ -180,6 +182,14 @@ object SparkEntry {
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
          COUNT(*) AS n_rows
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "q28_percentiles" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.25) AS p25,
+         quantile_cont(l_quantity, 0.5) AS p50,
+         quantile_cont(l_quantity, 0.75) AS p75,
+         quantile_cont(l_quantity, 0.95) AS p95,
+         COUNT(*) AS n_rows
+         FROM lineitem GROUP BY 1""",
     "q20_dedup_exact" ->
       s"""SELECT MD5($normText) AS h, MIN(doc_id) AS keep_id,
          COUNT(*) AS n_copies FROM documents GROUP BY 1""",
@@ -431,7 +441,17 @@ object SparkEntry {
          FROM documents)
          SELECT media_id, n_frames, CAST(f AS INTEGER) AS frame_idx
          FROM m, LATERAL (SELECT UNNEST(range(0, n_frames, 8)) AS f) t
-         WHERE media_type = 'video/mp4'"""
+         WHERE media_type = 'video/mp4'""",
+    // md5(payload) == md5(text): the payload IS the UTF-8 text bytes
+    "q52_media_features" ->
+      """SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+           ELSE 'video/mp4' END AS media_type,
+         ('0x' || substr(md5(text), 1, 8))::BIGINT / 4294967296.0 AS f0,
+         ('0x' || substr(md5(text), 9, 8))::BIGINT / 4294967296.0 AS f1,
+         ('0x' || substr(md5(text), 17, 8))::BIGINT / 4294967296.0 AS f2,
+         ('0x' || substr(md5(text), 25, 8))::BIGINT / 4294967296.0 AS f3
+         FROM documents"""
   )
 
   /** SQL twin of TextAnalysis.langId: same marker sets, same argmax

@@ -99,4 +99,23 @@ object Multimodal {
       .select(col("media_id"), col("n_frames"),
         explode(sequence(lit(0),
           col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  /** Feature-embedding extraction shape: payload bytes -> fixed-width
+    * feature vector, the stage that feeds extracted media features
+    * into the ANN/dedup operators downstream. The "model" is a STUB
+    * (md5-derived 4-dim projection in [0,1) — a real encoder replaces
+    * the hash with inference); the plumbing is the point: narrow
+    * per-row transform on the scan, payload never shuffles, features
+    * are 32 bytes/row. md5-derived values keep the whole stage under
+    * the exact DuckDB oracle (q52), same device as q23/q31.
+    */
+  def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = mediaTable(spark, sfDir).toDF()
+    val h = md5(col("payload"))
+    val feats = (0 until 4).map { j =>
+      (conv(substring(h, 1 + 8 * j, 8), 16, 10).cast("long").cast("double") /
+        lit(4294967296.0)).as(s"f$j") // / 2^32 -> [0, 1)
+    }
+    m.select(col("media_id") +: col("media_type") +: feats: _*)
+  }
 }

@@ -167,6 +167,23 @@ object Relational {
         count(lit(1)).as("n_events"),
         moneySum(col("value")).as("sum_value"))
 
+  /** Exact percentiles per group (linear interpolation — type-7, the
+    * same convention as DuckDB's quantile_cont, so the oracle compares
+    * exactly). Spark's `percentile` is the exact aggregator;
+    * `approx_percentile` (t-digest) is the 100 TB fallback when a
+    * single-pass sketch is preferred — not oracle-comparable, so the
+    * exact form is the q-entry.
+    */
+  def percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.25)).as("p25"),
+        percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.75)).as("p75"),
+        percentile(col("l_quantity"), lit(0.95)).as("p95"),
+        count(lit(1)).as("n_rows"))
+
   /** Manual salted join for EXTREME key skew (beyond what AQE's
     * runtime skew-split handles): the left (large, skewed) side gets a
     * deterministic salt in [0, salts) derived from non-key columns;

@@ -29,6 +29,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeStub(Multimodal.mediaTable(spark, sf)).count() == n)
   }
 
+  test("media feature vectors are deterministic, in [0,1), one row per media") {
+    val rows = Multimodal.mediaFeatures(spark, sf).collect()
+    assert(rows.length == Multimodal.mediaTable(spark, sf).count())
+    rows.foreach { r =>
+      (2 to 5).foreach { i =>
+        val f = r.getDouble(i)
+        assert(f >= 0.0 && f < 1.0, s"f out of range: $f")
+      }
+    }
+    // distinct payloads produce distinct feature vectors (md5-derived)
+    val vecs = rows.map(r => (2 to 5).map(r.getDouble))
+    assert(vecs.distinct.length > rows.length / 2)
+  }
+
   test("frame sample emits stride-spaced indices within n_frames") {
     val rows = Multimodal.frameSample(spark, sf, stride = 8).collect()
     assert(rows.nonEmpty)

@@ -64,6 +64,16 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 10))
   }
 
+  test("percentiles are ordered and bounded by the group's min/max") {
+    val rows = Relational.percentiles(spark, sf).collect()
+    assert(rows.length == 3) // three return flags
+    rows.foreach { r =>
+      val ps = (1 to 4).map(r.getDouble)
+      assert(ps == ps.sorted, s"quantiles out of order: $ps")
+      assert(ps.head >= 1.0 && ps.last <= 50.0) // l_quantity range
+    }
+  }
+
   test("bucketed tables join with NO shuffle exchange (co-located join)") {
     import graft.sinks.Sinks
     val li = graft.sources.Tables.load(spark, sf, "lineitem")
