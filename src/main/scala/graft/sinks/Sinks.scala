@@ -29,12 +29,37 @@ object Sinks {
   }
 
   /** Line sink matching the reference's key,value CSV output format
-    * (`src/nodejs/utils.js:33-39`).
+    * (`src/nodejs/utils.js:33-39`). `codec` "gzip" emits `.csv.gz`
+    * part files — the write-side twin of the reference's gzip read
+    * path (`src/nodejs/mapper.js:71-79`); Tables.csv reads them back
+    * transparently.
     */
-  def writeCsv(df: DataFrame, path: String, header: Boolean = false): Unit =
-    df.write.mode("overwrite")
-      .option("header", header.toString)
-      .csv(path)
+  def writeCsv(df: DataFrame, path: String, header: Boolean = false,
+      codec: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").option("header", header.toString)
+    codec.foreach(c => w.option("compression", c))
+    w.csv(path)
+  }
+
+  /** Globally-sorted columnar output at scale: `repartitionByRange`
+    * samples the sort key and assigns disjoint key ranges to
+    * partitions, `sortWithinPartitions` orders each one — so file N's
+    * keys all precede file N+1's and every file is internally sorted,
+    * WITHOUT a single-reducer global sort (the reference's 1536 MB
+    * single-Lambda cliff, /root/reference/README.md:149, is exactly
+    * what this avoids). Readers get sorted output by concatenating
+    * files in partition order.
+    */
+  def writeSortedParquet(
+      df: DataFrame, path: String, sortCol: String,
+      partitions: Int = 0): Unit = {
+    import org.apache.spark.sql.functions.col
+    val ranged =
+      if (partitions > 0) df.repartitionByRange(partitions, col(sortCol))
+      else df.repartitionByRange(col(sortCol))
+    ranged.sortWithinPartitions(col(sortCol))
+      .write.mode("overwrite").parquet(path)
+  }
 
   /** Bucketed catalog table: rows hash-partitioned into `buckets`
     * files per partition by `bucketCol`, sorted within buckets. Two

@@ -54,6 +54,56 @@ class SinksSpec extends AnyFunSuite {
     assert(back == orig) // doubles survive text round-trip bit-exactly
   }
 
+  test("writeCsv with gzip codec round-trips through the gzip read path") {
+    val agg = operators.ReferenceQueries.agg2a(spark, sf)
+    Sinks.writeCsv(agg, "/tmp/graft-sink-test/agg_gz", codec = Some("gzip"))
+    val files = new java.io.File("/tmp/graft-sink-test/agg_gz")
+      .listFiles().map(_.getName).filter(_.endsWith(".csv.gz"))
+    assert(files.nonEmpty, "expected .csv.gz part files")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("etype_prefix",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("sum_value",
+        org.apache.spark.sql.types.DoubleType)))
+    val back = Tables.csv(spark, "/tmp/graft-sink-test/agg_gz", schema)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val orig = agg.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(back == orig)
+  }
+
+  test("writeSortedParquet: disjoint ranges across files, sorted within each") {
+    val src = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Sinks.writeSortedParquet(src, "/tmp/graft-sink-test/sorted_pq",
+      "o_totalprice", partitions = 4)
+    val files = new java.io.File("/tmp/graft-sink-test/sorted_pq")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).sorted
+    assert(files.length > 1, "expect multiple range files")
+    val perFile = files.map { f =>
+      val vals = spark.read.parquet(s"/tmp/graft-sink-test/sorted_pq/$f")
+        .select("o_totalprice").collect().map(_.getDouble(0))
+      assert(vals.sameElements(vals.sorted), s"$f not internally sorted")
+      (vals.min, vals.max)
+    }
+    // partition N's max <= partition N+1's min (disjoint ranges)
+    perFile.sliding(2).foreach {
+      case Array((_, maxA), (minB, _)) => assert(maxA <= minB)
+      case _ =>
+    }
+    // nothing lost
+    val total = perFile.length
+    assert(spark.read.parquet("/tmp/graft-sink-test/sorted_pq").count() == src.count())
+    assert(total == files.length)
+  }
+
+  test("approx_count_distinct (HLL sketch) lands within 5% of exact — the 100 TB cardinality path") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val exact = li.select(countDistinct(col("l_orderkey"))).head().getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_orderkey"), 0.02)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
   test("withMetrics captures rows/bytes for a known write") {
     val n = 1000L
     val (_, m) = Sinks.withMetrics(spark) {
