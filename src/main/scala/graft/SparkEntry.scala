@@ -49,6 +49,8 @@ object SparkEntry {
     "q26_json_props" -> (Relational.jsonProps _),
     "q27_cube" -> (Relational.cubeAgg _),
     "q28_percentiles" -> (Relational.percentiles _),
+    "q29_asof" -> (Relational.asofJoin _),
+    "q33_sessionize" -> ((s: SparkSession, d: String) => Relational.sessionize(s, d)),
     // --- dedup suite ---
     "q20_dedup_exact" -> (Dedup.exact _),
     "q21_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
@@ -190,6 +192,30 @@ object SparkEntry {
          quantile_cont(l_quantity, 0.95) AS p95,
          COUNT(*) AS n_rows
          FROM lineitem GROUP BY 1""",
+    "q29_asof" ->
+      """SELECT event_id, user_id, ts,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+         FROM events QUALIFY event_type = 'purchase'""",
+    "q33_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+         numbered AS (
+           SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+           FROM flagged)
+         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           COUNT(*) AS n_events,
+           MIN(ts) AS t_start, MAX(ts) AS t_end,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM numbered GROUP BY 1, 2""",
     "q20_dedup_exact" ->
       s"""SELECT MD5($normText) AS h, MIN(doc_id) AS keep_id,
          COUNT(*) AS n_copies FROM documents GROUP BY 1""",

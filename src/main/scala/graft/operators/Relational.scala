@@ -167,6 +167,53 @@ object Relational {
         count(lit(1)).as("n_events"),
         moneySum(col("value")).as("sum_value"))
 
+  /** AS-OF join, Spark-first: for every purchase event, the timestamp
+    * of the same user's most recent PRIOR click. Spark has no ASOF
+    * join operator; rather than a custom physical plan, the semantics
+    * compose exactly from a window: one shuffle on user_id, one sort,
+    * `last(click_ts) ignoreNulls` over rows preceding the current one.
+    * At 100 TB that is the minimal machinery an as-of needs (the sort
+    * is per user-partition, never global). Deterministic tie order via
+    * (ts, event_id).
+    */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(spark, sfDir, "events")
+      .withColumn("last_click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("last_click_ts"))
+  }
+
+  /** Gap-based sessionization: a new session starts when a user is
+    * idle longer than `gapSeconds`; session index = running count of
+    * session starts. One shuffle on user_id; integer epoch math keeps
+    * the oracle exact. Emits per-session aggregates — the standard
+    * event-pipeline rollup.
+    */
+  def sessionize(
+      spark: SparkSession, sfDir: String, gapSeconds: Long = 1800): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val running = order.rowsBetween(Window.unboundedPreceding, 0)
+    Tables.load(spark, sfDir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(order))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("new_sess")).over(running))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("t_start"),
+        max(col("ts")).as("t_end"),
+        moneySum(col("value")).as("sum_value"))
+  }
+
   /** Exact percentiles per group (linear interpolation — type-7, the
     * same convention as DuckDB's quantile_cont, so the oracle compares
     * exactly). Spark's `percentile` is the exact aggregator;

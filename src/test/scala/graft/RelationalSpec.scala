@@ -64,6 +64,55 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 10))
   }
 
+  test("as-of join picks the most recent PRIOR click, never a later one") {
+    val rows = Relational.asofJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      assert(r.getTimestamp(3).getTime <= r.getTimestamp(2).getTime,
+        "as-of must not look into the future")
+    }
+    // cross-check one user end-to-end against a driver-side replay
+    val uid = rows.head.getLong(1)
+    val evs = graft.sources.Tables.load(spark, sf, "events")
+      .filter(col("user_id") === uid)
+      .select("event_id", "ts", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
+      .sortBy(e => (e._2.getTime, e._1))
+    var lastClick: Option[java.sql.Timestamp] = None
+    val expected = scala.collection.mutable.Map[Long, Option[java.sql.Timestamp]]()
+    evs.foreach { case (id, ts, typ) =>
+      if (typ == "purchase") expected(id) = lastClick
+      if (typ == "click") lastClick = Some(ts)
+    }
+    rows.filter(_.getLong(1) == uid).foreach { r =>
+      val got = if (r.isNullAt(3)) None else Some(r.getTimestamp(3))
+      assert(got == expected(r.getLong(0)), s"event ${r.getLong(0)}")
+    }
+  }
+
+  test("sessionize splits on the idle gap and covers every event exactly once") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // user 1: events at 0, 10, 20 min (one session), then 120, 125
+    // (second session); user 2: single event
+    Seq(
+      (1L, ts(0), 1L, "view", 1.0, "{}"),
+      (2L, ts(10), 1L, "view", 1.0, "{}"),
+      (3L, ts(20), 1L, "view", 1.0, "{}"),
+      (4L, ts(120), 1L, "view", 1.0, "{}"),
+      (5L, ts(125), 1L, "view", 1.0, "{}"),
+      (6L, ts(7), 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("unix_micros(ts) * 1000")) // nanos like fixture
+      .write.mode("overwrite").parquet("/tmp/graft-sess-test/events.parquet")
+    val sess = Relational.sessionize(spark, "/tmp/graft-sess-test", gapSeconds = 1800)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(sess == Map((1L, 1L) -> 3L, (1L, 2L) -> 2L, (2L, 1L) -> 1L))
+  }
+
   test("percentiles are ordered and bounded by the group's min/max") {
     val rows = Relational.percentiles(spark, sf).collect()
     assert(rows.length == 3) // three return flags
