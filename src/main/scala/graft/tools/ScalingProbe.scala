@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling probe for the sketch operators: build K× copies
+  * of the sf0.1 documents/embeddings fixtures (word-rotated texts /
+  * index-rotated vectors, so copies are NOT near-dups of each other
+  * and pair counts stay realistic) and time the production dedup/ANN
+  * paths at 1× vs K×. Near-linear wall growth is the pass criterion —
+  * a quadratic operator shows up as ~K² immediately.
+  */
+object ScalingProbe {
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(10)
+    val src = "/root/testdata/sf0.1"
+    val big = "/tmp/graft-scale-probe"
+    val spark = graft.GraftSession.local(cores = 32, appName = "graft-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // K× documents: copy c rotates each doc's words by 11*c positions
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val nDocs = docs.count()
+    val copies = (0 until k).map { c =>
+      val words = split(col("text"), " ")
+      val n = size(words)
+      val rot = lit(11 * c) % greatest(n, lit(1))
+      docs.select(
+        (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+        array_join(concat(slice(words, rot + 1, n - rot),
+          slice(words, lit(1), rot)), " ").as("text"))
+    }
+    copies.reduce(_ unionAll _).write.mode("overwrite")
+      .parquet(s"$big/documents.parquet")
+
+    // K× embeddings: copy c rotates the vector by c positions
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val embCopies = (0 until k).map { c =>
+      val v = col("embedding"); val n = size(v)
+      emb.select(
+        (col("vec_id") + lit(c * 10000000L)).as("vec_id"),
+        concat(slice(v, lit(c % 64 + 1), n - lit(c % 64)),
+          slice(v, lit(1), lit(c % 64))).as("embedding"))
+    }
+    embCopies.reduce(_ unionAll _).write.mode("overwrite")
+      .parquet(s"$big/embeddings.parquet")
+
+    def time(name: String)(f: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name%-28s $s%8.2f s")
+      s
+    }
+
+    println(s"[scale] corpus: ${nDocs} docs x1 vs x$k")
+    // warm-up
+    graft.operators.Dedup.exact(spark, src).write.format("noop").mode("overwrite").save()
+    val pairs = Seq[(String, String => DataFrame)](
+      "q20_dedup_exact" -> (d => graft.operators.Dedup.exact(spark, d)),
+      "q22_minhash_verified" -> (d => graft.operators.Dedup.minhashLshPairsVerified(spark, d)),
+      "q23_simhash" -> (d => graft.operators.Dedup.simhashPairs(spark, d)),
+      "q24_embed_lsh" -> (d => graft.operators.Dedup.embeddingPairsLsh(spark, d)))
+    val ratios = pairs.map { case (name, q) =>
+      val t1 = time(s"$name @1x")(q(src))
+      val tk = time(s"$name @${k}x")(q(big))
+      val r = tk / t1
+      println(f"[scale] $name%-28s ratio ${r}%6.2f (linear=$k, quadratic=${k * k})")
+      name -> r
+    }
+    println(ratios.map { case (n, r) => f"$n=$r%.2f" }.mkString("[scale] RATIOS ", " ", ""))
+    spark.stop()
+  }
+}
