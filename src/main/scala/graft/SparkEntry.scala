@@ -51,6 +51,9 @@ object SparkEntry {
     "q28_percentiles" -> (Relational.percentiles _),
     "q29_asof" -> (Relational.asofJoin _),
     "q33_sessionize" -> ((s: SparkSession, d: String) => Relational.sessionize(s, d)),
+    "q34_intersect" -> (Relational.intersectScans _),
+    "q35_except" -> (Relational.exceptScans _),
+    "q36_string_funcs" -> (Relational.stringFuncs _),
     // --- dedup suite ---
     "q20_dedup_exact" -> (Dedup.exact _),
     "q21_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
@@ -216,6 +219,23 @@ object SparkEntry {
            MIN(ts) AS t_start, MAX(ts) AS t_end,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM numbered GROUP BY 1, 2""",
+    "q34_intersect" ->
+      """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT
+         SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 200000.0""",
+    "q35_except" ->
+      """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+         EXCEPT
+         SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 200000.0""",
+    "q36_string_funcs" ->
+      """SELECT c_custkey,
+         upper(c_name) AS name_upper,
+         lower(c_mktsegment) AS seg_lower,
+         concat_ws('|', c_name, c_mktsegment) AS joined,
+         lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+         reverse(c_name) AS name_rev,
+         CAST(levenshtein(substr(c_name, 1, 8), substr(c_mktsegment, 1, 8)) AS INTEGER) AS edit_dist
+         FROM customer""",
     "q20_dedup_exact" ->
       s"""SELECT MD5($normText) AS h, MIN(doc_id) AS keep_id,
          COUNT(*) AS n_copies FROM documents GROUP BY 1""",

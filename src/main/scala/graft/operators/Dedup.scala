@@ -329,48 +329,50 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
-  /** LSH table layout for corpus×corpus near-dup: 128 deterministic
-    * hyperplanes (two 64-bit sign codes, disjoint plane families via
-    * planeOffset) sliced into 16 tables of 8 bits. A pair is a
-    * candidate iff ALL 8 bits of at least one table agree.
+  /** Default LSH table layout for corpus×corpus near-dup: 16 tables ×
+    * 8 bits = 128 deterministic hyperplanes (each table draws its own
+    * disjoint plane family via planeOffset). A pair is a candidate iff
+    * ALL bits of at least one table agree.
     *
     * Recall math at the operator's contract point (cosine >= 0.95,
     * angle <= 18.2°, per-plane agree prob 1 - θ/π ≈ 0.899):
     * per-table match 0.899⁸ ≈ 0.43, miss-all-16 ≈ 0.57¹⁶ ≈ 1.2e-4;
     * at cosine 0.99 the miss probability is ~7e-9. Precision is exact:
     * every candidate is verified with the true DotProduct cosine.
+    *
+    * SIZE THE BITS TO THE CORPUS: expected bucket occupancy is
+    * n / 2^bits per table, and candidate count grows as
+    * tables × n² / 2^bits — with FIXED bits that is quadratic with a
+    * small constant (measurable in ScalingProbe: 30× corpus → 18×
+    * wall at 8 bits). Rule: bits ≈ log2(n / k) for target occupancy k
+    * (e.g. 1B vectors, k=1000 → 20 bits), then re-derive tables for
+    * the recall target from miss = (1 - a^bits)^tables.
     */
   val embedLshTables = 16
   val embedLshBitsPerTable = 8
-  val embedLshPlanesPerCode = 64
 
   /** Scale path for embedding near-dup: corpus×corpus multi-table
     * hyperplane LSH. Candidate generation is an equi-join on
-    * (table, 8-bit chunk) — O(n) bucket rows, quadratic only within a
-    * bucket (expected n/256 per table; AQE skew-join splits hot
-    * buckets) — then candidates are verified with the exact cosine.
-    * The corpus shuffles its (vec_id, table, chunk) triples — 16 small
+    * (table, chunk) — O(n) bucket rows, quadratic only within a
+    * bucket (n/2^bits expected; AQE skew-join splits hot buckets) —
+    * then candidates are verified with the exact cosine. The corpus
+    * shuffles its (vec_id, table, chunk) triples — `numTables` small
     * rows per vector, never the vector itself; vectors are joined back
-    * only for the (few) verified candidate ids.
+    * only for the (few) candidate ids.
     */
   def embeddingPairsLsh(
-      spark: SparkSession, sfDir: String, threshold: Double = 0.95): DataFrame = {
+      spark: SparkSession, sfDir: String, threshold: Double = 0.95,
+      numTables: Int = embedLshTables,
+      bitsPerTable: Int = embedLshBitsPerTable): DataFrame = {
     import graft.functions.VectorExpressions.lsh_bucket
+    require(bitsPerTable <= 64, "a table code is one Long")
     val e = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), graft.functions.Vectors.l2normalize(col("embedding")).as("u"))
-    val coded = e.select(
+    val chunks = e.select(
       col("vec_id"),
-      lsh_bucket(col("u"), embedLshPlanesPerCode, 0).as("c0"),
-      lsh_bucket(col("u"), embedLshPlanesPerCode, embedLshPlanesPerCode).as("c1"))
-    val tablesPerCode = embedLshPlanesPerCode / embedLshBitsPerTable
-    val chunks = coded.select(
-      col("vec_id"),
-      explode(array((0 until embedLshTables).map { t =>
-        val src = if (t < tablesPerCode) col("c0") else col("c1")
-        val off = (t % tablesPerCode) * embedLshBitsPerTable
+      explode(array((0 until numTables).map { t =>
         struct(lit(t).as("tbl"),
-          shiftright(src, off)
-            .bitwiseAND((1L << embedLshBitsPerTable) - 1).as("ck"))
+          lsh_bucket(col("u"), bitsPerTable, t * bitsPerTable).as("ck"))
       }: _*)).as("blk"))
       .select(col("vec_id"), col("blk.tbl").as("tbl"), col("blk.ck").as("ck"))
     val cand = chunks.as("a")

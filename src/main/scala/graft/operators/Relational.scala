@@ -167,6 +167,44 @@ object Relational {
         count(lit(1)).as("n_events"),
         moneySum(col("value")).as("sum_value"))
 
+  /** INTERSECT (distinct) of two order subsets: completes the set-op
+    * family next to UNION ALL (q15) and EXCEPT-shaped anti join (q13).
+    */
+  def intersectScans(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+    o.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .intersect(
+        o.filter(col("o_totalprice") > 200000.0)
+          .select(col("o_orderkey"), col("o_totalprice")))
+  }
+
+  /** EXCEPT (distinct): F-status orders that are NOT high-value. */
+  def exceptScans(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+    o.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .except(
+        o.filter(col("o_totalprice") > 200000.0)
+          .select(col("o_orderkey"), col("o_totalprice")))
+  }
+
+  /** Scalar string-function breadth over `customer` — upper/lower,
+    * concat, padding, reverse, and edit distance, all codegen'd
+    * built-ins with exact DuckDB twins.
+    */
+  def stringFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "customer")
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        lower(col("c_mktsegment")).as("seg_lower"),
+        concat_ws("|", col("c_name"), col("c_mktsegment")).as("joined"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"),
+        reverse(col("c_name")).as("name_rev"),
+        levenshtein(substring(col("c_name"), 1, 8),
+          substring(col("c_mktsegment"), 1, 8)).as("edit_dist"))
+
   /** AS-OF join, Spark-first: for every purchase event, the timestamp
     * of the same user's most recent PRIOR click. Spark has no ASOF
     * join operator; rather than a custom physical plan, the semantics

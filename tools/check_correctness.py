@@ -38,6 +38,11 @@ def close(a, b):
     return a == b
 
 fails = 0
+# a query that THREW in Verify leaves no result dir — that must be a
+# loud FAIL, not a silent absence
+dumped = {os.path.basename(p) for p in glob.glob(os.path.join(outdir, "q*"))}
+for qname in sorted(set(oracle) - dumped):
+    print(f"FAIL {qname}: no result dump (query threw in Verify?)"); fails += 1
 for name in sorted(glob.glob(os.path.join(outdir, "q*"))):
     qname = os.path.basename(name)
     try:
