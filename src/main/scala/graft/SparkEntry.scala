@@ -54,6 +54,7 @@ object SparkEntry {
     "q34_intersect" -> (Relational.intersectScans _),
     "q35_except" -> (Relational.exceptScans _),
     "q36_string_funcs" -> (Relational.stringFuncs _),
+    "q37_tpch_q3" -> (Relational.tpchQ3 _),
     // --- dedup suite ---
     "q20_dedup_exact" -> (Dedup.exact _),
     "q21_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
@@ -236,6 +237,18 @@ object SparkEntry {
          reverse(c_name) AS name_rev,
          CAST(levenshtein(substr(c_name, 1, 8), substr(c_mktsegment, 1, 8)) AS INTEGER) AS edit_dist
          FROM customer""",
+    "q37_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-06-01'
+           AND l_shipdate > TIMESTAMP '1998-06-01'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
     "q20_dedup_exact" ->
       s"""SELECT MD5($normText) AS h, MIN(doc_id) AS keep_id,
          COUNT(*) AS n_copies FROM documents GROUP BY 1""",

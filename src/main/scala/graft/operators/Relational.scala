@@ -167,6 +167,36 @@ object Relational {
         count(lit(1)).as("n_events"),
         moneySum(col("value")).as("sum_value"))
 
+  /** TPC-H Q3 shape — the classic 3-way star: segment-filtered
+    * customers (broadcast) ⋈ date-filtered orders ⋈ ship-date-filtered
+    * lineitem, revenue per order, top 10. One fact-fact shuffle on
+    * orderkey; filters reach every scan; TakeOrderedAndProject caps
+    * the sort. The flagship "many operators at once" plan.
+    */
+  def tpchQ3(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast("timestamp")
+    val c = Tables.load(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), col("o_orderpriority"))
+    val l = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(
+        sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) *
+            (lit(1).cast(org.apache.spark.sql.types.DecimalType(18, 2)) -
+             col("l_discount").cast(org.apache.spark.sql.types.DecimalType(18, 2))))
+          .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
   /** INTERSECT (distinct) of two order subsets: completes the set-op
     * family next to UNION ALL (q15) and EXCEPT-shaped anti join (q13).
     */

@@ -114,16 +114,60 @@ object EventStream {
   /** Run a streaming frame to completion on the fixture files
     * (Trigger.AvailableNow + memory sink) and return the final result
     * as a batch DataFrame — the harness for batch-parity tests.
+    * Aggregations use Complete mode (default); stream-stream joins
+    * require Append.
     */
-  def runToBatch(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
+  def runToBatch(spark: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val q = df.writeStream
-      .outputMode(OutputMode.Complete())
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     spark.table(name)
+  }
+
+  /** Stream-stream join: click→purchase attribution. Each purchase
+    * joins every click by the same user within the preceding hour.
+    * Both sides are watermarked and the join condition bounds event
+    * time on both ends, so the state store retains only one hour of
+    * clicks/purchases — the canonical bounded stream-stream join.
+    * Batch twin: [[attributionBatch]] (same filters, same range join).
+    */
+  def attributionStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val clicks = readEvents(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = readEvents(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") < col("purchase_ts"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
+  /** Batch twin of [[attributionStream]]. */
+  def attributionBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") < col("purchase_ts"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
   }
 
   case class SessionSummary(

@@ -60,6 +60,24 @@ class EventStreamSpec extends AnyFunSuite {
     assert(ids.length == graft.sources.Tables.load(spark, sf, "events").count())
   }
 
+  test("stream-stream attribution join equals its batch twin") {
+    val streamed = EventStream.runToBatch(
+      spark, EventStream.attributionStream(spark, sf), "attr_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(3))).toSet
+    val batch = EventStream.attributionBatch(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty, "fixture should contain attributable purchases")
+    // every attributed click strictly precedes its purchase, within 1h
+    EventStream.attributionBatch(spark, sf).collect().foreach { r =>
+      val p = r.getTimestamp(2).getTime; val c = r.getTimestamp(3).getTime
+      assert(c < p && c >= p - 3600 * 1000L)
+    }
+  }
+
   test("stateful user sessions match batch per-user aggregates (one row per user)") {
     val rows = EventStream.userSessionsBatch(spark, sf).collect()
     // userSessionsBatch dedupes to the final state: exactly one row/user
