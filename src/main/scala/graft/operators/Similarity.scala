@@ -72,17 +72,24 @@ object Similarity {
     * fundamentally bounded; in the high-similarity regime the method
     * targets (near-dup retrieval, cosine >= 0.9) recall approaches 1 —
     * SimilaritySpec tests both.
+    *
+    * SIZE THE BITS TO THE CORPUS (same rule as
+    * Dedup.embeddingPairsLsh): candidates per query ≈
+    * numTables × n / 2^bits; the 4-bit default suits fixture-scale
+    * recall demos — at 10⁹ vectors use ~20+ bits and re-derive the
+    * table count from the recall target.
     */
   def annLsh(
       spark: SparkSession, sfDir: String,
-      numQueries: Int = 5, k: Int = 10): DataFrame = {
+      numQueries: Int = 5, k: Int = 10,
+      numTables: Int = lshTables,
+      bitsPerTable: Int = lshBitsPerTable): DataFrame = {
+    import graft.functions.VectorExpressions.lsh_bucket
     def chunked(df: DataFrame, vcol: String, idCols: Seq[String]): DataFrame =
-      df.withColumn("bucket", lshBucket(col(vcol)))
-        .select(idCols.map(col) ++ Seq(col(vcol)) :+
-          explode(array((0 until lshTables).map { c =>
+      df.select(idCols.map(col) ++ Seq(col(vcol)) :+
+          explode(array((0 until numTables).map { c =>
             struct(lit(c).as("chunk"),
-              shiftright(col("bucket"), c * lshBitsPerTable)
-                .bitwiseAND((1L << lshBitsPerTable) - 1).as("ck"))
+              lsh_bucket(col(vcol), bitsPerTable, c * bitsPerTable).as("ck"))
           }: _*)).as("blk"): _*)
         .select(idCols.map(col) ++ Seq(col(vcol),
           col("blk.chunk").as("chunk"), col("blk.ck").as("ck")): _*)

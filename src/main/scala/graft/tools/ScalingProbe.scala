@@ -60,7 +60,11 @@ object ScalingProbe {
       "q20_dedup_exact" -> (d => graft.operators.Dedup.exact(spark, d)),
       "q22_minhash_verified" -> (d => graft.operators.Dedup.minhashLshPairsVerified(spark, d)),
       "q23_simhash" -> (d => graft.operators.Dedup.simhashPairs(spark, d)),
-      "q24_embed_lsh" -> (d => graft.operators.Dedup.embeddingPairsLsh(spark, d)))
+      "q24_embed_lsh" -> (d => graft.operators.Dedup.embeddingPairsLsh(spark, d)),
+      // the documented scaling rule in action: bits sized to the
+      // K× corpus (2^12 buckets) instead of the fixture default
+      "q24_embed_lsh_12bit" -> (d =>
+        graft.operators.Dedup.embeddingPairsLsh(spark, d, bitsPerTable = 12)))
     val ratios = pairs.map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))
