@@ -55,6 +55,7 @@ object SparkEntry {
     "q35_except" -> (Relational.exceptScans _),
     "q36_string_funcs" -> (Relational.stringFuncs _),
     "q37_tpch_q3" -> (Relational.tpchQ3 _),
+    "q38_pivot" -> (Relational.pivotAgg _),
     // --- dedup suite ---
     "q20_dedup_exact" -> (Dedup.exact _),
     "q21_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
@@ -249,6 +250,13 @@ object SparkEntry {
            AND l_shipdate > TIMESTAMP '1998-06-01'
          GROUP BY 1, 2, 3
          ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+    "q38_pivot" ->
+      """SELECT l_returnflag,
+         CAST(SUM(CASE WHEN l_linestatus = 'F'
+           THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+         CAST(SUM(CASE WHEN l_linestatus = 'O'
+           THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O
+         FROM lineitem GROUP BY 1""",
     "q20_dedup_exact" ->
       s"""SELECT MD5($normText) AS h, MIN(doc_id) AS keep_id,
          COUNT(*) AS n_copies FROM documents GROUP BY 1""",

@@ -167,6 +167,17 @@ object Relational {
         count(lit(1)).as("n_events"),
         moneySum(col("value")).as("sum_value"))
 
+  /** Pivot: one column per l_linestatus value, decimal-exact sums.
+    * Explicit value list keeps the output schema static (no extra
+    * distinct-values job, and deterministic column order — both
+    * required at scale and for the oracle).
+    */
+  def pivotAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(moneySum(col("l_quantity")))
+
   /** TPC-H Q3 shape — the classic 3-way star: segment-filtered
     * customers (broadcast) ⋈ date-filtered orders ⋈ ship-date-filtered
     * lineitem, revenue per order, top 10. One fact-fact shuffle on
