@@ -171,6 +171,18 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == oracle)
   }
 
+  test("LSH near-dup with corpus-sized buckets (12-bit) still matches the oracle") {
+    // the scaling knob (more bucket bits for bigger corpora) must not
+    // silently cost recall: at 12 bits x 16 tables, planted-pair miss
+    // probability is ~1e-6 at cosine 0.99
+    val oracle = Dedup.embeddingPairs(spark, "/tmp/graft-embed-lsh-test", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val scaled = Dedup.embeddingPairsLsh(spark, "/tmp/graft-embed-lsh-test",
+      threshold = 0.95, bitsPerTable = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(scaled == oracle)
+  }
+
   test("hyperplane plane families are disjoint across offsets") {
     import graft.functions.VectorExpressions.lsh_bucket
     val df = Seq((1L, Array.fill(16)(0.5f))).toDF("vec_id", "embedding")
