@@ -19,10 +19,11 @@ object CleanPipeline {
 
   /** Near-dup survivor policy: for every verified pair (a < b) the
     * higher id `b` is dropped — deterministic, one anti-join, no
-    * connected-components pass. (CC-based canonical survivors are a
-    * straightforward extension: iterate min-id propagation over the
-    * pair graph; the drop-b policy is the standard cheap variant and
-    * keeps the oracle in plain SQL.)
+    * connected-components pass; the drop-b policy is the standard
+    * cheap variant and keeps the oracle in plain SQL. The
+    * transitive-closure-correct alternative is
+    * [[Dedup.nearDupSurvivors]] (min-label propagation over the pair
+    * graph, DedupSpec-tested).
     */
   def cleanCorpus(
       spark: SparkSession, sfDir: String,

@@ -309,6 +309,67 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  // -------- near-dup cluster resolution --------
+
+  /** Connected components over a near-dup pair graph (id_a, id_b) by
+    * iterative min-label propagation: every doc ends up labeled with
+    * the smallest doc_id reachable through any chain of pairs — the
+    * transitive-closure-correct survivor rule (A~B, B~C puts A,B,C in
+    * ONE cluster even when A~C was never emitted). Returns
+    * (id, comp).
+    *
+    * Scale shape: each iteration is one join + one aggregate over the
+    * EDGE set (near-dup pairs — tiny relative to the corpus), and the
+    * label frame is eagerly materialized per iteration
+    * (localCheckpoint) to truncate lineage — the standard requirement
+    * for iterative DataFrame algorithms. Iterations needed =
+    * graph diameter in components (near-dup clusters are shallow;
+    * maxIter bounds pathological chains). The per-iteration
+    * convergence check is a driver-side COUNT, not a data collect.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("comp").as("src_comp")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("src_comp")).as("nbr_comp"))
+      val updated = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      converged = updated
+        .join(labels.select(col("id"), col("comp").as("old")), "id")
+        .filter(col("comp") =!= col("old"))
+        .limit(1).count() == 0
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
+  /** Cluster-correct near-dup survivors: drop every doc whose
+    * component label is not its own id (the min-id doc of each
+    * near-dup cluster survives). The transitive upgrade of
+    * CleanPipeline's cheap drop-b policy.
+    */
+  def nearDupSurvivors(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashLshPairsVerified(spark, sfDir, threshold = threshold)
+    val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+    val comps = connectedComponents(pairs)
+    docs.join(comps.filter(col("id") =!= col("comp"))
+        .select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+  }
+
   // -------- embedding near-dup --------
 
   /** Embedding-cosine near-duplicates, exact all-pairs cartesian.

@@ -183,6 +183,23 @@ class DedupSpec extends AnyFunSuite {
     assert(scaled == oracle)
   }
 
+  test("connected components merge transitive near-dup chains") {
+    // chain 1-2, 2-3 (no 1-3 edge) plus isolated pair 10-11: min-label
+    // propagation must put {1,2,3} in one component
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("nearDupSurvivors keeps exactly one doc per near-dup cluster") {
+    // docsFixture: 0,1 identical; 2 near-dup of both; 3 unrelated →
+    // cluster {0,1,2} keeps 0; 3 untouched (never in a pair)
+    val survivors = Dedup.nearDupSurvivors(spark, "/tmp/graft-dedup-test")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(0L, 3L))
+  }
+
   test("hyperplane plane families are disjoint across offsets") {
     import graft.functions.VectorExpressions.lsh_bucket
     val df = Seq((1L, Array.fill(16)(0.5f))).toDF("vec_id", "embedding")
