@@ -157,25 +157,115 @@ object Dedup {
     * est_jaccard) where est = fraction of matching signature slots —
     * the unbiased MinHash estimator of Jaccard.
     */
-  /** LSH candidate pairs from a signature frame: band, bucket-join,
-    * distinct. O(n) bucket rows; quadratic only within a band bucket.
+  /** MERGEABLE MinHash sketch as a typed Aggregator: the buffer is the
+    * 64-slot signature itself, and `merge` is slot-wise min — so
+    * partial sketches computed on different partitions (or different
+    * DAYS of an incremental pipeline) combine into exactly the sketch
+    * of the union. This is the persistable-sketch surface SURVEY §7.3
+    * reserves for `TypedImperativeAggregate`-class needs; slot-wise
+    * min is associative+commutative, so any merge tree yields the
+    * identical signature (DedupSpec pins equality with the 64-column
+    * SQL path).
     */
-  private def minhashCandidates(sig: DataFrame): DataFrame = {
+  class MinHashAgg extends org.apache.spark.sql.expressions.Aggregator[
+      (Long, Long), Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
+    def reduce(buf: Array[Long], row: (Long, Long)): Array[Long] = {
+      val sh = row._2
+      var i = 0
+      while (i < numHashes) {
+        // same per-seed mix as minhashSignatures: xxhash64(i, sh) —
+        // Spark's multi-arg xxhash64 chains arg hashes from seed 42;
+        // lit(i) is an INT literal there, so hash i as IntegerType
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(sh, org.apache.spark.sql.types.LongType,
+            org.apache.spark.sql.catalyst.expressions.XxHash64Function
+              .hash(i, org.apache.spark.sql.types.IntegerType, 42L))
+        if (h < buf(i)) buf(i) = h
+        i += 1
+      }
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < numHashes) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    def finish(buf: Array[Long]): Array[Long] = buf
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** (doc_id, band, bh) banded keys for a signature frame. */
+  private def bandedKeys(sig: DataFrame): DataFrame = {
     val bandCols = (0 until numBands).map { b =>
       val slots = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(slots: _*).as("bh")).as(s"band_$b")
     }
-    val banded = sig
+    sig
       .select(col("doc_id") +: bandCols: _*)
       .select(col("doc_id"),
         explode(array((0 until numBands).map(b => col(s"band_$b")): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
+  /** LSH candidate pairs from a signature frame: band, bucket-join,
+    * distinct. O(n) bucket rows; quadratic only within a band bucket.
+    */
+  private def minhashCandidates(sig: DataFrame): DataFrame = {
+    val banded = bandedKeys(sig)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+  }
+
+  /** Estimate-verify candidate pairs against full signatures: fraction
+    * of matching slots = the unbiased MinHash Jaccard estimator.
+    */
+  private def estVerify(
+      cand: DataFrame, sig: DataFrame, threshold: Double): DataFrame = {
+    val sigA = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
+    val sigB = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"a_mh_$i") === col(s"b_mh_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sigA, col("id_a") === col("a_doc_id"))
+      .join(sigB, col("id_b") === col("b_doc_id"))
+      .withColumn("est_jaccard", matches.cast("double") / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** INCREMENTAL near-dup: pairs that involve at least one NEW doc,
+    * against a persisted signature corpus — the shape a daily 100 TB
+    * ingest needs: signatures for history are READ (tiny: 64 longs per
+    * doc, the mergeable-sketch property of [[MinHashAgg]] even lets
+    * partial-day sketches combine), only the new batch is shingled and
+    * hashed. Candidates = new banded keys bucket-joined against
+    * (existing ∪ new); old×old pairs are never regenerated.
+    */
+  def minhashIncrementalPairs(
+      newDocs: DataFrame, existingSig: DataFrame,
+      n: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val newSig = minhashSignatures(newDocs, n).persist()
+    try {
+      val allSig = existingSig.unionByName(newSig)
+      val cand = bandedKeys(newSig).as("a")
+        .join(bandedKeys(allSig).as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(
+          least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+        .distinct()
+      estVerify(cand, allSig, threshold).localCheckpoint(true)
+    } finally newSig.unpersist()
   }
 
   def minhashLshPairs(
@@ -188,20 +278,8 @@ object Dedup {
     val sig = minhashSignatures(Tables.load(spark, sfDir, "documents"), n)
       .persist()
     try {
-      val cand = minhashCandidates(sig)
       // estimate Jaccard from full signatures (cheap: pairs are few)
-      val sigA = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
-      val sigB = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
-      val matches = (0 until numHashes)
-        .map(i => when(col(s"a_mh_$i") === col(s"b_mh_$i"), 1).otherwise(0))
-        .reduce(_ + _)
-      cand
-        .join(sigA, col("id_a") === col("a_doc_id"))
-        .join(sigB, col("id_b") === col("b_doc_id"))
-        .withColumn("est_jaccard", matches.cast("double") / lit(numHashes.toDouble))
-        .filter(col("est_jaccard") >= threshold)
-        .select(col("id_a"), col("id_b"), col("est_jaccard"))
-        .localCheckpoint(true)
+      estVerify(minhashCandidates(sig), sig, threshold).localCheckpoint(true)
     } finally sig.unpersist()
   }
 

@@ -126,6 +126,39 @@ class DedupSpec extends AnyFunSuite {
     assert(verified == exact)
   }
 
+  test("mergeable MinHashAgg equals the 64-column SQL signature path") {
+    import org.apache.spark.sql.functions.{col => c}
+    val docs = docsFixture
+    val sqlSig = Dedup.minhashSignatures(docs, 5)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to Dedup.numHashes).map(r.getLong).toSeq)
+      .toMap
+    val sh = Dedup.shingleHashes(docs, 5)
+      .as[(Long, Long)]
+    val aggSig = sh.groupByKey(_._1)
+      .agg(new Dedup.MinHashAgg().toColumn.name("sig"))
+      .collect()
+      .map { case (id, sig) => id -> sig.toSeq }
+      .toMap
+    assert(aggSig == sqlSig)
+  }
+
+  test("incremental minhash equals the full run restricted to new-doc pairs") {
+    val all = docsFixture
+    val oldDocs = all.filter($"doc_id".isin(0L, 3L))
+    val newDocs = all.filter($"doc_id".isin(1L, 2L))
+    val existingSig = Dedup.minhashSignatures(oldDocs, 5)
+    val incremental = Dedup.minhashIncrementalPairs(newDocs, existingSig)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val full = Dedup.minhashLshPairs(spark, "/tmp/graft-dedup-test", n = 5, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val newIds = Set(1L, 2L)
+    val expected = full.filter { case ((a, b), _) => newIds(a) || newIds(b) }
+    assert(incremental == expected)
+    // and it never regenerates old-only pairs
+    assert(incremental.keys.forall { case (a, b) => newIds(a) || newIds(b) })
+  }
+
   test("simhash: identical docs distance 0; near-dups close; unrelated far") {
     val pairs = Dedup.simhashPairs(spark, "/tmp/graft-dedup-test", maxDist = 63)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
