@@ -110,13 +110,16 @@ object Dedup {
       val sizes = index
         .select(explode(col("ids")).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      // all ordered pairs within each posting list
+      // all ordered pairs within each posting list: two explodes + a
+      // filter beat the nested transform/slice/struct formulation by
+      // ~30% (no array-of-struct allocation per list element —
+      // measured in tools/Q21Probe, identical output)
       val common = index
         .filter(size(col("ids")) > 1)
-        .select(explode(flatten(transform(col("ids"), (x, i) =>
-          transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
-            struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-        .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        .select(explode(col("ids")).as("id_a"), col("ids"))
+        .select(col("id_a"), explode(col("ids")).as("id_b"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
         .agg(count(lit(1)).as("n_common"))
       common
         .join(sizes.withColumnRenamed("doc_id", "id_a")
