@@ -61,8 +61,12 @@ object SparkEntry {
     "q21_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
     "q22_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLshPairsVerified(s, d)),
     "q23_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
-    "q24_embed_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingPairsLsh(s, d)),
+    "q24_embed_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupPlanted(s, d)),
     "q25_clean_corpus" -> ((s: SparkSession, d: String) => CleanPipeline.cleanCorpus(s, d)),
+    "q44_neardup_clusters" -> ((s: SparkSession, d: String) => Dedup.nearDupSurvivors(s, d)),
+    "q45_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.minhashIncrementalVerified(s, d)),
+    // --- sketches ---
+    "q39_cardinality" -> (Sketches.cardinality _),
     // --- similarity search ---
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Similarity.annBrute(s, d)),
     "q31_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -95,7 +99,7 @@ object SparkEntry {
     "q01_scan_1a" ->
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000.0",
     "q02_scan_1b" ->
-      "SELECT p_partkey, p_retailprice FROM part WHERE p_retailprice > 1200.0",
+      "SELECT p_partkey, p_retailprice FROM part WHERE p_retailprice > 915.0",
     "q03_project_scalar" ->
       """SELECT c_custkey, substr(c_name, 1, 8) AS name_prefix,
          CAST(c_acctbal AS DOUBLE) AS acctbal FROM customer""",
@@ -158,7 +162,8 @@ object SparkEntry {
            WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""",
     "q13_join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""",
     "q14_window_top" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk
          FROM (SELECT o_custkey, o_orderkey, o_totalprice,
@@ -336,13 +341,89 @@ object SparkEntry {
     // exact float-math oracles: Spark's DotProduct accumulates double
     // left-to-right, bit-identical to DuckDB list_sum/list_transform
     // (validated pairwise over the fixture — tools/CosineProbe).
+    // q24 plants deterministic near-dup copies inside the query (the
+    // fixture's organic max pairwise cosine is 0.51 — see
+    // Dedup.embeddingNearDupPlanted) so the oracle verifies REAL rows;
+    // the all-pairs form here is the exhaustive truth the LSH path
+    // must reproduce.
     "q24_embed_neardup" ->
-      s"""WITH u AS ($normalizedVectors)
+      s"""WITH u AS ($normalizedVectors),
+         aug AS (
+           SELECT vec_id, v FROM u
+           UNION ALL
+           SELECT vec_id + 1000000 AS vec_id,
+             list_transform(w, x -> CASE WHEN nrm2 > 0 THEN x / nrm2 ELSE 0.0 END) AS v
+           FROM (SELECT vec_id, w,
+                   sqrt(list_sum(list_transform(w, x -> x * x))) AS nrm2
+                 FROM (SELECT vec_id,
+                         list_transform(v, (x, i) -> CASE WHEN i = 1
+                           THEN x + CAST(0.2 AS DOUBLE) ELSE x END) AS w
+                       FROM u WHERE vec_id % 10 = 0)))
          SELECT id_a, id_b, cosine FROM (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS cosine
-           FROM u a JOIN u b ON a.vec_id < b.vec_id)
+           FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
          WHERE cosine >= 0.95""",
+    "q39_cardinality" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+         TRUE AS approx_ok FROM events GROUP BY 1""",
+    // q44: min-label connected components over the exhaustive near-dup
+    // pair graph, as a recursive transitive-closure CTE; survivors =
+    // docs whose component label is their own id. The Spark side runs
+    // LSH-verified pairs + iterative min-label propagation — equal
+    // whenever banded recall is complete (the q22 precedent).
+    "q44_neardup_clusters" ->
+      s"""WITH RECURSIVE words AS (
+           SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t
+           WHERE len(w) >= 5),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM common
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(n_common AS DOUBLE) /
+             CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id),
+         comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY 1)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp <> id)""",
+    // q45: the exhaustive pair truth restricted to pairs touching the
+    // deterministic NEW batch (doc_id % 5 = 0) — the incremental
+    // operator must find exactly these without regenerating old×old.
+    "q45_incremental_dedup" ->
+      s"""WITH words AS (
+           SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t
+           WHERE len(w) >= 5),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, n_common,
+           CAST(n_common AS DOUBLE) /
+             CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+         FROM common
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(n_common AS DOUBLE) /
+             CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+           AND (id_a % 5 = 0 OR id_b % 5 = 0)""",
     "q30_ann_brute" ->
       s"""WITH u AS ($normalizedVectors),
          q AS (SELECT vec_id AS q_id, v AS qv FROM u

@@ -253,22 +253,76 @@ object Dedup {
     * hashed. Candidates = new banded keys bucket-joined against
     * (existing ∪ new); old×old pairs are never regenerated.
     */
+  /** Candidate pairs touching the NEW batch: new banded keys
+    * bucket-joined against the full signature set; old×old pairs never
+    * appear. Shared by [[minhashIncrementalPairs]] (estimate output)
+    * and [[minhashIncrementalVerified]] (exact output, the q45 entry).
+    */
+  private def incrementalCandidates(
+      newSig: DataFrame, allSig: DataFrame): DataFrame =
+    bandedKeys(newSig).as("a")
+      .join(bandedKeys(allSig).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+      .distinct()
+
   def minhashIncrementalPairs(
       newDocs: DataFrame, existingSig: DataFrame,
       n: Int = 5, threshold: Double = 0.5): DataFrame = {
     val newSig = minhashSignatures(newDocs, n).persist()
     try {
       val allSig = existingSig.unionByName(newSig)
-      val cand = bandedKeys(newSig).as("a")
-        .join(bandedKeys(allSig).as("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-            col("a.doc_id") =!= col("b.doc_id"))
-        .select(
-          least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
-          greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
-        .distinct()
-      estVerify(cand, allSig, threshold).localCheckpoint(true)
+      estVerify(incrementalCandidates(newSig, allSig), allSig, threshold)
+        .localCheckpoint(true)
     } finally newSig.unpersist()
+  }
+
+  /** The q45 driver entry: incremental (daily-ingest-shaped) near-dup
+    * under the hard oracle. The `documents` table is split
+    * deterministically — `doc_id % newModulus == 0` is the NEW batch,
+    * the rest is history — and only pairs touching the new batch are
+    * emitted: candidates come from [[incrementalCandidates]] (new
+    * banded keys vs all signatures, old×old never regenerated), then
+    * the few candidates are verified with EXACT n-gram Jaccard, so
+    * the oracle is the exhaustive q21 SQL restricted to pairs touching
+    * the new set (equal whenever banded recall at the threshold is
+    * complete — the q22 precedent).
+    *
+    * At 100 TB the history side reads persisted signatures (64 longs
+    * per doc; [[MinHashAgg]] even merges partial-day sketches) and the
+    * verification sets come from the candidate docs' text only; the
+    * fixture has one table, so both derive from the same scan here —
+    * the plan shape (what joins what) is the production one.
+    */
+  def minhashIncrementalVerified(
+      spark: SparkSession, sfDir: String,
+      n: Int = 5, threshold: Double = 0.5, newModulus: Int = 5): DataFrame = {
+    val sh = shingleHashes(Tables.load(spark, sfDir, "documents"), n)
+      .persist() // feeds signatures AND verification sets; released below
+    try {
+      val mins = (0 until numHashes).map(i =>
+        min(xxhash64(lit(i), col("sh"))).as(s"mh_$i"))
+      val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      val newSig = sig.filter(col("doc_id") % newModulus === 0)
+      val cand = incrementalCandidates(newSig, sig)
+      val sets = sh.groupBy(col("doc_id"))
+        .agg(collect_set(col("sh")).as("shs"))
+      cand
+        .join(sets.select(col("doc_id").as("id_a"), col("shs").as("shs_a")), "id_a")
+        .join(sets.select(col("doc_id").as("id_b"), col("shs").as("shs_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("shs_a"), col("shs_b"))).cast("long").as("n_common"),
+          size(col("shs_a")).as("n_a"), size(col("shs_b")).as("n_b"))
+        .withColumn("jaccard",
+          col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
+        .localCheckpoint(true)
+    } finally sh.unpersist()
   }
 
   def minhashLshPairs(
@@ -407,13 +461,32 @@ object Dedup {
     * graph diameter in components (near-dup clusters are shallow;
     * maxIter bounds pathological chains). The per-iteration
     * convergence check is a driver-side COUNT, not a data collect.
+    *
+    * `reliable = false` (default) truncates lineage with
+    * `localCheckpoint(true)`: fastest, but the checkpoint lives in
+    * executor storage — losing one executor mid-iteration kills the
+    * job. On a long-running 1000-node cluster pass `reliable = true`
+    * to use `checkpoint()` against the configured (HDFS/object-store)
+    * checkpoint dir instead: each iteration's labels survive executor
+    * loss. DedupSpec asserts both modes yield identical labels.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame, maxIter: Int = 20,
+      reliable: Boolean = false): DataFrame = {
+    def materialize(df: DataFrame): DataFrame =
+      if (!reliable) df.localCheckpoint(true)
+      else {
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty)
+          sc.setCheckpointDir(
+            System.getProperty("java.io.tmpdir", "/tmp") + "/graft_checkpoints")
+        df.checkpoint()
+      }
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+    var labels = materialize(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -421,11 +494,10 @@ object Dedup {
         .join(labels.select(col("id").as("src"), col("comp").as("src_comp")), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("src_comp")).as("nbr_comp"))
-      val updated = labels
+      val updated = materialize(labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp")))
       converged = updated
         .join(labels.select(col("id"), col("comp").as("old")), "id")
         .filter(col("comp") =!= col("old"))
@@ -505,11 +577,22 @@ object Dedup {
   def embeddingPairsLsh(
       spark: SparkSession, sfDir: String, threshold: Double = 0.95,
       numTables: Int = embedLshTables,
-      bitsPerTable: Int = embedLshBitsPerTable): DataFrame = {
+      bitsPerTable: Int = embedLshBitsPerTable): DataFrame =
+    normalizedPairsLsh(
+      Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"),
+          graft.functions.Vectors.l2normalize(col("embedding")).as("u")),
+      threshold, numTables, bitsPerTable)
+
+  /** [[embeddingPairsLsh]] generalized to any pre-normalized
+    * `(vec_id, u: array<double>)` corpus frame — the planted-copy q24
+    * entry and tests feed augmented corpora through the same plan.
+    */
+  def normalizedPairsLsh(
+      e: DataFrame, threshold: Double,
+      numTables: Int, bitsPerTable: Int): DataFrame = {
     import graft.functions.VectorExpressions.lsh_bucket
     require(bitsPerTable <= 64, "a table code is one Long")
-    val e = Tables.load(spark, sfDir, "embeddings")
-      .select(col("vec_id"), graft.functions.Vectors.l2normalize(col("embedding")).as("u"))
     val chunks = e.select(
       col("vec_id"),
       explode(array((0 until numTables).map { t =>
@@ -529,5 +612,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         graft.functions.Vectors.dot(col("ua"), col("ub")).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** Planted-copy parameters for [[embeddingNearDupPlanted]]: every
+    * `plantEvery`-th vector gets a near-duplicate copy at
+    * `vec_id + plantIdOffset` whose element 0 is nudged by
+    * [[plantEps]] (then re-normalized). With eps 0.2 the copy's cosine
+    * to its original is >= 0.979 for any unit vector, comfortably over
+    * the 0.95 contract threshold, while all organic fixture pairs stay
+    * below 0.52 — so the expected output is exactly the planted pairs.
+    */
+  val plantEvery = 10
+  val plantIdOffset = 1000000L
+  val plantEps = 0.2
+
+  /** The q24 driver entry: corpus×corpus near-dup LSH over the
+    * embeddings table AUGMENTED with deterministic planted
+    * near-duplicate copies. The fixture's organic max pairwise cosine
+    * is 0.51 — no honest threshold yields rows — so, following the
+    * q19 render-your-own-input precedent, the query plants its own
+    * near-dups: copy = re-normalized (u + eps·e0) at a shifted id.
+    * Every arithmetic step (add, square, left-to-right sum, sqrt,
+    * divide, dot) is single-op IEEE double math the DuckDB oracle
+    * replays bit-identically, and LSH recall at cosine >= 0.979 is
+    * 1 - ~6e-7 per pair — the oracle compares REAL rows (50 pairs at
+    * sf0.01), closing the round-2 vacuous-PASS gap.
+    */
+  def embeddingNearDupPlanted(
+      spark: SparkSession, sfDir: String, threshold: Double = 0.95,
+      numTables: Int = embedLshTables,
+      bitsPerTable: Int = embedLshBitsPerTable): DataFrame = {
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.Vectors.l2normalize(col("embedding")).as("u"))
+    val nudged = transform(col("u"),
+      (x, i) => when(i === 0, x + lit(plantEps)).otherwise(x))
+    val planted = e.filter(col("vec_id") % plantEvery === 0)
+      .select((col("vec_id") + plantIdOffset).as("vec_id"),
+        graft.functions.Vectors.l2normalize(nudged).as("u"))
+    normalizedPairsLsh(e.unionByName(planted), threshold, numTables, bitsPerTable)
   }
 }

@@ -33,10 +33,15 @@ object ReferenceQueries {
       .filter(col("o_totalprice") > 400000.0)
       .select(col("o_orderkey"), col("o_totalprice"))
 
-  /** Scan 1b shape: lower selectivity threshold (`README.md:142`). */
+  /** Scan 1b shape: the LOW-selectivity variant of 1a (the reference's
+    * 1b lowers the pageRank cutoff, `README.md:142`). Threshold 915 is
+    * inside the fixture's price range at every SF (sf0.001 tops out at
+    * 919.9), so the oracle compares real rows — the round-2 cutoff of
+    * 1200 exceeded the data max and made the PASS vacuous.
+    */
   def scan1b(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "part")
-      .filter(col("p_retailprice") > 1200.0)
+      .filter(col("p_retailprice") > 915.0)
       .select(col("p_partkey"), col("p_retailprice"))
 
   /** Projection + scalar expressions (O4): per-record

@@ -81,11 +81,18 @@ object Relational {
         "left_semi")
       .select(col("c_custkey"), col("c_name"))
 
-  /** Left anti join (NOT EXISTS): customers with no orders at all. */
+  /** Left anti join (NOT EXISTS): customers with no order above the
+    * cutoff. (Every fixture customer has at least one order, so the
+    * round-2 "no orders at all" shape matched zero rows on both sides —
+    * a vacuous PASS; the filtered-subquery anti form returns real rows
+    * at every SF and is also the more common production shape.)
+    */
   def joinAnti(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "customer")
       .join(
-        Tables.load(spark, sfDir, "orders").select(col("o_custkey")),
+        Tables.load(spark, sfDir, "orders")
+          .filter(col("o_totalprice") > 400000.0)
+          .select(col("o_custkey")),
         col("c_custkey") === col("o_custkey"),
         "left_anti")
       .select(col("c_custkey"), col("c_name"))

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Cardinality / frequency sketches — the standard single-pass
+  * approximations a 100 TB pipeline reaches for when exact answers
+  * need a full shuffle of the key space (SURVEY.md §7.3 names
+  * `approx_count_distinct` as the built-in sketch surface).
+  *
+  * Oracle posture: a sketch's VALUE is engine-specific (Spark's HLL++
+  * vs DuckDB's HLL disagree by construction), so the hard driver
+  * signal is structured as: (a) the exact count — computed by Spark,
+  * hash-compared against DuckDB's COUNT(DISTINCT); (b) a boolean
+  * `approx_ok` asserting the sketch landed within the documented
+  * error bound, which the oracle claims as literal TRUE. A sketch
+  * drifting out of bound therefore FAILS the hash compare — the
+  * property is under the hard signal, not just a unit test.
+  * SketchesSpec additionally pins the tighter observed error.
+  */
+object Sketches {
+
+  /** Relative-error target handed to HLL++ (`rsd`). */
+  val hllRsd = 0.05
+
+  /** Accepted |approx - exact| / exact bound for `approx_ok`. HLL++ at
+    * rsd=0.05 has σ ≈ 5%; 0.15 = 3σ. The sketch is deterministic for
+    * fixed input (order-independent hashing), so this is a stable
+    * gate, not a flaky one.
+    */
+  val hllBound = 0.15
+
+  /** q39: distinct users per event_type — exact count (oracle-compared)
+    * next to the HLL++ estimate folded into the `approx_ok` bound
+    * check. At 100 TB the exact COUNT(DISTINCT) column is the one
+    * you'd drop: it shuffles the full (event_type, user_id) key space,
+    * while the sketch is a fixed-size buffer per group, mergeable
+    * across partitions — partial aggregation does the map-side work.
+    */
+  def cardinality(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), hllRsd).as("n_approx"))
+      .select(
+        col("event_type"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")).cast("double") <=
+          col("n_exact").cast("double") * hllBound).as("approx_ok"))
+
+  /** The raw (exact, approx) frame for SketchesSpec's error-bound
+    * property.
+    */
+  def cardinalityRaw(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), hllRsd).as("n_approx"))
+}

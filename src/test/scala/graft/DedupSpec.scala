@@ -216,6 +216,43 @@ class DedupSpec extends AnyFunSuite {
     assert(scaled == oracle)
   }
 
+  test("planted q24 corpus yields exactly one pair per planted copy, all over threshold") {
+    val sf = "/root/testdata/sf0.001"
+    val pairs = Dedup.embeddingNearDupPlanted(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every 10th of the 500 fixture vectors gets a copy → 50 pairs
+    assert(pairs.length == 50, s"got ${pairs.length}")
+    pairs.foreach { case (a, b, cos) =>
+      assert(b == a + Dedup.plantIdOffset, s"unexpected pair ($a,$b)")
+      assert(a % Dedup.plantEvery == 0)
+      assert(cos >= 0.95 && cos < 1.0, s"cosine $cos")
+    }
+  }
+
+  test("incremental VERIFIED equals the exhaustive truth restricted to the new batch") {
+    val sf = "/root/testdata/sf0.001"
+    val newMod = 5
+    val exhaustive = Dedup.ngramJaccardPairs(spark, sf, n = 5, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap.filter { case ((a, b), _) => a % newMod == 0 || b % newMod == 0 }
+    val incremental = Dedup.minhashIncrementalVerified(spark, sf, newModulus = newMod)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(incremental == exhaustive)
+    assert(incremental.nonEmpty, "fixture must produce pairs touching the new batch")
+  }
+
+  test("reliable checkpoint mode yields identical component labels") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L))
+      .toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = Dedup.connectedComponents(pairs, reliable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == reliable)
+    assert(fast == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
   test("connected components merge transitive near-dup chains") {
     // chain 1-2, 2-3 (no 1-3 edge) plus isolated pair 10-11: min-label
     // propagation must put {1,2,3} in one component

@@ -15,12 +15,16 @@ class RelationalSpec extends AnyFunSuite {
   }
 
   test("semi + anti join partition the customer set") {
+    // joinAnti's predicate is "no order above 400k" — its semi
+    // complement must use the same filtered order subset
     val total = graft.sources.Tables.load(spark, sf, "customer").count()
-    val withOrders = graft.sources.Tables.load(spark, sf, "customer")
-      .join(graft.sources.Tables.load(spark, sf, "orders"),
+    val withBigOrders = graft.sources.Tables.load(spark, sf, "customer")
+      .join(graft.sources.Tables.load(spark, sf, "orders")
+          .filter(col("o_totalprice") > 400000.0),
         col("c_custkey") === col("o_custkey"), "left_semi").count()
     val without = Relational.joinAnti(spark, sf).count()
-    assert(withOrders + without == total)
+    assert(withBigOrders + without == total)
+    assert(without > 0, "anti side must be non-vacuous on the fixture")
   }
 
   test("window top-per-key returns at most 2 rows per customer, ranked") {
