@@ -6,11 +6,16 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds.
   * Uses the `noop` sink so the FULL physical plan executes (a bare
   * `.count()` would let Catalyst prune projections and undercount).
+  *
+  * Each query is timed SPARK_GRAFT_RUNS times (default 3) and the
+  * MEDIAN is reported — single-run numbers made round-over-round
+  * deltas unattributable noise (the round-2 verdict's q07 "+13%").
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val spark = GraftSession.local(cores = cpus, appName = "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -27,10 +32,15 @@ object Bench {
       }
     }
 
+    def runMedian(name: String): Double = {
+      val ts = Seq.fill(runs)(runOnce(name))
+      if (ts.contains(-1.0)) -1.0 else ts.sorted.apply(runs / 2)
+    }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     // one warm-up of the flagship to absorb JVM/codegen first-run cost
     runOnce("q04_agg_2a")
-    val results = names.map(n => n -> runOnce(n))
+    val results = names.map(n => n -> runMedian(n))
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

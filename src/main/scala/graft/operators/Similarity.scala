@@ -142,8 +142,73 @@ object Similarity {
       clusters: Int = ivfClusters, probes: Int = ivfProbes): DataFrame = {
     val corpus = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), Vectors.l2normalize(col("embedding")).as("u"))
-    val cents = corpus.filter(col("vec_id") < clusters)
+    val cents = seededCodebook(corpus, clusters)
+    annIvfWithCodebook(spark, sfDir, cents, numQueries, k, probes)
+  }
+
+  /** The deterministic default codebook: the `clusters` lowest-id
+    * corpus vectors. Oracle-replayable (q32's SQL hard-codes the same
+    * rule).
+    */
+  def seededCodebook(corpus: DataFrame, clusters: Int = ivfClusters): DataFrame =
+    corpus.filter(col("vec_id") < clusters)
       .select(col("vec_id").as("c_id"), col("u").as("cv"))
+
+  /** k-means-trained codebook (Lloyd's iterations), entirely in
+    * DataFrame ops — no collect of the corpus, no MLlib dependency:
+    * assignment = broadcast-codebook argmax (`clusters` dot products
+    * per vector, linear); update = per-(cell, position) mean via
+    * posexplode + re-assembly, then re-normalization to the unit
+    * sphere (spherical k-means — the right variant under cosine).
+    * Init = the seeded codebook, fixed iteration count; empty cells
+    * keep their previous centroid.
+    *
+    * NOT the oracle path: double mean accumulation order varies with
+    * partitioning, so the trained codebook is deliberately kept out of
+    * q32 (which stays on [[seededCodebook]]); SimilaritySpec asserts
+    * training does not lose recall vs the seeded book.
+    *
+    * At 100 TB: train on a corpus SAMPLE (pass `corpus.sample(...)`),
+    * then assign the full corpus once — the standard IVF build.
+    */
+  def kmeansCodebook(
+      corpus: DataFrame, clusters: Int = ivfClusters,
+      iters: Int = 5): DataFrame = {
+    var cents = seededCodebook(corpus, clusters).localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val assigned = corpus.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("c_id"), col("u"),
+          Vectors.dot(col("u"), col("cv")).as("sim"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("sim"), (-col("c_id")).as("nc"), col("u")))
+          .as("m"))
+        .select((-col("m.nc")).as("c_id"), col("m.u").as("u"))
+      val means = assigned
+        .select(col("c_id"), posexplode(col("u")).as(Seq("pos", "x")))
+        .groupBy(col("c_id"), col("pos"))
+        .agg(avg(col("x")).as("mx"))
+        .groupBy(col("c_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mx")))),
+          s => s.getField("mx")).as("mean"))
+        .select(col("c_id"),
+          Vectors.l2normalize(col("mean")).as("cv_new"))
+      cents = cents.as("c")
+        .join(means.as("m"), Seq("c_id"), "left")
+        .select(col("c_id"), coalesce(col("cv_new"), col("cv")).as("cv"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** [[annIvf]] parameterized on the codebook frame `(c_id, cv)` —
+    * seeded or k-means-trained books run the identical physical plan.
+    */
+  def annIvfWithCodebook(
+      spark: SparkSession, sfDir: String, cents: DataFrame,
+      numQueries: Int = 5, k: Int = 10, probes: Int = ivfProbes): DataFrame = {
+    val corpus = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), Vectors.l2normalize(col("embedding")).as("u"))
     val sims = corpus.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("c_id"),
         Vectors.dot(col("u"), col("cv")).as("sim"))

@@ -112,6 +112,51 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("k-means-trained codebook beats the seeded codebook on clustered data") {
+    // The fixture's embeddings are near-random (no cell structure to
+    // learn — trained vs seeded recall there differs by noise), so the
+    // training test uses data with REAL cluster structure: 16 ground
+    // truth centers, 20 members each at cosine ~0.95 to their center,
+    // ids round-robin so the seeded book gets one (noisy) member per
+    // cluster. k-means recovers the true centroids, so cell boundaries
+    // sharpen and recall must not drop — and typically rises.
+    import graft.operators.Similarity.{annBrute, annIvfWithCodebook, kmeansCodebook, seededCodebook}
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(16)(Array.fill(32)(rnd.nextGaussian()))
+    val rows = (0 until 320).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.map(x => (x + 0.3 * rnd.nextGaussian()).toFloat), i % 16)
+    }
+    rows.toDF("vec_id", "embedding", "cluster")
+      .write.mode("overwrite").parquet("/tmp/graft-kmeans-test/embeddings.parquet")
+    val dir = "/tmp/graft-kmeans-test"
+    val corpus = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), Vectors.l2normalize(col("embedding")).as("u"))
+    val brute = annBrute(spark, dir, numQueries = 8, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(cents: org.apache.spark.sql.DataFrame): Double = {
+      val got = annIvfWithCodebook(spark, dir, cents, numQueries = 8, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    val seeded = recall(seededCodebook(corpus))
+    val trained = recall(kmeansCodebook(corpus, iters = 5))
+    assert(trained >= seeded,
+      s"k-means codebook lost recall: trained=$trained seeded=$seeded")
+    assert(trained >= 0.9, s"trained recall $trained below the structure floor")
+  }
+
+  test("kmeans codebook centroids are unit vectors and keep the cluster count") {
+    import graft.sources.Tables
+    val corpus = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), Vectors.l2normalize(col("embedding")).as("u"))
+    val cents = graft.operators.Similarity.kmeansCodebook(corpus, iters = 2)
+      .select(col("c_id"), Vectors.norm(col("cv")).as("n")).collect()
+    assert(cents.length == graft.operators.Similarity.ivfClusters)
+    cents.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9,
+      s"centroid ${r.getLong(0)} norm ${r.getDouble(1)}"))
+  }
+
   test("LSH bucket is deterministic across evaluations") {
     val e = graft.sources.Tables.load(spark, sf, "embeddings").limit(50)
       .select(col("vec_id"), Similarity.lshBucket(col("embedding")).as("b"))
