@@ -325,6 +325,86 @@ object Dedup {
     } finally sh.unpersist()
   }
 
+  /** Candidate pairs touching the new batch, with the HISTORY side
+    * banded from an already-persisted signature frame — the subtree
+    * DedupSpec plan-audits: `histSig` must reach banding without any
+    * scan of document text (its shingling happened "yesterday").
+    */
+  def bandAgainstHistory(histSig: DataFrame, newSig: DataFrame): DataFrame =
+    incrementalCandidates(newSig, histSig.unionByName(newSig))
+
+  /** The q46 driver entry: the PERSISTED-signature daily-ingest path —
+    * the behavior a real daily 100 TB ingest lives or dies on, run
+    * end-to-end under the hard oracle (same exhaustive restricted SQL
+    * as q45; identical output, different — production — plan shape):
+    *
+    *  1. "yesterday": history docs (doc_id % newModulus != 0) are
+    *     shingled ONCE and their 64-slot signatures materialized to
+    *     parquet via the mergeable [[MinHashAgg]] sketch (64 longs per
+    *     doc — partial-day sketches merge associatively), following the
+    *     q19 render-your-own-input precedent;
+    *  2. "today": the signature parquet is READ BACK (histSig), the new
+    *     batch (doc_id % newModulus == 0) is shingled, and candidates
+    *     come from [[bandAgainstHistory]] — the banding subtree never
+    *     touches history text (DedupSpec asserts its plan has exactly
+    *     one documents scan: the new batch);
+    *  3. verification fetches the TEXT of candidate docs only (a
+    *     join-filtered documents scan — at 100 TB that is the standard
+    *     point lookup of the few candidate docs), and exact n-gram
+    *     Jaccard decides.
+    */
+  def minhashIncrementalPersisted(
+      spark: SparkSession, sfDir: String,
+      n: Int = 5, threshold: Double = 0.5, newModulus: Int = 5): DataFrame = {
+    import spark.implicits._
+    val sigPath =
+      s"/tmp/graft_q46_sig/${new java.io.File(sfDir).getName}"
+    val docs = Tables.load(spark, sfDir, "documents")
+
+    // --- "yesterday": write history signatures (the mergeable-sketch
+    // write side; bit-equal to the 64-column SQL path per DedupSpec) ---
+    shingleHashes(docs.filter(col("doc_id") % newModulus =!= 0), n)
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .agg(new MinHashAgg().toColumn.name("sig"))
+      .toDF("doc_id", "sig")
+      .write.mode("overwrite").parquet(sigPath)
+
+    // --- "today": history signatures are READ, never recomputed ---
+    val histSig = spark.read.parquet(sigPath).select(
+      col("doc_id") +:
+        (0 until numHashes).map(i => col("sig")(i).as(s"mh_$i")): _*)
+    val newSh =
+      shingleHashes(docs.filter(col("doc_id") % newModulus === 0), n)
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"mh_$i"))
+    val newSig = newSh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val cand = bandAgainstHistory(histSig, newSig)
+      .persist() // feeds the id fetch AND the verification join
+    try {
+      val candIds = cand
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .distinct()
+      // candidate docs' shingle sets — the only place history text is
+      // read, and only for docs that appear in a candidate pair
+      val sets = shingleHashes(docs.join(candIds, "doc_id"), n)
+        .groupBy(col("doc_id"))
+        .agg(collect_set(col("sh")).as("shs"))
+      cand
+        .join(sets.select(col("doc_id").as("id_a"), col("shs").as("shs_a")), "id_a")
+        .join(sets.select(col("doc_id").as("id_b"), col("shs").as("shs_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("shs_a"), col("shs_b"))).cast("long").as("n_common"),
+          size(col("shs_a")).as("n_a"), size(col("shs_b")).as("n_b"))
+        .withColumn("jaccard",
+          col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
+        .localCheckpoint(true)
+    } finally cand.unpersist()
+  }
+
   def minhashLshPairs(
       spark: SparkSession, sfDir: String,
       n: Int = 5, threshold: Double = 0.5): DataFrame = {
