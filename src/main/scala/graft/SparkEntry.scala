@@ -65,6 +65,7 @@ object SparkEntry {
     "q25_clean_corpus" -> ((s: SparkSession, d: String) => CleanPipeline.cleanCorpus(s, d)),
     "q44_neardup_clusters" -> ((s: SparkSession, d: String) => Dedup.nearDupSurvivors(s, d)),
     "q45_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.minhashIncrementalVerified(s, d)),
+    "q46_incremental_persisted" -> ((s: SparkSession, d: String) => Dedup.minhashIncrementalPersisted(s, d)),
     // --- sketches ---
     "q39_cardinality" -> (Sketches.cardinality _),
     // --- similarity search ---
@@ -404,6 +405,32 @@ object SparkEntry {
     // deterministic NEW batch (doc_id % 5 = 0) — the incremental
     // operator must find exactly these without regenerating old×old.
     "q45_incremental_dedup" ->
+      s"""WITH words AS (
+           SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t
+           WHERE len(w) >= 5),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, n_common,
+           CAST(n_common AS DOUBLE) /
+             CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+         FROM common
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(n_common AS DOUBLE) /
+             CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+           AND (id_a % 5 = 0 OR id_b % 5 = 0)""",
+    // q46: same output contract as q45 (pairs touching the new batch,
+    // exact-Jaccard scores) — only the PLAN differs: history side comes
+    // from persisted MinHash signatures read back from parquet, so the
+    // banding subtree scans documents exactly once (DedupSpec asserts
+    // the plan; this oracle asserts the rows).
+    "q46_incremental_persisted" ->
       s"""WITH words AS (
            SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
          sh AS (

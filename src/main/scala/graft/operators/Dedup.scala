@@ -245,6 +245,27 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** EXACT n-gram Jaccard verification of candidate pairs (id_a, id_b)
+    * against per-doc shingle sets (doc_id, shs) — the shared tail of
+    * every verified dedup path ([[minhashLshPairsVerified]],
+    * [[minhashIncrementalVerified]], [[minhashIncrementalPersisted]]).
+    * Quadratic work only on the (few) candidates; output is exact
+    * scores, so the operators run under the exhaustive DuckDB oracle.
+    */
+  private def verifyExactJaccard(
+      cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("shs").as("shs_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("shs").as("shs_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long").as("n_common"),
+        size(col("shs_a")).as("n_a"), size(col("shs_b")).as("n_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
+
   /** INCREMENTAL near-dup: pairs that involve at least one NEW doc,
     * against a persisted signature corpus — the shape a daily 100 TB
     * ingest needs: signatures for history are READ (tiny: 64 longs per
@@ -310,99 +331,134 @@ object Dedup {
       val cand = incrementalCandidates(newSig, sig)
       val sets = sh.groupBy(col("doc_id"))
         .agg(collect_set(col("sh")).as("shs"))
-      cand
-        .join(sets.select(col("doc_id").as("id_a"), col("shs").as("shs_a")), "id_a")
-        .join(sets.select(col("doc_id").as("id_b"), col("shs").as("shs_b")), "id_b")
-        .select(col("id_a"), col("id_b"),
-          size(array_intersect(col("shs_a"), col("shs_b"))).cast("long").as("n_common"),
-          size(col("shs_a")).as("n_a"), size(col("shs_b")).as("n_b"))
-        .withColumn("jaccard",
-          col("n_common").cast("double") /
-            (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-        .filter(col("jaccard") >= threshold)
-        .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
-        .localCheckpoint(true)
+      verifyExactJaccard(cand, sets, threshold).localCheckpoint(true)
     } finally sh.unpersist()
   }
 
   /** Candidate pairs touching the new batch, with the HISTORY side
-    * banded from an already-persisted signature frame — the subtree
-    * DedupSpec plan-audits: `histSig` must reach banding without any
-    * scan of document text (its shingling happened "yesterday").
+    * banded from an already-persisted signature frame: `histSig` must
+    * reach banding without any scan of document text (its shingling
+    * happened "yesterday"). See [[persistedCandidates]] for the
+    * DedupSpec-audited plan contract.
     */
   def bandAgainstHistory(histSig: DataFrame, newSig: DataFrame): DataFrame =
     incrementalCandidates(newSig, histSig.unionByName(newSig))
 
-  /** The q46 driver entry: the PERSISTED-signature daily-ingest path —
-    * the behavior a real daily 100 TB ingest lives or dies on, run
-    * end-to-end under the hard oracle (same exhaustive restricted SQL
-    * as q45; identical output, different — production — plan shape):
-    *
-    *  1. "yesterday": history docs (doc_id % newModulus != 0) are
-    *     shingled ONCE and their 64-slot signatures materialized to
-    *     parquet via the mergeable [[MinHashAgg]] sketch (64 longs per
-    *     doc — partial-day sketches merge associatively), following the
-    *     q19 render-your-own-input precedent;
-    *  2. "today": the signature parquet is READ BACK (histSig), the new
-    *     batch (doc_id % newModulus == 0) is shingled, and candidates
-    *     come from [[bandAgainstHistory]] — the banding subtree never
-    *     touches history text (DedupSpec asserts its plan has exactly
-    *     one documents scan: the new batch);
-    *  3. verification fetches the TEXT of candidate docs only (a
-    *     join-filtered documents scan — at 100 TB that is the standard
-    *     point lookup of the few candidate docs), and exact n-gram
-    *     Jaccard decides.
+  /** Write MinHash signatures for the history half of `documents`
+    * (doc_id % newModulus != 0) to `sigPath` via the mergeable
+    * [[MinHashAgg]] sketch — 64 longs per doc, bit-equal to the
+    * 64-column SQL path (DedupSpec), partial-day sketches merge
+    * associatively. The "yesterday" step of the persisted-signature
+    * daily-ingest pipeline.
     */
-  def minhashIncrementalPersisted(
-      spark: SparkSession, sfDir: String,
-      n: Int = 5, threshold: Double = 0.5, newModulus: Int = 5): DataFrame = {
+  def persistHistorySignatures(
+      spark: SparkSession, sfDir: String, sigPath: String,
+      n: Int = 5, newModulus: Int = 5): Unit = {
     import spark.implicits._
-    val sigPath =
-      s"/tmp/graft_q46_sig/${new java.io.File(sfDir).getName}"
     val docs = Tables.load(spark, sfDir, "documents")
-
-    // --- "yesterday": write history signatures (the mergeable-sketch
-    // write side; bit-equal to the 64-column SQL path per DedupSpec) ---
     shingleHashes(docs.filter(col("doc_id") % newModulus =!= 0), n)
       .as[(Long, Long)]
       .groupByKey(_._1)
       .agg(new MinHashAgg().toColumn.name("sig"))
       .toDF("doc_id", "sig")
       .write.mode("overwrite").parquet(sigPath)
+  }
 
-    // --- "today": history signatures are READ, never recomputed ---
-    val histSig = spark.read.parquet(sigPath).select(
+  /** Read a persisted signature parquet back into the wide
+    * (doc_id, mh_0..mh_63) layout the banding machinery consumes.
+    */
+  def readSignatures(spark: SparkSession, sigPath: String): DataFrame =
+    spark.read.parquet(sigPath).select(
       col("doc_id") +:
         (0 until numHashes).map(i => col("sig")(i).as(s"mh_$i")): _*)
-    val newSh =
-      shingleHashes(docs.filter(col("doc_id") % newModulus === 0), n)
+
+  /** MinHash signatures of the NEW batch only (doc_id % newModulus
+    * == 0). This frame's plan scans `documents` exactly once —
+    * DedupSpec asserts that — and [[persistedCandidates]] materializes
+    * it eagerly so banding's two uses of it never re-scan.
+    */
+  def newBatchSignatures(
+      spark: SparkSession, sfDir: String,
+      n: Int = 5, newModulus: Int = 5): DataFrame = {
+    val newSh = shingleHashes(
+      Tables.load(spark, sfDir, "documents")
+        .filter(col("doc_id") % newModulus === 0), n)
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("sh"))).as(s"mh_$i"))
-    val newSig = newSh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-    val cand = bandAgainstHistory(histSig, newSig)
-      .persist() // feeds the id fetch AND the verification join
+    newSh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** The "today" candidate subtree of the persisted pipeline: history
+    * signatures are READ from `sigPath` (never recomputed), only the
+    * new batch is shingled and signed ([[newBatchSignatures]], one
+    * documents scan, materialized eagerly because it feeds both
+    * branches of the banding union), and [[bandAgainstHistory]] bands
+    * new against (history ∪ new). The returned frame's plan reads
+    * document TEXT zero times — history arrives only as 64-long
+    * signatures — which DedupSpec asserts: its only parquet scan is
+    * `sigPath`.
+    */
+  def persistedCandidates(
+      spark: SparkSession, sfDir: String, sigPath: String,
+      n: Int = 5, newModulus: Int = 5): DataFrame = {
+    val histSig = readSignatures(spark, sigPath)
+    val newSig =
+      newBatchSignatures(spark, sfDir, n, newModulus).localCheckpoint(true)
+    bandAgainstHistory(histSig, newSig)
+  }
+
+  /** The q46 driver entry: the PERSISTED-signature daily-ingest path —
+    * the behavior a real daily 100 TB ingest lives or dies on, run
+    * end-to-end under the hard oracle (same exhaustive restricted SQL
+    * as q45; identical output, different — production — plan shape):
+    *
+    *  1. "yesterday": [[persistHistorySignatures]] materializes the
+    *     history signatures to parquet (the q19 render-your-own-input
+    *     precedent);
+    *  2. "today": [[persistedCandidates]] reads the signatures back,
+    *     shingles only the new batch, and bands new against history —
+    *     the banding subtree never touches history text;
+    *  3. verification fetches the TEXT of candidate docs only (a
+    *     join-filtered documents scan — at 100 TB that is the standard
+    *     point lookup of the few candidate docs), and exact n-gram
+    *     Jaccard decides.
+    *
+    * `sigPath`: where the signatures live. Default is a
+    * per-application directory under the JVM temp dir (unique via
+    * `applicationId`, so concurrent verify/bench sessions never race),
+    * deleted afterwards. Local-mode only — on a real cluster pass a
+    * shared-filesystem path (HDFS/object store), which is also the
+    * path a real daily pipeline would keep, not delete.
+    */
+  def minhashIncrementalPersisted(
+      spark: SparkSession, sfDir: String,
+      n: Int = 5, threshold: Double = 0.5, newModulus: Int = 5,
+      sigPath: Option[String] = None): DataFrame = {
+    val path = sigPath.getOrElse(
+      System.getProperty("java.io.tmpdir", "/tmp") +
+        s"/graft_sig_${spark.sparkContext.applicationId}/" +
+        new java.io.File(sfDir).getName)
     try {
-      val candIds = cand
-        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
-        .distinct()
-      // candidate docs' shingle sets — the only place history text is
-      // read, and only for docs that appear in a candidate pair
-      val sets = shingleHashes(docs.join(candIds, "doc_id"), n)
-        .groupBy(col("doc_id"))
-        .agg(collect_set(col("sh")).as("shs"))
-      cand
-        .join(sets.select(col("doc_id").as("id_a"), col("shs").as("shs_a")), "id_a")
-        .join(sets.select(col("doc_id").as("id_b"), col("shs").as("shs_b")), "id_b")
-        .select(col("id_a"), col("id_b"),
-          size(array_intersect(col("shs_a"), col("shs_b"))).cast("long").as("n_common"),
-          size(col("shs_a")).as("n_a"), size(col("shs_b")).as("n_b"))
-        .withColumn("jaccard",
-          col("n_common").cast("double") /
-            (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-        .filter(col("jaccard") >= threshold)
-        .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
-        .localCheckpoint(true)
-    } finally cand.unpersist()
+      persistHistorySignatures(spark, sfDir, path, n, newModulus)
+      val docs = Tables.load(spark, sfDir, "documents")
+      val cand = persistedCandidates(spark, sfDir, path, n, newModulus)
+        .persist() // feeds the id fetch AND the verification join
+      try {
+        val candIds = cand
+          .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+          .distinct()
+        // candidate docs' shingle sets — the only place history text is
+        // read, and only for docs that appear in a candidate pair
+        val sets = shingleHashes(docs.join(candIds, "doc_id"), n)
+          .groupBy(col("doc_id"))
+          .agg(collect_set(col("sh")).as("shs"))
+        verifyExactJaccard(cand, sets, threshold).localCheckpoint(true)
+      } finally cand.unpersist()
+    } finally if (sigPath.isEmpty) {
+      // default (session-temp) signatures are scratch: remove them
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
   }
 
   def minhashLshPairs(
@@ -442,18 +498,7 @@ object Dedup {
       val cand = minhashCandidates(sig)
       val sets = sh.groupBy(col("doc_id"))
         .agg(collect_set(col("sh")).as("shs"))
-      cand
-        .join(sets.select(col("doc_id").as("id_a"), col("shs").as("shs_a")), "id_a")
-        .join(sets.select(col("doc_id").as("id_b"), col("shs").as("shs_b")), "id_b")
-        .select(col("id_a"), col("id_b"),
-          size(array_intersect(col("shs_a"), col("shs_b"))).cast("long").as("n_common"),
-          size(col("shs_a")).as("n_a"), size(col("shs_b")).as("n_b"))
-        .withColumn("jaccard",
-          col("n_common").cast("double") /
-            (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-        .filter(col("jaccard") >= threshold)
-        .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
-        .localCheckpoint(true)
+      verifyExactJaccard(cand, sets, threshold).localCheckpoint(true)
     } finally sh.unpersist()
   }
 

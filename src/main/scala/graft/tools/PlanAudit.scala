@@ -14,7 +14,8 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q19_csv_lifecycle", "q22_minhash_lsh", "q24_embed_neardup",
-        "q25_clean_corpus", "q31_ann_lsh", "q32_ann_ivf")
+        "q25_clean_corpus", "q31_ann_lsh", "q32_ann_ivf",
+        "q46_incremental_persisted")
     names.foreach { n =>
       println(s"\n===================== $n =====================")
       val df = graft.SparkEntry.queries(n)(spark, sfDir)

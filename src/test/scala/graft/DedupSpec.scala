@@ -241,6 +241,53 @@ class DedupSpec extends AnyFunSuite {
     assert(incremental.nonEmpty, "fixture must produce pairs touching the new batch")
   }
 
+  /** Parquet locations of every file scan in a frame's optimized plan. */
+  private def scanLocations(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+    }
+
+  test("q46 persisted path: banding reads no document text, rows equal q45") {
+    val sf = "/root/testdata/sf0.001"
+    val sigPath = java.nio.file.Files
+      .createTempDirectory("graft_sig_spec").toString + "/sig"
+    try {
+      Dedup.persistHistorySignatures(spark, sf, sigPath)
+
+      // the new-batch signature build scans documents exactly once...
+      val newSigScans = scanLocations(Dedup.newBatchSignatures(spark, sf))
+      assert(newSigScans.count(_.contains("documents")) == 1,
+        s"new-batch signatures should scan documents once: $newSigScans")
+
+      // ...and the banding/candidate subtree reads document TEXT zero
+      // times: its only parquet scan is the persisted signature file
+      // (history never re-shingled — the daily-ingest contract)
+      val cand = Dedup.persistedCandidates(spark, sf, sigPath)
+      val candScans = scanLocations(cand)
+      assert(candScans.count(_.contains("documents")) == 0,
+        s"candidate subtree must not scan documents: $candScans")
+      assert(candScans.count(_.contains(sigPath)) == 1,
+        s"candidate subtree should read the signature parquet once: $candScans")
+
+      // identical output contract as the in-session incremental (q45)
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))
+      val q45 = Dedup.minhashIncrementalVerified(spark, sf)
+        .collect().map(key).toMap
+      val q46 = Dedup.minhashIncrementalPersisted(spark, sf)
+        .collect().map(key).toMap
+      assert(q46 == q45)
+      assert(q46.nonEmpty, "fixture must produce pairs touching the new batch")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(sigPath).getParentFile)
+  }
+
   test("reliable checkpoint mode yields identical component labels") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L))
       .toDF("id_a", "id_b")
