@@ -66,8 +66,11 @@ object SparkEntry {
     "q44_neardup_clusters" -> ((s: SparkSession, d: String) => Dedup.nearDupSurvivors(s, d)),
     "q45_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.minhashIncrementalVerified(s, d)),
     "q46_incremental_persisted" -> ((s: SparkSession, d: String) => Dedup.minhashIncrementalPersisted(s, d)),
+    // --- streaming (Structured Streaming run to completion) ---
+    "q47_stream_hourly" -> (graft.streaming.EventStream.hourlyToBatch _),
     // --- sketches ---
     "q39_cardinality" -> (Sketches.cardinality _),
+    "q48_quantile_sketch" -> (Sketches.quantiles _),
     // --- similarity search ---
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Similarity.annBrute(s, d)),
     "q31_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -176,6 +179,15 @@ object SparkEntry {
          UNION ALL
          SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 450000.0""",
     "q16_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    // q47 is the STREAMING run of the same aggregate (file-source →
+    // watermark → windowed agg via Trigger.AvailableNow); tumbling 1 h
+    // windows are epoch-aligned, so window.start == date_trunc('hour')
+    // and the batch oracle is exact.
+    "q47_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
          COUNT(*) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -368,6 +380,15 @@ object SparkEntry {
     "q39_cardinality" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
          TRUE AS approx_ok FROM events GROUP BY 1""",
+    // q48: exact quantiles hash-compared; the approx_percentile sketch
+    // is folded into approx_ok (the q39 bound-fold device) — a sketch
+    // outside the exact-(p±0.01) band fails the hash compare.
+    "q48_quantile_sketch" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.5) AS p50,
+         quantile_cont(l_quantity, 0.95) AS p95,
+         COUNT(*) AS n_rows, TRUE AS approx_ok
+         FROM lineitem GROUP BY 1""",
     // q44: min-label connected components over the exhaustive near-dup
     // pair graph, as a recursive transitive-closure CTE; survivors =
     // docs whose component label is their own id. The Spark side runs

@@ -58,4 +58,44 @@ object Sketches {
       .agg(
         countDistinct(col("user_id")).as("n_exact"),
         approx_count_distinct(col("user_id"), hllRsd).as("n_approx"))
+
+  /** Accuracy handed to `approx_percentile` (Greenwald-Khanna):
+    * guaranteed rank error <= n / accuracy = 0.0001·n.
+    */
+  val quantileAccuracy = 10000
+
+  /** Rank slack for the `approx_ok` gate: the sketched value must lie
+    * between the EXACT quantiles at p ± 0.01. Sound because GK returns
+    * an actual data value whose rank is within 0.0001·n of target and
+    * values are monotone in rank — 0.01 ≫ 0.0001 leaves two orders of
+    * margin, and the whole check is deterministic for fixed input
+    * (same q39 posture: a sketch drifting out of bound FAILS the
+    * oracle hash compare, not just a unit test).
+    */
+  val quantileSlack = 0.01
+
+  /** q48: per-group quantiles — exact values (oracle-compared against
+    * DuckDB's quantile_cont) next to the t-digest-class sketch folded
+    * into `approx_ok`. At 100 TB the exact `percentile` is the column
+    * you'd drop: it buffers each group's values; `approx_percentile`
+    * is a fixed-size mergeable summary, so partial aggregation does
+    * the map-side work. Completes the sketch family: HLL (q39),
+    * MinHash (q22/q46), quantile (here).
+    */
+  def quantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    def ex(p: Double) = percentile(col("l_quantity"), lit(p))
+    def ap(p: Double) =
+      approx_percentile(col("l_quantity"), lit(p), lit(quantileAccuracy))
+    Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        ex(0.5).as("p50"), ex(0.95).as("p95"),
+        ex(0.5 - quantileSlack).as("lo50"), ex(0.5 + quantileSlack).as("hi50"),
+        ex(0.95 - quantileSlack).as("lo95"), ex(0.95 + quantileSlack).as("hi95"),
+        ap(0.5).as("a50"), ap(0.95).as("a95"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("p50"), col("p95"), col("n_rows"),
+        (col("a50").between(col("lo50"), col("hi50")) &&
+          col("a95").between(col("lo95"), col("hi95"))).as("approx_ok"))
+  }
 }

@@ -38,15 +38,37 @@ object EventStream {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
 
   /** Streaming hourly tumbling-window aggregate over the events file
-    * source. Watermark bounds state: at scale, state store size is
-    * (watermark horizon x key cardinality), never unbounded.
+    * source — the streaming twin of Relational.eventsHourly (q16):
+    * identical output contract (hour, event_type, n_events,
+    * sum_value), epoch-aligned 1 h windows so `window().start` equals
+    * `date_trunc('hour', ts)`, decimal-cast money sum so the result is
+    * exact under any microbatch partitioning. Watermark bounds state:
+    * at scale, state store size is (watermark horizon x key
+    * cardinality), never unbounded.
     */
   def hourlyStream(spark: SparkSession, sfDir: String): DataFrame =
     readEvents(spark, sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("w.start").as("hour"), col("event_type"), col("n_events"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  private val runSeq = new java.util.concurrent.atomic.AtomicLong
+
+  /** The q47 driver entry: [[hourlyStream]] run to completion with
+    * Trigger.AvailableNow and returned as a batch frame — the whole
+    * streaming path (file source → watermark → windowed aggregate →
+    * sink) lands under q16's exact DuckDB oracle. The memory sink is
+    * harness plumbing only (production writes parquet/Kafka); its
+    * table name is counter-suffixed so repeated invocations in one
+    * session (bench medians) never collide.
+    */
+  def hourlyToBatch(spark: SparkSession, sfDir: String): DataFrame =
+    runToBatch(spark, hourlyStream(spark, sfDir),
+      s"q47_hourly_${runSeq.incrementAndGet()}")
 
   /** Sliding windows (2 h window, 1 h slide): each event lands in two
     * overlapping windows. Same bounded-state posture as

@@ -13,10 +13,12 @@ class EventStreamSpec extends AnyFunSuite {
     val streamed = EventStream.runToBatch(
       spark, EventStream.hourlyStream(spark, sf), "hourly_test")
       .collect()
-      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
     val batch = Relational.eventsHourly(spark, sf)
       .collect()
-      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
     assert(streamed == batch)
   }
 

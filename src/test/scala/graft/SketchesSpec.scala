@@ -26,6 +26,17 @@ class SketchesSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getBoolean(2), s"${r.getString(0)} out of bound"))
   }
 
+  test("q48 quantile sketch lands inside the exact p±slack band on every group") {
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = Sketches.quantiles(spark, sf).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getBoolean(4), s"$sf ${r.getString(0)}: approx out of band")
+        assert(r.getDouble(1) <= r.getDouble(2), "p50 <= p95 sanity")
+      }
+    }
+  }
+
   test("sketch is deterministic: two runs produce identical estimates") {
     val a = Sketches.cardinalityRaw(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
