@@ -176,13 +176,13 @@ object Similarity {
       iters: Int = 5): DataFrame = {
     var cents = seededCodebook(corpus, clusters).localCheckpoint(true)
     for (_ <- 0 until iters) {
-      val assigned = corpus.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("c_id"), col("u"),
-          Vectors.dot(col("u"), col("cv")).as("sim"))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("sim"), (-col("c_id")).as("nc"), col("u")))
-          .as("m"))
-        .select((-col("m.nc")).as("c_id"), col("m.u").as("u"))
+      // the embedding never rides the argmax shuffle: cells are
+      // assigned on small (vec_id, sim, c_id) triples, vectors join
+      // back ONCE for the means — persist the corpus partitioned by
+      // vec_id and the big side stays put across iterations (the old
+      // max(struct(sim, nc, u)) form shuffled the full vector inside
+      // every per-iteration aggregate: ~1 TB at 1 B x 128-dim doubles)
+      val assigned = assignCells(corpus, cents).join(corpus, "vec_id")
       val means = assigned
         .select(col("c_id"), posexplode(col("u")).as(Seq("pos", "x")))
         .groupBy(col("c_id"), col("pos"))
@@ -201,6 +201,21 @@ object Similarity {
     cents
   }
 
+  /** (vec_id, c_id) nearest-centroid assignment against a broadcast
+    * codebook: argmax via max of (sim, -c_id) = highest sim, lowest
+    * c_id on ties — matches the oracle's ORDER BY sim DESC, c_id ASC
+    * row_number()=1. The aggregate reduces THREE scalar columns; the
+    * embedding array never enters the shuffle (SimilaritySpec asserts
+    * no array column in this plan's aggregates).
+    */
+  def assignCells(corpus: DataFrame, cents: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("c_id"),
+        Vectors.dot(col("u"), col("cv")).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("c_id")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("c_id"))
+
   /** [[annIvf]] parameterized on the codebook frame `(c_id, cv)` —
     * seeded or k-means-trained books run the identical physical plan.
     */
@@ -209,17 +224,7 @@ object Similarity {
       numQueries: Int = 5, k: Int = 10, probes: Int = ivfProbes): DataFrame = {
     val corpus = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), Vectors.l2normalize(col("embedding")).as("u"))
-    val sims = corpus.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("c_id"),
-        Vectors.dot(col("u"), col("cv")).as("sim"))
-    // argmax centroid per vector: max of (sim, -c_id) = highest sim,
-    // lowest c_id on ties — matches the oracle's ORDER BY sim DESC,
-    // c_id ASC row_number()=1 without shuffling the vectors themselves
-    val assigned = sims
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("sim"), (-col("c_id")).as("nc"))).as("m"))
-      .select(col("vec_id"), (-col("m.nc")).as("c_id"))
-      .join(corpus, "vec_id")
+    val assigned = assignCells(corpus, cents).join(corpus, "vec_id")
     val q = queries(spark, sfDir, numQueries)
     val wq = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("c_id").asc)

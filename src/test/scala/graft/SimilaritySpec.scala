@@ -146,6 +146,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(trained >= 0.9, s"trained recall $trained below the structure floor")
   }
 
+  test("cell assignment shuffles no array column (embedding stays out of the argmax)") {
+    import graft.sources.Tables
+    val corpus = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), Vectors.l2normalize(col("embedding")).as("u"))
+    val cents = graft.operators.Similarity.seededCodebook(corpus)
+    val assigned = graft.operators.Similarity.assignCells(corpus, cents)
+    val aggs = assigned.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.nonEmpty)
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hasArray(dt: DataType): Boolean = dt match {
+      case _: ArrayType => true
+      case s: StructType => s.fields.exists(f => hasArray(f.dataType))
+      case m: MapType => hasArray(m.keyType) || hasArray(m.valueType)
+      case _ => false
+    }
+    aggs.foreach(a => a.aggregateExpressions.foreach(e =>
+      assert(!hasArray(e.dataType),
+        s"argmax aggregate carries an array column: ${e.dataType}")))
+  }
+
   test("kmeans codebook centroids are unit vectors and keep the cluster count") {
     import graft.sources.Tables
     val corpus = Tables.load(spark, sf, "embeddings")
