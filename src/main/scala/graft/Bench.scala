@@ -10,8 +10,37 @@ import org.apache.spark.sql.SparkSession
   * Each query is timed SPARK_GRAFT_RUNS times (default 3) and the
   * MEDIAN is reported — single-run numbers made round-over-round
   * deltas unattributable noise (the round-2 verdict's q07 "+13%").
+  *
+  * REGRESSION GATE: the previous round's medians are read from the
+  * newest BENCH_r*.json in the working directory and every query whose
+  * median grew by >1.5x AND >0.1 s absolute (the floor keeps
+  * sub-100 ms queries from flapping the gate on scheduler noise) is
+  * listed under "regressions" in the output line — so an unexplained
+  * swing like round 4's q24 +44% is flagged the round it happens, not
+  * a round later.
   */
 object Bench {
+
+  /** Per-query medians from a previous round's BENCH_r*.json. The
+    * driver wraps the bench line in a log-tail string with escaped
+    * quotes, so this is a tolerant regex scrape, not a JSON parse;
+    * later duplicates (the actual bench line) win.
+    */
+  def parsePrevMedians(content: String): Map[String, Double] =
+    """(q\d{2}_[a-z0-9_]+)\\?":(-?\d+\.\d+)""".r
+      .findAllMatchIn(content)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .toMap
+
+  def regressions(
+      prev: Map[String, Double],
+      cur: Seq[(String, Double)]): Seq[(String, Double)] =
+    cur.collect {
+      case (name, t) if t > 0 && prev.getOrElse(name, -1.0) > 0 &&
+          t > prev(name) * 1.5 && t - prev(name) > 0.1 =>
+        name -> t / prev(name)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -45,8 +74,19 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val prevFile = Option(new java.io.File(".").listFiles()).toSeq.flatten
+      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      .sortBy(_.getName).lastOption
+    val prev = prevFile
+      .map(f => parsePrevMedians(
+        new String(java.nio.file.Files.readAllBytes(f.toPath))))
+      .getOrElse(Map.empty)
+    val regr = regressions(prev, results)
+      .map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
+      .mkString("{", ",", "}")
+    val prevName = prevFile.map(_.getName).getOrElse("none")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"prev":"$prevName","regressions":$regr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

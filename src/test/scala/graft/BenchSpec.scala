@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class BenchSpec extends AnyFunSuite {
+
+  test("parsePrevMedians scrapes escaped (driver log-tail) and plain bench lines") {
+    val tail =
+      """{"tail": "... {\"metric\":\"total\",\"queries\":{\"q01_scan_1a\":0.228,\"q24_embed_neardup\":2.066}} ..."}"""
+    assert(Bench.parsePrevMedians(tail) ==
+      Map("q01_scan_1a" -> 0.228, "q24_embed_neardup" -> 2.066))
+    val plain = """{"queries":{"q01_scan_1a":0.300}}"""
+    assert(Bench.parsePrevMedians(plain) == Map("q01_scan_1a" -> 0.3))
+  }
+
+  test("later duplicates win (stale copies earlier in the log tail)") {
+    val twice = """{\"q05_agg_multi\":9.999} ... {\"q05_agg_multi\":1.079}"""
+    assert(Bench.parsePrevMedians(twice) == Map("q05_agg_multi" -> 1.079))
+  }
+
+  test("regression gate flags >1.5x AND >0.1s absolute only") {
+    val prev = Map("slow" -> 1.0, "tiny" -> 0.05, "mild" -> 2.0,
+      "faster" -> 1.0, "failed" -> 3.0)
+    val cur = Seq("slow" -> 1.6, "tiny" -> 0.09, "mild" -> 2.9,
+      "faster" -> 0.9, "failed" -> -1.0, "new_query" -> 5.0)
+    // slow: 1.6x and +0.6s -> flagged; tiny: 1.8x but +0.04s -> floor;
+    // mild: 1.45x -> under ratio; faster improved; failed run and
+    // queries without a previous median never flag
+    val flagged = Bench.regressions(prev, cur).toMap
+    assert(flagged.keySet == Set("slow"))
+    assert(math.abs(flagged("slow") - 1.6) < 1e-9)
+  }
+}
