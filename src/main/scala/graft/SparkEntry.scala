@@ -56,6 +56,10 @@ object SparkEntry {
     "q36_string_funcs" -> (Relational.stringFuncs _),
     "q37_tpch_q3" -> (Relational.tpchQ3 _),
     "q38_pivot" -> (Relational.pivotAgg _),
+    "q49_salted_join" -> ((s: SparkSession, d: String) => Relational.saltedJoinAgg(s, d)),
+    "q53_bucketed_join" -> (Relational.bucketedJoinAgg _),
+    "q54_window_funcs" -> (Relational.windowFuncs _),
+    "q55_grouping_sets" -> (Relational.groupingSetsAgg _),
     // --- dedup suite ---
     "q20_dedup_exact" -> (Dedup.exact _),
     "q21_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
@@ -275,6 +279,43 @@ object SparkEntry {
          CAST(SUM(CASE WHEN l_linestatus = 'O'
            THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O
          FROM lineitem GROUP BY 1""",
+    // q49/q53 are REWRITES of q10's join (salted keys / bucketed
+    // storage): row-identity to the plain join is the contract, so all
+    // three run under the identical SQL.
+    "q49_salted_join" ->
+      """SELECT o_orderpriority,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
+    "q53_bucketed_join" ->
+      """SELECT o_orderpriority,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
+    "q54_window_funcs" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+         lag(o_totalprice, 1) OVER w AS prev_price,
+         lead(o_totalprice, 1) OVER w AS next_price,
+         CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+         CAST(dense_rank() OVER w AS INTEGER) AS drk,
+         percent_rank() OVER w AS prk,
+         cume_dist() OVER w AS cd
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey ASC)""",
+    "q55_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         COUNT(*) AS n_rows,
+         CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+         CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+           (l_returnflag, l_linestatus))""",
     "q20_dedup_exact" ->
       s"""SELECT MD5($normText) AS h, MIN(doc_id) AS keep_id,
          COUNT(*) AS n_copies FROM documents GROUP BY 1""",

@@ -33,13 +33,21 @@ object Relational {
     * AQE splits skewed partitions at runtime.
     */
   def joinLarge(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.load(spark, sfDir, "lineitem")
-      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      .join(
-        Tables.load(spark, sfDir, "orders")
-          .select(col("o_orderkey"), col("o_orderpriority")),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_orderpriority"))
+    revenueByPriority(
+      Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(
+          Tables.load(spark, sfDir, "orders")
+            .select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey")))
+
+  /** Decimal-exact revenue aggregate per priority — the shared tail of
+    * the three fact-fact join entries (q10 plain shuffle, q49 salted,
+    * q53 bucketed): all run under the IDENTICAL oracle, so the rewrite
+    * variants are proven row-exact against the same SQL.
+    */
+  private def revenueByPriority(joined: DataFrame): DataFrame =
+    joined.groupBy(col("o_orderpriority"))
       .agg(
         // cast each 2-decimal factor to DECIMAL BEFORE multiplying:
         // rounding the double *product* to 2 decimals is engine-
@@ -49,6 +57,83 @@ object Relational {
              col("l_discount").cast(org.apache.spark.sql.types.DecimalType(18, 2))))
           .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
+
+  /** The q49 driver entry: [[saltedJoin]] over the q10 join shape.
+    * Salting must be row-identical to the plain join — so the oracle
+    * is exactly q10's SQL. The fixture key isn't skewed (the REWRITE's
+    * correctness is what's under the oracle; the skew win is the
+    * documented 100 TB knob for keys beyond AQE's runtime split).
+    */
+  def saltedJoinAgg(
+      spark: SparkSession, sfDir: String, salts: Int = 4): DataFrame =
+    revenueByPriority(saltedJoin(
+      Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      "l_orderkey", "o_orderkey", salts))
+
+  /** The q53 driver entry: the bucketed-storage join LIFECYCLE — both
+    * fact projections written as 8-bucket sorted tables (pay the
+    * shuffle once at write time), read back, merge-joined with NO
+    * exchange (RelationalSpec asserts the exchange-free plan on this
+    * layout), aggregated to the q10 contract. The oracle proves the
+    * whole write→read→co-located-join path row-exact — the repeated
+    * fact-fact join strategy at 100 TB.
+    */
+  def bucketedJoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.sinks.Sinks.writeBucketed(
+      Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      "li_bkt_q53", "l_orderkey", 8)
+    graft.sinks.Sinks.writeBucketed(
+      Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      "o_bkt_q53", "o_orderkey", 8)
+    revenueByPriority(
+      spark.table("li_bkt_q53").hint("merge")
+        .join(spark.table("o_bkt_q53").hint("merge"),
+          col("l_orderkey") === col("o_orderkey")))
+  }
+
+  /** The q54 driver entry: window-function breadth (lag, lead, ntile,
+    * dense_rank, percent_rank, cume_dist) per customer under a TOTAL
+    * order (price desc, orderkey asc tiebreak — no peer ambiguity, so
+    * every rank/ratio is deterministic and the small-integer divisions
+    * produce bit-identical doubles in both engines).
+    */
+  def windowFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("drk", dense_rank().over(w))
+      .withColumn("prk", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+  }
+
+  /** The q55 driver entry: explicit GROUPING SETS with grouping()
+    * flags through the SQL surface (`spark.sql` over a temp view of
+    * the SAME two-phase partials as q17/q27 — Expand multiplies the
+    * distinct-key set, never the fact scan). Distinguishes data rows
+    * from subtotal rows via grouping flags, which ROLLUP/CUBE output
+    * alone cannot.
+    */
+  def groupingSetsAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    keyPartials(spark, sfDir).createOrReplaceTempView("li_partials_q55")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        CAST(SUM(part_qty) AS DOUBLE) AS sum_qty,
+        SUM(part_rows) AS n_rows,
+        CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        CAST(grouping(l_linestatus) AS INT) AS g_status
+        FROM li_partials_q55
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+          (l_returnflag, l_linestatus))""")
+  }
 
   /** Star join through the dimension chain customer->nation->region:
     * all three dims broadcast; the fact table is scanned once with no
