@@ -72,6 +72,8 @@ object SparkEntry {
     "q46_incremental_persisted" -> ((s: SparkSession, d: String) => Dedup.minhashIncrementalPersisted(s, d)),
     // --- streaming (Structured Streaming run to completion) ---
     "q47_stream_hourly" -> (graft.streaming.EventStream.hourlyToBatch _),
+    "q56_stream_sliding" -> (graft.streaming.EventStream.slidingToBatch _),
+    "q57_stream_tier_join" -> (graft.streaming.EventStream.tierHourlyToBatch _),
     // --- sketches ---
     "q39_cardinality" -> (Sketches.cardinality _),
     "q48_quantile_sketch" -> (Sketches.quantiles _),
@@ -195,6 +197,22 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
          COUNT(*) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    // q56: sliding 2h/1h windows — every event is in exactly two
+    // hour-aligned windows, replayed by the two-element UNNEST.
+    "q56_stream_sliding" ->
+      """SELECT w_start, event_type, COUNT(*) AS n_events
+         FROM (SELECT event_type,
+                 UNNEST([date_trunc('hour', ts),
+                         date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w_start
+               FROM events)
+         GROUP BY 1, 2""",
+    // q57: stream-static broadcast-dimension join; the deterministic
+    // tier dimension is inlined in SQL.
+    "q57_stream_tier_join" ->
+      """SELECT date_trunc('hour', ts) AS hour,
+         'tier_' || CAST(user_id % 3 AS VARCHAR) AS tier,
+         COUNT(*) AS n_events
          FROM events GROUP BY 1, 2""",
     "q17_rollup" ->
       """SELECT l_returnflag, l_linestatus,

@@ -83,6 +83,16 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n_events"))
 
+  /** The q56 driver entry: [[slidingStream]] run to completion — each
+    * event lands in exactly TWO hour-aligned 2 h windows
+    * (trunc(ts) − 1 h and trunc(ts)), which is what the oracle SQL
+    * replays with a two-element UNNEST; the overlap accounting of
+    * sliding windows is therefore under the hard hash compare.
+    */
+  def slidingToBatch(spark: SparkSession, sfDir: String): DataFrame =
+    runToBatch(spark, slidingStream(spark, sfDir),
+      s"q56_sliding_${runSeq.incrementAndGet()}")
+
   /** Batch twin of [[slidingStream]] on the same fixture. */
   def slidingBatch(spark: SparkSession, sfDir: String): DataFrame =
     graft.sources.Tables.load(spark, sfDir, "events")
@@ -113,6 +123,16 @@ object EventStream {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("tier"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("hour"), col("tier"), col("n_events"))
+
+  /** The q57 driver entry: [[tierHourlyStream]] run to completion —
+    * the stream-static broadcast-dimension join (the stateless
+    * enrichment shape every streaming pipeline starts with) under the
+    * hard oracle; the dimension is deterministic (tier_<user_id%3>),
+    * so the SQL twin inlines it.
+    */
+  def tierHourlyToBatch(spark: SparkSession, sfDir: String): DataFrame =
+    runToBatch(spark, tierHourlyStream(spark, sfDir),
+      s"q57_tier_${runSeq.incrementAndGet()}")
 
   /** Batch twin of [[tierHourlyStream]]. */
   def tierHourlyBatch(spark: SparkSession, sfDir: String): DataFrame =
