@@ -36,6 +36,7 @@ object SparkEntry {
     "q08_topk" -> (ReferenceQueries.topK _),
     "q18_mapreduce_typed" -> (MapReduceSurface.agg2aTyped _),
     "q19_csv_lifecycle" -> (ReferenceQueries.csvLifecycle _),
+    "q59_json_lifecycle" -> (ReferenceQueries.jsonLifecycle _),
     // --- relational completeness (ABSENT in reference) ---
     "q09_join_broadcast" -> (Relational.joinBroadcast _),
     "q10_join_large" -> (Relational.joinLarge _),
@@ -77,6 +78,8 @@ object SparkEntry {
     // --- sketches ---
     "q39_cardinality" -> (Sketches.cardinality _),
     "q48_quantile_sketch" -> (Sketches.quantiles _),
+    "q58_bloom_semi_join" -> ((s: SparkSession, d: String) => Sketches.bloomSemiJoin(s, d)),
+    "q60_cms_frequency" -> (Sketches.cmsFrequency _),
     // --- similarity search ---
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Similarity.annBrute(s, d)),
     "q31_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -144,6 +147,27 @@ object SparkEntry {
       """SELECT substr(event_type, 1, 4) AS etype_prefix,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1""",
+    // q59 reads the JSON/JSON.gz render of `events` (injected bad
+    // lines dropped); the lossless round-trip makes the parquet-side
+    // aggregate the exact oracle — same device as q19.
+    "q59_json_lifecycle" ->
+      """SELECT substr(event_type, 1, 4) AS etype_prefix,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1""",
+    // q58: Bloom pre-filter + exact semi join must be row-identical to
+    // the plain semi join (no false negatives; positives cleaned by
+    // the exact join) — so the oracle is the plain EXISTS.
+    "q58_bloom_semi_join" ->
+      """SELECT l_orderkey, l_extendedprice FROM lineitem
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_orderkey = l_orderkey AND o_totalprice > 300000.0)""",
+    // q60: exact probe-user counts hash-compared; the count-min-sketch
+    // estimate is folded into approx_ok via the CMS guarantee band
+    // [exact, exact + eps*N] (q39/q48 bound-fold device).
+    "q60_cms_frequency" ->
+      """SELECT event_type, user_id, COUNT(*) AS n_exact,
+         TRUE AS approx_ok
+         FROM events WHERE user_id < 10 GROUP BY 1, 2""",
     "q09_join_broadcast" ->
       """SELECT c_mktsegment,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,

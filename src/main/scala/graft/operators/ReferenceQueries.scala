@@ -168,4 +168,49 @@ object ReferenceQueries {
       .groupBy(col("etype_prefix"))
       .agg(moneySum(col("value")).as("sum_value"))
   }
+
+  /** JSON-lines source lifecycle (q59) — the third text encoding next
+    * to q19's CSV/CSV.gz: events rendered to `.json` and `.json.gz`
+    * part files, read back with an EXPLICIT schema (no
+    * runtime-inference job — at 100 TB schema inference is a second
+    * full scan) under DROPMALFORMED with injected garbage lines, then
+    * the q04 aggregate. The render is lossless (longs; doubles use
+    * shortest-round-trip text), so the parquet-side aggregate is the
+    * exact oracle for the whole JSON path. Temp dir is
+    * per-application (unique via applicationId — concurrent sessions
+    * never race).
+    */
+  def jsonLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dir = System.getProperty("java.io.tmpdir", "/tmp") +
+      s"/graft_q59_json_${spark.sparkContext.applicationId}/" +
+      new java.io.File(sfDir).getName
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.filter(col("event_id") % 2 === 0)
+      .write.mode("overwrite").json(s"$dir/plain")
+    ev.filter(col("event_id") % 2 === 1)
+      .write.mode("overwrite").option("compression", "gzip").json(s"$dir/gz")
+    // injected malformed lines: broken JSON, wrong types — all must be
+    // swallowed by DROPMALFORMED like the reference swallows bad splits
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/plain/zz_badlines.json"),
+      ("{not json at all\n" +
+        """{"event_id": "NOT_A_LONG", "event_type": "view", "value": 1.0}""" + "\n" +
+        """{"event_id": 7, "event_type": "view", "value": "NOT_A_DOUBLE"}""" + "\n")
+        .getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    spark.read.schema(schema).option("mode", "DROPMALFORMED")
+      .json(s"$dir/plain", s"$dir/gz")
+      // records with parseable JSON but missing consumed fields are
+      // kept as nulls by the reader — drop them like q19 does
+      .filter(col("event_id").isNotNull &&
+        col("event_type").isNotNull && col("value").isNotNull)
+      .select(substring(col("event_type"), 1, 4).as("etype_prefix"), col("value"))
+      .groupBy(col("etype_prefix"))
+      .agg(moneySum(col("value")).as("sum_value"))
+  }
 }

@@ -59,6 +59,79 @@ object Sketches {
         countDistinct(col("user_id")).as("n_exact"),
         approx_count_distinct(col("user_id"), hllRsd).as("n_approx"))
 
+  /** False-positive probability handed to the Bloom build. */
+  val bloomFpp = 0.01
+
+  /** q58: broadcast Bloom-filter PRE-FILTER ahead of a shuffle join —
+    * the manual runtime-filter a 100 TB engine reaches for when the
+    * build side is too big to broadcast-JOIN but its key set still
+    * fits a few MB of Bloom bits: the probe side drops non-matching
+    * rows BEFORE the exchange (at 1% selectivity that is ~99% of the
+    * shuffle traffic), and the exact semi join afterwards removes the
+    * false positives. Bloom filters have NO false negatives, so the
+    * result is row-identical to the plain semi join — which is exactly
+    * what the oracle asserts.
+    *
+    * The build-side `count()` is the standard pre-sizing pass; the
+    * filter ships to executors as a broadcast variable, not a closure
+    * copy per task.
+    */
+  def bloomSemiJoin(
+      spark: SparkSession, sfDir: String,
+      priceFloor: Double = 300000.0): DataFrame = {
+    val keys = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > priceFloor)
+      .select(col("o_orderkey"))
+    val bf = keys.stat.bloomFilter(
+      "o_orderkey", math.max(keys.count(), 1L), bloomFpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val might = udf((k: Long) => bfB.value.mightContain(k))
+    Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .filter(might(col("l_orderkey")))
+      .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+  }
+
+  /** Count-min-sketch parameters: overcount is bounded by eps·N with
+    * probability `cmsConfidence` (an UNDERcount is impossible —
+    * counters only increase), and the sketch is exactly mergeable
+    * (counter matrices add), so partial aggregation distributes it.
+    */
+  val cmsEps = 1e-4
+  val cmsConfidence = 0.999
+  val cmsProbeUsers = 10
+
+  /** q60: per-event-type frequency of probe users — exact counts
+    * (oracle-compared) next to a count-min-sketch estimate folded into
+    * `approx_ok` via the CMS guarantee band [exact, exact + eps·N]
+    * (the q39/q48 bound-fold device; fixed seed keeps the sketch
+    * deterministic for fixed input). At 100 TB the exact per-item
+    * count shuffles the full key space; the sketch is a fixed
+    * eps⁻¹ × ln(1/δ) counter matrix per group.
+    */
+  def cmsFrequency(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), col("user_id"))
+    val sk = ev.groupBy(col("event_type"))
+      .agg(
+        expr(s"count_min_sketch(user_id, ${cmsEps}d, ${cmsConfidence}d, 42)")
+          .as("cms"),
+        count(lit(1)).as("n_total"))
+    val exact = ev.filter(col("user_id") < cmsProbeUsers)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    val est = udf((bytes: Array[Byte], k: Long) =>
+      CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+        .estimateCount(k))
+    exact.join(sk, "event_type")
+      .select(col("event_type"), col("user_id"), col("n_exact"),
+        (est(col("cms"), col("user_id")) >= col("n_exact") &&
+          est(col("cms"), col("user_id")) <=
+            col("n_exact") + ceil(lit(cmsEps) * col("n_total")).cast("long"))
+          .as("approx_ok"))
+  }
+
   /** Accuracy handed to `approx_percentile` (Greenwald-Khanna):
     * guaranteed rank error <= n / accuracy = 0.0001·n.
     */

@@ -37,6 +37,32 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom pre-filtered semi join is row-identical to the plain semi join") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val plain = {
+      val keys = graft.sources.Tables.load(spark, sf, "orders")
+        .filter(col("o_totalprice") > 300000.0).select(col("o_orderkey"))
+      graft.sources.Tables.load(spark, sf, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    }
+    val bloomed = Sketches.bloomSemiJoin(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(bloomed == plain)
+    assert(bloomed.nonEmpty)
+  }
+
+  test("q60 CMS estimate lands inside the guarantee band on every probe") {
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = Sketches.cmsFrequency(spark, sf).collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getBoolean(3),
+        s"$sf ${r.getString(0)}/${r.getLong(1)}: CMS out of band"))
+    }
+  }
+
   test("sketch is deterministic: two runs produce identical estimates") {
     val a = Sketches.cardinalityRaw(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
