@@ -89,6 +89,7 @@ object SparkEntry {
     "q41_quality" -> (TextAnalysis.quality _),
     "q42_token_stats" -> (TextAnalysis.tokenStats _),
     "q43_fingerprint" -> (TextAnalysis.fingerprint _),
+    "q61_tfidf_terms" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTerms(s, d)),
     // --- multimodal plumbing ---
     "q50_multimodal_meta" -> (Multimodal.mediaMeta _),
     "q51_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
@@ -678,6 +679,24 @@ object SparkEntry {
            FROM scored)
          WHERE rk <= 10""",
     "q40_lang_id" -> langIdOracle,
+    // q61: rank rows 1..k per doc by the exact IDF ratio — ln-free so
+    // the score is one bit-portable double division; row_number under
+    // a total order (score DESC, tok ASC) pins ties.
+    "q61_tfidf_terms" ->
+      s"""WITH toks AS (
+           SELECT doc_id, UNNEST(string_split($normText, ' ')) AS tok
+           FROM documents),
+         tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+         SELECT doc_id, tok, tf, df, score, CAST(rk AS INTEGER) AS rk FROM (
+           SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS score,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) /
+                 CAST(dfreq.df AS DOUBLE) DESC, tf.tok ASC) AS rk
+           FROM tf JOIN dfreq USING (tok) CROSS JOIN n)
+         WHERE rk <= 3""",
     "q41_quality" ->
       """SELECT doc_id,
          CAST(length(text) AS BIGINT) AS n_chars,

@@ -113,6 +113,35 @@ object TextAnalysis {
         substring(md5(normalizedText(col("text"))), 1, 8).as("fp_short"))
 
   /** Full text-stats query used by SparkEntry: one pass, all features. */
+  /** The q61 driver entry: top-k distinguishing terms per doc by
+    * TF-IDF — keyword extraction, the standard feature step of a text
+    * pipeline. IDF uses the EXACT ratio n_docs/df instead of
+    * ln(n_docs/df): same ranking (ln is monotone), but one double
+    * division is bit-portable to the oracle while libm's ln is not.
+    * Shuffle shape at 100 TB: tf aggregate on (doc, token), df
+    * aggregate on token (both map-side combined), a token-keyed join,
+    * one window per doc — no all-pairs anything; the corpus-size
+    * scalar rides a broadcast, not a driver collect into the plan.
+    */
+  def tfidfTerms(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(split(normalizedText(col("text")), " ")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count_distinct(col("doc_id")).as("n_docs"))
+    val scored = tf.join(dfreq, "tok").crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        col("score"), col("rk"))
+  }
+
   def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "documents")
       .select(
