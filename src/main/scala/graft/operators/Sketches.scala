@@ -82,14 +82,18 @@ object Sketches {
     val keys = Tables.load(spark, sfDir, "orders")
       .filter(col("o_totalprice") > priceFloor)
       .select(col("o_orderkey"))
-    val bf = keys.stat.bloomFilter(
-      "o_orderkey", math.max(keys.count(), 1L), bloomFpp)
-    val bfB = spark.sparkContext.broadcast(bf)
-    val might = udf((k: Long) => bfB.value.mightContain(k))
-    Tables.load(spark, sfDir, "lineitem")
+    val nKeys = keys.count()
+    val probe = Tables.load(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_extendedprice"))
-      .filter(might(col("l_orderkey")))
-      .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    // an empty build side can't seed a bloom filter (and needs none:
+    // the exact semi join below already yields zero rows)
+    val preFiltered = if (nKeys == 0) probe else {
+      val bfB = spark.sparkContext.broadcast(
+        keys.stat.bloomFilter("o_orderkey", nKeys, bloomFpp))
+      val might = udf((k: Long) => bfB.value.mightContain(k))
+      probe.filter(might(col("l_orderkey")))
+    }
+    preFiltered.join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
   }
 
   /** Count-min-sketch parameters: overcount is bounded by eps·N with
