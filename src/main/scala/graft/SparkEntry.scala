@@ -75,6 +75,7 @@ object SparkEntry {
     "q47_stream_hourly" -> (graft.streaming.EventStream.hourlyToBatch _),
     "q56_stream_sliding" -> (graft.streaming.EventStream.slidingToBatch _),
     "q57_stream_tier_join" -> (graft.streaming.EventStream.tierHourlyToBatch _),
+    "q62_stream_attribution" -> (graft.streaming.EventStream.attributionToBatch _),
     // --- sketches ---
     "q39_cardinality" -> (Sketches.cardinality _),
     "q48_quantile_sketch" -> (Sketches.quantiles _),
@@ -239,6 +240,16 @@ object SparkEntry {
          'tier_' || CAST(user_id % 3 AS VARCHAR) AS tier,
          COUNT(*) AS n_events
          FROM events GROUP BY 1, 2""",
+    // q62: stream-stream join (purchase x preceding-hour clicks by the
+    // same user) — the streaming state machine must emit exactly the
+    // batch range join.
+    "q62_stream_attribution" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+         p.ts AS purchase_ts, c.ts AS click_ts, p.value
+         FROM events p JOIN events c
+           ON p.event_type = 'purchase' AND c.event_type = 'click'
+          AND c.user_id = p.user_id
+          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts""",
     "q17_rollup" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -196,6 +196,18 @@ object EventStream {
         col("purchase_ts"), col("click_ts"), col("value"))
   }
 
+  /** The q62 driver entry: the stream-stream attribution join run to
+    * completion in Append mode — Trigger.AvailableNow's final no-data
+    * batch advances the watermark past the newest event, flushing all
+    * retained state, so the emitted rows equal the batch range join
+    * and the oracle replays it as plain SQL. With q47/q56/q57 this
+    * puts every oracle-expressible streaming shape (tumbling,
+    * sliding, stream-static, stream-stream) under the hash compare.
+    */
+  def attributionToBatch(spark: SparkSession, sfDir: String): DataFrame =
+    runToBatch(spark, attributionStream(spark, sfDir),
+      s"q62_attr_${runSeq.incrementAndGet()}", OutputMode.Append())
+
   /** Batch twin of [[attributionStream]]. */
   def attributionBatch(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = graft.sources.Tables.load(spark, sfDir, "events")
