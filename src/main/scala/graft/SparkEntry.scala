@@ -37,6 +37,8 @@ object SparkEntry {
     "q18_mapreduce_typed" -> (MapReduceSurface.agg2aTyped _),
     "q19_csv_lifecycle" -> (ReferenceQueries.csvLifecycle _),
     "q59_json_lifecycle" -> (ReferenceQueries.jsonLifecycle _),
+    "q63_orc_lifecycle" -> (ReferenceQueries.orcLifecycle _),
+    "q64_partition_pruning" -> (ReferenceQueries.partitionPrunedAgg _),
     // --- relational completeness (ABSENT in reference) ---
     "q09_join_broadcast" -> (Relational.joinBroadcast _),
     "q10_join_large" -> (Relational.joinLarge _),
@@ -156,6 +158,19 @@ object SparkEntry {
       """SELECT substr(event_type, 1, 4) AS etype_prefix,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1""",
+    // q63 reads the ORC render of `events` (lossless columnar
+    // round-trip) — same device as q19/q59.
+    "q63_orc_lifecycle" ->
+      """SELECT substr(event_type, 1, 4) AS etype_prefix,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1""",
+    // q64 aggregates the 'click' slice of the partitionBy(event_type)
+    // layout; the Spark side must get there via partition pruning
+    // (plan-asserted), the oracle via a plain WHERE.
+    "q64_partition_pruning" ->
+      """SELECT user_id % 10 AS user_bucket, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events WHERE event_type = 'click' GROUP BY 1""",
     // q58: Bloom pre-filter + exact semi join must be row-identical to
     // the plain semi join (no false negatives; positives cleaned by
     // the exact join) — so the oracle is the plain EXISTS.

@@ -213,4 +213,58 @@ object ReferenceQueries {
       .groupBy(col("etype_prefix"))
       .agg(moneySum(col("value")).as("sum_value"))
   }
+
+  /** ORC source/sink lifecycle (q63) — the second COLUMNAR format next
+    * to parquet: events written as ORC (schema travels in file
+    * metadata — no explicit schema or inference needed on read-back),
+    * read and aggregated to the q04 contract. long/string/double
+    * round-trip losslessly, so the parquet-side aggregate is the exact
+    * oracle.
+    */
+  def orcLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = System.getProperty("java.io.tmpdir", "/tmp") +
+      s"/graft_q63_orc_${spark.sparkContext.applicationId}/" +
+      new java.io.File(sfDir).getName
+    Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").orc(dir)
+    spark.read.orc(dir)
+      .select(substring(col("event_type"), 1, 4).as("etype_prefix"), col("value"))
+      .groupBy(col("etype_prefix"))
+      .agg(moneySum(col("value")).as("sum_value"))
+  }
+
+  /** Partition-pruned read lifecycle (q64): events written
+    * `partitionBy(event_type)` (the standard 100 TB table layout —
+    * one directory per key), read back filtered to ONE type. The
+    * filter must become a PartitionFilter — the scan lists only that
+    * partition's directory and reads ~1/5 of the files
+    * (ReferenceQueriesSpec asserts the plan) — prune-before-read, not
+    * filter-after-read. The oracle aggregates the same slice from
+    * parquet.
+    */
+  def partitionPrunedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = partitionedEventsDir(spark, sfDir)
+    Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    prunedRead(spark, dir)
+  }
+
+  private def partitionedEventsDir(spark: SparkSession, sfDir: String): String =
+    System.getProperty("java.io.tmpdir", "/tmp") +
+      s"/graft_q64_part_${spark.sparkContext.applicationId}/" +
+      new java.io.File(sfDir).getName
+
+  /** The read half of [[partitionPrunedAgg]] — split out so the spec
+    * can plan-assert the partition filter on exactly the production
+    * subtree.
+    */
+  def prunedRead(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .filter(col("event_type") === "click")
+      .groupBy((col("user_id") % 10).as("user_bucket"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("sum_value"))
 }

@@ -73,4 +73,27 @@ class ReferenceQueriesSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
       s"expected pruned read schema in:\n$plan")
   }
+
+  test("q64 read prunes on the partition column (directory skip, not row filter)") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_prune_spec").toString + "/events_part"
+    try {
+      graft.sources.Tables.load(spark, sf, "events")
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      val df = ReferenceQueries.prunedRead(spark, dir)
+      val scans = df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty)
+      assert(scans.exists(_.partitionFilters.exists(
+        _.references.exists(_.name == "event_type"))),
+        "expected a partition filter on event_type:\n" +
+          df.queryExecution.executedPlan.toString)
+      assert(df.collect().nonEmpty)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(dir).getParentFile)
+  }
 }
