@@ -127,19 +127,28 @@ object TextAnalysis {
     val docs = Tables.load(spark, sfDir, "documents")
     val toks = docs.select(col("doc_id"),
       explode(split(normalizedText(col("text")), " ")).as("tok"))
+    // tf feeds BOTH the df aggregate and the scoring join: persist it
+    // so the corpus is tokenized and (doc, token)-shuffled once, not
+    // twice (PlanAudit showed the unpersisted plan re-scanning
+    // documents); the small top-k result is materialized eagerly and
+    // the cache released before returning.
     val tf = toks.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val n = docs.agg(count_distinct(col("doc_id")).as("n_docs"))
-    val scored = tf.join(dfreq, "tok").crossJoin(broadcast(n))
-      .withColumn("score",
-        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
-        col("score"), col("rk"))
+      .persist()
+    try {
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count_distinct(col("doc_id")).as("n_docs"))
+      val scored = tf.join(dfreq, "tok").crossJoin(broadcast(n))
+        .withColumn("score",
+          (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+          col("score"), col("rk"))
+        .localCheckpoint(true)
+    } finally tf.unpersist()
   }
 
   def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
