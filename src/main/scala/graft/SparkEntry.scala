@@ -78,6 +78,8 @@ object SparkEntry {
     "q56_stream_sliding" -> (graft.streaming.EventStream.slidingToBatch _),
     "q57_stream_tier_join" -> (graft.streaming.EventStream.tierHourlyToBatch _),
     "q62_stream_attribution" -> (graft.streaming.EventStream.attributionToBatch _),
+    "q65_stream_dedup" -> (graft.streaming.EventStream.dedupToBatch _),
+    "q66_stream_sessions" -> (graft.streaming.EventStream.userSessionsBatch _),
     // --- sketches ---
     "q39_cardinality" -> (Sketches.cardinality _),
     "q48_quantile_sketch" -> (Sketches.quantiles _),
@@ -265,6 +267,19 @@ object SparkEntry {
            ON p.event_type = 'purchase' AND c.event_type = 'click'
           AND c.user_id = p.user_id
           AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts""",
+    // q65: the streaming side reads the fixture TWICE and dedups on
+    // event_id — exactly half the rows must survive, i.e. the table.
+    "q65_stream_dedup" ->
+      "SELECT event_id, event_type, value FROM events",
+    // q66: final state of the keyed mapGroupsWithState sessions —
+    // integer counts and cents-accumulated money (round(v*100), exact
+    // for positive 2-decimal values) replayed as a plain aggregate.
+    "q66_stream_sessions" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           AS total_value,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
+         FROM events GROUP BY 1""",
     "q17_rollup" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

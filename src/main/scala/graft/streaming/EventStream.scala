@@ -153,6 +153,22 @@ object EventStream {
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("event_type"), col("value"))
 
+  /** The q65 driver entry: streaming exact dedup with REAL duplicates
+    * to remove — the input is doubled (two independent file-source
+    * readers of the same fixture, the q19 render-your-own-input
+    * precedent), so `dropDuplicatesWithinWatermark` must discard
+    * exactly half the rows and the oracle is simply the original
+    * table. Duplicate pairs carry identical event times, so they
+    * always fall inside any watermark horizon of each other.
+    */
+  def dedupToBatch(spark: SparkSession, sfDir: String): DataFrame =
+    runToBatch(spark,
+      readEvents(spark, sfDir).unionByName(readEvents(spark, sfDir))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("event_type"), col("value")),
+      s"q65_dedup_${runSeq.incrementAndGet()}", OutputMode.Append())
+
   /** Run a streaming frame to completion on the fixture files
     * (Trigger.AvailableNow + memory sink) and return the final result
     * as a batch DataFrame — the harness for batch-parity tests.
@@ -284,17 +300,24 @@ object EventStream {
     * emissions); counts are monotone within a user, so the final state
     * is the max-n_events row — deduplicate on that before returning.
     */
+  /** Also the q66 driver entry: counts are integers and money
+    * accumulates in CENTS (Math.round(v·100), exact for the fixture's
+    * positive 2-decimal values), so the final per-user state is
+    * bit-reproducible by plain SQL — custom keyed state runs under
+    * the hard hash compare, not just the batch-parity spec.
+    */
   def userSessionsBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"user_sessions_${runSeq.incrementAndGet()}"
     val q = userSessions(spark, sfDir).writeStream
       .outputMode(OutputMode.Update())
       .format("memory")
-      .queryName("user_sessions")
+      .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("n_events").desc)
-    spark.table("user_sessions")
+    spark.table(name)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
