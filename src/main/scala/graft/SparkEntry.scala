@@ -85,6 +85,7 @@ object SparkEntry {
     "q48_quantile_sketch" -> (Sketches.quantiles _),
     "q58_bloom_semi_join" -> ((s: SparkSession, d: String) => Sketches.bloomSemiJoin(s, d)),
     "q60_cms_frequency" -> (Sketches.cmsFrequency _),
+    "q67_hll_daily_merge" -> (Sketches.hllMergeDaily _),
     // --- similarity search ---
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Similarity.annBrute(s, d)),
     "q31_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -187,6 +188,11 @@ object SparkEntry {
       """SELECT event_type, user_id, COUNT(*) AS n_exact,
          TRUE AS approx_ok
          FROM events WHERE user_id < 10 GROUP BY 1, 2""",
+    // q67: per-day HLL sketches merged across days (the daily rollup);
+    // the merged estimate must land inside the q39 bound.
+    "q67_hll_daily_merge" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+         TRUE AS approx_ok FROM events GROUP BY 1""",
     "q09_join_broadcast" ->
       """SELECT c_mktsegment,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,

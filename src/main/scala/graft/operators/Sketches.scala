@@ -59,6 +59,31 @@ object Sketches {
         countDistinct(col("user_id")).as("n_exact"),
         approx_count_distinct(col("user_id"), hllRsd).as("n_approx"))
 
+  /** q67: the DAILY-SKETCH ROLLUP — the incremental-cardinality shape
+    * a 100 TB pipeline actually runs: one HLL sketch per
+    * (event_type, day) — in production these are persisted with each
+    * day's partition — then `hll_union_agg` merges days and a single
+    * estimate comes out; the raw events are never re-scanned for the
+    * cross-day distinct. HLL insertion and union are
+    * order-independent, so the estimate is deterministic under any
+    * partitioning; it lands under the q39 bound-fold device next to
+    * the exact count.
+    */
+  def hllMergeDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), col("user_id"), to_date(col("ts")).as("day"))
+    val daily = ev.groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_approx"))
+    ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+      .join(merged, "event_type")
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")).cast("double") <=
+          col("n_exact").cast("double") * hllBound).as("approx_ok"))
+  }
+
   /** False-positive probability handed to the Bloom build. */
   val bloomFpp = 0.01
 
