@@ -258,13 +258,22 @@ object ReferenceQueries {
 
   /** The read half of [[partitionPrunedAgg]] — split out so the spec
     * can plan-assert the partition filter on exactly the production
-    * subtree.
+    * subtree. Explicit schema: no inference pass over the listing
+    * (and an EMPTY layout — zero part files — still reads as an
+    * empty frame instead of failing inference).
     */
-  def prunedRead(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir)
+  def prunedRead(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.read.schema(StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("user_id", LongType),
+        StructField("value", DoubleType),
+        StructField("event_type", StringType))))
+      .parquet(dir)
       .filter(col("event_type") === "click")
       .groupBy((col("user_id") % 10).as("user_bucket"))
       .agg(
         count(lit(1)).as("n_events"),
         moneySum(col("value")).as("sum_value"))
+  }
 }
