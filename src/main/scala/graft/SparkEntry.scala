@@ -96,6 +96,10 @@ object SparkEntry {
     "q42_token_stats" -> (TextAnalysis.tokenStats _),
     "q43_fingerprint" -> (TextAnalysis.fingerprint _),
     "q61_tfidf_terms" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTerms(s, d)),
+    // --- training-set preparation ---
+    "q68_train_split" -> (TrainingPrep.splitAssign _),
+    "q69_quality_bins" -> (TrainingPrep.qualityBins _),
+    "q70_shard_pack" -> ((s: SparkSession, d: String) => TrainingPrep.shardPack(s, d)),
     // --- multimodal plumbing ---
     "q50_multimodal_meta" -> (Multimodal.mediaMeta _),
     "q51_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
@@ -744,22 +748,44 @@ object SparkEntry {
                  CAST(dfreq.df AS DOUBLE) DESC, tf.tok ASC) AS rk
            FROM tf JOIN dfreq USING (tok) CROSS JOIN n)
          WHERE rk <= 3""",
-    "q41_quality" ->
+    "q41_quality" -> qualityOracle,
+    // q68: content-addressed split — md5 bucket is the q23/q31
+    // portability construction, so DuckDB replays the assignment.
+    "q68_train_split" ->
       """SELECT doc_id,
-         CAST(length(text) AS BIGINT) AS n_chars,
-         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-           ELSE len(regexp_extract_all(trim(text), '\S+')) END AS BIGINT) AS n_tokens,
-         CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|for|on|with)\b')) AS BIGINT) AS n_stopwords,
-         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
-         CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|for|on|with)\b')) AS DOUBLE) /
-           CAST(GREATEST(CASE WHEN length(trim(text)) = 0 THEN 0
-             ELSE len(regexp_extract_all(trim(text), '\S+')) END, 1) AS DOUBLE) AS stopword_ratio,
-         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) /
-           CAST(GREATEST(length(text), 1) AS DOUBLE) AS punct_ratio,
-         CAST(length(text) AS DOUBLE) /
-           CAST(GREATEST(CASE WHEN length(trim(text)) = 0 THEN 0
-             ELSE len(regexp_extract_all(trim(text), '\S+')) END, 1) AS DOUBLE) AS mean_token_len
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10
+           AS bucket,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 < 8
+              THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 = 8
+              THEN 'val' ELSE 'test' END AS split
          FROM documents""",
+    // q69: value-based bins over q41's ratio columns (single-op double
+    // math, then floor — bit-portable).
+    "q69_quality_bins" ->
+      s"""SELECT doc_id,
+         CAST(floor(punct_ratio * 10) AS INTEGER) AS punct_bin,
+         CAST(floor(stopword_ratio * 10) AS INTEGER) AS stopword_bin
+         FROM ($qualityOracle)""",
+    // q70: per-language token-budget shard packing — integer window
+    // arithmetic; HUGEINT-safe casts around the window sum.
+    "q70_shard_pack" ->
+      s"""WITH lang AS ($langIdOracle),
+         toks AS (
+           SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_extract_all(trim(text), '\\S+')) END AS BIGINT)
+             AS n_tokens
+           FROM documents)
+         SELECT doc_id, lang_pred, n_tokens,
+           CAST(floor(CAST(tokens_before AS DOUBLE) / 10000.0) AS BIGINT)
+             AS shard
+         FROM (
+           SELECT l.doc_id, l.lang_pred, t.n_tokens,
+             CAST(COALESCE(SUM(t.n_tokens) OVER (
+               PARTITION BY l.lang_pred ORDER BY l.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS tokens_before
+           FROM lang l JOIN toks t ON l.doc_id = t.doc_id)""",
     "q42_token_stats" ->
       """SELECT doc_id,
          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -798,6 +824,24 @@ object SparkEntry {
          ('0x' || substr(md5(text), 25, 8))::BIGINT / 4294967296.0 AS f3
          FROM documents"""
   )
+
+  /** SQL twin of TextAnalysis.quality — shared by q41 and q69. */
+  private val qualityOracle: String =
+    """SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_extract_all(trim(text), '\S+')) END AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|for|on|with)\b')) AS BIGINT) AS n_stopwords,
+       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+       CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|for|on|with)\b')) AS DOUBLE) /
+         CAST(GREATEST(CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE len(regexp_extract_all(trim(text), '\S+')) END, 1) AS DOUBLE) AS stopword_ratio,
+       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) /
+         CAST(GREATEST(length(text), 1) AS DOUBLE) AS punct_ratio,
+       CAST(length(text) AS DOUBLE) /
+         CAST(GREATEST(CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE len(regexp_extract_all(trim(text), '\S+')) END, 1) AS DOUBLE) AS mean_token_len
+       FROM documents"""
 
   /** SQL twin of TextAnalysis.langId: same marker sets, same argmax
     * tie order.

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Training-set preparation operators — the last mile of a
+  * training-data pipeline after cleaning/dedup: deterministic
+  * train/val/test assignment, quality binning for curriculum
+  * selection, and token-budget shard packing.
+  *
+  * All three are oracle-exact: split hashes are md5-derived (the
+  * q23/q31 portability device), bins are single-op double math, and
+  * packing is integer window arithmetic.
+  */
+object TrainingPrep {
+
+  /** 8/1/1 train/val/test weights out of [[splitBuckets]]. */
+  val splitBuckets = 10
+  val trainBuckets = 8
+
+  /** The q68 driver entry: CONTENT-ADDRESSED train/val/test split —
+    * bucket = md5(doc_id) mod 10, split = 8/1/1. Hash-addressed
+    * assignment is the production rule because it is stable under
+    * growth: adding documents tomorrow never reassigns today's docs
+    * (a row-number split would), so eval sets stay frozen across
+    * ingests. Embarrassingly parallel — no shuffle at all; the md5
+    * prefix is the same 60-bit construction DuckDB replays exactly.
+    */
+  def splitAssign(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(splitBuckets)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainBuckets, "train")
+          .when(col("bucket") === trainBuckets, "val")
+          .otherwise("test"))
+
+  /** The q69 driver entry: VALUE-BASED quality binning for curriculum
+    * selection — punctuation-ratio decile by fixed bin width
+    * (floor(ratio·10)), not by global rank: a rank (ntile) over the
+    * whole corpus needs a global sort, value bins are a per-row
+    * expression that scales embarrassingly. Ratio and floor are
+    * single-op double math, bit-portable to the oracle.
+    */
+  def qualityBins(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.quality(spark, sfDir)
+      .select(col("doc_id"),
+        floor(col("punct_ratio") * 10).cast("int").as("punct_bin"),
+        floor(col("stopword_ratio") * 10).cast("int").as("stopword_bin"))
+
+  /** Token budget per training shard for [[shardPack]]. */
+  val shardTokenBudget = 10000L
+
+  /** The q70 driver entry: PER-LANGUAGE token-budget shard packing —
+    * docs stream into shards of ~budget tokens in doc_id order; a doc
+    * opens in the shard its preceding cumulative token count falls in
+    * (shard = floor(tokens_before / budget)). Partitioned by language:
+    * packing is inherently sequential WITHIN a shard family, so the
+    * window runs per language partition (parallel across languages),
+    * never as one global sort — the per-key-sequential pattern that
+    * scales. All integer window arithmetic, oracle-exact.
+    */
+  def shardPack(
+      spark: SparkSession, sfDir: String,
+      budget: Long = shardTokenBudget): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val langs = TextAnalysis.langId(spark, sfDir)
+      .select(col("doc_id"), col("lang_pred"))
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val w = Window.partitionBy(col("lang_pred")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    langs.join(toks, "doc_id")
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+        floor(col("tokens_before").cast("double") / lit(budget.toDouble))
+          .cast("long").as("shard"))
+  }
+}
