@@ -100,6 +100,7 @@ object SparkEntry {
     "q68_train_split" -> (TrainingPrep.splitAssign _),
     "q69_quality_bins" -> (TrainingPrep.qualityBins _),
     "q70_shard_pack" -> ((s: SparkSession, d: String) => TrainingPrep.shardPack(s, d)),
+    "q71_embed_quantize" -> (TrainingPrep.quantizeEmbeddings _),
     // --- multimodal plumbing ---
     "q50_multimodal_meta" -> (Multimodal.mediaMeta _),
     "q51_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
@@ -786,6 +787,19 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS BIGINT) AS tokens_before
            FROM lang l JOIN toks t ON l.doc_id = t.doc_id)""",
+    // q71: symmetric int8 quantization audit — every step single-op
+    // IEEE double math (abs/div/floor/mul/sub), replayed exactly.
+    "q71_embed_quantize" ->
+      s"""WITH u AS ($normalizedVectors),
+         s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+               FROM u)
+         SELECT vec_id, scale, max_err, max_err <= scale * 0.5 AS quant_ok
+         FROM (SELECT vec_id, scale,
+                 CASE WHEN scale = 0 THEN 0.0 ELSE
+                   list_max(list_transform(v, x ->
+                     abs(x - floor(x / scale + 0.5) * scale))) END AS max_err
+               FROM s)""",
     "q42_token_stats" ->
       """SELECT doc_id,
          CAST(CASE WHEN length(trim(text)) = 0 THEN 0

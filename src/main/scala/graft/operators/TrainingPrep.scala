@@ -51,6 +51,30 @@ object TrainingPrep {
         floor(col("punct_ratio") * 10).cast("int").as("punct_bin"),
         floor(col("stopword_ratio") * 10).cast("int").as("stopword_bin"))
 
+  /** The q71 driver entry: INT8 embedding quantization audit — the
+    * storage-compression step (4x over float32, 8x over double) every
+    * embedding corpus goes through before training/serving. Per
+    * vector: symmetric scale = max|x|/127, quantize with explicit
+    * round-half-up (floor(x/scale + 0.5) — `round`'s half-up vs
+    * half-even varies by engine, floor does not), and the max
+    * reconstruction error, which mathematically cannot exceed
+    * scale/2 — `quant_ok` asserts exactly that and the oracle replays
+    * every step bit-identically (abs/div/floor/mul/sub are single
+    * IEEE ops). Embarrassingly parallel, zero shuffle.
+    */
+  def quantizeEmbeddings(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.Vectors.l2normalize(col("embedding")).as("u"))
+      .withColumn("scale",
+        array_max(transform(col("u"), x => abs(x))) / lit(127.0))
+      .select(col("vec_id"), col("scale"),
+        when(col("scale") === 0, lit(0.0)).otherwise(
+          array_max(transform(col("u"), x =>
+            abs(x - floor(x / col("scale") + lit(0.5)) * col("scale")))))
+          .as("max_err"))
+      .withColumn("quant_ok", col("max_err") <= col("scale") * lit(0.5))
+
   /** Token budget per training shard for [[shardPack]]. */
   val shardTokenBudget = 10000L
 
