@@ -23,14 +23,19 @@ object Bench {
 
   /** Per-query medians from a previous round's BENCH_r*.json. The
     * driver wraps the bench line in a log-tail string with escaped
-    * quotes, so this is a tolerant regex scrape, not a JSON parse;
-    * later duplicates (the actual bench line) win.
+    * quotes, so this is a tolerant regex scrape, not a JSON parse.
+    * Parsing is scoped to the LAST "queries" object in the file —
+    * scraping the whole content would also match the "regressions"
+    * map, whose ratio values would poison the next round's baseline.
     */
-  def parsePrevMedians(content: String): Map[String, Double] =
+  def parsePrevMedians(content: String): Map[String, Double] = {
+    val queriesObj = """"queries\\?":\{([^}]*)\}""".r
+      .findAllMatchIn(content).map(_.group(1)).toSeq.lastOption.getOrElse("")
     """(q\d{2}_[a-z0-9_]+)\\?":(-?\d+\.\d+)""".r
-      .findAllMatchIn(content)
+      .findAllMatchIn(queriesObj)
       .map(m => m.group(1) -> m.group(2).toDouble)
       .toMap
+  }
 
   def regressions(
       prev: Map[String, Double],

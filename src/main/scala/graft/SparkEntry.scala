@@ -204,13 +204,7 @@ object SparkEntry {
          COUNT(*) AS n_orders
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1""",
-    "q10_join_large" ->
-      """SELECT o_orderpriority,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
-         COUNT(*) AS n_items
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY 1""",
+    "q10_join_large" -> joinRevenueOracle,
     "q11_join_star" ->
       """SELECT r_name,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
@@ -376,21 +370,9 @@ object SparkEntry {
          FROM lineitem GROUP BY 1""",
     // q49/q53 are REWRITES of q10's join (salted keys / bucketed
     // storage): row-identity to the plain join is the contract, so all
-    // three run under the identical SQL.
-    "q49_salted_join" ->
-      """SELECT o_orderpriority,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
-         COUNT(*) AS n_items
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY 1""",
-    "q53_bucketed_join" ->
-      """SELECT o_orderpriority,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
-         COUNT(*) AS n_items
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY 1""",
+    // three share joinRevenueOracle — divergence is impossible.
+    "q49_salted_join" -> joinRevenueOracle,
+    "q53_bucketed_join" -> joinRevenueOracle,
     "q54_window_funcs" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
          lag(o_totalprice, 1) OVER w AS prev_price,
@@ -561,53 +543,11 @@ object SparkEntry {
     // q45: the exhaustive pair truth restricted to pairs touching the
     // deterministic NEW batch (doc_id % 5 = 0) — the incremental
     // operator must find exactly these without regenerating old×old.
-    "q45_incremental_dedup" ->
-      s"""WITH words AS (
-           SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
-         sh AS (
-           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
-           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t
-           WHERE len(w) >= 5),
-         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-         common AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-         SELECT id_a, id_b, n_common,
-           CAST(n_common AS DOUBLE) /
-             CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
-         FROM common
-         JOIN sizes sa ON sa.doc_id = id_a
-         JOIN sizes sb ON sb.doc_id = id_b
-         WHERE CAST(n_common AS DOUBLE) /
-             CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
-           AND (id_a % 5 = 0 OR id_b % 5 = 0)""",
-    // q46: same output contract as q45 (pairs touching the new batch,
-    // exact-Jaccard scores) — only the PLAN differs: history side comes
-    // from persisted MinHash signatures read back from parquet, so the
-    // banding subtree scans documents exactly once (DedupSpec asserts
-    // the plan; this oracle asserts the rows).
-    "q46_incremental_persisted" ->
-      s"""WITH words AS (
-           SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
-         sh AS (
-           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
-           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t
-           WHERE len(w) >= 5),
-         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-         common AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-         SELECT id_a, id_b, n_common,
-           CAST(n_common AS DOUBLE) /
-             CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
-         FROM common
-         JOIN sizes sa ON sa.doc_id = id_a
-         JOIN sizes sb ON sb.doc_id = id_b
-         WHERE CAST(n_common AS DOUBLE) /
-             CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
-           AND (id_a % 5 = 0 OR id_b % 5 = 0)""",
+    // q46 shares the SAME val: it differs only in PLAN (history side
+    // from persisted MinHash signatures — DedupSpec asserts the plan;
+    // this oracle asserts the rows). Divergence is impossible.
+    "q45_incremental_dedup" -> incrementalDedupOracle,
+    "q46_incremental_persisted" -> incrementalDedupOracle,
     "q30_ann_brute" ->
       s"""WITH u AS ($normalizedVectors),
          q AS (SELECT vec_id AS q_id, v AS qv FROM u
@@ -838,6 +778,44 @@ object SparkEntry {
          ('0x' || substr(md5(text), 25, 8))::BIGINT / 4294967296.0 AS f3
          FROM documents"""
   )
+
+  /** q10's fact-fact revenue SQL — shared verbatim by q49 (salted)
+    * and q53 (bucketed): the rewrites are row-identity contracts.
+    */
+  private val joinRevenueOracle: String =
+    """SELECT o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY 1"""
+
+  /** Exhaustive near-dup SQL restricted to pairs touching the new
+    * batch — shared verbatim by q45 (in-session) and q46 (persisted
+    * signatures): the two operators differ only in plan, never in
+    * contract.
+    */
+  private lazy val incrementalDedupOracle: String =
+    s"""WITH words AS (
+         SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+         FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t
+         WHERE len(w) >= 5),
+       sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       common AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT id_a, id_b, n_common,
+         CAST(n_common AS DOUBLE) /
+           CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+       FROM common
+       JOIN sizes sa ON sa.doc_id = id_a
+       JOIN sizes sb ON sb.doc_id = id_b
+       WHERE CAST(n_common AS DOUBLE) /
+           CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+         AND (id_a % 5 = 0 OR id_b % 5 = 0)"""
 
   /** SQL twin of TextAnalysis.quality — shared by q41 and q69. */
   private val qualityOracle: String =

@@ -434,10 +434,7 @@ object Dedup {
       spark: SparkSession, sfDir: String,
       n: Int = 5, threshold: Double = 0.5, newModulus: Int = 5,
       sigPath: Option[String] = None): DataFrame = {
-    val path = sigPath.getOrElse(
-      System.getProperty("java.io.tmpdir", "/tmp") +
-        s"/graft_sig_${spark.sparkContext.applicationId}/" +
-        new java.io.File(sfDir).getName)
+    val path = sigPath.getOrElse(Scratch.dir(spark, "q46_sig", sfDir))
     try {
       persistHistorySignatures(spark, sfDir, path, n, newModulus)
       val docs = Tables.load(spark, sfDir, "documents")
@@ -454,11 +451,9 @@ object Dedup {
           .agg(collect_set(col("sh")).as("shs"))
         verifyExactJaccard(cand, sets, threshold).localCheckpoint(true)
       } finally cand.unpersist()
-    } finally if (sigPath.isEmpty) {
+    } finally if (sigPath.isEmpty)
       // default (session-temp) signatures are scratch: remove them
-      val p = new org.apache.hadoop.fs.Path(path)
-      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
-    }
+      Scratch.delete(spark, path)
   }
 
   def minhashLshPairs(

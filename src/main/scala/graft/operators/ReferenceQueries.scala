@@ -137,8 +137,8 @@ object ReferenceQueries {
     * the DuckDB oracle is the same aggregate over the parquet `events`
     * table — any CSV-path infidelity breaks the hash match.
     */
-  def csvLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = s"/tmp/graft_q19_csv/${new java.io.File(sfDir).getName}"
+  def csvLifecycle(spark: SparkSession, sfDir: String): DataFrame =
+      Scratch.withScratch(spark, "q19_csv", sfDir) { dir =>
     val ev = Tables.load(spark, sfDir, "events")
       .select(
         col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
@@ -176,15 +176,11 @@ object ReferenceQueries {
     * full scan) under DROPMALFORMED with injected garbage lines, then
     * the q04 aggregate. The render is lossless (longs; doubles use
     * shortest-round-trip text), so the parquet-side aggregate is the
-    * exact oracle for the whole JSON path. Temp dir is
-    * per-application (unique via applicationId — concurrent sessions
-    * never race).
+    * exact oracle for the whole JSON path.
     */
-  def jsonLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+  def jsonLifecycle(spark: SparkSession, sfDir: String): DataFrame =
+      Scratch.withScratch(spark, "q59_json", sfDir) { dir =>
     import org.apache.spark.sql.types._
-    val dir = System.getProperty("java.io.tmpdir", "/tmp") +
-      s"/graft_q59_json_${spark.sparkContext.applicationId}/" +
-      new java.io.File(sfDir).getName
     val ev = Tables.load(spark, sfDir, "events")
       .select(col("event_id"), col("event_type"), col("value"))
     ev.filter(col("event_id") % 2 === 0)
@@ -221,10 +217,8 @@ object ReferenceQueries {
     * round-trip losslessly, so the parquet-side aggregate is the exact
     * oracle.
     */
-  def orcLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = System.getProperty("java.io.tmpdir", "/tmp") +
-      s"/graft_q63_orc_${spark.sparkContext.applicationId}/" +
-      new java.io.File(sfDir).getName
+  def orcLifecycle(spark: SparkSession, sfDir: String): DataFrame =
+      Scratch.withScratch(spark, "q63_orc", sfDir) { dir =>
     Tables.load(spark, sfDir, "events")
       .select(col("event_id"), col("event_type"), col("value"))
       .write.mode("overwrite").orc(dir)
@@ -243,18 +237,13 @@ object ReferenceQueries {
     * filter-after-read. The oracle aggregates the same slice from
     * parquet.
     */
-  def partitionPrunedAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = partitionedEventsDir(spark, sfDir)
-    Tables.load(spark, sfDir, "events")
-      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
-      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
-    prunedRead(spark, dir)
-  }
-
-  private def partitionedEventsDir(spark: SparkSession, sfDir: String): String =
-    System.getProperty("java.io.tmpdir", "/tmp") +
-      s"/graft_q64_part_${spark.sparkContext.applicationId}/" +
-      new java.io.File(sfDir).getName
+  def partitionPrunedAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Scratch.withScratch(spark, "q64_part", sfDir) { dir =>
+      Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      prunedRead(spark, dir)
+    }
 
   /** The read half of [[partitionPrunedAgg]] — split out so the spec
     * can plan-assert the partition filter on exactly the production

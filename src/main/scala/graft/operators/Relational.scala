@@ -82,18 +82,30 @@ object Relational {
     * fact-fact join strategy at 100 TB.
     */
   def bucketedJoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.sinks.Sinks.writeBucketed(
-      Tables.load(spark, sfDir, "lineitem")
-        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
-      "li_bkt_q53", "l_orderkey", 8)
-    graft.sinks.Sinks.writeBucketed(
-      Tables.load(spark, sfDir, "orders")
-        .select(col("o_orderkey"), col("o_orderpriority")),
-      "o_bkt_q53", "o_orderkey", 8)
-    revenueByPriority(
-      spark.table("li_bkt_q53").hint("merge")
-        .join(spark.table("o_bkt_q53").hint("merge"),
-          col("l_orderkey") === col("o_orderkey")))
+    // table names carry the applicationId (same rule as the q46/q59
+    // scratch dirs): concurrent sessions sharing a warehouse must
+    // never DROP each other's tables mid-read. Managed-table DROP in
+    // the finally removes both catalog entries and files once the
+    // small result is materialized.
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9_]", "_")
+    val liT = s"li_bkt_q53_$tag"
+    val oT = s"o_bkt_q53_$tag"
+    try {
+      graft.sinks.Sinks.writeBucketed(
+        Tables.load(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        liT, "l_orderkey", 8)
+      graft.sinks.Sinks.writeBucketed(
+        Tables.load(spark, sfDir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        oT, "o_orderkey", 8)
+      revenueByPriority(
+        spark.table(liT).hint("merge")
+          .join(spark.table(oT).hint("merge"),
+            col("l_orderkey") === col("o_orderkey")))
+        .localCheckpoint(true)
+    } finally Seq(liT, oT).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 
   /** The q54 driver entry: window-function breadth (lag, lead, ntile,

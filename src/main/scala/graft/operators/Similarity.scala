@@ -174,31 +174,34 @@ object Similarity {
   def kmeansCodebook(
       corpus: DataFrame, clusters: Int = ivfClusters,
       iters: Int = 5): DataFrame = {
-    var cents = seededCodebook(corpus, clusters).localCheckpoint(true)
-    for (_ <- 0 until iters) {
-      // the embedding never rides the argmax shuffle: cells are
-      // assigned on small (vec_id, sim, c_id) triples, vectors join
-      // back ONCE for the means — persist the corpus partitioned by
-      // vec_id and the big side stays put across iterations (the old
-      // max(struct(sim, nc, u)) form shuffled the full vector inside
-      // every per-iteration aggregate: ~1 TB at 1 B x 128-dim doubles)
-      val assigned = assignCells(corpus, cents).join(corpus, "vec_id")
-      val means = assigned
-        .select(col("c_id"), posexplode(col("u")).as(Seq("pos", "x")))
-        .groupBy(col("c_id"), col("pos"))
-        .agg(avg(col("x")).as("mx"))
-        .groupBy(col("c_id"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("mx")))),
-          s => s.getField("mx")).as("mean"))
-        .select(col("c_id"),
-          Vectors.l2normalize(col("mean")).as("cv_new"))
-      cents = cents.as("c")
-        .join(means.as("m"), Seq("c_id"), "left")
-        .select(col("c_id"), coalesce(col("cv_new"), col("cv")).as("cv"))
-        .localCheckpoint(true)
-    }
-    cents
+    // pin the corpus hash-partitioned by vec_id and cached: the
+    // embedding arrays are shuffled ONCE here; every iteration's
+    // join-back then reuses this partitioning, so only the small
+    // (vec_id, sim, c_id) triples move per iteration (the old
+    // max(struct(sim, nc, u)) form shuffled the full vector inside
+    // every per-iteration aggregate: ~1 TB at 1 B x 128-dim doubles)
+    val c = corpus.repartition(col("vec_id")).persist()
+    try {
+      var cents = seededCodebook(c, clusters).localCheckpoint(true)
+      for (_ <- 0 until iters) {
+        val assigned = assignCells(c, cents).join(c, "vec_id")
+        val means = assigned
+          .select(col("c_id"), posexplode(col("u")).as(Seq("pos", "x")))
+          .groupBy(col("c_id"), col("pos"))
+          .agg(avg(col("x")).as("mx"))
+          .groupBy(col("c_id"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("mx")))),
+            s => s.getField("mx")).as("mean"))
+          .select(col("c_id"),
+            Vectors.l2normalize(col("mean")).as("cv_new"))
+        cents = cents.as("c")
+          .join(means.as("m"), Seq("c_id"), "left")
+          .select(col("c_id"), coalesce(col("cv_new"), col("cv")).as("cv"))
+          .localCheckpoint(true)
+      }
+      cents
+    } finally c.unpersist()
   }
 
   /** (vec_id, c_id) nearest-centroid assignment against a broadcast

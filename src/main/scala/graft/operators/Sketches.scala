@@ -150,14 +150,18 @@ object Sketches {
     val exact = ev.filter(col("user_id") < cmsProbeUsers)
       .groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("n_exact"))
-    val est = udf((bytes: Array[Byte], k: Long) =>
-      CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
-        .estimateCount(k))
+    // one UDF evaluates the whole band check: the ~MB-scale sketch is
+    // deserialized once per probe row (two separate est() calls in the
+    // projection would each re-parse the byte array)
+    val inBand = udf((bytes: Array[Byte], k: Long, exact: Long, cap: Long) => {
+      val e = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+        .estimateCount(k)
+      e >= exact && e <= cap
+    })
     exact.join(sk, "event_type")
       .select(col("event_type"), col("user_id"), col("n_exact"),
-        (est(col("cms"), col("user_id")) >= col("n_exact") &&
-          est(col("cms"), col("user_id")) <=
-            col("n_exact") + ceil(lit(cmsEps) * col("n_total")).cast("long"))
+        inBand(col("cms"), col("user_id"), col("n_exact"),
+          col("n_exact") + ceil(lit(cmsEps) * col("n_total")).cast("long"))
           .as("approx_ok"))
   }
 

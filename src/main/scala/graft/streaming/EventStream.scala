@@ -173,7 +173,10 @@ object EventStream {
     * (Trigger.AvailableNow + memory sink) and return the final result
     * as a batch DataFrame — the harness for batch-parity tests.
     * Aggregations use Complete mode (default); stream-stream joins
-    * require Append.
+    * require Append. The result is materialized eagerly and the
+    * sink's temp view dropped before returning — otherwise every
+    * invocation (bench medians run each entry 3x) pins another full
+    * result copy in the catalog for the session lifetime.
     */
   def runToBatch(spark: SparkSession, df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Complete()): DataFrame = {
@@ -184,7 +187,8 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    try spark.table(name).localCheckpoint(true)
+    finally spark.catalog.dropTempView(name)
   }
 
   /** Stream-stream join: click→purchase attribution. Each purchase
@@ -317,9 +321,11 @@ object EventStream {
     q.awaitTermination()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("n_events").desc)
-    spark.table(name)
+    try spark.table(name)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
+      .localCheckpoint(true)
+    finally spark.catalog.dropTempView(name)
   }
 }

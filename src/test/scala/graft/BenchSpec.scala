@@ -13,9 +13,19 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.parsePrevMedians(plain) == Map("q01_scan_1a" -> 0.3))
   }
 
-  test("later duplicates win (stale copies earlier in the log tail)") {
-    val twice = """{\"q05_agg_multi\":9.999} ... {\"q05_agg_multi\":1.079}"""
+  test("the last queries object wins (stale copies earlier in the log tail)") {
+    val twice =
+      """{\"queries\":{\"q05_agg_multi\":9.999}} ... {\"queries\":{\"q05_agg_multi\":1.079}}"""
     assert(Bench.parsePrevMedians(twice) == Map("q05_agg_multi" -> 1.079))
+  }
+
+  test("a flagged regression's ratio never poisons the next baseline") {
+    // the gate's own output: queries holds the median, regressions the
+    // ratio — only the median may be scraped back
+    val selfOutput =
+      """{"metric":"total","value":50.0,"unit":"sec","queries":{"q21_ngram_jaccard":6.400},"prev":"BENCH_r04.json","regressions":{"q21_ngram_jaccard":1.60},"sf":"x"}"""
+    assert(Bench.parsePrevMedians(selfOutput) ==
+      Map("q21_ngram_jaccard" -> 6.4))
   }
 
   test("regression gate flags >1.5x AND >0.1s absolute only") {
