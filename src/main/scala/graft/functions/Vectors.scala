@@ -17,8 +17,8 @@ object Vectors {
 
   /** Σ a_i * b_i, double accumulation in element order. Codegen'd
     * custom expression; the HOF twin `aggregate(zip_with(...))` is
-    * semantically identical but interpreted (VectorsSpec pins the
-    * equivalence).
+    * semantically identical but interpreted (VectorExpressionsSpec
+    * pins the equivalence).
     */
   def dot(a: Column, b: Column): Column =
     VectorExpressions.dot_product(a, b)
