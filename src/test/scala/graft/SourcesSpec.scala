@@ -77,6 +77,34 @@ class SourcesSpec extends AnyFunSuite {
     assert(viaCsv == viaParquet) // bit-exact: lossless render + decimal sums
   }
 
+  test("maxPartitionBytes budgets scan task count (O10 size-budgeted partitioning)") {
+    // the Spark twin of the reference's memory-budget batch sizing:
+    // shrinking the per-task byte budget must yield more scan
+    // partitions over the same file
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_o10_spec").toString + "/events_one"
+    try {
+      Tables.load(spark, "/root/testdata/sf0.01", "events")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      def scanParts(): Int =
+        spark.read.parquet(dir).rdd.getNumPartitions
+      val coarse = scanParts()
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (16 * 1024).toString)
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      try {
+        val fine = scanParts()
+        assert(fine > coarse,
+          s"16k budget should split the scan: coarse=$coarse fine=$fine")
+      } finally {
+        spark.conf.set("spark.sql.files.maxPartitionBytes",
+          (128 * 1024 * 1024).toString)
+        spark.conf.set("spark.sql.files.openCostInBytes", (4 * 1024 * 1024).toString)
+      }
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(dir).getParentFile)
+  }
+
   test("events.ts converts to a real timestamp (nanos parquet)") {
     val df = Tables.load(spark, SparkTestSession.sf, "events")
     assert(df.schema("ts").dataType ==
