@@ -39,6 +39,8 @@ object SparkEntry {
     "q59_json_lifecycle" -> (ReferenceQueries.jsonLifecycle _),
     "q63_orc_lifecycle" -> (ReferenceQueries.orcLifecycle _),
     "q64_partition_pruning" -> (ReferenceQueries.partitionPrunedAgg _),
+    "q72_schema_evolution" -> (ReferenceQueries.schemaEvolution _),
+    "q73_session_window" -> (Relational.sessionWindowAgg _),
     // --- relational completeness (ABSENT in reference) ---
     "q09_join_broadcast" -> (Relational.joinBroadcast _),
     "q10_join_large" -> (Relational.joinLarge _),
@@ -179,6 +181,33 @@ object SparkEntry {
       """SELECT user_id % 10 AS user_bucket, COUNT(*) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events WHERE event_type = 'click' GROUP BY 1""",
+    // q72: the mergeSchema union of v1 (no user_id) and v2 layouts —
+    // n_with_user must count exactly the v2 (odd event_id) rows.
+    "q72_schema_evolution" ->
+      """SELECT event_type, COUNT(*) AS n_rows,
+         COUNT(CASE WHEN event_id % 2 = 1 THEN user_id END) AS n_with_user,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1""",
+    // q73: built-in session_window semantics — window end = last
+    // event + 30 min; new session when the gap is >= 30 min.
+    "q73_session_window" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+         numbered AS (
+           SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_idx
+           FROM flagged)
+         SELECT user_id, MIN(ts) AS t_start,
+           MAX(ts) + INTERVAL 30 MINUTES AS t_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM numbered GROUP BY user_id, s_idx""",
     // q58: Bloom pre-filter + exact semi join must be row-identical to
     // the plain semi join (no false negatives; positives cleaned by
     // the exact join) — so the oracle is the plain EXISTS.

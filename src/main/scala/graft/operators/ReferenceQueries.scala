@@ -237,6 +237,30 @@ object ReferenceQueries {
     * filter-after-read. The oracle aggregates the same slice from
     * parquet.
     */
+  /** Parquet schema-evolution lifecycle (q72): half the events are
+    * written with the v1 schema (3 columns), half with v2 (adds
+    * user_id), and one `mergeSchema` read unions them — v1 rows
+    * surface NULL user_id. At 100 TB schemas ALWAYS drift across
+    * partition generations; this proves the merged read agrees with
+    * the source of truth (n_with_user counts exactly the v2 rows).
+    */
+  def schemaEvolution(spark: SparkSession, sfDir: String): DataFrame =
+    Scratch.withScratch(spark, "q72_evo", sfDir) { dir =>
+      val ev = Tables.load(spark, sfDir, "events")
+      ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").parquet(s"$dir/v1")
+      ev.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("event_type"), col("value"), col("user_id"))
+        .write.mode("overwrite").parquet(s"$dir/v2")
+      spark.read.option("mergeSchema", "true").parquet(s"$dir/v1", s"$dir/v2")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("user_id")).as("n_with_user"),
+          moneySum(col("value")).as("sum_value"))
+    }
+
   def partitionPrunedAgg(spark: SparkSession, sfDir: String): DataFrame =
     Scratch.withScratch(spark, "q64_part", sfDir) { dir =>
       Tables.load(spark, sfDir, "events")

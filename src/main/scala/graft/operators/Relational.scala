@@ -432,6 +432,24 @@ object Relational {
         percentile(col("l_quantity"), lit(0.95)).as("p95"),
         count(lit(1)).as("n_rows"))
 
+  /** The q73 driver entry: gap sessions via the BUILT-IN
+    * `session_window` aggregate — the declarative twin of q33's
+    * lag/cumsum formulation (one shuffle on user_id, windows merged
+    * by the aggregate itself; in Structured Streaming the identical
+    * expression runs with state eviction at the watermark). Window
+    * end = last event + gap; a new session starts when the gap is
+    * >= 30 min (session windows are half-open), which the oracle
+    * replicates with a `>=` boundary.
+    */
+  def sessionWindowAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("sw.start").as("t_start"), col("sw.end").as("t_end"),
+        col("n_events"), col("sum_value"))
+
   /** Manual salted join for EXTREME key skew (beyond what AQE's
     * runtime skew-split handles): the left (large, skewed) side gets a
     * deterministic salt in [0, salts) derived from non-key columns;
