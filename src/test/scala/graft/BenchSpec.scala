@@ -28,6 +28,14 @@ class BenchSpec extends AnyFunSuite {
       Map("q21_ngram_jaccard" -> 6.4))
   }
 
+  test("every driver query has an exact oracle (and no orphan oracles)") {
+    // a queries entry without oracleSql silently downgrades the
+    // driver's check to rows-only — keep the surfaces identical
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet,
+      s"mismatch: ${SparkEntry.queries.keySet diff SparkEntry.oracleSql.keySet} " +
+        s"/ ${SparkEntry.oracleSql.keySet diff SparkEntry.queries.keySet}")
+  }
+
   test("regression gate flags >1.5x AND >0.1s absolute only") {
     val prev = Map("slow" -> 1.0, "tiny" -> 0.05, "mild" -> 2.0,
       "faster" -> 1.0, "failed" -> 3.0)
