@@ -98,6 +98,8 @@ object SparkEntry {
     "q42_token_stats" -> (TextAnalysis.tokenStats _),
     "q43_fingerprint" -> (TextAnalysis.fingerprint _),
     "q61_tfidf_terms" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTerms(s, d)),
+    "q74_repetition" -> ((s: SparkSession, d: String) => TextAnalysis.repetitionStats(s, d)),
+    "q75_redact_pii" -> (TextAnalysis.redactPii _),
     // --- training-set preparation ---
     "q68_train_split" -> (TrainingPrep.splitAssign _),
     "q69_quality_bins" -> (TrainingPrep.qualityBins _),
@@ -719,6 +721,37 @@ object SparkEntry {
            FROM tf JOIN dfreq USING (tok) CROSS JOIN n)
          WHERE rk <= 3""",
     "q41_quality" -> qualityOracle,
+    // q74: total vs distinct 5-grams per doc; same shingle CTE as q21
+    // minus the DISTINCT.
+    "q74_repetition" ->
+      s"""WITH words AS (
+           SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
+         sh AS (
+           SELECT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t
+           WHERE len(w) >= 5)
+         SELECT doc_id, COUNT(*) AS n_grams,
+           COUNT(DISTINCT shingle) AS n_distinct,
+           1.0 - CAST(COUNT(DISTINCT shingle) AS DOUBLE) /
+             CAST(COUNT(*) AS DOUBLE) AS dup_frac
+         FROM sh GROUP BY 1""",
+    // q75: both engines plant the same contact line on every 7th doc;
+    // the md5 of the redacted text is hash-compared, so a missed
+    // redaction fails. DuckDB needs the 'g' flag (Spark replaces all
+    // matches by default).
+    "q75_redact_pii" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+               THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+               ELSE text END AS t
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           MD5(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS redacted_fp
+         FROM t""",
     // q68: content-addressed split — md5 bucket is the q23/q31
     // portability construction, so DuckDB replays the assignment.
     "q68_train_split" ->

@@ -151,6 +151,49 @@ object TextAnalysis {
     } finally tf.unpersist()
   }
 
+  /** The q74 driver entry: WITHIN-document repetition stats — the
+    * Gopher-class quality signal (a doc whose 5-gram stream is mostly
+    * duplicates is boilerplate/spam): total vs distinct 5-grams per
+    * doc and the duplicate fraction. Counting plus one division and
+    * one subtraction (single IEEE ops — oracle-exact); one shuffle on
+    * (doc, gram) for the distinct count. Docs shorter than 5 words
+    * carry no grams and drop out, same as the shingling operators.
+    */
+  def repetitionStats(spark: SparkSession, sfDir: String, n: Int = 5): DataFrame =
+    Dedup.shingles(
+        Tables.load(spark, sfDir, "documents"), n, distinctPerDoc = false)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count_distinct(col("shingle")).as("n_distinct"))
+      .withColumn("dup_frac",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_grams").cast("double"))
+
+  /** Email pattern for [[redactPii]] — RE2-safe (no backreferences),
+    * so Spark's Java regex and DuckDB's RE2 agree on every match.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** The q75 driver entry: PII redaction — THE standard scrub step
+    * before text enters a training corpus. The fixture has no organic
+    * emails, so (q19 render-your-own-input precedent) every 7th doc
+    * gets a deterministic planted contact line that BOTH engines
+    * append identically; the operator must then count and strip every
+    * address. Zero shuffle, all codegen'd regex; the md5 of the
+    * redacted text goes under the hash compare, so a missed or
+    * mangled redaction fails the oracle.
+    */
+  def redactPii(spark: SparkSession, sfDir: String): DataFrame = {
+    val planted = when(col("doc_id") % 7 === 0,
+      concat(col("text"),
+        lit(" contact: user"), col("doc_id"), lit("@example.com")))
+      .otherwise(col("text"))
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), planted.as("t"))
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit(emailPattern)).cast("long").as("n_emails"),
+        md5(regexp_replace(col("t"), emailPattern, "<EMAIL>")).as("redacted_fp"))
+  }
+
   def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "documents")
       .select(
