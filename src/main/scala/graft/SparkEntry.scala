@@ -72,6 +72,7 @@ object SparkEntry {
     "q23_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q24_embed_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupPlanted(s, d)),
     "q25_clean_corpus" -> ((s: SparkSession, d: String) => CleanPipeline.cleanCorpus(s, d)),
+    "q76_corpus_manifest" -> ((s: SparkSession, d: String) => CleanPipeline.corpusManifest(s, d)),
     "q44_neardup_clusters" -> ((s: SparkSession, d: String) => Dedup.nearDupSurvivors(s, d)),
     "q45_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.minhashIncrementalVerified(s, d)),
     "q46_incremental_persisted" -> ((s: SparkSession, d: String) => Dedup.minhashIncrementalPersisted(s, d)),
@@ -661,6 +662,70 @@ object SparkEntry {
          WHERE l.lang_pred <> 'und' AND t.n_ws_tokens >= 20
            AND l.doc_id IN (SELECT doc_id FROM exact_keep)
            AND l.doc_id NOT IN (SELECT id_b FROM near_drop)""",
+    // q76: the end-to-end manifest — q25's clean CTEs + the q74
+    // repetition gate + q75 redaction + q68 split, joined on doc_id.
+    "q76_corpus_manifest" ->
+      s"""WITH lang AS ($langIdOracle),
+         toks AS (
+           SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_extract_all(trim(text), '\\S+')) END AS BIGINT) AS n_ws_tokens
+           FROM documents),
+         exact_keep AS (
+           SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY MD5($normText)),
+         words AS (
+           SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t
+           WHERE len(w) >= 5),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         near_drop AS (
+           SELECT DISTINCT id_b FROM common
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(n_common AS DOUBLE) /
+             CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+         sh_all AS (
+           SELECT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t
+           WHERE len(w) >= 5),
+         rep AS (
+           SELECT doc_id, 1.0 - CAST(COUNT(DISTINCT shingle) AS DOUBLE) /
+             CAST(COUNT(*) AS DOUBLE) AS dup_frac
+           FROM sh_all GROUP BY 1),
+         red AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             MD5(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS redacted_fp
+           FROM (SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                     THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                     ELSE text END AS t
+                 FROM documents)),
+         spl AS (
+           SELECT doc_id,
+             CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val'
+               ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 AS h
+                 FROM documents))
+         SELECT l.doc_id, l.lang_pred, t.n_ws_tokens, r.dup_frac,
+           rd.n_emails, rd.redacted_fp, s.split
+         FROM lang l
+         JOIN toks t ON l.doc_id = t.doc_id
+         JOIN rep r ON l.doc_id = r.doc_id
+         JOIN red rd ON l.doc_id = rd.doc_id
+         JOIN spl s ON l.doc_id = s.doc_id
+         WHERE l.lang_pred <> 'und' AND t.n_ws_tokens >= 20
+           AND l.doc_id IN (SELECT doc_id FROM exact_keep)
+           AND l.doc_id NOT IN (SELECT id_b FROM near_drop)
+           AND r.dup_frac <= 0.5""",
     // q32 replays the IVF structure in SQL: seeded codebook, argmax
     // cell assignment (ties to lowest centroid id), probe the 4
     // nearest cells, exact cosine top-k — float math bit-identical by

@@ -43,4 +43,28 @@ object CleanPipeline {
       .join(nearDrop, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang_pred"), col("n_ws_tokens"))
   }
+
+  /** The q76 capstone: the WHOLE training-corpus pipeline in one
+    * query — [[cleanCorpus]]'s gates and dedup, then the q74
+    * repetition gate, q75 PII redaction, and q68 split assignment on
+    * the survivors. The output is the artifact a user would actually
+    * materialize: the training-corpus MANIFEST (doc, language, token
+    * count, repetition score, redacted-text fingerprint, split) — and
+    * the whole composition still runs under the hard DuckDB oracle
+    * because every stage is exactly SQL-expressible. Scale shape is
+    * the union of the stages': narrow gates fused into scans, one
+    * digest shuffle, banded LSH, zero-shuffle redaction/split, and
+    * doc_id-keyed joins to assemble the manifest.
+    */
+  def corpusManifest(
+      spark: SparkSession, sfDir: String,
+      maxDupFrac: Double = 0.5): DataFrame =
+    cleanCorpus(spark, sfDir)
+      .join(TextAnalysis.repetitionStats(spark, sfDir)
+        .select(col("doc_id"), col("dup_frac")), "doc_id")
+      .filter(col("dup_frac") <= maxDupFrac)
+      .join(TextAnalysis.redactPii(spark, sfDir)
+        .select(col("doc_id"), col("n_emails"), col("redacted_fp")), "doc_id")
+      .join(TrainingPrep.splitAssign(spark, sfDir)
+        .select(col("doc_id"), col("split")), "doc_id")
 }
