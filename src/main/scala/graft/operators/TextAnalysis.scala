@@ -160,11 +160,14 @@ object TextAnalysis {
     * carry no grams and drop out, same as the shingling operators.
     */
   def repetitionStats(spark: SparkSession, sfDir: String, n: Int = 5): DataFrame =
-    Dedup.shingles(
-        Tables.load(spark, sfDir, "documents"), n, distinctPerDoc = false)
+    // 8-byte xxhash64 grams ride the (doc, gram) shuffle instead of
+    // ~25-byte strings — the q21/q22 precedent (hashed shingles under
+    // the string-shingle oracle; collisions don't happen at per-doc
+    // set sizes)
+    Dedup.shingleHashes(Tables.load(spark, sfDir, "documents"), n)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
-        count_distinct(col("shingle")).as("n_distinct"))
+        count_distinct(col("sh")).as("n_distinct"))
       .withColumn("dup_frac",
         lit(1.0) - col("n_distinct").cast("double") / col("n_grams").cast("double"))
 
