@@ -192,18 +192,22 @@ object SparkEntry {
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1""",
     // q73: built-in session_window semantics — window end = last
-    // event + 30 min; new session when the gap is >= 30 min.
+    // event + 30 min; Spark MERGES events exactly gapDuration apart
+    // (verified by direct execution), so a NEW session starts only
+    // when the gap is STRICTLY greater than 30 min. event_id rides
+    // the cumsum tiebreak so tied timestamps order deterministically.
     "q73_session_window" ->
       """WITH flagged AS (
-           SELECT user_id, ts, value,
+           SELECT user_id, event_id, ts, value,
              CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                   THEN 1 ELSE 0 END AS new_sess
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
          numbered AS (
            SELECT user_id, ts, value,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC
+             SUM(new_sess) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_idx
            FROM flagged)
          SELECT user_id, MIN(ts) AS t_start,

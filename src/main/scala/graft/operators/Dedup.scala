@@ -452,8 +452,9 @@ object Dedup {
         verifyExactJaccard(cand, sets, threshold).localCheckpoint(true)
       } finally cand.unpersist()
     } finally if (sigPath.isEmpty)
-      // default (session-temp) signatures are scratch: remove them
-      Scratch.delete(spark, path)
+      // default (session-temp) signatures are scratch: remove the
+      // whole per-application parent (exclusively this session's)
+      Scratch.delete(spark, new java.io.File(path).getParent)
   }
 
   def minhashLshPairs(

@@ -86,7 +86,9 @@ object Relational {
     // scratch dirs): concurrent sessions sharing a warehouse must
     // never DROP each other's tables mid-read. Managed-table DROP in
     // the finally removes both catalog entries and files once the
-    // small result is materialized.
+    // small result is materialized; only a hard-killed JVM (no
+    // finally) leaves files behind, and those sit under the tmp
+    // warehouse the OS purges.
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9_]", "_")
     val liT = s"li_bkt_q53_$tag"
     val oT = s"o_bkt_q53_$tag"
@@ -437,9 +439,10 @@ object Relational {
     * lag/cumsum formulation (one shuffle on user_id, windows merged
     * by the aggregate itself; in Structured Streaming the identical
     * expression runs with state eviction at the watermark). Window
-    * end = last event + gap; a new session starts when the gap is
-    * >= 30 min (session windows are half-open), which the oracle
-    * replicates with a `>=` boundary.
+    * end = last event + gap, and Spark MERGES two events exactly
+    * gapDuration apart (verified by direct execution) — a new
+    * session starts only when the gap is STRICTLY greater, which the
+    * oracle replicates with a `>` boundary.
     */
   def sessionWindowAgg(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "events")

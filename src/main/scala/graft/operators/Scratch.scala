@@ -18,13 +18,16 @@ object Scratch {
       new java.io.File(sfDir).getName
 
   /** Run `body` against a fresh scratch dir, eagerly materialize the
-    * (small) result it returns, then delete the dir.
+    * (small) result it returns, then delete the WHOLE per-application
+    * parent (graft_<tag>_<appId>/ is exclusively this session's —
+    * removing only the per-fixture leaf would leave empty parents
+    * accumulating in the temp dir).
     */
   def withScratch(spark: SparkSession, tag: String, sfDir: String)(
       body: String => DataFrame): DataFrame = {
     val path = dir(spark, tag, sfDir)
     try body(path).localCheckpoint(true)
-    finally delete(spark, path)
+    finally delete(spark, new java.io.File(path).getParent)
   }
 
   def delete(spark: SparkSession, path: String): Unit = {

@@ -162,6 +162,24 @@ class RelationalSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("session_window MERGES events exactly gapDuration apart (q73 oracle boundary)") {
+    import spark.implicits._
+    // pins the boundary the q73 oracle encodes: events at 00:00 and
+    // 00:30 with a 30-min gap are ONE session (end 01:00) — so the
+    // oracle's new-session condition must be gap > 30 min, not >=
+    val df = Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-01-01 00:30:00"))
+      .toDF("event_id", "s")
+      .select(col("event_id"), lit(7L).as("user_id"),
+        col("s").cast("timestamp").as("ts"))
+    val sessions = df
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("sw.end"), col("n")).collect()
+    assert(sessions.length == 1, s"exact-gap events must merge: ${sessions.toSeq}")
+    assert(sessions.head.getLong(1) == 2)
+    assert(sessions.head.getTimestamp(0).toString.startsWith("2024-01-01 01:00"))
+  }
+
   test("union keeps duplicates (UNION ALL semantics)") {
     val o = graft.sources.Tables.load(spark, sf, "orders")
     val both = o.filter(col("o_orderstatus") === "F")

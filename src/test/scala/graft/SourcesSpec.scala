@@ -89,6 +89,10 @@ class SourcesSpec extends AnyFunSuite {
       def scanParts(): Int =
         spark.read.parquet(dir).rdd.getNumPartitions
       val coarse = scanParts()
+      // restore the values the shared session actually had, not
+      // hardcoded constants that could drift from GraftSession
+      val savedMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      val savedOpen = spark.conf.get("spark.sql.files.openCostInBytes")
       spark.conf.set("spark.sql.files.maxPartitionBytes", (16 * 1024).toString)
       spark.conf.set("spark.sql.files.openCostInBytes", "0")
       try {
@@ -96,9 +100,8 @@ class SourcesSpec extends AnyFunSuite {
         assert(fine > coarse,
           s"16k budget should split the scan: coarse=$coarse fine=$fine")
       } finally {
-        spark.conf.set("spark.sql.files.maxPartitionBytes",
-          (128 * 1024 * 1024).toString)
-        spark.conf.set("spark.sql.files.openCostInBytes", (4 * 1024 * 1024).toString)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", savedMax)
+        spark.conf.set("spark.sql.files.openCostInBytes", savedOpen)
       }
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(
