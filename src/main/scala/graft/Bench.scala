@@ -18,6 +18,11 @@ import org.apache.spark.sql.SparkSession
   * listed under "regressions" in the output line — so an unexplained
   * swing like round 4's q24 +44% is flagged the round it happens, not
   * a round later.
+  *
+  * BEST-EVER GATE: the prev-round compare alone lets a slow drift
+  * through (+40% spread over three rounds never trips 1.5x once), so
+  * the same thresholds are ALSO applied against each query's best-ever
+  * median across ALL BENCH_r*.json files → "regressions_vs_best".
   */
 object Bench {
 
@@ -45,6 +50,13 @@ object Bench {
           t > prev(name) * 1.5 && t - prev(name) > 0.1 =>
         name -> t / prev(name)
     }
+
+  /** Per-query best-ever (minimum) median across many rounds' parsed
+    * medians — the baseline for the slow-drift gate.
+    */
+  def bestEver(rounds: Seq[Map[String, Double]]): Map[String, Double] =
+    rounds.flatMap(_.toSeq).filter(_._2 > 0)
+      .groupMapReduce(_._1)(_._2)(math.min)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,19 +91,20 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val prevFile = Option(new java.io.File(".").listFiles()).toSeq.flatten
+    val benchFiles = Option(new java.io.File(".").listFiles()).toSeq.flatten
       .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-      .sortBy(_.getName).lastOption
-    val prev = prevFile
-      .map(f => parsePrevMedians(
-        new String(java.nio.file.Files.readAllBytes(f.toPath))))
-      .getOrElse(Map.empty)
-    val regr = regressions(prev, results)
+      .sortBy(_.getName)
+    val allRounds = benchFiles.map(f => parsePrevMedians(
+      new String(java.nio.file.Files.readAllBytes(f.toPath))))
+    val prev = allRounds.lastOption.getOrElse(Map.empty)
+    def fmt(rs: Seq[(String, Double)]) = rs
       .map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
       .mkString("{", ",", "}")
-    val prevName = prevFile.map(_.getName).getOrElse("none")
+    val regr = fmt(regressions(prev, results))
+    val regrBest = fmt(regressions(bestEver(allRounds), results))
+    val prevName = benchFiles.lastOption.map(_.getName).getOrElse("none")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"prev":"$prevName","regressions":$regr,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"prev":"$prevName","regressions":$regr,"regressions_vs_best":$regrBest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -99,14 +99,32 @@ object Sketches {
     *
     * The build-side `count()` is the standard pre-sizing pass; the
     * filter ships to executors as a broadcast variable, not a closure
-    * copy per task.
+    * copy per task. The filtered key set is persisted across its three
+    * uses (pre-sizing count, bloom build, exact semi join) — without
+    * that the build side is SCANNED THREE TIMES, which at 100 TB is
+    * the dominant cost of the whole operator.
     */
   def bloomSemiJoin(
       spark: SparkSession, sfDir: String,
       priceFloor: Double = 300000.0): DataFrame = {
+    val (joined, keys) = bloomSemiJoinPlanned(spark, sfDir, priceFloor)
+    try joined.localCheckpoint(true)
+    finally keys.unpersist()
+  }
+
+  /** The un-materialized join plus its persisted build side — split
+    * out so SketchesSpec can assert the exact semi join reads the
+    * build keys from the cache (the pre-sizing `count()` here is also
+    * the action that fills it), i.e. the orders file is scanned once
+    * per invocation, not three times.
+    */
+  private[graft] def bloomSemiJoinPlanned(
+      spark: SparkSession, sfDir: String,
+      priceFloor: Double): (DataFrame, DataFrame) = {
     val keys = Tables.load(spark, sfDir, "orders")
       .filter(col("o_totalprice") > priceFloor)
       .select(col("o_orderkey"))
+      .persist()
     val nKeys = keys.count()
     val probe = Tables.load(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_extendedprice"))
@@ -118,7 +136,8 @@ object Sketches {
       val might = udf((k: Long) => bfB.value.mightContain(k))
       probe.filter(might(col("l_orderkey")))
     }
-    preFiltered.join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    (preFiltered.join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi"),
+      keys)
   }
 
   /** Count-min-sketch parameters: overcount is bounded by eps·N with

@@ -36,6 +36,22 @@ class BenchSpec extends AnyFunSuite {
         s"/ ${SparkEntry.oracleSql.keySet diff SparkEntry.queries.keySet}")
   }
 
+  test("best-ever baseline is the per-query minimum over all rounds") {
+    val rounds = Seq(
+      Map("a" -> 1.0, "b" -> 2.0),
+      Map("a" -> 0.4, "c" -> 3.0),
+      Map("a" -> 0.8, "b" -> 1.5, "failed" -> -1.0))
+    assert(Bench.bestEver(rounds) ==
+      Map("a" -> 0.4, "b" -> 1.5, "c" -> 3.0))
+  }
+
+  test("neither regressions map in the gate's own output poisons the baseline") {
+    val selfOutput =
+      """{"metric":"total","value":50.0,"unit":"sec","queries":{"q21_ngram_jaccard":6.400},"prev":"BENCH_r05.json","regressions":{"q21_ngram_jaccard":1.60},"regressions_vs_best":{"q21_ngram_jaccard":2.10},"sf":"x"}"""
+    assert(Bench.parsePrevMedians(selfOutput) ==
+      Map("q21_ngram_jaccard" -> 6.4))
+  }
+
   test("regression gate flags >1.5x AND >0.1s absolute only") {
     val prev = Map("slow" -> 1.0, "tiny" -> 0.05, "mild" -> 2.0,
       "faster" -> 1.0, "failed" -> 3.0)

@@ -54,6 +54,27 @@ class SketchesSpec extends AnyFunSuite {
     assert(bloomed.nonEmpty)
   }
 
+  test("q58 semi join reads the build side from the cache, not a re-scan") {
+    val (joined, keys) =
+      Sketches.bloomSemiJoinPlanned(spark, "/root/testdata/sf0.001", 300000.0)
+    try {
+      // node-level check on the optimized LOGICAL plan (the physical
+      // tree hides under AdaptiveSparkPlanExec, and the InMemoryRelation
+      // description string still embeds the original scan, so neither
+      // executedPlan.collect nor string-matching would see the truth)
+      val plan = joined.queryExecution.optimizedPlan
+      val cached = plan.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+      }
+      assert(cached.nonEmpty, s"expected cached build side in plan:\n$plan")
+      val ordersScans = plan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if l.relation.toString.contains("orders") => l
+      }
+      assert(ordersScans.isEmpty, s"build side re-scans orders from file:\n$plan")
+    } finally keys.unpersist()
+  }
+
   test("q60 CMS estimate lands inside the guarantee band on every probe") {
     for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val rows = Sketches.cmsFrequency(spark, sf).collect()
