@@ -65,6 +65,8 @@ object SparkEntry {
     "q53_bucketed_join" -> (Relational.bucketedJoinAgg _),
     "q54_window_funcs" -> (Relational.windowFuncs _),
     "q55_grouping_sets" -> (Relational.groupingSetsAgg _),
+    "q79_datetime_funcs" -> (Relational.dateTimeFuncs _),
+    "q80_decimal_agg" -> (Relational.decimalAgg _),
     // --- dedup suite ---
     "q20_dedup_exact" -> (Dedup.exact _),
     "q21_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
@@ -429,6 +431,42 @@ object SparkEntry {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
            (l_returnflag, l_linestatus))""",
+    // q79: date/time function breadth. Numbering pin: DuckDB dayofweek
+    // is 0=Sunday..6, Spark's is 1=Sunday..7 — the oracle adds 1.
+    "q79_datetime_funcs" ->
+      """SELECT o_orderkey,
+         CAST(year(o_orderdate) AS INTEGER) AS y,
+         CAST(month(o_orderdate) AS INTEGER) AS m,
+         CAST(day(o_orderdate) AS INTEGER) AS d,
+         CAST(quarter(o_orderdate) AS INTEGER) AS q,
+         CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+         CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+         o_orderdate + INTERVAL 30 DAYS AS due_ts,
+         CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INTEGER)
+           AS days_since,
+         strftime(o_orderdate, '%Y-%m') AS ym,
+         last_day(CAST(o_orderdate AS DATE)) AS month_end,
+         CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+         CAST(o_orderdate AS DATE) AS order_date
+         FROM orders""",
+    // q80: DECIMAL end-to-end — the output schema itself is decimal
+    // (no cast back to double), pinning precision/scale propagation:
+    // SUM widens to (38,2), MIN/MAX stay (18,2), the (18,2)x(19,2)
+    // product accumulates at scale 4.
+    "q80_decimal_agg" ->
+      """SELECT l_returnflag,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           AS sum_price,
+         CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS min_price,
+         CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS max_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+           AS DECIMAL(38,4)) AS revenue,
+         COUNT(*) AS n_rows
+         FROM lineitem GROUP BY 1""",
     "q20_dedup_exact" ->
       s"""SELECT MD5($normText) AS h, MIN(doc_id) AS keep_id,
          COUNT(*) AS n_copies FROM documents GROUP BY 1""",

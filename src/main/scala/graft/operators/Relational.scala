@@ -464,6 +464,55 @@ object Relational {
     * one executor's memory even after AQE splitting; salts ~= number
     * of partitions the hot key should span.
     */
+  /** The q79 driver entry: date/time scalar-function breadth over
+    * orders — extract (year/month/day/quarter/week), truncate,
+    * interval arithmetic, day difference, format, last-day, epoch
+    * seconds, and the date cast. All codegen'd built-ins. One
+    * cross-engine numbering pin: Spark's `dayofweek` is 1=Sunday..7,
+    * DuckDB's `dayofweek` is 0=Sunday..6 — the oracle adds 1, making
+    * the divergence explicit instead of avoided.
+    */
+  def dateTimeFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        quarter(col("o_orderdate")).as("q"),
+        weekofyear(col("o_orderdate")).as("iso_week"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_ts"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).as("days_since"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        last_day(col("o_orderdate")).as("month_end"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        col("o_orderdate").cast("date").as("order_date"))
+
+  /** The q80 driver entry: DECIMAL kept END-TO-END — every prior money
+    * aggregate casts back to double at the output boundary; this one
+    * pins decimal precision/scale propagation itself (sum widens to
+    * the engine cap, min/max preserve (18,2), a (18,2)x(19,2) product
+    * sums at scale 4) against DuckDB with the output schema DECIMAL.
+    * Exact decimal arithmetic is order-independent, so the result is
+    * partitioning-proof by construction — no cast-to-double needed.
+    */
+  def decimalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: String) = col(c).cast(DecimalType(18, 2))
+    Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(dec("l_extendedprice")).cast(DecimalType(38, 2)).as("sum_price"),
+        min(dec("l_extendedprice")).cast(DecimalType(18, 2)).as("min_price"),
+        max(dec("l_extendedprice")).cast(DecimalType(18, 2)).as("max_price"),
+        sum(dec("l_extendedprice") *
+            (lit(1).cast(DecimalType(18, 2)) - dec("l_discount")))
+          .cast(DecimalType(38, 4)).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
   def saltedJoin(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, salts: Int): DataFrame = {
