@@ -65,6 +65,8 @@ object SparkEntry {
     "q53_bucketed_join" -> (Relational.bucketedJoinAgg _),
     "q54_window_funcs" -> (Relational.windowFuncs _),
     "q55_grouping_sets" -> (Relational.groupingSetsAgg _),
+    "q77_null_semantics" -> (Relational.nullSemantics _),
+    "q78_sorted_write" -> (ReferenceQueries.sortedWriteLifecycle _),
     "q79_datetime_funcs" -> (Relational.dateTimeFuncs _),
     "q80_decimal_agg" -> (Relational.decimalAgg _),
     // --- dedup suite ---
@@ -431,6 +433,53 @@ object SparkEntry {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
            (l_returnflag, l_linestatus))""",
+    // q77: NULL semantics — the Spark side renders the NULL-injected
+    // variant to parquet and reads it back; the oracle replays the
+    // same injection inline. Covers: `=` join keys never matching
+    // NULL, IS NOT DISTINCT FROM matching the dimension's NULL row,
+    // count(*) vs count(col), SUM skipping NULLs, coalesce, NULL
+    // grouping, and an explicit NULLS FIRST pin (DuckDB defaults
+    // NULLS LAST on ASC; Spark defaults NULLS FIRST).
+    "q77_null_semantics" ->
+      """WITH ev AS (
+           SELECT event_id,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS user_key,
+             CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS value_n
+           FROM events),
+         dim AS (
+           SELECT user_id AS d_user,
+             'seg_' || CAST(user_id % 4 AS VARCHAR) AS seg
+           FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 3 = 0)
+           UNION ALL SELECT NULL, 'seg_null'),
+         agg AS (
+           SELECT user_key % 10 AS user_bucket,
+             COUNT(*) AS n_rows,
+             COUNT(value_n) AS n_vals,
+             CAST(SUM(CAST(value_n AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             CAST(SUM(CAST(COALESCE(value_n, 0) AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_filled,
+             COUNT(seg) AS n_matched
+           FROM ev LEFT JOIN dim ON user_key = d_user
+           GROUP BY 1),
+         ns AS (
+           SELECT user_key % 10 AS ns_bucket, COUNT(*) AS n_nullsafe
+           FROM ev JOIN dim ON user_key IS NOT DISTINCT FROM d_user
+           GROUP BY 1)
+         SELECT user_bucket, n_rows, n_vals, sum_value, sum_filled,
+           n_matched, COALESCE(n_nullsafe, 0) AS n_nullsafe,
+           CAST(ROW_NUMBER() OVER (ORDER BY user_bucket ASC NULLS FIRST)
+             AS INTEGER) AS rk
+         FROM agg LEFT JOIN ns ON user_bucket IS NOT DISTINCT FROM ns_bucket""",
+    // q78: the read-back computes each row's global rank purely from
+    // the written FILE LAYOUT (rows in earlier files + physical row
+    // index); the oracle recomputes it as ROW_NUMBER over the total
+    // order — overlapping file ranges or an unsorted file fails the
+    // hash compare.
+    "q78_sorted_write" ->
+      """SELECT o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC)
+           AS BIGINT) AS global_rank
+         FROM orders""",
     // q79: date/time function breadth. Numbering pin: DuckDB dayofweek
     // is 0=Sunday..6, Spark's is 1=Sunday..7 — the oracle adds 1.
     "q79_datetime_funcs" ->

@@ -261,6 +261,58 @@ object ReferenceQueries {
           moneySum(col("value")).as("sum_value"))
     }
 
+  /** Global-sort + sorted-write lifecycle (q78): the full ORDER BY a
+    * 100 TB layout-prep step needs, WITHOUT a single-reducer sort —
+    * `repartitionByRange` samples the keys and assigns disjoint
+    * (price, orderkey) ranges to partitions, `sortWithinPartitions`
+    * orders each file, and readers get global order by concatenating
+    * files in partition-index order.
+    *
+    * The oracle check makes the layout itself the contract: the
+    * read-back computes each row's GLOBAL rank from the file layout
+    * alone — (# rows in earlier files, by filename = partition index)
+    * + the row's physical index within its file (`_metadata.row_index`)
+    * — and the oracle recomputes ranks as ROW_NUMBER over the total
+    * order. Any overlap between file ranges or any out-of-order row
+    * inside a file shifts some rank and fails the hash compare, which
+    * is the old SinksSpec disjoint-ranges assertion promoted into the
+    * driver gate.
+    */
+  def sortedWriteLifecycle(spark: SparkSession, sfDir: String): DataFrame =
+    Scratch.withScratch(spark, "q78_sort", sfDir) { dir =>
+      graft.sinks.Sinks.writeSortedParquetBy(
+        Tables.load(spark, sfDir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice")),
+        dir, Seq("o_totalprice", "o_orderkey"), partitions = 8)
+      sortedReadBack(spark, dir)
+    }
+
+  /** The read half of [[sortedWriteLifecycle]] — split out so the spec
+    * can exercise it against hand-laid-out files.
+    */
+  def sortedReadBack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.expressions.Window
+    val rows = spark.read.schema(StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_totalprice", DoubleType))))
+      .parquet(dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("_metadata.file_path").as("fp"),
+        col("_metadata.row_index").as("ri"))
+    // rows-per-file is tiny (one row per FILE); the window runs over
+    // that, never over the data
+    val earlier = rows.groupBy(col("fp")).agg(count(lit(1)).as("n"))
+      .withColumn("earlier",
+        coalesce(sum(col("n")).over(
+          Window.orderBy(col("fp"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("fp"), col("earlier"))
+    rows.join(broadcast(earlier), "fp")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (col("earlier") + col("ri") + 1).as("global_rank"))
+  }
+
   def partitionPrunedAgg(spark: SparkSession, sfDir: String): DataFrame =
     Scratch.withScratch(spark, "q64_part", sfDir) { dir =>
       Tables.load(spark, sfDir, "events")

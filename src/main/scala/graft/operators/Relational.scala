@@ -464,6 +464,67 @@ object Relational {
     * one executor's memory even after AQE splitting; salts ~= number
     * of partitions the hot key should span.
     */
+  /** The q77 driver entry: NULL semantics under the hard oracle — the
+    * classic cross-engine divergence axis (the fixtures are otherwise
+    * NULL-free). The q19 render device injects NULL join keys
+    * (event_id % 7) and NULL values (event_id % 11) into a parquet
+    * variant of events, then drives them through every NULL-sensitive
+    * operator class at once:
+    *   - parquet NULL round-trip (render + explicit-schema read-back);
+    *   - join-key semantics: the LEFT join's `=` never matches a NULL
+    *     key (n_matched counts right-side hits), while the second,
+    *     null-safe join (`<=>` / IS NOT DISTINCT FROM) DOES pair the
+    *     NULL-keyed rows with the dimension's NULL row (n_nullsafe);
+    *   - aggregate NULL-skipping: count(*) vs count(col), SUM over
+    *     NULLs, and coalesce-to-zero (sum_filled);
+    *   - NULL grouping: NULL keys form one group (user_bucket NULL);
+    *   - ORDER BY over NULLs: Spark defaults NULLS FIRST asc, DuckDB
+    *     NULLS LAST — both sides pin NULLS FIRST explicitly.
+    */
+  def nullSemantics(spark: SparkSession, sfDir: String): DataFrame =
+    Scratch.withScratch(spark, "q77_null", sfDir) { dir =>
+      import org.apache.spark.sql.types._
+      Tables.load(spark, sfDir, "events")
+        .select(
+          col("event_id"),
+          when(col("event_id") % 7 === 0, lit(null))
+            .otherwise(col("user_id")).as("user_key"),
+          when(col("event_id") % 11 === 0, lit(null))
+            .otherwise(col("value")).as("value_n"))
+        .write.mode("overwrite").parquet(dir)
+      val evR = spark.read.schema(StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("user_key", LongType),
+          StructField("value_n", DoubleType))))
+        .parquet(dir)
+      val dim = Tables.load(spark, sfDir, "events")
+        .select(col("user_id")).distinct()
+        .filter(col("user_id") % 3 === 0)
+        .select(col("user_id").as("d_user"),
+          concat(lit("seg_"), (col("user_id") % 4).cast("string")).as("seg"))
+        .unionByName(spark.range(1).select(
+          lit(null).cast("long").as("d_user"), lit("seg_null").as("seg")))
+      val agg = evR.join(dim, evR("user_key") === dim("d_user"), "left")
+        .groupBy((col("user_key") % 10).as("user_bucket"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("value_n")).as("n_vals"),
+          moneySum(col("value_n")).as("sum_value"),
+          sum(coalesce(col("value_n"), lit(0.0))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_filled"),
+          count(col("seg")).as("n_matched"))
+      val nullsafe = evR.join(dim, evR("user_key") <=> dim("d_user"))
+        .groupBy((col("user_key") % 10).as("ns_bucket"))
+        .agg(count(lit(1)).as("n_nullsafe"))
+      agg.join(nullsafe, col("user_bucket") <=> col("ns_bucket"), "left")
+        .select(col("user_bucket"), col("n_rows"), col("n_vals"),
+          col("sum_value"), col("sum_filled"), col("n_matched"),
+          coalesce(col("n_nullsafe"), lit(0L)).as("n_nullsafe"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("user_bucket").asc_nulls_first)))
+    }
+
   /** The q79 driver entry: date/time scalar-function breadth over
     * orders — extract (year/month/day/quarter/week), truncate,
     * interval arithmetic, day difference, format, last-day, epoch

@@ -52,12 +52,23 @@ object Sinks {
     */
   def writeSortedParquet(
       df: DataFrame, path: String, sortCol: String,
+      partitions: Int = 0): Unit =
+    writeSortedParquetBy(df, path, Seq(sortCol), partitions)
+
+  /** Multi-column variant: sort by `sortCols` left-to-right. Include a
+    * unique tiebreak column to make the global order TOTAL — then file
+    * ranges are disjoint even when the leading key has ties at a
+    * partition boundary.
+    */
+  def writeSortedParquetBy(
+      df: DataFrame, path: String, sortCols: Seq[String],
       partitions: Int = 0): Unit = {
     import org.apache.spark.sql.functions.col
+    val cols = sortCols.map(col)
     val ranged =
-      if (partitions > 0) df.repartitionByRange(partitions, col(sortCol))
-      else df.repartitionByRange(col(sortCol))
-    ranged.sortWithinPartitions(col(sortCol))
+      if (partitions > 0) df.repartitionByRange(partitions, cols: _*)
+      else df.repartitionByRange(cols: _*)
+    ranged.sortWithinPartitions(cols: _*)
       .write.mode("overwrite").parquet(path)
   }
 

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
+import graft.operators.Scratch
 import graft.sinks.Sinks
 import graft.sources.Tables
 
@@ -94,6 +95,35 @@ class SinksSpec extends AnyFunSuite {
     val total = perFile.length
     assert(spark.read.parquet("/tmp/graft-sink-test/sorted_pq").count() == src.count())
     assert(total == files.length)
+  }
+
+  test("q78 rank-from-layout detects a bad (overlapping-range) layout") {
+    // lay out two files BY HAND whose key ranges overlap — the q78
+    // read-back must assign ranks that disagree with the true global
+    // ROW_NUMBER, proving the oracle device actually police's the
+    // layout rather than recomputing the sort
+    import spark.implicits._
+    val dir = "/tmp/graft-sink-test/bad_sorted"
+    Scratch.delete(spark, dir)
+    Seq((1L, 10.0), (3L, 30.0)).toDF("o_orderkey", "o_totalprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/a=0")
+    Seq((2L, 20.0), (4L, 40.0)).toDF("o_orderkey", "o_totalprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/a=1")
+    // flatten: move part files into one dir under lexicographic names
+    val flat = new java.io.File(dir)
+    val parts = Seq("a=0", "a=1").flatMap(s =>
+      new java.io.File(s"$dir/$s").listFiles().filter(_.getName.endsWith(".parquet")))
+    parts.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(flat, f"part-$i%05d.parquet").toPath) }
+    Seq("a=0", "a=1").foreach(s => Scratch.delete(spark, s"$dir/$s"))
+    val got = graft.operators.ReferenceQueries.sortedReadBack(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // true ranks by (price, key): 1->1, 2->2, 3->3, 4->4; the overlap
+    // layout yields 1,3 in file0 and 2,4 in file1 → ranks 1,2 / 3,4
+    assert(got(3L) == 2L && got(2L) == 3L,
+      s"overlap not reflected in layout ranks: $got")
+    assert(got != Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
   }
 
   test("approx_count_distinct (HLL sketch) lands within 5% of exact — the 100 TB cardinality path") {
