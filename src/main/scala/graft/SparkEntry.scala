@@ -87,6 +87,7 @@ object SparkEntry {
     "q62_stream_attribution" -> (graft.streaming.EventStream.attributionToBatch _),
     "q65_stream_dedup" -> (graft.streaming.EventStream.dedupToBatch _),
     "q66_stream_sessions" -> (graft.streaming.EventStream.userSessionsBatch _),
+    "q81_stream_file_sink" -> (graft.streaming.EventStream.hourlyToParquetSink _),
     // --- sketches ---
     "q39_cardinality" -> (Sketches.cardinality _),
     "q48_quantile_sketch" -> (Sketches.quantiles _),
@@ -282,6 +283,14 @@ object SparkEntry {
     // windows are epoch-aligned, so window.start == date_trunc('hour')
     // and the batch oracle is exact.
     "q47_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    // q81 is q47's aggregate exiting through the PRODUCTION sink
+    // (foreachBatch → parquet, checkpointed, idempotent overwrite)
+    // and read back from the files — same exact oracle.
+    "q81_stream_file_sink" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
          COUNT(*) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -58,6 +58,40 @@ object EventStream {
 
   private val runSeq = new java.util.concurrent.atomic.AtomicLong
 
+  /** State-store partition count for the stateful entries. A stateful
+    * query pins this at its first checkpoint, and each store instance
+    * costs update+commit machinery PER MICROBATCH roughly independent
+    * of data volume — measured with graft.tools.StreamProfile on the
+    * q62 stream-stream join (4 stores/partition, HDFS provider,
+    * sf0.1): at 32 partitions (128 instances) batch 0 spent 127 s
+    * updating + 126 s committing summed across instances for 8 MB of
+    * total state (26.2 s wall); at 4 partitions the SAME data took
+    * 4.3 s + 5.2 s (13.1 s wall). sf0.01 numbers are near-identical —
+    * the cost tracks instance count, not rows. RocksDB was no better
+    * at this state size (27.3 s wall; its per-instance commit is
+    * heavier). So: size state partitions to state volume (~64 MB per
+    * instance target), never to the batch shuffle default — the
+    * fixtures carry ≤10 MB of state → 4; a production job with
+    * 100 GB of state → ~1600.
+    */
+  val streamStatePartitions: Int = 4
+
+  /** Run `body` (which must build AND start+drain its streaming
+    * query) with the session shuffle-partition conf temporarily set
+    * to [[streamStatePartitions]] — the setting is read at query
+    * start. Serialized so overlapping callers can't restore each
+    * other's value mid-flight.
+    */
+  private def withStatePartitions[T](spark: SparkSession)(body: => T): T =
+    streamConfLock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, streamStatePartitions.toString)
+      try body finally spark.conf.set(key, prev)
+    }
+
+  private object streamConfLock
+
   /** The q47 driver entry: [[hourlyStream]] run to completion with
     * Trigger.AvailableNow and returned as a batch frame — the whole
     * streaming path (file source → watermark → windowed aggregate →
@@ -169,6 +203,43 @@ object EventStream {
         .select(col("event_id"), col("event_type"), col("value")),
       s"q65_dedup_${runSeq.incrementAndGet()}", OutputMode.Append())
 
+  /** The q81 driver entry: the PRODUCTION sink lifecycle — the same
+    * hourly aggregate as q47, but exiting through `foreachBatch` to a
+    * parquet directory instead of the memory sink, with a checkpoint
+    * location, then READ BACK from the files under the same oracle.
+    * Complete-mode + overwrite-per-batch makes the sink idempotent: a
+    * microbatch retry rewrites the same full result, so failure
+    * recovery (checkpoint replay) never duplicates rows — the
+    * standard file-sink pattern for a streamed aggregate. The memory
+    * sink in q47/q56/... is harness plumbing; this entry is the shape
+    * a deployed pipeline actually runs.
+    */
+  def hourlyToParquetSink(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Scratch.withScratch(spark, "q81_sink", sfDir) { dir =>
+      val out = s"$dir/out"
+      withStatePartitions(spark) {
+        val q = hourlyStream(spark, sfDir).writeStream
+          .outputMode(OutputMode.Complete())
+          .option("checkpointLocation", s"$dir/ckpt")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("overwrite").parquet(out)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // explicit schema: a zero-batch run (or an all-dropped input)
+      // must read as an empty frame, not fail inference
+      val schema = StructType(Seq(
+        StructField("hour", TimestampType),
+        StructField("event_type", StringType),
+        StructField("n_events", LongType),
+        StructField("sum_value", DoubleType)))
+      if (new java.io.File(out).exists) spark.read.schema(schema).parquet(out)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+
   /** Run a streaming frame to completion on the fixture files
     * (Trigger.AvailableNow + memory sink) and return the final result
     * as a batch DataFrame — the harness for batch-parity tests.
@@ -180,13 +251,15 @@ object EventStream {
     */
   def runToBatch(spark: SparkSession, df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Complete()): DataFrame = {
-    val q = df.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = df.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     try spark.table(name).localCheckpoint(true)
     finally spark.catalog.dropTempView(name)
   }
@@ -312,13 +385,15 @@ object EventStream {
     */
   def userSessionsBatch(spark: SparkSession, sfDir: String): DataFrame = {
     val name = s"user_sessions_${runSeq.incrementAndGet()}"
-    val q = userSessions(spark, sfDir).writeStream
-      .outputMode(OutputMode.Update())
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = userSessions(spark, sfDir).writeStream
+        .outputMode(OutputMode.Update())
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("n_events").desc)
     try spark.table(name)
