@@ -38,6 +38,7 @@ object SparkEntry {
     "q19_csv_lifecycle" -> (ReferenceQueries.csvLifecycle _),
     "q59_json_lifecycle" -> (ReferenceQueries.jsonLifecycle _),
     "q63_orc_lifecycle" -> (ReferenceQueries.orcLifecycle _),
+    "q82_sequencefile" -> (ReferenceQueries.sequenceFileLifecycle _),
     "q64_partition_pruning" -> (ReferenceQueries.partitionPrunedAgg _),
     "q72_schema_evolution" -> (ReferenceQueries.schemaEvolution _),
     "q73_session_window" -> (Relational.sessionWindowAgg _),
@@ -78,6 +79,7 @@ object SparkEntry {
     "q25_clean_corpus" -> ((s: SparkSession, d: String) => CleanPipeline.cleanCorpus(s, d)),
     "q76_corpus_manifest" -> ((s: SparkSession, d: String) => CleanPipeline.corpusManifest(s, d)),
     "q44_neardup_clusters" -> ((s: SparkSession, d: String) => Dedup.nearDupSurvivors(s, d)),
+    "q83_decontaminate" -> ((s: SparkSession, d: String) => Dedup.decontaminationPairs(s, d)),
     "q45_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.minhashIncrementalVerified(s, d)),
     "q46_incremental_persisted" -> ((s: SparkSession, d: String) => Dedup.minhashIncrementalPersisted(s, d)),
     // --- streaming (Structured Streaming run to completion) ---
@@ -179,6 +181,15 @@ object SparkEntry {
     // q63 reads the ORC render of `events` (lossless columnar
     // round-trip) — same device as q19/q59.
     "q63_orc_lifecycle" ->
+      """SELECT substr(event_type, 1, 4) AS etype_prefix,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1""",
+    // q82 reads the SequenceFile/SequenceFile+Snappy render of
+    // `events` (injected bad records dropped); the lossless text
+    // round-trip of (long, string, double) makes the parquet-side
+    // aggregate the exact oracle — the q19 device on the reference's
+    // advertised-but-unimplemented `sequence|sequence-snappy` layouts.
+    "q82_sequencefile" ->
       """SELECT substr(event_type, 1, 4) AS etype_prefix,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1""",
@@ -680,6 +691,21 @@ object SparkEntry {
     // this oracle asserts the rows). Divergence is impossible.
     "q45_incremental_dedup" -> incrementalDedupOracle,
     "q46_incremental_persisted" -> incrementalDedupOracle,
+    // q83: eval-set decontamination — every (train, eval) doc pair
+    // sharing ≥1 distinct word 3-gram, with the shared-gram count.
+    // Same shingle CTE as q21 at n=3; eval slice = doc_id % 97 = 0.
+    "q83_decontaminate" ->
+      s"""WITH words AS (
+           SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 1)) AS i) t
+           WHERE len(w) >= 3)
+         SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+           COUNT(*) AS n_common
+         FROM sh t JOIN sh e ON t.shingle = e.shingle
+         WHERE t.doc_id % 97 <> 0 AND e.doc_id % 97 = 0
+         GROUP BY 1, 2""",
     "q30_ann_brute" ->
       s"""WITH u AS ($normalizedVectors),
          q AS (SELECT vec_id AS q_id, v AS qv FROM u

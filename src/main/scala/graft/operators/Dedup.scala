@@ -565,6 +565,40 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  // -------- eval-set decontamination --------
+
+  /** Benchmark/eval-set decontamination (q83): (train_id, eval_id,
+    * n_common) for every training doc sharing at least one word
+    * n-gram with an eval doc — the standard pre-training hygiene step
+    * (eval answers leaking into the corpus inflate benchmark scores),
+    * run as n-gram collision exactly like the published pipelines.
+    * Eval set = `doc_id % 97 == 0` (a held-out slice of the fixture);
+    * production swaps in the real benchmark suite.
+    *
+    * Scale shape: the eval side is SMALL by construction (benchmark
+    * suites are MBs against a 100 TB corpus), so its distinct gram
+    * hashes BROADCAST — the corpus-side gram stream joins without a
+    * shuffle, and only MATCHED (train, eval, gram) rows reach the
+    * pair-count exchange. Gram fan-out is bounded by eval-side
+    * occurrences per gram (≤ eval size), never by corpus posting
+    * lists, so no stop-shingle cap is needed on this join. n = 3 on
+    * the synthetic fixture (real suites use 8-13-gram windows over
+    * natural text; the device is identical).
+    */
+  def decontaminationPairs(
+      spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val evalSh = shingleHashes(docs.filter(col("doc_id") % 97 === 0), n)
+      .withColumnRenamed("doc_id", "eval_id").distinct()
+    val trainSh = shingleHashes(docs.filter(col("doc_id") % 97 =!= 0), n)
+      .withColumnRenamed("doc_id", "train_id")
+    trainSh.join(broadcast(evalSh), "sh")
+      // countDistinct, not count: the corpus side skips its own
+      // per-doc distinct shuffle (shingleHashes emits raw grams)
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(countDistinct(col("sh")).as("n_common"))
+  }
+
   // -------- near-dup cluster resolution --------
 
   /** Connected components over a near-dup pair graph (id_a, id_b) by

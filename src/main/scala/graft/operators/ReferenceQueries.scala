@@ -228,6 +228,64 @@ object ReferenceQueries {
       .agg(moneySum(col("value")).as("sum_value"))
   }
 
+  /** SequenceFile source/sink lifecycle (q82) — the fourth input
+    * encoding. The reference ADVERTISES the AMPLab benchmark's
+    * `[text|text-deflate|sequence|sequence-snappy]` layouts
+    * (`/root/reference/README.md:131`) but implements only the text
+    * pair — both mappers split lines and nothing else; this engine
+    * completes the advertised surface. Events render as Hadoop
+    * SequenceFiles of (Text key = event_id, Text value = CSV rest) —
+    * the AMPLab sequence layout — even half uncompressed, odd half
+    * Snappy BLOCK-compressed, plus an injected file of malformed
+    * records. Read back via `sc.sequenceFile` (splittable: at 100 TB
+    * block-compressed SequenceFiles split at sync markers, unlike
+    * `.csv.gz` whole-file streams — that is WHY the layout exists),
+    * parsed under the same null-gated cast policy as q19, then the 2a
+    * aggregate. Long/double text round-trips losslessly, so the
+    * parquet events table is the exact oracle for the binary path.
+    */
+  def sequenceFileLifecycle(spark: SparkSession, sfDir: String): DataFrame =
+      Scratch.withScratch(spark, "q82_seq", sfDir) { dir =>
+    import spark.implicits._
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .as[(Long, String, Double)]
+    def kv(half: org.apache.spark.rdd.RDD[(Long, String, Double)]) =
+      half.map { case (id, et, v) => (id.toString, s"$et,$v") }
+    kv(ev.filter(col("event_id") % 2 === 0).rdd)
+      .saveAsSequenceFile(s"$dir/plain")
+    kv(ev.filter(col("event_id") % 2 === 1).rdd)
+      .saveAsSequenceFile(s"$dir/snappy",
+        Some(classOf[org.apache.hadoop.io.compress.SnappyCodec]))
+    // malformed records: wrong arity, bad casts — the mapper's
+    // try/except policy (`src/python/mapper.py:49-57`) again
+    spark.sparkContext.parallelize(Seq(
+      ("garbage", "no-comma-no-value"),
+      ("9", "click,NOT_A_DOUBLE"),
+      ("NOT_A_LONG", "view,1.0")), 1)
+      .saveAsSequenceFile(s"$dir/bad")
+    (spark.sparkContext.sequenceFile[String, String](s"$dir/plain") union
+      spark.sparkContext.sequenceFile[String, String](s"$dir/snappy") union
+      spark.sparkContext.sequenceFile[String, String](s"$dir/bad"))
+      .toDF("k", "v")
+      // try_cast, not cast: under ANSI (the Spark 4 default) a plain
+      // cast THROWS on a malformed record — the policy here is q19's
+      // drop-and-continue, not fail-the-job
+      .select(
+        expr("try_cast(k AS BIGINT)").as("event_id"),
+        split(col("v"), ",").as("parts"))
+      .select(
+        col("event_id"),
+        col("parts").getItem(0).as("event_type"),
+        expr("try_cast(parts[1] AS DOUBLE)").as("value"),
+        size(col("parts")).as("arity"))
+      .filter(col("event_id").isNotNull && col("arity") === 2 &&
+        col("event_type").isNotNull && col("value").isNotNull)
+      .select(substring(col("event_type"), 1, 4).as("etype_prefix"), col("value"))
+      .groupBy(col("etype_prefix"))
+      .agg(moneySum(col("value")).as("sum_value"))
+  }
+
   /** Partition-pruned read lifecycle (q64): events written
     * `partitionBy(event_type)` (the standard 100 TB table layout —
     * one directory per key), read back filtered to ONE type. The

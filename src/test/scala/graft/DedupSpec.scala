@@ -288,6 +288,32 @@ class DedupSpec extends AnyFunSuite {
         new java.io.File(sigPath).getParentFile)
   }
 
+  test("decontamination: pairs equal the string-shingle truth; eval side broadcasts") {
+    val sf = "/root/testdata/sf0.001"
+    val df = Dedup.decontaminationPairs(spark, sf, n = 3)
+
+    // the corpus-side gram stream must meet the eval grams via a
+    // broadcast join — a sort-merge exchange here would shuffle the
+    // whole corpus against a benchmark suite thousandths its size
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val ev = Dedup.shingles(docs.filter(col("doc_id") % 97 === 0), 3)
+      .withColumnRenamed("doc_id", "eval_id")
+    val tr = Dedup.shingles(docs.filter(col("doc_id") % 97 =!= 0), 3)
+      .withColumnRenamed("doc_id", "train_id")
+    val truth = tr.join(ev, "shingle")
+      .groupBy("train_id", "eval_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == truth)
+    assert(got.nonEmpty, "fixture must contain natural 3-gram overlap")
+    // no eval doc may appear on the train side of any pair
+    assert(got.keys.forall { case (t, _) => t % 97 != 0 })
+  }
+
   test("reliable checkpoint mode yields identical component labels") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L))
       .toDF("id_a", "id_b")

@@ -77,6 +77,15 @@ class SourcesSpec extends AnyFunSuite {
     assert(viaCsv == viaParquet) // bit-exact: lossless render + decimal sums
   }
 
+  test("SequenceFile lifecycle (q82) equals the parquet-side 2a aggregate exactly") {
+    import graft.operators.ReferenceQueries
+    val viaSeq = ReferenceQueries.sequenceFileLifecycle(spark, SparkTestSession.sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaParquet = ReferenceQueries.agg2a(spark, SparkTestSession.sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaSeq == viaParquet) // bad records dropped; snappy half decoded
+  }
+
   test("maxPartitionBytes budgets scan task count (O10 size-budgeted partitioning)") {
     // the Spark twin of the reference's memory-budget batch sizing:
     // shrinking the per-task byte budget must yield more scan
