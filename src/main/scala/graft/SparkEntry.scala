@@ -39,6 +39,7 @@ object SparkEntry {
     "q59_json_lifecycle" -> (ReferenceQueries.jsonLifecycle _),
     "q63_orc_lifecycle" -> (ReferenceQueries.orcLifecycle _),
     "q82_sequencefile" -> (ReferenceQueries.sequenceFileLifecycle _),
+    "q85_compaction" -> (ReferenceQueries.compactionLifecycle _),
     "q64_partition_pruning" -> (ReferenceQueries.partitionPrunedAgg _),
     "q72_schema_evolution" -> (ReferenceQueries.schemaEvolution _),
     "q73_session_window" -> (Relational.sessionWindowAgg _),
@@ -56,6 +57,7 @@ object SparkEntry {
     "q27_cube" -> (Relational.cubeAgg _),
     "q28_percentiles" -> (Relational.percentiles _),
     "q29_asof" -> (Relational.asofJoin _),
+    "q86_interval_join" -> (Relational.intervalJoin _),
     "q33_sessionize" -> ((s: SparkSession, d: String) => Relational.sessionize(s, d)),
     "q34_intersect" -> (Relational.intersectScans _),
     "q35_except" -> (Relational.exceptScans _),
@@ -110,6 +112,7 @@ object SparkEntry {
     "q75_redact_pii" -> (TextAnalysis.redactPii _),
     // --- training-set preparation ---
     "q68_train_split" -> (TrainingPrep.splitAssign _),
+    "q84_stratified_sample" -> ((s: SparkSession, d: String) => TrainingPrep.stratifiedSample(s, d)),
     "q69_quality_bins" -> (TrainingPrep.qualityBins _),
     "q70_shard_pack" -> ((s: SparkSession, d: String) => TrainingPrep.shardPack(s, d)),
     "q71_embed_quantize" -> (TrainingPrep.quantizeEmbeddings _),
@@ -191,6 +194,12 @@ object SparkEntry {
     // advertised-but-unimplemented `sequence|sequence-snappy` layouts.
     "q82_sequencefile" ->
       """SELECT substr(event_type, 1, 4) AS etype_prefix,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1""",
+    // q85 reads events back through the shatter-then-compact cycle;
+    // the rewrite is lossless so the parquet-side aggregate is exact.
+    "q85_compaction" ->
+      """SELECT event_type, COUNT(*) AS n_rows,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1""",
     // q64 aggregates the 'click' slice of the partitionBy(event_type)
@@ -374,6 +383,20 @@ object SparkEntry {
            OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
          FROM events QUALIFY event_type = 'purchase'""",
+    // q86: interval join — the Spark side reaches these rows through
+    // the bin-equi-join rewrite (explode windows onto hour bins, hash
+    // join on bin, exact range filter); the oracle states the naive
+    // theta join. Same rows by construction: binning is a superset
+    // prefilter and each event has exactly one bin.
+    "q86_interval_join" ->
+      """WITH w AS (
+           SELECT user_id AS owner_id, MIN(ts) AS w_start,
+                  MIN(ts) + INTERVAL 2 HOUR AS w_end
+           FROM events WHERE user_id % 13 = 0 GROUP BY 1)
+         SELECT owner_id, w_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+         GROUP BY 1, 2""",
     "q33_sessionize" ->
       """WITH flagged AS (
            SELECT user_id, event_id, ts, value,
@@ -954,6 +977,16 @@ object SparkEntry {
               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 = 8
               THEN 'val' ELSE 'test' END AS split
          FROM documents""",
+    // q84: content-addressed stratified sample — salted md5 percent
+    // bucket (q68's device, "samp:" salt keeps it independent of the
+    // split), keep iff bucket < rate(lang): en 25%, others 75%.
+    "q84_stratified_sample" ->
+      """SELECT doc_id, lang,
+         ('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+           AS samp_bucket
+         FROM documents
+         WHERE ('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+           < CASE WHEN lang = 'en' THEN 25 ELSE 75 END""",
     // q69: value-based bins over q41's ratio columns (single-op double
     // math, then floor — bit-portable).
     "q69_quality_bins" ->

@@ -286,6 +286,28 @@ object ReferenceQueries {
       .agg(moneySum(col("value")).as("sum_value"))
   }
 
+  /** Small-file compaction lifecycle (q85): events deliberately
+    * shattered into 64 tiny parquet files (the layout a streaming
+    * ingest or over-parallel writer leaves behind), compacted by
+    * [[graft.sinks.Sinks.compactParquet]] into size-targeted files
+    * via a shuffle-free coalesce (SinksSpec asserts file count and
+    * the exchange-free plan), then read back and aggregated. Rows
+    * must survive the rewrite bit-exactly — the parquet events table
+    * is the oracle for the whole compaction cycle.
+    */
+  def compactionLifecycle(spark: SparkSession, sfDir: String): DataFrame =
+      Scratch.withScratch(spark, "q85_compact", sfDir) { dir =>
+    Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/small")
+    graft.sinks.Sinks.compactParquet(
+      spark, s"$dir/small", s"$dir/compact", targetBytes = 256L << 10)
+    spark.read.parquet(s"$dir/compact")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), moneySum(col("value")).as("sum_value"))
+  }
+
   /** Partition-pruned read lifecycle (q64): events written
     * `partitionBy(event_type)` (the standard 100 TB table layout —
     * one directory per key), read back filtered to ONE type. The

@@ -391,6 +391,44 @@ object Relational {
       .select(col("event_id"), col("user_id"), col("ts"), col("last_click_ts"))
   }
 
+  /** Interval (range) join via the bin-equi-join rewrite (q86):
+    * events landing inside per-owner 2-hour windows. A pure range
+    * predicate gives Catalyst no equi-key, so the physical plan
+    * degenerates to BroadcastNestedLoopJoin — O(|events| x |windows|)
+    * probes, the classic 100 TB range-join cliff. The rewrite: bucket
+    * time into fixed 1-hour bins, EXPLODE each window onto the ≤3
+    * bins it overlaps, join on the bin as an equi-key (hashable,
+    * shuffleable, AQE-planable), THEN apply the exact range filter.
+    * Each event carries exactly one bin, so a (window, event) match
+    * survives at most once — no dedup pass. Probe cost drops to
+    * events x windows-per-bin; both sides may be arbitrarily large
+    * (the spec pins the hash-join-not-nested-loop plan).
+    *
+    * Windows here: each user_id % 13 == 0 owns [first event, +2h) —
+    * a stand-in for any interval table (maintenance windows, flash
+    * sales, incident ranges). Bin width trades fan-out (window copies
+    * = ceil(len/width)+1) against selectivity; match it to typical
+    * interval length.
+    */
+  def intervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val binUs = 3600000000L // 1 hour
+    val ev = Tables.load(spark, sfDir, "events")
+    val windows = ev.filter(col("user_id") % 13 === 0)
+      .groupBy(col("user_id").as("owner_id"))
+      .agg(min(col("ts")).as("w_start"))
+      .withColumn("w_end", col("w_start") + expr("INTERVAL 2 HOURS"))
+    val evBinned = ev.withColumn("bin",
+      expr(s"unix_micros(ts) div $binUs"))
+    val winBinned = windows.withColumn("bin",
+      explode(sequence(
+        expr(s"unix_micros(w_start) div $binUs"),
+        expr(s"(unix_micros(w_end) - 1) div $binUs"))))
+    evBinned.join(winBinned, Seq("bin"))
+      .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .groupBy(col("owner_id"), col("w_start"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
+  }
+
   /** Gap-based sessionization: a new session starts when a user is
     * idle longer than `gapSeconds`; session index = running count of
     * session starts. One shuffle on user_id; integer epoch math keeps

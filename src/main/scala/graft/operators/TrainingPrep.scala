@@ -38,6 +38,34 @@ object TrainingPrep {
           .when(col("bucket") === trainBuckets, "val")
           .otherwise("test"))
 
+  /** The q84 driver entry: CONTENT-ADDRESSED stratified sampling —
+    * per-language keep rates (downweight the overrepresented stratum,
+    * the standard language-rebalancing move in corpus assembly) via
+    * md5 percent-bucket: keep a doc iff its bucket < rate(lang).
+    * Hash-addressed for the same reason as q68: re-running on a grown
+    * corpus never flips yesterday's keep/drop decisions, and the
+    * sample needs no count/sort/shuffle — a per-row expression that
+    * composes with any downstream operator. The hash is salted
+    * ("samp:" prefix) so sampling stays INDEPENDENT of the q68 split
+    * assignment — unsalted, bucket<25 would correlate with
+    * split=train and bias every stratum. Rates here: majority 'en'
+    * kept at 25%, every other language at 75%.
+    */
+  def stratifiedSample(
+      spark: SparkSession, sfDir: String,
+      rates: Map[String, Int] = Map("en" -> 25),
+      defaultRate: Int = 75): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("samp:"), col("doc_id").cast("string"))),
+        1, 15), 16, 10).cast("long"), lit(100))
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (lang, r)) =>
+      when(col("lang") === lang, r).otherwise(acc)
+    }
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), bucket.as("samp_bucket"))
+      .filter(col("samp_bucket") < rate)
+  }
+
   /** The q69 driver entry: VALUE-BASED quality binning for curriculum
     * selection — punctuation-ratio decile by fixed bin width
     * (floor(ratio·10)), not by global rank: a rank (ntile) over the

@@ -96,6 +96,47 @@ object Sinks {
       .saveAsTable(table)
   }
 
+  /** Compaction plan for [[compactParquet]]: the input directory's
+    * live bytes decide the output file count (ceil(bytes/target)),
+    * and the merge is a `coalesce` — NO shuffle exchange: each of the
+    * n write tasks streams several small files end-to-end, which is
+    * the whole economics of compaction (a `repartition` would pay a
+    * full shuffle of the table to fix a layout problem). Returned as
+    * (frame, n) so callers and specs can inspect the plan before the
+    * write. Trade-off documented: coalesce inherits input skew; a
+    * size-balanced variant is `repartition(n)` at shuffle cost.
+    */
+  def compactionPlan(
+      spark: SparkSession, inPath: String,
+      targetBytes: Long): (DataFrame, Int) = {
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(p, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+    }
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    (spark.read.parquet(inPath).coalesce(n), n)
+  }
+
+  /** Small-file compaction (q85): rewrite a parquet directory into
+    * ceil(bytes/targetBytes) files. THE recurring 100 TB ops task —
+    * streaming ingests and over-parallel writes leave thousands of
+    * KB-scale files per partition, and scan cost is per-file (open +
+    * footer + seek, the reference's per-S3-object GET economics,
+    * `driver.py:266-267`) long before it is per-byte. Returns the
+    * output file count.
+    */
+  def compactParquet(
+      spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long = 128L << 20): Int = {
+    val (df, n) = compactionPlan(spark, inPath, targetBytes)
+    df.write.mode("overwrite").parquet(outPath)
+    n
+  }
+
   /** Per-job metrics the reference tracks per task object: rows out,
     * wall seconds, executor cpu-seconds, bytes read/written, shuffle
     * traffic.

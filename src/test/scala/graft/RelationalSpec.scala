@@ -95,6 +95,32 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("interval join equals the naive theta join and plans as an equi hash join") {
+    val df = Relational.intervalJoin(spark, sf)
+
+    // the whole point of the bin rewrite: Catalyst gets an equi-key,
+    // so the plan must NOT degenerate to a nested-loop probe
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), plan)
+
+    // naive twin: pure range-predicate join, no bins
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+    val w = ev.filter(col("user_id") % 13 === 0)
+      .groupBy(col("user_id").as("owner_id"))
+      .agg(min(col("ts")).as("w_start"))
+      .withColumn("w_end", col("w_start") + expr("INTERVAL 2 HOURS"))
+    val truth = ev.join(w, col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .groupBy(col("owner_id"), col("w_start"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
+    assert(got == truth)
+    assert(got.nonEmpty, "fixture must contain owner windows with events")
+  }
+
   test("sessionize splits on the idle gap and covers every event exactly once") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")

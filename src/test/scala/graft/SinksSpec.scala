@@ -126,6 +126,39 @@ class SinksSpec extends AnyFunSuite {
     assert(got != Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
   }
 
+  test("compaction: file count hits ceil(bytes/target), plan has no exchange, rows survive") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_compact_spec").toString
+    try {
+      val src = Tables.load(spark, sf, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      src.repartition(32).write.mode("overwrite").parquet(s"$base/small")
+      def parquetFiles(d: String) =
+        new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet"))
+      val smallFiles = parquetFiles(s"$base/small")
+      assert(smallFiles.length == 32)
+
+      val target = 64L << 10
+      val (planDf, n) = Sinks.compactionPlan(spark, s"$base/small", target)
+      // the contract: n from live bytes, merge WITHOUT a shuffle
+      assert(n == math.max(1,
+        math.ceil(smallFiles.map(_.length).sum.toDouble / target).toInt))
+      assert(!planDf.queryExecution.executedPlan.toString.contains("Exchange"),
+        "compaction must coalesce, not shuffle")
+
+      val written = Sinks.compactParquet(spark, s"$base/small", s"$base/out", target)
+      val outFiles = parquetFiles(s"$base/out")
+      assert(outFiles.length == written && written == n)
+      assert(outFiles.length < smallFiles.length)
+      // lossless rewrite
+      val a = src.collect().map(_.getLong(0)).sorted.toSeq
+      val b = spark.read.parquet(s"$base/out")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(a == b)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("approx_count_distinct (HLL sketch) lands within 5% of exact — the 100 TB cardinality path") {
     val li = Tables.load(spark, sf, "lineitem")
     val exact = li.select(countDistinct(col("l_orderkey"))).head().getLong(0)

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.TrainingPrep
+
+class TrainingPrepSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  def sf: String = SparkTestSession.sf
+  import spark.implicits._
+
+  test("split assignment is exhaustive, deterministic, and 8/1/1-shaped") {
+    val rows = TrainingPrep.splitAssign(spark, sf).collect()
+    assert(rows.forall(r => Set("train", "val", "test")(r.getString(2))))
+    val bySplit = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    // md5 buckets are uniform-ish; train must dominate both holdouts
+    assert(bySplit("train") > bySplit.getOrElse("val", 0))
+    assert(bySplit("train") > bySplit.getOrElse("test", 0))
+    val again = TrainingPrep.splitAssign(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
+  test("stratified sample honors per-language rates and the bucket gate") {
+    val kept = TrainingPrep.stratifiedSample(spark, sf).collect()
+    assert(kept.nonEmpty)
+    kept.foreach { r =>
+      val rate = if (r.getString(1) == "en") 25 else 75
+      assert(r.getLong(2) < rate, s"doc ${r.getLong(0)} bucket ${r.getLong(2)} rate $rate")
+    }
+    // the majority stratum is actually downweighted: en keep-fraction
+    // must land well below the others'
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptByLang = kept.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val enFrac = keptByLang.getOrElse("en", 0).toDouble / docs("en")
+    val restFrac = (kept.length - keptByLang.getOrElse("en", 0)).toDouble /
+      (docs.values.sum - docs("en"))
+    assert(enFrac < restFrac,
+      s"en keep-fraction $enFrac should be below the others' $restFrac")
+  }
+
+  test("stratified sample is content-addressed: membership survives corpus growth") {
+    // the production property: sampling a SUBSET of the corpus gives
+    // exactly the sample restricted to that subset — adding documents
+    // tomorrow never flips today's keep/drop decisions (a row-number
+    // or fraction-of-count scheme would fail this)
+    val full = TrainingPrep.stratifiedSample(spark, sf)
+      .filter(col("doc_id") % 3 === 0)
+      .collect().map(_.getLong(0)).toSet
+    val subsetView = graft.sources.Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 3 === 0)
+    subsetView.createOrReplaceTempView("documents_subset_q84")
+    // re-run the same expression over the shrunk corpus
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("samp:"), col("doc_id").cast("string"))),
+        1, 15), 16, 10).cast("long"), lit(100))
+    val shrunk = subsetView
+      .select(col("doc_id"), col("lang"), bucket.as("samp_bucket"))
+      .filter(col("samp_bucket") <
+        when(col("lang") === "en", 25).otherwise(75))
+      .collect().map(_.getLong(0)).toSet
+    assert(shrunk == full)
+  }
+
+  test("quantization audit: every vector reconstructs within scale/2") {
+    val rows = TrainingPrep.quantizeEmbeddings(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(3)), "quant_ok must hold for every vector")
+  }
+
+  test("shard packing: shards respect the token budget order within a language") {
+    val df = TrainingPrep.shardPack(spark, sf, budget = 1000L)
+    // shard index must be non-decreasing in doc_id order per language
+    val bad = df.select(col("lang_pred"), col("doc_id"), col("shard"))
+      .withColumn("prev",
+        lag(col("shard"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("lang_pred").orderBy("doc_id")))
+      .filter(col("prev").isNotNull && col("shard") < col("prev"))
+      .count()
+    assert(bad == 0)
+  }
+}
