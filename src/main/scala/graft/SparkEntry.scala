@@ -58,6 +58,8 @@ object SparkEntry {
     "q28_percentiles" -> (Relational.percentiles _),
     "q29_asof" -> (Relational.asofJoin _),
     "q86_interval_join" -> (Relational.intervalJoin _),
+    "q87_rolling_window" -> (Relational.rollingWindow _),
+    "q88_table_diff" -> (Relational.tableDiff _),
     "q33_sessionize" -> ((s: SparkSession, d: String) => Relational.sessionize(s, d)),
     "q34_intersect" -> (Relational.intersectScans _),
     "q35_except" -> (Relational.exceptScans _),
@@ -397,6 +399,45 @@ object SparkEntry {
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
          GROUP BY 1, 2""",
+    // q87: trailing 1-hour per-user rolling aggregate — RANGE frame
+    // on the time axis, peers included, so tie rows agree across
+    // engines with no tiebreak column. INTERVAL bound in DuckDB ==
+    // the [-3600000000, 0] micros rangeBetween on the Spark side.
+    "q87_rolling_window" ->
+      """SELECT event_id, user_id, ts,
+         COUNT(*) OVER w AS n_1h,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""",
+    // q88: snapshot diff — the oracle replays v2's deterministic
+    // mutations (drop %101, bump value on %7, re-key %103 as inserts)
+    // and classifies by full outer join; the Spark side must reach
+    // the identical classification through its parquet render +
+    // fingerprint compare.
+    "q88_table_diff" ->
+      """WITH v1 AS (SELECT event_id, event_type, value FROM events),
+         v2 AS (
+           SELECT event_id, event_type,
+             value + CASE WHEN event_id % 7 = 0 THEN 1.0 ELSE 0 END AS value
+           FROM events WHERE event_id % 101 <> 0
+           UNION ALL
+           SELECT event_id + 10000000, event_type, value
+           FROM events WHERE event_id % 103 = 0)
+         SELECT COALESCE(v1.event_id, v2.event_id) AS event_id,
+           CASE WHEN v1.event_id IS NULL THEN 'added'
+                WHEN v2.event_id IS NULL THEN 'removed'
+                WHEN v1.event_type <> v2.event_type
+                  OR CAST(v1.value AS DECIMAL(18,2))
+                     <> CAST(v2.value AS DECIMAL(18,2)) THEN 'changed'
+           END AS change
+         FROM v1 FULL OUTER JOIN v2 ON v1.event_id = v2.event_id
+         WHERE CASE WHEN v1.event_id IS NULL THEN 'added'
+                WHEN v2.event_id IS NULL THEN 'removed'
+                WHEN v1.event_type <> v2.event_type
+                  OR CAST(v1.value AS DECIMAL(18,2))
+                     <> CAST(v2.value AS DECIMAL(18,2)) THEN 'changed'
+           END IS NOT NULL""",
     "q33_sessionize" ->
       """WITH flagged AS (
            SELECT user_id, event_id, ts, value,

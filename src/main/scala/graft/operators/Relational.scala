@@ -391,6 +391,31 @@ object Relational {
       .select(col("event_id"), col("user_id"), col("ts"), col("last_click_ts"))
   }
 
+  /** Event-time rolling aggregate via a RANGE window frame (q87):
+    * per user, the trailing 1-hour sum/count at every event — the
+    * feature-engineering staple (rate limits, rolling spend, burst
+    * detection). A RANGE frame on epoch-micros does this with ONE
+    * shuffle+sort per user partition; the naive formulation is a
+    * time-band self-join (events × events within 1h — quadratic in
+    * per-user density). RANGE, not ROWS: the frame is defined by the
+    * time axis ([ts−1h, ts], peers included), so tie rows aggregate
+    * identically in any engine — no tiebreak column needed, and the
+    * result is deterministic even with duplicate timestamps.
+    */
+  def rollingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"))
+      .rangeBetween(-hourUs, 0) // [ts - 1h, ts] inclusive
+    Tables.load(spark, sfDir, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .over(w).cast("double").as("sum_1h"))
+  }
+
   /** Interval (range) join via the bin-equi-join rewrite (q86):
     * events landing inside per-owner 2-hour windows. A pure range
     * predicate gives Catalyst no equi-key, so the physical plan
@@ -427,6 +452,50 @@ object Relational {
       .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
       .groupBy(col("owner_id"), col("w_start"))
       .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
+  }
+
+  /** Snapshot table diff (q88): added / removed / changed rows
+    * between two versions of a table — the reconciliation primitive
+    * behind ingest validation, migration sign-off, and incremental-
+    * pipeline audits. Both snapshots are REAL parquet (v2 rendered
+    * with deterministic mutations: ~1% of keys dropped, value bumped
+    * on every 7th key, ~1% re-keyed as inserts), then diffed by a
+    * full outer join on the key comparing an md5 ROW FINGERPRINT.
+    * The fingerprint is the scale device: a 300-column table narrows
+    * to (key, 16-byte hash) before the exchange, so the shuffle
+    * carries fingerprints, not payloads. Doubles enter the hash as
+    * DECIMAL(18,2) strings — a fixed-scale rendering both engines
+    * print identically (raw double→string shortest-repr is NOT
+    * portable). Unchanged rows (the overwhelming majority in a real
+    * diff) are filtered before the aggregate sees them.
+    */
+  def tableDiff(spark: SparkSession, sfDir: String): DataFrame =
+      Scratch.withScratch(spark, "q88_diff", sfDir) { dir =>
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.write.mode("overwrite").parquet(s"$dir/v1")
+    val mutated = ev.filter(col("event_id") % 101 =!= 0)
+      .withColumn("value",
+        when(col("event_id") % 7 === 0, col("value") + 1.0)
+          .otherwise(col("value")))
+    val inserted = ev.filter(col("event_id") % 103 === 0)
+      .withColumn("event_id", col("event_id") + lit(10000000L))
+    mutated.union(inserted).write.mode("overwrite").parquet(s"$dir/v2")
+
+    def fingered(path: String, side: String) =
+      spark.read.parquet(path).select(
+        col("event_id"),
+        md5(concat_ws("|", col("event_type"),
+          col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            .cast("string"))).as(s"fp_$side"))
+    fingered(s"$dir/v1", "a")
+      .join(fingered(s"$dir/v2", "b"), Seq("event_id"), "full_outer")
+      .withColumn("change",
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") =!= col("fp_b"), "changed"))
+      .filter(col("change").isNotNull)
+      .select(col("event_id"), col("change"))
   }
 
   /** Gap-based sessionization: a new session starts when a user is

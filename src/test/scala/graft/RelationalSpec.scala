@@ -121,6 +121,37 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture must contain owner windows with events")
   }
 
+  test("rolling window equals the time-band self-join truth, one row per event") {
+    val df = Relational.rollingWindow(spark, sf)
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    // quadratic truth, fine at sf0.001: events joined to all same-user
+    // events within the trailing hour
+    val truth = ev.as("a")
+      .join(ev.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.us") >= col("a.us") - 3600000000L && col("b.us") <= col("a.us"))
+      .groupBy(col("a.event_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == truth)
+    assert(got.size == ev.count())
+    // every frame contains at least its own row
+    assert(got.values.forall(_ >= 1))
+  }
+
+  test("table diff classifies added/removed/changed exactly by the planted mutations") {
+    val byChange = Relational.tableDiff(spark, sf).collect()
+      .groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getLong(0)).toSet).toMap
+    val ids = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(byChange("removed") == ids.filter(_ % 101 == 0))
+    assert(byChange("added") == ids.filter(_ % 103 == 0).map(_ + 10000000L))
+    // changed = value bumped (%7) minus rows that were dropped (%101)
+    assert(byChange("changed") == ids.filter(i => i % 7 == 0 && i % 101 != 0))
+  }
+
   test("sessionize splits on the idle gap and covers every event exactly once") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
