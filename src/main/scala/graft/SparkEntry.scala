@@ -35,6 +35,7 @@ object SparkEntry {
     "q07_distinct" -> (ReferenceQueries.distinctKeys _),
     "q08_topk" -> (ReferenceQueries.topK _),
     "q18_mapreduce_typed" -> (MapReduceSurface.agg2aTyped _),
+    "q89_topk_agg" -> ((s: SparkSession, d: String) => MapReduceSurface.topKPerGroup(s, d)),
     "q19_csv_lifecycle" -> (ReferenceQueries.csvLifecycle _),
     "q59_json_lifecycle" -> (ReferenceQueries.jsonLifecycle _),
     "q63_orc_lifecycle" -> (ReferenceQueries.orcLifecycle _),
@@ -60,6 +61,7 @@ object SparkEntry {
     "q86_interval_join" -> (Relational.intervalJoin _),
     "q87_rolling_window" -> (Relational.rollingWindow _),
     "q88_table_diff" -> (Relational.tableDiff _),
+    "q90_subqueries" -> (Relational.correlatedSubqueries _),
     "q33_sessionize" -> ((s: SparkSession, d: String) => Relational.sessionize(s, d)),
     "q34_intersect" -> (Relational.intersectScans _),
     "q35_except" -> (Relational.exceptScans _),
@@ -291,6 +293,15 @@ object SparkEntry {
                  ROW_NUMBER() OVER (PARTITION BY o_custkey
                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
                FROM orders) WHERE rk <= 2""",
+    // q89 computes q14's rows through the bounded-buffer TopK
+    // aggregate instead of a window — SAME oracle text: row identity
+    // between the two plans is driver-checked, not claimed.
+    "q89_topk_agg" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+               FROM orders) WHERE rk <= 2""",
     "q15_union" ->
       """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
          UNION ALL
@@ -438,6 +449,24 @@ object SparkEntry {
                   OR CAST(v1.value AS DECIMAL(18,2))
                      <> CAST(v2.value AS DECIMAL(18,2)) THEN 'changed'
            END IS NOT NULL""",
+    // q90: identical SQL text both engines — correlated scalar
+    // subqueries, correlated EXISTS, NOT IN. COUNT(*) scalar subquery
+    // returns 0 (not NULL) for customers with no orders in BOTH
+    // engines after decorrelation — a classic divergence this entry
+    // pins; f_total stays NULL for no-F-orders customers.
+    "q90_subqueries" ->
+      """SELECT c_custkey, c_mktsegment,
+        (SELECT COUNT(*) FROM orders o
+         WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         FROM orders o
+         WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F') AS f_total
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000.0)
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_totalprice > 480000.0)""",
     "q33_sessionize" ->
       """WITH flagged AS (
            SELECT user_id, event_id, ts, value,

@@ -75,6 +75,53 @@ object MapReduceSurface {
       .toDF("etype_prefix", "sum_value")
   }
 
+  /** Bounded-state top-k aggregate (q89): the buffer NEVER exceeds k
+    * entries, so the aggregate gets map-side partial aggregation with
+    * O(k) state per (group, partition) — each input partition ships
+    * at most k rows per group to the exchange. The window formulation
+    * (q14: row_number ≤ k) must shuffle EVERY row to its group's
+    * partition and sort it before any row is discarded; at 100 TB
+    * with k=2 that is the difference between shuffling the table and
+    * shuffling ≈ k·partitions rows per group. Ordering is
+    * (value DESC, id ASC) — the id tiebreak makes top-k total, so
+    * merge order can't change the result (MapReduceSpec properties).
+    */
+  class TopK(k: Int)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private val ord: Ordering[(Double, Long)] =
+      Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
+    def zero: Seq[(Double, Long)] = Vector.empty
+    def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+      merge(b, Vector(a))
+    def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      (x ++ y).sorted(ord).take(k)
+    def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b
+    def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    def outputEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
+  /** The q89 driver entry: q14's top-2 orders per customer computed
+    * through [[TopK]] instead of a window — shares q14's oracle
+    * verbatim, so row-identity across the two plans is checked by the
+    * driver, not claimed. Rank is recovered from the (already total)
+    * order of the k-array via posexplode.
+    */
+  def topKPerGroup(spark: SparkSession, sfDir: String, k: Int = 2): DataFrame = {
+    val topk = udaf(new TopK(k),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    Tables.load(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(
+        col("o_custkey"),
+        col("col._2").as("o_orderkey"),
+        col("col._1").as("o_totalprice"),
+        (col("pos") + 1).cast("int").as("rk"))
+  }
+
   /** Literal reduction-tree twin (O8): `treeAggregate` with depth
     * ⌈log_b(nPartitions)⌉ merges partials through executor-side
     * rounds exactly like the coordinator's reducer rounds

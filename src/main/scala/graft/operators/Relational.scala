@@ -149,6 +149,32 @@ object Relational {
           (l_returnflag, l_linestatus))""")
   }
 
+  /** Correlated subqueries through the SQL surface (q90): correlated
+    * scalar subqueries (per-customer order count and filtered sum),
+    * correlated EXISTS, and NOT IN — the subquery shapes an analyst
+    * actually writes. Catalyst de-correlates all three into joins
+    * (RewriteCorrelatedScalarSubquery → aggregate + left outer join;
+    * EXISTS → left semi; NOT IN → null-aware anti), so none executes
+    * per-row — the plan is three joins over one orders scan family,
+    * not O(customers) query launches. The same text runs in DuckDB.
+    */
+  def correlatedSubqueries(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT c_custkey, c_mktsegment,
+        (SELECT COUNT(*) FROM orders o
+         WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         FROM orders o
+         WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F') AS f_total
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000.0)
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_totalprice > 480000.0)""")
+  }
+
   /** Star join through the dimension chain customer->nation->region:
     * all three dims broadcast; the fact table is scanned once with no
     * shuffle until the final group-by.

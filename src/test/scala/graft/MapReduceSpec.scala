@@ -47,6 +47,42 @@ class MapReduceSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("TopK buffer is k-bounded and partition-order invariant (ScalaCheck)") {
+    val agg = new MapReduceSurface.TopK(3)
+    val rowsGen = Gen.listOf(Gen.zip(
+      Gen.chooseNum(-1000L, 1000L).map(_ / 10.0), Gen.chooseNum(0L, 50L)))
+    val prop = Prop.forAll(rowsGen) { rows =>
+      val whole = rows.foldLeft(agg.zero)(agg.reduce)
+      whole.length <= 3 && (0 to rows.length).forall { cut =>
+        val (l, r) = rows.splitAt(cut)
+        val lb = l.foldLeft(agg.zero)(agg.reduce)
+        val rb = r.foldLeft(agg.zero)(agg.reduce)
+        // every intermediate buffer is bounded, merge is symmetric,
+        // and any split reproduces the unsplit answer
+        lb.length <= 3 && rb.length <= 3 &&
+          agg.merge(lb, rb) == whole && agg.merge(rb, lb) == whole
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("TopK aggregate rows equal the window top-per-key formulation") {
+    val viaAgg = MapReduceSurface.topKPerGroup(spark, SparkTestSession.sf)
+    // partial aggregation must appear below the exchange — that is
+    // the whole point vs the shuffle-everything window plan
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.toLowerCase.contains("partial_"), plan)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3))
+    val a = viaAgg.collect().map(key).toMap
+    val b = graft.operators.Relational
+      .windowTopPerKey(spark, SparkTestSession.sf).collect().map(key).toMap
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   test("treeAggregate twin equals the shuffle global sum") {
     val tree = MapReduceSurface.treeSum(spark, sf, fanIn = 2)
     val shuffle = ReferenceQueries.globalSum(spark, sf).head().getDouble(0)

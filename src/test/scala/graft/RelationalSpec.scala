@@ -152,6 +152,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(byChange("changed") == ids.filter(i => i % 7 == 0 && i % 101 != 0))
   }
 
+  test("correlated subqueries decorrelate to joins and agree with manual computation") {
+    val df = Relational.correlatedSubqueries(spark, sf)
+    // decorrelation proof: the physical plan is joins, not per-row
+    // subquery execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalarSubquery"), plan)
+
+    val orders = graft.sources.Tables.load(spark, sf, "orders")
+    val counts = orders.groupBy("o_custkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val existsGate = orders.filter(col("o_totalprice") > 400000.0)
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val notInGate = orders.filter(col("o_totalprice") > 480000.0)
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getLong(0)
+      assert(existsGate(c), s"customer $c fails the EXISTS gate")
+      assert(!notInGate(c), s"customer $c should be NOT IN-excluded")
+      assert(r.getLong(2) == counts(c), s"n_orders mismatch for $c")
+    }
+    // and the gates actually excluded someone
+    assert(rows.length < counts.size)
+  }
+
   test("sessionize splits on the idle gap and covers every event exactly once") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
