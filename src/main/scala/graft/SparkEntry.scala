@@ -119,6 +119,7 @@ object SparkEntry {
     "q84_stratified_sample" -> ((s: SparkSession, d: String) => TrainingPrep.stratifiedSample(s, d)),
     "q69_quality_bins" -> (TrainingPrep.qualityBins _),
     "q70_shard_pack" -> ((s: SparkSession, d: String) => TrainingPrep.shardPack(s, d)),
+    "q91_seq_blocks" -> ((s: SparkSession, d: String) => TrainingPrep.sequenceBlocks(s, d)),
     "q71_embed_quantize" -> (TrainingPrep.quantizeEmbeddings _),
     // --- multimodal plumbing ---
     "q50_multimodal_meta" -> (Multimodal.mediaMeta _),
@@ -1096,6 +1097,21 @@ object SparkEntry {
                    list_max(list_transform(v, x ->
                      abs(x - floor(x / scale + 0.5) * scale))) END AS max_err
                FROM s)""",
+    // q91: fixed 32-token sequence blocking — the whitespace token
+    // count device (q42) fanned out via UNNEST(range); the trailing
+    // partial block reports its true length.
+    "q91_seq_blocks" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_extract_all(trim(text), '\S+')) END AS BIGINT)
+               AS n_tokens
+           FROM documents)
+         SELECT doc_id, i AS seq_idx, i * 32 AS tok_start,
+           CASE WHEN n_tokens - i * 32 < 32
+                THEN n_tokens - i * 32 ELSE 32 END AS n_tok
+         FROM t, LATERAL (SELECT UNNEST(range(0, (n_tokens + 31) // 32)) AS i) s
+         WHERE n_tokens > 0""",
     "q42_token_stats" ->
       """SELECT doc_id,
          CAST(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -103,6 +103,32 @@ object TrainingPrep {
           .as("max_err"))
       .withColumn("quant_ok", col("max_err") <= col("scale") * lit(0.5))
 
+  /** The q91 driver entry: fixed-length training-sequence blocking —
+    * each document's token stream cut into `seqLen`-token windows
+    * (the batch-shape step between corpus and training loop: models
+    * consume fixed-length sequences, documents aren't). Emits one row
+    * per (doc, block) with its token range; the trailing partial
+    * block keeps its true length (pad-vs-drop is the trainer's call —
+    * both need `n_tok`). Per-row arithmetic + a bounded explode
+    * (fan-out = ceil(tokens/seqLen), linear in corpus tokens), zero
+    * shuffle, streams at any scale. Blocks stay within document
+    * boundaries — cross-document packing is q70's shard layer.
+    */
+  def sequenceBlocks(
+      spark: SparkSession, sfDir: String, seqLen: Long = 32L): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L),
+          expr(s"(n_tokens + ${seqLen - 1}) div $seqLen") - 1)).as("seq_idx"))
+      .select(
+        col("doc_id"), col("seq_idx"),
+        (col("seq_idx") * seqLen).as("tok_start"),
+        least(lit(seqLen), col("n_tokens") - col("seq_idx") * seqLen)
+          .as("n_tok"))
+
   /** Token budget per training shard for [[shardPack]]. */
   val shardTokenBudget = 10000L
 

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Evidence for the session's adaptive-execution posture
+  * (GraftSession enables AQE + skew-join splitting): these are the
+  * runtime behaviors the 100 TB claims lean on, demonstrated rather
+  * than asserted from config.
+  */
+class AqeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    withConf(
+      // force the shuffle join path and make the skew thresholds
+      // reachable at test scale
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "262144",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536") {
+      // one hot key carrying ~8 MB of padded payload vs 50 cold keys
+      val pad = "x" * 64
+      val left = spark.range(0, 120000)
+        .select(
+          when(col("id") % 10 =!= 0, lit(1L))
+            .otherwise(col("id") % 50 + 2).as("k"),
+          concat(lit(pad), col("id")).as("payload"))
+      val right = spark.range(0, 52)
+        .select(col("id").as("k"), (col("id") * 10).as("dim"))
+      val joined = left.join(right, "k")
+      // materialize THIS queryExecution (count() would plan a new one
+      // and leave this adaptive plan unexecuted)
+      assert(joined.collect().length == 120000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected a runtime skew split in the final adaptive plan:\n$plan")
+    }
+  }
+
+  test("AQE coalesces a fine-grained shuffle down to data volume") {
+    // 32 configured shuffle partitions, a few KB of aggregate output:
+    // the final adaptive plan must run far fewer reducers
+    val agg = spark.range(0, 10000)
+      .select((col("id") % 40).as("k"))
+      .groupBy("k").count()
+    assert(agg.count() == 40L)
+    val coalesced = agg.rdd.getNumPartitions
+    assert(coalesced < 32,
+      s"AQE should coalesce 32 shuffle partitions for 40 tiny groups, got $coalesced")
+  }
+}

@@ -69,6 +69,28 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(rows.forall(_.getBoolean(3)), "quant_ok must hold for every vector")
   }
 
+  test("sequence blocks cover every token exactly once, only the tail partial") {
+    val blocks = TrainingPrep.sequenceBlocks(spark, sf, seqLen = 32L).collect()
+    assert(blocks.nonEmpty)
+    val tokens = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = blocks.groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, bs) =>
+      val sorted = bs.sortBy(_.getLong(1))
+      // contiguous indices from 0; starts line up; lengths sum to the
+      // doc's token count; every block but the last is full
+      assert(sorted.map(_.getLong(1)).toSeq == sorted.indices.map(_.toLong))
+      sorted.foreach(b => assert(b.getLong(2) == b.getLong(1) * 32))
+      assert(sorted.map(_.getLong(3)).sum == tokens(doc))
+      assert(sorted.init.forall(_.getLong(3) == 32))
+      assert(sorted.last.getLong(3) >= 1 && sorted.last.getLong(3) <= 32)
+    }
+    // zero-token docs emit nothing
+    assert(byDoc.keySet == tokens.filter(_._2 > 0).keySet)
+  }
+
   test("shard packing: shards respect the token budget order within a language") {
     val df = TrainingPrep.shardPack(spark, sf, budget = 1000L)
     // shard index must be non-decreasing in doc_id order per language
