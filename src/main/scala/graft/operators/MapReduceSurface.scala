@@ -78,12 +78,18 @@ object MapReduceSurface {
   /** Bounded-state top-k aggregate (q89): the buffer NEVER exceeds k
     * entries, so the aggregate gets map-side partial aggregation with
     * O(k) state per (group, partition) — each input partition ships
-    * at most k rows per group to the exchange. The window formulation
-    * (q14: row_number ≤ k) must shuffle EVERY row to its group's
-    * partition and sort it before any row is discarded; at 100 TB
-    * with k=2 that is the difference between shuffling the table and
-    * shuffling ≈ k·partitions rows per group. Ordering is
-    * (value DESC, id ASC) — the id tiebreak makes top-k total, so
+    * at most k rows per group to the exchange. Honest note, measured
+    * in MapReduceSpec: Spark 3.5+'s `InferWindowGroupLimit` gives the
+    * window formulation (q14) the SAME bounded shuffle by planting a
+    * partial WindowGroupLimit below the exchange — with that rule
+    * excluded the window path shuffles every row (the pre-3.5
+    * behavior, and the cliff this operator guards against on engines
+    * without the rewrite). What the Aggregator form adds is
+    * composability: top-k as a COLUMN, usable inside one groupBy
+    * alongside other aggregates (one shuffle for "top-2 orders + sum
+    * + count per customer", where the window form needs a second
+    * full-table pass) and in typed `groupByKey` pipelines. Ordering
+    * is (value DESC, id ASC) — the id tiebreak makes top-k total, so
     * merge order can't change the result (MapReduceSpec properties).
     */
   class TopK(k: Int)

@@ -45,6 +45,29 @@ object ScalingProbe {
     embCopies.reduce(_ unionAll _).write.mode("overwrite")
       .parquet(s"$big/embeddings.parquet")
 
+    // K× events: copy c shifts TIME by c*35 days (ts is raw long
+    // nanos under nanosAsLong) and offsets event/user ids — the
+    // natural 100 TB growth axis is a longer retention window, so
+    // copies occupy disjoint time ranges and per-bin/per-user density
+    // stays constant (growing density instead would grow the true
+    // OUTPUT of time-window operators quadratically, which measures
+    // the workload, not the operator).
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    (0 until k).map { c =>
+      ev.withColumn("event_id", col("event_id") + lit(c * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(c * 1000000L))
+        .withColumn("ts", col("ts") + lit(c * 35L * 86400L * 1000000000L))
+    }.reduce(_ unionAll _).write.mode("overwrite")
+      .parquet(s"$big/events.parquet")
+
+    // K× orders: disjoint key/customer ranges per copy
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    (0 until k).map { c =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(c * 100000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(c * 1000000L))
+    }.reduce(_ unionAll _).write.mode("overwrite")
+      .parquet(s"$big/orders.parquet")
+
     def time(name: String)(f: => DataFrame): Double = {
       val t0 = System.nanoTime()
       f.write.format("noop").mode("overwrite").save()
@@ -64,7 +87,12 @@ object ScalingProbe {
       // the documented scaling rule in action: bits sized to the
       // K× corpus (2^12 buckets) instead of the fixture default
       "q24_embed_lsh_12bit" -> (d =>
-        graft.operators.Dedup.embeddingPairsLsh(spark, d, bitsPerTable = 12)))
+        graft.operators.Dedup.embeddingPairsLsh(spark, d, bitsPerTable = 12)),
+      "q83_decontaminate" -> (d => graft.operators.Dedup.decontaminationPairs(spark, d)),
+      "q86_interval_join" -> (d => graft.operators.Relational.intervalJoin(spark, d)),
+      "q87_rolling_window" -> (d => graft.operators.Relational.rollingWindow(spark, d)),
+      "q88_table_diff" -> (d => graft.operators.Relational.tableDiff(spark, d)),
+      "q89_topk_agg" -> (d => graft.operators.MapReduceSurface.topKPerGroup(spark, d)))
     val ratios = pairs.map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))

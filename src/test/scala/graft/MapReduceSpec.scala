@@ -83,6 +83,54 @@ class MapReduceSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("TopK shuffle is bounded like WindowGroupLimit's; both beat the naive window") {
+    // heavy groups: 200 groups x 500 rows; k=2. Three measured plans:
+    //  1. TopK aggregate — partial buffers ship ≤k rows/(group,partition)
+    //  2. window rank-filter — Spark 3.5+'s InferWindowGroupLimit
+    //     plants a partial group-limit below the exchange (same bound)
+    //  3. window rank-filter with that rule EXCLUDED — the pre-3.5
+    //     plan, which shuffles every row (the cliff)
+    import org.apache.spark.sql.functions._
+    val data = spark.range(0, 100000)
+      .select((col("id") % 200).as("g"),
+        (col("id") * 37 % 10007).cast("double").as("v"),
+        col("id").as("rid"))
+      .repartition(8).localCheckpoint(true)
+
+    val topk = udaf(new MapReduceSurface.TopK(2),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+    val (_, aggM) = graft.sinks.Sinks.withMetrics(spark) {
+      data.groupBy("g").agg(topk(col("v"), col("rid")).as("top")).collect()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("v").desc, col("rid").asc)
+    def windowRun() = data.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2).collect()
+    val (_, winM) = graft.sinks.Sinks.withMetrics(spark)(windowRun())
+
+    val key = "spark.sql.optimizer.excludedRules"
+    val saved = spark.conf.getOption(key)
+    val (_, naiveM) = try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.catalyst.optimizer.InferWindowGroupLimit")
+      graft.sinks.Sinks.withMetrics(spark)(windowRun())
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+
+    assert(aggM.shuffleBytes > 0 && winM.shuffleBytes > 0 && naiveM.shuffleBytes > 0)
+    assert(aggM.shuffleBytes * 5 < naiveM.shuffleBytes,
+      s"bounded agg ${aggM.shuffleBytes} vs naive window ${naiveM.shuffleBytes}")
+    assert(winM.shuffleBytes * 5 < naiveM.shuffleBytes,
+      s"group-limit window ${winM.shuffleBytes} vs naive ${naiveM.shuffleBytes}")
+    // and the two bounded plans are in the same class
+    assert(aggM.shuffleBytes < naiveM.shuffleBytes / 5 &&
+      winM.shuffleBytes < naiveM.shuffleBytes / 5)
+  }
+
   test("treeAggregate twin equals the shuffle global sum") {
     val tree = MapReduceSurface.treeSum(spark, sf, fanIn = 2)
     val shuffle = ReferenceQueries.globalSum(spark, sf).head().getDouble(0)
