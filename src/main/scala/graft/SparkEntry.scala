@@ -288,47 +288,25 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders
            WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""",
-    "q14_window_top" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk
-         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
-                 ROW_NUMBER() OVER (PARTITION BY o_custkey
-                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
-               FROM orders) WHERE rk <= 2""",
+    "q14_window_top" -> windowTopOracle,
     // q89 computes q14's rows through the bounded-buffer TopK
     // aggregate instead of a window — SAME oracle text: row identity
     // between the two plans is driver-checked, not claimed.
-    "q89_topk_agg" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk
-         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
-                 ROW_NUMBER() OVER (PARTITION BY o_custkey
-                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
-               FROM orders) WHERE rk <= 2""",
+    "q89_topk_agg" -> windowTopOracle,
     "q15_union" ->
       """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
          UNION ALL
          SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 450000.0""",
-    "q16_events_hourly" ->
-      """SELECT date_trunc('hour', ts) AS hour, event_type,
-         COUNT(*) AS n_events,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1, 2""",
+    "q16_events_hourly" -> eventsHourlyOracle,
     // q47 is the STREAMING run of the same aggregate (file-source →
     // watermark → windowed agg via Trigger.AvailableNow); tumbling 1 h
     // windows are epoch-aligned, so window.start == date_trunc('hour')
     // and the batch oracle is exact.
-    "q47_stream_hourly" ->
-      """SELECT date_trunc('hour', ts) AS hour, event_type,
-         COUNT(*) AS n_events,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1, 2""",
+    "q47_stream_hourly" -> eventsHourlyOracle,
     // q81 is q47's aggregate exiting through the PRODUCTION sink
     // (foreachBatch → parquet, checkpointed, idempotent overwrite)
     // and read back from the files — same exact oracle.
-    "q81_stream_file_sink" ->
-      """SELECT date_trunc('hour', ts) AS hour, event_type,
-         COUNT(*) AS n_events,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1, 2""",
+    "q81_stream_file_sink" -> eventsHourlyOracle,
     // q56: sliding 2h/1h windows — every event is in exactly two
     // hour-aligned windows, replayed by the two-element UNNEST.
     "q56_stream_sliding" ->
@@ -1150,6 +1128,28 @@ object SparkEntry {
          ('0x' || substr(md5(text), 25, 8))::BIGINT / 4294967296.0 AS f3
          FROM documents"""
   )
+
+  /** q14's window top-per-key SQL — shared verbatim by q89 (bounded
+    * TopK aggregate): the alternative plan is a row-identity contract,
+    * and sharing the val makes the identity structural (an edit to
+    * one cannot silently decouple the twin).
+    */
+  private val windowTopOracle: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk
+       FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+             FROM orders) WHERE rk <= 2"""
+
+  /** q16's hourly aggregate SQL — shared verbatim by q47 (streaming
+    * twin) and q81 (streaming + production file sink): same contract,
+    * different plan/lifecycle.
+    */
+  private val eventsHourlyOracle: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events GROUP BY 1, 2"""
 
   /** q10's fact-fact revenue SQL — shared verbatim by q49 (salted)
     * and q53 (bucketed): the rewrites are row-identity contracts.

@@ -98,7 +98,12 @@ object MapReduceSurface {
       Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
     def zero: Seq[(Double, Long)] = Vector.empty
     def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
-      merge(b, Vector(a))
+      // reduce runs once per input row — the overwhelming majority of
+      // rows rank at-or-below a full buffer's worst entry and must not
+      // pay the allocate-and-resort (ties lose to incumbents, matching
+      // the stable sort in merge where `a` sorts after buffer entries)
+      if (b.length >= k && ord.gteq(a, b.last)) b
+      else merge(b, Vector(a))
     def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
       (x ++ y).sorted(ord).take(k)
     def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b

@@ -125,19 +125,27 @@ object Sketches {
       .filter(col("o_totalprice") > priceFloor)
       .select(col("o_orderkey"))
       .persist()
-    val nKeys = keys.count()
-    val probe = Tables.load(spark, sfDir, "lineitem")
-      .select(col("l_orderkey"), col("l_extendedprice"))
-    // an empty build side can't seed a bloom filter (and needs none:
-    // the exact semi join below already yields zero rows)
-    val preFiltered = if (nKeys == 0) probe else {
-      val bfB = spark.sparkContext.broadcast(
-        keys.stat.bloomFilter("o_orderkey", nKeys, bloomFpp))
-      val might = udf((k: Long) => bfB.value.mightContain(k))
-      probe.filter(might(col("l_orderkey")))
+    // the count and bloom build are ACTIONS between persist() and the
+    // caller's unpersist — if either throws (executor loss, read
+    // error), release the cache here instead of pinning the key set
+    // in the block manager for the session lifetime
+    try {
+      val nKeys = keys.count()
+      val probe = Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      // an empty build side can't seed a bloom filter (and needs none:
+      // the exact semi join below already yields zero rows)
+      val preFiltered = if (nKeys == 0) probe else {
+        val bfB = spark.sparkContext.broadcast(
+          keys.stat.bloomFilter("o_orderkey", nKeys, bloomFpp))
+        val might = udf((k: Long) => bfB.value.mightContain(k))
+        probe.filter(might(col("l_orderkey")))
+      }
+      (preFiltered.join(keys,
+        col("l_orderkey") === col("o_orderkey"), "left_semi"), keys)
+    } catch {
+      case t: Throwable => keys.unpersist(); throw t
     }
-    (preFiltered.join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi"),
-      keys)
   }
 
   /** Count-min-sketch parameters: overcount is bounded by eps·N with

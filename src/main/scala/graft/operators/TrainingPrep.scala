@@ -20,6 +20,20 @@ object TrainingPrep {
   val splitBuckets = 10
   val trainBuckets = 8
 
+  /** THE content-addressing device, in one place: first 15 hex chars
+    * of md5(salt ++ id) as a 60-bit int, mod `buckets`. Must stay
+    * byte-identical to the DuckDB oracle rendering
+    * `('0x' || substr(md5(<salt ||> CAST(id AS VARCHAR)), 1, 15))::BIGINT % n`
+    * — q68/q84 (and the spec's replay) all call this instead of
+    * hand-copying the expression.
+    */
+  def hashBucket(id: org.apache.spark.sql.Column, salt: String,
+      buckets: Int): org.apache.spark.sql.Column = {
+    val keyed = if (salt.isEmpty) id.cast("string")
+      else concat(lit(salt), id.cast("string"))
+    pmod(conv(substring(md5(keyed), 1, 15), 16, 10).cast("long"), lit(buckets))
+  }
+
   /** The q68 driver entry: CONTENT-ADDRESSED train/val/test split —
     * bucket = md5(doc_id) mod 10, split = 8/1/1. Hash-addressed
     * assignment is the production rule because it is stable under
@@ -31,8 +45,7 @@ object TrainingPrep {
   def splitAssign(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),
-        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-          .cast("long"), lit(splitBuckets)).as("bucket"))
+        hashBucket(col("doc_id"), "", splitBuckets).as("bucket"))
       .withColumn("split",
         when(col("bucket") < trainBuckets, "train")
           .when(col("bucket") === trainBuckets, "val")
@@ -55,9 +68,7 @@ object TrainingPrep {
       spark: SparkSession, sfDir: String,
       rates: Map[String, Int] = Map("en" -> 25),
       defaultRate: Int = 75): DataFrame = {
-    val bucket = pmod(
-      conv(substring(md5(concat(lit("samp:"), col("doc_id").cast("string"))),
-        1, 15), 16, 10).cast("long"), lit(100))
+    val bucket = hashBucket(col("doc_id"), "samp:", 100)
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (lang, r)) =>
       when(col("lang") === lang, r).otherwise(acc)
     }

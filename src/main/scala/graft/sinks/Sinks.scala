@@ -122,19 +122,27 @@ object Sinks {
   }
 
   /** Small-file compaction (q85): rewrite a parquet directory into
-    * ceil(bytes/targetBytes) files. THE recurring 100 TB ops task —
+    * ~ceil(bytes/targetBytes) files. THE recurring 100 TB ops task —
     * streaming ingests and over-parallel writes leave thousands of
     * KB-scale files per partition, and scan cost is per-file (open +
     * footer + seek, the reference's per-S3-object GET economics,
     * `driver.py:266-267`) long before it is per-byte. Returns the
-    * output file count.
+    * ACTUAL output file count, which can be below the plan's n:
+    * `coalesce(n)` cannot raise partition count above the scan's, so
+    * a directory of a few LARGE files compacts to at most
+    * scan-partition-many outputs (that input isn't fragmented — the
+    * small-file case this operator exists for always has files ≥ n).
+    * Empty or non-parquet input is a caller error (the read throws).
     */
   def compactParquet(
       spark: SparkSession, inPath: String, outPath: String,
       targetBytes: Long = 128L << 20): Int = {
-    val (df, n) = compactionPlan(spark, inPath, targetBytes)
+    val (df, _) = compactionPlan(spark, inPath, targetBytes)
     df.write.mode("overwrite").parquet(outPath)
-    n
+    val out = new org.apache.hadoop.fs.Path(outPath)
+    out.getFileSystem(spark.sessionState.newHadoopConf())
+      .listStatus(out)
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
   }
 
   /** Per-job metrics the reference tracks per task object: rows out,

@@ -76,21 +76,20 @@ object EventStream {
     */
   val streamStatePartitions: Int = 4
 
-  /** Run `body` (which must build AND start+drain its streaming
-    * query) with the session shuffle-partition conf temporarily set
-    * to [[streamStatePartitions]] — the setting is read at query
-    * start. Serialized so overlapping callers can't restore each
-    * other's value mid-flight.
+  /** An ISOLATED session (own SQLConf + temp catalog, shared
+    * SparkContext and initial options) with shuffle partitions pinned
+    * to [[streamStatePartitions]]. Streaming queries must be BUILT on
+    * this session — the conf is read from the frame's owning session
+    * at query start. Isolation matters: temporarily mutating the
+    * shared session's conf would also re-plan any batch query planned
+    * concurrently on that session with 4 shuffle partitions, a silent
+    * parallelism collapse outside the streaming path.
     */
-  private def withStatePartitions[T](spark: SparkSession)(body: => T): T =
-    streamConfLock.synchronized {
-      val key = "spark.sql.shuffle.partitions"
-      val prev = spark.conf.get(key)
-      spark.conf.set(key, streamStatePartitions.toString)
-      try body finally spark.conf.set(key, prev)
-    }
-
-  private object streamConfLock
+  private def statePinnedSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions.toString)
+    s
+  }
 
   /** The q47 driver entry: [[hourlyStream]] run to completion with
     * Trigger.AvailableNow and returned as a batch frame — the whole
@@ -101,7 +100,7 @@ object EventStream {
     * session (bench medians) never collide.
     */
   def hourlyToBatch(spark: SparkSession, sfDir: String): DataFrame =
-    runToBatch(spark, hourlyStream(spark, sfDir),
+    runToBatch(spark, hourlyStream(_, sfDir),
       s"q47_hourly_${runSeq.incrementAndGet()}")
 
   /** Sliding windows (2 h window, 1 h slide): each event lands in two
@@ -124,7 +123,7 @@ object EventStream {
     * sliding windows is therefore under the hard hash compare.
     */
   def slidingToBatch(spark: SparkSession, sfDir: String): DataFrame =
-    runToBatch(spark, slidingStream(spark, sfDir),
+    runToBatch(spark, slidingStream(_, sfDir),
       s"q56_sliding_${runSeq.incrementAndGet()}")
 
   /** Batch twin of [[slidingStream]] on the same fixture. */
@@ -165,7 +164,7 @@ object EventStream {
     * so the SQL twin inlines it.
     */
   def tierHourlyToBatch(spark: SparkSession, sfDir: String): DataFrame =
-    runToBatch(spark, tierHourlyStream(spark, sfDir),
+    runToBatch(spark, tierHourlyStream(_, sfDir),
       s"q57_tier_${runSeq.incrementAndGet()}")
 
   /** Batch twin of [[tierHourlyStream]]. */
@@ -197,7 +196,7 @@ object EventStream {
     */
   def dedupToBatch(spark: SparkSession, sfDir: String): DataFrame =
     runToBatch(spark,
-      readEvents(spark, sfDir).unionByName(readEvents(spark, sfDir))
+      s => readEvents(s, sfDir).unionByName(readEvents(s, sfDir))
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
         .select(col("event_id"), col("event_type"), col("value")),
@@ -217,17 +216,15 @@ object EventStream {
   def hourlyToParquetSink(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Scratch.withScratch(spark, "q81_sink", sfDir) { dir =>
       val out = s"$dir/out"
-      withStatePartitions(spark) {
-        val q = hourlyStream(spark, sfDir).writeStream
-          .outputMode(OutputMode.Complete())
-          .option("checkpointLocation", s"$dir/ckpt")
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            batch.write.mode("overwrite").parquet(out)
-          }
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
+      val q = hourlyStream(statePinnedSession(spark), sfDir).writeStream
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
       // explicit schema: a zero-batch run (or an all-dropped input)
       // must read as an empty frame, not fail inference
       val schema = StructType(Seq(
@@ -249,19 +246,18 @@ object EventStream {
     * invocation (bench medians run each entry 3x) pins another full
     * result copy in the catalog for the session lifetime.
     */
-  def runToBatch(spark: SparkSession, df: DataFrame, name: String,
-      mode: OutputMode = OutputMode.Complete()): DataFrame = {
-    withStatePartitions(spark) {
-      val q = df.writeStream
-        .outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    try spark.table(name).localCheckpoint(true)
-    finally spark.catalog.dropTempView(name)
+  def runToBatch(spark: SparkSession, build: SparkSession => DataFrame,
+      name: String, mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val s = statePinnedSession(spark)
+    val q = build(s).writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    try s.table(name).localCheckpoint(true)
+    finally s.catalog.dropTempView(name)
   }
 
   /** Stream-stream join: click→purchase attribution. Each purchase
@@ -298,7 +294,7 @@ object EventStream {
     * sliding, stream-static, stream-stream) under the hash compare.
     */
   def attributionToBatch(spark: SparkSession, sfDir: String): DataFrame =
-    runToBatch(spark, attributionStream(spark, sfDir),
+    runToBatch(spark, attributionStream(_, sfDir),
       s"q62_attr_${runSeq.incrementAndGet()}", OutputMode.Append())
 
   /** Batch twin of [[attributionStream]]. */
@@ -385,22 +381,21 @@ object EventStream {
     */
   def userSessionsBatch(spark: SparkSession, sfDir: String): DataFrame = {
     val name = s"user_sessions_${runSeq.incrementAndGet()}"
-    withStatePartitions(spark) {
-      val q = userSessions(spark, sfDir).writeStream
-        .outputMode(OutputMode.Update())
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+    val s = statePinnedSession(spark)
+    val q = userSessions(s, sfDir).writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("n_events").desc)
-    try spark.table(name)
+    try s.table(name)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
       .localCheckpoint(true)
-    finally spark.catalog.dropTempView(name)
+    finally s.catalog.dropTempView(name)
   }
 }

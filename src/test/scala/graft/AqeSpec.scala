@@ -50,14 +50,17 @@ class AqeSpec extends AnyFunSuite {
   }
 
   test("AQE coalesces a fine-grained shuffle down to data volume") {
-    // 32 configured shuffle partitions, a few KB of aggregate output:
-    // the final adaptive plan must run far fewer reducers
+    // read the ACTUAL configured partition count — asserting against
+    // a constant larger than the session's setting would pass even
+    // with coalescing disabled
+    val configured = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(configured > 1, s"test needs >1 shuffle partitions, got $configured")
     val agg = spark.range(0, 10000)
       .select((col("id") % 40).as("k"))
       .groupBy("k").count()
     assert(agg.count() == 40L)
     val coalesced = agg.rdd.getNumPartitions
-    assert(coalesced < 32,
-      s"AQE should coalesce 32 shuffle partitions for 40 tiny groups, got $coalesced")
+    assert(coalesced < configured,
+      s"AQE should coalesce $configured shuffle partitions for 40 tiny groups, got $coalesced")
   }
 }

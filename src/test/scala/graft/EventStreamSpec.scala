@@ -11,7 +11,7 @@ class EventStreamSpec extends AnyFunSuite {
 
   test("streaming hourly window equals the batch twin (counts per hour/type)") {
     val streamed = EventStream.runToBatch(
-      spark, EventStream.hourlyStream(spark, sf), "hourly_test")
+      spark, EventStream.hourlyStream(_, sf), "hourly_test")
       .collect()
       .map(r => (r.getTimestamp(0), r.getString(1)) ->
         (r.getLong(2), r.getDouble(3))).toMap
@@ -24,7 +24,7 @@ class EventStreamSpec extends AnyFunSuite {
 
   test("sliding-window stream equals its batch twin") {
     val streamed = EventStream.runToBatch(
-      spark, EventStream.slidingStream(spark, sf), "sliding_test")
+      spark, EventStream.slidingStream(_, sf), "sliding_test")
       .collect()
       .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
     val batch = EventStream.slidingBatch(spark, sf)
@@ -38,7 +38,7 @@ class EventStreamSpec extends AnyFunSuite {
 
   test("stream-static join (tier dimension) equals its batch twin") {
     val streamed = EventStream.runToBatch(
-      spark, EventStream.tierHourlyStream(spark, sf), "tier_test")
+      spark, EventStream.tierHourlyStream(_, sf), "tier_test")
       .collect()
       .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
     val batch = EventStream.tierHourlyBatch(spark, sf)
@@ -64,7 +64,7 @@ class EventStreamSpec extends AnyFunSuite {
 
   test("stream-stream attribution join equals its batch twin") {
     val streamed = EventStream.runToBatch(
-      spark, EventStream.attributionStream(spark, sf), "attr_test",
+      spark, EventStream.attributionStream(_, sf), "attr_test",
       org.apache.spark.sql.streaming.OutputMode.Append())
       .collect()
       .map(r => (r.getLong(0), r.getTimestamp(3))).toSet

@@ -52,9 +52,7 @@ class TrainingPrepSpec extends AnyFunSuite {
       .filter(col("doc_id") % 3 === 0)
     subsetView.createOrReplaceTempView("documents_subset_q84")
     // re-run the same expression over the shrunk corpus
-    val bucket = pmod(
-      conv(substring(md5(concat(lit("samp:"), col("doc_id").cast("string"))),
-        1, 15), 16, 10).cast("long"), lit(100))
+    val bucket = TrainingPrep.hashBucket(col("doc_id"), "samp:", 100)
     val shrunk = subsetView
       .select(col("doc_id"), col("lang"), bucket.as("samp_bucket"))
       .filter(col("samp_bucket") <
