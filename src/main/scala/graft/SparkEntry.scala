@@ -62,6 +62,7 @@ object SparkEntry {
     "q87_rolling_window" -> (Relational.rollingWindow _),
     "q88_table_diff" -> (Relational.tableDiff _),
     "q90_subqueries" -> (Relational.correlatedSubqueries _),
+    "q92_array_funcs" -> (Relational.arrayFuncs _),
     "q33_sessionize" -> ((s: SparkSession, d: String) => Relational.sessionize(s, d)),
     "q34_intersect" -> (Relational.intersectScans _),
     "q35_except" -> (Relational.exceptScans _),
@@ -446,6 +447,22 @@ object SparkEntry {
                         AND o.o_totalprice > 400000.0)
           AND c_custkey NOT IN (SELECT o_custkey FROM orders
                                 WHERE o_totalprice > 480000.0)""",
+    // q92: collection-function breadth — list_transform/filter/sum
+    // replay transform/filter/aggregate; the sequential fold keeps
+    // the l1 double sum bit-identical; top-k via sort + index.
+    "q92_array_funcs" ->
+      """WITH u AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+         SELECT vec_id,
+           CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_pos,
+           len(list_filter(v, x -> x > 0.2)) > 0 AS has_big,
+           list_sum(list_transform(v, x -> abs(x))) AS l1,
+           list_sort(v, 'DESC')[1] AS top1,
+           list_sort(v, 'DESC')[2] AS top2,
+           list_sort(v, 'DESC')[3] AS top3
+         FROM u""",
     "q33_sessionize" ->
       """WITH flagged AS (
            SELECT user_id, event_id, ts, value,

@@ -666,6 +666,31 @@ object Relational {
     * DuckDB's `dayofweek` is 0=Sunday..6 — the oracle adds 1, making
     * the divergence explicit instead of avoided.
     */
+  /** Array / higher-order function breadth (q92, the q36/q79 pattern
+    * for the collection-function family): transform, filter, exists,
+    * aggregate (sequential fold — same left-to-right order both
+    * engines, so double sums are bit-identical), sort + slice. All
+    * per-row expressions over the embedding arrays: zero shuffle,
+    * fully codegen-compatible, the building blocks the vector ops
+    * (Vectors.l2normalize, cosine) are composed from — pinned here as
+    * user-facing surface. Floats widen to double exactly, and top-k
+    * components are emitted as scalars (array columns would hinge the
+    * compare on list-ordering semantics instead of values).
+    */
+  def arrayFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = col("embedding").cast("array<double>")
+    Tables.load(spark, sfDir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(filter(u, x => x > 0)).as("n_pos"),
+        exists(u, x => x > lit(0.2)).as("has_big"),
+        aggregate(transform(u, x => abs(x)), lit(0.0), (acc, x) => acc + x)
+          .as("l1"),
+        element_at(sort_array(u, asc = false), 1).as("top1"),
+        element_at(sort_array(u, asc = false), 2).as("top2"),
+        element_at(sort_array(u, asc = false), 3).as("top3"))
+  }
+
   def dateTimeFuncs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "orders")
       .select(

@@ -152,6 +152,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(byChange("changed") == ids.filter(i => i % 7 == 0 && i % 101 != 0))
   }
 
+  test("array HOFs: l1 bounds, ordered top-3, positive-count within dimension") {
+    val rows = Relational.arrayFuncs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val dim = graft.sources.Tables.load(spark, sf, "embeddings")
+      .selectExpr("size(embedding)").head().getInt(0)
+    rows.foreach { r =>
+      val (nPos, l1) = (r.getInt(1), r.getDouble(3))
+      val (t1, t2, t3) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(nPos >= 0 && nPos <= dim)
+      assert(t1 >= t2 && t2 >= t3)
+      assert(l1 >= t1, "l1 of abs values dominates the max component")
+      assert(r.getBoolean(2) == (t1 > 0.2), "has_big must agree with top1")
+    }
+  }
+
   test("correlated subqueries decorrelate to joins and agree with manual computation") {
     val df = Relational.correlatedSubqueries(spark, sf)
     // decorrelation proof: the physical plan is joins, not per-row
