@@ -80,6 +80,72 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming agg resumes from its checkpoint: no loss, no reprocessing") {
+    // the fault-tolerance contract behind every streaming entry: kill
+    // a query mid-stream, restart from the same checkpoint, and the
+    // final result is exact while already-committed microbatches are
+    // NOT re-read. Input = events shattered into 4 files consumed one
+    // per microbatch.
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_spec").toString
+    try {
+      spark.read.parquet(s"$sf/events.parquet")
+        .repartition(4).write.mode("overwrite").parquet(s"$base/in")
+      val totalRows = spark.read.parquet(s"$base/in").count()
+
+      def aggStream() = spark.readStream
+        .schema(EventStream.eventsSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$base/in")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").as("hour"), col("event_type"), col("n_events"))
+
+      // run 1: let at least one microbatch COMMIT, then stop
+      // mid-stream; the 500 ms pacing keeps later batches from racing
+      // past the stop() (progress events fire only AFTER a commit)
+      val q1 = aggStream().writeStream
+        .outputMode("complete").format("memory").queryName("ckpt_run1")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("500 milliseconds"))
+        .start()
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while ((q1.recentProgress.count(_.numInputRows > 0) < 1) &&
+        System.nanoTime() < deadline) Thread.sleep(20)
+      q1.stop(); q1.awaitTermination()
+      val committed = q1.recentProgress.map(_.numInputRows).sum
+      assert(committed > 0, "run 1 must commit at least one microbatch")
+      assert(committed < totalRows, "run 1 must NOT have consumed everything")
+
+      // run 2: same checkpoint, drain the rest
+      val q2 = aggStream().writeStream
+        .outputMode("complete").format("memory").queryName("ckpt_run2")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+      val reprocessed = q2.recentProgress.map(_.numInputRows).sum
+
+      // exactly-once across the restart: run 2 reads only what run 1
+      // had not committed...
+      assert(reprocessed <= totalRows - committed,
+        s"run 2 re-read committed data: $reprocessed > ${totalRows - committed}")
+      // ...and the final aggregate equals the batch truth exactly
+      val streamed = spark.table("ckpt_run2").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = graft.sources.Tables.load(spark, sf, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch)
+      Seq("ckpt_run1", "ckpt_run2").foreach(spark.catalog.dropTempView(_))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("stateful user sessions match batch per-user aggregates (one row per user)") {
     val rows = EventStream.userSessionsBatch(spark, sf).collect()
     // userSessionsBatch dedupes to the final state: exactly one row/user
