@@ -41,6 +41,7 @@ object SparkEntry {
     "q63_orc_lifecycle" -> (ReferenceQueries.orcLifecycle _),
     "q82_sequencefile" -> (ReferenceQueries.sequenceFileLifecycle _),
     "q85_compaction" -> (ReferenceQueries.compactionLifecycle _),
+    "q93_partition_overwrite" -> (ReferenceQueries.partitionOverwriteLifecycle _),
     "q64_partition_pruning" -> (ReferenceQueries.partitionPrunedAgg _),
     "q72_schema_evolution" -> (ReferenceQueries.schemaEvolution _),
     "q73_session_window" -> (Relational.sessionWindowAgg _),
@@ -207,6 +208,15 @@ object SparkEntry {
     "q85_compaction" ->
       """SELECT event_type, COUNT(*) AS n_rows,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1""",
+    // q93: dynamic partition overwrite — the oracle replays the
+    // day-5 correction; a STATIC overwrite (whole-table truncate)
+    // would leave only one day and fail every other group's row.
+    "q93_partition_overwrite" ->
+      """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+         CAST(SUM(CAST(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05'
+                            THEN value * 2 ELSE value END
+                       AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1""",
     // q64 aggregates the 'click' slice of the partitionBy(event_type)
     // layout; the Spark side must get there via partition pruning

@@ -308,6 +308,38 @@ object ReferenceQueries {
       .agg(count(lit(1)).as("n_rows"), moneySum(col("value")).as("sum_value"))
   }
 
+  /** Dynamic partition-overwrite lifecycle (q93): the idempotent
+    * daily-rewrite primitive of every partitioned 100 TB pipeline —
+    * land corrected data for ONE day by overwriting exactly that
+    * day's partition directory, leaving every other day's files
+    * untouched. `partitionOverwriteMode=dynamic` replaces only the
+    * partitions present in the incoming frame; the default STATIC
+    * overwrite would truncate the whole table first (here that would
+    * leave one day of data — the oracle would fail loudly, so the
+    * mode's semantics are what this entry pins). Read back and
+    * aggregated per day; the oracle replays the day-5 correction
+    * (value doubled — ×2 is exact IEEE) over the parquet table.
+    */
+  def partitionOverwriteLifecycle(spark: SparkSession, sfDir: String): DataFrame =
+      Scratch.withScratch(spark, "q93_dynover", sfDir) { dir =>
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        to_date(col("ts")).as("day"))
+    ev.write.partitionBy("day").mode("overwrite").parquet(dir)
+    ev.filter(col("day") === lit("2024-01-05").cast("date"))
+      .withColumn("value", col("value") * 2)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(dir)
+    // explicit schema: a zero-row source writes no part files, and a
+    // layout read-back must not depend on inference finding any
+    spark.read
+      .schema("event_id BIGINT, event_type STRING, value DOUBLE, day DATE")
+      .parquet(dir)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
+  }
+
   /** Partition-pruned read lifecycle (q64): events written
     * `partitionBy(event_type)` (the standard 100 TB table layout —
     * one directory per key), read back filtered to ONE type. The

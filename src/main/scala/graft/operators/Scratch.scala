@@ -12,22 +12,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Scratch {
 
+  private val invocation = new java.util.concurrent.atomic.AtomicLong
+
   def dir(spark: SparkSession, tag: String, sfDir: String): String =
     System.getProperty("java.io.tmpdir", "/tmp") +
       s"/graft_${tag}_${spark.sparkContext.applicationId}/" +
       new java.io.File(sfDir).getName
 
   /** Run `body` against a fresh scratch dir, eagerly materialize the
-    * (small) result it returns, then delete the WHOLE per-application
-    * parent (graft_<tag>_<appId>/ is exclusively this session's —
-    * removing only the per-fixture leaf would leave empty parents
-    * accumulating in the temp dir).
+    * (small) result it returns, then delete the scratch. The leaf is
+    * unique PER INVOCATION (counter suffix) and only the leaf is
+    * removed — deleting the shared per-tag parent would destroy the
+    * in-flight files of a CONCURRENT invocation of the same operator
+    * on a different fixture dir (parallel test suites do exactly
+    * this). The parent is swept with a non-recursive delete that
+    * only succeeds once the last leaf is gone.
     */
   def withScratch(spark: SparkSession, tag: String, sfDir: String)(
       body: String => DataFrame): DataFrame = {
-    val path = dir(spark, tag, sfDir)
+    val path = dir(spark, tag, sfDir) + s"_${invocation.incrementAndGet()}"
     try body(path).localCheckpoint(true)
-    finally delete(spark, new java.io.File(path).getParent)
+    finally {
+      delete(spark, path)
+      val parent = new org.apache.hadoop.fs.Path(
+        new java.io.File(path).getParent)
+      // empty-parent sweep: fails (harmlessly) while siblings exist
+      try parent.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(parent, false)
+      catch { case _: java.io.IOException => () }
+    }
   }
 
   def delete(spark: SparkSession, path: String): Unit = {

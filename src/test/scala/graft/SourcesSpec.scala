@@ -86,6 +86,40 @@ class SourcesSpec extends AnyFunSuite {
     assert(viaSeq == viaParquet) // bad records dropped; snappy half decoded
   }
 
+  test("dynamic partition overwrite rewrites only the targeted day's files") {
+    import org.apache.spark.sql.functions.{col, lit, to_date}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_dynover_spec").toString + "/t"
+    try {
+      val ev = Tables.load(spark, SparkTestSession.sf, "events")
+        .select(col("event_id"), col("value"), to_date(col("ts")).as("day"))
+      ev.write.partitionBy("day").mode("overwrite").parquet(base)
+      def listing(): Map[String, Set[String]] =
+        new java.io.File(base).listFiles.filter(_.isDirectory).map { d =>
+          d.getName -> d.listFiles.map(f => s"${f.getName}:${f.length}").toSet
+        }.toMap
+      val before = listing()
+      assert(before.size > 1, "fixture must span multiple days")
+
+      ev.filter(col("day") === lit("2024-01-05").cast("date"))
+        .withColumn("value", col("value") * 2)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day").parquet(base)
+      val after = listing()
+
+      // untouched partitions keep their exact files; the target is new
+      assert(after.keySet == before.keySet, "no partition may disappear")
+      (before.keySet - "day=2024-01-05").foreach { d =>
+        assert(after(d) == before(d), s"partition $d must be untouched")
+      }
+      assert(after("day=2024-01-05") != before("day=2024-01-05"),
+        "target partition must be rewritten")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(base).getParentFile)
+  }
+
   test("maxPartitionBytes budgets scan task count (O10 size-budgeted partitioning)") {
     // the Spark twin of the reference's memory-budget batch sizing:
     // shrinking the per-task byte budget must yield more scan
