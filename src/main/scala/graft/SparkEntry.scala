@@ -64,6 +64,7 @@ object SparkEntry {
     "q88_table_diff" -> (Relational.tableDiff _),
     "q90_subqueries" -> (Relational.correlatedSubqueries _),
     "q92_array_funcs" -> (Relational.arrayFuncs _),
+    "q94_regex_funcs" -> (Relational.regexFuncs _),
     "q33_sessionize" -> ((s: SparkSession, d: String) => Relational.sessionize(s, d)),
     "q34_intersect" -> (Relational.intersectScans _),
     "q35_except" -> (Relational.exceptScans _),
@@ -457,6 +458,18 @@ object SparkEntry {
                         AND o.o_totalprice > 400000.0)
           AND c_custkey NOT IN (SELECT o_custkey FROM orders
                                 WHERE o_totalprice > 480000.0)""",
+    // q94: regex breadth — dialect pins: DuckDB regexp_replace needs
+    // 'g' to match Spark's replace-all default; Spark split needs
+    // limit -1 to keep trailing empties like regexp_split_to_array.
+    "q94_regex_funcs" ->
+      """SELECT c_custkey,
+         regexp_extract(c_name, '([0-9]+)', 1) AS num_str,
+         CAST(len(regexp_extract_all(c_name, '0')) AS BIGINT) AS n_zeros,
+         regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+         regexp_matches(c_name, '00[0-9]{7}$') AS well_formed,
+         CAST(len(regexp_split_to_array(c_mktsegment, '[AEIOU]')) AS INTEGER)
+           AS n_vowel_parts
+         FROM customer""",
     // q92: collection-function breadth — list_transform/filter/sum
     // replay transform/filter/aggregate; the sequential fold keeps
     // the l1 double sum bit-identical; top-k via sort + index.

@@ -666,6 +666,28 @@ object Relational {
     * DuckDB's `dayofweek` is 0=Sunday..6 — the oracle adds 1, making
     * the divergence explicit instead of avoided.
     */
+  /** Regex-function breadth (q94, the q36/q79 pattern for the regex
+    * family): capture-group extraction, match counting, replace-all,
+    * boolean match, and regex split — per-row, codegen'd, zero
+    * shuffle. Dialect pins this entry enforces: Spark
+    * `regexp_replace` replaces ALL matches by default where DuckDB
+    * needs the 'g' flag (the q75 lesson); Spark `split` DROPS
+    * trailing empty fields unless given limit = -1, DuckDB's
+    * `regexp_split_to_array` keeps them — the explicit -1 makes the
+    * two agree. Patterns stay in the RE2-safe subset (no
+    * backreferences, no lookaround) so every engine compiles them
+    * identically.
+    */
+  def regexFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "customer")
+      .select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("num_str"),
+        regexp_count(col("c_name"), lit("0")).cast("long").as("n_zeros"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+        col("c_name").rlike("00[0-9]{7}$").as("well_formed"),
+        size(split(col("c_mktsegment"), "[AEIOU]", -1)).as("n_vowel_parts"))
+
   /** Array / higher-order function breadth (q92, the q36/q79 pattern
     * for the collection-function family): transform, filter, exists,
     * aggregate (sequential fold — same left-to-right order both

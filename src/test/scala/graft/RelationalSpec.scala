@@ -152,6 +152,18 @@ class RelationalSpec extends AnyFunSuite {
     assert(byChange("changed") == ids.filter(i => i % 7 == 0 && i % 101 != 0))
   }
 
+  test("regex funcs: digits fully masked, extraction round-trips the key") {
+    val rows = Relational.regexFuncs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.getString(3).exists(_.isDigit), "masked must contain no digits")
+      // the captured number IS the customer key (fixture name format)
+      assert(r.getString(1).toLong == r.getLong(0))
+      assert(r.getBoolean(4), "fixture names are zero-padded 9-digit keys")
+      assert(r.getInt(5) >= 1) // split always yields at least one field
+    }
+  }
+
   test("array HOFs: l1 bounds, ordered top-3, positive-count within dimension") {
     val rows = Relational.arrayFuncs(spark, sf).collect()
     assert(rows.nonEmpty)
