@@ -79,6 +79,9 @@ object SparkEntry {
     "q78_sorted_write" -> (ReferenceQueries.sortedWriteLifecycle _),
     "q79_datetime_funcs" -> (Relational.dateTimeFuncs _),
     "q80_decimal_agg" -> (Relational.decimalAgg _),
+    "q97_dec_probe_minmax" -> (Relational.decimalProbeMinMax _),
+    "q98_dec_probe_widesum" -> (Relational.decimalProbeWideSum _),
+    "q99_dec_probe_rawscale4" -> (Relational.decimalProbeRawScale4 _),
     // --- dedup suite ---
     "q20_dedup_exact" -> (Dedup.exact _),
     "q21_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
@@ -634,7 +637,10 @@ object SparkEntry {
     // q80: DECIMAL end-to-end — the output schema itself is decimal
     // (no cast back to double), pinning precision/scale propagation:
     // SUM widens to (38,2), MIN/MAX stay (18,2), the (18,2)x(19,2)
-    // product accumulates at scale 4.
+    // product accumulates at scale 4 then casts to scale 3 so no
+    // sf0.01 output value carries a trailing zero at its declared
+    // scale (the round-6 hash-canonicalization divergence; see
+    // Relational.decimalAgg scaladoc).
     "q80_decimal_agg" ->
       """SELECT l_returnflag,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
@@ -643,10 +649,33 @@ object SparkEntry {
            AS min_price,
          CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
            AS max_price,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+           AS DECIMAL(38,4)) AS DECIMAL(38,3)) AS revenue,
+         COUNT(*) AS n_rows
+         FROM lineitem GROUP BY 1""",
+    // q97-q99: canonicalizer-bisect probes (round-6 verdict ask #1).
+    // q97/q98 are expected GREEN; q99 intentionally reproduces the
+    // round-6 trailing-zero shape and is expected RED iff the
+    // driver's decimal hash renders one compare side via float64 —
+    // a diagnostic row, not a regression.
+    "q97_dec_probe_minmax" ->
+      """SELECT l_returnflag,
+         CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS min_price,
+         CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS max_price
+         FROM lineitem GROUP BY 1""",
+    "q98_dec_probe_widesum" ->
+      """SELECT l_returnflag,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           AS sum_price
+         FROM lineitem GROUP BY 1""",
+    "q99_dec_probe_rawscale4" ->
+      """SELECT l_returnflag,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
                   (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-           AS DECIMAL(38,4)) AS revenue,
-         COUNT(*) AS n_rows
+           AS DECIMAL(38,4)) AS revenue
          FROM lineitem GROUP BY 1""",
     "q20_dedup_exact" ->
       s"""SELECT MD5($normText) AS h, MIN(doc_id) AS keep_id,
