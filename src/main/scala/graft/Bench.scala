@@ -58,6 +58,22 @@ object Bench {
     rounds.flatMap(_.toSeq).filter(_._2 > 0)
       .groupMapReduce(_._1)(_._2)(math.min)
 
+  /** CONFIRM PASS (round-7): a trip flagged during the full sweep may
+    * be measurement contention, not a plan change — BENCH_r06
+    * published 20 phantom regressions because the sweep ran
+    * concurrently with the correctness gate; a quiet rerun put all 20
+    * inside noise. So each flagged query is re-measured (fresh
+    * `runs`-median) AFTER the sweep completes, and only trips that
+    * reproduce on the re-measured median are published as
+    * regressions; the raw sweep flags are kept under "suspect" keys
+    * so no information is dropped.
+    */
+  def confirmRegressions(
+      baseline: Map[String, Double],
+      flagged: Seq[String],
+      remeasure: String => Double): Seq[(String, Double)] =
+    regressions(baseline, flagged.map(n => n -> remeasure(n)))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -100,11 +116,18 @@ object Bench {
     def fmt(rs: Seq[(String, Double)]) = rs
       .map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
       .mkString("{", ",", "}")
-    val regr = fmt(regressions(prev, results))
-    val regrBest = fmt(regressions(bestEver(allRounds), results))
+    val best = bestEver(allRounds)
+    val sweepRegr = regressions(prev, results)
+    val sweepBest = regressions(best, results)
+    // re-measure each flagged query once, quiet (the sweep is over),
+    // and share the re-measurement across both gates
+    val flagged = (sweepRegr.map(_._1) ++ sweepBest.map(_._1)).distinct
+    val remeasured = flagged.map(n => n -> runMedian(n)).toMap
+    val regr = fmt(confirmRegressions(prev, flagged, remeasured))
+    val regrBest = fmt(confirmRegressions(best, flagged, remeasured))
     val prevName = benchFiles.lastOption.map(_.getName).getOrElse("none")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"prev":"$prevName","regressions":$regr,"regressions_vs_best":$regrBest,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"prev":"$prevName","regressions":$regr,"regressions_vs_best":$regrBest,"suspect":${fmt(sweepRegr)},"suspect_vs_best":${fmt(sweepBest)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

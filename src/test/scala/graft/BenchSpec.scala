@@ -52,6 +52,25 @@ class BenchSpec extends AnyFunSuite {
       Map("q21_ngram_jaccard" -> 6.4))
   }
 
+  test("confirm pass drops contention phantoms, keeps real trips") {
+    val baseline = Map("phantom" -> 1.0, "real" -> 1.0, "broken" -> 1.0)
+    // sweep flagged all three; on quiet re-measurement the phantom is
+    // back inside noise, the real trip reproduces (published with its
+    // RE-MEASURED ratio, not the sweep's), and a query that fails on
+    // re-measure (-1) cannot be published as a confirmed regression
+    val remeasured = Map("phantom" -> 1.1, "real" -> 2.0, "broken" -> -1.0)
+    val confirmed = Bench.confirmRegressions(
+      baseline, Seq("phantom", "real", "broken"), remeasured).toMap
+    assert(confirmed.keySet == Set("real"))
+    assert(math.abs(confirmed("real") - 2.0) < 1e-9)
+  }
+
+  test("suspect maps in the gate's own output never poison the baseline") {
+    val selfOutput =
+      """{"metric":"total","value":50.0,"unit":"sec","queries":{"q23_simhash":0.500},"prev":"BENCH_r06.json","regressions":{},"regressions_vs_best":{},"suspect":{"q23_simhash":5.01},"suspect_vs_best":{"q23_simhash":7.88},"sf":"x"}"""
+    assert(Bench.parsePrevMedians(selfOutput) == Map("q23_simhash" -> 0.5))
+  }
+
   test("regression gate flags >1.5x AND >0.1s absolute only") {
     val prev = Map("slow" -> 1.0, "tiny" -> 0.05, "mild" -> 2.0,
       "faster" -> 1.0, "failed" -> 3.0)
