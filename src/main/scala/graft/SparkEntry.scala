@@ -65,6 +65,7 @@ object SparkEntry {
     "q90_subqueries" -> (Relational.correlatedSubqueries _),
     "q92_array_funcs" -> (Relational.arrayFuncs _),
     "q94_regex_funcs" -> (Relational.regexFuncs _),
+    "q95_map_struct" -> (Relational.mapStructFuncs _),
     "q33_sessionize" -> ((s: SparkSession, d: String) => Relational.sessionize(s, d)),
     "q34_intersect" -> (Relational.intersectScans _),
     "q35_except" -> (Relational.exceptScans _),
@@ -473,6 +474,27 @@ object SparkEntry {
          CAST(len(regexp_split_to_array(c_mktsegment, '[AEIOU]')) AS INTEGER)
            AS n_vowel_parts
          FROM customer""",
+    // q95: MAP/STRUCT breadth — the Spark side round-trips a nested
+    // parquet (struct + map) and flattens; the oracle derives the
+    // same flat values straight from orders: map key order is pinned
+    // to map() insertion order ('status','prio'), explode-of-map
+    // becomes a two-branch UNION ALL (one per entry), size-of-map is
+    // the constant 2 (INTEGER, matching Spark's int size()).
+    "q95_map_struct" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_totalprice AS price,
+                  o_orderpriority AS prio, o_orderstatus AS status_val,
+                  'status,prio' AS keys_csv,
+                  o_orderstatus || '|' || o_orderpriority AS vals_csv,
+                  CAST(2 AS INTEGER) AS n_tags
+           FROM orders)
+         SELECT o_orderkey, price, prio, status_val, keys_csv, vals_csv,
+                n_tags, 'status' AS tag_key, status_val AS tag_val
+         FROM base
+         UNION ALL
+         SELECT o_orderkey, price, prio, status_val, keys_csv, vals_csv,
+                n_tags, 'prio' AS tag_key, prio AS tag_val
+         FROM base""",
     // q92: collection-function breadth — list_transform/filter/sum
     // replay transform/filter/aggregate; the sequential fold keeps
     // the l1 double sum bit-identical; top-k via sort + index.

@@ -291,6 +291,32 @@ class RelationalSpec extends AnyFunSuite {
     assert(sessions.head.getTimestamp(0).toString.startsWith("2024-01-01 01:00"))
   }
 
+  test("q95 nested parquet: schema pruning reduces the scan to the selected leaf") {
+    // At 100 TB, selecting one struct leaf must not read the sibling
+    // leaves — this pins spark.sql.optimizer.nestedSchemaPruning on
+    // the exact layout the q95 lifecycle writes.
+    val dir = java.nio.file.Files.createTempDirectory("graft_q95_spec").toString
+    try {
+      Relational.nestedOrders(spark, sf).write.mode("overwrite").parquet(dir)
+      val back = spark.read.parquet(dir)
+      val plan = back.select(col("info.meta.prio"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains(
+        "ReadSchema: struct<info:struct<meta:struct<prio:string>>>"),
+        s"nested schema not pruned to the single leaf:\n$plan")
+      assert(!plan.contains("price") && !plan.contains("tags"),
+        s"pruned scan still mentions sibling columns:\n$plan")
+      // and the map column prunes away the struct entirely
+      val mapOnly = back.select(map_keys(col("tags")))
+        .queryExecution.executedPlan.toString
+      assert(mapOnly.contains("ReadSchema: struct<tags:map<string,string>>"),
+        s"map-only select should scan only tags:\n$mapOnly")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("union keeps duplicates (UNION ALL semantics)") {
     val o = graft.sources.Tables.load(spark, sf, "orders")
     val both = o.filter(col("o_orderstatus") === "F")
