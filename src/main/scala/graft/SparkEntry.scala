@@ -1190,29 +1190,42 @@ object SparkEntry {
     "q43_fingerprint" ->
       s"""SELECT doc_id, MD5($normText) AS fp,
          substr(MD5($normText), 1, 8) AS fp_short FROM documents""",
+    // q50-q52: the Spark side synthesizes REAL container bytes
+    // (BMP / RIFF-WAVE / RIFF-AVI) around the text body and PARSES the
+    // header fields back out; the oracle predicts those fields from
+    // the synthesis formulas over (doc_id, octet_length(encode(text))) — so a
+    // wrong offset, endianness, or chunk size on either the write or
+    // the parse side breaks the hash. WAV "frames" are PCM sample
+    // frames: data bytes // block align, with block align 2*channels.
     "q50_multimodal_meta" ->
       """SELECT doc_id AS media_id,
-         CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
-           ELSE 'video/mp4' END AS media_type,
-         CAST(strlen(text) AS BIGINT) AS n_bytes,
-         CAST(16 + strlen(text) % 64 AS INTEGER) AS width,
-         CAST(16 + strlen(text) % 48 AS INTEGER) AS height,
-         CAST(1 + strlen(text) % 24 AS INTEGER) AS n_frames
+         CASE doc_id % 3 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+           ELSE 'video/avi' END AS media_type,
+         CAST(octet_length(encode(text)) + CASE doc_id % 3 WHEN 0 THEN 54
+           WHEN 1 THEN 44 ELSE 88 END AS BIGINT) AS n_bytes,
+         CAST(CASE doc_id % 3 WHEN 0 THEN 16 + octet_length(encode(text)) % 64
+           WHEN 1 THEN 0 ELSE 320 + 8 * (doc_id % 16) END AS INTEGER) AS width,
+         CAST(CASE doc_id % 3 WHEN 0 THEN 16 + octet_length(encode(text)) % 48
+           WHEN 1 THEN 0 ELSE 240 + 8 * (doc_id % 8) END AS INTEGER) AS height,
+         CAST(CASE doc_id % 3 WHEN 0 THEN 1
+           WHEN 1 THEN octet_length(encode(text)) // (2 * (1 + doc_id % 2))
+           ELSE 1 + octet_length(encode(text)) % 24 END AS INTEGER) AS n_frames
          FROM documents""",
     "q51_frame_sample" ->
       """WITH m AS (SELECT doc_id AS media_id,
-           CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
-             ELSE 'video/mp4' END AS media_type,
-           CAST(1 + strlen(text) % 24 AS INTEGER) AS n_frames
+           CASE doc_id % 3 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+             ELSE 'video/avi' END AS media_type,
+           CAST(1 + octet_length(encode(text)) % 24 AS INTEGER) AS n_frames
          FROM documents)
          SELECT media_id, n_frames, CAST(f AS INTEGER) AS frame_idx
          FROM m, LATERAL (SELECT UNNEST(range(0, n_frames, 8)) AS f) t
-         WHERE media_type = 'video/mp4'""",
-    // md5(payload) == md5(text): the payload IS the UTF-8 text bytes
+         WHERE media_type = 'video/avi'""",
+    // md5(container body) == md5(text): the body behind the header IS
+    // the UTF-8 text bytes, and q52 strips the header before hashing
     "q52_media_features" ->
       """SELECT doc_id AS media_id,
-         CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
-           ELSE 'video/mp4' END AS media_type,
+         CASE doc_id % 3 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+           ELSE 'video/avi' END AS media_type,
          ('0x' || substr(md5(text), 1, 8))::BIGINT / 4294967296.0 AS f0,
          ('0x' || substr(md5(text), 9, 8))::BIGINT / 4294967296.0 AS f1,
          ('0x' || substr(md5(text), 17, 8))::BIGINT / 4294967296.0 AS f2,

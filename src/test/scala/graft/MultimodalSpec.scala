@@ -7,18 +7,57 @@ class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   def sf: String = SparkTestSession.sf
 
-  test("media table carries binary payloads with typed metadata") {
-    val m = Multimodal.mediaTable(spark, sf).collect()
-    assert(m.nonEmpty)
-    assert(m.forall(_.payload.length > 0))
-    assert(m.map(_.media_type).toSet ==
-      Set("image/png", "audio/wav", "video/mp4"))
+  test("container round-trip: synthesized headers parse back to their fields") {
+    val body = "the quick brown fox".getBytes("UTF-8")
+    val bmp = Multimodal.parseFeatures(1, "image/bmp",
+      Multimodal.bmpPayload(width = 640, height = 480, body))
+    assert((bmp.width, bmp.height, bmp.n_frames) == (640, 480, 1))
+    assert(bmp.n_bytes == Multimodal.BmpHeaderLen + body.length)
+
+    // 2 channels * 16-bit -> block align 4 -> 19 bytes = 4 full frames
+    val wav = Multimodal.parseFeatures(2, "audio/wav",
+      Multimodal.wavPayload(channels = 2, sampleRate = 8500, body))
+    assert((wav.width, wav.height, wav.n_frames) == (0, 0, body.length / 4))
+    assert(wav.n_bytes == Multimodal.WavHeaderLen + body.length)
+
+    val avi = Multimodal.parseFeatures(3, "video/avi",
+      Multimodal.aviPayload(width = 328, height = 248, totalFrames = 17, body))
+    assert((avi.width, avi.height, avi.n_frames) == (328, 248, 17))
+    assert(avi.n_bytes == Multimodal.AviHeaderLen + body.length)
   }
 
-  test("decode stub is deterministic and derives features from bytes") {
-    val a = Multimodal.decodeStub(Multimodal.mediaTable(spark, sf))
+  test("decoder identifies the container from magic, not the type hint") {
+    val body = Array.fill[Byte](64)(7)
+    // a WAV payload labeled as video still parses as WAV
+    val f = Multimodal.parseFeatures(9, "video/avi",
+      Multimodal.wavPayload(channels = 1, sampleRate = 8000, body))
+    assert((f.width, f.height, f.n_frames) == (0, 0, 32))
+    // garbage bytes fail loudly instead of producing fake features
+    val junk = Array.fill[Byte](200)(0x42)
+    val e = intercept[IllegalArgumentException](
+      Multimodal.parseFeatures(10, "image/bmp", junk))
+    assert(e.getMessage.contains("unrecognized container"))
+  }
+
+  test("media table carries valid container payloads with typed metadata") {
+    val m = Multimodal.mediaTable(spark, sf).collect()
+    assert(m.nonEmpty)
+    assert(m.map(_.media_type).toSet ==
+      Set("image/bmp", "audio/wav", "video/avi"))
+    // every payload begins with its container's magic
+    m.foreach { r =>
+      val head = new String(r.payload.take(4), "US-ASCII")
+      r.media_type match {
+        case "image/bmp" => assert(head.startsWith("BM"))
+        case _           => assert(head == "RIFF")
+      }
+    }
+  }
+
+  test("decode is deterministic and derives features from container bytes") {
+    val a = Multimodal.decode(Multimodal.mediaTable(spark, sf))
       .collect().map(f => f.media_id -> f.checksum).toMap
-    val b = Multimodal.decodeStub(Multimodal.mediaTable(spark, sf))
+    val b = Multimodal.decode(Multimodal.mediaTable(spark, sf))
       .collect().map(f => f.media_id -> f.checksum).toMap
     assert(a == b)
     assert(a.values.toSet.size > 1, "checksums differ across payloads")
@@ -26,7 +65,7 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("feature extraction preserves row count (one features row per media)") {
     val n = Multimodal.mediaTable(spark, sf).count()
-    assert(Multimodal.decodeStub(Multimodal.mediaTable(spark, sf)).count() == n)
+    assert(Multimodal.decode(Multimodal.mediaTable(spark, sf)).count() == n)
   }
 
   test("media feature vectors are deterministic, in [0,1), one row per media") {
