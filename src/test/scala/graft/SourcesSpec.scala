@@ -151,6 +151,58 @@ class SourcesSpec extends AnyFunSuite {
         new java.io.File(dir).getParentFile)
   }
 
+  test("row-group stats pruning: sorted layout lets the scan skip groups a scattered layout cannot") {
+    // The other half of "unpruned scan at 100 TB" beyond q64's
+    // directory pruning: parquet row-group min/max stats. Same data,
+    // same selective predicate, two layouts — sorted by the predicate
+    // column (disjoint per-group ranges -> most groups skipped) vs
+    // scattered (every group's min/max spans the range -> nothing
+    // skippable). The scan's numOutputRows counts rows the reader
+    // DELIVERED after row-group/page skipping, so the contrast is the
+    // pruning evidence, independent of the Filter node above it.
+    import org.apache.spark.sql.functions._
+    val base = Tables.load(spark, SparkTestSession.sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val total = base.count()
+    // top ~3% by price — selective at any fixture scale
+    val cut = base.select(expr("percentile(o_totalprice, 0.97)")).head.getDouble(0)
+    val expected = base.filter(col("o_totalprice") > cut).count()
+    assert(expected > 0 && expected < total / 10,
+      s"fixture drift: predicate keeps $expected of $total")
+
+    def deliveredRows(dir: String): (Long, Long) = {
+      val df = spark.read.parquet(dir).filter(col("o_totalprice") > cut)
+      val matched = df.collect().length.toLong
+      val scan = df.queryExecution.executedPlan.collectLeaves().head
+      (matched, scan.metrics("numOutputRows").value)
+    }
+
+    val root = Files.createTempDirectory("graft-rowgroup").toString
+    try {
+      // many small row groups per file so there is something to skip
+      val tinyGroups = Map(
+        "parquet.block.size" -> "16384", "parquet.page.size" -> "4096")
+      base.repartitionByRange(2, col("o_totalprice"))
+        .sortWithinPartitions("o_totalprice")
+        .write.options(tinyGroups).parquet(s"$root/sorted")
+      base.repartition(2) // hash scatter: every group spans the range
+        .write.options(tinyGroups).parquet(s"$root/scattered")
+
+      val (sortedMatch, sortedDelivered) = deliveredRows(s"$root/sorted")
+      val (scatterMatch, scatterDelivered) = deliveredRows(s"$root/scattered")
+      assert(sortedMatch == expected && scatterMatch == expected,
+        "both layouts must return identical results")
+      assert(scatterDelivered > total / 2,
+        s"scattered layout should deliver most of $total rows, got $scatterDelivered")
+      assert(sortedDelivered < scatterDelivered / 4,
+        s"sorted layout should skip most row groups: delivered " +
+          s"$sortedDelivered vs scattered $scatterDelivered")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(root)).deleteRecursively()
+    }
+  }
+
   test("events.ts converts to a real timestamp (nanos parquet)") {
     val df = Tables.load(spark, SparkTestSession.sf, "events")
     assert(df.schema("ts").dataType ==
