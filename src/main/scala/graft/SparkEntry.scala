@@ -66,6 +66,7 @@ object SparkEntry {
     "q92_array_funcs" -> (Relational.arrayFuncs _),
     "q94_regex_funcs" -> (Relational.regexFuncs _),
     "q95_map_struct" -> (Relational.mapStructFuncs _),
+    "q96_unicode_strings" -> (Relational.unicodeStringFuncs _),
     "q33_sessionize" -> ((s: SparkSession, d: String) => Relational.sessionize(s, d)),
     "q34_intersect" -> (Relational.intersectScans _),
     "q35_except" -> (Relational.exceptScans _),
@@ -494,6 +495,26 @@ object SparkEntry {
          UNION ALL
          SELECT o_orderkey, price, prio, status_val, keys_csv, vals_csv,
                 n_tags, 'prio' AS tag_key, prio AS tag_val
+         FROM base""",
+    // q96: unicode semantics — dialect pins: DuckDB length() counts
+    // codepoints like Spark's length (bytes need octet_length over
+    // encode()); strpos is codepoint-based like instr; regexp_replace
+    // needs 'g' for Spark's replace-all default. BMP-only chars keep
+    // both engines inside the agreed codepoint envelope.
+    "q96_unicode_strings" ->
+      """WITH base AS (SELECT c_custkey,
+           replace(replace(replace(c_name, 'Customer#', 'Kûñdé№'),
+             '0', 'Ø'), '1', 'ü') AS u
+         FROM customer)
+         SELECT c_custkey, u AS name_u,
+           CAST(length(u) AS INTEGER) AS n_chars,
+           CAST(octet_length(encode(u)) AS INTEGER) AS n_bytes,
+           lower(u) AS lower_u,
+           upper(u) AS upper_u,
+           substring(u, 3, 8) AS sub_u,
+           reverse(u) AS rev_u,
+           CAST(strpos(u, 'Ø') AS INTEGER) AS pos_oslash,
+           regexp_replace(u, '[Øü]', '*', 'g') AS masked
          FROM base""",
     // q92: collection-function breadth — list_transform/filter/sum
     // replay transform/filter/aggregate; the sequential fold keeps

@@ -699,6 +699,35 @@ object Relational {
     * components are emitted as scalars (array columns would hinge the
     * compare on list-ordering semantics instead of values).
     */
+  /** q96: Unicode string semantics pinned on non-ASCII text (round-6
+    * verdict ask #7) — the classic cross-engine divergence axis the
+    * ASCII-only q36/q94 never exercised. Accented/multi-byte chars are
+    * injected deterministically from `c_name` via chained replace
+    * (portable: replaces ALL occurrences in both engines), then the
+    * portable subset runs over them: `length` (codepoints, not bytes —
+    * pinned against `octet_length` UTF-8 bytes in the same row),
+    * case-mapping `lower`/`upper` on accented Latin, codepoint-based
+    * `substring`/`reverse`/`instr`, and a regex class containing
+    * multi-byte chars. All chars are BMP (no surrogate pairs), which
+    * is the documented portable envelope: Spark's UTF8String and
+    * DuckDB's utf8proc agree on codepoint arithmetic there.
+    */
+  def unicodeStringFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = expr(
+      "replace(replace(replace(c_name, 'Customer#', 'Kûñdé№'), '0', 'Ø'), '1', 'ü')")
+    Tables.load(spark, sfDir, "customer").select(
+      col("c_custkey"),
+      u.as("name_u"),
+      length(u).as("n_chars"),
+      octet_length(u).as("n_bytes"),
+      lower(u).as("lower_u"),
+      upper(u).as("upper_u"),
+      substring(u, 3, 8).as("sub_u"),
+      reverse(u).as("rev_u"),
+      instr(u, "Ø").as("pos_oslash"),
+      regexp_replace(u, "[Øü]", "*").as("masked"))
+  }
+
   /** Nested (struct + map) projection of `orders` — the write side of
     * the q95 lifecycle and the fixture for its pruning spec. `info`
     * nests two levels (info.meta.prio) so schema pruning has a

@@ -13,6 +13,10 @@ import org.apache.spark.sql.functions._
 object ScalingProbe {
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)
+    // optional arg 2: comma-separated operator filter, so an expensive
+    // high-K run can target just the operators under adjudication
+    val only: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(",").toSet) else None
     val src = "/root/testdata/sf0.1"
     val big = "/tmp/graft-scale-probe"
     val spark = graft.GraftSession.local(cores = 32, appName = "graft-scale")
@@ -93,7 +97,7 @@ object ScalingProbe {
       "q87_rolling_window" -> (d => graft.operators.Relational.rollingWindow(spark, d)),
       "q88_table_diff" -> (d => graft.operators.Relational.tableDiff(spark, d)),
       "q89_topk_agg" -> (d => graft.operators.MapReduceSurface.topKPerGroup(spark, d)))
-    val ratios = pairs.map { case (name, q) =>
+    val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))
       val r = tk / t1
