@@ -83,7 +83,7 @@ object SparkEntry {
     "q80_decimal_agg" -> (Relational.decimalAgg _),
     "q97_dec_probe_minmax" -> (Relational.decimalProbeMinMax _),
     "q98_dec_probe_widesum" -> (Relational.decimalProbeWideSum _),
-    "q99_dec_probe_rawscale4" -> (Relational.decimalProbeRawScale4 _),
+    "q99_dec_scale4_exact" -> (Relational.decimalProbeScale4Exact _),
     // --- dedup suite ---
     "q20_dedup_exact" -> (Dedup.exact _),
     "q21_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
@@ -697,11 +697,13 @@ object SparkEntry {
            AS DECIMAL(38,4)) AS DECIMAL(38,3)) AS revenue,
          COUNT(*) AS n_rows
          FROM lineitem GROUP BY 1""",
-    // q97-q99: canonicalizer-bisect probes (round-6 verdict ask #1).
-    // q97/q98 are expected GREEN; q99 intentionally reproduces the
-    // round-6 trailing-zero shape and is expected RED iff the
-    // driver's decimal hash renders one compare side via float64 —
-    // a diagnostic row, not a regression.
+    // q97-q99: single-scale-family DECIMAL probes (round-6 verdict
+    // ask #1). q97/q98 isolate (18,2) min/max and (38,2) sum; q99
+    // carries the FULL scale-4 revenue exactly via its unscaled
+    // integer (value * 10^4 as BIGINT, fraction-free so truncate ==
+    // round) alongside the scale-3 decimal rendering — full-precision
+    // verification with no dependence on the driver's decimal-to-text
+    // path (see Relational.decimalProbeScale4Exact scaladoc).
     "q97_dec_probe_minmax" ->
       """SELECT l_returnflag,
          CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
@@ -714,12 +716,17 @@ object SparkEntry {
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
            AS sum_price
          FROM lineitem GROUP BY 1""",
-    "q99_dec_probe_rawscale4" ->
-      """SELECT l_returnflag,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-           AS DECIMAL(38,4)) AS revenue
-         FROM lineitem GROUP BY 1""",
+    "q99_dec_scale4_exact" ->
+      """WITH rev AS (
+           SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+             AS DECIMAL(38,4)) AS revenue4
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag,
+           CAST(revenue4 AS DECIMAL(38,3)) AS revenue,
+           CAST(revenue4 * 10000 AS BIGINT) AS revenue_e4
+         FROM rev""",
     "q20_dedup_exact" ->
       s"""SELECT MD5($normText) AS h, MIN(doc_id) AS keep_id,
          COUNT(*) AS n_copies FROM documents GROUP BY 1""",

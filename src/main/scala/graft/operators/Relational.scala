@@ -829,7 +829,8 @@ object Relational {
     * accumulates at scale 4 — precision/scale propagation is pinned
     * unchanged. No rounding tie exists at sf0.01, so HALF_UP (Spark)
     * vs round-half-away (DuckDB) cannot diverge on the cast. The
-    * q97–q99 probes below bisect the canonicalizer per scale family.
+    * q97/q98 probes below bisect the canonicalizer per scale family;
+    * q99 verifies the full scale-4 value canonicalizer-independently.
     */
   def decimalAgg(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -856,10 +857,17 @@ object Relational {
     *  - q98: (38,2) sum only — wide precision, nonzero last digits.
     *    Expected GREEN; red here would mean precision>18 itself (not
     *    trailing zeros) breaks the canonicalizer.
-    *  - q99: raw (38,4) revenue, the round-6 shape — deliberately
-    *    keeps the `…8990` trailing-zero value. Expected RED iff the
-    *    trailing-zero hypothesis is right; this is the discriminator,
-    *    not a regression (documented for the gate reader).
+    *  - q99: the (38,4) revenue at FULL precision, compared exactly
+    *    without touching the canonicalizer's decimal-rendering path:
+    *    the scale-4 sum is emitted both as the proven-green scale-3
+    *    decimal AND as its unscaled integer (`revenue * 10^4` as
+    *    BIGINT — the product is fraction-free, so truncate-vs-round
+    *    cast semantics cannot diverge). The round-6 diagnostic form
+    *    of this probe (raw (38,4) with the `…8990` trailing-zero
+    *    value, expected red under the float64-rendering hypothesis)
+    *    was retired once the hypothesis was confirmed; the unscaled
+    *    integer is strictly stronger evidence — it pins every scale-4
+    *    digit, where the scale-3 rendering drops the last one.
     */
   def decimalProbeMinMax(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -879,14 +887,18 @@ object Relational {
         .cast(DecimalType(38, 2)).as("sum_price"))
   }
 
-  def decimalProbeRawScale4(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
+  def decimalProbeScale4Exact(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
     def dec(c: String) = col(c).cast(DecimalType(18, 2))
     Tables.load(spark, sfDir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(sum(dec("l_extendedprice") *
           (lit(1).cast(DecimalType(18, 2)) - dec("l_discount")))
-        .cast(DecimalType(38, 4)).as("revenue"))
+        .cast(DecimalType(38, 4)).as("revenue4"))
+      .select(
+        col("l_returnflag"),
+        col("revenue4").cast(DecimalType(38, 3)).as("revenue"),
+        (col("revenue4") * lit(10000)).cast(LongType).as("revenue_e4"))
   }
 
   def saltedJoin(
