@@ -56,6 +56,8 @@ object SparkEntry {
     "q16_events_hourly" -> (Relational.eventsHourly _),
     "q17_rollup" -> (Relational.rollupAgg _),
     "q26_json_props" -> (Relational.jsonProps _),
+    "q102_tpch_q5" -> (Relational.tpchQ5 _),
+    "q103_json_typed" -> (Relational.jsonTyped _),
     "q27_cube" -> (Relational.cubeAgg _),
     "q28_percentiles" -> (Relational.percentiles _),
     "q29_asof" -> (Relational.asofJoin _),
@@ -94,6 +96,7 @@ object SparkEntry {
     "q76_corpus_manifest" -> ((s: SparkSession, d: String) => CleanPipeline.corpusManifest(s, d)),
     "q44_neardup_clusters" -> ((s: SparkSession, d: String) => Dedup.nearDupSurvivors(s, d)),
     "q83_decontaminate" -> ((s: SparkSession, d: String) => Dedup.decontaminationPairs(s, d)),
+    "q100_line_dedup" -> ((s: SparkSession, d: String) => Dedup.lineDedup(s, d)),
     "q45_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.minhashIncrementalVerified(s, d)),
     "q46_incremental_persisted" -> ((s: SparkSession, d: String) => Dedup.minhashIncrementalPersisted(s, d)),
     // --- streaming (Structured Streaming run to completion) ---
@@ -128,6 +131,7 @@ object SparkEntry {
     "q69_quality_bins" -> (TrainingPrep.qualityBins _),
     "q70_shard_pack" -> ((s: SparkSession, d: String) => TrainingPrep.shardPack(s, d)),
     "q91_seq_blocks" -> ((s: SparkSession, d: String) => TrainingPrep.sequenceBlocks(s, d)),
+    "q101_embed_pool" -> (TrainingPrep.meanPoolEmbeddings _),
     "q71_embed_quantize" -> (TrainingPrep.quantizeEmbeddings _),
     // --- multimodal plumbing ---
     "q50_multimodal_meta" -> (Multimodal.mediaMeta _),
@@ -373,6 +377,37 @@ object SparkEntry {
          COUNT(*) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1""",
+    // q102: TPC-H Q5 shape over the full 6-table snowflake.
+    "q102_tpch_q5" ->
+      """SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+           AS DOUBLE) AS revenue,
+         COUNT(*) AS n_items
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1""",
+    // q103: typed from_json parse; corrupt injection on event_id%97=0
+    // must yield NULL k (PERMISSIVE), and min_json pins Spark's
+    // to_json serialization ({"k":N}, no spaces) character-exactly.
+    "q103_json_typed" ->
+      """WITH parsed AS (
+           SELECT event_type,
+             CASE WHEN event_id % 97 = 0 THEN NULL
+                  ELSE CAST(json_extract_string(props, '$.k') AS BIGINT)
+             END AS k
+           FROM events)
+         SELECT event_type, COUNT(*) AS n_events, COUNT(k) AS n_parsed,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           MIN('{"k":' || CAST(k AS VARCHAR) || '}') AS min_json
+         FROM parsed GROUP BY 1""",
     "q27_cube" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -897,6 +932,38 @@ object SparkEntry {
          FROM sh t JOIN sh e ON t.shingle = e.shingle
          WHERE t.doc_id % 97 <> 0 AND e.doc_id % 97 = 0
          GROUP BY 1, 2""",
+    // q100: line-level boilerplate dedup — lines are 10-word chunks
+    // plus the injected header (doc_id%3=0, pos 0) and footer
+    // (doc_id%5=0, pos 1000000); lines appearing > 5 times across the
+    // corpus are dropped, survivors reassemble in position order.
+    "q100_line_dedup" ->
+      """WITH base AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         chunks AS (
+           SELECT doc_id, i + 1 AS pos,
+             array_to_string(w[(i*10+1):(i*10+10)], ' ') AS line
+           FROM base, LATERAL
+             (SELECT UNNEST(range(0, CAST(ceil(len(w)/10.0) AS BIGINT))) AS i) t),
+         injected AS (
+           SELECT doc_id, pos, line FROM chunks
+           UNION ALL
+           SELECT doc_id, 0 AS pos,
+             'subscribe to our newsletter for updates' AS line
+           FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id, 1000000 AS pos,
+             'all rights reserved contact us' AS line
+           FROM documents WHERE doc_id % 5 = 0),
+         cnt AS (SELECT md5(line) AS h, COUNT(*) AS c FROM injected GROUP BY 1),
+         kept AS (
+           SELECT i.doc_id, i.pos, i.line
+           FROM injected i JOIN cnt ON md5(i.line) = cnt.h WHERE c <= 5),
+         tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM injected GROUP BY 1)
+         SELECT t.doc_id,
+           COALESCE(string_agg(k.line, ' ' ORDER BY k.pos), '') AS clean_text,
+           t.n_lines, t.n_lines - COUNT(k.line) AS n_dropped
+         FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id
+         GROUP BY t.doc_id, t.n_lines""",
     "q30_ann_brute" ->
       s"""WITH u AS ($normalizedVectors),
          q AS (SELECT vec_id AS q_id, v AS qv FROM u
@@ -1209,6 +1276,20 @@ object SparkEntry {
                 THEN n_tokens - i * 32 ELSE 32 END AS n_tok
          FROM t, LATERAL (SELECT UNNEST(range(0, (n_tokens + 31) // 32)) AS i) s
          WHERE n_tokens > 0""",
+    // q101: label-centroid mean pooling. floor(x*10^6) per element
+    // makes the sums order-independent LONGs (float->double widen,
+    // one multiply, one floor: all exact/deterministic IEEE ops), so
+    // the mean derived from (sum, count) is bit-stable in any
+    // reduction order. dim is 0-based.
+    "q101_embed_pool" ->
+      """SELECT label, i - 1 AS dim,
+         SUM(CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS sum_e6,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+           / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS mean_val
+         FROM (SELECT label, UNNEST(embedding) AS e,
+                 UNNEST(range(1, len(embedding) + 1)) AS i FROM embeddings)
+         GROUP BY 1, 2""",
     "q42_token_stats" ->
       """SELECT doc_id,
          CAST(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -599,6 +599,79 @@ object Dedup {
       .agg(countDistinct(col("sh")).as("n_common"))
   }
 
+  // -------- line-level (boilerplate) dedup --------
+
+  /** Header/footer boilerplate lines injected into the fixture so the
+    * operator has real work at every scale factor: docs with
+    * `doc_id % 3 == 0` get the header, `% 5 == 0` the footer. The
+    * oracle replays the same injection in SQL.
+    */
+  val boilerplateHeader = "subscribe to our newsletter for updates"
+  val boilerplateFooter = "all rights reserved contact us"
+
+  /** Line-level corpus dedup (q100) — the CCNet/RefinedWeb
+    * boilerplate-removal step: split every document into lines, count
+    * each line's occurrences across the WHOLE corpus, drop lines
+    * appearing more than [[maxCount]] times (nav bars, cookie
+    * banners, copyright footers repeat across a site; prose doesn't),
+    * and reassemble the surviving lines in original order. Documents
+    * whose every line is boilerplate survive with empty text — they
+    * are filter *candidates* for a downstream quality gate, not
+    * silently dropped rows.
+    *
+    * The fixture's documents are single-line, so "lines" are
+    * synthesized as consecutive [[chunkWords]]-word windows plus the
+    * injected [[boilerplateHeader]]/[[boilerplateFooter]]; the
+    * production operator is the same plan over `split(text, '\n')`.
+    *
+    * Scale shape: the occurrence count groups by the line's 16-byte
+    * md5 digest with map-side partial aggregation — line TEXT never
+    * enters that exchange. Text shuffles exactly twice, both
+    * irreducible: once keyed by digest to meet its count (at high
+    * [[maxCount]] the over-threshold digest set is small enough to
+    * broadcast as an anti-join instead, eliminating this one), and
+    * once keyed by doc_id to reassemble. Per-doc state is bounded by
+    * document size, so no key can skew the reassembly exchange.
+    */
+  def lineDedup(
+      spark: SparkSession, sfDir: String,
+      chunkWords: Int = 10, maxCount: Int = 5): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val w = split(col("text"), " ")
+    val chunks = docs.select(
+      col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0),
+          ceil(size(w) / lit(chunkWords.toDouble)).cast("int") - 1),
+        i => array_join(slice(w, i * chunkWords + 1, lit(chunkWords)), " "))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("line"))
+    val header = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), lit(0L).as("pos"),
+        lit(boilerplateHeader).as("line"))
+    val footer = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), lit(1000000L).as("pos"),
+        lit(boilerplateFooter).as("line"))
+    val lines = chunks.unionByName(header).unionByName(footer)
+
+    val counts = lines.groupBy(md5(col("line")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val kept = lines.join(counts, md5(col("line")) === col("h"))
+      .filter(col("c") <= maxCount)
+    val totals = lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+    val reassembled = kept.groupBy("doc_id").agg(
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), " ").as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    totals.join(reassembled, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   // -------- near-dup cluster resolution --------
 
   /** Connected components over a near-dup pair graph (id_a, id_b) by

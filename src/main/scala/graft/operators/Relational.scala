@@ -358,6 +358,77 @@ object Relational {
       .limit(10)
   }
 
+  /** TPC-H Q5 shape (q102) — the 6-table snowflake: region →
+    * nation → supplier reduce to one small broadcast dimension before
+    * touching a fact table, so the only exchanges are the two
+    * fact-fact shuffles (lineitem ⋈ orders on orderkey, then ⋈
+    * customer on custkey). The co-location predicate
+    * `c_nationkey = s_nationkey` rides the supplier broadcast instead
+    * of becoming its own join. Date range is pushed to the orders
+    * scan; the region filter prunes nation/supplier BEFORE the
+    * broadcast is built, so the broadcast ships only the surviving
+    * region's suppliers.
+    */
+  def tpchQ5(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: String) = col(c).cast(DecimalType(18, 2))
+    val asiaNations = Tables.load(spark, sfDir, "nation")
+      .join(Tables.load(spark, sfDir, "region")
+          .filter(col("r_name") === "ASIA").select(col("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val asiaSuppliers = Tables.load(spark, sfDir, "supplier")
+      .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val o = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(asiaSuppliers),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec("l_extendedprice") *
+            (lit(1).cast(DecimalType(18, 2)) - dec("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Typed semi-structured parsing (q103): `from_json` with an
+    * explicit schema — the production path for JSON event payloads
+    * (q26's `get_json_object` is the exploratory per-field variant;
+    * typed parse resolves the whole payload once and feeds codegen'd
+    * field access). Corrupt payloads are injected on
+    * `event_id % 97 == 0` to pin PERMISSIVE semantics: a malformed
+    * document yields null fields, never a thrown task. The `min_json`
+    * column round-trips through `to_json`, pinning the exact
+    * serialized form (no spaces, field order) both engines must
+    * agree on.
+    */
+  def jsonTyped(spark: SparkSession, sfDir: String): DataFrame = {
+    val corrupted = when(col("event_id") % 97 === 0, lit("not json"))
+      .otherwise(col("props"))
+    Tables.load(spark, sfDir, "events")
+      .select(col("event_type"),
+        from_json(corrupted, "k BIGINT", Map.empty[String, String])
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("k")).as("n_parsed"),
+        sum(col("k")).as("sum_k"),
+        min(when(col("k").isNotNull,
+          to_json(struct(col("k").as("k"))))).as("min_json"))
+  }
+
   /** INTERSECT (distinct) of two order subsets: completes the set-op
     * family next to UNION ALL (q15) and EXCEPT-shaped anti join (q13).
     */

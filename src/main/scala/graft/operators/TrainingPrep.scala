@@ -114,6 +114,39 @@ object TrainingPrep {
           .as("max_err"))
       .withColumn("quant_ok", col("max_err") <= col("scale") * lit(0.5))
 
+  /** The q101 driver entry: per-class mean-pooled embeddings (label
+    * centroids) — the reduction behind k-NN classifiers, class
+    * prototypes for curriculum/dataset selection, and IVF codebook
+    * refinement. Output is one row per (label, dim) with the exact
+    * scaled-integer sum, the member count, and the mean.
+    *
+    * Exactness device: float sums are order-dependent (IEEE addition
+    * doesn't associate), so a naive avg() could hash-diverge from any
+    * oracle run with a different reduction tree. Each element is
+    * instead mapped to `floor(x * 10^6)` — float widens to double
+    * exactly, one multiply and one floor are single deterministic
+    * IEEE ops — and the LONG sums are order-independent. The mean is
+    * derived from (exact sum, exact count) in one double division, so
+    * it too is bit-stable. ~20 bits of fraction is plenty for
+    * unit-scale embedding coordinates; raise the scale for wider
+    * dynamic ranges.
+    *
+    * Scale shape: posexplode fans each vector into d skinny rows, but
+    * hash aggregation combines them map-side, so the exchange carries
+    * at most partitions x labels x dims partial rows — independent of
+    * corpus size. Nothing else shuffles.
+    */
+  def meanPoolEmbeddings(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "e")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(
+        sum(floor(col("e").cast("double") * lit(1000000.0))).as("sum_e6"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("dim"), col("sum_e6"), col("n"),
+        (col("sum_e6").cast("double") /
+          (col("n").cast("double") * lit(1000000.0))).as("mean_val"))
+
   /** The q91 driver entry: fixed-length training-sequence blocking —
     * each document's token stream cut into `seqLen`-token windows
     * (the batch-shape step between corpus and training loop: models

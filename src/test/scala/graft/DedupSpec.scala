@@ -343,6 +343,52 @@ class DedupSpec extends AnyFunSuite {
     assert(survivors == Set(0L, 3L))
   }
 
+  test("line dedup drops corpus-repeated lines, keeps prose in order") {
+    val sf = SparkTestSession.sf
+    val rows = Dedup.lineDedup(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.keySet == docs.keySet, "every document survives (maybe empty)")
+    // boilerplate never survives into any cleaned text
+    rows.values.foreach { case (t, _, _) =>
+      assert(!t.contains(Dedup.boilerplateHeader))
+      assert(!t.contains(Dedup.boilerplateFooter))
+    }
+    // docs carrying both injections drop at least those two lines
+    rows.filter(k => k._1 % 15 == 0).foreach { case (id, (_, _, dropped)) =>
+      assert(dropped >= 2, s"doc $id should drop header+footer")
+    }
+    // an untouched doc reassembles to its exact original text: chunks
+    // joined by single space reproduce the single-space word stream
+    val clean = rows.collect {
+      case (id, (t, _, 0L)) if id % 3 != 0 && id % 5 != 0 => id -> t
+    }
+    assert(clean.nonEmpty, "fixture must contain untouched docs")
+    clean.foreach { case (id, t) => assert(t == docs(id), s"doc $id mangled") }
+  }
+
+  test("line dedup's count exchange carries digests, not line text") {
+    // the occurrence-count aggregate must group on the 16-byte md5 —
+    // no `line` attribute may appear in its HashAggregate keys
+    val plan = Dedup.lineDedup(spark, SparkTestSession.sf)
+      .queryExecution.executedPlan.toString
+    // the projection feeding the count exchange prunes to ONLY the
+    // md5 grouping expression (text column gone before the shuffle)
+    assert(plan.linesIterator.exists(
+      _.matches(""".*Project \[md5\(.*\) AS _groupingexpression#\d+\]\s*""")),
+      s"count input should project down to the md5 digest alone:\n$plan")
+    // and no partial-count aggregate row carries the line attribute
+    val partials = plan.linesIterator
+      .filter(l => l.contains("partial_count") &&
+        l.contains("_groupingexpression")).toSeq
+    assert(partials.nonEmpty, s"no partial count over digest keys:\n$plan")
+    assert(partials.forall(!_.contains("line#")),
+      s"count partials must not carry line text:\n$plan")
+  }
+
   test("hyperplane plane families are disjoint across offsets") {
     import graft.functions.VectorExpressions.lsh_bucket
     val df = Seq((1L, Array.fill(16)(0.5f))).toDF("vec_id", "embedding")

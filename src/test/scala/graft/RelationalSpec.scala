@@ -317,6 +317,33 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("tpch q5: dimension snowflake broadcasts, region filter reaches its scan") {
+    val df = Relational.tpchQ5(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"supplier/nation snowflake should broadcast into the fact:\n$plan")
+    assert(plan.contains("EqualTo(r_name,ASIA)") || plan.contains("r_name = ASIA"),
+      s"region filter should push into the region scan:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getDouble(1) > 0))
+  }
+
+  test("typed json parse: corrupt rows yield null fields, never failures") {
+    val rows = Relational.jsonTyped(spark, sf).collect()
+    val corrupt = graft.sources.Tables.load(spark, sf, "events")
+      .filter(col("event_id") % 97 === 0)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (et, nEvents, nParsed) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(nEvents - nParsed == corrupt.getOrElse(et, 0L),
+        s"$et: unparsed count must equal injected-corrupt count")
+      assert(r.getString(4).matches("""\{"k":\d+\}"""),
+        s"to_json must serialize {\"k\":N} with no spaces: ${r.getString(4)}")
+    }
+  }
+
   test("union keeps duplicates (UNION ALL semantics)") {
     val o = graft.sources.Tables.load(spark, sf, "orders")
     val both = o.filter(col("o_orderstatus") === "F")

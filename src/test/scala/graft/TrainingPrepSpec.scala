@@ -89,6 +89,27 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(byDoc.keySet == tokens.filter(_._2 > 0).keySet)
   }
 
+  test("mean-pooled embeddings equal exact integer math in any order") {
+    val got = TrainingPrep.meanPoolEmbeddings(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // recompute driver-side with plain Long arithmetic — if the
+    // operator's sums were float-order-dependent this would flake
+    val vecs = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val expect = vecs
+      .flatMap { case (l, v) => v.zipWithIndex.map { case (e, d) =>
+        (l, d.toLong) -> math.floor(e.toDouble * 1e6).toLong } }
+      .groupBy(_._1).map { case (k, xs) =>
+        k -> (xs.map(_._2).sum, xs.length.toLong) }
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (k, (sum, n, mean)) =>
+      assert((sum, n) == expect(k), s"exact sums diverge at $k")
+      assert(mean == sum.toDouble / (n.toDouble * 1e6))
+    }
+  }
+
   test("shard packing: shards respect the token budget order within a language") {
     val df = TrainingPrep.shardPack(spark, sf, budget = 1000L)
     // shard index must be non-decreasing in doc_id order per language
