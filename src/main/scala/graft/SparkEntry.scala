@@ -63,6 +63,7 @@ object SparkEntry {
     "q29_asof" -> (Relational.asofJoin _),
     "q86_interval_join" -> (Relational.intervalJoin _),
     "q87_rolling_window" -> (Relational.rollingWindow _),
+    "q104_forward_fill" -> (Relational.forwardFill _),
     "q88_table_diff" -> (Relational.tableDiff _),
     "q90_subqueries" -> (Relational.correlatedSubqueries _),
     "q92_array_funcs" -> (Relational.arrayFuncs _),
@@ -104,6 +105,7 @@ object SparkEntry {
     "q56_stream_sliding" -> (graft.streaming.EventStream.slidingToBatch _),
     "q57_stream_tier_join" -> (graft.streaming.EventStream.tierHourlyToBatch _),
     "q62_stream_attribution" -> (graft.streaming.EventStream.attributionToBatch _),
+    "q105_stream_outer_join" -> (graft.streaming.EventStream.clickOutcomeToBatch _),
     "q65_stream_dedup" -> (graft.streaming.EventStream.dedupToBatch _),
     "q66_stream_sessions" -> (graft.streaming.EventStream.userSessionsBatch _),
     "q81_stream_file_sink" -> (graft.streaming.EventStream.hourlyToParquetSink _),
@@ -354,6 +356,31 @@ object SparkEntry {
            ON p.event_type = 'purchase' AND c.event_type = 'click'
           AND c.user_id = p.user_id
           AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts""",
+    // q105: stream-stream LEFT OUTER — matched rows are the plain
+    // range join; unmatched clicks appear with NULLs only if their
+    // match window closed before the final watermark, which
+    // AvailableNow pins at min(max click ts, max purchase ts) − the
+    // 1 h delay (global watermark = min over inputs). Clicks newer
+    // than that never became final and are NOT emitted.
+    "q105_stream_outer_join" ->
+      """WITH clicks AS (
+           SELECT event_id AS click_id, user_id, ts AS click_ts
+           FROM events WHERE event_type = 'click'),
+         purch AS (
+           SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value
+           FROM events WHERE event_type = 'purchase'),
+         wm AS (
+           SELECT least(cm.m, pm.m) - INTERVAL 1 HOUR AS w
+           FROM (SELECT max(click_ts) AS m FROM clicks) cm,
+                (SELECT max(purchase_ts) AS m FROM purch) pm)
+         SELECT c.click_id, c.user_id, c.click_ts, p.purchase_id, p.value
+         FROM clicks c LEFT JOIN purch p
+           ON c.user_id = p.user_id
+          AND p.purchase_ts >= c.click_ts
+          AND p.purchase_ts < c.click_ts + INTERVAL 1 HOUR
+         CROSS JOIN wm
+         WHERE p.purchase_id IS NOT NULL
+            OR c.click_ts + INTERVAL 1 HOUR <= wm.w""",
     // q65: the streaming side reads the fixture TWICE and dedups on
     // event_id — exactly half the rows must survive, i.e. the table.
     "q65_stream_dedup" ->
@@ -394,6 +421,22 @@ object SparkEntry {
            AND o_orderdate >= TIMESTAMP '1996-01-01'
            AND o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY 1""",
+    // q104: forward fill — LAST_VALUE IGNORE NULLS over a running
+    // ROWS frame, (ts, event_id) ordering for deterministic ties;
+    // NULLs injected on event_id%7=0; leading rows stay NULL. The
+    // filled value is an existing double (no arithmetic), so the
+    // compare is exact.
+    "q104_forward_fill" ->
+      """WITH nulled AS (
+           SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+           FROM events)
+         SELECT event_id, user_id, ts,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_value
+         FROM nulled""",
     // q103: typed from_json parse; corrupt injection on event_id%97=0
     // must yield NULL k (PERMISSIVE), and min_json pins Spark's
     // to_json serialization ({"k":N}, no spaces) character-exactly.

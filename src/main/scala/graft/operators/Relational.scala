@@ -513,6 +513,30 @@ object Relational {
           .over(w).cast("double").as("sum_1h"))
   }
 
+  /** Forward fill / last-observation-carried-forward (q104): the
+    * standard repair for sparse metric streams before feature
+    * extraction — each NULL takes the user's most recent non-NULL
+    * value in event-time order. NULLs are injected on
+    * `event_id % 7 == 0` so the operator has work on the fixture.
+    * `last(_, ignoreNulls = true)` over a running ROWS frame is
+    * Spark's IGNORE NULLS surface; the (ts, event_id) ordering makes
+    * the fill deterministic when timestamps collide, and rows with no
+    * prior observation stay NULL in both engines.
+    * Scale: one exchange on user_id; the running frame folds in O(1)
+    * per row with state = one value — no per-user buffering.
+    */
+  def forwardFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_id") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("v"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        last(col("v"), ignoreNulls = true).over(w).as("filled_value"))
+  }
+
   /** Interval (range) join via the bin-equi-join rewrite (q86):
     * events landing inside per-owner 2-hour windows. A pure range
     * predicate gives Catalyst no equi-key, so the physical plan

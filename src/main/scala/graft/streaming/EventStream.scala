@@ -313,6 +313,50 @@ object EventStream {
         col("purchase_ts"), col("click_ts"), col("value"))
   }
 
+  /** Stream-stream LEFT OUTER join (q105): every click, joined to
+    * same-user purchases in the hour AFTER it — matched rows emit as
+    * they join; unmatched clicks emit with NULL purchase columns only
+    * once the watermark proves no future purchase can match
+    * (watermark past click_ts + 1 hour, the join's upper bound). This
+    * is the outer-emission semantic the inner join (q62) never
+    * exercises: "no outcome" is itself a result, delivered exactly
+    * once and only when it is final.
+    *
+    * Under Trigger.AvailableNow the final no-data batch advances the
+    * watermark to (min of the two sides' max event times) − the 1 h
+    * delay, so clicks whose match window closed before that line emit
+    * their NULL row, and clicks newer than it are discarded with the
+    * state store — they never became final. The oracle replays
+    * exactly that cutoff in SQL (see the q105 entry), pinning the
+    * global-watermark (min across inputs) and eviction-boundary
+    * semantics.
+    */
+  def clickOutcomeStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val clicks = readEvents(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = readEvents(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("click_id"), col("c_user").as("user_id"), col("click_ts"),
+        col("purchase_id"), col("value"))
+  }
+
+  /** The q105 driver entry: [[clickOutcomeStream]] run to completion
+    * in Append mode. */
+  def clickOutcomeToBatch(spark: SparkSession, sfDir: String): DataFrame =
+    runToBatch(spark, clickOutcomeStream(_, sfDir),
+      s"q105_outcome_${runSeq.incrementAndGet()}", OutputMode.Append())
+
   case class SessionSummary(
       user_id: Long, n_events: Long, total_value: Double, n_purchases: Long)
 

@@ -80,6 +80,42 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream LEFT OUTER: matched rows join, finalized misses emit NULLs") {
+    val rows = EventStream.clickOutcomeToBatch(spark, sf).collect()
+    val matched = rows.filter(!_.isNullAt(3))
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    val missed = rows.filter(_.isNullAt(3)).map(_.getLong(0)).toSet
+    assert(matched.nonEmpty && missed.nonEmpty,
+      "fixture must exercise both join outcomes")
+
+    // batch truth: the same range join...
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val joined = clicks.join(purch,
+      col("c_user") === col("p_user") && col("p_ts") >= col("click_ts") &&
+        col("p_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"))
+    assert(matched == joined.select("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+
+    // ...and NULL rows are exactly the unmatched clicks whose window
+    // closed before the final watermark: min(side maxima) - 1h delay
+    val wm = math.min(
+      clicks.agg(max(col("click_ts"))).head().getTimestamp(0).getTime,
+      purch.agg(max(col("p_ts"))).head().getTimestamp(0).getTime) -
+      3600 * 1000L
+    val expectMissed = clicks
+      .join(joined.select("click_id"), Seq("click_id"), "left_anti")
+      .collect()
+      .filter(_.getTimestamp(2).getTime + 3600 * 1000L <= wm)
+      .map(_.getLong(0)).toSet
+    assert(missed == expectMissed)
+  }
+
   test("streaming agg resumes from its checkpoint: no loss, no reprocessing") {
     // the fault-tolerance contract behind every streaming entry: kill
     // a query mid-stream, restart from the same checkpoint, and the

@@ -344,6 +344,28 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("forward fill carries the last prior observation; leading gaps stay null") {
+    val rows = Relational.forwardFill(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getTimestamp(2).getTime, r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    // replay LOCF per user in plain Scala over the same injected nulls
+    val truth = graft.sources.Tables.load(spark, sf, "events")
+      .select("event_id", "user_id", "ts", "value").collect()
+      .map(r => (r.getLong(1), r.getTimestamp(2).getTime, r.getLong(0),
+        if (r.getLong(0) % 7 == 0) None else Some(r.getDouble(3))))
+      .groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+        var lastSeen: Option[Double] = None
+        evs.sortBy(e => (e._2, e._3)).map { e =>
+          if (e._4.isDefined) lastSeen = e._4
+          (e._1, e._2, e._3, lastSeen)
+        }.toSeq
+      }.toSet
+    assert(rows.toSet == truth)
+    assert(rows.exists(_._4.isEmpty), "some leading gap must stay null")
+    // injected nulls that have history really changed value
+    assert(rows.exists(r => r._3 % 7 == 0 && r._4.isDefined))
+  }
+
   test("union keeps duplicates (UNION ALL semantics)") {
     val o = graft.sources.Tables.load(spark, sf, "orders")
     val both = o.filter(col("o_orderstatus") === "F")
