@@ -44,7 +44,8 @@ object ScalingProbe {
       emb.select(
         (col("vec_id") + lit(c * 10000000L)).as("vec_id"),
         concat(slice(v, lit(c % 64 + 1), n - lit(c % 64)),
-          slice(v, lit(1), lit(c % 64))).as("embedding"))
+          slice(v, lit(1), lit(c % 64))).as("embedding"),
+        col("label"))
     }
     embCopies.reduce(_ unionAll _).write.mode("overwrite")
       .parquet(s"$big/embeddings.parquet")
@@ -96,7 +97,11 @@ object ScalingProbe {
       "q86_interval_join" -> (d => graft.operators.Relational.intervalJoin(spark, d)),
       "q87_rolling_window" -> (d => graft.operators.Relational.rollingWindow(spark, d)),
       "q88_table_diff" -> (d => graft.operators.Relational.tableDiff(spark, d)),
-      "q89_topk_agg" -> (d => graft.operators.MapReduceSurface.topKPerGroup(spark, d)))
+      "q89_topk_agg" -> (d => graft.operators.MapReduceSurface.topKPerGroup(spark, d)),
+      "q100_line_dedup" -> (d => graft.operators.Dedup.lineDedup(spark, d)),
+      "q101_embed_pool" -> (d => graft.operators.TrainingPrep.meanPoolEmbeddings(spark, d)),
+      "q103_json_typed" -> (d => graft.operators.Relational.jsonTyped(spark, d)),
+      "q104_forward_fill" -> (d => graft.operators.Relational.forwardFill(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))
