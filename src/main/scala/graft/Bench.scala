@@ -28,19 +28,23 @@ object Bench {
 
   /** Per-query medians from a previous round's BENCH_r*.json. The
     * driver wraps the bench line in a log-tail string with escaped
-    * quotes, so this is a tolerant regex scrape, not a JSON parse.
-    * Parsing is scoped to the LAST "queries" object in the file —
-    * scraping the whole content would also match the "regressions"
-    * map, whose ratio values would poison the next round's baseline.
+    * quotes — AND keeps only the final ~2 KB, so once the suite grew
+    * past ~90 entries the head of the "queries" object (the label
+    * included) is truncated away: an object-scoped scrape returns {}
+    * and silently disables the vs-prev gate (round 7 found BENCH_r06
+    * in exactly that state). Medians and ratios are instead told
+    * apart by OUR OWN print format: medians are always f"%.3f",
+    * regression/suspect ratios always f"%.2f" — so scrape every
+    * `qNN_name":D.DDD` pair with exactly three decimals anywhere in
+    * the content. A truncated tail then still yields the surviving
+    * partial baseline (missing queries simply aren't compared)
+    * instead of nothing.
     */
-  def parsePrevMedians(content: String): Map[String, Double] = {
-    val queriesObj = """"queries\\?":\{([^}]*)\}""".r
-      .findAllMatchIn(content).map(_.group(1)).toSeq.lastOption.getOrElse("")
-    """(q\d{2}_[a-z0-9_]+)\\?":(-?\d+\.\d+)""".r
-      .findAllMatchIn(queriesObj)
+  def parsePrevMedians(content: String): Map[String, Double] =
+    """(q\d{2,}_[a-z0-9_]+)\\?":(-?\d+\.\d{3})(?!\d)""".r
+      .findAllMatchIn(content)
       .map(m => m.group(1) -> m.group(2).toDouble)
       .toMap
-  }
 
   def regressions(
       prev: Map[String, Double],
@@ -81,10 +85,10 @@ object Bench {
     val spark = GraftSession.local(cores = cpus, appName = "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOnce(name: String): Double = {
+    def runOnce(s: SparkSession)(name: String): Double = {
       val t0 = System.nanoTime()
       try {
-        SparkEntry.queries(name)(spark, sfDir)
+        SparkEntry.queries(name)(s, sfDir)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch {
@@ -94,15 +98,15 @@ object Bench {
       }
     }
 
-    def runMedian(name: String): Double = {
-      val ts = Seq.fill(runs)(runOnce(name))
+    def runMedian(s: SparkSession)(name: String): Double = {
+      val ts = Seq.fill(runs)(runOnce(s)(name))
       if (ts.contains(-1.0)) -1.0 else ts.sorted.apply(runs / 2)
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     // one warm-up of the flagship to absorb JVM/codegen first-run cost
-    runOnce("q04_agg_2a")
-    val results = names.map(n => n -> runMedian(n))
+    runOnce(spark)("q04_agg_2a")
+    val results = names.map(n => n -> runMedian(spark)(n))
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -119,15 +123,27 @@ object Bench {
     val best = bestEver(allRounds)
     val sweepRegr = regressions(prev, results)
     val sweepBest = regressions(best, results)
-    // re-measure each flagged query once, quiet (the sweep is over),
-    // and share the re-measurement across both gates
+    // re-measure each flagged query quiet (the sweep is over) on a
+    // FRESH SparkContext: after 100+ queries x `runs` the long-lived
+    // session itself is ~1.5-2x slower on sub-second queries
+    // (accumulated listener/UI/codegen-cache state), so an in-session
+    // confirm pass CONFIRMS aging noise instead of killing it —
+    // round 7 measured q40 at 0.73 s in-session vs 0.33 s fresh
+    // against a 0.29 s best. The fresh context is the honest twin of
+    // the baseline it is compared to.
     val flagged = (sweepRegr.map(_._1) ++ sweepBest.map(_._1)).distinct
-    val remeasured = flagged.map(n => n -> runMedian(n)).toMap
+    val remeasured = if (flagged.isEmpty) Map.empty[String, Double] else {
+      spark.stop()
+      val fresh = GraftSession.local(cores = cpus, appName = "graft-bench-confirm")
+      fresh.sparkContext.setLogLevel("WARN")
+      runOnce(fresh)("q04_agg_2a") // warm the new context
+      flagged.map(n => n -> runMedian(fresh)(n)).toMap
+    }
     val regr = fmt(confirmRegressions(prev, flagged, remeasured))
     val regrBest = fmt(confirmRegressions(best, flagged, remeasured))
     val prevName = benchFiles.lastOption.map(_.getName).getOrElse("none")
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"prev":"$prevName","regressions":$regr,"regressions_vs_best":$regrBest,"suspect":${fmt(sweepRegr)},"suspect_vs_best":${fmt(sweepBest)},"sf":"$sfDir"}""")
-    spark.stop()
+    SparkSession.getActiveSession.foreach(_.stop())
   }
 }

@@ -1,0 +1,30 @@
+package graft.tools
+
+/** Median-time a comma-separated list of driver entries on a fresh,
+  * quiet JVM — the diagnostic that separates plan cost from
+  * bench-sweep session aging (a 100-query session reads ~1.5-2x slow
+  * on sub-second queries; see Bench's confirm-pass note). Round 7
+  * used this to exonerate six "confirmed" vs-best trips.
+  *
+  * Usage: runMain graft.tools.QuickTime q40_lang_id,q28_percentiles
+  */
+object QuickTime {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.GraftSession.local(cores = 32, appName = "quicktime")
+    spark.sparkContext.setLogLevel("ERROR")
+    def once(n: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(n)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once("q04_agg_2a") // warm-up
+    names.foreach { n =>
+      val ts = Seq.fill(5)(once(n)).sorted
+      println(f"[quick] $n median=${ts(2)}%.3f min=${ts.head}%.3f max=${ts.last}%.3f")
+    }
+    spark.stop()
+  }
+}

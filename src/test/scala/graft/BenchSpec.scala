@@ -52,6 +52,26 @@ class BenchSpec extends AnyFunSuite {
       Map("q21_ngram_jaccard" -> 6.4))
   }
 
+  test("a TRUNCATED log tail still yields the surviving partial baseline") {
+    // the driver keeps only the final ~2 KB of bench output: past ~90
+    // entries the "queries" label itself is cut off, and the tail
+    // starts mid-object then carries the ratio maps. BENCH_r06 hit
+    // exactly this — an object-scoped scrape returned {} and silently
+    // disabled the vs-prev gate for the whole round. The print-format
+    // discriminator (medians %.3f, ratios %.2f) must recover the
+    // surviving medians and exclude every ratio.
+    val truncated =
+      """92,\"q89_topk_agg\":0.279,\"q94_regex_funcs\":0.150},\"prev\":\"BENCH_r05.json\",\"regressions\":{\"q23_simhash\":5.01,\"q24_embed_neardup\":7.88},\"sf\":\"x\"}"""
+    assert(Bench.parsePrevMedians(truncated) ==
+      Map("q89_topk_agg" -> 0.279, "q94_regex_funcs" -> 0.15))
+  }
+
+  test("three-digit entry names (q100+) are scraped into the baseline") {
+    val line = """{"queries":{"q99_dec_scale4_exact":0.500,"q100_line_dedup":1.234}}"""
+    assert(Bench.parsePrevMedians(line) ==
+      Map("q99_dec_scale4_exact" -> 0.5, "q100_line_dedup" -> 1.234))
+  }
+
   test("confirm pass drops contention phantoms, keeps real trips") {
     val baseline = Map("phantom" -> 1.0, "real" -> 1.0, "broken" -> 1.0)
     // sweep flagged all three; on quiet re-measurement the phantom is
