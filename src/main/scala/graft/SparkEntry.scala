@@ -40,6 +40,7 @@ object SparkEntry {
     "q59_json_lifecycle" -> (ReferenceQueries.jsonLifecycle _),
     "q63_orc_lifecycle" -> (ReferenceQueries.orcLifecycle _),
     "q82_sequencefile" -> (ReferenceQueries.sequenceFileLifecycle _),
+    "q106_xml_lifecycle" -> (ReferenceQueries.xmlLifecycle _),
     "q85_compaction" -> (ReferenceQueries.compactionLifecycle _),
     "q93_partition_overwrite" -> (ReferenceQueries.partitionOverwriteLifecycle _),
     "q64_partition_pruning" -> (ReferenceQueries.partitionPrunedAgg _),
@@ -197,6 +198,13 @@ object SparkEntry {
     // lines dropped); the lossless round-trip makes the parquet-side
     // aggregate the exact oracle — same device as q19.
     "q59_json_lifecycle" ->
+      """SELECT substr(event_type, 1, 4) AS etype_prefix,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1""",
+    // q106 reads the XML render of `events` (native Spark 4 XML
+    // datasource; injected malformed rows dropped) — the q19 device
+    // on the fifth text encoding.
+    "q106_xml_lifecycle" ->
       """SELECT substr(event_type, 1, 4) AS etype_prefix,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1""",

@@ -228,6 +228,66 @@ object ReferenceQueries {
       .agg(moneySum(col("value")).as("sum_value"))
   }
 
+  /** XML source/sink lifecycle (q106) — the fifth text encoding next
+    * to CSV (q19), JSON (q59), and SequenceFile text records (q82):
+    * Spark 4 ships the former spark-xml as a native datasource, so
+    * XML feeds (the format enterprise event/feed dumps still arrive
+    * in) round-trip without an external package. Events render as
+    * `<event>` rows (even half plain, odd half gzip), read back with
+    * an EXPLICIT schema + rowTag (schema inference over XML is a
+    * second full scan — same rule as q59's JSON) under DROPMALFORMED
+    * with injected malformed rows: broken tag soup, wrong types —
+    * both must be swallowed like the reference swallows bad splits.
+    * Unlike a bad cast (dropped row-local), unparseable tag soup
+    * desyncs the rowTag tokenizer for the rest of its chunk
+    * (ReferenceQueriesSpec pins this), so the render isolates
+    * injected garbage in its own file, never ahead of good rows.
+    * long/double text round-trips losslessly, so the parquet events
+    * table is the exact oracle.
+    *
+    * Scale note: unlike CSV/JSON lines, XML records span lines by
+    * nature; the datasource splits on the rowTag scan, not newlines —
+    * plain files stay splittable, the `.gz` half (like `.csv.gz`) is
+    * one stream per file, which is WHY the render keeps many part
+    * files per directory.
+    */
+  def xmlLifecycle(spark: SparkSession, sfDir: String): DataFrame =
+      Scratch.withScratch(spark, "q106_xml", sfDir) { dir =>
+    import org.apache.spark.sql.types._
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.filter(col("event_id") % 2 === 0)
+      .write.mode("overwrite").option("rowTag", "event")
+      .format("xml").save(s"$dir/plain")
+    ev.filter(col("event_id") % 2 === 1)
+      .write.mode("overwrite").option("rowTag", "event")
+      .option("compression", "gzip")
+      .format("xml").save(s"$dir/gz")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/plain/zz_badrows.xml"),
+      ("<events>" +
+        "<event><event_id>NOT_A_LONG</event_id>" +
+        "<event_type>view</event_type><value>1.0</value></event>" +
+        "<event><event_id>7</event_id><event_type>view</event_type>" +
+        "<value>NOT_A_DOUBLE</value></event>" +
+        "<event><broken tag soup</event>" +
+        "</events>").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    spark.read.schema(schema)
+      .option("rowTag", "event").option("mode", "DROPMALFORMED")
+      .format("xml").load(s"$dir/plain", s"$dir/gz")
+      // parseable rows with missing consumed fields surface as nulls —
+      // drop them under the same policy as q19/q59
+      .filter(col("event_id").isNotNull &&
+        col("event_type").isNotNull && col("value").isNotNull)
+      .select(substring(col("event_type"), 1, 4).as("etype_prefix"), col("value"))
+      .groupBy(col("etype_prefix"))
+      .agg(moneySum(col("value")).as("sum_value"))
+  }
+
   /** SequenceFile source/sink lifecycle (q82) — the fourth input
     * encoding. The reference ADVERTISES the AMPLab benchmark's
     * `[text|text-deflate|sequence|sequence-snappy]` layouts

@@ -74,6 +74,42 @@ class ReferenceQueriesSpec extends AnyFunSuite {
       s"expected pruned read schema in:\n$plan")
   }
 
+  test("XML read drops malformed rows (bad casts and tag soup), keeps good ones") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml_spec").toString
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/rows.xml"),
+        ("<events>" +
+          "<event><event_id>1</event_id><event_type>click</event_type>" +
+          "<value>2.5</value></event>" +
+          "<event><event_id>NOT_A_LONG</event_id><event_type>view</event_type>" +
+          "<value>1.0</value></event>" +
+          "<event><event_id>2</event_id><event_type>view</event_type>" +
+          "<value>NOT_A_DOUBLE</value></event>" +
+          "<event><event_id>3</event_id><event_type>view</event_type>" +
+          "<value>4.25</value></event>" +
+          // tag soup LAST: unlike a bad cast (dropped row-local), an
+          // unparseable tag desyncs the rowTag tokenizer for the rest
+          // of its chunk — records after it in the same file are lost
+          // too. The q106 render therefore isolates injected garbage
+          // in its own file, never ahead of good rows.
+          "<event><broken tag soup</event>" +
+          "</events>").getBytes("UTF-8"))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val got = spark.read.schema(schema)
+        .option("rowTag", "event").option("mode", "DROPMALFORMED")
+        .format("xml").load(dir)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toSet
+      assert(got == Set((1L, "click", 2.5), (3L, "view", 4.25)))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("q64 read prunes on the partition column (directory skip, not row filter)") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files
