@@ -107,6 +107,7 @@ object SparkEntry {
     "q57_stream_tier_join" -> (graft.streaming.EventStream.tierHourlyToBatch _),
     "q62_stream_attribution" -> (graft.streaming.EventStream.attributionToBatch _),
     "q105_stream_outer_join" -> (graft.streaming.EventStream.clickOutcomeToBatch _),
+    "q107_stream_segments" -> (graft.streaming.EventStream.sessionSegmentsBatch _),
     "q65_stream_dedup" -> (graft.streaming.EventStream.dedupToBatch _),
     "q66_stream_sessions" -> (graft.streaming.EventStream.userSessionsBatch _),
     "q81_stream_file_sink" -> (graft.streaming.EventStream.hourlyToParquetSink _),
@@ -402,6 +403,37 @@ object SparkEntry {
            AS total_value,
          COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
          FROM events GROUP BY 1""",
+    // q107: flatMapGroupsWithState session segmentation — q33's
+    // 30-min sessionize, but emitted by the STREAM: sessions closed
+    // inline by a later event always emit; each user's final open
+    // session emits only if its event-time timeout (last event + gap,
+    // ms) fired before the final watermark (global max ts − 1 h, ms).
+    "q107_stream_segments" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+         numbered AS (
+           SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+           FROM flagged),
+         sess AS (
+           SELECT user_id, session_idx,
+             MIN(epoch_us(ts)) AS t_start_us, MAX(epoch_us(ts)) AS t_end_us,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value
+           FROM numbered GROUP BY 1, 2),
+         last AS (SELECT user_id, MAX(session_idx) AS last_idx FROM sess GROUP BY 1),
+         wm AS (SELECT epoch_us(MAX(ts)) // 1000 - 3600000 AS w FROM events)
+         SELECT s.user_id, s.t_start_us, s.t_end_us, s.n_events, s.sum_value
+         FROM sess s JOIN last l ON s.user_id = l.user_id CROSS JOIN wm
+         WHERE s.session_idx < l.last_idx
+            OR s.t_end_us // 1000 + 1800000 <= wm.w""",
     "q17_rollup" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -232,8 +232,8 @@ object Dedup {
     */
   private def estVerify(
       cand: DataFrame, sig: DataFrame, threshold: Double): DataFrame = {
-    val sigA = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
-    val sigB = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
+    val sigA = sig.toDF(sig.columns.toIndexedSeq.map(c => s"a_$c"): _*)
+    val sigB = sig.toDF(sig.columns.toIndexedSeq.map(c => s"b_$c"): _*)
     val matches = (0 until numHashes)
       .map(i => when(col(s"a_mh_$i") === col(s"b_mh_$i"), 1).otherwise(0))
       .reduce(_ + _)

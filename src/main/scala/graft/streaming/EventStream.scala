@@ -442,4 +442,92 @@ object EventStream {
       .localCheckpoint(true)
     finally s.catalog.dropTempView(name)
   }
+
+  /** The open (not yet gap-closed) session carried in keyed state:
+    * event times in MICROSECONDS (ms-level `Timestamp.getTime` would
+    * diverge from the oracle's microsecond gap arithmetic on
+    * sub-millisecond gaps), money in cents (the q66 exactness device).
+    */
+  case class OpenSession(startUs: Long, lastUs: Long, n: Long, cents: Long)
+
+  case class SessionSegment(
+      user_id: Long, t_start_us: Long, t_end_us: Long,
+      n_events: Long, sum_value: Double)
+
+  /** Session gap for [[sessionSegments]] — 30 min, matching q33's
+    * batch sessionize so the oracle reuses its CTE. */
+  val segmentGapMs: Long = 30L * 60 * 1000
+
+  /** flatMapGroupsWithState session segmentation (q107): one OUTPUT
+    * ROW PER COMPLETED SESSION — the multi-row-emission surface that
+    * mapGroupsWithState (q66, one summary per user) cannot express.
+    * Events fold in event-time order; a >30 min gap closes the
+    * current session and emits it inline; the still-open tail session
+    * is parked in state with an event-time timeout at
+    * (last event + gap), so it emits exactly when the watermark
+    * proves no event can reopen it — and a session the watermark
+    * never finalizes (the user's newest activity) is NOT emitted,
+    * same contract as q105's outer join.
+    *
+    * The per-invocation sort is bounded by one user's events per
+    * microbatch (the iterator has no cross-batch order guarantee);
+    * state is one OpenSession per active user, evicted on timeout —
+    * at 100 TB state size is (users active inside the watermark
+    * horizon), never all users ever seen.
+    */
+  def sessionSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val events = readEvents(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      // the watermarked TIMESTAMP column must survive into the typed
+      // frame (projecting it to a long severs the watermark and
+      // event-time timeout refuses to plan); micros are derived
+      // inside the function from Instant, not ms-lossy getTime
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+    def micros(ts: java.sql.Timestamp): Long = {
+      val i = ts.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionSegment](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[OpenSession]) =>
+          def closed(s: OpenSession) = SessionSegment(
+            uid, s.startUs, s.lastUs, s.n, s.cents / 100.0)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(closed(s))
+          } else {
+            val sorted = rows.toSeq.map { case (u, ts, v) =>
+              (u, micros(ts), v) }.sortBy(_._2)
+            var cur = state.getOption
+            val out = Seq.newBuilder[SessionSegment]
+            sorted.foreach { case (_, tsUs, v) =>
+              val cents = Math.round(v * 100.0)
+              cur match {
+                case Some(s) if tsUs - s.lastUs <= segmentGapMs * 1000L =>
+                  cur = Some(OpenSession(s.startUs, tsUs, s.n + 1, s.cents + cents))
+                case Some(s) =>
+                  out += closed(s)
+                  cur = Some(OpenSession(tsUs, tsUs, 1L, cents))
+                case None =>
+                  cur = Some(OpenSession(tsUs, tsUs, 1L, cents))
+              }
+            }
+            val tail = cur.get // rows is non-empty when not timed out
+            state.update(tail)
+            state.setTimeoutTimestamp(tail.lastUs / 1000L + segmentGapMs)
+            out.result().iterator
+          }
+      }.toDF()
+  }
+
+  /** The q107 driver entry: [[sessionSegments]] run to completion in
+    * Append mode. */
+  def sessionSegmentsBatch(spark: SparkSession, sfDir: String): DataFrame =
+    runToBatch(spark, sessionSegments(_, sfDir),
+      s"q107_segments_${runSeq.incrementAndGet()}", OutputMode.Append())
 }

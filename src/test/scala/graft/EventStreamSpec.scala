@@ -116,6 +116,39 @@ class EventStreamSpec extends AnyFunSuite {
     assert(missed == expectMissed)
   }
 
+  test("flatMapGroups segments match batch sessionize minus unfinalized tails") {
+    val got = EventStream.sessionSegmentsBatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // batch truth: q33's sessionize rule in plain Scala
+    val evs = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val wmMs = evs.map(_._2).max / 1000L - 3600000L
+    val gapUs = EventStream.segmentGapMs * 1000L
+    val expect = evs.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val sessions = sorted.foldLeft(Vector.empty[Vector[(Long, Long, Double)]]) {
+        case (acc, e) if acc.nonEmpty && e._2 - acc.last.last._2 <= gapUs =>
+          acc.init :+ (acc.last :+ e)
+        case (acc, e) => acc :+ Vector(e)
+      }
+      val finalized = sessions.init ++
+        sessions.lastOption.filter(s =>
+          s.last._2 / 1000L + EventStream.segmentGapMs <= wmMs)
+      finalized.map(s => (uid, s.head._2, s.last._2, s.length.toLong))
+    }.toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+    // the contract is meaningful: some tail sessions must be withheld
+    val allSessions = expect.size +
+      evs.map(_._1).distinct.count { uid =>
+        val last = evs.filter(_._1 == uid).map(_._2).max
+        last / 1000L + EventStream.segmentGapMs > wmMs
+      }
+    assert(allSessions > expect.size, "fixture should withhold some tails")
+  }
+
   test("streaming agg resumes from its checkpoint: no loss, no reprocessing") {
     // the fault-tolerance contract behind every streaming entry: kill
     // a query mid-stream, restart from the same checkpoint, and the
