@@ -605,14 +605,24 @@ object SparkEntry {
                   o_orderpriority AS prio, o_orderstatus AS status_val,
                   'status,prio' AS keys_csv,
                   o_orderstatus || '|' || o_orderpriority AS vals_csv,
-                  CAST(2 AS INTEGER) AS n_tags
+                  CAST(2 AS INTEGER) AS n_tags,
+                  'status=' || o_orderstatus AS kv_status,
+                  'STATUS,PRIO' AS upper_keys_csv,
+                  CAST(1 AS INTEGER) AS n_prio_only,
+                  o_orderstatus || '~' || lower(o_orderstatus) AS zip_status,
+                  CAST(3 AS INTEGER) AS n_concat,
+                  'status' AS first_key
            FROM orders)
          SELECT o_orderkey, price, prio, status_val, keys_csv, vals_csv,
-                n_tags, 'status' AS tag_key, status_val AS tag_val
+                n_tags, kv_status, upper_keys_csv, n_prio_only, zip_status,
+                n_concat, first_key,
+                'status' AS tag_key, status_val AS tag_val
          FROM base
          UNION ALL
          SELECT o_orderkey, price, prio, status_val, keys_csv, vals_csv,
-                n_tags, 'prio' AS tag_key, prio AS tag_val
+                n_tags, kv_status, upper_keys_csv, n_prio_only, zip_status,
+                n_concat, first_key,
+                'prio' AS tag_key, prio AS tag_val
          FROM base""",
     // q96: unicode semantics — dialect pins: DuckDB length() counts
     // codepoints like Spark's length (bytes need octet_length over

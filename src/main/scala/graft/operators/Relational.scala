@@ -865,6 +865,22 @@ object Relational {
         array_join(map_keys(col("tags")), ",").as("keys_csv"),
         array_join(map_values(col("tags")), "|").as("vals_csv"),
         size(col("tags")).as("n_tags"),
+        // map higher-order functions — the lambda surface over maps
+        // (keys/values/entries rewrites without explode-regroup)
+        element_at(transform_values(col("tags"),
+          (k, v) => concat(k, lit("="), v)), lit("status")).as("kv_status"),
+        array_join(map_keys(transform_keys(col("tags"),
+          (k, _) => upper(k))), ",").as("upper_keys_csv"),
+        size(map_filter(col("tags"), (k, _) => k === "prio"))
+          .as("n_prio_only"),
+        element_at(map_zip_with(col("tags"),
+            transform_values(col("tags"), (_, v) => lower(v)),
+            (_, a, b) => concat(a, lit("~"), b)), lit("status"))
+          .as("zip_status"),
+        size(map_concat(col("tags"), map(lit("extra"), lit("1"))))
+          .as("n_concat"),
+        element_at(map_entries(col("tags")), 1).getField("key")
+          .as("first_key"),
         explode(col("tags")).as(Seq("tag_key", "tag_val")))
     }
 
