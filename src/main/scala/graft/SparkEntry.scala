@@ -66,6 +66,7 @@ object SparkEntry {
     "q87_rolling_window" -> (Relational.rollingWindow _),
     "q104_forward_fill" -> (Relational.forwardFill _),
     "q88_table_diff" -> (Relational.tableDiff _),
+    "q108_scd2_merge" -> (Relational.scd2Merge _),
     "q90_subqueries" -> (Relational.correlatedSubqueries _),
     "q92_array_funcs" -> (Relational.arrayFuncs _),
     "q94_regex_funcs" -> (Relational.regexFuncs _),
@@ -563,6 +564,42 @@ object SparkEntry {
                   OR CAST(v1.value AS DECIMAL(18,2))
                      <> CAST(v2.value AS DECIMAL(18,2)) THEN 'changed'
            END IS NOT NULL""",
+    // q108: SCD2 snapshot merge — the apply step of q88's diff. The
+    // oracle constructs the merged history by three-way UNION ALL
+    // (closed / carried / opened) over the replayed snapshot
+    // mutations; the Spark side must reach the identical history
+    // through its single full-outer join + fingerprint compare.
+    "q108_scd2_merge" ->
+      """WITH snap AS (
+           SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN 'CHANGED'
+                  ELSE c_mktsegment END AS c_mktsegment,
+             c_nationkey
+           FROM customer WHERE c_custkey % 101 <> 0
+           UNION ALL
+           SELECT c_custkey + 1000000, c_mktsegment, c_nationkey
+           FROM customer WHERE c_custkey % 103 = 0),
+         hist AS (SELECT c_custkey, c_mktsegment, c_nationkey FROM customer)
+         SELECT h.c_custkey, h.c_mktsegment, h.c_nationkey,
+           DATE '2020-01-01' AS valid_from,
+           DATE '2021-01-01' AS valid_to, FALSE AS is_current
+         FROM hist h LEFT JOIN snap s USING (c_custkey)
+         WHERE s.c_custkey IS NULL
+            OR s.c_mktsegment <> h.c_mktsegment
+            OR s.c_nationkey <> h.c_nationkey
+         UNION ALL
+         SELECT h.c_custkey, h.c_mktsegment, h.c_nationkey,
+           DATE '2020-01-01', CAST(NULL AS DATE), TRUE
+         FROM hist h JOIN snap s USING (c_custkey)
+         WHERE s.c_mktsegment = h.c_mktsegment
+           AND s.c_nationkey = h.c_nationkey
+         UNION ALL
+         SELECT s.c_custkey, s.c_mktsegment, s.c_nationkey,
+           DATE '2021-01-01', CAST(NULL AS DATE), TRUE
+         FROM snap s LEFT JOIN hist h USING (c_custkey)
+         WHERE h.c_custkey IS NULL
+            OR h.c_mktsegment <> s.c_mktsegment
+            OR h.c_nationkey <> s.c_nationkey""",
     // q90: identical SQL text both engines — correlated scalar
     // subqueries, correlated EXISTS, NOT IN. COUNT(*) scalar subquery
     // returns 0 (not NULL) for customers with no orders in BOTH

@@ -619,6 +619,62 @@ object Relational {
       .select(col("event_id"), col("change"))
   }
 
+  /** SCD2 snapshot merge (q108): applies a new dimension snapshot
+    * (as-of 2021-01-01) to a type-2 slowly-changing history — the
+    * apply step q88's diff classifies. Per key: changed attrs close
+    * the open row (valid_to = as-of, is_current = false) and open a
+    * new version; absent keys close as deletes; new keys open; an
+    * unchanged key carries its open row forward. Change detection
+    * compares an md5 ATTRIBUTE FINGERPRINT, so a 300-column dim
+    * narrows to (key, 16 bytes) in the compare. The whole merge is
+    * ONE full-outer join on the key (one shuffle); each joined key
+    * emits its 0–2 output rows in a single pass via explode-of-array
+    * rather than re-running the join per branch (closed/carried/
+    * opened) — the RelationalSpec plan assert pins exactly one join.
+    * At 100 TB the history is partitioned by is_current, so only the
+    * open slice (≈ one row per live key) is ever read or joined; the
+    * closed majority is untouched. History = `customer` as-of
+    * 2020-01-01; snapshot replays q88's mutation device (drop %101 →
+    * deletes, re-segment %7 → changes, re-key %103 → inserts).
+    */
+  def scd2Merge(spark: SparkSession, sfDir: String): DataFrame = {
+    val epoch = lit(java.sql.Date.valueOf("2020-01-01"))
+    val asOf = lit(java.sql.Date.valueOf("2021-01-01"))
+    val openEnd = lit(null).cast("date")
+    val cust = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+    val snap = cust.filter(col("c_custkey") % 101 =!= 0)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 7 === 0, lit("CHANGED"))
+          .otherwise(col("c_mktsegment")))
+      .union(cust.filter(col("c_custkey") % 103 === 0)
+        .withColumn("c_custkey", col("c_custkey") + lit(1000000L)))
+    def fp = md5(concat_ws("|", col("c_mktsegment"), col("c_nationkey")))
+    val h = cust.withColumn("fp_h", fp)
+      .withColumnRenamed("c_mktsegment", "seg_h")
+      .withColumnRenamed("c_nationkey", "nat_h")
+    val s = snap.withColumn("fp_s", fp)
+      .withColumnRenamed("c_mktsegment", "seg_s")
+      .withColumnRenamed("c_nationkey", "nat_s")
+    val changed = col("fp_h") =!= col("fp_s") // NULL when either side absent
+    h.join(s, Seq("c_custkey"), "full_outer")
+      .select(col("c_custkey"), explode(array(
+        when(col("fp_h").isNotNull && (col("fp_s").isNull || changed),
+          struct(col("seg_h").as("c_mktsegment"), col("nat_h").as("c_nationkey"),
+            epoch.as("valid_from"), asOf.as("valid_to"),
+            lit(false).as("is_current"))),
+        when(col("fp_h") === col("fp_s"),
+          struct(col("seg_h").as("c_mktsegment"), col("nat_h").as("c_nationkey"),
+            epoch.as("valid_from"), openEnd.as("valid_to"),
+            lit(true).as("is_current"))),
+        when(col("fp_s").isNotNull && (col("fp_h").isNull || changed),
+          struct(col("seg_s").as("c_mktsegment"), col("nat_s").as("c_nationkey"),
+            asOf.as("valid_from"), openEnd.as("valid_to"),
+            lit(true).as("is_current"))))).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("c_custkey"), col("r.*"))
+  }
+
   /** Gap-based sessionization: a new session starts when a user is
     * idle longer than `gapSeconds`; session index = running count of
     * session starts. One shuffle on user_id; integer epoch math keeps

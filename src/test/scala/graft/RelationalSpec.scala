@@ -152,6 +152,42 @@ class RelationalSpec extends AnyFunSuite {
     assert(byChange("changed") == ids.filter(i => i % 7 == 0 && i % 101 != 0))
   }
 
+  test("scd2 merge: per-key row shapes match the planted mutations; one join total") {
+    val df = Relational.scd2Merge(spark, sf)
+    val rows = df.collect()
+    val byKey = rows.groupBy(_.getLong(0))
+    val keys = graft.sources.Tables.load(spark, sf, "customer")
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    keys.foreach { k =>
+      val mine = byKey(k).map(r => (r.getDate(3).toString,
+        Option(r.getDate(4)).map(_.toString), r.getBoolean(5))).toSet
+      if (k % 101 == 0)
+        // deleted: single closed row
+        assert(mine == Set(("2020-01-01", Some("2021-01-01"), false)), s"key $k")
+      else if (k % 7 == 0)
+        // changed: closed old version + open new version
+        assert(mine == Set(
+          ("2020-01-01", Some("2021-01-01"), false),
+          ("2021-01-01", None, true)), s"key $k")
+      else
+        // unchanged: open row carried forward
+        assert(mine == Set(("2020-01-01", None, true)), s"key $k")
+    }
+    // inserts (%103 re-keyed) open at the as-of date
+    keys.filter(_ % 103 == 0).foreach { k =>
+      val ins = byKey(k + 1000000L)
+      assert(ins.length == 1 && ins.head.getBoolean(5)
+        && ins.head.getDate(3).toString == "2021-01-01", s"insert $k")
+    }
+    // the scale contract: the whole merge is ONE join (one key
+    // shuffle), not one join per output branch
+    // AQE prints Final + Initial plans; count joins in the final only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val nJoins = "MergeJoin|HashJoin".r.findAllIn(plan).length
+    assert(nJoins == 1, s"expected exactly 1 join, got $nJoins in:\n$plan")
+  }
+
   test("regex funcs: digits fully masked, extraction round-trips the key") {
     val rows = Relational.regexFuncs(spark, sf).collect()
     assert(rows.nonEmpty)
