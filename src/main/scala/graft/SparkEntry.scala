@@ -67,6 +67,7 @@ object SparkEntry {
     "q104_forward_fill" -> (Relational.forwardFill _),
     "q88_table_diff" -> (Relational.tableDiff _),
     "q108_scd2_merge" -> (Relational.scd2Merge _),
+    "q109_profile" -> (Relational.profileTable _),
     "q90_subqueries" -> (Relational.correlatedSubqueries _),
     "q92_array_funcs" -> (Relational.arrayFuncs _),
     "q94_regex_funcs" -> (Relational.regexFuncs _),
@@ -600,6 +601,30 @@ object SparkEntry {
          WHERE h.c_custkey IS NULL
             OR h.c_mktsegment <> s.c_mktsegment
             OR h.c_nationkey <> s.c_nationkey""",
+    // q109: column profiling — the oracle computes each column's
+    // stats as its own SELECT over the shared raw view (nulls
+    // replayed per q103's device) and stacks them with UNION ALL;
+    // the Spark side must reach identical rows through one aggregate
+    // pass + unpivot. Price profiles as DECIMAL(18,2), date as DATE,
+    // so min/max strings render identically in both engines.
+    "q109_profile" ->
+      ("""WITH raw AS (
+           SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                  ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 89 = 0 THEN NULL
+                  ELSE CAST(o_totalprice AS DECIMAL(18,2))
+             END AS o_totalprice,
+             CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+           FROM orders)
+         """ + Seq("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority").map(c =>
+        s"""SELECT '$c' AS column_name,
+            COUNT(*) - COUNT($c) AS n_nulls,
+            COUNT(DISTINCT $c) AS n_distinct,
+            CAST(MIN($c) AS VARCHAR) AS min_value,
+            CAST(MAX($c) AS VARCHAR) AS max_value FROM raw""")
+        .mkString("\nUNION ALL\n")),
     // q90: identical SQL text both engines — correlated scalar
     // subqueries, correlated EXISTS, NOT IN. COUNT(*) scalar subquery
     // returns 0 (not NULL) for customers with no orders in BOTH

@@ -675,6 +675,50 @@ object Relational {
       .select(col("c_custkey"), col("r.*"))
   }
 
+  /** Column profiling (q109): per-column null count, exact distinct
+    * count, and min/max over a raw-ingest view — the ANALYZE/data-
+    * quality summary every warehouse runs before trusting a load.
+    * ONE aggregate pass computes all 24 statistics (6 columns × 4),
+    * then the 1-row wide result flips to one-row-per-column long form
+    * via the built-in `unpivot` (melt) relational op — the wide→long
+    * surface no other entry exercises; the struct-typed value column
+    * carries all four stats through a single unpivot. Exact
+    * multi-column COUNT(DISTINCT) makes Catalyst Expand the input
+    * (one duplicated row per distinct agg) — correct here because the
+    * oracle needs exact counts, but the 100 TB path swaps
+    * `approx_count_distinct` (single-pass HLL, no Expand) per column;
+    * the unpivot itself runs on ONE row, so the reshape is free.
+    * Nulls are staged by replaying q103's injection device (%97
+    * status, %89 price); price enters min/max as DECIMAL(18,2) and
+    * the date as DATE so both engines render identical strings.
+    */
+  def profileTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Tables.load(spark, sfDir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      when(col("o_orderkey") % 97 === 0, lit(null))
+        .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+      when(col("o_orderkey") % 89 === 0, lit(null))
+        .otherwise(col("o_totalprice"))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2))
+        .as("o_totalprice"),
+      col("o_orderdate").cast("date").as("o_orderdate"),
+      col("o_orderpriority"))
+    val cols = raw.columns.toSeq
+    val aggExprs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      min(col(c)).cast("string").as(s"mn_$c"),
+      max(col(c)).cast("string").as(s"mx_$c")))
+    raw.agg(aggExprs.head, aggExprs.tail: _*)
+      .select(cols.map(c => struct(
+        (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
+        col(s"nd_$c").as("n_distinct"),
+        col(s"mn_$c").as("min_value"),
+        col(s"mx_$c").as("max_value")).as(c)): _*)
+      .unpivot(Array.empty, cols.map(col).toArray, "column_name", "p")
+      .select(col("column_name"), col("p.*"))
+  }
+
   /** Gap-based sessionization: a new session starts when a user is
     * idle longer than `gapSeconds`; session index = running count of
     * session starts. One shuffle on user_id; integer epoch math keeps

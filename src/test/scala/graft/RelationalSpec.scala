@@ -188,6 +188,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(nJoins == 1, s"expected exactly 1 join, got $nJoins in:\n$plan")
   }
 
+  test("column profile: stats match the planted nulls and table cardinality") {
+    val rows = Relational.profileTable(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.size == 6)
+    val orders = graft.sources.Tables.load(spark, sf, "orders")
+    val n = orders.count()
+    val keys = orders.select(col("o_orderkey")).collect().map(_.getLong(0))
+    // injected nulls counted exactly; key column fully dense + unique
+    assert(rows("o_orderstatus").getLong(1) == keys.count(_ % 97 == 0))
+    assert(rows("o_totalprice").getLong(1) == keys.count(_ % 89 == 0))
+    assert(rows("o_orderkey").getLong(1) == 0L)
+    assert(rows("o_orderkey").getLong(2) == n)
+    assert(rows("o_orderkey").getString(3).toLong == keys.min)
+    assert(rows("o_orderkey").getString(4).toLong == keys.max)
+  }
+
   test("regex funcs: digits fully masked, extraction round-trips the key") {
     val rows = Relational.regexFuncs(spark, sf).collect()
     assert(rows.nonEmpty)
