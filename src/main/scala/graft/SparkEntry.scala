@@ -85,6 +85,7 @@ object SparkEntry {
     "q55_grouping_sets" -> (Relational.groupingSetsAgg _),
     "q77_null_semantics" -> (Relational.nullSemantics _),
     "q78_sorted_write" -> (ReferenceQueries.sortedWriteLifecycle _),
+    "q110_zorder" -> (ReferenceQueries.zorderLayout _),
     "q79_datetime_funcs" -> (Relational.dateTimeFuncs _),
     "q80_decimal_agg" -> (Relational.decimalAgg _),
     "q97_dec_probe_minmax" -> (Relational.decimalProbeMinMax _),
@@ -848,6 +849,23 @@ object SparkEntry {
          CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC)
            AS BIGINT) AS global_rank
          FROM orders""",
+    // q110: z-order layout — the oracle recomputes the 16-bit-per-
+    // dimension interleave bit-for-bit (generated shift/and/add
+    // terms, BIGINT shifts); the Spark side must deliver identical
+    // z-values through its curve-sorted parquet render.
+    "q110_zorder" ->
+      ("""WITH base AS (
+           SELECT event_id, user_id,
+             epoch_us(ts) // 86400000000 AS day_bin,
+             user_id & 65535 AS x,
+             (epoch_us(ts) // 86400000000) & 65535 AS y
+           FROM events)
+         SELECT event_id, user_id, day_bin, """ +
+        (0 until 16).map(i =>
+          s"((x >> $i) & 1) * (1::BIGINT << ${2 * i}) + " +
+            s"((y >> $i) & 1) * (1::BIGINT << ${2 * i + 1})")
+          .mkString("\n           + ") +
+        " AS z_value FROM base"),
     // q79: date/time function breadth. Numbering pin: DuckDB dayofweek
     // is 0=Sunday..6, Spark's is 1=Sunday..7 — the oracle adds 1.
     "q79_datetime_funcs" ->

@@ -485,6 +485,48 @@ object ReferenceQueries {
         (col("earlier") + col("ri") + 1).as("global_rank"))
   }
 
+  /** Bit-interleaved z-value over two non-negative integer
+    * dimensions, `bits` bits each — the space-filling-curve key
+    * behind multi-dimensional clustering (Delta/Iceberg OPTIMIZE
+    * ZORDER). Pure codegen'd integer arithmetic (shift/and/add), no
+    * UDF.
+    */
+  def zorderValue(xC: Column, yC: Column, bits: Int = 16): Column = {
+    val mask = lit((1L << bits) - 1)
+    val x = xC.bitwiseAND(mask)
+    val y = yC.bitwiseAND(mask)
+    (0 until bits).map { i =>
+      shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Z-order layout lifecycle (q110): q78's sorted write, but sorted
+    * by a SPACE-FILLING CURVE over (user_id, day) instead of one
+    * column — the layout that lets row-group min/max stats prune
+    * selective predicates on EITHER dimension, where a single-column
+    * sort prunes only its own column (SourcesSpec proves the contrast
+    * with scan-delivered row counts). At 100 TB this is the periodic
+    * layout-maintenance job for a table queried by both user and
+    * time. The driver entry pins the interleave arithmetic exactly:
+    * the oracle recomputes every z-value bit-for-bit in SQL, and the
+    * read-back goes through the rendered parquet so the value
+    * survives the write. Day bins stay under 2^16 until year 2149 —
+    * no wrap at any fixture or production scale.
+    */
+  def zorderLayout(spark: SparkSession, sfDir: String): DataFrame =
+    Scratch.withScratch(spark, "q110_zorder", sfDir) { dir =>
+      val ev = Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day_bin"))
+        .withColumn("z_value", zorderValue(col("user_id"), col("day_bin")))
+      graft.sinks.Sinks.writeSortedParquetBy(
+        ev, dir, Seq("z_value", "event_id"), partitions = 8)
+      spark.read.parquet(dir)
+        .select(col("event_id"), col("user_id"), col("day_bin"),
+          col("z_value"))
+    }
+
   def partitionPrunedAgg(spark: SparkSession, sfDir: String): DataFrame =
     Scratch.withScratch(spark, "q64_part", sfDir) { dir =>
       Tables.load(spark, sfDir, "events")

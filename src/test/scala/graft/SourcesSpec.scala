@@ -203,6 +203,59 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order layout prunes row groups on BOTH dimensions; single-column sort only on its own") {
+    // The q110 claim, measured: a z-curve sort lets min/max stats
+    // skip row groups for selective predicates on EITHER interleaved
+    // dimension, where a y-only sort leaves x min/max spanning every
+    // group. Dense 32x32 grid derived from event_id so the geometry
+    // is exact at fixture scale; tiny row groups (~100 rows over a
+    // ~102-cell z run ≈ one 8x16 curve quadrant) make per-group
+    // dimension ranges narrow enough to measure.
+    import org.apache.spark.sql.functions._
+    val grid = Tables.load(spark, SparkTestSession.sf, "events")
+      .select(col("event_id"),
+        (col("event_id") % 32).as("x"),
+        (col("event_id") / 32).cast("long").bitwiseAND(lit(31L)).as("y"))
+      .withColumn("z", graft.operators.ReferenceQueries.zorderValue(col("x"), col("y")))
+    val total = grid.count()
+
+    def delivered(dir: String, pred: org.apache.spark.sql.Column): (Long, Long) = {
+      val df = spark.read.parquet(dir).filter(pred)
+      val matched = df.collect().length.toLong
+      val scan = df.queryExecution.executedPlan.collectLeaves().head
+      (matched, scan.metrics("numOutputRows").value)
+    }
+
+    val root = Files.createTempDirectory("graft-zorder").toString
+    try {
+      val tinyGroups = Map(
+        "parquet.block.size" -> "2048", "parquet.page.size" -> "1024")
+      grid.repartitionByRange(1, col("z")).sortWithinPartitions("z")
+        .write.options(tinyGroups).parquet(s"$root/zsorted")
+      grid.repartitionByRange(1, col("y")).sortWithinPartitions("y")
+        .write.options(tinyGroups).parquet(s"$root/ysorted")
+
+      val xPred = col("x") < 8
+      val yPred = col("y") < 8
+      val expectedX = grid.filter(xPred).count()
+      val (zxMatch, zxDel) = delivered(s"$root/zsorted", xPred)
+      val (yxMatch, yxDel) = delivered(s"$root/ysorted", xPred)
+      val (_, zyDel) = delivered(s"$root/zsorted", yPred)
+      val (_, yyDel) = delivered(s"$root/ysorted", yPred)
+      assert(zxMatch == expectedX && yxMatch == expectedX)
+      // y-sort cannot prune on x: every group spans the x range
+      assert(yxDel > (total * 9) / 10, s"y-sort x-pred delivered $yxDel of $total")
+      // z-sort prunes on x — the dimension no single sort column holds
+      assert(zxDel < (total * 3) / 4, s"z-sort x-pred delivered $zxDel of $total")
+      // and still prunes on y (y-sort is the unbeatable floor there)
+      assert(zyDel < (total * 3) / 4, s"z-sort y-pred delivered $zyDel of $total")
+      assert(yyDel <= zyDel)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(root)).deleteRecursively()
+    }
+  }
+
   test("events.ts converts to a real timestamp (nanos parquet)") {
     val df = Tables.load(spark, SparkTestSession.sf, "events")
     assert(df.schema("ts").dataType ==
