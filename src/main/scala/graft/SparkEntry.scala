@@ -102,6 +102,7 @@ object SparkEntry {
     "q44_neardup_clusters" -> ((s: SparkSession, d: String) => Dedup.nearDupSurvivors(s, d)),
     "q83_decontaminate" -> ((s: SparkSession, d: String) => Dedup.decontaminationPairs(s, d)),
     "q100_line_dedup" -> ((s: SparkSession, d: String) => Dedup.lineDedup(s, d)),
+    "q111_fuzzy_link" -> (Dedup.fuzzyLinkage _),
     "q45_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.minhashIncrementalVerified(s, d)),
     "q46_incremental_persisted" -> ((s: SparkSession, d: String) => Dedup.minhashIncrementalPersisted(s, d)),
     // --- streaming (Structured Streaming run to completion) ---
@@ -1105,6 +1106,25 @@ object SparkEntry {
          FROM sh t JOIN sh e ON t.shingle = e.shingle
          WHERE t.doc_id % 97 <> 0 AND e.doc_id % 97 = 0
          GROUP BY 1, 2""",
+    // q111: fuzzy record linkage — the oracle brute-forces all
+    // (dirty, clean) pairs under a length-band prefilter and exact
+    // levenshtein <= 1; the Spark side must surface the identical
+    // pair set through its deletion-neighborhood blocking (the
+    // blocking is complete for distance <= 1, so the sets agree).
+    "q111_fuzzy_link" ->
+      """WITH clean AS (SELECT p_partkey AS clean_id, p_name AS name FROM part),
+         dirty AS (
+           SELECT p_partkey + 100000 AS dirty_id,
+             CASE p_partkey % 3
+               WHEN 0 THEN '#' || substring(p_name, 2)
+               WHEN 1 THEN '#' || p_name
+               ELSE substring(p_name, 2) END AS name
+           FROM part WHERE p_partkey % 13 = 0)
+         SELECT d.dirty_id, c.clean_id,
+           CAST(levenshtein(d.name, c.name) AS BIGINT) AS dist
+         FROM dirty d JOIN clean c
+           ON abs(length(d.name) - length(c.name)) <= 1
+          AND levenshtein(d.name, c.name) <= 1""",
     // q100: line-level boilerplate dedup — lines are 10-word chunks
     // plus the injected header (doc_id%3=0, pos 0) and footer
     // (doc_id%5=0, pos 1000000); lines appearing > 5 times across the

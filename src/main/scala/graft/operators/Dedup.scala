@@ -266,6 +266,50 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
 
+  /** Fuzzy record linkage (q111): match a dirty ingest batch against
+    * a clean registry at edit distance <= 1 WITHOUT the O(n*m)
+    * all-pairs levenshtein — SymSpell-style DELETION-NEIGHBORHOOD
+    * blocking. Each name emits itself plus every single-character
+    * deletion (L+1 short keys); any substitution, insertion, or
+    * deletion between two names forces a shared key, so the key
+    * equi-join is a COMPLETE candidate generator for distance <= 1
+    * (k > 1 generalizes by deleting up to k characters). Candidates
+    * dedup before the exact levenshtein verify, so the quadratic
+    * metric runs only on the few key-collisions. At 100 TB: the
+    * shuffle carries n*(L+1) short strings instead of n*m pairs, and
+    * the registry side can be the small broadcast build. The dirty
+    * batch replays deterministic typos ('#' substitution / prepend /
+    * first-char deletion on %13 keys) so the oracle brute-forces the
+    * same ground truth under a length-band prefilter.
+    */
+  def fuzzyLinkage(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = Tables.load(spark, sfDir, "part")
+    val clean = part.select(
+      col("p_partkey").as("clean_id"), col("p_name").as("name"))
+    val dirty = part.filter(col("p_partkey") % 13 === 0)
+      .select((col("p_partkey") + 100000).as("dirty_id"),
+        when(col("p_partkey") % 3 === 0,
+          concat(lit("#"), expr("substring(p_name, 2)")))
+          .when(col("p_partkey") % 3 === 1, concat(lit("#"), col("p_name")))
+          .otherwise(expr("substring(p_name, 2)")).as("name"))
+    // name + every single-char deletion, deduped (repeated letters
+    // collapse to the same key)
+    def delKeys(df: DataFrame, id: String, nameOut: String) =
+      df.select(col(id), col("name").as(nameOut),
+        explode(array_union(array(col("name")),
+          transform(sequence(lit(1), length(col("name"))), i =>
+            concat(col("name").substr(lit(1), i - lit(1)),
+              col("name").substr(i + lit(1), length(col("name")) - i)))))
+          .as("k"))
+    delKeys(dirty, "dirty_id", "dn")
+      .join(delKeys(clean, "clean_id", "cn"), "k")
+      .select(col("dirty_id"), col("clean_id"), col("dn"), col("cn"))
+      .dropDuplicates("dirty_id", "clean_id")
+      .filter(levenshtein(col("dn"), col("cn")) <= 1)
+      .select(col("dirty_id"), col("clean_id"),
+        levenshtein(col("dn"), col("cn")).cast("long").as("dist"))
+  }
+
   /** INCREMENTAL near-dup: pairs that involve at least one NEW doc,
     * against a persisted signature corpus — the shape a daily 100 TB
     * ingest needs: signatures for history are READ (tiny: 64 longs per

@@ -389,6 +389,38 @@ class DedupSpec extends AnyFunSuite {
       s"count partials must not carry line text:\n$plan")
   }
 
+  test("fuzzy linkage: deletion-neighborhood blocking is complete vs brute force") {
+    import graft.sources.Tables
+    val sf = SparkTestSession.sf
+    val got = graft.operators.Dedup.fuzzyLinkage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute-force ground truth on the fixture
+    val clean = Tables.load(spark, sf, "part")
+      .select(col("p_partkey"), col("p_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i max j)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = (d(i - 1)(j) + 1) min (d(i)(j - 1) + 1) min
+          (d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val dirty = clean.filter(_._1 % 13 == 0).map { case (k, n) =>
+      val typo = (k % 3) match {
+        case 0 => "#" + n.drop(1)
+        case 1 => "#" + n
+        case _ => n.drop(1)
+      }
+      (k + 100000L, typo)
+    }
+    val want = (for {
+      (did, dn) <- dirty; (cid, cn) <- clean
+      d = lev(dn, cn) if d <= 1
+    } yield (did, cid, d.toLong)).toSet
+    assert(want.nonEmpty && got == want,
+      s"blocked=${got.size} brute=${want.size} missing=${(want -- got).take(3)}")
+  }
+
   test("hyperplane plane families are disjoint across offsets") {
     import graft.functions.VectorExpressions.lsh_bucket
     val df = Seq((1L, Array.fill(16)(0.5f))).toDF("vec_id", "embedding")
