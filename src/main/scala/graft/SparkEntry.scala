@@ -68,6 +68,7 @@ object SparkEntry {
     "q88_table_diff" -> (Relational.tableDiff _),
     "q108_scd2_merge" -> (Relational.scd2Merge _),
     "q109_profile" -> (Relational.profileTable _),
+    "q112_funnel" -> (Relational.funnel _),
     "q90_subqueries" -> (Relational.correlatedSubqueries _),
     "q92_array_funcs" -> (Relational.arrayFuncs _),
     "q94_regex_funcs" -> (Relational.regexFuncs _),
@@ -603,6 +604,34 @@ object SparkEntry {
          WHERE h.c_custkey IS NULL
             OR h.c_mktsegment <> s.c_mktsegment
             OR h.c_nationkey <> s.c_nationkey""",
+    // q112: funnel — the oracle builds the conversion chain level by
+    // level (min qualified step k within 48 h of min qualified step
+    // k-1); the Spark side must reach identical times through its
+    // one-shuffle running-min formulation (equivalent because running
+    // mins are non-increasing — see Relational.funnel scaladoc).
+    "q112_funnel" ->
+      """WITH l1 AS (
+           SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+           FROM events GROUP BY user_id),
+         l2 AS (
+           SELECT e.user_id,
+             MIN(CASE WHEN e.event_type = 'click' AND e.ts > l1.t1
+                  AND e.ts <= l1.t1 + INTERVAL 48 HOURS
+                  THEN e.ts END) AS t2
+           FROM events e JOIN l1 USING (user_id)
+           GROUP BY e.user_id, l1.t1),
+         l3 AS (
+           SELECT e.user_id,
+             MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > l2.t2
+                  AND e.ts <= l2.t2 + INTERVAL 48 HOURS
+                  THEN e.ts END) AS t3
+           FROM events e JOIN l2 USING (user_id)
+           GROUP BY e.user_id, l2.t2)
+         SELECT l1.user_id, l1.t1, l2.t2, l3.t3,
+           CAST(CASE WHEN l1.t1 IS NULL THEN 0 WHEN l2.t2 IS NULL THEN 1
+                WHEN l3.t3 IS NULL THEN 2 ELSE 3 END AS BIGINT) AS steps
+         FROM l1 JOIN l2 USING (user_id) JOIN l3 USING (user_id)""",
     // q109: column profiling — the oracle computes each column's
     // stats as its own SELECT over the shared raw view (nulls
     // replayed per q103's device) and stacks them with UNION ALL;

@@ -719,6 +719,48 @@ object Relational {
       .select(col("column_name"), col("p.*"))
   }
 
+  /** Funnel analysis (q112): per-user ordered sequence match
+    * view → click → purchase, each step within 48 h of the previous —
+    * the product-analytics conversion query. The naive form is one
+    * self-join per step (k shuffles, k fact-fact joins); this runs in
+    * ONE shuffle + sort: running-min windows give each event the
+    * earliest qualifying PREVIOUS step seen so far (t1_run = min view
+    * ≤ t; a click qualifies iff it lands in (t1_run, t1_run + 48 h]),
+    * and because running mins are non-increasing these per-row
+    * conditions are exactly equivalent to the global "min qualified
+    * step k within window of min qualified step k-1" the oracle
+    * computes level-by-level. Both window passes share one partition
+    * sort, and the final per-user aggregate reuses the window's hash
+    * partitioning — `.explain` shows a single Exchange. Integer
+    * microsecond arithmetic keeps the window boundary engine-exact.
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val stepUs = 48L * 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.load(spark, sfDir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("t1_run",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("click_ok",
+        when(col("event_type") === "click" && col("us") > col("t1_run") &&
+          col("us") <= col("t1_run") + stepUs, col("us")))
+      .withColumn("t2_run", min(col("click_ok")).over(w))
+      .withColumn("purch_ok",
+        when(col("event_type") === "purchase" && col("us") > col("t2_run") &&
+          col("us") <= col("t2_run") + stepUs, col("us")))
+      .groupBy(col("user_id"))
+      .agg(
+        timestamp_micros(min(when(col("event_type") === "view", col("us"))))
+          .as("t1"),
+        timestamp_micros(min(col("click_ok"))).as("t2"),
+        timestamp_micros(min(col("purch_ok"))).as("t3"))
+      .withColumn("steps",
+        when(col("t1").isNull, 0L).when(col("t2").isNull, 1L)
+          .when(col("t3").isNull, 2L).otherwise(3L))
+  }
+
   /** Gap-based sessionization: a new session starts when a user is
     * idle longer than `gapSeconds`; session index = running count of
     * session starts. One shuffle on user_id; integer epoch math keeps

@@ -204,6 +204,28 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows("o_orderkey").getString(4).toLong == keys.max)
   }
 
+  test("funnel: one exchange total; step times form a windowed chain") {
+    val df = Relational.funnel(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val stepUs = 48L * 3600L * 1000000L
+    rows.foreach { r =>
+      val Seq(t1, t2, t3) = Seq(1, 2, 3).map(i =>
+        Option(r.getTimestamp(i)).map(ts =>
+          ts.getTime / 1000 * 1000000 + ts.getNanos / 1000))
+      val steps = r.getLong(4)
+      // steps counts the unbroken prefix
+      assert(steps == Seq(t1, t2, t3).takeWhile(_.isDefined).length)
+      for (a <- t1; b <- t2) assert(b > a && b <= a + stepUs)
+      for (b <- t2; c <- t3) assert(c > b && c <= b + stepUs)
+    }
+    // the whole funnel (2 window passes + final agg) is ONE shuffle
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nEx == 1, s"expected 1 exchange, got $nEx in:\n$plan")
+  }
+
   test("regex funcs: digits fully masked, extraction round-trips the key") {
     val rows = Relational.regexFuncs(spark, sf).collect()
     assert(rows.nonEmpty)
