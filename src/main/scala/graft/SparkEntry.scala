@@ -69,6 +69,7 @@ object SparkEntry {
     "q108_scd2_merge" -> (Relational.scd2Merge _),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
+    "q113_cohort" -> (Relational.cohortRetention _),
     "q90_subqueries" -> (Relational.correlatedSubqueries _),
     "q92_array_funcs" -> (Relational.arrayFuncs _),
     "q94_regex_funcs" -> (Relational.regexFuncs _),
@@ -604,6 +605,24 @@ object SparkEntry {
          WHERE h.c_custkey IS NULL
             OR h.c_mktsegment <> s.c_mktsegment
             OR h.c_nationkey <> s.c_nationkey""",
+    // q113: cohort retention — the oracle derives first-purchase
+    // cohorts with a groupBy + join-back; the Spark side must land on
+    // identical cells through its window formulation. Week truncs are
+    // ISO Mondays in both engines, so offsets divide exactly.
+    "q113_cohort" ->
+      """WITH p AS (
+           SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+         f AS (
+           SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+           FROM p GROUP BY user_id)
+         SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week,
+                 CAST(date_trunc('week', p.ts) AS DATE)) // 7 AS BIGINT)
+             AS week_offset,
+           CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users
+         FROM p JOIN f USING (user_id)
+         GROUP BY 1, 2""",
     // q112: funnel — the oracle builds the conversion chain level by
     // level (min qualified step k within 48 h of min qualified step
     // k-1); the Spark side must reach identical times through its

@@ -761,6 +761,32 @@ object Relational {
           .when(col("t3").isNull, 2L).otherwise(3L))
   }
 
+  /** Cohort retention (q113): users cohorted by FIRST-purchase week,
+    * counted distinct per (cohort_week, weeks-since-cohort) — the
+    * retention-matrix query behind every growth dashboard. The
+    * first-seen timestamp comes from a min-over-user WINDOW on the
+    * purchase stream rather than a groupBy + self-join back, so the
+    * cohort assignment costs the same single user-keyed shuffle the
+    * naive form spends on its aggregate alone and skips the join
+    * entirely; the retention cell aggregate then re-keys by
+    * (cohort, offset) — two key shuffles total, both unavoidable
+    * (different keys), plus the internal expansion COUNT(DISTINCT)
+    * always costs. Week arithmetic stays integer (both week-truncs
+    * are Mondays, so the day diff is an exact multiple of 7).
+    */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    Tables.load(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .withColumn("cohort_week",
+        date_trunc("week", min(col("ts")).over(byUser)).cast("date"))
+      .groupBy(col("cohort_week"),
+        (datediff(date_trunc("week", col("ts")).cast("date"),
+          col("cohort_week")) / 7).cast("long").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Gap-based sessionization: a new session starts when a user is
     * idle longer than `gapSeconds`; session index = running count of
     * session starts. One shuffle on user_id; integer epoch math keeps

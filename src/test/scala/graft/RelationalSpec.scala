@@ -226,6 +226,27 @@ class RelationalSpec extends AnyFunSuite {
     assert(nEx == 1, s"expected 1 exchange, got $nEx in:\n$plan")
   }
 
+  test("cohort retention: offset-0 cell is the cohort peak; offsets nonnegative") {
+    val cells = Relational.cohortRetention(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(cells.nonEmpty)
+    assert(cells.forall(_._2 >= 0))
+    // every user purchases in their cohort week by construction, so
+    // the offset-0 cell counts the whole cohort and no later offset
+    // in that cohort exceeds it
+    cells.groupBy(_._1).foreach { case (_, rows) =>
+      val at0 = rows.find(_._2 == 0L).map(_._3)
+      assert(at0.isDefined)
+      assert(rows.forall(_._3 <= at0.get))
+    }
+    // cohorts partition the purchasing users: offset-0 cells sum to
+    // the distinct purchaser count
+    val purchasers = graft.sources.Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().count()
+    assert(cells.filter(_._2 == 0L).map(_._3).sum == purchasers)
+  }
+
   test("regex funcs: digits fully masked, extraction round-trips the key") {
     val rows = Relational.regexFuncs(spark, sf).collect()
     assert(rows.nonEmpty)
