@@ -133,6 +133,7 @@ object SparkEntry {
     "q42_token_stats" -> (TextAnalysis.tokenStats _),
     "q43_fingerprint" -> (TextAnalysis.fingerprint _),
     "q61_tfidf_terms" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTerms(s, d)),
+    "q114_bm25" -> ((s: SparkSession, d: String) => TextAnalysis.bm25Search(s, d)),
     "q74_repetition" -> ((s: SparkSession, d: String) => TextAnalysis.repetitionStats(s, d)),
     "q75_redact_pii" -> (TextAnalysis.redactPii _),
     // --- training-set preparation ---
@@ -1395,6 +1396,29 @@ object SparkEntry {
     // q61: rank rows 1..k per doc by the exact IDF ratio — ln-free so
     // the score is one bit-portable double division; row_number under
     // a total order (score DESC, tok ASC) pins ties.
+    // q114: BM25 — identical formula shape both engines (a*b/c parses
+    // (a*b)/c in both); the float score compares as floor(x*1e6), all
+    // other columns integer-exact. Tokenization is normText's twin.
+    "q114_bm25" ->
+      s"""WITH d AS (
+           SELECT doc_id, string_split($normText, ' ') AS tks
+           FROM documents),
+         p AS (SELECT doc_id, CAST(len(tks) AS BIGINT) AS dl,
+                 UNNEST(['spark','query','merge','vector']) AS term, tks
+               FROM d),
+         q AS (SELECT doc_id, dl, term,
+                 CAST(len(list_filter(tks, x -> x = term)) AS BIGINT) AS tf
+               FROM p WHERE len(list_filter(tks, x -> x = term)) > 0),
+         dfreq AS (SELECT term, COUNT(*) AS df FROM q GROUP BY 1),
+         stats AS (SELECT COUNT(*) AS n_docs,
+                     AVG(CAST(len(tks) AS BIGINT)) AS avgdl FROM d)
+         SELECT q.term, q.doc_id, q.tf, dfreq.df, q.dl,
+           CAST(FLOOR(1000000 *
+             (ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (q.tf * 2.2)
+              / (q.tf + 1.2 * (0.25 + 0.75 * q.dl / stats.avgdl))))
+             AS BIGINT) AS score_micro
+         FROM q JOIN dfreq USING (term) CROSS JOIN stats""",
     "q61_tfidf_terms" ->
       s"""WITH toks AS (
            SELECT doc_id, UNNEST(string_split($normText, ' ')) AS tok

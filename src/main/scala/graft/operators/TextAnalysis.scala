@@ -112,6 +112,55 @@ object TextAnalysis {
         md5(normalizedText(col("text"))).as("fp"),
         substring(md5(normalizedText(col("text"))), 1, 8).as("fp_short"))
 
+  /** BM25 ranked retrieval (q114): score every document against a
+    * bounded query-term set — the search/relevance step a curation
+    * pipeline runs to pull topical subsets out of a corpus. Because
+    * the query terms are FEW and KNOWN, no inverted index and no
+    * (doc, token) corpus shuffle exists at all: each doc counts each
+    * term inside its own row (`transform` + `filter` higher-order
+    * functions over the token array, then `posexplode` of the tiny
+    * per-term tf array AFTER the array is dropped), so the only rows
+    * that ever shuffle are (term, doc, tf, dl) hits — |terms| small
+    * multiples of the corpus row count, never the token stream.
+    * df/avgdl/N ride broadcasts. Scoring is Lucene-shape BM25
+    * (k1 = 1.2, b = 0.75, idf = ln(1 + (N-df+0.5)/(df+0.5)));
+    * the ln makes the score float, so it's compared as
+    * floor(score*1e6) — the established float device; every other
+    * output column is integer-exact. (q61's TF-IDF keeps the exact
+    * ratio instead; BM25's saturation + length normalization is the
+    * semantics users actually ask for in retrieval.)
+    */
+  def bm25Search(
+      spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Seq("spark", "query", "merge", "vector"),
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val termArr = array(terms.map(lit): _*)
+    val perDoc = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        split(normalizedText(col("text")), " ").as("tks"))
+      .withColumn("dl", size(col("tks")).cast("long"))
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val hits = perDoc
+      .select(col("doc_id"), col("dl"),
+        posexplode(transform(termArr,
+          t => size(filter(col("tks"), x => x === t)).cast("long")))
+          .as(Seq("pos", "tf")))
+      .filter(col("tf") > 0)
+      .withColumn("term", element_at(termArr, col("pos") + 1))
+      .drop("pos")
+    val dfreq = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    hits.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .select(col("term"), col("doc_id"), col("tf"), col("df"), col("dl"),
+        floor(lit(1e6) * (col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) *
+            (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))))
+          .cast("long").as("score_micro"))
+  }
+
   /** Full text-stats query used by SparkEntry: one pass, all features. */
   /** The q61 driver entry: top-k distinguishing terms per doc by
     * TF-IDF — keyword extraction, the standard feature step of a text

@@ -49,6 +49,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fp(1L) != fp(3L))
   }
 
+  test("bm25: tf/df/dl exact on a known corpus; broadcast-only joins") {
+    val dir = "/tmp/graft-text-bm25"
+    Seq(
+      (1L, "spark spark query merge"),
+      (2L, "spark table table table"),
+      (3L, "row row row row row row row row")
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val df = TextAnalysis.bm25Search(spark, dir)
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // doc 3 matches nothing; doc 1 hits three terms, doc 2 one
+    assert(rows.keySet == Set(("spark", 1L), ("query", 1L),
+      ("merge", 1L), ("spark", 2L)))
+    val (tf, dfq, dl, _) = rows(("spark", 1L))
+    assert(tf == 2 && dfq == 2 && dl == 4)
+    // same term, same dl (both docs have 4 tokens): higher tf must
+    // score higher (saturating, not flat); and the rarer term (df=1)
+    // outranks the common one (df=2) at equal tf and dl
+    assert(rows(("spark", 1L))._4 > rows(("spark", 2L))._4)
+    assert(rows(("query", 1L))._4 > rows(("spark", 2L))._4)
+    // the scale contract: nothing shuffle-joins — df/stats broadcast
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+  }
+
   test("quality features on a known string") {
     Seq((1L, "the cat, the hat!")).toDF("doc_id", "text")
       .write.mode("overwrite").parquet("/tmp/graft-text-q/documents.parquet")
