@@ -66,7 +66,8 @@ object SparkEntry {
     "q87_rolling_window" -> (Relational.rollingWindow _),
     "q104_forward_fill" -> (Relational.forwardFill _),
     "q88_table_diff" -> (Relational.tableDiff _),
-    "q108_scd2_merge" -> (Relational.scd2Merge _),
+    "q108_scd2_merge" -> ((s: SparkSession, d: String) => Relational.scd2Merge(s, d)),
+    "q115_pit_join" -> (Relational.pointInTimeJoin _),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -152,6 +153,44 @@ object SparkEntry {
 
   /** Normalized-text SQL twin of TextAnalysis.normalizedText. */
   private val normText = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** SQL twin of Relational.scd2Merge with the same date parameters:
+    * a WITH prefix ending in `scd2_hist` (closed / carried / opened
+    * branches over the replayed snapshot mutations). Callers append
+    * their SELECT.
+    */
+  private def scd2HistSql(epoch: String, asOf: String): String =
+    s"""WITH snap AS (
+           SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN 'CHANGED'
+                  ELSE c_mktsegment END AS c_mktsegment,
+             c_nationkey
+           FROM customer WHERE c_custkey % 101 <> 0
+           UNION ALL
+           SELECT c_custkey + 1000000, c_mktsegment, c_nationkey
+           FROM customer WHERE c_custkey % 103 = 0),
+         hist AS (SELECT c_custkey, c_mktsegment, c_nationkey FROM customer),
+         scd2_hist AS (
+           SELECT h.c_custkey, h.c_mktsegment, h.c_nationkey,
+             DATE '$epoch' AS valid_from,
+             DATE '$asOf' AS valid_to, FALSE AS is_current
+           FROM hist h LEFT JOIN snap s USING (c_custkey)
+           WHERE s.c_custkey IS NULL
+              OR s.c_mktsegment <> h.c_mktsegment
+              OR s.c_nationkey <> h.c_nationkey
+           UNION ALL
+           SELECT h.c_custkey, h.c_mktsegment, h.c_nationkey,
+             DATE '$epoch', CAST(NULL AS DATE), TRUE
+           FROM hist h JOIN snap s USING (c_custkey)
+           WHERE s.c_mktsegment = h.c_mktsegment
+             AND s.c_nationkey = h.c_nationkey
+           UNION ALL
+           SELECT s.c_custkey, s.c_mktsegment, s.c_nationkey,
+             DATE '$asOf', CAST(NULL AS DATE), TRUE
+           FROM snap s LEFT JOIN hist h USING (c_custkey)
+           WHERE h.c_custkey IS NULL
+              OR h.c_mktsegment <> s.c_mktsegment
+              OR h.c_nationkey <> s.c_nationkey)"""
 
   /** SQL twin of Vectors.l2normalize over the embeddings table. */
   private val normalizedVectors =
@@ -576,36 +615,24 @@ object SparkEntry {
     // mutations; the Spark side must reach the identical history
     // through its single full-outer join + fingerprint compare.
     "q108_scd2_merge" ->
-      """WITH snap AS (
-           SELECT c_custkey,
-             CASE WHEN c_custkey % 7 = 0 THEN 'CHANGED'
-                  ELSE c_mktsegment END AS c_mktsegment,
-             c_nationkey
-           FROM customer WHERE c_custkey % 101 <> 0
-           UNION ALL
-           SELECT c_custkey + 1000000, c_mktsegment, c_nationkey
-           FROM customer WHERE c_custkey % 103 = 0),
-         hist AS (SELECT c_custkey, c_mktsegment, c_nationkey FROM customer)
-         SELECT h.c_custkey, h.c_mktsegment, h.c_nationkey,
-           DATE '2020-01-01' AS valid_from,
-           DATE '2021-01-01' AS valid_to, FALSE AS is_current
-         FROM hist h LEFT JOIN snap s USING (c_custkey)
-         WHERE s.c_custkey IS NULL
-            OR s.c_mktsegment <> h.c_mktsegment
-            OR s.c_nationkey <> h.c_nationkey
-         UNION ALL
-         SELECT h.c_custkey, h.c_mktsegment, h.c_nationkey,
-           DATE '2020-01-01', CAST(NULL AS DATE), TRUE
-         FROM hist h JOIN snap s USING (c_custkey)
-         WHERE s.c_mktsegment = h.c_mktsegment
-           AND s.c_nationkey = h.c_nationkey
-         UNION ALL
-         SELECT s.c_custkey, s.c_mktsegment, s.c_nationkey,
-           DATE '2021-01-01', CAST(NULL AS DATE), TRUE
-         FROM snap s LEFT JOIN hist h USING (c_custkey)
-         WHERE h.c_custkey IS NULL
-            OR h.c_mktsegment <> s.c_mktsegment
-            OR h.c_nationkey <> s.c_nationkey""",
+      s"""${scd2HistSql("2020-01-01", "2021-01-01")}
+         SELECT * FROM scd2_hist""",
+    // q115: point-in-time join — the oracle is the key + interval-
+    // containment LEFT join against the replayed history (disjoint
+    // validity intervals, so at most one version matches); the Spark
+    // side must reach identical enrichment through its union-sort
+    // change-stream formulation.
+    "q115_pit_join" ->
+      s"""${scd2HistSql("1995-01-01", "1998-06-01")}
+         SELECT o.o_orderkey, o.o_custkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           h.c_mktsegment AS seg_at_order,
+           h.c_nationkey AS nat_at_order
+         FROM orders o LEFT JOIN scd2_hist h
+           ON h.c_custkey = o.o_custkey
+          AND CAST(o.o_orderdate AS DATE) >= h.valid_from
+          AND (h.valid_to IS NULL
+               OR CAST(o.o_orderdate AS DATE) < h.valid_to)""",
     // q113: cohort retention — the oracle derives first-purchase
     // cohorts with a groupBy + join-back; the Spark side must land on
     // identical cells through its window formulation. Week truncs are

@@ -637,9 +637,12 @@ object Relational {
     * 2020-01-01; snapshot replays q88's mutation device (drop %101 →
     * deletes, re-segment %7 → changes, re-key %103 → inserts).
     */
-  def scd2Merge(spark: SparkSession, sfDir: String): DataFrame = {
-    val epoch = lit(java.sql.Date.valueOf("2020-01-01"))
-    val asOf = lit(java.sql.Date.valueOf("2021-01-01"))
+  def scd2Merge(
+      spark: SparkSession, sfDir: String,
+      epochDate: String = "2020-01-01",
+      asOfDate: String = "2021-01-01"): DataFrame = {
+    val epoch = lit(java.sql.Date.valueOf(epochDate))
+    val asOf = lit(java.sql.Date.valueOf(asOfDate))
     val openEnd = lit(null).cast("date")
     val cust = Tables.load(spark, sfDir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
@@ -673,6 +676,60 @@ object Relational {
             lit(true).as("is_current"))))).as("r"))
       .filter(col("r").isNotNull)
       .select(col("c_custkey"), col("r.*"))
+  }
+
+  /** Point-in-time join (q115): enrich every order with the dimension
+    * version that was valid ON ITS OWN DATE — the feature-store
+    * correctness primitive (training rows must see the feature value
+    * as of the label's timestamp, never a later one). The naive form
+    * is a key + interval-containment join (range predicate →
+    * BroadcastNestedLoopJoin, or a per-fact version explosion); this
+    * runs as a UNION-SORT: version change points and facts merge into
+    * one stream, ONE shuffle on the entity key, one per-key sort, and
+    * `last(version_struct) ignoreNulls` over preceding-and-current
+    * rows hands each fact the newest change at-or-before its date.
+    * Deletes are a NON-NULL struct with null fields (a tombstone
+    * `last` can still see — `ignoreNulls` would skip a bare null), so
+    * facts after a delete correctly read absent attrs. Versions sort
+    * before same-date facts (valid_from is inclusive, valid_to
+    * exclusive). Equivalent to the oracle's interval join because
+    * SCD2 validity intervals per key are disjoint and contiguous.
+    * Both sides free to be huge: nothing broadcasts, nothing
+    * explodes. The dimension history replays q108's merge with dates
+    * (1995-01-01 → 1998-06-01) straddling the order range.
+    */
+  def pointInTimeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val verType = "struct<c_mktsegment:string,c_nationkey:bigint>"
+    val hist = scd2Merge(spark, sfDir, "1995-01-01", "1998-06-01")
+    val opens = hist.select(col("c_custkey").as("k"),
+      col("valid_from").as("t"),
+      struct(col("c_mktsegment"), col("c_nationkey")).as("ver"))
+    // tombstone when a closed row's key never reopens (a delete):
+    // the change stream must carry "attrs end here"
+    val tombs = hist.filter(!col("is_current"))
+      .join(hist.filter(col("is_current")).select(col("c_custkey")).distinct(),
+        Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey").as("k"), col("valid_to").as("t"),
+        struct(lit(null).cast("string").as("c_mktsegment"),
+          lit(null).cast("bigint").as("c_nationkey")).as("ver"))
+    val changes = opens.union(tombs)
+      .withColumn("is_fact", lit(0))
+      .withColumn("o_orderkey", lit(null).cast("bigint"))
+    val facts = Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey").as("k"),
+        col("o_orderdate").cast("date").as("t"),
+        lit(null).cast(verType).as("ver"),
+        lit(1).as("is_fact"), col("o_orderkey"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t").asc, col("is_fact").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    changes.unionByName(facts)
+      .withColumn("cur", last(col("ver"), ignoreNulls = true).over(w))
+      .filter(col("is_fact") === 1)
+      .select(col("o_orderkey"), col("k").as("o_custkey"),
+        col("t").as("order_date"),
+        col("cur.c_mktsegment").as("seg_at_order"),
+        col("cur.c_nationkey").as("nat_at_order"))
   }
 
   /** Column profiling (q109): per-column null count, exact distinct

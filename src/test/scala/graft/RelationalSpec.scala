@@ -247,6 +247,35 @@ class RelationalSpec extends AnyFunSuite {
     assert(cells.filter(_._2 == 0L).map(_._3).sum == purchasers)
   }
 
+  test("point-in-time join: each order sees the version valid on its date") {
+    val df = Relational.pointInTimeJoin(spark, sf)
+    val rows = df.collect()
+    val segs = graft.sources.Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val asOf = java.sql.Date.valueOf("1998-06-01")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (k, d, seg) = (r.getLong(1), r.getDate(2), r.getString(3))
+      val after = !d.before(asOf)
+      if (k % 101 == 0)
+        // deleted key: original segment until the delete, absent after
+        assert(if (after) seg == null else seg == segs(k), s"$k $d $seg")
+      else if (k % 7 == 0)
+        // changed key: original before the change, CHANGED after
+        assert(seg == (if (after) "CHANGED" else segs(k)), s"$k $d $seg")
+      else
+        // unchanged key: one open version over the whole range
+        assert(seg == segs(k), s"$k $d $seg")
+    }
+    // no interval-containment fallback: the range predicate must not
+    // plan as a nested-loop join
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join degenerated to nested loop:\n$plan")
+  }
+
   test("regex funcs: digits fully masked, extraction round-trips the key") {
     val rows = Relational.regexFuncs(spark, sf).collect()
     assert(rows.nonEmpty)
