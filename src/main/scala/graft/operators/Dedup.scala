@@ -273,41 +273,48 @@ object Dedup {
     * deletion (L+1 short keys); any substitution, insertion, or
     * deletion between two names forces a shared key, so the key
     * equi-join is a COMPLETE candidate generator for distance <= 1
-    * (k > 1 generalizes by deleting up to k characters). Candidates
-    * dedup before the exact levenshtein verify, so the quadratic
-    * metric runs only on the few key-collisions. At 100 TB: the
-    * shuffle carries n*(L+1) short strings instead of n*m pairs, and
-    * the registry side can be the small broadcast build. The dirty
-    * batch replays deterministic typos ('#' substitution / prepend /
-    * first-char deletion on %13 keys) so the oracle brute-forces the
-    * same ground truth under a length-band prefilter.
+    * (k > 1 generalizes by deleting up to k characters).
+    *
+    * The blocking runs on the DISTINCT-NAME DICTIONARY, never on
+    * rows: real catalogs repeat names heavily, and row-level blocking
+    * makes candidate fan-out quadratic in duplicate-name density —
+    * measured, not guessed: the row-blocked form probed 25.6× wall at
+    * 10× data (ScalingProbe, names repeating across copies) while
+    * this form is linear. Deletion keys, key-collision dedup, and the
+    * exact levenshtein verify all touch only distinct names (a
+    * bounded dictionary even at 100 TB corpus scale); the id fan-back
+    * is two plain equi-joins on matched names — linear in the true
+    * output. The dirty batch replays deterministic typos ('#'
+    * substitution / prepend / first-char deletion on %13 keys) so the
+    * oracle brute-forces the same ground truth under a length-band
+    * prefilter.
     */
   def fuzzyLinkage(spark: SparkSession, sfDir: String): DataFrame = {
     val part = Tables.load(spark, sfDir, "part")
     val clean = part.select(
-      col("p_partkey").as("clean_id"), col("p_name").as("name"))
+      col("p_partkey").as("clean_id"), col("p_name").as("cn"))
     val dirty = part.filter(col("p_partkey") % 13 === 0)
       .select((col("p_partkey") + 100000).as("dirty_id"),
         when(col("p_partkey") % 3 === 0,
           concat(lit("#"), expr("substring(p_name, 2)")))
           .when(col("p_partkey") % 3 === 1, concat(lit("#"), col("p_name")))
-          .otherwise(expr("substring(p_name, 2)")).as("name"))
+          .otherwise(expr("substring(p_name, 2)")).as("dn"))
     // name + every single-char deletion, deduped (repeated letters
     // collapse to the same key)
-    def delKeys(df: DataFrame, id: String, nameOut: String) =
-      df.select(col(id), col("name").as(nameOut),
-        explode(array_union(array(col("name")),
-          transform(sequence(lit(1), length(col("name"))), i =>
-            concat(col("name").substr(lit(1), i - lit(1)),
-              col("name").substr(i + lit(1), length(col("name")) - i)))))
+    def delKeys(df: DataFrame, nameCol: String) =
+      df.select(col(nameCol),
+        explode(array_union(array(col(nameCol)),
+          transform(sequence(lit(1), length(col(nameCol))), i =>
+            concat(col(nameCol).substr(lit(1), i - lit(1)),
+              col(nameCol).substr(i + lit(1), length(col(nameCol)) - i)))))
           .as("k"))
-    delKeys(dirty, "dirty_id", "dn")
-      .join(delKeys(clean, "clean_id", "cn"), "k")
-      .select(col("dirty_id"), col("clean_id"), col("dn"), col("cn"))
-      .dropDuplicates("dirty_id", "clean_id")
+    val namePairs = delKeys(dirty.select(col("dn")).distinct(), "dn")
+      .join(delKeys(clean.select(col("cn")).distinct(), "cn"), "k")
+      .select(col("dn"), col("cn")).distinct()
       .filter(levenshtein(col("dn"), col("cn")) <= 1)
-      .select(col("dirty_id"), col("clean_id"),
-        levenshtein(col("dn"), col("cn")).cast("long").as("dist"))
+      .withColumn("dist", levenshtein(col("dn"), col("cn")).cast("long"))
+    dirty.join(namePairs, "dn").join(clean, "cn")
+      .select(col("dirty_id"), col("clean_id"), col("dist"))
   }
 
   /** INCREMENTAL near-dup: pairs that involve at least one NEW doc,

@@ -73,6 +73,31 @@ object ScalingProbe {
     }.reduce(_ unionAll _).write.mode("overwrite")
       .parquet(s"$big/orders.parquet")
 
+    // K× customer / part: disjoint key ranges per copy (q108/q115
+    // mutate and join on c_custkey; q111 blocks on p_name — names
+    // repeat across copies, which is the realistic hard case for the
+    // deletion-neighborhood join: candidate fan-out grows with K)
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    (0 until k).map { c =>
+      cust.withColumn("c_custkey", col("c_custkey") + lit(c * 1000000L))
+    }.reduce(_ unionAll _).write.mode("overwrite")
+      .parquet(s"$big/customer.parquet")
+    // part names Caesar-cipher per copy (bijective translate keeps
+    // within-copy edit distances intact, pushes cross-copy distances
+    // far above the match threshold) — a bigger catalog means MORE
+    // DISTINCT names, not the same 64 names at K× multiplicity;
+    // repeating them K× would grow the TRUE output quadratically
+    // (workload, not operator — the events-density rule above)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val part = spark.read.parquet(s"$src/part.parquet")
+    (0 until k).map { c =>
+      val s = (3 * c) % 26
+      part.withColumn("p_partkey", col("p_partkey") + lit(c * 1000000L))
+        .withColumn("p_name",
+          translate(col("p_name"), alpha, alpha.drop(s) + alpha.take(s)))
+    }.reduce(_ unionAll _).write.mode("overwrite")
+      .parquet(s"$big/part.parquet")
+
     def time(name: String)(f: => DataFrame): Double = {
       val t0 = System.nanoTime()
       f.write.format("noop").mode("overwrite").save()
@@ -101,7 +126,15 @@ object ScalingProbe {
       "q100_line_dedup" -> (d => graft.operators.Dedup.lineDedup(spark, d)),
       "q101_embed_pool" -> (d => graft.operators.TrainingPrep.meanPoolEmbeddings(spark, d)),
       "q103_json_typed" -> (d => graft.operators.Relational.jsonTyped(spark, d)),
-      "q104_forward_fill" -> (d => graft.operators.Relational.forwardFill(spark, d)))
+      "q104_forward_fill" -> (d => graft.operators.Relational.forwardFill(spark, d)),
+      "q108_scd2_merge" -> (d => graft.operators.Relational.scd2Merge(spark, d)),
+      "q109_profile" -> (d => graft.operators.Relational.profileTable(spark, d)),
+      "q110_zorder" -> (d => graft.operators.ReferenceQueries.zorderLayout(spark, d)),
+      "q111_fuzzy_link" -> (d => graft.operators.Dedup.fuzzyLinkage(spark, d)),
+      "q112_funnel" -> (d => graft.operators.Relational.funnel(spark, d)),
+      "q113_cohort" -> (d => graft.operators.Relational.cohortRetention(spark, d)),
+      "q114_bm25" -> (d => graft.operators.TextAnalysis.bm25Search(spark, d)),
+      "q115_pit_join" -> (d => graft.operators.Relational.pointInTimeJoin(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))
