@@ -145,6 +145,7 @@ object SparkEntry {
     "q91_seq_blocks" -> ((s: SparkSession, d: String) => TrainingPrep.sequenceBlocks(s, d)),
     "q101_embed_pool" -> (TrainingPrep.meanPoolEmbeddings _),
     "q71_embed_quantize" -> (TrainingPrep.quantizeEmbeddings _),
+    "q116_trend" -> (TrainingPrep.trendPerUser _),
     // --- multimodal plumbing ---
     "q50_multimodal_meta" -> (Multimodal.mediaMeta _),
     "q51_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
@@ -633,6 +634,27 @@ object SparkEntry {
           AND CAST(o.o_orderdate AS DATE) >= h.valid_from
           AND (h.valid_to IS NULL
                OR CAST(o.o_orderdate AS DATE) < h.valid_to)""",
+    // q116: per-user OLS trend — integer sufficient statistics
+    // (epoch days × DECIMAL-rounded cents), one final double
+    // division; HUGEINT sums cast back to BIGINT for the compare.
+    "q116_trend" ->
+      """WITH b AS (
+           SELECT user_id,
+             epoch_us(ts) // 86400000000 AS x,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+           FROM events),
+         s AS (
+           SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(yc) AS BIGINT) AS syc,
+             CAST(SUM(x * yc) AS BIGINT) AS sxyc,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             COUNT(DISTINCT x) AS n_days
+           FROM b GROUP BY user_id)
+         SELECT user_id, n, sx, syc, sxyc, sxx,
+           CAST(n * sxyc - sx * syc AS DOUBLE) /
+           CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day
+         FROM s WHERE n_days >= 2""",
     // q113: cohort retention — the oracle derives first-purchase
     // cohorts with a groupBy + join-back; the Spark side must land on
     // identical cells through its window formulation. Week truncs are

@@ -158,6 +158,40 @@ object TrainingPrep {
     * shuffle, streams at any scale. Blocks stay within document
     * boundaries — cross-document packing is q70's shard layer.
     */
+  /** Per-entity OLS trend (q116): closed-form least-squares slope of
+    * spend over time per user — the per-key regression feature
+    * (trend, drift, burn rate) every feature store derives. One
+    * groupBy computes the five sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx²) as PURE INTEGERS — days since epoch for x,
+    * DECIMAL(18,2)-rounded cents for y — so partial aggregation is
+    * exact in any merge order (float sums would be
+    * partitioning-dependent and break the oracle), and the slope is
+    * ONE IEEE division of two exactly-computed BIGINTs: bit-portable.
+    * Zero joins, zero windows, map-side combine does most of the
+    * work; groups with < 2 distinct days have no defined slope and
+    * are filtered in both engines.
+    */
+  def trendPerUser(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("x"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          * 100).cast("long").as("yc"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("yc")).as("syc"),
+        sum(col("x") * col("yc")).as("sxyc"),
+        sum(col("x") * col("x")).as("sxx"),
+        countDistinct(col("x")).as("n_days"))
+      .filter(col("n_days") >= 2)
+      .select(col("user_id"), col("n"), col("sx"), col("syc"),
+        col("sxyc"), col("sxx"),
+        ((col("n") * col("sxyc") - col("sx") * col("syc")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope_cents_per_day"))
+
   def sequenceBlocks(
       spark: SparkSession, sfDir: String, seqLen: Long = 32L): DataFrame =
     Tables.load(spark, sfDir, "documents")

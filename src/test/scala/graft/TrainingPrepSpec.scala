@@ -110,6 +110,26 @@ class TrainingPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("ols trend: slope matches an independent computation per user") {
+    val got = TrainingPrep.trendPerUser(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(6))).toMap
+    assert(got.nonEmpty)
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "unix_micros(ts) div 86400000000 as x",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as yc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    ev.groupBy(_._1).foreach { case (u, rows) =>
+      val n = rows.length.toLong
+      val sx = rows.map(_._2).sum; val sy = rows.map(_._3).sum
+      val sxy = rows.map(r => r._2 * r._3).sum
+      val sxx = rows.map(r => r._2 * r._2).sum
+      if (rows.map(_._2).distinct.length >= 2) {
+        val want = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+        assert(got(u)._1 == n && got(u)._2 == want, s"user $u")
+      } else assert(!got.contains(u))
+    }
+  }
+
   test("shard packing: shards respect the token budget order within a language") {
     val df = TrainingPrep.shardPack(spark, sf, budget = 1000L)
     // shard index must be non-decreasing in doc_id order per language
