@@ -68,6 +68,7 @@ object SparkEntry {
     "q88_table_diff" -> (Relational.tableDiff _),
     "q108_scd2_merge" -> ((s: SparkSession, d: String) => Relational.scd2Merge(s, d)),
     "q115_pit_join" -> (Relational.pointInTimeJoin _),
+    "q117_cdc_replay" -> (Relational.cdcReplay _),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -634,6 +635,28 @@ object SparkEntry {
           AND CAST(o.o_orderdate AS DATE) >= h.valid_from
           AND (h.valid_to IS NULL
                OR CAST(o.o_orderdate AS DATE) < h.valid_to)""",
+    // q117: CDC replay — the oracle states last-writer-wins as
+    // ROW_NUMBER()=1 over (ts, event_id) DESC; the Spark side must
+    // reach the identical final state through its sort-free max_by
+    // aggregate.
+    "q117_cdc_replay" ->
+      """WITH log AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN 'D'
+                  WHEN event_type = 'signup' THEN 'I'
+                  ELSE 'U' END AS op,
+             CAST(value AS DECIMAL(18,2)) AS v
+           FROM events),
+         r AS (
+           SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+           FROM log)
+         SELECT user_id, op AS last_op, ts AS last_ts,
+           CASE WHEN op = 'D' THEN NULL ELSE v END AS last_value,
+           op <> 'D' AS is_live, n_changes
+         FROM r WHERE rn = 1""",
     // q116: per-user OLS trend — integer sufficient statistics
     // (epoch days × DECIMAL-rounded cents), one final double
     // division; HUGEINT sums cast back to BIGINT for the compare.

@@ -732,6 +732,45 @@ object Relational {
         col("cur.c_nationkey").as("nat_at_order"))
   }
 
+  /** CDC log replay (q117): collapse an ordered change log
+    * (insert / update / delete per entity) to final table state —
+    * last-writer-wins with delete tombstones, the apply step of every
+    * change-data-capture ingest. NOT a window: ROW_NUMBER()=1 (the
+    * oracle's formulation) shuffles the ENTIRE log and sorts every
+    * key's full history post-shuffle; here last-writer-wins is an
+    * AGGREGATE — `max_by(state, (ts, event_id))` is declarative, so
+    * partial aggregation (plan-asserted `partial_max_by` below the
+    * exchange) reduces each scan partition to one candidate per key
+    * BEFORE the shuffle: the exchange carries one row per (key,
+    * partition) instead of 100 TB of log. (Spark executes the
+    * struct-valued buffer as SortAggregate — a map-side sort by
+    * grouping key, not by history order; the shuffle-volume win is
+    * the scale story.) Deletes survive as rows with is_live =
+    * false (a replayed state table needs the tombstone, not a gap);
+    * a later change after a delete re-creates the entity for free.
+    * Ops derive deterministically from event_type (error → D,
+    * signup → I, else U).
+    */
+  def cdcReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    val money = org.apache.spark.sql.types.DecimalType(18, 2)
+    Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "error", "D")
+          .when(col("event_type") === "signup", "I")
+          .otherwise("U").as("op"),
+        col("value").cast(money).as("v"))
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(struct(col("op"), col("ts"), col("v")),
+          struct(col("ts"), col("event_id"))).as("last"),
+        count(lit(1)).as("n_changes"))
+      .select(col("user_id"),
+        col("last.op").as("last_op"), col("last.ts").as("last_ts"),
+        when(col("last.op") === "D", lit(null).cast(money))
+          .otherwise(col("last.v")).as("last_value"),
+        (col("last.op") =!= "D").as("is_live"), col("n_changes"))
+  }
+
   /** Column profiling (q109): per-column null count, exact distinct
     * count, and min/max over a raw-ingest view — the ANALYZE/data-
     * quality summary every warehouse runs before trusting a load.

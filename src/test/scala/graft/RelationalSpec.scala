@@ -276,6 +276,35 @@ class RelationalSpec extends AnyFunSuite {
       s"interval join degenerated to nested loop:\n$plan")
   }
 
+  test("cdc replay: final state is the chronologically last change; no per-key sort") {
+    val df = Relational.cdcReplay(spark, sf)
+    val got = df.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(4), r.getLong(5)))
+      .toMap
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "unix_micros(ts) as us", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    ev.groupBy(_._1).foreach { case (u, rows) =>
+      val last = rows.maxBy(r => (r._2, r._3))
+      val wantOp = last._4 match {
+        case "error" => "D"; case "signup" => "I"; case _ => "U"
+      }
+      assert(got(u)._1 == wantOp && got(u)._2 == (wantOp != "D")
+        && got(u)._3 == rows.length, s"user $u")
+    }
+    // last-writer-wins must reduce BEFORE the shuffle: partial_max_by
+    // below the exchange (one candidate per key per partition rides
+    // the wire), and no Window (the full-log-shuffling formulation)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchangeAt = plan.indexOf("Exchange hashpartitioning")
+    val partialAt = plan.indexOf("partial_max_by")
+    assert(partialAt > exchangeAt && exchangeAt > 0,
+      s"no partial max_by below the exchange in:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
+  }
+
   test("regex funcs: digits fully masked, extraction round-trips the key") {
     val rows = Relational.regexFuncs(spark, sf).collect()
     assert(rows.nonEmpty)
