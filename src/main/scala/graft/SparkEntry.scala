@@ -147,6 +147,7 @@ object SparkEntry {
     "q101_embed_pool" -> (TrainingPrep.meanPoolEmbeddings _),
     "q71_embed_quantize" -> (TrainingPrep.quantizeEmbeddings _),
     "q116_trend" -> (TrainingPrep.trendPerUser _),
+    "q118_weighted_sample" -> ((s: SparkSession, d: String) => TrainingPrep.weightedSample(s, d)),
     // --- multimodal plumbing ---
     "q50_multimodal_meta" -> (Multimodal.mediaMeta _),
     "q51_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
@@ -635,6 +636,23 @@ object SparkEntry {
           AND CAST(o.o_orderdate AS DATE) >= h.valid_from
           AND (h.valid_to IS NULL
                OR CAST(o.o_orderdate AS DATE) < h.valid_to)""",
+    // q118: weighted sample — E-S priority from the salted md5 60-bit
+    // uniform (q68 device); identical double expression both engines,
+    // compared as floor(×1e6); rank ties broken by doc_id.
+    "q118_weighted_sample" ->
+      """WITH s AS (
+           SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w,
+             ln((CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+                       1, 15))::BIGINT AS DOUBLE) + 1.0)
+                / 1152921504606846976.0)
+               / CAST(n_chars AS BIGINT) AS pr
+           FROM documents)
+         SELECT lang, doc_id, w,
+           CAST(FLOOR(pr * 1000000) AS BIGINT) AS pr_micro,
+           CAST(rk AS BIGINT) AS rk
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY pr DESC, doc_id ASC) AS rk FROM s)
+         WHERE rk <= 20""",
     // q117: CDC replay — the oracle states last-writer-wins as
     // ROW_NUMBER()=1 over (ts, event_id) DESC; the Spark side must
     // reach the identical final state through its sort-free max_by

@@ -158,6 +158,39 @@ object TrainingPrep {
     * shuffle, streams at any scale. Blocks stay within document
     * boundaries — cross-document packing is q70's shard layer.
     */
+  /** Deterministic weighted sample (q118): top-k per language by
+    * Efraimidis–Spirakis priority u^(1/w) — the standard one-pass
+    * weighted sampling rule (elements win proportionally to weight),
+    * here with w = n_chars so sampling is TOKEN-mass-weighted, the
+    * way corpus subsets are actually drawn. Fully deterministic and
+    * re-runnable: u derives from the salted md5 60-bit device (q68),
+    * so tomorrow's ingest never reshuffles today's sample. Ranking
+    * uses ln(u)/w (same order as u^(1/w), ln is monotone); the float
+    * priority is compared as floor(×1e6), rank ties broken by doc_id.
+    * Scale: the rk ≤ k filter on the window triggers Spark's
+    * InferWindowGroupLimit, so each partition ships at most k rows
+    * per language (the q89-measured bound) — not the corpus; the
+    * k-bounded TopK Aggregator (q89) is the drop-in for extreme
+    * stratum skew.
+    */
+  def weightedSample(
+      spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val h = conv(substring(
+      md5(concat(lit("ws:"), col("doc_id").cast("string"))), 1, 15),
+      16, 10).cast("long")
+    val u = (h.cast("double") + 1.0) / lit(1152921504606846976.0) // 2^60
+    val pr = log(u) / col("n_chars").cast("long")
+    val byLang = Window.partitionBy(col("lang"))
+      .orderBy(col("pr").desc, col("doc_id").asc)
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("w"), pr.as("pr"))
+      .withColumn("rk", row_number().over(byLang).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("doc_id"), col("w"),
+        floor(col("pr") * 1e6).cast("long").as("pr_micro"), col("rk"))
+  }
+
   /** Per-entity OLS trend (q116): closed-form least-squares slope of
     * spend over time per user — the per-key regression feature
     * (trend, drift, burn rate) every feature store derives. One

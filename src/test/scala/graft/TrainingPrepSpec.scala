@@ -110,6 +110,30 @@ class TrainingPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted sample: deterministic, weight-biased, bounded window shuffle") {
+    val a = TrainingPrep.weightedSample(spark, sf)
+    val rows = a.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    // deterministic: a second run returns the identical sample
+    val b = TrainingPrep.weightedSample(spark, sf).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(rows.toSet == b.toSet)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.length <= 20 && g.map(_._4).sorted.sameElements(1L to g.length))
+    }
+    // token-mass weighting: the sampled docs' mean length must exceed
+    // the corpus mean (heavier docs win proportionally more often)
+    val corpusMean = graft.sources.Tables.load(spark, sf, "documents")
+      .agg(avg(col("n_chars"))).head.getDouble(0)
+    val sampleMean = rows.map(_._3).sum.toDouble / rows.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean")
+    // rk <= k must bound the shuffle (InferWindowGroupLimit)
+    val plan = a.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("WindowGroupLimit"), s"unbounded window in:\n$plan")
+  }
+
   test("ols trend: slope matches an independent computation per user") {
     val got = TrainingPrep.trendPerUser(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(6))).toMap
