@@ -69,6 +69,7 @@ object SparkEntry {
     "q108_scd2_merge" -> ((s: SparkSession, d: String) => Relational.scd2Merge(s, d)),
     "q115_pit_join" -> (Relational.pointInTimeJoin _),
     "q117_cdc_replay" -> (Relational.cdcReplay _),
+    "q119_histogram" -> ((s: SparkSession, d: String) => Relational.histogram(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -636,6 +637,16 @@ object SparkEntry {
           AND CAST(o.o_orderdate AS DATE) >= h.valid_from
           AND (h.valid_to IS NULL
                OR CAST(o.o_orderdate AS DATE) < h.valid_to)""",
+    // q119: histogram — identical floor arithmetic both engines
+    // (DuckDB has no width_bucket; the Spark builtin is spec-pinned
+    // against this arithmetic instead).
+    "q119_histogram" ->
+      """WITH st AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+         SELECT CAST(FLOOR((value - lo) * 20 / (hi - lo)) + 1 AS BIGINT)
+           AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events CROSS JOIN st GROUP BY 1""",
     // q118: weighted sample — E-S priority from the salted md5 60-bit
     // uniform (q68 device); identical double expression both engines,
     // compared as floor(×1e6); rank ties broken by doc_id.

@@ -732,6 +732,32 @@ object Relational {
         col("cur.c_nationkey").as("nat_at_order"))
   }
 
+  /** Equi-width histogram (q119): 20 bins over the observed [min,
+    * max] of `value` — the distribution summary behind every
+    * profiling UI, and the q109 profile's natural companion. Two
+    * passes by necessity (bounds, then binning), but the bounds are
+    * a 2-double broadcast, so the bin pass is a single map-side-
+    * combined aggregate on a 21-way key. Bin index uses the SHARED
+    * arithmetic floor((v-lo)·n/(hi-lo))+1 rather than the
+    * `width_bucket` builtin (DuckDB has none) — RelationalSpec pins
+    * the builtin against this arithmetic on the fixture, so the
+    * user-facing `width_bucket` surface stays covered while the
+    * oracle compares bit-exact doubles; the data maximum lands in
+    * bin n+1, same as width_bucket's Postgres upper-bound rule.
+    */
+  def histogram(
+      spark: SparkSession, sfDir: String, bins: Int = 20): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val bounds = ev.agg(
+      min(col("value")).as("lo"), max(col("value")).as("hi"))
+    ev.crossJoin(broadcast(bounds))
+      .groupBy((floor((col("value") - col("lo")) * bins /
+        (col("hi") - col("lo"))) + 1).cast("long").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        moneySum(col("value")).as("sum_value"))
+  }
+
   /** CDC log replay (q117): collapse an ordered change log
     * (insert / update / delete per entity) to final table state —
     * last-writer-wins with delete tombstones, the apply step of every

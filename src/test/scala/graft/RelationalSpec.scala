@@ -305,6 +305,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
   }
 
+  test("histogram: arithmetic binning matches the width_bucket builtin; counts total") {
+    val hist = Relational.histogram(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+    assert(hist.values.sum == ev.count())
+    assert(hist.keys.forall(b => b >= 1 && b <= 21))
+    // the portable floor arithmetic IS width_bucket's binning (the
+    // builtin exists in Spark but not DuckDB, so the oracle uses the
+    // arithmetic; this pins the two against each other)
+    val mismatches = ev
+      .crossJoin(broadcast(ev.agg(min(col("value")).as("lo"),
+        max(col("value")).as("hi"))))
+      .selectExpr(
+        "cast(floor((value - lo) * 20 / (hi - lo)) + 1 as bigint) as a",
+        "cast(width_bucket(value, lo, hi, 20) as bigint) as b")
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatches == 0)
+  }
+
   test("regex funcs: digits fully masked, extraction round-trips the key") {
     val rows = Relational.regexFuncs(spark, sf).collect()
     assert(rows.nonEmpty)
