@@ -32,7 +32,8 @@ object ScalingProbe {
       docs.select(
         (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
         array_join(concat(slice(words, rot + 1, n - rot),
-          slice(words, lit(1), rot)), " ").as("text"))
+          slice(words, lit(1), rot)), " ").as("text"),
+        col("lang"), col("n_chars"))
     }
     copies.reduce(_ unionAll _).write.mode("overwrite")
       .parquet(s"$big/documents.parquet")
@@ -134,7 +135,11 @@ object ScalingProbe {
       "q112_funnel" -> (d => graft.operators.Relational.funnel(spark, d)),
       "q113_cohort" -> (d => graft.operators.Relational.cohortRetention(spark, d)),
       "q114_bm25" -> (d => graft.operators.TextAnalysis.bm25Search(spark, d)),
-      "q115_pit_join" -> (d => graft.operators.Relational.pointInTimeJoin(spark, d)))
+      "q115_pit_join" -> (d => graft.operators.Relational.pointInTimeJoin(spark, d)),
+      "q116_trend" -> (d => graft.operators.TrainingPrep.trendPerUser(spark, d)),
+      "q117_cdc_replay" -> (d => graft.operators.Relational.cdcReplay(spark, d)),
+      "q118_weighted_sample" -> (d => graft.operators.TrainingPrep.weightedSample(spark, d)),
+      "q119_histogram" -> (d => graft.operators.Relational.histogram(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))
