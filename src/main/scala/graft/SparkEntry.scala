@@ -117,6 +117,7 @@ object SparkEntry {
     "q62_stream_attribution" -> (graft.streaming.EventStream.attributionToBatch _),
     "q105_stream_outer_join" -> (graft.streaming.EventStream.clickOutcomeToBatch _),
     "q107_stream_segments" -> (graft.streaming.EventStream.sessionSegmentsBatch _),
+    "q120_stream_cdc" -> (graft.streaming.EventStream.cdcApplyToBatch _),
     "q65_stream_dedup" -> (graft.streaming.EventStream.dedupToBatch _),
     "q66_stream_sessions" -> (graft.streaming.EventStream.userSessionsBatch _),
     "q81_stream_file_sink" -> (graft.streaming.EventStream.hourlyToParquetSink _),
@@ -664,6 +665,26 @@ object SparkEntry {
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
                  ORDER BY pr DESC, doc_id ASC) AS rk FROM s)
          WHERE rk <= 20""",
+    // q120: streaming CDC apply — same oracle as q117 (stream must
+    // equal batch), reached through foreachBatch versioned upserts.
+    "q120_stream_cdc" ->
+      """WITH log AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN 'D'
+                  WHEN event_type = 'signup' THEN 'I'
+                  ELSE 'U' END AS op,
+             CAST(value AS DECIMAL(18,2)) AS v
+           FROM events),
+         r AS (
+           SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+           FROM log)
+         SELECT user_id, op AS last_op, ts AS last_ts,
+           CASE WHEN op = 'D' THEN NULL ELSE v END AS last_value,
+           op <> 'D' AS is_live, n_changes
+         FROM r WHERE rn = 1""",
     // q117: CDC replay — the oracle states last-writer-wins as
     // ROW_NUMBER()=1 over (ts, event_id) DESC; the Spark side must
     // reach the identical final state through its sort-free max_by

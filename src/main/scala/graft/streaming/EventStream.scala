@@ -530,4 +530,103 @@ object EventStream {
   def sessionSegmentsBatch(spark: SparkSession, sfDir: String): DataFrame =
     runToBatch(spark, sessionSegments(_, sfDir),
       s"q107_segments_${runSeq.incrementAndGet()}", OutputMode.Append())
+
+  private val cdcStateSchema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("op", StringType),
+    StructField("ts", TimestampType),
+    StructField("event_id", LongType),
+    StructField("v", DecimalType(18, 2)),
+    StructField("n_changes", LongType)))
+
+  /** One micro-batch of the streaming CDC apply: merge the batch's
+    * changes into the keyed state table at `stateRoot`. State is
+    * VERSIONED BY BATCH ID (`v{id}` directories): each batch reads
+    * the newest version below its own id and overwrites its own —
+    * so a checkpoint-replayed retry rewrites the identical version
+    * from the identical predecessor instead of double-applying
+    * (idempotence without a transactional table format). The merge
+    * itself is q117's aggregate shape: previous state rows re-enter
+    * the log carrying their accumulated n_changes as weight, and
+    * `max_by` keeps the newest change per key — state stays one row
+    * per key, so merge cost is |state| + |batch|, never the log
+    * history.
+    */
+  def cdcMergeBatch(
+      batch: DataFrame, batchId: Long, stateRoot: String): Unit = {
+    val sp = batch.sparkSession
+    val prevDir = {
+      val d = new java.io.File(stateRoot)
+      val vs = Option(d.list()).getOrElse(Array.empty[String])
+        .filter(_.startsWith("v")).map(_.drop(1).toLong)
+        .filter(_ < batchId)
+      if (vs.isEmpty) None else Some(s"$stateRoot/v${vs.max}")
+    }
+    val prev = prevDir
+      .map(p => sp.read.schema(cdcStateSchema).parquet(p))
+      .getOrElse(sp.createDataFrame(
+        sp.sparkContext.emptyRDD[org.apache.spark.sql.Row], cdcStateSchema))
+    prev.unionByName(batch.withColumn("n_changes", lit(1L)))
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(struct(col("op"), col("ts"), col("v"), col("event_id")),
+          struct(col("ts"), col("event_id"))).as("last"),
+        sum(col("n_changes")).as("n_changes"))
+      .select(col("user_id"), col("last.op").as("op"),
+        col("last.ts").as("ts"), col("last.event_id").as("event_id"),
+        col("last.v").as("v"), col("n_changes"))
+      .write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
+  }
+
+  /** The change-log projection both the streaming and batch CDC
+    * paths share (op derivation identical to Relational.cdcReplay).
+    */
+  private def cdcChanges(df: DataFrame): DataFrame =
+    df.select(col("user_id"), col("ts"), col("event_id"),
+      when(col("event_type") === "error", "D")
+        .when(col("event_type") === "signup", "I")
+        .otherwise("U").as("op"),
+      col("value").cast(DecimalType(18, 2)).as("v"))
+
+  /** The q120 driver entry: STREAMING CDC apply — q117's last-writer-
+    * wins replay as a deployed micro-batch pipeline: the change log
+    * streams through `foreachBatch`, each batch upserts into the
+    * versioned keyed state table ([[cdcMergeBatch]]), and the final
+    * state reads back under q117's exact batch oracle (stream ==
+    * batch, the EventStreamSpec discipline; the spec additionally
+    * drives the merge over a MULTI-batch split and proves the same
+    * fixed point). This is the production shape of "apply CDC to a
+    * warehouse table" when no transactional format is available:
+    * idempotent versioned overwrites + one-row-per-key state.
+    */
+  def cdcApplyToBatch(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Scratch.withScratch(spark, "q120_cdc", sfDir) { dir =>
+      val stateRoot = s"$dir/state"
+      new java.io.File(stateRoot).mkdirs()
+      val sp = statePinnedSession(spark)
+      val q = cdcChanges(readEvents(sp, sfDir)).writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          cdcMergeBatch(batch, id, stateRoot)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val vs = Option(new java.io.File(stateRoot).list())
+        .getOrElse(Array.empty[String])
+        .filter(_.startsWith("v")).map(_.drop(1).toLong)
+      val st =
+        if (vs.isEmpty) spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          cdcStateSchema)
+        else spark.read.schema(cdcStateSchema)
+          .parquet(s"$stateRoot/v${vs.max}")
+      st.select(col("user_id"), col("op").as("last_op"),
+        col("ts").as("last_ts"),
+        when(col("op") === "D", lit(null).cast(DecimalType(18, 2)))
+          .otherwise(col("v")).as("last_value"),
+        (col("op") =!= "D").as("is_live"), col("n_changes"))
+        .localCheckpoint(true)
+    }
 }

@@ -215,6 +215,43 @@ class EventStreamSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("cdc merge over multiple batches reaches the batch-replay fixed point; retries are idempotent") {
+    import graft.streaming.EventStream
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cdc-state").toString
+    val log = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "error", "D")
+          .when(col("event_type") === "signup", "I")
+          .otherwise("U").as("op"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .as("v"))
+    // three chronological micro-batches by event_id thirds
+    val ids = log.select(col("event_id")).collect().map(_.getLong(0)).sorted
+    val cuts = Seq(ids(ids.length / 3), ids(2 * ids.length / 3))
+    val batches = Seq(
+      log.filter(col("event_id") <= cuts(0)),
+      log.filter(col("event_id") > cuts(0) && col("event_id") <= cuts(1)),
+      log.filter(col("event_id") > cuts(1)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      EventStream.cdcMergeBatch(b, i.toLong, root)
+    }
+    def readState(v: Long) = spark.read.parquet(s"$root/v$v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(5)))
+      .toSet
+    val finalState = readState(2)
+    // retry simulation: re-running batch 1 must rewrite v1 unchanged
+    // (reads v0, not its own output) and leave v2's content the truth
+    val v1Before = readState(1)
+    EventStream.cdcMergeBatch(batches(1), 1L, root)
+    assert(readState(1) == v1Before)
+    // fixed point == q117's single-shot batch replay
+    val want = graft.operators.Relational.cdcReplay(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(5))).toSet
+    assert(finalState.map(t => (t._1, t._2, t._4)) == want)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+  }
+
   test("stateful user sessions match batch per-user aggregates (one row per user)") {
     val rows = EventStream.userSessionsBatch(spark, sf).collect()
     // userSessionsBatch dedupes to the final state: exactly one row/user
