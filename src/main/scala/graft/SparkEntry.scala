@@ -70,6 +70,7 @@ object SparkEntry {
     "q115_pit_join" -> (Relational.pointInTimeJoin _),
     "q117_cdc_replay" -> (Relational.cdcReplay _),
     "q119_histogram" -> ((s: SparkSession, d: String) => Relational.histogram(s, d)),
+    "q121_transitions" -> (Relational.transitionMatrix _),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -638,6 +639,20 @@ object SparkEntry {
           AND CAST(o.o_orderdate AS DATE) >= h.valid_from
           AND (h.valid_to IS NULL
                OR CAST(o.o_orderdate AS DATE) < h.valid_to)""",
+    // q121: transition matrix — identical lead/aggregate shape; the
+    // probability is one division of exact counts.
+    "q121_transitions" ->
+      """WITH t AS (
+           SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+           FROM events),
+         c AS (SELECT from_type, to_type, COUNT(*) AS n FROM t
+               WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE) /
+           CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+         FROM c""",
     // q119: histogram — identical floor arithmetic both engines
     // (DuckDB has no width_bucket; the Spark builtin is spec-pinned
     // against this arithmetic instead).

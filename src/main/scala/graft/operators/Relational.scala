@@ -732,6 +732,29 @@ object Relational {
         col("cur.c_nationkey").as("nat_at_order"))
   }
 
+  /** Markov transition matrix (q121): counts and probabilities of
+    * event_type → next event_type per user journey — the input to
+    * every user-flow sankey and the sanity check behind funnel
+    * design (q112 picks its steps from exactly this matrix). ONE
+    * shuffle + per-user sort for the `lead` window, then a tiny
+    * 25-key aggregate; the probability is one IEEE division of two
+    * exact counts (n / row-total), so the oracle compares doubles
+    * bit-exactly. Each user's last event has no successor and drops
+    * out — journeys don't wrap.
+    */
+  def transitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val byFrom = Window.partitionBy(col("from_type"))
+    Tables.load(spark, sfDir, "events")
+      .withColumn("to_type", lead(col("event_type"), 1).over(order))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        col("n").cast("double") / sum(col("n")).over(byFrom).cast("double"))
+  }
+
   /** Equi-width histogram (q119): 20 bins over the observed [min,
     * max] of `value` — the distribution summary behind every
     * profiling UI, and the q109 profile's natural companion. Two

@@ -324,6 +324,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("transition matrix: rows are a proper distribution; totals conserve events") {
+    val rows = Relational.transitionMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // per-from probabilities sum to 1 (within a few ulp of the exact sum)
+    rows.groupBy(_._1).foreach { case (f, g) =>
+      assert(math.abs(g.map(_._4).sum - 1.0) < 1e-9, s"from=$f")
+    }
+    // transitions conserve rows: total = events minus one per user
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+    val users = ev.select(col("user_id")).distinct().count()
+    assert(rows.map(_._3).sum == ev.count() - users)
+  }
+
   test("regex funcs: digits fully masked, extraction round-trips the key") {
     val rows = Relational.regexFuncs(spark, sf).collect()
     assert(rows.nonEmpty)
