@@ -139,6 +139,7 @@ object SparkEntry {
     "q43_fingerprint" -> (TextAnalysis.fingerprint _),
     "q61_tfidf_terms" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTerms(s, d)),
     "q114_bm25" -> ((s: SparkSession, d: String) => TextAnalysis.bm25Search(s, d)),
+    "q122_keyness" -> (TextAnalysis.keynessDrift _),
     "q74_repetition" -> ((s: SparkSession, d: String) => TextAnalysis.repetitionStats(s, d)),
     "q75_redact_pii" -> (TextAnalysis.redactPii _),
     // --- training-set preparation ---
@@ -1533,6 +1534,30 @@ object SparkEntry {
     // q61: rank rows 1..k per doc by the exact IDF ratio — ln-free so
     // the score is one bit-portable double division; row_number under
     // a total order (score DESC, tok ASC) pins ties.
+    // q122: keyness — identical G2 expression tree both engines,
+    // zero-count branches pinned to 0, compared as floor(×1e6).
+    "q122_keyness" ->
+      s"""WITH toks AS (
+           SELECT CAST(substring(source, 4) AS INTEGER) < 10 AS in_a,
+             UNNEST(string_split($normText, ' ')) AS tok
+           FROM documents),
+         c AS (
+           SELECT tok,
+             CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS b
+           FROM toks GROUP BY tok),
+         t AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
+                 CAST(SUM(b) AS BIGINT) AS nb FROM c)
+         SELECT tok, a, b,
+           CAST(FLOOR(1000000 * (2 * (
+             CASE WHEN a = 0 THEN 0
+                  ELSE a * ln(CAST(a AS DOUBLE) /
+                    (CAST(na AS DOUBLE) * (a + b) / (na + nb))) END +
+             CASE WHEN b = 0 THEN 0
+                  ELSE b * ln(CAST(b AS DOUBLE) /
+                    (CAST(nb AS DOUBLE) * (a + b) / (na + nb))) END)))
+             AS BIGINT) AS g2_micro
+         FROM c CROSS JOIN t""",
     // q114: BM25 — identical formula shape both engines (a*b/c parses
     // (a*b)/c in both); the float score compares as floor(x*1e6), all
     // other columns integer-exact. Tokenization is normText's twin.

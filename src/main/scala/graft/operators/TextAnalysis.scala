@@ -161,6 +161,38 @@ object TextAnalysis {
           .cast("long").as("score_micro"))
   }
 
+  /** Corpus keyness / drift (q122): Dunning's G² log-likelihood per
+    * term between two corpus slices (sources 0–9 vs 10–19) — the
+    * standard "what changed between crawls / which terms
+    * characterize this source" diagnostic a curation pipeline runs
+    * before and after every ingest. One (slice, token) count pass
+    * (conditional sums — no second shuffle for the second slice), a
+    * 2-long-broadcast of the totals, then pure per-term arithmetic;
+    * G² itself is the identical expression tree in both engines with
+    * zero-count branches pinned to 0 (the x·ln x → 0 limit), float
+    * compared as floor(×1e6). Over a real vocabulary the count pass
+    * is the only scaled work — the term table is bounded.
+    */
+  def keynessDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.load(spark, sfDir, "documents")
+      .select(
+        (expr("cast(substring(source, 4) as int)") < 10).as("in_a"),
+        explode(split(normalizedText(col("text")), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("b"))
+    val totals = counts.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    def half(x: Column, nx: Column): Column =
+      when(x === 0, 0.0).otherwise(x * log(x.cast("double") /
+        (nx.cast("double") * (col("a") + col("b")) /
+          (col("na") + col("nb")))))
+    counts.crossJoin(broadcast(totals))
+      .select(col("tok"), col("a"), col("b"),
+        floor(lit(1e6) * (lit(2) * (half(col("a"), col("na")) +
+          half(col("b"), col("nb"))))).cast("long").as("g2_micro"))
+  }
+
   /** Full text-stats query used by SparkEntry: one pass, all features. */
   /** The q61 driver entry: top-k distinguishing terms per doc by
     * TF-IDF — keyword extraction, the standard feature step of a text

@@ -77,6 +77,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
   }
 
+  test("keyness: counts conserve the token stream; skewed terms score above balanced") {
+    val rows = TextAnalysis.keynessDrift(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // a + b across terms == total tokens in the corpus
+    val totalToks = graft.sources.Tables
+      .load(spark, SparkTestSession.sf, "documents")
+      .selectExpr(
+        "size(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')) n")
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(rows.map(r => r._2 + r._3).sum == totalToks)
+    // G2 is nonnegative and grows with imbalance: the most skewed
+    // term (by |a-b| relative) must outscore the most balanced one
+    assert(rows.forall(_._4 >= 0))
+    def skew(r: (String, Long, Long, Long)) =
+      math.abs(r._2 - r._3).toDouble / (r._2 + r._3)
+    assert(rows.maxBy(skew)._4 >= rows.minBy(skew)._4)
+  }
+
   test("quality features on a known string") {
     Seq((1L, "the cat, the hat!")).toDF("doc_id", "text")
       .write.mode("overwrite").parquet("/tmp/graft-text-q/documents.parquet")
