@@ -33,7 +33,7 @@ object ScalingProbe {
         (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
         array_join(concat(slice(words, rot + 1, n - rot),
           slice(words, lit(1), rot)), " ").as("text"),
-        col("lang"), col("n_chars"))
+        col("lang"), col("n_chars"), col("source"))
     }
     copies.reduce(_ unionAll _).write.mode("overwrite")
       .parquet(s"$big/documents.parquet")
@@ -139,7 +139,9 @@ object ScalingProbe {
       "q116_trend" -> (d => graft.operators.TrainingPrep.trendPerUser(spark, d)),
       "q117_cdc_replay" -> (d => graft.operators.Relational.cdcReplay(spark, d)),
       "q118_weighted_sample" -> (d => graft.operators.TrainingPrep.weightedSample(spark, d)),
-      "q119_histogram" -> (d => graft.operators.Relational.histogram(spark, d)))
+      "q119_histogram" -> (d => graft.operators.Relational.histogram(spark, d)),
+      "q121_transitions" -> (d => graft.operators.Relational.transitionMatrix(spark, d)),
+      "q122_keyness" -> (d => graft.operators.TextAnalysis.keynessDrift(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))
