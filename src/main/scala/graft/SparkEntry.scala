@@ -71,6 +71,7 @@ object SparkEntry {
     "q117_cdc_replay" -> (Relational.cdcReplay _),
     "q119_histogram" -> ((s: SparkSession, d: String) => Relational.histogram(s, d)),
     "q121_transitions" -> (Relational.transitionMatrix _),
+    "q123_interval_coalesce" -> (Relational.coalesceIntervals _),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -640,6 +641,35 @@ object SparkEntry {
           AND CAST(o.o_orderdate AS DATE) >= h.valid_from
           AND (h.valid_to IS NULL
                OR CAST(o.o_orderdate AS DATE) < h.valid_to)""",
+    // q123: interval coalescing — identical cumulative-max island
+    // construction; integer microsecond arithmetic throughout.
+    "q123_interval_coalesce" ->
+      """WITH iv AS (
+           SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts)
+               + (CAST(FLOOR(value) AS BIGINT) % 120 + 1) * 60000000
+               AS e
+           FROM events),
+         m AS (
+           SELECT *, MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_e
+           FROM iv),
+         b AS (
+           SELECT *, CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+               THEN 1 ELSE 0 END AS brk
+           FROM m),
+         i AS (
+           SELECT *, SUM(brk) OVER (PARTITION BY user_id
+               ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+           FROM b)
+         SELECT user_id, island,
+           make_timestamp(MIN(s)) AS t_start,
+           make_timestamp(MAX(e)) AS t_end,
+           COUNT(*) AS n_events
+         FROM i GROUP BY user_id, island""",
     // q121: transition matrix — identical lead/aggregate shape; the
     // probability is one division of exact counts.
     "q121_transitions" ->

@@ -732,6 +732,41 @@ object Relational {
         col("cur.c_nationkey").as("nat_at_order"))
   }
 
+  /** Interval coalescing (q123): merge each user's overlapping
+    * activity intervals into maximal islands — the general
+    * interval-union operator (bookings, maintenance windows, SLA
+    * uptime) that gap-sessionization (q33) CANNOT express: intervals
+    * here have VARIABLE lengths (duration derived from the event's
+    * value), so an island continues whenever the next start is at or
+    * before the CUMULATIVE MAX of all previous ends — a later-
+    * starting interval can end earlier than one before it. One
+    * shuffle + per-user sort: running max-of-ends over the preceding
+    * frame marks island breaks, a running sum numbers them, and the
+    * per-island aggregate reuses the same partitioning. All interval
+    * arithmetic is integer microseconds — engine-exact.
+    */
+  def coalesceIntervals(spark: SparkSession, sfDir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("s").asc, col("event_id").asc)
+    val prev = order.rowsBetween(Window.unboundedPreceding, -1)
+    val cum = order.rowsBetween(Window.unboundedPreceding, 0)
+    Tables.load(spark, sfDir, "events")
+      .withColumn("s", unix_micros(col("ts")))
+      .withColumn("e",
+        col("s") + (floor(col("value")).cast("long") % 120 + 1)
+          * 60000000L)
+      .withColumn("prev_max_e", max(col("e")).over(prev))
+      .withColumn("brk",
+        when(col("prev_max_e").isNull ||
+          col("s") > col("prev_max_e"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(cum))
+      .groupBy(col("user_id"), col("island"))
+      .agg(
+        timestamp_micros(min(col("s"))).as("t_start"),
+        timestamp_micros(max(col("e"))).as("t_end"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Markov transition matrix (q121): counts and probabilities of
     * event_type → next event_type per user journey — the input to
     * every user-flow sankey and the sanity check behind funnel

@@ -338,6 +338,41 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum == ev.count() - users)
   }
 
+  test("interval coalescing matches an independent sweep; islands disjoint") {
+    val got = Relational.coalesceIntervals(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime, r.getTimestamp(3).getTime, r.getLong(4)))
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "unix_micros(ts) as s",
+        "unix_micros(ts) + (cast(floor(value) as long) % 120 + 1) * 60000000 as e")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent line-sweep merge per user
+    val want = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      val islands = collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      var (s0, e0, n0) = (0L, Long.MinValue, 0L)
+      sorted.foreach { case (_, _, s, e) =>
+        if (n0 > 0 && s <= e0) { e0 = math.max(e0, e); n0 += 1 }
+        else {
+          if (n0 > 0) islands += ((s0, e0, n0))
+          s0 = s; e0 = e; n0 = 1
+        }
+      }
+      islands += ((s0, e0, n0))
+      islands.zipWithIndex.map { case ((s, e, n), i) =>
+        (u, (i + 1).toLong, s / 1000, e / 1000, n)
+      }
+    }.toSet
+    assert(got.toSet == want)
+    // islands are disjoint and ordered per user
+    got.groupBy(_._1).foreach { case (_, g) =>
+      g.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(b._3 > a._4)
+        case _ =>
+      }
+    }
+  }
+
   test("regex funcs: digits fully masked, extraction round-trips the key") {
     val rows = Relational.regexFuncs(spark, sf).collect()
     assert(rows.nonEmpty)
