@@ -72,6 +72,7 @@ object SparkEntry {
     "q119_histogram" -> ((s: SparkSession, d: String) => Relational.histogram(s, d)),
     "q121_transitions" -> (Relational.transitionMatrix _),
     "q123_interval_coalesce" -> (Relational.coalesceIntervals _),
+    "q124_pagerank" -> ((s: SparkSession, d: String) => Graph.nationPageRank(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -641,6 +642,37 @@ object SparkEntry {
           AND CAST(o.o_orderdate AS DATE) >= h.valid_from
           AND (h.valid_to IS NULL
                OR CAST(o.o_orderdate AS DATE) < h.valid_to)""",
+    // q124: PageRank — the three integer fixed-point iterations
+    // unrolled as CTEs; integer sums are order-independent, so the
+    // loop result is bit-identical between engines.
+    "q124_pagerank" -> {
+      def it(prev: String) =
+        s"""SELECT nodes.node,
+            (15000000 // (100 * n.nn))
+              + COALESCE(SUM(($prev.r * 85 * e.w) // (100 * o2.ow)), 0) AS r
+          FROM nodes CROSS JOIN n
+          LEFT JOIN edges e ON e.dst = nodes.node
+          LEFT JOIN $prev ON $prev.node = e.src
+          LEFT JOIN outw o2 ON o2.src = e.src
+          GROUP BY nodes.node, n.nn"""
+      s"""WITH edges AS (
+           SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+           FROM orders o
+           JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON c.c_custkey = o.o_custkey
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           GROUP BY 1, 2),
+         outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow
+                  FROM edges GROUP BY 1),
+         nodes AS (SELECT DISTINCT c_nationkey AS node FROM customer
+                   UNION SELECT DISTINCT s_nationkey FROM supplier),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM nodes),
+         r0 AS (SELECT node, CAST(1000000 // nn AS BIGINT) AS r
+                FROM nodes CROSS JOIN n),
+         r1 AS (${it("r0")}), r2 AS (${it("r1")}), r3 AS (${it("r2")})
+         SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r3"""
+    },
     // q123: interval coalescing — identical cumulative-max island
     // construction; integer microsecond arithmetic throughout.
     "q123_interval_coalesce" ->

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Graph analytics beyond Dedup's connected components: iterative
+  * rank propagation with a damping factor — the convergence-loop
+  * shape (join → re-aggregate → iterate) that q44's label
+  * propagation and Similarity's k-means also use, here over a graph
+  * DERIVED by real fact-table joins.
+  */
+object Graph {
+
+  /** PageRank (q124) over the customer-nation → supplier-nation trade
+    * graph (edge weight = lineitems sold from supplier nation to
+    * customer nation), 3 Lloyd-style iterations, damping 0.85.
+    *
+    * EXACT INTEGER fixed-point arithmetic throughout: ranks live in
+    * micro-units (1e6 = probability 1) and every update is
+    * `(r * 85 * w) div (100 * out_weight)` + a constant teleport —
+    * integer sums are order-independent, so the result is
+    * bit-identical under any partitioning and the DuckDB oracle
+    * (the same three iterations unrolled as CTEs) compares exactly;
+    * float PageRank would diverge by accumulation order. Truncation
+    * loses <0.1% of mass in 3 iterations — fidelity, not drift.
+    *
+    * Scale shape: the edge build is the only fact-scale work (orders
+    * ⋈ lineitem shuffle join; nation dims broadcast); the iteration
+    * loop touches only (edge, rank) tuples — O(E) per pass with
+    * edges+out-weights persisted once — and `localCheckpoint`
+    * truncates the lineage each pass (the k-means/q44 discipline) so
+    * plan depth stays constant however many iterations run.
+    */
+  def nationPageRank(
+      spark: SparkSession, sfDir: String, iters: Int = 3): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val c = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val s = Tables.load(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val edges = o.join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(s), col("s_suppkey") === col("l_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val withOut = edges
+      .join(edges.groupBy("src").agg(sum("w").as("ow")), "src")
+      .persist()
+    try {
+      val nodes = c.select(col("c_nationkey").as("node"))
+        .union(s.select(col("s_nationkey"))).distinct().persist()
+      try {
+        val nn = nodes.count()
+        val teleport = 15000000L / (100L * nn)
+        var ranks = nodes.withColumn("r", lit(1000000L / nn))
+          .localCheckpoint(true)
+        for (_ <- 0 until iters) {
+          val contribs = withOut.join(ranks, col("node") === col("src"))
+            .select(col("dst").as("node"),
+              expr("(r * 85 * w) div (100 * ow)").as("contrib"))
+            .groupBy(col("node")).agg(sum(col("contrib")).as("sc"))
+          ranks = nodes.join(contribs, Seq("node"), "left")
+            .select(col("node"),
+              (lit(teleport) + coalesce(col("sc"), lit(0L))).as("r"))
+            .localCheckpoint(true)
+        }
+        ranks.select(col("node"), col("r").as("rank_micro"))
+      } finally nodes.unpersist()
+    } finally withOut.unpersist()
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  def sf: String = SparkTestSession.sf
+
+  test("pagerank matches an independent integer iteration; mass conserved") {
+    val got = Graph.nationPageRank(spark, sf).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    // independent edge build + iteration in plain Scala
+    val o = graft.sources.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    val cn = graft.sources.Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    val sn = graft.sources.Tables.load(spark, sf, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey")).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    val edges = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey")).collect()
+      .map(r => (cn(o(r.getAs[Number](0).longValue)), sn(r.getAs[Number](1).longValue)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val outw = edges.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val nodes = (cn.values ++ sn.values).toSet
+    val nn = nodes.size.toLong
+    var r = nodes.map(_ -> 1000000L / nn).toMap
+    for (_ <- 0 until 3) {
+      val in = edges.toSeq.map { case ((src, dst), w) =>
+        dst -> (r(src) * 85L * w) / (100L * outw(src))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = nodes.map(v => v -> (15000000L / (100L * nn) +
+        in.getOrElse(v, 0L))).toMap
+    }
+    assert(got == r)
+    // rank mass stays ~1 (integer truncation loses <1% in 3 passes)
+    val mass = got.values.sum
+    assert(mass > 990000L && mass <= 1000000L, s"mass $mass")
+  }
+}
