@@ -99,6 +99,22 @@ object ScalingProbe {
     }.reduce(_ unionAll _).write.mode("overwrite")
       .parquet(s"$big/part.parquet")
 
+    // K× lineitem / supplier: key shifts aligned with orders/customer
+    // so joins stay consistent; nationkeys untouched — the q124 graph
+    // keeps its 25 nodes while edge weights grow K× (more trade,
+    // same nations — the realistic growth axis)
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    (0 until k).map { c =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(c * 100000000L))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(c * 1000000L))
+    }.reduce(_ unionAll _).write.mode("overwrite")
+      .parquet(s"$big/lineitem.parquet")
+    val sup = spark.read.parquet(s"$src/supplier.parquet")
+    (0 until k).map { c =>
+      sup.withColumn("s_suppkey", col("s_suppkey") + lit(c * 1000000L))
+    }.reduce(_ unionAll _).write.mode("overwrite")
+      .parquet(s"$big/supplier.parquet")
+
     def time(name: String)(f: => DataFrame): Double = {
       val t0 = System.nanoTime()
       f.write.format("noop").mode("overwrite").save()
@@ -141,7 +157,9 @@ object ScalingProbe {
       "q118_weighted_sample" -> (d => graft.operators.TrainingPrep.weightedSample(spark, d)),
       "q119_histogram" -> (d => graft.operators.Relational.histogram(spark, d)),
       "q121_transitions" -> (d => graft.operators.Relational.transitionMatrix(spark, d)),
-      "q122_keyness" -> (d => graft.operators.TextAnalysis.keynessDrift(spark, d)))
+      "q122_keyness" -> (d => graft.operators.TextAnalysis.keynessDrift(spark, d)),
+      "q123_interval_coalesce" -> (d => graft.operators.Relational.coalesceIntervals(spark, d)),
+      "q124_pagerank" -> (d => graft.operators.Graph.nationPageRank(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))
