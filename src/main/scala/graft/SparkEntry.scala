@@ -121,6 +121,7 @@ object SparkEntry {
     "q105_stream_outer_join" -> (graft.streaming.EventStream.clickOutcomeToBatch _),
     "q107_stream_segments" -> (graft.streaming.EventStream.sessionSegmentsBatch _),
     "q120_stream_cdc" -> (graft.streaming.EventStream.cdcApplyToBatch _),
+    "q125_stream_pit" -> (graft.streaming.EventStream.pitEnrichToBatch _),
     "q65_stream_dedup" -> (graft.streaming.EventStream.dedupToBatch _),
     "q66_stream_sessions" -> (graft.streaming.EventStream.userSessionsBatch _),
     "q81_stream_file_sink" -> (graft.streaming.EventStream.hourlyToParquetSink _),
@@ -743,6 +744,19 @@ object SparkEntry {
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
                  ORDER BY pr DESC, doc_id ASC) AS rk FROM s)
          WHERE rk <= 20""",
+    // q125: streaming PIT enrichment — the oracle is the batch
+    // interval join against the re-dated history (q115's device over
+    // the event stream); stream must equal batch.
+    "q125_stream_pit" ->
+      s"""${scd2HistSql("2024-01-01", "2024-01-15")}
+         SELECT e.event_id, e.user_id, e.ts,
+           h.c_mktsegment AS seg_at_event,
+           h.c_mktsegment IS NOT NULL AS is_known
+         FROM events e LEFT JOIN scd2_hist h
+           ON h.c_custkey = e.user_id
+          AND e.ts >= CAST(h.valid_from AS TIMESTAMP)
+          AND (h.valid_to IS NULL
+               OR e.ts < CAST(h.valid_to AS TIMESTAMP))""",
     // q120: streaming CDC apply — same oracle as q117 (stream must
     // equal batch), reached through foreachBatch versioned upserts.
     "q120_stream_cdc" ->

@@ -531,6 +531,42 @@ object EventStream {
     runToBatch(spark, sessionSegments(_, sfDir),
       s"q107_segments_${runSeq.incrementAndGet()}", OutputMode.Append())
 
+  /** Streaming point-in-time enrichment (q125): the SERVE-time half
+    * of q115's feature-store pair — events stream through a
+    * stream-static LEFT OUTER join against the versioned dimension
+    * (q108's SCD2 history re-dated to straddle the event range), each
+    * event picking the version valid AT ITS OWN TIMESTAMP via the
+    * interval predicate. The static side is a dimension (broadcast-
+    * scale), so the range condition never degenerates the stream
+    * side: every micro-batch joins locally, no stream-side state at
+    * all (the join is stateless — static rows never retract). Events
+    * on deleted keys after the delete date and events on keys outside
+    * the dimension both surface with NULL attrs + is_known = false —
+    * the online-serving miss a feature pipeline must make explicit.
+    * Train-time (q115) and serve-time (this) read the SAME history,
+    * which is the point: offline/online consistency.
+    */
+  def pitEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = graft.operators.Relational
+      .scd2Merge(spark, sfDir, "2024-01-01", "2024-01-15")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("valid_from").cast("timestamp").as("vf"),
+        col("valid_to").cast("timestamp").as("vt"))
+    readEvents(spark, sfDir)
+      .join(broadcast(hist),
+        col("user_id") === col("c_custkey") && col("ts") >= col("vf") &&
+          (col("vt").isNull || col("ts") < col("vt")),
+        "left_outer")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("c_mktsegment").as("seg_at_event"),
+        col("c_mktsegment").isNotNull.as("is_known"))
+  }
+
+  /** The q125 driver entry: [[pitEnrich]] run to completion. */
+  def pitEnrichToBatch(spark: SparkSession, sfDir: String): DataFrame =
+    runToBatch(spark, pitEnrich(_, sfDir),
+      s"q125_pit_${runSeq.incrementAndGet()}", OutputMode.Append())
+
   private val cdcStateSchema = StructType(Seq(
     StructField("user_id", LongType),
     StructField("op", StringType),

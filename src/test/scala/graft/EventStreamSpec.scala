@@ -252,6 +252,26 @@ class EventStreamSpec extends AnyFunSuite {
     new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
   }
 
+  test("streaming pit enrichment: events see the version valid at their timestamp") {
+    val rows = graft.streaming.EventStream.pitEnrichToBatch(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val segs = graft.sources.Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val asOf = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    rows.foreach { r =>
+      val (u, ts, seg, known) =
+        (r.getLong(1), r.getTimestamp(2), r.getString(3), r.getBoolean(4))
+      val after = !ts.before(asOf)
+      if (u % 101 == 0)
+        assert(if (after) !known else seg == segs(u), s"$u $ts")
+      else if (u % 7 == 0)
+        assert(known && seg == (if (after) "CHANGED" else segs(u)), s"$u $ts")
+      else assert(known && seg == segs(u), s"$u $ts")
+    }
+  }
+
   test("stateful user sessions match batch per-user aggregates (one row per user)") {
     val rows = EventStream.userSessionsBatch(spark, sf).collect()
     // userSessionsBatch dedupes to the final state: exactly one row/user
