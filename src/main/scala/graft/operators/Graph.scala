@@ -55,20 +55,25 @@ object Graph {
         .union(s.select(col("s_nationkey"))).distinct().persist()
       try {
         val nn = nodes.count()
-        val teleport = 15000000L / (100L * nn)
-        var ranks = nodes.withColumn("r", lit(1000000L / nn))
-          .localCheckpoint(true)
-        for (_ <- 0 until iters) {
-          val contribs = withOut.join(ranks, col("node") === col("src"))
-            .select(col("dst").as("node"),
-              expr("(r * 85 * w) div (100 * ow)").as("contrib"))
-            .groupBy(col("node")).agg(sum(col("contrib")).as("sc"))
-          ranks = nodes.join(contribs, Seq("node"), "left")
-            .select(col("node"),
-              (lit(teleport) + coalesce(col("sc"), lit(0L))).as("r"))
+        // Empty graph: no nodes to rank — emit the (empty) result with
+        // the right schema rather than dividing the teleport mass by 0.
+        if (nn == 0L) nodes.select(col("node"), lit(0L).as("rank_micro"))
+        else {
+          val teleport = 15000000L / (100L * nn)
+          var ranks = nodes.withColumn("r", lit(1000000L / nn))
             .localCheckpoint(true)
+          for (_ <- 0 until iters) {
+            val contribs = withOut.join(ranks, col("node") === col("src"))
+              .select(col("dst").as("node"),
+                expr("(r * 85 * w) div (100 * ow)").as("contrib"))
+              .groupBy(col("node")).agg(sum(col("contrib")).as("sc"))
+            ranks = nodes.join(contribs, Seq("node"), "left")
+              .select(col("node"),
+                (lit(teleport) + coalesce(col("sc"), lit(0L))).as("r"))
+              .localCheckpoint(true)
+          }
+          ranks.select(col("node"), col("r").as("rank_micro"))
         }
-        ranks.select(col("node"), col("r").as("rank_micro"))
       } finally nodes.unpersist()
     } finally withOut.unpersist()
   }
