@@ -73,6 +73,9 @@ object SparkEntry {
     "q121_transitions" -> (Relational.transitionMatrix _),
     "q123_interval_coalesce" -> (Relational.coalesceIntervals _),
     "q124_pagerank" -> ((s: SparkSession, d: String) => Graph.nationPageRank(s, d)),
+    "q126_triangles" -> (Graph.nationTriangles _),
+    "q127_ohlc" -> (Relational.ohlcBars _),
+    "q128_dq_audit" -> (Relational.dqAudit _),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -673,6 +676,86 @@ object SparkEntry {
                 FROM nodes CROSS JOIN n),
          r1 AS (${it("r0")}), r2 AS (${it("r1")}), r3 AS (${it("r2")})
          SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r3"""
+    },
+    // q126: triangle counting — same low→high edge orientation, the
+    // heavy-edge filter compared by integer cross-multiplication
+    // (w·ne·10 ≥ tw·12) so no float boundary can flip between
+    // engines; each triangle (a<b<c) is enumerated exactly once.
+    "q126_triangles" ->
+      """WITH e0 AS (
+           SELECT c.c_nationkey AS a, s.s_nationkey AS b,
+             CAST(COUNT(*) AS BIGINT) AS w
+           FROM orders o
+           JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON c.c_custkey = o.o_custkey
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           WHERE c.c_nationkey <> s.s_nationkey
+           GROUP BY 1, 2),
+         ed0 AS (SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v,
+                   CAST(SUM(w) AS BIGINT) AS w
+                 FROM e0 GROUP BY 1, 2),
+         tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw,
+                   CAST(COUNT(*) AS BIGINT) AS ne FROM ed0),
+         ed AS (SELECT u, v FROM ed0, tot WHERE w * ne * 10 >= tw * 12),
+         tri AS (
+           SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           FROM ed e1
+           JOIN ed e2 ON e2.u = e1.v
+           JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v)
+         SELECT node, COUNT(*) AS n_triangles
+         FROM (SELECT a AS node FROM tri
+               UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri)
+         GROUP BY node""",
+    // q127: OHLC bars — the oracle's ROW_NUMBER over the total
+    // (ts, event_id) order is the declarative twin of the Spark
+    // side's min_by/max_by over the same lexicographic struct; both
+    // engines' 5-minute tumbling buckets are epoch-aligned.
+    "q127_ohlc" ->
+      """WITH b AS (
+           SELECT event_type,
+             time_bucket(INTERVAL 5 MINUTE, ts) AS bucket,
+             ts, event_id, value
+           FROM events),
+         r AS (
+           SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+               ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+               ORDER BY ts DESC, event_id DESC) AS rn_z
+           FROM b)
+         SELECT event_type, bucket,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rn_z = 1 THEN value END) AS close,
+           COUNT(*) AS n_events
+         FROM r GROUP BY 1, 2""",
+    // q128: referential-integrity audit — one left-join + FILTERed
+    // aggregate per foreign key; DISTINCT ignores NULLs in both
+    // engines, matching the Spark count(distinct when(...)).
+    "q128_dq_audit" -> {
+      def fkSql(name: String, child: String, key: String,
+          parent: String, pkey: String) =
+        s"""SELECT '$name' AS fk, COUNT(*) AS child_rows,
+            COUNT(*) FILTER (WHERE p.$pkey IS NULL) AS orphan_rows,
+            COUNT(DISTINCT c.$key) FILTER (WHERE p.$pkey IS NULL)
+              AS orphan_keys
+          FROM $child c LEFT JOIN $parent p ON p.$pkey = c.$key"""
+      Seq(
+        fkSql("lineitem.l_orderkey", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        fkSql("lineitem.l_partkey", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        fkSql("lineitem.l_suppkey", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        fkSql("orders.o_custkey", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        fkSql("customer.c_nationkey", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        fkSql("supplier.s_nationkey", "supplier", "s_nationkey",
+          "nation", "n_nationkey"),
+        fkSql("nation.n_regionkey", "nation", "n_regionkey",
+          "region", "r_regionkey")).mkString(" UNION ALL ")
     },
     // q123: interval coalescing — identical cumulative-max island
     // construction; integer microsecond arithmetic throughout.

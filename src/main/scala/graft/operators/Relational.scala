@@ -1360,6 +1360,83 @@ object Relational {
         (col("revenue4") * lit(10000)).cast(LongType).as("revenue_e4"))
   }
 
+  /** OHLC time-series downsampling (q127): open / high / low / close
+    * / count per (event_type, 5-minute bucket) — the resample
+    * primitive of every metrics and market-data pipeline. open and
+    * close are `min_by`/`max_by` over the lexicographic
+    * (ts, event_id) struct — a TOTAL order, so ts ties can't make the
+    * bar nondeterministic — which keeps the whole bar a plain
+    * AGGREGATE: partial min_by/max_by below the exchange means the
+    * shuffle carries one candidate bar per (type, bucket, partition),
+    * not the raw ticks, where the ROW_NUMBER formulation (the
+    * oracle's) would shuffle and sort every event. No double is ever
+    * summed — O/H/L/C are selections and n_events a count, so the
+    * compare is exact with zero decimal scaffolding. Tumbling windows
+    * are epoch-aligned in both engines (300 s divides the epoch
+    * origins), so `window().start` equals DuckDB's `time_bucket`.
+    */
+  def ohlcBars(spark: SparkSession, sfDir: String): DataFrame = {
+    val tsId = struct(col("ts"), col("event_id"))
+    Tables.load(spark, sfDir, "events")
+      .groupBy(col("event_type"), window(col("ts"), "5 minutes").as("win"))
+      .agg(
+        min_by(col("value"), tsId).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), tsId).as("close"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("win.start").as("bucket"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_events"))
+  }
+
+  /** Referential-integrity audit (q128): orphan-row / orphan-key
+    * counts for every foreign key in the star schema — the data-
+    * quality gate a warehouse runs on each load before exposing it
+    * (q109 profiles columns; this audits RELATIONSHIPS). Each FK is
+    * one left join + one aggregate collapsed to a single row, so the
+    * whole audit is a union of 1-row frames: no width explosion, no
+    * driver loop over data. Fact-to-fact edges (lineitem→orders/part,
+    * orders→customer) stay shuffle joins sized by AQE; only the
+    * genuinely tiny dims (nation, region) are forced broadcast —
+    * supplier/customer/part grow with SF and are left to the
+    * planner. `count(distinct when(orphan, key))` counts distinct
+    * non-null keys only, matching the oracle's FILTERed DISTINCT.
+    */
+  def dqAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    def t(name: String) = Tables.load(spark, sfDir, name)
+    def fk(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String,
+        broadcastParent: Boolean = false): DataFrame = {
+      val p0 = parent.select(col(pkey))
+      val p = if (broadcastParent) broadcast(p0) else p0
+      child.select(col(key))
+        .join(p, col(key) === col(pkey), "left")
+        .agg(
+          count(lit(1)).as("child_rows"),
+          count(when(col(pkey).isNull, 1)).as("orphan_rows"),
+          countDistinct(when(col(pkey).isNull, col(key)))
+            .as("orphan_keys"))
+        .select(lit(name).as("fk"), col("child_rows"),
+          col("orphan_rows"), col("orphan_keys"))
+    }
+    val nation = t("nation")
+    fk("lineitem.l_orderkey", t("lineitem"), "l_orderkey",
+        t("orders"), "o_orderkey")
+      .unionAll(fk("lineitem.l_partkey", t("lineitem"), "l_partkey",
+        t("part"), "p_partkey"))
+      .unionAll(fk("lineitem.l_suppkey", t("lineitem"), "l_suppkey",
+        t("supplier"), "s_suppkey"))
+      .unionAll(fk("orders.o_custkey", t("orders"), "o_custkey",
+        t("customer"), "c_custkey"))
+      .unionAll(fk("customer.c_nationkey", t("customer"), "c_nationkey",
+        nation, "n_nationkey", broadcastParent = true))
+      .unionAll(fk("supplier.s_nationkey", t("supplier"), "s_nationkey",
+        nation, "n_nationkey", broadcastParent = true))
+      .unionAll(fk("nation.n_regionkey", nation, "n_regionkey",
+        t("region"), "r_regionkey", broadcastParent = true))
+  }
+
   def saltedJoin(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, salts: Int): DataFrame = {

@@ -42,4 +42,39 @@ class GraphSpec extends AnyFunSuite {
     val mass = got.values.sum
     assert(mass > 990000L && mass <= 1000000L, s"mass $mass")
   }
+
+  test("triangles: heavy-edge graph matches independent enumeration") {
+    val got = Graph.nationTriangles(spark, sf).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue)
+      .toMap
+    // independent edge derivation + naive enumeration in plain Scala
+    val o = graft.sources.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    val cn = graft.sources.Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    val sn = graft.sources.Tables.load(spark, sf, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey")).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    val und = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey")).collect()
+      .map(r => (cn(o(r.getAs[Number](0).longValue)),
+        sn(r.getAs[Number](1).longValue)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val tw = und.values.sum
+    val ne = und.size.toLong
+    // NB: collect-into-pairs on a Map would rebuild a Map (dedup by
+    // edge source) — keySet of a filter keeps every edge
+    val kept = und.filter { case (_, w) => w * ne * 10 >= tw * 12 }.keySet
+    assert(kept.nonEmpty, s"threshold kept no edges of ${und.size}")
+    val triCounts = scala.collection.mutable.Map.empty[Long, Long]
+    for ((u, v) <- kept; (v2, w) <- kept
+         if v2 == v && kept.contains((u, w));
+         node <- Seq(u, v, w))
+      triCounts(node) = triCounts.getOrElse(node, 0L) + 1L
+    assert(got == triCounts.toMap, s"kept=${kept.size} tw=$tw ne=$ne")
+  }
 }

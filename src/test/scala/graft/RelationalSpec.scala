@@ -305,6 +305,49 @@ class RelationalSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
   }
 
+  test("ohlc bars follow the (ts,event_id) order; aggregate stays partial, no window") {
+    val df = Relational.ohlcBars(spark, sf)
+    val got = df.collect().map(r => (r.getString(0), r.getTimestamp(1)) ->
+      ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getLong(6)))).toMap
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .selectExpr("event_type", "unix_micros(ts) as us", "event_id", "value")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val truth = ev.groupBy(r => (r._1, r._2 / 300000000L))
+    assert(got.size == truth.size)
+    truth.foreach { case ((t, b), rows) =>
+      val (o, h, l, c, n) = got((t, new java.sql.Timestamp(b * 300000L)))
+      assert(n == rows.length && h == rows.map(_._4).max
+        && l == rows.map(_._4).min, s"bar ($t,$b)")
+      assert(o == rows.minBy(r => (r._2, r._3))._4, s"open ($t,$b)")
+      assert(c == rows.maxBy(r => (r._2, r._3))._4, s"close ($t,$b)")
+    }
+    // the bar is ONE aggregate: partial min_by below the exchange and
+    // no Window (the full-shuffle ROW_NUMBER formulation)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchangeAt = plan.indexOf("Exchange hashpartitioning")
+    val partialAt = plan.indexOf("partial_min_by")
+    assert(partialAt > exchangeAt && exchangeAt > 0,
+      s"no partial min_by below the exchange in:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
+  }
+
+  test("dq audit: fixtures are referentially clean; child row counts exact") {
+    val rows = Relational.dqAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows.size == 7)
+    def n(t: String) = graft.sources.Tables.load(spark, sf, t).count()
+    assert(rows("lineitem.l_orderkey")._1 == n("lineitem"))
+    assert(rows("orders.o_custkey")._1 == n("orders"))
+    assert(rows("nation.n_regionkey")._1 == n("nation"))
+    rows.foreach { case (fk, (_, orphanRows, orphanKeys)) =>
+      assert(orphanRows == 0L && orphanKeys == 0L, s"orphans under $fk")
+    }
+  }
+
   test("histogram: arithmetic binning matches the width_bucket builtin; counts total") {
     val hist = Relational.histogram(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
