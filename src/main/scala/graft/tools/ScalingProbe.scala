@@ -114,6 +114,11 @@ object ScalingProbe {
       sup.withColumn("s_suppkey", col("s_suppkey") + lit(c * 1000000L))
     }.reduce(_ unionAll _).write.mode("overwrite")
       .parquet(s"$big/supplier.parquet")
+    // nation / region are FIXED dims (25 / 5 rows at any SF): copy
+    // them through unreplicated so FK-closure operators (q128) run
+    for (t <- Seq("nation", "region"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$big/$t.parquet")
 
     def time(name: String)(f: => DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -159,7 +164,10 @@ object ScalingProbe {
       "q121_transitions" -> (d => graft.operators.Relational.transitionMatrix(spark, d)),
       "q122_keyness" -> (d => graft.operators.TextAnalysis.keynessDrift(spark, d)),
       "q123_interval_coalesce" -> (d => graft.operators.Relational.coalesceIntervals(spark, d)),
-      "q124_pagerank" -> (d => graft.operators.Graph.nationPageRank(spark, d)))
+      "q124_pagerank" -> (d => graft.operators.Graph.nationPageRank(spark, d)),
+      "q126_triangles" -> (d => graft.operators.Graph.nationTriangles(spark, d)),
+      "q127_ohlc" -> (d => graft.operators.Relational.ohlcBars(spark, d)),
+      "q128_dq_audit" -> (d => graft.operators.Relational.dqAudit(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))
