@@ -76,6 +76,8 @@ object SparkEntry {
     "q126_triangles" -> (Graph.nationTriangles _),
     "q127_ohlc" -> (Relational.ohlcBars _),
     "q128_dq_audit" -> (Relational.dqAudit _),
+    "q129_ab_test" -> (Experiment.abTest _),
+    "q130_attribution" -> (Experiment.attribution _),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -730,6 +732,61 @@ object SparkEntry {
            MAX(CASE WHEN rn_z = 1 THEN value END) AS close,
            COUNT(*) AS n_events
          FROM r GROUP BY 1, 2""",
+    // q129: two-proportion z-test — the z expression tree mirrors the
+    // Spark side term for term (single IEEE divide/multiply/sqrt on
+    // exact counts, no float accumulation), so the statistic is
+    // bit-identical without tolerance.
+    "q129_ab_test" ->
+      """WITH per_unit AS (
+           SELECT user_id, CAST(ts AS DATE) AS day,
+             user_id % 2 AS variant,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+           FROM events GROUP BY 1, 2, 3),
+         c AS (
+           SELECT
+             COUNT(*) FILTER (WHERE variant = 0) AS n_a,
+             COUNT(*) FILTER (WHERE variant = 1) AS n_b,
+             SUM(converted) FILTER (WHERE variant = 0) AS conv_a,
+             SUM(converted) FILTER (WHERE variant = 1) AS conv_b
+           FROM per_unit)
+         SELECT n_a, n_b, conv_a, conv_b,
+           CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+           CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+           (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                  * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0 / n_a + 1.0 / n_b)) AS z_score
+         FROM c""",
+    // q130: attribution detail — last-touch via the running
+    // last_value IGNORE NULLS (union-stream, no self-join), 7-day
+    // touch counts via the RANGE frame; output is selections and
+    // integer counts only, so the compare is exact.
+    "q130_attribution" ->
+      """WITH u AS (
+           SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type IN ('click', 'view')
+               THEN event_type END AS touch
+           FROM events
+           WHERE event_type IN ('click', 'view', 'purchase')),
+         w AS (
+           SELECT *,
+             LAST_VALUE(touch IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_touch,
+             COUNT(*) FILTER (WHERE touch = 'click') OVER
+               (PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+               AS n_clicks_7d,
+             COUNT(*) FILTER (WHERE touch = 'view') OVER
+               (PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+               AS n_views_7d
+           FROM u)
+         SELECT event_id, user_id, ts, value, last_touch,
+           n_clicks_7d, n_views_7d
+         FROM w WHERE event_type = 'purchase'""",
     // q128: referential-integrity audit — one left-join + FILTERed
     // aggregate per foreign key; DISTINCT ignores NULLs in both
     // engines, matching the Spark count(distinct when(...)).

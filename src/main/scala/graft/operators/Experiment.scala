@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Experimentation / marketing analytics: the A/B significance test
+  * and the attribution join every product-analytics warehouse runs on
+  * its event stream. Both are deterministic BY CONSTRUCTION — the
+  * statistics are single IEEE operations (divide, multiply, sqrt) on
+  * exact integer counts, never a SUM over doubles, so the engines
+  * agree bit-for-bit without decimal scaffolding.
+  */
+object Experiment {
+
+  /** Two-proportion z-test (q129) on a hash-split experiment:
+    * variant = user_id % 2, unit = user-day, conversion = "the unit
+    * contains a purchase". Two aggregates total: events → units (one
+    * shuffle on (user, day) — partial max below the exchange), units
+    * → one global row of four counts, then the z statistic is scalar
+    * arithmetic ON that row: rate difference over the pooled
+    * standard error. Every float op consumes exact integers (counts)
+    * exactly once — division, multiplication and sqrt are correctly
+    * rounded in IEEE 754, so the z-score is bit-identical in any
+    * engine, with NO order-dependent float accumulation anywhere.
+    * At 100 TB the unit aggregate dominates and is partial-agg
+    * friendly; the final reduce is 4 longs.
+    */
+  def abTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val units = Tables.load(spark, sfDir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"),
+        (col("user_id") % 2).as("variant"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+        .as("converted"))
+    val counts = units.agg(
+      count(when(col("variant") === 0, 1)).as("n_a"),
+      count(when(col("variant") === 1, 1)).as("n_b"),
+      sum(when(col("variant") === 0, col("converted"))).as("conv_a"),
+      sum(when(col("variant") === 1, col("converted"))).as("conv_b"))
+    val rateA = col("conv_a").cast("double") / col("n_a")
+    val rateB = col("conv_b").cast("double") / col("n_b")
+    // pooled proportion and standard error — the expression tree
+    // mirrors the oracle SQL term for term so rounding order matches
+    val pooled = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val se = sqrt(pooled * (lit(1) - pooled) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    counts.select(
+      col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      rateA.as("rate_a"), rateB.as("rate_b"),
+      ((rateA - rateB) / se).as("z_score"))
+  }
+
+  /** Multi-touch attribution detail (q130): for every purchase, the
+    * last preceding touch (click/view) and the 7-day touch counts
+    * that drive last-touch / linear attribution models. ONE shuffle
+    * on user_id serves all three windows: last-touch is a running
+    * `last(ignoreNulls)` over a ROWS frame ordered by the total
+    * (ts, event_id) key — the q115 union-stream device, so no
+    * purchases⋈touches self-join, no per-purchase touch explosion —
+    * and the two 7-day counts are conditional counts over a RANGE
+    * frame on integer microseconds (the q87 device). Output is
+    * per-purchase SELECTIONS and integer counts only (value passes
+    * through unsummed), so the hash compare is exact; model rollups
+    * downstream are integer-cent sums over this detail. At scale the
+    * two sort orders (lexicographic rows-frame, numeric range-frame)
+    * share the single exchange; frames are running, so state per key
+    * is O(window), not O(partition).
+    */
+  def attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .where(col("event_type").isin("click", "view", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"),
+        when(col("event_type").isin("click", "view"), col("event_type"))
+          .as("touch"))
+    val rowW = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rangeW = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-7L * 86400L * 1000000L, 0L)
+    ev.withColumn("last_touch", last(col("touch"), ignoreNulls = true)
+        .over(rowW))
+      .withColumn("n_clicks_7d",
+        count(when(col("touch") === "click", 1)).over(rangeW))
+      .withColumn("n_views_7d",
+        count(when(col("touch") === "view", 1)).over(rangeW))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("last_touch"), col("n_clicks_7d"), col("n_views_7d"))
+  }
+}

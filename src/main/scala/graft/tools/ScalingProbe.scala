@@ -167,7 +167,9 @@ object ScalingProbe {
       "q124_pagerank" -> (d => graft.operators.Graph.nationPageRank(spark, d)),
       "q126_triangles" -> (d => graft.operators.Graph.nationTriangles(spark, d)),
       "q127_ohlc" -> (d => graft.operators.Relational.ohlcBars(spark, d)),
-      "q128_dq_audit" -> (d => graft.operators.Relational.dqAudit(spark, d)))
+      "q128_dq_audit" -> (d => graft.operators.Relational.dqAudit(spark, d)),
+      "q129_ab_test" -> (d => graft.operators.Experiment.abTest(spark, d)),
+      "q130_attribution" -> (d => graft.operators.Experiment.attribution(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))

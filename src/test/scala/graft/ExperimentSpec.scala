@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Experiment
+
+class ExperimentSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  def sf: String = SparkTestSession.sf
+
+  private lazy val events = graft.sources.Tables.load(spark, sf, "events")
+    .selectExpr("user_id", "unix_micros(ts) as us", "event_id",
+      "event_type", "value")
+    .collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+      r.getDouble(4)))
+
+  test("ab test: counts match an independent unit build; z from the same formula") {
+    val row = Experiment.abTest(spark, sf).collect().head
+    val units = events.groupBy { case (u, us, _, _, _) =>
+      (u, java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L))
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate)
+    }.toSeq.map { case ((u, _), rows) =>
+      (u % 2, if (rows.exists(_._4 == "purchase")) 1L else 0L)
+    }
+    val nA = units.count(_._1 == 0).toLong
+    val nB = units.count(_._1 == 1).toLong
+    val cA = units.filter(_._1 == 0).map(_._2).sum
+    val cB = units.filter(_._1 == 1).map(_._2).sum
+    assert((row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3)) == ((nA, nB, cA, cB)))
+    val p = (cA + cB).toDouble / (nA + nB)
+    val z = (cA.toDouble / nA - cB.toDouble / nB) /
+      math.sqrt(p * (1 - p) * (1.0 / nA + 1.0 / nB))
+    assert(row.getDouble(4) == cA.toDouble / nA)
+    assert(row.getDouble(5) == cB.toDouble / nB)
+    assert(row.getDouble(6) == z, "z must be bit-identical: all inputs " +
+      "are exact counts through single IEEE operations")
+  }
+
+  test("attribution: last touch and 7-day counts match a naive per-user sweep; one shuffle") {
+    val df = Experiment.attribution(spark, sf)
+    val got = df.collect().map(r => r.getLong(0) ->
+      ((Option(r.getString(4)), r.getLong(5), r.getLong(6)))).toMap
+    val stream = events
+      .filter(e => Set("click", "view", "purchase").contains(e._4))
+    val byUser = stream.groupBy(_._1)
+    var checked = 0
+    byUser.foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      ordered.zipWithIndex.filter(_._1._4 == "purchase").foreach {
+        case ((_, pus, pid, _, _), i) =>
+          val touches = ordered.take(i + 1)
+            .filter(t => t._4 == "click" || t._4 == "view")
+          val lastTouch = touches.lastOption.map(_._4)
+          val inRange = ordered
+            .filter(t => t._2 >= pus - 7L * 86400L * 1000000L && t._2 <= pus)
+          val (o, c, v) = got(pid)
+          assert(o == lastTouch, s"purchase $pid last touch")
+          assert(c == inRange.count(_._4 == "click"), s"purchase $pid clicks")
+          assert(v == inRange.count(_._4 == "view"), s"purchase $pid views")
+          checked += 1
+      }
+    }
+    assert(checked == got.size && checked > 0)
+    // all three windows ride ONE user_id exchange
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 1, s"expected a single shuffle, saw $n:\n$plan")
+  }
+}
