@@ -78,6 +78,7 @@ object SparkEntry {
     "q128_dq_audit" -> (Relational.dqAudit _),
     "q129_ab_test" -> (Experiment.abTest _),
     "q130_attribution" -> (Experiment.attribution _),
+    "q131_skyline" -> (Relational.skyline _),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -787,6 +788,28 @@ object SparkEntry {
          SELECT event_id, user_id, ts, value, last_touch,
            n_clicks_7d, n_views_7d
          FROM w WHERE event_type = 'purchase'""",
+    // q131: skyline — per-date max + running max over the bounded
+    // date frame (ROWS ≡ strictly-prior dates: one row per date),
+    // then join back; dominance comparisons on exact selections.
+    "q131_skyline" ->
+      """WITH dmax AS (
+           SELECT CAST(o_orderdate AS DATE) AS d,
+             MAX(o_totalprice) AS dp
+           FROM orders GROUP BY 1),
+         run AS (
+           SELECT d, dp,
+             MAX(dp) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prior_max
+           FROM dmax),
+         skyd AS (
+           SELECT d, dp FROM run
+           WHERE prior_max IS NULL OR dp > prior_max)
+         SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS d,
+           o.o_totalprice
+         FROM orders o
+         JOIN skyd ON skyd.d = CAST(o.o_orderdate AS DATE)
+           AND o.o_totalprice = skyd.dp""",
     // q128: referential-integrity audit — one left-join + FILTERed
     // aggregate per foreign key; DISTINCT ignores NULLs in both
     // engines, matching the Spark count(distinct when(...)).

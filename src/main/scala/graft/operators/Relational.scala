@@ -1437,6 +1437,38 @@ object Relational {
         t("region"), "r_regionkey", broadcastParent = true))
   }
 
+  /** 2-D skyline / Pareto frontier (q131): orders no other order
+    * dominates (earlier-or-equal date AND higher-or-equal price,
+    * strict somewhere) — the preference-query operator class. The
+    * naive form is an all-pairs NOT EXISTS (O(n²) at fact scale);
+    * here the 2-D structure collapses it to: (1) max price per date —
+    * ONE partial-agg shuffle over the facts; (2) a running max over
+    * the per-date frame, which is BOUNDED (dates, not orders — a
+    * 100 TB table still has thousands of dates), so its
+    * single-partition window is deliberate and safe; (3) a broadcast
+    * join back tags the skyline rows — the facts are never globally
+    * sorted. Dominance strictness: a price equal to an earlier date's
+    * max is dominated (strictly earlier, ≥ price), so the frontier
+    * keeps only record-BREAKING prices; same-date ties all survive
+    * (no strict component) — both pinned by comparisons on exact
+    * selections, no float arithmetic.
+    */
+  def skyline(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d"),
+        col("o_totalprice"))
+    val dmax = o.groupBy(col("d")).agg(max(col("o_totalprice")).as("dp"))
+    val run = dmax.withColumn("prior_max",
+      max(col("dp")).over(Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    val skylineDates = run
+      .where(col("prior_max").isNull || col("dp") > col("prior_max"))
+      .select(col("d").as("sd"), col("dp"))
+    o.join(broadcast(skylineDates),
+        col("d") === col("sd") && col("o_totalprice") === col("dp"))
+      .select(col("o_orderkey"), col("d"), col("o_totalprice"))
+  }
+
   def saltedJoin(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, salts: Int): DataFrame = {

@@ -169,7 +169,8 @@ object ScalingProbe {
       "q127_ohlc" -> (d => graft.operators.Relational.ohlcBars(spark, d)),
       "q128_dq_audit" -> (d => graft.operators.Relational.dqAudit(spark, d)),
       "q129_ab_test" -> (d => graft.operators.Experiment.abTest(spark, d)),
-      "q130_attribution" -> (d => graft.operators.Experiment.attribution(spark, d)))
+      "q130_attribution" -> (d => graft.operators.Experiment.attribution(spark, d)),
+      "q131_skyline" -> (d => graft.operators.Relational.skyline(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))

@@ -85,6 +85,28 @@ class BenchSpec extends AnyFunSuite {
     assert(math.abs(confirmed("real") - 2.0) < 1e-9)
   }
 
+  test("confirm pass suppresses sub-quarter-second deltas (fresh-JVM noise band)") {
+    // 0.23 s -> 0.36 s clears 1.5x but the 0.13 s delta is inside the
+    // measured quiet-JVM spread on this machine: suspect-only, never
+    // a published regression (the r07 q86 case)
+    val confirmed = Bench.confirmRegressions(
+      Map("jitter" -> 0.23, "real" -> 0.4),
+      Seq("jitter", "real"),
+      Map("jitter" -> 0.36, "real" -> 1.2)).toMap
+    assert(confirmed.keySet == Set("real"))
+  }
+
+  test("confirm_times in a prior artifact override its sweep medians (fresh beats aged)") {
+    // the scraper takes the LAST 3-decimal pair per query in the line;
+    // confirm_times prints after queries, so a flagged query's
+    // baseline for the NEXT round is its quiet re-measured median,
+    // not the aged sweep median that tripped the flag
+    val selfOutput =
+      """{"queries":{"q86_interval_join":0.348,"q87_rolling_window":0.358},"regressions":{},"suspect":{"q86_interval_join":1.53},"confirm_times":{"q86_interval_join":0.362},"sf":"x"}"""
+    assert(Bench.parsePrevMedians(selfOutput) ==
+      Map("q86_interval_join" -> 0.362, "q87_rolling_window" -> 0.358))
+  }
+
   test("suspect maps in the gate's own output never poison the baseline") {
     val selfOutput =
       """{"metric":"total","value":50.0,"unit":"sec","queries":{"q23_simhash":0.500},"prev":"BENCH_r06.json","regressions":{},"regressions_vs_best":{},"suspect":{"q23_simhash":5.01},"suspect_vs_best":{"q23_simhash":7.88},"sf":"x"}"""

@@ -334,6 +334,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
   }
 
+  test("skyline equals the naive all-pairs dominance check") {
+    val got = Relational.skyline(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2)))
+      .toSet
+    val all = graft.sources.Tables.load(spark, sf, "orders")
+      .selectExpr("o_orderkey", "cast(to_date(o_orderdate) as string) d",
+        "o_totalprice")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val want = all.filter { case (_, d, p) =>
+      !all.exists { case (_, d2, p2) =>
+        d2 <= d && p2 >= p && (d2 < d || p2 > p)
+      }
+    }.toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("dq audit: fixtures are referentially clean; child row counts exact") {
     val rows = Relational.dqAudit(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
