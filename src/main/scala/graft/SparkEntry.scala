@@ -79,6 +79,8 @@ object SparkEntry {
     "q129_ab_test" -> (Experiment.abTest _),
     "q130_attribution" -> (Experiment.attribution _),
     "q131_skyline" -> (Relational.skyline _),
+    "q132_skew_report" -> (Relational.skewReport _),
+    "q133_cooccurrence" -> (Experiment.coOccurrence _),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -810,6 +812,44 @@ object SparkEntry {
          FROM orders o
          JOIN skyd ON skyd.d = CAST(o.o_orderdate AS DATE)
            AND o.o_totalprice = skyd.dp""",
+    // q132: key-skew report — sorted-index Gini on exact integers
+    // (the only float op is the final division); ROW_NUMBER tie order
+    // cannot change Σ i·cnt because ties share a cnt.
+    "q132_skew_report" ->
+      """WITH per_key AS (
+           SELECT event_type, user_id, COUNT(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         ranked AS (
+           SELECT event_type, cnt,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY cnt, user_id) AS i
+           FROM per_key)
+         SELECT event_type,
+           COUNT(*) AS n_keys,
+           SUM(cnt) AS n_events,
+           MAX(cnt) AS max_key_events,
+           CAST(2 * SUM(i * cnt) - (COUNT(*) + 1) * SUM(cnt) AS DOUBLE)
+             / CAST(COUNT(*) * SUM(cnt) AS DOUBLE) AS gini
+         FROM ranked GROUP BY 1""",
+    // q133: event-type co-occurrence — distinct (user, day, type)
+    // units self-joined on the unit key; support is one IEEE division
+    // of exact counts.
+    "q133_cooccurrence" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+           FROM events),
+         tot AS (
+           SELECT COUNT(*) AS n_units
+           FROM (SELECT DISTINCT user_id, day FROM ud)),
+         pairs AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_cooccur
+           FROM ud a JOIN ud b ON a.user_id = b.user_id
+             AND a.day = b.day AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+         SELECT type_a, type_b, n_cooccur,
+           CAST(n_cooccur AS DOUBLE) / n_units AS support
+         FROM pairs, tot""",
     // q128: referential-integrity audit — one left-join + FILTERed
     // aggregate per foreign key; DISTINCT ignores NULLs in both
     // engines, matching the Spark count(distinct when(...)).

@@ -91,4 +91,36 @@ object Experiment {
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
         col("last_touch"), col("n_clicks_7d"), col("n_views_7d"))
   }
+
+  /** Event-type co-occurrence / market-basket counts (q133): for
+    * every unordered pair of event types, how many (user, day) units
+    * contain both, plus the support fraction — the input to
+    * cross-sell rules and item-item recommenders. Facts first
+    * collapse to DISTINCT (user, day, type) — one partial-agg
+    * shuffle; the pair build is a self-join ON (user, day) of that
+    * collapsed frame, whose fan-out per unit is bounded by C(T,2)
+    * over the TYPE CATALOG (a constant), never by corpus size — the
+    * per-unit work that makes basket analysis linear. The unit total
+    * rides along as a broadcast 1-row frame; support is one IEEE
+    * division of exact counts.
+    */
+  def coOccurrence(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"))
+      .distinct()
+    val units = ud.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).as("n_units"))
+    val a = ud.select(col("user_id"), col("day"),
+      col("event_type").as("type_a"))
+    val b = ud.select(col("user_id").as("u2"), col("day").as("d2"),
+      col("event_type").as("type_b"))
+    a.join(b, col("user_id") === col("u2") && col("day") === col("d2") &&
+        col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_cooccur"))
+      .crossJoin(broadcast(units))
+      .select(col("type_a"), col("type_b"), col("n_cooccur"),
+        (col("n_cooccur").cast("double") / col("n_units")).as("support"))
+  }
 }

@@ -1469,6 +1469,44 @@ object Relational {
       .select(col("o_orderkey"), col("d"), col("o_totalprice"))
   }
 
+  /** Key-skew report (q132): per event_type, the per-key (user)
+    * frequency stats and the GINI COEFFICIENT of the key distribution
+    * — the diagnostic that decides when a join needs q49's salting
+    * (Gini → 1 means a few hot keys own the traffic; → 0 means
+    * uniform). Facts collapse to (type, key, cnt) in one partial-agg
+    * shuffle; the rank index comes from ROW_NUMBER over the
+    * AGGREGATED frame (one sort of keys, never facts; ties share a
+    * cnt so their order can't change the Σ i·cnt term). Gini uses the
+    * sorted-index identity G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ):
+    * every term stays EXACT INTEGER — products are cast to
+    * DECIMAL(38,0) before summing because Σ i·cnt is O(n²·avg) and
+    * overflows BIGINT at billion-key scale — and the only float op
+    * is the final division, so the statistic is bit-identical
+    * across engines.
+    */
+  def skewReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val perKey = Tables.load(spark, sfDir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val ranked = perKey.withColumn("i",
+      row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("cnt"), col("user_id"))))
+    ranked.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("n_events"),
+        max(col("cnt")).as("max_key_events"),
+        sum(col("i").cast(dec) * col("cnt")).as("ixc"),
+        sum(col("cnt").cast(dec)).as("sc"))
+      .select(col("event_type"), col("n_keys"), col("n_events"),
+        col("max_key_events"),
+        ((lit(2) * col("ixc") - (col("n_keys") + 1) * col("sc"))
+          .cast("double") /
+          (col("n_keys").cast(dec) * col("sc")).cast("double"))
+          .as("gini"))
+  }
+
   def saltedJoin(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, salts: Int): DataFrame = {

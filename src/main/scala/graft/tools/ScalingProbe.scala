@@ -170,7 +170,9 @@ object ScalingProbe {
       "q128_dq_audit" -> (d => graft.operators.Relational.dqAudit(spark, d)),
       "q129_ab_test" -> (d => graft.operators.Experiment.abTest(spark, d)),
       "q130_attribution" -> (d => graft.operators.Experiment.attribution(spark, d)),
-      "q131_skyline" -> (d => graft.operators.Relational.skyline(spark, d)))
+      "q131_skyline" -> (d => graft.operators.Relational.skyline(spark, d)),
+      "q132_skew_report" -> (d => graft.operators.Relational.skewReport(spark, d)),
+      "q133_cooccurrence" -> (d => graft.operators.Experiment.coOccurrence(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))

@@ -69,4 +69,22 @@ class ExperimentSpec extends AnyFunSuite {
     val n = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(n == 1, s"expected a single shuffle, saw $n:\n$plan")
   }
+
+  test("co-occurrence matches a naive basket build; support fractions exact") {
+    val got = Experiment.coOccurrence(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val units = events.groupBy { case (u, us, _, _, _) =>
+      (u, Math.floorDiv(us, 86400000000L))
+    }.view.mapValues(_.map(_._4).toSet).toMap
+    val nUnits = units.size.toLong
+    val want = units.values.toSeq
+      .flatMap(ts => ts.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (pair, n) =>
+      assert(got(pair) == ((n, n.toDouble / nUnits)), s"pair $pair")
+    }
+    got.keys.foreach { case (a, b) => assert(a < b) }
+  }
 }

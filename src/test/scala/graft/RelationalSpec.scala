@@ -351,6 +351,32 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("skew report: Gini matches the independent sorted-index identity; facts collapse before ranking") {
+    val df = Relational.skewReport(spark, sf)
+    val got = df.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    ev.groupBy(_._1).foreach { case (t, rows) =>
+      val counts = rows.groupBy(_._2).view.mapValues(_.length.toLong).toSeq
+        .sortBy { case (u, c) => (c, u) }.map(_._2)
+      val n = counts.size.toLong
+      val sc = counts.sum
+      val ixc = counts.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+      val gini = (2 * ixc - (n + 1) * sc).toDouble / (n * sc).toDouble
+      assert(got(t) == ((n, sc, counts.max, gini)), s"type $t")
+    }
+    // the rank window must sort the AGGREGATED frame, not raw facts:
+    // the per-key partial count sits BELOW the Window in the tree
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val windowAt = plan.indexOf("Window")
+    val partialBelow = plan.indexOf("partial_count", windowAt)
+    assert(windowAt > 0 && partialBelow > windowAt,
+      s"window does not rank an aggregated frame in:\n$plan")
+  }
+
   test("dq audit: fixtures are referentially clean; child row counts exact") {
     val rows = Relational.dqAudit(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
