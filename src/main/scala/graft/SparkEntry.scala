@@ -81,6 +81,7 @@ object SparkEntry {
     "q131_skyline" -> (Relational.skyline _),
     "q132_skew_report" -> (Relational.skewReport _),
     "q133_cooccurrence" -> (Experiment.coOccurrence _),
+    "q134_cep_pattern" -> (Experiment.cepPattern _),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -850,6 +851,26 @@ object SparkEntry {
          SELECT type_a, type_b, n_cooccur,
            CAST(n_cooccur AS DOUBLE) / n_units AS support
          FROM pairs, tot""",
+    // q134: CEP pattern match — the path string is built over the
+    // total (ts, event_id) order in both engines, so the regex match
+    // is deterministic; LENGTH/regexp semantics are in the portable
+    // subset pinned by q94/q96.
+    "q134_cep_pattern" ->
+      """WITH seq AS (
+           SELECT user_id, CAST(ts AS DATE) AS day,
+             string_agg(CASE event_type
+               WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+               WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+               ELSE 'e' END, '' ORDER BY ts, event_id) AS path,
+             COUNT(*) AS n_events
+           FROM events GROUP BY 1, 2)
+         SELECT user_id, day, path, n_events,
+           regexp_matches(path, 'v+c+p') AS browse_buy,
+           regexp_matches(path, 'e{2,}') AS error_burst,
+           LENGTH(REGEXP_REPLACE(path, '[^p]', '', 'g')) AS n_purchases
+         FROM seq
+         WHERE regexp_matches(path, 'v+c+p')
+            OR regexp_matches(path, 'e{2,}')""",
     // q128: referential-integrity audit — one left-join + FILTERed
     // aggregate per foreign key; DISTINCT ignores NULLs in both
     // engines, matching the Spark count(distinct when(...)).

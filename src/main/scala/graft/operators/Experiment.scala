@@ -123,4 +123,39 @@ object Experiment {
       .select(col("type_a"), col("type_b"), col("n_cooccur"),
         (col("n_cooccur").cast("double") / col("n_units")).as("support"))
   }
+
+  /** Sequence-pattern detection (q134) — the MATCH_RECOGNIZE / CEP
+    * shape Spark lacks natively, composed from built-ins: each
+    * (user, day) journey becomes a compact path string (one char per
+    * event, ordered by the total (ts, event_id) key) and the patterns
+    * are plain regexes over it — `v+c+p` (browse→click→buy) and
+    * `e{2,}` (error burst). collect_list alone is order-UNDEFINED, so
+    * the struct carries the sort key and `array_sort` fixes the total
+    * order before the join to string — that is what makes the path,
+    * and thus the match, deterministic under any partitioning. One
+    * partial-agg shuffle (ObjectHashAggregate); the per-unit list is
+    * bounded by a day's activity, never corpus size; the regexes are
+    * codegen'd per row with no further shuffle.
+    */
+  def cepPattern(spark: SparkSession, sfDir: String): DataFrame = {
+    val initial = when(col("event_type") === "view", "v")
+      .when(col("event_type") === "click", "c")
+      .when(col("event_type") === "purchase", "p")
+      .when(col("event_type") === "signup", "s")
+      .otherwise("e")
+    Tables.load(spark, sfDir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            initial.as("i")))),
+          x => x.getField("i")), "").as("path"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("day"), col("path"), col("n_events"),
+        col("path").rlike("v+c+p").as("browse_buy"),
+        col("path").rlike("e{2,}").as("error_burst"),
+        length(regexp_replace(col("path"), "[^p]", "")).cast("long")
+          .as("n_purchases"))
+      .where(col("browse_buy") || col("error_burst"))
+  }
 }

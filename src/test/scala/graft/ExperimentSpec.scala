@@ -87,4 +87,30 @@ class ExperimentSpec extends AnyFunSuite {
     }
     got.keys.foreach { case (a, b) => assert(a < b) }
   }
+
+  test("cep pattern: paths follow the total order; matches agree with a naive regex sweep") {
+    val got = Experiment.cepPattern(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) ->
+        ((r.getString(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5),
+          r.getLong(6)))).toMap
+    val initial = Map("view" -> 'v', "click" -> 'c', "purchase" -> 'p',
+      "signup" -> 's').withDefaultValue('e')
+    val browse = "v+c+p".r
+    val burst = "e{2,}".r
+    val naive = events.groupBy { case (u, us, _, _, _) =>
+      (u, java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L))
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString)
+    }.toSeq.flatMap { case (k, rows) =>
+      val path = rows.sortBy(r => (r._2, r._3)).map(r => initial(r._4))
+        .mkString
+      val bb = browse.findFirstIn(path).isDefined
+      val eb = burst.findFirstIn(path).isDefined
+      if (bb || eb)
+        Some(k -> ((path, rows.length.toLong, bb, eb,
+          path.count(_ == 'p').toLong)))
+      else None
+    }.toMap
+    assert(got == naive)
+    assert(got.nonEmpty)
+  }
 }
