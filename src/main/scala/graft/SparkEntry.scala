@@ -82,6 +82,8 @@ object SparkEntry {
     "q132_skew_report" -> (Relational.skewReport _),
     "q133_cooccurrence" -> (Experiment.coOccurrence _),
     "q134_cep_pattern" -> (Experiment.cepPattern _),
+    "q135_bpe_pairs" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpePairCandidates(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -871,6 +873,16 @@ object SparkEntry {
          FROM seq
          WHERE regexp_matches(path, 'v+c+p')
             OR regexp_matches(path, 'e{2,}')""",
+    // q135: BPE round-1 pair counting — the (count desc, pair asc)
+    // total order pins the top-50 set at ties; substr/length are
+    // character-based in both engines (q96's Unicode pin).
+    "q135_bpe_pairs" ->
+      """WITH pairs AS (
+           SELECT substr(text, CAST(i AS INT), 2) AS pair
+           FROM documents, UNNEST(range(1, length(text))) AS t(i)),
+         counts AS (SELECT pair, COUNT(*) AS n FROM pairs GROUP BY 1)
+         SELECT pair, n FROM counts
+         ORDER BY n DESC, pair LIMIT 50""",
     // q128: referential-integrity audit — one left-join + FILTERed
     // aggregate per foreign key; DISTINCT ignores NULLs in both
     // engines, matching the Spark count(distinct when(...)).

@@ -284,4 +284,31 @@ object TextAnalysis {
         col("doc_id"),
         tokenCount(col("text")).as("n_ws_tokens"),
         bpeTokenCount(col("text")).as("n_bpe_tokens"))
+
+  /** Tokenizer induction, round 1 (q135): the adjacent-pair counting
+    * step of BPE training — every character bigram in the corpus,
+    * counted, top-k by (count desc, pair asc) = the first k merge
+    * candidates. A full BPE trainer iterates this with the previous
+    * round's merges applied; round 1 is the corpus-scale step (later
+    * rounds run over the shrinking symbol stream the same way).
+    * `transform(sequence(...))` + explode emits len−1 pairs per doc
+    * row-locally; the shuffle then carries PARTIAL COUNTS over the
+    * tiny distinct-pair domain (≤ alphabet², thousands), not the
+    * corpus — the same gram-hash discipline as q74 — and the top-k is
+    * a TakeOrdered, never a global sort of the corpus. Docs shorter
+    * than 2 chars are filtered BEFORE sequence(): Spark's sequence
+    * auto-descends when stop < start, which would fabricate pairs.
+    * The (count desc, pair asc) total order makes the top-k set
+    * deterministic at ties.
+    */
+  def bpePairCandidates(
+      spark: SparkSession, sfDir: String, k: Int = 50): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .where(length(col("text")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("text")) - 1),
+        i => col("text").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
 }

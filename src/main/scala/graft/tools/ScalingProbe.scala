@@ -173,7 +173,8 @@ object ScalingProbe {
       "q131_skyline" -> (d => graft.operators.Relational.skyline(spark, d)),
       "q132_skew_report" -> (d => graft.operators.Relational.skewReport(spark, d)),
       "q133_cooccurrence" -> (d => graft.operators.Experiment.coOccurrence(spark, d)),
-      "q134_cep_pattern" -> (d => graft.operators.Experiment.cepPattern(spark, d)))
+      "q134_cep_pattern" -> (d => graft.operators.Experiment.cepPattern(spark, d)),
+      "q135_bpe_pairs" -> (d => graft.operators.TextAnalysis.bpePairCandidates(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))

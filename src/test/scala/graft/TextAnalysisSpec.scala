@@ -96,6 +96,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows.maxBy(skew)._4 >= rows.minBy(skew)._4)
   }
 
+  test("bpe pair candidates match a naive bigram count; top-k is a TakeOrdered") {
+    val df = TextAnalysis.bpePairCandidates(spark, SparkTestSession.sf, k = 20)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1)))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    graft.sources.Tables.load(spark, SparkTestSession.sf, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+      .foreach { t =>
+        t.sliding(2).filter(_.length == 2)
+          .foreach(p => counts(p) = counts.getOrElse(p, 0L) + 1L)
+      }
+    val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got.toSeq == want)
+    // the limit must plan as TakeOrdered, not a global sort exchange
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$plan")
+  }
+
   test("quality features on a known string") {
     Seq((1L, "the cat, the hat!")).toDF("doc_id", "text")
       .write.mode("overwrite").parquet("/tmp/graft-text-q/documents.parquet")
