@@ -84,6 +84,7 @@ object SparkEntry {
     "q134_cep_pattern" -> (Experiment.cepPattern _),
     "q135_bpe_pairs" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bpePairCandidates(s, d)),
+    "q136_sql_frontdoor" -> (Relational.sqlFrontdoor _),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -883,6 +884,9 @@ object SparkEntry {
          counts AS (SELECT pair, COUNT(*) AS n FROM pairs GROUP BY 1)
          SELECT pair, n FROM counts
          ORDER BY n DESC, pair LIMIT 50""",
+    // q136: the SAME portable SQL text the Spark side executes via
+    // spark.sql — shared constant, so the two engines cannot drift.
+    "q136_sql_frontdoor" -> Relational.tpchQ3Sql,
     // q128: referential-integrity audit — one left-join + FILTERed
     // aggregate per foreign key; DISTINCT ignores NULLs in both
     // engines, matching the Spark count(distinct when(...)).

@@ -1507,6 +1507,44 @@ object Relational {
           .as("gini"))
   }
 
+  /** The ONE SQL text q136 runs through BOTH engines verbatim —
+    * written in the portable subset (TIMESTAMP literals, DECIMAL
+    * casts, GROUP BY ordinals) that Spark SQL and DuckDB parse
+    * identically; semantically q37's TPC-H Q3.
+    */
+  val tpchQ3Sql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-06-01'
+         AND l_shipdate > TIMESTAMP '1998-06-01'
+       GROUP BY 1, 2, 3
+       ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"""
+
+  /** SQL front door (q136): the SAME query text the DuckDB oracle
+    * runs, entering Spark through `createOrReplaceTempView` +
+    * `spark.sql` instead of the DataFrame API — proving the raw-SQL
+    * surface reaches the identical Catalyst plan (and thus identical
+    * results) as q37's DataFrame formulation. Analysis happens AT the
+    * `spark.sql` call, so the views can be dropped immediately after
+    * (session hygiene) without touching the returned lazy plan; the
+    * register→parse→drop window is synchronized because temp-view
+    * names are session-global and parallel test suites drive this
+    * operator against different fixture dirs concurrently.
+    */
+  def sqlFrontdoor(spark: SparkSession, sfDir: String): DataFrame =
+    Relational.synchronized {
+      val tables = Seq("customer", "orders", "lineitem")
+      tables.foreach(t =>
+        Tables.load(spark, sfDir, t).createOrReplaceTempView(t))
+      try spark.sql(tpchQ3Sql)
+      finally tables.foreach(spark.catalog.dropTempView)
+    }
+
   def saltedJoin(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, salts: Int): DataFrame = {

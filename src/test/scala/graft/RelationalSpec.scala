@@ -377,6 +377,15 @@ class RelationalSpec extends AnyFunSuite {
       s"window does not rank an aggregated frame in:\n$plan")
   }
 
+  test("sql front door equals the DataFrame TPC-H Q3; temp views cleaned up") {
+    val viaSql = Relational.sqlFrontdoor(spark, sf).collect().toSeq
+    val viaDf = Relational.tpchQ3(spark, sf).collect().toSeq
+    assert(viaSql == viaDf)
+    assert(!spark.catalog.tableExists("lineitem") &&
+      !spark.catalog.tableExists("orders") &&
+      !spark.catalog.tableExists("customer"))
+  }
+
   test("dq audit: fixtures are referentially clean; child row counts exact") {
     val rows = Relational.dqAudit(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
