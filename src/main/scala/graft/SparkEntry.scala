@@ -85,6 +85,8 @@ object SparkEntry {
     "q135_bpe_pairs" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bpePairCandidates(s, d)),
     "q136_sql_frontdoor" -> (Relational.sqlFrontdoor _),
+    "q137_khop_reachability" -> ((s: SparkSession, d: String) =>
+      Graph.khopReachability(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -686,6 +688,40 @@ object SparkEntry {
          r1 AS (${it("r0")}), r2 AS (${it("r1")}), r3 AS (${it("r2")})
          SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r3"""
     },
+    // q137: k-hop reachability — the ONE-TEXT recursive form (edge
+    // build folded into the CTE list, free under DuckDB's CTE
+    // materialization; the Spark side materializes the tiny edge
+    // list first and shares only the recursion text — see
+    // Graph.khopReachability). UNION ALL + the shared `d < 4` cap
+    // enumerate identical walk sets; MIN collapses walks to hops.
+    "q137_khop_reachability" ->
+      """WITH RECURSIVE trade AS (
+           SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             COUNT(*) AS n_ship
+           FROM orders o
+           JOIN customer c ON c.c_custkey = o.o_custkey
+           JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           WHERE c.c_nationkey <> s.s_nationkey
+           GROUP BY c.c_nationkey, s.s_nationkey),
+         edges AS (
+           SELECT src, dst FROM (
+             SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY n_ship DESC, dst ASC) AS rk
+             FROM trade) ranked
+           WHERE rk <= 3),
+         hops(root, node, d) AS (
+           SELECT CAST(src AS INT) AS root, CAST(src AS INT) AS node,
+                  CAST(0 AS INT) AS d
+           FROM (SELECT DISTINCT src FROM edges) seeds
+           UNION ALL
+           SELECT h.root AS root, CAST(e.dst AS INT) AS node,
+                  CAST(h.d + 1 AS INT) AS d
+           FROM hops h JOIN edges e ON e.src = h.node
+           WHERE h.d < 4)
+         SELECT root, node, MIN(d) AS min_hops
+         FROM hops GROUP BY root, node""",
     // q126: triangle counting — same low→high edge orientation, the
     // heavy-edge filter compared by integer cross-multiplication
     // (w·ne·10 ≥ tw·12) so no float boundary can flip between

@@ -77,4 +77,45 @@ class GraphSpec extends AnyFunSuite {
       triCounts(node) = triCounts.getOrElse(node, 0L) + 1L
     assert(got == triCounts.toMap, s"kept=${kept.size} tw=$tw ne=$ne")
   }
+
+  test("k-hop reachability equals an independent BFS over the same graph") {
+    val got = Graph.khopReachability(spark, sf).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue) ->
+        r.getAs[Number](2).longValue).toMap
+    // independent edge derivation (top-3 partners by exact count,
+    // ties by dst) + level-by-level BFS in plain Scala
+    val o = graft.sources.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    val cn = graft.sources.Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    val sn = graft.sources.Tables.load(spark, sf, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey")).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    val counts = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey")).collect()
+      .map(r => (cn(o(r.getAs[Number](0).longValue)),
+        sn(r.getAs[Number](1).longValue)))
+      .filter { case (a, b) => a != b }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val adj = counts.toSeq
+      .map { case ((src, dst), n) => (src, dst, n) }
+      .groupBy(_._1).view.mapValues(
+        _.sortBy { case (_, dst, n) => (-n, dst) }.take(3).map(_._2))
+      .toMap
+    val expect = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for (root <- adj.keySet) {
+      var frontier = Set(root)
+      var seen = Set(root)
+      expect((root, root)) = 0L
+      for (d <- 1 to 4; if frontier.nonEmpty) {
+        val next = frontier.flatMap(n => adj.getOrElse(n, Nil)) -- seen
+        next.foreach(n => expect((root, n)) = d.toLong)
+        seen ++= next
+        frontier = next
+      }
+    }
+    assert(got == expect.toMap, s"got=${got.size} expect=${expect.size}")
+  }
 }
