@@ -87,6 +87,7 @@ object SparkEntry {
     "q136_sql_frontdoor" -> (Relational.sqlFrontdoor _),
     "q137_khop_reachability" -> ((s: SparkSession, d: String) =>
       Graph.khopReachability(s, d)),
+    "q138_variant_path" -> (Relational.variantPath _),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -722,6 +723,27 @@ object SparkEntry {
            WHERE h.d < 4)
          SELECT root, node, MIN(d) AS min_hops
          FROM hops GROUP BY root, node""",
+    // q138: VARIANT path extraction — the oracle recomputes every
+    // extracted value DIRECTLY from the base columns (json_extract
+    // for the real payload, plain arithmetic/concat for the
+    // constructed one), so the Spark side's parse_json→variant_get
+    // round-trip must be lossless; schema strings and the compact
+    // to_json rendering are pinned as literals/concat.
+    "q138_variant_path" ->
+      """SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
+           CAST(NULL AS BIGINT) AS k_missing,
+           'OBJECT<k: BIGINT>' AS vschema,
+           concat('{"k":', CAST(json_extract(props, '$.k') AS BIGINT),
+                  '}') AS vtext,
+           CAST(NULL AS DATE) AS k_baddate,
+           event_type AS et2,
+           CAST(floor(value * 100) AS BIGINT) AS amt,
+           concat('u', CAST(user_id % 10 AS VARCHAR)) AS tag1,
+           CAST(NULL AS BIGINT) AS et_badnum,
+           'OBJECT<amt_cents: BIGINT, et: STRING, tags: ARRAY<STRING>>'
+             AS v2schema
+         FROM events""",
     // q126: triangle counting — same low→high edge orientation, the
     // heavy-edge filter compared by integer cross-multiplication
     // (w·ne·10 ≥ tw·12) so no float boundary can flip between

@@ -429,6 +429,51 @@ object Relational {
           to_json(struct(col("k").as("k"))))).as("min_json"))
   }
 
+  /** VARIANT semi-structured path (q138): the OPEN-schema twin of
+    * q103's `from_json` — `parse_json` resolves the payload into
+    * Spark 4's binary VARIANT encoding once, and every access is a
+    * typed `variant_get` path step, no schema declared up front (the
+    * lakehouse ingestion shape: land first, type at read). Pinned
+    * behaviors, each against a directly-computed oracle twin:
+    * typed path extraction (`$.k` as BIGINT), missing-path NULL,
+    * `try_variant_get` type-mismatch NULL (strict `variant_get`
+    * would throw), `schema_of_variant` type inference, and
+    * `to_json(variant)` canonical compact rendering. A second,
+    * NESTED variant is built from typed columns via
+    * `to_json(named_struct(...))` so object/array path steps
+    * (`$.tags[1]`, field access) are exercised with values the
+    * oracle recomputes from the base columns — the extraction must
+    * round-trip exactly.
+    *
+    * Scale: per-row, zero shuffle, and VARIANT's binary form parses
+    * each payload ONCE however many fields are later read — the
+    * whole point vs per-field `get_json_object` re-parsing; at
+    * 100 TB the parquet VARIANT column also shreds into typed
+    * sub-columns for pushdown.
+    */
+  def variantPath(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "events")
+      .withColumn("v", expr("parse_json(props)"))
+      .withColumn("payload", to_json(struct(
+        col("event_type").as("et"),
+        floor(col("value") * 100).cast("long").as("amt_cents"),
+        array(col("event_type"),
+          concat(lit("u"), (col("user_id") % 10).cast("string")))
+          .as("tags"))))
+      .withColumn("v2", expr("parse_json(payload)"))
+      .select(
+        col("event_id"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k_typed"),
+        expr("variant_get(v, '$.absent', 'bigint')").as("k_missing"),
+        expr("schema_of_variant(v)").as("vschema"),
+        expr("to_json(v)").as("vtext"),
+        expr("try_variant_get(v, '$.k', 'date')").as("k_baddate"),
+        expr("variant_get(v2, '$.et', 'string')").as("et2"),
+        expr("variant_get(v2, '$.amt_cents', 'bigint')").as("amt"),
+        expr("variant_get(v2, '$.tags[1]', 'string')").as("tag1"),
+        expr("try_variant_get(v2, '$.et', 'bigint')").as("et_badnum"),
+        expr("schema_of_variant(v2)").as("v2schema"))
+
   /** INTERSECT (distinct) of two order subsets: completes the set-op
     * family next to UNION ALL (q15) and EXCEPT-shaped anti join (q13).
     */

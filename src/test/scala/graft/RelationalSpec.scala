@@ -660,6 +660,23 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("variant path: zero-shuffle plan; strict get throws where try yields null") {
+    val df = Relational.variantPath(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"variant extraction is per-row; no shuffle expected:\n$plan")
+    val r = df.orderBy(col("event_id")).limit(1).collect()(0)
+    assert(r.getAs[Long]("k_typed") >= 0L)
+    assert(r.isNullAt(r.fieldIndex("k_missing")), "missing path must be NULL")
+    assert(r.isNullAt(r.fieldIndex("et_badnum")),
+      "try_variant_get on a non-numeric string must be NULL")
+    // the strict form of the same mismatched access throws — the
+    // try/strict contrast is the pinned semantic
+    val strict = graft.sources.Tables.load(spark, sf, "events")
+      .selectExpr("variant_get(parse_json(props), '$.k', 'date') AS d")
+    assert(intercept[Exception] { strict.collect() } != null)
+  }
+
   test("forward fill carries the last prior observation; leading gaps stay null") {
     val rows = Relational.forwardFill(spark, sf).collect()
       .map(r => (r.getLong(1), r.getTimestamp(2).getTime, r.getLong(0),
