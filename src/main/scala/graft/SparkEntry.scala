@@ -88,6 +88,8 @@ object SparkEntry {
     "q137_khop_reachability" -> ((s: SparkSession, d: String) =>
       Graph.khopReachability(s, d)),
     "q138_variant_path" -> (Relational.variantPath _),
+    "q139_mixture_resample" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.mixtureResample(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -2023,6 +2025,34 @@ object SparkEntry {
          FROM documents
          WHERE ('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
            < CASE WHEN lang = 'en' THEN 25 ELSE 75 END""",
+    // q139: temperature-flattened (α=1/2) mixture resampling — sqrt
+    // is the one power IEEE defines as correctly rounded, so the
+    // weight ladder (exact ints → sqrt → floor·1e6 → single-op
+    // divisions in a pinned tree) is bit-identical; the draw reuses
+    // the salted-md5 60-bit device ("mix:" salt) with exact 2⁻⁶⁰
+    // scaling.
+    "q139_mixture_resample" ->
+      """WITH per_lang AS (
+           SELECT lang, SUM(n_chars) AS mass, COUNT(*) AS d
+           FROM documents GROUP BY lang),
+         w AS (
+           SELECT lang, d,
+             CAST(floor(sqrt(CAST(mass AS DOUBLE)) * 1000000.0)
+                  AS BIGINT) AS wl
+           FROM per_lang),
+         tot AS (SELECT SUM(wl) AS tw, SUM(d) AS td FROM w),
+         rates AS (
+           SELECT lang,
+             LEAST(CAST(1.0 AS DOUBLE),
+               (CAST(td AS DOUBLE) * 0.5) *
+                 (CAST(wl AS DOUBLE) / CAST(tw AS DOUBLE)) /
+                 CAST(d AS DOUBLE)) AS keep_rate
+           FROM w, tot)
+         SELECT doc_id, dd.lang, n_chars, keep_rate
+         FROM documents dd JOIN rates r ON r.lang = dd.lang
+         WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+                     1, 15))::BIGINT AS DOUBLE) / 1152921504606846976.0
+               < keep_rate""",
     // q69: value-based bins over q41's ratio columns (single-op double
     // math, then floor — bit-portable).
     "q69_quality_bins" ->

@@ -77,6 +77,60 @@ object TrainingPrep {
       .filter(col("samp_bucket") < rate)
   }
 
+  /** The q139 driver entry: TEMPERATURE-flattened mixture resampling —
+    * the corpus-assembly move behind multilingual pretraining sets
+    * (mT5/XLM-R style): sample languages proportional to massᵅ with
+    * α = 0.5, so low-resource languages are upweighted relative to
+    * their raw share without majority languages drowning them. α is
+    * FIXED at 1/2 because sqrt is IEEE-754 correctly rounded in
+    * every engine — pow(x, α) for general α is not, and the oracle
+    * compare is exact.
+    *
+    * Exact-arithmetic ladder: per-language char mass and doc counts
+    * are exact BIGINTs; weight = floor(sqrt(mass)·10⁶) re-enters
+    * integer land (sqrt + one multiply + floor, all deterministic);
+    * the weight total is an integer sum; every remaining step —
+    * share = w/W, expected = (T·0.5)·share, rate = expected/d — is a
+    * single IEEE op in a pinned tree shape, so `keep_rate` is
+    * bit-identical between engines. The keep decision draws
+    * u ∈ [0,1) from the salted-md5 60-bit device ("mix:" salt keeps
+    * it independent of the q68 split and q84 sample): int64→double
+    * rounds identically and dividing by 2⁶⁰ is exact power-of-two
+    * scaling, so u < rate flips nowhere.
+    *
+    * Scale shape: one map-side-combined aggregate over (lang) — a
+    * handful of rows — broadcast back as rates; the keep filter is
+    * per-row, zero fact shuffle. Content-addressed like q84:
+    * tomorrow's ingest changes rates only via the aggregate, never
+    * by reshuffling today's draws.
+    */
+  def mixtureResample(
+      spark: SparkSession, sfDir: String, half: Double = 0.5): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val perLang = docs.groupBy(col("lang"))
+      .agg(sum(col("n_chars")).as("mass"), count(lit(1)).as("d"))
+      .withColumn("w",
+        floor(sqrt(col("mass").cast("double")) * lit(1000000.0))
+          .cast("long"))
+    val tot = perLang.agg(sum(col("w")).as("tw"), sum(col("d")).as("td"))
+    val rates = perLang.crossJoin(broadcast(tot))
+      .withColumn("share",
+        col("w").cast("double") / col("tw").cast("double"))
+      .withColumn("keep_rate",
+        least(lit(1.0).cast("double"),
+          (col("td").cast("double") * lit(half)) * col("share") /
+            col("d").cast("double")))
+      .select(col("lang"), col("keep_rate"))
+    val u = conv(substring(md5(concat(lit("mix:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(1.152921504606846976e18)
+    docs.join(broadcast(rates), "lang")
+      .where(u < col("keep_rate"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("keep_rate"))
+  }
+
   /** The q69 driver entry: VALUE-BASED quality binning for curriculum
     * selection — punctuation-ratio decile by fixed bin width
     * (floor(ratio·10)), not by global rank: a rank (ntile) over the

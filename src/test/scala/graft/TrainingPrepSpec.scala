@@ -61,6 +61,41 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(shrunk == full)
   }
 
+  test("mixture resample: sqrt ladder matches independent math; temperature upweights the tail") {
+    val df = TrainingPrep.mixtureResample(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rates must broadcast back, never shuffle the corpus:\n$plan")
+    val kept = df.collect()
+    assert(kept.nonEmpty)
+    val rates = kept.map(r => r.getString(1) -> r.getDouble(3)).toMap
+    // independent recomputation of the exact-arithmetic ladder
+    val perLang = graft.sources.Tables.load(spark, sf, "documents")
+      .groupBy("lang")
+      .agg(org.apache.spark.sql.functions.sum("n_chars").as("mass"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("d"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val w = perLang.view.mapValues { case (mass, _) =>
+      math.floor(math.sqrt(mass.toDouble) * 1000000.0).toLong
+    }.toMap
+    val tw = w.values.sum
+    val td = perLang.values.map(_._2).sum
+    perLang.foreach { case (lang, (_, d)) =>
+      val expect = math.min(1.0,
+        (td.toDouble * 0.5) * (w(lang).toDouble / tw.toDouble) / d.toDouble)
+      assert(rates.get(lang).forall(_ == expect),
+        s"$lang rate ${rates.get(lang)} != $expect")
+    }
+    // α=1/2 flattening: the lowest-mass language keeps a HIGHER
+    // fraction than the highest-mass one
+    val loLang = perLang.minBy(_._2._1)._1
+    val hiLang = perLang.maxBy(_._2._1)._1
+    assert(rates.getOrElse(loLang, 1.0) > rates.getOrElse(hiLang, 0.0),
+      s"low-resource $loLang must be upweighted vs $hiLang in $rates")
+  }
+
   test("quantization audit: every vector reconstructs within scale/2") {
     val rows = TrainingPrep.quantizeEmbeddings(spark, sf).collect()
     assert(rows.nonEmpty)
