@@ -174,7 +174,10 @@ object ScalingProbe {
       "q132_skew_report" -> (d => graft.operators.Relational.skewReport(spark, d)),
       "q133_cooccurrence" -> (d => graft.operators.Experiment.coOccurrence(spark, d)),
       "q134_cep_pattern" -> (d => graft.operators.Experiment.cepPattern(spark, d)),
-      "q135_bpe_pairs" -> (d => graft.operators.TextAnalysis.bpePairCandidates(spark, d)))
+      "q135_bpe_pairs" -> (d => graft.operators.TextAnalysis.bpePairCandidates(spark, d)),
+      "q137_khop" -> (d => graft.operators.Graph.khopReachability(spark, d)),
+      "q138_variant" -> (d => graft.operators.Relational.variantPath(spark, d)),
+      "q139_mixture" -> (d => graft.operators.TrainingPrep.mixtureResample(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))
