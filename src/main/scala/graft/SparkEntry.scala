@@ -139,6 +139,8 @@ object SparkEntry {
     "q107_stream_segments" -> (graft.streaming.EventStream.sessionSegmentsBatch _),
     "q120_stream_cdc" -> (graft.streaming.EventStream.cdcApplyToBatch _),
     "q125_stream_pit" -> (graft.streaming.EventStream.pitEnrichToBatch _),
+    "q140_stream_session_window" ->
+      (graft.streaming.EventStream.sessionWindowToBatch _),
     "q65_stream_dedup" -> (graft.streaming.EventStream.dedupToBatch _),
     "q66_stream_sessions" -> (graft.streaming.EventStream.userSessionsBatch _),
     "q81_stream_file_sink" -> (graft.streaming.EventStream.hourlyToParquetSink _),
@@ -331,25 +333,12 @@ object SparkEntry {
     // (verified by direct execution), so a NEW session starts only
     // when the gap is STRICTLY greater than 30 min. event_id rides
     // the cumsum tiebreak so tied timestamps order deterministically.
-    "q73_session_window" ->
-      """WITH flagged AS (
-           SELECT user_id, event_id, ts, value,
-             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
-                  THEN 1 ELSE 0 END AS new_sess
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
-         numbered AS (
-           SELECT user_id, ts, value,
-             SUM(new_sess) OVER (PARTITION BY user_id
-               ORDER BY ts ASC, event_id ASC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_idx
-           FROM flagged)
-         SELECT user_id, MIN(ts) AS t_start,
-           MAX(ts) + INTERVAL 30 MINUTES AS t_end,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM numbered GROUP BY user_id, s_idx""",
+    "q73_session_window" -> sessionWindowOracle,
+    // q140: the STREAMING native session_window run to completion —
+    // the state store's window-merge implementation must reach the
+    // identical session set as batch q73, so it shares the oracle
+    // verbatim.
+    "q140_stream_session_window" -> sessionWindowOracle,
     // q58: Bloom pre-filter + exact semi join must be row-identical to
     // the plain semi join (no false negatives; positives cleaned by
     // the exact join) — so the oracle is the plain EXISTS.
@@ -2184,6 +2173,32 @@ object SparkEntry {
                ROW_NUMBER() OVER (PARTITION BY o_custkey
                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
              FROM orders) WHERE rk <= 2"""
+
+  /** q73's gap-sessionization SQL — shared verbatim by q140 (the
+    * streaming session_window twin): Spark merges events exactly
+    * gapDuration apart, so a NEW session starts only when the gap is
+    * STRICTLY greater than 30 min; event_id rides the cumsum
+    * tiebreak so tied timestamps order deterministically.
+    */
+  private val sessionWindowOracle: String =
+    """WITH flagged AS (
+         SELECT user_id, event_id, ts, value,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS new_sess
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+       numbered AS (
+         SELECT user_id, ts, value,
+           SUM(new_sess) OVER (PARTITION BY user_id
+             ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_idx
+         FROM flagged)
+       SELECT user_id, MIN(ts) AS t_start,
+         MAX(ts) + INTERVAL 30 MINUTES AS t_end,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM numbered GROUP BY user_id, s_idx"""
 
   /** q16's hourly aggregate SQL — shared verbatim by q47 (streaming
     * twin) and q81 (streaming + production file sink): same contract,

@@ -260,6 +260,38 @@ object EventStream {
     finally s.catalog.dropTempView(name)
   }
 
+  /** Streaming NATIVE session windows (q140): the same 30-minute
+    * gap sessionization as batch q73, but through Structured
+    * Streaming's `session_window` aggregate — a THIRD session
+    * implementation next to q66's `mapGroupsWithState` and q107's
+    * `flatMapGroupsWithState`, and the only one where the STATE
+    * STORE itself merges windows: each microbatch may extend or
+    * fuse previously-stored sessions whose gaps close, the merge
+    * logic lives in the engine, not the application. Run to
+    * completion under Complete mode so every session (tails
+    * included) lands under q73's exact oracle; a deployed pipeline
+    * runs Append + watermark instead, emitting sessions as the
+    * watermark finalizes them and holding back only the open tail
+    * (the q107 posture), with state bounded by the horizon ×
+    * active users.
+    */
+  def sessionWindowStream(spark: SparkSession, sfDir: String): DataFrame =
+    readEvents(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.operators.ReferenceQueries.moneySum(col("value"))
+          .as("sum_value"))
+      .select(col("user_id"),
+        col("sw.start").as("t_start"), col("sw.end").as("t_end"),
+        col("n_events"), col("sum_value"))
+
+  /** The q140 driver entry: [[sessionWindowStream]] to completion. */
+  def sessionWindowToBatch(spark: SparkSession, sfDir: String): DataFrame =
+    runToBatch(spark, sessionWindowStream(_, sfDir),
+      s"q140_sesswin_${runSeq.incrementAndGet()}")
+
   /** Stream-stream join: click→purchase attribution. Each purchase
     * joins every click by the same user within the preceding hour.
     * Both sides are watermarked and the join condition bounds event

@@ -36,6 +36,18 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.values.sum == 2 * nEvents)
   }
 
+  test("streaming session_window equals the batch session_window aggregate") {
+    val streamed = EventStream.sessionWindowToBatch(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    val batch = Relational.sessionWindowAgg(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    assert(streamed == batch)
+  }
+
   test("stream-static join (tier dimension) equals its batch twin") {
     val streamed = EventStream.runToBatch(
       spark, EventStream.tierHourlyStream(_, sf), "tier_test")
