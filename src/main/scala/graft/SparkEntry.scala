@@ -90,6 +90,7 @@ object SparkEntry {
     "q138_variant_path" -> (Relational.variantPath _),
     "q139_mixture_resample" -> ((s: SparkSession, d: String) =>
       TrainingPrep.mixtureResample(s, d)),
+    "q141_perplexity" -> (TextAnalysis.perplexityScore _),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -2042,6 +2043,43 @@ object SparkEntry {
          WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
                      1, 15))::BIGINT AS DOUBLE) / 1152921504606846976.0
                < keep_rate""",
+    // q141: char-bigram LM perplexity — per-bigram log-probs floored
+    // to integer micro-nats BEFORE the sum (order-independent BIGINT
+    // totals), add-1 smoothing as one IEEE division inside the ln,
+    // the identical tree both engines; only the final average is
+    // float.
+    "q141_perplexity" ->
+      """WITH train_bg AS (
+           SELECT substr(text, CAST(i AS INT), 2) AS bg
+           FROM (SELECT text, unnest(range(1, length(text))) AS i
+                 FROM documents WHERE lang = 'en')),
+         model AS (SELECT bg, COUNT(*) AS c FROM train_bg GROUP BY bg),
+         ctx AS (SELECT substr(bg, 1, 1) AS c1,
+                   CAST(SUM(c) AS BIGINT) AS u
+                 FROM model GROUP BY 1),
+         vocab AS (SELECT CAST(COUNT(DISTINCT substr(bg, 1, 1)) AS BIGINT)
+                     AS v FROM model),
+         doc_bg AS (
+           SELECT doc_id, lang, substr(text, CAST(i AS INT), 2) AS bg
+           FROM (SELECT doc_id, lang, text,
+                   unnest(range(1, length(text))) AS i
+                 FROM documents WHERE length(text) >= 2))
+         SELECT d.doc_id, d.lang,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(CAST(floor(1000000.0 * ln(
+               CAST(COALESCE(m.c, 0) + 1 AS DOUBLE) /
+               CAST(COALESCE(x.u, 0) + v.v AS DOUBLE))) AS BIGINT))
+             AS BIGINT) AS ll_micro,
+           CAST(-(CAST(SUM(CAST(floor(1000000.0 * ln(
+               CAST(COALESCE(m.c, 0) + 1 AS DOUBLE) /
+               CAST(COALESCE(x.u, 0) + v.v AS DOUBLE))) AS BIGINT))
+             AS BIGINT)) AS DOUBLE) /
+             (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS avg_nll
+         FROM doc_bg d
+         LEFT JOIN model m ON m.bg = d.bg
+         LEFT JOIN ctx x ON x.c1 = substr(d.bg, 1, 1)
+         CROSS JOIN vocab v
+         GROUP BY d.doc_id, d.lang""",
     // q69: value-based bins over q41's ratio columns (single-op double
     // math, then floor — bit-portable).
     "q69_quality_bins" ->

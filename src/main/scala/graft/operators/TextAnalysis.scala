@@ -311,4 +311,59 @@ object TextAnalysis {
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair").asc)
       .limit(k)
+
+  /** The q141 driver entry: character-bigram LM perplexity scoring —
+    * the CCNet/RefinedWeb quality-filter shape: train an n-gram
+    * language model on a reference slice (here the 'en' documents),
+    * score every document by average negative log-likelihood under
+    * add-1 smoothing, keep the low-perplexity side. The production
+    * twin swaps the in-corpus model for a trained KenLM; the Spark
+    * plumbing — model as a broadcast table, scoring as one pass — is
+    * identical.
+    *
+    * Exactness device: each bigram's log-probability is floored to
+    * integer MICRO-NATS before summing (the q101/q122 scaled-integer
+    * device), so the per-document total is an order-independent
+    * BIGINT sum — safe under any partitioning — and the only
+    * remaining float op is one division pair for the average.
+    * P(c2|c1) = (count(c1c2)+1) / (count(c1·)+V) is computed as one
+    * IEEE division before the ln, the identical tree both engines.
+    *
+    * Scale shape: the model is bounded by alphabet² rows however
+    * large the corpus — it, the context totals, and the vocab scalar
+    * all BROADCAST. Scoring explodes bigram occurrences but the only
+    * exchange is the per-document aggregate, map-side combined to
+    * one row per (doc, partition); nothing is keyed by bigram at
+    * fact scale.
+    */
+  def perplexityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    def bigrams(df: DataFrame) = df
+      .where(length(col("text")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(transform(
+        sequence(lit(1), length(col("text")) - 1),
+        i => col("text").substr(i, lit(2)))).as("bg"))
+    val model = bigrams(docs.where(col("lang") === "en"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    val ctx = model.groupBy(substring(col("bg"), 1, 1).as("c1"))
+      .agg(sum(col("c")).as("u"))
+    val vocab = model
+      .agg(count_distinct(substring(col("bg"), 1, 1)).as("v"))
+    bigrams(docs)
+      .join(broadcast(model), Seq("bg"), "left")
+      .join(broadcast(ctx),
+        substring(col("bg"), 1, 1) === col("c1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("term",
+        floor(lit(1000000.0) * log(
+          (coalesce(col("c"), lit(0L)) + lit(1)).cast("double") /
+            (coalesce(col("u"), lit(0L)) + col("v")).cast("double")))
+          .cast("long"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("ll_micro"))
+      .withColumn("avg_nll",
+        (-col("ll_micro")).cast("double") /
+          (col("n_bigrams").cast("double") * lit(1000000.0)))
+  }
 }

@@ -114,6 +114,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$plan")
   }
 
+  test("perplexity: matches an independent bigram-LM scorer; broadcast-only scoring") {
+    val df = TextAnalysis.perplexityScore(spark, SparkTestSession.sf)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("SortMergeJoin"),
+      s"model/ctx/vocab must broadcast, never shuffle the corpus:\n$plan")
+    val got = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // independent scorer in plain Scala (same Math.log the JVM uses)
+    val docs = graft.sources.Tables.load(spark, SparkTestSession.sf, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bgs(t: String) = t.sliding(2).filter(_.length == 2).toSeq
+    val model = docs.filter(_._2 == "en").flatMap(d => bgs(d._3))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ctx = model.toSeq.groupBy(_._1.take(1)).view
+      .mapValues(_.map(_._2).sum).toMap
+    val v = model.keySet.map(_.take(1)).size.toLong
+    val expect = docs.filter(_._3.length >= 2).map { case (id, _, t) =>
+      val terms = bgs(t).map { bg =>
+        val c = model.getOrElse(bg, 0L)
+        val u = ctx.getOrElse(bg.take(1), 0L)
+        math.floor(1000000.0 *
+          math.log((c + 1).toDouble / (u + v).toDouble)).toLong
+      }
+      id -> (terms.size.toLong, terms.sum)
+    }.toMap
+    assert(got == expect)
+    // sanity: an all-rare-bigram document scores worse than a common one
+    assert(got.nonEmpty && got.values.forall(_._2 < 0L))
+  }
+
   test("quality features on a known string") {
     Seq((1L, "the cat, the hat!")).toDF("doc_id", "text")
       .write.mode("overwrite").parquet("/tmp/graft-text-q/documents.parquet")
