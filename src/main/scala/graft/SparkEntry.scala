@@ -91,6 +91,7 @@ object SparkEntry {
     "q139_mixture_resample" -> ((s: SparkSession, d: String) =>
       TrainingPrep.mixtureResample(s, d)),
     "q141_perplexity" -> (TextAnalysis.perplexityScore _),
+    "q142_lateral_topk" -> (Relational.lateralTopK _),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -937,6 +938,10 @@ object SparkEntry {
     // q136: the SAME portable SQL text the Spark side executes via
     // spark.sql — shared constant, so the two engines cannot drift.
     "q136_sql_frontdoor" -> Relational.tpchQ3Sql,
+    // q142: the SAME lateral-subquery text verbatim — DuckDB executes
+    // the correlation directly, Spark must reach identical rows
+    // through its Window/WindowGroupLimit decorrelation.
+    "q142_lateral_topk" -> Relational.lateralTopKSql,
     // q128: referential-integrity audit — one left-join + FILTERed
     // aggregate per foreign key; DISTINCT ignores NULLs in both
     // engines, matching the Spark count(distinct when(...)).

@@ -1590,6 +1590,40 @@ object Relational {
       finally tables.foreach(spark.catalog.dropTempView)
     }
 
+  /** The ONE SQL text q142 runs through BOTH engines verbatim — a
+    * correlated LATERAL subquery (top-2 orders per BUILDING customer
+    * by price) in the comma-join form both parsers accept. The
+    * operator point is DECORRELATION: Catalyst must rewrite the
+    * per-row subquery into a Window + WindowGroupLimit + equi-join
+    * (RelationalSpec plan-asserts exactly that), because executing
+    * the subquery once per outer row is the 100 TB scale killer the
+    * LATERAL surface invites. `o_totalprice` passes through
+    * unsummed, so the compare is exact with no decimal scaffolding.
+    */
+  val lateralTopKSql: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+       FROM customer c, LATERAL (
+         SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey ASC
+         LIMIT 2) t
+       WHERE c.c_mktsegment = 'BUILDING'"""
+
+  /** LATERAL front door (q142): [[lateralTopKSql]] through
+    * createOrReplaceTempView + spark.sql — the q136 device (analysis
+    * is eager at the spark.sql call, so views drop immediately;
+    * synchronized because temp-view names are session-global under
+    * parallel suites).
+    */
+  def lateralTopK(spark: SparkSession, sfDir: String): DataFrame =
+    Relational.synchronized {
+      val tables = Seq("customer", "orders")
+      tables.foreach(t =>
+        Tables.load(spark, sfDir, t).createOrReplaceTempView(t))
+      try spark.sql(lateralTopKSql)
+      finally tables.foreach(spark.catalog.dropTempView)
+    }
+
   def saltedJoin(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, salts: Int): DataFrame = {

@@ -660,6 +660,30 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("lateral top-k decorrelates to WindowGroupLimit, never per-row execution") {
+    val df = Relational.lateralTopK(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("WindowGroupLimit"),
+      s"lateral LIMIT must become a bounded window, got:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"correlation must decorrelate to an equi-join:\n$plan")
+    // row-identity with the window formulation it must decorrelate to
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val want = graft.sources.Tables.load(spark, sf, "orders")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .join(graft.sources.Tables.load(spark, sf, "customer")
+          .filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+  }
+
   test("variant path: zero-shuffle plan; strict get throws where try yields null") {
     val df = Relational.variantPath(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
