@@ -143,6 +143,8 @@ object SparkEntry {
     "q125_stream_pit" -> (graft.streaming.EventStream.pitEnrichToBatch _),
     "q140_stream_session_window" ->
       (graft.streaming.EventStream.sessionWindowToBatch _),
+    "q143_tws_segments" ->
+      (graft.streaming.EventStream.sessionSegmentsTwsBatch _),
     "q65_stream_dedup" -> (graft.streaming.EventStream.dedupToBatch _),
     "q66_stream_sessions" -> (graft.streaming.EventStream.userSessionsBatch _),
     "q81_stream_file_sink" -> (graft.streaming.EventStream.hourlyToParquetSink _),
@@ -472,32 +474,12 @@ object SparkEntry {
     // inline by a later event always emit; each user's final open
     // session emits only if its event-time timeout (last event + gap,
     // ms) fired before the final watermark (global max ts − 1 h, ms).
-    "q107_stream_segments" ->
-      """WITH flagged AS (
-           SELECT user_id, event_id, ts, value,
-             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
-                  THEN 1 ELSE 0 END AS new_sess
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
-         numbered AS (
-           SELECT user_id, ts, value,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
-           FROM flagged),
-         sess AS (
-           SELECT user_id, session_idx,
-             MIN(epoch_us(ts)) AS t_start_us, MAX(epoch_us(ts)) AS t_end_us,
-             COUNT(*) AS n_events,
-             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
-               AS sum_value
-           FROM numbered GROUP BY 1, 2),
-         last AS (SELECT user_id, MAX(session_idx) AS last_idx FROM sess GROUP BY 1),
-         wm AS (SELECT epoch_us(MAX(ts)) // 1000 - 3600000 AS w FROM events)
-         SELECT s.user_id, s.t_start_us, s.t_end_us, s.n_events, s.sum_value
-         FROM sess s JOIN last l ON s.user_id = l.user_id CROSS JOIN wm
-         WHERE s.session_idx < l.last_idx
-            OR s.t_end_us // 1000 + 1800000 <= wm.w""",
+    "q107_stream_segments" -> sessionSegmentsOracle,
+    // q143: the SAME session-segment contract reached through Spark
+    // 4's transformWithState processor (ValueState + explicit
+    // event-time timers on RocksDB) — the state API itself changes,
+    // the emitted sessions must not.
+    "q143_tws_segments" -> sessionSegmentsOracle,
     "q17_rollup" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -2216,6 +2198,39 @@ object SparkEntry {
                ROW_NUMBER() OVER (PARTITION BY o_custkey
                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
              FROM orders) WHERE rk <= 2"""
+
+  /** q107's watermark-finalized session-segment SQL — shared
+    * verbatim by q143 (the transformWithState twin): q33's
+    * sessionize, cents-exact money, minus the per-user tail session
+    * the stream's watermark never finalizes (emitted iff
+    * last-event + gap ≤ max-event-time − watermark delay).
+    */
+  private val sessionSegmentsOracle: String =
+    """WITH flagged AS (
+         SELECT user_id, event_id, ts, value,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS new_sess
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+       numbered AS (
+         SELECT user_id, ts, value,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         FROM flagged),
+       sess AS (
+         SELECT user_id, session_idx,
+           MIN(epoch_us(ts)) AS t_start_us, MAX(epoch_us(ts)) AS t_end_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_value
+         FROM numbered GROUP BY 1, 2),
+       last AS (SELECT user_id, MAX(session_idx) AS last_idx FROM sess GROUP BY 1),
+       wm AS (SELECT epoch_us(MAX(ts)) // 1000 - 3600000 AS w FROM events)
+       SELECT s.user_id, s.t_start_us, s.t_end_us, s.n_events, s.sum_value
+       FROM sess s JOIN last l ON s.user_id = l.user_id CROSS JOIN wm
+       WHERE s.session_idx < l.last_idx
+          OR s.t_end_us // 1000 + 1800000 <= wm.w"""
 
   /** q73's gap-sessionization SQL — shared verbatim by q140 (the
     * streaming session_window twin): Spark merges events exactly

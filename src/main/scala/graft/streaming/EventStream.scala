@@ -563,6 +563,109 @@ object EventStream {
     runToBatch(spark, sessionSegments(_, sfDir),
       s"q107_segments_${runSeq.incrementAndGet()}", OutputMode.Append())
 
+  /** The q143 processor: [[sessionSegments]]' semantics re-expressed
+    * through Spark 4's `transformWithState` — the OPERATOR-STATE API
+    * that replaces mapGroups/flatMapGroupsWithState: typed state
+    * vars are declared by name on a handle (`getValueState`), timers
+    * are EXPLICIT (register/delete per key, many allowed) rather
+    * than one implicit timeout, and expiry is delivered through a
+    * separate `handleExpiredTimer` callback instead of a flag on the
+    * input call. The open session is one ValueState; each batch
+    * deletes the previous gap timer and registers the new one at
+    * (last event + gap), so a session emits exactly when the
+    * watermark proves it closed — the q107 contract, same oracle.
+    *
+    * State layout note for 100 TB: transformWithState requires the
+    * RocksDB state store (the provider is set by
+    * [[sessionSegmentsTwsBatch]]); state volume is one small row +
+    * one timer per active user inside the watermark horizon, and the
+    * partition-count rule ([[streamStatePartitions]]) applies
+    * unchanged.
+    */
+  private class SessionTwsProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp, Double), SessionSegment] {
+    @transient private var open:
+        org.apache.spark.sql.streaming.ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    private def closed(uid: Long, s: OpenSession) = SessionSegment(
+      uid, s.startUs, s.lastUs, s.n, s.cents / 100.0)
+    private def expiryMs(s: OpenSession): Long = s.lastUs / 1000L + gapMs
+
+    override def handleInputRows(uid: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Double)],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SessionSegment] = {
+      val sorted = rows.toSeq.map { case (_, ts, v) =>
+        val i = ts.toInstant
+        (i.getEpochSecond * 1000000L + i.getNano / 1000L, v)
+      }.sortBy(_._1)
+      var cur = if (open.exists()) Some(open.get()) else None
+      cur.foreach(s => getHandle.deleteTimer(expiryMs(s)))
+      val out = Seq.newBuilder[SessionSegment]
+      sorted.foreach { case (tsUs, v) =>
+        val cents = Math.round(v * 100.0)
+        cur match {
+          case Some(s) if tsUs - s.lastUs <= gapMs * 1000L =>
+            cur = Some(OpenSession(s.startUs, tsUs, s.n + 1, s.cents + cents))
+          case Some(s) =>
+            out += closed(uid, s)
+            cur = Some(OpenSession(tsUs, tsUs, 1L, cents))
+          case None =>
+            cur = Some(OpenSession(tsUs, tsUs, 1L, cents))
+        }
+      }
+      cur.foreach { s =>
+        open.update(s)
+        getHandle.registerTimer(expiryMs(s))
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(uid: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessionSegment] =
+      if (open.exists() && expiryMs(open.get()) <= info.getExpiryTimeInMs) {
+        val s = open.get()
+        open.clear()
+        Iterator.single(closed(uid, s))
+      } else Iterator.empty
+  }
+
+  /** transformWithState session segmentation (q143): the streaming
+    * frame behind the q143 driver entry. */
+  def sessionSegmentsTws(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    readEvents(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTwsProcessor(segmentGapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+      .toDF()
+  }
+
+  /** The q143 driver entry: [[sessionSegmentsTws]] to completion.
+    * transformWithState runs only on the RocksDB state store — set on
+    * the pinned session BEFORE query start (the conf is read from the
+    * frame's owning session, which runToBatch hands to the builder).
+    */
+  def sessionSegmentsTwsBatch(spark: SparkSession, sfDir: String): DataFrame =
+    runToBatch(spark, { s =>
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      sessionSegmentsTws(s, sfDir)
+    }, s"q143_tws_${runSeq.incrementAndGet()}", OutputMode.Append())
+
   /** Streaming point-in-time enrichment (q125): the SERVE-time half
     * of q115's feature-store pair — events stream through a
     * stream-static LEFT OUTER join against the versioned dimension

@@ -161,6 +161,19 @@ class EventStreamSpec extends AnyFunSuite {
     assert(allSessions > expect.size, "fixture should withhold some tails")
   }
 
+  test("transformWithState segments equal the flatMapGroupsWithState segments") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getDouble(4))
+    val tws = EventStream.sessionSegmentsTwsBatch(spark, sf)
+      .collect().map(key).toMap
+    val fmg = EventStream.sessionSegmentsBatch(spark, sf)
+      .collect().map(key).toMap
+    assert(tws == fmg,
+      s"state APIs disagree: tws=${tws.size} fmg=${fmg.size}")
+    assert(tws.nonEmpty)
+  }
+
   test("streaming agg resumes from its checkpoint: no loss, no reprocessing") {
     // the fault-tolerance contract behind every streaming entry: kill
     // a query mid-stream, restart from the same checkpoint, and the
