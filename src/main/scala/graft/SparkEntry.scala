@@ -92,6 +92,8 @@ object SparkEntry {
       TrainingPrep.mixtureResample(s, d)),
     "q141_perplexity" -> (TextAnalysis.perplexityScore _),
     "q142_lateral_topk" -> (Relational.lateralTopK _),
+    "q144_hashed_features" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.hashedFeatures(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -2030,6 +2032,22 @@ object SparkEntry {
          WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
                      1, 15))::BIGINT AS DOUBLE) / 1152921504606846976.0
                < keep_rate""",
+    // q144: feature hashing — bucket = md5-60bit mod 1024, sign =
+    // bit 10 of the same draw; signed sums are exact integers and
+    // zero-sum buckets drop on both sides.
+    "q144_hashed_features" ->
+      s"""WITH tok AS (
+           SELECT doc_id, UNNEST(string_split($normText, ' ')) AS tok
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+           FROM tok)
+         SELECT doc_id, hv % 1024 AS bucket,
+           CAST(SUM(CASE WHEN (hv // 1024) % 2 = 0 THEN 1 ELSE -1 END)
+             AS BIGINT) AS feat
+         FROM h GROUP BY 1, 2
+         HAVING SUM(CASE WHEN (hv // 1024) % 2 = 0 THEN 1 ELSE -1 END) <> 0""",
     // q141: char-bigram LM perplexity — per-bigram log-probs floored
     // to integer micro-nats BEFORE the sum (order-independent BIGINT
     // totals), add-1 smoothing as one IEEE division inside the ln,

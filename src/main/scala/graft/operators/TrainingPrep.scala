@@ -131,6 +131,38 @@ object TrainingPrep {
         col("keep_rate"))
   }
 
+  /** The q144 driver entry: FEATURE HASHING (the "hashing trick",
+    * sklearn HashingVectorizer / Vowpal Wabbit shape) — tokens map
+    * to a FIXED 2¹⁰-bucket feature space through a hash instead of a
+    * learned vocabulary, so the featurizer needs no fitted state, no
+    * vocabulary broadcast, and tomorrow's unseen tokens land in the
+    * same space (the property that makes it the standard wide-
+    * feature encoder for streaming/online training). Each token
+    * contributes ±1 by a SECOND hash bit (signed hashing), making
+    * collisions cancel in expectation instead of biasing counts
+    * upward; zero-sum buckets are dropped (sparse output).
+    *
+    * Both hashes come from one salted-free md5 60-bit draw — bucket
+    * = h mod 1024, sign = bit 10 — exact integer arithmetic the
+    * oracle replays. Scale shape: tokenize + hash are per-row
+    * codegen'd expressions; the ONLY exchange is the
+    * (doc, bucket)-keyed sum, map-side combined to ≤1024 rows per
+    * doc-partition — no vocabulary state anywhere at any corpus
+    * size.
+    */
+  def hashedFeatures(
+      spark: SparkSession, sfDir: String, buckets: Int = 1024): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(split(TextAnalysis.normalizedText(col("text")), " "))
+          .as("tok"))
+      .withColumn("h",
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+      .groupBy(col("doc_id"), pmod(col("h"), lit(buckets)).as("bucket"))
+      .agg(sum(when(expr(s"(h div $buckets) % 2") === 0, 1L)
+        .otherwise(-1L)).as("feat"))
+      .where(col("feat") =!= 0)
+
   /** The q69 driver entry: VALUE-BASED quality binning for curriculum
     * selection — punctuation-ratio decile by fixed bin width
     * (floor(ratio·10)), not by global rank: a rank (ntile) over the

@@ -96,6 +96,32 @@ class TrainingPrepSpec extends AnyFunSuite {
       s"low-resource $loLang must be upweighted vs $hiLang in $rates")
   }
 
+  test("hashed features match an independent md5 featurizer; sparse and bounded") {
+    val got = TrainingPrep.hashedFeatures(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    assert(got.keys.forall { case (_, b) => b >= 0 && b < 1024 })
+    assert(got.values.forall(_ != 0L), "zero-sum buckets must drop")
+    // independent featurizer: same md5 60-bit draw in plain JVM code
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    val expect = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .foreach { r =>
+        val id = r.getLong(0)
+        r.getString(1).trim.toLowerCase.split("\\s+").foreach { tok =>
+          val h = h60(tok)
+          val k = (id, h % 1024)
+          expect(k) = expect.getOrElse(k, 0L) +
+            (if ((h / 1024) % 2 == 0) 1L else -1L)
+        }
+      }
+    assert(got == expect.filter(_._2 != 0L).toMap)
+  }
+
   test("quantization audit: every vector reconstructs within scale/2") {
     val rows = TrainingPrep.quantizeEmbeddings(spark, sf).collect()
     assert(rows.nonEmpty)
