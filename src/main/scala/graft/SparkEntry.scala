@@ -94,6 +94,7 @@ object SparkEntry {
     "q142_lateral_topk" -> (Relational.lateralTopK _),
     "q144_hashed_features" -> ((s: SparkSession, d: String) =>
       TrainingPrep.hashedFeatures(s, d)),
+    "q145_listagg_paths" -> (Experiment.listaggPaths _),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -909,6 +910,17 @@ object SparkEntry {
          FROM seq
          WHERE regexp_matches(path, 'v+c+p')
             OR regexp_matches(path, 'e{2,}')""",
+    // q145: LISTAGG WITHIN GROUP — DuckDB's ordered string_agg is
+    // the same ordered-set aggregate; the (ts, event_id) order is
+    // total, so paths are char-identical.
+    "q145_listagg_paths" ->
+      """SELECT user_id, CAST(ts AS DATE) AS day,
+           string_agg(CASE event_type
+             WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+             WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+             ELSE 'e' END, '' ORDER BY ts, event_id) AS path,
+           COUNT(*) AS n_events
+         FROM events GROUP BY 1, 2""",
     // q135: BPE round-1 pair counting — the (count desc, pair asc)
     // total order pins the top-50 set at ties; substr/length are
     // character-based in both engines (q96's Unicode pin).

@@ -158,4 +158,34 @@ object Experiment {
           .as("n_purchases"))
       .where(col("browse_buy") || col("error_burst"))
   }
+
+  /** Ordered-set aggregation (q145): the journey paths of q134
+    * rebuilt with `LISTAGG ... WITHIN GROUP (ORDER BY ...)` — the
+    * SQL-standard ordered-set aggregate Spark 4 added — instead of
+    * the `array_sort(collect_list(struct(...)))` composition. The
+    * WITHIN GROUP order (ts, event_id) is total, so the concatenated
+    * path is deterministic under any partitioning; ExperimentSpec
+    * pins the two formulations char-identical, so either surface is
+    * safe for users.
+    *
+    * Scale shape: identical to q134 — ONE (user, day) exchange into
+    * an ObjectHashAggregate whose per-group buffer is bounded by a
+    * day's activity; the sort is per-group at aggregation time, not
+    * a global sort.
+    */
+  def listaggPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val initial = when(col("event_type") === "view", "v")
+      .when(col("event_type") === "click", "c")
+      .when(col("event_type") === "purchase", "p")
+      .when(col("event_type") === "signup", "s")
+      .otherwise("e")
+    Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("ts"), col("event_id"), initial.as("i"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(
+        expr("listagg(i, '') WITHIN GROUP (ORDER BY ts, event_id)")
+          .as("path"),
+        count(lit(1)).as("n_events"))
+  }
 }

@@ -113,4 +113,29 @@ class ExperimentSpec extends AnyFunSuite {
     assert(got == naive)
     assert(got.nonEmpty)
   }
+
+  test("listagg WITHIN GROUP paths are char-identical to the collect_list device") {
+    val viaListagg = Experiment.listaggPaths(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) ->
+        (r.getString(2), r.getLong(3))).toMap
+    // q134's array_sort(collect_list) formulation, minus its match filter
+    val initial = when(col("event_type") === "view", "v")
+      .when(col("event_type") === "click", "c")
+      .when(col("event_type") === "purchase", "p")
+      .when(col("event_type") === "signup", "s")
+      .otherwise("e")
+    val viaCollect = graft.sources.Tables
+      .load(spark, SparkTestSession.sf, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          initial.as("i")))), x => x.getField("i")), "").as("path"),
+        count(lit(1)).as("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) ->
+        (r.getString(2), r.getLong(3))).toMap
+    assert(viaListagg == viaCollect)
+    assert(viaListagg.nonEmpty)
+  }
 }
