@@ -95,6 +95,8 @@ object SparkEntry {
     "q144_hashed_features" -> ((s: SparkSession, d: String) =>
       TrainingPrep.hashedFeatures(s, d)),
     "q145_listagg_paths" -> (Experiment.listaggPaths _),
+    "q146_bucket_fingerprints" -> ((s: SparkSession, d: String) =>
+      Relational.bucketFingerprints(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -2044,6 +2046,32 @@ object SparkEntry {
          WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
                      1, 15))::BIGINT AS DOUBLE) / 1152921504606846976.0
                < keep_rate""",
+    // q146: replica-diff bucket fingerprints — PK-addressed md5
+    // buckets, bit_xor of row hashes (order/partition independent,
+    // self-inverse); doubles render as DECIMAL(18,2) strings and the
+    // ship date as a DATE string (q88/q109 devices) so both engines
+    // hash identical bytes.
+    "q146_bucket_fingerprints" ->
+      """WITH r AS (
+           SELECT
+             ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '#' ||
+                 CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT % 256
+               AS bucket,
+             ('0x' || substr(md5(
+                 CAST(l_orderkey AS VARCHAR) || '|' ||
+                 CAST(l_partkey AS VARCHAR) || '|' ||
+                 CAST(l_suppkey AS VARCHAR) || '|' ||
+                 CAST(l_linenumber AS VARCHAR) || '|' ||
+                 CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+                 CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+                 CAST(CAST(l_discount AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+                 CAST(CAST(l_tax AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+                 l_returnflag || '|' || l_linestatus || '|' ||
+                 CAST(CAST(l_shipdate AS DATE) AS VARCHAR)),
+               1, 15))::BIGINT AS rowfp
+           FROM lineitem)
+         SELECT bucket, COUNT(*) AS n_rows, bit_xor(rowfp) AS fp
+         FROM r GROUP BY bucket""",
     // q144: feature hashing — bucket = md5-60bit mod 1024, sign =
     // bit 10 of the same draw; signed sums are exact integers and
     // zero-sum buckets drop on both sides.

@@ -1435,6 +1435,50 @@ object Relational {
         col("n_events"))
   }
 
+  /** Replica-diff bucket fingerprints (q146): the anti-entropy /
+    * table-sync primitive (Merkle-tree leaf level, the
+    * Dynamo/Cassandra repair shape, also how lakehouse table-copy
+    * jobs verify a 100 TB sync without re-reading both sides
+    * row-by-row): every row hashes to one of 256 PK-addressed
+    * buckets carrying (row count, XOR of row fingerprints). Two
+    * replicas compare 256 tiny rows; a mismatched bucket narrows
+    * the repair rescan 256× (and the bucket count is the knob — a
+    * real deployment sizes it to rows/bucket it can afford to
+    * rescan, or nests levels into a full Merkle tree).
+    *
+    * XOR is the aggregation because it is commutative, associative,
+    * and self-inverse: order/partitioning cannot move it, and
+    * replaying one row's hash REMOVES it — the incremental-update
+    * property repair tools rely on. Row fingerprints render doubles
+    * as fixed-scale DECIMAL strings and the timestamp as a DATE
+    * string (the q88/q109 portability devices), so the oracle
+    * recomputes identical hashes. Per-row hashing is codegen'd; the
+    * only exchange carries ≤256 rows per partition after map-side
+    * combine.
+    */
+  def bucketFingerprints(
+      spark: SparkSession, sfDir: String, buckets: Int = 256): DataFrame = {
+    def h60(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    def dec(c: String) =
+      col(c).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+        .cast("string")
+    val repr = concat_ws("|",
+      col("l_orderkey").cast("string"), col("l_partkey").cast("string"),
+      col("l_suppkey").cast("string"), col("l_linenumber").cast("string"),
+      dec("l_quantity"), dec("l_extendedprice"), dec("l_discount"),
+      dec("l_tax"), col("l_returnflag"), col("l_linestatus"),
+      col("l_shipdate").cast("date").cast("string"))
+    Tables.load(spark, sfDir, "lineitem")
+      .select(
+        pmod(h60(concat(col("l_orderkey").cast("string"), lit("#"),
+          col("l_linenumber").cast("string"))), lit(buckets)).as("bucket"),
+        h60(repr).as("rowfp"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(rowfp)").as("fp"))
+  }
+
   /** Referential-integrity audit (q128): orphan-row / orphan-key
     * counts for every foreign key in the star schema — the data-
     * quality gate a warehouse runs on each load before exposing it

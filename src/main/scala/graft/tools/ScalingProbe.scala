@@ -177,7 +177,11 @@ object ScalingProbe {
       "q135_bpe_pairs" -> (d => graft.operators.TextAnalysis.bpePairCandidates(spark, d)),
       "q137_khop" -> (d => graft.operators.Graph.khopReachability(spark, d)),
       "q138_variant" -> (d => graft.operators.Relational.variantPath(spark, d)),
-      "q139_mixture" -> (d => graft.operators.TrainingPrep.mixtureResample(spark, d)))
+      "q139_mixture" -> (d => graft.operators.TrainingPrep.mixtureResample(spark, d)),
+      "q141_perplexity" -> (d => graft.operators.TextAnalysis.perplexityScore(spark, d)),
+      "q142_lateral" -> (d => graft.operators.Relational.lateralTopK(spark, d)),
+      "q144_hashed_feats" -> (d => graft.operators.TrainingPrep.hashedFeatures(spark, d)),
+      "q145_listagg" -> (d => graft.operators.Experiment.listaggPaths(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))

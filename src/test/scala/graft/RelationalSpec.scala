@@ -684,6 +684,40 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("bucket fingerprints: one mutated row flips exactly one bucket, XOR-recoverably") {
+    val dir = "/tmp/graft-fp-spec"
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+      .orderBy(col("l_orderkey"), col("l_linenumber")).limit(2000)
+      .localCheckpoint(true)
+    li.write.mode("overwrite").parquet(s"$dir/v1/lineitem.parquet")
+    // mutate ONE row's quantity
+    val pk = li.select(col("l_orderkey"), col("l_linenumber")).head()
+    val mutate = col("l_orderkey") === pk.getLong(0) &&
+      col("l_linenumber") === pk.getInt(1)
+    li.withColumn("l_quantity",
+        when(mutate, col("l_quantity") + 1.0).otherwise(col("l_quantity")))
+      .write.mode("overwrite").parquet(s"$dir/v2/lineitem.parquet")
+    def fps(d: String) = Relational.bucketFingerprints(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (a, b) = (fps(s"$dir/v1"), fps(s"$dir/v2"))
+    assert(a.keySet == b.keySet)
+    assert(a.forall { case (k, (n, _)) => b(k)._1 == n },
+      "counts must be untouched by a value mutation")
+    val diff = a.keySet.filter(k => a(k)._2 != b(k)._2)
+    assert(diff.size == 1, s"exactly one bucket must differ, got $diff")
+    // self-inverse recovery: single-row tables expose the raw row
+    // hashes, and removing old + adding new maps v1's bucket to v2's
+    li.where(mutate).write.mode("overwrite")
+      .parquet(s"$dir/old1/lineitem.parquet")
+    li.where(mutate).withColumn("l_quantity", col("l_quantity") + 1.0)
+      .write.mode("overwrite").parquet(s"$dir/new1/lineitem.parquet")
+    val oldH = fps(s"$dir/old1").values.head._2
+    val newH = fps(s"$dir/new1").values.head._2
+    val k = diff.head
+    assert((a(k)._2 ^ oldH ^ newH) == b(k)._2,
+      "bucket fp must update by XOR-ing the changed row in and out")
+  }
+
   test("variant path: zero-shuffle plan; strict get throws where try yields null") {
     val df = Relational.variantPath(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
