@@ -97,6 +97,7 @@ object SparkEntry {
     "q145_listagg_paths" -> (Experiment.listaggPaths _),
     "q146_bucket_fingerprints" -> ((s: SparkSession, d: String) =>
       Relational.bucketFingerprints(s, d)),
+    "q147_try_arithmetic" -> (Relational.tryArithmetic _),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -2046,6 +2047,24 @@ object SparkEntry {
          WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
                      1, 15))::BIGINT AS DOUBLE) / 1152921504606846976.0
                < keep_rate""",
+    // q147: try_* hazards as explicit CASE replays — the NULL set
+    // (div/0, BIGINT overflow, bad cast, OOB index) and the clean
+    // values are both exact; division is one IEEE op on identical
+    // operands.
+    "q147_try_arithmetic" ->
+      """SELECT event_id, value,
+           CASE WHEN event_id % 5 = 0 THEN NULL
+                ELSE value / (event_id % 5) END AS safe_div,
+           CASE WHEN event_id % 16 > 7 THEN NULL
+                ELSE 9223372036854775800 + event_id % 16 END AS safe_add,
+           CASE WHEN event_id % 4 >= 2 THEN NULL
+                ELSE 4611686018427387904 * (event_id % 4) END AS safe_mul,
+           CASE WHEN event_id % 7 = 0 THEN NULL
+                ELSE CAST(event_id % 100 AS INT) END AS safe_cast,
+           CASE WHEN event_id % 3 + 1 = 3 THEN NULL
+                WHEN event_id % 3 + 1 = 2 THEN 'b'
+                ELSE 'a' END AS safe_elem
+         FROM events""",
     // q146: replica-diff bucket fingerprints — PK-addressed md5
     // buckets, bit_xor of row hashes (order/partition independent,
     // self-inverse); doubles render as DECIMAL(18,2) strings and the

@@ -1435,6 +1435,33 @@ object Relational {
         col("n_events"))
   }
 
+  /** ANSI try_* semantics (q147): the error-handling contract of an
+    * ANSI-mode engine, pinned per hazard class. Under ANSI (Spark 4's
+    * default, this engine's posture) divide-by-zero, BIGINT
+    * overflow, malformed casts, and out-of-bounds element access
+    * THROW — which at 100 TB means one poisoned row kills a stage —
+    * so the production idiom is the `try_` twin that turns each
+    * hazard into NULL. Hazards are injected deterministically
+    * (event_id residues); the oracle replays each as an explicit
+    * CASE, so the NULL set AND the non-hazard values are both exact.
+    * try_element_at keeps ANSI's 1-based indexing (index 0 throws
+    * even in try form — a pinned asymmetry worth knowing, hence the
+    * 1..3 index range here). Per-row, codegen'd, zero shuffle.
+    */
+  def tryArithmetic(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("value"),
+        expr("try_divide(value, event_id % 5)").as("safe_div"),
+        expr("try_add(9223372036854775800L, event_id % 16)")
+          .as("safe_add"),
+        expr("try_multiply(4611686018427387904L, event_id % 4)")
+          .as("safe_mul"),
+        expr("""try_cast(concat(cast(event_id % 100 as string),
+          case when event_id % 7 = 0 then 'x' else '' end) as int)""")
+          .as("safe_cast"),
+        expr("try_element_at(array('a','b'), cast(event_id % 3 + 1 as int))")
+          .as("safe_elem"))
+
   /** Replica-diff bucket fingerprints (q146): the anti-entropy /
     * table-sync primitive (Merkle-tree leaf level, the
     * Dynamo/Cassandra repair shape, also how lakehouse table-copy

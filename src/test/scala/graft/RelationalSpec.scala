@@ -684,6 +684,31 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("try_* nulls exactly the injected hazards; strict forms throw on them") {
+    val rows = Relational.tryArithmetic(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.isNullAt(2) == (id % 5 == 0), s"safe_div at $id")
+      assert(r.isNullAt(3) == (id % 16 > 7), s"safe_add at $id")
+      assert(r.isNullAt(4) == (id % 4 >= 2), s"safe_mul at $id")
+      assert(r.isNullAt(5) == (id % 7 == 0), s"safe_cast at $id")
+      assert(r.isNullAt(6) == (id % 3 + 1 == 3), s"safe_elem at $id")
+    }
+    // the strict twins throw on the same rows — the ANSI contract the
+    // try_ family exists to absorb
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+    assert(intercept[Exception] {
+      ev.selectExpr("9223372036854775800L + event_id % 16").collect()
+    } != null)
+    assert(intercept[Exception] {
+      ev.selectExpr(
+        """cast(concat(cast(event_id % 100 as string),
+           case when event_id % 7 = 0 then 'x' else '' end) as int)""")
+        .collect()
+    } != null)
+  }
+
   test("bucket fingerprints: one mutated row flips exactly one bucket, XOR-recoverably") {
     val dir = "/tmp/graft-fp-spec"
     val li = graft.sources.Tables.load(spark, sf, "lineitem")
