@@ -98,6 +98,7 @@ object SparkEntry {
     "q146_bucket_fingerprints" -> ((s: SparkSession, d: String) =>
       Relational.bucketFingerprints(s, d)),
     "q147_try_arithmetic" -> (Relational.tryArithmetic _),
+    "q148_geo_join" -> (Relational.geoJoin _),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -2047,6 +2048,38 @@ object SparkEntry {
          WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
                      1, 15))::BIGINT AS DOUBLE) / 1152921504606846976.0
                < keep_rate""",
+    // q148: grid-blocked spatial join — the oracle skips the grid
+    // (DuckDB joins all pairs, cheap at fixture scale) and applies
+    // the IDENTICAL haversine tree with floor-to-meters before the
+    // gate, proving the 3x3 blocking is complete.
+    "q148_geo_join" ->
+      """WITH stores AS (
+           SELECT s_suppkey,
+             CAST(s_suppkey * 7919 % 1000 AS DOUBLE) / 100.0 + 40.0
+               AS s_lat,
+             CAST(s_suppkey * 104729 % 2000 AS DOUBLE) / 100.0 AS s_lon
+           FROM supplier),
+         pts AS (
+           SELECT event_id, user_id,
+             CAST((event_id * 31 + user_id) % 1000 AS DOUBLE) / 100.0
+               + 40.0 AS e_lat,
+             CAST((event_id * 17 + user_id * 3) % 2000 AS DOUBLE) / 100.0
+               AS e_lon
+           FROM events),
+         pairs AS (
+           SELECT s_suppkey,
+             CAST(floor(asin(sqrt(
+               sin(radians(e_lat - s_lat) / 2) *
+                 sin(radians(e_lat - s_lat) / 2) +
+               cos(radians(s_lat)) * cos(radians(e_lat)) *
+                 (sin(radians(e_lon - s_lon) / 2) *
+                  sin(radians(e_lon - s_lon) / 2))))
+               * 12742000.0) AS BIGINT) AS dist_m
+           FROM pts, stores)
+         SELECT s_suppkey, COUNT(*) AS n_within,
+           MIN(dist_m) AS min_dist_m
+         FROM pairs WHERE dist_m <= 100000
+         GROUP BY s_suppkey""",
     // q147: try_* hazards as explicit CASE replays — the NULL set
     // (div/0, BIGINT overflow, bad cast, OOB index) and the clean
     // values are both exact; division is one IEEE op on identical

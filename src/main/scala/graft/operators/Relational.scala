@@ -1435,6 +1435,70 @@ object Relational {
         col("n_events"))
   }
 
+  /** Grid-blocked spatial join (q148): the 2-D twin of q86's bin-
+    * equi-join rewrite — "events within 100 km of a supplier site"
+    * without the cross join a raw distance predicate degenerates to.
+    * Both point sets bucket into 1° grid cells; the STORE side
+    * explodes onto its 3×3 cell neighborhood (9 rows per store —
+    * dimension-sized, the fact side never replicates), the join is a
+    * hashable equi-join on the cell key, and the exact haversine
+    * filter runs only within candidate cells. Neighborhood sizing is
+    * LATITUDE-AWARE: 1° of latitude is ~111 km everywhere, so ±1
+    * cell covers a 100 km radius vertically — but 1° of LONGITUDE
+    * shrinks by cos(lat) (~72 km at this band's 50° edge), so the
+    * radius spans up to 1.4° of longitude and the neighborhood is
+    * ±2 cells wide (3×5). Under-sizing this is the classic silent-
+    * loss bug in grid-blocked spatial joins (the first cut here
+    * missed ~3% of pairs); the blocking is proven COMPLETE against
+    * the unblocked all-pairs form, which survives as the oracle.
+    * Coordinates derive from integer residues (the rendered-input
+    * device) concentrated in a 10°×20° band so the radius actually
+    * discriminates.
+    *
+    * Portability: one shared expression tree — radians → sin/cos
+    * products (no pow) → asin·2R — and the distance FLOORS to
+    * integer meters before the min/count aggregates, so libm ulp
+    * skew cannot reach the compare; the 100 km gate compares the
+    * floored integer, flipping nowhere.
+    */
+  def geoJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val storeCells = Tables.load(spark, sfDir, "supplier")
+      .select(col("s_suppkey"),
+        ((col("s_suppkey") * 7919 % 1000).cast("double") / 100.0 + 40.0)
+          .as("s_lat"),
+        ((col("s_suppkey") * 104729 % 2000).cast("double") / 100.0)
+          .as("s_lon"))
+      // one generator per projection: 3 (lat) × 5 (lon) neighborhood
+      .withColumn("dlat", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dlon", explode(array(
+        lit(-2L), lit(-1L), lit(0L), lit(1L), lit(2L))))
+      .withColumn("cell_lat", floor(col("s_lat")).cast("long") + col("dlat"))
+      .withColumn("cell_lon", floor(col("s_lon")).cast("long") + col("dlon"))
+      .drop("dlat", "dlon")
+    val points = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"),
+        (((col("event_id") * 31 + col("user_id")) % 1000).cast("double")
+          / 100.0 + 40.0).as("e_lat"),
+        (((col("event_id") * 17 + col("user_id") * 3) % 2000)
+          .cast("double") / 100.0).as("e_lon"))
+      .withColumn("cell_lat", floor(col("e_lat")).cast("long"))
+      .withColumn("cell_lon", floor(col("e_lon")).cast("long"))
+    val dist = {
+      val dlat = radians(col("e_lat") - col("s_lat")) / 2
+      val dlon = radians(col("e_lon") - col("s_lon")) / 2
+      val a = sin(dlat) * sin(dlat) +
+        cos(radians(col("s_lat"))) * cos(radians(col("e_lat"))) *
+          (sin(dlon) * sin(dlon))
+      floor(asin(sqrt(a)) * lit(2.0 * 6371000.0)).cast("long")
+    }
+    points.join(broadcast(storeCells), Seq("cell_lat", "cell_lon"))
+      .withColumn("dist_m", dist)
+      .where(col("dist_m") <= 100000L)
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_within"),
+        min(col("dist_m")).as("min_dist_m"))
+  }
+
   /** ANSI try_* semantics (q147): the error-handling contract of an
     * ANSI-mode engine, pinned per hazard class. Under ANSI (Spark 4's
     * default, this engine's posture) divide-by-zero, BIGINT

@@ -684,6 +684,41 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("geo join: cell blocking equals all-pairs; joins hash on the grid key") {
+    val df = Relational.geoJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"grid key must make the join hashable:\n$plan")
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("Cartesian"),
+      s"a raw distance predicate would degenerate; the grid must not:\n$plan")
+    val got = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // brute-force twin in plain Scala (same Math trig the JVM uses)
+    val stores = graft.sources.Tables.load(spark, sf, "supplier")
+      .select(col("s_suppkey")).collect().map(_.getLong(0))
+      .map(k => k -> ((k * 7919 % 1000).toDouble / 100.0 + 40.0,
+        (k * 104729 % 2000).toDouble / 100.0))
+    val pts = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id")).collect()
+      .map(r => ((r.getLong(0) * 31 + r.getLong(1)) % 1000 / 100.0 + 40.0,
+        (r.getLong(0) * 17 + r.getLong(1) * 3) % 2000 / 100.0))
+    def hav(la1: Double, lo1: Double, la2: Double, lo2: Double): Long = {
+      val dla = math.toRadians(la2 - la1) / 2
+      val dlo = math.toRadians(lo2 - lo1) / 2
+      val a = math.sin(dla) * math.sin(dla) +
+        math.cos(math.toRadians(la1)) * math.cos(math.toRadians(la2)) *
+          (math.sin(dlo) * math.sin(dlo))
+      math.floor(math.asin(math.sqrt(a)) * 2.0 * 6371000.0).toLong
+    }
+    val expect = stores.flatMap { case (k, (sla, slo)) =>
+      val ds = pts.map { case (ela, elo) => hav(sla, slo, ela, elo) }
+        .filter(_ <= 100000L)
+      if (ds.isEmpty) None else Some(k -> (ds.length.toLong, ds.min))
+    }.toMap
+    assert(got == expect, s"got=${got.size} expect=${expect.size}")
+  }
+
   test("try_* nulls exactly the injected hazards; strict forms throw on them") {
     val rows = Relational.tryArithmetic(spark, sf).collect()
     assert(rows.nonEmpty)
