@@ -99,6 +99,8 @@ object SparkEntry {
       Relational.bucketFingerprints(s, d)),
     "q147_try_arithmetic" -> (Relational.tryArithmetic _),
     "q148_geo_join" -> (Relational.geoJoin _),
+    "q149_inverted_index" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.invertedIndex(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -2048,6 +2050,19 @@ object SparkEntry {
          WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
                      1, 15))::BIGINT AS DOUBLE) / 1152921504606846976.0
                < keep_rate""",
+    // q149: inverted-index build — postings compare as a comma-
+    // joined sorted string (arrays would hang on list-hash
+    // canonicalization, the q80 lesson); cap keeps stop-word rows
+    // bounded, df keeps the statistics complete.
+    "q149_inverted_index" ->
+      s"""WITH pairs AS (
+           SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id, UNNEST(string_split($normText, ' ')) AS tok
+             FROM documents))
+         SELECT tok, COUNT(*) AS df,
+           array_to_string(
+             (list_sort(array_agg(doc_id)))[1:50], ',') AS postings
+         FROM pairs GROUP BY tok""",
     // q148: grid-blocked spatial join — the oracle skips the grid
     // (DuckDB joins all pairs, cheap at fixture scale) and applies
     // the IDENTICAL haversine tree with floor-to-meters before the

@@ -312,6 +312,36 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair").asc)
       .limit(k)
 
+  /** The q149 driver entry: inverted-index BUILD — the exportable
+    * search-index artifact (token → document frequency + capped,
+    * sorted posting list) that q114's BM25 deliberately avoids
+    * constructing at query time. A search deployment materializes
+    * exactly this shape once per corpus snapshot and serves from it;
+    * the capped posting list (first 50 doc ids, ascending) is the
+    * truncation real exporters apply to stop-word rows, with the
+    * full df kept alongside so the cap loses no statistics.
+    * Postings render as a comma-joined STRING — arrays would hang
+    * the cross-engine compare on list-hash canonicalization (the
+    * q80 lesson), strings compare everywhere.
+    *
+    * Scale shape: distinct (token, doc) pairs via one map-side-
+    * combined aggregate, then one token-keyed aggregate whose
+    * per-group buffer is CAPPED by the slice(sort, 50) — the
+    * unbounded collect_list is applied after distinct-ing to doc
+    * grain and before any join, and a 100 TB build shards this by
+    * token range into the standard segmented index files.
+    */
+  def invertedIndex(
+      spark: SparkSession, sfDir: String, cap: Int = 50): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(split(normalizedText(col("text")), " ")).as("tok"))
+      .distinct()
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"),
+        array_join(slice(array_sort(collect_list(col("doc_id"))),
+          1, cap), ",").as("postings"))
+
   /** The q141 driver entry: character-bigram LM perplexity scoring —
     * the CCNet/RefinedWeb quality-filter shape: train an n-gram
     * language model on a reference slice (here the 'en' documents),

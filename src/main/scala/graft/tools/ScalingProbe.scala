@@ -181,7 +181,10 @@ object ScalingProbe {
       "q141_perplexity" -> (d => graft.operators.TextAnalysis.perplexityScore(spark, d)),
       "q142_lateral" -> (d => graft.operators.Relational.lateralTopK(spark, d)),
       "q144_hashed_feats" -> (d => graft.operators.TrainingPrep.hashedFeatures(spark, d)),
-      "q145_listagg" -> (d => graft.operators.Experiment.listaggPaths(spark, d)))
+      "q145_listagg" -> (d => graft.operators.Experiment.listaggPaths(spark, d)),
+      "q146_bucket_fp" -> (d => graft.operators.Relational.bucketFingerprints(spark, d)),
+      "q147_try_arith" -> (d => graft.operators.Relational.tryArithmetic(spark, d)),
+      "q148_geo_join" -> (d => graft.operators.Relational.geoJoin(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))

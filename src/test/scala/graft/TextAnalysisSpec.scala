@@ -114,6 +114,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$plan")
   }
 
+  test("inverted index: postings sorted, capped, and consistent with df") {
+    val rows = TextAnalysis.invertedIndex(spark, SparkTestSession.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    val docsByTok = scala.collection.mutable
+      .Map.empty[String, Set[Long]].withDefaultValue(Set.empty)
+    graft.sources.Tables.load(spark, SparkTestSession.sf, "documents")
+      .select(col("doc_id"), col("text")).collect().foreach { r =>
+        r.getString(1).trim.toLowerCase.split("\\s+").distinct
+          .foreach(t => docsByTok(t) = docsByTok(t) + r.getLong(0))
+      }
+    rows.foreach { case (tok, df, postings) =>
+      val ids = postings.split(",").filter(_.nonEmpty).map(_.toLong).toSeq
+      assert(df == docsByTok(tok).size.toLong, s"df for '$tok'")
+      assert(ids == ids.sorted, s"postings for '$tok' must be ascending")
+      assert(ids.length == math.min(df, 50L).toInt, s"cap for '$tok'")
+      assert(ids.toSet == docsByTok(tok).toSeq.sorted.take(50).toSet,
+        s"postings for '$tok' must be the FIRST 50 doc ids")
+    }
+  }
+
   test("perplexity: matches an independent bigram-LM scorer; broadcast-only scoring") {
     val df = TextAnalysis.perplexityScore(spark, SparkTestSession.sf)
     val plan = df.queryExecution.executedPlan.toString
