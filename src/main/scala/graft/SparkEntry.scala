@@ -101,6 +101,7 @@ object SparkEntry {
     "q148_geo_join" -> (Relational.geoJoin _),
     "q149_inverted_index" -> ((s: SparkSession, d: String) =>
       TextAnalysis.invertedIndex(s, d)),
+    "q150_assoc_rules" -> (Experiment.associationRules _),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -896,6 +897,32 @@ object SparkEntry {
          SELECT type_a, type_b, n_cooccur,
            CAST(n_cooccur AS DOUBLE) / n_units AS support
          FROM pairs, tot""",
+    // q150: association rules — exact integer counts; confidence and
+    // lift are pinned two-multiply/one-divide IEEE trees, identical
+    // both engines.
+    "q150_assoc_rules" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+           FROM events),
+         tot AS (
+           SELECT COUNT(*) AS n_units
+           FROM (SELECT DISTINCT user_id, day FROM ud)),
+         marg AS (
+           SELECT event_type, COUNT(*) AS n FROM ud GROUP BY 1),
+         pairs AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_ab
+           FROM ud a JOIN ud b ON a.user_id = b.user_id
+             AND a.day = b.day AND a.event_type <> b.event_type
+           GROUP BY 1, 2)
+         SELECT type_a, type_b, ma.n AS n_a, mb.n AS n_b, n_ab,
+           CAST(n_ab AS DOUBLE) / CAST(ma.n AS DOUBLE) AS confidence,
+           (CAST(n_ab AS DOUBLE) * CAST(n_units AS DOUBLE)) /
+             (CAST(ma.n AS DOUBLE) * CAST(mb.n AS DOUBLE)) AS lift
+         FROM pairs
+         JOIN marg ma ON ma.event_type = type_a
+         JOIN marg mb ON mb.event_type = type_b
+         CROSS JOIN tot""",
     // q134: CEP pattern match — the path string is built over the
     // total (ts, event_id) order in both engines, so the regex match
     // is deterministic; LENGTH/regexp semantics are in the portable

@@ -124,6 +124,51 @@ object Experiment {
         (col("n_cooccur").cast("double") / col("n_units")).as("support"))
   }
 
+  /** Association rules (q150): confidence and lift over q133's
+    * (user, day) baskets — the step that turns raw co-occurrence
+    * counts into RANKED recommendations ("users who did A also did
+    * B"): confidence(A→B) = n_ab/n_a is directional (both
+    * directions emitted per unordered pair), lift = n_ab·N/(n_a·n_b)
+    * factors out marginal popularity so a pair of independently-
+    * common types scores ~1 and true affinity scores above it. All
+    * counts are exact integers off two map-side-combined aggregates
+    * (per-type and per-pair); each ratio is a pinned two-multiply /
+    * one-divide IEEE tree, bit-identical to the oracle. The
+    * per-type marginals BROADCAST back onto the pair counts (a
+    * catalog-sized frame) — nothing re-touches the fact table.
+    */
+  def associationRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"))
+      .distinct()
+    val units = ud.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).as("n_units"))
+    val marginals = ud.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val a = ud.select(col("user_id"), col("day"),
+      col("event_type").as("type_a"))
+    val b = ud.select(col("user_id").as("u2"), col("day").as("d2"),
+      col("event_type").as("type_b"))
+    val pairs = a.join(b,
+        col("user_id") === col("u2") && col("day") === col("d2") &&
+          col("type_a") =!= col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(marginals.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), "type_a")
+      .join(broadcast(marginals.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), "type_b")
+      .crossJoin(broadcast(units))
+      .select(col("type_a"), col("type_b"),
+        col("n_a"), col("n_b"), col("n_ab"),
+        (col("n_ab").cast("double") / col("n_a").cast("double"))
+          .as("confidence"),
+        ((col("n_ab").cast("double") * col("n_units").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("lift"))
+  }
+
   /** Sequence-pattern detection (q134) — the MATCH_RECOGNIZE / CEP
     * shape Spark lacks natively, composed from built-ins: each
     * (user, day) journey becomes a compact path string (one char per

@@ -114,6 +114,23 @@ class ExperimentSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("association rules: marginals consistent, symmetric pair counts, lift symmetric") {
+    val rows = Experiment.associationRules(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case ((a, b), (na, nb, nab, conf, lift)) =>
+      // reversed direction exists with mirrored counts and equal lift
+      val (rna, rnb, rnab, _, rlift) = rows((b, a))
+      assert(rna == nb && rnb == na && rnab == nab)
+      assert(rlift == lift, s"lift must be symmetric for ($a,$b)")
+      assert(conf == nab.toDouble / na.toDouble)
+      assert(nab <= na && nab <= nb, "a pair can't outnumber a marginal")
+    }
+  }
+
   test("listagg WITHIN GROUP paths are char-identical to the collect_list device") {
     val viaListagg = Experiment.listaggPaths(spark, SparkTestSession.sf)
       .collect()
