@@ -102,6 +102,7 @@ object SparkEntry {
     "q149_inverted_index" -> ((s: SparkSession, d: String) =>
       TextAnalysis.invertedIndex(s, d)),
     "q150_assoc_rules" -> (Experiment.associationRules _),
+    "q151_km_survival" -> (Experiment.kmSurvival _),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -923,6 +924,45 @@ object SparkEntry {
          JOIN marg ma ON ma.event_type = type_a
          JOIN marg mb ON mb.event_type = type_b
          CROSS JOIN tot""",
+    // q151: Kaplan–Meier in log space — per-step factors floor to
+    // micro-nats (one division + one ln) so the survival product is
+    // an order-independent BIGINT running sum; censored-at-t units
+    // stay at risk at t (the standard convention); terminal n=d rows
+    // drop on both sides.
+    "q151_km_survival" ->
+      """WITH units AS (
+           SELECT user_id, CAST(ts AS DATE) AS day,
+             MIN(epoch_us(ts)) AS t0,
+             MIN(CASE WHEN event_type = 'purchase'
+                 THEN epoch_us(ts) END) AS tp,
+             MAX(epoch_us(ts)) AS tl
+           FROM events GROUP BY 1, 2),
+         durs AS (
+           SELECT (COALESCE(tp, tl) - t0) // 60000000 AS dur_min,
+             tp IS NOT NULL AS died
+           FROM units),
+         by_dur AS (
+           SELECT dur_min,
+             SUM(CASE WHEN died THEN 1 ELSE 0 END) AS n_died,
+             SUM(CASE WHEN died THEN 0 ELSE 1 END) AS n_censored
+           FROM durs GROUP BY 1),
+         risk AS (
+           SELECT dur_min, n_died, n_censored,
+             SUM(n_died + n_censored) OVER () -
+               COALESCE(SUM(n_died + n_censored) OVER (
+                 ORDER BY dur_min ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_at_risk
+           FROM by_dur),
+         alive AS (SELECT * FROM risk WHERE n_at_risk > n_died)
+         SELECT dur_min, n_at_risk, n_died, n_censored,
+           CAST(SUM(CAST(floor(1000000.0 * ln(
+               CAST(n_at_risk - n_died AS DOUBLE) /
+               CAST(n_at_risk AS DOUBLE))) AS BIGINT)) OVER (
+             ORDER BY dur_min ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS log_surv_micro
+         FROM alive""",
     // q134: CEP pattern match — the path string is built over the
     // total (ts, event_id) order in both engines, so the regex match
     // is deterministic; LENGTH/regexp semantics are in the portable

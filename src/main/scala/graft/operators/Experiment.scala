@@ -169,6 +169,65 @@ object Experiment {
           .as("lift"))
   }
 
+  /** Kaplan–Meier time-to-conversion survival (q151): the survival-
+    * analysis family (churn curves, time-to-event product analytics)
+    * done right-censored — each (user, day) unit either CONVERTS
+    * (first purchase, a "death" at dur = minutes from the day's
+    * first event) or is CENSORED at its last observed activity;
+    * ignoring censoring (just averaging conversion times) biases
+    * toward fast converters, which is the whole reason KM exists.
+    * S(t) = Π (1 − dᵢ/nᵢ) over event times ≤ t, with the standard
+    * convention that units censored AT t are still at risk at t.
+    *
+    * Exactness: the curve is carried in LOG space — each factor
+    * enters as floor(10⁶·ln((nᵢ−dᵢ)/nᵢ)) (one division, one ln, the
+    * q141 micro-nat device) and the running product becomes a
+    * running BIGINT sum, deterministic under any partitioning;
+    * d=0 rows contribute ln(1) = 0 exactly, so the curve is flat
+    * between deaths with no drift. Terminal rows where the whole
+    * risk set dies (n = d, S → 0, ln → −∞) are excluded — the
+    * curve's zero point carries no information beyond its time.
+    *
+    * Scale shape: one (user, day) aggregate over facts (map-side
+    * combined), then the KM recursion runs on the DURATION GRID
+    * (≤ minutes-per-day rows — its single-partition window is
+    * deliberate and safe, the q131 dates-not-facts rule).
+    */
+  def kmSurvival(spark: SparkSession, sfDir: String): DataFrame = {
+    val units = Tables.load(spark, sfDir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(
+        min(unix_micros(col("ts"))).as("t0"),
+        min(when(col("event_type") === "purchase",
+          unix_micros(col("ts")))).as("tp"),
+        max(unix_micros(col("ts"))).as("tl"))
+      .select(
+        ((coalesce(col("tp"), col("tl")) - col("t0")) / 60000000L)
+          .cast("long").as("dur_min"),
+        col("tp").isNotNull.as("died"))
+    val byDur = units.groupBy(col("dur_min"))
+      .agg(sum(when(col("died"), 1L).otherwise(0L)).as("n_died"),
+        sum(when(col("died"), 0L).otherwise(1L)).as("n_censored"))
+    val w = Window.orderBy(col("dur_min").asc)
+    val prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val all = w.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    byDur
+      // at risk just before t = all units minus those already gone
+      .withColumn("n_at_risk",
+        sum(col("n_died") + col("n_censored")).over(all) -
+          coalesce(sum(col("n_died") + col("n_censored")).over(prev),
+            lit(0L)))
+      .where(col("n_at_risk") > col("n_died"))
+      .withColumn("log_surv_micro",
+        sum(floor(lit(1000000.0) * log(
+          (col("n_at_risk") - col("n_died")).cast("double") /
+            col("n_at_risk").cast("double"))).cast("long")).over(run))
+      .select(col("dur_min"), col("n_at_risk"), col("n_died"),
+        col("n_censored"), col("log_surv_micro"))
+  }
+
   /** Sequence-pattern detection (q134) — the MATCH_RECOGNIZE / CEP
     * shape Spark lacks natively, composed from built-ins: each
     * (user, day) journey becomes a compact path string (one char per

@@ -131,6 +131,47 @@ class ExperimentSpec extends AnyFunSuite {
     }
   }
 
+  test("km survival matches an independent estimator; curve is nonincreasing") {
+    val got = Experiment.kmSurvival(spark, SparkTestSession.sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // independent unit build + KM recursion in plain Scala
+    val units = graft.sources.Tables
+      .load(spark, SparkTestSession.sf, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        unix_micros(col("ts")).as("us"), col("event_type")).collect()
+      .map(r => ((r.getLong(0), r.getDate(1).toString),
+        (r.getLong(2), r.getString(3))))
+      .groupBy(_._1).values.map { rows =>
+        val ts = rows.map(_._2)
+        val t0 = ts.map(_._1).min
+        val tp = ts.filter(_._2 == "purchase").map(_._1)
+          .minOption
+        val tl = ts.map(_._1).max
+        ((tp.getOrElse(tl) - t0) / 60000000L, tp.isDefined)
+      }.toSeq
+    val byDur = units.groupBy(_._1).view.mapValues { us =>
+      (us.count(_._2).toLong, us.count(!_._2).toLong)
+    }.toMap
+    val total = units.size.toLong
+    var gone = 0L
+    var logSurv = 0L
+    val expect = byDur.toSeq.sortBy(_._1).flatMap { case (dur, (d, c)) =>
+      val n = total - gone
+      gone += d + c
+      if (n > d) {
+        logSurv += math.floor(1000000.0 *
+          math.log((n - d).toDouble / n.toDouble)).toLong
+        Some(dur -> (n, d, c, logSurv))
+      } else None
+    }
+    assert(got.toMap == expect.toMap,
+      s"got=${got.length} expect=${expect.length}")
+    // survival never increases (log_surv_micro nonincreasing in time)
+    val curve = got.sortBy(_._1).map(_._2._4)
+    assert(curve.zip(curve.drop(1)).forall { case (a, b) => b <= a })
+  }
+
   test("listagg WITHIN GROUP paths are char-identical to the collect_list device") {
     val viaListagg = Experiment.listaggPaths(spark, SparkTestSession.sf)
       .collect()
