@@ -103,6 +103,7 @@ object SparkEntry {
       TextAnalysis.invertedIndex(s, d)),
     "q150_assoc_rules" -> (Experiment.associationRules _),
     "q151_km_survival" -> (Experiment.kmSurvival _),
+    "q152_densify_daily" -> (Relational.densifyDaily _),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -2130,6 +2131,24 @@ object SparkEntry {
            array_to_string(
              (list_sort(array_agg(doc_id)))[1:50], ',') AS postings
          FROM pairs GROUP BY tok""",
+    // q152: calendar densification — generate_series spine × type
+    // catalog, zero-filled counts; all exact integers and dates. The
+    // value > 200 filter leaves real gap cells for the fill to fill.
+    "q152_densify_daily" ->
+      """WITH ev AS (
+           SELECT CAST(ts AS DATE) AS day, event_type FROM events
+           WHERE value > 200.0),
+         daily AS (
+           SELECT day, event_type, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+         bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+         spine AS (
+           SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))
+             AS DATE) AS day
+           FROM bounds),
+         types AS (SELECT DISTINCT event_type FROM ev)
+         SELECT day, event_type, COALESCE(n, 0) AS n_events
+         FROM spine CROSS JOIN types
+         LEFT JOIN daily USING (day, event_type)""",
     // q148: grid-blocked spatial join — the oracle skips the grid
     // (DuckDB joins all pairs, cheap at fixture scale) and applies
     // the IDENTICAL haversine tree with floor-to-meters before the

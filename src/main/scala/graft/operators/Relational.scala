@@ -1435,6 +1435,36 @@ object Relational {
         col("n_events"))
   }
 
+  /** Calendar densification (q152): zero-filled daily series — the
+    * reporting primitive behind every dashboard line chart (a day
+    * with no events must plot as 0, not vanish; gap-sensitive
+    * downstreams like moving averages and q116-style trends silently
+    * skew on missing rows). A date SPINE generates from the global
+    * [min, max] day bounds (`sequence` explode off a 1-row
+    * aggregate — never a driver-side loop), cross-joins the
+    * event-type catalog (broadcast, catalog-sized), and the daily
+    * counts LEFT-join onto it with COALESCE 0. Facts are touched by
+    * exactly one map-side-combined aggregate; the spine side is
+    * days × types — thousands of rows at any corpus size. The
+    * series tracks HIGH-VALUE events (value > 200) so the fixture
+    * actually has empty cells — the dense unfiltered stream never
+    * exercises the zero-fill path it exists for.
+    */
+  def densifyDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .where(col("value") > 200.0)
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+    val daily = ev.groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val spine = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val types = ev.select(col("event_type")).distinct()
+    spine.crossJoin(broadcast(types))
+      .join(daily, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+  }
+
   /** Grid-blocked spatial join (q148): the 2-D twin of q86's bin-
     * equi-join rewrite — "events within 100 km of a supplier site"
     * without the cross join a raw distance predicate degenerates to.

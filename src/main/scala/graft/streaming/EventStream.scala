@@ -225,6 +225,7 @@ object EventStream {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      unloadStateStores()
       // explicit schema: a zero-batch run (or an all-dropped input)
       // must read as an empty frame, not fail inference
       val schema = StructType(Seq(
@@ -257,8 +258,24 @@ object EventStream {
       .start()
     q.awaitTermination()
     try s.table(name).localCheckpoint(true)
-    finally s.catalog.dropTempView(name)
+    finally {
+      s.catalog.dropTempView(name)
+      unloadStateStores()
+    }
   }
+
+  /** Unload every loaded state-store provider. Each [[runToBatch]]
+    * invocation streams against a FRESH temporary checkpoint, so its
+    * providers can never be reused — but `StateStore` keeps them (and
+    * their maintenance work) loaded for the executor lifetime. In a
+    * long session that leak COMPOUNDS: by entry ~100 of a 151-query
+    * bench sweep the stateful entries read 58 s for a 2 s query
+    * (fresh-JVM median) purely from accumulated provider upkeep.
+    * A real cluster job exits the JVM after its query; a harness
+    * that runs hundreds must do the unload itself.
+    */
+  private def unloadStateStores(): Unit =
+    org.apache.spark.sql.graftshim.unloadAllStateStores()
 
   /** Streaming NATIVE session windows (q140): the same 30-minute
     * gap sessionization as batch q73, but through Structured

@@ -12,4 +12,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 package object graftshim {
   def exprToColumn(e: Expression): Column = ExpressionUtils.column(e)
   def columnToExpr(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Unload every loaded state-store provider (`private[sql]` in
+    * Spark 4). A streaming harness that runs hundreds of queries
+    * against throwaway checkpoints must drop their providers itself —
+    * see EventStream.unloadStateStores for the measured leak.
+    */
+  def unloadAllStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
 }

@@ -684,6 +684,31 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("densify: continuous spine, zero-filled gaps, counts match the sparse truth") {
+    val rows = Relational.densifyDaily(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2))
+      .toMap
+    val truth = graft.sources.Tables.load(spark, sf, "events")
+      .where(col("value") > 200.0)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type")).count()
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2))
+      .toMap
+    // every sparse cell appears with its exact count; everything else is 0
+    truth.foreach { case (k, n) => assert(rows(k) == n, s"$k") }
+    assert(rows.values.count(_ == 0L) == rows.size - truth.size)
+    assert(rows.values.exists(_ == 0L),
+      "the fixture must actually exercise the zero-fill path")
+    // the spine is continuous: every (day, type) combination present
+    val days = rows.keys.map(_._1).toSeq.sorted
+    val types = rows.keys.map(_._2).toSet
+    assert(rows.size == days.distinct.size * types.size)
+    val d0 = java.time.LocalDate.parse(days.head)
+    val d1 = java.time.LocalDate.parse(days.last)
+    assert(days.distinct.size ==
+      java.time.temporal.ChronoUnit.DAYS.between(d0, d1) + 1)
+  }
+
   test("geo join: cell blocking equals all-pairs; joins hash on the grid key") {
     val df = Relational.geoJoin(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
