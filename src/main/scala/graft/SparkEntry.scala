@@ -104,6 +104,7 @@ object SparkEntry {
     "q150_assoc_rules" -> (Experiment.associationRules _),
     "q151_km_survival" -> (Experiment.kmSurvival _),
     "q152_densify_daily" -> (Relational.densifyDaily _),
+    "q153_ann_pq" -> ((s: SparkSession, d: String) => Similarity.annPq(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -1969,6 +1970,61 @@ object SparkEntry {
          SELECT q_id, vec_id, cosine, CAST(rk AS INTEGER) AS rk FROM (
            SELECT q_id, vec_id, cosine,
              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rk
+           FROM scored)
+         WHERE rk <= 10""",
+    // q153: PQ — the oracle replays the whole pipeline: subspace
+    // split via list slicing, per-subspace L2² floored to integer
+    // PICO-units BEFORE argmin and before the 8-term ADC sum (both
+    // then order-free), candidate shortlist by (adc, vec_id), exact
+    // cosine re-rank. Every window has a total order.
+    "q153_ann_pq" ->
+      s"""WITH u AS ($normalizedVectors),
+         subs AS (
+           SELECT vec_id, s, v[s*8+1 : s*8+8] AS sub
+           FROM u, LATERAL (SELECT UNNEST(range(0, 8)) AS s) t),
+         cents AS (
+           SELECT vec_id AS c_id, s, sub AS cv FROM subs
+           WHERE vec_id < 16),
+         cdist AS (
+           SELECT subs.vec_id, subs.s, c_id,
+             CAST(floor(1e12 * list_sum(list_transform(
+               list_zip(sub, cv),
+               p -> (p[1] - p[2]) * (p[1] - p[2])))) AS BIGINT) AS d
+           FROM subs JOIN cents ON cents.s = subs.s),
+         codes AS (
+           SELECT vec_id, s, c_id AS code FROM (
+             SELECT vec_id, s, c_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                 ORDER BY d ASC, c_id ASC) AS rn
+             FROM cdist) WHERE rn = 1),
+         qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5),
+         qdist AS (
+           SELECT vec_id AS q_id, s, c_id, d FROM cdist
+           WHERE vec_id IN (SELECT vec_id FROM qids)),
+         adc AS (
+           SELECT q.q_id, c.vec_id,
+             CAST(SUM(q.d) AS BIGINT) AS adc_pico
+           FROM codes c JOIN qdist q
+             ON q.s = c.s AND q.c_id = c.code
+           WHERE c.vec_id <> q.q_id
+           GROUP BY 1, 2),
+         cand AS (
+           SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY adc_pico ASC, vec_id ASC) AS rn
+             FROM adc) WHERE rn <= 40),
+         scored AS (
+           SELECT cand.q_id, cand.vec_id,
+             list_sum(list_transform(list_zip(uq.v, uc.v),
+               p -> p[1] * p[2])) AS cosine
+           FROM cand
+           JOIN u uq ON uq.vec_id = cand.q_id
+           JOIN u uc ON uc.vec_id = cand.vec_id)
+         SELECT q_id, vec_id, cosine, CAST(rk AS INTEGER) AS rk FROM (
+           SELECT q_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY cosine DESC, vec_id ASC) AS rk
            FROM scored)
          WHERE rk <= 10""",
     "q40_lang_id" -> langIdOracle,

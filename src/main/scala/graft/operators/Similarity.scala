@@ -219,6 +219,96 @@ object Similarity {
       .agg(max(struct(col("sim"), (-col("c_id")).as("nc"))).as("m"))
       .select(col("vec_id"), (-col("m.nc")).as("c_id"))
 
+  /** PQ defaults: 8 subspaces × 8 dims over the 64-dim vectors, 16
+    * centroids per subspace → an 8-byte code per vector (64× smaller
+    * than the float64 normalized vector).
+    */
+  val pqSubspaces = 8
+  val pqSubDim = 8
+  val pqCentroids = 16
+
+  /** ANN via PRODUCT QUANTIZATION (q153) — the third classic scale
+    * path next to LSH (q31) and IVF (q32), and the one that changes
+    * the MEMORY story: the corpus compresses to an 8-byte code per
+    * vector (codes for 10⁹ vectors fit in 8 GB — RAM-resident where
+    * the raw vectors are not), queries scan CODES via a per-query
+    * lookup table (ADC), and only the top-`rerank` candidates touch
+    * full vectors for exact re-scoring. Structure: each vector
+    * splits into 8 subspaces of 8 dims; each subspace has its own
+    * 16-centroid codebook (seeded by the 16 lowest-id vectors'
+    * subvectors — the q32 determinism rule; a trained book drops in
+    * the same way k-means does for IVF); code[s] = argmin-L2²
+    * centroid, ties to the lowest id.
+    *
+    * Exactness devices: every per-subspace distance FLOORS to
+    * integer PICO-units (×10¹²) the moment it is computed — argmin
+    * compares integers, and the ADC total is an 8-term BIGINT sum,
+    * order-independent where a double Σ over subspaces would hash-
+    * diverge; the L2² fold itself is sequential `aggregate`/
+    * `list_sum` (the q92 order-matching precedent). Final scores are
+    * exact cosines on the re-rank candidates only.
+    *
+    * Scale shape: codebooks broadcast (8×16 tiny rows); encoding is
+    * linear with one (vec, subspace)-grain argmin aggregate; ADC
+    * joins codes against a BROADCAST per-query distance table and
+    * re-aggregates on (q_id, vec_id) with map-side combine; the
+    * corpus vectors are touched again only for `rerank` rows per
+    * query.
+    */
+  def annPq(
+      spark: SparkSession, sfDir: String,
+      numQueries: Int = 5, k: Int = 10, rerank: Int = 40): DataFrame = {
+    val m = pqSubspaces; val dsub = pqSubDim; val ksub = pqCentroids
+    def subspaces(v: org.apache.spark.sql.Column) =
+      posexplode(array((0 until m).map(s =>
+        slice(v, s * dsub + 1, dsub)): _*))
+    def d2pico(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) =
+      floor(lit(1.0e12) * aggregate(
+        zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)).cast("long")
+
+    val corpus = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), Vectors.l2normalize(col("embedding")).as("u"))
+    val cents = corpus.filter(col("vec_id") < ksub)
+      .select(col("vec_id").as("c_id"), subspaces(col("u")).as(Seq("s", "cv")))
+    val corpusSub = corpus
+      .select(col("vec_id"), subspaces(col("u")).as(Seq("s", "sub")))
+    // encode: one argmin aggregate at (vec, subspace) grain
+    val codes = corpusSub.join(broadcast(cents), "s")
+      .select(col("vec_id"), col("s"),
+        struct(d2pico(col("sub"), col("cv")).as("d"), col("c_id")).as("dc"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(col("dc")).as("m"))
+      .select(col("vec_id"), col("s"), col("m.c_id").as("code"))
+    // per-query ADC lookup table: distance to every (s, centroid)
+    val q = queries(spark, sfDir, numQueries)
+    val qdist = q.select(col("q_id"), subspaces(col("q")).as(Seq("s", "qs")))
+      .join(broadcast(cents), "s")
+      .select(col("q_id"), col("s"), col("c_id"),
+        d2pico(col("qs"), col("cv")).as("d"))
+    val adc = codes.join(broadcast(qdist),
+        codes("s") === qdist("s") && col("code") === col("c_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d")).as("adc_pico"))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_pico").asc, col("vec_id").asc)
+    val cand = adc.withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= rerank)
+      .select(col("q_id"), col("vec_id"))
+    // exact re-rank on the shortlist only
+    val scored = cand.join(corpus, "vec_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        Vectors.dot(col("q"), col("u")).as("cosine"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), col("cosine"), col("rk"))
+  }
+
   /** [[annIvf]] parameterized on the codebook frame `(c_id, cv)` —
     * seeded or k-means-trained books run the identical physical plan.
     */

@@ -184,7 +184,11 @@ object ScalingProbe {
       "q145_listagg" -> (d => graft.operators.Experiment.listaggPaths(spark, d)),
       "q146_bucket_fp" -> (d => graft.operators.Relational.bucketFingerprints(spark, d)),
       "q147_try_arith" -> (d => graft.operators.Relational.tryArithmetic(spark, d)),
-      "q148_geo_join" -> (d => graft.operators.Relational.geoJoin(spark, d)))
+      "q148_geo_join" -> (d => graft.operators.Relational.geoJoin(spark, d)),
+      "q149_inv_index" -> (d => graft.operators.TextAnalysis.invertedIndex(spark, d)),
+      "q150_assoc" -> (d => graft.operators.Experiment.associationRules(spark, d)),
+      "q151_km" -> (d => graft.operators.Experiment.kmSurvival(spark, d)),
+      "q152_densify" -> (d => graft.operators.Relational.densifyDaily(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))

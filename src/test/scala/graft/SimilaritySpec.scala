@@ -112,6 +112,35 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("PQ ANN finds planted near-duplicates and holds a recall floor vs brute") {
+    // planted harness (the LSH/IVF device): near-dups of the query
+    // vectors must survive compression to 8-byte codes + re-rank
+    val rnd = new scala.util.Random(47)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 200).map(i => (i.toLong, vec(), 0))
+    val planted = (0 until 5).map { i =>
+      val v = base(i)._2.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+      (1000L + i, v, 1)
+    }
+    (base ++ planted).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet("/tmp/graft-pq-test/embeddings.parquet")
+    val pq = Similarity.annPq(spark, "/tmp/graft-pq-test",
+        numQueries = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach { i =>
+      assert(pq.contains((i.toLong, 1000L + i)),
+        s"planted near-dup of query $i lost to quantization")
+    }
+    // near-random fixture floor (the LSH precedent): the 40-candidate
+    // shortlist must keep a usable share of the true top-10
+    val brute = Similarity.annBrute(spark, sf, numQueries = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.annPq(spark, sf, numQueries = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall")
+  }
+
   test("k-means-trained codebook beats the seeded codebook on clustered data") {
     // The fixture's embeddings are near-random (no cell structure to
     // learn — trained vs seeded recall there differs by noise), so the
