@@ -188,7 +188,8 @@ object ScalingProbe {
       "q149_inv_index" -> (d => graft.operators.TextAnalysis.invertedIndex(spark, d)),
       "q150_assoc" -> (d => graft.operators.Experiment.associationRules(spark, d)),
       "q151_km" -> (d => graft.operators.Experiment.kmSurvival(spark, d)),
-      "q152_densify" -> (d => graft.operators.Relational.densifyDaily(spark, d)))
+      "q152_densify" -> (d => graft.operators.Relational.densifyDaily(spark, d)),
+      "q153_ann_pq" -> (d => graft.operators.Similarity.annPq(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))
