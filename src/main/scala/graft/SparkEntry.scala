@@ -105,6 +105,7 @@ object SparkEntry {
     "q151_km_survival" -> (Experiment.kmSurvival _),
     "q152_densify_daily" -> (Relational.densifyDaily _),
     "q153_ann_pq" -> ((s: SparkSession, d: String) => Similarity.annPq(s, d)),
+    "q154_equidepth_bins" -> (Relational.equidepthBins _),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -2187,6 +2188,24 @@ object SparkEntry {
            array_to_string(
              (list_sort(array_agg(doc_id)))[1:50], ',') AS postings
          FROM pairs GROUP BY tok""",
+    // q154: equi-depth bins — edges are exact type-7 percentiles
+    // (Spark percentile == DuckDB quantile_cont bit-for-bit, the q48
+    // device); the closed-above boundary rule is pinned in both CASE
+    // chains; counts and per-bin min/max are exact.
+    "q154_equidepth_bins" ->
+      """WITH e AS (
+           SELECT quantile_cont(o_totalprice, 0.25) AS e1,
+             quantile_cont(o_totalprice, 0.5) AS e2,
+             quantile_cont(o_totalprice, 0.75) AS e3
+           FROM orders)
+         SELECT CASE WHEN o_totalprice <= e1 THEN 0
+                     WHEN o_totalprice <= e2 THEN 1
+                     WHEN o_totalprice <= e3 THEN 2
+                     ELSE 3 END AS bin,
+           COUNT(*) AS n_rows,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+         FROM orders, e GROUP BY 1""",
     // q152: calendar densification — generate_series spine × type
     // catalog, zero-filled counts; all exact integers and dates. The
     // value > 200 filter leaves real gap cells for the fill to fill.

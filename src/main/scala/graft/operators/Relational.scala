@@ -861,6 +861,38 @@ object Relational {
         moneySum(col("value")).as("sum_value"))
   }
 
+  /** Equi-DEPTH (quantile) binning (q154): q119's histogram twin
+    * with data-driven bin EDGES instead of data-driven bounds — the
+    * banding a skewed money column actually needs (equi-width puts
+    * 90% of a long-tailed distribution in bin 1; quartile edges give
+    * four equally-populated bands, the standard move for price tiers
+    * and A/B stratification). Edges are the EXACT type-7 percentiles
+    * (the q48 device: Spark's `percentile` and DuckDB's
+    * `quantile_cont` interpolate identically, bit-for-bit), computed
+    * in one aggregate and broadcast back; assignment is a per-row
+    * `x <= edge` chain with the boundary pinned CLOSED-above (a
+    * value equal to an edge belongs to the lower bin) — the rule
+    * both engines replay. Per-bin counts then come off one
+    * map-side-combined aggregate; nothing global-sorts (an ntile
+    * over the fact table would).
+    */
+  def equidepthBins(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+    val edges = o.agg(
+      expr("percentile(o_totalprice, 0.25)").as("e1"),
+      expr("percentile(o_totalprice, 0.5)").as("e2"),
+      expr("percentile(o_totalprice, 0.75)").as("e3"))
+    o.crossJoin(broadcast(edges))
+      .groupBy(
+        when(col("o_totalprice") <= col("e1"), 0L)
+          .when(col("o_totalprice") <= col("e2"), 1L)
+          .when(col("o_totalprice") <= col("e3"), 2L)
+          .otherwise(3L).as("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+  }
+
   /** CDC log replay (q117): collapse an ordered change log
     * (insert / update / delete per entity) to final table state —
     * last-writer-wins with delete tombstones, the apply step of every

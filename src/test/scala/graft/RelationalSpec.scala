@@ -684,6 +684,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("equi-depth bins: four balanced bands partitioning the rows, edges honored") {
+    val rows = Relational.equidepthBins(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L, 3L))
+    val total = rows.values.map(_._1).sum
+    assert(total == graft.sources.Tables.load(spark, sf, "orders").count())
+    // equi-DEPTH: each quartile band holds ~N/4 (exact up to ties at
+    // the interpolated edges)
+    rows.values.foreach { case (n, _, _) =>
+      assert(math.abs(n - total / 4.0) <= total * 0.01,
+        s"bin of $n rows is not a quartile of $total")
+    }
+    // bands are ordered and disjoint: each bin's max below the next's min
+    (0L to 2L).foreach { b =>
+      assert(rows(b)._3 < rows(b + 1)._2, s"bins $b and ${b + 1} overlap")
+    }
+  }
+
   test("densify: continuous spine, zero-filled gaps, counts match the sparse truth") {
     val rows = Relational.densifyDaily(spark, sf).collect()
       .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2))
