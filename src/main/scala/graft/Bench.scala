@@ -46,6 +46,29 @@ object Bench {
       .map(m => m.group(1) -> m.group(2).toDouble)
       .toMap
 
+  /** THE format invariant the tail-scrape above depends on: medians
+    * (and confirm times, which are fresh medians) always print with
+    * exactly 3 decimals, ratios with exactly 2 — every per-query
+    * double in the output line MUST go through one of these two
+    * formatters, so a future field can't silently poison next-round
+    * baselines with an ambiguous format (round-7 advice).
+    */
+  def fmtMedian(d: Double): String = f"$d%.3f"
+  def fmtRatio(d: Double): String = f"$d%.2f"
+
+  /** Round-8: the medians the gates compare against are persisted as
+    * committed `bench_medians_r{N}.json` files — the driver's
+    * BENCH_r*.json keeps only the final ~2 KB of stdout, which has
+    * twice destroyed the per-query map (see parsePrevMedians). The
+    * tail-scrape stays as FALLBACK for rounds that predate the
+    * medians files; where both exist for a round, the file wins.
+    */
+  def parseMediansFile(content: String): Map[String, Double] =
+    """"(q\d{2,}_[a-z0-9_]+)"\s*:\s*(-?\d+(?:\.\d+)?)""".r
+      .findAllMatchIn(content)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .toMap
+
   def regressions(
       prev: Map[String, Double],
       cur: Seq[(String, Double)],
@@ -118,45 +141,109 @@ object Bench {
     runOnce(spark)("q04_agg_2a")
     val results = names.map(n => n -> runMedian(spark)(n))
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + fmtMedian(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val benchFiles = Option(new java.io.File(".").listFiles()).toSeq.flatten
-      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-      .sortBy(_.getName)
-    val allRounds = benchFiles.map(f => parsePrevMedians(
-      new String(java.nio.file.Files.readAllBytes(f.toPath))))
+    // per-round baselines: committed bench_medians_r{N}.json files are
+    // authoritative; the BENCH_r{N}.json tail-scrape fills rounds that
+    // predate them (the driver keeps ~2 KB of stdout — twice enough to
+    // truncate the per-query map). Rounds are keyed by N so a medians
+    // file and its same-round BENCH artifact collapse to one baseline.
+    def roundNo(fn: String): Int = "\\d+".r.findFirstIn(fn).get.toInt
+    val cwd = Option(new java.io.File(".").listFiles()).toSeq.flatten
+    val benchFiles = cwd.filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      .sortBy(f => roundNo(f.getName))
+    val medianFiles = cwd.filter(_.getName.matches("bench_medians_r\\d+\\.json"))
+    def slurp(f: java.io.File) =
+      new String(java.nio.file.Files.readAllBytes(f.toPath))
+    val scraped = benchFiles
+      .map(f => roundNo(f.getName) -> parsePrevMedians(slurp(f))).toMap
+    val fromFiles = medianFiles
+      .map(f => roundNo(f.getName) -> parseMediansFile(slurp(f))).toMap
+    val byRound = (scraped ++ fromFiles).toSeq.sortBy(_._1) // file wins
+    val allRounds = byRound.map(_._2)
     val prev = allRounds.lastOption.getOrElse(Map.empty)
     def fmt(rs: Seq[(String, Double)]) = rs
-      .map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
+      .map { case (k, r) => "\"" + k + "\":" + fmtRatio(r) }
       .mkString("{", ",", "}")
     val best = bestEver(allRounds)
     val sweepRegr = regressions(prev, results)
     val sweepBest = regressions(best, results)
-    // re-measure each flagged query quiet (the sweep is over) on a
-    // FRESH SparkContext: after 100+ queries x `runs` the long-lived
-    // session itself is ~1.5-2x slower on sub-second queries
-    // (accumulated listener/UI/codegen-cache state), so an in-session
-    // confirm pass CONFIRMS aging noise instead of killing it —
-    // round 7 measured q40 at 0.73 s in-session vs 0.33 s fresh
-    // against a 0.29 s best. The fresh context is the honest twin of
-    // the baseline it is compared to.
+    // CONFIRM OUT-OF-PROCESS (round-8): a flagged trip is re-measured
+    // in a FORKED fresh JVM (graft.tools.QuickTime), not in this one —
+    // round 7 proved a fresh SparkContext in the aged JVM still reads
+    // 2-9x high after a 150-entry sweep (q18 3.54 s in-session vs
+    // 0.40 s forked), so an in-process confirm publishes phantom
+    // regressions AND poisons the next round's baseline. The fork is
+    // the honest twin of the fresh-JVM medians it is compared to.
     val flagged = (sweepRegr.map(_._1) ++ sweepBest.map(_._1)).distinct
-    val remeasured = if (flagged.isEmpty) Map.empty[String, Double] else {
-      spark.stop()
-      val fresh = GraftSession.local(cores = cpus, appName = "graft-bench-confirm")
-      fresh.sparkContext.setLogLevel("WARN")
-      runOnce(fresh)("q04_agg_2a") // warm the new context
-      flagged.map(n => n -> runMedian(fresh)(n)).toMap
+    val remeasured: Map[String, Double] = if (flagged.isEmpty) Map.empty else {
+      spark.stop() // free the 32 cores + heap before forking
+      forkQuickTime(flagged, sfDir)
     }
-    val regr = fmt(confirmRegressions(prev, flagged, remeasured))
-    val regrBest = fmt(confirmRegressions(best, flagged, remeasured))
+    // a query the fork failed to time (absent / -1) keeps its sweep
+    // median: suspicious-but-unconfirmed stays visible under "suspect"
+    // without crashing the gate, and -1 never publishes (t > 0 guard)
+    def confirmed(n: String): Double = remeasured.getOrElse(n, -1.0)
+    val regr = fmt(confirmRegressions(prev, flagged, confirmed))
+    val regrBest = fmt(confirmRegressions(best, flagged, confirmed))
     val confirmTimes = remeasured.toSeq.sorted
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + fmtMedian(v) }
       .mkString("{", ",", "}")
+    // persist this round's medians where the driver tail can't eat
+    // them: flagged queries store their fresh-JVM confirmed median
+    // (the sweep value is aged by construction), everything else the
+    // sweep median. Only the driver's real bench config (sf0.1) may
+    // write — the sf0.001 mechanics probe must not poison baselines.
+    if (sfDir.endsWith("sf0.1")) {
+      val nextRound = (byRound.map(_._1) :+ 0).max + 1
+      val merged = results.map { case (k, v) =>
+        k -> (if (remeasured.getOrElse(k, -1.0) > 0) remeasured(k) else v)
+      }
+      val body = merged
+        .map { case (k, v) => "  \"" + k + "\": " + fmtMedian(v) }
+        .mkString("{\n", ",\n", "\n}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"bench_medians_r$nextRound%02d.json"),
+        body.getBytes("UTF-8"))
+    }
     val prevName = benchFiles.lastOption.map(_.getName).getOrElse("none")
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"prev":"$prevName","regressions":$regr,"regressions_vs_best":$regrBest,"suspect":${fmt(sweepRegr)},"suspect_vs_best":${fmt(sweepBest)},"confirm_times":$confirmTimes,"sf":"$sfDir"}""")
     SparkSession.getActiveSession.foreach(_.stop())
+  }
+
+  /** Fork `graft.tools.QuickTime` in a FRESH JVM (same classpath,
+    * same --add-opens/-X flags as this one) to median-time `names`
+    * quietly, and parse its `[quick] <name> median=<t>` lines. Returns
+    * whatever the fork managed to time; on fork failure logs stderr
+    * and returns empty (callers treat absence as "unconfirmed").
+    */
+  def forkQuickTime(names: Seq[String], sfDir: String): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports")
+        || a.startsWith("--enable-native-access") || a.startsWith("-X"))
+    val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tools.QuickTime", names.mkString(","))
+    try {
+      val pb = new ProcessBuilder(cmd.asJava).redirectErrorStream(true)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      val code = p.waitFor()
+      if (code != 0)
+        System.err.println(s"[bench] confirm fork exited $code:\n${out.takeRight(2000)}")
+      """\[quick\] (\S+) median=(-?\d+\.\d+)""".r.findAllMatchIn(out)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] confirm fork failed: $e")
+        Map.empty
+    }
   }
 }

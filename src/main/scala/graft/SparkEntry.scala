@@ -801,8 +801,10 @@ object SparkEntry {
            SELECT
              COUNT(*) FILTER (WHERE variant = 0) AS n_a,
              COUNT(*) FILTER (WHERE variant = 1) AS n_b,
-             SUM(converted) FILTER (WHERE variant = 0) AS conv_a,
-             SUM(converted) FILTER (WHERE variant = 1) AS conv_b
+             CAST(SUM(converted) FILTER (WHERE variant = 0) AS BIGINT)
+               AS conv_a,
+             CAST(SUM(converted) FILTER (WHERE variant = 1) AS BIGINT)
+               AS conv_b
            FROM per_unit)
          SELECT n_a, n_b, conv_a, conv_b,
            CAST(conv_a AS DOUBLE) / n_a AS rate_a,
@@ -877,7 +879,7 @@ object SparkEntry {
            FROM per_key)
          SELECT event_type,
            COUNT(*) AS n_keys,
-           SUM(cnt) AS n_events,
+           CAST(SUM(cnt) AS BIGINT) AS n_events,
            MAX(cnt) AS max_key_events,
            CAST(2 * SUM(i * cnt) - (COUNT(*) + 1) * SUM(cnt) AS DOUBLE)
              / CAST(COUNT(*) * SUM(cnt) AS DOUBLE) AS gini
@@ -946,16 +948,18 @@ object SparkEntry {
            FROM units),
          by_dur AS (
            SELECT dur_min,
-             SUM(CASE WHEN died THEN 1 ELSE 0 END) AS n_died,
-             SUM(CASE WHEN died THEN 0 ELSE 1 END) AS n_censored
+             CAST(SUM(CASE WHEN died THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_died,
+             CAST(SUM(CASE WHEN died THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_censored
            FROM durs GROUP BY 1),
          risk AS (
            SELECT dur_min, n_died, n_censored,
-             SUM(n_died + n_censored) OVER () -
+             CAST(SUM(n_died + n_censored) OVER () -
                COALESCE(SUM(n_died + n_censored) OVER (
                  ORDER BY dur_min ASC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS n_at_risk
+               AS BIGINT) AS n_at_risk
            FROM by_dur),
          alive AS (SELECT * FROM risk WHERE n_at_risk > n_died)
          SELECT dur_min, n_at_risk, n_died, n_censored,
@@ -1060,10 +1064,10 @@ object SparkEntry {
                THEN 1 ELSE 0 END AS brk
            FROM m),
          i AS (
-           SELECT *, SUM(brk) OVER (PARTITION BY user_id
+           SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id
                ORDER BY s, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS island
+               AS BIGINT) AS island
            FROM b)
          SELECT user_id, island,
            make_timestamp(MIN(s)) AS t_start,
@@ -1141,7 +1145,8 @@ object SparkEntry {
              COUNT(*) OVER (PARTITION BY user_id) AS n_changes
            FROM log)
          SELECT user_id, op AS last_op, ts AS last_ts,
-           CASE WHEN op = 'D' THEN NULL ELSE v END AS last_value,
+           CASE WHEN op = 'D' THEN NULL
+                ELSE CAST(v * 100 AS BIGINT) END AS last_value_cents,
            op <> 'D' AS is_live, n_changes
          FROM r WHERE rn = 1""",
     // q117: CDC replay — the oracle states last-writer-wins as
@@ -1163,7 +1168,8 @@ object SparkEntry {
              COUNT(*) OVER (PARTITION BY user_id) AS n_changes
            FROM log)
          SELECT user_id, op AS last_op, ts AS last_ts,
-           CASE WHEN op = 'D' THEN NULL ELSE v END AS last_value,
+           CASE WHEN op = 'D' THEN NULL
+                ELSE CAST(v * 100 AS BIGINT) END AS last_value_cents,
            op <> 'D' AS is_live, n_changes
          FROM r WHERE rn = 1""",
     // q116: per-user OLS trend — integer sufficient statistics
@@ -2414,7 +2420,8 @@ object SparkEntry {
     // reduction order. dim is 0-based.
     "q101_embed_pool" ->
       """SELECT label, i - 1 AS dim,
-         SUM(CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS sum_e6,
+         CAST(SUM(CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT))
+           AS BIGINT) AS sum_e6,
          COUNT(*) AS n,
          CAST(SUM(CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
            / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS mean_val

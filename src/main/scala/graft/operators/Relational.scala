@@ -927,8 +927,15 @@ object Relational {
         count(lit(1)).as("n_changes"))
       .select(col("user_id"),
         col("last.op").as("last_op"), col("last.ts").as("last_ts"),
-        when(col("last.op") === "D", lit(null).cast(money))
-          .otherwise(col("last.v")).as("last_value"),
+        // money is exact DECIMAL(18,2) internally; the OUTPUT carries
+        // cents as BIGINT — fixed-scale decimal text ("1.40") and
+        // float64 repr ("1.4") diverge in the driver's hash
+        // canonicalizer whenever a value has a trailing zero at
+        // declared scale, so integer cents is the exact-compare device
+        // (same rationale as q66; tools/lint_oracles.py enforces it).
+        when(col("last.op") === "D", lit(null).cast("long"))
+          .otherwise((col("last.v") * 100).cast("long"))
+          .as("last_value_cents"),
         (col("last.op") =!= "D").as("is_live"), col("n_changes"))
   }
 

@@ -810,10 +810,12 @@ object EventStream {
           cdcStateSchema)
         else spark.read.schema(cdcStateSchema)
           .parquet(s"$stateRoot/v${vs.max}")
+      // cents-BIGINT output (not DECIMAL) for the exact hash compare —
+      // see Relational.cdcReplay; the state table keeps exact decimals.
       st.select(col("user_id"), col("op").as("last_op"),
         col("ts").as("last_ts"),
-        when(col("op") === "D", lit(null).cast(DecimalType(18, 2)))
-          .otherwise(col("v")).as("last_value"),
+        when(col("op") === "D", lit(null).cast("long"))
+          .otherwise((col("v") * 100).cast("long")).as("last_value_cents"),
         (col("op") =!= "D").as("is_live"), col("n_changes"))
         .localCheckpoint(true)
     }

@@ -22,8 +22,12 @@ object QuickTime {
     }
     once("q04_agg_2a") // warm-up
     names.foreach { n =>
-      val ts = Seq.fill(5)(once(n)).sorted
-      println(f"[quick] $n median=${ts(2)}%.3f min=${ts.head}%.3f max=${ts.last}%.3f")
+      // a query that throws must not kill the remaining re-measures
+      // (Bench's confirm pass runs a whole flagged set in one fork);
+      // median=-1.000 marks the failure machine-readably
+      val ts = Seq.fill(5)(scala.util.Try(once(n)).getOrElse(-1.0)).sorted
+      val med = if (ts.contains(-1.0)) -1.0 else ts(2)
+      println(f"[quick] $n median=$med%.3f min=${ts.head}%.3f max=${ts.last}%.3f")
     }
     spark.stop()
   }

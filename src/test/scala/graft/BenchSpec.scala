@@ -113,6 +113,24 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.parsePrevMedians(selfOutput) == Map("q23_simhash" -> 0.5))
   }
 
+  test("medians file parses (and negative medians mark failed runs)") {
+    val body = "{\n  \"q01_scan_1a\": 0.228,\n  \"q100_line_dedup\": 1.850,\n  \"q07_broken\": -1.000\n}"
+    assert(Bench.parseMediansFile(body) == Map(
+      "q01_scan_1a" -> 0.228, "q100_line_dedup" -> 1.85,
+      "q07_broken" -> -1.0))
+    // failed runs never become a best-ever baseline
+    assert(Bench.bestEver(Seq(Bench.parseMediansFile(body)))
+      .get("q07_broken").isEmpty)
+  }
+
+  test("confirm fork re-measures in a fresh JVM and reports a positive median") {
+    // end-to-end: the test JVM's classpath/flags are what Bench would
+    // fork with; a broken fork returns empty and must fail here, not
+    // silently neuter the confirm pass at driver time
+    val got = Bench.forkQuickTime(Seq("q01_scan_1a"), "/root/testdata/sf0.001")
+    assert(got.get("q01_scan_1a").exists(_ > 0), s"fork result: $got")
+  }
+
   test("regression gate flags >1.5x AND >0.1s absolute only") {
     val prev = Map("slow" -> 1.0, "tiny" -> 0.05, "mild" -> 2.0,
       "faster" -> 1.0, "failed" -> 3.0)
