@@ -106,6 +106,10 @@ object SparkEntry {
     "q152_densify_daily" -> (Relational.densifyDaily _),
     "q153_ann_pq" -> ((s: SparkSession, d: String) => Similarity.annPq(s, d)),
     "q154_equidepth_bins" -> (Relational.equidepthBins _),
+    "q155_bpe_train" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeTrain(s, d)),
+    "q156_pq_persisted" -> ((s: SparkSession, d: String) =>
+      Similarity.annPqPersistedServe(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -200,6 +204,45 @@ object SparkEntry {
 
   /** Normalized-text SQL twin of TextAnalysis.normalizedText. */
   private val normText = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** Generated DuckDB replay of TextAnalysis.bpeTrain (q155): the
+    * same N-round BPE loop as chained CTEs — s0 wraps every char in
+    * chr(1) sentinels, then per round p_r computes the (count desc,
+    * left asc, right asc) argmax pair over s_{r-1} and s_r applies
+    * the merge with the identical sentinel-replace. Every CTE is
+    * MATERIALIZED: each s_r is referenced twice (by p_{r+1} and
+    * s_{r+1}), so DuckDB's default CTE inlining would expand the
+    * chain to 2^N scans of the corpus (the N=20 plan never finishes);
+    * materialization makes it N linear passes, the oracle twin of
+    * the Spark side's per-round localCheckpoint.
+    */
+  private def bpeTrainOracleSql(rounds: Int): String = {
+    val s0 =
+      """s0 AS MATERIALIZED (
+           SELECT regexp_replace(text, '(?s)(.)',
+                                 chr(1) || '\1' || chr(1), 'g') AS stream
+           FROM documents WHERE length(text) >= 2)"""
+    val perRound = (1 to rounds).flatMap { r =>
+      Seq(
+        s"""p$r AS MATERIALIZED (
+           SELECT l, r, COUNT(*) AS n FROM (
+             SELECT syms[i] AS l, syms[i+1] AS r FROM
+               (SELECT string_split(trim(stream, chr(1)), chr(1)||chr(1))
+                  AS syms FROM s${r - 1}) t,
+               UNNEST(range(1, len(syms))) u(i))
+           GROUP BY 1, 2 ORDER BY n DESC, l ASC, r ASC LIMIT 1)""",
+        s"""s$r AS MATERIALIZED (
+           SELECT replace(s${r - 1}.stream,
+                          chr(1) || p$r.l || chr(1) || chr(1) || p$r.r || chr(1),
+                          chr(1) || p$r.l || p$r.r || chr(1)) AS stream
+           FROM s${r - 1}, p$r)""")
+    }
+    val selects = (1 to rounds).map(r =>
+      s"""SELECT $r AS merge_round, l AS left_sym, r AS right_sym,
+          l || r AS merged, n FROM p$r""")
+    (Seq(s0) ++ perRound).mkString("WITH ", ",\n", "\n") +
+      selects.mkString(" UNION ALL ") + " ORDER BY merge_round"
+  }
 
   /** SQL twin of Relational.scd2Merge with the same date parameters:
     * a WITH prefix ending in `scd2_hist` (closed / carried / opened
@@ -1004,6 +1047,9 @@ object SparkEntry {
     // q135: BPE round-1 pair counting — the (count desc, pair asc)
     // total order pins the top-50 set at ties; substr/length are
     // character-based in both engines (q96's Unicode pin).
+    // q155: the full BPE merge loop — generated N-round CTE replay
+    // (see bpeTrainOracleSql); rounds must equal the Spark default.
+    "q155_bpe_train" -> bpeTrainOracleSql(20),
     "q135_bpe_pairs" ->
       """WITH pairs AS (
            SELECT substr(text, CAST(i AS INT), 2) AS pair
@@ -2034,6 +2080,47 @@ object SparkEntry {
                ORDER BY cosine DESC, vec_id ASC) AS rk
            FROM scored)
          WHERE rk <= 10""",
+    // q156: persisted-PQ serving — the q153 oracle's prefix through
+    // the ADC aggregate (no re-rank; the parquet roundtrip on the
+    // Spark side is exact, so the same CTE chain predicts the served
+    // batch). SUM cast to BIGINT per the HUGEINT lint rule.
+    "q156_pq_persisted" ->
+      s"""WITH u AS ($normalizedVectors),
+         subs AS (
+           SELECT vec_id, s, v[s*8+1 : s*8+8] AS sub
+           FROM u, LATERAL (SELECT UNNEST(range(0, 8)) AS s) t),
+         cents AS (
+           SELECT vec_id AS c_id, s, sub AS cv FROM subs
+           WHERE vec_id < 16),
+         cdist AS (
+           SELECT subs.vec_id, subs.s, c_id,
+             CAST(floor(1e12 * list_sum(list_transform(
+               list_zip(sub, cv),
+               p -> (p[1] - p[2]) * (p[1] - p[2])))) AS BIGINT) AS d
+           FROM subs JOIN cents ON cents.s = subs.s),
+         codes AS (
+           SELECT vec_id, s, c_id AS code FROM (
+             SELECT vec_id, s, c_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                 ORDER BY d ASC, c_id ASC) AS rn
+             FROM cdist) WHERE rn = 1),
+         qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5),
+         qdist AS (
+           SELECT vec_id AS q_id, s, c_id, d FROM cdist
+           WHERE vec_id IN (SELECT vec_id FROM qids)),
+         adc AS (
+           SELECT q.q_id, c.vec_id,
+             CAST(SUM(q.d) AS BIGINT) AS adc_pico
+           FROM codes c JOIN qdist q
+             ON q.s = c.s AND q.c_id = c.code
+           WHERE c.vec_id <> q.q_id
+           GROUP BY 1, 2)
+         SELECT q_id, vec_id, adc_pico, CAST(rn AS INTEGER) AS rn FROM (
+           SELECT q_id, vec_id, adc_pico,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY adc_pico ASC, vec_id ASC) AS rn
+           FROM adc)
+         WHERE rn <= 10""",
     "q40_lang_id" -> langIdOracle,
     // q61: rank rows 1..k per doc by the exact IDF ratio — ln-free so
     // the score is one bit-portable double division; row_number under

@@ -1508,7 +1508,7 @@ object Relational {
     * equi-join rewrite — "events within 100 km of a supplier site"
     * without the cross join a raw distance predicate degenerates to.
     * Both point sets bucket into 1° grid cells; the STORE side
-    * explodes onto its 3×3 cell neighborhood (9 rows per store —
+    * explodes onto its 3×5 cell neighborhood (15 rows per store —
     * dimension-sized, the fact side never replicates), the join is a
     * hashable equi-join on the cell key, and the exact haversine
     * filter runs only within candidate cells. Neighborhood sizing is

@@ -255,38 +255,52 @@ object Similarity {
     * corpus vectors are touched again only for `rerank` rows per
     * query.
     */
-  def annPq(
-      spark: SparkSession, sfDir: String,
-      numQueries: Int = 5, k: Int = 10, rerank: Int = 40): DataFrame = {
-    val m = pqSubspaces; val dsub = pqSubDim; val ksub = pqCentroids
-    def subspaces(v: org.apache.spark.sql.Column) =
-      posexplode(array((0 until m).map(s =>
-        slice(v, s * dsub + 1, dsub)): _*))
-    def d2pico(a: org.apache.spark.sql.Column,
-        b: org.apache.spark.sql.Column) =
-      floor(lit(1.0e12) * aggregate(
-        zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)).cast("long")
+  /** Subspace exploder / floored-pico L2² shared by the PQ paths. */
+  private def pqSubspaceSplit(v: org.apache.spark.sql.Column) =
+    posexplode(array((0 until pqSubspaces).map(s =>
+      slice(v, s * pqSubDim + 1, pqSubDim)): _*))
 
+  private def pqD2Pico(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) =
+    floor(lit(1.0e12) * aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)).cast("long")
+
+  /** PQ index BUILD: (codes, codebooks) — codes are one 4-bit centroid
+    * id per (vector, subspace) (8 bytes per vector at the declared
+    * 8×16 geometry), books are the 8 seeded 16-centroid codebooks.
+    */
+  def pqIndex(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val corpus = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), Vectors.l2normalize(col("embedding")).as("u"))
-    val cents = corpus.filter(col("vec_id") < ksub)
-      .select(col("vec_id").as("c_id"), subspaces(col("u")).as(Seq("s", "cv")))
+    val cents = corpus.filter(col("vec_id") < pqCentroids)
+      .select(col("vec_id").as("c_id"),
+        pqSubspaceSplit(col("u")).as(Seq("s", "cv")))
     val corpusSub = corpus
-      .select(col("vec_id"), subspaces(col("u")).as(Seq("s", "sub")))
+      .select(col("vec_id"), pqSubspaceSplit(col("u")).as(Seq("s", "sub")))
     // encode: one argmin aggregate at (vec, subspace) grain
     val codes = corpusSub.join(broadcast(cents), "s")
       .select(col("vec_id"), col("s"),
-        struct(d2pico(col("sub"), col("cv")).as("d"), col("c_id")).as("dc"))
+        struct(pqD2Pico(col("sub"), col("cv")).as("d"), col("c_id")).as("dc"))
       .groupBy(col("vec_id"), col("s"))
       .agg(min(col("dc")).as("m"))
       .select(col("vec_id"), col("s"), col("m.c_id").as("code"))
+    (codes, cents)
+  }
+
+  def annPq(
+      spark: SparkSession, sfDir: String,
+      numQueries: Int = 5, k: Int = 10, rerank: Int = 40): DataFrame = {
+    val corpus = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), Vectors.l2normalize(col("embedding")).as("u"))
+    val (codes, cents) = pqIndex(spark, sfDir)
     // per-query ADC lookup table: distance to every (s, centroid)
     val q = queries(spark, sfDir, numQueries)
-    val qdist = q.select(col("q_id"), subspaces(col("q")).as(Seq("s", "qs")))
+    val qdist = q
+      .select(col("q_id"), pqSubspaceSplit(col("q")).as(Seq("s", "qs")))
       .join(broadcast(cents), "s")
       .select(col("q_id"), col("s"), col("c_id"),
-        d2pico(col("qs"), col("cv")).as("d"))
+        pqD2Pico(col("qs"), col("cv")).as("d"))
     val adc = codes.join(broadcast(qdist),
         codes("s") === qdist("s") && col("code") === col("c_id"))
       .where(col("vec_id") =!= col("q_id"))
@@ -307,6 +321,55 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("vec_id"), col("cosine"), col("rk"))
+  }
+
+  /** Persisted PQ index lifecycle (q156): q153's index is WRITTEN as
+    * a real artifact — codes + codebooks parquet — read back, and a
+    * query batch is served from the PERSISTED files alone. This is
+    * the deployment shape of PQ (build once per corpus snapshot,
+    * serve many query batches); the q46 persisted-signature
+    * precedent, with the stronger property that SERVING never touches
+    * corpus vectors at all: the ADC score needs only the 8-byte codes
+    * plus the broadcast query lookup table, so the 100 TB corpus is
+    * read zero times per batch (SimilaritySpec plan-asserts that the
+    * serve plan's only embeddings scan is the numQueries-row query
+    * batch itself). Output is the ADC top-k — the no-re-rank serving
+    * tier; a re-rank tier composes on top exactly as in q153.
+    */
+  def annPqPersistedServe(
+      spark: SparkSession, sfDir: String,
+      numQueries: Int = 5, k: Int = 10): DataFrame =
+    Scratch.withScratch(spark, "q156_pq_index", sfDir) { dir =>
+      val (codes, cents) = pqIndex(spark, sfDir)
+      codes.write.mode("overwrite").parquet(s"$dir/codes")
+      cents.write.mode("overwrite").parquet(s"$dir/books")
+      servePq(spark, s"$dir/codes", s"$dir/books",
+        queries(spark, sfDir, numQueries), k)
+    }
+
+  /** ADC serving from a persisted index: scans codes, broadcasts the
+    * per-query (subspace, centroid) distance table built from the
+    * persisted books, one map-side-combined (q_id, vec_id) sum.
+    */
+  def servePq(spark: SparkSession, codesPath: String, booksPath: String,
+      q: DataFrame, k: Int): DataFrame = {
+    val codes = spark.read.parquet(codesPath)
+    val books = spark.read.parquet(booksPath)
+    val qdist = q
+      .select(col("q_id"), pqSubspaceSplit(col("q")).as(Seq("s", "qs")))
+      .join(broadcast(books), "s")
+      .select(col("q_id"), col("s"), col("c_id"),
+        pqD2Pico(col("qs"), col("cv")).as("d"))
+    val adc = codes.join(broadcast(qdist),
+        codes("s") === qdist("s") && col("code") === col("c_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d")).as("adc_pico"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_pico").asc, col("vec_id").asc)
+    adc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("adc_pico"), col("rn"))
   }
 
   /** [[annIvf]] parameterized on the codebook frame `(c_id, cv)` —

@@ -312,6 +312,94 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair").asc)
       .limit(k)
 
+  /** Full BPE tokenizer induction (q155): iterate q135's pair-count
+    * round to an actual merge TABLE — count adjacent symbol pairs,
+    * take the (count desc, left asc, right asc) argmax, merge every
+    * left-to-right non-overlapping occurrence corpus-wide, recount —
+    * for `rounds` merges. This is the training loop of byte-pair
+    * encoding (Sennrich et al. 2016) minus the word-boundary
+    * pre-split, run character-level over the raw corpus.
+    *
+    * REPRESENTATION is the scale trick: each doc's symbol stream is
+    * ONE STRING with every symbol wrapped in \u0001 sentinels
+    * ("\u0001ab\u0001\u0001c\u0001" = [ab, c]), so applying a merge
+    * (l,r)→lr is a single codegen'd `replace` of "\u0001l\u0001\u0001r\u0001"
+    * with "\u0001lr\u0001" — no UDF, no per-symbol array rebuild, and
+    * left-to-right non-overlap falls out of replace's scan-after-
+    * replacement semantics identically in Spark and DuckDB (the
+    * wrapped sentinels make a match start only at a true symbol
+    * boundary, and chains like [a,b,a,b] merge both occurrences
+    * because each match consumes its own closing sentinel). Pair
+    * counting splits the stream back to symbols row-locally; the
+    * per-round shuffle carries partial counts over the DISTINCT-PAIR
+    * domain (bounded by vocab², thousands) — never the corpus.
+    *
+    * The loop is driver-side like every iterative trainer: ONE
+    * argmax row collects per round (the merge decision), and the
+    * re-segmented corpus `localCheckpoint`s per round so round r
+    * doesn't recompute rounds 1..r−1 (q137's device; 100 TB swaps
+    * the localCheckpoint for a parquet checkpoint). Docs shorter
+    * than 2 chars are dropped up front; a doc collapsed to one
+    * symbol stops contributing pairs (size-guard before the
+    * sequence(), which auto-descends on stop < start).
+    *
+    * Round 1's argmax equals q135's top candidate by construction —
+    * TextAnalysisSpec pins that equivalence; the DuckDB oracle
+    * replays the identical loop through generated materialized CTEs
+    * (SparkEntry.bpeTrainOracleSql).
+    */
+  def bpeTrain(
+      spark: SparkSession, sfDir: String, rounds: Int = 20): DataFrame =
+    bpeTrainOn(spark,
+      Tables.load(spark, sfDir, "documents").select(col("text")), rounds)
+
+  /** The trainer over any one-string-column corpus (spec entry point:
+    * lets the overlap semantics be pinned on adversarial literals).
+    */
+  def bpeTrainOn(
+      spark: SparkSession, docs: DataFrame, rounds: Int): DataFrame = {
+    val SEP = "\u0001"
+    var streams = docs
+      .where(length(col("text")) >= 2)
+      .select(regexp_replace(col("text"), "(?s)(.)", SEP + "$1" + SEP)
+        .as("stream"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = streams
+        .select(split(btrim(col("stream"), lit(SEP)), SEP + SEP).as("syms"))
+        .where(size(col("syms")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(
+            element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rt, n) =
+          (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((r, l, rt, l + rt, n))
+        val prev = streams
+        streams = streams
+          .withColumn("stream", replace(col("stream"),
+            lit(SEP + l + SEP + SEP + rt + SEP), lit(SEP + l + rt + SEP)))
+          .localCheckpoint(true)
+        prev.unpersist()
+        r += 1
+      }
+    }
+    streams.unpersist()
+    import spark.implicits._
+    merges.result()
+      .toDF("merge_round", "left_sym", "right_sym", "merged", "n")
+  }
+
   /** The q149 driver entry: inverted-index BUILD — the exportable
     * search-index artifact (token → document frequency + capped,
     * sorted posting list) that q114's BM25 deliberately avoids

@@ -189,7 +189,14 @@ object ScalingProbe {
       "q150_assoc" -> (d => graft.operators.Experiment.associationRules(spark, d)),
       "q151_km" -> (d => graft.operators.Experiment.kmSurvival(spark, d)),
       "q152_densify" -> (d => graft.operators.Relational.densifyDaily(spark, d)),
-      "q153_ann_pq" -> (d => graft.operators.Similarity.annPq(spark, d)))
+      "q153_ann_pq" -> (d => graft.operators.Similarity.annPq(spark, d)),
+      // q155 probes at reduced rounds: the per-round cost is the
+      // probe target (pair count + replace over the corpus); N just
+      // multiplies it
+      "q155_bpe_train" -> (d => graft.operators.TextAnalysis
+        .bpeTrain(spark, d, rounds = 5)),
+      "q156_pq_persisted" -> (d => graft.operators.Similarity
+        .annPqPersistedServe(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))

@@ -141,6 +141,52 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("pq persisted serve: corpus vectors never scanned; roundtrip equals in-process ADC") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pq-persist").toString
+    val (codes, cents) = Similarity.pqIndex(spark, sf)
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    cents.write.mode("overwrite").parquet(s"$dir/books")
+    val served = Similarity.servePq(spark, s"$dir/codes", s"$dir/books",
+      Similarity.queries(spark, sf, 5), k = 10)
+    // THE lifecycle property: the serve plan's only embeddings scan is
+    // the 5-row query batch — the corpus side reads codes parquet only
+    val plan = served.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val embScans = "embeddings\\.parquet".r.findAllIn(plan).size
+    assert(embScans == 1, s"corpus vectors scanned at serve time:\n$plan")
+    assert(plan.contains("codes") && plan.contains("books"),
+      s"persisted index not read:\n$plan")
+    // roundtrip exactness: persisted-serve ADC == in-process ADC from
+    // the same build (re-derive candidates the q153 way, k-capped)
+    val inProc = {
+      import org.apache.spark.sql.expressions.Window
+      val q = Similarity.queries(spark, sf, 5)
+      val qdist = q.select(col("q_id"),
+          posexplode(array((0 until Similarity.pqSubspaces).map(s =>
+            slice(col("q"), s * Similarity.pqSubDim + 1,
+              Similarity.pqSubDim)): _*)).as(Seq("s", "qs")))
+        .join(broadcast(cents), "s")
+        .select(col("q_id"), col("s"), col("c_id"),
+          floor(lit(1.0e12) * aggregate(
+            zip_with(col("qs"), col("cv"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x)).cast("long").as("d"))
+      val adc = codes.join(broadcast(qdist),
+          codes("s") === qdist("s") && col("code") === col("c_id"))
+        .where(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("d")).as("adc_pico"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc_pico").asc, col("vec_id").asc)
+      adc.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+    }
+    assert(served.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet ==
+      inProc.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("k-means-trained codebook beats the seeded codebook on clustered data") {
     // The fixture's embeddings are near-random (no cell structure to
     // learn — trained vs seeded recall there differs by noise), so the

@@ -114,6 +114,59 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$plan")
   }
 
+  test("bpe train: round 1 equals q135's top candidate; 5 rounds match a naive trainer") {
+    val got = TextAnalysis.bpeTrain(spark, SparkTestSession.sf, rounds = 5)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // round 1 IS q135's argmax (same corpus, same tie order)
+    val q135Top = TextAnalysis
+      .bpePairCandidates(spark, SparkTestSession.sf, k = 1)
+      .head()
+    assert(got.head._4 == q135Top.getString(0) &&
+      got.head._5 == q135Top.getLong(1))
+    // full differential vs a naive in-memory trainer
+    var streams = graft.sources.Tables
+      .load(spark, SparkTestSession.sf, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+      .filter(_.length >= 2).map(_.map(_.toString).toVector)
+    val naive = (1 to 5).map { round =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      streams.foreach(s => s.indices.dropRight(1).foreach { i =>
+        val k = (s(i), s(i + 1)); counts(k) = counts.getOrElse(k, 0L) + 1L
+      })
+      val ((l, r), n) = counts.toSeq
+        .sortBy { case ((l, r), n) => (-n, l, r) }.head
+      streams = streams.map { s =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += s(i); i += 1 }
+        }
+        out.result()
+      }
+      (round, l, r, l + r, n)
+    }
+    assert(got.toSeq == naive)
+  }
+
+  test("bpe train overlap semantics: left-to-right non-overlap, repeated-pair chains") {
+    // aaaa → [aa, aa] (not three overlapping aa's); abababa → both
+    // ab-ab merges fire in one round despite sharing a boundary
+    val docs = Seq("aaaa", "abababa", "aa", "baab").toDF("text")
+    val got = TextAnalysis.bpeTrainOn(spark, docs, rounds = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1, "a", "a", 5L),    // aaaa:3 + aa:1 + baab:1
+      (2, "a", "b", 3L),    // abababa:3 (after aa-merges leave it intact)
+      (3, "ab", "ab", 2L),  // abababa → [ab, ab, ab, a]: adjacent
+                            // ab-pairs merge left-to-right, so
+                            // (ab,ab) counts 2, not 1
+      (4, "aa", "aa", 1L))) // aaaa → [aa, aa]
+  }
+
   test("inverted index: postings sorted, capped, and consistent with df") {
     val rows = TextAnalysis.invertedIndex(spark, SparkTestSession.sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
