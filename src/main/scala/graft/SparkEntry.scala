@@ -110,6 +110,8 @@ object SparkEntry {
       TextAnalysis.bpeTrain(s, d)),
     "q156_pq_persisted" -> ((s: SparkSession, d: String) =>
       Similarity.annPqPersistedServe(s, d)),
+    "q157_bpe_encode" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeEncode(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -142,6 +144,7 @@ object SparkEntry {
     "q22_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLshPairsVerified(s, d)),
     "q23_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q24_embed_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupPlanted(s, d)),
+    "q158_semdedup" -> ((s: SparkSession, d: String) => Dedup.semDedup(s, d)),
     "q25_clean_corpus" -> ((s: SparkSession, d: String) => CleanPipeline.cleanCorpus(s, d)),
     "q76_corpus_manifest" -> ((s: SparkSession, d: String) => CleanPipeline.corpusManifest(s, d)),
     "q44_neardup_clusters" -> ((s: SparkSession, d: String) => Dedup.nearDupSurvivors(s, d)),
@@ -157,6 +160,7 @@ object SparkEntry {
     "q62_stream_attribution" -> (graft.streaming.EventStream.attributionToBatch _),
     "q105_stream_outer_join" -> (graft.streaming.EventStream.clickOutcomeToBatch _),
     "q107_stream_segments" -> (graft.streaming.EventStream.sessionSegmentsBatch _),
+    "q159_stream_cms" -> (graft.streaming.EventStream.cmsMaintainedBatch _),
     "q120_stream_cdc" -> (graft.streaming.EventStream.cdcApplyToBatch _),
     "q125_stream_pit" -> (graft.streaming.EventStream.pitEnrichToBatch _),
     "q140_stream_session_window" ->
@@ -242,6 +246,44 @@ object SparkEntry {
           l || r AS merged, n FROM p$r""")
     (Seq(s0) ++ perRound).mkString("WITH ", ",\n", "\n") +
       selects.mkString(" UNION ALL ") + " ORDER BY merge_round"
+  }
+
+  /** Generated DuckDB replay of TextAnalysis.bpeEncode (q157): the
+    * q155 training chain with doc_id carried through every s_r (the
+    * pair-count CTEs read only the stream column, so counts — and
+    * therefore the learned merges — are identical), then the final
+    * round's streams ARE the encoded corpus: one tail select derives
+    * the per-doc token stats. Carrying doc_id instead of appending a
+    * second apply chain keeps the oracle at N linear passes, not 2N.
+    */
+  private def bpeEncodeOracleSql(rounds: Int, headN: Int): String = {
+    val s0 =
+      """s0 AS MATERIALIZED (
+           SELECT doc_id, regexp_replace(text, '(?s)(.)',
+                                 chr(1) || '\1' || chr(1), 'g') AS stream
+           FROM documents WHERE length(text) >= 2)"""
+    val perRound = (1 to rounds).flatMap { r =>
+      Seq(
+        s"""p$r AS MATERIALIZED (
+           SELECT l, r, COUNT(*) AS n FROM (
+             SELECT syms[i] AS l, syms[i+1] AS r FROM
+               (SELECT string_split(trim(stream, chr(1)), chr(1)||chr(1))
+                  AS syms FROM s${r - 1}) t,
+               UNNEST(range(1, len(syms))) u(i))
+           GROUP BY 1, 2 ORDER BY n DESC, l ASC, r ASC LIMIT 1)""",
+        s"""s$r AS MATERIALIZED (
+           SELECT doc_id, replace(s${r - 1}.stream,
+                          chr(1) || p$r.l || chr(1) || chr(1) || p$r.r || chr(1),
+                          chr(1) || p$r.l || p$r.r || chr(1)) AS stream
+           FROM s${r - 1}, p$r)""")
+    }
+    (Seq(s0) ++ perRound).mkString("WITH ", ",\n", "\n") +
+      s"""SELECT doc_id, len(syms) AS n_tokens,
+          len(list_distinct(syms)) AS n_unique,
+          array_to_string(syms[1:$headN], ',') AS head_toks
+          FROM (SELECT doc_id,
+                  string_split(trim(stream, chr(1)), chr(1)||chr(1)) AS syms
+                FROM s$rounds)"""
   }
 
   /** SQL twin of Relational.scd2Merge with the same date parameters:
@@ -411,6 +453,14 @@ object SparkEntry {
     // estimate is folded into approx_ok via the CMS guarantee band
     // [exact, exact + eps*N] (q39/q48 bound-fold device).
     "q60_cms_frequency" ->
+      """SELECT event_type, user_id, COUNT(*) AS n_exact,
+         TRUE AS approx_ok
+         FROM events WHERE user_id < 10 GROUP BY 1, 2""",
+    // q159: the streaming-maintained CMS must land exactly where the
+    // batch sketch does — same probe contract, same exact-count
+    // oracle as q60 (register adds commute, so the micro-batch split
+    // cannot change the final matrix).
+    "q159_stream_cms" ->
       """SELECT event_type, user_id, COUNT(*) AS n_exact,
          TRUE AS approx_ok
          FROM events WHERE user_id < 10 GROUP BY 1, 2""",
@@ -1050,6 +1100,10 @@ object SparkEntry {
     // q155: the full BPE merge loop — generated N-round CTE replay
     // (see bpeTrainOracleSql); rounds must equal the Spark default.
     "q155_bpe_train" -> bpeTrainOracleSql(20),
+    // q157: apply the q155-trained merges corpus-wide — the oracle
+    // replays the training chain (doc_id carried) and reads the final
+    // round's streams as the encoding.
+    "q157_bpe_encode" -> bpeEncodeOracleSql(20, 8),
     "q135_bpe_pairs" ->
       """WITH pairs AS (
            SELECT substr(text, CAST(i AS INT), 2) AS pair
@@ -1720,6 +1774,42 @@ object SparkEntry {
              list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS cosine
            FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
          WHERE cosine >= 0.95""",
+    // q158: SemDeDup — centroid assignment replayed exactly as q32's
+    // (ROW_NUMBER over sim DESC, c_id ASC = the Spark side's
+    // max(struct(sim, -c_id)) argmax), then within-cell pairs with
+    // cosine floored to integer micro-units before the threshold and
+    // the min/max aggregates (all integer → no HUGEINT, no float
+    // accumulation in the compare path).
+    "q158_semdedup" ->
+      s"""WITH u AS ($normalizedVectors),
+         cents AS (SELECT vec_id AS c_id, v AS cv FROM u WHERE vec_id < 16),
+         sims AS (
+           SELECT u.vec_id, c_id,
+             list_sum(list_transform(list_zip(u.v, cv), p -> p[1] * p[2])) AS sim
+           FROM u CROSS JOIN cents),
+         assigned AS (
+           SELECT vec_id, c_id FROM (
+             SELECT vec_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY sim DESC, c_id ASC) AS rn
+             FROM sims) WHERE rn = 1),
+         withv AS (
+           SELECT a.vec_id, a.c_id, u.v FROM assigned a JOIN u USING (vec_id)),
+         pairs AS (
+           SELECT b.vec_id AS vec_id, a.vec_id AS keeper,
+             CAST(floor(1e6 * list_sum(list_transform(
+               list_zip(a.v, b.v), p -> p[1] * p[2]))) AS BIGINT) AS sim_micro
+           FROM withv a JOIN withv b
+             ON a.c_id = b.c_id AND a.vec_id < b.vec_id),
+         dups AS (
+           SELECT vec_id, MIN(keeper) AS kept_for,
+             MAX(sim_micro) AS max_sim_micro
+           FROM pairs WHERE sim_micro >= 300000 GROUP BY 1)
+         SELECT a.vec_id, a.c_id,
+           (d.vec_id IS NOT NULL) AS is_dup,
+           COALESCE(d.kept_for, -1) AS kept_for,
+           COALESCE(d.max_sim_micro, -1) AS max_sim_micro
+         FROM assigned a LEFT JOIN dups d USING (vec_id)""",
     "q39_cardinality" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
          TRUE AS approx_ok FROM events GROUP BY 1""",

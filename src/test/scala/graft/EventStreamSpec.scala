@@ -309,4 +309,26 @@ class EventStreamSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(sessions == batch)
   }
+
+  test("streaming CMS maintenance lands exactly on the batch sketch's probe contract") {
+    val streamed = EventStream
+      .cmsMaintainedBatch(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    // q60's batch CMS over the same fixture: identical probe rows —
+    // same exact counts AND every estimate inside the guarantee band
+    // (register adds commute, so the micro-batch split can't move
+    // the final matrix off the batch one)
+    val batch = graft.operators.Sketches
+      .cmsFrequency(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.values.forall(_._2),
+      "every probe estimate must sit inside the CMS band")
+  }
 }

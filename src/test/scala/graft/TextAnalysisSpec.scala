@@ -167,6 +167,44 @@ class TextAnalysisSpec extends AnyFunSuite {
       (4, "aa", "aa", 1L))) // aaaa → [aa, aa]
   }
 
+  test("bpe encode: trained merges applied in order reproduce a naive encoder; apply plan is shuffle-free") {
+    val docs = Seq(0L -> "aaaa", 1L -> "abababa", 2L -> "aa", 3L -> "baab")
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrainOn(spark, docs, rounds = 4)
+      .orderBy(col("merge_round")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val df = TextAnalysis.bpeEncodeWith(spark, docs, merges, headN = 8)
+    val got = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // naive: left-to-right non-overlapping merge application, one
+    // merge at a time, in learned order
+    def applyMerge(s: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+    Seq(0L -> "aaaa", 1L -> "abababa", 2L -> "aa", 3L -> "baab")
+      .foreach { case (id, text) =>
+        val toks = merges.foldLeft(text.map(_.toString).toVector) {
+          case (s, (l, r)) => applyMerge(s, l, r)
+        }
+        assert(got(id) == ((toks.length.toLong,
+          toks.distinct.length.toLong, toks.take(8).mkString(","))),
+          s"doc $id")
+      }
+    // the APPLY side is one linear pass: scan → chained replaces →
+    // token stats, no exchange anywhere
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"), s"encode must not shuffle:\n$plan")
+  }
+
   test("inverted index: postings sorted, capped, and consistent with df") {
     val rows = TextAnalysis.invertedIndex(spark, SparkTestSession.sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
