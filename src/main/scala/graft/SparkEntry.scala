@@ -112,6 +112,12 @@ object SparkEntry {
       Similarity.annPqPersistedServe(s, d)),
     "q157_bpe_encode" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bpeEncode(s, d)),
+    "q160_pq_serve_stream" -> ((s: SparkSession, d: String) =>
+      Similarity.annPqServeStream(s, d)),
+    "q161_pq_incremental" -> ((s: SparkSession, d: String) =>
+      Similarity.annPqIncrementalServe(s, d)),
+    "q162_leakage_split" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.leakageFreeSplit(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -333,6 +339,49 @@ object SparkEntry {
          sqrt(list_sum(list_transform(embedding,
            x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
          FROM embeddings)"""
+
+  /** DuckDB replay of the persisted-PQ serve path (q156, and the
+    * q160 streaming / q161 incremental twins): full-build codes,
+    * per-query ADC with integer pico distances, top-k by
+    * (adc, vec_id).
+    */
+  private def pqPersistedServeOracle: String =
+    s"""WITH u AS ($normalizedVectors),
+         subs AS (
+           SELECT vec_id, s, v[s*8+1 : s*8+8] AS sub
+           FROM u, LATERAL (SELECT UNNEST(range(0, 8)) AS s) t),
+         cents AS (
+           SELECT vec_id AS c_id, s, sub AS cv FROM subs
+           WHERE vec_id < 16),
+         cdist AS (
+           SELECT subs.vec_id, subs.s, c_id,
+             CAST(floor(1e12 * list_sum(list_transform(
+               list_zip(sub, cv),
+               p -> (p[1] - p[2]) * (p[1] - p[2])))) AS BIGINT) AS d
+           FROM subs JOIN cents ON cents.s = subs.s),
+         codes AS (
+           SELECT vec_id, s, c_id AS code FROM (
+             SELECT vec_id, s, c_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                 ORDER BY d ASC, c_id ASC) AS rn
+             FROM cdist) WHERE rn = 1),
+         qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5),
+         qdist AS (
+           SELECT vec_id AS q_id, s, c_id, d FROM cdist
+           WHERE vec_id IN (SELECT vec_id FROM qids)),
+         adc AS (
+           SELECT q.q_id, c.vec_id,
+             CAST(SUM(q.d) AS BIGINT) AS adc_pico
+           FROM codes c JOIN qdist q
+             ON q.s = c.s AND q.c_id = c.code
+           WHERE c.vec_id <> q.q_id
+           GROUP BY 1, 2)
+         SELECT q_id, vec_id, adc_pico, CAST(rn AS INTEGER) AS rn FROM (
+           SELECT q_id, vec_id, adc_pico,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY adc_pico ASC, vec_id ASC) AS rn
+           FROM adc)
+         WHERE rn <= 10"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan_1a" ->
@@ -1855,6 +1904,47 @@ object SparkEntry {
          comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY 1)
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp <> id)""",
+    // q162: q44's recursive-CC prefix (exhaustive Jaccard pairs are
+    // the truth the banded path must reproduce — the q22 precedent),
+    // then the q68 hash-bucket rule keyed on the cluster
+    // representative; singletons coalesce to their own id.
+    "q162_leakage_split" ->
+      s"""WITH RECURSIVE words AS (
+           SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t
+           WHERE len(w) >= 5),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM common
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(n_common AS DOUBLE) /
+             CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id),
+         comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY 1),
+         keyed AS (
+           SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp
+           FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+         SELECT doc_id, comp,
+           ('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 15))::BIGINT % 10
+             AS bucket,
+           CASE WHEN ('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 15))::BIGINT % 10 < 8
+                THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 15))::BIGINT % 10 = 8
+                THEN 'val' ELSE 'test' END AS split
+         FROM keyed""",
     // q45: the exhaustive pair truth restricted to pairs touching the
     // deterministic NEW batch (doc_id % 5 = 0) — the incremental
     // operator must find exactly these without regenerating old×old.
@@ -2174,43 +2264,15 @@ object SparkEntry {
     // the ADC aggregate (no re-rank; the parquet roundtrip on the
     // Spark side is exact, so the same CTE chain predicts the served
     // batch). SUM cast to BIGINT per the HUGEINT lint rule.
-    "q156_pq_persisted" ->
-      s"""WITH u AS ($normalizedVectors),
-         subs AS (
-           SELECT vec_id, s, v[s*8+1 : s*8+8] AS sub
-           FROM u, LATERAL (SELECT UNNEST(range(0, 8)) AS s) t),
-         cents AS (
-           SELECT vec_id AS c_id, s, sub AS cv FROM subs
-           WHERE vec_id < 16),
-         cdist AS (
-           SELECT subs.vec_id, subs.s, c_id,
-             CAST(floor(1e12 * list_sum(list_transform(
-               list_zip(sub, cv),
-               p -> (p[1] - p[2]) * (p[1] - p[2])))) AS BIGINT) AS d
-           FROM subs JOIN cents ON cents.s = subs.s),
-         codes AS (
-           SELECT vec_id, s, c_id AS code FROM (
-             SELECT vec_id, s, c_id,
-               ROW_NUMBER() OVER (PARTITION BY vec_id, s
-                 ORDER BY d ASC, c_id ASC) AS rn
-             FROM cdist) WHERE rn = 1),
-         qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5),
-         qdist AS (
-           SELECT vec_id AS q_id, s, c_id, d FROM cdist
-           WHERE vec_id IN (SELECT vec_id FROM qids)),
-         adc AS (
-           SELECT q.q_id, c.vec_id,
-             CAST(SUM(q.d) AS BIGINT) AS adc_pico
-           FROM codes c JOIN qdist q
-             ON q.s = c.s AND q.c_id = c.code
-           WHERE c.vec_id <> q.q_id
-           GROUP BY 1, 2)
-         SELECT q_id, vec_id, adc_pico, CAST(rn AS INTEGER) AS rn FROM (
-           SELECT q_id, vec_id, adc_pico,
-             ROW_NUMBER() OVER (PARTITION BY q_id
-               ORDER BY adc_pico ASC, vec_id ASC) AS rn
-           FROM adc)
-         WHERE rn <= 10""",
+    "q156_pq_persisted" -> pqPersistedServeOracle,
+    // q160/q161: the streamed and the incrementally-maintained
+    // serve paths must land on the SAME rows as the one-shot
+    // persisted build — q160 because each micro-batch runs the
+    // batch serve plan over a static index, q161 because frozen
+    // day-1 books make the appended union code-identical to a
+    // from-scratch build. One oracle text, three entries.
+    "q160_pq_serve_stream" -> pqPersistedServeOracle,
+    "q161_pq_incremental" -> pqPersistedServeOracle,
     "q40_lang_id" -> langIdOracle,
     // q61: rank rows 1..k per doc by the exact IDF ratio — ln-free so
     // the score is one bit-portable double division; row_number under

@@ -276,17 +276,24 @@ object Similarity {
     val cents = corpus.filter(col("vec_id") < pqCentroids)
       .select(col("vec_id").as("c_id"),
         pqSubspaceSplit(col("u")).as(Seq("s", "cv")))
-    val corpusSub = corpus
+    (pqEncode(corpus, cents), cents)
+  }
+
+  /** Encode a `(vec_id, u)` corpus against a `(c_id, s, cv)` codebook
+    * frame: one argmin aggregate at (vec, subspace) grain, codebooks
+    * broadcast. Factored out so the INCREMENTAL build (q161) encodes
+    * a delta batch against persisted books through the identical
+    * plan the full build uses.
+    */
+  def pqEncode(corpus: DataFrame, cents: DataFrame): DataFrame =
+    corpus
       .select(col("vec_id"), pqSubspaceSplit(col("u")).as(Seq("s", "sub")))
-    // encode: one argmin aggregate at (vec, subspace) grain
-    val codes = corpusSub.join(broadcast(cents), "s")
+      .join(broadcast(cents), "s")
       .select(col("vec_id"), col("s"),
         struct(pqD2Pico(col("sub"), col("cv")).as("d"), col("c_id")).as("dc"))
       .groupBy(col("vec_id"), col("s"))
       .agg(min(col("dc")).as("m"))
       .select(col("vec_id"), col("s"), col("m.c_id").as("code"))
-    (codes, cents)
-  }
 
   def annPq(
       spark: SparkSession, sfDir: String,
@@ -371,6 +378,111 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("q_id"), col("vec_id"), col("adc_pico"), col("rn"))
   }
+
+  /** The q160 driver entry: ONLINE ANN SERVING — queries arrive as a
+    * STREAM and are answered from the persisted PQ index (q156's
+    * artifact), the deployment shape of a retrieval endpoint: index
+    * built once per corpus snapshot, query batches served
+    * continuously. Each micro-batch runs the exact batch serve plan
+    * via `foreachBatch` (the q81 sink precedent): ADC against the
+    * broadcast per-query distance table, results appended to a
+    * parquet sink. The stream side is stateless — the static index
+    * never retracts, so there is no watermark and no state store;
+    * scale-out is per-batch parallelism over the codes scan, which
+    * is the RAM-resident 8-byte-codes story applied to serving.
+    *
+    * `foreachBatch` rather than a streaming join because the serve
+    * plan ends in a per-query top-k (window row_number) — not
+    * expressible inside a streaming query, and exactly what
+    * foreachBatch exists for: run an arbitrary BATCH plan over each
+    * micro-batch. Result rows are batch-invariant (each query's
+    * top-k depends only on its own row + the static index), so the
+    * oracle is q156's verbatim.
+    */
+  def annPqServeStream(
+      spark: SparkSession, sfDir: String,
+      numQueries: Int = 5, k: Int = 10): DataFrame =
+    Scratch.withScratch(spark, "q160_pq_stream", sfDir) { dir =>
+      val (codes, cents) = pqIndex(spark, sfDir)
+      codes.write.mode("overwrite").parquet(s"$dir/codes")
+      cents.write.mode("overwrite").parquet(s"$dir/books")
+      val embSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.IntegerType)))
+      val served = s"$dir/served"
+      val q = spark.readStream.schema(embSchema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(sfDir)
+        .where(col("vec_id") < numQueries)
+        .select(col("vec_id").as("q_id"),
+          Vectors.l2normalize(col("embedding")).as("q"))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            servePq(batch.sparkSession, s"$dir/codes", s"$dir/books",
+              batch, k)
+              .write.mode("append").parquet(served)
+        }
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // an empty query stream never fires a batch, so the sink dir is
+      // never created — the served frame is then legitimately empty
+      if (new java.io.File(served).exists()) spark.read.parquet(served)
+      else {
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("q_id", LongType),
+            StructField("vec_id", LongType),
+            StructField("adc_pico", LongType),
+            StructField("rn", IntegerType))))
+      }
+    }
+
+  /** The q161 driver entry: INCREMENTAL PQ INDEX MAINTENANCE — the
+    * append-only growth path of the persisted index (q46's
+    * persisted-MinHash-signature precedent applied to PQ): day 1
+    * builds books + codes from the base corpus and writes both; day
+    * 2's new vectors are encoded against the PERSISTED books alone
+    * (read back from parquet — no re-training, no base-corpus
+    * re-scan) and their codes APPEND to the codes artifact; serving
+    * then reads the union. Because the codebooks are frozen at day 1
+    * (the real-world contract: re-quantizing the base would rewrite
+    * every code), the union index is code-identical to a from-scratch
+    * build over the full corpus — which is exactly what the oracle
+    * asserts by replaying q156's full build.
+    *
+    * Scale shape: the daily increment costs O(|delta|) encode work
+    * against broadcast books plus one parquet append; nothing
+    * touches the existing codes. The seeded books live in the base
+    * corpus by construction (centroid ids < pqCentroids < baseCount).
+    */
+  def annPqIncrementalServe(
+      spark: SparkSession, sfDir: String,
+      numQueries: Int = 5, k: Int = 10, baseCount: Int = 250): DataFrame =
+    Scratch.withScratch(spark, "q161_pq_incr", sfDir) { dir =>
+      val corpus = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), Vectors.l2normalize(col("embedding")).as("u"))
+      val base = corpus.filter(col("vec_id") < baseCount)
+      val cents = base.filter(col("vec_id") < pqCentroids)
+        .select(col("vec_id").as("c_id"),
+          pqSubspaceSplit(col("u")).as(Seq("s", "cv")))
+      pqEncode(base, cents).write.mode("overwrite").parquet(s"$dir/codes")
+      cents.write.mode("overwrite").parquet(s"$dir/books")
+      // day 2: encode the delta against the PERSISTED books only
+      val books = spark.read.parquet(s"$dir/books")
+      pqEncode(corpus.filter(col("vec_id") >= baseCount), books)
+        .write.mode("append").parquet(s"$dir/codes")
+      servePq(spark, s"$dir/codes", s"$dir/books",
+        queries(spark, sfDir, numQueries), k)
+    }
 
   /** [[annIvf]] parameterized on the codebook frame `(c_id, cv)` —
     * seeded or k-means-trained books run the identical physical plan.

@@ -51,6 +51,47 @@ object TrainingPrep {
           .when(col("bucket") === trainBuckets, "val")
           .otherwise("test"))
 
+  /** The q162 driver entry: LEAKAGE-FREE train/val/test split — the
+    * q68 content-addressed rule lifted from documents to NEAR-DUP
+    * CLUSTERS, closing the eval-contamination hole a per-doc split
+    * leaves open: when two near-duplicates land in train and test, a
+    * model is scored on paraphrases of its own training data (the
+    * reason training pipelines split AFTER dedup clustering, not
+    * before). Every document is keyed by its cluster representative
+    * (the connected-component min id over the LSH-verified near-dup
+    * pair graph — q44's machinery verbatim; a doc with no near-dup
+    * is its own representative) and the q68 hash-bucket rule runs on
+    * THAT key, so an entire cluster moves to one split atomically.
+    * Two properties fall out, both spec-pinned: clusters never
+    * straddle splits, and docs without near-dups keep exactly their
+    * q68 assignment (the upgrade is a no-op where there is no
+    * leakage to prevent).
+    *
+    * Scale shape: the pair graph + CC cost is the q44 path (banded
+    * candidates, edge-set iterations); the split itself adds one
+    * broadcast-scale left join (comp labels exist only for docs IN
+    * pairs — near-dup clusters are tiny relative to the corpus) and
+    * a per-row hash. At 100 TB the comp frame is the persisted
+    * output of the dedup stage, making this a pure map-side join.
+    */
+  def leakageFreeSplit(
+      spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = Dedup.minhashLshPairsVerified(spark, sfDir,
+      threshold = threshold)
+    val comps = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", "doc_id")
+    Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+      .join(broadcast(comps), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("comp"))
+      .withColumn("bucket", hashBucket(col("comp"), "", splitBuckets))
+      .withColumn("split",
+        when(col("bucket") < trainBuckets, "train")
+          .when(col("bucket") === trainBuckets, "val")
+          .otherwise("test"))
+  }
+
   /** The q84 driver entry: CONTENT-ADDRESSED stratified sampling —
     * per-language keep rates (downweight the overrepresented stratum,
     * the standard language-rebalancing move in corpus assembly) via

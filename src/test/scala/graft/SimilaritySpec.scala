@@ -261,4 +261,36 @@ class SimilaritySpec extends AnyFunSuite {
     val b = e.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
   }
+
+  def serveRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Int)] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+
+  test("streamed PQ serving equals the one-shot persisted serve") {
+    // the static index never retracts, so micro-batched queries must
+    // land on exactly the batch rows
+    val streamed = serveRows(Similarity.annPqServeStream(spark, sf))
+    val batch = serveRows(Similarity.annPqPersistedServe(spark, sf))
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("incremental PQ append with frozen books equals a from-scratch build") {
+    val incr = serveRows(Similarity.annPqIncrementalServe(spark, sf))
+    val full = serveRows(Similarity.annPqPersistedServe(spark, sf))
+    assert(incr == full && incr.nonEmpty)
+    // the code-level claim behind it: delta vectors encoded against
+    // day-1 books carry the same codes the full build assigns
+    import graft.sources.Tables
+    val corpus = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), Vectors.l2normalize(col("embedding")).as("u"))
+    val (fullCodes, cents) = Similarity.pqIndex(spark, sf)
+    val deltaCodes = Similarity.pqEncode(
+      corpus.filter(col("vec_id") >= 250), cents)
+    val fc = fullCodes.filter(col("vec_id") >= 250).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val dc = deltaCodes.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(fc == dc && dc.nonEmpty)
+  }
 }

@@ -226,4 +226,30 @@ class TrainingPrepSpec extends AnyFunSuite {
       .count()
     assert(bad == 0)
   }
+
+  test("leakage-free split: clusters never straddle splits; singletons keep q68's assignment") {
+    val lf = TrainingPrep.leakageFreeSplit(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(3)))
+      .toMap
+    // (1) split is constant within every near-dup cluster
+    lf.groupBy(_._2._1).foreach { case (comp, members) =>
+      assert(members.values.map(_._2).toSet.size == 1,
+        s"cluster $comp straddles splits")
+    }
+    // (2) docs with no near-dup (comp == own id, singleton cluster)
+    // keep exactly the per-doc q68 assignment
+    val q68 = TrainingPrep.splitAssign(spark, SparkTestSession.sf)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val clusterSizes = lf.values.groupBy(_._1).map { case (c, ms) => c -> ms.size }
+    val singles = lf.filter { case (id, (comp, _)) =>
+      comp == id && clusterSizes(comp) == 1 }
+    assert(singles.nonEmpty)
+    singles.foreach { case (id, (_, split)) =>
+      assert(split == q68(id), s"singleton $id diverges from q68")
+    }
+    // (3) the fixture actually exercises the upgrade: some cluster
+    // has >= 2 members (else the test proves nothing)
+    assert(clusterSizes.values.max >= 2)
+  }
 }
