@@ -363,6 +363,12 @@ object TextAnalysis {
       .where(length(col("text")) >= 2)
       .select(regexp_replace(col("text"), "(?s)(.)", SEP + "$1" + SEP)
         .as("stream"))
+      // spread the streams across the full core count ONCE, up front:
+      // a small corpus reads as 1-2 parquet splits, and localCheckpoint
+      // pins whatever partitioning it sees — without this every round's
+      // pair-count scan runs on those 1-2 cores while the rest idle
+      // (sf0.1 fresh-JVM median 27.1 s → 7.9 s from this one line)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint(true)
     // the one frame holding checkpointed blocks — everything between
     // checkpoints is a plain unmaterialized chain on top of it
