@@ -137,9 +137,14 @@ object Multimodal {
     * Header fields derive deterministically from (doc_id, body length)
     * so the DuckDB oracle can predict what the decoder must re-extract.
     */
-  def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
-    val docs = Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text"))
+  def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRecord] =
+    mediaTableOn(Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")))
+
+  /** [[mediaTable]] over any `(doc_id, text)` frame — q163's planted
+    * duplicates re-container the same bodies under shifted ids.
+    */
+  def mediaTableOn(docs: DataFrame): Dataset[MediaRecord] =
     docs.as[(Long, String)](
         Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
       .map { case (id, text) =>
@@ -155,7 +160,6 @@ object Multimodal {
               1 + n % 24, body))
         }
       }(Encoders.product[MediaRecord])
-  }
 
   /** Parse features back OUT of the container bytes: magic-validated,
     * fixed-offset little-endian reads — a genuine (if library-free)
