@@ -147,8 +147,12 @@ object Bench {
     // per-round baselines: committed bench_medians_r{N}.json files are
     // authoritative; the BENCH_r{N}.json tail-scrape fills rounds that
     // predate them (the driver keeps ~2 KB of stdout — twice enough to
-    // truncate the per-query map). Rounds are keyed by N so a medians
-    // file and its same-round BENCH artifact collapse to one baseline.
+    // truncate the per-query map). NOTE the keys deliberately do NOT
+    // collapse: bench_medians_r{N+1} (written at the END of round N)
+    // and BENCH_r{N} carry the same sweep's data under different round
+    // numbers, so both enter bestEver — harmless, since bestEver takes
+    // the min and the fresh file values are never higher than the aged
+    // tail-scraped ones; `prev` picks the medians file (highest key).
     def roundNo(fn: String): Int = "\\d+".r.findFirstIn(fn).get.toInt
     val cwd = Option(new java.io.File(".").listFiles()).toSeq.flatten
     val benchFiles = cwd.filter(_.getName.matches("BENCH_r\\d+\\.json"))
@@ -177,28 +181,46 @@ object Bench {
     // regressions AND poisons the next round's baseline. The fork is
     // the honest twin of the fresh-JVM medians it is compared to.
     val flagged = (sweepRegr.map(_._1) ++ sweepBest.map(_._1)).distinct
-    val remeasured: Map[String, Double] = if (flagged.isEmpty) Map.empty else {
-      spark.stop() // free the 32 cores + heap before forking
-      forkQuickTime(flagged, sfDir)
-    }
+    // QUIETNESS GATE (round-9): round 8 proved the fork alone is not
+    // enough — launched right after the 34-min sweep, its "confirmed"
+    // times read 2-13x high (q155 60.6 s vs 10.5 s quiet) and, worse,
+    // poisoned the committed next-round baseline. The fork now times
+    // the q04 flagship first; if that reads >2x q04's committed
+    // median, the machine is not quiet — retry after a backoff, and
+    // if it never settles publish confirm_unreliable:true and NO
+    // confirmed numbers (suspects stay visible; baseline keeps sweep
+    // values, never the contended fork's).
+    val q04Baseline = best.getOrElse("q04_agg_2a", -1.0)
+    val (remeasured: Map[String, Double], confirmReliable: Boolean) =
+      if (flagged.isEmpty) (Map.empty[String, Double], true)
+      else {
+        spark.stop() // free the 32 cores + heap before forking
+        forkQuickTime(flagged, sfDir, q04Baseline)
+      }
     // a query the fork failed to time (absent / -1) keeps its sweep
     // median: suspicious-but-unconfirmed stays visible under "suspect"
     // without crashing the gate, and -1 never publishes (t > 0 guard)
-    def confirmed(n: String): Double = remeasured.getOrElse(n, -1.0)
+    def confirmed(n: String): Double =
+      if (confirmReliable) remeasured.getOrElse(n, -1.0) else -1.0
     val regr = fmt(confirmRegressions(prev, flagged, confirmed))
     val regrBest = fmt(confirmRegressions(best, flagged, confirmed))
     val confirmTimes = remeasured.toSeq.sorted
       .map { case (k, v) => "\"" + k + "\":" + fmtMedian(v) }
       .mkString("{", ",", "}")
     // persist this round's medians where the driver tail can't eat
-    // them: flagged queries store their fresh-JVM confirmed median
-    // (the sweep value is aged by construction), everything else the
-    // sweep median. Only the driver's real bench config (sf0.1) may
-    // write — the sf0.001 mechanics probe must not poison baselines.
+    // them: a flagged query stores min(sweep median, confirmed
+    // median) — BOTH are genuine measurements and the baseline should
+    // be best-known, so a contended fork can never RAISE an entry
+    // (the round-8 poisoning mechanism: confirmed-wins wrote 2-13x
+    // inflated values into bench_medians_r09). An unreliable confirm
+    // pass contributes nothing. Only the driver's real bench config
+    // (sf0.1) may write — the sf0.001 mechanics probe must not poison
+    // baselines.
     if (sfDir.endsWith("sf0.1")) {
       val nextRound = (byRound.map(_._1) :+ 0).max + 1
       val merged = results.map { case (k, v) =>
-        k -> (if (remeasured.getOrElse(k, -1.0) > 0) remeasured(k) else v)
+        val conf = confirmed(k)
+        k -> (if (conf > 0 && (v <= 0 || conf < v)) conf else v)
       }
       val body = merged
         .map { case (k, v) => "  \"" + k + "\": " + fmtMedian(v) }
@@ -209,8 +231,42 @@ object Bench {
     }
     val prevName = benchFiles.lastOption.map(_.getName).getOrElse("none")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"prev":"$prevName","regressions":$regr,"regressions_vs_best":$regrBest,"suspect":${fmt(sweepRegr)},"suspect_vs_best":${fmt(sweepBest)},"confirm_times":$confirmTimes,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"prev":"$prevName","regressions":$regr,"regressions_vs_best":$regrBest,"suspect":${fmt(sweepRegr)},"suspect_vs_best":${fmt(sweepBest)},"confirm_times":$confirmTimes,"confirm_unreliable":${!confirmReliable},"sf":"$sfDir"}""")
     SparkSession.getActiveSession.foreach(_.stop())
+  }
+
+  /** Fork `graft.tools.QuickTime` with a quietness gate: the fork
+    * times the q04 flagship first (`flagship_check` line); if that
+    * reads more than 2x `q04Baseline` (its best committed median),
+    * the window is contended — back off and retry up to
+    * `maxAttempts` total forks. Returns (times, reliable): reliable
+    * is false when every attempt failed the check, in which case the
+    * caller must publish confirm_unreliable rather than numbers.
+    * A non-positive `q04Baseline` (no history) accepts the first
+    * fork — there is nothing to compare against.
+    */
+  def forkQuickTime(
+      names: Seq[String],
+      sfDir: String,
+      q04Baseline: Double,
+      maxAttempts: Int = 3,
+      backoffMs: Long = 60000L,
+      forkOnce: (Seq[String], String) => Map[String, Double] = forkQuickTimeOnce)
+      : (Map[String, Double], Boolean) = {
+    var last: Map[String, Double] = Map.empty
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val raw = forkOnce(names, sfDir)
+      val check = raw.getOrElse("flagship_check", -1.0)
+      last = raw - "flagship_check"
+      val quiet = q04Baseline <= 0 || (check > 0 && check <= q04Baseline * 2)
+      if (quiet) return (last, true)
+      System.err.println(
+        f"[bench] confirm fork not quiet (flagship_check=$check%.3f vs baseline $q04Baseline%.3f, attempt $attempt/$maxAttempts)")
+      if (attempt < maxAttempts) Thread.sleep(backoffMs)
+    }
+    (last, false)
   }
 
   /** Fork `graft.tools.QuickTime` in a FRESH JVM (same classpath,
@@ -219,7 +275,7 @@ object Bench {
     * whatever the fork managed to time; on fork failure logs stderr
     * and returns empty (callers treat absence as "unconfirmed").
     */
-  def forkQuickTime(names: Seq[String], sfDir: String): Map[String, Double] = {
+  def forkQuickTimeOnce(names: Seq[String], sfDir: String): Map[String, Double] = {
     import scala.jdk.CollectionConverters._
     val javaBin = java.nio.file.Paths
       .get(System.getProperty("java.home"), "bin", "java").toString

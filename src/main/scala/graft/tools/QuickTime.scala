@@ -21,6 +21,17 @@ object QuickTime {
       (System.nanoTime() - t0) / 1e9
     }
     once("q04_agg_2a") // warm-up
+    // QUIETNESS SELF-CHECK (round-9): after the warm-up, median-time
+    // the q04 flagship and report it on a non-query label. The parent
+    // (Bench.forkQuickTime) compares it to q04's committed median: a
+    // fork launched into a still-busy window (round 8's confirm pass
+    // read 2-13x high because it started right after the 34-min sweep)
+    // reads the flagship high too, and the parent then retries after a
+    // backoff or publishes confirm_unreliable instead of numbers.
+    // The label deliberately does NOT match the q\d+_ query-name shape
+    // so no scraper can mistake it for a query median.
+    val checkTs = Seq.fill(3)(once("q04_agg_2a")).sorted
+    println(f"[quick] flagship_check median=${checkTs(1)}%.3f min=${checkTs.head}%.3f max=${checkTs.last}%.3f")
     names.foreach { n =>
       // a query that throws must not kill the remaining re-measures
       // (Bench's confirm pass runs a whole flagged set in one fork);

@@ -126,9 +126,63 @@ class BenchSpec extends AnyFunSuite {
   test("confirm fork re-measures in a fresh JVM and reports a positive median") {
     // end-to-end: the test JVM's classpath/flags are what Bench would
     // fork with; a broken fork returns empty and must fail here, not
-    // silently neuter the confirm pass at driver time
-    val got = Bench.forkQuickTime(Seq("q01_scan_1a"), "/root/testdata/sf0.001")
+    // silently neuter the confirm pass at driver time. q04Baseline=-1
+    // (no history) accepts the first fork regardless of machine load,
+    // so this test can't flake on a busy CI box.
+    val (got, reliable) =
+      Bench.forkQuickTime(Seq("q01_scan_1a"), "/root/testdata/sf0.001", q04Baseline = -1.0)
+    assert(reliable)
     assert(got.get("q01_scan_1a").exists(_ > 0), s"fork result: $got")
+    // the quietness-check line is internal protocol, never a "time"
+    assert(!got.contains("flagship_check"))
+  }
+
+  test("contended fork retries then refuses to publish (confirm_unreliable)") {
+    // the round-8 poisoning scenario: every fork reads the flagship
+    // 10x over its committed median. The gate must retry maxAttempts
+    // times and come back unreliable — the caller then publishes
+    // confirm_unreliable instead of numbers and the baseline merge
+    // ignores the contended values entirely.
+    var forks = 0
+    def noisyFork(names: Seq[String], sfDir: String): Map[String, Double] = {
+      forks += 1
+      Map("flagship_check" -> 4.0, "q56_stream_sliding" -> 15.641)
+    }
+    val (got, reliable) = Bench.forkQuickTime(
+      Seq("q56_stream_sliding"), "unused", q04Baseline = 0.4,
+      maxAttempts = 3, backoffMs = 0L, forkOnce = noisyFork)
+    assert(!reliable)
+    assert(forks == 3)
+    // the last attempt's times are still returned (for confirm_times
+    // visibility) but stripped of the protocol line
+    assert(got == Map("q56_stream_sliding" -> 15.641))
+  }
+
+  test("quiet fork passes the flagship check on the first attempt") {
+    var forks = 0
+    def quietFork(names: Seq[String], sfDir: String): Map[String, Double] = {
+      forks += 1
+      Map("flagship_check" -> 0.45, "q56_stream_sliding" -> 1.197)
+    }
+    val (got, reliable) = Bench.forkQuickTime(
+      Seq("q56_stream_sliding"), "unused", q04Baseline = 0.4,
+      maxAttempts = 3, backoffMs = 0L, forkOnce = quietFork)
+    assert(reliable && forks == 1)
+    assert(got == Map("q56_stream_sliding" -> 1.197))
+  }
+
+  test("contended fork settles on a later attempt") {
+    var forks = 0
+    def settlingFork(names: Seq[String], sfDir: String): Map[String, Double] = {
+      forks += 1
+      val check = if (forks < 2) 4.0 else 0.5
+      Map("flagship_check" -> check, "q125_stream_pit" -> (if (forks < 2) 22.772 else 2.311))
+    }
+    val (got, reliable) = Bench.forkQuickTime(
+      Seq("q125_stream_pit"), "unused", q04Baseline = 0.4,
+      maxAttempts = 3, backoffMs = 0L, forkOnce = settlingFork)
+    assert(reliable && forks == 2)
+    assert(got == Map("q125_stream_pit" -> 2.311))
   }
 
   test("regression gate flags >1.5x AND >0.1s absolute only") {
