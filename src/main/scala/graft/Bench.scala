@@ -190,12 +190,18 @@ object Bench {
     // if it never settles publish confirm_unreliable:true and NO
     // confirmed numbers (suspects stay visible; baseline keeps sweep
     // values, never the contended fork's).
-    val q04Baseline = best.getOrElse("q04_agg_2a", -1.0)
+    // the 2x threshold compares against the PREVIOUS ROUND's flagship
+    // median, not the all-time minimum — one anomalously fast
+    // historical q04 would make the gate permanently too strict and
+    // suppress confirmed numbers forever (round-9 advice)
+    val q04Baseline = prev.getOrElse("q04_agg_2a",
+      best.getOrElse("q04_agg_2a", -1.0))
     val (remeasured: Map[String, Double], confirmReliable: Boolean) =
       if (flagged.isEmpty) (Map.empty[String, Double], true)
       else {
         spark.stop() // free the 32 cores + heap before forking
-        forkQuickTime(flagged, sfDir, q04Baseline)
+        forkQuickTime(flagged, sfDir, q04Baseline,
+          baselines = best ++ prev) // fallback-flagship baselines
       }
     // a query the fork failed to time (absent / -1) keeps its sweep
     // median: suspicious-but-unconfirmed stays visible under "suspect"
@@ -204,9 +210,18 @@ object Bench {
       if (confirmReliable) remeasured.getOrElse(n, -1.0) else -1.0
     val regr = fmt(confirmRegressions(prev, flagged, confirmed))
     val regrBest = fmt(confirmRegressions(best, flagged, confirmed))
-    val confirmTimes = remeasured.toSeq.sorted
-      .map { case (k, v) => "\"" + k + "\":" + fmtMedian(v) }
-      .mkString("{", ",", "}")
+    // an UNRELIABLE confirm pass prints NO times: parsePrevMedians
+    // scrapes every qNN:D.DDD pair last-match-wins and the driver's
+    // ~2 KB log tail keeps exactly the end of the line, so contended
+    // (2-13x inflated) confirm values printed in 3-decimal format
+    // would overwrite sweep medians in any round whose medians file
+    // goes missing — the very poisoning mechanism the gate exists to
+    // stop (round-9 advice, medium)
+    val confirmTimes =
+      if (!confirmReliable) "{}"
+      else remeasured.toSeq.sorted
+        .map { case (k, v) => "\"" + k + "\":" + fmtMedian(v) }
+        .mkString("{", ",", "}")
     // persist this round's medians where the driver tail can't eat
     // them: a flagged query stores min(sweep median, confirmed
     // median) — BOTH are genuine measurements and the baseline should
@@ -216,7 +231,20 @@ object Bench {
     // pass contributes nothing. Only the driver's real bench config
     // (sf0.1) may write — the sf0.001 mechanics probe must not poison
     // baselines.
-    if (sfDir.endsWith("sf0.1")) {
+    // SWEEP-LEVEL QUIETNESS (round-10): the round-9 confirm gate
+    // protects confirmed numbers but not the committed baseline — a
+    // sweep run in a degraded window (round 9: 47 thrown entries, the
+    // survivors 5-90x their quiet medians) still wrote
+    // bench_medians_r10.json and poisoned the next round's vs-prev
+    // gate. The sweep's own q04 flagship median is the cheap tell: if
+    // it read >2x its previous-round median (or threw), the whole
+    // sweep is suspect and NO medians file is published — a missing
+    // baseline round falls back to the tail-scrape, which is strictly
+    // better than an inflated one.
+    val sweepQ04 = results.toMap.getOrElse("q04_agg_2a", -1.0)
+    val sweepDegraded = q04Baseline > 0 &&
+      (sweepQ04 <= 0 || sweepQ04 > q04Baseline * 2)
+    if (sfDir.endsWith("sf0.1") && !sweepDegraded) {
       val nextRound = (byRound.map(_._1) :+ 0).max + 1
       val merged = results.map { case (k, v) =>
         val conf = confirmed(k)
@@ -228,22 +256,37 @@ object Bench {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(f"bench_medians_r$nextRound%02d.json"),
         body.getBytes("UTF-8"))
-    }
+    } else if (sweepDegraded) System.err.println(
+      f"[bench] sweep degraded (q04 sweep median $sweepQ04%.3f vs baseline $q04Baseline%.3f): medians file NOT published")
     val prevName = benchFiles.lastOption.map(_.getName).getOrElse("none")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"prev":"$prevName","regressions":$regr,"regressions_vs_best":$regrBest,"suspect":${fmt(sweepRegr)},"suspect_vs_best":${fmt(sweepBest)},"confirm_times":$confirmTimes,"confirm_unreliable":${!confirmReliable},"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"prev":"$prevName","regressions":$regr,"regressions_vs_best":$regrBest,"suspect":${fmt(sweepRegr)},"suspect_vs_best":${fmt(sweepBest)},"confirm_times":$confirmTimes,"confirm_unreliable":${!confirmReliable},"sweep_degraded":$sweepDegraded,"sf":"$sfDir"}""")
     SparkSession.getActiveSession.foreach(_.stop())
   }
 
   /** Fork `graft.tools.QuickTime` with a quietness gate: the fork
-    * times the q04 flagship first (`flagship_check` line); if that
-    * reads more than 2x `q04Baseline` (its best committed median),
-    * the window is contended — back off and retry up to
-    * `maxAttempts` total forks. Returns (times, reliable): reliable
-    * is false when every attempt failed the check, in which case the
-    * caller must publish confirm_unreliable rather than numbers.
-    * A non-positive `q04Baseline` (no history) accepts the first
-    * fork — there is nothing to compare against.
+    * times a flagship first (`flagship_check[:name]` line); if that
+    * reads more than 2x the flagship's committed median, the window is
+    * contended — back off and retry up to `maxAttempts` total forks.
+    * Returns (times, reliable): reliable is false when every attempt
+    * failed the check, in which case the caller must publish
+    * confirm_unreliable rather than numbers.
+    *
+    * CRASH =/= CONTENTION (round-10): a fork whose flagship check is
+    * MISSING or non-positive crashed (or every flagship candidate
+    * threw) — that is deterministic, and a backoff changes nothing;
+    * round 9's q04 fixture break burned 3 forks + 2x60 s of backoff on
+    * exactly this before publishing confirm_unreliable for the wrong
+    * reason. Such a fork now bails after ONE attempt, still returning
+    * whatever times it managed (visible under suspects, never
+    * published as confirmed).
+    *
+    * The flagship's baseline: q04's comes via `q04Baseline` (the
+    * previous round's median — an all-time-min baseline makes the 2x
+    * threshold permanently stricter after one anomalously fast round);
+    * a fallback flagship (the `flagship_check:qNN` label) is resolved
+    * from `baselines`. No history (<= 0) accepts the fork — there is
+    * nothing to compare against.
     */
   def forkQuickTime(
       names: Seq[String],
@@ -251,19 +294,32 @@ object Bench {
       q04Baseline: Double,
       maxAttempts: Int = 3,
       backoffMs: Long = 60000L,
-      forkOnce: (Seq[String], String) => Map[String, Double] = forkQuickTimeOnce)
+      forkOnce: (Seq[String], String) => Map[String, Double] = forkQuickTimeOnce,
+      baselines: Map[String, Double] = Map.empty)
       : (Map[String, Double], Boolean) = {
     var last: Map[String, Double] = Map.empty
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
       val raw = forkOnce(names, sfDir)
-      val check = raw.getOrElse("flagship_check", -1.0)
-      last = raw - "flagship_check"
-      val quiet = q04Baseline <= 0 || (check > 0 && check <= q04Baseline * 2)
+      val checkEntry = raw.find(_._1.startsWith("flagship_check"))
+      val check = checkEntry.map(_._2).getOrElse(-1.0)
+      val flagName = checkEntry.map(_._1.stripPrefix("flagship_check")
+        .stripPrefix(":")).filter(_.nonEmpty)
+      last = raw.filterNot(_._1.startsWith("flagship_check"))
+      if (check <= 0) {
+        System.err.println(
+          f"[bench] confirm fork's flagship check crashed (check=$check%.3f) — deterministic, not retrying")
+        return (last, false)
+      }
+      val base = flagName match {
+        case None | Some("q04_agg_2a") => q04Baseline
+        case Some(other)               => baselines.getOrElse(other, -1.0)
+      }
+      val quiet = base <= 0 || check <= base * 2
       if (quiet) return (last, true)
       System.err.println(
-        f"[bench] confirm fork not quiet (flagship_check=$check%.3f vs baseline $q04Baseline%.3f, attempt $attempt/$maxAttempts)")
+        f"[bench] confirm fork not quiet (flagship_check=$check%.3f vs baseline $base%.3f, attempt $attempt/$maxAttempts)")
       if (attempt < maxAttempts) Thread.sleep(backoffMs)
     }
     (last, false)

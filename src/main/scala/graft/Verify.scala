@@ -16,6 +16,10 @@ object Verify {
       shufflePartitions = cpus
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fixture-contract canary: fail HERE with one clear message if a
+    // fixture regeneration drifted an encoding (round-9 lesson), not
+    // with 60 scattered per-query stacks below
+    graft.sources.Tables.assertFixtureContract(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -27,15 +27,66 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS): read as long nanos
-    // (spark.sql.legacy.parquet.nanosAsLong, set by GraftSession) and
-    // convert with exact integer division — double division would lose
-    // precision above 2^53 ns (~1970+104 days).
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    // events.ts ADAPTIVE INGESTION (round-10): the fixture's physical
+    // encoding has drifted across regenerations — TIMESTAMP(NANOS)
+    // (readable only as long via spark.sql.legacy.parquet.nanosAsLong,
+    // set by GraftSession) then TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    // (arrives as TIMESTAMP_NTZ). A schema-on-read engine must branch
+    // on the OBSERVED type, never hard-code one generation's encoding:
+    // partition generations drift encodings at 100 TB (the q72
+    // schema-evolution entry exists to prove exactly this). Round 9
+    // hard-coded the nanos contract and lost 58/162 entries when the
+    // fixtures regenerated.
+    if (name == "events") df.withColumn("ts", normalizeTs(df, "ts"))
     else df
+  }
+
+  /** Normalize an event-time column to session-TZ TimestampType from
+    * whatever physical encoding the parquet generation carries:
+    *   - LongType        → nanos-as-long (legacy NANOS fixture): exact
+    *                       integer DIV 1000 → micros (double division
+    *                       would lose precision above 2^53 ns).
+    *   - TimestampNTZType→ MICROS/MILLIS with isAdjustedToUTC=false:
+    *                       cast is value-preserving because the
+    *                       session TZ is pinned to UTC (GraftSession).
+    *   - TimestampType   → already session-TZ; pass through.
+    * Any other type is a fixture-contract break and fails LOUDLY in
+    * one place instead of 60 scattered DATATYPE_MISMATCH stacks.
+    */
+  def normalizeTs(df: DataFrame, colName: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    df.schema(colName).dataType match {
+      case LongType         => timestamp_micros(expr(s"$colName DIV 1000"))
+      case TimestampNTZType => col(colName).cast(TimestampType)
+      case TimestampType    => col(colName)
+      case other => throw new IllegalStateException(
+        s"fixture contract changed: events.$colName is $other — expected " +
+          "LongType (legacy TIMESTAMP(NANOS) via nanosAsLong), " +
+          "TIMESTAMP_NTZ (TIMESTAMP(MICROS/MILLIS, isAdjustedToUTC=false)) " +
+          "or TIMESTAMP; teach Tables.normalizeTs the new encoding")
+    }
+  }
+
+  /** Fixture-contract CANARY (round-10): probe every fixture table's
+    * observed schema in one cheap pass (parquet footer reads only) and
+    * fail with ONE clear message when an encoding drifts outside what
+    * the engine understands — instead of the 60 scattered
+    * DATATYPE_MISMATCH stacks round 9 produced when the fixtures
+    * regenerated events.ts from TIMESTAMP(NANOS) to TIMESTAMP(MICROS).
+    * Returns the observed dtype per table/column for logging.
+    */
+  def assertFixtureContract(
+      spark: SparkSession, sfDir: String): Map[String, String] = {
+    val observed = fixtureNames.map { n =>
+      n -> spark.read.parquet(s"$sfDir/$n.parquet").schema
+    }.toMap
+    // the one column with encoding history; normalizeTs throws the
+    // single clear "fixture contract changed" message on drift
+    normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"), "ts")
+    observed.map { case (n, s) =>
+      n -> s.fields.map(f => s"${f.name}:${f.dataType.simpleString}")
+        .mkString(",")
+    }
   }
 
   /** Register every fixture table as a temp view so `spark.sql` text

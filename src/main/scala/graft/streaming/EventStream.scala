@@ -17,25 +17,28 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** File-source schema: `ts` arrives as long NANOS (the fixture's
-    * parquet TIMESTAMP(NANOS) read via nanosAsLong — see Tables.load);
-    * [[readEvents]] converts to TimestampType with exact integer math.
+  /** File-source schema: PROBED from the file's actual batch schema,
+    * never declared blind. Round 9's lesson: an explicit LongType here
+    * read the regenerated TIMESTAMP(MICROS) fixture's INT64 micros AS
+    * nanos — `DIV 1000` then compressed event time 1000x and every
+    * watermark/window collapsed SILENTLY (q47's hours landed in
+    * January 1970 with plausible-looking output). The batch reader is
+    * the single source of truth for the physical encoding; the stream
+    * schema and the ts conversion both derive from it, so a fixture
+    * regeneration can shift the encoding and this path either adapts
+    * or fails loudly in Tables.normalizeTs — it can never mis-scale
+    * event time again. One tiny driver-side metadata read per stream
+    * build; zero cost at scale.
     */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  private def readEvents(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
+  private def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val observed = spark.read.parquet(s"$sfDir/events.parquet")
+    val stream = spark.readStream
+      .schema(observed.schema)
       // file stream source requires a directory; glob selects the table
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    stream.withColumn("ts", graft.sources.Tables.normalizeTs(stream, "ts"))
+  }
 
   /** Streaming hourly tumbling-window aggregate over the events file
     * source — the streaming twin of Relational.eventsHourly (q16):

@@ -20,18 +20,35 @@ object QuickTime {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    once("q04_agg_2a") // warm-up
-    // QUIETNESS SELF-CHECK (round-9): after the warm-up, median-time
-    // the q04 flagship and report it on a non-query label. The parent
-    // (Bench.forkQuickTime) compares it to q04's committed median: a
-    // fork launched into a still-busy window (round 8's confirm pass
-    // read 2-13x high because it started right after the 34-min sweep)
-    // reads the flagship high too, and the parent then retries after a
-    // backoff or publishes confirm_unreliable instead of numbers.
-    // The label deliberately does NOT match the q\d+_ query-name shape
-    // so no scraper can mistake it for a query median.
-    val checkTs = Seq.fill(3)(once("q04_agg_2a")).sorted
-    println(f"[quick] flagship_check median=${checkTs(1)}%.3f min=${checkTs.head}%.3f max=${checkTs.last}%.3f")
+    // QUIETNESS SELF-CHECK (round-9, hardened round-10): warm up and
+    // median-time a flagship, reported on a non-query label. The
+    // parent (Bench.forkQuickTime) compares it to that flagship's
+    // committed median: a fork launched into a still-busy window
+    // (round 8's confirm pass read 2-13x high because it started right
+    // after the 34-min sweep) reads the flagship high too, and the
+    // parent then retries after a backoff or publishes
+    // confirm_unreliable instead of numbers.
+    // Round-10 hardening: the warm-up/flagship is GUARDED — in round 9
+    // a fixture break made q04 throw before any [quick] line printed,
+    // so every fork died at warm-up, burned 3x60s of backoff, and
+    // published confirm_unreliable for the wrong reason. A flagship
+    // that throws now falls back to the next candidate (q06 touches
+    // lineitem only — no events dependency); if all candidates throw,
+    // median=-1.000 tells the parent "crashed, don't retry" distinctly
+    // from "contended, do retry". The label embeds the flagship's name
+    // (flagship_check:qNN) so the parent compares against the RIGHT
+    // baseline; it still does not match the q\d+_ query-name shape, so
+    // no scraper can mistake it for a query median.
+    def tryOnce(n: String): Double = scala.util.Try(once(n)).getOrElse(-1.0)
+    val flagship = Seq("q04_agg_2a", "q06_global_sum").find(tryOnce(_) > 0)
+    flagship match {
+      case Some(f) =>
+        val ts = Seq.fill(3)(tryOnce(f)).sorted
+        val med = if (ts.contains(-1.0)) -1.0 else ts(1)
+        println(f"[quick] flagship_check:$f median=$med%.3f min=${ts.head}%.3f max=${ts.last}%.3f")
+      case None =>
+        println("[quick] flagship_check:none median=-1.000 min=-1.000 max=-1.000")
+    }
     names.foreach { n =>
       // a query that throws must not kill the remaining re-measures
       // (Bench's confirm pass runs a whole flagged set in one fork);

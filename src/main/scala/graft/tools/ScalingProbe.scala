@@ -51,18 +51,25 @@ object ScalingProbe {
     embCopies.reduce(_ unionAll _).write.mode("overwrite")
       .parquet(s"$big/embeddings.parquet")
 
-    // K× events: copy c shifts TIME by c*35 days (ts is raw long
-    // nanos under nanosAsLong) and offsets event/user ids — the
+    // K× events: copy c shifts TIME by c*35 days (shift expression
+    // adapts to the fixture's observed ts encoding — raw long nanos
+    // or native timestamp — like Tables.normalizeTs) and offsets
+    // event/user ids — the
     // natural 100 TB growth axis is a longer retention window, so
     // copies occupy disjoint time ranges and per-bin/per-user density
     // stays constant (growing density instead would grow the true
     // OUTPUT of time-window operators quadratically, which measures
     // the workload, not the operator).
     val ev = spark.read.parquet(s"$src/events.parquet")
+    val tsIsLong = ev.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
     (0 until k).map { c =>
+      val shifted =
+        if (tsIsLong) col("ts") + lit(c * 35L * 86400L * 1000000000L)
+        else expr(s"ts + INTERVAL ${c * 35} DAYS")
       ev.withColumn("event_id", col("event_id") + lit(c * 100000000L))
         .withColumn("user_id", col("user_id") + lit(c * 1000000L))
-        .withColumn("ts", col("ts") + lit(c * 35L * 86400L * 1000000000L))
+        .withColumn("ts", shifted)
     }.reduce(_ unionAll _).write.mode("overwrite")
       .parquet(s"$big/events.parquet")
 

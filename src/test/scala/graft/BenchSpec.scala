@@ -171,6 +171,51 @@ class BenchSpec extends AnyFunSuite {
     assert(got == Map("q56_stream_sliding" -> 1.197))
   }
 
+  test("a crashed flagship bails after ONE fork (crash is not contention)") {
+    // round-9 failure mode: the q04 fixture break made every fork die
+    // at warm-up; the gate burned 3 forks + 2x60s backoff on a
+    // deterministic crash. A missing/non-positive flagship check must
+    // cost exactly one attempt and come back unreliable.
+    var forks = 0
+    def crashedFork(names: Seq[String], sfDir: String): Map[String, Double] = {
+      forks += 1
+      Map("flagship_check:none" -> -1.0, "q56_stream_sliding" -> 1.197)
+    }
+    val (got, reliable) = Bench.forkQuickTime(
+      Seq("q56_stream_sliding"), "unused", q04Baseline = 0.4,
+      maxAttempts = 3, backoffMs = 0L, forkOnce = crashedFork)
+    assert(!reliable && forks == 1)
+    assert(got == Map("q56_stream_sliding" -> 1.197))
+    // a fork that prints NOTHING (died before any [quick] line) is the
+    // same deterministic failure
+    var emptyForks = 0
+    def emptyFork(names: Seq[String], sfDir: String): Map[String, Double] = {
+      emptyForks += 1; Map.empty
+    }
+    val (_, rel2) = Bench.forkQuickTime(
+      Seq("q56_stream_sliding"), "unused", q04Baseline = 0.4,
+      maxAttempts = 3, backoffMs = 0L, forkOnce = emptyFork)
+    assert(!rel2 && emptyForks == 1)
+  }
+
+  test("a fallback flagship is judged against ITS OWN baseline, not q04's") {
+    // q04 threw in the fork (events-dependent); QuickTime fell back to
+    // q06 and labeled the check with its name. 0.9 vs q04's 0.1
+    // baseline would read "contended"; vs q06's 0.5 baseline it is
+    // quiet — the gate must resolve the label.
+    var forks = 0
+    def fallbackFork(names: Seq[String], sfDir: String): Map[String, Double] = {
+      forks += 1
+      Map("flagship_check:q06_global_sum" -> 0.9, "q125_stream_pit" -> 2.311)
+    }
+    val (got, reliable) = Bench.forkQuickTime(
+      Seq("q125_stream_pit"), "unused", q04Baseline = 0.1,
+      maxAttempts = 3, backoffMs = 0L, forkOnce = fallbackFork,
+      baselines = Map("q06_global_sum" -> 0.5))
+    assert(reliable && forks == 1)
+    assert(got == Map("q125_stream_pit" -> 2.311))
+  }
+
   test("contended fork settles on a later attempt") {
     var forks = 0
     def settlingFork(names: Seq[String], sfDir: String): Map[String, Double] = {

@@ -187,11 +187,16 @@ class EventStreamSpec extends AnyFunSuite {
         .repartition(4).write.mode("overwrite").parquet(s"$base/in")
       val totalRows = spark.read.parquet(s"$base/in").count()
 
-      def aggStream() = spark.readStream
-        .schema(EventStream.eventsSchema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(s"$base/in")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      // schema probed from the written files, ts normalized from the
+      // observed type — same adaptive contract as EventStream.readEvents
+      val observed = spark.read.parquet(s"$base/in").schema
+      def aggStream() = {
+        val s = spark.readStream
+          .schema(observed)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$base/in")
+        s.withColumn("ts", graft.sources.Tables.normalizeTs(s, "ts"))
+      }
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n_events"))
         .select(col("w.start").as("hour"), col("event_type"), col("n_events"))

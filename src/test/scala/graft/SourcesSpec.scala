@@ -256,11 +256,51 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
-  test("events.ts converts to a real timestamp (nanos parquet)") {
+  test("events.ts converts to a real timestamp under EVERY supported encoding") {
+    // the round-9 lesson: the fixture's physical ts encoding drifted
+    // (TIMESTAMP(NANOS) → TIMESTAMP(MICROS, ntz)) and a hard-coded
+    // conversion lost 58/162 entries. Tables.load must adapt to the
+    // OBSERVED type — assert on the live fixture, then on synthetic
+    // long-nanos and native-timestamp generations of the same rows.
+    import org.apache.spark.sql.functions.expr
     val df = Tables.load(spark, SparkTestSession.sf, "events")
     assert(df.schema("ts").dataType ==
       org.apache.spark.sql.types.TimestampType)
-    val y = df.selectExpr("min(year(ts))").head().getInt(0)
-    assert(y == 2024)
+    assert(df.selectExpr("min(year(ts))").head().getInt(0) == 2024)
+    val expected = df.selectExpr("max(ts)").head().getTimestamp(0)
+
+    val base = Files.createTempDirectory("graft_ts_gen").toString
+    val live = spark.read.parquet(s"${SparkTestSession.sf}/events.parquet")
+      .limit(1000)
+    // generation A: raw long nanos (the legacy contract)
+    val asLong =
+      if (live.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        live
+      else live.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+    asLong.write.mode("overwrite").parquet(s"$base/genA/events.parquet")
+    val fromLong = Tables.load(spark, s"$base/genA", "events")
+    assert(fromLong.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // generation B: session-TZ timestamp
+    val asTs = live.withColumn("ts", Tables.normalizeTs(live, "ts"))
+    asTs.write.mode("overwrite").parquet(s"$base/genB/events.parquet")
+    val fromTs = Tables.load(spark, s"$base/genB", "events")
+    assert(fromTs.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // identical values whichever generation was read
+    assert(fromLong.selectExpr("max(ts)").head().getTimestamp(0) ==
+      fromTs.selectExpr("max(ts)").head().getTimestamp(0))
+  }
+
+  test("fixture-contract canary: one clear message on an unknown ts encoding") {
+    val canary = Tables.assertFixtureContract(spark, SparkTestSession.sf)
+    assert(canary.keySet == Tables.fixtureNames.toSet)
+    // an encoding the engine does not understand fails LOUDLY in one
+    // place with a diagnosable message, not 60 scattered analysis errors
+    val bad = spark.range(1).selectExpr("cast(id as string) as ts")
+    val e = intercept[IllegalStateException] {
+      Tables.normalizeTs(bad, "ts")
+    }
+    assert(e.getMessage.contains("fixture contract changed"))
   }
 }
