@@ -118,6 +118,8 @@ object SparkEntry {
       Similarity.annPqIncrementalServe(s, d)),
     "q162_leakage_split" -> ((s: SparkSession, d: String) =>
       TrainingPrep.leakageFreeSplit(s, d)),
+    "q163_ivf_trained" -> ((s: SparkSession, d: String) =>
+      Similarity.annIvfTrained(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -339,6 +341,93 @@ object SparkEntry {
          sqrt(list_sum(list_transform(embedding,
            x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
          FROM embeddings)"""
+
+  /** Generated DuckDB replay of Similarity.annIvfTrained (q163): the
+    * full Lloyd's loop as chained MATERIALIZED CTEs (the q155
+    * generated-replay precedent) — per iteration i: s_i scores every
+    * (vector, centroid) pair, a_i takes the row_number()=1 argmax
+    * assignment, m_i computes the per-(cell, position) mean with the
+    * SAME fixed-point arithmetic as the Spark side (coordinates floor
+    * to BIGINT pico-units, one double division Σ/(n·10¹²) — bit-equal
+    * under IEEE in both engines), n_i/c_i reassemble + l2-normalize,
+    * empty cells COALESCE to the previous centroid. After `iters`
+    * rounds the q32 serve replay runs verbatim against c_iters.
+    */
+  private def ivfTrainedOracleSql(iters: Int): String = {
+    val head = Seq(
+      s"u AS MATERIALIZED ($normalizedVectors)",
+      """c0 AS MATERIALIZED (
+           SELECT vec_id AS c_id, v AS cv FROM u WHERE vec_id < 16)""")
+    val perIter = (1 to iters).flatMap { i =>
+      Seq(
+        s"""s$i AS MATERIALIZED (
+           SELECT u.vec_id, c_id,
+             list_sum(list_transform(list_zip(u.v, cv), p -> p[1] * p[2])) AS sim
+           FROM u CROSS JOIN c${i - 1})""",
+        s"""a$i AS MATERIALIZED (
+           SELECT vec_id, c_id FROM (
+             SELECT vec_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY sim DESC, c_id ASC) AS rn
+             FROM s$i) WHERE rn = 1)""",
+        s"""m$i AS MATERIALIZED (
+           SELECT c_id, pos,
+             CAST(SUM(xq) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e12) AS mx
+           FROM (
+             SELECT a.c_id, t.pos,
+               CAST(FLOOR(u.v[CAST(t.pos AS INT)] * 1e12) AS BIGINT) AS xq
+             FROM a$i a JOIN u ON u.vec_id = a.vec_id,
+               UNNEST(range(1, len(u.v) + 1)) t(pos))
+           GROUP BY 1, 2)""",
+        s"""c$i AS MATERIALIZED (
+           SELECT p.c_id, COALESCE(nv.cv_new, p.cv) AS cv
+           FROM c${i - 1} p LEFT JOIN (
+             SELECT c_id,
+               list_transform(mean,
+                 x -> CASE WHEN nrm > 0 THEN x / nrm ELSE 0.0 END) AS cv_new
+             FROM (
+               SELECT c_id, mean,
+                 sqrt(list_sum(list_transform(mean, x -> x * x))) AS nrm
+               FROM (SELECT c_id, list(mx ORDER BY pos) AS mean
+                     FROM m$i GROUP BY 1))) nv ON nv.c_id = p.c_id)""")
+    }
+    val serve = Seq(
+      s"""sF AS MATERIALIZED (
+         SELECT u.vec_id, c_id,
+           list_sum(list_transform(list_zip(u.v, cv), p -> p[1] * p[2])) AS sim
+         FROM u CROSS JOIN c$iters)""",
+      """assigned AS (
+         SELECT vec_id, c_id FROM (
+           SELECT vec_id, c_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY sim DESC, c_id ASC) AS rn
+           FROM sF) WHERE rn = 1)""",
+      """qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)""",
+      """qprobes AS (
+         SELECT vec_id AS q_id, c_id FROM (
+           SELECT vec_id, c_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY sim DESC, c_id ASC) AS rn
+           FROM sF WHERE vec_id IN (SELECT vec_id FROM qids))
+         WHERE rn <= 4)""",
+      """cand AS (
+         SELECT q_id, a.vec_id FROM qprobes p
+         JOIN assigned a ON a.c_id = p.c_id
+         WHERE a.vec_id != p.q_id)""",
+      """scored AS (
+         SELECT cand.q_id, cand.vec_id,
+           list_sum(list_transform(list_zip(uq.v, uc.v), p -> p[1] * p[2])) AS cosine
+         FROM cand
+         JOIN u uq ON uq.vec_id = cand.q_id
+         JOIN u uc ON uc.vec_id = cand.vec_id)""")
+    (head ++ perIter ++ serve).mkString("WITH ", ",\n", "\n") +
+      """SELECT q_id, vec_id, cosine, CAST(rk AS INTEGER) AS rk FROM (
+         SELECT q_id, vec_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY cosine DESC, vec_id ASC) AS rk
+         FROM scored)
+       WHERE rk <= 10"""
+  }
 
   /** DuckDB replay of the persisted-PQ serve path (q156, and the
     * q160 streaming / q161 incremental twins): full-build codes,
@@ -2273,6 +2362,10 @@ object SparkEntry {
     // from-scratch build. One oracle text, three entries.
     "q160_pq_serve_stream" -> pqPersistedServeOracle,
     "q161_pq_incremental" -> pqPersistedServeOracle,
+    // q163: trained-IVF — generated Lloyd's-loop CTE replay with the
+    // pico-exact mean (see ivfTrainedOracleSql); iters must equal the
+    // Spark default.
+    "q163_ivf_trained" -> ivfTrainedOracleSql(3),
     "q40_lang_id" -> langIdOracle,
     // q61: rank rows 1..k per doc by the exact IDF ratio — ln-free so
     // the score is one bit-portable double division; row_number under

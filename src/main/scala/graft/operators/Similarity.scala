@@ -163,10 +163,17 @@ object Similarity {
     * Init = the seeded codebook, fixed iteration count; empty cells
     * keep their previous centroid.
     *
-    * NOT the oracle path: double mean accumulation order varies with
-    * partitioning, so the trained codebook is deliberately kept out of
-    * q32 (which stays on [[seededCodebook]]); SimilaritySpec asserts
-    * training does not lose recall vs the seeded book.
+    * ORACLE-EXACT (round-10): each coordinate FLOORS to integer
+    * PICO-units (×10¹²) before the per-(cell, position) sum — the
+    * accumulation is then a BIGINT Σ, order-independent where the
+    * previous `avg(double)` varied with partitioning, and the mean is
+    * ONE double division `Σ_pico / (n · 10¹²)` — so the trained book
+    * (and everything downstream of it) is bit-reproducible and
+    * DuckDB-replayable (q163's per-iteration CTE chain, the q153/q155
+    * pico precedent). Quantization error is 10⁻¹² per coordinate —
+    * far below the 10⁻³-scale coordinate noise k-means is averaging
+    * over; recall is unaffected (SimilaritySpec's structured-data
+    * floor).
     *
     * At 100 TB: train on a corpus SAMPLE (pass `corpus.sample(...)`),
     * then assign the full corpus once — the standard IVF build.
@@ -187,8 +194,13 @@ object Similarity {
         val assigned = assignCells(c, cents).join(c, "vec_id")
         val means = assigned
           .select(col("c_id"), posexplode(col("u")).as(Seq("pos", "x")))
+          // exact fixed-point accumulate; ONE division so the double
+          // rounding sequence is identical in the SQL replay
+          .select(col("c_id"), col("pos"),
+            floor(col("x") * lit(1.0e12)).cast("long").as("xq"))
           .groupBy(col("c_id"), col("pos"))
-          .agg(avg(col("x")).as("mx"))
+          .agg((sum(col("xq")).cast("double") /
+            (count(lit(1)).cast("double") * lit(1.0e12))).as("mx"))
           .groupBy(col("c_id"))
           .agg(transform(
             array_sort(collect_list(struct(col("pos"), col("mx")))),
@@ -202,6 +214,31 @@ object Similarity {
       }
       cents
     } finally c.unpersist()
+  }
+
+  /** The q163 driver entry: IVF served from a LLOYD'S-TRAINED
+    * codebook — the extension the seeded-book q32 deliberately left
+    * open ([[annIvfWithCodebook]] "a trained book drops in"). At
+    * 100 TB the seeded book is the weak link: cell sizes track
+    * whatever the first `clusters` vectors happened to be, so hot
+    * cells make probing scan far more than probes/clusters of the
+    * corpus; trained centroids equalize cell mass and sharpen
+    * boundaries (recall floor pinned in SimilaritySpec on structured
+    * data). The serve plan is IDENTICAL to q32's — training changes
+    * the codebook frame, not the operator shape — and the whole
+    * train+serve pipeline is exactly DuckDB-replayable thanks to the
+    * pico-exact mean (oracle: per-iteration CTE chain, q155's
+    * generated-replay precedent).
+    */
+  def annIvfTrained(
+      spark: SparkSession, sfDir: String,
+      numQueries: Int = 5, k: Int = 10,
+      clusters: Int = ivfClusters, probes: Int = ivfProbes,
+      iters: Int = 3): DataFrame = {
+    val corpus = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), Vectors.l2normalize(col("embedding")).as("u"))
+    annIvfWithCodebook(spark, sfDir,
+      kmeansCodebook(corpus, clusters, iters), numQueries, k, probes)
   }
 
   /** (vec_id, c_id) nearest-centroid assignment against a broadcast
@@ -406,16 +443,12 @@ object Similarity {
       val (codes, cents) = pqIndex(spark, sfDir)
       codes.write.mode("overwrite").parquet(s"$dir/codes")
       cents.write.mode("overwrite").parquet(s"$dir/books")
-      val embSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("vec_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("embedding",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType)),
-        org.apache.spark.sql.types.StructField("label",
-          org.apache.spark.sql.types.IntegerType)))
+      // stream schema probed from the file's batch schema (the same
+      // adaptive contract as EventStream.readEvents — never declare a
+      // physical encoding blind)
+      val embBatch = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val served = s"$dir/served"
-      val q = spark.readStream.schema(embSchema)
+      val q = spark.readStream.schema(embBatch.schema)
         .option("pathGlobFilter", "embeddings.parquet").parquet(sfDir)
         .where(col("vec_id") < numQueries)
         .select(col("vec_id").as("q_id"),
@@ -432,17 +465,22 @@ object Similarity {
         .start()
       q.awaitTermination()
       // an empty query stream never fires a batch, so the sink dir is
-      // never created — the served frame is then legitimately empty
+      // never created — the served frame is then legitimately empty.
+      // Its schema is DERIVED from the serve plan over a zero-row
+      // query frame (analysis only, nothing executes), so the serve
+      // contract has exactly one definition (round-9 nit: the previous
+      // field-by-field literal here could silently drift from servePq).
       if (new java.io.File(served).exists()) spark.read.parquet(served)
       else {
-        import org.apache.spark.sql.types._
+        val emptyQueries = embBatch
+          .where(col("vec_id") < numQueries)
+          .select(col("vec_id").as("q_id"),
+            Vectors.l2normalize(col("embedding")).as("q"))
+          .limit(0)
+        val servedSchema =
+          servePq(spark, s"$dir/codes", s"$dir/books", emptyQueries, k).schema
         spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(
-            StructField("q_id", LongType),
-            StructField("vec_id", LongType),
-            StructField("adc_pico", LongType),
-            StructField("rn", IntegerType))))
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], servedSchema)
       }
     }
 

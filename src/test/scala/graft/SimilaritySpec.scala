@@ -254,6 +254,40 @@ class SimilaritySpec extends AnyFunSuite {
       s"centroid ${r.getLong(0)} norm ${r.getDouble(1)}"))
   }
 
+  test("trained codebook beats seeded on cell balance (q163's reason to exist)") {
+    // the 100 TB claim behind q163: probing cost tracks the LARGEST
+    // probed cells, so a balanced partition is the difference between
+    // scanning ~probes/clusters of the corpus and scanning a hot cell
+    // that holds half of it. Lloyd's iterations move centroids toward
+    // cell mass; the assignment histogram must flatten vs the seeded
+    // book on the live fixture. Measured as the coefficient-of-
+    // variation (σ/μ) of cell sizes — scale-free, and μ is identical
+    // for both books by construction.
+    import graft.operators.Similarity._
+    import graft.sources.Tables
+    val corpus = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), Vectors.l2normalize(col("embedding")).as("u"))
+    def cellCv(cents: org.apache.spark.sql.DataFrame): Double = {
+      val sizes = assignCells(corpus, cents)
+        .groupBy(col("c_id")).count().collect().map(_.getLong(1).toDouble)
+      // unassigned cells (possible for a bad book) count as size 0
+      val all = sizes ++ Array.fill(ivfClusters - sizes.length)(0.0)
+      val mu = all.sum / all.length
+      math.sqrt(all.map(x => (x - mu) * (x - mu)).sum / all.length) / mu
+    }
+    val seededCv = cellCv(seededCodebook(corpus))
+    val trainedCv = cellCv(kmeansCodebook(corpus, iters = 3))
+    assert(trainedCv < seededCv,
+      s"training did not flatten cells: trained cv=$trainedCv seeded cv=$seededCv")
+  }
+
+  test("q163 trained-IVF output has the q32 shape and full per-query depth") {
+    val out = Similarity.annIvfTrained(spark, sf).collect()
+    assert(out.length == 50) // 5 queries x k=10
+    assert(out.map(_.getLong(0)).distinct.length == 5)
+    out.foreach(r => assert(r.getLong(0) != r.getLong(1), "self-match leaked"))
+  }
+
   test("LSH bucket is deterministic across evaluations") {
     val e = graft.sources.Tables.load(spark, sf, "embeddings").limit(50)
       .select(col("vec_id"), Similarity.lshBucket(col("embedding")).as("b"))
