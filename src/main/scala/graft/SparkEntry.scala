@@ -120,6 +120,10 @@ object SparkEntry {
       TrainingPrep.leakageFreeSplit(s, d)),
     "q163_ivf_trained" -> ((s: SparkSession, d: String) =>
       Similarity.annIvfTrained(s, d)),
+    "q164_bpe_bytes" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeTrainBytes(s, d)),
+    "q165_substr_spans" -> ((s: SparkSession, d: String) =>
+      Dedup.substringSpanDedup(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -254,6 +258,54 @@ object SparkEntry {
           l || r AS merged, n FROM p$r""")
     (Seq(s0) ++ perRound).mkString("WITH ", ",\n", "\n") +
       selects.mkString(" UNION ALL ") + " ORDER BY merge_round"
+  }
+
+  /** Generated DuckDB replay of TextAnalysis.bpeTrainBytes (q164):
+    * the q155 CTE chain over hex-pair byte symbols — s0 hexes the
+    * UTF-8 encoding and wraps each two-char pair in sentinels; v0
+    * counts the observed base alphabet; the final select filters the
+    * per-round argmax rows to the vocab-target stop computed IN SQL
+    * (least(maxRounds, greatest(0, target - v0))), the identical
+    * arithmetic the Spark side applies before looping. Both engines
+    * render hex uppercase, so symbols compare byte-for-byte.
+    */
+  private def bpeTrainBytesOracleSql(
+      vocabTarget: Int, maxRounds: Int): String = {
+    val s0 =
+      """s0 AS MATERIALIZED (
+           SELECT regexp_replace(hex(encode(text)), '(..)',
+                                 chr(1) || '\1' || chr(1), 'g') AS stream
+           FROM documents WHERE octet_length(encode(text)) >= 2)"""
+    val v0 =
+      """v0 AS MATERIALIZED (
+           SELECT COUNT(DISTINCT s) AS v FROM (
+             SELECT unnest(string_split(trim(stream, chr(1)),
+                                        chr(1)||chr(1))) AS s FROM s0))"""
+    val perRound = (1 to maxRounds).flatMap { r =>
+      Seq(
+        s"""p$r AS MATERIALIZED (
+           SELECT l, r, COUNT(*) AS n FROM (
+             SELECT syms[i] AS l, syms[i+1] AS r FROM
+               (SELECT string_split(trim(stream, chr(1)), chr(1)||chr(1))
+                  AS syms FROM s${r - 1}) t,
+               UNNEST(range(1, len(syms))) u(i))
+           GROUP BY 1, 2 ORDER BY n DESC, l ASC, r ASC LIMIT 1)""",
+        s"""s$r AS MATERIALIZED (
+           SELECT replace(s${r - 1}.stream,
+                          chr(1) || p$r.l || chr(1) || chr(1) || p$r.r || chr(1),
+                          chr(1) || p$r.l || p$r.r || chr(1)) AS stream
+           FROM s${r - 1}, p$r)""")
+    }
+    val unions = (1 to maxRounds).map(r =>
+      s"""SELECT $r AS merge_round, l AS left_sym, r AS right_sym,
+          l || r AS merged, n FROM p$r""").mkString(" UNION ALL ")
+    (Seq(s0, v0) ++ perRound).mkString("WITH ", ",\n", "\n") +
+      s"""SELECT merge_round, left_sym, right_sym, merged, n,
+          v0.v + merge_round AS vocab_size
+          FROM ($unions) m, v0
+          WHERE merge_round <=
+            least($maxRounds, greatest(0, $vocabTarget - v0.v))
+          ORDER BY merge_round"""
   }
 
   /** Generated DuckDB replay of TextAnalysis.bpeEncode (q157): the
@@ -1238,6 +1290,56 @@ object SparkEntry {
     // q155: the full BPE merge loop — generated N-round CTE replay
     // (see bpeTrainOracleSql); rounds must equal the Spark default.
     "q155_bpe_train" -> bpeTrainOracleSql(20),
+    // q164: byte-level BPE with the vocab-size stop — the CTE chain
+    // runs the maxRounds ceiling, the tail select applies the stop
+    // from the in-SQL base-vocab count (params must equal the Spark
+    // defaults: vocabTarget=33, maxRounds=12).
+    "q164_bpe_bytes" -> bpeTrainBytesOracleSql(33, 12),
+    // q165: exact substring-span dedup — the four-stage replay
+    // (rolling md5 grams, corpus-wide dup filter, gaps-and-islands
+    // span merge, per-doc audit); spanLen/minCount must equal the
+    // Spark defaults (50, 2). Islands SUM stays internal so the
+    // HUGEINT trap never reaches the output (all output aggregates
+    // CAST to BIGINT).
+    "q165_substr_spans" ->
+      """WITH docs AS MATERIALIZED (
+           SELECT doc_id, text FROM documents WHERE length(text) >= 50),
+         pos AS MATERIALIZED (
+           SELECT doc_id, CAST(i AS BIGINT) AS i,
+                  md5(substr(text, CAST(i AS INT), 50)) AS h
+           FROM docs, UNNEST(range(1, length(text) - 50 + 2)) t(i)),
+         dup AS MATERIALIZED (
+           SELECT h FROM pos GROUP BY h HAVING COUNT(*) >= 2),
+         dp AS (
+           SELECT doc_id, i, i + 50 AS e FROM pos
+           WHERE h IN (SELECT h FROM dup)),
+         isl AS (
+           SELECT doc_id, i, e,
+             CASE WHEN prev_max_e IS NULL OR i > prev_max_e
+                  THEN 1 ELSE 0 END AS brk
+           FROM (SELECT doc_id, i, e,
+                   MAX(e) OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS prev_max_e
+                 FROM dp)),
+         isl2 AS (
+           SELECT doc_id, i, e,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM isl),
+         spans AS (
+           SELECT doc_id, island, MIN(i) AS s, MAX(e) AS e
+           FROM isl2 GROUP BY 1, 2),
+         per_doc AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+                  CAST(SUM(e - s) AS BIGINT) AS dup_chars
+           FROM spans GROUP BY 1)
+         SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+           COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+           COALESCE(p.dup_chars, 0) AS dup_chars,
+           CAST(COALESCE(p.dup_chars, 0) AS DOUBLE) /
+             CAST(length(d.text) AS DOUBLE) AS dup_frac
+         FROM docs d LEFT JOIN per_doc p USING (doc_id)""",
     // q157: apply the q155-trained merges corpus-wide — the oracle
     // replays the training chain (doc_id carried) and reads the final
     // round's streams as the encoding.

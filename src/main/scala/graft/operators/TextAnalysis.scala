@@ -359,16 +359,32 @@ object TextAnalysis {
   def bpeTrainOn(
       spark: SparkSession, docs: DataFrame, rounds: Int): DataFrame = {
     val SEP = "\u0001"
-    var streams = docs
+    val streams = docs
       .where(length(col("text")) >= 2)
       .select(regexp_replace(col("text"), "(?s)(.)", SEP + "$1" + SEP)
         .as("stream"))
+    import spark.implicits._
+    bpeMergeLoop(streams, rounds)
+      .toDF("merge_round", "left_sym", "right_sym", "merged", "n")
+  }
+
+  /** The shared BPE merge loop over an already-symbolized sentinel
+    * stream (one row per doc, column `stream`): the symbol ALPHABET
+    * is the caller's choice — codepoints for q155's `bpeTrainOn`,
+    * UTF-8 bytes rendered as hex pairs for q164's `bpeTrainBytesOn` —
+    * while the count/argmax/replace round and its checkpoint cadence
+    * live here once, shared between the two trainers.
+    */
+  private def bpeMergeLoop(streams0: DataFrame, rounds: Int)
+      : Seq[(Int, String, String, String, Long)] = {
+    val SEP = "\u0001"
+    var streams = streams0
       // spread the streams across the full core count ONCE, up front:
       // a small corpus reads as 1-2 parquet splits, and localCheckpoint
       // pins whatever partitioning it sees — without this every round's
       // pair-count scan runs on those 1-2 cores while the rest idle
       // (sf0.1 fresh-JVM median 27.1 s → 7.9 s from this one line)
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .repartition(streams0.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint(true)
     // the one frame holding checkpointed blocks — everything between
     // checkpoints is a plain unmaterialized chain on top of it
@@ -411,9 +427,72 @@ object TextAnalysis {
       }
     }
     lastCkpt.unpersist()
-    import spark.implicits._
     merges.result()
+  }
+
+  /** The q164 driver entry: BYTE-LEVEL BPE trainer with a vocab-size
+    * stop — the production-tokenizer variant of q155. Two deltas from
+    * the codepoint trainer, both straight from Sennrich-descendant
+    * practice (the GPT-2 tokenizer lineage): (1) the base alphabet is
+    * UTF-8 BYTES, so the base vocab is at most 256 and NO input can
+    * ever be out-of-vocabulary — a codepoint trainer meeting an
+    * unseen char at encode time has no symbol for it, a byte trainer
+    * never can; (2) training stops when the vocabulary (base bytes
+    * observed + one new symbol per merge) reaches `vocabTarget`, the
+    * way real tokenizers are sized, rather than after a fixed merge
+    * count (`maxRounds` stays as a hard ceiling so an oversized
+    * target cannot loop unbounded).
+    *
+    * Byte symbols render as UPPERCASE HEX PAIRS ("41", "C3"):
+    * `hex(encode(text, UTF-8))` then one regexp wraps each pair in
+    * the q155 sentinels, after which the SAME merge loop runs
+    * unchanged (merged symbols are concatenated hex, unambiguous
+    * because every atom is exactly two hex chars). Both engines
+    * uppercase hex identically, so the DuckDB oracle replays the loop
+    * with `hex(encode(text))` through the same static CTE chain as
+    * q155, with the effective round count computed IN SQL from the
+    * observed base-vocab size: rows filter to
+    * `merge_round <= least(maxRounds, greatest(0, target - v0))`,
+    * the exact arithmetic the Spark side applies before looping.
+    *
+    * Scale shape: identical to q155 (per-round shuffle bounded by the
+    * distinct-pair domain, <= vocab squared, never the corpus; one
+    * argmax row to the driver per round). The hex rendering doubles
+    * stream chars for ASCII but the symbol count equals the byte
+    * count, so per-round cost tracks corpus bytes — the same
+    * asymptote as codepoints.
+    */
+  def bpeTrainBytes(
+      spark: SparkSession, sfDir: String,
+      vocabTarget: Int = 33, maxRounds: Int = 12): DataFrame =
+    bpeTrainBytesOn(spark,
+      Tables.load(spark, sfDir, "documents").select(col("text")),
+      vocabTarget, maxRounds)
+
+  /** The byte trainer over any one-string-column corpus (spec entry
+    * point: pins the byte-vs-codepoint divergence on non-ASCII
+    * literals and the vocab-size stop on a crafted alphabet).
+    */
+  def bpeTrainBytesOn(
+      spark: SparkSession, docs: DataFrame,
+      vocabTarget: Int, maxRounds: Int): DataFrame = {
+    val SEP = "\u0001"
+    val streams = docs
+      .where(octet_length(col("text")) >= 2)
+      .select(regexp_replace(hex(encode(col("text"), "UTF-8")),
+        "(..)", SEP + "$1" + SEP).as("stream"))
+    // observed base vocabulary: distinct bytes present in the corpus
+    // (<= 256 by construction) — the v0 the stop criterion counts
+    // from. One extra corpus scan up front, the oracle's v0 CTE twin.
+    val v0 = streams
+      .select(explode(split(btrim(col("stream"), lit(SEP)), SEP + SEP))
+        .as("s"))
+      .agg(count_distinct(col("s"))).head().getLong(0)
+    val rounds = math.min(maxRounds.toLong, math.max(0L, vocabTarget - v0))
+    import spark.implicits._
+    bpeMergeLoop(streams, rounds.toInt)
       .toDF("merge_round", "left_sym", "right_sym", "merged", "n")
+      .withColumn("vocab_size", lit(v0) + col("merge_round"))
   }
 
   /** The q157 driver entry: BPE tokenizer APPLICATION — the serving

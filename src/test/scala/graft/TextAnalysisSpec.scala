@@ -268,4 +268,44 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_punct") == 2)       // , and !
     assert(r.getAs[Double]("stopword_ratio") == 0.5)
   }
+
+  test("byte bpe: non-ASCII splits to UTF-8 bytes where the codepoint trainer cannot") {
+    // "\u00e9\u00e9" is TWO codepoint symbols but FOUR byte symbols
+    // (C3 A9 C3 A9): the byte trainer sees the intra-char pair
+    // (A9,C3) and counts (C3,A9) across char boundaries, so its
+    // round-1 merge is the UTF-8 encoding of \u00e9 itself — a merge
+    // the codepoint trainer can never learn (it has no sub-char
+    // symbols). This is the no-OOV property in miniature.
+    val docs = Seq("\u00e9\u00e9", "\u00e9x").toDF("text")
+    val byteR1 = graft.operators.TextAnalysis
+      .bpeTrainBytesOn(spark, docs, vocabTarget = 300, maxRounds = 1)
+      .collect()
+    assert(byteR1.length == 1)
+    assert(byteR1.head.getString(1) == "C3" &&
+      byteR1.head.getString(2) == "A9" &&
+      byteR1.head.getString(3) == "C3A9" &&
+      byteR1.head.getLong(4) == 3L)          // 2 in "\u00e9\u00e9" + 1 in "\u00e9x"
+    // base vocab = {C3, A9, 78} = 3 observed bytes; one merge -> 4
+    assert(byteR1.head.getLong(5) == 4L)
+    val cpR1 = graft.operators.TextAnalysis
+      .bpeTrainOn(spark, docs, rounds = 1).collect()
+    // codepoint argmax at the all-ties count 1 is (\u00e9, x) — 'x'
+    // precedes '\u00e9' in codepoint order — a whole-char pair either
+    // way: no codepoint merge can ever be the sub-char "C3A9"
+    assert(cpR1.head.getString(3) == "\u00e9x")
+  }
+
+  test("byte bpe: vocab-size target stops training, maxRounds stays a ceiling") {
+    val docs = Seq("ababab", "abab").toDF("text")   // bytes {61, 62}, v0=2
+    def train(target: Int, cap: Int) = graft.operators.TextAnalysis
+      .bpeTrainBytesOn(spark, docs, vocabTarget = target, maxRounds = cap)
+      .collect()
+    assert(train(2, 10).isEmpty)                     // already at target
+    val one = train(3, 10)                           // exactly one merge
+    assert(one.length == 1 &&
+      one.head.getString(3) == "6162" &&             // "ab" as hex bytes
+      one.head.getLong(5) == 3L)
+    val capped = train(100, 2)                       // ceiling binds first
+    assert(capped.length == 2)
+  }
 }
