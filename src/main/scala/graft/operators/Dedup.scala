@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -987,5 +988,85 @@ object Dedup {
         col("kept_for").isNotNull.as("is_dup"),
         coalesce(col("kept_for"), lit(-1L)).as("kept_for"),
         coalesce(col("max_sim_micro"), lit(-1L)).as("max_sim_micro"))
+  }
+
+  /** The q165 driver entry: EXACT SUBSTRING duplication audit — the
+    * span-level dedup of Lee et al. 2022 ("Deduplicating Training
+    * Data Makes Language Models Better"), which removes VERBATIM
+    * repeated passages (boilerplate, licenses, templated spans) that
+    * document-level dedup (q20) and near-dup dedup (q22) both miss:
+    * two long documents sharing one 200-char license paragraph are
+    * not near-dups, yet the paragraph trains badly. The paper's
+    * single-node suffix array becomes, Spark-first, a rolling
+    * fixed-length fingerprint pipeline:
+    *
+    *  1. every position emits md5(substr(text, i, spanLen)) — a
+    *     16-byte digest per character, linear in corpus bytes;
+    *  2. digests repeated >= minCount times corpus-wide are the
+    *     duplicated grams (one count aggregate keyed on the digest —
+    *     text never enters the exchange, the q100 discipline);
+    *  3. a doc's duplicated positions merge into maximal SPANS via
+    *     the gaps-and-islands window (q123's device, exclusive ends
+    *     so runs of overlapping grams coalesce into one span);
+    *  4. per-doc audit: span count, duplicated chars, duplicated
+    *     fraction (one IEEE division of two exact longs).
+    *
+    * Scale shape: the position fan-out is the honest cost — L-
+    * independent, one row per corpus character, exactly the suffix-
+    * array construction cost the paper pays single-node, here
+    * embarrassingly parallel. The duplicated-gram table is the small
+    * side (dup fraction of the corpus) and BROADCASTs back against
+    * the position stream; only DUPLICATED positions (tiny) reach the
+    * per-doc island window. At 100 TB the digest-count pass shards
+    * by hash range — the distributed analogue of the paper's
+    * segmented suffix arrays — and a removal pass composes with
+    * substr surgery on the span table exactly as q100 reassembles
+    * de-boilerplated lines.
+    *
+    * Portability: md5 is lowercase hex in both engines; substr is
+    * 1-based char semantics in both (q96's envelope); all span
+    * arithmetic is integer; dup_frac is a single division of exact
+    * longs. The oracle replays the identical four stages.
+    */
+  def substringSpanDedup(
+      spark: SparkSession, sfDir: String,
+      spanLen: Int = 50, minCount: Int = 2): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .where(length(col("text")) >= spanLen)
+    val pos = docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - lit(spanLen) + 1))
+          .as("i"))
+      .select(col("doc_id"), col("i"),
+        md5(col("text").substr(col("i"), lit(spanLen))).as("h"))
+    val dupHashes = pos.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .select(col("h"))
+    val dupPos = pos.join(broadcast(dupHashes), "h")
+      .select(col("doc_id"), col("i"))
+    val order = Window.partitionBy(col("doc_id")).orderBy(col("i").asc)
+    val prevW = order.rowsBetween(Window.unboundedPreceding, -1)
+    val cumW = order.rowsBetween(Window.unboundedPreceding, 0)
+    val islands = dupPos
+      .withColumn("e", col("i") + lit(spanLen))   // exclusive end
+      .withColumn("prev_max_e", max(col("e")).over(prevW))
+      .withColumn("brk",
+        when(col("prev_max_e").isNull ||
+          col("i") > col("prev_max_e"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(cumW))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("i")).as("s"), max(col("e")).as("e"))
+    val perDoc = islands.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s")).cast("long").as("dup_chars"))
+    docs.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+      .withColumn("dup_frac",
+        col("dup_chars").cast("double") / col("n_chars").cast("double"))
   }
 }

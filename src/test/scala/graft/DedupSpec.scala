@@ -486,4 +486,30 @@ class DedupSpec extends AnyFunSuite {
     // the all-pairs square
     assert(pairs.nonEmpty || dups.isEmpty)
   }
+
+  test("substring-span dedup: overlapping grams merge via exclusive ends; within-doc repeats count") {
+    // spanLen=4, minCount=2 on crafted literals:
+    //  A="XXXXAB"     : "XXXX" at pos 1 (also in B)     -> span [1,5)
+    //  B="ZZXXXXQQ"   : "XXXX" at pos 3                 -> span [3,7)
+    //  C="ABCDEABCDE" : "ABCD"@{1,6}, "BCDE"@{2,7} all WITHIN one
+    //    doc (minCount counts total occurrences, not distinct docs);
+    //    positions {1,2,6,7} chain through the exclusive-end rule
+    //    (6 is NOT > prev_max_e=6) into ONE span [1,11) = the whole
+    //    doc — the adjacency case a closed-end merge would split
+    //  D="QWERTYUIOP" : no repeated gram -> zero spans, frac 0.0
+    Seq((1L, "XXXXAB"), (2L, "ZZXXXXQQ"), (3L, "ABCDEABCDE"),
+        (4L, "QWERTYUIOP")).toDF("doc_id", "text")
+      .write.mode("overwrite")
+      .parquet("/tmp/graft-substr-test/documents.parquet")
+    val got = Dedup.substringSpanDedup(spark, "/tmp/graft-substr-test",
+        spanLen = 4, minCount = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got(1L) == ((6L, 1L, 4L, 4.0 / 6.0)))
+    assert(got(2L) == ((8L, 1L, 4L, 4.0 / 8.0)))
+    assert(got(3L) == ((10L, 1L, 10L, 1.0)))
+    assert(got(4L) == ((10L, 0L, 0L, 0.0)))
+  }
 }
