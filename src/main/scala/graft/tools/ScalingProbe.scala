@@ -221,7 +221,32 @@ object ScalingProbe {
       println(f"[scale] $name%-28s ratio ${r}%6.2f (linear=$k, quadratic=${k * k})")
       name -> r
     }
-    println(ratios.map { case (n, r) => f"$n=$r%.2f" }.mkString("[scale] RATIOS ", " ", ""))
+    // PQ SERVE-ONLY probe: q156 above times build+serve together, so
+    // the serve path's own scaling (the per-batch cost a deployment
+    // pays forever) is masked by the one-time build. Here the index
+    // is built OUTSIDE the timed region for both corpora and only
+    // servePq runs on the clock — the ratio isolates the ADC scan
+    // over a codes file grown Kx against a fixed 5-query batch.
+    val serveOnly =
+      if (!only.forall(_.contains("q156_pq_serve_only"))) Seq.empty
+      else {
+        def timedServe(d: String, label: String): Double = {
+          val idx = s"/tmp/graft-scale-pq-$label"
+          val (codes, cents) = graft.operators.Similarity.pqIndex(spark, d)
+          codes.write.mode("overwrite").parquet(s"$idx/codes")
+          cents.write.mode("overwrite").parquet(s"$idx/books")
+          time(s"q156_pq_serve_only @$label")(
+            graft.operators.Similarity.servePq(spark, s"$idx/codes",
+              s"$idx/books", graft.operators.Similarity.queries(spark, d, 5),
+              k = 10))
+        }
+        val t1 = timedServe(src, "1x")
+        val tk = timedServe(big, s"${k}x")
+        val r = tk / t1
+        println(f"[scale] q156_pq_serve_only          ratio ${r}%6.2f (linear=$k, quadratic=${k * k})")
+        Seq("q156_pq_serve_only" -> r)
+      }
+    println((ratios ++ serveOnly).map { case (n, r) => f"$n=$r%.2f" }.mkString("[scale] RATIOS ", " ", ""))
     spark.stop()
   }
 }
