@@ -124,6 +124,10 @@ object SparkEntry {
       TextAnalysis.bpeTrainBytes(s, d)),
     "q165_substr_spans" -> ((s: SparkSession, d: String) =>
       Dedup.substringSpanDedup(s, d)),
+    "q166_chunking" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.chunkDocuments(s, d)),
+    "q167_backoff_lm" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.backoffLmScore(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -1340,6 +1344,87 @@ object SparkEntry {
            CAST(COALESCE(p.dup_chars, 0) AS DOUBLE) /
              CAST(length(d.text) AS DOUBLE) AS dup_frac
          FROM docs d LEFT JOIN per_doc p USING (doc_id)""",
+    // q166: overlapping chunking — pure per-row expression replay;
+    // chunkLen/stride must equal the Spark defaults (500, 400).
+    // Integer // division mirrors Spark's exact double-then-cast.
+    "q166_chunking" ->
+      """SELECT doc_id,
+           CAST((chunk_start - 1) // 400 AS BIGINT) AS chunk_idx,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           CAST(length(substr(text, CAST(chunk_start AS INT), 500))
+             AS BIGINT) AS chunk_len,
+           md5(CAST(doc_id AS VARCHAR) || ':' ||
+             CAST(chunk_start AS VARCHAR)) AS chunk_uid,
+           md5(substr(text, CAST(chunk_start AS INT), 500)) AS chunk_fp
+         FROM (SELECT doc_id, text,
+                 UNNEST(range(1, length(text) + 1, 400)) AS chunk_start
+               FROM documents WHERE length(text) >= 1)""",
+    // q167: Stupid Backoff trigram LM — count CTEs over the 'en'
+    // slice, five gram lookups, the 3/2/1/0 backoff CASE with the
+    // identical single-division-plus-literal-multiply branches, and
+    // the q141 micro-nat floor; all output aggregates CAST to BIGINT.
+    "q167_backoff_lm" ->
+      s"""WITH docs AS MATERIALIZED (
+           SELECT doc_id, lang, string_split($normText, ' ') AS toks
+           FROM documents),
+         d3 AS MATERIALIZED (SELECT * FROM docs WHERE len(toks) >= 3),
+         en3 AS MATERIALIZED (SELECT toks FROM d3 WHERE lang = 'en'),
+         uni AS MATERIALIZED (
+           SELECT w AS g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+             SELECT UNNEST(toks) AS w FROM en3) GROUP BY 1),
+         bi AS MATERIALIZED (
+           SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+             SELECT array_to_string(toks[i:i+1], ' ') AS g
+             FROM en3, UNNEST(range(1, len(toks))) u(i)) GROUP BY 1),
+         tri AS MATERIALIZED (
+           SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+             SELECT array_to_string(toks[i:i+2], ' ') AS g
+             FROM en3, UNNEST(range(1, len(toks) - 1)) u(i)) GROUP BY 1),
+         nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+         pos AS (
+           SELECT doc_id, lang,
+             array_to_string(toks[i:i+2], ' ') AS t3,
+             array_to_string(toks[i:i+1], ' ') AS ctx2,
+             array_to_string(toks[i+1:i+2], ' ') AS b2,
+             toks[i+1] AS w2, toks[i+2] AS w3
+           FROM d3, UNNEST(range(1, len(toks) - 1)) u(i)),
+         sc AS (
+           SELECT doc_id, lang,
+             CASE WHEN COALESCE(t.c, 0) > 0 THEN 3
+                  WHEN COALESCE(b2c.c, 0) > 0 THEN 2
+                  WHEN COALESCE(u3.c, 0) > 0 THEN 1 ELSE 0 END AS lvl,
+             CAST(floor(1000000.0 * ln(
+               CASE WHEN COALESCE(t.c, 0) > 0
+                      THEN CAST(t.c AS DOUBLE) / CAST(cx.c AS DOUBLE)
+                    WHEN COALESCE(b2c.c, 0) > 0
+                      THEN CAST(0.4 AS DOUBLE) *
+                        (CAST(b2c.c AS DOUBLE) / CAST(u2.c AS DOUBLE))
+                    WHEN COALESCE(u3.c, 0) > 0
+                      THEN CAST(0.16 AS DOUBLE) *
+                        (CAST(u3.c AS DOUBLE) / CAST(nt.n AS DOUBLE))
+                    ELSE CAST(0.16 AS DOUBLE) / CAST(nt.n AS DOUBLE)
+               END)) AS BIGINT) AS term
+           FROM pos p
+           LEFT JOIN tri t ON t.g = p.t3
+           LEFT JOIN bi cx ON cx.g = p.ctx2
+           LEFT JOIN bi b2c ON b2c.g = p.b2
+           LEFT JOIN uni u2 ON u2.g = p.w2
+           LEFT JOIN uni u3 ON u3.g = p.w3
+           CROSS JOIN nt)
+         SELECT doc_id, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tri_hits,
+           CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bi_backoff,
+           CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_uni_backoff,
+           CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(term) AS BIGINT) AS ll_micro,
+           CAST(-CAST(SUM(term) AS BIGINT) AS DOUBLE) /
+             (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS avg_nll
+         FROM sc GROUP BY doc_id, lang""",
     // q157: apply the q155-trained merges corpus-wide — the oracle
     // replays the training chain (doc_id carried) and reads the final
     // round's streams as the encoding.

@@ -364,9 +364,24 @@ object TextAnalysis {
       .select(regexp_replace(col("text"), "(?s)(.)", SEP + "$1" + SEP)
         .as("stream"))
     import spark.implicits._
-    bpeMergeLoop(streams, rounds)
+    bpeMergeLoop(checkpointStreams(streams), rounds)
       .toDF("merge_round", "left_sym", "right_sym", "merged", "n")
   }
+
+  /** Spread a symbolized stream across the full core count ONCE, up
+    * front, and pin it: a small corpus reads as 1-2 parquet splits,
+    * and localCheckpoint pins whatever partitioning it sees — without
+    * this every per-round pair-count scan runs on those 1-2 cores
+    * while the rest idle (sf0.1 fresh-JVM median 27.1 s → 7.9 s from
+    * this one line). Callers checkpoint BEFORE the loop so any
+    * pre-loop scan of the stream (q164's base-vocab count) reads the
+    * distributed, materialized copy instead of re-running the
+    * symbolizer regex on the raw splits.
+    */
+  private def checkpointStreams(streams: DataFrame): DataFrame =
+    streams
+      .repartition(streams.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
 
   /** The shared BPE merge loop over an already-symbolized sentinel
     * stream (one row per doc, column `stream`): the symbol ALPHABET
@@ -378,16 +393,10 @@ object TextAnalysis {
   private def bpeMergeLoop(streams0: DataFrame, rounds: Int)
       : Seq[(Int, String, String, String, Long)] = {
     val SEP = "\u0001"
+    // streams0 arrives checkpointed (checkpointStreams); lastCkpt
+    // tracks the one frame holding checkpointed blocks — everything
+    // between checkpoints is a plain unmaterialized chain on top of it
     var streams = streams0
-      // spread the streams across the full core count ONCE, up front:
-      // a small corpus reads as 1-2 parquet splits, and localCheckpoint
-      // pins whatever partitioning it sees — without this every round's
-      // pair-count scan runs on those 1-2 cores while the rest idle
-      // (sf0.1 fresh-JVM median 27.1 s → 7.9 s from this one line)
-      .repartition(streams0.sparkSession.sparkContext.defaultParallelism)
-      .localCheckpoint(true)
-    // the one frame holding checkpointed blocks — everything between
-    // checkpoints is a plain unmaterialized chain on top of it
     var lastCkpt = streams
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var r = 1
@@ -477,13 +486,14 @@ object TextAnalysis {
       spark: SparkSession, docs: DataFrame,
       vocabTarget: Int, maxRounds: Int): DataFrame = {
     val SEP = "\u0001"
-    val streams = docs
+    val streams = checkpointStreams(docs
       .where(octet_length(col("text")) >= 2)
       .select(regexp_replace(hex(encode(col("text"), "UTF-8")),
-        "(..)", SEP + "$1" + SEP).as("stream"))
+        "(..)", SEP + "$1" + SEP).as("stream")))
     // observed base vocabulary: distinct bytes present in the corpus
     // (<= 256 by construction) — the v0 the stop criterion counts
-    // from. One extra corpus scan up front, the oracle's v0 CTE twin.
+    // from. Reads the checkpointed copy: one distributed scan, no
+    // re-run of the symbolizer regex. The oracle's v0 CTE twin.
     val v0 = streams
       .select(explode(split(btrim(col("stream"), lit(SEP)), SEP + SEP))
         .as("s"))
@@ -638,5 +648,98 @@ object TextAnalysis {
       .withColumn("avg_nll",
         (-col("ll_micro")).cast("double") /
           (col("n_bigrams").cast("double") * lit(1000000.0)))
+  }
+
+  /** The q167 driver entry: STUPID BACKOFF trigram LM scoring — the
+    * web-scale language model of Brants et al. 2007 ("Large Language
+    * Models in Machine Translation"), THE distributed n-gram recipe:
+    * no discounting, no normalization, just relative frequencies with
+    * a fixed 0.4 backoff factor per level — chosen in the paper
+    * precisely because it trains as pure distributed counting where
+    * Kneser-Ney needs global normalization passes. Word-level
+    * trigrams over the normalized token stream; the model trains on
+    * the 'en' slice (q141's reference-slice device) and scores every
+    * document:
+    *
+    *   S(w3 | w1 w2) = c(w1w2w3)/c(w1w2)        if the trigram is seen
+    *                 = 0.4  * c(w2w3)/c(w2)     else if the bigram is
+    *                 = 0.16 * c(w3)/N           else if the word is
+    *                 = 0.16 / N                 else (OOV)
+    *
+    * Each branch is one IEEE division plus at most one multiply by a
+    * shared literal — bit-portable — and each position's log-score
+    * floors to integer MICRO-NATS before summing (the q141 device):
+    * the per-doc total is an order-independent BIGINT. The output
+    * also counts positions per backoff level (trigram hit / bigram
+    * backoff / unigram backoff / OOV) — the model-coverage
+    * diagnostic a corpus-quality dashboard plots.
+    *
+    * Scale shape: count tables are n-gram-domain-bounded, not
+    * corpus-bounded, and BROADCAST here (fixture scale); at 100 TB
+    * they are count-threshold-pruned and hash-sharded across the
+    * cluster — Brants' distributed serving layout — making the five
+    * lookups shuffle joins keyed on the gram. The only per-corpus
+    * exchange is the final per-doc aggregate, map-side combined.
+    */
+  def backoffLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        split(normalizedText(col("text")), " ").as("toks"))
+      .where(size(col("toks")) >= 3)
+    val en = docs.where(col("lang") === "en")
+    def gramCounts(df: DataFrame, n: Int): DataFrame = df
+      .select(explode(transform(
+        sequence(lit(1), size(col("toks")) - (n - 1)),
+        i => array_join(slice(col("toks"), i, lit(n)), " "))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+    val tri = gramCounts(en, 3)
+    val bi = gramCounts(en, 2)
+    val uni = gramCounts(en, 1)
+    val nTot = uni.agg(sum(col("c")).cast("long").as("n"))
+    val pos = docs
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 2),
+          i => struct(
+            array_join(slice(col("toks"), i, lit(3)), " ").as("t3"),
+            array_join(slice(col("toks"), i, lit(2)), " ").as("ctx2"),
+            array_join(slice(col("toks"), i + 1, lit(2)), " ").as("b2"),
+            element_at(col("toks"), i + 1).as("w2"),
+            element_at(col("toks"), i + 2).as("w3")))).as("g"))
+      .select(col("doc_id"), col("lang"), col("g.*"))
+    def lookup(t: DataFrame, key: String, cnt: String) =
+      t.select(col("g").as(key), col("c").as(cnt))
+    val joined = pos
+      .join(broadcast(lookup(tri, "t3", "c3")), Seq("t3"), "left")
+      .join(broadcast(lookup(bi, "ctx2", "cctx")), Seq("ctx2"), "left")
+      .join(broadcast(lookup(bi, "b2", "cb2")), Seq("b2"), "left")
+      .join(broadcast(lookup(uni, "w2", "cw2")), Seq("w2"), "left")
+      .join(broadcast(lookup(uni, "w3", "cw3")), Seq("w3"), "left")
+      .crossJoin(broadcast(nTot))
+    val s =
+      when(coalesce(col("c3"), lit(0L)) > 0,
+        col("c3").cast("double") / col("cctx").cast("double"))
+      .when(coalesce(col("cb2"), lit(0L)) > 0,
+        lit(0.4) * (col("cb2").cast("double") / col("cw2").cast("double")))
+      .when(coalesce(col("cw3"), lit(0L)) > 0,
+        lit(0.16) * (col("cw3").cast("double") / col("n").cast("double")))
+      .otherwise(lit(0.16) / col("n").cast("double"))
+    val level =
+      when(coalesce(col("c3"), lit(0L)) > 0, lit(3))
+      .when(coalesce(col("cb2"), lit(0L)) > 0, lit(2))
+      .when(coalesce(col("cw3"), lit(0L)) > 0, lit(1))
+      .otherwise(lit(0))
+    joined
+      .withColumn("term", floor(lit(1000000.0) * log(s)).cast("long"))
+      .withColumn("lvl", level)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_tri_hits"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_bi_backoff"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_uni_backoff"),
+        sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_oov"),
+        sum(col("term")).as("ll_micro"))
+      .withColumn("avg_nll",
+        (-col("ll_micro")).cast("double") /
+          (col("n_trigrams").cast("double") * lit(1000000.0)))
   }
 }

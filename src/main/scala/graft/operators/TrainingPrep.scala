@@ -396,4 +396,42 @@ object TrainingPrep {
         floor(col("tokens_before").cast("double") / lit(budget.toDouble))
           .cast("long").as("shard"))
   }
+
+  /** The q166 driver entry: OVERLAPPING DOCUMENT CHUNKING — the
+    * context-window splitter every RAG index and long-document
+    * pretraining pipeline runs first: fixed-length character windows
+    * starting every `stride` chars (stride < chunkLen => consecutive
+    * chunks OVERLAP by chunkLen - stride, so a span near a boundary
+    * is wholly inside at least one chunk). Chunks carry two stable
+    * identities: `chunk_uid` = md5(doc_id ':' start) — the CONTENT
+    * ADDRESS downstream stores key on, stable under re-chunking
+    * unrelated docs (the q68 content-addressed discipline) — and
+    * `chunk_fp` = md5(chunk text), which pins the chunk's bytes under
+    * the cross-engine hash compare without shipping the text itself.
+    *
+    * Scale shape: scan -> sequence/explode -> project, ZERO shuffle
+    * and no window function — chunk starts derive from each row's own
+    * length, so a 100 TB corpus chunks embarrassingly parallel and
+    * the (overlap-amplified) output streams straight to the sink.
+    * The last chunk of a doc is naturally short (substr past the end
+    * truncates — identical semantics both engines); docs shorter than
+    * one stride yield exactly one chunk.
+    */
+  def chunkDocuments(
+      spark: SparkSession, sfDir: String,
+      chunkLen: Int = 500, stride: Int = 400): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .where(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")), lit(stride)))
+          .as("start"))
+      .select(col("doc_id"),
+        ((col("start") - 1) / lit(stride)).cast("long").as("chunk_idx"),
+        col("start").cast("long").as("chunk_start"),
+        length(col("text").substr(col("start"), lit(chunkLen)))
+          .cast("long").as("chunk_len"),
+        md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("start").cast("string"))).as("chunk_uid"),
+        md5(col("text").substr(col("start"), lit(chunkLen)))
+          .as("chunk_fp"))
 }

@@ -252,4 +252,65 @@ class TrainingPrepSpec extends AnyFunSuite {
     // has >= 2 members (else the test proves nothing)
     assert(clusterSizes.values.max >= 2)
   }
+
+  test("chunking: stride overlap, short tails, single-chunk docs, stable ids") {
+    Seq((1L, "ABCDEFGHIJKLMNOP"),   // 16 chars: starts 1, 9
+        (2L, "ABCDE"),              // 5 chars: one chunk, short
+        (3L, "ABCDEFGH"))           // len == stride: still one chunk
+      .toDF("doc_id", "text")
+      .write.mode("overwrite")
+      .parquet("/tmp/graft-chunk-test/documents.parquet")
+    val got = TrainingPrep.chunkDocuments(spark, "/tmp/graft-chunk-test",
+        chunkLen = 10, stride = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(got.size == 4)
+    // doc 1: [1,10] then [9,16] — 2-char overlap, tail len 8
+    assert(got((1L, 0L))._1 == 1L && got((1L, 0L))._2 == 10L)
+    assert(got((1L, 1L))._1 == 9L && got((1L, 1L))._2 == 8L)
+    // chunk_fp pins content: doc1 chunk0 is the first 10 chars
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got((1L, 0L))._4 == md5hex("ABCDEFGHIJ"))
+    assert(got((1L, 1L))._4 == md5hex("IJKLMNOP"))
+    // chunk_uid is the content address md5(doc_id:start)
+    assert(got((2L, 0L))._3 == md5hex("2:1"))
+    assert(got((2L, 0L))._2 == 5L)
+    assert(got((3L, 0L))._2 == 8L)
+    // scale shape: scan -> explode -> project, no Exchange anywhere
+    val plan = TrainingPrep.chunkDocuments(spark, SparkTestSession.sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("backoff LM: the four backoff levels score exactly as hand arithmetic") {
+    // training slice (en): uni a:2 b:2 c:1 d:1 (N=6);
+    // bi "a b":2 "b c":1 "b d":1; tri "a b c":1 "a b d":1
+    Seq((1L, "en", "a b c"), (2L, "en", "a b d"),
+        (3L, "xx", "a b c"),   // trigram hit:   ln(1/2)
+        (4L, "xx", "b a b"),   // bigram backoff: ln(0.4*(2/2))
+        (5L, "xx", "x y c"),   // unigram backoff: ln(0.16*(1/6))
+        (6L, "xx", "c c z"))   // OOV:            ln(0.16/6)
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite")
+      .parquet("/tmp/graft-backoff-test/documents.parquet")
+    val got = graft.operators.TextAnalysis
+      .backoffLmScore(spark, "/tmp/graft-backoff-test")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))
+      .toMap
+    def micro(s: Double) = math.floor(1e6 * math.log(s)).toLong
+    // (n_trigrams, tri_hits, bi_backoff, uni_backoff, oov, ll_micro)
+    assert(got(3L) == ((1L, 1L, 0L, 0L, 0L, micro(1.0 / 2.0))))
+    assert(got(4L) == ((1L, 0L, 1L, 0L, 0L, micro(0.4 * (2.0 / 2.0)))))
+    assert(got(5L) == ((1L, 0L, 0L, 1L, 0L, micro(0.16 * (1.0 / 6.0)))))
+    assert(got(6L) == ((1L, 0L, 0L, 0L, 1L, micro(0.16 / 6.0))))
+    // the en training docs score themselves as all-trigram-hits
+    assert(got(1L)._2 == 1L && got(2L)._2 == 1L)
+  }
 }
