@@ -128,6 +128,10 @@ object SparkEntry {
       TrainingPrep.chunkDocuments(s, d)),
     "q167_backoff_lm" -> ((s: SparkSession, d: String) =>
       TextAnalysis.backoffLmScore(s, d)),
+    "q168_bitext_mine" -> ((s: SparkSession, d: String) =>
+      Similarity.bitextMine(s, d)),
+    "q169_hard_negatives" -> ((s: SparkSession, d: String) =>
+      Similarity.hardNegatives(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -1425,6 +1429,66 @@ object SparkEntry {
            CAST(-CAST(SUM(term) AS BIGINT) AS DOUBLE) /
              (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS avg_nll
          FROM sc GROUP BY doc_id, lang""",
+    // q168: margin-based bitext mining — cosines via the bit-equal
+    // sequential-fold dot (q30 device) floored to micro-units ONCE,
+    // then integer top-k sums and one final division per pair;
+    // params must equal the Spark defaults (labels 0/1, k=4,
+    // marginPct=105; 800 = 100*2*k).
+    "q168_bitext_mine" ->
+      s"""WITH un AS MATERIALIZED (
+           SELECT u.vec_id, u.v, e.label
+           FROM ($normalizedVectors) u
+           JOIN embeddings e ON e.vec_id = u.vec_id),
+         src AS (SELECT vec_id AS s_id, v AS sv FROM un WHERE label = 0),
+         tgt AS (SELECT vec_id AS t_id, v AS tv FROM un WHERE label = 1),
+         sims AS MATERIALIZED (
+           SELECT s_id, t_id,
+             CAST(floor(1000000.0 * list_sum(list_transform(
+               list_zip(sv, tv), p -> p[1]*p[2]))) AS BIGINT) AS sim_micro
+           FROM src, tgt),
+         tops AS (
+           SELECT s_id, CAST(SUM(sim_micro) AS BIGINT) AS sk FROM (
+             SELECT s_id, sim_micro, ROW_NUMBER() OVER (PARTITION BY s_id
+               ORDER BY sim_micro DESC, t_id ASC) AS rn FROM sims)
+           WHERE rn <= 4 GROUP BY 1),
+         topt AS (
+           SELECT t_id, CAST(SUM(sim_micro) AS BIGINT) AS tk FROM (
+             SELECT t_id, sim_micro, ROW_NUMBER() OVER (PARTITION BY t_id
+               ORDER BY sim_micro DESC, s_id ASC) AS rn FROM sims)
+           WHERE rn <= 4 GROUP BY 1),
+         sc AS (
+           SELECT s.s_id, s.t_id, s.sim_micro,
+             CAST(floor(CAST(800 * s.sim_micro AS DOUBLE) /
+               CAST(a.sk + b.tk AS DOUBLE)) AS BIGINT) AS margin_pct
+           FROM sims s JOIN tops a USING (s_id) JOIN topt b USING (t_id)
+           WHERE a.sk + b.tk > 0)
+         SELECT s_id, t_id, sim_micro, margin_pct FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY s_id
+             ORDER BY margin_pct DESC, sim_micro DESC, t_id ASC) AS rn
+           FROM sc)
+         WHERE rn = 1 AND margin_pct >= 105""",
+    // q169: hard-negative mining — cross-label self-join minus the
+    // diagonal, micro-unit band [lo, hi), deterministic (sim desc,
+    // id asc) rank capped at m; params must equal the Spark defaults
+    // (m=5, lo=100000, hi=950000).
+    "q169_hard_negatives" ->
+      s"""WITH un AS MATERIALIZED (
+           SELECT u.vec_id, u.v, e.label
+           FROM ($normalizedVectors) u
+           JOIN embeddings e ON e.vec_id = u.vec_id),
+         sims AS (
+           SELECT a.vec_id AS a_id, b.vec_id AS n_id,
+             CAST(floor(1000000.0 * list_sum(list_transform(
+               list_zip(a.v, b.v), p -> p[1]*p[2]))) AS BIGINT) AS sim_micro
+           FROM un a JOIN un b
+             ON a.vec_id != b.vec_id AND a.label != b.label)
+         SELECT a_id, n_id, sim_micro, CAST(rn AS INTEGER) AS neg_rank
+         FROM (
+           SELECT a_id, n_id, sim_micro, ROW_NUMBER() OVER (
+             PARTITION BY a_id ORDER BY sim_micro DESC, n_id ASC) AS rn
+           FROM sims
+           WHERE sim_micro >= 100000 AND sim_micro < 950000)
+         WHERE rn <= 5""",
     // q157: apply the q155-trained merges corpus-wide — the oracle
     // replays the training chain (doc_id carried) and reads the final
     // round's streams as the encoding.

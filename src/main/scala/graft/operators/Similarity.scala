@@ -550,4 +550,111 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("q_id"), col("vec_id"), col("cosine"), col("rk"))
   }
+
+  /** The q168 driver entry: MARGIN-BASED BITEXT MINING — the parallel-
+    * corpus construction of Artetxe & Schwenk 2019 (the LASER /
+    * CCMatrix pipeline): candidate translation pairs are NOT the raw
+    * nearest neighbors but the pairs whose cosine stands out against
+    * each side's local similarity level — the RATIO margin
+    * cos(x,y) / ((avgTopK(x) + avgTopK(y)) / 2), which kills hub
+    * vectors that are everyone's neighbor. Here the two "languages"
+    * are two label slices of the embeddings table (the fixture's
+    * stand-in for source/target encoder outputs).
+    *
+    * Exactness device: cosines floor to MICRO-units once, then the
+    * margin is pure integer arithmetic until ONE final division —
+    * margin_pct = floor(100 · sim · 2k / (sk + tk)) where sk/tk are
+    * the BIGINT sums of each side's top-k sims. Both engines divide
+    * the same two exact integers. A pair mines when its margin
+    * clears `marginPct` (105 = the paper's ~1.05 threshold) AND it
+    * is its source's best margin (one pair per source row, the
+    * forward mining direction; intersecting with the reverse
+    * direction composes the same operator label-swapped).
+    *
+    * Scale shape: the fixture runs the exact all-pairs sims (two
+    * label slices, broadcast the smaller); at 100 TB the sims frame
+    * is replaced by ANN candidates (q31's LSH or q32's IVF serving
+    * exactly this join shape) and the margin arithmetic is unchanged
+    * — the top-k window and the argmax window both key on one side's
+    * id, so nothing here is corpus-quadratic.
+    */
+  def bitextMine(
+      spark: SparkSession, sfDir: String,
+      srcLabel: Int = 0, tgtLabel: Int = 1,
+      k: Int = 4, marginPct: Long = 105L): DataFrame = {
+    val u = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        Vectors.l2normalize(col("embedding")).as("v"))
+    val srcV = u.where(col("label") === srcLabel)
+      .select(col("vec_id").as("s_id"), col("v").as("sv"))
+    val tgtV = u.where(col("label") === tgtLabel)
+      .select(col("vec_id").as("t_id"), col("v").as("tv"))
+    val sims = srcV.crossJoin(broadcast(tgtV))
+      .select(col("s_id"), col("t_id"),
+        floor(lit(1000000.0) * Vectors.dot(col("sv"), col("tv")))
+          .cast("long").as("sim_micro"))
+      .localCheckpoint(true) // read 3x (top-k both sides + the join)
+    val wS = Window.partitionBy(col("s_id"))
+      .orderBy(col("sim_micro").desc, col("t_id").asc)
+    val topS = sims.withColumn("rn", row_number().over(wS))
+      .where(col("rn") <= k)
+      .groupBy(col("s_id")).agg(sum(col("sim_micro")).as("sk"))
+    val wT = Window.partitionBy(col("t_id"))
+      .orderBy(col("sim_micro").desc, col("s_id").asc)
+    val topT = sims.withColumn("rn", row_number().over(wT))
+      .where(col("rn") <= k)
+      .groupBy(col("t_id")).agg(sum(col("sim_micro")).as("tk"))
+    val wBest = Window.partitionBy(col("s_id"))
+      .orderBy(col("margin_pct").desc, col("sim_micro").desc,
+        col("t_id").asc)
+    sims.join(topS, "s_id").join(topT, "t_id")
+      .where(col("sk") + col("tk") > 0)
+      .withColumn("margin_pct",
+        floor((lit(100L * 2 * k) * col("sim_micro")).cast("double") /
+          (col("sk") + col("tk")).cast("double")).cast("long"))
+      .withColumn("rn", row_number().over(wBest))
+      .where(col("rn") === 1 && col("margin_pct") >= marginPct)
+      .select(col("s_id"), col("t_id"), col("sim_micro"),
+        col("margin_pct"))
+  }
+
+  /** The q169 driver entry: HARD-NEGATIVE MINING — the contrastive-
+    * training data op (DPR / SimCSE lineage): for each anchor, the
+    * most-similar vectors of a DIFFERENT label inside a similarity
+    * BAND — hard enough to teach the boundary (sim >= lo), but
+    * excluding the near-duplicate top (sim < hi) that is more likely
+    * an unlabeled positive than a negative (the false-negative trap
+    * the DPR paper warns about). Same-label vectors are the positive
+    * proxy and never mined.
+    *
+    * All selection logic is integer (micro-unit band bounds) plus the
+    * deterministic (sim desc, id asc) rank — the oracle replays it
+    * exactly. Fixture scale runs the exact self-join (minus the
+    * diagonal); at 100 TB the candidate frame comes from ANN serving
+    * (q31/q32/q156 — the band filter composes on any candidate
+    * source), so the quadratic never materializes.
+    */
+  def hardNegatives(
+      spark: SparkSession, sfDir: String,
+      m: Int = 5, loMicro: Long = 100000L,
+      hiMicro: Long = 950000L): DataFrame = {
+    val u = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        Vectors.l2normalize(col("embedding")).as("v"))
+    val anchors = u.select(col("vec_id").as("a_id"),
+      col("label").as("a_label"), col("v").as("av"))
+    val cands = u.select(col("vec_id").as("n_id"),
+      col("label").as("n_label"), col("v").as("nv"))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("sim_micro").desc, col("n_id").asc)
+    anchors.crossJoin(broadcast(cands))
+      .where(col("a_id") =!= col("n_id") &&
+        col("a_label") =!= col("n_label"))
+      .select(col("a_id"), col("n_id"),
+        floor(lit(1000000.0) * Vectors.dot(col("av"), col("nv")))
+          .cast("long").as("sim_micro"))
+      .where(col("sim_micro") >= loMicro && col("sim_micro") < hiMicro)
+      .withColumn("neg_rank", row_number().over(w))
+      .where(col("neg_rank") <= m)
+  }
 }

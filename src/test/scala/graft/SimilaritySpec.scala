@@ -327,4 +327,50 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(fc == dc && dc.nonEmpty)
   }
+
+  test("bitext mining: uniform-similarity hubs fall at margin 100; the genuine pair mines with hand-computed margin") {
+    // sources (label 0) = 4 unit basis vectors; targets (label 1) =
+    // one genuine match of s1 plus FOUR identical diagonal "hubs"
+    // that are 0.5-similar to every source. For a source whose
+    // candidates are uniform (s2..s4: four 0.5 sims), the ratio
+    // margin is exactly 800*sim/(4*sim + 4*sim) = 100 < 105 — the
+    // hub never mines, which is the entire point of Artetxe &
+    // Schwenk's margin over raw cosine. s1's match scores
+    // 800*1.0M/(2.5M + 1.0M) = 228 and is its rn=1 pair.
+    def unit(i: Int) = Array.tabulate(4)(j => if (j == i) 1f else 0f)
+    val hub = Array.fill(4)(0.5f)
+    val rows =
+      (1 to 4).map(i => ((i).toLong, unit(i - 1), 0)) ++
+        Seq((10L, unit(0), 1)) ++
+        (11 to 14).map(i => (i.toLong, hub, 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite")
+      .parquet("/tmp/graft-bitext-test/embeddings.parquet")
+    val got = Similarity.bitextMine(spark, "/tmp/graft-bitext-test")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 10L, 1000000L, 228L)))
+  }
+
+  test("hard negatives: same-label and out-of-band candidates never mine") {
+    // anchor a=[1,0,0,0] (label 0); candidates: an exact cross-label
+    // twin (sim 1.0 >= hi — the false-negative trap, excluded), a
+    // diagonal at sim 0.5 (in band, mined), an orthogonal at sim 0
+    // (< lo, excluded), and a same-label exact twin (positive proxy,
+    // excluded regardless of sim).
+    val rows = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 0),   // anchor
+      (2L, Array(1f, 0f, 0f, 0f), 1),   // cross-label near-dup: >= hi
+      (3L, Array(0.5f, 0.5f, 0.5f, 0.5f), 1), // in band
+      (4L, Array(0f, 1f, 0f, 0f), 1),   // sim 0 < lo
+      (5L, Array(1f, 0f, 0f, 0f), 0))   // same label
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite")
+      .parquet("/tmp/graft-hardneg-test/embeddings.parquet")
+    val got = Similarity.hardNegatives(spark, "/tmp/graft-hardneg-test")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3)))
+      .groupBy(_._1)
+    assert(got(1L).map(_._2).toSeq == Seq((3L, 500000L, 1)))
+  }
 }
