@@ -132,6 +132,10 @@ object SparkEntry {
       Similarity.bitextMine(s, d)),
     "q169_hard_negatives" -> ((s: SparkSession, d: String) =>
       Similarity.hardNegatives(s, d)),
+    "q170_zipf_audit" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.zipfAudit(s, d)),
+    "q171_novelty_gate" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.noveltyGate(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -1489,6 +1493,57 @@ object SparkEntry {
            FROM sims
            WHERE sim_micro >= 100000 AND sim_micro < 950000)
          WHERE rn <= 5""",
+    // q170: Zipf rank-frequency regression — exact-integer sufficient
+    // statistics (each ln is one IEEE op on an exact integer, floored
+    // to micro-nats before any SUM), identical-tree double chains for
+    // slope/intercept/R2; topR must equal the Spark default (100).
+    "q170_zipf_audit" ->
+      s"""WITH toks AS (
+           SELECT t AS tok FROM (
+             SELECT UNNEST(string_split($normText, ' ')) AS t
+             FROM documents)
+           WHERE t != ''),
+         counts AS MATERIALIZED (
+           SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM toks GROUP BY 1),
+         ranked AS (
+           SELECT CAST(floor(1000000.0 * ln(CAST(r AS DOUBLE)))
+                    AS BIGINT) AS x,
+                  CAST(floor(1000000.0 * ln(CAST(c AS DOUBLE)))
+                    AS BIGINT) AS y
+           FROM (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC)
+                   AS r FROM counts)
+           WHERE r <= 100),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+                   CAST(SUM(c) AS BIGINT) AS total FROM counts),
+         s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x*y) AS BIGINT) AS sxy,
+                 CAST(SUM(x*x) AS BIGINT) AS sxx,
+                 CAST(SUM(y*y) AS BIGINT) AS syy FROM ranked)
+         SELECT n AS n_ranked, vocab AS vocab_size, total AS total_tokens,
+           CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+             AS zipf_slope,
+           (CAST(sy AS DOUBLE) -
+             CAST(n*sxy - sx*sy AS DOUBLE) /
+               CAST(n*sxx - sx*sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+             CAST(n AS DOUBLE) AS intercept,
+           (CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)) /
+             (CAST(n*sxx - sx*sx AS DOUBLE) *
+               CAST(n*syy - sy*sy AS DOUBLE)) AS r2
+         FROM s, tot""",
+    // q171: streaming novelty gate — the accepted set is batch-split-
+    // invariant (each micro-batch anti-joins the STATIC history index
+    // only), so the whole stream replays as one anti-join.
+    "q171_novelty_gate" ->
+      s"""WITH hist AS (
+           SELECT DISTINCT md5($normText) AS fp
+           FROM documents WHERE doc_id % 2 = 0)
+         SELECT doc_id, md5($normText) AS fp
+         FROM documents
+         WHERE doc_id % 2 = 1
+           AND md5($normText) NOT IN (SELECT fp FROM hist)""",
     // q157: apply the q155-trained merges corpus-wide — the oracle
     // replays the training chain (doc_id carried) and reads the final
     // round's streams as the encoding.

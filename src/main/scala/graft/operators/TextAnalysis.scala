@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -741,5 +742,63 @@ object TextAnalysis {
       .withColumn("avg_nll",
         (-col("ll_micro")).cast("double") /
           (col("n_trigrams").cast("double") * lit(1000000.0)))
+  }
+
+  /** The q170 driver entry: ZIPF RANK-FREQUENCY AUDIT — fit the
+    * rank-frequency power law over the corpus vocabulary and report
+    * the slope: natural language sits near -1 (Zipf's law), and a
+    * corpus that drifts far from it is telling you something is wrong
+    * with the data — machine-generated spam flattens the curve,
+    * boilerplate floods steepen the head, truncated crawls starve the
+    * tail. A standing corpus-health dashboard number.
+    *
+    * Exactness device (the q116 sufficient-statistics discipline
+    * applied to a LOG-LOG regression): rank and count are exact
+    * integers, each ln is ONE IEEE op on an exact integer, floored to
+    * integer micro-nats — so the five regression sums (Σx, Σy, Σxy,
+    * Σx², Σy²) are order-independent BIGINTs under any partitioning,
+    * and slope/intercept/R² are short identical-tree double chains
+    * over exact longs. No double ever enters a SUM.
+    *
+    * Scale shape: the count pass is map-side combined over the token
+    * domain; the top-R selection is orderBy+limit — a distributed
+    * TakeOrdered over the vocabulary-bounded counts frame, NOT a
+    * global single-partition sort — and the rank window then runs
+    * over R rows. The regression aggregate is one tiny reduce.
+    */
+  def zipfAudit(
+      spark: SparkSession, sfDir: String, topR: Int = 100): DataFrame = {
+    val counts = Tables.load(spark, sfDir, "documents")
+      .select(explode(split(normalizedText(col("text")), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").desc, col("tok").asc)
+    val ranked = counts
+      .orderBy(col("c").desc, col("tok").asc).limit(topR)
+      .withColumn("r", row_number().over(w))
+      .select(
+        floor(lit(1000000.0) * log(col("r").cast("double")))
+          .cast("long").as("x"),
+        floor(lit(1000000.0) * log(col("c").cast("double")))
+          .cast("long").as("y"))
+    val tot = counts.agg(count(lit(1)).as("vocab"), sum(col("c")).as("total"))
+    val s = ranked.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val slope = num / den
+    s.crossJoin(tot)
+      .select(col("n").as("n_ranked"),
+        col("vocab").as("vocab_size"),
+        col("total").as("total_tokens"),
+        slope.as("zipf_slope"),
+        ((col("sy").cast("double") - slope * col("sx").cast("double")) /
+          col("n").cast("double")).as("intercept"),
+        ((num * num) /
+          (den * (col("n") * col("syy") - col("sy") * col("sy"))
+            .cast("double"))).as("r2"))
   }
 }

@@ -916,4 +916,87 @@ object EventStream {
       .select(col("event_type"), col("user_id"), col("n_exact"),
         col("approx_ok"))
   }
+
+  /** The q171 driver entry: STREAMING NOVELTY GATE — the daily-ingest
+    * front door of a corpus pipeline: documents arrive as a file
+    * stream and only those whose content digest is NOT in the
+    * PERSISTED history index pass through; the index is then
+    * refreshed with the accepted digests for tomorrow's run (the q46
+    * persisted-signature lifecycle, upgraded from batch to the
+    * streaming arrival path). History = even doc_ids, arrivals = odd
+    * doc_ids — rendered as multiple files with maxFilesPerTrigger=1
+    * so the gate genuinely runs across several micro-batches.
+    *
+    * Semantics pinned batch-split-invariant BY CONSTRUCTION: each
+    * batch anti-joins against the STATIC day-1 index only (novelty
+    * vs HISTORY — within-stream duplicates all pass and the refresh
+    * dedups them), so the accepted set is identical however the
+    * files split into batches, and q46's exact SQL oracle applies.
+    * The sink is the q120 idempotence device: each batch OVERWRITES
+    * its own batch=N subdirectory, so a checkpoint-replayed retry
+    * rewrites the identical files instead of appending duplicates —
+    * the append-mode trap `foreachBatch` docs warn about.
+    *
+    * Scale shape: the digest index is digest-only (16 bytes/doc) and
+    * static per run — at fixture scale it broadcasts into the
+    * anti-join; a 100 TB history upgrades the anti-join to a shuffle
+    * join keyed on the digest (the join shape is unchanged) and the
+    * refresh becomes a partitioned parquet merge. The stream side is
+    * stateless: no watermark, no state store — the state IS the
+    * persisted artifact, which is why a failed run resumes by simply
+    * re-reading it.
+    */
+  def noveltyGate(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Scratch.withScratch(spark, "q171_novelty", sfDir) { dir =>
+      import graft.operators.TextAnalysis.normalizedText
+      val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      docs.where(col("doc_id") % 2 === 0)
+        .select(md5(normalizedText(col("text"))).as("fp"))
+        .distinct()
+        .write.mode("overwrite").parquet(s"$dir/index")
+      docs.where(col("doc_id") % 2 === 1)
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$dir/incoming")
+      // stream schema PROBED from the files' batch schema — never
+      // declared blind (the round-9 micros-as-nanos lesson)
+      val schema = spark.read.parquet(s"$dir/incoming").schema
+      val out = s"$dir/out"
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/incoming")
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val s = batch.sparkSession
+          val idx = s.read.parquet(s"$dir/index")
+          batch
+            .withColumn("fp", md5(normalizedText(col("text"))))
+            .join(idx, Seq("fp"), "left_anti")
+            .select(col("doc_id"), col("fp"))
+            .write.mode("overwrite").parquet(s"$out/batch=$id")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val acceptedSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("fp", StringType)))
+      // enumerate the batch=N leaves explicitly: a glob or a bare
+      // partitioned-dir read would either log spurious sink-metadata
+      // probes or inject the batch id as a partition column
+      val parts = Option(new java.io.File(out).listFiles()).toSeq.flatten
+        .filter(_.isDirectory).map(_.getAbsolutePath).sorted
+      val accepted =
+        if (parts.nonEmpty)
+          spark.read.schema(acceptedSchema).parquet(parts: _*)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          acceptedSchema)
+      // index refresh: tomorrow's history = today's ∪ accepted
+      spark.read.parquet(s"$dir/index")
+        .unionByName(accepted.select(col("fp")))
+        .distinct()
+        .write.mode("overwrite").parquet(s"$dir/index_next")
+      accepted.localCheckpoint(true)
+    }
 }

@@ -336,4 +336,22 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.values.forall(_._2),
       "every probe estimate must sit inside the CMS band")
   }
+
+  test("novelty gate: history rejects, normalization matters, in-stream dups pass") {
+    // history (even ids): "x", "y"; arrivals (odd ids):
+    //   1 = "x" (in history -> rejected)
+    //   3 = "z" (novel -> accepted)
+    //   5 = "z" (novel vs HISTORY, dup within stream -> accepted)
+    //   7 = "  Y " (normalizes to "y" -> rejected)
+    import spark.implicits._
+    Seq((0L, "x"), (2L, "y"),
+        (1L, "x"), (3L, "z"), (5L, "z"), (7L, "  Y "))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite")
+      .parquet("/tmp/graft-novelty-test/documents.parquet")
+    val got = graft.streaming.EventStream
+      .noveltyGate(spark, "/tmp/graft-novelty-test")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(3L, 5L))
+  }
 }

@@ -308,4 +308,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     val capped = train(100, 2)                       // ceiling binds first
     assert(capped.length == 2)
   }
+
+  test("zipf audit: regression matches naive arithmetic on known counts") {
+    // counts: a:4, b:2, c:1 -> ranks 1,2,3
+    Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
+      .write.mode("overwrite")
+      .parquet("/tmp/graft-zipf-test/documents.parquet")
+    val r = graft.operators.TextAnalysis
+      .zipfAudit(spark, "/tmp/graft-zipf-test").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L && r.getLong(2) == 7L)
+    // naive replication with the EXACT same arithmetic: micro-nat
+    // floors, integer sums, identical-tree double chains
+    val pts = Seq((1L, 4L), (2L, 2L), (3L, 1L)).map { case (rk, c) =>
+      (math.floor(1e6 * math.log(rk.toDouble)).toLong,
+        math.floor(1e6 * math.log(c.toDouble)).toLong)
+    }
+    val n = pts.size.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val num = (n * sxy - sx * sy).toDouble
+    val den = (n * sxx - sx * sx).toDouble
+    assert(r.getDouble(3) == num / den)
+    assert(r.getDouble(3) < 0.0)   // frequency falls with rank
+    assert(r.getDouble(4) == (sy.toDouble - num / den * sx.toDouble) / n.toDouble)
+  }
 }
