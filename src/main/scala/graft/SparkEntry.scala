@@ -136,6 +136,8 @@ object SparkEntry {
       TextAnalysis.zipfAudit(s, d)),
     "q171_novelty_gate" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.noveltyGate(s, d)),
+    "q172_image_phash" -> ((s: SparkSession, d: String) =>
+      Multimodal.imageNearDups(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -1544,6 +1546,50 @@ object SparkEntry {
          FROM documents
          WHERE doc_id % 2 = 1
            AND md5($normText) NOT IN (SELECT fp FROM hist)""",
+    // q172: perceptual image dedup — replay the planting, the BMP
+    // synthesis formulas (q50 precedent), the 60-bit grid dHash over
+    // hex-rendered body bytes, and the full pairwise Hamming filter
+    // (the oracle can afford O(n^2) over the image subset; the Spark
+    // side blocks via q23's pigeonhole, complete for dist <= 3).
+    "q172_image_phash" ->
+      """WITH seeds AS (
+           SELECT doc_id, text FROM documents
+           WHERE doc_id % 30 = 0 AND length(text) >= 1),
+         planted AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 999999, substr(text, 1, length(text) - 1) || 'Q'
+           FROM seeds
+           UNION ALL
+           SELECT doc_id + 1999998, 'Q' || substr(text, 2) FROM seeds),
+         img AS MATERIALIZED (
+           SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n,
+             16 + octet_length(encode(text)) % 64 AS w,
+             16 + octet_length(encode(text)) % 48 AS h
+           FROM planted
+           WHERE doc_id % 3 = 0 AND octet_length(encode(text)) >= 1),
+         bits AS (
+           SELECT media_id, CAST(b AS INT) AS bit,
+             CAST(b AS INT) // 10 AS r, CAST(b AS INT) % 10 AS c
+           FROM img, UNNEST(range(60)) t(b)),
+         vals AS (
+           SELECT i.media_id, bits.bit,
+             ('0x' || substr(i.hx, CAST(2 * ((((bits.r * i.h // 6) * i.w +
+               ((bits.c + 1) * i.w // 11)) * 3) % i.n) AS INT) + 1, 2))::INT
+               AS i1,
+             ('0x' || substr(i.hx, CAST(2 * ((((bits.r * i.h // 6) * i.w +
+               (bits.c * i.w // 11)) * 3) % i.n) AS INT) + 1, 2))::INT AS i0
+           FROM img i JOIN bits ON bits.media_id = i.media_id),
+         hashes AS MATERIALIZED (
+           SELECT media_id,
+             CAST(SUM(CASE WHEN i1 > i0 THEN 1::BIGINT << bit ELSE 0 END)
+               AS BIGINT) AS phash
+           FROM vals GROUP BY 1)
+         SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+         FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+         WHERE bit_count(xor(a.phash, b.phash)) <= 3""",
     // q157: apply the q155-trained merges corpus-wide — the oracle
     // replays the training chain (doc_id carried) and reads the final
     // round's streams as the encoding.

@@ -246,4 +246,110 @@ object Multimodal {
     }
     m.select(col("media_id") +: col("media_type") +: feats: _*)
   }
+
+  /** The q172 driver entry: PERCEPTUAL image dedup — a 60-bit
+    * difference hash (dHash) over DECODED pixel bytes, then q23's
+    * pigeonhole blocking for all pairs within Hamming distance 3.
+    * This is the image-side reason perceptual hashing exists: the
+    * same picture re-encoded (new container, touched byte) defeats
+    * byte-level dedup (q20 finds nothing here — the planted copies
+    * are deliberately 1-byte-perturbed), while the content hash
+    * survives because it samples a fixed grid of the DECODED image,
+    * not the container bytes.
+    *
+    * The hash: width/height are read from the BMP header (the q50
+    * genuine parse), a 6x11 grid samples the pixel body at
+    * row-major 24-bit offsets (modulo the body length — the
+    * synthesized body is not guaranteed full w*h*3), and each of the
+    * 60 bits is one adjacent-intensity comparison. 60 bits, not 64:
+    * the q23 convention, which also keeps every shift inside
+    * checked-BIGINT range on the oracle side. Blocking is q23's
+    * 4x15-bit pigeonhole — complete for distance <= 3 because 3 flips
+    * cannot touch all 4 blocks.
+    *
+    * Entry-level planting (the q45/q46 shifted-id device): docs with
+    * doc_id % 30 == 0 re-enter as two re-containered copies — last
+    * char flipped (+999999) and first char flipped (+1999998), both
+    * offsets ≡ 0 (mod 3) so the copies stay BMPs. Byte-exact dedup
+    * finds ZERO of these; the phash pairs them at Hamming 0-3
+    * (sf0.01: 51 pairs). The oracle replays planting, decode
+    * formulas, hash, and pairing entirely in SQL.
+    *
+    * Scale shape: hashing is a narrow per-partition map over the
+    * media scan (payload bytes never shuffle — the file's standing
+    * rule); the exchange carries (id, 8-byte hash) only; the
+    * pigeonhole join is q23's O(n) candidate generation.
+    */
+  def imageNearDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val seeds = docs
+      .where(col("doc_id") % 3 === 0 && length(col("text")) >= 1)
+      .where(col("doc_id") % 30 === 0)
+    val tailFlip = seeds.select(
+      (col("doc_id") + 999999L).as("doc_id"),
+      concat(col("text").substr(lit(1), length(col("text")) - 1), lit("Q"))
+        .as("text"))
+    val headFlip = seeds.select(
+      (col("doc_id") + 1999998L).as("doc_id"),
+      concat(lit("Q"), col("text").substr(lit(2), length(col("text"))))
+        .as("text"))
+    imagePhashPairs(docs.unionByName(tailFlip).unionByName(headFlip))
+  }
+
+  /** The operator over any `(doc_id, text)` corpus: BMP subset
+    * (doc_id % 3 == 0, the mediaTable cycle), per-partition dHash,
+    * pigeonhole pairs. Spec entry point for crafted plants.
+    */
+  def imagePhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.{bit_count, shiftright}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val imgs = mediaTableOn(docs
+      .where(col("doc_id") % 3 === 0 && octet_length(col("text")) >= 1)
+      .select(col("doc_id"), col("text")))
+      .filter(_.media_type == "image/bmp")
+    val hashes = imgs.mapPartitions { it =>
+      it.map { m =>
+        val bb = ByteBuffer.wrap(m.payload).order(ByteOrder.LITTLE_ENDIAN)
+        require(m.payload(0) == 'B'.toByte && m.payload(1) == 'M'.toByte,
+          s"media ${m.media_id}: not a BMP")
+        val w = bb.getInt(18).toLong
+        val h = bb.getInt(22).toLong
+        val n = m.payload.length - BmpHeaderLen
+        def px(r: Int, c: Int): Int = {
+          val off = (((r * h / 6) * w + c * w / 11) * 3) % n
+          m.payload(BmpHeaderLen + off.toInt) & 0xFF
+        }
+        var hash = 0L
+        var bit = 0
+        var r = 0
+        while (r < 6) {
+          var c = 0
+          while (c < 10) {
+            if (px(r, c + 1) > px(r, c)) hash |= 1L << bit
+            bit += 1; c += 1
+          }
+          r += 1
+        }
+        (m.media_id, hash)
+      }
+    }.toDF("media_id", "phash")
+    val chunks = hashes.select(col("media_id"), col("phash"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("phash"), c * 15)
+            .bitwiseAND((1L << 15) - 1).as("ck"))
+      }: _*)).as("blk"))
+      .select(col("media_id"), col("phash"),
+        col("blk.chunk").as("chunk"), col("blk.ck").as("ck"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Multimodal
+import org.apache.spark.sql.functions.{col, md5}
 
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -89,5 +90,31 @@ class MultimodalSpec extends AnyFunSuite {
       val nFrames = r.getInt(1); val idx = r.getInt(2)
       assert(idx >= 0 && idx < nFrames && idx % 8 == 0)
     }
+  }
+
+  test("image phash: re-containered perturbed copies pair; byte dedup would not") {
+    import spark.implicits._
+    // ids all ≡ 0 (mod 3) so every record is a BMP; 3 = a 1-byte
+    // perturbation of 0 (same length -> same w/h -> near-identical
+    // sample grid); 6 = unrelated content
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val docs = Seq(
+      (0L, base),
+      (3L, base.dropRight(1) + "Q"),
+      (6L, "completely different content here " * 12))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Multimodal.imagePhashPairs(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the perturbed copy pairs with its original within the band
+    assert(pairs.contains((0L, 3L)))
+    assert(pairs((0L, 3L)) <= 3L)
+    // byte-exact dedup on the same corpus finds NOTHING (the copies
+    // differ in one byte) — the reason the perceptual hash exists
+    // all three texts are byte-distinct, which is what defeats
+    // digest-based exact dedup on this corpus
+    assert(docs.select(md5(col("text"))).distinct().count() == 3)
+    // unrelated content does not pair with either copy
+    assert(!pairs.contains((0L, 6L)) && !pairs.contains((3L, 6L)))
   }
 }
