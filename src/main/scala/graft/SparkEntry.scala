@@ -138,6 +138,8 @@ object SparkEntry {
       graft.streaming.EventStream.noveltyGate(s, d)),
     "q172_image_phash" -> ((s: SparkSession, d: String) =>
       Multimodal.imageNearDups(s, d)),
+    "q173_bpe_extend" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeExtend(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -320,6 +322,61 @@ object SparkEntry {
           WHERE merge_round <=
             least($maxRounds, greatest(0, $vocabTarget - v0.v))
           ORDER BY merge_round"""
+  }
+
+  /** Generated DuckDB replay of TextAnalysis.bpeExtend (q173): three
+    * chained stages as one MATERIALIZED CTE pipeline — (1) the q155
+    * train chain over the day-1 slice (doc_id % 2 = 0), (2) the
+    * frozen-merge APPLY over the full corpus (one replace per base
+    * round, no argmax — the merges come from stage 1's tp CTEs), and
+    * (3) the continue chain: argmax+replace rounds over the applied
+    * streams, numbered after the base rounds.
+    */
+  private def bpeExtendOracleSql(
+      baseRounds: Int, extraRounds: Int): String = {
+    def argmax(name: String, from: String) =
+      s"""$name AS MATERIALIZED (
+         SELECT l, r, COUNT(*) AS n FROM (
+           SELECT syms[i] AS l, syms[i+1] AS r FROM
+             (SELECT string_split(trim(stream, chr(1)), chr(1)||chr(1))
+                AS syms FROM $from) t,
+             UNNEST(range(1, len(syms))) u(i))
+         GROUP BY 1, 2 ORDER BY n DESC, l ASC, r ASC LIMIT 1)"""
+    def apply(name: String, from: String, p: String) =
+      s"""$name AS MATERIALIZED (
+         SELECT replace($from.stream,
+                        chr(1) || $p.l || chr(1) || chr(1) || $p.r || chr(1),
+                        chr(1) || $p.l || $p.r || chr(1)) AS stream
+         FROM $from, $p)"""
+    val ts0 =
+      """ts0 AS MATERIALIZED (
+           SELECT regexp_replace(text, '(?s)(.)',
+                                 chr(1) || '\1' || chr(1), 'g') AS stream
+           FROM documents WHERE doc_id % 2 = 0 AND length(text) >= 2)"""
+    val train = (1 to baseRounds).flatMap { r =>
+      Seq(argmax(s"tp$r", s"ts${r - 1}"), apply(s"ts$r", s"ts${r - 1}", s"tp$r"))
+    }
+    val fs0 =
+      """fs0 AS MATERIALIZED (
+           SELECT regexp_replace(text, '(?s)(.)',
+                                 chr(1) || '\1' || chr(1), 'g') AS stream
+           FROM documents WHERE length(text) >= 2)"""
+    val applyChain = (1 to baseRounds).map { r =>
+      apply(s"fs$r", s"fs${r - 1}", s"tp$r")
+    }
+    val ext = (1 to extraRounds).flatMap { e =>
+      val prev = if (e == 1) s"fs$baseRounds" else s"es${e - 1}"
+      Seq(argmax(s"ep$e", prev), apply(s"es$e", prev, s"ep$e"))
+    }
+    val baseSel = (1 to baseRounds).map(r =>
+      s"""SELECT 'base' AS phase, $r AS merge_round, l AS left_sym,
+          r AS right_sym, l || r AS merged, n FROM tp$r""")
+    val extSel = (1 to extraRounds).map(e =>
+      s"""SELECT 'ext' AS phase, ${baseRounds + e} AS merge_round,
+          l AS left_sym, r AS right_sym, l || r AS merged, n FROM ep$e""")
+    (Seq(ts0) ++ train ++ Seq(fs0) ++ applyChain ++ ext)
+      .mkString("WITH ", ",\n", "\n") +
+      (baseSel ++ extSel).mkString(" UNION ALL ") + " ORDER BY merge_round"
   }
 
   /** Generated DuckDB replay of TextAnalysis.bpeEncode (q157): the
@@ -1309,6 +1366,9 @@ object SparkEntry {
     // from the in-SQL base-vocab count (params must equal the Spark
     // defaults: vocabTarget=33, maxRounds=12).
     "q164_bpe_bytes" -> bpeTrainBytesOracleSql(33, 12),
+    // q173: incremental vocab extension — generated train/apply/
+    // continue chain (params must equal the Spark defaults 10, 5).
+    "q173_bpe_extend" -> bpeExtendOracleSql(10, 5),
     // q165: exact substring-span dedup — the four-stage replay
     // (rolling md5 grams, corpus-wide dup filter, gaps-and-islands
     // span merge, per-doc audit); spanLen/minCount must equal the

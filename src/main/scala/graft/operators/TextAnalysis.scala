@@ -506,6 +506,64 @@ object TextAnalysis {
       .withColumn("vocab_size", lit(v0) + col("merge_round"))
   }
 
+  /** The q173 driver entry: INCREMENTAL BPE VOCAB EXTENSION — the
+    * tokenizer analogue of q46 (persisted dedup signatures) and q161
+    * (frozen PQ books): when the corpus grows, you do NOT retrain the
+    * tokenizer from scratch — existing merges are FROZEN (retraining
+    * would renumber token ids and invalidate every downstream
+    * artifact that embeds them) and training CONTINUES from the
+    * frozen state over the grown corpus, appending new merges to the
+    * vocabulary. Day-1 = even doc_ids (trains `baseRounds` merges,
+    * persisted as the parquet artifact and read back — the q157
+    * lifecycle); day-2 = the full corpus, re-symbolized and passed
+    * through the frozen merge chain (one codegen'd replace per
+    * frozen merge — the q157 apply device, zero shuffle), after
+    * which the SAME merge loop runs `extraRounds` more rounds.
+    * Output is the full vocab lineage: base rows tagged 'base',
+    * extension rows tagged 'ext' with continuing round numbers.
+    *
+    * The extension rounds legitimately differ from what a scratch
+    * retrain on the full corpus would learn — that is the point:
+    * the frozen prefix constrains the walk, trading optimality of
+    * the new tail for stability of every existing token id.
+    *
+    * Scale shape: identical to q155 per round; the frozen apply is a
+    * linear scan. The oracle replays all three stages as one
+    * generated CTE chain — train-on-slice, frozen apply, continue.
+    */
+  def bpeExtend(
+      spark: SparkSession, sfDir: String,
+      baseRounds: Int = 10, extraRounds: Int = 5): DataFrame =
+    Scratch.withScratch(spark, "q173_bpe_ext", sfDir) { dir =>
+      val SEP = "\u0001"
+      val docs = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      bpeTrainOn(spark,
+        docs.where(col("doc_id") % 2 === 0).select(col("text")),
+        baseRounds)
+        .write.mode("overwrite").parquet(s"$dir/merges")
+      val baseDf = spark.read.parquet(s"$dir/merges")
+      val frozen = baseDf.orderBy(col("merge_round"))
+        .select(col("left_sym"), col("right_sym"))
+        .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+      val applied = frozen.foldLeft(
+        regexp_replace(col("text"), "(?s)(.)", SEP + "$1" + SEP): Column) {
+        case (s, (l, r)) =>
+          replace(s, lit(SEP + l + SEP + SEP + r + SEP),
+            lit(SEP + l + r + SEP))
+      }
+      val streams = docs.where(length(col("text")) >= 2)
+        .select(applied.as("stream"))
+      import spark.implicits._
+      val ext = bpeMergeLoop(checkpointStreams(streams), extraRounds)
+        .map { case (r, l, rt, m, n) => (baseRounds + r, l, rt, m, n) }
+        .toDF("merge_round", "left_sym", "right_sym", "merged", "n")
+      baseDf.withColumn("phase", lit("base"))
+        .unionByName(ext.withColumn("phase", lit("ext")))
+        .select(col("phase"), col("merge_round"), col("left_sym"),
+          col("right_sym"), col("merged"), col("n"))
+    }
+
   /** The q157 driver entry: BPE tokenizer APPLICATION — the serving
     * half of q155, run as the artifact lifecycle a deployment uses:
     * train the merge table, WRITE it as parquet, read it back, and

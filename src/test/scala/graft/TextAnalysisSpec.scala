@@ -333,4 +333,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getDouble(3) < 0.0)   // frequency falls with rank
     assert(r.getDouble(4) == (sy.toDouble - num / den * sx.toDouble) / n.toDouble)
   }
+
+  test("bpe extend: frozen base prefix, continuation learns the day-2 content") {
+    // day-1 (even id): "abab" -> base merges (a,b) n=2 then (ab,ab);
+    // day-2 adds "cdcdcd" (odd id). The frozen prefix must survive
+    // verbatim and the continuation must learn (c,d) n=3 then
+    // (cd,cd) n=2 — whereas a from-scratch retrain on the full
+    // corpus would pick (c,d) FIRST (n=3 beats n=2), renumbering
+    // every token id: the instability freezing exists to prevent.
+    Seq((0L, "abab"), (1L, "cdcdcd")).toDF("doc_id", "text")
+      .write.mode("overwrite")
+      .parquet("/tmp/graft-bpeext-test/documents.parquet")
+    val got = TextAnalysis.bpeExtend(spark, "/tmp/graft-bpeext-test",
+        baseRounds = 2, extraRounds = 2)
+      .orderBy(col("merge_round")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("base", 1, "ab", 2L), ("base", 2, "abab", 1L),
+      ("ext", 3, "cd", 3L), ("ext", 4, "cdcd", 2L)))
+    val scratch = TextAnalysis.bpeTrainOn(spark,
+      Seq("abab", "cdcdcd").toDF("text"), rounds = 1).head()
+    assert(scratch.getString(3) == "cd")   // retrain reorders — QED
+  }
 }
