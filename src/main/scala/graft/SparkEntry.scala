@@ -140,6 +140,8 @@ object SparkEntry {
       Multimodal.imageNearDups(s, d)),
     "q173_bpe_extend" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bpeExtend(s, d)),
+    "q174_audio_energy" -> ((s: SparkSession, d: String) =>
+      Multimodal.audioEnergy(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -1650,6 +1652,34 @@ object SparkEntry {
            CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
          FROM hashes a JOIN hashes b ON a.media_id < b.media_id
          WHERE bit_count(xor(a.phash, b.phash)) <= 3""",
+    // q174: PCM16 energy contour — little-endian byte-pair sample
+    // reconstruction over hex-rendered bytes (q164 device), exact
+    // integer window sums, cross-multiply quiet flag. windows must
+    // equal the Spark default (16).
+    "q174_audio_energy" ->
+      """WITH wav AS MATERIALIZED (
+           SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) // 2 AS ns
+           FROM documents
+           WHERE doc_id % 3 = 1 AND octet_length(encode(text)) >= 2),
+         samples AS (
+           SELECT media_id, CAST(s * 16 // ns AS INT) AS win,
+             abs(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS a
+           FROM (
+             SELECT media_id, ns, CAST(s AS BIGINT) AS s,
+               ('0x' || substr(hx, CAST(4*s AS INT) + 1, 2))::INT +
+                 256 * ('0x' || substr(hx, CAST(4*s AS INT) + 3, 2))::INT
+                 AS v
+             FROM wav, UNNEST(range(ns)) t(s))),
+         e AS (
+           SELECT media_id, win, CAST(COUNT(*) AS BIGINT) AS n_samples,
+             CAST(SUM(a) AS BIGINT) AS sum_abs
+           FROM samples GROUP BY 1, 2),
+         tot AS (SELECT media_id, CAST(SUM(sum_abs) AS BIGINT) AS total
+                 FROM e GROUP BY 1)
+         SELECT e.media_id, e.win, e.n_samples, e.sum_abs,
+           e.sum_abs * 16 < tot.total AS is_quiet
+         FROM e JOIN tot USING (media_id)""",
     // q157: apply the q155-trained merges corpus-wide — the oracle
     // replays the training chain (doc_id carried) and reads the final
     // round's streams as the encoding.

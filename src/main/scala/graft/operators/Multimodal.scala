@@ -3,6 +3,7 @@ package graft.operators
 import java.nio.{ByteBuffer, ByteOrder}
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -351,5 +352,59 @@ object Multimodal {
           .cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+  }
+
+  /** The q174 driver entry: AUDIO ENERGY CONTOUR — decode the PCM16
+    * samples out of the WAV body (genuine little-endian signed-16
+    * math over the data chunk, sized by the header's data-size field,
+    * not by trust in the payload length) and reduce them to a
+    * 16-window absolute-energy profile per clip, each window flagged
+    * quiet/loud against the clip's own mean. This is the first stage
+    * of every audio pipeline — VAD, silence trimming, energy-based
+    * segmentation, and the contour that audio fingerprinting (the
+    * q172 story, audio side) hashes. q50-q52 parse headers and hash
+    * bodies; this is the first entry that decodes SAMPLES.
+    *
+    * All integer: sample values are exact int16, window sums are
+    * BIGINT, and the quiet flag is the integer cross-multiply
+    * sum_abs * windows < total_abs (no division). The oracle replays
+    * the byte-pair little-endian reconstruction over hex-rendered
+    * bytes (q164's device) and the same window arithmetic.
+    *
+    * Scale shape: sample decode is a narrow per-partition flatMap on
+    * the media scan (payload never shuffles); the exchange carries
+    * (id, window, partial sums) — map-side combined, bounded by
+    * clips x 16 — and the per-clip total is a 16-row window.
+    */
+  def audioEnergy(
+      spark: SparkSession, sfDir: String, windows: Int = 16): DataFrame = {
+    import spark.implicits._
+    val wavs = mediaTable(spark, sfDir).filter(_.media_type == "audio/wav")
+    val samples = wavs.flatMap { m =>
+      val bb = ByteBuffer.wrap(m.payload).order(ByteOrder.LITTLE_ENDIAN)
+      require(new String(m.payload, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(m.payload, 8, 4, "US-ASCII") == "WAVE",
+        s"media ${m.media_id}: not a WAV")
+      val dataSize = bb.getInt(40)
+      require(dataSize == m.payload.length - WavHeaderLen,
+        s"media ${m.media_id}: data-size field disagrees with payload")
+      val nS = dataSize / 2
+      (0 until nS).iterator.map { s =>
+        val lo = m.payload(WavHeaderLen + 2 * s) & 0xFF
+        val hi = m.payload(WavHeaderLen + 2 * s + 1) & 0xFF
+        val x = lo | (hi << 8)
+        val v = if (x >= 32768) x - 65536 else x
+        (m.media_id, (s.toLong * windows / nS).toInt, math.abs(v).toLong)
+      }
+    }.toDF("media_id", "win", "a")
+    val perWin = samples.groupBy(col("media_id"), col("win"))
+      .agg(count(lit(1)).as("n_samples"), sum(col("a")).as("sum_abs"))
+    perWin
+      .withColumn("total_abs",
+        sum(col("sum_abs")).over(Window.partitionBy(col("media_id"))))
+      .select(col("media_id"), col("win"), col("n_samples"),
+        col("sum_abs"),
+        (col("sum_abs") * lit(windows.toLong) < col("total_abs"))
+          .as("is_quiet"))
   }
 }

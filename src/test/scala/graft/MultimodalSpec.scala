@@ -117,4 +117,25 @@ class MultimodalSpec extends AnyFunSuite {
     // unrelated content does not pair with either copy
     assert(!pairs.contains((0L, 6L)) && !pairs.contains((3L, 6L)))
   }
+
+  test("audio energy: PCM16 LE sign math and window assignment are exact") {
+    import spark.implicits._
+    // id 1 (wav): "aAbB" -> samples 0x4161=16737 (win 0) and
+    // 0x4262=16994 (win 8, since s*16/2); id 4 (wav): "\u00e9" is
+    // UTF-8 C3 A9 -> one sample 0xA9C3=43459 -> SIGNED -22077 ->
+    // abs 22077 (the negative-sample branch ASCII bodies never hit)
+    val docs = Seq((1L, "aAbB"), (4L, "\u00e9")).toDF("doc_id", "text")
+      .write.mode("overwrite")
+      .parquet("/tmp/graft-audio-test/documents.parquet")
+    val got = graft.operators.Multimodal
+      .audioEnergy(spark, "/tmp/graft-audio-test")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    assert(got((1L, 0)) == ((1L, 16737L, false)))
+    assert(got((1L, 8)) == ((1L, 16994L, false)))
+    assert(got((4L, 0)) == ((1L, 22077L, false)))
+    assert(got.size == 3)
+  }
 }
