@@ -142,6 +142,8 @@ object SparkEntry {
       TextAnalysis.bpeExtend(s, d)),
     "q174_audio_energy" -> ((s: SparkSession, d: String) =>
       Multimodal.audioEnergy(s, d)),
+    "q175_embedding_drift" -> ((s: SparkSession, d: String) =>
+      Similarity.embeddingDrift(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -1680,6 +1682,73 @@ object SparkEntry {
          SELECT e.media_id, e.win, e.n_samples, e.sum_abs,
            e.sum_abs * 16 < tot.total AS is_quiet
          FROM e JOIN tot USING (media_id)""",
+    // q175: embedding drift — pico-integer centroid means (q163
+    // device), position-ordered assembly, sequential-fold cosine,
+    // micro-floor flag; params must equal the Spark defaults
+    // (threshold 500000 micro, rotation 7, re-encoded labels >= 5).
+    "q175_embedding_drift" ->
+      """WITH raw2 AS (
+           SELECT vec_id, label,
+             CASE WHEN label < 5 THEN embedding
+                  ELSE list_concat(embedding[8:64], embedding[1:7])
+             END AS embedding
+           FROM embeddings),
+         u1 AS (
+           SELECT label, list_transform(embedding,
+             x -> CASE WHEN nrm > 0 THEN CAST(x AS DOUBLE)/nrm
+                       ELSE 0.0 END) AS u
+           FROM (SELECT label, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+             FROM embeddings)),
+         u2 AS (
+           SELECT label, list_transform(embedding,
+             x -> CASE WHEN nrm > 0 THEN CAST(x AS DOUBLE)/nrm
+                       ELSE 0.0 END) AS u
+           FROM (SELECT label, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+             FROM raw2)),
+         m1 AS (
+           SELECT label, pos,
+             CAST(COUNT(*) AS BIGINT) AS nc,
+             CAST(SUM(xq) AS DOUBLE) /
+               (CAST(COUNT(*) AS DOUBLE) * 1000000000000.0) AS mx
+           FROM (SELECT label, generate_subscripts(u, 1) - 1 AS pos,
+                   CAST(floor(UNNEST(u) * 1000000000000.0) AS BIGINT) AS xq
+                 FROM u1)
+           GROUP BY 1, 2),
+         m2 AS (
+           SELECT label, pos,
+             CAST(COUNT(*) AS BIGINT) AS nc,
+             CAST(SUM(xq) AS DOUBLE) /
+               (CAST(COUNT(*) AS DOUBLE) * 1000000000000.0) AS mx
+           FROM (SELECT label, generate_subscripts(u, 1) - 1 AS pos,
+                   CAST(floor(UNNEST(u) * 1000000000000.0) AS BIGINT) AS xq
+                 FROM u2)
+           GROUP BY 1, 2),
+         c1 AS (SELECT label, list(mx ORDER BY pos) AS c,
+                  MAX(nc) AS n FROM m1 GROUP BY 1),
+         c2 AS (SELECT label, list(mx ORDER BY pos) AS c,
+                  MAX(nc) AS n FROM m2 GROUP BY 1)
+         SELECT a.label, a.n AS n_day1, b.n AS n_day2,
+           CAST(floor(1000000.0 * (CASE WHEN
+               sqrt(list_sum(list_transform(a.c, x -> x*x))) *
+               sqrt(list_sum(list_transform(b.c, x -> x*x))) > 0
+             THEN list_sum(list_transform(list_zip(a.c, b.c),
+                    p -> p[1]*p[2])) /
+               (sqrt(list_sum(list_transform(a.c, x -> x*x))) *
+                sqrt(list_sum(list_transform(b.c, x -> x*x))))
+             ELSE 0.0 END)) AS BIGINT) AS drift_cos_micro,
+           CAST(floor(1000000.0 * (CASE WHEN
+               sqrt(list_sum(list_transform(a.c, x -> x*x))) *
+               sqrt(list_sum(list_transform(b.c, x -> x*x))) > 0
+             THEN list_sum(list_transform(list_zip(a.c, b.c),
+                    p -> p[1]*p[2])) /
+               (sqrt(list_sum(list_transform(a.c, x -> x*x))) *
+                sqrt(list_sum(list_transform(b.c, x -> x*x))))
+             ELSE 0.0 END)) AS BIGINT) < 500000 AS is_drifted
+         FROM c1 a JOIN c2 b USING (label)""",
     // q157: apply the q155-trained merges corpus-wide — the oracle
     // replays the training chain (doc_id carried) and reads the final
     // round's streams as the encoding.

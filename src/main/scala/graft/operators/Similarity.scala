@@ -657,4 +657,65 @@ object Similarity {
       .withColumn("neg_rank", row_number().over(w))
       .where(col("neg_rank") <= m)
   }
+
+  /** The q175 driver entry: EMBEDDING DRIFT MONITOR — the standing
+    * alarm a production feature store runs between embedding-model
+    * versions: per-label centroids of the day-1 encoding vs the
+    * day-2 encoding, compared by cosine; a label whose centroid
+    * moved past the threshold means its vectors are NOT comparable
+    * across the boundary and every ANN index / dedup signature built
+    * on them must be rebuilt (the q46/q161/q173 artifacts all assume
+    * encoder stability — this is the op that checks it).
+    *
+    * Day-2 here re-encodes labels >= 5 with a "new encoder version"
+    * (a deterministic 7-position rotation — decorrelated from the
+    * original, the ScalingProbe device) while labels < 5 pass
+    * through unchanged: the monitor must flag exactly the re-encoded
+    * half (unchanged labels read cos ~1.0, re-encoded ~0.0 on
+    * unclustered fixtures; threshold 0.5).
+    *
+    * Exactness: centroids via the q163 pico-integer means (exact
+    * BIGINT sums, ONE division per component), assembled in position
+    * order, compared with the sequential-fold cosine — the identical
+    * tree both engines — and floored to micro-units for the flag.
+    *
+    * Scale shape: the only corpus-size exchange is the map-side-
+    * combined (label, pos) aggregate (bounded by labels x dims);
+    * centroid join and cosine are dim-bounded.
+    */
+  def embeddingDrift(
+      spark: SparkSession, sfDir: String,
+      thresholdMicro: Long = 500000L, rot: Int = 7): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val day1 = emb.select(col("label"),
+      Vectors.l2normalize(col("embedding")).as("u"))
+    val v = col("embedding")
+    val reencoded = when(col("label") < 5, v)
+      .otherwise(concat(slice(v, lit(rot + 1), size(v) - rot),
+        slice(v, lit(1), lit(rot))))
+    val day2 = emb.select(col("label"),
+      Vectors.l2normalize(reencoded).as("u"))
+    def centroids(side: DataFrame): DataFrame = side
+      .select(col("label"), posexplode(col("u")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"),
+        floor(col("x") * lit(1.0e12)).cast("long").as("xq"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("nc"),
+        (sum(col("xq")).cast("double") /
+          (count(lit(1)).cast("double") * lit(1.0e12))).as("mx"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("mx")))),
+        s => s.getField("mx")).as("c"),
+        max(col("nc")).as("n"))
+    val a = centroids(day1).select(col("label"),
+      col("c").as("c1"), col("n").as("n_day1"))
+    val b = centroids(day2).select(col("label"),
+      col("c").as("c2"), col("n").as("n_day2"))
+    a.join(b, Seq("label"))
+      .select(col("label"), col("n_day1"), col("n_day2"),
+        floor(lit(1000000.0) * Vectors.cosine(col("c1"), col("c2")))
+          .cast("long").as("drift_cos_micro"))
+      .withColumn("is_drifted", col("drift_cos_micro") < thresholdMicro)
+  }
 }

@@ -373,4 +373,22 @@ class SimilaritySpec extends AnyFunSuite {
       .groupBy(_._1)
     assert(got(1L).map(_._2).toSeq == Seq((3L, 500000L, 1)))
   }
+
+  test("embedding drift: re-encoded labels flag, unchanged labels read ~1.0") {
+    val got = Similarity.embeddingDrift(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(3), r.getBoolean(4)))
+      .toMap
+    assert(got.size == 10)
+    // unchanged encoder (labels < 5): centroid cosine is 1.0 up to
+    // one ulp of the sqrt round-trip -> micro-floor 999999 or 1000000
+    (0 until 5).foreach { l =>
+      assert(got(l)._1 >= 999999L && !got(l)._2, s"label $l: ${got(l)}")
+    }
+    // re-encoded (rotated) labels: decorrelated centroids, flagged
+    (5 until 10).foreach { l =>
+      assert(got(l)._2 && math.abs(got(l)._1) < 500000L,
+        s"label $l: ${got(l)}")
+    }
+  }
 }
