@@ -144,6 +144,8 @@ object SparkEntry {
       Multimodal.audioEnergy(s, d)),
     "q175_embedding_drift" -> ((s: SparkSession, d: String) =>
       Similarity.embeddingDrift(s, d)),
+    "q176_hll_overlap" -> ((s: SparkSession, d: String) =>
+      Sketches.hllOverlap(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -1749,6 +1751,26 @@ object SparkEntry {
                 sqrt(list_sum(list_transform(b.c, x -> x*x))))
              ELSE 0.0 END)) AS BIGINT) < 500000 AS is_drifted
          FROM c1 a JOIN c2 b USING (label)""",
+    // q176: audience overlap — exact counts compared, the
+    // inclusion-exclusion estimate folds into approx_ok (q39/q48
+    // precedent: the sketch is deterministic for fixed input, so the
+    // band is stable, not flaky).
+    "q176_hll_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+         n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+               FROM tu GROUP BY 1),
+         ov AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+                  CAST(COUNT(*) AS BIGINT) AS n_overlap_exact
+                FROM tu x JOIN tu y ON x.user_id = y.user_id
+                  AND x.event_type < y.event_type
+                GROUP BY 1, 2)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.n_exact AS n_a_exact, b.n_exact AS n_b_exact,
+           COALESCE(ov.n_overlap_exact, 0) AS n_overlap_exact,
+           TRUE AS approx_ok
+         FROM n a JOIN n b ON a.event_type < b.event_type
+         LEFT JOIN ov ON ov.type_a = a.event_type
+           AND ov.type_b = b.event_type""",
     // q157: apply the q155-trained merges corpus-wide — the oracle
     // replays the training chain (doc_id carried) and reads the final
     // round's streams as the encoding.

@@ -231,4 +231,62 @@ object Sketches {
         (col("a50").between(col("lo50"), col("hi50")) &&
           col("a95").between(col("lo95"), col("hi95"))).as("approx_ok"))
   }
+
+  /** The q176 driver entry: AUDIENCE OVERLAP via HLL inclusion-
+    * exclusion — the sketch COMPOSITION every analytics dashboard
+    * runs: |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B), where the union
+    * estimate comes from MERGING the two per-type sketches
+    * (hll_union), never from re-scanning the events. This is the op
+    * that justifies persisting per-segment sketches (q67's daily
+    * rollup): any pairwise overlap is then answerable from the
+    * sketch store alone — at 100 TB the exact pairwise COUNT
+    * (DISTINCT) would shuffle the (type, user) key space per pair,
+    * while the sketches are a few KB each.
+    *
+    * Output contract is the q39/q48/q60 bound fold: the EXACT
+    * overlap (oracle-compared) rides alongside `approx_ok`, which
+    * asserts the inclusion-exclusion estimate landed within the
+    * compounded band — THREE estimates enter the subtraction, so the
+    * band is 3·hllBound scaled by the union's exact size (the
+    * magnitude that dominates all three terms), plus a +5 absolute
+    * floor for near-empty intersections where relative bounds are
+    * meaningless. The exact pairwise join is the verification
+    * scaffold, bounded: each user fans out to at most
+    * C(|types|, 2) pairs.
+    */
+  def hllOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    hllOverlapOn(Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), col("user_id")).distinct())
+
+  /** The operator over any distinct `(event_type, user_id)` frame
+    * (spec entry point: overlap sizes pinned on crafted segments).
+    */
+  def hllOverlapOn(tu: DataFrame): DataFrame = {
+    val sk = tu.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        count(lit(1)).as("n_exact"))
+    val est = sk.as("a").join(sk.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(
+        col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        col("a.n_exact").as("n_a_exact"), col("b.n_exact").as("n_b_exact"),
+        (hll_sketch_estimate(col("a.sk")) +
+          hll_sketch_estimate(col("b.sk")) -
+          hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk"))))
+          .as("est"))
+    val exact = tu.as("x").join(tu.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_overlap_exact"))
+    est.join(exact, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"),
+        col("n_a_exact"), col("n_b_exact"),
+        coalesce(col("n_overlap_exact"), lit(0L)).as("n_overlap_exact"),
+        (abs(col("est") -
+          coalesce(col("n_overlap_exact"), lit(0L)).cast("double")) <=
+          (col("n_a_exact") + col("n_b_exact")).cast("double") *
+            lit(3.0 * hllBound) + lit(5.0)).as("approx_ok"))
+  }
 }

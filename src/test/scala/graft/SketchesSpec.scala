@@ -91,4 +91,22 @@ class SketchesSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(a == b)
   }
+
+  test("hll overlap: crafted segment intersections are exact; estimates stay in band") {
+    import spark.implicits._
+    // A = users 1-100, B = 51-150 (overlap 50), C = 200-209 (disjoint)
+    val tu = ((1 to 100).map(u => ("A", u.toLong)) ++
+      (51 to 150).map(u => ("B", u.toLong)) ++
+      (200 to 209).map(u => ("C", u.toLong)))
+      .toDF("event_type", "user_id")
+    val got = graft.operators.Sketches.hllOverlapOn(tu)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    assert(got(("A", "B")) == ((100L, 100L, 50L, true)))
+    assert(got(("A", "C")) == ((100L, 10L, 0L, true)))
+    assert(got(("B", "C")) == ((100L, 10L, 0L, true)))
+    assert(got.size == 3)
+  }
 }
