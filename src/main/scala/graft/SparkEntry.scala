@@ -146,6 +146,8 @@ object SparkEntry {
       Similarity.embeddingDrift(s, d)),
     "q176_hll_overlap" -> ((s: SparkSession, d: String) =>
       Sketches.hllOverlap(s, d)),
+    "q177_sla_audit" -> ((s: SparkSession, d: String) =>
+      Relational.slaAudit(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -1771,6 +1773,35 @@ object SparkEntry {
          FROM n a JOIN n b ON a.event_type < b.event_type
          LEFT JOIN ov ON ov.type_a = a.event_type
            AND ov.type_b = b.event_type""",
+    // q177: feed-completeness SLA — exact hour-bin integer
+    // arithmetic (hour-truncated epochs divide 3600 evenly); basis
+    // points floor after one exact division.
+    "q177_sla_audit" ->
+      """WITH th AS (
+           SELECT DISTINCT event_type, date_trunc('hour', ts) AS h
+           FROM events),
+         bounds AS (
+           SELECT (CAST(epoch(MAX(h)) AS BIGINT) -
+                   CAST(epoch(MIN(h)) AS BIGINT)) // 3600 + 1
+                  AS n_expected FROM th),
+         g AS (
+           SELECT event_type, h,
+             CASE WHEN prev IS NULL THEN 0
+                  ELSE (CAST(epoch(h) AS BIGINT) -
+                        CAST(epoch(prev) AS BIGINT)) // 3600 - 1
+             END AS gap
+           FROM (SELECT event_type, h,
+                   LAG(h) OVER (PARTITION BY event_type ORDER BY h)
+                     AS prev FROM th))
+         SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours_observed,
+           CAST(b.n_expected AS BIGINT) AS n_hours_expected,
+           CAST(floor(10000.0 * CAST(COUNT(*) AS DOUBLE) /
+             CAST(b.n_expected AS DOUBLE)) AS BIGINT) AS coverage_bp,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_hours,
+           MIN(h) AS first_hour, MAX(h) AS last_hour
+         FROM g, bounds b
+         GROUP BY event_type, b.n_expected""",
     // q157: apply the q155-trained merges corpus-wide — the oracle
     // replays the training chain (doc_id carried) and reads the final
     // round's streams as the encoding.

@@ -1842,4 +1842,52 @@ object Relational {
           saltedLeft("__salt") === saltedRight("__salt"))
       .drop("__salt")
   }
+
+  /** The q177 driver entry: FEED-COMPLETENESS SLA AUDIT — the
+    * per-source data-health report every ingestion dashboard renders:
+    * against the corpus-wide hourly span, each event type reports how
+    * many hour bins it actually covered, its coverage in basis
+    * points, its LONGEST outage (consecutive missing bins — the
+    * number an on-call pages on, which averages hide), and its
+    * first/last observed hours. q152 FILLS the gaps for downstream
+    * math; this op REPORTS them for humans — the other half of the
+    * same spine.
+    *
+    * Exactness: hour bins are exact timestamps; expected-bin count
+    * and gap lengths are exact integer hour arithmetic (hour-
+    * truncated epochs divide 3600 evenly, so the one double division
+    * is exact); coverage floors to basis points after one division
+    * of exact longs.
+    *
+    * Scale shape: one distinct to (type, hour) grain — the only
+    * corpus-size exchange, map-side combined — then a per-type lag
+    * window over the (tiny) bin domain and a types-bounded
+    * aggregate; the global bounds broadcast.
+    */
+  def slaAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val th = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .distinct()
+    val bounds = th.agg(
+      (((unix_timestamp(max(col("h"))) - unix_timestamp(min(col("h"))))
+        .cast("double") / lit(3600.0)).cast("long") + 1L).as("n_expected"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val gaps = th
+      .withColumn("prev", lag(col("h"), 1).over(w))
+      .withColumn("gap", when(col("prev").isNull, lit(0L))
+        .otherwise(((unix_timestamp(col("h")) -
+          unix_timestamp(col("prev"))).cast("double") / lit(3600.0))
+          .cast("long") - 1L))
+    gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours_observed"),
+        max(col("gap")).as("max_gap_hours"),
+        min(col("h")).as("first_hour"),
+        max(col("h")).as("last_hour"))
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), col("n_hours_observed"),
+        col("n_expected").as("n_hours_expected"),
+        floor(lit(10000.0) * col("n_hours_observed").cast("double") /
+          col("n_expected").cast("double")).cast("long").as("coverage_bp"),
+        col("max_gap_hours"), col("first_hour"), col("last_hour"))
+  }
 }

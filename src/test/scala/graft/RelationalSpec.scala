@@ -870,4 +870,28 @@ class RelationalSpec extends AnyFunSuite {
     assert(Relational.unionScans(spark, sf).count() == expected)
     assert(both >= 0) // rows in both filters appear twice by design
   }
+
+  test("sla audit: coverage, longest outage, and span are exact hour arithmetic") {
+    import spark.implicits._
+    // global span = hours 00..05 (6 expected bins); A covers 4 bins
+    // with one 2-hour outage (02->05); B covers only hour 00
+    val rows = Seq(
+      (1L, 10L, "A", "2024-01-01 00:10:00", 1.0),
+      (2L, 10L, "A", "2024-01-01 01:20:00", 1.0),
+      (3L, 10L, "A", "2024-01-01 02:30:00", 1.0),
+      (4L, 10L, "A", "2024-01-01 05:40:00", 1.0),
+      (5L, 11L, "B", "2024-01-01 00:50:00", 1.0))
+    rows.toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .write.mode("overwrite")
+      .parquet("/tmp/graft-sla-test/events.parquet")
+    val got = graft.operators.Relational
+      .slaAudit(spark, "/tmp/graft-sla-test")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got("A") == ((4L, 6L, 6666L, 2L)))
+    assert(got("B") == ((1L, 6L, 1666L, 0L)))
+  }
 }
