@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -203,6 +203,67 @@ object TrainingPrep {
       .agg(sum(when(expr(s"(h div $buckets) % 2") === 0, 1L)
         .otherwise(-1L)).as("feat"))
       .where(col("feat") =!= 0)
+
+  /** Micro-int weight for one model key: md5-derived uniform in
+    * [-0.5, 0.5) floored to integer MICRO-units (the q31 hash-float
+    * device + the q141 fixed-point device) — a trained model swaps
+    * the hash for real parameters, the integer-dot plumbing stays.
+    */
+  private def weightMicro(key: Column): Column =
+    floor(lit(1000000.0) *
+      (conv(substring(md5(key), 1, 15), 16, 10).cast("long")
+        .cast("double") / lit(1.152921504606846976e18) - lit(0.5)))
+      .cast("long")
+
+  /** The q178 driver entry: BATCH MODEL INFERENCE — the shape every
+    * learned quality filter / relevance scorer runs at corpus scale:
+    * a linear model over q144's hashed features, scored as one
+    * broadcast join + one exact integer dot product + one sigmoid.
+    * The weights here are md5-derived placeholders (deterministic, so
+    * the oracle replays them); a trained model's parquet of
+    * (bucket, weight) drops into the same plan unchanged.
+    *
+    * Exactness device: weights quantize to integer MICRO-units, so
+    * each doc's logit is an order-independent BIGINT sum of
+    * feat x weight products — bit-stable under any partitioning —
+    * and only then does ONE identical-tree double chain
+    * (z = z_micro/1e6; score = 1/(1+exp(-z))) produce the
+    * probability. The keep flag compares the INTEGER logit to zero
+    * (sigmoid(z) >= 0.5 <=> z >= 0), so the decision never touches a
+    * float. Docs with no surviving feature score on the bias alone
+    * (left join from the documents universe).
+    *
+    * Scale shape: features are the q144 map-side-combined aggregate;
+    * the 1024-row weight table broadcasts; the per-doc logit sum is
+    * map-side combined. Inference is one pass, no corpus-keyed
+    * shuffle beyond the feature aggregate itself.
+    */
+  def scoreDocs(
+      spark: SparkSession, sfDir: String, buckets: Int = 1024): DataFrame = {
+    val feats = hashedFeatures(spark, sfDir, buckets)
+    val weights = spark.range(buckets)
+      .select(col("id").as("bucket"),
+        weightMicro(concat(lit("w_"), col("id").cast("string"))).as("wq"))
+    val biasQ = weightMicro(lit("w_bias"))
+    val logits = feats
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(col("feat") * col("wq")).as("dot_micro"))
+    val z = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+      .join(logits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        (coalesce(col("dot_micro"), lit(0L)) + biasQ).as("z_micro"))
+    // score floors to micro-units (the q141 device): exp is a libm
+    // call that differs in the last ulp across engines — the raw
+    // double hash-diverged (…96 vs …94 at sf0.01), the floor does not
+    z.select(col("doc_id"), col("n_active"), col("z_micro"),
+      floor(lit(1000000.0) / (lit(1.0) +
+        exp(-(col("z_micro").cast("double") / lit(1000000.0)))))
+        .cast("long").as("score_micro"),
+      (col("z_micro") >= 0L).as("keep"))
+  }
 
   /** The q69 driver entry: VALUE-BASED quality binning for curriculum
     * selection — punctuation-ratio decile by fixed bin width

@@ -313,4 +313,27 @@ class TrainingPrepSpec extends AnyFunSuite {
     // the en training docs score themselves as all-trigram-hits
     assert(got(1L)._2 == 1L && got(2L)._2 == 1L)
   }
+
+  test("batch inference: integer logit decides keep; sigmoid is monotone in z") {
+    val rows = TrainingPrep.scoreDocs(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    // the decision is the INTEGER logit sign, never the float
+    rows.foreach { case (_, _, z, s, keep) =>
+      assert(keep == (z >= 0L))
+      assert(s > 0L && s < 1000000L)
+      assert((s >= 500000L) == (z >= 0L)) // sigmoid agrees with the sign
+    }
+    // sigmoid is monotone in the logit (non-strict after micro-floor)
+    val sorted = rows.sortBy(_._3)
+    sorted.sliding(2).foreach {
+      case Array((_, _, z1, s1, _), (_, _, z2, s2, _)) =>
+        if (z1 < z2) assert(s1 <= s2) else assert(s1 == s2)
+      case _ =>
+    }
+    // both classes occur (the hash weights are not degenerate)
+    assert(rows.exists(_._5) && rows.exists(!_._5))
+  }
 }
