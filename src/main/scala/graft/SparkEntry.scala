@@ -150,6 +150,8 @@ object SparkEntry {
       Relational.slaAudit(s, d)),
     "q178_score_docs" -> ((s: SparkSession, d: String) =>
       TrainingPrep.scoreDocs(s, d)),
+    "q179_score_stream" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.scoreServeStream(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -243,6 +245,50 @@ object SparkEntry {
     "q51_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "q52_media_features" -> (Multimodal.mediaFeatures _)
   )
+
+  /** Shared q178/q179 oracle: batch inference over hashed features
+    * (the streamed serve scores identically — static model, per-doc
+    * independence).
+    */
+  private lazy val scoreDocsOracle: String = s"""WITH tok AS (
+           SELECT doc_id, UNNEST(string_split($normText, ' ')) AS tok
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+           FROM tok),
+         feats AS (
+           SELECT doc_id, hv % 1024 AS bucket,
+             CAST(SUM(CASE WHEN (hv // 1024) % 2 = 0 THEN 1 ELSE -1 END)
+               AS BIGINT) AS feat
+           FROM h GROUP BY 1, 2
+           HAVING SUM(CASE WHEN (hv // 1024) % 2 = 0 THEN 1 ELSE -1 END)
+             <> 0),
+         w AS (
+           SELECT CAST(b AS BIGINT) AS bucket,
+             CAST(floor(1000000.0 *
+               (('0x' || substr(md5('w_' || CAST(b AS VARCHAR)), 1, 15))
+                  ::BIGINT / 1152921504606846976.0 - 0.5)) AS BIGINT)
+               AS wq
+           FROM (SELECT UNNEST(range(1024)) AS b)),
+         bias AS (
+           SELECT CAST(floor(1000000.0 *
+             (('0x' || substr(md5('w_bias'), 1, 15))::BIGINT /
+               1152921504606846976.0 - 0.5)) AS BIGINT) AS bq),
+         logits AS (
+           SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_active,
+             CAST(SUM(f.feat * w.wq) AS BIGINT) AS dot_micro
+           FROM feats f JOIN w USING (bucket) GROUP BY 1)
+         SELECT d.doc_id,
+           COALESCE(l.n_active, 0) AS n_active,
+           COALESCE(l.dot_micro, 0) + bias.bq AS z_micro,
+           CAST(floor(1000000.0 / (1.0 +
+             exp(-(CAST(COALESCE(l.dot_micro, 0) + bias.bq
+               AS DOUBLE) / 1000000.0)))) AS BIGINT) AS score_micro,
+           COALESCE(l.dot_micro, 0) + bias.bq >= 0 AS keep
+         FROM documents d
+         LEFT JOIN logits l ON l.doc_id = d.doc_id
+         CROSS JOIN bias"""
 
   /** Normalized-text SQL twin of TextAnalysis.normalizedText. */
   private val normText = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
@@ -1807,46 +1853,11 @@ object SparkEntry {
     // q178: batch inference — q144's feature replay joined to the
     // md5-derived micro-int weight table, exact BIGINT logit, one
     // identical-tree sigmoid; keep compares the INTEGER logit.
-    "q178_score_docs" ->
-      s"""WITH tok AS (
-           SELECT doc_id, UNNEST(string_split($normText, ' ')) AS tok
-           FROM documents),
-         h AS (
-           SELECT doc_id,
-             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
-           FROM tok),
-         feats AS (
-           SELECT doc_id, hv % 1024 AS bucket,
-             CAST(SUM(CASE WHEN (hv // 1024) % 2 = 0 THEN 1 ELSE -1 END)
-               AS BIGINT) AS feat
-           FROM h GROUP BY 1, 2
-           HAVING SUM(CASE WHEN (hv // 1024) % 2 = 0 THEN 1 ELSE -1 END)
-             <> 0),
-         w AS (
-           SELECT CAST(b AS BIGINT) AS bucket,
-             CAST(floor(1000000.0 *
-               (('0x' || substr(md5('w_' || CAST(b AS VARCHAR)), 1, 15))
-                  ::BIGINT / 1152921504606846976.0 - 0.5)) AS BIGINT)
-               AS wq
-           FROM (SELECT UNNEST(range(1024)) AS b)),
-         bias AS (
-           SELECT CAST(floor(1000000.0 *
-             (('0x' || substr(md5('w_bias'), 1, 15))::BIGINT /
-               1152921504606846976.0 - 0.5)) AS BIGINT) AS bq),
-         logits AS (
-           SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_active,
-             CAST(SUM(f.feat * w.wq) AS BIGINT) AS dot_micro
-           FROM feats f JOIN w USING (bucket) GROUP BY 1)
-         SELECT d.doc_id,
-           COALESCE(l.n_active, 0) AS n_active,
-           COALESCE(l.dot_micro, 0) + bias.bq AS z_micro,
-           CAST(floor(1000000.0 / (1.0 +
-             exp(-(CAST(COALESCE(l.dot_micro, 0) + bias.bq
-               AS DOUBLE) / 1000000.0)))) AS BIGINT) AS score_micro,
-           COALESCE(l.dot_micro, 0) + bias.bq >= 0 AS keep
-         FROM documents d
-         LEFT JOIN logits l ON l.doc_id = d.doc_id
-         CROSS JOIN bias""",
+    "q178_score_docs" -> scoreDocsOracle,
+    // q179: the streamed serve is batch-split-invariant (static
+    // persisted model, per-doc independence) — q178's oracle applies
+    // to the whole stream verbatim.
+    "q179_score_stream" -> scoreDocsOracle,
     // q157: apply the q155-trained merges corpus-wide — the oracle
     // replays the training chain (doc_id carried) and reads the final
     // round's streams as the encoding.

@@ -193,7 +193,14 @@ object TrainingPrep {
     */
   def hashedFeatures(
       spark: SparkSession, sfDir: String, buckets: Int = 1024): DataFrame =
-    Tables.load(spark, sfDir, "documents")
+    hashedFeaturesOn(Tables.load(spark, sfDir, "documents"), buckets)
+
+  /** The featurizer over any `(doc_id, text)` frame — stateless by
+    * construction (no fitted vocabulary), which is exactly why the
+    * streamed serve (q179) can call it per micro-batch.
+    */
+  def hashedFeaturesOn(docs: DataFrame, buckets: Int = 1024): DataFrame =
+    docs
       .select(col("doc_id"),
         explode(split(TextAnalysis.normalizedText(col("text")), " "))
           .as("tok"))
@@ -239,18 +246,45 @@ object TrainingPrep {
     * shuffle beyond the feature aggregate itself.
     */
   def scoreDocs(
-      spark: SparkSession, sfDir: String, buckets: Int = 1024): DataFrame = {
-    val feats = hashedFeatures(spark, sfDir, buckets)
-    val weights = spark.range(buckets)
+      spark: SparkSession, sfDir: String, buckets: Int = 1024): DataFrame =
+    scoreWith(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")),
+      placeholderWeights(spark, buckets), weightMicro(lit("w_bias")),
+      buckets)
+
+  /** The md5-derived placeholder model: (bucket, wq) micro-int rows.
+    * A trained model's parquet replaces this frame unchanged.
+    */
+  def placeholderWeights(spark: SparkSession, buckets: Int): DataFrame =
+    spark.range(buckets)
       .select(col("id").as("bucket"),
         weightMicro(concat(lit("w_"), col("id").cast("string"))).as("wq"))
-    val biasQ = weightMicro(lit("w_bias"))
-    val logits = feats
+
+  /** The externalized model artifact frame: the weight rows plus a
+    * bucket = -1 bias row — the one parquet a deployment persists
+    * and the streamed serve (q179) reads back per micro-batch.
+    */
+  def placeholderModel(
+      spark: SparkSession, buckets: Int = 1024): DataFrame =
+    placeholderWeights(spark, buckets)
+      .unionByName(spark.range(1).select(lit(-1L).as("bucket"),
+        weightMicro(lit("w_bias")).as("wq")))
+
+  /** Score any `(doc_id, text)` frame with a given weight table and
+    * bias — the serving core shared by the one-shot q178 and the
+    * streamed q179 (stateless: per-doc rows depend only on the doc
+    * and the static model, so micro-batching cannot change them).
+    */
+  def scoreWith(
+      docs: DataFrame, weights: DataFrame, biasQ: Column,
+      buckets: Int = 1024): DataFrame = {
+    val logits = hashedFeaturesOn(docs, buckets)
       .join(broadcast(weights), Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_active"),
         sum(col("feat") * col("wq")).as("dot_micro"))
-    val z = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+    val z = docs.select(col("doc_id"))
       .join(logits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_active"), lit(0L)).as("n_active"),

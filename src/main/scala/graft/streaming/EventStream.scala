@@ -999,4 +999,54 @@ object EventStream {
         .write.mode("overwrite").parquet(s"$dir/index_next")
       accepted.localCheckpoint(true)
     }
+
+  /** The q179 driver entry: STREAMED MODEL SERVING — q178's scorer
+    * run as the online endpoint: the model (weights + bias row) is a
+    * persisted parquet artifact, documents arrive as a multi-file
+    * stream, and each micro-batch featurizes + scores against the
+    * READ-BACK model alone (the q156/q160 persisted-artifact serve,
+    * for the quality scorer instead of the ANN index). Stateless:
+    * per-doc rows depend only on the doc and the static model, so
+    * the output is batch-split-invariant and q178's exact oracle
+    * applies verbatim to the whole stream. Sink idempotence via the
+    * per-batch overwrite dirs (q120/q171 device); stream schema
+    * probed from the files, never declared.
+    */
+  def scoreServeStream(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Scratch.withScratch(spark, "q179_model", sfDir) { dir =>
+      graft.operators.TrainingPrep.placeholderModel(spark)
+        .write.mode("overwrite").parquet(s"$dir/model")
+      graft.sources.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$dir/incoming")
+      val schema = spark.read.parquet(s"$dir/incoming").schema
+      val out = s"$dir/out"
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/incoming")
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val s = batch.sparkSession
+          val model = s.read.parquet(s"$dir/model")
+          val bq = model.where(col("bucket") === -1L).head().getLong(1)
+          graft.operators.TrainingPrep
+            .scoreWith(batch, model.where(col("bucket") >= 0L), lit(bq))
+            .write.mode("overwrite").parquet(s"$out/batch=$id")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_active", LongType),
+        StructField("z_micro", LongType),
+        StructField("score_micro", LongType),
+        StructField("keep", BooleanType)))
+      val parts = Option(new java.io.File(out).listFiles()).toSeq.flatten
+        .filter(_.isDirectory).map(_.getAbsolutePath).sorted
+      if (parts.nonEmpty) spark.read.schema(outSchema).parquet(parts: _*)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    }
 }

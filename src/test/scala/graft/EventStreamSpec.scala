@@ -354,4 +354,15 @@ class EventStreamSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(got == Seq(3L, 5L))
   }
+
+  test("streamed scoring equals the one-shot batch score row-for-row") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))
+    val batch = graft.operators.TrainingPrep
+      .scoreDocs(spark, SparkTestSession.sf).collect().map(key).toSet
+    val streamed = graft.streaming.EventStream
+      .scoreServeStream(spark, SparkTestSession.sf).collect().map(key).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
 }
