@@ -152,6 +152,8 @@ object SparkEntry {
       TrainingPrep.scoreDocs(s, d)),
     "q179_score_stream" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.scoreServeStream(s, d)),
+    "q180_decayed_engagement" -> ((s: SparkSession, d: String) =>
+      Relational.decayedEngagement(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -1858,6 +1860,26 @@ object SparkEntry {
     // persisted model, per-doc independence) — q178's oracle applies
     // to the whole stream verbatim.
     "q179_score_stream" -> scoreDocsOracle,
+    // q180: decayed engagement — terms quantize BEFORE the sum
+    // (cents half-up, decay weight micro-floored on the age domain),
+    // so the user totals are exact BIGINTs; one final division.
+    "q180_decayed_engagement" ->
+      """WITH ev AS (
+           SELECT user_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             CAST(ts AS DATE) AS day
+           FROM events),
+         a AS (SELECT MAX(day) AS d1 FROM ev),
+         t AS (
+           SELECT user_id, cents *
+             CAST(floor(1000000.0 * power(CAST(0.9 AS DOUBLE),
+               CAST(datediff('day', day, d1) AS DOUBLE))) AS BIGINT)
+             AS term
+           FROM ev, a)
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(term) AS BIGINT) AS decayed_cents_micro,
+           CAST(SUM(term) AS BIGINT) / 100000000.0 AS decayed_value
+         FROM t GROUP BY 1""",
     // q157: apply the q155-trained merges corpus-wide — the oracle
     // replays the training chain (doc_id carried) and reads the final
     // round's streams as the encoding.

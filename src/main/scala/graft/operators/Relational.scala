@@ -1890,4 +1890,39 @@ object Relational {
           col("n_expected").cast("double")).cast("long").as("coverage_bp"),
         col("max_gap_hours"), col("first_hour"), col("last_hour"))
   }
+
+  /** The q180 driver entry: TIME-DECAYED ENGAGEMENT — the recency-
+    * weighted user feature every ranking/churn model consumes:
+    * engagement = Σ value · decay^age_days, decay 0.9/day anchored at
+    * the corpus max day. Naively this is an order-dependent float sum;
+    * here each TERM quantizes first — cents via the q71 half-up
+    * device (floor(v·100 + 0.5)), the decay weight via
+    * floor(10⁶·0.9^age) — so the per-user total is an order-
+    * independent BIGINT sum of exact products, stable under any
+    * partitioning, with ONE final division for the readable value.
+    * (pow is a libm call, but it is floored on the small age domain
+    * BEFORE entering any sum — the q141/q178 rule for
+    * transcendentals.)
+    *
+    * Scale shape: zero joins beyond the 1-row anchor broadcast; the
+    * only exchange is the per-user aggregate, map-side combined.
+    */
+  def decayedEngagement(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+          .as("cents"),
+        to_date(col("ts")).as("day"))
+    val anchor = ev.agg(max(col("day")).as("d1"))
+    ev.crossJoin(broadcast(anchor))
+      .withColumn("wq",
+        floor(lit(1000000.0) *
+          pow(lit(0.9), datediff(col("d1"), col("day")).cast("double")))
+          .cast("long"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents") * col("wq")).as("decayed_cents_micro"))
+      .withColumn("decayed_value",
+        col("decayed_cents_micro").cast("double") / lit(1.0e8))
+  }
 }

@@ -894,4 +894,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(got("A") == ((4L, 6L, 6666L, 2L)))
     assert(got("B") == ((1L, 6L, 1666L, 0L)))
   }
+
+  test("decayed engagement: per-term quantization matches naive arithmetic") {
+    import spark.implicits._
+    // user 10: 2.00 today + 1.00 two days ago; user 11: 3.50 one day ago
+    val rows = Seq(
+      (1L, 10L, "view", "2024-01-03 10:00:00", 2.0),
+      (2L, 10L, "view", "2024-01-01 09:00:00", 1.0),
+      (3L, 11L, "click", "2024-01-02 08:00:00", 3.5))
+    rows.toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .write.mode("overwrite")
+      .parquet("/tmp/graft-decay-test/events.parquet")
+    val got = graft.operators.Relational
+      .decayedEngagement(spark, "/tmp/graft-decay-test")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    def wq(age: Int) = math.floor(1e6 * math.pow(0.9, age.toDouble)).toLong
+    assert(got(10L) == ((2L, 200L * wq(0) + 100L * wq(2))))
+    assert(got(11L) == ((1L, 350L * wq(1))))
+  }
 }
