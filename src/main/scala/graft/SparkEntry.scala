@@ -154,6 +154,12 @@ object SparkEntry {
       graft.streaming.EventStream.scoreServeStream(s, d)),
     "q180_decayed_engagement" -> ((s: SparkSession, d: String) =>
       Relational.decayedEngagement(s, d)),
+    "q181_pmi_collocations" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.pmiCollocations(s, d)),
+    "q182_char_entropy" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.charEntropy(s, d)),
+    "q183_mrl_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.mrlRecallAudit(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -1880,6 +1886,67 @@ object SparkEntry {
            CAST(SUM(term) AS BIGINT) AS decayed_cents_micro,
            CAST(SUM(term) AS BIGINT) / 100000000.0 AS decayed_value
          FROM t GROUP BY 1""",
+    // q181: PMI collocations — the ratio is TWO exact BIGINT products
+    // with one IEEE division; the single ln micro-floors (q141 rule);
+    // rank tie-break (pmi desc, w1, w2) is a total order so the top-k
+    // is deterministic on both engines.
+    "q181_pmi_collocations" ->
+      s"""WITH toks AS (
+           SELECT string_split($normText, ' ') AS w FROM documents),
+         uni AS (
+           SELECT tok, COUNT(*) AS c FROM (
+             SELECT UNNEST(w) AS tok FROM toks) u
+           WHERE tok <> '' GROUP BY 1),
+         nu AS (SELECT CAST(SUM(c) AS BIGINT) AS nu FROM uni),
+         bi AS (
+           SELECT w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2,
+             COUNT(*) AS cab
+           FROM toks, LATERAL (SELECT UNNEST(range(1, len(w))) AS i) t
+           WHERE len(w) >= 2 GROUP BY 1, 2),
+         nb AS (SELECT CAST(SUM(cab) AS BIGINT) AS nb FROM bi),
+         scored AS (
+           SELECT bi.w1, bi.w2, bi.cab, u1.c AS ca, u2.c AS cb,
+             CAST(FLOOR(1000000.0 * ln(
+               CAST(bi.cab * nu.nu * nu.nu AS DOUBLE) /
+                 CAST(nb.nb * u1.c * u2.c AS DOUBLE))) AS BIGINT)
+               AS pmi_micro
+           FROM bi
+             JOIN uni u1 ON bi.w1 = u1.tok
+             JOIN uni u2 ON bi.w2 = u2.tok
+             CROSS JOIN nu CROSS JOIN nb
+           WHERE bi.cab >= 5)
+         SELECT w1, w2, cab, ca, cb, pmi_micro, CAST(rk AS INTEGER) AS rk
+         FROM (
+           SELECT *, ROW_NUMBER() OVER (
+             ORDER BY pmi_micro DESC, w1 ASC, w2 ASC) AS rk
+           FROM scored)
+         WHERE rk <= 50""",
+    // q182: char entropy — Σ cᵢ·⌊10⁶ ln cᵢ⌋ is an exact BIGINT; the
+    // low_entropy gate compares integers (cross-multiplied by n), the
+    // reported double is one identical-tree division chain.
+    "q182_char_entropy" ->
+      s"""WITH t AS (
+           SELECT doc_id, $normText AS nt FROM documents),
+         ch AS (
+           SELECT doc_id, substr(nt, CAST(i AS INT), 1) AS ch
+           FROM t, LATERAL (
+             SELECT UNNEST(range(1, length(nt) + 1)) AS i) u
+           WHERE length(nt) >= 1),
+         cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+         s AS (
+           SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(c * CAST(FLOOR(1000000.0 *
+               ln(CAST(c AS DOUBLE))) AS BIGINT)) AS BIGINT) AS s_micro
+           FROM cc GROUP BY 1)
+         SELECT doc_id, n_chars, n_distinct, s_micro,
+           CAST(CAST(FLOOR(1000000.0 * ln(CAST(n_chars AS DOUBLE)))
+             AS BIGINT) * n_chars - s_micro AS DOUBLE) /
+             (CAST(n_chars AS DOUBLE) * 1000000.0) AS entropy,
+           (CAST(FLOOR(1000000.0 * ln(CAST(n_chars AS DOUBLE)))
+             AS BIGINT) * n_chars - s_micro) < 2000000 * n_chars
+             AS low_entropy
+         FROM s""",
     // q157: apply the q155-trained merges corpus-wide — the oracle
     // replays the training chain (doc_id carried) and reads the final
     // round's streams as the encoding.
@@ -2762,6 +2829,52 @@ object SparkEntry {
              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rk
            FROM s)
          WHERE rk <= 10""",
+    // q183: MRL truncation audit — both rankings ride the q30
+    // bit-portable fold cosine with (cos desc, vec_id) total order,
+    // so the overlap count is exact; recall scales to integer bp.
+    "q183_mrl_recall" ->
+      s"""WITH u AS ($normalizedVectors),
+         ut AS (
+           SELECT vec_id, list_transform(tv,
+             x -> CASE WHEN tn > 0 THEN x / tn ELSE 0.0 END) AS v
+           FROM (
+             SELECT vec_id, tv,
+               sqrt(list_sum(list_transform(tv, x -> x * x))) AS tn
+             FROM (
+               SELECT vec_id, list_transform(embedding[1:16],
+                 x -> CAST(x AS DOUBLE)) AS tv
+               FROM embeddings))),
+         qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5),
+         ft AS (
+           SELECT q_id, vec_id, rk FROM (
+             SELECT q.vec_id AS q_id, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(uq.v, c.v),
+                   p -> p[1] * p[2])) DESC, c.vec_id ASC) AS rk
+             FROM qids q JOIN u uq ON uq.vec_id = q.vec_id
+               JOIN u c ON c.vec_id != q.vec_id)
+           WHERE rk <= 10),
+         tt AS (
+           SELECT q_id, vec_id, rk FROM (
+             SELECT q.vec_id AS q_id, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(uq.v, c.v),
+                   p -> p[1] * p[2])) DESC, c.vec_id ASC) AS rk
+             FROM qids q JOIN ut uq ON uq.vec_id = q.vec_id
+               JOIN ut c ON c.vec_id != q.vec_id)
+           WHERE rk <= 10),
+         ov AS (
+           SELECT ft.q_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+           FROM ft JOIN tt ON ft.q_id = tt.q_id AND ft.vec_id = tt.vec_id
+           GROUP BY 1)
+         SELECT f1.q_id,
+           COALESCE(ov.n_overlap, 0) AS n_overlap,
+           COALESCE(ov.n_overlap, 0) * 1000 AS recall_bp,
+           f1.vec_id AS full_top1, t1.vec_id AS trunc_top1
+         FROM ft f1
+           JOIN tt t1 ON t1.q_id = f1.q_id AND t1.rk = 1
+           LEFT JOIN ov ON ov.q_id = f1.q_id
+         WHERE f1.rk = 1""",
     // q31's hyperplane components are md5-derived doubles (see
     // VectorExpressions.HyperplaneBucket.component), so the full LSH —
     // 32 sign bits, 8 tables x 4 bits, candidate join, exact cosine,

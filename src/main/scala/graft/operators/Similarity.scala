@@ -718,4 +718,68 @@ object Similarity {
           .cast("long").as("drift_cos_micro"))
       .withColumn("is_drifted", col("drift_cos_micro") < thresholdMicro)
   }
+
+  /** The q183 driver entry: EMBEDDING-TRUNCATION RECALL AUDIT (the
+    * Matryoshka / MRL question, Kusupati et al. 2022) — how much
+    * retrieval quality survives keeping only the first d dimensions?
+    * MRL-trained encoders front-load information precisely so serving
+    * can truncate (4× smaller index, 4× faster dot products); this
+    * audit MEASURES that trade on the actual corpus before anyone
+    * flips the switch: per query, exact top-k under the full vectors
+    * vs exact top-k under re-normalized d-prefix vectors, reported as
+    * recall@k plus the two top-1 ids (the row a human checks first).
+    *
+    * Determinism: both rankings use the bit-portable sequential-fold
+    * cosine (q30 device) with (cos desc, vec_id) total order; the
+    * overlap count is then exact, and recall scales to integer basis
+    * points (k divides 10000) — no float in any output but none is
+    * needed.
+    *
+    * Scale shape: two broadcast-query scans over the corpus (the
+    * query set is small by construction), each a per-partition top-k
+    * under the window = distributed TakeOrdered per query; the audit
+    * join touches 2·k rows per query. At 10⁹ vectors the full scan
+    * pair is exactly what the audit must cost once — and the
+    * truncated side is the 4×-cheaper scan being priced.
+    */
+  def mrlRecallAudit(
+      spark: SparkSession, sfDir: String,
+      numQueries: Int = 5, k: Int = 10, truncDim: Int = 16): DataFrame = {
+    require(10000 % k == 0, "k must divide 10000 for exact basis points")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    def topk(corpus: DataFrame, qs: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      corpus.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          Vectors.dot(col("q"), col("u")).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("q_id"), col("vec_id"), col("rk"))
+    }
+    val full = emb.select(col("vec_id"),
+      Vectors.l2normalize(col("embedding")).as("u"))
+    val trunc = emb.select(col("vec_id"),
+      Vectors.l2normalize(slice(col("embedding"), 1, truncDim)).as("u"))
+    val qFull = emb.orderBy(col("vec_id")).limit(numQueries)
+      .select(col("vec_id").as("q_id"),
+        Vectors.l2normalize(col("embedding")).as("q"))
+    val qTrunc = emb.orderBy(col("vec_id")).limit(numQueries)
+      .select(col("vec_id").as("q_id"),
+        Vectors.l2normalize(slice(col("embedding"), 1, truncDim)).as("q"))
+    val ft = topk(full, qFull)
+    val tt = topk(trunc, qTrunc)
+    val overlap = ft.join(tt, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+    ft.where(col("rk") === 1)
+      .select(col("q_id"), col("vec_id").as("full_top1"))
+      .join(tt.where(col("rk") === 1)
+        .select(col("q_id"), col("vec_id").as("trunc_top1")), Seq("q_id"))
+      .join(overlap, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) * lit((10000 / k).toLong))
+          .as("recall_bp"),
+        col("full_top1"), col("trunc_top1"))
+  }
 }

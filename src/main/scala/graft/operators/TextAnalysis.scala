@@ -859,4 +859,139 @@ object TextAnalysis {
           (den * (col("n") * col("syy") - col("sy") * col("sy"))
             .cast("double"))).as("r2"))
   }
+
+  /** The q181 driver entry: PMI COLLOCATION EXTRACTION — pointwise
+    * mutual information over adjacent token bigrams, the classic
+    * collocation detector (Church & Hanks 1990): PMI(a,b) =
+    * ln(p(ab) / (p(a)·p(b))) with p(ab) = c(ab)/Nb over the bigram
+    * stream and p(a) = c(a)/Nu over the unigram stream. High-PMI
+    * pairs are multi-word expressions ("new york", "machine
+    * learning") — the phrase-vocabulary induction step a tokenizer /
+    * embedding pipeline runs before training (word2vec's phrase
+    * pass uses exactly this score family).
+    *
+    * Exactness device: the ratio assembles as TWO exact BIGINT
+    * products — c(ab)·Nu·Nu over Nb·c(a)·c(b) — one IEEE division,
+    * and the single ln floors to integer micro-nats (the q141 rule:
+    * a floor around ANY transcendental). Rank and tie-break are
+    * integer/string total order, so the top-k is deterministic under
+    * any partitioning.
+    *
+    * Scale shape: both count passes are map-side combined and
+    * bounded by the OBSERVED gram domain, not the corpus; the
+    * unigram table is vocabulary-bounded and broadcasts onto the
+    * bigram counts; the min-count gate prunes the tail before
+    * ranking, and the top-k is orderBy+limit = distributed
+    * TakeOrdered, never a global sort. At 100 TB the BIGINT product
+    * c(ab)·Nu² can overflow 2^63 (Nu ≳ 3·10⁹ with common bigrams);
+    * the scale path switches to the algebraically-identical
+    * log-difference form ln c(ab) + 2·ln Nu − ln Nb − ln c(a) −
+    * ln c(b) with one floor around the assembled double — same
+    * output contract, no exact-product intermediate.
+    */
+  def pmiCollocations(
+      spark: SparkSession, sfDir: String,
+      minCount: Int = 5, topK: Int = 50): DataFrame =
+    pmiCollocationsOn(
+      Tables.load(spark, sfDir, "documents"), minCount, topK)
+
+  def pmiCollocationsOn(
+      docs: DataFrame, minCount: Int, topK: Int): DataFrame = {
+    val toks = docs
+      .select(split(normalizedText(col("text")), " ").as("w"))
+    val uni = toks
+      .select(explode(col("w")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val nu = uni.agg(sum(col("c")).cast("long").as("nu"))
+    val bi = toks
+      .where(size(col("w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("w")) - 1),
+        i => struct(
+          element_at(col("w"), i).as("w1"),
+          element_at(col("w"), i + 1).as("w2")))).as("g"))
+      .select(col("g.w1"), col("g.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+    val nb = bi.agg(sum(col("cab")).cast("long").as("nb"))
+    val ranked = bi
+      .where(col("cab") >= minCount)
+      .join(broadcast(uni.select(col("tok").as("w1"), col("c").as("ca"))),
+        Seq("w1"))
+      .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("cb"))),
+        Seq("w2"))
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .withColumn("pmi_micro",
+        floor(lit(1000000.0) * log(
+          (col("cab") * col("nu") * col("nu")).cast("double") /
+            (col("nb") * col("ca") * col("cb")).cast("double")))
+          .cast("long"))
+      .orderBy(col("pmi_micro").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+    ranked
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("pmi_micro").desc, col("w1").asc, col("w2").asc)))
+      .select(col("w1"), col("w2"), col("cab"), col("ca"), col("cb"),
+        col("pmi_micro"), col("rk"))
+  }
+
+  /** The q182 driver entry: CHARACTER-ENTROPY QUALITY GATE — per-doc
+    * Shannon entropy over the normalized character distribution, the
+    * cheap information-density screen that catches what the n-gram
+    * repetition score (q74) structurally cannot: single-character
+    * floods ("aaaa…"), low-alphabet machine output, and binary-ish
+    * junk all read near-zero entropy while passing length and
+    * stopword gates. C4/Gopher-class pipelines run exactly this
+    * family of screens before anything expensive touches a doc.
+    *
+    *   H = ln n − (Σ cᵢ·ln cᵢ)/n   (nats; cᵢ = count of char i)
+    *
+    * Exactness device (q170's sufficient-statistics discipline): the
+    * only transcendentals are ln of exact integers, each floored to
+    * micro-nats (the q141 rule), so Σ cᵢ·⌊10⁶ ln cᵢ⌋ is an
+    * order-independent BIGINT under any partitioning, and the keep
+    * decision compares INTEGERS — ⌊10⁶ ln n⌋·n − S < threshold·n —
+    * no float ever enters the gate (the q178 decision device). The
+    * reported double entropy is one identical-tree division chain
+    * over those exact longs.
+    *
+    * Scale shape: the explode is a narrow per-row transform; partial
+    * aggregation collapses it to (doc × observed-alphabet) rows
+    * map-side, so the one exchange carries at most |alphabet| rows
+    * per document — not corpus bytes. The per-doc reduce then keys
+    * on doc_id alone. Linear in corpus bytes, no joins, no windows.
+    */
+  def charEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    charEntropyOn(Tables.load(spark, sfDir, "documents"))
+
+  /** Low-entropy threshold in nats: natural-language text sits near
+    * 3–4 nats/char; a doc under 2.0 is alphabet-starved junk.
+    */
+  val lowEntropyNats = 2.0
+
+  def charEntropyOn(docs: DataFrame): DataFrame = {
+    val ch = docs
+      .select(col("doc_id"), normalizedText(col("text")).as("nt"))
+      .where(length(col("nt")) >= 1)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), length(col("nt"))),
+        i => col("nt").substr(i, lit(1)))).as("ch"))
+    val cc = ch.groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val s = cc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_chars"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        sum(col("c") * floor(lit(1000000.0) *
+          log(col("c").cast("double"))).cast("long"))
+          .cast("long").as("s_micro"))
+    val lnn = floor(lit(1000000.0) *
+      log(col("n_chars").cast("double"))).cast("long")
+    s.select(col("doc_id"), col("n_chars"), col("n_distinct"),
+      col("s_micro"),
+      ((lnn * col("n_chars") - col("s_micro")).cast("double") /
+        (col("n_chars").cast("double") * lit(1000000.0))).as("entropy"),
+      (lnn * col("n_chars") - col("s_micro") <
+        lit((lowEntropyNats * 1000000).toLong) * col("n_chars"))
+        .as("low_entropy"))
+  }
 }

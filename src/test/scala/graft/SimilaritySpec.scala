@@ -391,4 +391,29 @@ class SimilaritySpec extends AnyFunSuite {
         s"label $l: ${got(l)}")
     }
   }
+
+  test("mrl audit: identity truncation reads 100% recall; 16-dim audit is consistent with brute") {
+    // truncDim = full dim → the two rankings are the same ranking
+    val ident = Similarity
+      .mrlRecallAudit(spark, sf, numQueries = 3, k = 5, truncDim = 64)
+      .collect()
+    assert(ident.length == 3)
+    ident.foreach { r =>
+      assert(r.getLong(1) == 5L && r.getLong(2) == 10000L)
+      assert(r.getLong(3) == r.getLong(4), "top1 must agree with itself")
+    }
+    // real truncation: full_top1 must equal annBrute's rank-1 row,
+    // and recall_bp is n_overlap scaled exactly
+    val audit = Similarity
+      .mrlRecallAudit(spark, sf, numQueries = 3, k = 5, truncDim = 16)
+      .collect()
+    val bruteTop1 = Similarity.annBrute(spark, sf, numQueries = 3, k = 5)
+      .where(org.apache.spark.sql.functions.col("rk") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    audit.foreach { r =>
+      assert(r.getLong(3) == bruteTop1(r.getLong(0)))
+      assert(r.getLong(2) == r.getLong(1) * 2000L)
+      assert(r.getLong(1) <= 5L)
+    }
+  }
 }

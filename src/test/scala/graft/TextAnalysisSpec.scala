@@ -355,4 +355,70 @@ class TextAnalysisSpec extends AnyFunSuite {
       Seq("abab", "cdcdcd").toDF("text"), rounds = 1).head()
     assert(scratch.getString(3) == "cd")   // retrain reorders — QED
   }
+
+  test("pmi collocations: exact arithmetic replay, bound pair beats frequent pair") {
+    // "new york" only ever co-occurs (5 times); "the" is frequent and
+    // pairs promiscuously. The bound pair must out-PMI every "the *"
+    // pair even though "the cat" is just as frequent.
+    val docs = Seq.tabulate(5)(i =>
+      (i.toLong, s"new york is where the cat sat on the mat $i"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.pmiCollocationsOn(docs, minCount = 5, topK = 10)
+      .collect()
+    assert(rows.nonEmpty)
+    // every always-co-occurring 5-5-5 pair ties at the max PMI; the
+    // (pmi desc, w1, w2) tie-break then puts "cat sat" first and
+    // "new york" among the tied head — deterministic either way
+    assert(rows.head.getString(0) == "cat" && rows.head.getString(1) == "sat")
+    val top = rows.find(r =>
+      r.getString(0) == "new" && r.getString(1) == "york").get
+    assert(top.getLong(5) == rows.head.getLong(5), "new york ties the max")
+    // naive replay with the EXACT tree: two BIGINT products, one IEEE
+    // division, one micro-floored ln
+    val toks = Seq.tabulate(5)(i =>
+      s"new york is where the cat sat on the mat $i")
+      .map(_.toLowerCase.trim.split("\\s+").toSeq)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bis = toks.flatMap(w => w.zip(w.tail))
+    val bi = bis.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nu = uni.values.sum
+    val nb = bi.values.sum
+    def pmiMicro(a: String, b: String): Long =
+      math.floor(1e6 * math.log(
+        (bi((a, b)) * nu * nu).toDouble /
+          (nb * uni(a) * uni(b)).toDouble)).toLong
+    assert(top.getLong(5) == pmiMicro("new", "york"))
+    val theCat = rows.find(r =>
+      r.getString(0) == "the" && r.getString(1) == "cat").get
+    assert(theCat.getLong(5) == pmiMicro("the", "cat"))
+    assert(top.getLong(5) > theCat.getLong(5))
+    // ranks are the 1..k total order on (pmi desc, w1, w2)
+    assert(rows.map(_.getInt(6)).toSeq == (1 to rows.length))
+  }
+
+  test("char entropy: exact micro-nat replay, gate catches the flood") {
+    val docs = Seq(
+      (1L, "aaaaaaaa"),   // one symbol → H = 0, flood
+      (2L, "abcdefgh"),   // uniform 8 → H = ln 8 ≈ 2.079, passes
+      (3L, "aabb")        // uniform 2 → H = ln 2 ≈ 0.693, flood
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropyOn(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getDouble(4), r.getBoolean(5)))
+      .toMap
+    def lnMicro(x: Long) = math.floor(1e6 * math.log(x.toDouble)).toLong
+    // doc 1: n=8, c={a:8} → S = 8·⌊10⁶ln8⌋, H exactly 0
+    assert(got(1L)._2 == 8 * lnMicro(8))
+    assert(got(1L)._3 == 0.0 && got(1L)._4)
+    // doc 2: all cᵢ=1 → S=0, H = ⌊10⁶ln8⌋·8/(8·10⁶), above the gate
+    assert(got(2L)._2 == 0L)
+    assert(got(2L)._3 == lnMicro(8).toDouble * 8 / (8.0 * 1e6))
+    assert(!got(2L)._4)
+    // doc 3: hand replay of the full integer tree
+    val s3 = 2 * (2 * lnMicro(2))
+    assert(got(3L)._2 == s3)
+    assert(got(3L)._3 ==
+      (lnMicro(4) * 4 - s3).toDouble / (4.0 * 1e6))
+    assert(got(3L)._4)
+  }
 }
