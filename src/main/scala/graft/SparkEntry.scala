@@ -160,6 +160,12 @@ object SparkEntry {
       TextAnalysis.charEntropy(s, d)),
     "q183_mrl_recall" -> ((s: SparkSession, d: String) =>
       Similarity.mrlRecallAudit(s, d)),
+    "q184_source_kl" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.sourceKlDivergence(s, d)),
+    "q185_heaps_audit" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.heapsAudit(s, d)),
+    "q186_mad_anomaly" -> ((s: SparkSession, d: String) =>
+      Relational.madDailyAnomaly(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -1921,6 +1927,120 @@ object SparkEntry {
              ORDER BY pmi_micro DESC, w1 ASC, w2 ASC) AS rk
            FROM scored)
          WHERE rk <= 50""",
+    // q186: MAD anomaly — exact cents totals; LOWER medians (rank
+    // (n+1) DIV 2 under a (value, day) total order — no
+    // interpolation, no parity branch); the flag compares integers.
+    "q186_mad_anomaly" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+               AS BIGINT) AS total_cents
+           FROM events GROUP BY 1),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+         med AS (
+           SELECT total_cents AS med_cents FROM (
+             SELECT total_cents, ROW_NUMBER() OVER (
+               ORDER BY total_cents ASC, day ASC) AS rn FROM daily) r, nn
+           WHERE rn = (nn.n + 1) // 2),
+         dev AS (
+           SELECT d.day, d.n_events, d.total_cents, med.med_cents,
+             d.total_cents - med.med_cents AS dev
+           FROM daily d CROSS JOIN med),
+         mad AS (
+           SELECT absdev AS mad_cents FROM (
+             SELECT abs(dev) AS absdev, ROW_NUMBER() OVER (
+               ORDER BY abs(dev) ASC, day ASC) AS rn FROM dev) r, nn
+           WHERE rn = (nn.n + 1) // 2)
+         SELECT day, n_events, total_cents, med_cents, mad.mad_cents,
+           dev, abs(dev) > 3 * mad.mad_cents AS is_anomaly
+         FROM dev CROSS JOIN mad""",
+    // q184: per-source KL — the smoothed ratio is one IEEE division
+    // of exact BIGINT products, its ln micro-floors, and the weighted
+    // sum is an order-independent BIGINT; one final division renders
+    // nats.
+    "q184_source_kl" ->
+      s"""WITH sc AS (
+           SELECT source, tok, COUNT(*) AS c_sw FROM (
+             SELECT source, UNNEST(string_split($normText, ' ')) AS tok
+             FROM documents) t
+           WHERE tok <> '' GROUP BY 1, 2),
+         cw AS (SELECT tok, CAST(SUM(c_sw) AS BIGINT) AS c_w
+                FROM sc GROUP BY 1),
+         ns AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s
+                FROM sc GROUP BY 1),
+         tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS v FROM cw),
+         grid AS (
+           SELECT ns.source, ns.n_s, cw.tok, cw.c_w,
+             COALESCE(sc.c_sw, 0) AS c_sw
+           FROM ns CROSS JOIN cw
+             LEFT JOIN sc ON sc.source = ns.source AND sc.tok = cw.tok),
+         terms AS (
+           SELECT source, n_s, tot.v,
+             (c_sw + 1) * CAST(FLOOR(1000000.0 * ln(
+               CAST((c_sw + 1) * (tot.n + tot.v) AS DOUBLE) /
+                 CAST((n_s + tot.v) * (c_w + 1) AS DOUBLE))) AS BIGINT)
+               AS term
+           FROM grid CROSS JOIN tot)
+         SELECT source, MAX(n_s) AS n_tokens, MAX(v) AS vocab_size,
+           CAST(SUM(term) AS BIGINT) AS s_micro,
+           CAST(CAST(SUM(term) AS BIGINT) AS DOUBLE) /
+             (CAST(MAX(n_s) + MAX(v) AS DOUBLE) * 1000000.0) AS kl_nats
+         FROM terms GROUP BY 1""",
+    // q185: Heaps audit — cumulative vocab needs no distinct-per-
+    // prefix: V_b = running sum of first-batch counts; log-log points
+    // micro-floor so the regression sums are exact BIGINTs (q170
+    // tree).
+    "q185_heaps_audit" ->
+      s"""WITH toks AS (
+           SELECT doc_id // 50 AS b,
+             UNNEST(string_split($normText, ' ')) AS tok
+           FROM documents),
+         t2 AS (SELECT b, tok FROM toks WHERE tok <> ''),
+         per_batch AS (SELECT b, COUNT(*) AS t FROM t2 GROUP BY 1),
+         new_vocab AS (
+           SELECT fb AS b, COUNT(*) AS nv FROM (
+             SELECT tok, MIN(b) AS fb FROM t2 GROUP BY 1) f
+           GROUP BY 1),
+         curve AS (
+           SELECT b,
+             CAST(SUM(t) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS t_cum,
+             CAST(SUM(COALESCE(nv, 0)) OVER (ORDER BY b ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS v_cum
+           FROM per_batch LEFT JOIN new_vocab USING (b)),
+         pts AS (
+           SELECT
+             CAST(FLOOR(1000000.0 * ln(CAST(t_cum AS DOUBLE)))
+               AS BIGINT) AS x,
+             CAST(FLOOR(1000000.0 * ln(CAST(v_cum AS DOUBLE)))
+               AS BIGINT) AS y,
+             t_cum, v_cum
+           FROM curve),
+         s AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             MAX(t_cum) AS total_tokens, MAX(v_cum) AS vocab_size
+           FROM pts)
+         SELECT n AS n_batches, total_tokens, vocab_size,
+           CAST(n * sxy - sx * sy AS DOUBLE) /
+             CAST(n * sxx - sx * sx AS DOUBLE) AS heaps_beta,
+           (CAST(sy AS DOUBLE) -
+             CAST(n * sxy - sx * sy AS DOUBLE) /
+               CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+             CAST(n AS DOUBLE) AS intercept_ln_k,
+           CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) = 0
+                  OR CAST(n * syy - sy * sy AS DOUBLE) = 0
+             THEN -1.0
+             ELSE (CAST(n * sxy - sx * sy AS DOUBLE) *
+               CAST(n * sxy - sx * sy AS DOUBLE)) /
+               (CAST(n * sxx - sx * sx AS DOUBLE) *
+                 CAST(n * syy - sy * sy AS DOUBLE)) END AS r2
+         FROM s""",
     // q182: char entropy — Σ cᵢ·⌊10⁶ ln cᵢ⌋ is an exact BIGINT; the
     // low_entropy gate compares integers (cross-multiplied by n), the
     // reported double is one identical-tree division chain.

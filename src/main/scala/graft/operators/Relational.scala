@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -1924,5 +1924,63 @@ object Relational {
         sum(col("cents") * col("wq")).as("decayed_cents_micro"))
       .withColumn("decayed_value",
         col("decayed_cents_micro").cast("double") / lit(1.0e8))
+  }
+
+  /** The q186 driver entry: MAD-ROBUST DAILY-VOLUME ANOMALY — flag
+    * days whose revenue total sits more than 3 median-absolute-
+    * deviations from the median. The robust twin of a z-score alarm:
+    * mean/stddev are THEMSELVES dragged by the outlier being hunted
+    * (one 10× day inflates σ until nothing flags — the masking
+    * effect), while median/MAD have a 50% breakdown point, which is
+    * why Leys et al. 2013 is the standard prescription for exactly
+    * this monitoring shape. Complements q177 (SLA = MISSING hours)
+    * with the volume-level alarm (PRESENT but wrong).
+    *
+    * Determinism: totals are exact cents (half-up, the q71 device);
+    * both medians are LOWER medians — the element at row_number
+    * (n+1) DIV 2 under a (value, day) total order — so no
+    * interpolation, no parity branch, and ties break identically on
+    * both engines; the flag compares INTEGERS, |dev| > 3·MAD (the
+    * q178 decision rule: no float in the gate).
+    *
+    * Scale shape: the per-day aggregate is map-side combined over
+    * the corpus; everything after operates on the DAY domain
+    * (calendar-bounded — centuries fit in memory), so the two
+    * median windows are bounded-domain single-partition sorts by
+    * construction (the q131/q151 precedent). At 100 TB nothing
+    * changes: the day domain does not grow with data.
+    */
+  def madDailyAnomaly(
+      spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val daily = Tables.load(spark, sfDir, "events")
+      .select(to_date(col("ts")).as("day"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+          .as("cents"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("total_cents"))
+    // lower median of a bounded-domain frame under a total order
+    def lowerMedian(df: DataFrame, value: Column, out: String): DataFrame = {
+      val w = Window.orderBy(value.asc, col("day").asc)
+      val ranked = df.withColumn("rn", row_number().over(w))
+      val nRows = ranked.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(nRows))
+        // (n+1) DIV 2 — integer division (a bare `/` is double in
+        // Spark and 2.5 would match no rank)
+        .where(col("rn") ===
+          ((col("n") + lit(1L)) / lit(2L)).cast("long"))
+        .select(value.as(out))
+    }
+    val med = lowerMedian(daily, col("total_cents"), "med_cents")
+    val withDev = daily.crossJoin(broadcast(med))
+      .withColumn("dev", col("total_cents") - col("med_cents"))
+    val mad = lowerMedian(
+      withDev.select(col("day"), abs(col("dev")).as("absdev")),
+      col("absdev"), "mad_cents")
+    withDev.crossJoin(broadcast(mad))
+      .select(col("day"), col("n_events"), col("total_cents"),
+        col("med_cents"), col("mad_cents"), col("dev"),
+        (abs(col("dev")) > lit(k.toLong) * col("mad_cents"))
+          .as("is_anomaly"))
   }
 }

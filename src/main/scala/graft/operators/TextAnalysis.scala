@@ -994,4 +994,147 @@ object TextAnalysis {
         lit((lowEntropyNats * 1000000).toLong) * col("n_chars"))
         .as("low_entropy"))
   }
+
+  /** The q184 driver entry: PER-SOURCE KL DIVERGENCE from the corpus
+    * unigram distribution — the mixture-health monitor for a corpus
+    * assembled from many feeds: KL(P_source ‖ P_corpus) with add-one
+    * smoothing over the corpus vocabulary. A source whose KL jumps
+    * between ingests changed its content distribution (crawler broke,
+    * feed switched language, spam flood) long before any downstream
+    * metric moves. Complements q122 (keyness = WHICH terms drifted,
+    * per-term) with the per-source single number a dashboard tracks;
+    * the same smoothed-ratio family as q141's perplexity but
+    * aggregated source-vs-corpus instead of scored per-doc.
+    *
+    *   KL(s) = Σ_w p_w ln(p_w/q_w),  p_w = (c_sw+1)/(N_s+V),
+    *                                 q_w = (c_w +1)/(N  +V)
+    *
+    * Exactness: the ratio is one IEEE division of two exact BIGINT
+    * products — (c_sw+1)(N+V) over (N_s+V)(c_w+1) — its ln floors to
+    * micro-nats, and the weighted sum Σ (c_sw+1)·⌊10⁶ ln r⌋ is an
+    * order-independent BIGINT; one final identical-tree division by
+    * (N_s+V)·10⁶ renders nats.
+    *
+    * Scale shape: one (source, token) count pass, map-side combined;
+    * everything after is GRAM-DOMAIN-bounded — corpus counts derive
+    * from the per-source counts (no second scan), and the smoothing
+    * grid is sources × vocabulary via a broadcast of the vocab-
+    * bounded counts. At 100 TB the grid prunes to count-threshold
+    * vocabulary (the Brants move, q167) and the broadcast becomes a
+    * tok-keyed shuffle join; the absent-word mass then folds
+    * analytically per source instead of materializing zero rows.
+    */
+  def sourceKlDivergence(spark: SparkSession, sfDir: String): DataFrame =
+    sourceKlOn(Tables.load(spark, sfDir, "documents"))
+
+  def sourceKlOn(docs: DataFrame): DataFrame = {
+    val sc = docs
+      .select(col("source"),
+        explode(split(normalizedText(col("text")), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c_sw"))
+    val cw = sc.groupBy(col("tok"))
+      .agg(sum(col("c_sw")).cast("long").as("c_w"))
+    val ns = sc.groupBy(col("source"))
+      .agg(sum(col("c_sw")).cast("long").as("n_s"))
+    val tot = cw.agg(sum(col("c_w")).cast("long").as("n"),
+      count(lit(1)).cast("long").as("v"))
+    val csw = coalesce(col("c_sw"), lit(0L))
+    val lnr = floor(lit(1000000.0) * log(
+      ((csw + lit(1L)) * (col("n") + col("v"))).cast("double") /
+        ((col("n_s") + col("v")) * (col("c_w") + lit(1L))).cast("double")))
+      .cast("long")
+    ns.crossJoin(broadcast(cw))
+      .join(sc, Seq("source", "tok"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("term", (csw + lit(1L)) * lnr)
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        max(col("v")).as("vocab_size"),
+        sum(col("term")).cast("long").as("s_micro"))
+      .select(col("source"), col("n_tokens"), col("vocab_size"),
+        col("s_micro"),
+        (col("s_micro").cast("double") /
+          ((col("n_tokens") + col("vocab_size")).cast("double") *
+            lit(1000000.0))).as("kl_nats"))
+  }
+
+  /** The q185 driver entry: HEAPS'-LAW VOCABULARY-GROWTH AUDIT — fit
+    * V = K·Tᵝ over the cumulative (tokens, vocabulary) curve as the
+    * corpus ingests in doc_id order. Natural text grows vocabulary at
+    * β ≈ 0.4–0.6 (Heaps 1978); β drifting toward 1 means unbounded
+    * novel "words" (OCR noise, random ids, spam), toward 0 means the
+    * crawl is re-reading itself — the companion number to the Zipf
+    * slope (q170; the two laws are duals) and the capacity input for
+    * sizing tokenizer vocabularies (q164's target) and embedding
+    * tables before a full train.
+    *
+    * The distributed trick: the cumulative vocabulary curve needs no
+    * distinct-per-prefix pass — each token contributes to V_b for
+    * every b ≥ its FIRST batch, so V_b = Σ_{b'≤b} |{tok:
+    * first_batch(tok) = b'}|, one min-aggregate over the token
+    * domain plus a running sum over the BATCH domain. Same device as
+    * q46's incremental dedup, applied analytically.
+    *
+    * Exactness: counts are integers; the log-log points micro-floor
+    * (q141 rule) so the five regression sums are order-independent
+    * BIGINTs; slope/intercept/R² are identical-tree double chains
+    * (the q170 shape exactly).
+    *
+    * Scale shape: one (batch, token) pass, map-side combined; the
+    * min-aggregate is gram-domain-bounded; the running sums window
+    * over the BATCH domain only (ingest cadence — daily batches at
+    * production scale, `batchSize` docs here), never over docs.
+    */
+  def heapsAudit(
+      spark: SparkSession, sfDir: String, batchSize: Int = 50): DataFrame =
+    heapsOn(Tables.load(spark, sfDir, "documents"), batchSize)
+
+  def heapsOn(docs: DataFrame, batchSize: Int): DataFrame = {
+    val toks = docs
+      .select(floor(col("doc_id") / lit(batchSize)).cast("long").as("b"),
+        explode(split(normalizedText(col("text")), " ")).as("tok"))
+      .where(col("tok") =!= "")
+    val perBatch = toks.groupBy(col("b")).agg(count(lit(1)).as("t"))
+    val newVocab = toks.groupBy(col("tok")).agg(min(col("b")).as("fb"))
+      .groupBy(col("fb").as("b")).agg(count(lit(1)).as("nv"))
+    val wb = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = perBatch
+      .join(newVocab, Seq("b"), "left")
+      .select(col("b"), col("t"), coalesce(col("nv"), lit(0L)).as("nv"))
+      .select(col("b"),
+        sum(col("t")).over(wb).cast("long").as("t_cum"),
+        sum(col("nv")).over(wb).cast("long").as("v_cum"))
+      .select(
+        floor(lit(1000000.0) * log(col("t_cum").cast("double")))
+          .cast("long").as("x"),
+        floor(lit(1000000.0) * log(col("v_cum").cast("double")))
+          .cast("long").as("y"),
+        col("t_cum"), col("v_cum"))
+    val s = curve.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      max(col("t_cum")).as("total_tokens"),
+      max(col("v_cum")).as("vocab_size"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val syyT = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val beta = num / den
+    // r2 sentinel: a zero-variance axis (vocabulary saturated — the
+    // fixture corpus has a 31-token vocabulary, so EVERY batch after
+    // the first adds nothing) makes R² 0/0; report -1.0 ("degenerate
+    // fit") instead of NaN so the driver hash never sees a NaN and
+    // ANSI mode never divides by zero.
+    s.select(col("n").as("n_batches"),
+      col("total_tokens"), col("vocab_size"),
+      beta.as("heaps_beta"),
+      ((col("sy").cast("double") - beta * col("sx").cast("double")) /
+        col("n").cast("double")).as("intercept_ln_k"),
+      when(den === 0.0 || syyT === 0.0, lit(-1.0))
+        .otherwise((num * num) / (den * syyT)).as("r2"))
+  }
 }

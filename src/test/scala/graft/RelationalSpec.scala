@@ -915,4 +915,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(got(10L) == ((2L, 200L * wq(0) + 100L * wq(2))))
     assert(got(11L) == ((1L, 350L * wq(1))))
   }
+
+  test("mad anomaly: lower medians, spike flags, masking day does not") {
+    import spark.implicits._
+    // 5 quiet days (1.00-1.04 totals) + one 10x spike. Mean/stddev
+    // would be dragged by the spike; MAD flags it cleanly.
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 1.00), (2L, "2024-01-02 10:00:00", 1.01),
+      (3L, "2024-01-03 10:00:00", 1.02), (4L, "2024-01-04 10:00:00", 1.03),
+      (5L, "2024-01-05 10:00:00", 1.04), (6L, "2024-01-06 10:00:00", 10.0))
+    rows.map { case (id, t, v) => (id, 1L, "view", t, v) }
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .write.mode("overwrite")
+      .parquet("/tmp/graft-mad-test/events.parquet")
+    val got = graft.operators.Relational
+      .madDailyAnomaly(spark, "/tmp/graft-mad-test")
+      .collect()
+      .map(r => (r.getDate(0).toString,
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6))))
+      .toMap
+    // totals (cents): 100 101 102 103 104 1000; lower median of 6 =
+    // rank 3 = 102; absdevs: 2 1 0 1 2 898 → lower median = 1
+    assert(got("2024-01-03") == ((102L, 102L, 1L, 0L, false)))
+    assert(got("2024-01-06") == ((1000L, 102L, 1L, 898L, true)))
+    // 2-cent deviations sit inside the 3·MAD=3 band → quiet
+    assert(!got("2024-01-01")._5 && !got("2024-01-05")._5)
+    assert(got.values.count(_._5) == 1, "exactly the spike flags")
+  }
 }

@@ -421,4 +421,62 @@ class TextAnalysisSpec extends AnyFunSuite {
       (lnMicro(4) * 4 - s3).toDouble / (4.0 * 1e6))
     assert(got(3L)._4)
   }
+
+  test("source KL: identical halves read exactly zero; naive replay matches") {
+    // the add-one ratio aligns exactly when a source is a half-scale
+    // copy of the corpus: p = (1+1)/(2+2) = q = (2+1)/(4+2)
+    val mirror = Seq((1L, "a b", "s1"), (2L, "a b", "s2"))
+      .toDF("doc_id", "text", "source")
+    TextAnalysis.sourceKlOn(mirror).collect().foreach { r =>
+      assert(r.getLong(3) == 0L && r.getDouble(4) == 0.0, r.toString)
+    }
+    // skewed corpus: full naive replay of the integer tree
+    val docs = Seq(
+      (1L, "a a a b", "s1"), (2L, "b b b a", "s2")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceKlOn(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getDouble(4)))
+      .toMap
+    val corpus = Map("a" -> 4L, "b" -> 4L)
+    val bySrc = Map("s1" -> Map("a" -> 3L, "b" -> 1L),
+      "s2" -> Map("a" -> 1L, "b" -> 3L))
+    val (nTot, v) = (8L, 2L)
+    bySrc.foreach { case (src, cs) =>
+      val nS = cs.values.sum
+      val sMicro = corpus.keys.map { w =>
+        val csw = cs.getOrElse(w, 0L)
+        (csw + 1) * math.floor(1e6 * math.log(
+          ((csw + 1) * (nTot + v)).toDouble /
+            ((nS + v) * (corpus(w) + 1)).toDouble)).toLong
+      }.sum
+      assert(got(src) == ((nS, sMicro,
+        sMicro.toDouble / ((nS + v).toDouble * 1e6))), src)
+      assert(sMicro > 0L, "skewed source must diverge")
+    }
+  }
+
+  test("heaps audit: naive replay of the cumulative curve and log-log fit") {
+    val docs = Seq(
+      (0L, "a b"), (1L, "a c"), (2L, "a b c d"), (3L, "a a")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.heapsOn(docs, batchSize = 1).head()
+    // curve: (t_cum, v_cum) = (2,2) (4,3) (8,4) (10,4)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 10L && r.getLong(2) == 4L)
+    val pts = Seq((2L, 2L), (4L, 3L), (8L, 4L), (10L, 4L)).map {
+      case (t, v) =>
+        (math.floor(1e6 * math.log(t.toDouble)).toLong,
+          math.floor(1e6 * math.log(v.toDouble)).toLong)
+    }
+    val n = pts.size.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val num = (n * sxy - sx * sy).toDouble
+    val den = (n * sxx - sx * sx).toDouble
+    assert(r.getDouble(3) == num / den)
+    assert(r.getDouble(3) > 0.0 && r.getDouble(3) < 1.0,
+      "vocabulary grows sublinearly")
+    assert(r.getDouble(4) ==
+      (sy.toDouble - num / den * sx.toDouble) / n.toDouble)
+  }
 }
