@@ -166,6 +166,8 @@ object SparkEntry {
       TextAnalysis.heapsAudit(s, d)),
     "q186_mad_anomaly" -> ((s: SparkSession, d: String) =>
       Relational.madDailyAnomaly(s, d)),
+    "q187_stream_mad_gate" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.madGateStream(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -1927,6 +1929,37 @@ object SparkEntry {
              ORDER BY pmi_micro DESC, w1 ASC, w2 ASC) AS rk
            FROM scored)
          WHERE rk <= 50""",
+    // q187: streaming MAD gate — stateless serve from the persisted
+    // per-type bounds artifact ⇒ batch-split-invariant, so the batch
+    // twin replays the whole stream exactly; lower medians as q186.
+    "q187_stream_mad_gate" ->
+      """WITH ev AS (
+           SELECT event_id, event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+           FROM events),
+         nn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+                FROM ev GROUP BY 1),
+         med AS (
+           SELECT event_type, cents AS med_cents FROM (
+             SELECT event_type, cents, ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY cents ASC, event_id ASC) AS rn FROM ev) r
+           JOIN nn USING (event_type)
+           WHERE rn = (nn.n + 1) // 2),
+         dev AS (
+           SELECT ev.event_id, ev.event_type, ev.cents, med.med_cents,
+             abs(ev.cents - med.med_cents) AS absdev
+           FROM ev JOIN med USING (event_type)),
+         mad AS (
+           SELECT event_type, absdev AS mad_cents FROM (
+             SELECT event_type, absdev, ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY absdev ASC, event_id ASC) AS rn FROM dev) r
+           JOIN nn USING (event_type)
+           WHERE rn = (nn.n + 1) // 2)
+         SELECT event_id, event_type, cents, med_cents, mad.mad_cents,
+           abs(cents - med_cents) > 3 * mad.mad_cents AS is_outlier
+         FROM dev JOIN mad USING (event_type)""",
     // q186: MAD anomaly — exact cents totals; LOWER medians (rank
     // (n+1) DIV 2 under a (value, day) total order — no
     // interpolation, no parity branch); the flag compares integers.

@@ -1983,4 +1983,62 @@ object Relational {
         (abs(col("dev")) > lit(k.toLong) * col("mad_cents"))
           .as("is_anomaly"))
   }
+
+  /** Per-event-type robust value bounds — (lower median, lower MAD)
+    * of the exact cents distribution — the TRAINED ARTIFACT q187's
+    * streaming gate serves (the q186 robust-statistics device at
+    * per-event granularity, persisted the way q178's model or q46's
+    * signature index is). Lower medians via rank (n+1) DIV 2 under a
+    * (value, event_id) total order: no interpolation, deterministic
+    * under ties.
+    *
+    * Scale note: the rank windows partition by event_type over EVENT
+    * rows — distributed across types but per-type sorted; with few
+    * fat types at 100 TB this is the one place to swap in the
+    * mergeable quantile sketch (q48) at a tolerance — the serving
+    * side (q187) is unchanged either way.
+    */
+  def robustTypeBounds(spark: SparkSession, sfDir: String): DataFrame =
+    robustTypeBoundsOn(
+      Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+            .as("cents")))
+
+  def robustTypeBoundsOn(ev: DataFrame): DataFrame = {
+    val n = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    def lowerMed(df: DataFrame, value: Column, out: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(value.asc, col("event_id").asc)
+      df.withColumn("rn", row_number().over(w))
+        .join(broadcast(n), Seq("event_type"))
+        .where(col("rn") === ((col("n") + lit(1L)) / lit(2L)).cast("long"))
+        .select(col("event_type"), value.as(out))
+    }
+    val med = lowerMed(ev, col("cents"), "med_cents")
+    val mad = lowerMed(
+      ev.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), col("event_id"),
+          abs(col("cents") - col("med_cents")).as("absdev")),
+      col("absdev"), "mad_cents")
+    med.join(mad, Seq("event_type"))
+  }
+
+  /** Batch twin of q187's streaming gate: flag events whose cents sit
+    * outside med ± 3·MAD for their type. Integer decision (q178 rule).
+    */
+  def madEventGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+          .as("cents"))
+    madEventGateWith(ev, robustTypeBoundsOn(ev))
+  }
+
+  def madEventGateWith(ev: DataFrame, bounds: DataFrame): DataFrame =
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("cents"),
+        col("med_cents"), col("mad_cents"),
+        (abs(col("cents") - col("med_cents")) >
+          lit(3L) * col("mad_cents")).as("is_outlier"))
 }

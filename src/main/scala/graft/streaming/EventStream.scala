@@ -1049,4 +1049,59 @@ object EventStream {
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
     }
+
+  /** The q187 driver entry: STREAMING OUTLIER GATE from persisted
+    * robust bounds — the online half of q186's robust-statistics
+    * story: per-event-type (median, MAD) cents bounds train in batch
+    * (`Relational.robustTypeBounds`), persist as a parquet artifact,
+    * and every arriving event is flagged against the READ-BACK
+    * bounds alone — the fraud/billing-anomaly front door, shaped
+    * exactly like q179's model serve (train artifact → stateless
+    * stream serve). Stateless + static artifact ⇒ batch-split-
+    * invariant, so the batch twin (`Relational.madEventGate`) is the
+    * exact oracle for the whole stream regardless of microbatch
+    * boundaries. The gate itself compares INTEGERS (|cents−med| >
+    * 3·MAD — the q178 decision rule); sink idempotence via per-batch
+    * overwrite dirs (q120/q171 device); stream schema probed from
+    * the files, never declared (the round-9 lesson).
+    */
+  def madGateStream(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Scratch.withScratch(spark, "q187_mad_gate", sfDir) { dir =>
+      graft.operators.Relational.robustTypeBounds(spark, sfDir)
+        .write.mode("overwrite").parquet(s"$dir/bounds")
+      graft.sources.Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+            .as("cents"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$dir/incoming")
+      val schema = spark.read.parquet(s"$dir/incoming").schema
+      val out = s"$dir/out"
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/incoming")
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val s = batch.sparkSession
+          graft.operators.Relational
+            .madEventGateWith(batch, s.read.parquet(s"$dir/bounds"))
+            .write.mode("overwrite").parquet(s"$out/batch=$id")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val outSchema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("cents", LongType),
+        StructField("med_cents", LongType),
+        StructField("mad_cents", LongType),
+        StructField("is_outlier", BooleanType)))
+      val parts = Option(new java.io.File(out).listFiles()).toSeq.flatten
+        .filter(_.isDirectory).map(_.getAbsolutePath).sorted
+      if (parts.nonEmpty) spark.read.schema(outSchema).parquet(parts: _*)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    }
 }

@@ -365,4 +365,29 @@ class EventStreamSpec extends AnyFunSuite {
       .scoreServeStream(spark, SparkTestSession.sf).collect().map(key).toSet
     assert(streamed == batch && batch.nonEmpty)
   }
+
+  test("streamed MAD gate equals the batch twin row-for-row; bounds are lower medians") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))
+    val batch = graft.operators.Relational
+      .madEventGate(spark, SparkTestSession.sf).collect().map(key).toSet
+    val streamed = graft.streaming.EventStream
+      .madGateStream(spark, SparkTestSession.sf).collect().map(key).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // trained bounds: the lower median is an OBSERVED value (no
+    // interpolation) — every (med, mad) pair must be attained
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0), (4L, "a", 40.0))
+      .toDF("event_id", "event_type", "value")
+      .select($"event_id", $"event_type",
+        org.apache.spark.sql.functions
+          .floor($"value" * 100.0 + 0.5).cast("long").as("cents"))
+    val b = graft.operators.Relational.robustTypeBoundsOn(ev).head()
+    // even count 4 → lower median = rank 2 = 2000 cents;
+    // absdevs: 1000 0 1000 2000 → lower median = rank 2 = 1000
+    assert(b.getString(0) == "a" && b.getLong(1) == 2000L &&
+      b.getLong(2) == 1000L)
+  }
 }
