@@ -168,6 +168,10 @@ object SparkEntry {
       Relational.madDailyAnomaly(s, d)),
     "q187_stream_mad_gate" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.madGateStream(s, d)),
+    "q188_neg_sampling" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.negSamplingTable(s, d)),
+    "q189_prefix_filter_join" -> ((s: SparkSession, d: String) =>
+      Dedup.prefixFilterJoin(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -1929,6 +1933,63 @@ object SparkEntry {
              ORDER BY pmi_micro DESC, w1 ASC, w2 ASC) AS rk
            FROM scored)
          WHERE rk <= 50""",
+    // q189: prefix-filter join runs the lossless AllPairs pruning, so
+    // its oracle is the exhaustive token-set truth at the same
+    // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness
+    // theorem under test.
+    "q189_prefix_filter_join" ->
+      s"""WITH words AS (
+           SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS sh
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t
+           WHERE len(w) >= 5),
+         sizes AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+           FROM sh a JOIN sh b
+             ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b,
+           CAST(n_common AS DOUBLE) /
+             CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+         FROM common
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+         WHERE 5 * n_common >= 3 * (sa.n + sb.n - n_common)""",
+    // q188: negative sampling — c^(3/4) = sqrt(c)·sqrt(sqrt(c)), two
+    // correctly-rounded ops + one multiply, floored once; draws are
+    // 60-bit md5 mod total weight, landing in exactly one cum slot.
+    "q188_neg_sampling" ->
+      s"""WITH counts AS (
+           SELECT tok, COUNT(*) AS c FROM (
+             SELECT UNNEST(string_split($normText, ' ')) AS tok
+             FROM documents) t
+           WHERE tok <> '' GROUP BY 1),
+         w AS (
+           SELECT tok, c, CAST(FLOOR(1000000.0 *
+             (sqrt(CAST(c AS DOUBLE)) * sqrt(sqrt(CAST(c AS DOUBLE)))))
+             AS BIGINT) AS w_micro
+           FROM counts),
+         cum AS (
+           SELECT tok, c, w_micro,
+             CAST(SUM(w_micro) OVER (ORDER BY tok ASC ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_hi
+           FROM w),
+         tot AS (SELECT MAX(cum_hi) AS tw FROM cum),
+         draws AS (
+           SELECT CAST(k AS BIGINT) AS k,
+             ('0x' || substr(md5('neg:' || CAST(k AS VARCHAR)), 1, 15))
+               ::BIGINT % tot.tw AS target
+           FROM range(1, 65) t(k), tot)
+         SELECT d.k, cum.tok, cum.c, cum.w_micro,
+           CAST(cum.w_micro AS DOUBLE) / CAST(tot.tw AS DOUBLE) AS p
+         FROM cum CROSS JOIN tot
+           JOIN draws d ON d.target >= cum.cum_hi - cum.w_micro
+             AND d.target < cum.cum_hi""",
     // q187: streaming MAD gate — stateless serve from the persisted
     // per-type bounds artifact ⇒ batch-split-invariant, so the batch
     // twin replays the whole stream exactly; lower medians as q186.

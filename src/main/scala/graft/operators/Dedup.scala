@@ -1079,4 +1079,114 @@ object Dedup {
       .withColumn("dup_frac",
         col("dup_chars").cast("double") / col("n_chars").cast("double"))
   }
+
+  /** The q189 driver entry: EXACT ALL-PAIRS SIMILARITY JOIN with
+    * PREFIX FILTERING (Bayardo et al. 2007 "Scaling Up All Pairs
+    * Similarity Search" / PPJoin, Xiao et al. 2008) — every document
+    * pair with 5-gram-shingle-set Jaccard ≥ 0.6, EXACTLY, with no
+    * posting-list caps (q21's cap trades completeness for a cost
+    * bound; this is the lossless alternative): under any fixed
+    * global shingle order, two sets with J ≥ t must share an element
+    * inside their first |d| − ⌈t·|d|⌉ + 1 — if the smallest common
+    * element sat outside a's prefix, a would hold ≥ |a|−⌈t|a|⌉+1
+    * elements b lacks, capping the intersection below t·|a| ≤
+    * t·|a∪b|. So candidate generation indexes ONLY prefixes, ordered
+    * rarest-first (ascending document frequency), making the
+    * exchanged posting lists the shortest in the corpus — the
+    * property that keeps the join subquadratic on real data. A
+    * length filter (5·min ≥ 3·max, integer cross-multiply) prunes
+    * before any element comparison. Sets are the q21/q22 5-gram
+    * shingles, the similarity space where near-dup actually lives
+    * (token SETS over this fixture's 31-token vocabulary are
+    * degenerate — most doc pairs share most of the vocabulary).
+    *
+    * Determinism: the global order is the (df, shingle) total order;
+    * the threshold gate is integer (5·∩ ≥ 3·∪ for t = 3/5, the q178
+    * rule); jaccard renders with one IEEE division.
+    *
+    * Scale shape: the df table is shingle-domain-bounded; prefixes
+    * shrink the candidate exchange to rare-shingle posting lists;
+    * exact verification touches CANDIDATE pairs only (the q22
+    * discipline). The one corpus-sized exchange is (shingle, doc) on
+    * prefix shingles.
+    */
+  def prefixFilterJoin(spark: SparkSession, sfDir: String): DataFrame =
+    prefixFilterJoinOn(Tables.load(spark, sfDir, "documents"))
+
+  /** Exhaustive exact twin (no prefix filter) — the completeness
+    * oracle; candidate generation via the full shingle index.
+    */
+  def exactSetJoinOn(docs: DataFrame): DataFrame = {
+    val sets = docShingleSets(docs)
+    val withN = sets.withColumn("n",
+      count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    verifyPairs(
+      withN.as("a").join(withN.as("b"),
+        col("a.sh") === col("b.sh") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.n").as("n_a"), col("b.n").as("n_b"))
+        .distinct(),
+      sets)
+  }
+
+  def prefixFilterJoinOn(docs: DataFrame): DataFrame = {
+    val sets = docShingleSets(docs)
+    val df = sets.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("sh").asc)
+    val wN = Window.partitionBy(col("doc_id"))
+    // prefix length |d| − ⌈3n/5⌉ + 1; ⌈3n/5⌉ = (3n+4) DIV 5
+    val pref = sets.join(df, Seq("sh"))
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("rk", row_number().over(wRank))
+      .where(col("rk") <=
+        col("n") - ((col("n") * 3 + 4) / lit(5)).cast("long") + 1)
+      .select(col("sh"), col("doc_id"), col("n"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.sh") === col("b.sh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .distinct()
+      // length filter: J ≥ 3/5 needs 5·min ≥ 3·max
+      .where(lit(5L) * least(col("n_a"), col("n_b")) >=
+        lit(3L) * greatest(col("n_a"), col("n_b")))
+    verifyPairs(cand, sets)
+  }
+
+  /** Distinct 5-gram word shingles per doc (the q21/q22 shingle
+    * definition verbatim).
+    */
+  private def docShingleSets(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      split(TextAnalysis.normalizedText(col("text")), " ").as("w"))
+    .where(size(col("w")) >= 5)
+    .select(col("doc_id"), explode(transform(
+      sequence(lit(1), size(col("w")) - 4),
+      i => array_join(slice(col("w"), i, lit(5)), " "))).as("sh"))
+    .distinct()
+
+  /** Exact verification of candidate pairs: count shared tokens,
+    * integer threshold gate, one IEEE division for the rendered
+    * jaccard. Touches candidates only.
+    */
+  private def verifyPairs(cand: DataFrame, sets: DataFrame): DataFrame = {
+    val nCommon = cand
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .where(col("sh_a") === col("sh_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+    nCommon
+      .where(lit(5L) * col("n_common") >=
+        lit(3L) * (col("n_a") + col("n_b") - col("n_common")))
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        col("n_a"), col("n_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("jaccard"))
+  }
 }

@@ -529,4 +529,56 @@ object TrainingPrep {
           col("start").cast("string"))).as("chunk_uid"),
         md5(col("text").substr(col("start"), lit(chunkLen)))
           .as("chunk_fp"))
+
+  /** The q188 driver entry: NEGATIVE-SAMPLING TABLE (word2vec /
+    * Mikolov et al. 2013) — the noise distribution contrastive
+    * embedding training draws "wrong" words from: unigram counts
+    * raised to the 3/4 power, the empirically-standard flattening
+    * that keeps frequent words dominant without drowning the tail.
+    * Builds the cumulative-weight table AND draws a deterministic
+    * sample batch from it (the artifact a trainer consumes).
+    *
+    * The 3/4 power is exact-portable by construction: c^(3/4) =
+    * sqrt(c)·sqrt(sqrt(c)) — sqrt is THE one power IEEE 754 defines
+    * as correctly rounded (the q139 α=1/2 argument, composed), so
+    * two sqrts and one multiply give bit-identical doubles on both
+    * engines, floored once to micro-units. Draws are the salted-md5
+    * 60-bit device (q84/q139/q144) reduced mod the total weight —
+    * exact integers end to end; each draw lands in exactly one
+    * [cum_lo, cum_hi) slot because the slots tile [0, W).
+    *
+    * Scale shape: the count pass is map-side combined over the gram
+    * domain; the cumulative sum windows over the VOCABULARY domain
+    * (bounded; at web scale: range-partitioned prefix sums, then
+    * serve the table via the alias method); the draw join is a
+    * broadcast of K rows against the vocab table — never a shuffle
+    * of anything corpus-sized.
+    */
+  def negSamplingTable(
+      spark: SparkSession, sfDir: String, k: Int = 64): DataFrame = {
+    val counts = Tables.load(spark, sfDir, "documents")
+      .select(explode(split(
+        TextAnalysis.normalizedText(col("text")), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val cd = col("c").cast("double")
+    val w = counts.withColumn("w_micro",
+      floor(lit(1000000.0) * (sqrt(cd) * sqrt(sqrt(cd)))).cast("long"))
+    val wc = Window.orderBy(col("tok").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = w
+      .withColumn("cum_hi", sum(col("w_micro")).over(wc).cast("long"))
+      .withColumn("cum_lo", col("cum_hi") - col("w_micro"))
+    val tot = cum.agg(max(col("cum_hi")).as("tw"))
+    val draws = spark.range(1, k + 1).select(col("id").as("k"))
+      .crossJoin(broadcast(tot))
+      .withColumn("u", conv(substring(md5(concat(lit("neg:"),
+        col("k").cast("string"))), 1, 15), 16, 10).cast("long"))
+      .withColumn("target", col("u") % col("tw"))
+    cum.join(broadcast(draws),
+        col("target") >= col("cum_lo") && col("target") < col("cum_hi"))
+      .select(col("k"), col("tok"), col("c"), col("w_micro"),
+        (col("w_micro").cast("double") / col("tw").cast("double"))
+          .as("p"))
+  }
 }

@@ -512,4 +512,36 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3L) == ((10L, 1L, 10L, 1.0)))
     assert(got(4L) == ((10L, 0L, 0L, 0.0)))
   }
+
+  test("prefix-filter join: lossless vs exhaustive, hand-computed pair") {
+    import spark.implicits._
+    // shingle sets (5-grams): doc1 {abcde,bcdef}; doc2 = doc1 (J=1);
+    // doc5 {abcde,bcdef,cdefg} → J(1,5) = 2/3 ≥ 0.6;
+    // doc3 {abcde,bcdeg} → J(1,3) = 1/3 < 0.6; doc4 disjoint;
+    // docs 6,7 share 3 of 5 shingles exactly at the J = 0.6 boundary
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),
+      (3L, "a b c d e g"),
+      (4L, "p q r s t u"),
+      (5L, "a b c d e f g"),
+      (6L, "m n o p q r s"),       // {mnopq, nopqr, opqrs}
+      (7L, "m n o p q r s t u")    // {mnopq..qrstu}: ∩=3, ∪=5 → 0.6
+    ).toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))
+    val filtered = graft.operators.Dedup.prefixFilterJoinOn(docs)
+      .collect().map(key).toSet
+    val exhaustive = graft.operators.Dedup.exactSetJoinOn(docs)
+      .collect().map(key).toSet
+    assert(filtered == exhaustive, "prefix filtering must be lossless")
+    val pairs = filtered.map(t => (t._1, t._2) -> t).toMap
+    assert(pairs((1L, 2L))._6 == 1.0)
+    assert(pairs((1L, 5L))._3 == 2L && pairs((1L, 5L))._6 == 2.0 / 3.0)
+    assert(pairs.contains((2L, 5L)))
+    assert(pairs.contains((6L, 7L)), "boundary J = 0.6 passes the ≥ gate")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((1L, 4L)))
+    assert(pairs.keySet == Set((1L, 2L), (1L, 5L), (2L, 5L), (6L, 7L)))
+  }
 }

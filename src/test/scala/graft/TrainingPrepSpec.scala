@@ -336,4 +336,39 @@ class TrainingPrepSpec extends AnyFunSuite {
     // both classes occur (the hash weights are not degenerate)
     assert(rows.exists(_._5) && rows.exists(!_._5))
   }
+
+  test("negative sampling: full replay of weights, cumsum and md5 draws") {
+    import spark.implicits._
+    Seq((1L, "a a a a b")).toDF("doc_id", "text")
+      .write.mode("overwrite")
+      .parquet("/tmp/graft-neg-test/documents.parquet")
+    val rows = graft.operators.TrainingPrep
+      .negSamplingTable(spark, "/tmp/graft-neg-test", k = 64)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(rows.size == 64, "every draw lands in exactly one slot")
+    // replay: a:4 -> floor(1e6·(sqrt 4 · sqrt(sqrt 4))), b:1 -> 1e6
+    val wa = math.floor(1e6 * (math.sqrt(4.0) *
+      math.sqrt(math.sqrt(4.0)))).toLong
+    val wb = 1000000L
+    val tw = wa + wb
+    def u60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    (1 to 64).foreach { k =>
+      val target = u60(s"neg:$k") % tw
+      val expect =
+        if (target < wa) ("a", 4L, wa, wa.toDouble / tw.toDouble)
+        else ("b", 1L, wb, wb.toDouble / tw.toDouble)
+      assert(rows(k.toLong) == expect, s"draw $k")
+    }
+    // the ¾-power keeps the frequent token dominant: P(a) ≈ 0.74
+    val aDraws = rows.values.count(_._1 == "a")
+    assert(aDraws > 32 && aDraws < 64, s"a drawn $aDraws/64")
+  }
 }
