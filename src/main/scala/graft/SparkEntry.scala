@@ -172,6 +172,12 @@ object SparkEntry {
       TrainingPrep.negSamplingTable(s, d)),
     "q189_prefix_filter_join" -> ((s: SparkSession, d: String) =>
       Dedup.prefixFilterJoin(s, d)),
+    "q190_quality_verdict" -> ((s: SparkSession, d: String) =>
+      CleanPipeline.qualityVerdict(s, d)),
+    "q191_chi_square" -> ((s: SparkSession, d: String) =>
+      Relational.chiSquareAudit(s, d)),
+    "q192_interarrival" -> ((s: SparkSession, d: String) =>
+      Relational.interArrivalProfile(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -1933,6 +1939,124 @@ object SparkEntry {
              ORDER BY pmi_micro DESC, w1 ASC, w2 ASC) AS rk
            FROM scored)
          WHERE rk <= 50""",
+    // q191: χ² audit — d = o·N − r·c is an exact BIGINT; the
+    // contribution is one identical-tree double chain floored to
+    // micro-units; marginals derive from the cell counts.
+    "q191_chi_square" ->
+      """WITH cells AS (
+           SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+           FROM documents GROUP BY 1, 2),
+         r AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r
+               FROM cells GROUP BY 1),
+         c AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c
+               FROM cells GROUP BY 1),
+         n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+         SELECT cells.lang, cells.source, cells.o, r.r, c.c, n.n,
+           CAST(FLOOR(1000000.0 *
+             ((CAST(cells.o * n.n - r.r * c.c AS DOUBLE) *
+               CAST(cells.o * n.n - r.r * c.c AS DOUBLE)) /
+              CAST(n.n * r.r * c.c AS DOUBLE))) AS BIGINT)
+             AS contrib_micro
+         FROM cells JOIN r USING (lang) JOIN c USING (source)
+           CROSS JOIN n""",
+    // q192: inter-arrival profile — exact integer micros, lower
+    // order statistics at ranks (n+1) DIV 2 and (9n+9) DIV 10 under
+    // a (gap, event_id) total order.
+    "q192_interarrival" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events),
+         gaps AS (
+           SELECT user_id, event_id,
+             t_us - LAG(t_us) OVER (PARTITION BY user_id
+               ORDER BY t_us ASC, event_id ASC) AS gap_us
+           FROM ev),
+         g AS (SELECT user_id, event_id, gap_us FROM gaps
+               WHERE gap_us IS NOT NULL),
+         rk AS (
+           SELECT user_id, gap_us,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY gap_us ASC, event_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS ng
+           FROM g)
+         SELECT user_id, CAST(MAX(ng) AS BIGINT) AS n_gaps,
+           CAST(MAX(CASE WHEN rn = (ng + 1) // 2 THEN gap_us END)
+             AS BIGINT) AS med_gap_us,
+           CAST(MAX(CASE WHEN rn = (ng * 9 + 9) // 10 THEN gap_us END)
+             AS BIGINT) AS p90_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+         FROM rk GROUP BY 1""",
+    // q190: quality verdict — composes the q41/q74/q75/q182 exact
+    // devices over the q75-planted text; reasons is a null-skipping
+    // concat in a fixed gate order; every gate is integer.
+    "q190_quality_verdict" ->
+      """WITH p AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+               THEN text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com'
+               ELSE text END AS text
+           FROM documents),
+         words AS (
+           SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)),
+               '\s+', ' ', 'g'), ' ') AS w
+           FROM p),
+         rep AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(COUNT(DISTINCT s) AS BIGINT) AS nd
+           FROM (
+             SELECT doc_id, array_to_string(w[i:i+4], ' ') AS s
+             FROM words, LATERAL (
+               SELECT UNNEST(range(1, len(w) - 3)) AS i) t
+             WHERE len(w) >= 5) sh
+           GROUP BY 1),
+         nt AS (
+           SELECT doc_id, regexp_replace(lower(trim(text)),
+             '\s+', ' ', 'g') AS nt
+           FROM p),
+         cc AS (
+           SELECT doc_id, ch, COUNT(*) AS c FROM (
+             SELECT doc_id, substr(nt, CAST(i AS INT), 1) AS ch
+             FROM nt, LATERAL (
+               SELECT UNNEST(range(1, length(nt) + 1)) AS i) u
+             WHERE length(nt) >= 1) x
+           GROUP BY 1, 2),
+         ent AS (
+           SELECT doc_id,
+             (CAST(FLOOR(1000000.0 * ln(CAST(SUM(c) AS DOUBLE)))
+               AS BIGINT) * CAST(SUM(c) AS BIGINT) -
+              CAST(SUM(c * CAST(FLOOR(1000000.0 * ln(CAST(c AS DOUBLE)))
+               AS BIGINT)) AS BIGINT)) <
+               2000000 * CAST(SUM(c) AS BIGINT) AS low_entropy
+           FROM cc GROUP BY 1),
+         m AS (
+           SELECT p.doc_id,
+             CAST(length(p.text) AS BIGINT) AS n_chars,
+             CAST(CASE WHEN length(trim(p.text)) = 0 THEN 0
+               ELSE len(regexp_extract_all(trim(p.text), '\S+')) END
+               AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(p.text,
+               '\b(the|a|of|and|to|in|is|for|on|with)\b')) AS BIGINT)
+               AS n_stop,
+             CAST(len(regexp_extract_all(p.text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS BIGINT) AS n_pii,
+             COALESCE(rep.ng, 0) AS ng, COALESCE(rep.nd, 0) AS nd,
+             COALESCE(ent.low_entropy, false) AS low_entropy
+           FROM p
+             LEFT JOIN rep ON rep.doc_id = p.doc_id
+             LEFT JOIN ent ON ent.doc_id = p.doc_id)
+         SELECT doc_id, n_chars, n_tokens,
+           NOT (n_tokens < 15 OR n_chars > 400 OR n_stop * 20 < n_tokens
+             OR 5 * (ng - nd) > ng OR low_entropy OR n_pii > 0) AS keep,
+           concat_ws(',',
+             CASE WHEN n_tokens < 15 THEN 'too_short' END,
+             CASE WHEN n_chars > 400 THEN 'too_long' END,
+             CASE WHEN n_stop * 20 < n_tokens THEN 'low_stopword' END,
+             CASE WHEN 5 * (ng - nd) > ng THEN 'repetitive' END,
+             CASE WHEN low_entropy THEN 'low_entropy' END,
+             CASE WHEN n_pii > 0 THEN 'has_pii' END) AS reasons
+         FROM m""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

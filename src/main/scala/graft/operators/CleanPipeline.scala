@@ -67,4 +67,74 @@ object CleanPipeline {
         .select(col("doc_id"), col("n_emails"), col("redacted_fp")), "doc_id")
       .join(TrainingPrep.splitAssign(spark, sfDir)
         .select(col("doc_id"), col("split")), "doc_id")
+
+  /** The q190 driver entry: QUALITY VERDICT WITH REASON CODES — the
+    * per-document filter REPORT a C4/Gopher-class pipeline emits
+    * before dropping anything: every gate evaluated for every doc,
+    * failures named in a fixed order, keep = no gate fired. The
+    * composition twin of q25 (which emits only survivors): a curation
+    * team reads THIS table to tune thresholds — "how many docs died,
+    * and of what" — and a reason-coded verdict is what makes a filter
+    * auditable at 100 TB rather than a silent row-count drop.
+    *
+    * Gates (fixed order; each exact-integer, the q178 no-float rule):
+    *   too_short      n_tokens < 15
+    *   too_long       n_chars  > 400
+    *   low_stopword   20·n_stopwords < n_tokens  (ratio < 0.05)
+    *   repetitive     5·(n_grams − n_distinct) > n_grams  (q74 > 0.2)
+    *   low_entropy    the q182 integer gate (< 2 nats/char)
+    *   has_pii        email matches > 0 (q75 pattern + planting, so
+    *                  the gate has positives on any corpus slice)
+    *
+    * Scale shape: length/stopword/PII gates are narrow per-row
+    * expressions fused into the scan; the repetition and entropy
+    * inputs are the q74/q182 map-side-combined aggregates joined
+    * back by doc_id; reasons is a null-skipping concat — no new
+    * exchange beyond the two gate-input aggregates.
+    */
+  def qualityVerdict(spark: SparkSession, sfDir: String): DataFrame =
+    qualityVerdictOn(graft.sources.Tables.load(spark, sfDir, "documents"))
+
+  def qualityVerdictOn(docs: DataFrame): DataFrame = {
+    import TextAnalysis.{normalizedText, emailPattern, stopwordPattern}
+    val planted = docs.select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact: user"), col("doc_id"),
+          lit("@example.com")))
+        .otherwise(col("text")).as("text"))
+    val words = planted
+      .select(col("doc_id"), split(normalizedText(col("text")), " ").as("w"))
+      .where(size(col("w")) >= 5)
+    val rep = words
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - 4),
+        i => array_join(slice(col("w"), i, lit(5)), " "))).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("ng"), count_distinct(col("s")).as("nd"))
+    val ent = TextAnalysis.charEntropyOn(planted)
+      .select(col("doc_id"), col("low_entropy"))
+    val scored = planted
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      .withColumn("n_stop",
+        regexp_count(col("text"), lit(stopwordPattern)).cast("long"))
+      .withColumn("n_pii",
+        regexp_count(col("text"), lit(emailPattern)).cast("long"))
+      .join(rep, Seq("doc_id"), "left")
+      .join(ent, Seq("doc_id"), "left")
+    val gates = Seq(
+      "too_short" -> (col("n_tokens") < 15),
+      "too_long" -> (col("n_chars") > 400),
+      "low_stopword" -> (col("n_stop") * 20 < col("n_tokens")),
+      "repetitive" ->
+        (lit(5L) * (coalesce(col("ng"), lit(0L)) -
+          coalesce(col("nd"), lit(0L))) > coalesce(col("ng"), lit(0L))),
+      "low_entropy" -> coalesce(col("low_entropy"), lit(false)),
+      "has_pii" -> (col("n_pii") > 0))
+    val anyFail = gates.map(_._2).reduce(_ || _)
+    scored.select(col("doc_id"), col("n_chars"), col("n_tokens"),
+      (!anyFail).as("keep"),
+      concat_ws(",", gates.map { case (name, g) =>
+        when(g, lit(name)) }: _*).as("reasons"))
+  }
 }

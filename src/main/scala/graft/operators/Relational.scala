@@ -2041,4 +2041,95 @@ object Relational {
         col("med_cents"), col("mad_cents"),
         (abs(col("cents") - col("med_cents")) >
           lit(3L) * col("mad_cents")).as("is_outlier"))
+
+  /** The q191 driver entry: CORPUS-COMPOSITION INDEPENDENCE AUDIT —
+    * the χ² contingency decomposition of language × source: is the
+    * language mix the same across feeds, and if not, WHICH cells
+    * drive the dependence? The per-cell contribution
+    * (o−e)²/e = (o·N − r·c)² / (N·r·c) is the number a curation
+    * dashboard sorts by — a crawler that silently switched language
+    * lights up exactly its (source, lang) cell. Complements q184
+    * (content drift within a source) with the categorical-mix view
+    * across sources.
+    *
+    * Exactness: o, r, c, N are exact counts; d = o·N − r·c is an
+    * exact BIGINT; the contribution is ⌊10⁶ · (d·d as an
+    * identical-tree double product) / (N·r·c exact, one cast)⌋ —
+    * integer micro-units, order-independent to sum. At 10⁹+ docs d²
+    * and N·r·c exceed 2⁶³; the scale path casts d and the
+    * denominator factors individually (same tree, documented), or
+    * scales counts to per-million first.
+    *
+    * Scale shape: ONE (lang, source) count pass, map-side combined;
+    * marginals derive from the cell counts (no second scan) and
+    * broadcast back onto the cell-domain frame. Nothing after the
+    * first aggregate is corpus-sized.
+    */
+  def chiSquareAudit(spark: SparkSession, sfDir: String): DataFrame =
+    chiSquareAuditOn(Tables.load(spark, sfDir, "documents"))
+
+  def chiSquareAuditOn(docs: DataFrame): DataFrame = {
+    val cells = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("o"))
+    val r = cells.groupBy(col("lang")).agg(sum(col("o")).cast("long").as("r"))
+    val c = cells.groupBy(col("source")).agg(sum(col("o")).cast("long").as("c"))
+    val n = cells.agg(sum(col("o")).cast("long").as("n"))
+    val d = col("o") * col("n") - col("r") * col("c")
+    cells
+      .join(broadcast(r), Seq("lang"))
+      .join(broadcast(c), Seq("source"))
+      .crossJoin(broadcast(n))
+      .select(col("lang"), col("source"), col("o"), col("r"), col("c"),
+        col("n"),
+        floor(lit(1000000.0) *
+          ((d.cast("double") * d.cast("double")) /
+            (col("n") * col("r") * col("c")).cast("double")))
+          .cast("long").as("contrib_micro"))
+  }
+
+  /** The q192 driver entry: PER-USER INTER-ARRIVAL PROFILE — robust
+    * gap statistics (lower median / lower p90 / max, in exact
+    * microseconds) over each user's event sequence: the cadence
+    * features a churn or bot-detection model consumes (bots have
+    * machine-regular medians; churners' maxima blow out), and the
+    * input the q33/q73 sessionizers' gap threshold should be FIT
+    * from rather than guessed.
+    *
+    * Determinism: event time converts to exact integer micros
+    * (unix_micros — never a double epoch); gaps order by
+    * (ts, event_id) so same-timestamp events break ties stably;
+    * quantiles are LOWER order statistics — ranks (n+1) DIV 2 and
+    * ⌈9n/10⌉ = (9n+9) DIV 10 under a (gap, event_id) total order —
+    * no interpolation anywhere (the q186 device per group).
+    *
+    * Scale shape: both windows partition by user_id — fully
+    * distributed, no global sort; the exchange is one user-keyed
+    * repartition reused by the lag and rank windows and the final
+    * per-user aggregate (one shuffle, three consumers).
+    */
+  def interArrivalProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t_us"))
+    val wSeq = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us").asc, col("event_id").asc)
+    val gaps = ev
+      .withColumn("gap_us", col("t_us") - lag(col("t_us"), 1).over(wSeq))
+      .where(col("gap_us").isNotNull)
+    val wRank = Window.partitionBy(col("user_id"))
+      .orderBy(col("gap_us").asc, col("event_id").asc)
+    val ranked = gaps
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("ng", count(lit(1))
+        .over(Window.partitionBy(col("user_id"))))
+    ranked.groupBy(col("user_id"))
+      .agg(max(col("ng")).as("n_gaps"),
+        max(when(col("rn") ===
+          ((col("ng") + lit(1L)) / lit(2L)).cast("long"), col("gap_us")))
+          .as("med_gap_us"),
+        max(when(col("rn") ===
+          ((col("ng") * 9 + lit(9L)) / lit(10L)).cast("long"),
+          col("gap_us"))).as("p90_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+  }
 }

@@ -52,4 +52,34 @@ class CleanPipelineSpec extends AnyFunSuite {
     assert(out == ((lang & toks & exact) -- nearDrop))
     assert(out.nonEmpty)
   }
+
+  test("quality verdict: each gate fires alone on its crafted doc, fixed reason order") {
+    val healthy = "the cat sat on the mat and the dog is here " +
+      "for a walk in the park with me today friends"
+    val docs = Seq(
+      (1L, healthy),
+      (2L, "a b"),                                     // short (+ tiny-alphabet entropy)
+      (3L, (1 to 60).map(i => s"the tok$i").mkString(" ")), // > 400 chars, varied
+      (4L, (1 to 16).map(i => s"kumquat$i").mkString(" ")), // no stopwords
+      (5L, Seq.fill(12)("the quick brown fox jumps").mkString(" ")), // period-5 grams
+      (6L, "write to me at foo@bar.com about the plan for the day " +
+        "with all of us today okay")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.CleanPipeline.qualityVerdictOn(docs)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(3), r.getString(4)))
+      .toMap
+    assert(got(1L) == ((true, "")))
+    assert(got(2L) == ((false, "too_short,low_entropy")))
+    assert(got(3L) == ((false, "too_long")))
+    assert(got(4L) == ((false, "low_stopword")))
+    assert(got(5L) == ((false, "repetitive")))
+    assert(got(6L) == ((false, "has_pii")))
+    // planting: doc_id % 7 == 0 gains an email even when the text has
+    // none — the PII gate has positives on any corpus slice
+    val planted = graft.operators.CleanPipeline
+      .qualityVerdictOn(Seq((7L, healthy)).toDF("doc_id", "text"))
+      .head()
+    assert(!planted.getBoolean(3) && planted.getString(4) == "has_pii")
+  }
 }

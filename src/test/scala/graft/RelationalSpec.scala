@@ -944,4 +944,47 @@ class RelationalSpec extends AnyFunSuite {
     assert(!got("2024-01-01")._5 && !got("2024-01-05")._5)
     assert(got.values.count(_._5) == 1, "exactly the spike flags")
   }
+
+  test("chi-square audit: symmetric 2x2 design, every cell contributes exactly 1.0") {
+    import spark.implicits._
+    // o: en/s1=6 en/s2=2 de/s1=2 de/s2=6 → e=4 everywhere,
+    // d = o·16 − 8·8 = ±32 → contrib = 32²/(16·8·8) = 1.0
+    val docs = (Seq.fill(6)(("en", "s1")) ++ Seq.fill(2)(("en", "s2")) ++
+      Seq.fill(2)(("de", "s1")) ++ Seq.fill(6)(("de", "s2")))
+      .zipWithIndex.map { case ((l, s), i) => (i.toLong, l, s) }
+      .toDF("doc_id", "lang", "source")
+    val got = graft.operators.Relational.chiSquareAuditOn(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))
+      .toMap
+    assert(got.size == 4)
+    assert(got(("en", "s1")) == ((6L, 8L, 8L, 16L, 1000000L)))
+    assert(got(("de", "s2")) == ((6L, 8L, 8L, 16L, 1000000L)))
+    assert(got(("en", "s2")) == ((2L, 8L, 8L, 16L, 1000000L)))
+    assert(got(("de", "s1")) == ((2L, 8L, 8L, 16L, 1000000L)))
+  }
+
+  test("inter-arrival profile: exact micros, lower median/p90, singletons excluded") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 10L, "2024-01-01 00:00:00"), (2L, 10L, "2024-01-01 00:00:10"),
+      (3L, 10L, "2024-01-01 00:00:30"), (4L, 10L, "2024-01-01 00:01:40"),
+      (5L, 11L, "2024-01-01 00:00:00"))
+    rows.map { case (id, u, t) => (id, u, "view", t, 1.0) }
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .write.mode("overwrite")
+      .parquet("/tmp/graft-gap-test/events.parquet")
+    val got = graft.operators.Relational
+      .interArrivalProfile(spark, "/tmp/graft-gap-test")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // gaps (s): 10, 20, 70 → n=3, med rank 2 → 20s, p90 rank 3 → 70s
+    assert(got == Map(10L ->
+      ((3L, 20L * 1000000L, 70L * 1000000L, 70L * 1000000L))))
+  }
 }
