@@ -178,6 +178,12 @@ object SparkEntry {
       Relational.chiSquareAudit(s, d)),
     "q192_interarrival" -> ((s: SparkSession, d: String) =>
       Relational.interArrivalProfile(s, d)),
+    "q193_wilson_ctr" -> ((s: SparkSession, d: String) =>
+      Relational.wilsonCtr(s, d)),
+    "q194_conversion_latency" -> ((s: SparkSession, d: String) =>
+      Relational.conversionLatency(s, d)),
+    "q195_stickiness" -> ((s: SparkSession, d: String) =>
+      Relational.stickiness(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -1939,6 +1945,97 @@ object SparkEntry {
              ORDER BY pmi_micro DESC, w1 ASC, w2 ASC) AS rk
            FROM scored)
          WHERE rk <= 50""",
+    // q194: conversion latency — first-click cohorts, exact micro
+    // gaps, lower order statistics per cohort, −1 sentinel for
+    // unconverted cohorts (never NULL into the driver hash).
+    "q194_conversion_latency" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+         clicks AS (
+           SELECT user_id, MIN(t) AS tc FROM ev
+           WHERE event_type = 'click' GROUP BY 1),
+         purchases AS (
+           SELECT ev.user_id, clicks.tc, MIN(ev.t) AS tp
+           FROM ev JOIN clicks USING (user_id)
+           WHERE ev.event_type = 'purchase' AND ev.t >= clicks.tc
+           GROUP BY 1, 2),
+         users AS (
+           SELECT c.user_id, CAST(make_timestamp(c.tc) AS DATE) AS cohort,
+             p.tp - p.tc AS gap_us
+           FROM clicks c LEFT JOIN purchases p ON p.user_id = c.user_id),
+         conv AS (
+           SELECT cohort, gap_us,
+             ROW_NUMBER() OVER (PARTITION BY cohort
+               ORDER BY gap_us ASC, user_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY cohort) AS nc
+           FROM users WHERE gap_us IS NOT NULL),
+         q AS (
+           SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_converted,
+             CAST(MAX(CASE WHEN rn = (nc + 1) // 2 THEN gap_us END)
+               AS BIGINT) AS med_gap_us,
+             CAST(MAX(CASE WHEN rn = (nc * 9 + 9) // 10 THEN gap_us END)
+               AS BIGINT) AS p90_gap_us
+           FROM conv GROUP BY 1),
+         base AS (
+           SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users
+           FROM users GROUP BY 1)
+         SELECT base.cohort, base.n_users,
+           COALESCE(q.n_converted, 0) AS n_converted,
+           CAST(COALESCE(q.n_converted, 0) AS DOUBLE) /
+             CAST(base.n_users AS DOUBLE) AS conv_rate,
+           COALESCE(q.med_gap_us, -1) AS med_gap_us,
+           COALESCE(q.p90_gap_us, -1) AS p90_gap_us
+         FROM base LEFT JOIN q ON q.cohort = base.cohort""",
+    // q195: stickiness — distinct (user, day) grid first, then an
+    // integer 7-day band join against the day spine; exact counts,
+    // one division.
+    "q195_stickiness" ->
+      """WITH active AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         dau AS (
+           SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+           FROM active GROUP BY 1),
+         wau AS (
+           SELECT d.day AS d, CAST(COUNT(DISTINCT a.user_id) AS BIGINT)
+             AS wau
+           FROM dau d JOIN active a
+             ON a.day <= d.day AND a.day >= d.day - 6
+           GROUP BY 1)
+         SELECT dau.day, dau.dau, wau.wau,
+           CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE)
+             AS stickiness
+         FROM dau JOIN wau ON wau.d = dau.day""",
+    // q193: Wilson CTR — one fixed double tree (divisions, multiplies,
+    // correctly-rounded sqrt) over exact counts, identical
+    // parenthesization both engines, floored once; (wilson desc, k)
+    // total-order rank.
+    "q193_wilson_ctr" ->
+      """WITH byitem AS (
+           SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS clicks,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events
+           WHERE event_type IN ('click', 'view')
+           GROUP BY 1),
+         s AS (
+           SELECT k, clicks, n,
+             CAST(clicks AS DOUBLE) / CAST(n AS DOUBLE) AS ctr,
+             CAST(FLOOR(1000000.0 * (
+               (CAST(clicks AS DOUBLE) / CAST(n AS DOUBLE)
+                 + 3.8416 / (2.0 * CAST(n AS DOUBLE))
+                 - 1.96 * sqrt((CAST(clicks AS DOUBLE) / CAST(n AS DOUBLE)
+                     * (1.0 - CAST(clicks AS DOUBLE) / CAST(n AS DOUBLE))
+                     + 3.8416 / (4.0 * CAST(n AS DOUBLE)))
+                   / CAST(n AS DOUBLE)))
+               / (1.0 + 3.8416 / CAST(n AS DOUBLE)))) AS BIGINT)
+               AS wilson_micro
+           FROM byitem)
+         SELECT k, clicks, n, ctr, wilson_micro, CAST(rk AS INTEGER) AS rk
+         FROM (
+           SELECT *, ROW_NUMBER() OVER (
+             ORDER BY wilson_micro DESC, k ASC) AS rk
+           FROM s)""",
     // q191: χ² audit — d = o·N − r·c is an exact BIGINT; the
     // contribution is one identical-tree double chain floored to
     // micro-units; marginals derive from the cell counts.

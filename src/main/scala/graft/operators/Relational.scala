@@ -2132,4 +2132,134 @@ object Relational {
           col("gap_us"))).as("p90_gap_us"),
         max(col("gap_us")).as("max_gap_us"))
   }
+
+  /** The q193 driver entry: WILSON LOWER-BOUND CTR RANKING — the
+    * sparse-feedback ranking statistic (Wilson 1927; the "how not to
+    * sort by average rating" correction): raw click share overranks
+    * an item with 1 click in 1 interaction above one with 90/100, so
+    * ranking sorts by the LOWER bound of the 95% score interval,
+    * which shrinks toward 0 exactly when evidence is thin. Items key
+    * off the q26 JSON device (props.k); n = clicks + views (the
+    * interaction denominator, so p ≤ 1 by construction), successes =
+    * clicks.
+    *
+    * Determinism: counts are exact; the bound is ONE fixed
+    * double-expression tree — divisions, multiplies, and a
+    * CORRECTLY-ROUNDED sqrt (the q139/q188 argument: sqrt is the one
+    * power IEEE pins) over exact-integer casts, identical
+    * parenthesization on both engines — floored once to micro-units;
+    * the rank is a (wilson desc, k) total order.
+    *
+    * Scale shape: one (k)-keyed count pass, map-side combined to the
+    * ITEM domain; the bound is a per-row expression; the rank is a
+    * TakeOrdered-shaped window over the item domain.
+    */
+  def wilsonCtr(spark: SparkSession, sfDir: String): DataFrame = {
+    val byItem = Tables.load(spark, sfDir, "events")
+      .where(col("event_type").isin("click", "view"))
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("event_type"))
+      .groupBy(col("k"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("clicks"),
+        count(lit(1)).as("n"))
+    val nD = col("n").cast("double")
+    val p = col("clicks").cast("double") / nD
+    val zz = lit(3.8416)
+    val w = (p + zz / (lit(2.0) * nD) -
+      lit(1.96) * sqrt((p * (lit(1.0) - p) + zz / (lit(4.0) * nD)) / nD)) /
+      (lit(1.0) + zz / nD)
+    val scored = byItem
+      .withColumn("ctr", p)
+      .withColumn("wilson_micro",
+        floor(lit(1000000.0) * w).cast("long"))
+    scored.withColumn("rk", row_number().over(
+        Window.orderBy(col("wilson_micro").desc, col("k").asc)))
+      .select(col("k"), col("clicks"), col("n"), col("ctr"),
+        col("wilson_micro"), col("rk"))
+  }
+
+  /** The q194 driver entry: CONVERSION LATENCY BY COHORT — for each
+    * first-click day, how many clickers converted (first purchase at
+    * or after the first click) and how FAST (lower median / lower
+    * p90 of the click→purchase gap). The latency distribution is
+    * what q112's funnel counts cannot say: a product change that
+    * doubles median time-to-convert shows here weeks before the
+    * conversion RATE moves. Cohorting by first-click day is the
+    * q113 discipline; gaps are exact integer micros (q192 device);
+    * quantiles are lower order statistics partitioned BY COHORT —
+    * fully distributed, no global sort.
+    *
+    * Uncoverted cohort quantiles emit the −1 sentinel (never NULL
+    * into the driver hash, the q185 rule).
+    */
+  def conversionLatency(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("t")).as("tc"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .join(clicks, Seq("user_id"))
+      .where(col("t") >= col("tc"))
+      .groupBy(col("user_id"), col("tc")).agg(min(col("t")).as("tp"))
+    val users = clicks
+      .join(purchases.select(col("user_id"),
+        (col("tp") - col("tc")).as("gap_us")), Seq("user_id"), "left")
+      .withColumn("cohort", to_date(timestamp_micros(col("tc"))))
+    val wRank = Window.partitionBy(col("cohort"))
+      .orderBy(col("gap_us").asc, col("user_id").asc)
+    val conv = users.where(col("gap_us").isNotNull)
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("nc", count(lit(1))
+        .over(Window.partitionBy(col("cohort"))))
+    val quantiles = conv.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_converted"),
+        max(when(col("rn") ===
+          ((col("nc") + lit(1L)) / lit(2L)).cast("long"), col("gap_us")))
+          .as("med_gap_us"),
+        max(when(col("rn") ===
+          ((col("nc") * 9 + lit(9L)) / lit(10L)).cast("long"),
+          col("gap_us"))).as("p90_gap_us"))
+    users.groupBy(col("cohort")).agg(count(lit(1)).as("n_users"))
+      .join(quantiles, Seq("cohort"), "left")
+      .select(col("cohort"), col("n_users"),
+        coalesce(col("n_converted"), lit(0L)).as("n_converted"),
+        (coalesce(col("n_converted"), lit(0L)).cast("double") /
+          col("n_users").cast("double")).as("conv_rate"),
+        coalesce(col("med_gap_us"), lit(-1L)).as("med_gap_us"),
+        coalesce(col("p90_gap_us"), lit(-1L)).as("p90_gap_us"))
+  }
+
+  /** The q195 driver entry: DAU/WAU STICKINESS — per day, distinct
+    * active users that day (DAU), distinct users over the trailing 7
+    * days (WAU), and their ratio — THE habit metric a growth
+    * dashboard tracks daily; a falling ratio at stable WAU is the
+    * early churn signal (users still show up, just less often).
+    * Complements q113 (cohort retention = BY SIGNUP WEEK) with the
+    * calendar view.
+    *
+    * Exactness: activity collapses to the distinct (user, day) grid
+    * FIRST (one map-side-combined pass — the corpus never touches a
+    * window); each activity row then lands in ≤ 7 trailing day bins
+    * via an integer band join against the day spine (day domain —
+    * calendar-bounded), and WAU is a distinct count per bin. The
+    * ratio is one IEEE division of exact counts.
+    */
+  def stickiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val active = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val dau = active.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+    val spine = dau.select(col("day").as("d"))
+    val wau = active.join(broadcast(spine),
+        col("day") <= col("d") && col("day") >= date_sub(col("d"), 6))
+      .select(col("d"), col("user_id")).distinct()
+      .groupBy(col("d")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, dau("day") === wau("d"))
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double"))
+          .as("stickiness"))
+  }
 }

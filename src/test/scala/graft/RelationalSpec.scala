@@ -987,4 +987,86 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == Map(10L ->
       ((3L, 20L * 1000000L, 70L * 1000000L, 70L * 1000000L))))
   }
+
+  test("wilson ctr: exact tree replay; thin evidence ranks below strong evidence") {
+    import spark.implicits._
+    // item 1: 1/1 (raw ctr 1.0, thin); item 2: 90/100 (raw 0.9, strong)
+    val ev = (Seq.fill(1)((1L, "click")) ++
+      Seq.fill(90)((2L, "click")) ++ Seq.fill(10)((2L, "view")))
+      .zipWithIndex.map { case ((k, t), i) =>
+        (i.toLong, 1L, t, "2024-01-01 00:00:00", 1.0, s"""{"k": $k}""") }
+    ev.toDF("event_id", "user_id", "event_type", "ts_s", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .write.mode("overwrite")
+      .parquet("/tmp/graft-wilson-test/events.parquet")
+    val got = graft.operators.Relational
+      .wilsonCtr(spark, "/tmp/graft-wilson-test")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getInt(5)))
+      .toMap
+    def wilson(c: Long, n: Long): Long = {
+      val nd = n.toDouble; val p = c.toDouble / nd
+      math.floor(1e6 * ((p + 3.8416 / (2.0 * nd) -
+        1.96 * math.sqrt((p * (1.0 - p) + 3.8416 / (4.0 * nd)) / nd)) /
+        (1.0 + 3.8416 / nd))).toLong
+    }
+    assert(got(1L) == ((1L, 1L, 1.0, wilson(1, 1), 2)))
+    assert(got(2L) == ((90L, 100L, 0.9, wilson(90, 100), 1)))
+    assert(got(2L)._4 > got(1L)._4,
+      "90/100 must out-rank 1/1 despite the lower raw ctr")
+  }
+
+  test("conversion latency: cohorts by first click, pre-click purchases ignored") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1L, "click", "2024-01-01 10:00:00"),
+      (2L, 1L, "purchase", "2024-01-01 10:30:00"),     // gap 1800 s
+      (3L, 2L, "click", "2024-01-01 09:00:00"),
+      (4L, 2L, "purchase", "2024-01-02 09:00:00"),     // gap 86400 s
+      (5L, 3L, "click", "2024-01-01 11:00:00"),        // never converts
+      (6L, 4L, "purchase", "2024-01-01 08:00:00"),     // BEFORE the click
+      (7L, 4L, "click", "2024-01-01 12:00:00"),
+      (8L, 5L, "click", "2024-01-02 00:00:00"),
+      (9L, 5L, "purchase", "2024-01-02 00:01:00"))     // gap 60 s
+    rows.map { case (id, u, t, s) => (id, u, t, s, 1.0) }
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .write.mode("overwrite")
+      .parquet("/tmp/graft-convlat-test/events.parquet")
+    val got = graft.operators.Relational
+      .conversionLatency(spark, "/tmp/graft-convlat-test")
+      .collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getLong(5)))
+      .toMap
+    // d1 gaps sorted: [1800 s, 86400 s] → med rank 1, p90 rank 2
+    assert(got("2024-01-01") ==
+      ((4L, 2L, 0.5, 1800L * 1000000L, 86400L * 1000000L)))
+    assert(got("2024-01-02") == ((1L, 1L, 1.0, 60000000L, 60000000L)))
+  }
+
+  test("stickiness: trailing-7-day distinct users, exact ratio") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1L, "2024-01-01 10:00:00"), (2L, 2L, "2024-01-01 11:00:00"),
+      (3L, 2L, "2024-01-02 10:00:00"), (4L, 3L, "2024-01-09 10:00:00"))
+    rows.map { case (id, u, s) => (id, u, "view", s, 1.0) }
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .write.mode("overwrite")
+      .parquet("/tmp/graft-stick-test/events.parquet")
+    val got = graft.operators.Relational
+      .stickiness(spark, "/tmp/graft-stick-test")
+      .collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == Map(
+      "2024-01-01" -> ((2L, 2L, 1.0)),   // both users new that day
+      "2024-01-02" -> ((1L, 2L, 0.5)),   // user 1 in window, inactive
+      "2024-01-09" -> ((1L, 1L, 1.0)))) // old users aged out
+  }
 }
