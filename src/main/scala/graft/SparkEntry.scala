@@ -184,6 +184,9 @@ object SparkEntry {
       Relational.conversionLatency(s, d)),
     "q195_stickiness" -> ((s: SparkSession, d: String) =>
       Relational.stickiness(s, d)),
+    "q196_lsh_planner" -> ((s: SparkSession, d: String) =>
+      Dedup.lshPlanner(s, d)),
+    "q197_binary_lake" -> (Multimodal.binaryLake _),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -1945,6 +1948,19 @@ object SparkEntry {
              ORDER BY pmi_micro DESC, w1 ASC, w2 ASC) AS rk
            FROM scored)
          WHERE rk <= 50""",
+    // q196: LSH planner — repeated-squaring multiply chains, bit-
+    // identical doubles by construction (generated oracle below).
+    "q196_lsh_planner" -> lshPlannerOracle,
+    // q197: binaryFile lifecycle — the oracle predicts every field
+    // from the q50 synthesis formulas; a dropped file, corrupted
+    // write, or mis-parsed LE header hash-fails.
+    "q197_binary_lake" ->
+      """SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) + 54 AS BIGINT) AS file_len,
+         CAST(16 + octet_length(encode(text)) % 64 AS BIGINT) AS width,
+         CAST(16 + octet_length(encode(text)) % 48 AS BIGINT) AS height,
+         CAST(octet_length(encode(text)) AS BIGINT) AS body_len
+         FROM documents WHERE doc_id % 3 = 0""",
     // q194: conversion latency — first-click cohorts, exact micro
     // gaps, lower order statistics per cohort, −1 sentinel for
     // unconverted cohorts (never NULL into the driver hash).
@@ -4122,6 +4138,56 @@ object SparkEntry {
          AND (id_a % 5 = 0 OR id_b % 5 = 0)"""
 
   /** SQL twin of TextAnalysis.quality — shared by q41 and q69. */
+  /** Generated q196 oracle: the same repeated-squaring multiply
+    * chains as Dedup.lshPlanner — NO pow(), no floors; every literal
+    * double-cast so DuckDB never routes through DECIMAL arithmetic.
+    */
+  private def lshPlannerOracle: String = {
+    def tr(t: String): String = {
+      val x = s"CAST($t AS DOUBLE)"
+      val x2 = s"($x * $x)"; val x4 = s"($x2 * $x2)"
+      val x8 = s"($x4 * $x4)"
+      s"CASE WHEN r = 1 THEN $x WHEN r = 2 THEN $x2 " +
+        s"WHEN r = 4 THEN $x4 WHEN r = 8 THEN $x8 ELSE ($x8 * $x8) END"
+    }
+    val grid = (for {
+      b <- Seq(2, 4, 8, 16, 32); r <- Seq(1, 2, 4, 8, 16)
+      if b * r <= 128
+    } yield s"($b, $r)").mkString(", ")
+    s"""WITH grid(b, r) AS (VALUES $grid),
+       t0 AS (SELECT b, r,
+         CAST(1 AS DOUBLE) - (${tr("0.9")}) AS q9,
+         CAST(1 AS DOUBLE) - (${tr("0.6")}) AS q6,
+         CAST(1 AS DOUBLE) - (${tr("0.3")}) AS q3
+         FROM grid),
+       t1 AS (SELECT *, q9 * q9 AS q9_2, q6 * q6 AS q6_2,
+         q3 * q3 AS q3_2 FROM t0),
+       t2 AS (SELECT *, q9_2 * q9_2 AS q9_4, q6_2 * q6_2 AS q6_4,
+         q3_2 * q3_2 AS q3_4 FROM t1),
+       t3 AS (SELECT *, q9_4 * q9_4 AS q9_8, q6_4 * q6_4 AS q6_8,
+         q3_4 * q3_4 AS q3_8 FROM t2),
+       t4 AS (SELECT *, q9_8 * q9_8 AS q9_16, q6_8 * q6_8 AS q6_16,
+         q3_8 * q3_8 AS q3_16 FROM t3),
+       p AS (SELECT b, r, CAST(b * r AS BIGINT) AS k_bits,
+         CAST(1 AS DOUBLE) - (CASE WHEN b = 2 THEN q9_2
+           WHEN b = 4 THEN q9_4 WHEN b = 8 THEN q9_8
+           WHEN b = 16 THEN q9_16 ELSE q9_16 * q9_16 END) AS p_catch_090,
+         CAST(1 AS DOUBLE) - (CASE WHEN b = 2 THEN q6_2
+           WHEN b = 4 THEN q6_4 WHEN b = 8 THEN q6_8
+           WHEN b = 16 THEN q6_16 ELSE q6_16 * q6_16 END) AS p_design_060,
+         CAST(1 AS DOUBLE) - (CASE WHEN b = 2 THEN q3_2
+           WHEN b = 4 THEN q3_4 WHEN b = 8 THEN q3_8
+           WHEN b = 16 THEN q3_16 ELSE q3_16 * q3_16 END) AS p_fp_030
+         FROM t4)
+       SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r, k_bits,
+         p_catch_090, p_design_060, p_fp_030,
+         p_catch_090 - p_fp_030 AS separation,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY p_catch_090 - p_fp_030 DESC, b ASC, r ASC)
+           AS INTEGER) AS rk
+       FROM p"""
+  }
+
   private val qualityOracle: String =
     """SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,

@@ -1155,6 +1155,61 @@ object Dedup {
     verifyPairs(cand, sets)
   }
 
+  /** The q196 driver entry: MINHASH-LSH PARAMETER PLANNER — the
+    * S-curve table that decides q22's (bands, rows) BEFORE anyone
+    * runs the pipeline: for banded MinHash, a pair with Jaccard t is
+    * a candidate with probability p(t) = 1 − (1 − tʳ)ᵇ, so the
+    * planner tabulates p at a high-similarity catch point (0.9), the
+    * design threshold (0.6), and a false-positive probe (0.3) for
+    * every (b, r) within a signature-size budget, and ranks by
+    * catch − false-positive separation. This is how the q22/q45/q46
+    * parameters are justified rather than guessed — the planning op
+    * every dedup deployment runs first.
+    *
+    * Determinism device: b and r take power-of-two values only, so
+    * every power is a REPEATED-SQUARING multiply chain (t², t⁴ =
+    * t²·t², …) — pure IEEE multiplications with an identical tree on
+    * both engines, NO pow() (libm pow is the transcendental the
+    * q141 rule exists for; here it is simply avoided) and no floors:
+    * the output doubles are bit-identical by construction.
+    *
+    * Scale shape: a 22-row literal grid — driver-side math; the
+    * entry exists for its CONTRACT (the q22 parameter choice), not
+    * its cost.
+    */
+  def lshPlanner(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val grid = (for {
+      b <- Seq(2, 4, 8, 16, 32)
+      r <- Seq(1, 2, 4, 8, 16)
+      if b * r <= 128
+    } yield (b, r)).toDF("b", "r")
+    def powChain(x: Column, e: Column): Column = {
+      val x2 = x * x; val x4 = x2 * x2; val x8 = x4 * x4
+      when(e === 1, x).when(e === 2, x2).when(e === 4, x4)
+        .when(e === 8, x8).otherwise(x8 * x8)   // 16 and 32
+    }
+    def pCatch(t: Double): Column = {
+      val tr = powChain(lit(t), col("r"))
+      val q = lit(1.0) - tr
+      val q2 = q * q; val q4 = q2 * q2; val q8 = q4 * q4; val q16 = q8 * q8
+      lit(1.0) - (when(col("b") === 2, q2).when(col("b") === 4, q4)
+        .when(col("b") === 8, q8).when(col("b") === 16, q16)
+        .otherwise(q16 * q16))
+    }
+    val scored = grid
+      .withColumn("k_bits", (col("b") * col("r")).cast("long"))
+      .withColumn("p_catch_090", pCatch(0.9))
+      .withColumn("p_design_060", pCatch(0.6))
+      .withColumn("p_fp_030", pCatch(0.3))
+      .withColumn("separation", pCatch(0.9) - pCatch(0.3))
+    scored.withColumn("rk", row_number().over(
+        Window.orderBy(col("separation").desc, col("b").asc, col("r").asc)))
+      .select(col("b").cast("long").as("b"), col("r").cast("long").as("r"),
+        col("k_bits"), col("p_catch_090"), col("p_design_060"),
+        col("p_fp_030"), col("separation"), col("rk"))
+  }
+
   /** Distinct 5-gram word shingles per doc (the q21/q22 shingle
     * definition verbatim).
     */

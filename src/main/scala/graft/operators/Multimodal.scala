@@ -407,4 +407,55 @@ object Multimodal {
         (col("sum_abs") * lit(windows.toLong) < col("total_abs"))
           .as("is_quiet"))
   }
+
+  /** The q197 driver entry: BINARY-LAKE INGESTION via the
+    * `binaryFile` SOURCE — the missing source format next to
+    * CSV/JSON/ORC/XML/SequenceFile (q19/q59/q63/q106/q82): media
+    * assets live in an object store as MILLIONS OF RAW FILES, not
+    * rows, and the lake's front door is `spark.read.format
+    * ("binaryFile")` — distributed file enumeration (the same
+    * InMemoryFileIndex as O1), per-file (path, length, content)
+    * rows, glob pushdown, and `maxPartitionBytes` packing. The entry
+    * runs the full lifecycle: write every BMP asset as a real
+    * standalone .bmp file, ingest the directory back through
+    * binaryFile, parse ids from paths and dimensions from the
+    * LITTLE-ENDIAN header bytes (the q50 decode), emit structural
+    * metadata. The oracle predicts every field from the synthesis
+    * formulas over `documents` — a corrupted write, a mis-parsed
+    * header, or a file dropped by enumeration all hash-fail.
+    *
+    * Scale shape: file writes and header parses are per-partition;
+    * `content` never shuffles (the output is 5 scalar columns);
+    * at 10⁹ assets the only care is enumeration (partitioned
+    * listing) and packing small files — both are source-level knobs,
+    * not plan changes.
+    */
+  def binaryLake(spark: SparkSession, sfDir: String): DataFrame =
+    Scratch.withScratch(spark, "q197_binlake", sfDir) { dir =>
+      import spark.implicits._
+      val mediaDir = s"$dir/media"
+      new java.io.File(mediaDir).mkdirs()
+      mediaTable(spark, sfDir)
+        .filter(_.media_type == "image/bmp")
+        .foreachPartition { (it: Iterator[MediaRecord]) =>
+          it.foreach { m =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$mediaDir/${m.media_id}.bmp"),
+              m.payload)
+          }
+        }
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .load(mediaDir)
+        .select(col("path"), col("length"), col("content"))
+        .as[(String, Long, Array[Byte])]
+        .map { case (path, len, bytes) =>
+          require(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+            s"$path: not a BMP")
+          val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+          val id = path.split("/").last.stripSuffix(".bmp").toLong
+          (id, len, bb.getInt(18).toLong, bb.getInt(22).toLong, len - 54L)
+        }
+        .toDF("media_id", "file_len", "width", "height", "body_len")
+    }
 }

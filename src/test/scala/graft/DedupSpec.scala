@@ -544,4 +544,37 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((1L, 4L)))
     assert(pairs.keySet == Set((1L, 2L), (1L, 5L), (2L, 5L), (6L, 7L)))
   }
+
+  test("lsh planner: repeated-squaring replay, S-curve monotone in t") {
+    val rows = graft.operators.Dedup
+      .lshPlanner(SparkTestSession.spark, SparkTestSession.sf)
+      .collect()
+    assert(rows.length == 22)
+    def p(t: Double, b: Int, r: Int): Double = {
+      def sq(x: Double, e: Int): Double = e match {
+        case 1 => x
+        case 2 => x * x
+        case 4 => { val x2 = x * x; x2 * x2 }
+        case 8 => { val x2 = x * x; val x4 = x2 * x2; x4 * x4 }
+        case 16 => { val x2 = x * x; val x4 = x2 * x2
+          val x8 = x4 * x4; x8 * x8 }
+        case 32 => { val x2 = x * x; val x4 = x2 * x2
+          val x8 = x4 * x4; val x16 = x8 * x8; x16 * x16 }
+      }
+      1.0 - sq(1.0 - sq(t, r), b)
+    }
+    rows.foreach { row =>
+      val (b, r) = (row.getLong(0).toInt, row.getLong(1).toInt)
+      assert(row.getDouble(3) == p(0.9, b, r), s"catch b=$b r=$r")
+      assert(row.getDouble(4) == p(0.6, b, r))
+      assert(row.getDouble(5) == p(0.3, b, r))
+      // S-curve: candidate probability rises with similarity
+      assert(row.getDouble(3) > row.getDouble(4) &&
+        row.getDouble(4) > row.getDouble(5))
+    }
+    // q22's production parameters (16 bands x 4 rows) must catch
+    // virtually everything at 0.9
+    val q22row = rows.find(x => x.getLong(0) == 16L && x.getLong(1) == 4L).get
+    assert(q22row.getDouble(3) > 0.999)
+  }
 }

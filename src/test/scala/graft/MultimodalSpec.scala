@@ -138,4 +138,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got((4L, 0)) == ((1L, 22077L, false)))
     assert(got.size == 3)
   }
+
+  test("binary lake: file roundtrip through binaryFile matches synthesis formulas") {
+    val got = graft.operators.Multimodal.binaryLake(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val expected = graft.sources.Tables.load(spark, sf, "documents")
+      .where(org.apache.spark.sql.functions.col("doc_id") % 3 === 0)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val n = r.getString(1)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
+        r.getLong(0) -> ((n + 54L, 16L + n % 64, 16L + n % 48, n))
+      }.toMap
+    assert(got == expected && got.nonEmpty)
+  }
 }
