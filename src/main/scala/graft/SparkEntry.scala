@@ -187,6 +187,11 @@ object SparkEntry {
     "q196_lsh_planner" -> ((s: SparkSession, d: String) =>
       Dedup.lshPlanner(s, d)),
     "q197_binary_lake" -> (Multimodal.binaryLake _),
+    "q198_cuped" -> (Experiment.cupedAbTest _),
+    "q199_label_prop" -> ((s: SparkSession, d: String) =>
+      Graph.labelPropagation(s, d)),
+    "q200_watermark_planner" -> ((s: SparkSession, d: String) =>
+      Relational.watermarkPlanner(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -1123,6 +1128,81 @@ object SparkEntry {
          r1 AS (${it("r0")}), r2 AS (${it("r1")}), r3 AS (${it("r2")})
          SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r3"""
     },
+    // q200: watermark planner — the Spark side computes the running
+    // max with the chunked two-pass prefix scan; the oracle is the
+    // naive global window (same values); buckets/cum/bp all integer.
+    "q200_watermark_planner" ->
+      """WITH ev AS (
+           SELECT event_id, epoch_us(ts) AS t_us FROM events),
+         late AS (
+           SELECT event_id,
+             MAX(t_us) OVER (ORDER BY event_id ASC ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) - t_us AS late_us
+           FROM ev),
+         b AS (
+           SELECT CASE WHEN late_us = 0 THEN 0
+             WHEN late_us <= 60000000 THEN 1
+             WHEN late_us <= 3600000000 THEN 2
+             WHEN late_us <= 86400000000 THEN 3 ELSE 4 END AS bucket_id
+           FROM late),
+         hist AS (
+           SELECT bucket_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM b GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM hist),
+         cum AS (
+           SELECT bucket_id, n,
+             CAST(SUM(n) OVER (ORDER BY bucket_id ASC ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+           FROM hist),
+         bp AS (
+           SELECT bucket_id, n, cum_n,
+             cum_n * 10000 // tot.total AS cum_bp
+           FROM cum, tot)
+         SELECT CAST(bucket_id AS BIGINT) AS bucket_id,
+           CASE bucket_id WHEN 0 THEN 'on_time' WHEN 1 THEN 'le_1m'
+             WHEN 2 THEN 'le_1h' WHEN 3 THEN 'le_1d'
+             ELSE 'gt_1d' END AS bucket,
+           n, cum_n, CAST(cum_bp AS BIGINT) AS cum_bp,
+           cum_bp >= 9900 AND
+             COALESCE(LAG(cum_bp) OVER (ORDER BY bucket_id), 0) < 9900
+             AS is_watermark
+         FROM bp""",
+    // q199: label propagation — synchronous rounds + (weight desc,
+    // label asc) tie-breaks make raw LPA deterministic; chained-CTE
+    // replay (the q124 device).
+    "q199_label_prop" -> {
+      def it(prev: String) =
+        s"""SELECT p.node, COALESCE(pick.lbl, p.lbl) AS lbl
+          FROM $prev p LEFT JOIN (
+            SELECT src, lbl FROM (
+              SELECT e.src, p2.lbl,
+                ROW_NUMBER() OVER (PARTITION BY e.src
+                  ORDER BY SUM(e.w) DESC, p2.lbl ASC) AS rk
+              FROM und e JOIN $prev p2 ON p2.node = e.dst
+              GROUP BY e.src, p2.lbl) v
+            WHERE rk = 1) pick ON pick.src = p.node"""
+      s"""WITH edges AS (
+           SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+           FROM orders o
+           JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON c.c_custkey = o.o_custkey
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           WHERE c.c_nationkey <> s.s_nationkey
+           GROUP BY 1, 2),
+         und AS (
+           SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+             SELECT src, dst, w FROM edges
+             UNION ALL SELECT dst, src, w FROM edges) u
+           GROUP BY 1, 2),
+         nodes AS (SELECT DISTINCT c_nationkey AS node FROM customer
+                   UNION SELECT DISTINCT s_nationkey FROM supplier),
+         l0 AS (SELECT node, node AS lbl FROM nodes),
+         l1 AS (${it("l0")}), l2 AS (${it("l1")}), l3 AS (${it("l2")})
+         SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS label,
+           CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT) AS n_members
+         FROM l3"""
+    },
     // q137: k-hop reachability — the ONE-TEXT recursive form (edge
     // build folded into the CTE list, free under DuckDB's CTE
     // materialization; the Spark side materializes the tiny edge
@@ -1951,6 +2031,53 @@ object SparkEntry {
     // q196: LSH planner — repeated-squaring multiply chains, bit-
     // identical doubles by construction (generated oracle below).
     "q196_lsh_planner" -> lshPlannerOracle,
+    // q198: CUPED — exact cent sufficient statistics, one division
+    // for θ (0 when var(x)=0), per-user adjusted metric micro-floored
+    // BEFORE the variant sum.
+    "q198_cuped" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+           FROM events),
+         anchor AS (
+           SELECT MIN(day) + CAST((MAX(day) - MIN(day)) // 2 AS INTEGER)
+             AS mid FROM ev),
+         units AS (
+           SELECT user_id, user_id % 2 AS variant,
+             CAST(SUM(CASE WHEN day < anchor.mid THEN cents ELSE 0 END)
+               AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN day >= anchor.mid THEN cents ELSE 0 END)
+               AS BIGINT) AS y
+           FROM ev CROSS JOIN anchor GROUP BY 1, 2),
+         stats AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+           FROM units),
+         t AS (
+           SELECT
+             CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) = 0 THEN 0.0
+               ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+                 CAST(n * sxx - sx * sx AS DOUBLE) END AS theta,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+           FROM stats),
+         adj AS (
+           SELECT variant, y,
+             CAST(FLOOR(1000000.0 * (CAST(y AS DOUBLE) -
+               t.theta * (CAST(x AS DOUBLE) - t.xbar))) AS BIGINT)
+               AS adj_micro,
+             CAST(FLOOR(1000000.0 * t.theta) AS BIGINT) AS theta_micro
+           FROM units CROSS JOIN t)
+         SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(y) AS BIGINT) AS sum_y_cents,
+           CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) /
+             CAST(COUNT(*) AS DOUBLE) AS mean_y_cents,
+           CAST(SUM(adj_micro) AS BIGINT) AS sum_adj_micro,
+           CAST(CAST(SUM(adj_micro) AS BIGINT) AS DOUBLE) /
+             (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS mean_adj_cents,
+           MAX(theta_micro) AS theta_micro
+         FROM adj GROUP BY 1""",
     // q197: binaryFile lifecycle — the oracle predicts every field
     // from the q50 synthesis formulas; a dropped file, corrupted
     // write, or mis-parsed LE header hash-fails.

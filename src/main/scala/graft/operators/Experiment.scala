@@ -292,4 +292,75 @@ object Experiment {
           .as("path"),
         count(lit(1)).as("n_events"))
   }
+
+  /** The q198 driver entry: CUPED VARIANCE-REDUCED A/B READOUT (Deng
+    * et al. 2013) — the adjustment every mature experimentation
+    * platform applies before reading a test: a user's PRE-EXPERIMENT
+    * spend predicts their in-experiment spend, so subtracting
+    * θ·(x − x̄) from each user's metric removes the predictable
+    * variance component (θ = cov(x,y)/var(x)) and the same lift
+    * becomes significant on a fraction of the traffic. Calendar
+    * split: the corpus midpoint day (integer arithmetic) divides
+    * pre-period covariate x from experiment metric y; variant is
+    * the q129 user_id % 2 assignment.
+    *
+    * Determinism: x and y are exact cent sums; the four sufficient
+    * statistics are order-independent BIGINTs, θ = (n·Sxy − Sx·Sy) /
+    * (n·Sxx − Sx²) is ONE IEEE division (0 when var(x) = 0 — the
+    * q185 degenerate-fit rule); each user's adjusted metric floors
+    * to micro-cents BEFORE the per-variant sum (the q180
+    * transcendental-free version of the same rule: a double PRODUCT
+    * is order-sensitive to sum, so quantize first).
+    *
+    * Scale shape: two map-side-combined aggregates (per-user period
+    * sums; per-variant rollup) and two single-row broadcasts (the
+    * split anchor, the statistics); nothing corpus-sized past the
+    * first aggregate.
+    */
+  def cupedAbTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+          .as("cents"))
+    val anchor = ev.agg(
+      date_add(min(col("day")),
+        (datediff(max(col("day")), min(col("day"))) / lit(2))
+          .cast("int")).as("mid"))
+    val units = ev.crossJoin(broadcast(anchor))
+      .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
+      .agg(sum(when(col("day") < col("mid"), col("cents"))
+        .otherwise(0L)).as("x"),
+        sum(when(col("day") >= col("mid"), col("cents"))
+          .otherwise(0L)).as("y"))
+    val stats = units.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+    val varX = (col("n") * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val theta = when(varX === 0.0, lit(0.0))
+      .otherwise((col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast("double") / varX)
+    val xbar = col("sx").cast("double") / col("n").cast("double")
+    val adj = units.crossJoin(broadcast(
+        stats.select(theta.as("theta"), xbar.as("xbar"))))
+      .withColumn("adj_micro",
+        floor(lit(1000000.0) * (col("y").cast("double") -
+          col("theta") * (col("x").cast("double") - col("xbar"))))
+          .cast("long"))
+    adj.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("y")).cast("long").as("sum_y_cents"),
+        sum(col("adj_micro")).cast("long").as("sum_adj_micro"),
+        max(floor(lit(1000000.0) * col("theta")).cast("long"))
+          .as("theta_micro"))
+      .select(col("variant"), col("n_users"), col("sum_y_cents"),
+        (col("sum_y_cents").cast("double") /
+          col("n_users").cast("double")).as("mean_y_cents"),
+        col("sum_adj_micro"),
+        (col("sum_adj_micro").cast("double") /
+          (col("n_users").cast("double") * lit(1000000.0)))
+          .as("mean_adj_cents"),
+        col("theta_micro"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -76,6 +77,74 @@ object Graph {
         }
       } finally nodes.unpersist()
     } finally withOut.unpersist()
+  }
+
+  /** The q199 driver entry: LABEL PROPAGATION community detection
+    * (Raghavan et al. 2007) on the undirected nation trade graph —
+    * the linear-time community algorithm beside PageRank (q124,
+    * importance), triangles (q126, local clustering), and k-hop
+    * (q137, reachability): every node starts as its own community
+    * and repeatedly adopts the label with the GREATEST INCIDENT
+    * EDGE WEIGHT among its neighbors. Raw LPA is notoriously
+    * nondeterministic (random update order, random tie-breaks); this
+    * is the determinized variant a data pipeline can actually ship:
+    * SYNCHRONOUS rounds (all nodes update from the previous
+    * labeling) and total-order tie-breaks (weight desc, label asc) —
+    * same result under any partitioning, and exactly replayable as a
+    * chained-CTE oracle (the q124 device).
+    *
+    * Scale shape: per round, one (dst ⋈ labels) hash join + a
+    * map-side-combined (src, lbl) vote aggregate + a per-src argmax
+    * window — all keyed exchanges over the edge list, never
+    * all-pairs; `localCheckpoint` truncates the growing lineage each
+    * round (the q124 iteration discipline).
+    */
+  def labelPropagation(
+      spark: SparkSession, sfDir: String, iters: Int = 3): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val c = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val s = Tables.load(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val directed = o.join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(s), col("s_suppkey") === col("l_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("src") =!= col("dst"))
+    val und = directed.select(col("src"), col("dst"), col("w"))
+      .unionByName(directed.select(col("dst").as("src"),
+        col("src").as("dst"), col("w")))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .persist()
+    try {
+      val nodes = c.select(col("c_nationkey").as("node"))
+        .union(s.select(col("s_nationkey"))).distinct()
+      var labels = nodes.withColumn("lbl", col("node"))
+        .localCheckpoint(true)
+      for (_ <- 0 until iters) {
+        val votes = und
+          .join(labels, col("node") === col("dst"))
+          .groupBy(col("src"), col("lbl")).agg(sum(col("w")).as("vw"))
+        val pick = votes
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("src"))
+              .orderBy(col("vw").desc, col("lbl").asc)))
+          .where(col("rk") === 1)
+          .select(col("src").as("node"), col("lbl").as("new_lbl"))
+        labels = labels.join(pick, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+          .localCheckpoint(true)
+      }
+      labels.select(col("node").cast("long").as("node"),
+          col("lbl").cast("long").as("label"))
+        .withColumn("n_members", count(lit(1)).over(
+          Window.partitionBy(col("label"))).cast("long"))
+    } finally und.unpersist()
   }
 
   /** Triangle counting (q126) on the undirected nation trade graph —

@@ -2262,4 +2262,72 @@ object Relational {
         (col("dau").cast("double") / col("wau").cast("double"))
           .as("stickiness"))
   }
+
+  /** The q200 driver entry: WATERMARK PLANNER (late-data audit) —
+    * before anyone sets `withWatermark("ts", W)` (q47/q56/q62…),
+    * measure how late data ACTUALLY arrives: treating event_id as
+    * the ingest sequence, an event's lateness is the high-water mark
+    * of event time already seen minus its own event time; the
+    * histogram of lateness by operationally-meaningful buckets
+    * (on-time / ≤1 min / ≤1 h / ≤1 day / worse) with cumulative
+    * basis points is exactly the table a streaming job's watermark
+    * is read off of (the first bucket covering ≥99% flags as the
+    * recommendation). Too-short watermarks silently DROP those rows
+    * at scale — this is the op that makes the choice evidence-based.
+    *
+    * The scalable device: a running max over the global arrival
+    * order would be one corpus-sized sort partition, so the prefix
+    * max computes in TWO bounded passes — per-chunk maxima
+    * (event_id DIV 4096), an EXCLUSIVE prefix max over the
+    * chunk domain (bounded window), then a within-chunk running max
+    * over ≤4096-row partitions; greatest of the two is the global
+    * running max. This is the distributed prefix-scan pattern; the
+    * oracle computes the same values with the naive global window.
+    * Everything downstream is integer arithmetic over the 5-bucket
+    * domain.
+    */
+  def watermarkPlanner(
+      spark: SparkSession, sfDir: String, chunk: Int = 4096): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("t_us"))
+      .withColumn("ck", floor(col("event_id") / lit(chunk)).cast("long"))
+    val chunkMax = ev.groupBy(col("ck")).agg(max(col("t_us")).as("cmax"))
+    val wPrefix = Window.orderBy(col("ck"))
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val prevMax = chunkMax.withColumn("pmax",
+      max(col("cmax")).over(wPrefix))   // null for the first chunk
+    val wIn = Window.partitionBy(col("ck"))
+      .orderBy(col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val late = ev
+      .join(broadcast(prevMax.select(col("ck"), col("pmax"))), Seq("ck"))
+      .withColumn("rmax",
+        greatest(max(col("t_us")).over(wIn),
+          coalesce(col("pmax"), lit(Long.MinValue))))
+      .withColumn("late_us", col("rmax") - col("t_us"))
+    val bucket =
+      when(col("late_us") === 0, 0).when(col("late_us") <= 60000000L, 1)
+        .when(col("late_us") <= 3600000000L, 2)
+        .when(col("late_us") <= 86400000000L, 3).otherwise(4)
+    val hist = late.select(bucket.as("bucket_id"))
+      .groupBy(col("bucket_id")).agg(count(lit(1)).as("n"))
+    val wCum = Window.orderBy(col("bucket_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum(col("n")).cast("long").as("total"))
+    hist.crossJoin(broadcast(tot))
+      .withColumn("cum_n", sum(col("n")).over(wCum).cast("long"))
+      .withColumn("cum_bp",
+        (col("cum_n") * lit(10000L) / col("total")).cast("long"))
+      .withColumn("prev_bp", lag(col("cum_bp"), 1, 0L).over(
+        Window.orderBy(col("bucket_id"))))
+      .select(col("bucket_id").cast("long").as("bucket_id"),
+        when(col("bucket_id") === 0, "on_time")
+          .when(col("bucket_id") === 1, "le_1m")
+          .when(col("bucket_id") === 2, "le_1h")
+          .when(col("bucket_id") === 3, "le_1d")
+          .otherwise("gt_1d").as("bucket"),
+        col("n"), col("cum_n"), col("cum_bp"),
+        (col("cum_bp") >= 9900L && col("prev_bp") < 9900L)
+          .as("is_watermark"))
+  }
 }

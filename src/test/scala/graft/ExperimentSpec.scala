@@ -196,4 +196,29 @@ class ExperimentSpec extends AnyFunSuite {
     assert(viaListagg == viaCollect)
     assert(viaListagg.nonEmpty)
   }
+
+  test("cuped: perfectly predictive covariate removes ALL metric variance") {
+    import spark.implicits._
+    // y = 2x exactly → θ = 2 and every user's adjusted metric is the
+    // same constant y − 2(x − x̄) = 2x̄ = 500 cents
+    val rows = Seq(
+      (1L, 0L, "2024-01-01 10:00:00", 1.00), (2L, 0L, "2024-01-03 10:00:00", 2.00),
+      (3L, 1L, "2024-01-01 10:00:00", 2.00), (4L, 1L, "2024-01-03 10:00:00", 4.00),
+      (5L, 2L, "2024-01-01 10:00:00", 3.00), (6L, 2L, "2024-01-03 10:00:00", 6.00),
+      (7L, 3L, "2024-01-01 10:00:00", 4.00), (8L, 3L, "2024-01-03 10:00:00", 8.00))
+    rows.map { case (id, u, t, v) => (id, u, "purchase", t, v) }
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .write.mode("overwrite")
+      .parquet("/tmp/graft-cuped-test/events.parquet")
+    val got = graft.operators.Experiment
+      .cupedAbTest(spark, "/tmp/graft-cuped-test")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(6)))
+      .toMap
+    // variant 0 = users {0, 2}: y = 200 + 600; variant 1: 400 + 800
+    assert(got(0L) == ((2L, 800L, 2L * 500000000L, 2000000L)))
+    assert(got(1L) == ((2L, 1200L, 2L * 500000000L, 2000000L)))
+  }
 }

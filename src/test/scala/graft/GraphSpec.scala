@@ -118,4 +118,20 @@ class GraphSpec extends AnyFunSuite {
     }
     assert(got == expect.toMap, s"got=${got.size} expect=${expect.size}")
   }
+
+  test("label propagation: labels form a partition; deterministic across reruns") {
+    val g1 = graft.operators.Graph
+      .labelPropagation(spark, SparkTestSession.sf).collect()
+    val nodes = g1.map(_.getLong(0)).toSet
+    val labels = g1.map(_.getLong(1)).toSet
+    assert(labels.subsetOf(nodes), "every label is a member node")
+    // n_members is consistent with the labeling itself
+    val sizes = g1.groupBy(_.getLong(1)).view.mapValues(_.length.toLong)
+    g1.foreach(r => assert(r.getLong(2) == sizes(r.getLong(1))))
+    // synchronous rounds + total-order tie-breaks ⇒ bit-stable rerun
+    val g2 = graft.operators.Graph
+      .labelPropagation(spark, SparkTestSession.sf).collect()
+    assert(g1.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      g2.map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
 }

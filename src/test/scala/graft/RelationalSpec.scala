@@ -1069,4 +1069,30 @@ class RelationalSpec extends AnyFunSuite {
       "2024-01-02" -> ((1L, 2L, 0.5)),   // user 1 in window, inactive
       "2024-01-09" -> ((1L, 1L, 1.0)))) // old users aged out
   }
+
+  test("watermark planner: chunked prefix max equals naive lateness, buckets exact") {
+    import spark.implicits._
+    // arrival order 1..6; event times crafted so lateness hits four
+    // different buckets; chunk=2 forces cross-chunk prefix handoffs
+    val secs = Seq(
+      (1L, 1000L), (2L, 995L),            // late 5 s  → le_1m
+      (3L, 2000L), (4L, 2000L - 7200L),   // late 2 h  → le_1d
+      (5L, 2100L), (6L, 2100L - 1800L))   // late 30 m → le_1h
+    secs.map { case (id, s) => (id, 1L, "view", s, 1.0) }
+      .toDF("event_id", "user_id", "event_type", "t_s", "value")
+      .withColumn("ts", expr("timestamp_seconds(t_s)")).drop("t_s")
+      .write.mode("overwrite")
+      .parquet("/tmp/graft-wm-test/events.parquet")
+    val got = graft.operators.Relational
+      .watermarkPlanner(spark, "/tmp/graft-wm-test", chunk = 2)
+      .collect()
+      .map(r => r.getString(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    assert(got == Map(
+      "on_time" -> ((3L, 3L, 5000L, false)),
+      "le_1m" -> ((1L, 4L, 6666L, false)),
+      "le_1h" -> ((1L, 5L, 8333L, false)),
+      "le_1d" -> ((1L, 6L, 10000L, true))))
+  }
 }
