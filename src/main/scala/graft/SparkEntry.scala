@@ -192,6 +192,10 @@ object SparkEntry {
       Graph.labelPropagation(s, d)),
     "q200_watermark_planner" -> ((s: SparkSession, d: String) =>
       Relational.watermarkPlanner(s, d)),
+    "q201_kanon_audit" -> ((s: SparkSession, d: String) =>
+      CleanPipeline.kAnonymityAudit(s, d)),
+    "q202_dense_rank" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.denseRankAssign(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -1128,6 +1132,30 @@ object SparkEntry {
          r1 AS (${it("r0")}), r2 AS (${it("r1")}), r3 AS (${it("r2")})
          SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r3"""
     },
+    // q201: k-anonymity/l-diversity — fixed-width integer length
+    // decile as part of the quasi-identifier; exact counts; both
+    // gates integer compares.
+    "q201_kanon_audit" ->
+      """WITH cells AS (
+           SELECT source,
+             LEAST(n_chars // 64, 9) AS len_bucket, lang,
+             COUNT(*) AS c
+           FROM documents GROUP BY 1, 2, 3)
+         SELECT source, CAST(len_bucket AS BIGINT) AS len_bucket,
+           CAST(SUM(c) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           CAST(SUM(c) AS BIGINT) >= 5 AS k_ok,
+           CAST(COUNT(*) AS BIGINT) >= 2 AS l_ok,
+           (CAST(SUM(c) AS BIGINT) < 5 OR CAST(COUNT(*) AS BIGINT) < 2)
+             AS suppress
+         FROM cells GROUP BY 1, 2""",
+    // q202: dense rank — the oracle is the naive global window the
+    // bucketed two-pass prefix device must equal exactly.
+    "q202_dense_rank" ->
+      """SELECT doc_id, n_chars,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC)
+           AS BIGINT) AS dense_id
+         FROM documents""",
     // q200: watermark planner — the Spark side computes the running
     // max with the chunked two-pass prefix scan; the oracle is the
     // naive global window (same values); buckets/cum/bp all integer.

@@ -137,4 +137,45 @@ object CleanPipeline {
       concat_ws(",", gates.map { case (name, g) =>
         when(g, lit(name)) }: _*).as("reasons"))
   }
+
+  /** The q201 driver entry: K-ANONYMITY / L-DIVERSITY AUDIT — the
+    * release gate a dataset passes before leaving the lake: treating
+    * (source, length decile) as the quasi-identifier and language as
+    * the sensitive attribute, every equivalence class must hold ≥ k
+    * members (re-identification resistance) AND ≥ l distinct
+    * sensitive values (the homogeneity attack k-anonymity alone
+    * misses — a 10-member class that is all one language still leaks
+    * it). Classes failing either gate are the suppression set; the
+    * audit reports each class with both flags so the release
+    * decision is row-count-accountable (the q190 philosophy applied
+    * to privacy).
+    *
+    * Exactness: the length decile is the q69-style integer bucket
+    * (n_chars DIV 64 capped at 9 — fixed-width, data-independent);
+    * counts are exact; both gates compare integers.
+    *
+    * Scale shape: one (quasi-id) aggregate, map-side combined;
+    * distinct-language counts ride the same exchange (two-level
+    * aggregate); output is class-domain-bounded.
+    */
+  def kAnonymityAudit(
+      spark: SparkSession, sfDir: String,
+      k: Int = 5, l: Int = 2): DataFrame = {
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("source"),
+        least(floor(col("n_chars") / lit(64)).cast("long"), lit(9L))
+          .as("len_bucket"),
+        col("lang"))
+    val cells = docs
+      .groupBy(col("source"), col("len_bucket"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    cells.groupBy(col("source"), col("len_bucket"))
+      .agg(sum(col("c")).cast("long").as("n"),
+        count(lit(1)).cast("long").as("n_langs"))
+      .select(col("source"), col("len_bucket"), col("n"), col("n_langs"),
+        (col("n") >= k.toLong).as("k_ok"),
+        (col("n_langs") >= l.toLong).as("l_ok"),
+        (col("n") < k.toLong || col("n_langs") < l.toLong)
+          .as("suppress"))
+  }
 }

@@ -581,4 +581,42 @@ object TrainingPrep {
         (col("w_micro").cast("double") / col("tw").cast("double"))
           .as("p"))
   }
+
+  /** The q202 driver entry: SCALABLE DENSE-RANK ASSIGNMENT — give
+    * every document a contiguous 1..N id under a global sort order
+    * (longest-first here: the curriculum/packing order q70/q91
+    * consume) WITHOUT the one-partition global sort that
+    * `row_number() OVER (ORDER BY …)` costs at corpus scale. The
+    * distributed device (the q200 prefix-scan, applied to counts):
+    * value-range-bucket the sort key, count per bucket, EXCLUSIVE
+    * prefix-sum the counts over the bucket domain (bounded window),
+    * then number rows within each bucket (partitioned window) and
+    * add the bucket's offset — identical output to the naive global
+    * window, which is exactly what the oracle runs.
+    *
+    * At 100 TB the fixed-width buckets swap for q154's equi-depth
+    * boundaries so partitions stay balanced under skew; the
+    * two-pass shape is unchanged.
+    */
+  def denseRankAssign(spark: SparkSession, sfDir: String): DataFrame =
+    denseRankAssignOn(Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars")))
+
+  def denseRankAssignOn(docs: DataFrame): DataFrame = {
+    val b = docs
+      .withColumn("bk", floor(col("n_chars") / lit(16)).cast("long"))
+    val counts = b.groupBy(col("bk")).agg(count(lit(1)).as("c"))
+    // descending buckets: higher n_chars ranks first
+    val wOff = Window.orderBy(col("bk").desc)
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val offs = counts
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select(col("bk"), col("off"))
+    val wIn = Window.partitionBy(col("bk"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    b.join(broadcast(offs), Seq("bk"))
+      .withColumn("dense_id",
+        (col("off") + row_number().over(wIn)).cast("long"))
+      .select(col("doc_id"), col("n_chars"), col("dense_id"))
+  }
 }

@@ -82,4 +82,28 @@ class CleanPipelineSpec extends AnyFunSuite {
       .head()
     assert(!planted.getBoolean(3) && planted.getString(4) == "has_pii")
   }
+
+  test("k-anonymity audit: small classes and homogeneous classes both suppress") {
+    // class (sA, bucket 0): 6 members, 2 langs → passes both gates;
+    // class (sB, bucket 0): 2 members → k fails;
+    // class (sC, bucket 0): 6 members all one lang → l fails
+    val docs = (
+      (1 to 3).map(i => (i.toLong, "x", "en", "sA", 10L)) ++
+      (4 to 6).map(i => (i.toLong, "x", "de", "sA", 10L)) ++
+      Seq((7L, "x", "en", "sB", 10L), (8L, "x", "de", "sB", 10L)) ++
+      (9 to 14).map(i => (i.toLong, "x", "en", "sC", 10L))
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite")
+      .parquet("/tmp/graft-kanon-test/documents.parquet")
+    val got = graft.operators.CleanPipeline
+      .kAnonymityAudit(spark, "/tmp/graft-kanon-test")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5),
+          r.getBoolean(6)))
+      .toMap
+    assert(got("sA") == ((6L, 2L, true, true, false)))
+    assert(got("sB") == ((2L, 2L, false, true, true)))
+    assert(got("sC") == ((6L, 1L, true, false, true)))
+  }
 }

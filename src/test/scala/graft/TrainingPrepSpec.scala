@@ -371,4 +371,24 @@ class TrainingPrepSpec extends AnyFunSuite {
     val aDraws = rows.values.count(_._1 == "a")
     assert(aDraws > 32 && aDraws < 64, s"a drawn $aDraws/64")
   }
+
+  test("dense rank: bucketed two-pass equals the naive global window") {
+    import spark.implicits._
+    // lengths straddle the 16-wide buckets, with ties inside and
+    // across bucket boundaries
+    val docs = Seq(
+      (1L, 100L), (2L, 100L), (3L, 99L), (4L, 17L), (5L, 16L),
+      (6L, 16L), (7L, 15L), (8L, 1L), (9L, 0L), (10L, 48L))
+      .toDF("doc_id", "n_chars")
+    val got = graft.operators.TrainingPrep.denseRankAssignOn(docs)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val naive = docs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, n) => (-n, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }
+      .toMap
+    assert(got == naive)
+    assert(got.values.toSeq.sorted == (1L to 10L))
+  }
 }
