@@ -196,6 +196,12 @@ object SparkEntry {
       CleanPipeline.kAnonymityAudit(s, d)),
     "q202_dense_rank" -> ((s: SparkSession, d: String) =>
       TrainingPrep.denseRankAssign(s, d)),
+    "q203_separability" -> ((s: SparkSession, d: String) =>
+      Similarity.classSeparability(s, d)),
+    "q204_loudness_gain" -> ((s: SparkSession, d: String) =>
+      Multimodal.loudnessGain(s, d)),
+    "q205_bootstrap_ci" -> ((s: SparkSession, d: String) =>
+      Relational.bootstrapCi(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -1132,6 +1138,52 @@ object SparkEntry {
          r1 AS (${it("r0")}), r2 AS (${it("r1")}), r3 AS (${it("r2")})
          SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r3"""
     },
+    // q203: Fisher separability — micro-int sufficient statistics,
+    // identical-tree mean/variance chains, per-dim terms micro-
+    // floored so the pair sum is an exact BIGINT; 10¹² sentinel for
+    // zero-variance dims.
+    "q203_separability" ->
+      """WITH pts AS (
+           SELECT label, i - 1 AS pos,
+             CAST(FLOOR(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+           FROM (SELECT label, UNNEST(embedding) AS e,
+             UNNEST(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+         stats AS (
+           SELECT label, pos, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xq) AS BIGINT) AS s,
+             CAST(SUM(xq * xq) AS BIGINT) AS q
+           FROM pts GROUP BY 1, 2),
+         pairs AS (
+           SELECT a.label AS label_a, b.label AS label_b, a.pos,
+             a.n AS na, b.n AS nb,
+             CASE WHEN
+               (CAST(a.q AS DOUBLE) / CAST(a.n AS DOUBLE) -
+                 (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)) *
+                 (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE))) +
+               (CAST(b.q AS DOUBLE) / CAST(b.n AS DOUBLE) -
+                 (CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)) *
+                 (CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))) = 0
+               THEN 1000000000000
+               ELSE CAST(FLOOR(1000000.0 * (
+                 ((CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) -
+                   CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)) *
+                  (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) -
+                   CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))) /
+                 ((CAST(a.q AS DOUBLE) / CAST(a.n AS DOUBLE) -
+                   (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)) *
+                   (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE))) +
+                  (CAST(b.q AS DOUBLE) / CAST(b.n AS DOUBLE) -
+                   (CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)) *
+                   (CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))))))
+                 AS BIGINT) END AS term
+           FROM stats a JOIN stats b
+             ON a.pos = b.pos AND a.label < b.label)
+         SELECT label_a, label_b, MAX(na) AS n_a, MAX(nb) AS n_b,
+           CAST(COUNT(*) AS BIGINT) AS n_dims,
+           CAST(SUM(term) AS BIGINT) AS fisher_micro,
+           CAST(CAST(SUM(term) AS BIGINT) AS DOUBLE) /
+             (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS fisher_per_dim
+         FROM pairs GROUP BY 1, 2""",
     // q201: k-anonymity/l-diversity — fixed-width integer length
     // decile as part of the quasi-identifier; exact counts; both
     // gates integer compares.
@@ -1877,6 +1929,83 @@ object SparkEntry {
          SELECT e.media_id, e.win, e.n_samples, e.sum_abs,
            e.sum_abs * 16 < tot.total AS is_quiet
          FROM e JOIN tot USING (media_id)""",
+    // q205: bootstrap CI — md5-device draws mod n, exact BIGINT
+    // resample sums, lower order statistics at ⌈B/40⌉ / ⌈39B/40⌉.
+    "q205_bootstrap_ci" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+               AS BIGINT) AS total_cents
+           FROM events GROUP BY 1),
+         ranked AS (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY day ASC) - 1
+             AS BIGINT) AS idx, total_cents
+           FROM daily),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+         draws AS (
+           SELECT rb, ('0x' || substr(md5('boot:' || CAST(rb AS VARCHAR)
+             || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % nn.n
+             AS idx
+           FROM range(0, 200) t(rb), nn, LATERAL (
+             SELECT UNNEST(range(nn.n)) AS i) u),
+         sums AS (
+           SELECT rb, CAST(SUM(r.total_cents) AS BIGINT) AS bsum
+           FROM draws d JOIN ranked r ON r.idx = d.idx
+           GROUP BY 1),
+         rk AS (
+           SELECT bsum, ROW_NUMBER() OVER (ORDER BY bsum ASC, rb ASC)
+             AS rn
+           FROM sums),
+         ci AS (
+           SELECT
+             MAX(CASE WHEN rn = 5 THEN bsum END) AS lo_sum,
+             MAX(CASE WHEN rn = 195 THEN bsum END) AS hi_sum
+           FROM rk),
+         obs AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(total_cents) AS BIGINT) AS obs_sum
+           FROM daily)
+         SELECT obs.n_days, obs.obs_sum,
+           CAST(obs.obs_sum AS DOUBLE) / CAST(obs.n_days AS DOUBLE)
+             AS obs_mean_cents,
+           ci.lo_sum, ci.hi_sum,
+           CAST(ci.lo_sum AS DOUBLE) / CAST(obs.n_days AS DOUBLE)
+             AS ci_lo_mean_cents,
+           CAST(ci.hi_sum AS DOUBLE) / CAST(obs.n_days AS DOUBLE)
+             AS ci_hi_mean_cents
+         FROM ci CROSS JOIN obs""",
+    // q204: loudness gain — exact Σs² BIGINT, division + correctly-
+    // rounded sqrt + division in one fixed tree, micro-floored; −1
+    // sentinel for silent clips.
+    "q204_loudness_gain" ->
+      """WITH wav AS MATERIALIZED (
+           SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) // 2 AS ns
+           FROM documents
+           WHERE doc_id % 3 = 1 AND octet_length(encode(text)) >= 2),
+         samples AS (
+           SELECT media_id,
+             CAST(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END
+               AS BIGINT) AS sv
+           FROM (
+             SELECT media_id, ns, CAST(s AS BIGINT) AS s,
+               ('0x' || substr(hx, CAST(4*s AS INT) + 1, 2))::INT +
+                 256 * ('0x' || substr(hx, CAST(4*s AS INT) + 3, 2))::INT
+                 AS v
+             FROM wav, UNNEST(range(ns)) t(s))),
+         st AS (
+           SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+             CAST(SUM(sv * sv) AS BIGINT) AS ssq
+           FROM samples GROUP BY 1)
+         SELECT media_id, n_samples, ssq,
+           CASE WHEN ssq = 0 THEN -1
+             ELSE CAST(FLOOR(1000000.0 * sqrt(CAST(ssq AS DOUBLE) /
+               CAST(n_samples AS DOUBLE))) AS BIGINT) END AS rms_micro,
+           CASE WHEN ssq = 0 THEN -1
+             ELSE CAST(FLOOR(1000000.0 * (10000.0 /
+               sqrt(CAST(ssq AS DOUBLE) / CAST(n_samples AS DOUBLE))))
+               AS BIGINT) END AS gain_micro
+         FROM st""",
     // q175: embedding drift — pico-integer centroid means (q163
     // device), position-ordered assembly, sequential-fold cosine,
     // micro-floor flag; params must equal the Spark defaults

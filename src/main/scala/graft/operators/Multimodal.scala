@@ -408,6 +408,64 @@ object Multimodal {
           .as("is_quiet"))
   }
 
+  /** The q204 driver entry: LOUDNESS-NORMALIZATION GAIN — the
+    * pre-feature-extraction step every audio pipeline runs: compute
+    * each clip's RMS level from the exact PCM16 samples (the q174
+    * decode) and the multiplicative gain that brings it to a target
+    * RMS, so downstream features (energy contours, fingerprints,
+    * training spectrograms) see level-invariant input. Silent clips
+    * (all-zero samples) emit the −1 sentinel rather than an infinite
+    * gain (the q185 rule).
+    *
+    * Exactness: Σs² is an exact BIGINT (|s| ≤ 32768 ⇒ s² ≤ 2³⁰);
+    * RMS = sqrt(Σs²/n) is a division plus a CORRECTLY-ROUNDED sqrt
+    * (the q188 argument), the gain one further division — a fixed
+    * identical tree, micro-floored once.
+    *
+    * Scale shape: the whole statistic reduces INSIDE the per-clip
+    * decode map — one output row per clip, ZERO exchange of samples
+    * or payloads; the strongest possible shuffle story.
+    */
+  def loudnessGain(
+      spark: SparkSession, sfDir: String,
+      targetRms: Double = 10000.0): DataFrame = {
+    import spark.implicits._
+    val stats = mediaTable(spark, sfDir)
+      .filter(_.media_type == "audio/wav")
+      .map { m =>
+        val bb = ByteBuffer.wrap(m.payload).order(ByteOrder.LITTLE_ENDIAN)
+        require(new String(m.payload, 0, 4, "US-ASCII") == "RIFF" &&
+          new String(m.payload, 8, 4, "US-ASCII") == "WAVE",
+          s"media ${m.media_id}: not a WAV")
+        val dataSize = bb.getInt(40)
+        require(dataSize == m.payload.length - WavHeaderLen,
+          s"media ${m.media_id}: data-size field disagrees with payload")
+        val nS = dataSize / 2
+        var ssq = 0L
+        var s = 0
+        while (s < nS) {
+          val lo = m.payload(WavHeaderLen + 2 * s) & 0xFF
+          val hi = m.payload(WavHeaderLen + 2 * s + 1) & 0xFF
+          val x = lo | (hi << 8)
+          val v = (if (x >= 32768) x - 65536 else x).toLong
+          ssq += v * v
+          s += 1
+        }
+        (m.media_id, nS.toLong, ssq)
+      }
+      .toDF("media_id", "n_samples", "ssq")
+      .where(col("n_samples") >= 1)
+    val rms = sqrt(col("ssq").cast("double") /
+      col("n_samples").cast("double"))
+    stats.select(col("media_id"), col("n_samples"), col("ssq"),
+      when(col("ssq") === 0, lit(-1L))
+        .otherwise(floor(lit(1000000.0) * rms).cast("long"))
+        .as("rms_micro"),
+      when(col("ssq") === 0, lit(-1L))
+        .otherwise(floor(lit(1000000.0) * (lit(targetRms) / rms))
+          .cast("long")).as("gain_micro"))
+  }
+
   /** The q197 driver entry: BINARY-LAKE INGESTION via the
     * `binaryFile` SOURCE — the missing source format next to
     * CSV/JSON/ORC/XML/SequenceFile (q19/q59/q63/q106/q82): media

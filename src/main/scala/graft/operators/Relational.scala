@@ -2330,4 +2330,66 @@ object Relational {
         (col("cum_bp") >= 9900L && col("prev_bp") < 9900L)
           .as("is_watermark"))
   }
+
+  /** The q205 driver entry: DETERMINISTIC BOOTSTRAP CONFIDENCE
+    * INTERVAL on mean daily revenue — the nonparametric error bar a
+    * dashboard should print next to any mean (daily totals are few
+    * and skewed; a normal-approximation SE is exactly what the
+    * bootstrap exists to avoid): B resamples of the n observed days
+    * WITH REPLACEMENT, percentile interval from the resample
+    * distribution. Every "random" draw is the salted-md5 60-bit
+    * device (q84/q188) reduced mod n — re-runnable, partition-
+    * invariant, and exactly replayable in SQL; resample sums are
+    * exact BIGINT cents; the 2.5%/97.5% bounds are LOWER order
+    * statistics at integer ranks ⌈B/40⌉ and ⌈39B/40⌉ (the q186
+    * device).
+    *
+    * Scale shape: the corpus collapses to the day domain first; the
+    * B×n draw grid is bounded (drawn from a literal range), joins
+    * the ranked days by index, and reduces to B sums then one row.
+    * At true scale this becomes the Poisson bootstrap (per-row
+    * weights, no index join) — same statistic, documented swap.
+    */
+  def bootstrapCi(
+      spark: SparkSession, sfDir: String, b: Int = 200): DataFrame = {
+    val daily = Tables.load(spark, sfDir, "events")
+      .select(to_date(col("ts")).as("day"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+          .as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("total_cents"))
+    val ranked = daily
+      .withColumn("idx", row_number().over(
+        Window.orderBy(col("day").asc)) - 1)
+      .select(col("idx").cast("long").as("idx"), col("total_cents"))
+    val nRow = ranked.agg(count(lit(1)).as("n"))
+    val draws = spark.range(0, b.toLong).select(col("id").as("rb"))
+      .crossJoin(broadcast(nRow))
+      .select(col("rb"), col("n"), explode(sequence(lit(0L),
+        col("n") - 1)).as("i"))
+      .withColumn("idx",
+        conv(substring(md5(concat(lit("boot:"),
+          col("rb").cast("string"), lit(":"),
+          col("i").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % col("n"))
+    val sums = draws.join(broadcast(ranked), Seq("idx"))
+      .groupBy(col("rb")).agg(sum(col("total_cents")).as("bsum"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("bsum").asc, col("rb").asc)))
+    val loRank = (b + 39) / 40          // ⌈B/40⌉  = 2.5%
+    val hiRank = (39 * b + 39) / 40     // ⌈39B/40⌉ = 97.5%
+    val obs = daily.agg(count(lit(1)).as("n_days"),
+      sum(col("total_cents")).cast("long").as("obs_sum"))
+    sums.agg(
+        max(when(col("rn") === loRank, col("bsum"))).as("lo_sum"),
+        max(when(col("rn") === hiRank, col("bsum"))).as("hi_sum"))
+      .crossJoin(broadcast(obs))
+      .select(col("n_days"), col("obs_sum"),
+        (col("obs_sum").cast("double") / col("n_days").cast("double"))
+          .as("obs_mean_cents"),
+        col("lo_sum"), col("hi_sum"),
+        (col("lo_sum").cast("double") / col("n_days").cast("double"))
+          .as("ci_lo_mean_cents"),
+        (col("hi_sum").cast("double") / col("n_days").cast("double"))
+          .as("ci_hi_mean_cents"))
+  }
 }

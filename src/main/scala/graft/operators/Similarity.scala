@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -781,5 +781,60 @@ object Similarity {
         (coalesce(col("n_overlap"), lit(0L)) * lit((10000 / k).toLong))
           .as("recall_bp"),
         col("full_top1"), col("trunc_top1"))
+  }
+
+  /** The q203 driver entry: CLASS-SEPARABILITY AUDIT — the per-pair
+    * Fisher criterion over the embedding space: for every label pair
+    * and every dimension, (μ_a − μ_b)² / (σ²_a + σ²_b), summed over
+    * dimensions. THE go/no-go number before training a classifier on
+    * labeled embeddings (LDA's objective, read as a diagnostic): a
+    * pair scoring near zero is inseparable in this space no matter
+    * the model, and a label whose every pairing scores low is mislabeled
+    * or the encoder ignores it.
+    *
+    * Exactness: components quantize to micro-int (q71's grid — the
+    * squares then fit BIGINT at any corpus size that fits a
+    * shuffle); per-(label, dim) sufficient statistics (n, Σx, Σx²)
+    * are order-independent BIGINTs; means/variances are identical-
+    * tree double chains; each dimension's Fisher term micro-floors
+    * (the q141 rule applied to a division) so the per-pair sum is
+    * again an exact BIGINT. Degenerate dimensions (both variances
+    * zero) contribute the 10¹² sentinel, never Infinity (q185 rule).
+    *
+    * Scale shape: ONE map-side-combined (label, dim) aggregate over
+    * the corpus; everything after is (labels² × dims)-bounded.
+    */
+  def classSeparability(spark: SparkSession, sfDir: String): DataFrame = {
+    val stats = Tables.load(spark, sfDir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"),
+        floor(col("x").cast("double") * lit(1000000.0)).cast("long")
+          .as("xq"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("xq")).as("s"),
+        sum(col("xq") * col("xq")).as("q"))
+    def mean(s: Column, n: Column): Column =
+      s.cast("double") / n.cast("double")
+    def variance(q: Column, s: Column, n: Column): Column =
+      q.cast("double") / n.cast("double") -
+        mean(s, n) * mean(s, n)
+    val a = stats.select(col("label").as("label_a"), col("pos"),
+      col("n").as("na"), col("s").as("sa"), col("q").as("qa"))
+    val b = stats.select(col("label").as("label_b"), col("pos"),
+      col("n").as("nb"), col("s").as("sb"), col("q").as("qb"))
+    val dm = mean(col("sa"), col("na")) - mean(col("sb"), col("nb"))
+    val vsum = variance(col("qa"), col("sa"), col("na")) +
+      variance(col("qb"), col("sb"), col("nb"))
+    val term = when(vsum === 0.0, lit(1000000000000L))
+      .otherwise(floor(lit(1000000.0) * ((dm * dm) / vsum)).cast("long"))
+    a.join(b, Seq("pos")).where(col("label_a") < col("label_b"))
+      .withColumn("term", term)
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        count(lit(1)).as("n_dims"),
+        sum(col("term")).cast("long").as("fisher_micro"))
+      .withColumn("fisher_per_dim",
+        col("fisher_micro").cast("double") /
+          (col("n_dims").cast("double") * lit(1000000.0)))
   }
 }

@@ -155,4 +155,25 @@ class MultimodalSpec extends AnyFunSuite {
       }.toMap
     assert(got == expected && got.nonEmpty)
   }
+
+  test("loudness gain: hand-decoded sample, silent-clip sentinel") {
+    import spark.implicits._
+    // doc 1 (%3==1 → WAV): body "ab" = one LE sample 0x6261 = 25185;
+    // doc 4: two NUL bytes = one zero sample → silent
+    Seq((1L, "ab"), (4L, "\u0000\u0000"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite")
+      .parquet("/tmp/graft-gain-test/documents.parquet")
+    val got = graft.operators.Multimodal
+      .loudnessGain(spark, "/tmp/graft-gain-test")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val s = 25185L
+    assert(got(1L) == ((1L, s * s,
+      math.floor(1e6 * math.sqrt((s * s).toDouble)).toLong,
+      math.floor(1e6 * (10000.0 / math.sqrt((s * s).toDouble))).toLong)))
+    assert(got(4L) == ((1L, 0L, -1L, -1L)))
+  }
 }

@@ -1095,4 +1095,34 @@ class RelationalSpec extends AnyFunSuite {
       "le_1h" -> ((1L, 5L, 8333L, false)),
       "le_1d" -> ((1L, 6L, 10000L, true))))
   }
+
+  test("bootstrap ci: full md5-draw replay, bounds are lower order statistics") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 1.00), (2L, "2024-01-02 10:00:00", 2.00),
+      (3L, "2024-01-03 10:00:00", 3.00), (4L, "2024-01-04 10:00:00", 40.00))
+    rows.map { case (id, t, v) => (id, 1L, "purchase", t, v) }
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .write.mode("overwrite")
+      .parquet("/tmp/graft-boot-test/events.parquet")
+    val r = graft.operators.Relational
+      .bootstrapCi(spark, "/tmp/graft-boot-test").head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4600L)
+    // replay: totals in day order, md5 draws mod 4, 200 resample
+    // sums, lower order statistics at ranks 5 and 195
+    val totals = Array(100L, 200L, 300L, 4000L)
+    def u60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val sums = (0 until 200).map { b =>
+      (b, (0 until 4).map(i => totals((u60(s"boot:$b:$i") % 4).toInt)).sum)
+    }
+    val ordered = sums.sortBy { case (b, s) => (s, b) }.map(_._2)
+    assert(r.getLong(3) == ordered(4) && r.getLong(4) == ordered(194))
+    assert(r.getLong(3) < r.getLong(4), "the spike day spreads the CI")
+  }
 }

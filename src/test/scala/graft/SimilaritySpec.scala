@@ -416,4 +416,28 @@ class SimilaritySpec extends AnyFunSuite {
       assert(r.getLong(1) <= 5L)
     }
   }
+
+  test("class separability: hand-computed Fisher terms, zero-variance sentinel") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(0.0f, 0.0f), 0), (2L, Array(0.2f, 0.0f), 0),
+      (3L, Array(1.0f, 0.0f), 1), (4L, Array(1.2f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    emb.write.mode("overwrite")
+      .parquet("/tmp/graft-fisher-test/embeddings.parquet")
+    val r = Similarity.classSeparability(spark, "/tmp/graft-fisher-test")
+      .head()
+    assert(r.getInt(0) == 0 && r.getInt(1) == 1)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 2L && r.getLong(4) == 2L)
+    // dim 0: means 0.1 vs 1.1 (micro), vars 1e10 each →
+    // term = floor(1e6·(1e6)²/2e10) = 5e7; dim 1 all-zero → sentinel
+    val xq = Seq(0L, 200000L, 1000000L, 1200000L)
+    val dm = (xq(0) + xq(1)).toDouble / 2 - (xq(2) + xq(3)).toDouble / 2
+    def v(a: Long, b: Long) = (a * a + b * b).toDouble / 2 -
+      ((a + b).toDouble / 2) * ((a + b).toDouble / 2)
+    val t0 = math.floor(1e6 * (dm * dm) /
+      (v(xq(0), xq(1)) + v(xq(2), xq(3)))).toLong
+    assert(r.getLong(5) == t0 + 1000000000000L)
+    assert(t0 == 50000000L)
+  }
 }
