@@ -202,6 +202,12 @@ object SparkEntry {
       Multimodal.loudnessGain(s, d)),
     "q205_bootstrap_ci" -> ((s: SparkSession, d: String) =>
       Relational.bootstrapCi(s, d)),
+    "q206_theil_sen" -> ((s: SparkSession, d: String) =>
+      Relational.theilSenTrend(s, d)),
+    "q207_langid_confusion" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.langIdConfusion(s, d)),
+    "q208_churn_labels" -> ((s: SparkSession, d: String) =>
+      Experiment.churnLabels(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -1929,6 +1935,69 @@ object SparkEntry {
          SELECT e.media_id, e.win, e.n_samples, e.sum_abs,
            e.sum_abs * 16 < tot.total AS is_quiet
          FROM e JOIN tot USING (media_id)""",
+    // q206: Theil–Sen — exact day offsets and cents, each pairwise
+    // slope ONE micro-floored IEEE division, lower-median at rank
+    // (m+1) DIV 2 under a (slope, i, j) total order.
+    "q206_theil_sen" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+               AS BIGINT) AS y
+           FROM events GROUP BY 1),
+         anchor AS (SELECT MIN(day) AS d0 FROM daily),
+         pts AS (
+           SELECT CAST(day - anchor.d0 AS BIGINT) AS x, y
+           FROM daily CROSS JOIN anchor),
+         slopes AS (
+           SELECT a.x AS xi, b.x AS xj,
+             CAST(FLOOR(1000000.0 *
+               (CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)))
+               AS BIGINT) AS slope_micro
+           FROM pts a JOIN pts b ON a.x < b.x),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM slopes),
+         med AS (
+           SELECT slope_micro AS ts_slope_micro FROM (
+             SELECT slope_micro, ROW_NUMBER() OVER (
+               ORDER BY slope_micro ASC, xi ASC, xj ASC) AS rn
+             FROM slopes) r, m
+           WHERE rn = (m.m + 1) // 2)
+         SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+           (SELECT CAST(SUM(y) AS BIGINT) FROM daily) AS total_cents,
+           m.m AS n_pairs, med.ts_slope_micro,
+           CAST(med.ts_slope_micro AS DOUBLE) / 1000000.0
+             AS ts_slope_cents_per_day
+         FROM m CROSS JOIN med""",
+    // q207: confusion matrix over the q40 argmax; accuracy integer bp.
+    "q207_langid_confusion" ->
+      s"""WITH pred AS ($langIdOracle),
+         cells AS (
+           SELECT d.lang AS lang_true, p.lang_pred,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+           GROUP BY 1, 2),
+         tot AS (
+           SELECT CAST(SUM(n) AS BIGINT) AS total,
+             CAST(SUM(CASE WHEN lang_true = lang_pred THEN n ELSE 0 END)
+               AS BIGINT) AS correct
+           FROM cells)
+         SELECT lang_true, lang_pred, n,
+           lang_true = lang_pred AS is_correct,
+           tot.total, tot.correct * 10000 // tot.total AS acc_bp
+         FROM cells CROSS JOIN tot""",
+    // q208: churn labels — censoring-aware: the label is only
+    // observable when first activity predates the horizon.
+    "q208_churn_labels" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         anchor AS (SELECT MAX(day) AS obs_end FROM ev)
+         SELECT user_id, MIN(day) AS first_day, MAX(day) AS last_day,
+           CAST(COUNT(DISTINCT day) AS BIGINT) AS n_active_days,
+           CAST(anchor.obs_end - MAX(day) AS BIGINT) AS recency_days,
+           (anchor.obs_end - MIN(day)) >= 14 AS observable,
+           ((anchor.obs_end - MIN(day)) >= 14 AND
+            (anchor.obs_end - MAX(day)) > 14) AS churned
+         FROM ev CROSS JOIN anchor
+         GROUP BY user_id, anchor.obs_end""",
     // q205: bootstrap CI — md5-device draws mod n, exact BIGINT
     // resample sums, lower order statistics at ⌈B/40⌉ / ⌈39B/40⌉.
     "q205_bootstrap_ci" ->

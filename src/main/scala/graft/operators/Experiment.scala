@@ -363,4 +363,38 @@ object Experiment {
           .as("mean_adj_cents"),
         col("theta_micro"))
   }
+
+  /** The q208 driver entry: CHURN LABEL GENERATION — the label table
+    * a churn model trains on, built censoring-aware: a user is
+    * churned when their recency (days from last activity to the
+    * observation end) exceeds the horizon, but that label is only
+    * OBSERVABLE for users whose first activity predates the horizon
+    * — labeling a 3-day-old user "retained" at a 14-day horizon is
+    * the leakage this op exists to prevent (the q151 right-censoring
+    * discipline applied to label GENERATION rather than estimation;
+    * pairs with q162's leakage-free split).
+    *
+    * All integer/date arithmetic; one map-side-combined per-user
+    * aggregate plus a 1-row anchor broadcast.
+    */
+  def churnLabels(
+      spark: SparkSession, sfDir: String, horizonDays: Int = 14): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val anchor = ev.agg(max(col("day")).as("obs_end"))
+    ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"),
+        max(col("day")).as("last_day"),
+        count_distinct(col("day")).as("n_active_days"))
+      .crossJoin(broadcast(anchor))
+      .select(col("user_id"), col("first_day"), col("last_day"),
+        col("n_active_days"),
+        datediff(col("obs_end"), col("last_day")).cast("long")
+          .as("recency_days"),
+        (datediff(col("obs_end"), col("first_day")) >= horizonDays)
+          .as("observable"),
+        (datediff(col("obs_end"), col("first_day")) >= horizonDays &&
+          datediff(col("obs_end"), col("last_day")) > horizonDays)
+          .as("churned"))
+  }
 }

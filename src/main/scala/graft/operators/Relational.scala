@@ -2392,4 +2392,57 @@ object Relational {
         (col("hi_sum").cast("double") / col("n_days").cast("double"))
           .as("ci_hi_mean_cents"))
   }
+
+  /** The q206 driver entry: THEIL–SEN ROBUST TREND — the median of
+    * all pairwise slopes over the daily revenue series, the robust
+    * complement to q116's least-squares trend: OLS has breakdown
+    * point 0 (one corrupted day drags the fitted slope arbitrarily),
+    * Theil–Sen survives ~29% corruption — the estimator a
+    * monitoring system should fit before alerting on "revenue is
+    * trending down". Same philosophy as q186 (median vs mean), one
+    * level up (slopes vs values).
+    *
+    * Exactness: days convert to exact integer offsets, totals are
+    * exact cents; each pairwise slope is ONE IEEE division
+    * micro-floored (q141 rule), and the median is the lower order
+    * statistic at rank (m+1) DIV 2 under a (slope, i, j) total
+    * order (q186 device) — deterministic under any partitioning.
+    *
+    * Scale shape: the corpus collapses to the DAY domain first; the
+    * pair grid is day-domain² (a year = 66k pairs — trivial;
+    * centuries still fit one executor). Nothing here ever touches
+    * corpus-sized data after the first aggregate.
+    */
+  def theilSenTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.load(spark, sfDir, "events")
+      .select(to_date(col("ts")).as("day"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+          .as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("y"))
+    val anchor = daily.agg(min(col("day")).as("d0"))
+    val pts = daily.crossJoin(broadcast(anchor))
+      .select(datediff(col("day"), col("d0")).cast("long").as("x"),
+        col("y"))
+    val slopes = pts.as("a").join(pts.as("b"),
+        col("a.x") < col("b.x"))
+      .select(col("a.x").as("xi"), col("b.x").as("xj"),
+        floor(lit(1000000.0) *
+          ((col("b.y") - col("a.y")).cast("double") /
+            (col("b.x") - col("a.x")).cast("double")))
+          .cast("long").as("slope_micro"))
+    val m = slopes.agg(count(lit(1)).as("m"))
+    val ranked = slopes.withColumn("rn", row_number().over(
+      Window.orderBy(col("slope_micro").asc, col("xi").asc,
+        col("xj").asc)))
+    val med = ranked.crossJoin(broadcast(m))
+      .where(col("rn") === ((col("m") + lit(1L)) / lit(2L)).cast("long"))
+      .select(col("slope_micro").as("ts_slope_micro"))
+    daily.agg(count(lit(1)).as("n_days"),
+        sum(col("y")).cast("long").as("total_cents"))
+      .crossJoin(broadcast(m)).crossJoin(broadcast(med))
+      .select(col("n_days"), col("total_cents"),
+        col("m").as("n_pairs"), col("ts_slope_micro"),
+        (col("ts_slope_micro").cast("double") / lit(1000000.0))
+          .as("ts_slope_cents_per_day"))
+  }
 }

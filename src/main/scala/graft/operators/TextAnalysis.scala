@@ -97,6 +97,39 @@ object TextAnalysis {
     d.select(col("doc_id"), pred.as("lang_pred"), best.as("marker_hits"))
   }
 
+  /** The q207 driver entry: LANG-ID CONFUSION MATRIX — evaluate the
+    * q40 classifier against the labeled `lang` column: the (true,
+    * predicted) contingency with per-cell counts plus overall
+    * accuracy in basis points. The evaluation-harness shape every
+    * heuristic gate (q40 langid, q41 quality, q178 scorer) needs
+    * before its threshold goes to production — and the table that
+    * says WHICH confusions dominate (a de→en cell means the marker
+    * lists collide, not that text is noisy).
+    *
+    * Determinism: the classifier is q40's exact argmax; counts are
+    * exact; accuracy is integer basis points (correct·10⁴ DIV n).
+    * Scale: one (true, pred) map-side-combined aggregate; the
+    * accuracy broadcast joins back onto the cell-domain frame.
+    */
+  def langIdConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang").as("lang_true"))
+    val pred = langId(spark, sfDir)
+      .select(col("doc_id"), col("lang_pred"))
+    val cells = truth.join(pred, Seq("doc_id"))
+      .groupBy(col("lang_true"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum(col("n")).cast("long").as("total"),
+      sum(when(col("lang_true") === col("lang_pred"), col("n"))
+        .otherwise(0L)).cast("long").as("correct"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("lang_true"), col("lang_pred"), col("n"),
+        (col("lang_true") === col("lang_pred")).as("is_correct"),
+        col("total"),
+        (col("correct") * lit(10000L) / col("total")).cast("long")
+          .as("acc_bp"))
+  }
+
   /** Document fingerprint: md5 of the normalized text (lowercased,
     * whitespace collapsed) — the exact-dedup key. md5 hex is
     * bit-portable across engines. The polynomial rolling hash over

@@ -221,4 +221,30 @@ class ExperimentSpec extends AnyFunSuite {
     assert(got(0L) == ((2L, 800L, 2L * 500000000L, 2000000L)))
     assert(got(1L) == ((2L, 1200L, 2L * 500000000L, 2000000L)))
   }
+
+  test("churn labels: recency vs horizon, short-history users not observable") {
+    import spark.implicits._
+    // obs_end = 2024-02-01. A: last seen Jan 1 (recency 31 > 14,
+    // history 31 ≥ 14) → churned. B: long history, last seen Jan 30
+    // (recency 2) → observable, retained. C: first seen Jan 25
+    // (history 7 < 14) → NOT observable, never labeled churned.
+    val rows = Seq(
+      (1L, 1L, "2024-01-01 10:00:00"),
+      (2L, 2L, "2024-01-01 10:00:00"), (3L, 2L, "2024-01-30 10:00:00"),
+      (4L, 3L, "2024-01-25 10:00:00"), (5L, 2L, "2024-02-01 10:00:00"))
+    rows.map { case (id, u, t) => (id, u, "view", t, 1.0) }
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .write.mode("overwrite")
+      .parquet("/tmp/graft-churn-test/events.parquet")
+    val got = graft.operators.Experiment
+      .churnLabels(spark, "/tmp/graft-churn-test")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+      .toMap
+    assert(got(1L) == ((1L, 31L, true, true)))
+    assert(got(2L) == ((3L, 0L, true, false)))
+    assert(got(3L) == ((1L, 7L, false, false)))
+  }
 }

@@ -1125,4 +1125,32 @@ class RelationalSpec extends AnyFunSuite {
     assert(r.getLong(3) == ordered(4) && r.getLong(4) == ordered(194))
     assert(r.getLong(3) < r.getLong(4), "the spike day spreads the CI")
   }
+
+  test("theil-sen: pairwise-slope replay; the spike day cannot drag the median") {
+    import spark.implicits._
+    // clean +100/day trend, then a 1000x final day: OLS would report
+    // a huge slope; the slope median stays on the trend
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 1.00), (2L, "2024-01-02 10:00:00", 2.00),
+      (3L, "2024-01-03 10:00:00", 3.00), (4L, "2024-01-04 10:00:00", 4.00),
+      (5L, "2024-01-05 10:00:00", 1000.00))
+    rows.map { case (id, t, v) => (id, 1L, "purchase", t, v) }
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .write.mode("overwrite")
+      .parquet("/tmp/graft-ts-test/events.parquet")
+    val r = graft.operators.Relational
+      .theilSenTrend(spark, "/tmp/graft-ts-test").head()
+    val ys = Array(100L, 200L, 300L, 400L, 100000L)
+    val slopes = (for {
+      i <- 0 until 5; j <- (i + 1) until 5
+    } yield (i, j, math.floor(
+      1e6 * ((ys(j) - ys(i)).toDouble / (j - i).toDouble)).toLong))
+    val med = slopes.sortBy { case (i, j, s) => (s, i.toLong, j.toLong) }
+      .apply((slopes.size + 1) / 2 - 1)._3
+    assert(r.getLong(0) == 5L && r.getLong(2) == 10L)
+    assert(r.getLong(3) == med)
+    // the median slope sits on the clean trend, far below the spike
+    assert(r.getLong(3) == 100000000L, s"got ${r.getLong(3)}")
+  }
 }

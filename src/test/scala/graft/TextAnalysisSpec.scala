@@ -479,4 +479,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getDouble(4) ==
       (sy.toDouble - num / den * sx.toDouble) / n.toDouble)
   }
+
+  test("langid confusion: off-diagonal cells and integer accuracy") {
+    val docs = Seq(
+      (1L, "the cat and the dog is here", "en"),  // correct
+      (2L, "the cat and the dog is here", "de"),  // de mislabeled → (de, en)
+      (3L, "xyzzy qwerty", "zh")                  // no markers → (zh, und)
+    ).toDF("doc_id", "text", "lang")
+    docs.write.mode("overwrite")
+      .parquet("/tmp/graft-conf-test/documents.parquet")
+    val got = TextAnalysis.langIdConfusion(spark, "/tmp/graft-conf-test")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got == Map(
+      ("en", "en") -> ((1L, true, 3L, 3333L)),
+      ("de", "en") -> ((1L, false, 3L, 3333L)),
+      ("zh", "und") -> ((1L, false, 3L, 3333L))))
+  }
 }
