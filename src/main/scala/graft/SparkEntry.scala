@@ -208,6 +208,8 @@ object SparkEntry {
       TextAnalysis.langIdConfusion(s, d)),
     "q208_churn_labels" -> ((s: SparkSession, d: String) =>
       Experiment.churnLabels(s, d)),
+    "q209_holt_forecast" -> ((s: SparkSession, d: String) =>
+      Relational.holtForecast(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -1935,6 +1937,39 @@ object SparkEntry {
          SELECT e.media_id, e.win, e.n_samples, e.sum_abs,
            e.sum_abs * 16 < tot.total AS is_quiet
          FROM e JOIN tot USING (media_id)""",
+    // q209: Holt forecast — α=β=½ makes each smoothing step exact
+    // integer arithmetic (FLOOR(x/2.0), never truncating DIV); the
+    // oracle replays the fold as a RECURSIVE CTE rank-by-rank.
+    "q209_holt_forecast" ->
+      """WITH RECURSIVE daily AS (
+           SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+               AS BIGINT) AS y
+           FROM events GROUP BY 1),
+         ranked AS (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY day ASC) AS BIGINT)
+             AS rn, day, y
+           FROM daily),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  MAX(day) AS last_day FROM daily),
+         st AS (
+           SELECT CAST(1 AS BIGINT) AS rn, r1.y AS lvl, r2.y - r1.y AS tr
+           FROM ranked r1, ranked r2 WHERE r1.rn = 1 AND r2.rn = 2
+           UNION ALL
+           SELECT s.rn + 1,
+             CAST(FLOOR(CAST(r.y + s.lvl + s.tr AS DOUBLE) / 2.0)
+               AS BIGINT),
+             CAST(FLOOR((CAST(FLOOR(CAST(r.y + s.lvl + s.tr AS DOUBLE)
+               / 2.0) AS BIGINT) - s.lvl + s.tr) / 2.0) AS BIGINT)
+           FROM st s JOIN ranked r ON r.rn = s.rn + 1),
+         fin AS (
+           SELECT st.lvl, st.tr FROM st, nn WHERE st.rn = nn.n)
+         SELECT CAST(h AS BIGINT) AS h,
+           nn.last_day + CAST(h AS INTEGER) AS forecast_day,
+           nn.n AS n_days, fin.lvl AS level_cents,
+           fin.tr AS trend_cents,
+           fin.lvl + CAST(h AS BIGINT) * fin.tr AS forecast_cents
+         FROM range(1, 8) t(h), fin, nn""",
     // q206: Theil–Sen — exact day offsets and cents, each pairwise
     // slope ONE micro-floored IEEE division, lower-median at rank
     // (m+1) DIV 2 under a (slope, i, j) total order.

@@ -2445,4 +2445,66 @@ object Relational {
         (col("ts_slope_micro").cast("double") / lit(1000000.0))
           .as("ts_slope_cents_per_day"))
   }
+
+  /** The q209 driver entry: HOLT DOUBLE-EXPONENTIAL FORECAST — the
+    * level+trend smoother (Holt 1957) over daily revenue with a
+    * 7-day horizon: the capacity-planning forecast a pipeline
+    * publishes next to its history (and the baseline any fancier
+    * model must beat). Deliberately α = β = ½ — halving makes every
+    * smoothing step EXACT integer arithmetic:
+    *
+    *   level′ = ⌊(y + level + trend)/2⌋,
+    *   trend′ = ⌊(level′ − level + trend)/2⌋
+    *
+    * — floors via /2.0 + FLOOR (cents < 2⁵² so the double divide is
+    * exact; a DIV-by-2 would TRUNCATE toward zero and diverge from
+    * SQL's floor on negative trends). No transcendentals anywhere.
+    *
+    * The sequential-recursion device: a smoother is inherently
+    * order-serial, so the day series folds INSIDE one row — sorted
+    * `collect_list` + the `aggregate` higher-order function carrying
+    * a (level, trend) struct — a codegen'd fold over the
+    * CALENDAR-BOUNDED day domain (the q131/q151 bounded-domain
+    * rule), zero driver-side iteration; the oracle is the same
+    * recursion as a DuckDB RECURSIVE CTE stepping rank-by-rank.
+    */
+  def holtForecast(
+      spark: SparkSession, sfDir: String, horizon: Int = 7): DataFrame = {
+    val daily = Tables.load(spark, sfDir, "events")
+      .select(to_date(col("ts")).as("day"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+          .as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("y"))
+    def half(x: Column): Column = floor(x.cast("double") / lit(2.0)).cast("long")
+    val folded = daily
+      .agg(count(lit(1)).as("n"), max(col("day")).as("last_day"),
+        array_sort(collect_list(struct(col("day"), col("y")))).as("s"))
+      .where(col("n") >= 2)
+      .select(col("n"), col("last_day"),
+        transform(col("s"), x => x.getField("y")).as("ys"))
+      .select(col("n"), col("last_day"),
+        aggregate(
+          slice(col("ys"), lit(2), size(col("ys")) - 1),
+          struct(element_at(col("ys"), 1).as("lvl"),
+            (element_at(col("ys"), 2) - element_at(col("ys"), 1))
+              .as("tr")),
+          (st, y) => {
+            val lvl2 = half(y + st.getField("lvl") + st.getField("tr"))
+            struct(lvl2.as("lvl"),
+              half(lvl2 - st.getField("lvl") + st.getField("tr"))
+                .as("tr"))
+          }).as("st"))
+      .select(col("n").as("n_days"), col("last_day"),
+        col("st.lvl").as("level_cents"), col("st.tr").as("trend_cents"))
+    folded
+      .select(col("n_days"), col("level_cents"), col("trend_cents"),
+        explode(sequence(lit(1), lit(horizon))).as("h"),
+        col("last_day"))
+      .select(col("h").cast("long").as("h"),
+        date_add(col("last_day"), col("h").cast("int"))
+          .as("forecast_day"),
+        col("n_days"), col("level_cents"), col("trend_cents"),
+        (col("level_cents") + col("h") * col("trend_cents"))
+          .as("forecast_cents"))
+  }
 }

@@ -1153,4 +1153,32 @@ class RelationalSpec extends AnyFunSuite {
     // the median slope sits on the clean trend, far below the spike
     assert(r.getLong(3) == 100000000L, s"got ${r.getLong(3)}")
   }
+
+  test("holt forecast: exact half-step recursion, floor on the odd trend") {
+    import spark.implicits._
+    // 100, 200, 300, then a drop to 50:
+    //   init (100, 100); y=200 → (200, 100); y=300 → (300, 100);
+    //   y=50 → lvl = ⌊450/2⌋ = 225, tr = ⌊(225−300+100)/2⌋ = ⌊12.5⌋ = 12
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 1.00), (2L, "2024-01-02 10:00:00", 2.00),
+      (3L, "2024-01-03 10:00:00", 3.00), (4L, "2024-01-04 10:00:00", 0.50))
+    rows.map { case (id, t, v) => (id, 1L, "purchase", t, v) }
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .write.mode("overwrite")
+      .parquet("/tmp/graft-holt-test/events.parquet")
+    val got = graft.operators.Relational
+      .holtForecast(spark, "/tmp/graft-holt-test")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getDate(1).toString, r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))
+      .toMap
+    assert(got.size == 7)
+    (1 to 7).foreach { h =>
+      assert(got(h.toLong) ==
+        ((f"2024-01-${4 + h}%02d", 4L, 225L, 12L, 225L + 12L * h)),
+        s"h=$h")
+    }
+  }
 }
