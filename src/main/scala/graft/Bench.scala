@@ -111,6 +111,82 @@ object Bench {
     // under "confirm_times", so nothing is hidden.
     regressions(baseline, flagged.map(n => n -> remeasure(n)), floor = 0.25)
 
+  /** PER-ENTRY CONTENTION ADJUDICATION (round-11): the q04 flagship
+    * canary (0.4 s) passed in round 10 while the same fork read q124
+    * at 5.6x its quiet median — a 0.4 s probe cannot detect the load
+    * shape that inflates 10-30 s entries. Each confirm reading is
+    * therefore ALSO judged against that entry's own best-ever median
+    * (proportional canary): a reading within 2x of its own best is
+    * quiet and stands. A reading over 2x best ("loud") is ambiguous —
+    * real regression or contention — so it is re-forked once after a
+    * backoff and adjudicated:
+    *   - second reading quiet (<= 2x best)  -> first was contention;
+    *     the quiet second reading is the confirm value
+    *   - second reading loud AND within 1.3x of the first -> the slow
+    *     reading reproduces across two spaced quiet-flagship forks:
+    *     a real regression, published at min(first, second)
+    *   - second reading loud and disagreeing (or refork unreliable /
+    *     failed) -> contention both times: UNRESOLVED, stays under
+    *     "suspect"/"confirm_unresolved", never published or persisted
+    * Returns (adjudicated confirm values, unresolved entry names).
+    */
+  def adjudicateConfirms(
+      first: Map[String, Double],
+      best: Map[String, Double],
+      refork: Seq[String] => Map[String, Double])
+      : (Map[String, Double], Seq[String]) = {
+    def quiet(n: String, t: Double): Boolean = {
+      val b = best.getOrElse(n, -1.0); b <= 0 || t <= b * 2
+    }
+    val positive = first.filter(_._2 > 0)
+    val (ok, loud) = positive.partition { case (n, t) => quiet(n, t) }
+    if (loud.isEmpty) (ok, Nil)
+    else {
+      val second = refork(loud.keys.toSeq.sorted)
+      val resolved = loud.flatMap { case (n, t1) =>
+        second.get(n).filter(_ > 0) match {
+          case Some(t2) if quiet(n, t2) => Some(n -> t2)
+          case Some(t2) if math.max(t1, t2) <= math.min(t1, t2) * 1.3 =>
+            Some(n -> math.min(t1, t2))
+          case _ => None
+        }
+      }
+      (ok ++ resolved, loud.keys.toSeq.filterNot(resolved.contains).sorted)
+    }
+  }
+
+  /** BASELINE NEVER-RAISE RULE (round-11): round 10's committed
+    * bench_medians_r14 carried q155=34.5 s / q124=11.9 s against
+    * same-commit quiet medians of 15.3 s / 2.1 s — a contended sweep
+    * (whose q04 canary passed) wrote its inflated values straight into
+    * the next round's vs-prev baseline, masking real regressions. A
+    * candidate that would RAISE an existing baseline entry past the
+    * regression-gate thresholds (>1.5x and >0.25 s) is now accepted
+    * only when the raise was adjudicated as a real regression by
+    * `adjudicateConfirms` (reproduced across two spaced quiet forks);
+    * otherwise the previous baseline value is kept and the entry is
+    * reported under "baseline_raise_rejected" — the gate then keeps
+    * flagging it every round until it is fixed or quietly reproduces.
+    * Sub-threshold drift still tracks through (so baselines follow
+    * honest noise), and lowering is always accepted.
+    * Returns (merged baseline, rejected-raise entry names).
+    */
+  def baselineMerge(
+      sweep: Seq[(String, Double)],
+      adjudicated: Map[String, Double],
+      prevBase: Map[String, Double]): (Seq[(String, Double)], Seq[String]) = {
+    val rejected = Seq.newBuilder[String]
+    val out = sweep.map { case (k, v) =>
+      val conf = adjudicated.getOrElse(k, -1.0)
+      val cand = if (conf > 0 && (v <= 0 || conf < v)) conf else v
+      val pb = prevBase.getOrElse(k, -1.0)
+      val raising = pb > 0 && cand > pb * 1.5 && cand - pb > 0.25
+      if (raising && conf <= 0) { rejected += k; k -> pb }
+      else k -> cand
+    }
+    (out, rejected.result())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -203,11 +279,23 @@ object Bench {
         forkQuickTime(flagged, sfDir, q04Baseline,
           baselines = best ++ prev) // fallback-flagship baselines
       }
-    // a query the fork failed to time (absent / -1) keeps its sweep
-    // median: suspicious-but-unconfirmed stays visible under "suspect"
-    // without crashing the gate, and -1 never publishes (t > 0 guard)
-    def confirmed(n: String): Double =
-      if (confirmReliable) remeasured.getOrElse(n, -1.0) else -1.0
+    // round-11: per-entry proportional canary + reproducibility refork
+    // (see adjudicateConfirms) — the flagship-level check alone passed
+    // round 10's contended fork. The refork sleeps first so transient
+    // load has a window to clear, and is itself flagship-gated.
+    val (adjudicated: Map[String, Double], unresolvedConfirms: Seq[String]) =
+      if (!confirmReliable) (Map.empty[String, Double], remeasured.keys.toSeq.sorted)
+      else adjudicateConfirms(remeasured, best, ns => {
+        Thread.sleep(60000L)
+        val (m, rel) = forkQuickTime(ns, sfDir, q04Baseline,
+          baselines = best ++ prev)
+        if (rel) m else Map.empty
+      })
+    // a query the fork failed to time (absent / -1) or whose readings
+    // stayed loud-and-irreproducible keeps its sweep median:
+    // suspicious-but-unconfirmed stays visible under "suspect" without
+    // crashing the gate, and -1 never publishes (t > 0 guard)
+    def confirmed(n: String): Double = adjudicated.getOrElse(n, -1.0)
     val regr = fmt(confirmRegressions(prev, flagged, confirmed))
     val regrBest = fmt(confirmRegressions(best, flagged, confirmed))
     // an UNRELIABLE confirm pass prints NO times: parsePrevMedians
@@ -217,11 +305,15 @@ object Bench {
     // would overwrite sweep medians in any round whose medians file
     // goes missing — the very poisoning mechanism the gate exists to
     // stop (round-9 advice, medium)
+    // round-11: only ADJUDICATED values print — a loud irreproducible
+    // reading never reaches the scrapable 3-decimal format at all
     val confirmTimes =
       if (!confirmReliable) "{}"
-      else remeasured.toSeq.sorted
+      else adjudicated.toSeq.sorted
         .map { case (k, v) => "\"" + k + "\":" + fmtMedian(v) }
         .mkString("{", ",", "}")
+    val unresolvedJson = unresolvedConfirms
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // persist this round's medians where the driver tail can't eat
     // them: a flagged query stores min(sweep median, confirmed
     // median) — BOTH are genuine measurements and the baseline should
@@ -244,23 +336,25 @@ object Bench {
     val sweepQ04 = results.toMap.getOrElse("q04_agg_2a", -1.0)
     val sweepDegraded = q04Baseline > 0 &&
       (sweepQ04 <= 0 || sweepQ04 > q04Baseline * 2)
+    val (mergedBaseline, raiseRejected) =
+      baselineMerge(results, adjudicated, prev)
     if (sfDir.endsWith("sf0.1") && !sweepDegraded) {
       val nextRound = (byRound.map(_._1) :+ 0).max + 1
-      val merged = results.map { case (k, v) =>
-        val conf = confirmed(k)
-        k -> (if (conf > 0 && (v <= 0 || conf < v)) conf else v)
-      }
-      val body = merged
+      val body = mergedBaseline
         .map { case (k, v) => "  \"" + k + "\": " + fmtMedian(v) }
         .mkString("{\n", ",\n", "\n}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(f"bench_medians_r$nextRound%02d.json"),
         body.getBytes("UTF-8"))
+      if (raiseRejected.nonEmpty) System.err.println(
+        s"[bench] baseline raises REJECTED (kept previous values, see never-raise rule): ${raiseRejected.mkString(",")}")
     } else if (sweepDegraded) System.err.println(
       f"[bench] sweep degraded (q04 sweep median $sweepQ04%.3f vs baseline $q04Baseline%.3f): medians file NOT published")
     val prevName = benchFiles.lastOption.map(_.getName).getOrElse("none")
+    val raiseRejectedJson = raiseRejected
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"prev":"$prevName","regressions":$regr,"regressions_vs_best":$regrBest,"suspect":${fmt(sweepRegr)},"suspect_vs_best":${fmt(sweepBest)},"confirm_times":$confirmTimes,"confirm_unreliable":${!confirmReliable},"sweep_degraded":$sweepDegraded,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"prev":"$prevName","regressions":$regr,"regressions_vs_best":$regrBest,"suspect":${fmt(sweepRegr)},"suspect_vs_best":${fmt(sweepBest)},"confirm_times":$confirmTimes,"confirm_unreliable":${!confirmReliable},"confirm_unresolved":$unresolvedJson,"baseline_raise_rejected":$raiseRejectedJson,"sweep_degraded":$sweepDegraded,"sf":"$sfDir"}""")
     SparkSession.getActiveSession.foreach(_.stop())
   }
 

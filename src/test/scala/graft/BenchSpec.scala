@@ -230,6 +230,103 @@ class BenchSpec extends AnyFunSuite {
     assert(got == Map("q125_stream_pit" -> 2.311))
   }
 
+  test("per-entry canary: quiet readings stand without a refork") {
+    // both readings within 2x their own best-ever -> no refork needed
+    var reforked = false
+    val (adj, unresolved) = Bench.adjudicateConfirms(
+      Map("a" -> 1.8, "b" -> 0.5),
+      Map("a" -> 1.0, "b" -> 0.4),
+      ns => { reforked = true; Map.empty })
+    assert(!reforked)
+    assert(adj == Map("a" -> 1.8, "b" -> 0.5) && unresolved.isEmpty)
+  }
+
+  test("per-entry canary: loud reading resolved quiet on refork (round-10 q124 case)") {
+    // the round-10 failure: q04 flagship quiet while q124 read 5.6x its
+    // quiet median. First confirm is loud vs q124's own best; the
+    // spaced refork reads quiet -> contention, quiet value published
+    val (adj, unresolved) = Bench.adjudicateConfirms(
+      Map("q124_pagerank" -> 11.9),
+      Map("q124_pagerank" -> 2.1),
+      ns => { assert(ns == Seq("q124_pagerank")); Map("q124_pagerank" -> 2.2) })
+    assert(adj == Map("q124_pagerank" -> 2.2) && unresolved.isEmpty)
+  }
+
+  test("per-entry canary: reproducible loud reading is a REAL regression") {
+    // two spaced quiet-flagship forks agree within 1.3x at >2x best:
+    // published at the min of the two readings
+    val (adj, unresolved) = Bench.adjudicateConfirms(
+      Map("real" -> 6.0),
+      Map("real" -> 2.0),
+      _ => Map("real" -> 5.5))
+    assert(adj == Map("real" -> 5.5) && unresolved.isEmpty)
+  }
+
+  test("per-entry canary: disagreeing loud readings stay UNRESOLVED") {
+    // contention both times (34.5 then 22.0, both >2x best=21.0, >1.3x
+    // apart): nothing published, nothing persisted
+    val (adj, unresolved) = Bench.adjudicateConfirms(
+      Map("q155_bpe_train" -> 34.5),
+      Map("q155_bpe_train" -> 10.5),
+      _ => Map("q155_bpe_train" -> 22.0))
+    assert(adj.isEmpty && unresolved == Seq("q155_bpe_train"))
+    // an unreliable/failed refork (empty map) is the same outcome
+    val (adj2, un2) = Bench.adjudicateConfirms(
+      Map("q155_bpe_train" -> 34.5),
+      Map("q155_bpe_train" -> 10.5),
+      _ => Map.empty)
+    assert(adj2.isEmpty && un2 == Seq("q155_bpe_train"))
+  }
+
+  test("per-entry canary: no history accepts the reading (new entries)") {
+    val (adj, unresolved) = Bench.adjudicateConfirms(
+      Map("q210_new" -> 9.9), Map.empty, _ => fail("no refork expected"))
+    assert(adj == Map("q210_new" -> 9.9) && unresolved.isEmpty)
+  }
+
+  test("baseline never-raise: an unadjudicated raise keeps the previous value") {
+    // the round-10 poisoning: contended sweep median 34.494 vs prev
+    // baseline 15.339, confirm unresolved -> baseline keeps 15.339 and
+    // the entry is reported rejected
+    val (merged, rejected) = Bench.baselineMerge(
+      sweep = Seq("q155_bpe_train" -> 34.494, "q01_scan_1a" -> 0.27),
+      adjudicated = Map.empty,
+      prevBase = Map("q155_bpe_train" -> 15.339, "q01_scan_1a" -> 0.26))
+    assert(merged.toMap == Map(
+      "q155_bpe_train" -> 15.339, "q01_scan_1a" -> 0.27))
+    assert(rejected == Seq("q155_bpe_train"))
+  }
+
+  test("baseline never-raise: an adjudicated real regression raises the baseline") {
+    val (merged, rejected) = Bench.baselineMerge(
+      sweep = Seq("real" -> 6.0),
+      adjudicated = Map("real" -> 5.5),
+      prevBase = Map("real" -> 2.0))
+    assert(merged.toMap == Map("real" -> 5.5) && rejected.isEmpty)
+  }
+
+  test("baseline never-raise: sub-threshold drift and lowering pass through") {
+    val (merged, rejected) = Bench.baselineMerge(
+      sweep = Seq("drift" -> 0.35, "faster" -> 1.0, "fresh" -> 2.0),
+      adjudicated = Map.empty,
+      prevBase = Map("drift" -> 0.30, "faster" -> 3.0))
+    // drift: 1.17x and +0.05s -> accepted; faster: lowered -> accepted;
+    // fresh: no previous entry -> accepted
+    assert(merged.toMap == Map(
+      "drift" -> 0.35, "faster" -> 1.0, "fresh" -> 2.0))
+    assert(rejected.isEmpty)
+  }
+
+  test("baseline merge prefers an adjudicated quiet confirm below the sweep median") {
+    // sweep measured 11.9 under load; the adjudicated refork read 2.2
+    // quiet -> the baseline stores the quiet value
+    val (merged, _) = Bench.baselineMerge(
+      sweep = Seq("q124_pagerank" -> 11.9),
+      adjudicated = Map("q124_pagerank" -> 2.2),
+      prevBase = Map("q124_pagerank" -> 2.1))
+    assert(merged.toMap == Map("q124_pagerank" -> 2.2))
+  }
+
   test("regression gate flags >1.5x AND >0.1s absolute only") {
     val prev = Map("slow" -> 1.0, "tiny" -> 0.05, "mild" -> 2.0,
       "faster" -> 1.0, "failed" -> 3.0)
