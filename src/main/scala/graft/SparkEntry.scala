@@ -2421,6 +2421,7 @@ object SparkEntry {
              CAST(COUNT(*) AS BIGINT) AS n
            FROM events
            WHERE event_type IN ('click', 'view')
+             AND json_extract_string(props, '$.k') IS NOT NULL
            GROUP BY 1),
          s AS (
            SELECT k, clicks, n,
@@ -2601,7 +2602,8 @@ object SparkEntry {
            FROM counts),
          cum AS (
            SELECT tok, c, w_micro,
-             CAST(SUM(w_micro) OVER (ORDER BY tok ASC ROWS BETWEEN
+             CAST(SUM(w_micro) OVER (ORDER BY md5(tok) ASC, tok ASC
+               ROWS BETWEEN
                UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_hi
            FROM w),
          tot AS (SELECT MAX(cum_hi) AS tw FROM cum),
@@ -2746,12 +2748,14 @@ object SparkEntry {
              MAX(t_cum) AS total_tokens, MAX(v_cum) AS vocab_size
            FROM pts)
          SELECT n AS n_batches, total_tokens, vocab_size,
-           CAST(n * sxy - sx * sy AS DOUBLE) /
-             CAST(n * sxx - sx * sx AS DOUBLE) AS heaps_beta,
-           (CAST(sy AS DOUBLE) -
-             CAST(n * sxy - sx * sy AS DOUBLE) /
-               CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
-             CAST(n AS DOUBLE) AS intercept_ln_k,
+           CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) = 0 THEN -1.0
+             ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+               CAST(n * sxx - sx * sx AS DOUBLE) END AS heaps_beta,
+           CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) = 0 THEN -1.0
+             ELSE (CAST(sy AS DOUBLE) -
+               CAST(n * sxy - sx * sy AS DOUBLE) /
+                 CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+               CAST(n AS DOUBLE) END AS intercept_ln_k,
            CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) = 0
                   OR CAST(n * syy - sy * sy AS DOUBLE) = 0
              THEN -1.0

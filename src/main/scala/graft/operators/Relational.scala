@@ -2159,6 +2159,10 @@ object Relational {
       .where(col("event_type").isin("click", "view"))
       .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
         col("event_type"))
+      // events whose props lack 'k' would form a NULL-key group, and
+      // the rank's "k ASC" tiebreak places NULLs first in Spark but
+      // last in DuckDB — drop them on BOTH sides (round-10 advice)
+      .where(col("k").isNotNull)
       .groupBy(col("k"))
       .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
         .as("clicks"),

@@ -564,7 +564,14 @@ object TrainingPrep {
     val cd = col("c").cast("double")
     val w = counts.withColumn("w_micro",
       floor(lit(1000000.0) * (sqrt(cd) * sqrt(sqrt(cd)))).cast("long"))
-    val wc = Window.orderBy(col("tok").asc)
+    // cumsum slot order must be BYTE-STABLE across engines: Spark
+    // compares strings by UTF-16 code unit, DuckDB by UTF-8 byte, so
+    // a vocabulary mixing supplementary-plane tokens with U+E000..FFFF
+    // would reorder slots and silently change every draw (round-10
+    // advice). md5(tok) is hex-ASCII — lexicographic order is
+    // identical in both engines and total (collision odds negligible);
+    // tok stays as the tiebreak for the impossible-collision case.
+    val wc = Window.orderBy(md5(col("tok")).asc, col("tok").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = w
       .withColumn("cum_hi", sum(col("w_micro")).over(wc).cast("long"))

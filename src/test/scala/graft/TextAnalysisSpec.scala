@@ -167,6 +167,47 @@ class TextAnalysisSpec extends AnyFunSuite {
       (4, "aa", "aa", 1L))) // aaaa → [aa, aa]
   }
 
+  test("bpe incremental pair-count loop equals the full-recount loop (round-11)") {
+    // the delta-maintained counts table must reproduce EVERY argmax
+    // and tie-break of the recount loop — exercised on the adversarial
+    // shapes: overlapping chains (aaaa), boundary-sharing repeats
+    // (abababa), a doc that collapses to ONE symbol mid-training (ab
+    // → [ab], zero pairs — the pairArr null-guard), and a doc whose
+    // pair disappears entirely (exhaustion path)
+    val docs = Seq("aaaa", "abababa", "aa", "baab", "ab", "xy")
+      .toDF("text")
+    val inc = TextAnalysis.bpeTrainOn(spark, docs, rounds = 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val rec = TextAnalysis.bpeTrainOnRecount(spark, docs, rounds = 8)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(inc == rec)
+    assert(inc.nonEmpty)
+    // force the DELTA phase: 40 docs with pairwise-distinct bigrams
+    // mean every pair count is 1 < rows/3, so the loop switches to
+    // delta maintenance after round 1 and ties exercise the argmax
+    // tie-break through the counts table
+    val rare = (0 until 40)
+      .map(i => s"${('a' + i % 26).toChar}${('A' + i / 26).toChar}")
+      .toDF("text")
+    val incR = TextAnalysis.bpeTrainOn(spark, rare, rounds = 6).collect()
+      .map(_.toSeq).toSeq
+    val recR = TextAnalysis.bpeTrainOnRecount(spark, rare, rounds = 6)
+      .collect().map(_.toSeq).toSeq
+    assert(incR == recR)
+    assert(incR.nonEmpty)
+    // and on the real fixture corpus at a few rounds
+    val corpus = graft.sources.Tables
+      .load(spark, SparkTestSession.sf, "documents").select(col("text"))
+    val incF = TextAnalysis.bpeTrainOn(spark, corpus, rounds = 3).collect()
+      .map(_.toSeq).toSeq
+    val recF = TextAnalysis.bpeTrainOnRecount(spark, corpus, rounds = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(incF == recF)
+  }
+
   test("bpe encode: trained merges applied in order reproduce a naive encoder; apply plan is shuffle-free") {
     val docs = Seq(0L -> "aaaa", 1L -> "abababa", 2L -> "aa", 3L -> "baab")
       .toDF("doc_id", "text")
