@@ -365,7 +365,7 @@ object SparkEntry {
   private def bpeTrainOracleSql(rounds: Int): String = {
     val s0 =
       """s0 AS MATERIALIZED (
-           SELECT regexp_replace(text, '(?s)(.)',
+           SELECT regexp_replace(replace(text, chr(1), ''), '(?s)(.)',
                                  chr(1) || '\1' || chr(1), 'g') AS stream
            FROM documents WHERE length(text) >= 2)"""
     val perRound = (1 to rounds).flatMap { r =>
@@ -464,7 +464,7 @@ object SparkEntry {
          FROM $from, $p)"""
     val ts0 =
       """ts0 AS MATERIALIZED (
-           SELECT regexp_replace(text, '(?s)(.)',
+           SELECT regexp_replace(replace(text, chr(1), ''), '(?s)(.)',
                                  chr(1) || '\1' || chr(1), 'g') AS stream
            FROM documents WHERE doc_id % 2 = 0 AND length(text) >= 2)"""
     val train = (1 to baseRounds).flatMap { r =>
@@ -472,7 +472,7 @@ object SparkEntry {
     }
     val fs0 =
       """fs0 AS MATERIALIZED (
-           SELECT regexp_replace(text, '(?s)(.)',
+           SELECT regexp_replace(replace(text, chr(1), ''), '(?s)(.)',
                                  chr(1) || '\1' || chr(1), 'g') AS stream
            FROM documents WHERE length(text) >= 2)"""
     val applyChain = (1 to baseRounds).map { r =>
@@ -504,7 +504,7 @@ object SparkEntry {
   private def bpeEncodeOracleSql(rounds: Int, headN: Int): String = {
     val s0 =
       """s0 AS MATERIALIZED (
-           SELECT doc_id, regexp_replace(text, '(?s)(.)',
+           SELECT doc_id, regexp_replace(replace(text, chr(1), ''), '(?s)(.)',
                                  chr(1) || '\1' || chr(1), 'g') AS stream
            FROM documents WHERE length(text) >= 2)"""
     val perRound = (1 to rounds).flatMap { r =>

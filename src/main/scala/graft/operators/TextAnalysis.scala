@@ -387,6 +387,21 @@ object TextAnalysis {
     bpeTrainOn(spark,
       Tables.load(spark, sfDir, "documents").select(col("text")), rounds)
 
+  /** SENTINEL ESCAPING RULE (round-11): U+0001 is the reserved
+    * symbol-boundary sentinel of the codepoint BPE device — a literal
+    * U+0001 inside a document would read as a boundary and corrupt
+    * the stream encoding (and Java vs RE2 disagree on how the
+    * ambiguous split resolves, a cross-engine hazard). The rule:
+    * input text is stripped of U+0001 BEFORE symbolization, on both
+    * engines (the oracle CTEs apply replace(text, chr(1), '')).
+    * Stripping is linguistically lossless — U+0001 is a transmission
+    * control code with no textual meaning. The BYTE-level trainer
+    * (q164) needs no rule: hex() renders its stream as [0-9A-F] only,
+    * so the sentinel cannot collide by construction.
+    */
+  private[graft] def bpeSafeText(text: Column): Column =
+    replace(text, lit("\u0001"), lit(""))
+
   /** The trainer over any one-string-column corpus (spec entry point:
     * lets the overlap semantics be pinned on adversarial literals).
     */
@@ -395,7 +410,7 @@ object TextAnalysis {
     val SEP = "\u0001"
     val streams = docs
       .where(length(col("text")) >= 2)
-      .select(regexp_replace(col("text"), "(?s)(.)", SEP + "$1" + SEP)
+      .select(regexp_replace(bpeSafeText(col("text")), "(?s)(.)", SEP + "$1" + SEP)
         .as("stream"))
     import spark.implicits._
     bpeMergeLoop(checkpointStreams(streams), rounds)
@@ -410,7 +425,7 @@ object TextAnalysis {
     val SEP = "\u0001"
     val streams = docs
       .where(length(col("text")) >= 2)
-      .select(regexp_replace(col("text"), "(?s)(.)", SEP + "$1" + SEP)
+      .select(regexp_replace(bpeSafeText(col("text")), "(?s)(.)", SEP + "$1" + SEP)
         .as("stream"))
     import spark.implicits._
     bpeMergeLoopRecount(checkpointStreams(streams), rounds)
@@ -758,7 +773,7 @@ object TextAnalysis {
         .select(col("left_sym"), col("right_sym"))
         .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
       val applied = frozen.foldLeft(
-        regexp_replace(col("text"), "(?s)(.)", SEP + "$1" + SEP): Column) {
+        regexp_replace(bpeSafeText(col("text")), "(?s)(.)", SEP + "$1" + SEP): Column) {
         case (s, (l, r)) =>
           replace(s, lit(SEP + l + SEP + SEP + r + SEP),
             lit(SEP + l + r + SEP))
@@ -838,7 +853,7 @@ object TextAnalysis {
       merges: Seq[(String, String)], headN: Int): DataFrame = {
     val SEP = "\u0001"
     val stream = merges.foldLeft(
-      regexp_replace(col("text"), "(?s)(.)", SEP + "$1" + SEP): Column) {
+      regexp_replace(bpeSafeText(col("text")), "(?s)(.)", SEP + "$1" + SEP): Column) {
       case (s, (l, r)) =>
         replace(s, lit(SEP + l + SEP + SEP + r + SEP), lit(SEP + l + r + SEP))
     }

@@ -208,6 +208,103 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(incF == recF)
   }
 
+  test("bpe adversarial inputs: sentinel collision + astral codepoints (ScalaCheck)") {
+    // round-11 hardening. Two hazards: (1) a literal U+0001 in a
+    // document would read as a symbol-boundary sentinel and corrupt
+    // the stream encoding — the documented rule strips U+0001 before
+    // symbolization (TextAnalysis.bpeSafeText, mirrored by chr(1)
+    // replace in every oracle CTE); (2) an astral-plane codepoint
+    // (U+1D54F here, 2 UTF-16 units) must travel as ONE symbol
+    // through the (?s)(.) splitter — Java regex '.' matches a code
+    // point. The naive model below is codepoint-aware and applies the
+    // strip rule; ScalaCheck drives the trainer AND encoder against
+    // it on mixed ASCII/sentinel/astral/accented corpora.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def symbolize(text: String): Vector[String] =
+      text.replace("\u0001", "").codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))).toVector
+    def applyMerge(s: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+    // the raw-length >= 2 corpus filter counts CODEPOINTS (Spark
+    // length()), not UTF-16 units
+    def corpusOf(docs: Seq[String]): Seq[Vector[String]] =
+      docs.filter(d => d.codePointCount(0, d.length) >= 2).map(symbolize)
+    def naiveTrain(docs: Seq[String], rounds: Int)
+        : (Seq[(Int, String, String, String, Long)], Seq[Vector[String]]) = {
+      var streams = corpusOf(docs)
+      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+      var r = 1
+      var done = false
+      while (r <= rounds && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        streams.foreach(s => s.indices.dropRight(1).foreach { i =>
+          val k = (s(i), s(i + 1)); counts(k) = counts.getOrElse(k, 0L) + 1L
+        })
+        if (counts.isEmpty) done = true
+        else {
+          // deterministic argmax: (n desc, l asc, r asc)
+          val best = counts.toSeq
+            .sortBy { case ((l, rt), n) => (-n, l, rt) }.head
+          merges += ((r, best._1._1, best._1._2,
+            best._1._1 + best._1._2, best._2))
+          streams = streams.map(applyMerge(_, best._1._1, best._1._2))
+          r += 1
+        }
+      }
+      (merges.result(), streams)
+    }
+    val symGen = Gen.frequency(
+      6 -> Gen.oneOf("a", "b", "c"),
+      2 -> Gen.const("\u0001"),
+      2 -> Gen.const("𝕏"), // U+1D54F, astral plane
+      1 -> Gen.const("è"))
+    val docGen = Gen.chooseNum(0, 10)
+      .flatMap(n => Gen.listOfN(n, symGen).map(_.mkString))
+    val docsGen = Gen.chooseNum(2, 8).flatMap(n => Gen.listOfN(n, docGen))
+    val prop = Prop.forAll(docsGen) { docs =>
+      val (expMerges, expStreams) = naiveTrain(docs, 3)
+      val gotMerges = TextAnalysis
+        .bpeTrainOn(spark, docs.toDF("text"), rounds = 3)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+      val trainOk = gotMerges == expMerges
+      // encoder: same adversarial docs through the trained merges.
+      // A doc stripped to EMPTY still rows out as one empty token
+      // (split('') = ['']) — both engines agree on that quirk, the
+      // naive model mirrors it.
+      val withIds = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+      val gotEnc = TextAnalysis.bpeEncodeWith(spark,
+        withIds.toDF("doc_id", "text"),
+        expMerges.map(m => (m._2, m._3)), headN = 8)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+        .toMap
+      val expEnc = withIds
+        .filter { case (_, d) => d.codePointCount(0, d.length) >= 2 }
+        .map { case (id, d) =>
+          val toks0 = expMerges.foldLeft(symbolize(d)) {
+            case (s, m) => applyMerge(s, m._2, m._3)
+          }
+          val toks = if (toks0.isEmpty) Vector("") else toks0
+          id -> (toks.length.toLong, toks.distinct.length.toLong,
+            toks.take(8).mkString(","))
+        }.toMap
+      trainOk && gotEnc == expEnc
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("bpe encode: trained merges applied in order reproduce a naive encoder; apply plan is shuffle-free") {
     val docs = Seq(0L -> "aaaa", 1L -> "abababa", 2L -> "aa", 3L -> "baab")
       .toDF("doc_id", "text")
