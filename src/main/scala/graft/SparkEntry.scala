@@ -210,6 +210,8 @@ object SparkEntry {
       Experiment.churnLabels(s, d)),
     "q209_holt_forecast" -> ((s: SparkSession, d: String) =>
       Relational.holtForecast(s, d)),
+    "q210_spectral_bands" -> ((s: SparkSession, d: String) =>
+      Multimodal.spectralBands(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -347,6 +349,63 @@ object SparkEntry {
          FROM documents d
          LEFT JOIN logits l ON l.doc_id = d.doc_id
          CROSS JOIN bias"""
+
+  /** Generated DuckDB replay of Multimodal.spectralBands (q210): the
+    * q174 WAV-body device (samples are little-endian byte pairs of
+    * hex(encode(text)) for doc_id % 3 == 1), non-overlapping 64-sample
+    * frames, five octave bins, and the 2^15 fixed-point twiddle
+    * tables interpolated VERBATIM from Multimodal.DftCos64/DftSin64 —
+    * both engines compute with identical integer constants, so the
+    * whole statistic is exact BIGINT arithmetic end to end.
+    */
+  private def spectralBandsOracleSql: String = {
+    val cosVals = Multimodal.DftCos64.zipWithIndex
+      .map { case (c, n) => s"($n, $c)" }.mkString(", ")
+    val sinVals = Multimodal.DftSin64.zipWithIndex
+      .map { case (c, n) => s"($n, $c)" }.mkString(", ")
+    val bins = Multimodal.SpectralBins.map(k => s"($k)").mkString(", ")
+    s"""WITH costab(n, c) AS (VALUES $cosVals),
+         sintab(n, sv) AS (VALUES $sinVals),
+         bins(k) AS (VALUES $bins),
+         wav AS MATERIALIZED (
+           SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) // 2 AS ns
+           FROM documents
+           WHERE doc_id % 3 = 1 AND octet_length(encode(text)) >= 128),
+         samples AS MATERIALIZED (
+           SELECT media_id, s // 64 AS f, CAST(s % 64 AS BIGINT) AS n,
+             CAST(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END
+               AS BIGINT) AS v
+           FROM (
+             SELECT media_id, ns, CAST(s AS BIGINT) AS s,
+               ('0x' || substr(hx, CAST(4*s AS INT) + 1, 2))::INT +
+                 256 * ('0x' || substr(hx, CAST(4*s AS INT) + 3, 2))::INT
+                 AS v
+             FROM wav, UNNEST(range(ns)) t(s))
+           WHERE s // 64 < ns // 64),
+         fr AS (
+           SELECT media_id, f, k,
+             CAST(SUM(v * ct.c) AS BIGINT) AS re,
+             CAST(SUM(v * st.sv) AS BIGINT) AS im
+           FROM samples
+             CROSS JOIN bins
+             JOIN costab ct ON ct.n = (k * samples.n) % 64
+             JOIN sintab st ON st.n = (k * samples.n) % 64
+           GROUP BY 1, 2, 3),
+         e AS (
+           SELECT media_id, CAST(k AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_frames,
+             CAST(SUM((re // 32768) * (re // 32768) +
+                      (im // 32768) * (im // 32768)) AS BIGINT)
+               AS band_energy
+           FROM fr GROUP BY 1, 2),
+         tot AS (SELECT media_id, CAST(SUM(band_energy) AS BIGINT)
+                   AS total
+                 FROM e GROUP BY 1)
+         SELECT e.media_id, e.bin, e.n_frames, e.band_energy,
+           e.band_energy * 5 > tot.total AS above_avg
+         FROM e JOIN tot USING (media_id)"""
+  }
 
   /** Normalized-text SQL twin of TextAnalysis.normalizedText. */
   private val normText = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
@@ -1937,6 +1996,13 @@ object SparkEntry {
          SELECT e.media_id, e.win, e.n_samples, e.sum_abs,
            e.sum_abs * 16 < tot.total AS is_quiet
          FROM e JOIN tot USING (media_id)""",
+    // q210: spectral bands — the q174 hex byte-pair decode, 64-sample
+    // frames projected on five octave bins with the SAME fixed-point
+    // twiddle integers the Spark side uses (interpolated by
+    // spectralBandsOracleSql, so no transcendental runs in either
+    // engine); descale by TRUNCATING division (DuckDB // == Scala
+    // Long /), squared, frame-summed.
+    "q210_spectral_bands" -> spectralBandsOracleSql,
     // q209: Holt forecast — α=β=½ makes each smoothing step exact
     // integer arithmetic (FLOOR(x/2.0), never truncating DIV); the
     // oracle replays the fold as a RECURSIVE CTE rank-by-rank.

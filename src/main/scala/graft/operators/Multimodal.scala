@@ -516,4 +516,106 @@ object Multimodal {
         }
         .toDF("media_id", "file_len", "width", "height", "body_len")
     }
+
+  /** 2^15 fixed-point 64-point DFT twiddle tables. Generated ONCE at
+    * class load from libm cos/sin and embedded VERBATIM into the q210
+    * oracle SQL (SparkEntry interpolates these arrays into a VALUES
+    * list), so both engines use byte-identical integer constants and
+    * no transcendental function ever runs inside either query — the
+    * only way to make a spectral feature exact under the driver's
+    * hash compare (cos/sin are not correctly-rounded in IEEE, unlike
+    * sqrt: the q188 argument in reverse).
+    */
+  val DftScale = 32768L
+  val DftCos64: Array[Long] = Array.tabulate(64)(n =>
+    math.floor(32768.0 * math.cos(2.0 * math.Pi * n / 64.0)).toLong)
+  val DftSin64: Array[Long] = Array.tabulate(64)(n =>
+    math.floor(32768.0 * math.sin(2.0 * math.Pi * n / 64.0)).toLong)
+
+  /** The q210 driver entry: SPECTRAL ENERGY-BAND PROFILE — the
+    * windowed-DFT front end of audio fingerprinting (Haitsma &
+    * Kalker's band-energy device) and of every spectrogram-based
+    * feature pipeline, beside q174's time-domain contour. Each clip's
+    * PCM16 stream (the q174 decode) is cut into non-overlapping
+    * 64-sample frames; each frame is projected onto five octave bins
+    * (k = 1, 2, 4, 8, 16) with the fixed-point twiddle tables above;
+    * band energy is the frame-summed squared magnitude, descaled by
+    * one TRUNCATING division per component before squaring (2^36
+    * squared would overflow BIGINT; truncation — not floor — because
+    * DuckDB's // truncates toward zero on negatives exactly like
+    * Scala Long division). The above-average flag is the q174
+    * integer cross-multiply (energy * nbins > total).
+    *
+    * Scale shape: the STRONGEST shuffle story available — the whole
+    * per-frame DFT reduces inside the per-clip decode map
+    * (payload bytes and samples never leave the scan partition); the
+    * operator emits 5 rows per clip, and the only exchange is the
+    * 5-row-per-clip window for the total.
+    */
+  def spectralBands(spark: SparkSession, sfDir: String): DataFrame =
+    spectralBandsOn(
+      mediaTable(spark, sfDir).filter(_.media_type == "audio/wav"))
+
+  val SpectralBins: Array[Int] = Array(1, 2, 4, 8, 16)
+
+  /** The operator over any WAV records (spec entry point: a crafted
+    * pure tone at a bin frequency must concentrate its energy there).
+    */
+  def spectralBandsOn(wavs: Dataset[MediaRecord]): DataFrame = {
+    val spark = wavs.sparkSession
+    import spark.implicits._
+    val cosT = DftCos64
+    val sinT = DftSin64
+    val bins = SpectralBins
+    val perBin = wavs.flatMap { m =>
+      val bb = ByteBuffer.wrap(m.payload).order(ByteOrder.LITTLE_ENDIAN)
+      require(new String(m.payload, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(m.payload, 8, 4, "US-ASCII") == "WAVE",
+        s"media ${m.media_id}: not a WAV")
+      val dataSize = bb.getInt(40)
+      require(dataSize == m.payload.length - WavHeaderLen,
+        s"media ${m.media_id}: data-size field disagrees with payload")
+      val nS = dataSize / 2
+      val frames = nS / 64
+      if (frames == 0) Iterator.empty
+      else {
+        val energy = Array.fill(bins.length)(0L)
+        var f = 0
+        while (f < frames) {
+          var b = 0
+          while (b < bins.length) {
+            val k = bins(b)
+            var re = 0L
+            var im = 0L
+            var n = 0
+            while (n < 64) {
+              val si = f * 64 + n
+              val lo = m.payload(WavHeaderLen + 2 * si) & 0xFF
+              val hi = m.payload(WavHeaderLen + 2 * si + 1) & 0xFF
+              val x = lo | (hi << 8)
+              val v = (if (x >= 32768) x - 65536 else x).toLong
+              val idx = (k * n) % 64
+              re += v * cosT(idx)
+              im += v * sinT(idx)
+              n += 1
+            }
+            val rq = re / DftScale // truncating, matches DuckDB //
+            val iq = im / DftScale
+            energy(b) += rq * rq + iq * iq
+            b += 1
+          }
+          f += 1
+        }
+        bins.indices.iterator.map(b =>
+          (m.media_id, bins(b).toLong, frames.toLong, energy(b)))
+      }
+    }.toDF("media_id", "bin", "n_frames", "band_energy")
+    perBin
+      .withColumn("total",
+        sum(col("band_energy")).over(Window.partitionBy(col("media_id"))))
+      .select(col("media_id"), col("bin"), col("n_frames"),
+        col("band_energy"),
+        (col("band_energy") * lit(bins.length.toLong) > col("total"))
+          .as("above_avg"))
+  }
 }

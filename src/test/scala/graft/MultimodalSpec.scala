@@ -176,4 +176,46 @@ class MultimodalSpec extends AnyFunSuite {
       math.floor(1e6 * (10000.0 / math.sqrt((s * s).toDouble))).toLong)))
     assert(got(4L) == ((1L, 0L, -1L, -1L)))
   }
+
+  test("spectral bands: a pure tone concentrates energy in its own bin") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // 128 samples (2 frames) of a k=4 tone: v[n] = 1000*cos(2*pi*4*n/64)
+    def pcm16(samples: Seq[Int]): Array[Byte] =
+      samples.flatMap { v =>
+        val x = if (v < 0) v + 65536 else v
+        Seq((x & 0xFF).toByte, ((x >> 8) & 0xFF).toByte)
+      }.toArray
+    val tone = (0 until 128).map(n =>
+      math.round(1000.0 * math.cos(2.0 * math.Pi * 4 * n / 64.0)).toInt)
+    val silence = Seq.fill(128)(0)
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "audio/wav",
+        Multimodal.wavPayload(1, 8000, pcm16(tone))),
+      Multimodal.MediaRecord(2L, "audio/wav",
+        Multimodal.wavPayload(1, 8000, pcm16(silence))),
+      // 63 samples: no complete frame -> absent from the output
+      Multimodal.MediaRecord(3L, "audio/wav",
+        Multimodal.wavPayload(1, 8000, pcm16(Seq.fill(63)(100)))))
+    val got = Multimodal.spectralBandsOn(spark.createDataset(recs))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // clip 1: 5 bins, 2 frames each; bin 4 dominates, others near zero
+    assert(got.keySet.map(_._1) == Set(1L, 2L))
+    val e1 = Multimodal.SpectralBins.map(k => got((1L, k.toLong))._2)
+    val e4 = got((1L, 4L))._2
+    assert(got((1L, 4L))._1 == 2L)
+    assert(e4 > 0 && e4 == e1.max)
+    assert(got((1L, 4L))._3, "tone bin must be above average")
+    Multimodal.SpectralBins.filter(_ != 4).foreach { k =>
+      assert(!got((1L, k.toLong))._3, s"bin $k must not be above average")
+      assert(got((1L, k.toLong))._2 * 100 < e4,
+        s"bin $k leakage too high: ${got((1L, k.toLong))._2} vs $e4")
+    }
+    // clip 2 (silence): all-zero energies, nothing above average
+    Multimodal.SpectralBins.foreach { k =>
+      assert(got((2L, k.toLong))._2 == 0L && !got((2L, k.toLong))._3)
+    }
+  }
 }
