@@ -212,6 +212,14 @@ object SparkEntry {
       Relational.holtForecast(s, d)),
     "q210_spectral_bands" -> ((s: SparkSession, d: String) =>
       Multimodal.spectralBands(s, d)),
+    "q211_rendezvous_shards" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.rendezvousShards(s, d)),
+    "q212_roc_auc" -> ((s: SparkSession, d: String) =>
+      Experiment.rocAuc(s, d)),
+    "q213_ngram_diversity" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.ngramDiversity(s, d)),
+    "q214_dominant_eigen" -> ((s: SparkSession, d: String) =>
+      Similarity.dominantEigen(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -2003,6 +2011,84 @@ object SparkEntry {
     // engine); descale by TRUNCATING division (DuckDB // == Scala
     // Long /), squared, frame-summed.
     "q210_spectral_bands" -> spectralBandsOracleSql,
+    // q211: rendezvous sharding — hex-prefix 60-bit weights (q84
+    // device), argmax per doc via window rank (the Spark side argmaxes
+    // in-row with array_max; same total order), N=8 vs N=9 audit.
+    "q211_rendezvous_shards" ->
+      """WITH b0 AS (
+           SELECT doc_id, s AS shard, ROW_NUMBER() OVER (
+             PARTITION BY doc_id
+             ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+               s::VARCHAR), 1, 15))::BIGINT DESC, s ASC) AS rk
+           FROM documents, range(8) t(s)),
+         a0 AS (
+           SELECT doc_id, s AS shard, ROW_NUMBER() OVER (
+             PARTITION BY doc_id
+             ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+               s::VARCHAR), 1, 15))::BIGINT DESC, s ASC) AS rk
+           FROM documents, range(9) t(s)),
+         asg AS (
+           SELECT b.doc_id, b.shard AS shard_b, a.shard AS shard_a
+           FROM (SELECT doc_id, shard FROM b0 WHERE rk = 1) b
+           JOIN (SELECT doc_id, shard FROM a0 WHERE rk = 1) a
+             USING (doc_id)),
+         spine AS (SELECT CAST(s AS BIGINT) AS shard FROM range(9) t(s)),
+         bef AS (SELECT shard_b AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_before
+                 FROM asg GROUP BY 1),
+         aft AS (SELECT shard_a AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_after,
+                   CAST(SUM(CASE WHEN shard_a <> shard_b THEN 1
+                     ELSE 0 END) AS BIGINT) AS moved_in
+                 FROM asg GROUP BY 1)
+         SELECT spine.shard,
+           CAST(COALESCE(n_before, 0) AS BIGINT) AS n_before,
+           CAST(COALESCE(n_after, 0) AS BIGINT) AS n_after,
+           CAST(COALESCE(moved_in, 0) AS BIGINT) AS moved_in
+         FROM spine LEFT JOIN bef USING (shard)
+           LEFT JOIN aft USING (shard)""",
+    // q212: exact tie-corrected Mann-Whitney AUC — doubled ranks keep
+    // tie-averages integral; one IEEE division micro-floored at the
+    // end; rank accounting over the bounded SCORE domain.
+    "q212_roc_auc" -> rocAucOracle,
+    // q213: n-gram diversity — q74's shingle slices for n=1..3,
+    // micro-floored int/int ratios, top-1 pinned by (c desc, gram asc).
+    "q213_ngram_diversity" ->
+      s"""WITH words AS (
+           SELECT string_split($normText, ' ') AS w FROM documents),
+         g AS (
+           SELECT 1 AS n, array_to_string(w[i:i], ' ') AS gram
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) + 1)) AS i) t
+           WHERE len(w) >= 1
+           UNION ALL
+           SELECT 2, array_to_string(w[i:i+1], ' ')
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w))) AS i) t
+           WHERE len(w) >= 2
+           UNION ALL
+           SELECT 3, array_to_string(w[i:i+2], ' ')
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 1)) AS i) t
+           WHERE len(w) >= 3),
+         c AS (SELECT n, gram, CAST(COUNT(*) AS BIGINT) AS c
+               FROM g GROUP BY 1, 2),
+         t AS (SELECT n, CAST(SUM(c) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS dist
+               FROM c GROUP BY 1),
+         top AS (SELECT n, gram, c FROM (
+             SELECT n, gram, c, ROW_NUMBER() OVER (
+               PARTITION BY n ORDER BY c DESC, gram ASC) AS rk FROM c)
+           WHERE rk = 1)
+         SELECT CAST(t.n AS BIGINT) AS n, total AS total_grams,
+           dist AS distinct_grams,
+           CAST(FLOOR(1000000.0 * CAST(dist AS DOUBLE) /
+             CAST(total AS DOUBLE)) AS BIGINT) AS diversity_micro,
+           top.gram AS top_gram,
+           CAST(FLOOR(1000000.0 * CAST(top.c AS DOUBLE) /
+             CAST(total AS DOUBLE)) AS BIGINT) AS top_share_micro
+         FROM t JOIN top USING (n)""",
+    // q214: dominant eigenvector — generated 40-round power-iteration
+    // CTE chain over HUGEINT, truncating renormalization; C replayed
+    // as the same outer-product aggregate.
+    "q214_dominant_eigen" -> dominantEigenOracleSql(40),
     // q209: Holt forecast — α=β=½ makes each smoothing step exact
     // integer arithmetic (FLOOR(x/2.0), never truncating DIV); the
     // oracle replays the fold as a RECURSIVE CTE rank-by-rank.
@@ -4662,6 +4748,99 @@ object SparkEntry {
          CAST(GREATEST(CASE WHEN length(trim(text)) = 0 THEN 0
            ELSE len(regexp_extract_all(trim(text), '\S+')) END, 1) AS DOUBLE) AS mean_token_len
        FROM documents"""
+
+  /** Generated DuckDB replay of Similarity.dominantEigen (q214): C
+    * from the same micro-floored outer products, then `iters` rounds
+    * of matrix-vector product + truncating renormalization as
+    * MATERIALIZED CTEs (the q155 device). DuckDB SUM(BIGINT) is
+    * HUGEINT, // truncates toward zero — exactly BigInt semantics,
+    * so every intermediate matches the driver-side loop bit for bit.
+    */
+  private def dominantEigenOracleSql(iters: Int): String = {
+    val base =
+      """em AS MATERIALIZED (
+           SELECT list_transform(embedding,
+             x -> CAST(FLOOR(1000000.0 * CAST(x AS DOUBLE)) AS BIGINT))
+             AS em
+           FROM embeddings WHERE embedding IS NOT NULL),
+         cv AS MATERIALIZED (
+           SELECT CAST(j - 1 AS BIGINT) AS j, CAST(k - 1 AS BIGINT) AS k,
+             CAST(SUM(em[j] * em[k]) AS HUGEINT) AS c
+           FROM em,
+             LATERAL (SELECT UNNEST(range(1, 65)) AS j) a,
+             LATERAL (SELECT UNNEST(range(1, 65)) AS k) b
+           GROUP BY 1, 2),
+         v0 AS MATERIALIZED (
+           SELECT CAST(j AS BIGINT) AS j, CAST(1000000 AS HUGEINT) AS v
+           FROM range(64) t(j))"""
+    val rounds = (1 to iters).flatMap { r =>
+      Seq(
+        s"""w$r AS MATERIALIZED (
+           SELECT cv.j AS j, SUM(cv.c * v.v) AS w
+           FROM cv JOIN v${r - 1} v ON cv.k = v.j GROUP BY 1)""",
+        s"""m$r AS (SELECT MAX(ABS(w)) AS m FROM w$r)""",
+        s"""v$r AS MATERIALIZED (
+           SELECT p.j,
+             CASE WHEN m.m = 0 THEN p.v
+               ELSE w.w * 1000000 // m.m END AS v
+           FROM v${r - 1} p JOIN w$r w ON w.j = p.j, m$r m)""")
+    }
+    val tail =
+      s"""vv AS (SELECT SUM(v * v) AS vv FROM v$iters),
+         cvf AS (SELECT cv.j, SUM(cv.c * v.v) AS w
+                 FROM cv JOIN v$iters v ON cv.k = v.j GROUP BY 1),
+         vcv AS (SELECT SUM(v.v * cvf.w) AS vcv
+                 FROM v$iters v JOIN cvf ON cvf.j = v.j)
+         SELECT CAST(v.j AS BIGINT) AS dim, CAST(v.v AS BIGINT) AS v_micro,
+           CAST(CASE WHEN vv.vv = 0 THEN -1
+             ELSE vcv.vcv // vv.vv END AS BIGINT) AS lambda_scaled
+         FROM v$iters v, vv, vcv"""
+    (Seq(base) ++ rounds :+ tail).mkString("WITH ", ",\n", "")
+  }
+
+  /** SQL twin of Experiment.rocAuc: the q41 stopword/token twins for
+    * the score, the q40 marker argmax for the label (en is FIRST in
+    * the declared tie order, so pred = 'en' iff en-score == best and
+    * best > 0), then the doubled-rank Mann-Whitney identity.
+    */
+  private def rocAucOracle: String = {
+    val scores = TextAnalysis.langMarkers.map { case (lang, ws) =>
+      lang -> s"len(regexp_extract_all(text, '\\b(${ws.mkString("|")})\\b'))"
+    }
+    val best = scores.map(_._2).reduce((a, b) => s"GREATEST($a, $b)")
+    val en = scores.toMap.apply("en")
+    val nTok = """CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_extract_all(trim(text), '\S+')) END"""
+    val nStop = s"len(regexp_extract_all(text, '\\b(${TextAnalysis.stopwords.mkString("|")})\\b'))"
+    s"""WITH sc AS (
+         SELECT doc_id,
+           CAST(FLOOR(1000000.0 * (CAST($nStop AS DOUBLE) /
+             CAST(GREATEST($nTok, 1) AS DOUBLE))) AS BIGINT) AS score,
+           ($en = $best AND $best > 0) AS is_en
+         FROM documents),
+       bysc AS (
+         SELECT score, CAST(COUNT(*) AS BIGINT) AS c,
+           CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS p
+         FROM sc GROUP BY 1),
+       rk AS (
+         SELECT score, c, p,
+           CAST(COALESCE(SUM(c) OVER (ORDER BY score ASC ROWS BETWEEN
+             UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+         FROM bysc),
+       agg AS (
+         SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+           CAST(SUM(c) - SUM(p) AS BIGINT) AS n_neg,
+           CAST(SUM(p * (2 * cum + c + 1)) AS BIGINT) AS r2_pos
+         FROM rk)
+       SELECT n_pos, n_neg,
+         CAST(r2_pos - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+         CASE WHEN n_pos = 0 OR n_neg = 0 THEN -1
+           ELSE CAST(FLOOR(1000000.0 *
+             CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE) /
+             (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)))
+             AS BIGINT) END AS auc_micro
+       FROM agg"""
+  }
 
   /** SQL twin of TextAnalysis.langId: same marker sets, same argmax
     * tie order.

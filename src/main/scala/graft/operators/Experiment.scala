@@ -397,4 +397,73 @@ object Experiment {
           datediff(col("obs_end"), col("last_day")) > horizonDays)
           .as("churned"))
   }
+
+  /** The q212 driver entry: EXACT ROC-AUC (tie-corrected
+    * Mann-Whitney) — the standard evaluation statistic for every
+    * scorer a training pipeline ships (quality classifiers, dedup
+    * thresholds, reranker margins). Here it scores the English
+    * stopword-ratio as a detector of q40's lang_pred == 'en': AUC =
+    * P(score_pos > score_neg) + P(=)/2, computed EXACTLY via the
+    * rank-sum identity with average ranks for ties.
+    *
+    * Exactness device: scores are micro-floored stopword ratios
+    * (one IEEE division + floor — bit-portable); ranks live in
+    * DOUBLED units so tie-averages stay integral: for a tie group
+    * with c members after cum predecessors, 2*avg_rank = 2*cum + c +
+    * 1; U2 = sum over positives of 2*avg_rank minus P*(P+1) is an
+    * exact BIGINT, and AUC = U2 / (2*P*N) is micro-floored once.
+    * The -1 sentinel covers a degenerate corpus (P=0 or N=0).
+    *
+    * Scale shape: one doc-grain pass computes (score, label); the
+    * rank accounting GROUPS BY SCORE first (the score domain — 1e6
+    * micro values max — bounds every window and join after the first
+    * aggregate; corpus-sized data never enters a window), then one
+    * bounded cumulative window and one final 1-row reduce.
+    */
+  /** The (doc_id, score, is_en) frame rocAuc ranks — exposed for the
+    * spec's naive pair-count differential.
+    */
+  private[graft] def rocAucScored(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val nTok = TextAnalysis.tokenCount(col("text"))
+    val nStop = regexp_count(col("text"),
+      lit(TextAnalysis.stopwordPattern)).cast("long")
+    val en = TextAnalysis.langId(spark, sfDir)
+      .select(col("doc_id"), (col("lang_pred") === "en").as("is_en"))
+    docs
+      .select(col("doc_id"),
+        floor(lit(1000000.0) * (nStop.cast("double") /
+          greatest(nTok, lit(1L)).cast("double"))).cast("long")
+          .as("score"))
+      .join(en, Seq("doc_id"))
+  }
+
+  def rocAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = rocAucScored(spark, sfDir)
+    val byScore = scored.groupBy(col("score"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("is_en"), 1L).otherwise(0L)).as("p"))
+    val wc = Window.orderBy(col("score").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byScore
+      .withColumn("cum", coalesce(sum(col("c")).over(wc), lit(0L)))
+    val agg = ranked.agg(
+      sum(col("p")).as("n_pos"),
+      (sum(col("c")) - sum(col("p"))).as("n_neg"),
+      sum(col("p") * (lit(2L) * col("cum") + col("c") + lit(1L)))
+        .as("r2_pos"))
+    agg.select(
+      col("n_pos").cast("long").as("n_pos"),
+      col("n_neg").cast("long").as("n_neg"),
+      (col("r2_pos") - col("n_pos") * (col("n_pos") + lit(1L)))
+        .cast("long").as("u2"),
+      when(col("n_pos") === 0 || col("n_neg") === 0, lit(-1L))
+        .otherwise(floor(lit(1000000.0) *
+          (col("r2_pos") - col("n_pos") * (col("n_pos") + lit(1L)))
+            .cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") *
+            col("n_neg").cast("double"))).cast("long"))
+        .as("auc_micro"))
+  }
 }

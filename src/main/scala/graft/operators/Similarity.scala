@@ -837,4 +837,61 @@ object Similarity {
         col("fisher_micro").cast("double") /
           (col("n_dims").cast("double") * lit(1000000.0)))
   }
+
+  /** The q214 driver entry: DOMINANT EIGENVECTOR of the embedding
+    * second-moment matrix via INTEGER power iteration — the core of
+    * embedding whitening / anisotropy removal (the "all-but-the-top"
+    * post-processing retrieval stacks run before cosine) and the
+    * direction PCA-based dim-reduction keeps first. Embeddings are
+    * micro-floored to exact ints; C = Σ e eᵀ is ONE map-side-combined
+    * aggregate over the d² = 4,096 cell domain (each row explodes its
+    * own outer product row-locally — corpus never joins itself);
+    * the 40-round iteration then runs driver-side on the collected
+    * 64x64 matrix in BigInt (the BPE-argmax precedent: iteration
+    * state is bounded, data-scale work stays distributed), with
+    * per-round renormalization to 2^0-scale 1e6 by TRUNCATING
+    * division (BigInt / == DuckDB HUGEINT //). λ is the Rayleigh
+    * quotient vᵀCv / vᵀv, truncating-divided once.
+    *
+    * The oracle replays C in SQL and the 40 rounds as generated
+    * MATERIALIZED CTEs over HUGEINT (DuckDB SUM(BIGINT) is already
+    * HUGEINT) — bit-identical integer arithmetic end to end; no
+    * IEEE accumulation-order hazard exists anywhere in the operator.
+    *
+    * Scale shape: the covariance pass is the only corpus-touching
+    * stage (linear, combiner-friendly); iteration cost is O(d²·T) on
+    * the driver, independent of corpus size — at 100 TB nothing
+    * changes but the one aggregate's input.
+    */
+  def dominantEigen(
+      spark: SparkSession, sfDir: String, iters: Int = 40): DataFrame = {
+    import spark.implicits._
+    val d = 64
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .where(col("embedding").isNotNull)
+      .select(transform(col("embedding"), x =>
+        floor(lit(1000000.0) * x.cast("double")).cast("long")).as("em"))
+    val cov = emb
+      .select(posexplode(flatten(transform(col("em"), x =>
+        transform(col("em"), y => x * y)))).as(Seq("idx", "prod")))
+      .groupBy(col("idx")).agg(sum(col("prod")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val c = Array.tabulate(d, d)((j, k) =>
+      BigInt(cov.getOrElse(j * d + k, 0L)))
+    def matVec(v: Array[BigInt]): Array[BigInt] =
+      Array.tabulate(d)(j => (0 until d).map(k => c(j)(k) * v(k)).sum)
+    var v = Array.fill(d)(BigInt(1000000))
+    for (_ <- 1 to iters) {
+      val w = matVec(v)
+      val m = w.map(_.abs).max
+      if (m != 0) v = w.map(x => x * 1000000 / m) // truncating, == HUGEINT //
+    }
+    val vv = v.map(x => x * x).sum
+    val cv = matVec(v)
+    val vcv = (0 until d).map(j => v(j) * cv(j)).sum
+    val lambda = if (vv == 0) BigInt(-1) else vcv / vv
+    (0 until d).map(j =>
+      (j.toLong, v(j).toLong, lambda.toLong))
+      .toDF("dim", "v_micro", "lambda_scaled")
+  }
 }

@@ -1385,4 +1385,54 @@ object TextAnalysis {
       when(den === 0.0 || syyT === 0.0, lit(-1.0))
         .otherwise((num * num) / (den * syyT)).as("r2"))
   }
+
+  /** The q213 driver entry: N-GRAM DIVERSITY PROFILE — the corpus
+    * health metric that catches diversity collapse (synthetic-data
+    * loops, crawler traps, template floods) before training does:
+    * for n = 1, 2, 3, the distinct/total n-gram ratio (type-token
+    * ratio generalized — the "Self-BLEU" family's cheap exact core)
+    * plus head concentration (the top n-gram's share). A healthy
+    * corpus has high distinct ratios and a thin head; template spam
+    * collapses both.
+    *
+    * Determinism: counts exact; both ratios are ONE int/int IEEE
+    * division micro-floored; the top n-gram is pinned by the
+    * (count desc, gram asc) total order via min(struct(-c, gram)).
+    *
+    * Scale shape: grams explode row-locally (the q74 shingle device,
+    * `w` bound through a projection boundary per the lambda-CSE
+    * rule); the only exchange is the map-side-combined (n, gram)
+    * count; the final reduce runs over the bounded gram domain, and
+    * the top-1 is an aggregate, never a sort.
+    */
+  def ngramDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = Tables.load(spark, sfDir, "documents")
+      .select(split(normalizedText(col("text")), " ").as("w"))
+    val grams = (1 to 3).map { n =>
+      words.where(size(col("w")) >= n)
+        .select(lit(n).cast("long").as("n"),
+          explode(transform(
+            sequence(lit(1), size(col("w")) - (n - 1)),
+            i => concat_ws(" ",
+              (0 until n).map(j => element_at(col("w"), i + lit(j))): _*)))
+            .as("gram"))
+    }.reduce(_.unionAll(_))
+    val counts = grams.groupBy(col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("n"))
+      .agg(
+        sum(col("c")).as("total_grams"),
+        count(lit(1)).as("distinct_grams"),
+        min(struct((-col("c")).as("nc"), col("gram").as("g"))).as("top"))
+      .select(col("n"),
+        col("total_grams").cast("long").as("total_grams"),
+        col("distinct_grams").cast("long").as("distinct_grams"),
+        floor(lit(1000000.0) * col("distinct_grams").cast("double") /
+          col("total_grams").cast("double")).cast("long")
+          .as("diversity_micro"),
+        col("top.g").as("top_gram"),
+        floor(lit(1000000.0) * (-col("top.nc")).cast("double") /
+          col("total_grams").cast("double")).cast("long")
+          .as("top_share_micro"))
+  }
 }

@@ -626,4 +626,56 @@ object TrainingPrep {
         (col("off") + row_number().over(wIn)).cast("long"))
       .select(col("doc_id"), col("n_chars"), col("dense_id"))
   }
+
+  /** The q211 driver entry: RENDEZVOUS (highest-random-weight) SHARD
+    * ASSIGNMENT + elasticity audit — the shard-routing device of
+    * consistent-hashing systems (Thaler & Ravishankar 1998): each doc
+    * scores every shard with an independent salted hash and lands on
+    * the argmax, so ADDING a shard moves only the docs whose new
+    * shard's weight exceeds their old max — ~n/(N+1) docs, where
+    * modulo sharding (doc_id % N) would reshuffle nearly everything.
+    * That elasticity is the property a 100 TB corpus re-shard lives
+    * or dies by, and the entry AUDITS it: assign at N and at N+1 and
+    * report, per shard, the before/after populations and how many
+    * docs moved in.
+    *
+    * Weights are the salted-md5 60-bit device (q84/q188); the argmax
+    * is computed INSIDE one row via array_max over (w, -s) structs —
+    * ZERO shuffle for assignment at any corpus size (the only
+    * exchange is the per-shard count aggregate over N+1 groups). The
+    * oracle replays the same hex-prefix weights with an UNNEST +
+    * window argmax — slower but bit-identical.
+    */
+  def rendezvousShards(
+      spark: SparkSession, sfDir: String, shards: Int = 8): DataFrame = {
+    def assignCol(n: Int): Column = {
+      val ws = transform(sequence(lit(0), lit(n - 1)), sc =>
+        struct(
+          conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(":"), sc.cast("string"))), 1, 15), 16, 10)
+            .cast("long").as("w"),
+          (-sc).cast("long").as("ns")))
+      // struct compare is lexicographic: max w wins, ties prefer the
+      // SMALLEST shard id (ns = -s, so larger ns = smaller s)
+      (-array_max(ws).getField("ns")).cast("long")
+    }
+    val assigned = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        assignCol(shards).as("shard_b"),
+        assignCol(shards + 1).as("shard_a"))
+    val spine = spark.range(0, shards + 1).select(col("id").as("shard"))
+    val before = assigned.groupBy(col("shard_b").as("shard"))
+      .agg(count(lit(1)).as("n_before"))
+    val after = assigned.groupBy(col("shard_a").as("shard"))
+      .agg(count(lit(1)).as("n_after"),
+        sum(when(col("shard_a") =!= col("shard_b"), 1L).otherwise(0L))
+          .as("moved_in"))
+    spine
+      .join(before, Seq("shard"), "left")
+      .join(after, Seq("shard"), "left")
+      .select(col("shard"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("moved_in"), lit(0L)).as("moved_in"))
+  }
 }

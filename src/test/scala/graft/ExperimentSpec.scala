@@ -247,4 +247,40 @@ class ExperimentSpec extends AnyFunSuite {
     assert(got(2L) == ((3L, 0L, true, false)))
     assert(got(3L) == ((1L, 7L, false, false)))
   }
+
+  test("roc auc: exact tie-corrected Mann-Whitney equals the naive pair count") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val row = graft.operators.Experiment
+      .rocAuc(spark, SparkTestSession.sf).head()
+    val (nPos, nNeg, u2, aucMicro) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    // naive replay: score + label per doc, then count (pos > neg) and
+    // ties over all P*N pairs
+    val docs = graft.sources.Tables
+      .load(spark, SparkTestSession.sf, "documents")
+    val scored = graft.operators.Experiment.rocAucScored(spark, SparkTestSession.sf)
+      .collect().map(r => (r.getLong(1), r.getBoolean(2)))
+    val pos = scored.filter(_._2).map(_._1)
+    val neg = scored.filterNot(_._2).map(_._1)
+    assert(pos.length.toLong == nPos && neg.length.toLong == nNeg)
+    var wins = 0L; var ties = 0L
+    pos.foreach(p => neg.foreach { q =>
+      if (p > q) wins += 1 else if (p == q) ties += 1
+    })
+    // U2 = 2*wins + ties (doubled units)
+    assert(u2 == 2 * wins + ties, s"u2 $u2 vs ${2 * wins + ties}")
+    val expAuc = math.floor(1000000.0 * (2.0 * wins + ties) /
+      (2.0 * pos.length * neg.length)).toLong
+    assert(aucMicro == expAuc)
+    assert(aucMicro > 500000L,
+      "stopword ratio must separate English better than chance")
+    // degenerate corpus (single class) hits the -1 sentinel
+    val dir = "/tmp/graft-auc-degenerate"
+    Seq((1L, "the the and of is"), (2L, "the and is of the"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val deg = graft.operators.Experiment.rocAuc(spark, dir).head()
+    assert(deg.getLong(3) == -1L)
+  }
 }

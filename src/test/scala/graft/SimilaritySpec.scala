@@ -440,4 +440,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getLong(5) == t0 + 1000000000000L)
     assert(t0 == 50000000L)
   }
+
+  test("dominant eigenvector: fixed point of C, collinear with a double-precision power iteration") {
+    val spark = SparkTestSession.spark
+    val rows = graft.operators.Similarity
+      .dominantEigen(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.length == 64)
+    val lambda = rows.head._3
+    assert(rows.forall(_._3 == lambda) && lambda > 0)
+    val v = rows.map(_._2.toDouble)
+    // double-precision reference at the SAME round count (the honest
+    // comparison: convergence speed is an eigengap property, not an
+    // arithmetic one — integer-vs-double at equal T agree to 1e-12)
+    val embs = graft.sources.Tables
+      .load(spark, SparkTestSession.sf, "embeddings")
+      .where(col("embedding").isNotNull)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(x =>
+        math.floor(1000000.0 * x.toDouble)))
+    val d = 64
+    val c = Array.tabulate(d, d)((j, k) =>
+      embs.map(e => e(j) * e(k)).sum)
+    var w = Array.fill(d)(1.0)
+    (1 to 40).foreach { _ =>
+      val nw = Array.tabulate(d)(j => (0 until d).map(k => c(j)(k) * w(k)).sum)
+      val m = nw.map(math.abs).max
+      w = nw.map(_ / m)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    assert(math.abs(cos(v, w)) > 0.999,
+      s"integer iteration diverged from the double reference: cos=${cos(v, w)}")
+    // Rayleigh residual: C v must be substantially collinear with v
+    // (40 rounds is near- but not fully-converged on this eigengap)
+    val cv = Array.tabulate(d)(j => (0 until d).map(k => c(j)(k) * v(k)).sum)
+    assert(math.abs(cos(v, cv)) > 0.98)
+  }
 }

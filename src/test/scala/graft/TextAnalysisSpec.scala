@@ -636,4 +636,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       ("de", "en") -> ((1L, false, 3L, 3333L)),
       ("zh", "und") -> ((1L, false, 3L, 3333L))))
   }
+
+  test("ngram diversity: ratios and top gram match a naive recount") {
+    val got = TextAnalysis.ngramDiversity(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    val texts = graft.sources.Tables
+      .load(spark, SparkTestSession.sf, "documents")
+      .select(TextAnalysis.normalizedText(col("text")).as("t"))
+      .collect().map(_.getString(0))
+    (1 to 3).foreach { n =>
+      val grams = texts.map(_.split(" ", -1).toSeq).filter(_.length >= n)
+        .flatMap(_.sliding(n).map(_.mkString(" ")))
+      val counts = grams.groupBy(identity).view.mapValues(_.size.toLong)
+      val total = grams.length.toLong
+      val dist = counts.size.toLong
+      val (topG, topC) = counts.toSeq.minBy { case (g, c) => (-c, g) }
+      val (gt, gd, gdiv, gtop, gshare) = got(n.toLong)
+      assert(gt == total && gd == dist, s"n=$n totals")
+      assert(gtop == topG, s"n=$n top gram")
+      assert(gdiv == math.floor(1000000.0 * dist / total).toLong)
+      assert(gshare == math.floor(1000000.0 * topC / total).toLong)
+    }
+  }
 }

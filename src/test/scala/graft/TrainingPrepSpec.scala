@@ -391,4 +391,41 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(got == naive)
     assert(got.values.toSeq.sorted == (1L to 10L))
   }
+
+  test("rendezvous shards: HRW argmax matches a driver-side replay; elasticity holds") {
+    val spark = SparkTestSession.spark
+    val got = graft.operators.TrainingPrep
+      .rendezvousShards(spark, SparkTestSession.sf, shards = 8)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == (0L to 8L).toSet)
+    // driver-side replay of the same salted-md5 HRW argmax
+    def hrw(id: Long, n: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until n).map { sc =>
+        val hex = md.digest(s"$id:$sc".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        (java.lang.Long.parseLong(hex, 16), -sc)
+      }.max match { case (_, ns) => -ns }
+    }
+    val ids = graft.sources.Tables
+      .load(spark, SparkTestSession.sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(_.getLong(0))
+    val expBefore = ids.groupBy(hrw(_, 8)).view.mapValues(_.length.toLong).toMap
+    val expAfter = ids.groupBy(hrw(_, 9)).view.mapValues(_.length.toLong).toMap
+    val expMoved = ids.count(id => hrw(id, 8) != hrw(id, 9)).toLong
+    (0 to 8).foreach { sh =>
+      assert(got(sh.toLong)._1 == expBefore.getOrElse(sh, 0L), s"n_before shard $sh")
+      assert(got(sh.toLong)._2 == expAfter.getOrElse(sh, 0L), s"n_after shard $sh")
+    }
+    assert(got.values.map(_._3).sum == expMoved)
+    // THE consistent-hashing property: adding shard 9 moves ~n/9 of
+    // docs, never the near-100% a modulo reshard would
+    val n = ids.length.toLong
+    assert(expMoved < n / 4, s"moved $expMoved of $n — elasticity broken")
+    assert(got(8L)._1 == 0L, "shard 8 must be empty at N=8")
+    assert(got(8L)._3 == got(8L)._2, "all shard-8 docs are arrivals")
+  }
 }
