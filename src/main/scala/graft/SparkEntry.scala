@@ -220,6 +220,10 @@ object SparkEntry {
       TextAnalysis.ngramDiversity(s, d)),
     "q214_dominant_eigen" -> ((s: SparkSession, d: String) =>
       Similarity.dominantEigen(s, d)),
+    "q215_mixture_reweight" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.mixtureReweight(s, d)),
+    "q216_perplexity_gate" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.perplexityGate(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -2089,6 +2093,12 @@ object SparkEntry {
     // CTE chain over HUGEINT, truncating renormalization; C replayed
     // as the same outer-product aggregate.
     "q214_dominant_eigen" -> dominantEigenOracleSql(40),
+    // q215: MWU domain reweighting — generated rounds over the domain
+    // table; HUGEINT // replays the driver loop's Long truncation.
+    "q215_mixture_reweight" -> mixtureReweightOracleSql(10),
+    // q216: CCNet tercile gate over q141 scores — integer rank
+    // arithmetic only.
+    "q216_perplexity_gate" -> perplexityGateOracle,
     // q209: Holt forecast — α=β=½ makes each smoothing step exact
     // integer arithmetic (FLOOR(x/2.0), never truncating DIV); the
     // oracle replays the fold as a RECURSIVE CTE rank-by-rank.
@@ -4409,38 +4419,7 @@ object SparkEntry {
     // totals), add-1 smoothing as one IEEE division inside the ln,
     // the identical tree both engines; only the final average is
     // float.
-    "q141_perplexity" ->
-      """WITH train_bg AS (
-           SELECT substr(text, CAST(i AS INT), 2) AS bg
-           FROM (SELECT text, unnest(range(1, length(text))) AS i
-                 FROM documents WHERE lang = 'en')),
-         model AS (SELECT bg, COUNT(*) AS c FROM train_bg GROUP BY bg),
-         ctx AS (SELECT substr(bg, 1, 1) AS c1,
-                   CAST(SUM(c) AS BIGINT) AS u
-                 FROM model GROUP BY 1),
-         vocab AS (SELECT CAST(COUNT(DISTINCT substr(bg, 1, 1)) AS BIGINT)
-                     AS v FROM model),
-         doc_bg AS (
-           SELECT doc_id, lang, substr(text, CAST(i AS INT), 2) AS bg
-           FROM (SELECT doc_id, lang, text,
-                   unnest(range(1, length(text))) AS i
-                 FROM documents WHERE length(text) >= 2))
-         SELECT d.doc_id, d.lang,
-           COUNT(*) AS n_bigrams,
-           CAST(SUM(CAST(floor(1000000.0 * ln(
-               CAST(COALESCE(m.c, 0) + 1 AS DOUBLE) /
-               CAST(COALESCE(x.u, 0) + v.v AS DOUBLE))) AS BIGINT))
-             AS BIGINT) AS ll_micro,
-           CAST(-(CAST(SUM(CAST(floor(1000000.0 * ln(
-               CAST(COALESCE(m.c, 0) + 1 AS DOUBLE) /
-               CAST(COALESCE(x.u, 0) + v.v AS DOUBLE))) AS BIGINT))
-             AS BIGINT)) AS DOUBLE) /
-             (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS avg_nll
-         FROM doc_bg d
-         LEFT JOIN model m ON m.bg = d.bg
-         LEFT JOIN ctx x ON x.c1 = substr(d.bg, 1, 1)
-         CROSS JOIN vocab v
-         GROUP BY d.doc_id, d.lang""",
+    "q141_perplexity" -> perplexityOracle,
     // q69: value-based bins over q41's ratio columns (single-op double
     // math, then floor — bit-portable).
     "q69_quality_bins" ->
@@ -4748,6 +4727,97 @@ object SparkEntry {
          CAST(GREATEST(CASE WHEN length(trim(text)) = 0 THEN 0
            ELSE len(regexp_extract_all(trim(text), '\S+')) END, 1) AS DOUBLE) AS mean_token_len
        FROM documents"""
+
+  /** q141 oracle body, shared verbatim with the q215/q216 replays. */
+  private val perplexityOracle: String =
+    """WITH train_bg AS (
+           SELECT substr(text, CAST(i AS INT), 2) AS bg
+           FROM (SELECT text, unnest(range(1, length(text))) AS i
+                 FROM documents WHERE lang = 'en')),
+         model AS (SELECT bg, COUNT(*) AS c FROM train_bg GROUP BY bg),
+         ctx AS (SELECT substr(bg, 1, 1) AS c1,
+                   CAST(SUM(c) AS BIGINT) AS u
+                 FROM model GROUP BY 1),
+         vocab AS (SELECT CAST(COUNT(DISTINCT substr(bg, 1, 1)) AS BIGINT)
+                     AS v FROM model),
+         doc_bg AS (
+           SELECT doc_id, lang, substr(text, CAST(i AS INT), 2) AS bg
+           FROM (SELECT doc_id, lang, text,
+                   unnest(range(1, length(text))) AS i
+                 FROM documents WHERE length(text) >= 2))
+         SELECT d.doc_id, d.lang,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(CAST(floor(1000000.0 * ln(
+               CAST(COALESCE(m.c, 0) + 1 AS DOUBLE) /
+               CAST(COALESCE(x.u, 0) + v.v AS DOUBLE))) AS BIGINT))
+             AS BIGINT) AS ll_micro,
+           CAST(-(CAST(SUM(CAST(floor(1000000.0 * ln(
+               CAST(COALESCE(m.c, 0) + 1 AS DOUBLE) /
+               CAST(COALESCE(x.u, 0) + v.v AS DOUBLE))) AS BIGINT))
+             AS BIGINT)) AS DOUBLE) /
+             (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS avg_nll
+         FROM doc_bg d
+         LEFT JOIN model m ON m.bg = d.bg
+         LEFT JOIN ctx x ON x.c1 = substr(d.bg, 1, 1)
+         CROSS JOIN vocab v
+         GROUP BY d.doc_id, d.lang"""
+
+  /** SQL twin of TextAnalysis.perplexityGate (q216): q141 scores,
+    * exact integer per-bigram NLL, tercile by rank arithmetic.
+    */
+  private def perplexityGateOracle: String =
+    s"""WITH scored AS MATERIALIZED (
+         SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST((-ll_micro) // n_bigrams AS BIGINT) AS nll_avg_micro
+         FROM ($perplexityOracle) b),
+       nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scored),
+       rk AS (SELECT doc_id, n_bigrams, nll_avg_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY nll_avg_micro ASC,
+             doc_id ASC) AS BIGINT) AS rk
+         FROM scored)
+       SELECT doc_id, n_bigrams, nll_avg_micro,
+         CAST((3 * (rk - 1)) // nn.n AS BIGINT) AS tercile,
+         (3 * (rk - 1)) // nn.n < 2 AS keep
+       FROM rk, nn"""
+
+  /** Generated SQL twin of TextAnalysis.mixtureReweight (q215): the
+    * per-domain loss from the q141 replay, then `rounds` generated
+    * MWU rounds over the 5-row domain table — HUGEINT sums and //
+    * match the driver loop's Long truncating arithmetic exactly.
+    */
+  private def mixtureReweightOracleSql(rounds: Int): String = {
+    val base =
+      s"""dom AS MATERIALIZED (
+           SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(CAST(SUM((-ll_micro) // n_bigrams) AS HUGEINT) //
+               COUNT(*) AS BIGINT) AS loss_micro
+           FROM ($perplexityOracle) b GROUP BY 1),
+         w0 AS MATERIALIZED (
+             SELECT lang, n_docs, loss_micro,
+             CAST(1000000 AS BIGINT) AS w FROM dom)"""
+    val per = (1 to rounds).flatMap { r =>
+      Seq(
+        // every CTE MATERIALIZED: w{r-1} is referenced twice per
+        // round (a_r and u_r) and default inlining would expand the
+        // q141 subquery 2^rounds times — the q155 lesson
+        s"""a$r AS MATERIALIZED (
+             SELECT CAST(CAST(SUM(w * loss_micro) AS HUGEINT) //
+             CAST(SUM(w) AS HUGEINT) AS BIGINT) AS avg FROM w${r - 1})""",
+        s"""u$r AS MATERIALIZED (
+             SELECT lang, n_docs, loss_micro,
+             CAST(w * GREATEST(100, 1000000 +
+               (loss_micro - a.avg) // 8) // 1000000 AS BIGINT) AS w
+           FROM w${r - 1}, a$r a)""",
+        s"""s$r AS MATERIALIZED (
+             SELECT CAST(SUM(w) AS HUGEINT) AS sw FROM u$r)""",
+        s"""w$r AS MATERIALIZED (
+             SELECT lang, n_docs, loss_micro,
+             CAST(CAST(w AS HUGEINT) * 1000000 // sw AS BIGINT) AS w
+           FROM u$r, s$r)""")
+    }
+    (Seq(base) ++ per).mkString("WITH ", ",\n", "\n") +
+      s"SELECT lang, n_docs, loss_micro, w AS w_micro FROM w$rounds"
+  }
 
   /** Generated DuckDB replay of Similarity.dominantEigen (q214): C
     * from the same micro-floored outer products, then `iters` rounds

@@ -1435,4 +1435,81 @@ object TextAnalysis {
           col("total_grams").cast("double")).cast("long")
           .as("top_share_micro"))
   }
+
+  /** The q216 driver entry: PERPLEXITY GATE — the CCNet bucketing
+    * applied to q141's bigram-LM scores: rank every document by its
+    * exact integer per-bigram NLL and cut the corpus into terciles
+    * (CCNet's head/middle/tail), keeping head+middle. This is the
+    * step that turns the perplexity SCORE into a training-set
+    * DECISION, the actual filter a pipeline materializes.
+    *
+    * Exactness: the per-doc score is (-ll_micro) DIV n_bigrams — a
+    * truncating integer division both engines define identically —
+    * so the (score, doc_id) rank order is exact, and the tercile is
+    * (3*(rank-1)) DIV n. No float enters the operator.
+    *
+    * Scale shape: scoring is q141's broadcast-model pass; the global
+    * rank is a doc-grain window — at 100 TB it swaps for q202's
+    * range-bucketed rank assignment (count per score bucket, prefix
+    * sum, within-bucket number), the documented two-pass device.
+    */
+  def perplexityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = perplexityScore(spark, sfDir)
+      .select(col("doc_id"), col("n_bigrams"), col("ll_micro"))
+      .withColumn("nll_avg_micro", expr("(-ll_micro) DIV n_bigrams"))
+    val n = scored.count()
+    val w = Window.orderBy(col("nll_avg_micro").asc, col("doc_id").asc)
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("tercile", expr(s"(3 * (rk - 1)) DIV ${n}L"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_avg_micro"),
+        col("tercile"),
+        (col("tercile") < 2).as("keep"))
+  }
+
+  /** The q215 driver entry: MULTIPLICATIVE-WEIGHTS DOMAIN REWEIGHTING
+    * — the DoReMi-shaped mixture optimizer: domains (the lang column)
+    * whose documents score HIGH under the reference LM (hard domains)
+    * are upweighted round over round, the exponentiated-gradient
+    * update that Group-DRO/DoReMi run against a proxy model. The loss
+    * proxy here is the per-domain mean of q141's exact integer
+    * per-bigram NLL; the update is the RATIONAL form
+    * w <- w * (1e6 + (loss - wavg)/8) / 1e6 (clamped at 100 so no
+    * domain hits zero), renormalized to 1e6 each round — every step
+    * is integer multiply + truncating divide, identical in Scala
+    * Long/BigInt and DuckDB HUGEINT, so the whole trajectory is
+    * exact under the driver hash.
+    *
+    * Scale shape: the corpus-touching work is one q141 scoring pass +
+    * one domain-grain aggregate (|domains| rows); the T-round loop
+    * runs driver-side on the collected domain table (the q214/BPE
+    * bounded-state precedent) and the oracle replays it as generated
+    * CTEs over the same 5-row table.
+    */
+  def mixtureReweight(
+      spark: SparkSession, sfDir: String, rounds: Int = 10): DataFrame = {
+    import spark.implicits._
+    val dom = perplexityScore(spark, sfDir)
+      .select(col("lang"), expr("(-ll_micro) DIV n_bigrams").as("s"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("s")).as("ssum"))
+      .withColumn("loss_micro", expr("ssum DIV n_docs"))
+      .select(col("lang"), col("n_docs"), col("loss_micro"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var w = dom.map(_ => 1000000L)
+    for (_ <- 1 to rounds) {
+      val sw = w.sum
+      val avg = w.zip(dom).map { case (wi, d) => wi * d._3 }.sum / sw
+      val up = w.zip(dom).map { case (wi, d) =>
+        wi * math.max(100L, 1000000L + (d._3 - avg) / 8) / 1000000L
+      }
+      val su = up.sum
+      w = up.map(x => x * 1000000L / su)
+    }
+    dom.zip(w).toSeq
+      .map { case ((lang, n, loss), wf) => (lang, n, loss, wf) }
+      .toDF("lang", "n_docs", "loss_micro", "w_micro")
+  }
 }

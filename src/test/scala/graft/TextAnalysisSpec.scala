@@ -661,4 +661,43 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(gshare == math.floor(1000000.0 * topC / total).toLong)
     }
   }
+
+  test("perplexity gate: terciles partition the corpus in score order") {
+    val rows = TextAnalysis.perplexityGate(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    val n = rows.length
+    assert(n > 0)
+    // tercile sizes differ by at most 1; keep == tercile < 2
+    val sizes = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set(0L, 1L, 2L))
+    assert(sizes.values.max - sizes.values.min <= 1)
+    assert(rows.forall(r => r._4 == (r._3 < 2)))
+    // score order respects tercile order
+    val maxByT = rows.groupBy(_._3).view.mapValues(_.map(_._2).max).toMap
+    val minByT = rows.groupBy(_._3).view.mapValues(_.map(_._2).min).toMap
+    assert(maxByT(0L) <= minByT(1L) && maxByT(1L) <= minByT(2L))
+  }
+
+  test("mixture reweight: hard domains gain weight, weights stay normalized") {
+    val rows = TextAnalysis.mixtureReweight(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).sorted.toSeq ==
+      Seq("de", "en", "es", "fr", "zh"))
+    val sum = rows.map(_._4).sum
+    assert(math.abs(sum - 1000000L) <= rows.length,
+      s"weights must renormalize to ~1e6, got $sum")
+    assert(rows.forall(_._4 > 0))
+    // monotone: strictly higher loss never gets lower final weight
+    val byLoss = rows.sortBy(_._3)
+    byLoss.sliding(2).foreach { case Array(a, b) =>
+      if (a._3 < b._3) assert(a._4 <= b._4,
+        s"loss ${a._3} w ${a._4} vs loss ${b._3} w ${b._4}")
+    }
+    // en is the reference slice (lowest perplexity under its own LM)
+    // and must end with the smallest weight
+    val en = rows.find(_._1 == "en").get
+    assert(en._3 == rows.map(_._3).min && en._4 == rows.map(_._4).min)
+  }
 }
