@@ -224,6 +224,12 @@ object SparkEntry {
       TextAnalysis.mixtureReweight(s, d)),
     "q216_perplexity_gate" -> ((s: SparkSession, d: String) =>
       TextAnalysis.perplexityGate(s, d)),
+    "q217_group_sample" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.groupSample(s, d)),
+    "q218_calibration_bins" -> ((s: SparkSession, d: String) =>
+      Experiment.calibrationBins(s, d)),
+    "q219_cusum_changepoint" -> ((s: SparkSession, d: String) =>
+      Relational.cusumChangepoint(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -2099,6 +2105,41 @@ object SparkEntry {
     // q216: CCNet tercile gate over q141 scores — integer rank
     // arithmetic only.
     "q216_perplexity_gate" -> perplexityGateOracle,
+    // q217: per-group exact-k sample — md5 hex priority (byte-stable
+    // order both engines), rank <= k.
+    "q217_group_sample" ->
+      """SELECT lang, doc_id, rk FROM (
+           SELECT lang, doc_id, CAST(ROW_NUMBER() OVER (
+             PARTITION BY lang
+             ORDER BY md5('gs:' || CAST(doc_id AS VARCHAR)) ASC,
+               doc_id ASC) AS BIGINT) AS rk
+           FROM documents) t
+         WHERE rk <= 20""",
+    // q218: reliability diagram over the q212 scored frame — decile
+    // bins, truncating-DIV means/rates, exact weighted squared gap.
+    "q218_calibration_bins" -> calibrationBinsOracle,
+    // q219: CUSUM over exact daily cents; mean by truncating DIV;
+    // argmax |cusum| pinned (abs desc, day asc).
+    "q219_cusum_changepoint" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+               AS BIGINT) AS y_cents
+           FROM events GROUP BY 1),
+         tot AS (SELECT CAST(SUM(y_cents) AS HUGEINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+         cm AS (SELECT day, y_cents, CAST(t // n AS BIGINT)
+             AS mean_cents FROM daily, tot),
+         cs AS (SELECT day, y_cents,
+             CAST(SUM(y_cents - mean_cents) OVER (ORDER BY day ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cusum_cents
+           FROM cm),
+         top AS (SELECT day AS cp FROM cs
+           ORDER BY ABS(cusum_cents) DESC, day ASC LIMIT 1)
+         SELECT cs.day, cs.y_cents, cs.cusum_cents,
+           cs.day = top.cp AS is_changepoint
+         FROM cs, top""",
     // q209: Holt forecast — α=β=½ makes each smoothing step exact
     // integer arithmetic (FLOOR(x/2.0), never truncating DIV); the
     // oracle replays the fold as a RECURSIVE CTE rank-by-rank.
@@ -4873,7 +4914,10 @@ object SparkEntry {
     * the declared tie order, so pred = 'en' iff en-score == best and
     * best > 0), then the doubled-rank Mann-Whitney identity.
     */
-  private def rocAucOracle: String = {
+  /** Shared (doc_id, score, is_en) SQL body — the q212/q218 scored
+    * frame (Experiment.rocAucScored's twin).
+    */
+  private def scoredDocsSql: String = {
     val scores = TextAnalysis.langMarkers.map { case (lang, ws) =>
       lang -> s"len(regexp_extract_all(text, '\\b(${ws.mkString("|")})\\b'))"
     }
@@ -4882,12 +4926,16 @@ object SparkEntry {
     val nTok = """CASE WHEN length(trim(text)) = 0 THEN 0
          ELSE len(regexp_extract_all(trim(text), '\S+')) END"""
     val nStop = s"len(regexp_extract_all(text, '\\b(${TextAnalysis.stopwords.mkString("|")})\\b'))"
-    s"""WITH sc AS (
-         SELECT doc_id,
+    s"""SELECT doc_id,
            CAST(FLOOR(1000000.0 * (CAST($nStop AS DOUBLE) /
              CAST(GREATEST($nTok, 1) AS DOUBLE))) AS BIGINT) AS score,
            ($en = $best AND $best > 0) AS is_en
-         FROM documents),
+         FROM documents"""
+  }
+
+  private def rocAucOracle: String = {
+    s"""WITH sc AS (
+         $scoredDocsSql),
        bysc AS (
          SELECT score, CAST(COUNT(*) AS BIGINT) AS c,
            CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS p
@@ -4911,6 +4959,28 @@ object SparkEntry {
              AS BIGINT) END AS auc_micro
        FROM agg"""
   }
+
+  /** SQL twin of Experiment.calibrationBins (q218). */
+  private def calibrationBinsOracle: String =
+    s"""WITH sc AS (
+         $scoredDocsSql),
+       b AS (
+         SELECT LEAST(CAST(FLOOR(CAST(score AS DOUBLE) / 100000.0)
+           AS BIGINT), 9) AS bin, score, is_en
+         FROM sc),
+       g AS (
+         SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(score) AS BIGINT) AS ssum,
+           CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS pos
+         FROM b GROUP BY 1)
+       SELECT bin, n,
+         CAST(ssum // n AS BIGINT) AS mean_score_micro,
+         CAST((pos * 1000000) // n AS BIGINT) AS rate_micro,
+         CAST(ssum // n - (pos * 1000000) // n AS BIGINT) AS gap_micro,
+         CAST(n * (ssum // n - (pos * 1000000) // n) *
+           (ssum // n - (pos * 1000000) // n) AS BIGINT)
+           AS weighted_sq_gap
+       FROM g"""
 
   /** SQL twin of TextAnalysis.langId: same marker sets, same argmax
     * tie order.

@@ -466,4 +466,40 @@ object Experiment {
             col("n_neg").cast("double"))).cast("long"))
         .as("auc_micro"))
   }
+
+  /** The q218 driver entry: CALIBRATION BINS + BRIER GAP — the
+    * reliability-diagram table for a scorer (here q212's stopword
+    * ratio as an English detector): fixed-width decile bins over the
+    * micro score, per bin the population, mean score (claimed
+    * confidence), empirical positive rate, and the signed gap — the
+    * exact integer core of the Brier reliability term. A
+    * well-calibrated scorer has gaps near zero; a confident-but-wrong
+    * one shows large positive gaps in its top bins.
+    *
+    * All integer: mean score and rate are truncating DIVs of exact
+    * sums; the gap is their difference. The weighted squared-gap
+    * (reliability numerator) stays BIGINT: gap² <= 1e12 times
+    * bin population.
+    *
+    * Scale shape: one doc-grain pass into a 10-group aggregate —
+    * map-side combined, nothing else.
+    */
+  def calibrationBins(spark: SparkSession, sfDir: String): DataFrame =
+    rocAucScored(spark, sfDir)
+      .select(
+        least(floor(col("score").cast("double") / 100000.0)
+          .cast("long"), lit(9L)).as("bin"),
+        col("score"), col("is_en"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("score")).as("ssum"),
+        sum(when(col("is_en"), 1L).otherwise(0L)).as("pos"))
+      .select(col("bin"), col("n").cast("long").as("n"),
+        expr("ssum DIV n").as("mean_score_micro"),
+        expr("(pos * 1000000) DIV n").as("rate_micro"),
+        (expr("ssum DIV n") - expr("(pos * 1000000) DIV n"))
+          .as("gap_micro"),
+        (col("n") * (expr("ssum DIV n") - expr("(pos * 1000000) DIV n")) *
+          (expr("ssum DIV n") - expr("(pos * 1000000) DIV n")))
+          .as("weighted_sq_gap"))
 }

@@ -2511,4 +2511,44 @@ object Relational {
         (col("level_cents") + col("h") * col("trend_cents"))
           .as("forecast_cents"))
   }
+
+  /** The q219 driver entry: CUSUM CHANGEPOINT on the daily revenue
+    * series (Page 1954) — the standard drift detector a data
+    * pipeline runs over ingest volume / quality metrics: cumulative
+    * sum of deviations from the series mean, with the changepoint at
+    * the argmax of |CUSUM| (the split point that maximizes the
+    * two-segment mean difference). Earliest day wins ties.
+    *
+    * All integer: daily totals in exact cents (the q206/q209 series
+    * device), mean = total DIV n (truncating, both engines), CUSUM
+    * an exact running sum, the argmax pinned by (|cusum| desc, day
+    * asc) through one max(struct) aggregate broadcast back.
+    *
+    * Scale shape: the fact scan collapses to the DAY domain in one
+    * map-side-combined aggregate; everything after runs on the
+    * bounded day table (ordered window + broadcast argmax join).
+    */
+  def cusumChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.load(spark, sfDir, "events")
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(sum(floor(col("value") * 100.0 + 0.5).cast("long"))
+        .as("y_cents"))
+    val tot = daily.agg(
+      sum(col("y_cents")).as("t"), count(lit(1)).as("n"))
+    val withMean = daily.crossJoin(broadcast(tot))
+      .withColumn("mean_cents", expr("t DIV n"))
+    val w = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cusum = withMean
+      .withColumn("cusum_cents",
+        sum(col("y_cents") - col("mean_cents")).over(w).cast("long"))
+    val top = cusum.agg(max(struct(
+      abs(col("cusum_cents")).as("a"),
+      (-unix_date(col("day"))).as("nd"))).as("m"))
+      .select(col("m.a").as("max_abs"), (-col("m.nd")).as("cp_epoch"))
+    cusum.crossJoin(broadcast(top))
+      .select(col("day"), col("y_cents").cast("long").as("y_cents"),
+        col("cusum_cents"),
+        (unix_date(col("day")) === col("cp_epoch")).as("is_changepoint"))
+  }
 }

@@ -678,4 +678,29 @@ object TrainingPrep {
         coalesce(col("n_after"), lit(0L)).as("n_after"),
         coalesce(col("moved_in"), lit(0L)).as("moved_in"))
   }
+
+  /** The q217 driver entry: PER-GROUP EXACT-K SAMPLE — the eval-set
+    * construction primitive ("exactly 20 held-out docs per language")
+    * that rate-based sampling (q84) cannot deliver: rank each group
+    * by a salted md5 priority (uniform, content-independent, stable
+    * under corpus growth for surviving docs) and keep rank <= k.
+    *
+    * Scale shape: the per-group rank is a window keyed by the GROUP —
+    * with few giant groups that skews, so the production form is the
+    * q89 bounded-TopK aggregate (per-partition k-prune, then merge);
+    * here the group count is small and the window is the exact,
+    * oracle-identical form. Priorities are md5 hex — byte-stable
+    * order in both engines (the q188 rule).
+    */
+  def groupSample(
+      spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val pri = md5(concat(lit("gs:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(pri.asc, col("doc_id").asc)
+    Tables.load(spark, sfDir, "documents")
+      .select(col("lang"), col("doc_id"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("lang"), col("doc_id"), col("rk"))
+  }
 }

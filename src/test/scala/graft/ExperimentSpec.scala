@@ -283,4 +283,26 @@ class ExperimentSpec extends AnyFunSuite {
     val deg = graft.operators.Experiment.rocAuc(spark, dir).head()
     assert(deg.getLong(3) == -1L)
   }
+
+  test("calibration bins: naive recount of deciles, rates, and gaps") {
+    val spark = SparkTestSession.spark
+    val got = graft.operators.Experiment
+      .calibrationBins(spark, SparkTestSession.sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val scored = graft.operators.Experiment
+      .rocAucScored(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(1), r.getBoolean(2)))
+    val byBin = scored.groupBy { case (sc, _) => math.min(sc / 100000, 9L) }
+    assert(got.keySet == byBin.keySet)
+    byBin.foreach { case (bin, xs) =>
+      val n = xs.length.toLong
+      val ssum = xs.map(_._1).sum
+      val pos = xs.count(_._2).toLong
+      val mean = ssum / n
+      val rate = pos * 1000000L / n
+      val gap = mean - rate
+      assert(got(bin) == ((n, mean, rate, gap, n * gap * gap)), s"bin $bin")
+    }
+  }
 }

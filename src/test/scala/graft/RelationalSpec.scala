@@ -1181,4 +1181,28 @@ class RelationalSpec extends AnyFunSuite {
         s"h=$h")
     }
   }
+
+  test("cusum changepoint: naive replay, single argmax flag, telescoping tail") {
+    val spark = SparkTestSession.spark
+    val rows = graft.operators.Relational
+      .cusumChangepoint(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+      .sortBy(_._1.toEpochDay)
+    assert(rows.nonEmpty)
+    assert(rows.count(_._4) == 1, "exactly one changepoint")
+    val n = rows.length.toLong
+    val tot = rows.map(_._2).sum
+    val mean = tot / n
+    var run = 0L
+    rows.foreach { case (_, y, cs, _) =>
+      run += y - mean
+      assert(cs == run)
+    }
+    // telescoping: final cusum = tot - n*mean = tot mod n remainder
+    assert(rows.last._3 == tot - n * mean)
+    val maxAbs = rows.map(r => math.abs(r._3)).max
+    val firstArg = rows.find(r => math.abs(r._3) == maxAbs).get
+    assert(firstArg._4, "changepoint must be the earliest max-|cusum| day")
+  }
 }

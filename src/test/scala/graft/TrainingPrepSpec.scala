@@ -428,4 +428,25 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(got(8L)._1 == 0L, "shard 8 must be empty at N=8")
     assert(got(8L)._3 == got(8L)._2, "all shard-8 docs are arrivals")
   }
+
+  test("group sample: exactly min(k, group size) rows per language, md5 order") {
+    val spark = SparkTestSession.spark
+    val got = graft.operators.TrainingPrep
+      .groupSample(spark, SparkTestSession.sf, k = 20).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val docs = graft.sources.Tables
+      .load(spark, SparkTestSession.sf, "documents")
+      .select(org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def pri(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"gs:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    docs.groupBy(_._1).foreach { case (lang, ds) =>
+      val exp = ds.map(_._2).sortBy(id => (pri(id), id)).take(20)
+      val gotIds = got.filter(_._1 == lang).sortBy(_._3).map(_._2).toSeq
+      assert(gotIds == exp.toSeq, s"lang $lang")
+    }
+  }
 }
