@@ -230,6 +230,10 @@ object SparkEntry {
       Experiment.calibrationBins(s, d)),
     "q219_cusum_changepoint" -> ((s: SparkSession, d: String) =>
       Relational.cusumChangepoint(s, d)),
+    "q220_contrastive_pairs" -> ((s: SparkSession, d: String) =>
+      Dedup.contrastivePairs(s, d)),
+    "q221_mergeable_moments" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.mergeableMoments(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -2140,6 +2144,51 @@ object SparkEntry {
          SELECT cs.day, cs.y_cents, cs.cusum_cents,
            cs.day = top.cp AS is_changepoint
          FROM cs, top""",
+    // q220: contrastive mining — q22's verified pairs as
+    // anchor/positive, negatives drawn by 60-bit md5 position into
+    // the md5-ranked corpus; collisions with the pair dropped.
+    "q220_contrastive_pairs" ->
+      s"""WITH pairs AS MATERIALIZED (
+           SELECT id_a, id_b FROM ($minhashPairsOracle) p),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         ranked AS MATERIALIZED (
+           SELECT doc_id, CAST(ROW_NUMBER() OVER (
+             ORDER BY md5('rk:' || CAST(doc_id AS VARCHAR)) ASC,
+               doc_id ASC) AS BIGINT) AS pos
+           FROM documents),
+         drawn AS (
+           SELECT id_a, id_b, CAST(i AS BIGINT) AS neg_idx,
+             (('0x' || substr(md5('ng:' || CAST(id_a AS VARCHAR) || ':'
+               || CAST(id_b AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+               1, 15))::BIGINT % nn.n) + 1 AS pos
+           FROM pairs, range(1, 4) t(i), nn)
+         SELECT id_a AS anchor, id_b AS positive, neg_idx,
+           r.doc_id AS negative
+         FROM drawn JOIN ranked r USING (pos)
+         WHERE r.doc_id <> id_a AND r.doc_id <> id_b""",
+    // q221: two-level moments — shard triples then the associative
+    // merge; variance via the integer identity, truncating DIV.
+    "q221_mergeable_moments" ->
+      s"""WITH per AS (
+           SELECT doc_id % 8 AS shard,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_extract_all(trim(text), '\\S+')) END AS x
+           FROM documents),
+         g AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+           FROM per GROUP BY 1),
+         allr AS (SELECT CAST(-1 AS BIGINT) AS shard,
+             CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sx) AS BIGINT) AS sx,
+             CAST(SUM(sxx) AS BIGINT) AS sxx
+           FROM g),
+         u AS (SELECT CAST(shard AS BIGINT) AS shard, n, sx, sxx FROM g
+           UNION ALL SELECT shard, n, sx, sxx FROM allr)
+         SELECT shard, n, sx, sxx,
+           CAST((sx * 1000000) // n AS BIGINT) AS mean_micro,
+           CAST(((n * sxx - sx * sx) * 1000000) // (n * n) AS BIGINT)
+             AS var_micro
+         FROM u""",
     // q209: Holt forecast — α=β=½ makes each smoothing step exact
     // integer arithmetic (FLOOR(x/2.0), never truncating DIV); the
     // oracle replays the fold as a RECURSIVE CTE rank-by-rank.
@@ -3592,26 +3641,7 @@ object SparkEntry {
     // verification), so its oracle is the exhaustive-truth SQL: equal
     // whenever banded recall at the threshold is complete on the
     // fixture (16 bands x 4 rows; verified at sf0.01).
-    "q22_minhash_lsh" ->
-      s"""WITH words AS (
-           SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
-         sh AS (
-           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
-           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t
-           WHERE len(w) >= 5),
-         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-         common AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-         SELECT id_a, id_b, n_common,
-           CAST(n_common AS DOUBLE) /
-             CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
-         FROM common
-         JOIN sizes sa ON sa.doc_id = id_a
-         JOIN sizes sb ON sb.doc_id = id_b
-         WHERE CAST(n_common AS DOUBLE) /
-             CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5""",
+    "q22_minhash_lsh" -> minhashPairsOracle,
     // q23's 60-bit SimHash uses md5-prefix token hashes precisely so
     // DuckDB can recompute the identical fingerprints: all-integer
     // votes/sign/OR, then the same 15-bit pigeonhole blocking.
@@ -4914,6 +4944,30 @@ object SparkEntry {
     * the declared tie order, so pred = 'en' iff en-score == best and
     * best > 0), then the doubled-rank Mann-Whitney identity.
     */
+  /** q22 oracle body (exact-Jaccard verified pairs), shared with the
+    * q220 replay.
+    */
+  private lazy val minhashPairsOracle: String =
+    s"""WITH words AS (
+           SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t
+           WHERE len(w) >= 5),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, n_common,
+           CAST(n_common AS DOUBLE) /
+             CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+         FROM common
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(n_common AS DOUBLE) /
+             CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5"""
+
   /** Shared (doc_id, score, is_en) SQL body — the q212/q218 scored
     * frame (Experiment.rocAucScored's twin).
     */

@@ -1244,4 +1244,46 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))
           .as("jaccard"))
   }
+
+  /** The q220 driver entry: CONTRASTIVE PAIR MINING — turn the
+    * near-dup graph into embedding-training data: every verified
+    * near-dup pair (the q22 MinHash-LSH + exact-Jaccard path) becomes
+    * an (anchor, positive) tuple, and each tuple draws `negs`
+    * deterministic random negatives by hashing (pair, idx) to a
+    * position in an md5-ranked corpus order — the in-batch-negatives
+    * table a contrastive trainer (SimCSE/E5-style) consumes. Draws
+    * that collide with the anchor or positive are dropped on both
+    * engines (the rare-collision rule, stated rather than patched).
+    *
+    * Scale shape: the pair table is candidate-bounded (LSH, never
+    * n²); the corpus ranking is a doc-grain window (q202's bucketed
+    * device at 100 TB); the draw join broadcasts the small pair side
+    * against the position column.
+    */
+  def contrastivePairs(
+      spark: SparkSession, sfDir: String, negs: Int = 3): DataFrame = {
+    val pairs = minhashLshPairsVerified(spark, sfDir)
+      .select(col("id_a"), col("id_b"))
+    val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+    val n = docs.count()
+    val ranked = docs.withColumn("pos",
+      row_number().over(Window.orderBy(
+        md5(concat(lit("rk:"), col("doc_id").cast("string"))).asc,
+        col("doc_id").asc)).cast("long"))
+    val drawn = pairs
+      .select(col("id_a"), col("id_b"),
+        explode(sequence(lit(1), lit(negs))).as("neg_idx"))
+      .withColumn("h", conv(substring(md5(concat(
+        lit("ng:"), col("id_a").cast("string"),
+        lit(":"), col("id_b").cast("string"),
+        lit(":"), col("neg_idx").cast("string"))), 1, 15), 16, 10)
+        .cast("long"))
+      .withColumn("pos", (col("h") % lit(n)) + lit(1L))
+    drawn.join(ranked, Seq("pos"))
+      .where(col("doc_id") =!= col("id_a") &&
+        col("doc_id") =!= col("id_b"))
+      .select(col("id_a").as("anchor"), col("id_b").as("positive"),
+        col("neg_idx").cast("long").as("neg_idx"),
+        col("doc_id").as("negative"))
+  }
 }

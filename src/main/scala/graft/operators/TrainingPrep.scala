@@ -703,4 +703,44 @@ object TrainingPrep {
       .where(col("rk") <= k)
       .select(col("lang"), col("doc_id"), col("rk"))
   }
+
+  /** The q221 driver entry: MERGEABLE MOMENT ARTIFACT lifecycle — the
+    * two-level statistics pattern every sharded corpus relies on:
+    * each shard materializes its (n, Σx, Σx²) moment triple as a tiny
+    * parquet artifact (written and READ BACK here, the q46/q156
+    * persisted-artifact device), and the global mean/variance merge
+    * from the artifacts alone — raw data is never re-scanned for the
+    * corpus-wide statistic, and moments merge associatively under any
+    * regrouping. x is the per-doc token count.
+    *
+    * Exactness: the merged variance uses the integer identity
+    * n·Σx² − (Σx)², scaled to micro and truncating-DIV'd by n² —
+    * no Welford float recurrence, no accumulation-order hazard.
+    *
+    * Scale shape: one doc-grain pass map-side combines to 8 shard
+    * rows; everything downstream reads the 8-row artifact.
+    */
+  def mergeableMoments(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Scratch.withScratch(spark, "q221_moments", sfDir) { dir =>
+      val per = Tables.load(spark, sfDir, "documents")
+        .select((col("doc_id") % 8).as("shard"),
+          TextAnalysis.tokenCount(col("text")).as("x"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+      per.write.mode("overwrite").parquet(s"$dir/moments")
+      val back = spark.read.parquet(s"$dir/moments")
+      val merged = back.agg(
+        lit(-1L).as("shard"), sum(col("n")).as("n"),
+        sum(col("sx")).as("sx"), sum(col("sxx")).as("sxx"))
+      back.select(col("shard").cast("long"), col("n"), col("sx"),
+          col("sxx"))
+        .unionByName(merged)
+        .select(col("shard"), col("n").cast("long").as("n"),
+          col("sx").cast("long").as("sx"),
+          col("sxx").cast("long").as("sxx"),
+          expr("(sx * 1000000) DIV n").as("mean_micro"),
+          expr("((n * sxx - sx * sx) * 1000000) DIV (n * n)")
+            .as("var_micro"))
+    }
 }

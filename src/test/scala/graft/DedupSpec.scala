@@ -577,4 +577,29 @@ class DedupSpec extends AnyFunSuite {
     val q22row = rows.find(x => x.getLong(0) == 16L && x.getLong(1) == 4L).get
     assert(q22row.getDouble(3) > 0.999)
   }
+
+  test("contrastive pairs: every verified pair spawns negatives, none collide") {
+    val spark = SparkTestSession.spark
+    val rows = graft.operators.Dedup
+      .contrastivePairs(spark, SparkTestSession.sf, negs = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val pairs = graft.operators.Dedup
+      .minhashLshPairsVerified(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty)
+    // every output row's (anchor, positive) is a verified pair and the
+    // negative collides with neither end
+    rows.foreach { case (a, p, i, n) =>
+      assert(pairs.contains((a, p)))
+      assert(i >= 1 && i <= 3)
+      assert(n != a && n != p)
+    }
+    // near-complete coverage: at most the rare hash-collision rows drop
+    assert(rows.length >= pairs.size * 3 - 2 && rows.length <= pairs.size * 3)
+    // determinism: a second run reproduces the draw exactly
+    val again = graft.operators.Dedup
+      .contrastivePairs(spark, SparkTestSession.sf, negs = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+  }
 }

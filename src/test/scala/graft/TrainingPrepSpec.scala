@@ -449,4 +449,30 @@ class TrainingPrepSpec extends AnyFunSuite {
       assert(gotIds == exp.toSeq, s"lang $lang")
     }
   }
+
+  test("mergeable moments: shard triples recount, merged row is their sum") {
+    val spark = SparkTestSession.spark
+    val rows = graft.operators.TrainingPrep
+      .mergeableMoments(spark, SparkTestSession.sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(rows.keySet == ((0L to 7L).toSet + -1L))
+    val shards = (0L to 7L).map(rows)
+    val (n, sx, sxx) = (shards.map(_._1).sum, shards.map(_._2).sum,
+      shards.map(_._3).sum)
+    assert(rows(-1L)._1 == n && rows(-1L)._2 == sx && rows(-1L)._3 == sxx)
+    assert(rows(-1L)._4 == sx * 1000000L / n)
+    assert(rows(-1L)._5 == (n * sxx - sx * sx) * 1000000L / (n * n))
+    // naive recount of one shard
+    val docs = graft.sources.Tables
+      .load(spark, SparkTestSession.sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val xs = docs.filter(_._1 % 8 == 3)
+      .map(d => d._2.trim.split("\\s+").count(_.nonEmpty).toLong)
+    assert(rows(3L)._1 == xs.length.toLong)
+    assert(rows(3L)._2 == xs.sum)
+    assert(rows(3L)._3 == xs.map(x => x * x).sum)
+  }
 }
