@@ -234,6 +234,10 @@ object SparkEntry {
       Dedup.contrastivePairs(s, d)),
     "q221_mergeable_moments" -> ((s: SparkSession, d: String) =>
       TrainingPrep.mergeableMoments(s, d)),
+    "q222_quality_survivors" -> ((s: SparkSession, d: String) =>
+      Dedup.qualitySurvivors(s, d)),
+    "q223_source_scorecard" -> ((s: SparkSession, d: String) =>
+      CleanPipeline.sourceScorecard(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -2189,6 +2193,76 @@ object SparkEntry {
            CAST(((n * sxx - sx * sx) * 1000000) // (n * n) AS BIGINT)
              AS var_micro
          FROM u""",
+    // q222: q44's recursive-CC prefix, survivor by (quality desc,
+    // doc_id asc) window; quality = micro-floored stopword ratio.
+    "q222_quality_survivors" ->
+      s"""WITH RECURSIVE words AS (
+           SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t
+           WHERE len(w) >= 5),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM common
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(n_common AS DOUBLE) /
+             CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id),
+         comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY 1),
+         q AS (
+           SELECT doc_id, CAST(FLOOR(1000000.0 *
+             (CAST(len(regexp_extract_all(text,
+               '\\b(the|a|of|and|to|in|is|for|on|with)\\b')) AS DOUBLE) /
+              CAST(GREATEST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_extract_all(trim(text), '\\S+')) END, 1)
+                AS DOUBLE))) AS BIGINT) AS q_micro
+           FROM documents),
+         m AS (
+           SELECT comp.comp AS cluster, comp.id AS doc_id, q.q_micro
+           FROM comp JOIN q ON q.doc_id = comp.id),
+         s AS (
+           SELECT cluster, doc_id AS survivor FROM (
+             SELECT cluster, doc_id, ROW_NUMBER() OVER (
+               PARTITION BY cluster
+               ORDER BY q_micro DESC, doc_id ASC) AS rk FROM m)
+           WHERE rk = 1)
+         SELECT m.doc_id, m.cluster, m.q_micro,
+           m.doc_id = s.survivor AS keep
+         FROM m JOIN s USING (cluster)""",
+    // q223: per-source scorecard — fp-count join marks exact dups,
+    // truncating-DIV rates, corpus token share.
+    "q223_source_scorecard" ->
+      s"""WITH fp AS (
+           SELECT source, doc_id, md5($normText) AS fp,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_extract_all(trim(text), '\\S+')) END AS toks
+           FROM documents),
+         fc AS (SELECT fp, COUNT(*) AS nfp FROM fp GROUP BY 1),
+         per AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(toks) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN nfp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs
+           FROM fp JOIN fc USING (fp) GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n_tokens) AS HUGEINT) AS tt FROM per)
+         SELECT source, n_docs, n_tokens, n_dup_docs,
+           CAST((n_dup_docs * 1000000) // n_docs AS BIGINT)
+             AS dup_rate_micro,
+           CAST((n_tokens * 1000000) // tt AS BIGINT)
+             AS token_share_micro
+         FROM per, tot""",
     // q209: Holt forecast — α=β=½ makes each smoothing step exact
     // integer arithmetic (FLOOR(x/2.0), never truncating DIV); the
     // oracle replays the fold as a RECURSIVE CTE rank-by-rank.

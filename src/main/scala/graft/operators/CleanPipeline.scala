@@ -178,4 +178,42 @@ object CleanPipeline {
         (col("n") < k.toLong || col("n_langs") < l.toLong)
           .as("suppress"))
   }
+
+  /** The q223 driver entry: PER-SOURCE DATA SCORECARD — the vendor/
+    * feed quality table every multi-source corpus maintains: per
+    * `source`, the doc count, token volume, EXACT-DUP rate (share of
+    * docs whose normalized-text md5 occurs more than once corpus-wide
+    * — cross-source duplication counts against both feeds), and the
+    * source's token share of the corpus. This is the artifact a data
+    * lead reads before renewing a feed.
+    *
+    * All integer after the fingerprint join: rates are truncating
+    * DIVs of exact counts.
+    *
+    * Scale shape: one doc-grain pass computes (fp, tokens); the dup
+    * marker is an fp-keyed count join (16-byte digests, never text —
+    * the q20 discipline); per-source rollup is map-side combined to
+    * the source domain, and the corpus total broadcasts back.
+    */
+  def sourceScorecard(spark: SparkSession, sfDir: String): DataFrame = {
+    val withFp = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id"),
+        md5(TextAnalysis.normalizedText(col("text"))).as("fp"),
+        TextAnalysis.tokenCount(col("text")).as("toks"))
+    val fpCounts = withFp.groupBy(col("fp"))
+      .agg(count(lit(1)).as("nfp"))
+    val per = withFp.join(fpCounts, Seq("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(when(col("nfp") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+    val tot = per.agg(sum(col("n_tokens")).as("tt"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_dup_docs").cast("long").as("n_dup_docs"),
+        expr("(n_dup_docs * 1000000) DIV n_docs").as("dup_rate_micro"),
+        expr("(n_tokens * 1000000) DIV tt").as("token_share_micro"))
+  }
 }

@@ -1286,4 +1286,38 @@ object Dedup {
         col("neg_idx").cast("long").as("neg_idx"),
         col("doc_id").as("negative"))
   }
+
+  /** The q222 driver entry: QUALITY-SURVIVOR DEDUP — cluster
+    * resolution with the survivor a production pipeline actually
+    * keeps: within each near-dup cluster (q44's connected components
+    * over verified MinHash pairs) the HIGHEST-QUALITY member wins
+    * (micro-floored stopword ratio, doc_id breaking ties), not the
+    * arbitrary min-id. Emits every clustered doc with its cluster
+    * label, quality, and keep flag — the reviewable artifact before
+    * the drop is applied.
+    *
+    * Scale shape: clusters come from the pair-bounded CC loop;
+    * quality joins at doc grain; the survivor is one max(struct)
+    * aggregate per cluster — no window over the corpus.
+    */
+  def qualitySurvivors(
+      spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashLshPairsVerified(spark, sfDir, threshold = threshold)
+    val comps = connectedComponents(pairs)
+    val q = TextAnalysis.quality(spark, sfDir)
+      .select(col("doc_id"),
+        floor(lit(1000000.0) * col("stopword_ratio")).cast("long")
+          .as("q_micro"))
+    val members = comps
+      .join(q, comps("id") === q("doc_id"))
+      .select(col("comp").as("cluster"), col("id"), col("q_micro"))
+    val surv = members.groupBy(col("cluster"))
+      .agg(max(struct(col("q_micro").as("q"), (-col("id")).as("nid")))
+        .as("m"))
+      .select(col("cluster"), (-col("m.nid")).as("survivor"))
+    members.join(surv, Seq("cluster"))
+      .select(col("id").as("doc_id"), col("cluster"), col("q_micro"),
+        (col("id") === col("survivor")).as("keep"))
+  }
 }

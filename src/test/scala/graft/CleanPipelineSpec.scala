@@ -106,4 +106,30 @@ class CleanPipelineSpec extends AnyFunSuite {
     assert(got("sB") == ((2L, 2L, false, true, true)))
     assert(got("sC") == ((6L, 1L, true, false, true)))
   }
+
+  test("source scorecard: conservation and naive dup-rate recount") {
+    val spark = SparkTestSession.spark
+    val rows = graft.operators.CleanPipeline
+      .sourceScorecard(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables
+      .load(spark, SparkTestSession.sf, "documents")
+      .select(org.apache.spark.sql.functions.col("source"),
+        graft.operators.TextAnalysis.normalizedText(
+          org.apache.spark.sql.functions.col("text")).as("nt"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.map(_._2).sum == docs.length.toLong)
+    val fpCount = docs.groupBy(_._2).view.mapValues(_.length).toMap
+    val dupBySource = docs.filter(d => fpCount(d._2) > 1)
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (src, nd, _, ndup, rate, _) =>
+      assert(ndup == dupBySource.getOrElse(src, 0L), s"source $src")
+      assert(rate == ndup * 1000000L / nd)
+    }
+    // token shares tile the corpus (truncation loses < #sources units)
+    val shares = rows.map(_._6).sum
+    assert(shares <= 1000000L && shares > 1000000L - rows.length * 2)
+  }
 }

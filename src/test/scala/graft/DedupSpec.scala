@@ -602,4 +602,32 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.sorted.toSeq == again.sorted.toSeq)
   }
+
+  test("quality survivors: exactly one keeper per cluster, the max-quality member") {
+    val spark = SparkTestSession.spark
+    val rows = graft.operators.Dedup
+      .qualitySurvivors(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (cluster, ms) =>
+      assert(ms.length >= 2, s"cluster $cluster must have >= 2 members")
+      val keepers = ms.filter(_._4)
+      assert(keepers.length == 1, s"cluster $cluster keepers: $keepers")
+      val best = ms.minBy(m => (-m._3, m._1))
+      assert(keepers.head._1 == best._1,
+        s"cluster $cluster survivor must be max quality then min id")
+    }
+    // survivor set is consistent with q44's membership (same clusters)
+    val q44Kept = graft.operators.Dedup
+      .nearDupSurvivors(spark, SparkTestSession.sf).collect()
+      .map(_.getLong(0)).toSet
+    val clustered = rows.map(_._1).toSet
+    val dropped44 = graft.sources.Tables
+      .load(spark, SparkTestSession.sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(_.getLong(0)).toSet -- q44Kept
+    // q44 drops exactly the clustered non-min-id docs, so the
+    // clustered set equals dropped44 plus the min-id representatives
+    assert(dropped44.subsetOf(clustered))
+  }
 }
