@@ -238,6 +238,12 @@ object SparkEntry {
       Dedup.qualitySurvivors(s, d)),
     "q223_source_scorecard" -> ((s: SparkSession, d: String) =>
       CleanPipeline.sourceScorecard(s, d)),
+    "q224_benford_audit" -> ((s: SparkSession, d: String) =>
+      Experiment.benfordAudit(s, d)),
+    "q225_langid_kappa" -> ((s: SparkSession, d: String) =>
+      Experiment.langIdKappa(s, d)),
+    "q226_padding_waste" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.paddingWasteAudit(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -2263,6 +2269,52 @@ object SparkEntry {
            CAST((n_tokens * 1000000) // tt AS BIGINT)
              AS token_share_micro
          FROM per, tot""",
+    // q224: Benford — first digit of exact cents, truncating-DIV
+    // share, the nine log10(1+1/d) constants micro-floored.
+    "q224_benford_audit" ->
+      """WITH c AS (
+           SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+           FROM events),
+         d AS (
+           SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+             AS digit
+           FROM c WHERE cents > 0),
+         g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+               FROM d GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n) AS HUGEINT) AS t FROM g)
+         SELECT digit, n,
+           CAST((n * 1000000) // t AS BIGINT) AS share_micro,
+           CAST(FLOOR(1000000.0 *
+             log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) AS BIGINT)
+             AS benford_micro,
+           CAST((n * 1000000) // t AS BIGINT) -
+             CAST(FLOOR(1000000.0 *
+               log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) AS BIGINT)
+             AS gap_micro
+         FROM g, tot""",
+    // q225: Cohen's kappa — exact integer marginals, one micro-floored
+    // division, -1 sentinel at pe = 1.
+    "q225_langid_kappa" -> langIdKappaOracle,
+    // q226: padding-waste — bit-length log2 buckets (IEEE log2 floors
+    // a hair under k on some exact powers), integer pad arithmetic.
+    "q226_padding_waste" ->
+      s"""WITH t AS (
+           SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_extract_all(trim(text), '\\S+')) END AS t
+           FROM documents),
+         p AS (
+           SELECT CAST(t AS BIGINT) AS t,
+             CAST(length(bin(t)) - 1 AS BIGINT) AS bucket
+           FROM t WHERE t > 0)
+         SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN t > 2048 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overflow_docs,
+           CAST(SUM(CASE WHEN t <= 2048 THEN 2048 - t ELSE 0 END)
+             AS BIGINT) AS pad_to_window_waste,
+           CAST(((CAST(SUM(t) AS BIGINT) + 2047) // 2048) * 2048 -
+             CAST(SUM(t) AS BIGINT) AS BIGINT) AS greedy_pack_waste
+         FROM p GROUP BY 1""",
     // q209: Holt forecast — α=β=½ makes each smoothing step exact
     // integer arithmetic (FLOOR(x/2.0), never truncating DIV); the
     // oracle replays the fold as a RECURSIVE CTE rank-by-rank.
@@ -5109,6 +5161,32 @@ object SparkEntry {
            (ssum // n - (pos * 1000000) // n) AS BIGINT)
            AS weighted_sq_gap
        FROM g"""
+
+  /** SQL twin of Experiment.langIdKappa (q225). */
+  private def langIdKappaOracle: String =
+    s"""WITH cells AS (
+         SELECT t.lang_true, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+         FROM (SELECT doc_id, lang AS lang_true FROM documents) t
+         JOIN ($langIdOracle) p USING (doc_id)
+         GROUP BY 1, 2),
+       r AS (SELECT lang_true AS k, CAST(SUM(n) AS BIGINT) AS r
+             FROM cells GROUP BY 1),
+       c AS (SELECT lang_pred AS k, CAST(SUM(n) AS BIGINT) AS c
+             FROM cells GROUP BY 1),
+       rc AS (SELECT CAST(SUM(COALESCE(r.r, 0) * COALESCE(c.c, 0))
+           AS BIGINT) AS src
+         FROM r FULL OUTER JOIN c USING (k)),
+       d AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+           CAST(SUM(CASE WHEN lang_true = lang_pred THEN n ELSE 0 END)
+             AS BIGINT) AS sdiag
+         FROM cells)
+       SELECT d.nn AS n, d.sdiag AS n_agree, rc.src AS sum_rc,
+         CASE WHEN d.nn * d.nn = rc.src THEN -1
+           ELSE CAST(FLOOR(1000000.0 *
+             CAST(d.nn * d.sdiag - rc.src AS DOUBLE) /
+             CAST(d.nn * d.nn - rc.src AS DOUBLE)) AS BIGINT) END
+           AS kappa_micro
+       FROM d, rc"""
 
   /** SQL twin of TextAnalysis.langId: same marker sets, same argmax
     * tie order.

@@ -502,4 +502,83 @@ object Experiment {
         (col("n") * (expr("ssum DIV n") - expr("(pos * 1000000) DIV n")) *
           (expr("ssum DIV n") - expr("(pos * 1000000) DIV n")))
           .as("weighted_sq_gap"))
+
+  /** The q224 driver entry: BENFORD FIRST-DIGIT AUDIT — the
+    * data-forensics screen for fabricated or re-scaled numeric feeds:
+    * naturally-occurring multiplicative amounts follow
+    * P(d) = log10(1 + 1/d); a feed that was synthesized, clipped, or
+    * unit-mangled departs visibly. Per first significant digit of the
+    * event value (in cents, so the digit is scale-honest): observed
+    * count, observed share, expected Benford share, and the signed
+    * micro gap — the per-digit components an auditor reads (the
+    * chi-square rollup is one weighted sum away and intentionally
+    * left per-digit, the q218 reliability-table discipline).
+    *
+    * Determinism: the first digit is pure integer string math on
+    * exact cents; shares are truncating DIVs; the ONLY float is
+    * log10(1+1/d) for d in 1..9 — nine constants, micro-floored, the
+    * same nine IEEE ops in both engines.
+    *
+    * Scale shape: one fact-scan pass map-side combined to NINE rows.
+    */
+  def benfordAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = floor(col("value") * 100.0 + 0.5).cast("long")
+    val counts = Tables.load(spark, sfDir, "events")
+      .where(cents > 0)
+      .select(substring(cents.cast("string"), 1, 1).cast("long")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("t"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n").cast("long").as("n"),
+        expr("(n * 1000000) DIV t").as("share_micro"),
+        floor(lit(1000000.0) *
+          log10(lit(1.0) + lit(1.0) / col("digit").cast("double")))
+          .cast("long").as("benford_micro"))
+      .withColumn("gap_micro",
+        col("share_micro") - col("benford_micro"))
+  }
+
+  /** The q225 driver entry: COHEN'S KAPPA for the lang-ID heuristic —
+    * the chance-corrected agreement summary over q207's contingency
+    * (accuracy alone flatters a classifier on a skewed label mix).
+    * Exact rational form: kappa = (n·Σdiag − Σ rᵢcᵢ) /
+    * (n² − Σ rᵢcᵢ) over exact integer marginals, micro-floored once;
+    * the −1 sentinel covers the degenerate pe = 1 corpus.
+    *
+    * Scale shape: one doc-grain join + a contingency aggregate over
+    * the (true, pred) domain; marginals and the final scalar reduce
+    * over that bounded table.
+    */
+  def langIdKappa(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang").as("lang_true"))
+    val pred = TextAnalysis.langId(spark, sfDir)
+      .select(col("doc_id"), col("lang_pred"))
+    val cells = truth.join(pred, Seq("doc_id"))
+      .groupBy(col("lang_true"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val rows = cells.groupBy(col("lang_true").as("k"))
+      .agg(sum(col("n")).as("r"))
+    val cols = cells.groupBy(col("lang_pred").as("k"))
+      .agg(sum(col("n")).as("c"))
+    val rc = rows.join(cols, Seq("k"), "full_outer")
+      .agg(sum(coalesce(col("r"), lit(0L)) * coalesce(col("c"), lit(0L)))
+        .as("srcontainsc"))
+    val diag = cells.agg(
+      sum(col("n")).as("nn"),
+      sum(when(col("lang_true") === col("lang_pred"), col("n"))
+        .otherwise(0L)).as("sdiag"))
+    diag.crossJoin(rc)
+      .select(
+        col("nn").cast("long").as("n"),
+        col("sdiag").cast("long").as("n_agree"),
+        col("srcontainsc").cast("long").as("sum_rc"),
+        when(col("nn") * col("nn") === col("srcontainsc"), lit(-1L))
+          .otherwise(floor(lit(1000000.0) *
+            (col("nn") * col("sdiag") - col("srcontainsc")).cast("double") /
+            (col("nn") * col("nn") - col("srcontainsc")).cast("double"))
+            .cast("long"))
+          .as("kappa_micro"))
+  }
 }

@@ -743,4 +743,46 @@ object TrainingPrep {
           expr("((n * sxx - sx * sx) * 1000000) DIV (n * n)")
             .as("var_micro"))
     }
+
+  /** The q226 driver entry: PADDING-WASTE AUDIT — the training-
+    * efficiency table behind sequence packing decisions: bucket
+    * documents by log2 token length and report, per bucket, the
+    * token volume plus the pad tokens two strategies would burn at a
+    * 2048-token context: PAD-TO-WINDOW (one doc per sequence — the
+    * naive collator) vs GREEDY CONCAT (q70's packing, waste only at
+    * sequence tails: ceil(bucket_tokens / W)·W − bucket_tokens).
+    * The gap between the two columns is the budget argument for
+    * packing; all integer arithmetic.
+    *
+    * Truncated docs (tokens > W) contribute their overflow to
+    * n_overflow_docs rather than fabricating negative pad counts.
+    *
+    * Scale shape: one doc-grain pass map-side combined to the
+    * ~log2(max_len) bucket domain.
+    */
+  def paddingWasteAudit(
+      spark: SparkSession, sfDir: String, window: Int = 2048): DataFrame = {
+    val toks = TextAnalysis.tokenCount(col("text"))
+    val w = lit(window.toLong)
+    Tables.load(spark, sfDir, "documents")
+      .select(toks.as("t"))
+      .where(col("t") > 0)
+      .select(col("t"),
+        // floor(log2 t) via BIT LENGTH, not IEEE log: ln(2^k)/ln(2)
+        // lands a hair under k on some k and floors to k-1 — integer
+        // bin() length is exact in both engines
+        (length(bin(col("t"))) - 1).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("t")).as("n_tokens"),
+        sum(when(col("t") > w, 1L).otherwise(0L)).as("n_overflow_docs"),
+        sum(when(col("t") <= w, w - col("t")).otherwise(0L))
+          .as("pad_to_window_waste"))
+      .select(col("bucket"), col("n_docs").cast("long").as("n_docs"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_overflow_docs").cast("long").as("n_overflow_docs"),
+        col("pad_to_window_waste").cast("long").as("pad_to_window_waste"),
+        (expr(s"((n_tokens + ${window - 1}L) DIV ${window}L) * ${window}L")
+          - col("n_tokens")).cast("long").as("greedy_pack_waste"))
+  }
 }

@@ -305,4 +305,59 @@ class ExperimentSpec extends AnyFunSuite {
       assert(got(bin) == ((n, mean, rate, gap, n * gap * gap)), s"bin $bin")
     }
   }
+
+  test("benford audit: digit shares recount; benford constants pinned") {
+    val spark = SparkTestSession.spark
+    val rows = graft.operators.Experiment
+      .benfordAudit(spark, SparkTestSession.sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(rows.keySet.subsetOf((1L to 9L).toSet))
+    val cents = graft.sources.Tables
+      .load(spark, SparkTestSession.sf, "events")
+      .select(org.apache.spark.sql.functions.col("value"))
+      .collect().map(r => math.floor(r.getDouble(0) * 100.0 + 0.5).toLong)
+      .filter(_ > 0)
+    val exp = cents.map(_.toString.head.asDigit.toLong)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val t = cents.length.toLong
+    exp.foreach { case (d, n) =>
+      assert(rows(d)._1 == n, s"digit $d")
+      assert(rows(d)._2 == n * 1000000L / t)
+      val benford = math.floor(1000000.0 * math.log10(1.0 + 1.0 / d)).toLong
+      assert(rows(d)._3 == benford)
+      assert(rows(d)._4 == rows(d)._2 - benford)
+    }
+  }
+
+  test("langid kappa: matches a naive contingency computation, below accuracy") {
+    val spark = SparkTestSession.spark
+    val row = graft.operators.Experiment
+      .langIdKappa(spark, SparkTestSession.sf).head()
+    val (n, agree, sumRc, kappa) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val pairs = graft.sources.Tables
+      .load(spark, SparkTestSession.sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val preds = graft.operators.TextAnalysis
+      .langId(spark, SparkTestSession.sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val both = pairs.keys.toSeq.map(id => (pairs(id), preds(id)))
+    assert(n == both.length.toLong)
+    assert(agree == both.count { case (a, b) => a == b }.toLong)
+    val rMarg = both.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cMarg = both.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val src = (rMarg.keySet ++ cMarg.keySet).toSeq
+      .map(k => rMarg.getOrElse(k, 0L) * cMarg.getOrElse(k, 0L)).sum
+    assert(sumRc == src)
+    val expKappa = math.floor(1000000.0 * (n * agree - src).toDouble /
+      (n * n - src).toDouble).toLong
+    assert(kappa == expKappa)
+    // chance correction must pull kappa strictly below raw accuracy
+    // (its sign is a fixture property — the sf0.001 slice sits near
+    // chance — so only the ordering is asserted)
+    assert(kappa < agree * 1000000L / n)
+  }
 }

@@ -475,4 +475,28 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(rows(3L)._2 == xs.sum)
     assert(rows(3L)._3 == xs.map(x => x * x).sum)
   }
+
+  test("padding waste: bit-length buckets, pad and pack arithmetic recount") {
+    val spark = SparkTestSession.spark
+    val rows = graft.operators.TrainingPrep
+      .paddingWasteAudit(spark, SparkTestSession.sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val toks = graft.sources.Tables
+      .load(spark, SparkTestSession.sf, "documents")
+      .select(org.apache.spark.sql.functions.col("text"))
+      .collect().map(_.getString(0))
+      .map(t => t.trim.split("\\s+").count(_.nonEmpty).toLong)
+      .filter(_ > 0)
+    val byBucket = toks.groupBy(t => 63 - java.lang.Long.numberOfLeadingZeros(t))
+    assert(rows.keySet == byBucket.keySet.map(_.toLong))
+    byBucket.foreach { case (b, ts) =>
+      val (n, nt, ov, pad, pack) = rows(b.toLong)
+      assert(n == ts.length.toLong)
+      assert(nt == ts.sum)
+      assert(ov == ts.count(_ > 2048).toLong)
+      assert(pad == ts.filter(_ <= 2048).map(2048L - _).sum)
+      assert(pack == ((ts.sum + 2047) / 2048) * 2048 - ts.sum)
+    }
+  }
 }
