@@ -213,7 +213,19 @@ object ScalingProbe {
       // production scales `clusters` with the corpus (n²/k rule)
       "q158_semdedup" -> (d => graft.operators.Dedup.semDedup(spark, d)),
       "q158_semdedup_64cell" -> (d =>
-        graft.operators.Dedup.semDedup(spark, d, clusters = 64)))
+        graft.operators.Dedup.semDedup(spark, d, clusters = 64)),
+      // round-11 additions: the in-row HRW argmax (linear scan),
+      // the corpus-gram diversity aggregate, the d^2 covariance pass
+      // (one aggregate, iteration corpus-independent), the q141-based
+      // gate, contrastive mining (pair-bounded), quality-survivor CC,
+      // and the fingerprint-join scorecard
+      "q211_rendezvous" -> (d => graft.operators.TrainingPrep.rendezvousShards(spark, d)),
+      "q213_ngram_diversity" -> (d => graft.operators.TextAnalysis.ngramDiversity(spark, d)),
+      "q214_dominant_eigen" -> (d => graft.operators.Similarity.dominantEigen(spark, d)),
+      "q216_perplexity_gate" -> (d => graft.operators.TextAnalysis.perplexityGate(spark, d)),
+      "q220_contrastive" -> (d => graft.operators.Dedup.contrastivePairs(spark, d)),
+      "q222_quality_surv" -> (d => graft.operators.Dedup.qualitySurvivors(spark, d)),
+      "q223_scorecard" -> (d => graft.operators.CleanPipeline.sourceScorecard(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))
