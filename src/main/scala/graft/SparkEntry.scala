@@ -244,6 +244,10 @@ object SparkEntry {
       Experiment.langIdKappa(s, d)),
     "q226_padding_waste" -> ((s: SparkSession, d: String) =>
       TrainingPrep.paddingWasteAudit(s, d)),
+    "q227_chunk_manifest" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.chunkManifest(s, d)),
+    "q228_ann_recall_audit" -> ((s: SparkSession, d: String) =>
+      Similarity.annRecallAudit(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -2315,6 +2319,41 @@ object SparkEntry {
            CAST(((CAST(SUM(t) AS BIGINT) + 2047) // 2048) * 2048 -
              CAST(SUM(t) AS BIGINT) AS BIGINT) AS greedy_pack_waste
          FROM p GROUP BY 1""",
+    // q227: sliding chunker — integer ceil chunk count, row-local
+    // arithmetic; the last chunk reaches the doc end.
+    "q227_chunk_manifest" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_extract_all(trim(text), '\\S+')) END
+               AS BIGINT) AS t
+           FROM documents),
+         d AS (
+           SELECT doc_id, t,
+             CASE WHEN t <= 256 THEN 1
+               ELSE 1 + (t - 256 + 191) // 192 END AS n_chunks
+           FROM t WHERE t > 0)
+         SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           CAST(i * 192 AS BIGINT) AS start_tok,
+           CAST(LEAST(i * 192 + 256, t) AS BIGINT) AS end_tok,
+           CAST(LEAST(i * 192 + 256, t) - i * 192 AS BIGINT) AS n_toks
+         FROM d, LATERAL (SELECT UNNEST(range(n_chunks)) AS i) u""",
+    // q228: recall@10 of the LSH index vs brute force — composition
+    // of the q30/q31 oracles (the q183 audit device on the index).
+    "q228_ann_recall_audit" ->
+      s"""WITH b AS MATERIALIZED (
+           SELECT q_id, vec_id FROM ($annBruteOracle) t),
+         l AS MATERIALIZED (
+           SELECT q_id, vec_id FROM ($annLshOracle) t),
+         ov AS (
+           SELECT b.q_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+           FROM b JOIN l ON b.q_id = l.q_id AND b.vec_id = l.vec_id
+           GROUP BY 1),
+         qs AS (SELECT DISTINCT q_id FROM b)
+         SELECT q_id,
+           CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(COALESCE(n_overlap, 0) * 1000 AS BIGINT) AS recall_bp
+         FROM qs LEFT JOIN ov USING (q_id)""",
     // q209: Holt forecast — α=β=½ makes each smoothing step exact
     // integer arithmetic (FLOOR(x/2.0), never truncating DIV); the
     // oracle replays the fold as a RECURSIVE CTE rank-by-rank.
@@ -4019,18 +4058,7 @@ object SparkEntry {
            t.n_lines, t.n_lines - COUNT(k.line) AS n_dropped
          FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id
          GROUP BY t.doc_id, t.n_lines""",
-    "q30_ann_brute" ->
-      s"""WITH u AS ($normalizedVectors),
-         q AS (SELECT vec_id AS q_id, v AS qv FROM u
-               WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)),
-         s AS (SELECT q_id, u.vec_id,
-                 list_sum(list_transform(list_zip(qv, u.v), p -> p[1]*p[2])) AS cosine
-               FROM q JOIN u ON u.vec_id != q.q_id)
-         SELECT q_id, vec_id, cosine, CAST(rk AS INTEGER) AS rk FROM (
-           SELECT q_id, vec_id, cosine,
-             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rk
-           FROM s)
-         WHERE rk <= 10""",
+    "q30_ann_brute" -> annBruteOracle,
     // q183: MRL truncation audit — both rankings ride the q30
     // bit-portable fold cosine with (cos desc, vec_id) total order,
     // so the overlap count is exact; recall scales to integer bp.
@@ -4081,39 +4109,7 @@ object SparkEntry {
     // VectorExpressions.HyperplaneBucket.component), so the full LSH —
     // 32 sign bits, 8 tables x 4 bits, candidate join, exact cosine,
     // top-k — replays in SQL with bit-identical floats.
-    "q31_ann_lsh" ->
-      s"""WITH u AS ($normalizedVectors),
-         codes AS (
-           SELECT vec_id,
-             SUM(CASE WHEN s >= 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
-           FROM (
-             SELECT vec_id, p,
-               list_sum(list_transform(range(1, len(v) + 1), i ->
-                 v[i] * (('0x' || substr(md5(p::VARCHAR || '_' || (i - 1)::VARCHAR), 1, 15))::BIGINT
-                   / 1152921504606846976.0 - 0.5))) AS s
-             FROM u, (SELECT UNNEST(range(32)) AS p) planes)
-           GROUP BY 1),
-         chunks AS (
-           SELECT vec_id, c, (bucket >> (c * 4)) & 15 AS ck
-           FROM codes, (SELECT UNNEST(range(8)) AS c) t),
-         qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5),
-         cand AS (
-           SELECT DISTINCT q.vec_id AS q_id, c.vec_id
-           FROM chunks c
-           JOIN chunks q ON c.c = q.c AND c.ck = q.ck
-           WHERE q.vec_id IN (SELECT vec_id FROM qids)
-             AND c.vec_id != q.vec_id),
-         scored AS (
-           SELECT cand.q_id, cand.vec_id,
-             list_sum(list_transform(list_zip(uq.v, uc.v), p -> p[1] * p[2])) AS cosine
-           FROM cand
-           JOIN u uq ON uq.vec_id = cand.q_id
-           JOIN u uc ON uc.vec_id = cand.vec_id)
-         SELECT q_id, vec_id, cosine, CAST(rk AS INTEGER) AS rk FROM (
-           SELECT q_id, vec_id, cosine,
-             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rk
-           FROM scored)
-         WHERE rk <= 10""",
+    "q31_ann_lsh" -> annLshOracle,
     // q25 composes the oracles of its stages: lang gate (q40's SQL),
     // token gate (q42's), exact-dedup survivors (q20's), near-dup
     // drop-b set (q21/q22's exhaustive pairs at the same threshold).
@@ -5093,6 +5089,54 @@ object SparkEntry {
          JOIN sizes sb ON sb.doc_id = id_b
          WHERE CAST(n_common AS DOUBLE) /
              CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5"""
+
+  /** q30/q31 oracle bodies, shared with the q228 recall audit. */
+  private lazy val annBruteOracle: String =
+    s"""WITH u AS ($normalizedVectors),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM u
+               WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)),
+         s AS (SELECT q_id, u.vec_id,
+                 list_sum(list_transform(list_zip(qv, u.v), p -> p[1]*p[2])) AS cosine
+               FROM q JOIN u ON u.vec_id != q.q_id)
+         SELECT q_id, vec_id, cosine, CAST(rk AS INTEGER) AS rk FROM (
+           SELECT q_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rk
+           FROM s)
+         WHERE rk <= 10"""
+
+  private lazy val annLshOracle: String =
+    s"""WITH u AS ($normalizedVectors),
+         codes AS (
+           SELECT vec_id,
+             SUM(CASE WHEN s >= 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+           FROM (
+             SELECT vec_id, p,
+               list_sum(list_transform(range(1, len(v) + 1), i ->
+                 v[i] * (('0x' || substr(md5(p::VARCHAR || '_' || (i - 1)::VARCHAR), 1, 15))::BIGINT
+                   / 1152921504606846976.0 - 0.5))) AS s
+             FROM u, (SELECT UNNEST(range(32)) AS p) planes)
+           GROUP BY 1),
+         chunks AS (
+           SELECT vec_id, c, (bucket >> (c * 4)) & 15 AS ck
+           FROM codes, (SELECT UNNEST(range(8)) AS c) t),
+         qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5),
+         cand AS (
+           SELECT DISTINCT q.vec_id AS q_id, c.vec_id
+           FROM chunks c
+           JOIN chunks q ON c.c = q.c AND c.ck = q.ck
+           WHERE q.vec_id IN (SELECT vec_id FROM qids)
+             AND c.vec_id != q.vec_id),
+         scored AS (
+           SELECT cand.q_id, cand.vec_id,
+             list_sum(list_transform(list_zip(uq.v, uc.v), p -> p[1] * p[2])) AS cosine
+           FROM cand
+           JOIN u uq ON uq.vec_id = cand.q_id
+           JOIN u uc ON uc.vec_id = cand.vec_id)
+         SELECT q_id, vec_id, cosine, CAST(rk AS INTEGER) AS rk FROM (
+           SELECT q_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rk
+           FROM scored)
+         WHERE rk <= 10"""
 
   /** Shared (doc_id, score, is_en) SQL body — the q212/q218 scored
     * frame (Experiment.rocAucScored's twin).

@@ -894,4 +894,29 @@ object Similarity {
       (j.toLong, v(j).toLong, lambda.toLong))
       .toDF("dim", "v_micro", "lambda_scaled")
   }
+
+  /** The q228 driver entry: ANN RECALL AUDIT — the standard quality
+    * metric of an approximate index, as a first-class oracle-checked
+    * table: per query, |top-10(LSH) ∩ top-10(brute)| and recall in
+    * basis points. This is the number that justifies (or vetoes) the
+    * q31 index parameters in production — previously only asserted in
+    * specs, now under the driver hash via composition of the q30 and
+    * q31 oracles (the q183 MRL-audit device applied to the index
+    * itself).
+    *
+    * Scale shape: both inputs are top-k-bounded (queries x 10 rows);
+    * the audit is a join + count over that bounded set.
+    */
+  def annRecallAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val brute = annBrute(spark, sfDir).select(col("q_id"), col("vec_id"))
+    val lsh = annLsh(spark, sfDir).select(col("q_id"), col("vec_id"))
+    val overlap = brute.join(lsh, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+    brute.select(col("q_id")).distinct()
+      .join(overlap, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_overlap"), lit(0L)).cast("long").as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) * lit(1000L)).cast("long")
+          .as("recall_bp"))
+  }
 }

@@ -785,4 +785,36 @@ object TrainingPrep {
         (expr(s"((n_tokens + ${window - 1}L) DIV ${window}L) * ${window}L")
           - col("n_tokens")).cast("long").as("greedy_pack_waste"))
   }
+
+  /** The q227 driver entry: CONTEXT-WINDOW CHUNK MANIFEST — the most
+    * common preprocessing op in the stack: split every document into
+    * overlapping token windows (window 256, stride 192 — the HF
+    * sliding convention) and emit the chunk table a pretrain shuffler
+    * or RAG indexer consumes. A doc with t <= window is one chunk;
+    * otherwise chunk i starts at i*stride and the count is
+    * 1 + ceil((t - window)/stride) (integer ceil via
+    * (t - window + stride - 1) DIV stride), so the last chunk always
+    * reaches the document end and no chunk starts past it.
+    *
+    * Scale shape: pure row-local arithmetic + explode — zero shuffle;
+    * the manifest is the artifact, order-free.
+    */
+  def chunkManifest(
+      spark: SparkSession, sfDir: String,
+      window: Int = 256, stride: Int = 192): DataFrame = {
+    val t = TextAnalysis.tokenCount(col("text"))
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), t.as("t"))
+      .where(col("t") > 0)
+      .withColumn("n_chunks",
+        when(col("t") <= window, lit(1L))
+          .otherwise(lit(1L) +
+            expr(s"(t - $window + ${stride - 1}L) DIV ${stride}L")))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_tok"),
+        least(col("chunk_idx") * stride + window, col("t")).as("end_tok"))
+      .withColumn("n_toks", col("end_tok") - col("start_tok"))
+  }
 }

@@ -601,6 +601,14 @@ class DedupSpec extends AnyFunSuite {
       .contrastivePairs(spark, SparkTestSession.sf, negs = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.sorted.toSeq == again.sorted.toSeq)
+    // the draw join must broadcast the small pair side, never
+    // sort-merge the corpus
+    val plan = graft.operators.Dedup
+      .contrastivePairs(spark, SparkTestSession.sf, negs = 3)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"no broadcast join in contrastive plan:\n$plan")
   }
 
   test("quality survivors: exactly one keeper per cluster, the max-quality member") {

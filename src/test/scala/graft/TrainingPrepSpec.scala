@@ -427,6 +427,13 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(expMoved < n / 4, s"moved $expMoved of $n — elasticity broken")
     assert(got(8L)._1 == 0L, "shard 8 must be empty at N=8")
     assert(got(8L)._3 == got(8L)._2, "all shard-8 docs are arrivals")
+    // the zero-shuffle assignment claim: the argmax happens in-row,
+    // so NO window operator may appear anywhere in the plan
+    val plan = graft.operators.TrainingPrep
+      .rendezvousShards(spark, SparkTestSession.sf, shards = 8)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Window"), s"window in HRW plan:\n$plan")
   }
 
   test("group sample: exactly min(k, group size) rows per language, md5 order") {
@@ -497,6 +504,46 @@ class TrainingPrepSpec extends AnyFunSuite {
       assert(ov == ts.count(_ > 2048).toLong)
       assert(pad == ts.filter(_ <= 2048).map(2048L - _).sum)
       assert(pack == ((ts.sum + 2047) / 2048) * 2048 - ts.sum)
+    }
+  }
+
+  test("chunk manifest: coverage, overlap, and tail invariants") {
+    val spark = SparkTestSession.spark
+    val rows = graft.operators.TrainingPrep
+      .chunkManifest(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val toks = graft.sources.Tables
+      .load(spark, SparkTestSession.sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.split("\\s+").count(_.nonEmpty).toLong)
+      .filter(_._2 > 0).toMap
+    rows.groupBy(_._1).foreach { case (id, cs) =>
+      val t = toks(id)
+      val sorted = cs.sortBy(_._2)
+      // chunk 0 starts at 0; the LAST chunk ends exactly at t; no
+      // chunk starts at or past t; consecutive starts differ by stride
+      assert(sorted.head._3 == 0L)
+      assert(sorted.last._4 == t)
+      assert(sorted.forall(_._3 < t))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 - a._3 == 192L)
+        case _ =>
+      }
+      // every token position is covered by some chunk
+      assert(sorted.forall(c => c._5 == c._4 - c._3 && c._5 > 0))
+      val covered = sorted.map(c => (c._3, c._4))
+        .sortBy(_._1).foldLeft(0L) { case (reach, (s2, e2)) =>
+          assert(s2 <= reach, s"gap before $s2 in doc $id"); math.max(reach, e2)
+        }
+      assert(covered == t)
+      // expected chunk count
+      val exp = if (t <= 256) 1L else 1L + (t - 256 + 191) / 192
+      assert(sorted.length.toLong == exp)
     }
   }
 }
