@@ -248,6 +248,10 @@ object SparkEntry {
       TrainingPrep.chunkManifest(s, d)),
     "q228_ann_recall_audit" -> ((s: SparkSession, d: String) =>
       Similarity.annRecallAudit(s, d)),
+    "q229_numeral_dedup" -> ((s: SparkSession, d: String) =>
+      Dedup.numeralNormalizedDedup(s, d)),
+    "q230_budget_apportion" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.budgetApportion(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -2354,6 +2358,42 @@ object SparkEntry {
            CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
            CAST(COALESCE(n_overlap, 0) * 1000 AS BIGINT) AS recall_bp
          FROM qs LEFT JOIN ov USING (q_id)""",
+    // q229: numeral-normalized dedup — digit runs collapsed to '0'
+    // before the second fingerprint; the incremental catch only.
+    "q229_numeral_dedup" ->
+      s"""WITH fps AS (
+           SELECT doc_id, md5($normText) AS fp_exact,
+             md5(regexp_replace($normText, '[0-9]+', '0', 'g')) AS fp_num
+           FROM documents),
+         ec AS (SELECT fp_exact, CAST(COUNT(*) AS BIGINT) AS n_exact
+                FROM fps GROUP BY 1),
+         nc AS (SELECT fp_num, CAST(COUNT(*) AS BIGINT) AS n_num
+                FROM fps GROUP BY 1)
+         SELECT doc_id, fp_num, n_exact, n_num
+         FROM fps JOIN ec USING (fp_exact) JOIN nc USING (fp_num)
+         WHERE n_exact = 1 AND n_num > 1""",
+    // q230: Hamilton apportionment over q215's final weights —
+    // truncating-DIV quotas, exact mods, (rem desc, lang asc) seats.
+    "q230_budget_apportion" ->
+      s"""WITH w AS MATERIALIZED (
+           SELECT lang, w_micro FROM (${mixtureReweightOracleSql(10)}) t),
+         tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tw FROM w),
+         base AS (
+           SELECT lang, w_micro,
+             CAST((1000000 * w_micro) // tw AS BIGINT) AS quota,
+             CAST((1000000 * w_micro) % tw AS BIGINT) AS rem
+           FROM w, tot),
+         lo AS (SELECT CAST(1000000 - SUM(quota) AS BIGINT) AS seats
+                FROM base),
+         rk AS (
+           SELECT lang, w_micro, quota, rem,
+             CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC)
+               AS BIGINT) AS rk
+           FROM base)
+         SELECT lang, w_micro, quota, rem, rk,
+           CAST(quota + CASE WHEN rk <= lo.seats THEN 1 ELSE 0 END
+             AS BIGINT) AS alloc_tokens
+         FROM rk, lo""",
     // q209: Holt forecast — α=β=½ makes each smoothing step exact
     // integer arithmetic (FLOOR(x/2.0), never truncating DIV); the
     // oracle replays the fold as a RECURSIVE CTE rank-by-rank.

@@ -1320,4 +1320,37 @@ object Dedup {
       .select(col("id").as("doc_id"), col("cluster"), col("q_micro"),
         (col("id") === col("survivor")).as("keep"))
   }
+
+  /** The q229 driver entry: NUMERAL-NORMALIZED DEDUP — the CCNet
+    * refinement over exact dedup: boilerplate that differs only in
+    * digit runs (timestamps, counters, view numbers) escapes the
+    * exact fingerprint, so a second fingerprint hashes the normalized
+    * text with every digit run collapsed to '0'. The entry reports
+    * exactly the INCREMENTAL catch: docs that are unique under the
+    * exact fingerprint but duplicated under the numeral-normalized
+    * one, with both group sizes — the rows an operator reviews before
+    * widening the dedup predicate.
+    *
+    * Scale shape: two fingerprint aggregates over 16-byte digests
+    * (the q20 discipline), one digest-keyed join back; text never
+    * shuffles.
+    */
+  def numeralNormalizedDedup(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = TextAnalysis.normalizedText(col("text"))
+    val fps = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        md5(norm).as("fp_exact"),
+        md5(regexp_replace(norm, "[0-9]+", "0")).as("fp_num"))
+    val exactCounts = fps.groupBy(col("fp_exact"))
+      .agg(count(lit(1)).as("n_exact"))
+    val numCounts = fps.groupBy(col("fp_num"))
+      .agg(count(lit(1)).as("n_num"))
+    fps.join(exactCounts, Seq("fp_exact"))
+      .join(numCounts, Seq("fp_num"))
+      .where(col("n_exact") === 1 && col("n_num") > 1)
+      .select(col("doc_id"), col("fp_num"),
+        col("n_exact").cast("long").as("n_exact"),
+        col("n_num").cast("long").as("n_num"))
+  }
 }

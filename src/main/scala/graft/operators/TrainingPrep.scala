@@ -817,4 +817,38 @@ object TrainingPrep {
         least(col("chunk_idx") * stride + window, col("t")).as("end_tok"))
       .withColumn("n_toks", col("end_tok") - col("start_tok"))
   }
+
+  /** The q230 driver entry: LARGEST-REMAINDER BUDGET APPORTIONMENT —
+    * turn mixture weights into an actionable integer token allocation
+    * (Hamilton's method): each domain gets floor(B·w/Σw), and the
+    * leftover seats go to the largest fractional remainders
+    * (remainder desc, lang asc — a total order). Allocations tile the
+    * budget EXACTLY by construction; the weights here are q215's
+    * final MWU weights, closing the loop from loss signal to token
+    * budget.
+    *
+    * All integer: quotas are truncating DIVs, remainders exact mods,
+    * the seat rank a window over the |domains| table.
+    */
+  def budgetApportion(
+      spark: SparkSession, sfDir: String,
+      budget: Long = 1000000L): DataFrame = {
+    val w = TextAnalysis.mixtureReweight(spark, sfDir)
+      .select(col("lang"), col("w_micro"))
+    val tot = w.agg(sum(col("w_micro")).as("tw"))
+    val base = w.crossJoin(broadcast(tot))
+      .select(col("lang"), col("w_micro"),
+        expr(s"(${budget}L * w_micro) DIV tw").as("quota"),
+        expr(s"(${budget}L * w_micro) % tw").as("rem"),
+        col("tw"))
+    val leftover = base
+      .agg((lit(budget) - sum(col("quota"))).as("seats"))
+    val ranked = base.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("lang").asc)).cast("long"))
+    ranked.select(col("lang"), col("w_micro"), col("quota"),
+        col("rem"), col("rk"),
+        (col("quota") + when(col("rk") <= col("seats"), 1L)
+          .otherwise(0L)).as("alloc_tokens"))
+  }
 }

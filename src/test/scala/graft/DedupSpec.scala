@@ -638,4 +638,22 @@ class DedupSpec extends AnyFunSuite {
     // clustered set equals dropped44 plus the min-id representatives
     assert(dropped44.subsetOf(clustered))
   }
+
+  test("numeral-normalized dedup: catches digit-only variants, never exact dups") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val dir = "/tmp/graft-numdedup-test"
+    Seq(
+      (1L, "Page viewed 123 times today"),
+      (2L, "Page viewed 456 times today"),   // digit-variant of 1
+      (3L, "Page viewed 123 times today"),   // EXACT dup of 1 -> excluded
+      (4L, "something else entirely"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Dedup.numeralNormalizedDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // docs 1 and 3 are exact dups (n_exact=2) -> excluded; doc 2 is
+    // exact-unique but numeral-matches the 1/3 group (n_num=3)
+    assert(got.toSeq.sortBy(_._1) == Seq((2L, 1L, 3L)))
+  }
 }

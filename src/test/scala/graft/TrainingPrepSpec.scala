@@ -546,4 +546,23 @@ class TrainingPrepSpec extends AnyFunSuite {
       assert(sorted.length.toLong == exp)
     }
   }
+
+  test("budget apportionment: allocations tile the budget exactly, ordered by remainder") {
+    val spark = SparkTestSession.spark
+    val rows = graft.operators.TrainingPrep
+      .budgetApportion(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._6).sum == 1000000L, "allocations must tile the budget")
+    val tw = rows.map(_._2).sum
+    rows.foreach { case (_, w, quota, rem, _, alloc) =>
+      assert(quota == 1000000L * w / tw)
+      assert(rem == 1000000L * w % tw)
+      assert(alloc == quota || alloc == quota + 1)
+    }
+    // seat holders are exactly the largest remainders
+    val seats = rows.count(r => r._6 == r._3 + 1)
+    val bySeat = rows.sortBy(r => (-r._4, r._1)).take(seats)
+    assert(bySeat.forall(r => r._6 == r._3 + 1))
+  }
 }
