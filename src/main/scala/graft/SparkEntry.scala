@@ -252,6 +252,10 @@ object SparkEntry {
       Dedup.numeralNormalizedDedup(s, d)),
     "q230_budget_apportion" -> ((s: SparkSession, d: String) =>
       TrainingPrep.budgetApportion(s, d)),
+    "q231_decayed_activity" -> ((s: SparkSession, d: String) =>
+      Experiment.decayedActivity(s, d)),
+    "q232_markov_stationary" -> ((s: SparkSession, d: String) =>
+      Experiment.markovStationary(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -2394,6 +2398,25 @@ object SparkEntry {
            CAST(quota + CASE WHEN rk <= lo.seats THEN 1 ELSE 0 END
              AS BIGINT) AS alloc_tokens
          FROM rk, lo""",
+    // q231: recency decay — one truncating shift-divide per event
+    // (2^-age weight, the q209 half-life device), order-independent.
+    "q231_decayed_activity" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+           FROM events),
+         a AS (SELECT MAX(d) AS anchor FROM ev),
+         t AS (SELECT user_id, cents,
+             LEAST(anchor - d, 40) AS age
+           FROM ev, a)
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS raw_cents,
+           CAST(SUM(cents // (1::BIGINT << age)) AS BIGINT)
+             AS decayed_cents
+         FROM t GROUP BY 1""",
+    // q232: stationary distribution — generated 30-round chain over
+    // the bounded state domain, per-term truncating division.
+    "q232_markov_stationary" -> markovStationaryOracleSql(30),
     // q209: Holt forecast — α=β=½ makes each smoothing step exact
     // integer arithmetic (FLOOR(x/2.0), never truncating DIV); the
     // oracle replays the fold as a RECURSIVE CTE rank-by-rank.
@@ -5099,6 +5122,54 @@ object SparkEntry {
              ELSE vcv.vcv // vv.vv END AS BIGINT) AS lambda_scaled
          FROM v$iters v, vv, vcv"""
     (Seq(base) ++ rounds :+ tail).mkString("WITH ", ",\n", "")
+  }
+
+  /** Generated SQL twin of Experiment.markovStationary (q232). */
+  private def markovStationaryOracleSql(iters: Int): String = {
+    val base =
+      """counts AS MATERIALIZED (
+           SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM (
+             SELECT event_type AS from_type,
+               LEAD(event_type, 1) OVER (PARTITION BY user_id
+                 ORDER BY ts ASC, event_id ASC) AS to_type
+             FROM events) t
+           WHERE to_type IS NOT NULL
+           GROUP BY 1, 2),
+         states AS MATERIALIZED (
+           SELECT from_type AS state FROM counts
+           UNION SELECT to_type FROM counts),
+         rowsums AS MATERIALIZED (
+           SELECT from_type AS state, CAST(SUM(n) AS BIGINT) AS rsum
+           FROM counts GROUP BY 1),
+         pi0 AS MATERIALIZED (
+           SELECT state, CAST(1000000 AS BIGINT) AS pi FROM states)"""
+    val rounds = (1 to iters).flatMap { r =>
+      Seq(
+        s"""r$r AS MATERIALIZED (
+           SELECT st.state,
+             CAST(COALESCE(SUM((p.pi * c.n) // rs.rsum), 0) AS BIGINT)
+               AS pi
+           FROM states st
+           LEFT JOIN counts c ON c.to_type = st.state
+           LEFT JOIN pi${r - 1} p ON p.state = c.from_type
+           LEFT JOIN rowsums rs ON rs.state = c.from_type
+           GROUP BY 1)""",
+        s"""s$r AS (SELECT CAST(SUM(pi) AS HUGEINT) AS sp FROM r$r)""",
+        s"""pi$r AS MATERIALIZED (
+           SELECT state,
+             CASE WHEN s.sp = 0 THEN p.pi
+               ELSE CAST(CAST(r.pi AS HUGEINT) * 1000000 // s.sp
+                 AS BIGINT) END AS pi
+           FROM r$r r JOIN pi${r - 1} p USING (state), s$r s)""")
+    }
+    (Seq(base) ++ rounds).mkString("WITH ", ",\n", "\n") +
+      s"""SELECT st.state,
+           CAST(COALESCE(rs.rsum, 0) AS BIGINT) AS n_out,
+           p.pi AS pi_micro
+         FROM states st
+         JOIN pi$iters p USING (state)
+         LEFT JOIN rowsums rs USING (state)"""
   }
 
   /** SQL twin of Experiment.rocAuc: the q41 stopword/token twins for

@@ -581,4 +581,82 @@ object Experiment {
             .cast("long"))
           .as("kappa_micro"))
   }
+
+  /** The q231 driver entry: RECENCY-DECAYED ACTIVITY — the standard
+    * engagement feature (exponentially time-decayed spend) with the
+    * q209 exactness device: a half-life of one day makes the weight
+    * 2^-age, so each event's contribution is cents DIV (1 << age) —
+    * one truncating shift-divide per event, exact in both engines,
+    * ORDER-INDEPENDENT under any partitioning (no float accumulator,
+    * no exp()). Age anchors at the corpus max date and caps at 40
+    * (beyond which the term is zero for any realistic amount).
+    *
+    * Scale shape: one fact pass with a broadcast 1-row anchor,
+    * map-side combined to the user domain.
+    */
+  def decayedActivity(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("ts").cast("date").as("d"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+    val anchor = ev.agg(max(col("d")).as("anchor"))
+    ev.crossJoin(broadcast(anchor))
+      .withColumn("age",
+        least(datediff(col("anchor"), col("d")), lit(40)).cast("int"))
+      .withColumn("term", expr("cents DIV shiftleft(1L, age)"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("raw_cents"),
+        sum(col("term")).as("decayed_cents"))
+      .select(col("user_id"), col("n_events").cast("long").as("n_events"),
+        col("raw_cents").cast("long").as("raw_cents"),
+        col("decayed_cents").cast("long").as("decayed_cents"))
+  }
+
+  /** The q232 driver entry: MARKOV STATIONARY DISTRIBUTION of the
+    * user-journey chain — where q121 reports one-step transition
+    * probabilities, the stationary vector answers "where do journeys
+    * SPEND their time", the quantity behind PageRank-style content
+    * scoring and session-mix forecasting. The q214 integer device on
+    * the q121 counts: pi iterates as
+    * pi'[j] = Σ_i (pi[i]·n(i,j)) DIV rowsum(i) (per-TERM truncating
+    * division, so the sum is order-independent), renormalized to 1e6
+    * each round; 30 rounds on the collected types² table driver-side
+    * in BigInt; the oracle replays the rounds as generated
+    * MATERIALIZED CTEs over the bounded state domain.
+    *
+    * Scale shape: the lead-window transition count is the only
+    * fact-scale stage (q121's); iteration cost is O(types²·T),
+    * corpus-independent.
+    */
+  def markovStationary(
+      spark: SparkSession, sfDir: String, iters: Int = 30): DataFrame = {
+    import spark.implicits._
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val counts = Tables.load(spark, sfDir, "events")
+      .withColumn("to_type", lead(col("event_type"), 1).over(order))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = (counts.map(_._1) ++ counts.map(_._2)).distinct.sorted
+    val idx = states.zipWithIndex.toMap
+    val k = states.length
+    val nMat = Array.ofDim[Long](k, k)
+    counts.foreach { case (f, t, n) => nMat(idx(f))(idx(t)) = n }
+    val rowsum = nMat.map(_.sum)
+    var pi = Array.fill(k)(BigInt(1000000))
+    for (_ <- 1 to iters) {
+      val raw = Array.tabulate(k)(j =>
+        (0 until k).map(i =>
+          if (rowsum(i) == 0) BigInt(0)
+          else pi(i) * nMat(i)(j) / rowsum(i)).sum)
+      val sp = raw.sum
+      if (sp != 0) pi = raw.map(_ * 1000000 / sp)
+    }
+    states.indices.map(i =>
+      (states(i), rowsum(i), pi(i).toLong))
+      .toDF("state", "n_out", "pi_micro")
+  }
 }

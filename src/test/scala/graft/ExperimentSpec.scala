@@ -360,4 +360,72 @@ class ExperimentSpec extends AnyFunSuite {
     // chance — so only the ordering is asserted)
     assert(kappa < agree * 1000000L / n)
   }
+
+  test("decayed activity: per-event shift-divide recount") {
+    val spark = SparkTestSession.spark
+    val got = graft.operators.Experiment
+      .decayedActivity(spark, SparkTestSession.sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val ev = graft.sources.Tables
+      .load(spark, SparkTestSession.sf, "events")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("ts").cast("date").as("d"),
+        org.apache.spark.sql.functions.floor(
+          org.apache.spark.sql.functions.col("value") * 100.0 + 0.5)
+          .cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val anchor = ev.map(_._2.toEpochDay).max
+    val exp = ev.groupBy(_._1).view.mapValues { es =>
+      val terms = es.map { case (_, d, c) =>
+        val age = math.min(anchor - d.toEpochDay, 40L).toInt
+        c / (1L << age)
+      }
+      (es.length.toLong, es.map(_._3).sum, terms.sum)
+    }.toMap
+    assert(got == exp)
+  }
+
+  test("markov stationary: normalized, deterministic, tracks the double-precision chain") {
+    val spark = SparkTestSession.spark
+    val rows = graft.operators.Experiment
+      .markovStationary(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val total = rows.map(_._3).sum
+    assert(math.abs(total - 1000000L) <= rows.length,
+      s"pi must renormalize to ~1e6, got $total")
+    assert(rows.forall(_._3 >= 0))
+    // double-precision reference chain from the same counts
+    val counts = graft.sources.Tables
+      .load(spark, SparkTestSession.sf, "events")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getString(3)))
+      .groupBy(_._1).values.flatMap { es =>
+        val sorted = es.sortBy(e => (e._2, e._3)).map(_._4)
+        sorted.zip(sorted.drop(1))
+      }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val states = rows.map(_._1).sorted
+    val idx = states.zipWithIndex.toMap
+    val k = states.length
+    val m = Array.ofDim[Double](k, k)
+    counts.foreach { case ((f, t), n) => m(idx(f))(idx(t)) = n.toDouble }
+    val rs = m.map(_.sum)
+    var pi = Array.fill(k)(1.0 / k)
+    (1 to 200).foreach { _ =>
+      val nw = Array.tabulate(k)(j =>
+        (0 until k).map(i => if (rs(i) == 0) 0.0 else pi(i) * m(i)(j) / rs(i)).sum)
+      val sp = nw.sum
+      pi = nw.map(_ / sp)
+    }
+    rows.foreach { case (st, _, p) =>
+      assert(math.abs(p / 1e6 - pi(idx(st))) < 0.01,
+        s"state $st integer pi ${p / 1e6} vs reference ${pi(idx(st))}")
+    }
+  }
 }
