@@ -256,6 +256,8 @@ object SparkEntry {
       Experiment.decayedActivity(s, d)),
     "q232_markov_stationary" -> ((s: SparkSession, d: String) =>
       Experiment.markovStationary(s, d)),
+    "q233_gains_table" -> ((s: SparkSession, d: String) =>
+      Experiment.gainsTable(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -2417,6 +2419,34 @@ object SparkEntry {
     // q232: stationary distribution — generated 30-round chain over
     // the bounded state domain, per-term truncating division.
     "q232_markov_stationary" -> markovStationaryOracleSql(30),
+    // q233: gains/lift deciles over the q212 scored frame — rank
+    // arithmetic deciles, truncating-DIV capture and lift.
+    "q233_gains_table" ->
+      s"""WITH sc AS ($scoredDocsSql),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sc),
+         rk AS (
+           SELECT doc_id, score, is_en,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+               AS BIGINT) AS rk
+           FROM sc),
+         d AS (
+           SELECT (10 * (rk - 1)) // nn.n AS decile, is_en FROM rk, nn),
+         per AS (
+           SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos
+           FROM d GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS tp FROM per),
+         cum AS (
+           SELECT decile, n_docs, n_pos,
+             CAST(SUM(n_pos) OVER (ORDER BY decile ASC ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+           FROM per)
+         SELECT CAST(decile AS BIGINT) AS decile, n_docs, n_pos, cum_pos,
+           CAST((cum_pos * 1000000) // tp AS BIGINT) AS capture_micro,
+           CAST((cum_pos * 10000000) // (tp * (decile + 1)) AS BIGINT)
+             AS lift_micro
+         FROM cum, tot""",
     // q209: Holt forecast — α=β=½ makes each smoothing step exact
     // integer arithmetic (FLOOR(x/2.0), never truncating DIV); the
     // oracle replays the fold as a RECURSIVE CTE rank-by-rank.

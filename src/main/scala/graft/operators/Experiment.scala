@@ -659,4 +659,45 @@ object Experiment {
       (states(i), rowsum(i), pi(i).toLong))
       .toDF("state", "n_out", "pi_micro")
   }
+
+  /** The q233 driver entry: GAINS/LIFT TABLE — the third leg of
+    * scorer evaluation beside q212's AUC (ranking power) and q218's
+    * calibration (probability honesty): rank the corpus by score
+    * descending, cut into deciles, and report per decile the positive
+    * count, the cumulative capture share (of all positives), and the
+    * lift vs uniform — the table behind "the top 20% of the ranking
+    * captures X% of the targets", which is how a filtering budget is
+    * actually chosen.
+    *
+    * All integer: the decile is exact rank arithmetic
+    * ((10·(rk−1)) DIV n), shares and lift are truncating DIVs of
+    * exact counts (lift in micro: capture·10·1e6 / (decile+1) ... the
+    * cumulative-uniform baseline (decile+1)/10).
+    *
+    * Scale shape: doc-grain rank window (q202's bucketed device at
+    * 100 TB), then a 10-row aggregate + bounded cumulative window.
+    */
+  def gainsTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = rocAucScored(spark, sfDir)
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("decile", expr("(10 * (rk - 1)) DIV n"))
+    val per = ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_en"), 1L).otherwise(0L)).as("n_pos"))
+    val wCum = Window.orderBy(col("decile").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = per.agg(sum(col("n_pos")).as("tp"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum).cast("long"))
+      .select(col("decile"), col("n_docs").cast("long").as("n_docs"),
+        col("n_pos").cast("long").as("n_pos"), col("cum_pos"),
+        expr("(cum_pos * 1000000) DIV tp").as("capture_micro"),
+        expr("(cum_pos * 10000000) DIV (tp * (decile + 1))")
+          .as("lift_micro"))
+  }
 }

@@ -428,4 +428,35 @@ class ExperimentSpec extends AnyFunSuite {
         s"state $st integer pi ${p / 1e6} vs reference ${pi(idx(st))}")
     }
   }
+
+  test("gains table: decile recount, monotone capture, lift telescopes to 1") {
+    val spark = SparkTestSession.spark
+    val rows = graft.operators.Experiment
+      .gainsTable(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L to 9L).toSeq)
+    val scored = graft.operators.Experiment
+      .rocAucScored(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val n = scored.length.toLong
+    val orderKey = scored.sortBy { case (id, sc, _) => (-sc, id) }
+    val exp = orderKey.zipWithIndex.groupBy { case (_, i) =>
+      10L * i / n
+    }.view.mapValues { xs =>
+      (xs.length.toLong, xs.count(_._1._3).toLong)
+    }.toMap
+    val tp = scored.count(_._3).toLong
+    var cum = 0L
+    rows.foreach { case (d, nd, np, cp, cap, lift) =>
+      assert((nd, np) == exp(d), s"decile $d")
+      cum += np
+      assert(cp == cum)
+      assert(cap == cum * 1000000L / tp)
+      assert(lift == cum * 10000000L / (tp * (d + 1)))
+    }
+    // capture is monotone and ends at 100%; the final lift is exactly 1
+    assert(rows.last._5 == 1000000L && rows.last._6 == 1000000L)
+  }
 }
