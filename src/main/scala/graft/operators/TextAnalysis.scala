@@ -413,9 +413,29 @@ object TextAnalysis {
       .select(regexp_replace(bpeSafeText(col("text")), "(?s)(.)", SEP + "$1" + SEP)
         .as("stream"))
     import spark.implicits._
-    bpeMergeLoop(checkpointStreams(streams), rounds)
+    bpeMergeLoop(checkpointStreams(weightStreams(streams)), rounds)
       .toDF("merge_round", "left_sym", "right_sym", "merged", "n")
   }
+
+  /** DICTIONARY COLLAPSE (round-12): fold identical sentinel streams
+    * into one (stream, cnt) row before the merge loop — the device
+    * production trainers (Sennrich's subword-nmt lineage) use: pair
+    * counts, merges, and per-round checkpoints then touch UNIQUE
+    * streams, with `cnt` weighting the pair aggregate. Results are
+    * EXACTLY those of the unweighted loop (a pair occurring k times
+    * in a stream repeated c times contributes k*c either way —
+    * TextAnalysisSpec pins the equivalence against the raw recount
+    * twin). On a corpus with duplication factor d the per-round
+    * corpus-wide replace + checkpoint — the round-11 audit's
+    * surviving scale term — shrinks by d; a fully-deduplicated
+    * fixture passes through at cost one exchange of distinct streams
+    * (map-side partial aggregation collapses duplicates before the
+    * shuffle, so each executor ships each distinct stream at most
+    * once). The q111 dictionary-blocking lesson applied to the
+    * tokenizer.
+    */
+  private def weightStreams(streams: DataFrame): DataFrame =
+    streams.groupBy(col("stream")).agg(count(lit(1)).as("cnt"))
 
   /** Recount-loop twin of `bpeTrainOn` — the differential oracle the
     * spec pins the incremental loop against (never a driver entry).
@@ -448,7 +468,11 @@ object TextAnalysis {
       .localCheckpoint(true)
 
   /** The shared BPE merge loop: INCREMENTAL pair-count maintenance
-    * (round-11). The recount loop below scans every symbol of the
+    * (round-11) + DICTIONARY WEIGHTING and MERGE BATCHING (round-12).
+    * Input is the collapsed (stream, cnt) dictionary (weightStreams);
+    * every pair aggregate weights by cnt, so per-round corpus work is
+    * bounded by UNIQUE streams while results equal the raw unweighted
+    * loop exactly. The recount twin below scans every symbol of the
     * corpus into a hash aggregate EVERY round — at a 32k-vocab target
     * (1,600x the fixture's 20 rounds) that full recount per round is
     * the scale-killer the round-10 audit flagged. Real trainers
@@ -456,44 +480,57 @@ object TextAnalysis {
     * merging (l,r), only streams that CONTAIN the merged pair change
     * their pair multiset. This loop keeps the pair-count table as a
     * checkpointed frame over the distinct-pair domain (<= vocab^2,
-    * thousands — never the corpus) and per round:
-    *   1. argmax from the COUNTS TABLE (tiny scan — no corpus read);
-    *   2. rows matching the merge pattern (one codegen'd `contains`
-    *      scan — the only corpus-wide touch) emit their before-pairs
-    *      at -1 and after-pairs at +1; the summed delta patches the
-    *      counts table via a full-outer join of two small frames;
-    *   3. the stream itself updates by the same single `replace` as
-    *      before (a no-op on unmatched rows).
+    * thousands — never the corpus) and per iteration:
+    *   1. top-M from the COUNTS TABLE (tiny scan — no corpus read);
+    *   2. rows matching ANY batched merge pattern (one codegen'd
+    *      `contains` scan — the only corpus-wide touch) emit their
+    *      before-pairs at -cnt and after-pairs at +cnt; the summed
+    *      delta patches the counts table via a full-outer join of two
+    *      small frames;
+    *   3. the stream itself updates by ONE chained codegen'd
+    *      `replace` pass applying the whole batch (a no-op on
+    *      unmatched rows).
+    * MERGE BATCHING (round-12): instead of one merge per corpus pass,
+    * the loop takes the top-M ranked pairs and applies the longest
+    * prefix that provably yields the SAME merge sequence as the
+    * sequential loop (selectBatch — symbol-disjointness, concat
+    * guards, strict count drop after the batch; see its scaladoc for
+    * the proof obligations). Each corpus pass then retires k merges
+    * instead of one — on the fixture's frequent regime this roughly
+    * halves the passes; correctness never rests on it (an invalid
+    * prefix degrades to the sequential singleton).
     * The per-row delta is computed whole-row (before/after multiset
     * diff), which is row-local and exact — position-local deltas
     * (touching only symbols adjacent to each occurrence) would save
     * more but need per-occurrence bookkeeping no built-in expresses.
     * The loop is TWO-PHASE: while pairs are FREQUENT (argmax count
-    * n >= rows/3 — the early rounds, where the whole-row double-
+    * n >= weight/3 — the early rounds, where the whole-row double-
     * explode would cost ~2x a recount because nearly every row
     * matches) it runs the plain recount argmax with NO counts table
     * at all, byte-identical in cost to the recount loop. The argmax
     * count is non-increasing over merges (every delta either lowers a
     * pair's count or creates a pair bounded by n), so once n drops
-    * below rows/3 the loop bootstraps the counts table with one
+    * below weight/3 the loop bootstraps the counts table with one
     * recount and switches PERMANENTLY to delta maintenance — the
     * regime of the 31,980 late rounds of a 32k-vocab run, where a
     * round costs only the `contains` scan plus the matched explode.
     * (A delta-mode round whose pair turns frequent again just
     * refreshes by recount — a performance fallback, not a correctness
-    * branch.) Measured at q155's 20 fixture rounds the always-delta
-    * form read 12.3 s vs 10.4 s recount; two-phase keeps the recount
-    * cost there and the asymptotic win. At 100 TB the
-    * stream update itself writes per-round deltas (changed rows only)
-    * to a merge-on-read table instead of rewriting the corpus; subword
-    * trainers additionally keep a pair -> containing-streams index to
-    * skip the contains scan, a refinement documented rather than built
-    * (no Spark built-in maintains it incrementally).
+    * branch. In delta mode the batch is additionally capped so its
+    * cumulative count stays under weight/3, keeping the matched
+    * explode within the bound the phase switch promises.) At 100 TB
+    * the stream update itself writes per-round deltas (changed rows
+    * only) to a merge-on-read table instead of rewriting the corpus;
+    * subword trainers additionally keep a pair -> containing-streams
+    * index to skip the contains scan, a refinement documented rather
+    * than built (no Spark built-in maintains it incrementally).
     *
     * Results are IDENTICAL to the recount loop (the counts table holds
-    * exact counts, so every argmax and tie-break agrees);
-    * TextAnalysisSpec pins the equivalence on adversarial literals and
-    * the DuckDB oracle replays the recount form.
+    * exact weighted counts, so every argmax and tie-break agrees);
+    * TextAnalysisSpec pins the equivalence on adversarial literals
+    * (duplicates, batch-refusal shapes, concat collisions) plus a
+    * randomized property sweep, and the DuckDB oracle replays the
+    * recount form.
     */
   private def bpeMergeLoop(streams0: DataFrame, rounds: Int)
       : Seq[(Int, String, String, String, Long)] = {
@@ -516,40 +553,67 @@ object TextAnalysis {
             element_at(col("syms"), i).as("l"),
             element_at(col("syms"), i + 1).as("r")))).as("p"): _*)
     def recount(df: DataFrame): DataFrame =
-      explodePairs(df, "stream", Seq.empty)
+      explodePairs(df, "stream", Seq(col("cnt")))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("cnt")).as("n"))
     var streams = streams0
     var lastCkpt = streams
-    // row count for the phase threshold (streams0 is checkpointed —
-    // a cheap scan, once per training run)
-    val totalRows = streams0.count()
+    // weighted corpus size (sum of dictionary counts == raw rows) for
+    // the phase threshold (streams0 is checkpointed — a cheap scan,
+    // once per training run)
+    val w0 = streams0.agg(sum(col("cnt"))).head()
+    val totalW = if (w0.isNullAt(0)) 0L else w0.getLong(0)
+    // SYMBOL UNIVERSE for the batch concat guard: the base alphabet
+    // (distinct symbols — codepoints seen, or <=256 byte values; one
+    // up-front bounded collect) plus every merged symbol, appended
+    // driver-side as merges are recorded. selectBatch consults it to
+    // refuse batching a merge whose concat collides with a live
+    // symbol (see its scaladoc).
+    val vocab = scala.collection.mutable.Set.empty[String]
+    streams0
+      .select(explode(split(btrim(col("stream"), lit(SEP)), SEP + SEP)).as("s"))
+      .distinct().collect().foreach(r => vocab += r.getString(0))
     // delta-phase state: the checkpointed pair-count table (null while
     // still in the recount phase)
     var counts: DataFrame = null
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var r = 1
     var exhausted = false
+    val M = 16
     while (r <= rounds && !exhausted) {
-      val top =
+      val topRows =
         (if (counts == null) recount(streams) else counts)
           .orderBy(col("n").desc, col("l").asc, col("r").asc)
-          .limit(1).collect()
-      if (top.isEmpty) exhausted = true
+          .limit(M).collect()
+      if (topRows.isEmpty) exhausted = true
       else {
-        val (l, rt, n) =
-          (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
-        merges += ((r, l, rt, l + rt, n))
-        val pat = SEP + l + SEP + SEP + rt + SEP
-        val merged = SEP + l + rt + SEP
+        val ranked = topRows.toSeq.map(t =>
+          (t.getString(0), t.getString(1), t.getLong(2)))
+        val frequent = ranked.head._3 >= totalW / 3
+        // true-delta iterations cap the batch's cumulative count so
+        // the matched-row explode stays within the phase bound
+        val cap =
+          if (counts != null && !frequent)
+            Some(math.max(totalW / 3, ranked.head._3))
+          else None
+        val batch = selectBatch(ranked, vocab,
+          math.min(8, rounds - r + 1), complete = ranked.size < M, cap)
+        batch.zipWithIndex.foreach { case ((l, rt, n), i) =>
+          merges += ((r + i, l, rt, l + rt, n))
+          vocab += (l + rt)
+        }
+        val pats = batch.map { case (l, rt, _) =>
+          (SEP + l + SEP + SEP + rt + SEP, SEP + l + rt + SEP) }
+        def applyBatch(c: Column): Column =
+          pats.foldLeft(c) { case (s, (p, m)) =>
+            replace(s, lit(p), lit(m)) }
         val oldStreams = streams
-        // stream update + checkpoint: same single codegen'd replace
-        // as the recount loop (see its checkpoint-cadence note)
+        // stream update + checkpoint: ONE chained codegen'd replace
+        // pass retires the whole batch (see the recount loop's
+        // checkpoint-cadence note)
         streams = streams
-          .withColumn("stream",
-            replace(col("stream"), lit(pat), lit(merged)))
+          .withColumn("stream", applyBatch(col("stream")))
           .localCheckpoint(true)
-        val frequent = n >= totalRows / 3
         val nextCounts =
           if (counts == null && frequent) null // stay in recount phase
           else if (frequent) {
@@ -558,21 +622,24 @@ object TextAnalysis {
             recount(streams).localCheckpoint(true)
           } else if (counts == null) {
             // SWITCH: bootstrap the counts table off the replaced
-            // stream; every later round is delta-maintained
+            // stream; every later iteration is delta-maintained
             recount(streams).localCheckpoint(true)
           } else {
-            // rare pair: delta over MATCHED rows only — before-pairs
-            // at -1, the replaced stream's pairs at +1, summed over
-            // the (bounded) pair domain, patched into the counts table
+            // rare batch: delta over MATCHED rows only — before-pairs
+            // at -cnt, the replaced stream's pairs at +cnt, summed
+            // over the (bounded) pair domain, patched into the counts
+            // table
+            val matched = pats.map { case (p, _) =>
+              col("stream").contains(p) }.reduce(_ || _)
             val delta = explodePairs(
               oldStreams
-                .where(col("stream").contains(pat))
-                .select(posexplode(array(
-                  col("stream"),
-                  replace(col("stream"), lit(pat), lit(merged))))),
-              "col", Seq(col("pos")))
+                .where(matched)
+                .select(col("cnt"), posexplode(array(
+                  col("stream"), applyBatch(col("stream"))))),
+              "col", Seq(col("cnt"), col("pos")))
               .select(col("p"),
-                when(col("pos") === 0, -1L).otherwise(1L).as("d"))
+                (when(col("pos") === 0, lit(-1L)).otherwise(lit(1L)) *
+                  col("cnt")).as("d"))
               .groupBy(col("p.l").as("l"), col("p.r").as("r"))
               .agg(sum(col("d")).as("d"))
               .where(col("d") =!= 0)
@@ -592,13 +659,91 @@ object TextAnalysis {
         counts = nextCounts
         lastCkpt.unpersist()
         lastCkpt = streams
-        r += 1
+        r += batch.size
       }
     }
     lastCkpt.unpersist()
     if (counts != null) counts.unpersist()
     merges.result()
   }
+
+  /** Select the longest top-ranked prefix of `ranked` (sorted by the
+    * loop ordering: n desc, l asc, r asc) that PROVABLY produces the
+    * same merge sequence as applying one argmax at a time — the
+    * round-12 batching device. The sequential loop's pick at step j
+    * is the argmax of the counts AFTER merges 1..j-1; a prefix
+    * p1..pk is safe when those earlier merges can neither change any
+    * later batch pair's count nor create/boost a pair that would
+    * outrank it:
+    *
+    *   1. PAIRWISE SYMBOL-DISJOINT — merging (l,r) only changes
+    *      counts of pairs touching l or r, so disjoint later picks
+    *      keep their table count (recorded n is exact);
+    *   2. NO CONCAT ALIASING — a later pair may not use an earlier
+    *      batch concat as a symbol (its count changes mid-batch), no
+    *      two batch pairs may share one concat string, and a pair
+    *      whose concat equals a LIVE vocabulary symbol ends the batch
+    *      (merging it adds occurrences to existing pairs over that
+    *      symbol — safe only with no later in-batch picks); a
+    *      self-pair (l==r) likewise ends the batch (its own merged
+    *      symbol chains: "aa" from "aaaa" creates (aa,aa) unbounded
+    *      by any neighbor in the table);
+    *   3. STRICT DROP — every pair OUTSIDE the prefix must count
+    *      strictly below the weakest batch member: new pairs created
+    *      by merging pi are bounded by a neighbor pair's old count
+    *      ((x,l+r) occurrences each come from an (x,l) adjacency),
+    *      and any neighbor sharing a symbol with the batch sits
+    *      outside it (disjointness), hence under that strict bound —
+    *      so no created pair can outrank a remaining batch member,
+    *      even by tie-break.
+    *
+    *   `cap` (delta-phase): additionally trim so cumulative n stays
+    *   under the phase bound (performance, not correctness).
+    *
+    * Falls back to the plain sequential singleton whenever the checks
+    * refuse — batching is a pure optimization with zero semantic
+    * surface. Pure driver-side function; property-pinned against the
+    * recount twin in TextAnalysisSpec.
+    */
+  private[graft] def selectBatch(
+      ranked: Seq[(String, String, Long)],
+      vocab: String => Boolean,
+      maxK: Int,
+      complete: Boolean,
+      cap: Option[Long] = None): Seq[(String, String, Long)] = {
+    if (ranked.isEmpty) return Seq.empty
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val used = scala.collection.mutable.Set.empty[String]
+    val concats = scala.collection.mutable.Set.empty[String]
+    // an incomplete listing hides ties at rank M — never take all M
+    val limit = math.min(maxK, if (complete) ranked.size else ranked.size - 1)
+    var stop = false
+    val it = ranked.iterator
+    while (!stop && buf.size < limit && it.hasNext) {
+      val (l, rt, n) = it.next()
+      if (used(l) || used(rt) || concats(l) || concats(rt) ||
+          concats(l + rt)) stop = true // conflict: batch ends BEFORE this pair
+      else {
+        buf += ((l, rt, n))
+        used += l; used += rt; concats += (l + rt)
+        // terminal-include shapes: safe as the LAST member only
+        if (l == rt || vocab(l + rt)) stop = true
+      }
+    }
+    var out = buf.toSeq
+    cap.foreach { c =>
+      var cum = 0L
+      out = out.takeWhile { case (_, _, n) =>
+        cum += n; cum <= c || cum == n } // always keep the head
+    }
+    // strict-drop: pop while the weakest member ties the first
+    // excluded pair (sorted desc, so this clears the whole tie group)
+    while (out.size > 1 && out.size < ranked.size &&
+        out.last._3 == ranked(out.size)._3)
+      out = out.init
+    if (out.isEmpty) Seq(ranked.head) else out
+  }
+
 
   /** The ORIGINAL full-recount merge loop — every round scans the
     * whole corpus into a pair aggregate. Kept as the differential
@@ -703,10 +848,10 @@ object TextAnalysis {
       spark: SparkSession, docs: DataFrame,
       vocabTarget: Int, maxRounds: Int): DataFrame = {
     val SEP = "\u0001"
-    val streams = checkpointStreams(docs
+    val streams = checkpointStreams(weightStreams(docs
       .where(octet_length(col("text")) >= 2)
       .select(regexp_replace(hex(encode(col("text"), "UTF-8")),
-        "(..)", SEP + "$1" + SEP).as("stream")))
+        "(..)", SEP + "$1" + SEP).as("stream"))))
     // observed base vocabulary: distinct bytes present in the corpus
     // (<= 256 by construction) — the v0 the stop criterion counts
     // from. Reads the checkpointed copy: one distributed scan, no
@@ -780,7 +925,8 @@ object TextAnalysis {
       }
       val streams = docs.where(length(col("text")) >= 2)
         .select(applied.as("stream"))
-      val ext = bpeMergeLoop(checkpointStreams(streams), extraRounds)
+      val ext = bpeMergeLoop(
+        checkpointStreams(weightStreams(streams)), extraRounds)
         .map { case (r, l, rt, m, n) => (baseRounds + r, l, rt, m, n) }
         .toDF("merge_round", "left_sym", "right_sym", "merged", "n")
       baseDf.withColumn("phase", lit("base"))

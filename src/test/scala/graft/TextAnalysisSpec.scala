@@ -208,6 +208,74 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(incF == recF)
   }
 
+  test("bpe batch selection: prefix validity rules (round-12)") {
+    import TextAnalysis.selectBatch
+    val noVocab = (_: String) => false
+    // disjoint complete listing: whole list batches
+    assert(selectBatch(Seq(("a", "b", 10L), ("c", "d", 9L), ("e", "f", 3L)),
+      noVocab, 8, complete = true) ===
+      Seq(("a", "b", 10L), ("c", "d", 9L), ("e", "f", 3L)))
+    // shared symbol ends the batch before the conflicting pair
+    assert(selectBatch(Seq(("a", "b", 10L), ("b", "c", 9L), ("e", "f", 3L)),
+      noVocab, 8, complete = true) === Seq(("a", "b", 10L)))
+    // strict-drop: a tie at the cut (maxK) pops the whole tie group
+    assert(selectBatch(Seq(("a", "b", 10L), ("c", "d", 5L), ("e", "f", 5L)),
+      noVocab, 2, complete = true) === Seq(("a", "b", 10L)))
+    // self-pair is terminal-include: its merged symbol chains
+    assert(selectBatch(Seq(("a", "a", 10L), ("c", "d", 9L)),
+      noVocab, 8, complete = true) === Seq(("a", "a", 10L)))
+    // concat aliasing a live vocabulary symbol is terminal-include
+    assert(selectBatch(Seq(("a", "b", 10L), ("c", "d", 9L)),
+      (sym: String) => sym == "ab", 8, complete = true) ===
+      Seq(("a", "b", 10L)))
+    // a later pair using an earlier batch concat as a symbol stops
+    assert(selectBatch(Seq(("a", "b", 10L), ("ab", "c", 9L)),
+      noVocab, 8, complete = true) === Seq(("a", "b", 10L)))
+    // two pairs sharing one concat string stops before the second
+    assert(selectBatch(Seq(("a", "bc", 10L), ("ab", "c", 9L)),
+      noVocab, 8, complete = true) === Seq(("a", "bc", 10L)))
+    // delta-phase cap trims by cumulative count
+    assert(selectBatch(Seq(("a", "b", 10L), ("c", "d", 9L), ("e", "f", 8L)),
+      noVocab, 8, complete = true, cap = Some(19L)) ===
+      Seq(("a", "b", 10L), ("c", "d", 9L)))
+    // incomplete listing may hide ties at rank M: never take all M
+    assert(selectBatch(Seq(("a", "b", 10L), ("c", "d", 9L)),
+      noVocab, 8, complete = false) === Seq(("a", "b", 10L)))
+    // fallback is always the sequential singleton
+    assert(selectBatch(Seq(("a", "a", 7L), ("a", "b", 7L)),
+      noVocab, 8, complete = true) === Seq(("a", "a", 7L)))
+  }
+
+  test("bpe dictionary weighting + batching equal the raw recount loop (round-12)") {
+    // dictionary collapse: repeated streams fold to (stream, cnt) —
+    // weighted pair counts must reproduce the raw loop exactly,
+    // including argmax ties broken by (l, r) order
+    val dup = Seq("abab", "abab", "abab", "cdcd", "cdcd", "xy")
+      .toDF("text")
+    val incD = TextAnalysis.bpeTrainOn(spark, dup, rounds = 6).collect()
+      .map(_.toSeq).toSeq
+    val recD = TextAnalysis.bpeTrainOnRecount(spark, dup, rounds = 6)
+      .collect().map(_.toSeq).toSeq
+    assert(incD == recD)
+    assert(incD.nonEmpty)
+    // randomized sweep over tiny-alphabet corpora: ties, chains,
+    // concat collisions, and batch-refusal shapes all arise naturally
+    val rnd = new scala.util.Random(20260814)
+    for (case_ <- 0 until 8) {
+      val alpha = "abc "
+      val docs = (0 until (3 + rnd.nextInt(12))).map { _ =>
+        (0 until (2 + rnd.nextInt(10)))
+          .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }.toDF("text")
+      val rounds = 1 + rnd.nextInt(6)
+      val inc = TextAnalysis.bpeTrainOn(spark, docs, rounds).collect()
+        .map(_.toSeq).toSeq
+      val rec = TextAnalysis.bpeTrainOnRecount(spark, docs, rounds)
+        .collect().map(_.toSeq).toSeq
+      assert(inc == rec, s"case $case_ rounds=$rounds diverged")
+    }
+  }
+
   test("bpe adversarial inputs: sentinel collision + astral codepoints (ScalaCheck)") {
     // round-11 hardening. Two hazards: (1) a literal U+0001 in a
     // document would read as a symbol-boundary sentinel and corrupt
