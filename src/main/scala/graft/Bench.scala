@@ -116,12 +116,15 @@ object Bench {
     * at 5.6x its quiet median — a 0.4 s probe cannot detect the load
     * shape that inflates 10-30 s entries. Each confirm reading is
     * therefore ALSO judged against that entry's own best-ever median
-    * (proportional canary): a reading within 2x of its own best is
-    * quiet and stands. A reading over 2x best ("loud") is ambiguous —
-    * real regression or contention — so it is re-forked once after a
-    * backoff and adjudicated:
-    *   - second reading quiet (<= 2x best)  -> first was contention;
-    *     the quiet second reading is the confirm value
+    * (proportional canary): a reading within 1.3x of its own best
+    * (+0.1 s absolute floor for sub-second jitter) is quiet and
+    * stands. Round-11 tightening: the band was 2x, which let ~1.4x
+    * session-aged readings (q124 2.84 s vs 2.02 s fresh) enter the
+    * published baseline uncontested — anything over 1.3x best is now
+    * ambiguous — real regression or contention — and is re-forked
+    * once after a backoff and adjudicated:
+    *   - second reading quiet (<= 1.3x best) -> first was aging or
+    *     contention; the quiet second reading is the confirm value
     *   - second reading loud AND within 1.3x of the first -> the slow
     *     reading reproduces across two spaced quiet-flagship forks:
     *     a real regression, published at min(first, second)
@@ -136,7 +139,7 @@ object Bench {
       refork: Seq[String] => Map[String, Double])
       : (Map[String, Double], Seq[String]) = {
     def quiet(n: String, t: Double): Boolean = {
-      val b = best.getOrElse(n, -1.0); b <= 0 || t <= b * 2
+      val b = best.getOrElse(n, -1.0); b <= 0 || t <= b * 1.3 + 0.1
     }
     val positive = first.filter(_._2 > 0)
     val (ok, loud) = positive.partition { case (n, t) => quiet(n, t) }

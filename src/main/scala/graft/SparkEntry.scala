@@ -2209,9 +2209,11 @@ object SparkEntry {
          u AS (SELECT CAST(shard AS BIGINT) AS shard, n, sx, sxx FROM g
            UNION ALL SELECT shard, n, sx, sxx FROM allr)
          SELECT shard, n, sx, sxx,
-           CAST((sx * 1000000) // n AS BIGINT) AS mean_micro,
-           CAST(((n * sxx - sx * sx) * 1000000) // (n * n) AS BIGINT)
-             AS var_micro
+           CAST((CAST(sx AS HUGEINT) * 1000000) // n AS BIGINT)
+             AS mean_micro,
+           CAST(((CAST(n AS HUGEINT) * sxx -
+                  CAST(sx AS HUGEINT) * sx) * 1000000)
+             // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_micro
          FROM u""",
     // q222: q44's recursive-CC prefix, survivor by (quality desc,
     // doc_id asc) window; quality = micro-floored stopword ratio.
@@ -5342,9 +5344,9 @@ object SparkEntry {
          CAST(ssum // n AS BIGINT) AS mean_score_micro,
          CAST((pos * 1000000) // n AS BIGINT) AS rate_micro,
          CAST(ssum // n - (pos * 1000000) // n AS BIGINT) AS gap_micro,
-         CAST(n * (ssum // n - (pos * 1000000) // n) *
-           (ssum // n - (pos * 1000000) // n) AS BIGINT)
-           AS weighted_sq_gap
+         CAST((CAST(n AS HUGEINT) * (ssum // n - (pos * 1000000) // n) *
+           (ssum // n - (pos * 1000000) // n)) // 1000000 AS BIGINT)
+           AS weighted_sq_gap_micro
        FROM g"""
 
   /** SQL twin of Experiment.langIdKappa (q225). */

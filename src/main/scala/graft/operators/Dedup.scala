@@ -1255,6 +1255,14 @@ object Dedup {
     * that collide with the anchor or positive are dropped on both
     * engines (the rare-collision rule, stated rather than patched).
     *
+    * ORACLE CAVEAT (q22's, carried per round-11 advice): the DuckDB
+    * twin uses the EXHAUSTIVE all-pairs Jaccard truth, so equality
+    * holds exactly when LSH banded recall at the threshold is
+    * complete on the fixture — DedupSpec pins candidate recall ==
+    * exhaustive pairs at fixture scale, so a banding-parameter or
+    * fixture change that opens a recall gap fails the spec rather
+    * than silently shifting both sides.
+    *
     * Scale shape: the pair table is candidate-bounded (LSH, never
     * n²); the corpus ranking is a doc-grain window (q202's bucketed
     * device at 100 TB); the draw join broadcasts the small pair side
@@ -1299,6 +1307,11 @@ object Dedup {
     * Scale shape: clusters come from the pair-bounded CC loop;
     * quality joins at doc grain; the survivor is one max(struct)
     * aggregate per cluster — no window over the corpus.
+    *
+    * ORACLE CAVEAT (q22's, carried per round-11 advice): the oracle
+    * clusters the EXHAUSTIVE all-pairs truth; equality rests on LSH
+    * banded recall being complete at the fixture scale, which
+    * DedupSpec pins (candidate recall == exhaustive pairs).
     */
   def qualitySurvivors(
       spark: SparkSession, sfDir: String,

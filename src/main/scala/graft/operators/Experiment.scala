@@ -478,8 +478,12 @@ object Experiment {
     *
     * All integer: mean score and rate are truncating DIVs of exact
     * sums; the gap is their difference. The weighted squared-gap
-    * (reliability numerator) stays BIGINT: gap² <= 1e12 times
-    * bin population.
+    * (reliability numerator) is computed in DECIMAL(38,0)/HUGEINT and
+    * reported MICRO-scaled — (n·gap²) DIV 1e6 — because the raw
+    * micro² sum (gap² <= 1e12 times bin population) exceeds BIGINT
+    * past ~9e6 rows per bin (round-12 advice): the rescaled value
+    * stays exact integer on both engines and fits BIGINT to ~9e12
+    * rows per bin.
     *
     * Scale shape: one doc-grain pass into a 10-group aggregate —
     * map-side combined, nothing else.
@@ -499,9 +503,10 @@ object Experiment {
         expr("(pos * 1000000) DIV n").as("rate_micro"),
         (expr("ssum DIV n") - expr("(pos * 1000000) DIV n"))
           .as("gap_micro"),
-        (col("n") * (expr("ssum DIV n") - expr("(pos * 1000000) DIV n")) *
-          (expr("ssum DIV n") - expr("(pos * 1000000) DIV n")))
-          .as("weighted_sq_gap"))
+        expr("""CAST((CAST(n AS DECIMAL(38,0)) *
+                (ssum DIV n - (pos * 1000000) DIV n) *
+                (ssum DIV n - (pos * 1000000) DIV n)) DIV 1000000
+              AS BIGINT)""").as("weighted_sq_gap_micro"))
 
   /** The q224 driver entry: BENFORD FIRST-DIGIT AUDIT — the
     * data-forensics screen for fabricated or re-scaled numeric feeds:

@@ -871,13 +871,21 @@ object Similarity {
       .where(col("embedding").isNotNull)
       .select(transform(col("embedding"), x =>
         floor(lit(1000000.0) * x.cast("double")).cast("long")).as("em"))
+    // round-12 advice: the covariance cell sum aggregates ~1e12-scale
+    // per-row products — a LongType SUM silently wraps past ~9e6
+    // embeddings while the oracle's HUGEINT SUM does not. Widen the
+    // AGGREGATE to DECIMAL(38,0) (the per-row product itself is
+    // bounded by 1e12, safe in Long); cells land driver-side as exact
+    // BigInt, matching the oracle end to end at any corpus size.
     val cov = emb
       .select(posexplode(flatten(transform(col("em"), x =>
         transform(col("em"), y => x * y)))).as(Seq("idx", "prod")))
-      .groupBy(col("idx")).agg(sum(col("prod")).as("s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .groupBy(col("idx"))
+      .agg(sum(col("prod").cast("decimal(38,0)")).as("s"))
+      .collect().map(r =>
+        r.getInt(0) -> r.getDecimal(1).toBigInteger).toMap
     val c = Array.tabulate(d, d)((j, k) =>
-      BigInt(cov.getOrElse(j * d + k, 0L)))
+      BigInt(cov.getOrElse(j * d + k, java.math.BigInteger.ZERO)))
     def matVec(v: Array[BigInt]): Array[BigInt] =
       Array.tabulate(d)(j => (0 until d).map(k => c(j)(k) * v(k)).sum)
     var v = Array.fill(d)(BigInt(1000000))

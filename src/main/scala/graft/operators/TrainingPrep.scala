@@ -715,7 +715,11 @@ object TrainingPrep {
     *
     * Exactness: the merged variance uses the integer identity
     * n·Σx² − (Σx)², scaled to micro and truncating-DIV'd by n² —
-    * no Welford float recurrence, no accumulation-order hazard.
+    * no Welford float recurrence, no accumulation-order hazard. The
+    * identity's products are computed in DECIMAL(38,0) on the Spark
+    * side and HUGEINT in the oracle (round-12 advice): in BIGINT,
+    * (Σx)²·1e6 silently wraps past ~2^63 on one engine and raises on
+    * the other once corpus token totals reach tens of millions.
     *
     * Scale shape: one doc-grain pass map-side combines to 8 shard
     * rows; everything downstream reads the 8-row artifact.
@@ -739,8 +743,19 @@ object TrainingPrep {
         .select(col("shard"), col("n").cast("long").as("n"),
           col("sx").cast("long").as("sx"),
           col("sxx").cast("long").as("sxx"),
-          expr("(sx * 1000000) DIV n").as("mean_micro"),
-          expr("((n * sxx - sx * sx) * 1000000) DIV (n * n)")
+          // round-12 advice: the products (sx*1e6, n*sxx, sx*sx)
+          // overflow signed 64-bit once corpus token totals reach
+          // ~tens of millions — widen the INTERMEDIATES to
+          // DECIMAL(38,0) (the HUGEINT the DuckDB twin already uses);
+          // the DIV results are variance/mean-scale and fit BIGINT.
+          // The artifact columns themselves stay BIGINT sums (exact
+          // to ~9e18 — document-count x token-count bounds, not the
+          // squared products that actually overflowed).
+          expr("CAST((CAST(sx AS DECIMAL(38,0)) * 1000000) DIV n AS BIGINT)")
+            .as("mean_micro"),
+          expr("""CAST(((CAST(n AS DECIMAL(38,0)) * sxx -
+                  CAST(sx AS DECIMAL(38,0)) * sx) * 1000000)
+                DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)""")
             .as("var_micro"))
     }
 
@@ -830,7 +845,8 @@ object TrainingPrep {
     * All integer: quotas are truncating DIVs, remainders exact mods,
     * the seat rank a window over the |domains| table.
     */
-  /** q215's final weights, memoized per sfDir — the apportionment
+  /** q215's final weights, memoized per sfDir + data fingerprint
+    * (file-metadata keyed, round-11 advice) — the apportionment
     * consumes the weights ARTIFACT (deterministic, so a cache hit is
     * result-identical); q215's own entry still times the real MWU
     * computation (the q157/q155 memo discipline).
@@ -842,7 +858,8 @@ object TrainingPrep {
       spark: SparkSession, sfDir: String,
       budget: Long = 1000000L): DataFrame = {
     import spark.implicits._
-    val w = mixtureWeightsMemo.getOrElseUpdate(sfDir,
+    val w = mixtureWeightsMemo.getOrElseUpdate(
+      sfDir + "@" + Tables.fingerprint(sfDir, "documents"),
       TextAnalysis.mixtureReweight(spark, sfDir)
         .select(col("lang"), col("w_micro")).collect().toSeq
         .map(r => (r.getString(0), r.getLong(1))))

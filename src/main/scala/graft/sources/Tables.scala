@@ -25,6 +25,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Cheap driver-side fingerprint of one fixture table's parquet
+    * files (name:size:mtime per part) — memo keys include it so an
+    * in-JVM artifact cache (bpeTrainMemo, mixtureWeightsMemo) serves
+    * stale training artifacts only if data under an unchanged path
+    * also kept identical file metadata (round-11 advice: keying on
+    * sfDir alone silently served stale merges after an in-session
+    * rewrite of the same directory). Pure local-fs metadata — no data
+    * read; at 100 TB the same role is played by a table-format
+    * snapshot id.
+    */
+  def fingerprint(sfDir: String, name: String): String = {
+    val root = new java.io.File(s"$sfDir/$name.parquet")
+    val parts =
+      if (root.isDirectory)
+        Option(root.listFiles()).toSeq.flatten.sortBy(_.getName)
+      else Seq(root)
+    val sig = parts.map(f =>
+      s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sig))
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     // events.ts ADAPTIVE INGESTION (round-10): the fixture's physical

@@ -1022,22 +1022,29 @@ object EventStream {
         .write.mode("overwrite").parquet(s"$dir/incoming")
       val schema = spark.read.parquet(s"$dir/incoming").schema
       val out = s"$dir/out"
+      // the model is STATIC for the life of the stream: read the
+      // artifact ONCE (weights pinned via localCheckpoint, bias row
+      // collected once) and reference it from every micro-batch —
+      // round-11 advice: re-reading the parquet + a driver .head()
+      // inside foreachBatch charged a per-batch cost to an artifact
+      // that never changes between batches
+      val model = spark.read.parquet(s"$dir/model")
+      val weights = model.where(col("bucket") >= 0L).localCheckpoint(true)
+      val bq = model.where(col("bucket") === -1L).head().getLong(1)
       val q = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(s"$dir/incoming")
         .writeStream
         .option("checkpointLocation", s"$dir/ckpt")
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          val s = batch.sparkSession
-          val model = s.read.parquet(s"$dir/model")
-          val bq = model.where(col("bucket") === -1L).head().getLong(1)
           graft.operators.TrainingPrep
-            .scoreWith(batch, model.where(col("bucket") >= 0L), lit(bq))
+            .scoreWith(batch, weights, lit(bq))
             .write.mode("overwrite").parquet(s"$out/batch=$id")
         }
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      weights.unpersist()
       val outSchema = StructType(Seq(
         StructField("doc_id", LongType), StructField("n_active", LongType),
         StructField("z_micro", LongType),

@@ -126,6 +126,27 @@ class DedupSpec extends AnyFunSuite {
     assert(verified == exact)
   }
 
+  test("LSH banded recall is complete at fixture scale (q220/q222 oracle precondition)") {
+    // round-11 advice: q220/q222 compose on minhashLshPairsVerified
+    // while their oracles cluster the EXHAUSTIVE all-pairs truth —
+    // equality rests on banded recall at threshold 0.5 being complete
+    // on the fixture. Pin it: the LSH-verified pair set must equal
+    // the exhaustive n-gram Jaccard pair set on the real documents
+    // table, so a banding-parameter or fixture change that opens a
+    // recall gap fails HERE, not as a silent oracle divergence (or
+    // worse, an aligned miss on both sides).
+    val exact = Dedup.ngramJaccardPairs(spark, SparkTestSession.sf,
+        n = 5, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairsVerified(spark, SparkTestSession.sf,
+        n = 5, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact,
+      s"LSH recall gap: missing=${(exact -- lsh).take(5)} " +
+        s"extra=${(lsh -- exact).take(5)}")
+    assert(exact.nonEmpty, "fixture has no near-dup pairs at 0.5 — recall pin is vacuous")
+  }
+
   test("mergeable MinHashAgg equals the 64-column SQL signature path") {
     import org.apache.spark.sql.functions.{col => c}
     val docs = docsFixture

@@ -302,7 +302,10 @@ class ExperimentSpec extends AnyFunSuite {
       val mean = ssum / n
       val rate = pos * 1000000L / n
       val gap = mean - rate
-      assert(got(bin) == ((n, mean, rate, gap, n * gap * gap)), s"bin $bin")
+      // round-12: reliability numerator reported micro-scaled
+      // ((n*gap^2) DIV 1e6) with DECIMAL(38)/HUGEINT intermediates
+      assert(got(bin) == ((n, mean, rate, gap, n * gap * gap / 1000000L)),
+        s"bin $bin")
     }
   }
 
