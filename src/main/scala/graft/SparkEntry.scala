@@ -258,6 +258,10 @@ object SparkEntry {
       Experiment.markovStationary(s, d)),
     "q233_gains_table" -> ((s: SparkSession, d: String) =>
       Experiment.gainsTable(s, d)),
+    "q234_encoding_gate" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.encodingAudit(s, d)),
+    "q235_audio_fp_match" -> ((s: SparkSession, d: String) =>
+      Multimodal.audioFingerprintMatch(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -451,6 +455,93 @@ object SparkEntry {
          SELECT e.media_id, e.bin, e.n_frames, e.band_energy,
            e.band_energy * 5 > tot.total AS above_avg
          FROM e JOIN tot USING (media_id)"""
+  }
+
+  /** Generated DuckDB replay of Multimodal.audioFingerprintMatch
+    * (q235): the q210 sample/twiddle device at 32-sample frames and
+    * 16 bins over the first 4 frames, Haitsma-Kalker difference bits
+    * packed to one BIGINT, the q23 15-bit-chunk pigeonhole join, and
+    * bit_count(xor()) verification — all-integer end to end, twins
+    * planted by the same doc_id % 15 == 10 union.
+    */
+  private def audioFingerprintOracleSql: String = {
+    val cosVals = Multimodal.DftCos64.zipWithIndex
+      .map { case (c, n) => s"($n, $c)" }.mkString(", ")
+    val sinVals = Multimodal.DftSin64.zipWithIndex
+      .map { case (c, n) => s"($n, $c)" }.mkString(", ")
+    val bins = (1 to Multimodal.FpBins).map(k => s"($k)").mkString(", ")
+    val off = Multimodal.FpTwinOffset
+    s"""WITH costab(n, c) AS (VALUES $cosVals),
+         sintab(n, sv) AS (VALUES $sinVals),
+         bins(k) AS (VALUES $bins),
+         docs2 AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + $off AS doc_id, text FROM documents
+           WHERE doc_id % 15 = 10),
+         wav AS MATERIALIZED (
+           SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) // 2 AS ns
+           FROM docs2
+           WHERE doc_id % 3 = 1
+             AND (octet_length(encode(text)) // 2) // 32 >= 4),
+         samples AS MATERIALIZED (
+           SELECT media_id, s // 32 AS f, CAST(s % 32 AS BIGINT) AS n,
+             CAST(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END
+               AS BIGINT) AS v
+           FROM (
+             SELECT media_id, CAST(s AS BIGINT) AS s,
+               ('0x' || substr(hx, CAST(4*s AS INT) + 1, 2))::INT +
+                 256 * ('0x' || substr(hx, CAST(4*s AS INT) + 3, 2))::INT
+                 AS v
+             FROM wav, UNNEST(range(ns)) t(s))
+           WHERE s // 32 < 4),
+         fr AS MATERIALIZED (
+           SELECT media_id, f, k,
+             CAST(SUM(v * ct.c) AS BIGINT) AS re,
+             CAST(SUM(v * st.sv) AS BIGINT) AS im
+           FROM samples
+             CROSS JOIN bins
+             JOIN costab ct ON ct.n = (k * samples.n) % 64
+             JOIN sintab st ON st.n = (k * samples.n) % 64
+           GROUP BY 1, 2, 3),
+         e AS MATERIALIZED (
+           SELECT media_id, f, k,
+             (re // 32768) * (re // 32768) +
+               (im // 32768) * (im // 32768) AS en
+           FROM fr),
+         d AS (
+           SELECT hi.media_id, hi.f, hi.k AS b, hi.en - lo.en AS dd
+           FROM e hi JOIN e lo
+             ON lo.media_id = hi.media_id AND lo.f = hi.f
+               AND lo.k = hi.k + 1
+           WHERE hi.k <= ${Multimodal.FpBins - 1}),
+         bit AS (
+           SELECT d1.media_id, d1.f - 1 AS t, d1.b - 1 AS bpos,
+             CASE WHEN d1.dd - d0.dd > 0 THEN 1 ELSE 0 END AS bit
+           FROM d d1 JOIN d d0
+             ON d0.media_id = d1.media_id AND d0.f = d1.f - 1
+               AND d0.b = d1.b
+           WHERE d1.f >= 1),
+         fp AS MATERIALIZED (
+           SELECT media_id,
+             CAST(SUM(CAST(bit AS BIGINT) *
+               (CAST(1 AS BIGINT) << CAST(15 * t + bpos AS INT)))
+               AS BIGINT) AS fp
+           FROM bit GROUP BY 1),
+         ck AS (
+           SELECT media_id, fp, c,
+             (fp >> CAST(15 * c AS INT)) & 32767 AS ckv
+           FROM fp, UNNEST([0, 1, 2]) u(c)),
+         cand AS (
+           SELECT DISTINCT a.media_id AS id_a, a.fp AS fpa,
+             b.media_id AS id_b, b.fp AS fpb
+           FROM ck a JOIN ck b
+             ON a.c = b.c AND a.ckv = b.ckv AND a.media_id < b.media_id)
+         SELECT id_a, id_b,
+           CAST(bit_count(xor(fpa, fpb)) AS BIGINT) AS hamming
+         FROM cand
+         WHERE bit_count(xor(fpa, fpb)) <= 2"""
   }
 
   /** Normalized-text SQL twin of TextAnalysis.normalizedText. */
@@ -3008,7 +3099,9 @@ object SparkEntry {
              CASE WHEN doc_id % 7 = 0
                THEN text || ' contact: user' || CAST(doc_id AS VARCHAR)
                  || '@example.com'
-               ELSE text END AS text
+               ELSE text END ||
+             CASE WHEN doc_id % 11 = 0
+               THEN ' caf' || chr(195) || chr(169) ELSE '' END AS text
            FROM documents),
          words AS (
            SELECT doc_id,
@@ -3055,6 +3148,8 @@ object SparkEntry {
              CAST(len(regexp_extract_all(p.text,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
                AS BIGINT) AS n_pii,
+             CAST(len(regexp_extract_all(p.text,
+               '(\u00c3\u00a9|\u00c3\u00a8|\u00c3\u00bc|\u00c3\u00b1|\u00e2\u20ac\u2122|\u00e2\u20ac\u0153)')) AS BIGINT) AS n_moji,
              COALESCE(rep.ng, 0) AS ng, COALESCE(rep.nd, 0) AS nd,
              COALESCE(ent.low_entropy, false) AS low_entropy
            FROM p
@@ -3062,15 +3157,54 @@ object SparkEntry {
              LEFT JOIN ent ON ent.doc_id = p.doc_id)
          SELECT doc_id, n_chars, n_tokens,
            NOT (n_tokens < 15 OR n_chars > 400 OR n_stop * 20 < n_tokens
-             OR 5 * (ng - nd) > ng OR low_entropy OR n_pii > 0) AS keep,
+             OR 5 * (ng - nd) > ng OR low_entropy OR n_pii > 0
+             OR n_moji > 0) AS keep,
            concat_ws(',',
              CASE WHEN n_tokens < 15 THEN 'too_short' END,
              CASE WHEN n_chars > 400 THEN 'too_long' END,
              CASE WHEN n_stop * 20 < n_tokens THEN 'low_stopword' END,
              CASE WHEN 5 * (ng - nd) > ng THEN 'repetitive' END,
              CASE WHEN low_entropy THEN 'low_entropy' END,
-             CASE WHEN n_pii > 0 THEN 'has_pii' END) AS reasons
+             CASE WHEN n_pii > 0 THEN 'has_pii' END,
+             CASE WHEN n_moji > 0 THEN 'mojibake' END) AS reasons
          FROM m""",
+    // q234: encoding-corruption gate — planting replayed in SQL
+    // (chr() composition), mojibake via literal-alternation regex (no
+    // char-class ranges, the portable dialect subset), replacement
+    // density via length-diff replace, runs via contains.
+    "q234_encoding_gate" ->
+      """WITH p AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 11 = 0
+               THEN ' caf' || chr(195) || chr(169) || ' don'
+                 || chr(226) || chr(8364) || chr(8482) || 't'
+               ELSE '' END ||
+             CASE WHEN doc_id % 13 = 0
+               THEN repeat(chr(65533), CAST(doc_id % 3 + 1 AS INT))
+               ELSE '' END ||
+             CASE WHEN doc_id % 17 = 0 THEN repeat(chr(65533), 4)
+               ELSE '' END AS text
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text,
+               '(\u00c3\u00a9|\u00c3\u00a8|\u00c3\u00bc|\u00c3\u00b1|\u00e2\u20ac\u2122|\u00e2\u20ac\u0153)')) AS BIGINT) AS n_moji,
+             CAST(length(text) - length(replace(text, chr(65533), ''))
+               AS BIGINT) AS n_repl,
+             contains(text, repeat(chr(65533), 3)) AS invalid_run
+           FROM p)
+         SELECT doc_id, n_chars, n_moji, n_repl, invalid_run,
+           NOT (n_moji > 0 OR 1000 * n_repl > n_chars OR invalid_run)
+             AS keep,
+           concat_ws(',',
+             CASE WHEN n_moji > 0 THEN 'mojibake' END,
+             CASE WHEN 1000 * n_repl > n_chars THEN 'replacement_char' END,
+             CASE WHEN invalid_run THEN 'invalid_run' END) AS reasons
+         FROM m""",
+    // q235: audio fingerprint matching — generated replay (sample
+    // decode, 32-sample-frame DFT, H-K bits, pigeonhole, Hamming).
+    "q235_audio_fp_match" -> audioFingerprintOracleSql,
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

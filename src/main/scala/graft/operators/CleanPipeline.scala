@@ -85,6 +85,9 @@ object CleanPipeline {
     *   low_entropy    the q182 integer gate (< 2 nats/char)
     *   has_pii        email matches > 0 (q75 pattern + planting, so
     *                  the gate has positives on any corpus slice)
+    *   mojibake       encoding-corruption markers > 0 (the q234
+    *                  detector; doc_id % 11 plants a mojibake tail so
+    *                  this gate too has positives everywhere)
     *
     * Scale shape: length/stopword/PII gates are narrow per-row
     * expressions fused into the scan; the repetition and entropy
@@ -98,10 +101,13 @@ object CleanPipeline {
   def qualityVerdictOn(docs: DataFrame): DataFrame = {
     import TextAnalysis.{normalizedText, emailPattern, stopwordPattern}
     val planted = docs.select(col("doc_id"),
-      when(col("doc_id") % 7 === 0,
-        concat(col("text"), lit(" contact: user"), col("doc_id"),
-          lit("@example.com")))
-        .otherwise(col("text")).as("text"))
+      concat(
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact: user"), col("doc_id"),
+            lit("@example.com")))
+          .otherwise(col("text")),
+        when(col("doc_id") % 11 === 0, lit(" caf\u00c3\u00a9"))
+          .otherwise(lit(""))).as("text"))
     val words = planted
       .select(col("doc_id"), split(normalizedText(col("text")), " ").as("w"))
       .where(size(col("w")) >= 5)
@@ -120,6 +126,7 @@ object CleanPipeline {
         regexp_count(col("text"), lit(stopwordPattern)).cast("long"))
       .withColumn("n_pii",
         regexp_count(col("text"), lit(emailPattern)).cast("long"))
+      .withColumn("n_moji", TextAnalysis.mojibakeCount(col("text")))
       .join(rep, Seq("doc_id"), "left")
       .join(ent, Seq("doc_id"), "left")
     val gates = Seq(
@@ -130,7 +137,8 @@ object CleanPipeline {
         (lit(5L) * (coalesce(col("ng"), lit(0L)) -
           coalesce(col("nd"), lit(0L))) > coalesce(col("ng"), lit(0L))),
       "low_entropy" -> coalesce(col("low_entropy"), lit(false)),
-      "has_pii" -> (col("n_pii") > 0))
+      "has_pii" -> (col("n_pii") > 0),
+      "mojibake" -> (col("n_moji") > 0))
     val anyFail = gates.map(_._2).reduce(_ || _)
     scored.select(col("doc_id"), col("n_chars"), col("n_tokens"),
       (!anyFail).as("keep"),

@@ -618,4 +618,147 @@ object Multimodal {
         (col("band_energy") * lit(bins.length.toLong) > col("total"))
           .as("above_avg"))
   }
+
+  // -------- audio fingerprint matching (q235) --------
+
+  /** Fingerprint geometry: 32-sample analysis frames projected with
+    * the SAME 64-point fixed-point twiddle tables (a zero-padded
+    * 64-point DFT of the half frame — indices (k*n)%64 stay exact),
+    * 16 frequency bins (k = 1..16), the first 4 frames of each clip
+    * (fingerprint the clip HEAD, the Haitsma-Kalker convention), and
+    * one bit per (frame transition, adjacent-band pair):
+    *
+    *   bit(t, b) = 1  iff  (E(t+1,b) - E(t+1,b+1))
+    *                     - (E(t,  b) - E(t,  b+1)) > 0
+    *
+    * — the H&K energy-difference sign, 3 transitions x 15 band pairs
+    * = 45 bits packed into one BIGINT. Clips with fewer than 4 frames
+    * (< 256 body bytes) hold no full fingerprint and are excluded
+    * (matching a half-defined fingerprint against zero-padding would
+    * pigeonhole every short clip into one degenerate bucket).
+    */
+  val FpFrameLen = 32
+  val FpFrames = 4
+  val FpBins = 16
+  val FpTransitions: Int = FpFrames - 1 // 3
+  val FpChunkBits = 15
+  val FpChunks = 3
+  val FpTwinOffset = 6000000000L // % 3 == 0: twins keep the audio slot
+
+  /** 45-bit Haitsma-Kalker band-difference fingerprints, one BIGINT
+    * per qualifying clip. The WHOLE computation — decode, per-frame
+    * DFT, energies, difference bits, packing — is row-local inside
+    * one flatMap over the scan: payload bytes and samples never
+    * leave the partition; only the 8-byte fingerprint flows on.
+    */
+  def audioFingerprints(wavs: Dataset[MediaRecord]): DataFrame = {
+    val spark = wavs.sparkSession
+    import spark.implicits._
+    val cosT = DftCos64
+    val sinT = DftSin64
+    wavs.flatMap { m =>
+      val bb = ByteBuffer.wrap(m.payload).order(ByteOrder.LITTLE_ENDIAN)
+      require(new String(m.payload, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(m.payload, 8, 4, "US-ASCII") == "WAVE",
+        s"media ${m.media_id}: not a WAV")
+      val nS = bb.getInt(40) / 2
+      if (nS / FpFrameLen < FpFrames) Iterator.empty
+      else {
+        val e = Array.ofDim[Long](FpFrames, FpBins)
+        var f = 0
+        while (f < FpFrames) {
+          var k = 1
+          while (k <= FpBins) {
+            var re = 0L
+            var im = 0L
+            var n = 0
+            while (n < FpFrameLen) {
+              val si = f * FpFrameLen + n
+              val lo = m.payload(WavHeaderLen + 2 * si) & 0xFF
+              val hi = m.payload(WavHeaderLen + 2 * si + 1) & 0xFF
+              val x = lo | (hi << 8)
+              val v = (if (x >= 32768) x - 65536 else x).toLong
+              val idx = (k * n) % 64
+              re += v * cosT(idx)
+              im += v * sinT(idx)
+              n += 1
+            }
+            val rq = re / DftScale // truncating, matches DuckDB //
+            val iq = im / DftScale
+            e(f)(k - 1) = rq * rq + iq * iq
+            k += 1
+          }
+          f += 1
+        }
+        var fp = 0L
+        var t = 0
+        while (t < FpTransitions) {
+          var b = 0
+          while (b < FpBins - 1) {
+            val d1 = e(t + 1)(b) - e(t + 1)(b + 1)
+            val d0 = e(t)(b) - e(t)(b + 1)
+            if (d1 - d0 > 0) fp |= 1L << (FpChunkBits * t + b)
+            b += 1
+          }
+          t += 1
+        }
+        Iterator.single((m.media_id, fp))
+      }
+    }.toDF("media_id", "fp")
+  }
+
+  /** The q235 driver entry: AUDIO FINGERPRINT MATCHING — the
+    * retrieval half of the fingerprint front end whose analysis half
+    * is q210: Haitsma-Kalker band-energy-difference bits per clip,
+    * matched by Hamming distance <= 2 through the q23 pigeonhole
+    * device (3 x 15-bit chunks: two flips can break at most two
+    * chunks, so every pair within distance 2 agrees on >= 1 chunk —
+    * candidates are an equi-join, never O(n^2)). Twins are PLANTED
+    * (q163's re-container device): every doc_id % 15 == 10 clip is
+    * re-ingested under id + FpTwinOffset, modeling the same recording
+    * arriving from a second source; fixture near-dup texts supply any
+    * additional organic matches. Output is the verified match table
+    * (id_a, id_b, hamming).
+    *
+    * Scale shape: fingerprinting is a zero-shuffle scan map (8 bytes
+    * out per clip); the only exchanges are the chunk equi-join and
+    * the distinct over candidate pairs, both bounded by bucket
+    * occupancy — the q22/q23 LSH posture. Payload bytes never
+    * shuffle.
+    */
+  def audioFingerprintMatch(
+      spark: SparkSession, sfDir: String, maxDist: Int = 2): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val planted = docs.unionByName(
+      docs.where(col("doc_id") % 15 === 10)
+        .select((col("doc_id") + FpTwinOffset).as("doc_id"), col("text")))
+    matchFingerprints(audioFingerprints(
+      mediaTableOn(planted).filter(_.media_type == "audio/wav")), maxDist)
+  }
+
+  /** Pigeonhole match over any (media_id, fp) frame — spec entry
+    * point for crafted WAVs and completeness pins.
+    */
+  def matchFingerprints(fps: DataFrame, maxDist: Int = 2): DataFrame = {
+    val chunks = fps.select(
+      col("media_id"), col("fp"),
+      explode(array((0 until FpChunks).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("fp"), c * FpChunkBits)
+            .bitwiseAND((1L << FpChunkBits) - 1).as("ck"))
+      }: _*)).as("blk"))
+      .select(col("media_id"), col("fp"),
+        col("blk.chunk").as("chunk"), col("blk.ck").as("ck"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(
+        col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
 }

@@ -18,6 +18,91 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
+  /** ENCODING-CORRUPTION MARKERS (q234): the three observable
+    * artifacts of a mangled decode pipeline, all detectable AFTER
+    * decoding (Spark strings are already codepoints — raw invalid
+    * bytes surface as U+FFFD at read time):
+    *   - MOJIBAKE: UTF-8 bytes round-tripped through Latin-1/cp1252 —
+    *     'é' (C3 A9) reads as 'Ã©', '\u2019' (E2 80 99) as 'â€™'.
+    *     Detected by the classic marker bigrams/trigrams, spelled as
+    *     explicit literal alternation (NO regex char-class ranges —
+    *     the one construct Java and RE2 dialects disagree on; all
+    *     markers are BMP, inside the q96 portable envelope).
+    *   - REPLACEMENT-CHAR DENSITY: U+FFFD per character — counted by
+    *     length-difference against a literal replace, no regex at
+    *     all.
+    *   - INVALID-BYTE RUNS: a >=3 run of U+FFFD (a multi-byte
+    *     sequence torn mid-char decodes to consecutive replacement
+    *     chars) — a literal `contains`.
+    */
+  val mojibakeMarkers: Seq[String] = Seq(
+    "\u00c3\u00a9", // 'e-acute' through the Latin-1 round-trip ("A~(c)")
+    "\u00c3\u00a8", // 'e-grave'
+    "\u00c3\u00bc", // 'u-umlaut'
+    "\u00c3\u00b1", // 'n-tilde'
+    "\u00e2\u20ac\u2122", // right single quote via cp1252
+    "\u00e2\u20ac\u0153") // left double quote via cp1252
+
+  val mojibakePattern: String = mojibakeMarkers.mkString("(", "|", ")")
+
+  val replacementChar: String = "\ufffd"
+
+  def mojibakeCount(text: Column): Column =
+    regexp_count(text, lit(mojibakePattern)).cast("long")
+
+  def replacementCount(text: Column): Column =
+    (length(text) - length(replace(text, lit(replacementChar), lit(""))))
+      .cast("long")
+
+  /** The q234 driver entry: ENCODING-CORRUPTION GATE — the mojibake /
+    * UTF-8-validity screen a crawl-scale text pipeline runs before
+    * any quality heuristic (corrupt decoding poisons every downstream
+    * token statistic): per document, the three marker counts above,
+    * the gate verdicts in fixed reason order (the q190 reason-code
+    * discipline), and keep = nothing fired. Reasons:
+    *   mojibake          any Latin-1/cp1252 round-trip marker
+    *   replacement_char  U+FFFD density over 0.1% (1000*n > chars)
+    *   invalid_run       a >=3 replacement-char run
+    * The fixture corpus is clean ASCII, so corruption is PLANTED
+    * deterministically (the q75 PII-planting device): doc_id % 11
+    * appends a mojibake tail, % 13 appends 1 + doc_id % 3 replacement
+    * chars, % 17 appends a 4-run — every gate has positives on any
+    * corpus slice and the oracle replays the planting in SQL.
+    *
+    * Scale shape: narrow per-row expressions fused into one scan —
+    * zero exchanges; linear to 100 TB by adding executors.
+    */
+  def encodingAudit(spark: SparkSession, sfDir: String): DataFrame =
+    encodingAuditOn(Tables.load(spark, sfDir, "documents"))
+
+  def encodingAuditOn(docs: DataFrame): DataFrame = {
+    val R = replacementChar
+    val planted = docs.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 11 === 0,
+          lit(" caf\u00c3\u00a9 don\u00e2\u20ac\u2122t")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          expr("repeat('" + R + "', CAST(doc_id % 3 + 1 AS INT))"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 17 === 0, lit(R * 4)).otherwise(lit("")))
+        .as("text"))
+    val gates = Seq(
+      "mojibake" -> (col("n_moji") > 0),
+      "replacement_char" -> (lit(1000L) * col("n_repl") > col("n_chars")),
+      "invalid_run" -> col("invalid_run"))
+    planted
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        mojibakeCount(col("text")).as("n_moji"),
+        replacementCount(col("text")).as("n_repl"),
+        col("text").contains(R * 3).as("invalid_run"))
+      .select(col("doc_id"), col("n_chars"), col("n_moji"),
+        col("n_repl"), col("invalid_run"),
+        (!gates.map(_._2).reduce(_ || _)).as("keep"),
+        concat_ws(",", gates.map { case (name, g) =>
+          when(g, lit(name)) }: _*).as("reasons"))
+  }
+
   /** Whitespace tokens: non-empty runs of non-space characters. */
   def tokensCol(text: Column): Column =
     // split on whitespace runs; trim first so no leading "" token.

@@ -81,6 +81,15 @@ class CleanPipelineSpec extends AnyFunSuite {
       .qualityVerdictOn(Seq((7L, healthy)).toDF("doc_id", "text"))
       .head()
     assert(!planted.getBoolean(3) && planted.getString(4) == "has_pii")
+    // round-12: the q234 encoding gate joined the verdict — a crafted
+    // mojibake doc and the % 11 planting both carry the reason code
+    val mojiDoc = healthy + " caf\u00c3\u00a9"
+    val gotMoji = graft.operators.CleanPipeline
+      .qualityVerdictOn(Seq((1L, mojiDoc), (11L, healthy))
+        .toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(gotMoji(1L) == "mojibake")
+    assert(gotMoji(11L) == "mojibake")
   }
 
   test("k-anonymity audit: small classes and homogeneous classes both suppress") {

@@ -218,4 +218,51 @@ class MultimodalSpec extends AnyFunSuite {
       assert(got((2L, k.toLong))._2 == 0L && !got((2L, k.toLong))._3)
     }
   }
+
+  test("audio fingerprint: identical clips match at 0, perturbed within band, distinct miss (q235)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    def pcm16(samples: Seq[Int]): Array[Byte] =
+      samples.flatMap { v =>
+        val x = if (v < 0) v + 65536 else v
+        Seq((x & 0xFF).toByte, ((x >> 8) & 0xFF).toByte)
+      }.toArray
+    // 4 x 32-sample frames of deterministic pseudo-noise
+    val rnd = new scala.util.Random(42)
+    val base = Seq.fill(128)(rnd.nextInt(2000) - 1000)
+    val rnd2 = new scala.util.Random(7)
+    val other = Seq.fill(128)(rnd2.nextInt(2000) - 1000)
+    // mild re-recording: +1 on every sample of the last frame only
+    val perturbed = base.take(96) ++ base.drop(96).map(_ + 1)
+    // short clip: 3 frames only -> no fingerprint
+    val short3 = base.take(96)
+    def rec(id: Long, ss: Seq[Int]) = Multimodal.MediaRecord(
+      id, "audio/wav", Multimodal.wavPayload(1, 8000, pcm16(ss)))
+    val fps = Multimodal.audioFingerprints(spark.createDataset(Seq(
+      rec(1L, base), rec(2L, base), rec(3L, perturbed),
+      rec(4L, other), rec(5L, short3))))
+    val fpMap = fps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!fpMap.contains(5L), "3-frame clip must hold no fingerprint")
+    assert(fpMap(1L) == fpMap(2L))
+    // 45-bit packing stays in range
+    fpMap.values.foreach(fp => assert(fp >= 0L && fp < (1L << 45)))
+    val got = Multimodal.matchFingerprints(fps)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 2L)) == 0L)
+    // the match table is EXACTLY the pairs within Hamming 2 of each
+    // other (pigeonhole completeness at 3 chunks): recompute naively
+    val ids = fpMap.keys.toSeq.sorted
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      h = java.lang.Long.bitCount(fpMap(a) ^ fpMap(b))
+      if h <= 2
+    } yield (a, b) -> h.toLong).toMap
+    assert(got == want)
+    // the perturbed twin flips only last-transition bits (frames 0-2
+    // untouched -> transitions 0-1 identical)
+    assert(((fpMap(1L) ^ fpMap(3L)) & ((1L << 30) - 1)) == 0L,
+      "perturbation outside frame 3 must not flip transition-0/1 bits")
+    // independent noise is far outside the band
+    assert(java.lang.Long.bitCount(fpMap(1L) ^ fpMap(4L)) > 2)
+  }
 }

@@ -208,6 +208,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(incF == recF)
   }
 
+  test("encoding gate: each corruption class fires alone; planting replayable (q234)") {
+    val moji = "\u00c3\u00a9"          // 'e-acute' through Latin-1
+    val quote = "\u00e2\u20ac\u2122"  // cp1252 right-single-quote tail
+    val R = "\ufffd"
+    val clean = "a perfectly ordinary line of ascii text here"
+    val docs = Seq(
+      (1L, clean),
+      (2L, s"caf$moji au lait"),            // mojibake bigram
+      (3L, s"don${quote}t stop"),           // mojibake trigram
+      (4L, clean + R),                      // one replacement char: density
+      (5L, clean + R + "x" + R),            // two, non-consecutive: no run
+      (6L, clean + (R * 3))                 // a 3-run
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.encodingAuditOn(docs)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5),
+          r.getString(6))).toMap
+    assert(got(1L) == ((0L, 0L, false, true, "")))
+    assert(got(2L) == ((1L, 0L, false, false, "mojibake")))
+    assert(got(3L) == ((1L, 0L, false, false, "mojibake")))
+    assert(got(4L) == ((0L, 1L, false, false, "replacement_char")))
+    assert(got(5L) == ((0L, 2L, false, false, "replacement_char")))
+    assert(got(6L) == ((0L, 3L, true, false, "replacement_char,invalid_run")))
+    // planting: % 11 mojibake tail, % 13 density, % 17 run — each
+    // gate has positives on any corpus slice
+    val planted = graft.operators.TextAnalysis
+      .encodingAuditOn(Seq((11L, clean), (13L, clean), (17L, clean))
+        .toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(planted(11L) == "mojibake")
+    assert(planted(13L) == "replacement_char")
+    assert(planted(17L) == "replacement_char,invalid_run")
+  }
+
   test("bpe batch selection: prefix validity rules (round-12)") {
     import TextAnalysis.selectBatch
     val noVocab = (_: String) => false
