@@ -262,6 +262,12 @@ object SparkEntry {
       TextAnalysis.encodingAudit(s, d)),
     "q235_audio_fp_match" -> ((s: SparkSession, d: String) =>
       Multimodal.audioFingerprintMatch(s, d)),
+    "q236_hll_sketch" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.hllDistinctSketch(s, d)),
+    "q237_bloom_decontaminate" -> ((s: SparkSession, d: String) =>
+      Dedup.bloomDecontaminate(s, d)),
+    "q238_tokenizer_fertility" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tokenizerFertility(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -697,7 +703,7 @@ object SparkEntry {
     * the per-doc token stats. Carrying doc_id instead of appending a
     * second apply chain keeps the oracle at N linear passes, not 2N.
     */
-  private def bpeEncodeOracleSql(rounds: Int, headN: Int): String = {
+  private def bpeEncodeChainSql(rounds: Int): String = {
     val s0 =
       """s0 AS MATERIALIZED (
            SELECT doc_id, regexp_replace(replace(text, chr(1), ''), '(?s)(.)',
@@ -718,14 +724,35 @@ object SparkEntry {
                           chr(1) || p$r.l || p$r.r || chr(1)) AS stream
            FROM s${r - 1}, p$r)""")
     }
-    (Seq(s0) ++ perRound).mkString("WITH ", ",\n", "\n") +
+    (Seq(s0) ++ perRound).mkString("WITH ", ",\n", "\n")
+  }
+
+  private def bpeEncodeOracleSql(rounds: Int, headN: Int): String =
+    bpeEncodeChainSql(rounds) +
       s"""SELECT doc_id, len(syms) AS n_tokens,
           len(list_distinct(syms)) AS n_unique,
           array_to_string(syms[1:$headN], ',') AS head_toks
           FROM (SELECT doc_id,
                   string_split(trim(stream, chr(1)), chr(1)||chr(1)) AS syms
                 FROM s$rounds)"""
-  }
+
+  /** Generated replay of TextAnalysis.tokenizerFertility (q238): the
+    * q157 chain, tail-aggregated to the language domain.
+    */
+  private def tokenizerFertilityOracleSql(rounds: Int): String =
+    bpeEncodeChainSql(rounds) +
+      s"""SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(length(replace(d.text, chr(1), ''))) AS BIGINT)
+            AS n_chars,
+          CAST(SUM(len(string_split(trim(e.stream, chr(1)),
+            chr(1)||chr(1)))) AS BIGINT) AS n_tokens,
+          CAST((CAST(SUM(length(replace(d.text, chr(1), ''))) AS BIGINT)
+              * 1000000)
+            // CAST(SUM(len(string_split(trim(e.stream, chr(1)),
+              chr(1)||chr(1)))) AS BIGINT) AS BIGINT)
+            AS chars_per_token_micro
+          FROM s$rounds e JOIN documents d ON d.doc_id = e.doc_id
+          GROUP BY 1"""
 
   /** SQL twin of Relational.scd2Merge with the same date parameters:
     * a WITH prefix ending in `scd2_hist` (closed / carried / opened
@@ -3205,6 +3232,109 @@ object SparkEntry {
     // q235: audio fingerprint matching — generated replay (sample
     // decode, 32-sample-frame DFT, H-K bits, pigeonhole, Hamming).
     "q235_audio_fp_match" -> audioFingerprintOracleSql,
+    // q236: mergeable HLL — md5 hash, bin()-length ranks, per-index
+    // MAX merge, HUGEINT raw estimator with the interpolated
+    // alpha*m^2*2^55 numerator (TrainingPrep.HllNumerator).
+    "q236_hll_sketch" ->
+      s"""WITH d AS (
+           SELECT doc_id % 8 AS shard, text FROM documents),
+         hsh AS (
+           SELECT shard,
+             ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+           FROM d),
+         rk AS (
+           SELECT shard, h % ${TrainingPrep.HllRegisters} AS idx,
+             CAST(CASE WHEN h // 64 = 0 THEN ${TrainingPrep.HllRankMax}
+               ELSE ${TrainingPrep.HllRankMax} - length(bin(h // 64))
+               END AS BIGINT) AS rk
+           FROM hsh),
+         regs AS (
+           SELECT shard, idx, MAX(rk) AS m FROM rk GROUP BY 1, 2),
+         allr AS (
+           SELECT shard, idx, m FROM regs
+           UNION ALL
+           SELECT CAST(-1 AS BIGINT) AS shard, idx, MAX(m) AS m
+           FROM regs GROUP BY idx),
+         spine AS (
+           SELECT sh.shard, CAST(i AS BIGINT) AS idx
+           FROM (SELECT DISTINCT shard FROM allr) sh,
+             UNNEST(range(${TrainingPrep.HllRegisters})) t(i)),
+         sums AS (
+           SELECT spine.shard,
+             CAST(SUM(CAST(1 AS BIGINT) <<
+               CAST(${TrainingPrep.HllRankMax} - COALESCE(allr.m, 0)
+                 AS INT)) AS BIGINT) AS s
+           FROM spine LEFT JOIN allr
+             ON allr.shard = spine.shard AND allr.idx = spine.idx
+           GROUP BY 1),
+         ex AS (
+           SELECT CAST(shard AS BIGINT) AS shard,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct
+           FROM d GROUP BY 1
+           UNION ALL
+           SELECT CAST(-1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT text) AS BIGINT)
+           FROM d),
+         est AS (
+           SELECT ex.shard, ex.n_rows, ex.exact_distinct,
+             CAST(('${TrainingPrep.HllNumerator}'::HUGEINT // sums.s)
+               // 1000000 AS BIGINT) AS hll_estimate
+           FROM ex JOIN sums ON sums.shard = ex.shard)
+         SELECT shard, n_rows, exact_distinct, hll_estimate,
+           CAST(ABS(hll_estimate - exact_distinct) * 1000000
+             // exact_distinct AS BIGINT) AS err_micro
+         FROM est""",
+    // q237: Bloom-prefiltered decontamination — md5-nibble positions,
+    // 1024 bit_or'd words, shift-and-mask membership, exact-join
+    // verification; counts over gram instances.
+    "q237_bloom_decontaminate" ->
+      s"""WITH words AS (
+           SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
+         evg AS (
+           SELECT DISTINCT array_to_string(w[i:i+2], ' ') AS g
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 1)) AS i) t
+           WHERE len(w) >= 3 AND doc_id % 97 = 0),
+         bloom AS (
+           SELECT pos // 32 AS wi,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+           FROM (
+             SELECT ('0x' || substr(md5(g), 1, 4))::BIGINT AS pos FROM evg
+             UNION ALL
+             SELECT ('0x' || substr(md5(g), 5, 4))::BIGINT AS pos FROM evg)
+           GROUP BY 1),
+         trg AS (
+           SELECT array_to_string(w[i:i+2], ' ') AS g
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 1)) AS i) t
+           WHERE len(w) >= 3 AND doc_id % 97 <> 0),
+         probed AS (
+           SELECT trg.g,
+             ((COALESCE(b1.bits, 0) >>
+                 CAST(('0x' || substr(md5(trg.g), 1, 4))::BIGINT % 32
+                   AS INT)) % 2 = 1
+              AND (COALESCE(b2.bits, 0) >>
+                 CAST(('0x' || substr(md5(trg.g), 5, 4))::BIGINT % 32
+                   AS INT)) % 2 = 1) AS cand,
+             (evg.g IS NOT NULL) AS hit
+           FROM trg
+             LEFT JOIN bloom b1
+               ON b1.wi = ('0x' || substr(md5(trg.g), 1, 4))::BIGINT // 32
+             LEFT JOIN bloom b2
+               ON b2.wi = ('0x' || substr(md5(trg.g), 5, 4))::BIGINT // 32
+             LEFT JOIN evg ON evg.g = trg.g),
+         agg AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_train_gram_instances,
+             CAST(SUM(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_candidates,
+             CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_hits
+           FROM probed)
+         SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM evg) AS n_eval_grams,
+           n_train_gram_instances, n_candidates, n_true_hits,
+           CAST((n_candidates - n_true_hits) * 1000000
+             // (n_train_gram_instances - n_true_hits) AS BIGINT)
+             AS false_pos_micro
+         FROM agg""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness
@@ -3440,6 +3570,9 @@ object SparkEntry {
     // replays the training chain (doc_id carried) and reads the final
     // round's streams as the encoding.
     "q157_bpe_encode" -> bpeEncodeOracleSql(20, 8),
+    // q238: fertility — the q157 chain aggregated to the lang domain;
+    // rounds must equal the Spark default.
+    "q238_tokenizer_fertility" -> tokenizerFertilityOracleSql(20),
     "q135_bpe_pairs" ->
       """WITH pairs AS (
            SELECT substr(text, CAST(i AS INT), 2) AS pair

@@ -651,6 +651,90 @@ object Dedup {
       .agg(countDistinct(col("sh")).as("n_common"))
   }
 
+  /** Bloom geometry (q237): m = 2^16 bits packed 32 per BIGINT word
+    * (2048 words, a 16 KB broadcast; 32-bit packing keeps every shift
+    * <= 31 — DuckDB's checked BIGINT arithmetic refuses 1 << 63 where
+    * Spark wraps silently, the q221 divergence class), k = 2 probe
+    * positions taken from disjoint md5 nibbles of the gram TEXT — the
+    * md5 device (q23/q31) keeps every bit position SQL-derivable,
+    * unlike the FNV shingle hash the q21/q83 join path uses
+    * internally.
+    */
+  val BloomBits = 1 << 16
+  val BloomWords: Int = BloomBits / 32 // 2048
+
+  /** The q237 driver entry: BLOOM-PREFILTERED DECONTAMINATION — the
+    * scale form of q83's eval-overlap hygiene: instead of
+    * broadcasting the full eval n-gram set against the corpus, the
+    * eval grams fold into a 2^16-bit Bloom filter (bit_or over 1024
+    * words — an 8 KB artifact no matter how large the suite grows),
+    * the corpus gram stream probes it as a narrow broadcast-join
+    * expression (both probe bits set -> candidate), and only
+    * candidates meet the exact eval-set join. Output is the FUNNEL
+    * the curation team reads: eval gram count, corpus gram
+    * instances, Bloom candidates, true hits, and the realized
+    * false-positive rate among true negatives in micro units — the
+    * number that says whether m/k are sized right for the suite.
+    *
+    * Counts are over corpus gram INSTANCES (doc-grain occurrences),
+    * so the corpus side never needs a global distinct: grams are a
+    * narrow per-row explode, both joins broadcast, and the only
+    * exchange is the final 1-row aggregate — the 100 TB posture (the
+    * q83 exact join remains the verification tail on the candidate
+    * slice alone).
+    *
+    * All-integer and exactly replayed in SQL: positions are hex
+    * nibbles 1-4 and 5-8 of md5(gram), the filter is 1024 bit_or'd
+    * BIGINT words, membership is shift-and-mask.
+    */
+  def bloomDecontaminate(
+      spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
+    import graft.operators.TextAnalysis.normalizedText
+    val docs = Tables.load(spark, sfDir, "documents")
+    def grams(df: DataFrame): DataFrame = {
+      val w = split(normalizedText(col("text")), " ")
+      df.select(col("doc_id"), w.as("w"))
+        .where(size(col("w")) >= n)
+        .select(explode(transform(
+          sequence(lit(1), size(col("w")) - (n - 1)),
+          i => array_join(slice(col("w"), i, lit(n)), " "))).as("g"))
+    }
+    def pos1(g: Column) = conv(substring(md5(g), 1, 4), 16, 10).cast("long")
+    def pos2(g: Column) = conv(substring(md5(g), 5, 4), 16, 10).cast("long")
+    val evalG = grams(docs.filter(col("doc_id") % 97 === 0)).distinct()
+    val bloom = evalG
+      .select(explode(array(pos1(col("g")), pos2(col("g")))).as("pos"))
+      .select(shiftright(col("pos"), 5).as("wi"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+          .as("bit"))
+      .groupBy(col("wi")).agg(expr("bit_or(bit)").as("bits"))
+    val trainG = grams(docs.filter(col("doc_id") % 97 =!= 0))
+      .select(col("g"), pos1(col("g")).as("p1"), pos2(col("g")).as("p2"))
+    val probed = trainG
+      .join(broadcast(bloom.as("b1")),
+        shiftright(col("p1"), 5) === col("b1.wi"), "left")
+      .join(broadcast(bloom.as("b2")),
+        shiftright(col("p2"), 5) === col("b2.wi"), "left")
+      .select(col("g"),
+        (expr("shiftright(coalesce(b1.bits, CAST(0 AS BIGINT)), " +
+          "CAST(p1 % 32 AS INT)) % 2") === 1 &&
+         expr("shiftright(coalesce(b2.bits, CAST(0 AS BIGINT)), " +
+          "CAST(p2 % 32 AS INT)) % 2") === 1).as("cand"))
+    val hit = probed
+      .join(broadcast(evalG.withColumn("hit", lit(true))), Seq("g"), "left")
+      .select(col("cand"), coalesce(col("hit"), lit(false)).as("hit"))
+    hit.agg(
+      count(lit(1)).as("n_train_gram_instances"),
+      sum(when(col("cand"), 1L).otherwise(0L)).as("n_candidates"),
+      sum(when(col("hit"), 1L).otherwise(0L)).as("n_true_hits"))
+      .crossJoin(broadcast(evalG.agg(count(lit(1)).as("n_eval_grams"))))
+      .select(col("n_eval_grams"), col("n_train_gram_instances"),
+        col("n_candidates"), col("n_true_hits"),
+        expr("""CAST((n_candidates - n_true_hits) * 1000000
+              DIV (n_train_gram_instances - n_true_hits) AS BIGINT)""")
+          .as("false_pos_micro"))
+  }
+
   // -------- line-level (boilerplate) dedup --------
 
   /** Header/footer boilerplate lines injected into the fixture so the

@@ -1057,16 +1057,26 @@ object TextAnalysis {
   private val bpeTrainMemo = scala.collection.concurrent.TrieMap
     .empty[(String, Int), Seq[(Int, String, String, String, Long)]]
 
+  /** The deployment's trained merge table for `sfDir` — memoized per
+    * (path + data fingerprint, rounds), deterministic, shared by
+    * every consumer of the tokenizer artifact (q157 encode, q238
+    * fertility audit).
+    */
+  private[graft] def trainedMerges(
+      spark: SparkSession, sfDir: String, rounds: Int)
+      : Seq[(Int, String, String, String, Long)] =
+    bpeTrainMemo.getOrElseUpdate(
+      (sfDir + "@" + Tables.fingerprint(sfDir, "documents"), rounds),
+      bpeTrain(spark, sfDir, rounds).orderBy(col("merge_round"))
+        .collect().toSeq.map(r => (r.getInt(0), r.getString(1),
+          r.getString(2), r.getString(3), r.getLong(4))))
+
   def bpeEncode(
       spark: SparkSession, sfDir: String,
       rounds: Int = 20, headN: Int = 8): DataFrame =
     Scratch.withScratch(spark, "q157_bpe_merges", sfDir) { dir =>
       import spark.implicits._
-      bpeTrainMemo.getOrElseUpdate(
-        (sfDir + "@" + Tables.fingerprint(sfDir, "documents"), rounds),
-        bpeTrain(spark, sfDir, rounds).orderBy(col("merge_round"))
-          .collect().toSeq.map(r => (r.getInt(0), r.getString(1),
-            r.getString(2), r.getString(3), r.getLong(4))))
+      trainedMerges(spark, sfDir, rounds)
         .toDF("merge_round", "left_sym", "right_sym", "merged", "n")
         .write.mode("overwrite").parquet(s"$dir/merges")
       val merges = spark.read.parquet(s"$dir/merges")
@@ -1100,6 +1110,41 @@ object TextAnalysis {
         size(col("toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("toks"))).cast("long").as("n_unique"),
         array_join(slice(col("toks"), 1, headN), ",").as("head_toks"))
+  }
+
+  /** The q238 driver entry: TOKENIZER FERTILITY AUDIT — the
+    * per-language chars-per-token table every multilingual tokenizer
+    * review starts from (a tokenizer that spends 3x the tokens on one
+    * language taxes its context budget 3x — the fairness metric from
+    * the multilingual-tokenizer literature): encode the corpus with
+    * the deployment's trained merge table (the q157 memoized
+    * artifact, applied by the same zero-shuffle replace chain) and
+    * aggregate characters and tokens per language; fertility =
+    * chars * 1e6 DIV tokens, exact integer.
+    *
+    * Scale shape: encode is scan -> project (q157's plan); the join
+    * to the language column is doc-grain on doc_id; one language-
+    * domain aggregate ends the plan.
+    */
+  def tokenizerFertility(
+      spark: SparkSession, sfDir: String, rounds: Int = 20): DataFrame = {
+    val merges = trainedMerges(spark, sfDir, rounds)
+      .map { case (_, l, r, _, _) => (l, r) }
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        length(bpeSafeText(col("text"))).cast("long").as("n_chars"))
+    val enc = bpeEncodeWith(spark,
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")), merges, headN = 1)
+      .select(col("doc_id"), col("n_tokens"))
+    docs.join(enc, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_chars"), col("n_tokens"),
+        expr("CAST((n_chars * 1000000) DIV n_tokens AS BIGINT)")
+          .as("chars_per_token_micro"))
   }
 
   /** The q149 driver entry: inverted-index BUILD — the exportable

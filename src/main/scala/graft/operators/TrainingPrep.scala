@@ -759,6 +759,114 @@ object TrainingPrep {
             .as("var_micro"))
     }
 
+  /** HLL geometry (q236): 64 registers (6 index bits off a 60-bit
+    * md5-derived hash, 54 rank bits), raw-regime estimator only. The
+    * alpha constant is computed ONCE here and interpolated verbatim
+    * into the oracle SQL (the q210 twiddle-table discipline), so both
+    * engines divide by identical integers.
+    */
+  val HllRegisters = 64
+  val HllRankMax = 55 // 54 hash bits: rank 1..54; all-zero word = 55
+  val HllAlphaMicro: Long =
+    math.floor(1000000.0 * 0.7213 / (1.0 + 1.079 / HllRegisters)).toLong
+  /** alpha_micro * m^2 * 2^55 — the estimator numerator, exact. */
+  val HllNumerator: BigInt =
+    BigInt(HllAlphaMicro) * HllRegisters * HllRegisters *
+      (BigInt(1) << HllRankMax)
+
+  /** The q236 driver entry: MERGEABLE HYPERLOGLOG DISTINCT SKETCH —
+    * the cardinality device every 100 TB catalog runs on: each shard
+    * materializes a 64-register HLL over the document text (written
+    * and READ BACK as a parquet artifact — the q221 moment-triple
+    * lifecycle, for distinct counts instead of variance), and the
+    * global register set merges by per-index MAX from the artifacts
+    * alone — distinct-counting across shards without ever exchanging
+    * document ids or text, the whole point of the sketch at scale
+    * (exact global count_distinct shuffles every distinct value; the
+    * merge shuffles 64 bytes per shard).
+    *
+    * DETERMINISTIC BY CONSTRUCTION: the "random" hash is the md5
+    * device (q23/q31), the register index its low 6 bits, the rank
+    * the leading-zero count of the remaining 54 bits via the q226
+    * integer bin()-length device — so the sketch, the merge, and the
+    * estimate are all exact integer arithmetic the DuckDB oracle
+    * replays bit-for-bit. The estimator is the RAW HLL harmonic mean
+    * E = alpha*m^2 / sum(2^-M_j), scaled by 2^55 so the register sum
+    * is one BIGINT (<= 64 * 2^55 = 2^61) and the numerator divides in
+    * DECIMAL(38)/HUGEINT (the q221 width discipline); the small- and
+    * large-range corrections are intentionally omitted — the raw
+    * estimator is the documented regime for n >= 2.5m = 160 — the
+    * merged row satisfies it at every fixture SF, while the per-shard
+    * slices at sf0.01 sit below it and show the raw estimator's known
+    * high bias (the err_micro column makes that visible by design;
+    * linear counting would need ln(), a transcendental the exactness
+    * rule forbids, and the 100 TB deployment this models never counts
+    * shards that small).
+    *
+    * Output: per shard and merged (-1, the q221 shape): row count,
+    * exact distinct (the verification column), the HLL estimate, and
+    * the relative error in micro units.
+    *
+    * Scale shape: one doc-grain pass map-side combines to 8x64
+    * register rows; everything downstream reads the artifact. The
+    * exact_distinct column is the AUDIT twin (a distinct shuffle) —
+    * a production deployment drops it and keeps only the sketch.
+    */
+  /** Per-(shard, idx) max-rank registers over a (shard, text) frame —
+    * spec entry point (mergeability and rank derivation are pinned on
+    * literals and against an independent driver-side recompute).
+    */
+  private[graft] def hllRegisters(docs: DataFrame): DataFrame = {
+    val h = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+    docs
+      .select(col("shard"), h.as("h"))
+      .select(col("shard"),
+        (col("h") % HllRegisters).as("idx"),
+        shiftright(col("h"), 6).as("w"))
+      .select(col("shard"), col("idx"),
+        when(col("w") === 0, lit(HllRankMax.toLong))
+          .otherwise(lit(HllRankMax.toLong) - length(bin(col("w"))))
+          .as("rk"))
+      .groupBy(col("shard"), col("idx"))
+      .agg(max(col("rk")).as("m"))
+  }
+
+  def hllDistinctSketch(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Scratch.withScratch(spark, "q236_hll", sfDir) { dir =>
+      val m = HllRegisters
+      val docs = Tables.load(spark, sfDir, "documents")
+        .select((col("doc_id") % 8).as("shard"), col("text"))
+      hllRegisters(docs)
+        .write.mode("overwrite").parquet(s"$dir/registers")
+      val back = spark.read.parquet(s"$dir/registers")
+      val allRegs = back
+        .unionByName(back.groupBy(col("idx")).agg(max(col("m")).as("m"))
+          .select(lit(-1L).as("shard"), col("idx"), col("m")))
+      val spine = allRegs.select(col("shard")).distinct()
+        .select(col("shard"),
+          explode(sequence(lit(0L), lit(m - 1L))).as("idx"))
+      val sums = spine
+        .join(allRegs, Seq("shard", "idx"), "left")
+        .select(col("shard"),
+          expr(s"shiftleft(CAST(1 AS BIGINT), " +
+            s"CAST($HllRankMax - coalesce(m, 0) AS INT))").as("p"))
+        .groupBy(col("shard")).agg(sum(col("p")).as("s"))
+      val exact = docs.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("text")).as("exact_distinct"))
+        .unionByName(docs.agg(lit(-1L).as("shard"),
+          count(lit(1)).as("n_rows"),
+          count_distinct(col("text")).as("exact_distinct")))
+      exact.join(sums, Seq("shard"))
+        .withColumn("hll_estimate",
+          expr(s"CAST((CAST('$HllNumerator' AS DECIMAL(38,0)) DIV s)" +
+            " DIV 1000000 AS BIGINT)"))
+        .select(col("shard"), col("n_rows"), col("exact_distinct"),
+          col("hll_estimate"),
+          expr("""CAST(abs(hll_estimate - exact_distinct) * 1000000
+                DIV exact_distinct AS BIGINT)""").as("err_micro"))
+    }
+
   /** The q226 driver entry: PADDING-WASTE AUDIT — the training-
     * efficiency table behind sequence packing decisions: bucket
     * documents by log2 token length and report, per bucket, the

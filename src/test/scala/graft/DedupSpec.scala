@@ -147,6 +147,35 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "fixture has no near-dup pairs at 0.5 — recall pin is vacuous")
   }
 
+  test("bloom decontamination: no false negatives, funnel consistent with the exact join (q237)") {
+    val row = Dedup.bloomDecontaminate(spark, SparkTestSession.sf).head()
+    val (nEval, nTrain, nCand, nTrue, fp) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4))
+    assert(nEval > 0 && nTrain > 0)
+    // Bloom admits every true hit (no false negatives) and the
+    // candidate set sits between truth and everything
+    assert(nTrue <= nCand && nCand <= nTrain)
+    assert(fp >= 0L && fp < 1000000L)
+    // independent recompute of the true-hit count: raw train gram
+    // instances joining the distinct eval gram set
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis.normalizedText
+    val docs = graft.sources.Tables
+      .load(spark, SparkTestSession.sf, "documents")
+    def grams(df: org.apache.spark.sql.DataFrame) = {
+      val w = split(normalizedText(col("text")), " ")
+      df.select(col("doc_id"), w.as("w")).where(size(col("w")) >= 3)
+        .select(explode(transform(sequence(lit(1), size(col("w")) - 2),
+          i => array_join(slice(col("w"), i, lit(3)), " "))).as("g"))
+    }
+    val want = grams(docs.filter(col("doc_id") % 97 =!= 0))
+      .join(grams(docs.filter(col("doc_id") % 97 === 0)).distinct(), "g")
+      .count()
+    assert(nTrue == want)
+    assert(nTrue > 0, "fixture eval slice shares no grams — funnel is vacuous")
+  }
+
   test("mergeable MinHashAgg equals the 64-column SQL signature path") {
     import org.apache.spark.sql.functions.{col => c}
     val docs = docsFixture

@@ -243,6 +243,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(planted(17L) == "replacement_char,invalid_run")
   }
 
+  test("tokenizer fertility: aggregates reconcile with the per-doc encode (q238)") {
+    val fert = TextAnalysis
+      .tokenizerFertility(spark, SparkTestSession.sf).collect()
+    assert(fert.nonEmpty)
+    fert.foreach { r =>
+      val (nd, nc, nt, cpt) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nd > 0 && nt > 0)
+      // tokens never outnumber characters; fertility >= 1 char/token
+      assert(nt <= nc && cpt >= 1000000L)
+      assert(cpt == nc * 1000000L / nt)
+    }
+    // totals reconcile with the q157 per-doc encode
+    val enc = TextAnalysis.bpeEncode(spark, SparkTestSession.sf)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).head().getLong(0)
+    assert(fert.map(_.getLong(3)).sum == enc)
+  }
+
   test("bpe batch selection: prefix validity rules (round-12)") {
     import TextAnalysis.selectBatch
     val noVocab = (_: String) => false

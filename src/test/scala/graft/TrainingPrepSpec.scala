@@ -565,4 +565,37 @@ class TrainingPrepSpec extends AnyFunSuite {
     val bySeat = rows.sortBy(r => (-r._4, r._1)).take(seats)
     assert(bySeat.forall(r => r._6 == r._3 + 1))
   }
+
+  test("hll sketch: ranks match an independent recompute; sketches merge by register max (q236)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import graft.operators.TrainingPrep
+    val texts = (1 to 200).map(i => s"document number $i with some words")
+    val docs = texts.zipWithIndex
+      .map { case (tx, i) => ((i % 2).toLong, tx) }.toDF("shard", "text")
+    val regs = TrainingPrep.hllRegisters(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // independent driver-side recompute from the md5 device
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val want = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    texts.zipWithIndex.foreach { case (tx, i) =>
+      val h = java.lang.Long.parseLong(md5hex(tx).take(15), 16)
+      val idx = h % 64
+      val w = h >>> 6
+      val rk = if (w == 0) 55L
+        else 55L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      val k = ((i % 2).toLong, idx)
+      want(k) = math.max(want.getOrElse(k, 0L), rk)
+    }
+    assert(regs == want.toMap)
+    // mergeability: union sketch == per-index max of shard sketches
+    val unionRegs = TrainingPrep
+      .hllRegisters(docs.select(lit(0L).as("shard"), col("text")))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val mergedWant = regs.groupBy(_._1._2)
+      .map { case (idx, xs) => idx -> xs.values.max }
+    assert(unionRegs == mergedWant)
+  }
 }
