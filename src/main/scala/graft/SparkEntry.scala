@@ -268,6 +268,10 @@ object SparkEntry {
       Dedup.bloomDecontaminate(s, d)),
     "q238_tokenizer_fertility" -> ((s: SparkSession, d: String) =>
       TextAnalysis.tokenizerFertility(s, d)),
+    "q239_cdc_chunks" -> ((s: SparkSession, d: String) =>
+      Dedup.cdcChunkStats(s, d)),
+    "q240_containment" -> ((s: SparkSession, d: String) =>
+      Dedup.containmentPairs(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -3335,6 +3339,85 @@ object SparkEntry {
              // (n_train_gram_instances - n_true_hits) AS BIGINT)
              AS false_pos_micro
          FROM agg""",
+    // q239: content-defined chunking — md5 window-hash boundaries
+    // (the portable gear-CDC stand-in), LAG spans, digest-grain
+    // per-source stats; boilerplate injected by the q100 device.
+    "q239_cdc_chunks" ->
+      s"""WITH p0 AS (
+           SELECT doc_id, source,
+             CASE WHEN doc_id % 3 = 0
+               THEN '${Dedup.boilerplateHeader} ' ELSE '' END || text ||
+             CASE WHEN doc_id % 5 = 0
+               THEN ' ${Dedup.boilerplateFooter}' ELSE '' END AS text
+           FROM documents WHERE length(text) >= 1),
+         bnd AS (
+           SELECT doc_id, CAST(p AS BIGINT) AS p
+           FROM p0, UNNEST(range(${Dedup.CdcWindow},
+             length(text) + 1)) t(p)
+           WHERE ('0x' || substr(md5(substr(text,
+               CAST(p - ${Dedup.CdcWindow - 1} AS INT),
+               ${Dedup.CdcWindow})), 1, 4))::BIGINT
+             % ${Dedup.CdcBoundaryRate} = 0),
+         ends AS (
+           SELECT doc_id, p FROM bnd
+           UNION
+           SELECT doc_id, CAST(length(text) AS BIGINT) AS p FROM p0),
+         spans AS (
+           SELECT doc_id,
+             COALESCE(LAG(p) OVER (PARTITION BY doc_id ORDER BY p), 0)
+               AS s, p AS e
+           FROM ends),
+         chunks AS (
+           SELECT p0.source,
+             substr(p0.text, CAST(s + 1 AS INT), CAST(e - s AS INT))
+               AS chunk
+           FROM spans JOIN p0 USING (doc_id)),
+         g AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(COUNT(DISTINCT md5(chunk)) AS BIGINT)
+               AS n_distinct_chunks,
+             CAST(SUM(length(chunk)) AS BIGINT) AS n_chars
+           FROM chunks GROUP BY 1)
+         SELECT source, n_chunks, n_distinct_chunks,
+           n_chunks - n_distinct_chunks AS dup_instances,
+           CAST(((n_chunks - n_distinct_chunks) * 1000000) // n_chunks
+             AS BIGINT) AS dup_ratio_micro,
+           CAST((n_chars * 1000000) // n_chunks AS BIGINT)
+             AS mean_chunk_len_micro
+         FROM g""",
+    // q240: directed shingle containment over the planted-container
+    // corpus — the q21 CTE with the union'd containers and a directed
+    // pair join; containment = n_common*1e6 // |contained|.
+    "q240_containment" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         cont AS (
+           SELECT a.doc_id + ${Dedup.ContainOffset} AS doc_id,
+             a.text || ' ' || b.text AS text
+           FROM base a JOIN base b ON b.doc_id = a.doc_id + 1
+           WHERE a.doc_id % 25 = 0),
+         docs2 AS (
+           SELECT * FROM base UNION ALL SELECT * FROM cont),
+         words AS (
+           SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)),
+               '\\s+', ' ', 'g'), ' ') AS w
+           FROM docs2),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t
+           WHERE len(w) >= 5),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+           FROM sh a JOIN sh b
+             ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a AS contained_id, id_b AS container_id,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST((n_common * 1000000) // sa.n_sh AS BIGINT)
+             AS containment_micro
+         FROM common JOIN sizes sa ON sa.doc_id = id_a
+         WHERE (n_common * 1000000) // sa.n_sh >= 800000""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

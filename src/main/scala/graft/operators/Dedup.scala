@@ -136,6 +136,67 @@ object Dedup {
     } finally index.unpersist()
   }
 
+  /** The q240 driver entry: SHINGLE CONTAINMENT PAIRS — the
+    * quote-inclusion detector resemblance dedup structurally misses:
+    * containment C(a in b) = |A ∩ B| / |A| flags a document EMBEDDED
+    * in a longer one (news wire inside an aggregator page, a license
+    * block inside every file) where Jaccard dilutes below any
+    * near-dup threshold as the container grows (Broder's original
+    * containment/resemblance split; the Lee et al. 2022 superset-dup
+    * case q165 audits at exact-substring grain, here at the
+    * shingle-set grain that survives light edits). Containers are
+    * PLANTED (the q235 twin device): every doc_id % 25 == 0 document
+    * gains a synthetic container concatenating it with its successor
+    * — contained docs score C ~ 1 inside it while their Jaccard to it
+    * sits near 0.5, exactly the gap this operator exists to close.
+    * Output is DIRECTED: (contained_id, container_id, n_common,
+    * containment_micro >= 0.8).
+    *
+    * Scale shape: the q21 posting-index path (capped lists, pair
+    * fan-out bounded per list); containment adds only the directed
+    * emit and one integer division — no new exchange.
+    */
+  val ContainOffset = 7000000000L
+
+  def containmentPairs(
+      spark: SparkSession, sfDir: String,
+      n: Int = 5, thresholdMicro: Long = 800000L,
+      maxPostingLen: Int = defaultMaxPostingLen): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val containers = docs.where(col("doc_id") % 25 === 0).as("a")
+      .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select((col("a.doc_id") + ContainOffset).as("doc_id"),
+        concat(col("a.text"), lit(" "), col("b.text")).as("text"))
+    val planted = docs.unionByName(containers)
+    val index = shingleHashes(planted, n)
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= maxPostingLen)
+      .persist()
+    try {
+      val sizes = index
+        .select(explode(col("ids")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val common = index
+        .filter(size(col("ids")) > 1)
+        .select(explode(col("ids")).as("id_a"), col("ids"))
+        .select(col("id_a"), explode(col("ids")).as("id_b"))
+        .filter(col("id_a") =!= col("id_b")) // DIRECTED: both orders
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_common"))
+      common
+        .join(sizes.withColumnRenamed("doc_id", "id_a")
+          .withColumnRenamed("n_sh", "n_a"), "id_a")
+        .select(col("id_a").as("contained_id"),
+          col("id_b").as("container_id"), col("n_common"),
+          expr("CAST((n_common * 1000000) DIV n_a AS BIGINT)")
+            .as("containment_micro"))
+        .filter(col("containment_micro") >= thresholdMicro)
+        .localCheckpoint(true)
+    } finally index.unpersist()
+  }
+
   // -------- MinHash + LSH --------
 
   val numHashes = 64
@@ -615,6 +676,89 @@ object Dedup {
           .cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+  }
+
+  /** CDC geometry (q239): 8-char window hash (md5 nibble — the exact
+    * portable stand-in for a Rabin/Gear rolling hash: same
+    * content-defined boundary class, SQL-replayable), boundary when
+    * the 16-bit window hash % 64 == 0 -> expected 64-char chunks.
+    * Min/max chunk bounds are deliberately omitted: they make the
+    * boundary decision STATEFUL (a boundary suppresses neighbors),
+    * which no per-position predicate expresses — raw gear CDC is the
+    * stateless subset both engines replay exactly.
+    */
+  val CdcWindow = 8
+  val CdcBoundaryRate = 64
+
+  /** The q239 driver entry: CONTENT-DEFINED CHUNKING DEDUP — the
+    * storage-layer dedup device (restic/borg lineage, and the delta
+    * layer under corpus snapshots): chunk boundaries are functions of
+    * CONTENT, not offsets, so a shared passage chunks identically in
+    * every document that contains it regardless of position — the
+    * axis doc-level (q20), line-level (q100), and n-gram (q21) dedup
+    * all miss when an edit shifts offsets. Boilerplate is injected by
+    * the q100 device (header on doc_id % 3, footer on % 5) so shared
+    * passages exist at every SF; per source the entry reports chunk
+    * instances, distinct chunks, duplicate instances, the dup ratio,
+    * and mean chunk length — the table that prices a chunk store.
+    *
+    * Scale shape: boundary detection + chunk extraction are ROW-LOCAL
+    * higher-order-function expressions inside the scan (the q155
+    * projection-boundary discipline for the reused arrays); chunk
+    * text reduces to a 16-byte digest before the per-source
+    * aggregate, so text never enters the exchange (q20's rule).
+    */
+  def cdcChunkStats(spark: SparkSession, sfDir: String): DataFrame =
+    cdcChunkStatsOn(Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        concat(
+          when(col("doc_id") % 3 === 0, lit(boilerplateHeader + " "))
+            .otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 5 === 0, lit(" " + boilerplateFooter))
+            .otherwise(lit(""))).as("text")))
+
+  /** The operator over any (doc_id, source, text) frame — spec entry
+    * point (the offset-invariance property is pinned on crafted
+    * shared passages).
+    */
+  def cdcChunkStatsOn(docsIn: DataFrame): DataFrame = {
+    val w = CdcWindow
+    val docs = docsIn.where(length(col("text")) >= 1)
+    val withEnds = docs
+      .select(col("doc_id"), col("source"), col("text"),
+        expr(s"""CASE WHEN length(text) >= $w THEN
+            filter(transform(sequence($w, length(text)),
+              p -> CASE WHEN conv(substring(md5(substring(
+                     text, p - ${w - 1}, $w)), 1, 4), 16, 10)
+                   % $CdcBoundaryRate = 0 THEN p END),
+              x -> x IS NOT NULL)
+          ELSE array() END""").as("bnd"))
+      .select(col("source"), col("text"),
+        expr("array_distinct(concat(bnd, array(length(text))))")
+          .as("ends"))
+    val chunks = withEnds
+      .select(col("source"), explode(expr(
+        """transform(sequence(1, size(ends)),
+             i -> substring(text,
+               CASE WHEN i = 1 THEN 1
+                 ELSE element_at(ends, i - 1) + 1 END,
+               element_at(ends, i) -
+                 CASE WHEN i = 1 THEN 0
+                   ELSE element_at(ends, i - 1) END))""")).as("chunk"))
+    chunks
+      .select(col("source"), md5(col("chunk")).as("dg"),
+        length(col("chunk")).cast("long").as("clen"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count_distinct(col("dg")).as("n_distinct_chunks"),
+        sum(col("clen")).as("n_chars"))
+      .select(col("source"), col("n_chunks"), col("n_distinct_chunks"),
+        (col("n_chunks") - col("n_distinct_chunks")).as("dup_instances"),
+        expr("""CAST(((n_chunks - n_distinct_chunks) * 1000000)
+              DIV n_chunks AS BIGINT)""").as("dup_ratio_micro"),
+        expr("CAST((n_chars * 1000000) DIV n_chunks AS BIGINT)")
+          .as("mean_chunk_len_micro"))
   }
 
   // -------- eval-set decontamination --------

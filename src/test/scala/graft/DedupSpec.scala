@@ -176,6 +176,57 @@ class DedupSpec extends AnyFunSuite {
     assert(nTrue > 0, "fixture eval slice shares no grams — funnel is vacuous")
   }
 
+  test("cdc chunking: shared passages chunk identically at different offsets (q239)") {
+    val rnd = new scala.util.Random(99)
+    def noise(n: Int) = (0 until n)
+      .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    // a long shared passage behind DIFFERENT-length prefixes: byte
+    // offsets differ, content-defined boundaries inside the passage
+    // agree -> interior chunks duplicate across the two docs
+    val passage = noise(400)
+    val docA = noise(37) + passage
+    val docB = noise(211) + passage
+    val got = Dedup.cdcChunkStatsOn(
+      Seq((1L, "s", docA), (2L, "s", docB))
+        .toDF("doc_id", "source", "text")).head()
+    assert(got.getLong(3) > 0,
+      "offset-shifted shared passage produced no duplicate chunks")
+    // identical docs: every chunk of the second is a duplicate
+    val twin = Dedup.cdcChunkStatsOn(
+      Seq((1L, "s", docA), (2L, "s", docA))
+        .toDF("doc_id", "source", "text")).head()
+    assert(twin.getLong(1) == 2 * twin.getLong(2))
+    assert(twin.getLong(3) == twin.getLong(2))
+    // chunks tile the text exactly: total chars conserved
+    val one = Dedup.cdcChunkStatsOn(
+      Seq((1L, "s", docA)).toDF("doc_id", "source", "text")).head()
+    assert(one.getLong(5) * one.getLong(1) / 1000000 <= docA.length)
+  }
+
+  test("containment: planted container pairs directed, resemblance stays low (q240)") {
+    val got = Dedup.containmentPairs(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got.nonEmpty)
+    // the planted (doc, doc+1) -> container pairs exist with near-total
+    // containment
+    val containerIds = got.keys.map(_._2).filter(_ >= Dedup.ContainOffset)
+    assert(containerIds.nonEmpty, "planted containers produced no pairs")
+    containerIds.foreach { c =>
+      val a = c - Dedup.ContainOffset
+      assert(got.contains((a, c)), s"doc $a missing from its container")
+      assert(got((a, c)) >= 900000L)
+    }
+    // directionality: asymmetric pairs exist — contained docs that
+    // score in their container while the container does not score
+    // back (a container DOES legitimately score back when its two
+    // members are near-duplicates of each other: its shingle union
+    // collapses onto one member, so only SOME pairs are asymmetric)
+    val asymmetric = got.keys.count { case (x, y) =>
+      !got.contains((y, x)) }
+    assert(asymmetric > 0, "no asymmetric containment pairs — directed emit is vacuous")
+  }
+
   test("mergeable MinHashAgg equals the 64-column SQL signature path") {
     import org.apache.spark.sql.functions.{col => c}
     val docs = docsFixture
