@@ -272,6 +272,10 @@ object SparkEntry {
       Dedup.cdcChunkStats(s, d)),
     "q240_containment" -> ((s: SparkSession, d: String) =>
       Dedup.containmentPairs(s, d)),
+    "q241_dp_release" -> ((s: SparkSession, d: String) =>
+      CleanPipeline.dpGeometricRelease(s, d)),
+    "q242_luhn_pii" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.luhnPii(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -3418,6 +3422,73 @@ object SparkEntry {
              AS containment_micro
          FROM common JOIN sizes sa ON sa.doc_id = id_a
          WHERE (n_common * 1000000) // sa.n_sh >= 800000""",
+    // q241: DP geometric release — md5 32-bit uniform through the
+    // exact dyadic-grid inverse CDF; bit_length via bin().
+    "q241_dp_release" ->
+      s"""WITH c AS (
+           SELECT event_type, CAST(COUNT(*) AS BIGINT)
+             AS true_count_audit
+           FROM events GROUP BY 1),
+         u AS (
+           SELECT event_type, true_count_audit,
+             ('0x' || substr(md5('dp:' || event_type), 1, 8))::BIGINT
+               AS u
+           FROM c),
+         n AS (
+           SELECT event_type, true_count_audit,
+             CAST(CASE
+               WHEN u * 3 < 4294967296 THEN
+                 -(33 - CASE WHEN u * 3 = 0 THEN 0
+                    ELSE length(bin(u * 3)) END)
+               WHEN (4294967295 - u) * 3 < 4294967296 THEN
+                 (33 - CASE WHEN (4294967295 - u) * 3 = 0 THEN 0
+                    ELSE length(bin((4294967295 - u) * 3)) END)
+               ELSE 0 END AS BIGINT) AS noise_audit
+           FROM u)
+         SELECT event_type, true_count_audit + noise_audit
+             AS released_count,
+           noise_audit, true_count_audit,
+           CAST(${CleanPipeline.DpEpsilonMicro} AS BIGINT)
+             AS epsilon_micro
+         FROM n""",
+    // q242: Luhn PII — planted candidates, UNNEST+SUM checksum replay,
+    // digest over the sorted valid set.
+    "q242_luhn_pii" ->
+      """WITH p AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 9 = 0
+               THEN ' card 4111111111111111 ok' ELSE '' END ||
+             CASE WHEN doc_id % 9 = 3
+               THEN ' ref 4111111111111112' ELSE '' END AS t
+           FROM documents),
+         cand AS (
+           SELECT doc_id, UNNEST(regexp_extract_all(t, '[0-9]{13,19}'))
+             AS c
+           FROM p),
+         luhn AS (
+           SELECT DISTINCT doc_id, c,
+             (SELECT SUM(CASE WHEN (length(c) - i) % 2 = 0
+                  THEN CAST(substr(c, CAST(i AS INT), 1) AS BIGINT)
+                  ELSE CASE
+                    WHEN 2 * CAST(substr(c, CAST(i AS INT), 1) AS BIGINT) > 9
+                    THEN 2 * CAST(substr(c, CAST(i AS INT), 1) AS BIGINT) - 9
+                    ELSE 2 * CAST(substr(c, CAST(i AS INT), 1) AS BIGINT)
+                  END END)
+              FROM UNNEST(range(1, length(c) + 1)) t(i)) % 10 = 0 AS ok
+           FROM cand),
+         per AS (
+           SELECT cand.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(SUM(CASE WHEN luhn.ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_luhn_valid,
+             md5(array_to_string(list_sort(
+               list(cand.c) FILTER (WHERE luhn.ok)), ',')) AS valid_digest
+           FROM cand JOIN luhn
+             ON luhn.doc_id = cand.doc_id AND luhn.c = cand.c
+           GROUP BY 1)
+         SELECT doc_id, n_candidates, n_luhn_valid,
+           COALESCE(valid_digest, md5('')) AS valid_digest
+         FROM per""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

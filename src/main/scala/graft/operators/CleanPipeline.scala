@@ -146,6 +146,63 @@ object CleanPipeline {
         when(g, lit(name)) }: _*).as("reasons"))
   }
 
+  /** The q241 driver entry: DIFFERENTIAL-PRIVACY GEOMETRIC RELEASE —
+    * the privacy leg beside q201's k-anonymity: per-event-type counts
+    * released through the two-sided geometric mechanism at alpha =
+    * 1/2 (epsilon = ln 2 per unit of the count's sensitivity — the
+    * discrete counterpart of the Laplace mechanism, Ghosh et al.'s
+    * universally-optimal release for counting queries). The noise is
+    * PSEUDORANDOM: an md5-derived 32-bit uniform u passes through the
+    * EXACT inverse CDF of the two-sided geometric on the dyadic grid
+    * — P(N=0) = 1/3, P(N = +-k) = (1/3)2^-k, realized as pure
+    * integer bit arithmetic: with a = 3u and b = 3(2^32-1-u),
+    * N = -(33 - bit_length(a)) when a < 2^32 (the lower CDF third),
+    * N = +(33 - bit_length(b)) when b < 2^32 (the upper third),
+    * N = 0 between — exact to the 2^-32 grid, identical on both
+    * engines. (A production deployment keys the PRF with a secret;
+    * the MECHANISM — sensitivity-1 counts plus two-sided geometric
+    * noise — is what this entry exhibits, and a keyed PRF is how
+    * reproducible pipelines actually implement DP releases.)
+    *
+    * Output per event type: the released noisy count, the noise
+    * actually added (the audit twin a DP release would NOT publish —
+    * kept here for the oracle, flagged by name), and the pinned
+    * epsilon in micro-nats.
+    *
+    * Scale shape: one fact-grain aggregate to the bounded type
+    * domain; noise derivation is per-GROUP arithmetic, free.
+    */
+  val DpEpsilonMicro = 693147L // ln 2, pinned constant (micro-nats)
+
+  def dpGeometricRelease(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = graft.sources.Tables.load(spark, sfDir, "events")
+    val counts = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("true_count_audit"))
+    // 32-bit word from the md5 device; leading-ones run length =
+    // count of consecutive set bits from bit 31 down. leading ones
+    // of w == leading zeros of ~w (masked to 32 bits):
+    // 32 - bit_length(xor(w, 0xFFFFFFFF)) for w < 2^32.
+    counts
+      .withColumn("u",
+        conv(substring(md5(concat(lit("dp:"), col("event_type"))), 1, 8),
+          16, 10).cast("long"))
+      .withColumn("a", col("u") * 3)
+      .withColumn("b", (lit(4294967295L) - col("u")) * 3)
+      .withColumn("noise_audit", expr(
+        """CAST(CASE
+             WHEN a < 4294967296 THEN
+               -(33 - CASE WHEN a = 0 THEN 0 ELSE length(bin(a)) END)
+             WHEN b < 4294967296 THEN
+               (33 - CASE WHEN b = 0 THEN 0 ELSE length(bin(b)) END)
+             ELSE 0 END AS BIGINT)"""))
+      .select(col("event_type"),
+        (col("true_count_audit") + col("noise_audit"))
+          .as("released_count"),
+        col("noise_audit"),
+        col("true_count_audit"),
+        lit(DpEpsilonMicro).as("epsilon_micro"))
+  }
+
   /** The q201 driver entry: K-ANONYMITY / L-DIVERSITY AUDIT — the
     * release gate a dataset passes before leaving the lake: treating
     * (source, length decile) as the quasi-identifier and language as

@@ -873,15 +873,22 @@ object Similarity {
         floor(lit(1000000.0) * x.cast("double")).cast("long")).as("em"))
     // round-12 advice: the covariance cell sum aggregates ~1e12-scale
     // per-row products — a LongType SUM silently wraps past ~9e6
-    // embeddings while the oracle's HUGEINT SUM does not. Widen the
-    // AGGREGATE to DECIMAL(38,0) (the per-row product itself is
-    // bounded by 1e12, safe in Long); cells land driver-side as exact
-    // BigInt, matching the oracle end to end at any corpus size.
+    // embeddings while the oracle's HUGEINT SUM does not. A straight
+    // DECIMAL(38,0) aggregate fixes that but runs the whole explode
+    // through 128-bit adds (bench r12 confirmed 1.57 -> 2.86 s), so
+    // the sum is TWO-LEVEL: per-scan-partition partials stay in Long
+    // — exact while a partition holds < 2^63/1.1e12 ~ 8.4e6
+    // embeddings, and a 128 MB scan partition holds ~5e5 — and only
+    // the 4096-per-partition partial rows merge in DECIMAL(38,0).
+    // Exact at any corpus size, Long-speed on the data-scale path;
+    // cells land driver-side as exact BigInt matching the oracle.
     val cov = emb
       .select(posexplode(flatten(transform(col("em"), x =>
         transform(col("em"), y => x * y)))).as(Seq("idx", "prod")))
+      .groupBy(col("idx"), spark_partition_id().as("pid"))
+      .agg(sum(col("prod")).as("ps"))
       .groupBy(col("idx"))
-      .agg(sum(col("prod").cast("decimal(38,0)")).as("s"))
+      .agg(sum(col("ps").cast("decimal(38,0)")).as("s"))
       .collect().map(r =>
         r.getInt(0) -> r.getDecimal(1).toBigInteger).toMap
     val c = Array.tabulate(d, d)((j, k) =>

@@ -397,6 +397,54 @@ object TextAnalysis {
         md5(regexp_replace(col("t"), emailPattern, "<EMAIL>")).as("redacted_fp"))
   }
 
+  /** The q242 driver entry: LUHN-VALIDATED PII DETECTION — the
+    * checksum-verified upgrade of q75's pattern-only email scan:
+    * payment-card numbers are 13-19 digit runs whose last digit is a
+    * Luhn mod-10 check, so a detector that VERIFIES the checksum
+    * separates real card numbers from order ids and timestamps at the
+    * same length — the precision step every production PII scanner
+    * (presidio-class) applies. Candidates are planted (the q75
+    * device): doc_id % 9 == 0 appends a Luhn-VALID test number,
+    * % 9 == 3 a same-length INVALID one, so both verdicts have
+    * positives on any slice. Per document with >= 1 candidate: the
+    * candidate count, the Luhn-valid count, and a findings digest
+    * (md5 of the sorted valid numbers — the dedupe key a redaction
+    * job consumes; valid numbers never appear in clear in the
+    * output).
+    *
+    * The checksum is a row-local `aggregate` HOF over each
+    * candidate's digits (doubling every second digit from the right,
+    * -9 on overflow) — no shuffle, no UDF; the oracle replays it as
+    * UNNEST + SUM per candidate.
+    */
+  def luhnPii(spark: SparkSession, sfDir: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(col("doc_id") % 9 === 0, lit(" card 4111111111111111 ok"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 9 === 3, lit(" ref 4111111111111112"))
+        .otherwise(lit("")))
+    val luhnOk =
+      """aggregate(sequence(1, length(c)), CAST(0 AS BIGINT), (acc, i) ->
+           acc + CASE WHEN (length(c) - i) % 2 = 0
+             THEN CAST(substring(c, i, 1) AS BIGINT)
+             ELSE CASE
+               WHEN 2 * CAST(substring(c, i, 1) AS BIGINT) > 9
+               THEN 2 * CAST(substring(c, i, 1) AS BIGINT) - 9
+               ELSE 2 * CAST(substring(c, i, 1) AS BIGINT) END
+           END) % 10 = 0"""
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), planted.as("t"))
+      .select(col("doc_id"),
+        expr("regexp_extract_all(t, '[0-9]{13,19}', 0)").as("cands"))
+      .where(size(col("cands")) > 0)
+      .select(col("doc_id"),
+        size(col("cands")).cast("long").as("n_candidates"),
+        expr(s"CAST(size(filter(cands, c -> $luhnOk)) AS BIGINT)")
+          .as("n_luhn_valid"),
+        expr(s"md5(concat_ws(',', array_sort(filter(cands, c -> $luhnOk))))")
+          .as("valid_digest"))
+  }
+
   def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "documents")
       .select(

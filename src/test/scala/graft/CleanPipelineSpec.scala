@@ -92,6 +92,73 @@ class CleanPipelineSpec extends AnyFunSuite {
     assert(gotMoji(11L) == "mojibake")
   }
 
+  test("dp release: noise follows the exact dyadic two-sided geometric (q241)") {
+    val spark = SparkTestSession.spark
+    val got = graft.operators.CleanPipeline
+      .dpGeometricRelease(spark, SparkTestSession.sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (rel, noise, tru, eps) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(rel == tru + noise)
+      assert(eps == graft.operators.CleanPipeline.DpEpsilonMicro)
+      // independent recompute of the inverse CDF from the md5 word
+      val et = r.getString(0)
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(("dp:" + et).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = java.lang.Long.parseLong(hex, 16)
+      val a = 3L * u
+      val b = 3L * (4294967295L - u)
+      def bl(x: Long) = if (x == 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x)
+      val want =
+        if (a < 4294967296L) -(33 - bl(a))
+        else if (b < 4294967296L) 33 - bl(b)
+        else 0
+      assert(noise == want, s"type $et")
+    }
+    // distribution sanity on the grid itself: thirds are exact
+    val N = 1 << 20
+    var zero = 0
+    var neg = 0
+    (0 until N).foreach { i =>
+      val u = i.toLong * 4096 // stride the 32-bit grid
+      val a = 3 * u; val b = 3 * (4294967295L - u)
+      if (a >= 4294967296L && b >= 4294967296L) zero += 1
+      else if (a < 4294967296L) neg += 1
+    }
+    assert(math.abs(zero.toDouble / N - 1.0 / 3) < 0.01)
+    assert(math.abs(neg.toDouble / N - 1.0 / 3) < 0.01)
+  }
+
+  test("luhn pii: checksum separates valid from same-length invalid (q242)") {
+    val spark = SparkTestSession.spark
+    val got = graft.operators.TextAnalysis
+      .luhnPii(spark, SparkTestSession.sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.nonEmpty)
+    // planting: % 9 == 0 docs carry the valid card, % 9 == 3 the
+    // invalid twin — candidate counted, checksum refused
+    got.foreach { case (id, (nc, nv)) =>
+      assert(nv <= nc)
+      if (id % 9 == 0) assert(nv >= 1, s"doc $id lost its valid card")
+      if (id % 9 == 3) assert(nv == 0 || nc > nv,
+        s"doc $id validated the invalid number")
+    }
+    assert(got.keys.exists(_ % 9 == 0) && got.keys.exists(_ % 9 == 3))
+    // the classic test number is Luhn-valid, its +1 twin is not
+    // (driver-side recompute of the same checksum)
+    def luhn(s: String): Boolean = {
+      val sum = s.zipWithIndex.map { case (ch, i0) =>
+        val d = ch - '0'
+        if ((s.length - (i0 + 1)) % 2 == 0) d
+        else { val dd = 2 * d; if (dd > 9) dd - 9 else dd }
+      }.sum
+      sum % 10 == 0
+    }
+    assert(luhn("4111111111111111") && !luhn("4111111111111112"))
+  }
+
   test("k-anonymity audit: small classes and homogeneous classes both suppress") {
     // class (sA, bucket 0): 6 members, 2 langs → passes both gates;
     // class (sB, bucket 0): 2 members → k fails;
