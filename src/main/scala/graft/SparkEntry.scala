@@ -276,6 +276,10 @@ object SparkEntry {
       CleanPipeline.dpGeometricRelease(s, d)),
     "q242_luhn_pii" -> ((s: SparkSession, d: String) =>
       TextAnalysis.luhnPii(s, d)),
+    "q243_join_discovery" -> ((s: SparkSession, d: String) =>
+      Relational.joinDiscovery(s, d)),
+    "q244_scene_cuts" -> ((s: SparkSession, d: String) =>
+      Multimodal.sceneCuts(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -3489,6 +3493,93 @@ object SparkEntry {
          SELECT doc_id, n_candidates, n_luhn_valid,
            COALESCE(valid_digest, md5('')) AS valid_digest
          FROM per""",
+    // q243: join discovery — DISTINCT per column union'd, exhaustive
+    // value self-join (the fixture scale makes it exact; the Spark
+    // side runs the posting-index form), directed containment.
+    "q243_join_discovery" ->
+      """WITH vals AS (
+           SELECT DISTINCT 'region.r_regionkey' AS colname, CAST(r_regionkey AS BIGINT) AS v
+           FROM region WHERE r_regionkey IS NOT NULL
+           UNION ALL
+           SELECT DISTINCT 'nation.n_nationkey' AS colname, CAST(n_nationkey AS BIGINT) AS v
+           FROM nation WHERE n_nationkey IS NOT NULL
+           UNION ALL
+           SELECT DISTINCT 'nation.n_regionkey' AS colname, CAST(n_regionkey AS BIGINT) AS v
+           FROM nation WHERE n_regionkey IS NOT NULL
+           UNION ALL
+           SELECT DISTINCT 'customer.c_custkey' AS colname, CAST(c_custkey AS BIGINT) AS v
+           FROM customer WHERE c_custkey IS NOT NULL
+           UNION ALL
+           SELECT DISTINCT 'customer.c_nationkey' AS colname, CAST(c_nationkey AS BIGINT) AS v
+           FROM customer WHERE c_nationkey IS NOT NULL
+           UNION ALL
+           SELECT DISTINCT 'supplier.s_suppkey' AS colname, CAST(s_suppkey AS BIGINT) AS v
+           FROM supplier WHERE s_suppkey IS NOT NULL
+           UNION ALL
+           SELECT DISTINCT 'supplier.s_nationkey' AS colname, CAST(s_nationkey AS BIGINT) AS v
+           FROM supplier WHERE s_nationkey IS NOT NULL
+           UNION ALL
+           SELECT DISTINCT 'part.p_partkey' AS colname, CAST(p_partkey AS BIGINT) AS v
+           FROM part WHERE p_partkey IS NOT NULL
+           UNION ALL
+           SELECT DISTINCT 'part.p_size' AS colname, CAST(p_size AS BIGINT) AS v
+           FROM part WHERE p_size IS NOT NULL
+           UNION ALL
+           SELECT DISTINCT 'orders.o_orderkey' AS colname, CAST(o_orderkey AS BIGINT) AS v
+           FROM orders WHERE o_orderkey IS NOT NULL
+           UNION ALL
+           SELECT DISTINCT 'orders.o_custkey' AS colname, CAST(o_custkey AS BIGINT) AS v
+           FROM orders WHERE o_custkey IS NOT NULL
+           UNION ALL
+           SELECT DISTINCT 'lineitem.l_orderkey' AS colname, CAST(l_orderkey AS BIGINT) AS v
+           FROM lineitem WHERE l_orderkey IS NOT NULL
+           UNION ALL
+           SELECT DISTINCT 'lineitem.l_partkey' AS colname, CAST(l_partkey AS BIGINT) AS v
+           FROM lineitem WHERE l_partkey IS NOT NULL
+           UNION ALL
+           SELECT DISTINCT 'lineitem.l_suppkey' AS colname, CAST(l_suppkey AS BIGINT) AS v
+           FROM lineitem WHERE l_suppkey IS NOT NULL
+           UNION ALL
+           SELECT DISTINCT 'lineitem.l_linenumber' AS colname, CAST(l_linenumber AS BIGINT) AS v
+           FROM lineitem WHERE l_linenumber IS NOT NULL),
+         sizes AS (
+           SELECT colname, CAST(COUNT(*) AS BIGINT) AS n_a
+           FROM vals GROUP BY 1),
+         common AS (
+           SELECT a.colname AS col_a, b.colname AS col_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+           FROM vals a JOIN vals b
+             ON a.v = b.v AND a.colname <> b.colname
+           GROUP BY 1, 2)
+         SELECT col_a AS contained_col, col_b AS container_col,
+           sizes.n_a AS n_distinct, n_common,
+           CAST((n_common * 1000000) // sizes.n_a AS BIGINT)
+             AS containment_micro
+         FROM common JOIN sizes ON sizes.colname = col_a
+         WHERE (n_common * 1000000) // sizes.n_a >= 500000""",
+    // q244: scene cuts — AVI synthesis replay (id % 3 == 2, frames =
+    // 1 + body_len % 24), hex byte-pair sums per frame slice, exact
+    // integer 25% step gate.
+    "q244_scene_cuts" ->
+      """WITH avi AS MATERIALIZED (
+           SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS blen,
+             1 + octet_length(encode(text)) % 24 AS nf
+           FROM documents WHERE doc_id % 3 = 2),
+         dims AS (
+           SELECT media_id, hx, nf, blen // nf AS fl FROM avi
+           WHERE nf >= 2 AND blen // nf >= 1),
+         e AS (
+           SELECT media_id, CAST(i // fl AS BIGINT) AS j,
+             CAST(SUM(('0x' || substr(hx, CAST(2*i AS INT) + 1, 2))::INT)
+               AS BIGINT) AS en
+           FROM dims, UNNEST(range(nf * fl)) t(i)
+           GROUP BY 1, 2)
+         SELECT cur.media_id, cur.j AS frame_idx,
+           prv.en AS e_prev, cur.en AS e_cur,
+           8 * ABS(cur.en - prv.en) > prv.en + cur.en AS is_cut
+         FROM e cur JOIN e prv
+           ON prv.media_id = cur.media_id AND prv.j = cur.j - 1""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

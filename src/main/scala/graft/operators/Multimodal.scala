@@ -619,6 +619,62 @@ object Multimodal {
           .as("above_avg"))
   }
 
+  /** The q244 driver entry: VIDEO SCENE-CUT CANDIDATES — the frame-
+    * delta profile that drives keyframe selection in every video
+    * ingestion pipeline (sample frames NEAR CUTS, not on a blind
+    * stride — the upgrade over q51's fixed-stride sampler): the AVI
+    * movi body splits into its header-declared frame count, each
+    * frame's byte-sum energy computes row-locally in the decode map,
+    * and a transition is a cut candidate when the energy step exceeds
+    * 25% of the local level (8|dE| > E_prev + E_cur, exact integer
+    * cross-multiply — the q174 device). Emits every transition with
+    * both energies and the verdict, the reviewable table a sampler
+    * consumes.
+    *
+    * Scale shape: q210's strongest-story shape — payload bytes never
+    * leave the scan partition; output is transitions-per-clip rows
+    * (bounded by the avih frame count), and there is NO exchange at
+    * all below the sink.
+    */
+  def sceneCuts(spark: SparkSession, sfDir: String): DataFrame =
+    sceneCutsOn(mediaTable(spark, sfDir)
+      .filter(_.media_type == "video/avi"))
+
+  /** The operator over any AVI records (spec entry point: a crafted
+    * byte-level jump must fire exactly at its transition).
+    */
+  def sceneCutsOn(avis: Dataset[MediaRecord]): DataFrame = {
+    val spark = avis.sparkSession
+    import spark.implicits._
+    avis
+      .flatMap { m =>
+        val bb = ByteBuffer.wrap(m.payload).order(ByteOrder.LITTLE_ENDIAN)
+        require(new String(m.payload, 0, 4, "US-ASCII") == "RIFF" &&
+          new String(m.payload, 8, 4, "US-ASCII") == "AVI ",
+          s"media ${m.media_id}: not an AVI")
+        val nFrames = bb.getInt(48)
+        val bodyLen = m.payload.length - AviHeaderLen
+        val fl = if (nFrames > 0) bodyLen / nFrames else 0
+        if (nFrames < 2 || fl < 1) Iterator.empty
+        else {
+          val e = Array.tabulate(nFrames) { j =>
+            var sum = 0L
+            var i = 0
+            while (i < fl) {
+              sum += (m.payload(AviHeaderLen + j * fl + i) & 0xFF)
+              i += 1
+            }
+            sum
+          }
+          (1 until nFrames).iterator.map { j =>
+            (m.media_id, j.toLong, e(j - 1), e(j),
+              8L * math.abs(e(j) - e(j - 1)) > e(j - 1) + e(j))
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "e_prev", "e_cur", "is_cut")
+  }
+
   // -------- audio fingerprint matching (q235) --------
 
   /** Fingerprint geometry: 32-sample analysis frames projected with

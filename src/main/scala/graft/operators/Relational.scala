@@ -1686,6 +1686,75 @@ object Relational {
         t("region"), "r_regionkey", broadcastParent = true))
   }
 
+  /** The q243 driver entry: JOIN DISCOVERY BY VALUE CONTAINMENT —
+    * q128's referential-integrity audit run in REVERSE: instead of
+    * checking FKs someone declared, discover them from values alone
+    * (the data-catalog / lake "joinable table search" problem, JOSIE
+    * lineage): every integer column of the star schema contributes
+    * its distinct value set; directed containment |A ∩ B| / |A| over
+    * all column pairs surfaces each real FK edge (o_custkey in
+    * c_custkey, l_orderkey in o_orderkey, n_regionkey in
+    * r_regionkey, ...) — plus the honest false positives of
+    * value-overlap discovery (p_size's 1..50 sits inside every dense
+    * key column), which is exactly why catalogs layer type/name
+    * heuristics on top; the raw containment table is the input those
+    * heuristics rank.
+    *
+    * Scale shape: one map-side-combined DISTINCT per column (the
+    * standard profiling pass), then the q21 posting-index device over
+    * the VALUE domain — each value carries its <= |columns| posting
+    * list, pair fan-out is bounded by 15², and no column pair is ever
+    * joined directly.
+    */
+  def joinDiscovery(
+      spark: SparkSession, sfDir: String,
+      thresholdMicro: Long = 500000L): DataFrame = {
+    val catalog: Seq[(String, String)] = Seq(
+      "region" -> "r_regionkey", "nation" -> "n_nationkey",
+      "nation" -> "n_regionkey", "customer" -> "c_custkey",
+      "customer" -> "c_nationkey", "supplier" -> "s_suppkey",
+      "supplier" -> "s_nationkey", "part" -> "p_partkey",
+      "part" -> "p_size", "orders" -> "o_orderkey",
+      "orders" -> "o_custkey", "lineitem" -> "l_orderkey",
+      "lineitem" -> "l_partkey", "lineitem" -> "l_suppkey",
+      "lineitem" -> "l_linenumber")
+    val vals = catalog.map { case (t, c) =>
+      Tables.load(spark, sfDir, t)
+        .select(col(c).cast("long").as("v"))
+        .where(col("v").isNotNull)
+        .select(lit(s"$t.$c").as("colname"), col("v"))
+    }.reduce(_.unionByName(_))
+    // ONE value-keyed shuffle builds the posting index; collect_set
+    // dedups (colname, v) occurrences inside the aggregate (map-side
+    // partial sets), so no per-column DISTINCT pass exists — column
+    // sizes and pair counts both derive from the index (measured
+    // 3.40 -> 2.2 s at sf0.1 vs the 15-distincts-then-union form).
+    val index = vals.groupBy(col("v"))
+      .agg(sort_array(collect_set(col("colname"))).as("cs"))
+      .persist()
+    val sizes = index
+      .select(explode(col("cs")).as("colname"))
+      .groupBy(col("colname")).agg(count(lit(1)).as("n_a"))
+    val common = index
+      .where(size(col("cs")) > 1)
+      .select(explode(col("cs")).as("col_a"), col("cs"))
+      .select(col("col_a"), explode(col("cs")).as("col_b"))
+      .where(col("col_a") =!= col("col_b"))
+      .groupBy(col("col_a"), col("col_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val out = common
+      .join(sizes.withColumnRenamed("colname", "col_a"), "col_a")
+      .select(col("col_a").as("contained_col"),
+        col("col_b").as("container_col"),
+        col("n_a").as("n_distinct"), col("n_common"),
+        expr("CAST((n_common * 1000000) DIV n_a AS BIGINT)")
+          .as("containment_micro"))
+      .filter(col("containment_micro") >= thresholdMicro)
+      .localCheckpoint(true)
+    index.unpersist()
+    out
+  }
+
   /** 2-D skyline / Pareto frontier (q131): orders no other order
     * dominates (earlier-or-equal date AND higher-or-equal price,
     * strict somewhere) — the preference-query operator class. The

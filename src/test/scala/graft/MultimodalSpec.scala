@@ -265,4 +265,33 @@ class MultimodalSpec extends AnyFunSuite {
     // independent noise is far outside the band
     assert(java.lang.Long.bitCount(fpMap(1L) ^ fpMap(4L)) > 2)
   }
+
+  test("scene cuts: a byte-level jump fires exactly at its transition (q244)") {
+    val spark = SparkTestSession.spark
+    // 4 frames x 10 bytes: quiet, quiet, LOUD, loud -> the only cut
+    // is the 2->3 transition (j = 2); constant clip -> no cuts
+    val quiet = Array.fill(20)(10.toByte)
+    val loud = Array.fill(20)(100.toByte)
+    val jump = quiet ++ loud
+    val flat = Array.fill(40)(10.toByte)
+    def rec(id: Long, body: Array[Byte], frames: Int) =
+      Multimodal.MediaRecord(id, "video/avi",
+        Multimodal.aviPayload(320, 240, frames, body))
+    val ds = spark.createDataset(Seq(
+      rec(1L, jump, 4), rec(2L, flat, 4)))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])
+    val got = Multimodal.sceneCutsOn(ds).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(4)).toMap
+    assert(got((1L, 1L)) == false && got((1L, 2L)) == true &&
+      got((1L, 3L)) == false)
+    assert(Seq(1L, 2L, 3L).forall(j => !got((2L, j))))
+    // and the fixture-driven entry emits one row per interior
+    // transition with consistent energies
+    val entry = Multimodal.sceneCuts(spark, SparkTestSession.sf).collect()
+    assert(entry.nonEmpty)
+    entry.foreach { r =>
+      val (ep, ec, cut) = (r.getLong(2), r.getLong(3), r.getBoolean(4))
+      assert(cut == (8L * math.abs(ec - ep) > ep + ec))
+    }
+  }
 }

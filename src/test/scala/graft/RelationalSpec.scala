@@ -1205,4 +1205,29 @@ class RelationalSpec extends AnyFunSuite {
     val firstArg = rows.find(r => math.abs(r._3) == maxAbs).get
     assert(firstArg._4, "changepoint must be the earliest max-|cusum| day")
   }
+
+  test("join discovery: every declared FK edge resurfaces from values alone (q243)") {
+    val spark = SparkTestSession.spark
+    val got = graft.operators.Relational
+      .joinDiscovery(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    // the q128 audit's declared FK edges, rediscovered without
+    // declarations — each at (near-)total containment
+    val fks = Seq(
+      "orders.o_custkey" -> "customer.c_custkey",
+      "lineitem.l_orderkey" -> "orders.o_orderkey",
+      "lineitem.l_partkey" -> "part.p_partkey",
+      "lineitem.l_suppkey" -> "supplier.s_suppkey",
+      "customer.c_nationkey" -> "nation.n_nationkey",
+      "supplier.s_nationkey" -> "nation.n_nationkey",
+      "nation.n_regionkey" -> "region.r_regionkey")
+    fks.foreach { e =>
+      assert(got.contains(e), s"FK edge $e not discovered")
+      assert(got(e) >= 900000L, s"FK edge $e below containment: ${got(e)}")
+    }
+    // discovery noise is real and expected: the dense 1..50 p_size
+    // domain sits inside at least one key column
+    assert(got.keys.exists(_._1 == "part.p_size"),
+      "expected value-overlap false positives are absent")
+  }
 }
