@@ -280,6 +280,12 @@ object SparkEntry {
       Relational.joinDiscovery(s, d)),
     "q244_scene_cuts" -> ((s: SparkSession, d: String) =>
       Multimodal.sceneCuts(s, d)),
+    "q245_parquet_quarantine" -> ((s: SparkSession, d: String) =>
+      ReferenceQueries.parquetQuarantine(s, d)),
+    "q246_two_stage_rerank" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.twoStageRerank(s, d)),
+    "q247_scorer_agreement" -> ((s: SparkSession, d: String) =>
+      Experiment.scorerAgreement(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -3580,6 +3586,100 @@ object SparkEntry {
            8 * ABS(cur.en - prv.en) > prv.en + cur.en AS is_cut
          FROM e cur JOIN e prv
            ON prv.media_id = cur.media_id AND prv.j = cur.j - 1""",
+    // q245: quarantine lifecycle — surviving slice is doc_id % 4 != 0
+    // by construction; file counts are structural constants.
+    "q245_parquet_quarantine" ->
+      """SELECT CAST(3 AS BIGINT) AS n_files,
+           CAST(1 AS BIGINT) AS n_read_files,
+           CAST(2 AS BIGINT) AS n_quarantined_files,
+           CAST(COUNT(*) AS BIGINT) AS n_rows_read,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+         FROM documents WHERE doc_id % 4 <> 0""",
+    // q246: two-stage rerank — the q114 base wrapped as a subquery,
+    // rank windows + md5 second-stage score.
+    "q246_two_stage_rerank" ->
+      s"""WITH base AS (
+           SELECT * FROM ($bm25OracleSql) t),
+         s1 AS (
+           SELECT term, doc_id, score_micro,
+             CAST(ROW_NUMBER() OVER (PARTITION BY term
+               ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank1
+           FROM base),
+         k AS (SELECT * FROM s1 WHERE rank1 <= 10),
+         s2 AS (
+           SELECT term, doc_id, score_micro, rank1,
+             ('0x' || substr(md5('xenc:' || term || ':' ||
+               CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS xenc_score
+           FROM k)
+         SELECT term, doc_id, score_micro, xenc_score, rank1,
+           CAST(ROW_NUMBER() OVER (PARTITION BY term
+             ORDER BY xenc_score DESC, doc_id ASC) AS BIGINT) AS rank2,
+           rank1 - CAST(ROW_NUMBER() OVER (PARTITION BY term
+             ORDER BY xenc_score DESC, doc_id ASC) AS BIGINT)
+             AS displacement
+         FROM s2""",
+    // q247: tau-b integer components — q212's scored frame and the
+    // q182 entropy core, fixed-width decile bins, contingency cross
+    // join, HUGEINT pair products.
+    "q247_scorer_agreement" ->
+      s"""WITH sc AS ($scoredDocsSql),
+         bx AS (
+           SELECT doc_id,
+             LEAST(CAST(FLOOR(CAST(score AS DOUBLE) / 100000.0)
+               AS BIGINT), 9) AS bx
+           FROM sc),
+         nt AS (
+           SELECT doc_id, regexp_replace(lower(trim(text)),
+             '\\s+', ' ', 'g') AS nt
+           FROM documents),
+         cc AS (
+           SELECT doc_id, ch, COUNT(*) AS c FROM (
+             SELECT doc_id, substr(nt, CAST(i AS INT), 1) AS ch
+             FROM nt, LATERAL (
+               SELECT UNNEST(range(1, length(nt) + 1)) AS i) u
+             WHERE length(nt) >= 1) x
+           GROUP BY 1, 2),
+         ent AS (
+           SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_chars,
+             CAST(SUM(c * CAST(FLOOR(1000000.0 * ln(CAST(c AS DOUBLE)))
+               AS BIGINT)) AS BIGINT) AS s_micro
+           FROM cc GROUP BY 1),
+         by AS (
+           SELECT doc_id,
+             LEAST(GREATEST((CAST(FLOOR(1000000.0 *
+                   ln(CAST(n_chars AS DOUBLE)))
+                 AS BIGINT) * n_chars - s_micro)
+               // n_chars // 100000 - 25, 0), 9) AS by
+           FROM ent),
+         cells AS (
+           SELECT bx.bx, by.by, CAST(COUNT(*) AS BIGINT) AS n
+           FROM bx JOIN by USING (doc_id)
+           GROUP BY 1, 2),
+         cd AS (
+           SELECT
+             CAST(COALESCE(SUM(CASE WHEN b.bx > a.bx AND b.by > a.by
+               THEN CAST(a.n AS HUGEINT) * b.n END), 0) AS BIGINT)
+               AS concordant,
+             CAST(COALESCE(SUM(CASE WHEN b.bx > a.bx AND b.by < a.by
+               THEN CAST(a.n AS HUGEINT) * b.n END), 0) AS BIGINT)
+               AS discordant
+           FROM cells a CROSS JOIN cells b),
+         tx AS (
+           SELECT CAST(SUM(CAST(sx AS HUGEINT) * (sx - 1) // 2)
+               AS BIGINT) AS tied_x
+           FROM (SELECT SUM(n) AS sx FROM cells GROUP BY bx)),
+         ty AS (
+           SELECT CAST(SUM(CAST(sy AS HUGEINT) * (sy - 1) // 2)
+               AS BIGINT) AS tied_y
+           FROM (SELECT SUM(n) AS sy FROM cells GROUP BY by)),
+         tot AS (
+           SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+             CAST(CAST(SUM(n) AS HUGEINT) * (SUM(n) - 1) // 2
+               AS BIGINT) AS n_pairs
+           FROM cells)
+         SELECT n_docs, n_pairs, concordant, discordant, tied_x, tied_y
+         FROM tot CROSS JOIN cd CROSS JOIN tx CROSS JOIN ty""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness
@@ -4957,26 +5057,7 @@ object SparkEntry {
     // q114: BM25 — identical formula shape both engines (a*b/c parses
     // (a*b)/c in both); the float score compares as floor(x*1e6), all
     // other columns integer-exact. Tokenization is normText's twin.
-    "q114_bm25" ->
-      s"""WITH d AS (
-           SELECT doc_id, string_split($normText, ' ') AS tks
-           FROM documents),
-         p AS (SELECT doc_id, CAST(len(tks) AS BIGINT) AS dl,
-                 UNNEST(['spark','query','merge','vector']) AS term, tks
-               FROM d),
-         q AS (SELECT doc_id, dl, term,
-                 CAST(len(list_filter(tks, x -> x = term)) AS BIGINT) AS tf
-               FROM p WHERE len(list_filter(tks, x -> x = term)) > 0),
-         dfreq AS (SELECT term, COUNT(*) AS df FROM q GROUP BY 1),
-         stats AS (SELECT COUNT(*) AS n_docs,
-                     AVG(CAST(len(tks) AS BIGINT)) AS avgdl FROM d)
-         SELECT q.term, q.doc_id, q.tf, dfreq.df, q.dl,
-           CAST(FLOOR(1000000 *
-             (ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-              * (q.tf * 2.2)
-              / (q.tf + 1.2 * (0.25 + 0.75 * q.dl / stats.avgdl))))
-             AS BIGINT) AS score_micro
-         FROM q JOIN dfreq USING (term) CROSS JOIN stats""",
+    "q114_bm25" -> bm25OracleSql,
     "q61_tfidf_terms" ->
       s"""WITH toks AS (
            SELECT doc_id, UNNEST(string_split($normText, ' ')) AS tok
@@ -5796,6 +5877,30 @@ object SparkEntry {
   /** Shared (doc_id, score, is_en) SQL body — the q212/q218 scored
     * frame (Experiment.rocAucScored's twin).
     */
+  /** SQL twin of TextAnalysis.bm25Search (q114); also the stage-1
+    * base of q246.
+    */
+  private def bm25OracleSql: String =
+    s"""WITH d AS (
+           SELECT doc_id, string_split($normText, ' ') AS tks
+           FROM documents),
+         p AS (SELECT doc_id, CAST(len(tks) AS BIGINT) AS dl,
+                 UNNEST(['spark','query','merge','vector']) AS term, tks
+               FROM d),
+         q AS (SELECT doc_id, dl, term,
+                 CAST(len(list_filter(tks, x -> x = term)) AS BIGINT) AS tf
+               FROM p WHERE len(list_filter(tks, x -> x = term)) > 0),
+         dfreq AS (SELECT term, COUNT(*) AS df FROM q GROUP BY 1),
+         stats AS (SELECT COUNT(*) AS n_docs,
+                     AVG(CAST(len(tks) AS BIGINT)) AS avgdl FROM d)
+         SELECT q.term, q.doc_id, q.tf, dfreq.df, q.dl,
+           CAST(FLOOR(1000000 *
+             (ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (q.tf * 2.2)
+              / (q.tf + 1.2 * (0.25 + 0.75 * q.dl / stats.avgdl))))
+             AS BIGINT) AS score_micro
+         FROM q JOIN dfreq USING (term) CROSS JOIN stats"""
+
   private def scoredDocsSql: String = {
     val scores = TextAnalysis.langMarkers.map { case (lang, ws) =>
       lang -> s"len(regexp_extract_all(text, '\\b(${ws.mkString("|")})\\b'))"

@@ -423,6 +423,70 @@ object Experiment {
   /** The (doc_id, score, is_en) frame rocAuc ranks — exposed for the
     * spec's naive pair-count differential.
     */
+  /** The q247 driver entry: SCORER RANK-AGREEMENT AUDIT — the
+    * integer core of Kendall's tau-b between two quality scorers
+    * (q212's stopword-ratio detector vs q182's char-entropy binned
+    * 0.1-nat-wide over the natural-text 2.5-3.5 band), the
+    * question a curation team asks before stacking gates: do these
+    * two scores rank documents the SAME way (redundant) or
+    * differently (complementary)? Scores decile-bin fixed-width (the
+    * q218 device, portable integer bins), the 10x10 contingency
+    * table replaces the O(n^2) pair walk — concordant / discordant /
+    * tied pair counts all read off cell products — and the output is
+    * tau-b's exact integer components (C, D, tied-in-x, tied-in-y,
+    * total pairs); the final sqrt-bearing ratio is one line for the
+    * consumer, kept out of the engine (the q218 no-float rule).
+    *
+    * Pair counts are n(n-1)/2-scale: computed in DECIMAL(38) and
+    * output as BIGINT — exact to ~4.3e9 docs, documented (beyond
+    * that a pair-statistic is sampled anyway).
+    *
+    * Scale shape: two doc-grain passes (score + entropy) joined at
+    * doc grain, one 100-cell aggregate; the cell cross join is
+    * 10^4 rows of driver-free arithmetic.
+    */
+  def scorerAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    val sc = rocAucScored(spark, sfDir)
+      .select(col("doc_id"),
+        least(floor(col("score").cast("double") / 100000.0)
+          .cast("long"), lit(9L)).as("bx"))
+    val ent = TextAnalysis.charEntropy(spark, sfDir)
+      .select(col("doc_id"),
+        least(expr("""greatest((CAST(FLOOR(1000000.0 * ln(CAST(n_chars AS DOUBLE)))
+              AS BIGINT) * n_chars - s_micro) DIV n_chars DIV 100000 - 25,
+            CAST(0 AS BIGINT))"""),
+          lit(9L)).as("by"))
+    val cells = sc.join(ent, Seq("doc_id"))
+      .groupBy(col("bx"), col("by"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val a = cells.select(col("bx").as("bxa"), col("by").as("bya"),
+      col("n").as("na"))
+    val b = cells.select(col("bx").as("bxb"), col("by").as("byb"),
+      col("n").as("nb"))
+    val pairs = a.crossJoin(b)
+    val cd = pairs.agg(
+      expr("""CAST(SUM(CASE WHEN bxb > bxa AND byb > bya
+            THEN CAST(na AS DECIMAL(38,0)) * nb ELSE 0 END)
+          AS BIGINT)""").as("concordant"),
+      expr("""CAST(SUM(CASE WHEN bxb > bxa AND byb < bya
+            THEN CAST(na AS DECIMAL(38,0)) * nb ELSE 0 END)
+          AS BIGINT)""").as("discordant"))
+    val tx = cells.groupBy(col("bx"))
+      .agg(sum(col("n")).as("sx"))
+      .agg(expr("""CAST(SUM(CAST(sx AS DECIMAL(38,0)) * (sx - 1) DIV 2)
+          AS BIGINT)""").as("tied_x"))
+    val ty = cells.groupBy(col("by"))
+      .agg(sum(col("n")).as("sy"))
+      .agg(expr("""CAST(SUM(CAST(sy AS DECIMAL(38,0)) * (sy - 1) DIV 2)
+          AS BIGINT)""").as("tied_y"))
+    val tot = cells.agg(sum(col("n")).as("nd"))
+      .select(col("nd").as("n_docs"),
+        expr("CAST(CAST(nd AS DECIMAL(38,0)) * (nd - 1) DIV 2 AS BIGINT)")
+          .as("n_pairs"))
+    tot.crossJoin(cd).crossJoin(tx).crossJoin(ty)
+  }
+
   private[graft] def rocAucScored(
       spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")

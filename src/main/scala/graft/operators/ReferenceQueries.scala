@@ -169,6 +169,63 @@ object ReferenceQueries {
       .agg(moneySum(col("value")).as("sum_value"))
   }
 
+  /** The q245 driver entry: CORRUPT-PARQUET QUARANTINE LIFECYCLE —
+    * the columnar-lake sibling of q19/q59's bad-RECORD tolerance: at
+    * 100 TB some part FILES arrive truncated (killed writer, torn
+    * upload) or zero-byte (failed multipart commit), and a resilient
+    * reader must ingest the healthy files while QUARANTINING the
+    * broken ones by name — not fail the job, not silently skip. The
+    * lake here holds one healthy part (doc_id % 4 != 0, so the
+    * surviving row set is exactly SQL-derivable), one truncated part
+    * (a real parquet's first 16 bytes — magic intact, footer gone)
+    * and one zero-byte part; the read runs under ignoreCorruptFiles
+    * and the quarantine set is (all part files) minus (files that
+    * produced rows, via input_file_name) — the manifest an operator
+    * pages on. Output: file counts plus the surviving row/language
+    * counts.
+    */
+  def parquetQuarantine(spark: SparkSession, sfDir: String): DataFrame =
+      Scratch.withScratch(spark, "q245_quarantine", sfDir) { dir =>
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"))
+    docs.where(col("doc_id") % 4 =!= 0).repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/good")
+    docs.where(col("doc_id") % 4 === 0).repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/bad")
+    val lake = new java.io.File(s"$dir/lake")
+    lake.mkdirs()
+    def firstPart(sub: String): java.nio.file.Path =
+      new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+    java.nio.file.Files.copy(firstPart("good"),
+      java.nio.file.Paths.get(s"$dir/lake/part_healthy.parquet"))
+    // truncated: magic bytes survive, footer does not
+    val broken = java.nio.file.Files.readAllBytes(firstPart("bad"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/lake/part_truncated.parquet"),
+      broken.take(16))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/lake/part_empty.parquet"),
+      Array.empty[Byte])
+    val read = spark.read
+      .option("ignoreCorruptFiles", "true")
+      .schema(docs.schema)
+      .parquet(s"$dir/lake")
+    val surviving = read
+      .select(col("doc_id"), col("lang"),
+        input_file_name().as("f"))
+      .localCheckpoint(true)
+    val nFiles = lake.listFiles()
+      .count(_.getName.endsWith(".parquet")).toLong
+    val readFiles = surviving.select(col("f")).distinct().count()
+    surviving.agg(
+      lit(nFiles).as("n_files"),
+      lit(readFiles).as("n_read_files"),
+      lit(nFiles - readFiles).as("n_quarantined_files"),
+      count(lit(1)).as("n_rows_read"),
+      count_distinct(col("lang")).as("n_langs"))
+  }
+
   /** JSON-lines source lifecycle (q59) — the third text encoding next
     * to q19's CSV/CSV.gz: events rendered to `.json` and `.json.gz`
     * part files, read back with an EXPLICIT schema (no

@@ -309,6 +309,42 @@ class ExperimentSpec extends AnyFunSuite {
     }
   }
 
+  test("scorer agreement: tau-b components match a naive pair walk (q247)") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    val row = graft.operators.Experiment
+      .scorerAgreement(spark, SparkTestSession.sf).head()
+    val (nd, np, c, d, tx, ty) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5))
+    // naive O(n^2) recompute over the collected binned pairs
+    val sc = graft.operators.Experiment
+      .rocAucScored(spark, SparkTestSession.sf)
+      .select(col("doc_id"),
+        least(floor(col("score").cast("double") / 100000.0)
+          .cast("long"), lit(9L)).as("bx"))
+    val ent = graft.operators.TextAnalysis.charEntropy(spark, SparkTestSession.sf)
+      .select(col("doc_id"),
+        least(expr("""greatest((CAST(FLOOR(1000000.0 * ln(CAST(n_chars AS DOUBLE)))
+              AS BIGINT) * n_chars - s_micro) DIV n_chars DIV 100000 - 25,
+            CAST(0 AS BIGINT))"""),
+          lit(9L)).as("by"))
+    val xs = sc.join(ent, Seq("doc_id"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(nd == xs.length)
+    var cc = 0L; var dd = 0L; var ttx = 0L; var tty = 0L; var n0 = 0L
+    for (i <- xs.indices; j <- (i + 1) until xs.length) {
+      n0 += 1
+      val ((x1, y1), (x2, y2)) = (xs(i), xs(j))
+      if (x1 == x2) ttx += 1
+      if (y1 == y2) tty += 1
+      if (x1 != x2 && y1 != y2) {
+        if ((x2 - x1) * (y2 - y1) > 0) cc += 1 else dd += 1
+      }
+    }
+    assert(np == n0 && c == cc && d == dd && tx == ttx && ty == tty)
+    assert(c > 0 && d > 0, "degenerate contingency - audit is vacuous")
+  }
+
   test("benford audit: digit shares recount; benford constants pinned") {
     val spark = SparkTestSession.spark
     val rows = graft.operators.Experiment

@@ -132,4 +132,19 @@ class ReferenceQueriesSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(dir).getParentFile)
   }
+
+  test("parquet quarantine: broken files quarantined by name, healthy rows survive (q245)") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    val row = graft.operators.ReferenceQueries
+      .parquetQuarantine(spark, SparkTestSession.sf).head()
+    assert(row.getLong(0) == 3L && row.getLong(1) == 1L &&
+      row.getLong(2) == 2L)
+    val want = graft.sources.Tables
+      .load(spark, SparkTestSession.sf, "documents")
+      .where(col("doc_id") % 4 =!= 0)
+      .agg(count(lit(1)), count_distinct(col("lang"))).head()
+    assert(row.getLong(3) == want.getLong(0))
+    assert(row.getLong(4) == want.getLong(1))
+  }
 }

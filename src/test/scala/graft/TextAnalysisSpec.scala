@@ -261,6 +261,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fert.map(_.getLong(3)).sum == enc)
   }
 
+  test("two-stage rerank: complete rank permutations per query, displacement conserves (q246)") {
+    val got = TextAnalysis.twoStageRerank(spark, SparkTestSession.sf)
+      .collect()
+      .groupBy(_.getString(0))
+    assert(got.nonEmpty)
+    got.foreach { case (term, rows) =>
+      assert(rows.length <= 10, s"term $term overflowed k")
+      val r1 = rows.map(_.getLong(4)).sorted.toSeq
+      val r2 = rows.map(_.getLong(5)).sorted.toSeq
+      // both stages rank the SAME candidate set completely
+      assert(r1 == (1L to rows.length).toSeq, s"term $term rank1 $r1")
+      assert(r2 == (1L to rows.length).toSeq, s"term $term rank2 $r2")
+      // displacements over a permutation sum to zero
+      assert(rows.map(_.getLong(6)).sum == 0L, s"term $term")
+    }
+    // the second stage actually reorders something on the fixture
+    assert(got.values.flatten.exists(_.getLong(6) != 0L),
+      "rerank is the identity everywhere - funnel is vacuous")
+  }
+
   test("bpe batch selection: prefix validity rules (round-12)") {
     import TextAnalysis.selectBatch
     val noVocab = (_: String) => false
