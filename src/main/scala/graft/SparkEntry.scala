@@ -286,6 +286,8 @@ object SparkEntry {
       TextAnalysis.twoStageRerank(s, d)),
     "q247_scorer_agreement" -> ((s: SparkSession, d: String) =>
       Experiment.scorerAgreement(s, d)),
+    "q248_cdc_provenance" -> ((s: SparkSession, d: String) =>
+      Dedup.cdcProvenance(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -3680,6 +3682,44 @@ object SparkEntry {
            FROM cells)
          SELECT n_docs, n_pairs, concordant, discordant, tied_x, tied_y
          FROM tot CROSS JOIN cd CROSS JOIN tx CROSS JOIN ty""",
+    // q248: shared-passage provenance — the q239 chunk CTEs, digests
+    // deduped per doc, pair join over shared chunks >= 16 chars.
+    "q248_cdc_provenance" ->
+      s"""WITH p0 AS (
+           SELECT doc_id, source,
+             CASE WHEN doc_id % 3 = 0
+               THEN '${Dedup.boilerplateHeader} ' ELSE '' END || text ||
+             CASE WHEN doc_id % 5 = 0
+               THEN ' ${Dedup.boilerplateFooter}' ELSE '' END AS text
+           FROM documents WHERE length(text) >= 1),
+         bnd AS (
+           SELECT doc_id, CAST(p AS BIGINT) AS p
+           FROM p0, UNNEST(range(${Dedup.CdcWindow},
+             length(text) + 1)) t(p)
+           WHERE ('0x' || substr(md5(substr(text,
+               CAST(p - ${Dedup.CdcWindow - 1} AS INT),
+               ${Dedup.CdcWindow})), 1, 4))::BIGINT
+             % ${Dedup.CdcBoundaryRate} = 0),
+         ends AS (
+           SELECT doc_id, p FROM bnd
+           UNION
+           SELECT doc_id, CAST(length(text) AS BIGINT) AS p FROM p0),
+         spans AS (
+           SELECT doc_id,
+             COALESCE(LAG(p) OVER (PARTITION BY doc_id ORDER BY p), 0)
+               AS s, p AS e
+           FROM ends),
+         ch AS (
+           SELECT DISTINCT p0.doc_id,
+             md5(substr(p0.text, CAST(s + 1 AS INT), CAST(e - s AS INT)))
+               AS dg
+           FROM spans JOIN p0 USING (doc_id)
+           WHERE e - s >= 16)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_chunks
+         FROM ch a JOIN ch b
+           ON a.dg = b.dg AND a.doc_id < b.doc_id
+         GROUP BY 1, 2""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

@@ -722,10 +722,12 @@ object Dedup {
     * point (the offset-invariance property is pinned on crafted
     * shared passages).
     */
-  def cdcChunkStatsOn(docsIn: DataFrame): DataFrame = {
+  /** The row-local chunker shared by q239 (stats) and q248
+    * (provenance): (doc_id, source, chunk) rows.
+    */
+  private[graft] def cdcChunks(docsIn: DataFrame): DataFrame = {
     val w = CdcWindow
-    val docs = docsIn.where(length(col("text")) >= 1)
-    val withEnds = docs
+    docsIn.where(length(col("text")) >= 1)
       .select(col("doc_id"), col("source"), col("text"),
         expr(s"""CASE WHEN length(text) >= $w THEN
             filter(transform(sequence($w, length(text)),
@@ -734,11 +736,10 @@ object Dedup {
                    % $CdcBoundaryRate = 0 THEN p END),
               x -> x IS NOT NULL)
           ELSE array() END""").as("bnd"))
-      .select(col("source"), col("text"),
+      .select(col("doc_id"), col("source"), col("text"),
         expr("array_distinct(concat(bnd, array(length(text))))")
           .as("ends"))
-    val chunks = withEnds
-      .select(col("source"), explode(expr(
+      .select(col("doc_id"), col("source"), explode(expr(
         """transform(sequence(1, size(ends)),
              i -> substring(text,
                CASE WHEN i = 1 THEN 1
@@ -746,7 +747,10 @@ object Dedup {
                element_at(ends, i) -
                  CASE WHEN i = 1 THEN 0
                    ELSE element_at(ends, i - 1) END))""")).as("chunk"))
-    chunks
+  }
+
+  def cdcChunkStatsOn(docsIn: DataFrame): DataFrame =
+    cdcChunks(docsIn)
       .select(col("source"), md5(col("chunk")).as("dg"),
         length(col("chunk")).cast("long").as("clen"))
       .groupBy(col("source"))
@@ -759,6 +763,46 @@ object Dedup {
               DIV n_chunks AS BIGINT)""").as("dup_ratio_micro"),
         expr("CAST((n_chars * 1000000) DIV n_chunks AS BIGINT)")
           .as("mean_chunk_len_micro"))
+
+  /** The q248 driver entry: SHARED-PASSAGE PROVENANCE — the
+    * retrieval half of q239's chunk store: which document PAIRS share
+    * which content-defined chunks (the question behind "where did
+    * this passage come from" audits and license-contamination
+    * triage). CDC chunk digests post into the q21 capped inverted
+    * index; pairs count shared distinct chunks. Chunks under
+    * `minChunkLen` chars are excluded — sentinel-scale fragments
+    * (the inter-boundary slivers every doc produces) would pair
+    * everything; a >= 16-char shared chunk is a shared PASSAGE.
+    *
+    * Scale shape: q239's row-local chunking feeds 16-byte digests
+    * into the posting index; fan-out is bounded per posting list by
+    * the q21 cap; text never enters an exchange.
+    */
+  def cdcProvenance(
+      spark: SparkSession, sfDir: String,
+      minChunkLen: Int = 16,
+      maxPostingLen: Int = defaultMaxPostingLen): DataFrame = {
+    val chunks = cdcChunks(Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        concat(
+          when(col("doc_id") % 3 === 0, lit(boilerplateHeader + " "))
+            .otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 5 === 0, lit(" " + boilerplateFooter))
+            .otherwise(lit(""))).as("text")))
+      .where(length(col("chunk")) >= minChunkLen)
+      .select(col("doc_id"), md5(col("chunk")).as("dg"))
+      .distinct()
+    val index = chunks.groupBy(col("dg"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= maxPostingLen)
+    index
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared_chunks"))
   }
 
   // -------- eval-set decontamination --------

@@ -203,6 +203,20 @@ class DedupSpec extends AnyFunSuite {
     assert(one.getLong(5) * one.getLong(1) / 1000000 <= docA.length)
   }
 
+  test("cdc provenance: boilerplate-sharing docs pair through shared chunks (q248)") {
+    val got = Dedup.cdcProvenance(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case ((a, b), n) => assert(a < b && n >= 1) }
+    // docs sharing the injected header (% 3 == 0) or footer (% 5 == 0)
+    // should dominate the pair set — at least one such pair exists and
+    // shares a >= 16-char chunk by construction
+    assert(got.keys.exists { case (a, b) =>
+      (a % 3 == 0 && b % 3 == 0) || (a % 5 == 0 && b % 5 == 0) },
+      "no boilerplate-sharing pair surfaced")
+  }
+
   test("containment: planted container pairs directed, resemblance stays low (q240)") {
     val got = Dedup.containmentPairs(spark, SparkTestSession.sf)
       .collect()
