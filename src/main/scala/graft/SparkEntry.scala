@@ -288,6 +288,8 @@ object SparkEntry {
       Experiment.scorerAgreement(s, d)),
     "q248_cdc_provenance" -> ((s: SparkSession, d: String) =>
       Dedup.cdcProvenance(s, d)),
+    "q249_stream_hll" ->
+      (graft.streaming.EventStream.hllStreamToBatch _),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -3720,6 +3722,49 @@ object SparkEntry {
          FROM ch a JOIN ch b
            ON a.dg = b.dg AND a.doc_id < b.doc_id
          GROUP BY 1, 2""",
+    // q249: streaming HLL — registers replayed from events (md5 user
+    // hash, bin() ranks, per-(type, idx) MAX), the q236 estimator.
+    "q249_stream_hll" ->
+      s"""WITH h AS (
+           SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+           FROM events),
+         rk AS (
+           SELECT event_type, h % ${TrainingPrep.HllRegisters} AS idx,
+             CAST(CASE WHEN h // 64 = 0 THEN ${TrainingPrep.HllRankMax}
+               ELSE ${TrainingPrep.HllRankMax} - length(bin(h // 64))
+               END AS BIGINT) AS rk
+           FROM h),
+         regs AS (
+           SELECT event_type, idx, MAX(rk) AS m FROM rk GROUP BY 1, 2),
+         spine AS (
+           SELECT k.event_type, CAST(i AS BIGINT) AS idx
+           FROM (SELECT DISTINCT event_type FROM regs) k,
+             UNNEST(range(${TrainingPrep.HllRegisters})) t(i)),
+         sums AS (
+           SELECT spine.event_type,
+             CAST(SUM(CAST(1 AS BIGINT) <<
+               CAST(${TrainingPrep.HllRankMax} - COALESCE(regs.m, 0)
+                 AS INT)) AS BIGINT) AS s
+           FROM spine LEFT JOIN regs
+             ON regs.event_type = spine.event_type
+               AND regs.idx = spine.idx
+           GROUP BY 1),
+         ex AS (
+           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT)
+               AS exact_distinct_users
+           FROM events GROUP BY 1),
+         est AS (
+           SELECT ex.event_type, ex.n_events, ex.exact_distinct_users,
+             CAST(('${TrainingPrep.HllNumerator}'::HUGEINT // sums.s)
+               // 1000000 AS BIGINT) AS hll_estimate
+           FROM ex JOIN sums ON sums.event_type = ex.event_type)
+         SELECT event_type, n_events, exact_distinct_users, hll_estimate,
+           CAST(ABS(hll_estimate - exact_distinct_users) * 1000000
+             // exact_distinct_users AS BIGINT) AS err_micro
+         FROM est""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

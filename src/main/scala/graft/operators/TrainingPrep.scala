@@ -842,30 +842,39 @@ object TrainingPrep {
       val allRegs = back
         .unionByName(back.groupBy(col("idx")).agg(max(col("m")).as("m"))
           .select(lit(-1L).as("shard"), col("idx"), col("m")))
-      val spine = allRegs.select(col("shard")).distinct()
-        .select(col("shard"),
-          explode(sequence(lit(0L), lit(m - 1L))).as("idx"))
-      val sums = spine
-        .join(allRegs, Seq("shard", "idx"), "left")
-        .select(col("shard"),
-          expr(s"shiftleft(CAST(1 AS BIGINT), " +
-            s"CAST($HllRankMax - coalesce(m, 0) AS INT))").as("p"))
-        .groupBy(col("shard")).agg(sum(col("p")).as("s"))
       val exact = docs.groupBy(col("shard"))
         .agg(count(lit(1)).as("n_rows"),
           count_distinct(col("text")).as("exact_distinct"))
         .unionByName(docs.agg(lit(-1L).as("shard"),
           count(lit(1)).as("n_rows"),
           count_distinct(col("text")).as("exact_distinct")))
-      exact.join(sums, Seq("shard"))
-        .withColumn("hll_estimate",
-          expr(s"CAST((CAST('$HllNumerator' AS DECIMAL(38,0)) DIV s)" +
-            " DIV 1000000 AS BIGINT)"))
+      exact.join(hllEstimateFrom(allRegs, "shard"), Seq("shard"))
         .select(col("shard"), col("n_rows"), col("exact_distinct"),
           col("hll_estimate"),
           expr("""CAST(abs(hll_estimate - exact_distinct) * 1000000
                 DIV exact_distinct AS BIGINT)""").as("err_micro"))
     }
+
+  /** The raw-regime estimate off a (key, idx, m) register frame —
+    * shared by q236 (batch shards) and q249 (streaming state): spine
+    * the missing registers at 0, fold 2^(55-m) into one BIGINT sum,
+    * divide the interpolated alpha numerator in DECIMAL(38).
+    */
+  private[graft] def hllEstimateFrom(
+      regs: DataFrame, key: String): DataFrame = {
+    val spine = regs.select(col(key)).distinct()
+      .select(col(key),
+        explode(sequence(lit(0L), lit(HllRegisters - 1L))).as("idx"))
+    spine
+      .join(regs, Seq(key, "idx"), "left")
+      .select(col(key),
+        expr(s"shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST($HllRankMax - coalesce(m, 0) AS INT))").as("p"))
+      .groupBy(col(key)).agg(sum(col("p")).as("s"))
+      .select(col(key),
+        expr(s"CAST((CAST('$HllNumerator' AS DECIMAL(38,0)) DIV s)" +
+          " DIV 1000000 AS BIGINT)").as("hll_estimate"))
+  }
 
   /** The q226 driver entry: PADDING-WASTE AUDIT — the training-
     * efficiency table behind sequence packing decisions: bucket

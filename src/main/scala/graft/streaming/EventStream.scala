@@ -136,6 +136,53 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n_events"))
 
+  /** The q249 driver entry: STREAMING MERGEABLE HLL — q236's
+    * distinct sketch maintained IN STREAMING STATE: per event type,
+    * the 64 HLL registers live in the streaming aggregate (64
+    * bounded max cells per type — the q159 CMS posture for
+    * cardinality instead of frequency), and the final estimate is
+    * distinct users per type without the state ever holding a user
+    * set. Micro-batch split-invariance IS the mergeability proof:
+    * max-merge is associative and commutative, so ANY AvailableNow
+    * batching produces the registers the batch q236 device derives —
+    * which is exactly what the DuckDB oracle replays. q236's
+    * raw-estimator regime bound (accurate from ~2.5m = 160 distincts)
+    * carries over; small fixture types show the documented high bias,
+    * made visible by the err_micro audit column.
+    */
+  def hllDistinctStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TrainingPrep.{HllRegisters, HllRankMax}
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15),
+      16, 10).cast("long")
+    readEvents(spark, sfDir)
+      .select(col("event_type"), h.as("h"))
+      .select(col("event_type"),
+        (col("h") % HllRegisters).as("idx"),
+        shiftright(col("h"), 6).as("w"))
+      .select(col("event_type"), col("idx"),
+        when(col("w") === 0, lit(HllRankMax.toLong))
+          .otherwise(lit(HllRankMax.toLong) - length(bin(col("w"))))
+          .as("rk"))
+      .groupBy(col("event_type"), col("idx"))
+      .agg(max(col("rk")).as("m"))
+  }
+
+  def hllStreamToBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val regs = runToBatch(spark, hllDistinctStream(_, sfDir),
+      s"q249_hll_${runSeq.incrementAndGet()}")
+    val exact = graft.sources.Tables.load(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("exact_distinct_users"))
+    exact
+      .join(graft.operators.TrainingPrep.hllEstimateFrom(
+        regs, "event_type"), Seq("event_type"))
+      .select(col("event_type"), col("n_events"),
+        col("exact_distinct_users"), col("hll_estimate"),
+        expr("""CAST(abs(hll_estimate - exact_distinct_users) * 1000000
+              DIV exact_distinct_users AS BIGINT)""").as("err_micro"))
+  }
+
   /** Static user-tier dimension: deterministic function of user_id.
     * Stands in for the classic slowly-changing dimension; at scale
     * this is the broadcast side of a stream-static join (no state, no
