@@ -290,6 +290,14 @@ object SparkEntry {
       Dedup.cdcProvenance(s, d)),
     "q249_stream_hll" ->
       (graft.streaming.EventStream.hllStreamToBatch _),
+    "q250_kmv_sketch" -> ((s: SparkSession, d: String) =>
+      Sketches.kmvSketch(s, d)),
+    "q251_corr_matrix" -> ((s: SparkSession, d: String) =>
+      Experiment.correlationMatrix(s, d)),
+    "q252_rrf_fusion" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.rrfFusion(s, d)),
+    "q253_bitmap_intersect" -> ((s: SparkSession, d: String) =>
+      Sketches.bitmapIntersect(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -3765,6 +3773,104 @@ object SparkEntry {
            CAST(ABS(hll_estimate - exact_distinct_users) * 1000000
              // exact_distinct_users AS BIGINT) AS err_micro
          FROM est""",
+    // q250: KMV — distinct 60-bit md5 hashes, rank<=k window per
+    // type; the ALL row is computed FROM SCRATCH here while Spark
+    // MERGES the per-type sketches, so hash equality is the k-min
+    // merge law itself. Estimator (k-1)*2^60 // h_k in HUGEINT.
+    "q250_kmv_sketch" ->
+      s"""WITH h AS (
+           SELECT DISTINCT event_type,
+             ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)),
+               1, 15))::BIGINT AS h
+           FROM events),
+         allh AS (SELECT DISTINCT h FROM h),
+         ranked AS (
+           SELECT event_type, h, ROW_NUMBER() OVER (
+             PARTITION BY event_type ORDER BY h ASC) AS rk
+           FROM h
+           UNION ALL
+           SELECT 'ALL', h, ROW_NUMBER() OVER (ORDER BY h ASC)
+           FROM allh),
+         sk AS (SELECT * FROM ranked WHERE rk <= ${Sketches.KmvK}),
+         ex AS (
+           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+           FROM h GROUP BY 1
+           UNION ALL
+           SELECT 'ALL', CAST(COUNT(*) AS BIGINT) FROM allh),
+         est AS (
+           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_in_sketch,
+             MAX(CASE WHEN rk = ${Sketches.KmvK} THEN h END) AS kth
+           FROM sk GROUP BY 1)
+         SELECT est.event_type, ex.n_exact, est.n_in_sketch,
+           COALESCE(est.kth, -1) AS kth_hash,
+           CASE WHEN est.n_in_sketch < ${Sketches.KmvK} THEN ex.n_exact
+             ELSE CAST((${Sketches.KmvK - 1}::HUGEINT *
+               (1::BIGINT << 60)) // est.kth AS BIGINT)
+           END AS est_distinct
+         FROM est JOIN ex USING (event_type)""",
+    // q251: correlation matrix — fixed-point integer columns, HUGEINT
+    // sufficient statistics (the q221 widening rule: sum(price^2)
+    // alone passes 2^63 at sf0.1), and the signed-r^2-ppm statistic
+    // defined AS the two-step truncating division — no float
+    // division, sqrt, or HUGEINT->DOUBLE cast in either engine.
+    "q251_corr_matrix" -> corrMatrixOracleSql,
+    // q252: RRF — q114's BM25 totals fused with the q212 quality
+    // prior by rank only: sum of floor(1e12/(60+rank)), pure BIGINT.
+    "q252_rrf_fusion" ->
+      s"""WITH base AS (SELECT * FROM ($bm25OracleSql) t),
+         lex AS (
+           SELECT doc_id, CAST(SUM(score_micro) AS BIGINT) AS lex_total
+           FROM base GROUP BY 1),
+         sc AS ($scoredDocsSql),
+         cand AS (
+           SELECT lex.doc_id, lex.lex_total, sc.score AS quality_micro
+           FROM lex JOIN sc USING (doc_id)),
+         rk AS (
+           SELECT doc_id, lex_total, quality_micro,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY lex_total DESC, doc_id ASC) AS BIGINT) AS rank_lex,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY quality_micro DESC, doc_id ASC) AS BIGINT) AS rank_q
+           FROM cand),
+         f AS (
+           SELECT *, CAST(1000000000000 // (60 + rank_lex) +
+             1000000000000 // (60 + rank_q) AS BIGINT) AS rrf_scaled
+           FROM rk)
+         SELECT doc_id, lex_total, quality_micro, rank_lex, rank_q,
+           rrf_scaled, rank_fused
+         FROM (SELECT *, CAST(ROW_NUMBER() OVER (
+             ORDER BY rrf_scaled DESC, doc_id ASC) AS BIGINT) AS rank_fused
+           FROM f)
+         WHERE rank_fused <= 10""",
+    // q253: bitmap intersection — 32-bits-per-BIGINT-word packing
+    // (shifts <= 31: the q237 checked-shift rule), BIT_OR build,
+    // bit_count(a & b) intersections, integer Jaccard ppm.
+    "q253_bitmap_intersect" ->
+      """WITH w AS (
+           SELECT event_type, user_id // 32 AS word,
+             CAST(BIT_OR(1::BIGINT << CAST(user_id % 32 AS INT))
+               AS BIGINT) AS w
+           FROM events GROUP BY 1, 2),
+         sizes AS (
+           SELECT event_type, CAST(SUM(bit_count(w)) AS BIGINT) AS n_users
+           FROM w GROUP BY 1),
+         inter AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(SUM(bit_count(a.w & b.w)) AS BIGINT) AS n_inter
+           FROM w a JOIN w b
+             ON a.word = b.word AND a.event_type < b.event_type
+           GROUP BY 1, 2),
+         spine AS (
+           SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+             sa.n_users AS n_a, sb.n_users AS n_b
+           FROM sizes sa, sizes sb
+           WHERE sa.event_type < sb.event_type)
+         SELECT spine.type_a, spine.type_b, spine.n_a, spine.n_b,
+           COALESCE(inter.n_inter, 0) AS n_inter,
+           CAST(COALESCE(inter.n_inter, 0) * 1000000
+             // (spine.n_a + spine.n_b - COALESCE(inter.n_inter, 0))
+             AS BIGINT) AS jaccard_ppm
+         FROM spine LEFT JOIN inter USING (type_a, type_b)""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness
@@ -5985,6 +6091,48 @@ object SparkEntry {
               / (q.tf + 1.2 * (0.25 + 0.75 * q.dl / stats.avgdl))))
              AS BIGINT) AS score_micro
          FROM q JOIN dfreq USING (term) CROSS JOIN stats"""
+
+  /** q251 oracle: the same fixed-point columns, HUGEINT sufficient
+    * statistics, and two-step truncating-division statistic the Spark
+    * side computes in DECIMAL(38,0) — generated so the 10 product
+    * columns and 6 pair rows can't drift between the engines.
+    */
+  private def corrMatrixOracleSql: String = {
+    val names = Seq("qty", "price", "disc", "tax")
+    val defs = Seq(
+      "CAST(l_quantity AS BIGINT) AS qty",
+      "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 AS price",
+      "CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS disc",
+      "CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS tax")
+    val prods = for (i <- names.indices; j <- i until names.length) yield {
+      val (a, b) = (names(i), names(j))
+      s"SUM(CAST($a AS HUGEINT) * $b) AS p_${a}_$b"
+    }
+    val sums = names.map(n => s"CAST(SUM($n) AS BIGINT) AS s_$n")
+    val pairRows = (for {
+      i <- names.indices; j <- (i + 1) until names.length
+    } yield {
+      val (a, b) = (names(i), names(j))
+      s"""SELECT '$a~$b' AS pair, n, s_$a AS sum_x, s_$b AS sum_y,
+             n::HUGEINT * p_${a}_$b - s_$a::HUGEINT * s_$b AS a_num,
+             n::HUGEINT * p_${a}_$a - s_$a::HUGEINT * s_$a AS b_den,
+             n::HUGEINT * p_${b}_$b - s_$b::HUGEINT * s_$b AS c_den
+           FROM s"""
+    }).mkString("\n         UNION ALL\n")
+    s"""WITH v AS (SELECT ${defs.mkString(",\n           ")} FROM lineitem),
+         s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             ${(sums ++ prods).mkString(",\n             ")}
+           FROM v),
+         m AS ($pairRows)
+         SELECT pair, n, sum_x, sum_y,
+           CAST(a_num AS DECIMAL(38,0)) AS a_num,
+           CAST(CASE WHEN b_den * c_den < 1000000 THEN 0
+             ELSE (CASE WHEN a_num < 0 THEN -1
+                        WHEN a_num > 0 THEN 1 ELSE 0 END) *
+               ((a_num * a_num) // ((b_den * c_den) // 1000000))
+           END AS BIGINT) AS r2_signed_ppm
+         FROM m"""
+  }
 
   private def scoredDocsSql: String = {
     val scores = TextAnalysis.langMarkers.map { case (lang, ws) =>

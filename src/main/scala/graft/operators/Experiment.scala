@@ -769,4 +769,88 @@ object Experiment {
         expr("(cum_pos * 10000000) DIV (tp * (decile + 1))")
           .as("lift_micro"))
   }
+
+  /** The q251 driver entry: PEARSON CORRELATION MATRIX over the fact
+    * table's numeric columns — the feature-correlation profile a
+    * tabular-ML prep pipeline computes before feature selection.
+    * Columns are fixed-point integers (quantity in units, price in
+    * whole dollars via truncating cents DIV 100, discount/tax in
+    * hundredths), and the whole matrix reduces in ONE corpus pass:
+    * 15 sufficient statistics (n, four Σx, four Σx², six Σxy) with
+    * map-side combine, then each of the 6 pairs is scalar arithmetic
+    * on that single row.
+    *
+    * Exactness: with A = nΣxy − ΣxΣy, B = nΣx² − (Σx)², C = nΣy² −
+    * (Σy)², the reported statistic is the SIGNED SQUARED correlation
+    * in ppm, defined AS the integer expression
+    * sign(A) · (A² DIV (B·C DIV 10⁶)) — truncating DIV both engines,
+    * no float division, no sqrt, no decimal→double cast (HUGEINT →
+    * DOUBLE is double-rounded in some engines, which is exactly the
+    * hazard class q221 removed). Σx² and all products are
+    * DECIMAL(38,0)/HUGEINT (the q221 widening rule): Σ(price²) alone
+    * exceeds 2⁶³ at sf0.1. Bound: A² and B·C stay inside 38 digits up
+    * to ~10⁷ rows at these column scales — past that, pre-scale the
+    * inputs (the dollars-not-cents choice here is that device; the
+    * statistic is unit-invariant apart from the fixed-point floor).
+    *
+    * Scale shape: one scan, zero joins, zero shuffles beyond the
+    * 15-column partial-aggregate merge; the 6-row matrix is built by
+    * exploding a struct array OVER the one aggregate row.
+    */
+  def correlationMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val cols = Seq(
+      "qty" -> expr("CAST(l_quantity AS BIGINT)"),
+      "price" -> expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 100"),
+      "disc" -> expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+      "tax" -> expr("CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    val vals = Tables.load(spark, sfDir, "lineitem")
+      .select(cols.map { case (n, e) => e.as(n) }: _*)
+    val names = cols.map(_._1)
+    val sums =
+      Seq(count(lit(1)).as("n")) ++
+        names.map(n => sum(col(n)).as(s"s_$n")) ++
+        (for (i <- names.indices; j <- i until names.length) yield {
+          val (a, b) = (names(i), names(j))
+          sum(expr(s"CAST($a AS DECIMAL(38,0)) * $b").cast("decimal(38,0)"))
+            .as(s"p_${a}_$b")
+        })
+    val agg = vals.agg(sums.head, sums.tail: _*)
+    val pairs = for {
+      i <- names.indices; j <- (i + 1) until names.length
+    } yield {
+      val (a, b) = (names(i), names(j))
+      struct(
+        lit(s"$a~$b").as("pair"),
+        col("n").cast("long").as("n"),
+        col(s"s_$a").cast("long").as("sum_x"),
+        col(s"s_$b").cast("long").as("sum_y"),
+        expr(s"""CAST(CAST(n AS DECIMAL(38,0)) * p_${a}_$b -
+                 CAST(s_$a AS DECIMAL(38,0)) * s_$b AS DECIMAL(38,0))""")
+          .as("a_num"),
+        expr(s"""CAST(CAST(n AS DECIMAL(38,0)) * p_${a}_$a -
+                 CAST(s_$a AS DECIMAL(38,0)) * s_$a AS DECIMAL(38,0))""")
+          .as("b_den"),
+        expr(s"""CAST(CAST(n AS DECIMAL(38,0)) * p_${b}_$b -
+                 CAST(s_$b AS DECIMAL(38,0)) * s_$b AS DECIMAL(38,0))""")
+          .as("c_den"))
+    }
+    // truncating X/Y on positive DECIMAL(38,0) without IntegralDivide
+    // (whose BIGINT result overflows for the inner quotient): strip
+    // the remainder, divide exactly, re-narrow. The exact quotient is
+    // integral, so the (38,6) division result holds it losslessly up
+    // to 10^32.
+    def td(x: String, y: String) =
+      s"CAST(($x - PMOD($x, $y)) / ($y) AS DECIMAL(38,0))"
+    val bc6 = td("(m.b_den * m.c_den)", "CAST(1000000 AS DECIMAL(38,0))")
+    agg.select(explode(array(pairs: _*)).as("m"))
+      .select(col("m.pair").as("pair"), col("m.n").as("n"),
+        col("m.sum_x").as("sum_x"), col("m.sum_y").as("sum_y"),
+        col("m.a_num").as("a_num"),
+        expr(s"""CAST(CASE
+                 WHEN m.b_den * m.c_den < 1000000 THEN 0
+                 ELSE CAST(SIGNUM(m.a_num) AS BIGINT) *
+                   CAST(${td("(m.a_num * m.a_num)", bc6)} AS BIGINT)
+               END AS BIGINT)""").as("r2_signed_ppm"))
+  }
 }

@@ -289,4 +289,144 @@ object Sketches {
           (col("n_a_exact") + col("n_b_exact")).cast("double") *
             lit(3.0 * hllBound) + lit(5.0)).as("approx_ok"))
   }
+
+  /** KMV geometry (q250): k = 32 smallest DISTINCT 60-bit md5-derived
+    * hashes per group. The estimator is the classic order-statistics
+    * form est = (k-1) * 2^60 / h_k (h_k = the k-th smallest hash),
+    * computed entirely in integers — (k-1) * 2^60 ≈ 3.6e19 exceeds
+    * signed 64-bit, so the numerator is DECIMAL(38,0) on the Spark
+    * side and HUGEINT in the oracle (the q221 widening rule), with
+    * truncating DIV both sides.
+    */
+  val KmvK = 32
+
+  /** The q250 driver entry: K-MINIMUM-VALUES DISTINCT SKETCH — the
+    * second mergeable cardinality sketch family next to HLL (q236):
+    * where HLL keeps max-rank registers, KMV keeps the k smallest
+    * distinct hash values, and two sketches MERGE as the k smallest
+    * of the union — which is why per-shard KMV artifacts can roll up
+    * to a global distinct estimate without re-scanning raw data.
+    *
+    * DETERMINISTIC BY CONSTRUCTION (unlike `approx_count_distinct`,
+    * whose value is engine-specific and can only be bound-folded as
+    * in q39/q67): the hash is the md5 device, so DuckDB recomputes
+    * the identical sketch and the ESTIMATE ITSELF sits under the
+    * exact hash compare. The output carries one row per event_type
+    * plus an ALL row, and the ALL row is the merge proof: Spark
+    * derives it by MERGING the per-type sketch rows (k smallest of
+    * the union of per-type k-minima — raw hashes are not re-scanned),
+    * while the oracle computes the ALL sketch from scratch over all
+    * distinct user hashes; the hash compare passing IS the k-min
+    * merge law `kmin_k(A ∪ B) = kmin_k(kmin_k(A) ∪ kmin_k(B))` on
+    * the fixture (SketchesSpec pins it adversarially as well).
+    *
+    * Scale shape: the sketch frame is DISTINCT (type, hash) rows with
+    * a rank-≤-k window — rk ≤ k triggers InferWindowGroupLimit (the
+    * q118 device), so each partition ships at most k rows per group;
+    * the merge reads the ≤ k·|types| sketch rows only. The exact
+    * column is the audit the fixture affords (it full-shuffles the
+    * key space — at 100 TB it is the column you drop).
+    */
+  def kmvSketch(spark: SparkSession, sfDir: String): DataFrame =
+    kmvSketchOn(Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), col("user_id")))
+
+  /** The operator over any `(event_type, user_id)` frame. */
+  def kmvSketchOn(tu: DataFrame, k: Int = KmvK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(concat(lit("kmv:"),
+      col("user_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    // distinct hashes per type — the sketch's input universe
+    val hashes = tu.select(col("event_type"), h.as("h")).distinct()
+    val rk = row_number().over(
+      Window.partitionBy(col("event_type")).orderBy(col("h").asc))
+    val sketch = hashes.withColumn("rk", rk).where(col("rk") <= k)
+      .localCheckpoint(true) // reused thrice below; the frame is ≤ k·|types| rows
+    // ALL = merge of the per-type sketches: k smallest of the union
+    // of sketch hashes (hash values may repeat across types — the
+    // union is over DISTINCT hash values, as KMV merge demands).
+    val allRk = row_number().over(
+      Window.partitionBy(col("event_type")).orderBy(col("h").asc))
+    val merged = sketch.select(lit("ALL").as("event_type"), col("h"))
+      .distinct()
+      .withColumn("rk", allRk).where(col("rk") <= k)
+    val exact = hashes.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_exact"))
+      .unionByName(hashes.select(col("h")).distinct()
+        .agg(count(lit(1)).as("n_exact"))
+        .select(lit("ALL").as("event_type"), col("n_exact")))
+    val est = sketch.unionByName(merged)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_in_sketch"),
+        max(when(col("rk") === k, col("h"))).as("kth"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("n_exact"),
+        col("n_in_sketch"),
+        coalesce(col("kth"), lit(-1L)).as("kth_hash"),
+        when(col("n_in_sketch") < k, col("n_exact"))
+          .otherwise(expr(
+            s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * ${1L << 60}) " +
+              "DIV kth AS BIGINT)"))
+          .as("est_distinct"))
+  }
+
+  /** The q253 driver entry: BITMAP-INDEX SEGMENT INTERSECTION — the
+    * exact-set-operation artifact OLAP engines build where sketches
+    * (q176's HLL overlap) would only estimate: per event_type, user
+    * ids pack into 32-bits-per-word bitmaps (word = id DIV 32, bit =
+    * id % 32 — 32 bits per BIGINT word, never 64, because shifting
+    * past bit 62 is exactly the engine-pair asymmetry the q237 Bloom
+    * build hit: DuckDB refuses `1 << 63` where Spark wraps), the
+    * per-type bitmap is persisted and READ BACK as a parquet artifact
+    * (the q221 lifecycle), and every pairwise audience intersection
+    * and Jaccard similarity computes from the artifact alone —
+    * `sum(bit_count(a & b))` joined on word index — without ever
+    * re-touching the event log.
+    *
+    * Exactness: bitmaps are exact sets, so unlike every sketch entry
+    * there is no error bound to fold — `n_inter` IS the intersection
+    * cardinality, and the oracle replays the identical packing.
+    *
+    * Scale shape: the build is one groupBy on (type, word) with
+    * map-side-combined BIT_OR partials — duplicate events collapse
+    * into the partial bitmap before the exchange, so the shuffle
+    * carries ≤ |id-space|/32 words per type, not event rows; pair
+    * intersections join word-indexed artifact rows (≤ words × types),
+    * never users. Requires a bounded non-negative id space (dictionary-
+    * encode ids first at 100 TB — roaring-style containers are the
+    * production refinement of exactly this layout).
+    */
+  def bitmapIntersect(spark: SparkSession, sfDir: String): DataFrame =
+    Scratch.withScratch(spark, "q253_bitmap", sfDir) { dir =>
+      val words = Tables.load(spark, sfDir, "events")
+        .select(col("event_type"),
+          expr("user_id DIV 32").as("word"),
+          (col("user_id") % 32).cast("int").as("bit"))
+        .groupBy(col("event_type"), col("word"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("w"),
+          count(lit(1)).as("n_events"))
+      words.write.mode("overwrite").parquet(s"$dir/bitmap")
+      val idx = spark.read.parquet(s"$dir/bitmap")
+      val sizes = idx.groupBy(col("event_type"))
+        .agg(sum(expr("bit_count(w)")).as("n_users"))
+      val inter = idx.as("a").join(idx.as("b"),
+          col("a.word") === col("b.word") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(sum(expr("bit_count(a.w & b.w)")).as("n_inter"))
+      // the pair spine is types × types (bounded domain) so pairs
+      // with an EMPTY intersection still emit a zero row
+      val spine = sizes.as("sa").crossJoin(sizes.as("sb"))
+        .where(col("sa.event_type") < col("sb.event_type"))
+        .select(col("sa.event_type").as("type_a"),
+          col("sb.event_type").as("type_b"),
+          col("sa.n_users").as("n_a"), col("sb.n_users").as("n_b"))
+      spine.join(inter, Seq("type_a", "type_b"), "left")
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+          expr("""CAST(coalesce(n_inter, 0) * 1000000
+                  DIV (n_a + n_b - coalesce(n_inter, 0)) AS BIGINT)""")
+            .as("jaccard_ppm"))
+    }
 }

@@ -314,6 +314,56 @@ object TextAnalysis {
         (col("rank1") - col("rank2")).as("displacement"))
   }
 
+  /** The q252 driver entry: RECIPROCAL RANK FUSION — the standard
+    * zero-training ensemble for combining heterogeneous retrieval
+    * lists (Cormack et al. 2009 shape): each system contributes
+    * 1/(60 + rank), and documents strong under EITHER ranking float
+    * up without any score normalization across systems — which is
+    * the whole point: BM25 micros and quality micros live on
+    * incomparable scales, but ranks always fuse. Here the fused
+    * systems are q114's BM25 lexical total per doc and q212's
+    * stopword-density quality prior over the same candidate set.
+    *
+    * Exactness: the fused score is Σ floor(10¹²/(60+rank)) — pure
+    * BIGINT arithmetic on window ranks, no floats anywhere; ties
+    * pinned by (score desc, doc_id asc) total orders throughout.
+    *
+    * Scale shape: candidates are docs with ≥1 BM25 hit — in
+    * production each system contributes its own bounded top-k list,
+    * so the fusion windows rank serving-size lists, never the corpus;
+    * the BM25 stage itself keeps the q114 posture (terms broadcast,
+    * only hit rows shuffle).
+    */
+  def rrfFusion(
+      spark: SparkSession, sfDir: String,
+      kConst: Int = 60, topK: Int = 10): DataFrame = {
+    val lex = bm25Search(spark, sfDir)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("score_micro")).as("lex_total"))
+    val cand = lex.join(
+      Experiment.rocAucScored(spark, sfDir)
+        .select(col("doc_id"), col("score").as("quality_micro")),
+      "doc_id")
+    val fused = cand
+      .withColumn("rank_lex", row_number().over(
+        Window.orderBy(col("lex_total").desc, col("doc_id").asc))
+        .cast("long"))
+      .withColumn("rank_q", row_number().over(
+        Window.orderBy(col("quality_micro").desc, col("doc_id").asc))
+        .cast("long"))
+      .withColumn("rrf_scaled",
+        expr(s"1000000000000 DIV ($kConst + rank_lex) + " +
+          s"1000000000000 DIV ($kConst + rank_q)"))
+    fused
+      .withColumn("rank_fused", row_number().over(
+        Window.orderBy(col("rrf_scaled").desc, col("doc_id").asc))
+        .cast("long"))
+      .where(col("rank_fused") <= topK)
+      .select(col("doc_id"), col("lex_total"), col("quality_micro"),
+        col("rank_lex"), col("rank_q"), col("rrf_scaled"),
+        col("rank_fused"))
+  }
+
   /** Corpus keyness / drift (q122): Dunning's G² log-likelihood per
     * term between two corpus slices (sources 0–9 vs 10–19) — the
     * standard "what changed between crawls / which terms

@@ -498,4 +498,36 @@ class ExperimentSpec extends AnyFunSuite {
     // capture is monotone and ends at 100%; the final lift is exactly 1
     assert(rows.last._5 == 1000000L && rows.last._6 == 1000000L)
   }
+
+  test("q251 correlation matrix: statistic tracks the float corr^2 within floor slack") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = Experiment.correlationMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDecimal(4), r.getLong(5)))
+    assert(rows.length == 6 && rows.map(_._1).distinct.length == 6)
+    // recompute the float correlation on the same fixed-point values
+    import org.apache.spark.sql.functions._
+    val vals = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select(
+        expr("CAST(l_quantity AS BIGINT)").as("qty"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 100")
+          .as("price"),
+        expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)").as("disc"),
+        expr("CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT)").as("tax"))
+      .cache()
+    rows.foreach { case (pair, n, _, _, aNum, r2) =>
+      val Array(a, b) = pair.split("~")
+      val c = vals.agg(corr(col(a).cast("double"), col(b).cast("double")))
+        .head().getDouble(0)
+      val expected = math.signum(c) * c * c * 1e6
+      // two floors, each dropping < 1 ulp of the scaled value, plus
+      // the denominator's own floor: allow a small absolute band
+      assert(math.abs(r2 - expected) <= 3.0,
+        s"$pair: r2_ppm=$r2 float=$expected")
+      assert(n == 60000L)
+      assert(math.signum(r2.toDouble) == math.signum(aNum.doubleValue())
+        || r2 == 0L, s"$pair sign")
+    }
+    vals.unpersist()
+  }
 }

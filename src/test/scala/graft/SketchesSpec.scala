@@ -109,4 +109,67 @@ class SketchesSpec extends AnyFunSuite {
     assert(got(("B", "C")) == ((100L, 10L, 0L, true)))
     assert(got.size == 3)
   }
+
+  test("q250 KMV: ALL row merged from per-type sketches equals the from-scratch bottom-k") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // crafted: two overlapping segments, each > k distinct users, so
+    // the merge must actually SELECT among competing sketch hashes
+    val tu = ((1L to 90L).map(u => ("A", u)) ++
+      (46L to 140L).map(u => ("B", u))).toDF("event_type", "user_id")
+    val rows = graft.operators.Sketches.kmvSketchOn(tu).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // from-scratch bottom-k over the distinct union of user hashes
+    val k = graft.operators.Sketches.KmvK
+    val hashes = tu.select(conv(substring(md5(concat(lit("kmv:"),
+        col("user_id").cast("string"))), 1, 15), 16, 10).cast("long")
+        .as("h")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val kth = hashes(k - 1)
+    val est = (BigInt(k - 1) * (BigInt(1) << 60) / kth).toLong
+    assert(rows("ALL") == ((140L, k.toLong, kth, est)))
+    // per-type exacts and sketch fill
+    assert(rows("A")._1 == 90L && rows("B")._1 == 95L)
+    assert(rows("A")._2 == k.toLong && rows("B")._2 == k.toLong)
+    // a sketch smaller than k reports the exact count as its estimate
+    val small = (1L to 5L).map(u => ("S", u)).toDF("event_type", "user_id")
+    val s = graft.operators.Sketches.kmvSketchOn(small).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(s("S") == ((5L, 5L, -1L, 5L)))
+    assert(s("ALL") == ((5L, 5L, -1L, 5L)))
+  }
+
+  test("q250 KMV: estimate lands within 2 sigma (~36% at k=32) on the fixtures") {
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = Sketches.kmvSketch(spark, sf).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (exact, est) = (r.getLong(1), r.getLong(4))
+        val relErr = math.abs(est - exact).toDouble / math.max(exact, 1L)
+        assert(relErr <= 0.36,
+          s"$sf ${r.getString(0)}: exact=$exact est=$est relErr=$relErr")
+      }
+    }
+  }
+
+  test("q253 bitmap intersection equals the exact distinct-user intersection") {
+    import org.apache.spark.sql.functions.col
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val tu = graft.sources.Tables.load(spark, sf, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val byType = tu.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val got = Sketches.bitmapIntersect(spark, sf).collect()
+      assert(got.nonEmpty)
+      got.foreach { r =>
+        val (a, b) = (r.getString(0), r.getString(1))
+        assert(r.getLong(2) == byType(a).size.toLong, s"$sf $a size")
+        assert(r.getLong(3) == byType(b).size.toLong, s"$sf $b size")
+        assert(r.getLong(4) == (byType(a) & byType(b)).size.toLong,
+          s"$sf $a~$b intersection")
+      }
+    }
+  }
 }
