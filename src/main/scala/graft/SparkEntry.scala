@@ -298,6 +298,22 @@ object SparkEntry {
       TextAnalysis.rrfFusion(s, d)),
     "q253_bitmap_intersect" -> ((s: SparkSession, d: String) =>
       Sketches.bitmapIntersect(s, d)),
+    "q254_stream_alerts" ->
+      (graft.streaming.EventStream.streamAlerts _),
+    "q255_activity_segments" -> ((s: SparkSession, d: String) =>
+      Multimodal.activitySegments(s, d)),
+    "q256_patch_grid" -> ((s: SparkSession, d: String) =>
+      Multimodal.patchGrid(s, d)),
+    "q257_epoch_order" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.epochOrder(s, d)),
+    "q258_ks_drift" -> ((s: SparkSession, d: String) =>
+      Experiment.ksDrift(s, d)),
+    "q259_cross_source_dups" -> ((s: SparkSession, d: String) =>
+      Dedup.crossSourceDupMatrix(s, d)),
+    "q260_winsorize" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.winsorize(s, d)),
+    "q261_greedy_encode" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.greedyEncode(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -3871,6 +3887,245 @@ object SparkEntry {
              // (spine.n_a + spine.n_b - COALESCE(inter.n_inter, 0))
              AS BIGINT) AS jaccard_ppm
          FROM spine LEFT JOIN inter USING (type_a, type_b)""",
+    // q254: streaming alerts — hourly counts vs the per-type baseline
+    // artifact, integer cross-multiplied gate (2·n·n_hours > 3·total:
+    // "above 1.5x the mean hourly rate"), replayed batch-side.
+    "q254_stream_alerts" ->
+      """WITH e AS (
+           SELECT event_type, date_trunc('hour', ts) AS hour
+           FROM events),
+         hourly AS (
+           SELECT event_type, hour, CAST(COUNT(*) AS BIGINT) AS n_events
+           FROM e GROUP BY 1, 2),
+         base AS (
+           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS total_events,
+             CAST(COUNT(DISTINCT hour) AS BIGINT) AS n_hours
+           FROM e GROUP BY 1)
+         SELECT hourly.hour, hourly.event_type, hourly.n_events,
+           base.total_events, base.n_hours
+         FROM hourly JOIN base USING (event_type)
+         WHERE hourly.n_events * base.n_hours * 2 >
+           base.total_events * 3""",
+    // q255: activity segments — the q174 PCM decode CTEs, non-quiet
+    // windows grouped into islands by win - ROW_NUMBER (q33 device).
+    "q255_activity_segments" ->
+      """WITH wav AS MATERIALIZED (
+           SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) // 2 AS ns
+           FROM documents
+           WHERE doc_id % 3 = 1 AND octet_length(encode(text)) >= 2),
+         samples AS (
+           SELECT media_id, CAST(s * 16 // ns AS INT) AS win,
+             abs(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS a
+           FROM (
+             SELECT media_id, ns, CAST(s AS BIGINT) AS s,
+               ('0x' || substr(hx, CAST(4*s AS INT) + 1, 2))::INT +
+                 256 * ('0x' || substr(hx, CAST(4*s AS INT) + 3, 2))::INT
+                 AS v
+             FROM wav, UNNEST(range(ns)) t(s))),
+         e AS (
+           SELECT media_id, win, CAST(SUM(a) AS BIGINT) AS sum_abs
+           FROM samples GROUP BY 1, 2),
+         tot AS (SELECT media_id, CAST(SUM(sum_abs) AS BIGINT) AS total
+                 FROM e GROUP BY 1),
+         act AS (
+           SELECT e.media_id, CAST(e.win AS BIGINT) AS win, e.sum_abs,
+             CAST(e.win AS BIGINT) - ROW_NUMBER() OVER (
+               PARTITION BY e.media_id ORDER BY e.win ASC) AS grp
+           FROM e JOIN tot USING (media_id)
+           WHERE NOT (e.sum_abs * 16 < tot.total))
+         SELECT media_id, CAST(MIN(win) AS BIGINT) AS start_win,
+           CAST(MAX(win) AS BIGINT) AS end_win,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(sum_abs) AS BIGINT) AS seg_energy
+         FROM act GROUP BY media_id, grp""",
+    // q256: patch grid — the q172 BMP geometry (w = 16 + n % 64,
+    // h = 16 + n % 48), intensity byte at ((r·w + c)·3) mod n,
+    // patch = (r·4 // h, c·4 // w), integer per-patch reduce.
+    "q256_patch_grid" ->
+      """WITH img AS MATERIALIZED (
+           SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n,
+             16 + octet_length(encode(text)) % 64 AS w,
+             16 + octet_length(encode(text)) % 48 AS h
+           FROM documents
+           WHERE doc_id % 3 = 0 AND octet_length(encode(text)) >= 1),
+         px AS (
+           SELECT media_id, (r.r * 4) // h AS pr, (c.c * 4) // w AS pc,
+             ('0x' || substr(hx,
+               CAST(2 * (((r.r * w + c.c) * 3) % n) AS INT) + 1, 2))::INT
+               AS v
+           FROM img,
+             LATERAL (SELECT UNNEST(range(h)) AS r) r,
+             LATERAL (SELECT UNNEST(range(w)) AS c) c)
+         SELECT media_id, CAST(pr AS BIGINT) AS pr, CAST(pc AS BIGINT) AS pc,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(v) AS BIGINT) AS sum_i,
+           CAST(SUM(v) * 1000 // COUNT(*) AS BIGINT) AS mean_milli
+         FROM px GROUP BY 1, 2, 3""",
+    // q257: epoch order — md5 hex priorities (byte-stable order both
+    // engines), per-epoch ROW_NUMBER, 64-doc batch manifest.
+    "q257_epoch_order" ->
+      """WITH e AS (
+           SELECT doc_id, n_chars, CAST(ep AS BIGINT) AS epoch,
+             md5('ep' || ep || ':' || CAST(doc_id AS VARCHAR)) AS pri
+           FROM documents, UNNEST(range(2)) t(ep)),
+         p AS (
+           SELECT epoch, doc_id, n_chars, ROW_NUMBER() OVER (
+             PARTITION BY epoch ORDER BY pri ASC, doc_id ASC) AS pos
+           FROM e)
+         SELECT epoch, (pos - 1) // 64 AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(arg_min(doc_id, pos) AS BIGINT) AS head_doc
+         FROM p GROUP BY 1, 2""",
+    // q258: KS — exact cents, cross-multiplied step-function gap
+    // |cum1*n2 - cum2*n1| in HUGEINT, micro-scaled by truncating //,
+    // argmax tie-pinned by smallest value.
+    "q258_ks_drift" ->
+      """WITH ev AS (
+           SELECT event_type AS seg,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+           FROM events WHERE event_type IN ('purchase', 'click')),
+         counts AS (
+           SELECT v,
+             CAST(SUM(CASE WHEN seg = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN seg = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS c2
+           FROM ev GROUP BY 1),
+         walked AS (
+           SELECT v,
+             SUM(c1) OVER (ORDER BY v ASC ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cum1,
+             SUM(c2) OVER (ORDER BY v ASC ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cum2
+           FROM counts),
+         tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2 FROM counts),
+         g AS (
+           SELECT v, n1, n2,
+             ABS(cum1::HUGEINT * n2 - cum2::HUGEINT * n1) AS gap
+           FROM walked, tot)
+         SELECT n1, n2, CAST(gap AS DECIMAL(38,0)) AS d_cross,
+           CAST((gap * 1000000) // (n1::HUGEINT * n2) AS BIGINT)
+             AS d_micro,
+           v AS argmax_cents
+         FROM g ORDER BY gap DESC, v ASC LIMIT 1""",
+    // q259: cross-source dup matrix — replayed planting (mirror
+    // source re-packages every 7th doc; every 13th re-ingested into
+    // its own source), per-(fp, source) counts, pair counts by
+    // ARITHMETIC (c_a*c_b across, c(c-1)//2 within), no enumeration.
+    "q259_cross_source_dups" ->
+      s"""WITH planted AS (
+           SELECT source, text FROM documents
+           UNION ALL
+           SELECT 'mirror' AS source, text FROM documents
+           WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT source, text FROM documents WHERE doc_id % 13 = 0),
+         fps AS (
+           SELECT source, md5($normText) AS fp FROM planted),
+         counts AS (
+           SELECT fp, source, CAST(COUNT(*) AS BIGINT) AS c
+           FROM fps GROUP BY 1, 2),
+         pairs AS (
+           SELECT a.source AS source_a, b.source AS source_b,
+             CASE WHEN a.source = b.source THEN (a.c * (a.c - 1)) // 2
+               ELSE a.c * b.c END AS pairs,
+             CASE WHEN a.source = b.source THEN a.c >= 2
+               ELSE TRUE END AS shared
+           FROM counts a JOIN counts b
+             ON a.fp = b.fp AND a.source <= b.source)
+         SELECT source_a, source_b,
+           CAST(SUM(pairs) AS BIGINT) AS n_dup_pairs,
+           CAST(SUM(CASE WHEN shared THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_fps
+         FROM pairs GROUP BY 1, 2
+         HAVING SUM(pairs) > 0""",
+    // q260: winsorize — nearest-rank p01/p99 bounds (rank
+    // ceil(p*n/100), no interpolation), integer clamp + clip counts,
+    // clipped mean in micros by truncating //.
+    "q260_winsorize" ->
+      """WITH ev AS (
+           SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+           FROM events),
+         ranked AS (
+           SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY v ASC) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+           FROM ev),
+         bounds AS (
+           SELECT event_type,
+             MIN(CASE WHEN rk = (1 * n + 99) // 100 THEN v END)
+               AS lo_cents,
+             MIN(CASE WHEN rk = (99 * n + 99) // 100 THEN v END)
+               AS hi_cents
+           FROM ranked GROUP BY 1)
+         SELECT ev.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(b.lo_cents) AS lo_cents, MIN(b.hi_cents) AS hi_cents,
+           CAST(SUM(CASE WHEN ev.v < b.lo_cents THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_clip_lo,
+           CAST(SUM(CASE WHEN ev.v > b.hi_cents THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_clip_hi,
+           CAST((SUM(GREATEST(b.lo_cents, LEAST(b.hi_cents, ev.v)))::HUGEINT
+             * 1000000) // COUNT(*) AS BIGINT) AS mean_clipped_micro
+         FROM ev JOIN bounds b USING (event_type)
+         GROUP BY 1""",
+    // q261: greedy longest-match encode — dictionary-weighted gram
+    // vocab (top-150, count desc / gram asc), the identical
+    // position walk as a RECURSIVE CTE (q209 discipline), windows
+    // 4->3->2 with single-char fallback.
+    "q261_greedy_encode" ->
+      s"""WITH RECURSIVE words AS (
+           SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+             SELECT UNNEST(string_split($normText, ' ')) AS w
+             FROM documents) t
+           WHERE length(w) >= 1 GROUP BY 1),
+         grams AS (
+           SELECT substr(w, CAST(i AS INT), CAST(L AS INT)) AS g,
+             CAST(SUM(cnt) AS BIGINT) AS gc
+           FROM words,
+             LATERAL (SELECT UNNEST(range(2, 5)) AS L) l,
+             LATERAL (SELECT UNNEST(range(1, length(w) - L + 2)) AS i) t2
+           WHERE length(w) >= L
+           GROUP BY 1),
+         vl AS (SELECT list(g) AS v FROM (
+             SELECT g FROM grams ORDER BY gc DESC, g ASC LIMIT 150) t),
+         enc AS (
+           SELECT w, cnt, CAST(1 AS BIGINT) AS pos,
+             CAST([] AS VARCHAR[]) AS pieces
+           FROM words
+           UNION ALL
+           SELECT w, cnt, pos + length(piece), list_append(pieces, piece)
+           FROM (
+             SELECT e.w, e.cnt, e.pos, e.pieces,
+               CASE
+                 WHEN list_contains(vl.v,
+                     substr(e.w, CAST(e.pos AS INT), 4))
+                   THEN substr(e.w, CAST(e.pos AS INT), 4)
+                 WHEN list_contains(vl.v,
+                     substr(e.w, CAST(e.pos AS INT), 3))
+                   THEN substr(e.w, CAST(e.pos AS INT), 3)
+                 WHEN list_contains(vl.v,
+                     substr(e.w, CAST(e.pos AS INT), 2))
+                   THEN substr(e.w, CAST(e.pos AS INT), 2)
+                 ELSE substr(e.w, CAST(e.pos AS INT), 1) END AS piece
+             FROM enc e, vl WHERE e.pos <= length(e.w)) s),
+         done AS (SELECT w, cnt, pieces FROM enc WHERE pos > length(w)),
+         uses AS (SELECT UNNEST(pieces) AS piece, cnt FROM done),
+         counts AS (
+           SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n_uses
+           FROM uses GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n_uses) AS BIGINT) AS t FROM counts)
+         SELECT rank, piece, CAST(length(piece) AS BIGINT) AS piece_len,
+           n_uses, CAST((n_uses * 1000000) // t AS BIGINT) AS share_micro
+         FROM (SELECT piece, n_uses, CAST(ROW_NUMBER() OVER (
+             ORDER BY n_uses DESC, piece ASC) AS BIGINT) AS rank
+           FROM counts) r, tot
+         WHERE rank <= 20""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness
@@ -6106,7 +6361,10 @@ object SparkEntry {
       "CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS tax")
     val prods = for (i <- names.indices; j <- i until names.length) yield {
       val (a, b) = (names(i), names(j))
-      s"SUM(CAST($a AS HUGEINT) * $b) AS p_${a}_$b"
+      // BIGINT multiply mirrors the Spark side's long products (both
+      // raise loudly on overflow); the HUGEINT widening happens at
+      // the A/B/C stage, same as the operator.
+      s"SUM($a * $b) AS p_${a}_$b"
     }
     val sums = names.map(n => s"CAST(SUM($n) AS BIGINT) AS s_$n")
     val pairRows = (for {

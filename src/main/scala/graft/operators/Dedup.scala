@@ -1638,4 +1638,57 @@ object Dedup {
         col("n_exact").cast("long").as("n_exact"),
         col("n_num").cast("long").as("n_num"))
   }
+
+  /** The q259 driver entry: CROSS-SOURCE DUPLICATION MATRIX — the
+    * curation dashboard that tells you WHERE the duplication in a
+    * multi-source corpus lives (crawl-vs-crawl? one source
+    * re-packaging another?): for every source pair, the number of
+    * exact-duplicate document pairs and of shared fingerprints.
+    *
+    * The scale trick: duplicate PAIRS are never enumerated. Per
+    * (fingerprint, source) counts c reduce first (one digest-grain
+    * shuffle — q20's discipline, text never moves), and pair counts
+    * are ARITHMETIC on the counts: c_a·c_b across sources,
+    * C(c,2) = c(c−1)/2 within one — so a pathological million-copy
+    * template costs one row per source it appears in, not 10¹²
+    * join rows. The per-fp source×source fan-out is bounded by
+    * |sources|² (catalog-bounded, the q133 rationale).
+    *
+    * The fixtures carry no exact duplicates at sf0.01, so the entry
+    * PLANTS the two scenarios the matrix exists to expose (the q172
+    * device — the oracle replays the planting): a "mirror" source
+    * re-packaging every 7th document, and every 13th document
+    * re-ingested into its own source (within-source duplication) —
+    * moduli coprime to the fixture's source cycle so the matrix
+    * exercises every source, not one aligned column.
+    */
+  def crossSourceDupMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val planted = docs
+      .unionByName(docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          lit("mirror").as("source"), col("text")))
+      .unionByName(docs.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          col("source"), col("text")))
+    val counts = planted
+      .select(col("source"), md5(normalizedText(col("text"))).as("fp"))
+      .groupBy(col("fp"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    counts.as("a").join(counts.as("b"),
+        col("a.fp") === col("b.fp") &&
+          col("a.source") <= col("b.source"))
+      .select(col("a.source").as("source_a"),
+        col("b.source").as("source_b"),
+        when(col("a.source") === col("b.source"),
+          expr("(a.c * (a.c - 1)) DIV 2"))
+          .otherwise(col("a.c") * col("b.c")).cast("long").as("pairs"),
+        when(col("a.source") === col("b.source"), col("a.c") >= 2)
+          .otherwise(lit(true)).as("shared"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("pairs")).as("n_dup_pairs"),
+        sum(when(col("shared"), 1L).otherwise(0L)).as("n_shared_fps"))
+      .where(col("n_dup_pairs") > 0)
+  }
 }

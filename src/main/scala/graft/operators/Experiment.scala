@@ -770,6 +770,55 @@ object Experiment {
           .as("lift_micro"))
   }
 
+  /** The q258 driver entry: TWO-SAMPLE KOLMOGOROV–SMIRNOV DRIFT TEST
+    * — the distribution-free drift check ML-ops runs between two
+    * segments of a metric (here purchase vs click transaction values
+    * in exact cents): D = max |F̂₁(x) − F̂₂(x)| over the merged value
+    * domain. Everything is EXACT integers by cross-multiplication —
+    * the scaled statistic is max |cum₁·n₂ − cum₂·n₁| (ties in value
+    * collapse into one domain point, so the sup is over jump points,
+    * which is exactly where the sup of a step-function difference
+    * lives), micro-scaled once by truncating DIV at the end; the
+    * argmax value is tie-pinned by the smallest x attaining it.
+    *
+    * Scale shape: one (segment, value) count aggregate (map-side
+    * combined — the exchange carries the DISTINCT value domain, not
+    * events), a full-outer merge on value, and one ordered cumulative
+    * window over the bounded domain of distinct cent values (the q119
+    * rationale: money domains are bounded; corpus-scale domains would
+    * use the q200 chunked scan). The final max is a 1-row reduce.
+    * Products are DECIMAL(38,0)/HUGEINT (the q221 rule — cum·n·10⁶
+    * passes 2⁶³ beyond ~10⁶ rows per segment).
+    */
+  def ksDrift(
+      spark: SparkSession, sfDir: String,
+      segA: String = "purchase", segB: String = "click"): DataFrame = {
+    val cents = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    val ev = Tables.load(spark, sfDir, "events")
+      .where(col("event_type").isin(segA, segB))
+      .select(col("event_type").as("seg"), cents.as("v"))
+    val counts = ev.groupBy(col("v"))
+      .agg(sum(when(col("seg") === segA, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("seg") === segB, 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walked = counts
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+    val tot = walked.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    walked.crossJoin(broadcast(tot))
+      .select(col("v"), col("n1"), col("n2"),
+        abs(expr("CAST(cum1 AS DECIMAL(38,0)) * n2 - " +
+          "CAST(cum2 AS DECIMAL(38,0)) * n1")).as("gap"))
+      .orderBy(col("gap").desc, col("v").asc)
+      .limit(1)
+      .select(col("n1"), col("n2"),
+        col("gap").cast("decimal(38,0)").as("d_cross"),
+        expr("CAST((CAST(gap AS DECIMAL(38,0)) * 1000000) " +
+          "DIV (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)").as("d_micro"),
+        col("v").as("argmax_cents"))
+  }
+
   /** The q251 driver entry: PEARSON CORRELATION MATRIX over the fact
     * table's numeric columns — the feature-correlation profile a
     * tabular-ML prep pipeline computes before feature selection.
@@ -786,12 +835,15 @@ object Experiment {
     * sign(A) · (A² DIV (B·C DIV 10⁶)) — truncating DIV both engines,
     * no float division, no sqrt, no decimal→double cast (HUGEINT →
     * DOUBLE is double-rounded in some engines, which is exactly the
-    * hazard class q221 removed). Σx² and all products are
-    * DECIMAL(38,0)/HUGEINT (the q221 widening rule): Σ(price²) alone
-    * exceeds 2⁶³ at sf0.1. Bound: A² and B·C stay inside 38 digits up
-    * to ~10⁷ rows at these column scales — past that, pre-scale the
-    * inputs (the dollars-not-cents choice here is that device; the
-    * statistic is unit-invariant apart from the fixed-point floor).
+    * hazard class q221 removed). The A/B/C products and the final
+    * ratio are DECIMAL(38,0)/HUGEINT (the q221 widening rule); the
+    * dollars-not-cents pre-scaling keeps the 15 sufficient-statistic
+    * SUMS in BIGINT (Σ(price²) ≈ 7·10¹⁵ at sf0.1 — under 2⁶³ to
+    * ~10⁸ rows, and past that both engines fail LOUDLY: ANSI
+    * overflow here, range error in the oracle). Bound: A² and B·C
+    * stay inside 38 digits to ~10⁷ rows at these column scales —
+    * past that, coarsen the fixed-point scales (the statistic is
+    * unit-invariant apart from the fixed-point floor).
     *
     * Scale shape: one scan, zero joins, zero shuffles beyond the
     * 15-column partial-aggregate merge; the 6-row matrix is built by
@@ -807,13 +859,19 @@ object Experiment {
     val vals = Tables.load(spark, sfDir, "lineitem")
       .select(cols.map { case (n, e) => e.as(n) }: _*)
     val names = cols.map(_._1)
+    // products stay BIGINT: the dollars-not-cents scaling keeps
+    // Σ(price²) under 2⁶³ to ~10⁸ rows, and past that BOTH engines
+    // fail loudly (ANSI overflow / DuckDB range error) rather than
+    // diverge — the q221 posture with the widening deferred to the
+    // A/B/C stage, where DECIMAL(38) is genuinely needed. BIGINT
+    // partials also keep the 15-column aggregate in whole-stage
+    // codegen (decimal sums benched ~2x slower on this scan).
     val sums =
       Seq(count(lit(1)).as("n")) ++
         names.map(n => sum(col(n)).as(s"s_$n")) ++
         (for (i <- names.indices; j <- i until names.length) yield {
           val (a, b) = (names(i), names(j))
-          sum(expr(s"CAST($a AS DECIMAL(38,0)) * $b").cast("decimal(38,0)"))
-            .as(s"p_${a}_$b")
+          sum(expr(s"$a * $b")).as(s"p_${a}_$b")
         })
     val agg = vals.agg(sums.head, sums.tail: _*)
     val pairs = for {

@@ -408,6 +408,91 @@ object Multimodal {
           .as("is_quiet"))
   }
 
+  /** The q255 driver entry: ACTIVITY SEGMENTATION (voice-activity
+    * detection shape) — the step an audio training pipeline runs
+    * after the energy contour: consecutive non-quiet windows of the
+    * q174 contour merge into activity segments (one row per segment
+    * with its span and energy mass), so downstream sampling cuts at
+    * silence boundaries instead of mid-utterance. Islands are found
+    * with the q33 run-grouping device (win − row_number is constant
+    * exactly on a consecutive run), all-integer.
+    *
+    * Scale shape: inherits q174's posture (payload bytes never
+    * shuffle; the exchange carries per-window partial sums bounded
+    * by clips × 16); the island window partitions per clip over ≤ 16
+    * rows.
+    */
+  def activitySegments(
+      spark: SparkSession, sfDir: String, windows: Int = 16): DataFrame = {
+    val active = audioEnergy(spark, sfDir, windows)
+      .where(!col("is_quiet"))
+      .select(col("media_id"), col("win").cast("long").as("win"),
+        col("sum_abs"))
+    val w = Window.partitionBy(col("media_id")).orderBy(col("win").asc)
+    active
+      .withColumn("grp", col("win") - row_number().over(w))
+      .groupBy(col("media_id"), col("grp"))
+      .agg(min(col("win")).as("start_win"), max(col("win")).as("end_win"),
+        count(lit(1)).as("n_windows"), sum(col("sum_abs")).as("seg_energy"))
+      .select(col("media_id"), col("start_win"), col("end_win"),
+        col("n_windows"), col("seg_energy"))
+  }
+
+  /** The q256 driver entry: PATCH-GRID FEATURES (ViT tokenization
+    * shape) — the image-side preprocessing a multimodal training
+    * pipeline runs: each decoded image maps onto a fixed 4×4 patch
+    * grid and every patch reduces to its pixel count, intensity sum
+    * and fixed-point mean — the "patch embedding" stand-in whose
+    * plumbing (decode → grid assignment → per-patch reduce → 16
+    * feature rows per image) is the real thing even though the
+    * feature itself is a mean rather than a learned projection.
+    * Intensity at (r, c) is the q172 byte convention: body byte at
+    * ((r·w + c)·3) mod n; patch assignment is floor((r·4)/h,
+    * (c·4)/w) — all-integer, so the oracle replays it over
+    * hex-rendered bytes exactly.
+    *
+    * Scale shape: the per-patch sums ACCUMULATE INSIDE the per-image
+    * decode map (a 16-cell local array), so the operator emits 16
+    * finished rows per image with ZERO exchange — payload bytes and
+    * pixels never shuffle at all, the q204 posture.
+    */
+  def patchGrid(spark: SparkSession, sfDir: String, grid: Int = 4): DataFrame = {
+    import spark.implicits._
+    val imgs = mediaTableOn(Tables.load(spark, sfDir, "documents")
+      .where(col("doc_id") % 3 === 0 && octet_length(col("text")) >= 1)
+      .select(col("doc_id"), col("text")))
+      .filter(_.media_type == "image/bmp")
+    imgs.mapPartitions { it =>
+      it.flatMap { m =>
+        val bb = ByteBuffer.wrap(m.payload).order(ByteOrder.LITTLE_ENDIAN)
+        require(m.payload(0) == 'B'.toByte && m.payload(1) == 'M'.toByte,
+          s"media ${m.media_id}: not a BMP")
+        val w = bb.getInt(18)
+        val h = bb.getInt(22)
+        val n = m.payload.length - BmpHeaderLen
+        val sums = new Array[Long](grid * grid)
+        val counts = new Array[Long](grid * grid)
+        var r = 0
+        while (r < h) {
+          val pr = r * grid / h
+          var c = 0
+          while (c < w) {
+            val cell = pr * grid + c * grid / w
+            val v = m.payload(BmpHeaderLen + ((r * w + c) * 3) % n) & 0xFF
+            sums(cell) += v
+            counts(cell) += 1
+            c += 1
+          }
+          r += 1
+        }
+        (0 until grid * grid).iterator.map { cell =>
+          (m.media_id, (cell / grid).toLong, (cell % grid).toLong,
+            counts(cell), sums(cell), sums(cell) * 1000L / counts(cell))
+        }
+      }
+    }.toDF("media_id", "pr", "pc", "n_px", "sum_i", "mean_milli")
+  }
+
   /** The q204 driver entry: LOUDNESS-NORMALIZATION GAIN — the
     * pre-feature-extraction step every audio pipeline runs: compute
     * each clip's RMS level from the exact PCM16 samples (the q174

@@ -314,6 +314,100 @@ object TextAnalysis {
         (col("rank1") - col("rank2")).as("displacement"))
   }
 
+  /** The q261 driver entry: GREEDY LONGEST-MATCH TOKENIZER ENCODE —
+    * the WordPiece-family segmentation rule (BERT-lineage) beside the
+    * BPE family (q155/q157): a vocabulary of frequent character
+    * grams, and each word consumed LEFT TO RIGHT by the longest
+    * vocabulary piece at each position (windows 4→3→2, single-char
+    * fallback so nothing is ever unencodable). Where BPE replays
+    * merge history, WordPiece needs only vocabulary MEMBERSHIP at
+    * encode time — a different, simpler serving contract.
+    *
+    * The vocabulary is data-derived: the 150 highest-frequency
+    * length-2..4 grams over the DISTINCT-word dictionary weighted by
+    * word count (the q155 dictionary lesson — gram counting and
+    * encoding touch unique words, weighted, never corpus tokens),
+    * tie-pinned (count desc, gram asc), collected once (bounded
+    * domain) and inlined as an array literal. The per-word encode is
+    * the `aggregate` HOF walking positions with (next, pieces) state
+    * — row-local, zero driver iteration; the gram/word columns are
+    * bound through projections before any lambda touches them (the
+    * LAMBDA-CSE rule). `array_contains` over 150 entries stands in
+    * for the trie a production tokenizer would compile.
+    *
+    * Output: the top-20 pieces by weighted use with corpus share in
+    * ppm — the table a tokenizer review reads (which pieces carry
+    * the corpus, how much rides the single-char fallback).
+    *
+    * Oracle: the identical walk as a RECURSIVE CTE (the q209
+    * discipline), one chain per dictionary word.
+    */
+  def greedyEncode(
+      spark: SparkSession, sfDir: String,
+      vocabSize: Int = 150, topK: Int = 20): DataFrame = {
+    val (_, encoded) = greedyEncodedWords(
+      Tables.load(spark, sfDir, "documents"), vocabSize)
+    val counts = encoded
+      .select(col("cnt"), explode(col("pieces")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("n_uses"))
+    val tot = counts.agg(sum(col("n_uses")).as("t"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_uses").desc, col("piece").asc)).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("rank"), col("piece"),
+        length(col("piece")).cast("long").as("piece_len"),
+        col("n_uses"),
+        expr("(n_uses * 1000000) DIV t").as("share_micro"))
+  }
+
+  /** The vocabulary and per-word piece sequences behind [[greedyEncode]]
+    * — exposed for the spec's greedy-law checks over any corpus frame.
+    * Returns (vocab, frame of (w, cnt, pieces)).
+    */
+  private[graft] def greedyEncodedWords(
+      docs: DataFrame, vocabSize: Int): (Array[String], DataFrame) = {
+    val words = docs
+      .select(explode(split(normalizedText(col("text")), " ")).as("w"))
+      .where(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // feeds gram counting AND the encode
+    val grams = words
+      .select(col("w"), col("cnt"), explode(expr(
+        """flatten(transform(sequence(2, 4), L ->
+             CASE WHEN length(w) >= L THEN
+               transform(sequence(1, length(w) - L + 1),
+                 i -> substring(w, i, L))
+             ELSE CAST(array() AS ARRAY<STRING>) END))""")).as("g"))
+      .groupBy(col("g")).agg(sum(col("cnt")).as("gc"))
+    val vocab: Array[String] = grams
+      .orderBy(col("gc").desc, col("g").asc).limit(vocabSize)
+      .collect().map(_.getString(0))
+    val pick =
+      """CASE
+           WHEN array_contains(vocab, substring(w, i, 4))
+             THEN substring(w, i, 4)
+           WHEN array_contains(vocab, substring(w, i, 3))
+             THEN substring(w, i, 3)
+           WHEN array_contains(vocab, substring(w, i, 2))
+             THEN substring(w, i, 2)
+           ELSE substring(w, i, 1) END"""
+    val encoded = words
+      .select(col("w"), col("cnt"),
+        array(vocab.map(lit).toSeq: _*).as("vocab"))
+      .select(col("w"), col("cnt"), expr(
+        s"""aggregate(sequence(1, length(w)),
+             named_struct('nxt', 1, 'pieces',
+               CAST(array() AS ARRAY<STRING>)),
+             (st, i) -> CASE WHEN i < st.nxt THEN st ELSE
+               named_struct(
+                 'nxt', i + length($pick),
+                 'pieces', array_append(st.pieces, $pick))
+             END,
+             st -> st.pieces)""").as("pieces"))
+    (vocab, encoded)
+  }
+
   /** The q252 driver entry: RECIPROCAL RANK FUSION — the standard
     * zero-training ensemble for combining heterogeneous retrieval
     * lists (Cormack et al. 2009 shape): each system contributes

@@ -704,6 +704,88 @@ object TrainingPrep {
       .select(col("lang"), col("doc_id"), col("rk"))
   }
 
+  /** The q260 driver entry: WINSORIZED ROBUST-SCALING ARTIFACT — the
+    * outlier-clipping feature-prep step (winsorization at p01/p99)
+    * every tabular training pipeline runs before normalization, with
+    * NEAREST-RANK percentiles so the whole artifact is exact
+    * integers: the bound is the value AT rank ⌈p·n/100⌉ in the
+    * sorted multiset (no interpolation — the classic engine-pair
+    * divergence of interpolated percentiles never arises), values
+    * clamp to [lo, hi], and the artifact row per segment carries the
+    * bounds, clip counts and clipped mean in micros (truncating DIV).
+    *
+    * Scale shape: one rank window per event_type (the standard
+    * sort-shuffle; rank positions are read, never re-joined per row —
+    * bounds reduce out of the same windowed pass via conditional
+    * aggregation), then one final per-type aggregate.
+    */
+  def winsorize(
+      spark: SparkSession, sfDir: String,
+      loPct: Int = 1, hiPct: Int = 99): DataFrame = {
+    val cents = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    val byType = Window.partitionBy(col("event_type"))
+    val ranked = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), cents.as("v"))
+      .withColumn("rk", row_number().over(byType.orderBy(col("v").asc)))
+      .withColumn("n", count(lit(1)).over(byType))
+    val bounds = ranked.groupBy(col("event_type"))
+      .agg(
+        min(when(col("rk") === expr(s"($loPct * n + 99) DIV 100"),
+          col("v"))).as("lo_cents"),
+        min(when(col("rk") === expr(s"($hiPct * n + 99) DIV 100"),
+          col("v"))).as("hi_cents"))
+    ranked.join(broadcast(bounds), "event_type")
+      .select(col("event_type"), col("v"), col("lo_cents"), col("hi_cents"),
+        greatest(col("lo_cents"), least(col("hi_cents"), col("v")))
+          .as("clamped"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("lo_cents")).as("lo_cents"),
+        min(col("hi_cents")).as("hi_cents"),
+        sum(when(col("v") < col("lo_cents"), 1L).otherwise(0L))
+          .as("n_clip_lo"),
+        sum(when(col("v") > col("hi_cents"), 1L).otherwise(0L))
+          .as("n_clip_hi"),
+        expr("""CAST((CAST(SUM(clamped) AS DECIMAL(38,0)) * 1000000)
+                DIV COUNT(*) AS BIGINT)""").as("mean_clipped_micro"))
+  }
+
+  /** The q257 driver entry: MULTI-EPOCH DATA ORDER — the deterministic
+    * per-epoch global shuffle every multi-epoch training run needs:
+    * epoch e orders the corpus by md5("ep" + e + ":" + doc_id) (hex
+    * priorities are byte-stable in both engines — the q188 rule), so
+    * each epoch is a DIFFERENT but perfectly reproducible permutation
+    * (restart a crashed epoch and get the identical batch sequence),
+    * positions chunk into fixed 64-doc batches, and the output is the
+    * per-batch manifest (doc count, char mass, head doc) a data
+    * loader consumes.
+    *
+    * Scale shape: the only corpus-wide structure is the per-epoch
+    * total order — the q78 device (RangePartitioning by sampled
+    * bounds, no single-task sort) is how that order materializes at
+    * 100 TB; here it is a per-epoch window rank. Everything after the
+    * rank is a (pos-1) DIV 64 bucket aggregate with map-side combine.
+    * Epochs fan out by a 2-element explode, not a self-join.
+    */
+  def epochOrder(
+      spark: SparkSession, sfDir: String,
+      epochs: Int = 2, batch: Int = 64): DataFrame = {
+    val pri = md5(concat(lit("ep"), col("epoch").cast("string"),
+      lit(":"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("epoch"))
+      .orderBy(col("pri").asc, col("doc_id").asc)
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0L), lit(epochs - 1L))).as("epoch"))
+      .withColumn("pri", pri)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .groupBy(col("epoch"), expr(s"(pos - 1) DIV $batch").as("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min_by(col("doc_id"), col("pos")).as("head_doc"))
+      .select(col("epoch"), col("batch_id"), col("n_docs"),
+        col("sum_chars"), col("head_doc"))
+  }
+
   /** The q221 driver entry: MERGEABLE MOMENT ARTIFACT lifecycle — the
     * two-level statistics pattern every sharded corpus relies on:
     * each shard materializes its (n, Σx, Σx²) moment triple as a tiny

@@ -288,6 +288,62 @@ object EventStream {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
 
+  /** The q254 driver entry: STREAMING THRESHOLD ALERTS against a
+    * persisted baseline — the monitoring pipeline shape: a batch pass
+    * computes each event type's historical rate profile (total
+    * events, distinct active hours) and persists it as an artifact
+    * (the q221 lifecycle); the hourly streaming aggregate (q47 shape)
+    * then joins every COMPLETE window count against the broadcast
+    * baseline inside `foreachBatch` and keeps only windows running
+    * hot — above 1.5× the type's mean hourly rate, tested by integer
+    * cross-multiplication (2·n·n_hours > 3·total, no division, so
+    * the gate is bit-portable), written to a parquet alert sink
+    * (q81's overwrite-per-batch idempotence under microbatch retry).
+    *
+    * Scale shape: the baseline is |types| rows and broadcasts; alert
+    * filtering happens on the AGGREGATED frame (|types| × horizon
+    * windows), never event rows; streaming state is the q47 windowed
+    * aggregate's, bounded by the watermark horizon.
+    */
+  def streamAlerts(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Scratch.withScratch(spark, "q254_alerts", sfDir) { dir =>
+      val out = s"$dir/out"
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val evTs = ev.withColumn("ts",
+        graft.sources.Tables.normalizeTs(ev, "ts"))
+      evTs.select(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("total_events"),
+          countDistinct(col("hour")).as("n_hours"))
+        .write.mode("overwrite").parquet(s"$dir/baseline")
+      val base = spark.read.parquet(s"$dir/baseline")
+      val q = hourlyStream(statePinnedSession(spark), sfDir).writeStream
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.join(broadcast(base), "event_type")
+            .where(col("n_events") * col("n_hours") * lit(2L) >
+              col("total_events") * lit(3L))
+            .select(col("hour"), col("event_type"), col("n_events"),
+              col("total_events"), col("n_hours"))
+            .write.mode("overwrite").parquet(out)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      unloadStateStores()
+      val schema = StructType(Seq(
+        StructField("hour", TimestampType),
+        StructField("event_type", StringType),
+        StructField("n_events", LongType),
+        StructField("total_events", LongType),
+        StructField("n_hours", LongType)))
+      if (new java.io.File(out).exists) spark.read.schema(schema).parquet(out)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+
   /** Run a streaming frame to completion on the fixture files
     * (Trigger.AvailableNow + memory sink) and return the final result
     * as a batch DataFrame — the harness for batch-parity tests.

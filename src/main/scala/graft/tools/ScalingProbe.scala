@@ -225,7 +225,20 @@ object ScalingProbe {
       "q216_perplexity_gate" -> (d => graft.operators.TextAnalysis.perplexityGate(spark, d)),
       "q220_contrastive" -> (d => graft.operators.Dedup.contrastivePairs(spark, d)),
       "q222_quality_surv" -> (d => graft.operators.Dedup.qualitySurvivors(spark, d)),
-      "q223_scorecard" -> (d => graft.operators.CleanPipeline.sourceScorecard(spark, d)))
+      "q223_scorecard" -> (d => graft.operators.CleanPipeline.sourceScorecard(spark, d)),
+      // round-13 additions: KMV (rank<=k window with group-limit
+      // pushdown over a distinct domain that grows Kx), bitmap build
+      // + intersections (words grow with the id space), KS (the
+      // ordered window runs over the bounded cents domain — ~flat),
+      // cross-source matrix (digest-grain counts), greedy encode
+      // (dictionary-weighted: unique words grow sublinearly in K),
+      // winsorize (per-type rank window grows Kx)
+      "q250_kmv" -> (d => graft.operators.Sketches.kmvSketch(spark, d)),
+      "q253_bitmap" -> (d => graft.operators.Sketches.bitmapIntersect(spark, d)),
+      "q258_ks_drift" -> (d => graft.operators.Experiment.ksDrift(spark, d)),
+      "q259_cross_source" -> (d => graft.operators.Dedup.crossSourceDupMatrix(spark, d)),
+      "q260_winsorize" -> (d => graft.operators.TrainingPrep.winsorize(spark, d)),
+      "q261_greedy_encode" -> (d => graft.operators.TextAnalysis.greedyEncode(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))

@@ -771,4 +771,46 @@ class DedupSpec extends AnyFunSuite {
     // exact-unique but numeral-matches the 1/3 group (n_num=3)
     assert(got.toSeq.sortBy(_._1) == Seq((2L, 1L, 3L)))
   }
+
+  test("q259 cross-source matrix equals brute-force pair enumeration on the planted corpus") {
+    import org.apache.spark.sql.functions.col
+    val sf = SparkTestSession.sf
+    val got = graft.operators.Dedup.crossSourceDupMatrix(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got.nonEmpty)
+    // brute force: replay the planting, enumerate duplicate pairs
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def norm(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+    val planted =
+      docs.map { case (_, s, t) => (s, norm(t)) } ++
+        docs.collect { case (id, _, t) if id % 7 == 0 => ("mirror", norm(t)) } ++
+        docs.collect { case (id, s, t) if id % 13 == 0 => (s, norm(t)) }
+    val byFp = planted.groupBy(_._2)
+    val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    val sharedCounts = scala.collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    byFp.values.foreach { group =>
+      val bySrc = group.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val srcs = bySrc.keys.toSeq.sorted
+      for (i <- srcs.indices; j <- i until srcs.length) {
+        val (a, b) = (srcs(i), srcs(j))
+        val p = if (a == b) bySrc(a) * (bySrc(a) - 1) / 2
+          else bySrc(a) * bySrc(b)
+        if (a != b || bySrc(a) >= 2) sharedCounts((a, b)) += 1
+        pairCounts((a, b)) += p
+      }
+    }
+    val expected = pairCounts.toMap.collect {
+      case (k, p) if p > 0 => k -> (p, sharedCounts(k))
+    }
+    assert(got == expected)
+    // the mirror column must touch more than one original source
+    assert(got.keys.count(_._1 == "mirror") +
+      got.keys.count(_._2 == "mirror") > 1)
+  }
 }

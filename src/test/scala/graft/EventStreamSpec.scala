@@ -420,4 +420,30 @@ class EventStreamSpec extends AnyFunSuite {
       assert(err == math.abs(est - d) * 1000000 / d)
     }
   }
+
+  test("q254 streaming alerts equal the batch gate and respect the threshold law") {
+    val sf = SparkTestSession.sf
+    val got = graft.streaming.EventStream.streamAlerts(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.nonEmpty, "fixture produces at least one hot window")
+    // batch twin: hourly counts + baseline, same integer gate
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+    val hourly = ev.groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
+    val base = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("t"), count_distinct(col("hour")).as("h"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expected = hourly.collect {
+      case ((et, hr), n) if 2L * n * base(et)._2 > 3L * base(et)._1 =>
+        (hr, et) -> (n, base(et)._1, base(et)._2)
+    }.toMap
+    assert(got == expected)
+    // and every emitted row satisfies the law by construction
+    got.foreach { case ((_, _), (n, total, hours)) =>
+      assert(2L * n * hours > 3L * total)
+    }
+  }
 }

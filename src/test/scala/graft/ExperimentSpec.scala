@@ -530,4 +530,32 @@ class ExperimentSpec extends AnyFunSuite {
     }
     vals.unpersist()
   }
+
+  test("q258 KS statistic equals a driver-side walk over the exact cents") {
+    val sf = "/root/testdata/sf0.001"
+    val Array(row) = Experiment.ksDrift(spark, sf).collect()
+    val (n1, n2, dMicro, argmax) =
+      (row.getLong(0), row.getLong(1), row.getLong(3), row.getLong(4))
+    // brute-force replay on collected values
+    import org.apache.spark.sql.functions._
+    val vals = graft.sources.Tables.load(spark, sf, "events")
+      .where(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val a = vals.filter(_._1 == "purchase").map(_._2).sorted
+    val b = vals.filter(_._1 == "click").map(_._2).sorted
+    assert((a.length.toLong, b.length.toLong) == ((n1, n2)))
+    val domain = (a ++ b).distinct.sorted
+    var best = BigInt(0); var bestV = Long.MaxValue
+    domain.foreach { x =>
+      val gap = (BigInt(a.count(_ <= x)) * b.length -
+        BigInt(b.count(_ <= x)) * a.length).abs
+      if (gap > best || (gap == best && x < bestV)) { best = gap; bestV = x }
+    }
+    assert(row.getDecimal(2) == new java.math.BigDecimal(best.bigInteger))
+    assert(dMicro == (best * 1000000 / (BigInt(n1) * n2)).toLong)
+    assert(argmax == bestV)
+    assert(dMicro >= 0L && dMicro <= 1000000L)
+  }
 }

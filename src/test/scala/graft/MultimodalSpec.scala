@@ -294,4 +294,63 @@ class MultimodalSpec extends AnyFunSuite {
       assert(cut == (8L * math.abs(ec - ep) > ep + ec))
     }
   }
+
+  test("q255 activity segments exactly tile the non-quiet windows of the energy contour") {
+    val sf = SparkTestSession.sf
+    val contour = Multimodal.audioEnergy(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(3), r.getBoolean(4))).toMap
+    val segs = Multimodal.activitySegments(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(segs.nonEmpty)
+    // each segment is a maximal run: every window inside is active,
+    // span matches count, energy is the windows' sum, and the windows
+    // just outside the span are quiet or absent
+    segs.foreach { case (id, s, e, n, energy) =>
+      assert(e - s + 1 == n, s"clip $id span")
+      val inside = (s to e).map(w => contour((id, w.toInt)))
+      assert(inside.forall(!_._2), s"clip $id has a quiet window inside")
+      assert(energy == inside.map(_._1).sum, s"clip $id energy")
+      for (w <- Seq(s - 1, e + 1))
+        assert(contour.get((id, w.toInt)).forall(_._2),
+          s"clip $id segment not maximal at window $w")
+    }
+    // tiling: segment windows partition the active set exactly
+    val covered = segs.flatMap { case (id, s, e, _, _) =>
+      (s to e).map(w => (id, w.toInt)) }.toSet
+    // NB: Map.collect over key tuples would rebuild a Map and collapse
+    // one entry per clip — filter().keySet keeps every (clip, window)
+    val active = contour.filter(!_._2._2).keySet
+    assert(covered == active)
+  }
+
+  test("q256 patch grid conserves pixel mass and emits a full 4x4 grid per image") {
+    val sf = SparkTestSession.sf
+    val rows = Multimodal.patchGrid(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val byImage = rows.groupBy(_._1)
+    // recompute whole-image totals from the raw bytes
+    import org.apache.spark.sql.functions.{col, octet_length}
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .where(col("doc_id") % 3 === 0 && octet_length(col("text")) >= 1)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    byImage.foreach { case (id, patches) =>
+      assert(patches.length == 16, s"image $id patch count")
+      assert(patches.map(p => (p._2, p._3)).toSet ==
+        (for (a <- 0L to 3L; b <- 0L to 3L) yield (a, b)).toSet)
+      val body = docs(id).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = body.length
+      val (w, h) = (16 + n % 64, 16 + n % 48)
+      assert(patches.map(_._4).sum == w.toLong * h, s"image $id n_px")
+      var total = 0L
+      for (r <- 0 until h; c <- 0 until w)
+        total += body(((r * w + c) * 3) % n) & 0xFF
+      assert(patches.map(_._5).sum == total, s"image $id intensity mass")
+      patches.foreach(p => assert(p._6 == p._5 * 1000L / p._4))
+    }
+  }
 }

@@ -867,4 +867,42 @@ class TextAnalysisSpec extends AnyFunSuite {
     // fused rank 1 has the maximal rrf_scaled
     assert(byFused.head._6 == rows.map(_._6).max)
   }
+
+  test("q261 greedy encode obeys the greedy laws: lossless, vocab-closed, locally maximal") {
+    val sf = SparkTestSession.sf
+    val (vocab, encoded) = TextAnalysis.greedyEncodedWords(
+      graft.sources.Tables.load(spark, sf, "documents"), 150)
+    val vset = vocab.toSet
+    assert(vocab.length == 150 && vocab.forall(g => g.length >= 2 && g.length <= 4))
+    val rows = encoded.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getSeq[String](2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (w, cnt, pieces) =>
+      assert(cnt >= 1)
+      // lossless: pieces concatenate back to the word
+      assert(pieces.mkString == w, s"word '$w' not reconstructed")
+      // vocab-closed: every multi-char piece is in the vocabulary
+      pieces.filter(_.length > 1).foreach(p =>
+        assert(vset(p), s"piece '$p' of '$w' not in vocab"))
+      // locally maximal: at each piece start, no LONGER window (up to
+      // 4) is in the vocabulary
+      var pos = 0
+      pieces.foreach { p =>
+        val limit = math.min(4, w.length - pos)
+        ((p.length + 1) to limit).foreach { l =>
+          assert(!vset(w.substring(pos, pos + l)),
+            s"word '$w' pos $pos: greedy missed longer piece " +
+              s"'${w.substring(pos, pos + l)}'")
+        }
+        pos += p.length
+      }
+    }
+    // the entry's shares are consistent: top-20, ranks dense, shares sum <= 1e6
+    val entry = TextAnalysis.greedyEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(entry.map(_._1).sorted.toSeq == (1L to 20L))
+    assert(entry.map(_._5).sum <= 1000000L)
+    entry.foreach { case (_, p, len, _, _) => assert(len == p.length.toLong) }
+  }
 }

@@ -598,4 +598,59 @@ class TrainingPrepSpec extends AnyFunSuite {
       .map { case (idx, xs) => idx -> xs.values.max }
     assert(unionRegs == mergedWant)
   }
+
+  test("q257 epoch order: batches tile the corpus, epochs decorrelate, runs are identical") {
+    val sf = SparkTestSession.sf
+    def run() = TrainingPrep.epochOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val a = run()
+    assert(a == run(), "the per-epoch order must be reproducible")
+    val nDocs = graft.sources.Tables.load(spark, sf, "documents").count()
+    val totalChars = graft.sources.Tables.load(spark, sf, "documents")
+      .agg(org.apache.spark.sql.functions.sum("n_chars")).head().getLong(0)
+    for (ep <- 0L to 1L) {
+      val batches = a.collect { case ((e, b), v) if e == ep => b -> v }
+      // batch ids are dense 0..ceil(n/64)-1; all full except the last
+      val ids = batches.map(_._1).toSeq.sorted
+      assert(ids == (0L until (nDocs + 63) / 64))
+      batches.foreach { case (b, (n, _, _)) =>
+        if (b < ids.last) assert(n == 64L, s"epoch $ep batch $b size")
+        else assert(n == nDocs - 64L * ids.last)
+      }
+      // every doc appears exactly once per epoch (char mass conserved)
+      assert(batches.map(_._2._2).sum == totalChars)
+    }
+    // different epochs produce different batch head docs somewhere
+    val heads0 = a.collect { case ((0L, b), (_, _, h)) => b -> h }.toMap
+    val heads1 = a.collect { case ((1L, b), (_, _, h)) => b -> h }.toMap
+    assert(heads0 != heads1, "epoch permutations must differ")
+  }
+
+  test("q260 winsorize: nearest-rank bounds, clip counts and clipped mean replay exactly") {
+    import org.apache.spark.sql.functions._
+    val sf = SparkTestSession.sf
+    val got = TrainingPrep.winsorize(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got.nonEmpty)
+    val vals = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(got.keySet == vals.keySet)
+    vals.foreach { case (et, sorted) =>
+      val n = sorted.length
+      val lo = sorted((1 * n + 99) / 100 - 1)
+      val hi = sorted((99 * n + 99) / 100 - 1)
+      val clamped = sorted.map(v => math.max(lo, math.min(hi, v)))
+      val mean = (clamped.map(BigInt(_)).sum * 1000000 / n).toLong
+      assert(got(et) == ((n.toLong, lo, hi,
+        sorted.count(_ < lo).toLong, sorted.count(_ > hi).toLong, mean)),
+        s"segment $et")
+      // clipping is inclusive at the bounds and monotone
+      assert(lo <= hi)
+    }
+  }
 }
