@@ -314,6 +314,12 @@ object SparkEntry {
       TrainingPrep.winsorize(s, d)),
     "q261_greedy_encode" -> ((s: SparkSession, d: String) =>
       TextAnalysis.greedyEncode(s, d)),
+    "q262_coordinated_sample" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.coordinatedSample(s, d)),
+    "q263_incremental_mv" ->
+      (graft.streaming.EventStream.incrementalMvToBatch _),
+    "q264_pseudonymized_join" -> ((s: SparkSession, d: String) =>
+      CleanPipeline.pseudonymizedJoin(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -4126,6 +4132,47 @@ object SparkEntry {
              ORDER BY n_uses DESC, piece ASC) AS BIGINT) AS rank
            FROM counts) r, tot
          WHERE rank <= 20""",
+    // q262: coordinated sampling — both tables filter by the SAME
+    // salted md5 bucket of the join key (q84 device), so integrity
+    // holds row-locally; the oracle replays the identical buckets.
+    "q262_coordinated_sample" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_orderpriority FROM orders
+           WHERE ('0x' || substr(md5('cs:' ||
+             CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 100 < 10),
+         l AS (
+           SELECT l_orderkey,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+               AS BIGINT) AS cents
+           FROM lineitem
+           WHERE ('0x' || substr(md5('cs:' ||
+             CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT % 100 < 10)
+         SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+         FROM l JOIN o ON l_orderkey = o_orderkey
+         GROUP BY 1""",
+    // q263: incremental MV — the stream's four additive delta merges
+    // must land on the one-shot batch aggregate (integer addition is
+    // associative/commutative under any chopping).
+    "q263_incremental_mv" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS sum_cents
+         FROM events GROUP BY 1, 2""",
+    // q264: pseudonymized join — the oracle joins on ORIGINAL keys;
+    // equality proves consistent salting preserves every FK edge
+    // (and the distinct count doubles as the collision audit).
+    "q264_pseudonymized_join" ->
+      """SELECT c_mktsegment AS segment,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

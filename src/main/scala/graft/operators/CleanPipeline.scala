@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.sources.Tables
 
 /** The canonical LLM training-data job, composed end-to-end from the
   * engine's own operators: language gate -> quality gate -> exact
@@ -280,5 +281,39 @@ object CleanPipeline {
         col("n_dup_docs").cast("long").as("n_dup_docs"),
         expr("(n_dup_docs * 1000000) DIV n_docs").as("dup_rate_micro"),
         expr("(n_tokens * 1000000) DIV tt").as("token_share_micro"))
+  }
+
+  /** The q264 driver entry: FK-PRESERVING PSEUDONYMIZATION — the
+    * privacy leg beside q201 (audit) and q241 (DP release): replace
+    * the customer key in BOTH the dimension and the fact table with a
+    * keyed hash pseudonym (md5("pseud:" + key) — in production the
+    * salt is a secret; the device is the PRF-keyed pattern q241
+    * states), then run the analytical join ENTIRELY in pseudonym
+    * space. The oracle computes the same aggregate on the ORIGINAL
+    * keys — hash equality IS the referential-integrity theorem
+    * (consistent salting preserves every FK edge), and the
+    * `n_customers` distinct count doubles as the collision audit
+    * (an md5 collision between customer keys would change it).
+    *
+    * Scale shape: pseudonymization is a per-row expression on each
+    * table independently (zero coordination — the q262 posture for
+    * governance); the join after it has exactly the plan of the
+    * original-key join (hash keys are just strings).
+    */
+  def pseudonymizedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    def pseud(c: org.apache.spark.sql.Column) =
+      md5(concat(lit("pseud:"), c.cast("string")))
+    val cust = Tables.load(spark, sfDir, "customer")
+      .select(pseud(col("c_custkey")).as("p_cust"),
+        col("c_mktsegment").as("segment"))
+    val ord = Tables.load(spark, sfDir, "orders")
+      .select(pseud(col("o_custkey")).as("p_cust"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    ord.join(cust, "p_cust")
+      .groupBy(col("segment"))
+      .agg(countDistinct(col("p_cust")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("revenue_cents"))
   }
 }

@@ -331,8 +331,11 @@ object Sketches {
     kmvSketchOn(Tables.load(spark, sfDir, "events")
       .select(col("event_type"), col("user_id")))
 
-  /** The operator over any `(event_type, user_id)` frame. */
-  def kmvSketchOn(tu: DataFrame, k: Int = KmvK): DataFrame = {
+  /** The ranked-and-filtered sketch frame BEFORE materialization —
+    * exposed so SketchesSpec can assert the WindowGroupLimit pushdown
+    * on the live plan (localCheckpoint truncates it).
+    */
+  private[graft] def kmvSketchFrame(tu: DataFrame, k: Int = KmvK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = conv(substring(md5(concat(lit("kmv:"),
       col("user_id").cast("string"))), 1, 15), 16, 10).cast("long")
@@ -340,7 +343,17 @@ object Sketches {
     val hashes = tu.select(col("event_type"), h.as("h")).distinct()
     val rk = row_number().over(
       Window.partitionBy(col("event_type")).orderBy(col("h").asc))
-    val sketch = hashes.withColumn("rk", rk).where(col("rk") <= k)
+    hashes.withColumn("rk", rk).where(col("rk") <= k)
+  }
+
+  /** The operator over any `(event_type, user_id)` frame. */
+  def kmvSketchOn(tu: DataFrame, k: Int = KmvK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(concat(lit("kmv:"),
+      col("user_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    // distinct hashes per type — the sketch's input universe
+    val hashes = tu.select(col("event_type"), h.as("h")).distinct()
+    val sketch = kmvSketchFrame(tu, k)
       .localCheckpoint(true) // reused thrice below; the frame is ≤ k·|types| rows
     // ALL = merge of the per-type sketches: k smallest of the union
     // of sketch hashes (hash values may repeat across types — the

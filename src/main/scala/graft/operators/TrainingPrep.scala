@@ -704,6 +704,36 @@ object TrainingPrep {
       .select(col("lang"), col("doc_id"), col("rk"))
   }
 
+  /** The q262 driver entry: COORDINATED (JOIN-CONSISTENT) SAMPLING —
+    * the warehouse sampling trick for multi-table pipelines: both
+    * fact tables filter by the SAME salted hash of the JOIN KEY
+    * (md5("cs:" + orderkey) bucket < 10%), so a sampled lineitem's
+    * order is in the sample BY CONSTRUCTION — referential integrity
+    * without exchanging sampled-key sets (no broadcast, no semi
+    * join, no coordination state; membership is a row-local
+    * expression on each table independently — at 100 TB that is the
+    * entire point versus join-then-sample). Deterministic and
+    * growth-stable like every q68-family hash device. The output is
+    * the per-priority revenue profile of the sample; the spec pins
+    * the integrity law (every sampled lineitem finds its order) and
+    * the subset property.
+    */
+  def coordinatedSample(
+      spark: SparkSession, sfDir: String, pct: Int = 10): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+      .where(hashBucket(col("o_orderkey"), "cs:", 100) < pct)
+    val l = Tables.load(spark, sfDir, "lineitem")
+      .where(hashBucket(col("l_orderkey"), "cs:", 100) < pct)
+      .select(col("l_orderkey"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_items"),
+        sum(col("cents")).as("revenue_cents"))
+  }
+
   /** The q260 driver entry: WINSORIZED ROBUST-SCALING ARTIFACT — the
     * outlier-clipping feature-prep step (winsorization at p01/p99)
     * every tabular training pipeline runs before normalization, with

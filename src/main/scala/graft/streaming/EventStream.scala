@@ -872,6 +872,104 @@ object EventStream {
       .write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
   }
 
+  /** State schema of the q263 incremental materialized view. */
+  private val mvStateSchema = StructType(Seq(
+    StructField("event_type", StringType),
+    StructField("day", DateType),
+    StructField("n_events", LongType),
+    StructField("sum_cents", LongType)))
+
+  /** One incremental maintenance step of the q263 materialized view:
+    * aggregate ONLY the batch (the delta), then additively merge with
+    * the previous state version — the batch is never re-joined with
+    * raw history, and the merge cost is |state| + |delta aggregate|.
+    * Versioned like [[cdcMergeBatch]]: a checkpoint-replayed retry
+    * reads the version BELOW its batch id and rewrites the identical
+    * successor, so the chain is idempotent without a transactional
+    * format.
+    */
+  def mvMergeBatch(
+      batch: DataFrame, batchId: Long, stateRoot: String): Unit = {
+    val sp = batch.sparkSession
+    val delta = batch.select(col("event_type"),
+        to_date(col("ts")).as("day"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+    val prevDir = {
+      val vs = Option(new java.io.File(stateRoot).list())
+        .getOrElse(Array.empty[String])
+        .filter(_.startsWith("v")).map(_.drop(1).toLong)
+        .filter(_ < batchId)
+      if (vs.isEmpty) None else Some(s"$stateRoot/v${vs.max}")
+    }
+    val prev = prevDir
+      .map(p => sp.read.schema(mvStateSchema).parquet(p))
+      .getOrElse(sp.createDataFrame(
+        sp.sparkContext.emptyRDD[org.apache.spark.sql.Row], mvStateSchema))
+    prev.unionByName(delta)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("sum_cents")).as("sum_cents"))
+      .write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
+  }
+
+  /** The q263 driver entry: INCREMENTAL MATERIALIZED-VIEW MAINTENANCE
+    * — the warehouse feature CDC pipelines exist to feed: a
+    * (event_type, day) count/revenue aggregate kept up to date by
+    * ADDITIVE delta merges per micro-batch instead of recomputation.
+    * The entry renders the event table as four files and streams them
+    * one per trigger (`maxFilesPerTrigger = 1`), so the view really
+    * is maintained across four incremental steps — each step
+    * aggregates only its batch and merges with the persisted state
+    * ([[mvMergeBatch]]'s versioned, retry-idempotent chain); the
+    * final version must equal the one-shot batch aggregate (the
+    * oracle), which holds because integer addition is associative
+    * and commutative under ANY stream chopping.
+    *
+    * Scale shape: per step, the raw batch collapses map-side to the
+    * (type, day) domain before anything touches state; the state
+    * table is domain-bounded, never event-bounded; history is never
+    * re-scanned. This is q120's versioned-upsert device applied to
+    * an AGGREGATE view (q120 maintains last-writer-wins per key).
+    */
+  def incrementalMvToBatch(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Scratch.withScratch(spark, "q263_mv", sfDir) { dir =>
+      val stateRoot = s"$dir/state"
+      new java.io.File(stateRoot).mkdirs()
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      ev.withColumn("ts", graft.sources.Tables.normalizeTs(ev, "ts"))
+        .repartition(4, col("event_id"))
+        .write.mode("overwrite").parquet(s"$dir/in")
+      val sp = statePinnedSession(spark)
+      val in = sp.readStream
+        .schema(sp.read.parquet(s"$dir/in").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/in")
+      val q = in.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          mvMergeBatch(batch, id, stateRoot)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      unloadStateStores()
+      val vs = Option(new java.io.File(stateRoot).list())
+        .getOrElse(Array.empty[String])
+        .filter(_.startsWith("v")).map(_.drop(1).toLong)
+      val st =
+        if (vs.isEmpty) spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          mvStateSchema)
+        else spark.read.schema(mvStateSchema).parquet(s"$stateRoot/v${vs.max}")
+      st.select(col("event_type"), col("day"), col("n_events"),
+          col("sum_cents"))
+        .localCheckpoint(true)
+    }
+
   /** The change-log projection both the streaming and batch CDC
     * paths share (op derivation identical to Relational.cdcReplay).
     */

@@ -208,4 +208,30 @@ class CleanPipelineSpec extends AnyFunSuite {
     val shares = rows.map(_._6).sum
     assert(shares <= 1000000L && shares > 1000000L - rows.length * 2)
   }
+
+  test("q264 pseudonymized join equals the original-key join and salting is collision-free") {
+    import org.apache.spark.sql.functions._
+    val sf = SparkTestSession.sf
+    val got = graft.operators.CleanPipeline.pseudonymizedJoin(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val orig = graft.sources.Tables.load(spark, sf, "orders")
+      .join(graft.sources.Tables.load(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("o_custkey")).as("nc"),
+        count(lit(1)).as("no"),
+        sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("rev"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == orig, "pseudonym-space join must preserve every FK edge")
+    // collision audit: pseudonyms are injective on the key domain
+    val cust = graft.sources.Tables.load(spark, sf, "customer")
+    val nKeys = cust.select(col("c_custkey")).distinct().count()
+    val nPseud = cust.select(
+      md5(concat(lit("pseud:"), col("c_custkey").cast("string"))))
+      .distinct().count()
+    assert(nKeys == nPseud)
+  }
 }

@@ -141,6 +141,18 @@ class SketchesSpec extends AnyFunSuite {
     assert(s("ALL") == ((5L, 5L, -1L, 5L)))
   }
 
+  test("q250 KMV: the rank<=k window runs under WindowGroupLimit (partitions ship <= k rows/group)") {
+    import org.apache.spark.sql.functions.col
+    val tu = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_type"), col("user_id"))
+    val df = graft.operators.Sketches.kmvSketchFrame(tu)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("WindowGroupLimit"),
+      s"the bottom-k sketch must push the group limit below the exchange:\n$plan")
+  }
+
   test("q250 KMV: estimate lands within 2 sigma (~36% at k=32) on the fixtures") {
     for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val rows = Sketches.kmvSketch(spark, sf).collect()

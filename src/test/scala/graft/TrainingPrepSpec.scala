@@ -627,6 +627,30 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(heads0 != heads1, "epoch permutations must differ")
   }
 
+  test("q262 coordinated sample: join integrity holds row-locally and the sample is a subset") {
+    import org.apache.spark.sql.functions._
+    val sf = SparkTestSession.sf
+    val sampledOrders = graft.sources.Tables.load(spark, sf, "orders")
+      .where(TrainingPrep.hashBucket(col("o_orderkey"), "cs:", 100) < 10)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    val sampledItems = graft.sources.Tables.load(spark, sf, "lineitem")
+      .where(TrainingPrep.hashBucket(col("l_orderkey"), "cs:", 100) < 10)
+      .select(col("l_orderkey")).collect().map(_.getLong(0))
+    assert(sampledItems.nonEmpty && sampledOrders.nonEmpty)
+    // INTEGRITY: every sampled lineitem's order is sampled — by
+    // construction of the shared hash, no coordination needed
+    assert(sampledItems.forall(sampledOrders.contains))
+    // sample rate lands near 10%
+    val nOrders = graft.sources.Tables.load(spark, sf, "orders").count()
+    val rate = sampledOrders.size.toDouble / nOrders
+    assert(rate > 0.05 && rate < 0.15, s"rate $rate")
+    // the entry's per-priority counts are consistent with the key sets
+    val entry = TrainingPrep.coordinatedSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(entry.map(_._3).sum == sampledItems.length.toLong)
+    assert(entry.map(_._2).sum <= sampledOrders.size.toLong)
+  }
+
   test("q260 winsorize: nearest-rank bounds, clip counts and clipped mean replay exactly") {
     import org.apache.spark.sql.functions._
     val sf = SparkTestSession.sf
