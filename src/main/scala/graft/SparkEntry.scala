@@ -320,6 +320,10 @@ object SparkEntry {
       (graft.streaming.EventStream.incrementalMvToBatch _),
     "q264_pseudonymized_join" -> ((s: SparkSession, d: String) =>
       CleanPipeline.pseudonymizedJoin(s, d)),
+    "q265_stream_late_data" ->
+      (graft.streaming.EventStream.lateDataToBatch _),
+    "q266_sentence_dedup" -> ((s: SparkSession, d: String) =>
+      Dedup.sentenceDedup(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -4162,6 +4166,59 @@ object SparkEntry {
            CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
              AS BIGINT) AS sum_cents
          FROM events GROUP BY 1, 2""",
+    // q265: late-data accounting — three deterministic ordered
+    // batches (event_id mod 3); Spark's late-event watermark lags
+    // eviction by one batch, so only batch 2 faces a late bar:
+    // max(b0.ts) - 1h. Kept = b0 + b1 + surviving b2; Append's final
+    // flush emits windows closed at-or-before max(all ts) - 1h.
+    "q265_stream_late_data" ->
+      """WITH b0 AS (SELECT * FROM events WHERE event_id % 3 = 0),
+         b2 AS (SELECT * FROM events WHERE event_id % 3 = 2),
+         late AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM b0),
+         wmf AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events),
+         kept AS (
+           SELECT event_type, date_trunc('hour', ts) AS hour
+           FROM events WHERE event_id % 3 <> 2
+           UNION ALL
+           SELECT event_type, date_trunc('hour', ts) FROM b2, late
+           WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR > late.w),
+         agg AS (
+           SELECT hour, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+           FROM kept GROUP BY 1, 2)
+         SELECT agg.hour, agg.event_type, agg.n_events
+         FROM agg, wmf
+         WHERE agg.hour + INTERVAL 1 HOUR <= wmf.w""",
+    // q266: in-doc sentence dedup — replayed planting (every 6th doc
+    // re-appends its first sentence), first occurrence by position
+    // window, ordered re-join fingerprinted.
+    "q266_sentence_dedup" ->
+      s"""WITH norm AS (SELECT doc_id, $normText AS t FROM documents),
+         planted AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 6 = 0 AND length(t) > 0
+               THEN t || '. ' || string_split(t, '. ')[1]
+               ELSE t END AS t
+           FROM norm),
+         sents AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS idx,
+             arr[CAST(i AS INT) + 1] AS s
+           FROM (SELECT doc_id, string_split(t, '. ') AS arr
+                 FROM planted),
+             LATERAL (SELECT UNNEST(range(len(arr))) AS i) t2),
+         fst AS (
+           SELECT doc_id, idx, s, ROW_NUMBER() OVER (
+             PARTITION BY doc_id, md5(s) ORDER BY idx) AS rk
+           FROM sents),
+         kept AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             md5(string_agg(s, '. ' ORDER BY idx)) AS clean_fp
+           FROM fst WHERE rk = 1 GROUP BY 1),
+         stats AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sents
+           FROM sents GROUP BY 1)
+         SELECT stats.doc_id, stats.n_sents, kept.n_kept,
+           stats.n_sents - kept.n_kept AS n_removed, kept.clean_fp
+         FROM stats JOIN kept USING (doc_id)""",
     // q264: pseudonymized join — the oracle joins on ORIGINAL keys;
     // equality proves consistent salting preserves every FK edge
     // (and the distinct count doubles as the collision audit).

@@ -1639,6 +1639,53 @@ object Dedup {
         col("n_num").cast("long").as("n_num"))
   }
 
+  /** The q266 driver entry: WITHIN-DOCUMENT SENTENCE DEDUP — the
+    * in-doc counterpart of q100's corpus-wide line dedup (and the
+    * REMOVAL step behind q74's repetition detection): repeated
+    * sentences inside one document keep only their FIRST occurrence,
+    * in order — the cleanup for boilerplate that repeats WITHIN a
+    * page (cookie banners, nav text) where corpus-frequency signals
+    * never fire. Sentences are '. '-splits of the normalized text;
+    * first-occurrence selection is a (doc, sentence-digest) window
+    * ordered by position; the cleaned document re-joins the kept
+    * sentences in position order and travels as its md5 under the
+    * hash compare. The fixture has no in-doc repeats, so every 6th
+    * document is planted with its own first sentence re-appended
+    * (q172 device, oracle-replayed).
+    *
+    * Scale shape: everything is doc-local — the sentence explode
+    * shuffles (doc, digest)-keyed rows once for the window and once
+    * for the ordered re-join, state bounded by document size (q100's
+    * posture, minus the corpus-wide count).
+    */
+  def sentenceDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = normalizedText(col("text"))
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), norm.as("t"))
+      .withColumn("t",
+        when(col("doc_id") % 6 === 0 && length(col("t")) > 0,
+          concat(col("t"), lit(". "),
+            element_at(split(col("t"), "\\. "), 1)))
+          .otherwise(col("t")))
+    val sents = docs
+      .select(col("doc_id"),
+        posexplode(split(col("t"), "\\. ")).as(Seq("idx", "s")))
+    val first = sents.withColumn("rk", row_number().over(
+      Window.partitionBy(col("doc_id"), md5(col("s")))
+        .orderBy(col("idx").asc)))
+    val kept = first.where(col("rk") === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("s")))),
+          x => x.getField("s")), ". ")).as("clean_fp"))
+    sents.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sents"))
+      .join(kept, "doc_id")
+      .select(col("doc_id"), col("n_sents"), col("n_kept"),
+        (col("n_sents") - col("n_kept")).as("n_removed"),
+        col("clean_fp"))
+  }
+
   /** The q259 driver entry: CROSS-SOURCE DUPLICATION MATRIX — the
     * curation dashboard that tells you WHERE the duplication in a
     * multi-source corpus lives (crawl-vs-crawl? one source

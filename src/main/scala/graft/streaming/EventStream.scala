@@ -872,6 +872,93 @@ object EventStream {
       .write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
   }
 
+  /** The q265 driver entry: WATERMARK LATE-DATA ACCOUNTING — the
+    * production streaming concern no other entry exhibits directly:
+    * what the engine DROPS. The event table is replayed as THREE
+    * ordered micro-batches (event_id mod 3, written in order so the
+    * file source reads them in order) through an hourly Append-mode
+    * aggregate with a 1-hour watermark. Spark's late-event watermark
+    * LAGS the eviction watermark by one batch (a row is dropped
+    * against the watermark of the PREVIOUS batch's planning — the
+    * design that keeps "evicted at batch N" and "dropped at batch
+    * N+1" aligned, so no window is both evicted and re-created) —
+    * which means a two-batch replay can never drop anything, and
+    * batch 2 is the first to face a real late bar: max(batch-0 ts) −
+    * 1 h. Probed empirically before the oracle was written; the
+    * numbers below are that measurement.
+    *
+    * Deterministic replay: batch-2 rows whose hour window closed
+    * at-or-before max(b0.ts) − 1 h are dropped; Append's final
+    * no-data batch then emits exactly the windows closed at-or-before
+    * max(all ts) − 1 h. Both rules are pure arithmetic the oracle
+    * replays in SQL (window ends are hour-aligned and the fixture's
+    * max ts is microsecond-grained, so the ms-truncated watermark
+    * can never tie a boundary). The numRowsDroppedByWatermark
+    * metric UNDERCOUNTS the arithmetic (measured 2265 vs 3323 at
+    * sf0.01): part of the late rows are cut by the watermark filter
+    * pushed below the partial aggregate, which does not increment
+    * the state-operator metric — the spec therefore pins the metric
+    * as positive and bounded by the arithmetic, while the RESULT
+    * rows are what the oracle compares exactly.
+    *
+    * Scale shape: the q47 windowed-aggregate posture; the entry's
+    * POINT is state semantics — late rows never reach state, and
+    * state is bounded by the watermark horizon regardless of how
+    * disordered the input is.
+    */
+  def lateDataToBatch(spark: SparkSession, sfDir: String): DataFrame =
+    lateDataRun(spark, sfDir)._1
+
+  /** (result, dropped-by-watermark count from progress metrics). */
+  def lateDataRun(
+      spark: SparkSession, sfDir: String): (DataFrame, Long) = {
+    var dropped = 0L
+    val df = graft.operators.Scratch.withScratch(spark, "q265_late", sfDir) { dir =>
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val evTs = ev.withColumn("ts",
+        graft.sources.Tables.normalizeTs(ev, "ts"))
+      // three ordered batches by event_id mod 3 (mtime order — each
+      // later write lands later; the sleeps guard second-granularity
+      // filesystems)
+      evTs.where(col("event_id") % 3 === 0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+      for (m <- Seq(1, 2)) {
+        Thread.sleep(1100)
+        evTs.where(col("event_id") % 3 === m)
+          .coalesce(1).write.mode("append").parquet(s"$dir/in")
+      }
+      val sp = statePinnedSession(spark)
+      val in = sp.readStream
+        .schema(sp.read.parquet(s"$dir/in").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/in")
+      val agg = in
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").as("hour"), col("event_type"),
+          col("n_events"))
+      val name = s"q265_late_${runSeq.incrementAndGet()}"
+      val q = agg.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", s"$dir/ckpt")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      dropped = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsDroppedByWatermark).sum
+      try sp.table(name).localCheckpoint(true)
+      finally {
+        sp.catalog.dropTempView(name)
+        unloadStateStores()
+      }
+    }
+    (df, dropped)
+  }
+
   /** State schema of the q263 incremental materialized view. */
   private val mvStateSchema = StructType(Seq(
     StructField("event_type", StringType),

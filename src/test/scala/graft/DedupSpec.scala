@@ -772,6 +772,34 @@ class DedupSpec extends AnyFunSuite {
     assert(got.toSeq.sortBy(_._1) == Seq((2L, 1L, 3L)))
   }
 
+  test("q266 sentence dedup: planted repeats removed, clean text is identity when nothing repeats") {
+    import org.apache.spark.sql.functions._
+    val sf = SparkTestSession.sf
+    val got = graft.operators.Dedup.sentenceDedup(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    val norm = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.normalizedText(col("text")).as("t"),
+        md5(graft.operators.TextAnalysis.normalizedText(col("text")))
+          .as("fp"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    assert(got.keySet == norm.keySet)
+    got.foreach { case (id, (nSents, nKept, nRemoved, cleanFp)) =>
+      assert(nKept + nRemoved == nSents, s"doc $id accounting")
+      // every planted doc (re-appended first sentence) must remove >= 1
+      if (id % 6 == 0 && norm(id)._1.nonEmpty)
+        assert(nRemoved >= 1, s"doc $id planted repeat not removed")
+      // a doc with nothing removed and no planting keeps its text:
+      // split + ordered re-join is the identity
+      if (nRemoved == 0 && id % 6 != 0)
+        assert(cleanFp == norm(id)._2, s"doc $id clean_fp")
+    }
+    assert(got.values.count(_._3 > 0) >= got.size / 7,
+      "the planting must actually exercise the removal path")
+  }
+
   test("q259 cross-source matrix equals brute-force pair enumeration on the planted corpus") {
     import org.apache.spark.sql.functions.col
     val sf = SparkTestSession.sf

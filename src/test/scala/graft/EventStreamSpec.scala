@@ -421,6 +421,39 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("q265 late data: the result equals the three-batch watermark arithmetic and rows really drop") {
+    import org.apache.spark.sql.functions._
+    val sf = SparkTestSession.sf
+    val (df, dropped) = graft.streaming.EventStream.lateDataRun(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+    val lateBar = ev.where(col("event_id") % 3 === 0)
+      .agg(max(col("ts"))).head().getTimestamp(0).getTime - 3600000L
+    val finalBar = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      .getTime - 3600000L
+    val rows = ev.select(col("event_id"), col("event_type"),
+        date_trunc("hour", col("ts")).as("hour")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    val kept = rows.filter { case (id, _, hour) =>
+      id % 3 != 2 || hour.getTime + 3600000L > lateBar
+    }
+    val expected = kept
+      .filter { case (_, _, hour) => hour.getTime + 3600000L <= finalBar }
+      .groupBy { case (_, et, hour) => (hour, et) }
+      .view.mapValues(_.length.toLong).toMap
+    assert(got == expected)
+    // rows genuinely dropped: the metric is positive and cannot
+    // exceed the arithmetic's late set (it undercounts — part of the
+    // late rows die in the pushed watermark filter, outside the
+    // state operator's accounting)
+    val lateSet = rows.count { case (id, _, hour) =>
+      id % 3 == 2 && hour.getTime + 3600000L <= lateBar
+    }
+    assert(dropped > 0L && dropped <= lateSet.toLong,
+      s"dropped=$dropped lateSet=$lateSet")
+  }
+
   test("q263 incremental MV: four additive merges land on the batch aggregate; the merge step is retry-idempotent") {
     import org.apache.spark.sql.functions._
     val sf = SparkTestSession.sf
