@@ -324,6 +324,22 @@ object SparkEntry {
       (graft.streaming.EventStream.lateDataToBatch _),
     "q266_sentence_dedup" -> ((s: SparkSession, d: String) =>
       Dedup.sentenceDedup(s, d)),
+    "q267_heavy_hitters" -> ((s: SparkSession, d: String) =>
+      Sketches.heavyHittersExact(s, d)),
+    "q268_fleiss_kappa" -> ((s: SparkSession, d: String) =>
+      Experiment.fleissKappa(s, d)),
+    "q269_preference_scores" -> ((s: SparkSession, d: String) =>
+      Preference.preferenceScores(s, d)),
+    "q270_bradley_terry" -> ((s: SparkSession, d: String) =>
+      Preference.bradleyTerry(s, d)),
+    "q271_ndcg_audit" -> ((s: SparkSession, d: String) =>
+      Similarity.ndcgAudit(s, d)),
+    "q272_prefix_rollup" -> ((s: SparkSession, d: String) =>
+      Relational.prefixRollup(s, d)),
+    "q273_conformal" -> ((s: SparkSession, d: String) =>
+      Experiment.conformalCalibration(s, d)),
+    "q274_chi_square" -> ((s: SparkSession, d: String) =>
+      Experiment.chiSquareIndependence(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -4230,6 +4246,198 @@ object SparkEntry {
              AS BIGINT)) AS BIGINT) AS revenue_cents
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1""",
+    // q267: the MG sketch only bounds memory — candidates are a
+    // guaranteed superset of true heavy hitters and pass 2 recounts
+    // them exactly, so the oracle is the PLAIN exact HH query;
+    // equality IS the no-false-negative theorem under test.
+    "q267_heavy_hitters" ->
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem),
+         c AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM lineitem GROUP BY 1)
+         SELECT c.l_partkey, c.cnt, n.n AS n_total,
+           CAST(c.cnt * 1000000 // n.n AS BIGINT) AS freq_micro
+         FROM c, n WHERE c.cnt * 1300 > n.n""",
+    // q268: the full synthetic rating matrix is replayed (identical
+    // md5 noise decisions + cyclic-next corruption), then the exact
+    // integer Fleiss arithmetic; HUGEINT where Spark uses DECIMAL(38).
+    "q268_fleiss_kappa" ->
+      """WITH rated AS (
+           SELECT d.doc_id,
+             CASE WHEN ('0x' || substr(md5('rate:' ||
+                 CAST(d.doc_id AS VARCHAR) || ':' ||
+                 CAST(r.r AS VARCHAR)), 1, 15))::BIGINT % 10 < r.r
+               THEN CASE d.lang WHEN 'de' THEN 'en' WHEN 'en' THEN 'es'
+                 WHEN 'es' THEN 'fr' WHEN 'fr' THEN 'zh' ELSE 'de' END
+               ELSE d.lang END AS label
+           FROM documents d, (SELECT UNNEST([1,2,3]) AS r) r),
+         nic AS (SELECT doc_id, label, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM rated GROUP BY 1, 2),
+         cat AS (SELECT label, SUM(c*c) AS sum_sq, SUM(c) AS s_c
+                 FROM nic GROUP BY 1),
+         agg AS (SELECT CAST(SUM(sum_sq) AS BIGINT) AS ss,
+                   SUM(CAST(s_c AS HUGEINT) * s_c) AS pe_num,
+                   CAST(SUM(s_c) // 3 AS BIGINT) AS n_items FROM cat),
+         m AS (SELECT n_items, CAST(3 AS BIGINT) AS n_raters,
+             CAST((ss - n_items * 3) * 1000000 //
+               (n_items * 3 * 2) AS BIGINT) AS pbar_micro,
+             CAST(pe_num * 1000000 //
+               (CAST(n_items AS HUGEINT) * 3 * n_items * 3) AS BIGINT)
+               AS pe_micro
+           FROM agg)
+         SELECT n_items, n_raters, pbar_micro, pe_micro,
+           CAST((pbar_micro - pe_micro) * 1000000 //
+             (1000000 - pe_micro) AS BIGINT) AS kappa_micro
+         FROM m""",
+    // q269: contests (user-day spend rankings) replayed exactly —
+    // cents aggregate, total-order rank, Borda points, pairwise wins,
+    // Copeland over the full type² spine.
+    "q269_preference_scores" ->
+      """WITH cents AS (
+           SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+             CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+               AS BIGINT) AS cents
+           FROM events GROUP BY 1, 2, 3),
+         ranked AS (
+           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY user_id, d
+               ORDER BY cents DESC, event_type ASC) AS BIGINT) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY user_id, d) AS BIGINT) AS m
+           FROM cents),
+         borda AS (SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_contests,
+             CAST(SUM(m - rk) AS BIGINT) AS borda
+           FROM ranked GROUP BY 1),
+         wins AS (SELECT a.event_type AS winner, b.event_type AS loser,
+             CAST(COUNT(*) AS BIGINT) AS n_wins
+           FROM ranked a JOIN ranked b ON a.user_id = b.user_id
+             AND a.d = b.d AND a.rk < b.rk
+           GROUP BY 1, 2),
+         types AS (SELECT DISTINCT event_type FROM ranked),
+         duels AS (
+           SELECT ta.event_type AS t,
+             COALESCE(wf.n_wins, 0) AS w_for,
+             COALESCE(wa.n_wins, 0) AS w_against
+           FROM types ta JOIN types tb
+             ON ta.event_type <> tb.event_type
+           LEFT JOIN wins wf ON wf.winner = ta.event_type
+             AND wf.loser = tb.event_type
+           LEFT JOIN wins wa ON wa.winner = tb.event_type
+             AND wa.loser = ta.event_type),
+         cope AS (SELECT t AS event_type,
+             CAST(SUM(w_for) AS BIGINT) AS wins,
+             CAST(SUM(CASE WHEN w_for > w_against THEN 1
+               WHEN w_for < w_against THEN -1 ELSE 0 END) AS BIGINT)
+               AS copeland
+           FROM duels GROUP BY 1)
+         SELECT b.event_type, b.n_contests, b.borda, c.wins, c.copeland
+         FROM borda b JOIN cope c USING (event_type)""",
+    // q270: generated MATERIALIZED-CTE replay of the 15 MM rounds
+    // (the q232 iterative-oracle device) over the same win matrix.
+    "q270_bradley_terry" -> bradleyTerryOracleSql(15),
+    // q271: annBrute's oracle-exact ranking joined to labels, then
+    // the SAME precomputed integer gain table — no engine ever
+    // evaluates a log.
+    "q271_ndcg_audit" ->
+      s"""WITH b AS MATERIALIZED (
+           SELECT q_id, vec_id, rk FROM ($annBruteOracle) t),
+         lab AS (SELECT vec_id, label FROM embeddings),
+         rel AS (
+           SELECT b.q_id, b.rk,
+             CASE WHEN ql.label = rl.label THEN 1 ELSE 0 END AS rel
+           FROM b JOIN lab ql ON ql.vec_id = b.q_id
+             JOIN lab rl ON rl.vec_id = b.vec_id),
+         g AS (SELECT * FROM (VALUES (1, 1000000), (2, 630929),
+             (3, 500000), (4, 430676), (5, 386852), (6, 356207),
+             (7, 333333), (8, 315464), (9, 301029), (10, 289064))
+           v(rk, gain)),
+         cum AS (SELECT rk AS n_rel,
+             CAST(SUM(gain) OVER (ORDER BY rk) AS BIGINT) AS idcg
+           FROM g),
+         per AS (
+           SELECT q_id, CAST(SUM(rel) AS BIGINT) AS n_rel,
+             CAST(SUM(rel * gain) AS BIGINT) AS dcg_micro
+           FROM rel JOIN g USING (rk) GROUP BY 1)
+         SELECT q_id, n_rel, dcg_micro,
+           CAST(COALESCE(cum.idcg, 0) AS BIGINT) AS idcg_micro,
+           CAST(CASE WHEN n_rel > 0
+             THEN dcg_micro * 1000000 // cum.idcg
+             ELSE -1 END AS BIGINT) AS ndcg_micro
+         FROM per LEFT JOIN cum USING (n_rel)""",
+    // q272: every ancestor prefix unnested per part key, counted.
+    "q272_prefix_rollup" ->
+      """WITH segs AS (
+           SELECT string_split(lower(p_type) || '/' ||
+             replace(p_name, ' ', '/'), '/') AS seg,
+             CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS cents
+           FROM part),
+         pfx AS (
+           SELECT array_to_string(seg[1:d], '/') AS prefix, cents
+           FROM segs, LATERAL (SELECT UNNEST(range(1, len(seg) + 1)) AS d) t)
+         SELECT prefix,
+           CAST(len(string_split(prefix, '/')) AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_objects,
+           CAST(SUM(cents) AS BIGINT) AS size_cents
+         FROM pfx GROUP BY 1""",
+    // q273: nearest-rank conformal quantile at the finite-sample
+    // rank ceil((n+1)·0.9), then exact coverage counts on the
+    // held-out parity split.
+    "q273_conformal" ->
+      s"""WITH scored AS (
+           SELECT doc_id,
+             CASE WHEN is_en THEN 1000000 - score ELSE score END
+               AS nonconf,
+             doc_id % 2 = 0 AS is_cal
+           FROM ($scoredDocsSql) t),
+         cal AS (SELECT * FROM scored WHERE is_cal),
+         ncal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+         qh AS (
+           SELECT n_cal,
+             CAST(((n_cal + 1) * 90 + 99) // 100 AS BIGINT) AS k_rank,
+             nonconf AS qhat
+           FROM (SELECT nonconf, CAST(ROW_NUMBER() OVER
+                 (ORDER BY nonconf ASC, doc_id ASC) AS BIGINT) AS rk
+               FROM cal) r, ncal
+           WHERE rk = ((n_cal + 1) * 90 + 99) // 100)
+         SELECT qh.n_cal, qh.k_rank, qh.qhat,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN e.nonconf <= qh.qhat THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_covered,
+           CAST(SUM(CASE WHEN e.nonconf <= qh.qhat THEN 1 ELSE 0 END)
+             * 1000000 // COUNT(*) AS BIGINT) AS coverage_micro
+         FROM scored e, qh WHERE NOT e.is_cal
+         GROUP BY 1, 2, 3""",
+    // q274: R×C spine (zero cells contribute), per-cell term in the
+    // same overflow-safe split-multiply, HUGEINT throughout.
+    "q274_chi_square" ->
+      """WITH cells AS (
+           SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+           FROM documents GROUP BY 1, 2),
+         rm AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r
+                FROM cells GROUP BY 1),
+         cm AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS c
+                FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+           FROM cells),
+         spine AS (
+           SELECT rm.source, cm.lang, rm.r, cm.c,
+             COALESCE(cells.o, 0) AS o
+           FROM rm CROSS JOIN cm
+           LEFT JOIN cells ON cells.source = rm.source
+             AND cells.lang = cm.lang),
+         terms AS (
+           SELECT t.n, t.n_sources, t.n_langs,
+             (CAST(s.o AS HUGEINT) * t.n - CAST(s.r AS HUGEINT) * s.c) *
+               (CAST(s.o AS HUGEINT) * t.n - CAST(s.r AS HUGEINT) * s.c)
+               AS d2,
+             CAST(s.r AS HUGEINT) * s.c * t.n AS den
+           FROM spine s, tot t)
+         SELECT n, n_sources, n_langs,
+           CAST(SUM(CAST(d2 // den AS BIGINT) * 1000000 +
+             CAST((d2 % den) * 1000000 // den AS BIGINT)) AS BIGINT)
+             AS chi2_micro,
+           CAST((n_sources - 1) * (n_langs - 1) AS BIGINT) AS dof
+         FROM terms GROUP BY 1, 2, 3""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness
@@ -6345,6 +6553,75 @@ object SparkEntry {
          FROM states st
          JOIN pi$iters p USING (state)
          LEFT JOIN rowsums rs USING (state)"""
+  }
+
+  /** Generated SQL twin of Preference.bradleyTerry (q270): the q269
+    * contest/win CTEs, then each MM round as MATERIALIZED CTEs over
+    * the bounded alternatives domain (the q232 iterative-oracle
+    * device). All divisions are floor-on-nonnegatives, so DuckDB's
+    * `//` and Scala's BigInt `/` agree term by term.
+    */
+  private def bradleyTerryOracleSql(iters: Int): String = {
+    val base =
+      """cents AS (
+           SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+             CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+               AS BIGINT) AS cents
+           FROM events GROUP BY 1, 2, 3),
+         ranked AS (
+           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY user_id, d
+               ORDER BY cents DESC, event_type ASC) AS BIGINT) AS rk
+           FROM cents),
+         wins AS MATERIALIZED (
+           SELECT a.event_type AS winner, b.event_type AS loser,
+             CAST(COUNT(*) AS BIGINT) AS n_wins
+           FROM ranked a JOIN ranked b ON a.user_id = b.user_id
+             AND a.d = b.d AND a.rk < b.rk
+           GROUP BY 1, 2),
+         types AS MATERIALIZED (
+           SELECT winner AS t FROM wins UNION SELECT loser FROM wins),
+         nm AS MATERIALIZED (
+           SELECT a, b, CAST(SUM(w) AS BIGINT) AS nij FROM (
+             SELECT winner AS a, loser AS b, n_wins AS w FROM wins
+             UNION ALL
+             SELECT loser AS a, winner AS b, n_wins AS w FROM wins) u
+           GROUP BY 1, 2),
+         wi AS MATERIALIZED (
+           SELECT ty.t, CAST(COALESCE(SUM(w.n_wins), 0) AS BIGINT) AS wi
+           FROM types ty LEFT JOIN wins w ON w.winner = ty.t GROUP BY 1),
+         pi0 AS MATERIALIZED (
+           SELECT t, CAST(1000000 AS HUGEINT) AS pi FROM types)"""
+    val rounds = (1 to iters).flatMap { r =>
+      Seq(
+        s"""d$r AS MATERIALIZED (
+           SELECT ty.t,
+             CAST(COALESCE(SUM((n.nij * 1000000) // (pa.pi + pb.pi)), 0)
+               AS HUGEINT) AS denom
+           FROM types ty
+           LEFT JOIN nm n ON n.a = ty.t
+           LEFT JOIN pi${r - 1} pa ON pa.t = n.a
+           LEFT JOIN pi${r - 1} pb ON pb.t = n.b
+           GROUP BY 1)""",
+        s"""raw$r AS MATERIALIZED (
+           SELECT ty.t, CASE WHEN d.denom = 0 THEN p.pi
+             ELSE (w.wi * CAST(1000000 AS HUGEINT) * 1000000) // d.denom
+             END AS raw
+           FROM types ty
+           JOIN d$r d ON d.t = ty.t
+           JOIN pi${r - 1} p ON p.t = ty.t
+           JOIN wi w ON w.t = ty.t)""",
+        s"""s$r AS (SELECT CAST(SUM(raw) AS HUGEINT) AS sp FROM raw$r)""",
+        s"""pi$r AS MATERIALIZED (
+           SELECT r.t, CASE WHEN s.sp = 0 THEN p.pi
+             ELSE (r.raw * 1000000) // s.sp END AS pi
+           FROM raw$r r JOIN pi${r - 1} p ON p.t = r.t, s$r s)""")
+    }
+    (Seq(base) ++ rounds).mkString("WITH ", ",\n", "\n") +
+      s"""SELECT ty.t AS event_type, w.wi AS n_wins,
+           CAST(p.pi AS BIGINT) AS strength_micro
+         FROM types ty
+         JOIN wi w ON w.t = ty.t
+         JOIN pi$iters p ON p.t = ty.t"""
   }
 
   /** SQL twin of Experiment.rocAuc: the q41 stopword/token twins for

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -910,5 +910,176 @@ object Experiment {
                  ELSE CAST(SIGNUM(m.a_num) AS BIGINT) *
                    CAST(${td("(m.a_num * m.a_num)", bc6)} AS BIGINT)
                END AS BIGINT)""").as("r2_signed_ppm"))
+  }
+
+  /** Cyclic-next language in the fixture's sorted lang domain — the
+    * deterministic "wrong label" a noisy rater emits. Shared verbatim
+    * (as a CASE) with the q268 oracle.
+    */
+  private val langNext: Column =
+    when(col("lang") === "de", "en").when(col("lang") === "en", "es")
+      .when(col("lang") === "es", "fr").when(col("lang") === "fr", "zh")
+      .otherwise("de")
+
+  /** The q268 driver entry: FLEISS' KAPPA — chance-corrected
+    * agreement for MANY raters, the labeling-QA statistic an
+    * annotation pipeline (RLHF preference labels, lang-ID golden
+    * sets) gates batches on where q184's Cohen kappa only compares
+    * TWO raters. Three deterministic synthetic raters label each
+    * document's language: rater r corrupts the true lang to its
+    * cyclic-next with probability r/10, decided by an md5-derived
+    * integer (the cross-engine pseudo-randomness device — DuckDB
+    * recomputes the identical hash, so the full rating matrix is
+    * replayed, not approximated).
+    *
+    * Exact-integer statistic: with N items, R raters, n_ic = raters
+    * assigning item i category c,
+    *   P̄  = (Σ n_ic² − N·R) / (N·R·(R−1)),
+    *   P̄e = Σ_c S_c² / (N·R)²  (S_c the category column sum),
+    * reported as truncating micros; kappa_micro composes the two
+    * already-truncated micros ((pbar−pe)·10⁶ DIV (10⁶−pe) — both
+    * engines replay the same truncation, error ≤ 2 micro vs the true
+    * rational, and its own intermediates stay < 10¹³ at any N; the
+    * pe_num products run in DECIMAL(38,0)/HUGEINT per the q221 rule
+    * since S_c² breaches BIGINT past ~10⁹ ratings).
+    *
+    * Scale shape: explode ×R (R=3), one (doc, label) partial-agg
+    * count whose exchange carries the doc domain once, then a 5-row
+    * category reduce and a 1-row finish — no joins, no windows.
+    */
+  def fleissKappa(spark: SparkSession, sfDir: String): DataFrame = {
+    val raters = 3
+    val rated = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(array((1 to raters).map(lit): _*)).as("r"))
+      .select(col("doc_id"),
+        when(conv(substring(md5(concat(lit("rate:"),
+            col("doc_id").cast("string"), lit(":"), col("r").cast("string"))),
+            1, 15), 16, 10).cast("long") % 10 < col("r"),
+          langNext).otherwise(col("lang")).as("label"))
+    val nic = rated.groupBy(col("doc_id"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    val perCat = nic.groupBy(col("label"))
+      .agg(sum(col("c") * col("c")).as("sum_sq"), sum(col("c")).as("s_c"))
+    val agg = perCat.agg(
+      sum(col("sum_sq")).as("ss"),
+      // S_c ~ N·R, so S_c² (and (N·R)² below) breach BIGINT past
+      // ~10⁹ ratings — DECIMAL(38,0) per the q221 overflow rule
+      sum(col("s_c").cast("decimal(38,0)") * col("s_c")).as("pe_num"),
+      expr(s"CAST(sum(s_c) DIV $raters AS BIGINT)").as("n_items"))
+    agg.select(
+      col("n_items"), lit(raters).cast("long").as("n_raters"),
+      expr(s"CAST((ss - n_items * $raters) * 1000000 DIV " +
+        s"(n_items * $raters * ${raters - 1}) AS BIGINT)").as("pbar_micro"),
+      expr(s"""CAST(CAST(pe_num * 1000000 -
+          PMOD(pe_num * 1000000, CAST(n_items AS DECIMAL(38,0)) * $raters * n_items * $raters)
+        AS DECIMAL(38,0)) /
+        (CAST(n_items AS DECIMAL(38,0)) * $raters * n_items * $raters)
+        AS BIGINT)""").as("pe_micro"))
+      .withColumn("kappa_micro",
+        expr("CAST((pbar_micro - pe_micro) * 1000000 DIV " +
+          "(1000000 - pe_micro) AS BIGINT)"))
+  }
+
+  /** The q273 driver entry: SPLIT-CONFORMAL CALIBRATION — the
+    * distribution-free uncertainty wrapper (Vovk et al.; Angelopoulos
+    * & Bates 2022 tutorial) every scored filter can wear: on a
+    * calibration split, take the ⌈(n+1)(1−α)⌉-th smallest
+    * nonconformity score (the finite-sample-corrected quantile — the
+    * +1 is what buys the marginal coverage ≥ 1−α theorem), then audit
+    * empirical coverage on the held-out split. Nonconformity of the
+    * TRUE class under q212's stopword-ratio scorer: 10⁶−score for
+    * en docs, score for non-en (high = the scorer disagrees with the
+    * label). Split by doc_id parity (deterministic, disjoint).
+    *
+    * Everything is integer: the quantile is a NEAREST-RANK order
+    * statistic (q260's rule — the value AT rank k, no interpolation,
+    * so no engine ever interpolates differently), coverage is an
+    * exact count ratio in truncating micros.
+    *
+    * Scale shape: scoring is one doc pass; the rank is ONE ordered
+    * window over the calibration half (the q202 bucketed device is
+    * the 100 TB path); the audit is a broadcast 1-row join + count.
+    */
+  def conformalCalibration(
+      spark: SparkSession, sfDir: String, alphaPct: Int = 10): DataFrame = {
+    val scored = rocAucScored(spark, sfDir)
+      .select(col("doc_id"),
+        when(col("is_en"), lit(1000000L) - col("score"))
+          .otherwise(col("score")).as("nonconf"),
+        (col("doc_id") % 2 === 0).as("is_cal"))
+    val cal = scored.filter(col("is_cal"))
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    val w = Window.orderBy(col("nonconf").asc, col("doc_id").asc)
+    val qhat = cal
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(nCal))
+      .withColumn("k_rank",
+        // ceil((n+1)(1-alpha)) for positive ints: (a + 99) DIV 100
+        expr(s"CAST(((n_cal + 1) * ${100 - alphaPct} + 99) DIV 100 AS BIGINT)"))
+      .filter(col("rk") === col("k_rank"))
+      .select(col("n_cal"), col("k_rank"), col("nonconf").as("qhat"))
+    scored.filter(!col("is_cal"))
+      .crossJoin(broadcast(qhat))
+      .groupBy(col("n_cal"), col("k_rank"), col("qhat"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("nonconf") <= col("qhat"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("n_cal"), col("k_rank"), col("qhat"),
+        col("n_eval").cast("long").as("n_eval"), col("n_covered"),
+        expr("CAST(n_covered * 1000000 DIV n_eval AS BIGINT)")
+          .as("coverage_micro"))
+  }
+
+  /** The q274 driver entry: CHI-SQUARE INDEPENDENCE TEST on the
+    * (source, lang) contingency table — the categorical-drift /
+    * stratification-health check (is language mix independent of
+    * source?) beside q258's continuous KS. The statistic is exact by
+    * cross-multiplication: per cell, (O·n − r·c)² · 10⁶ DIV (r·c·n)
+    * — each term an exact integer, summed order-independently;
+    * ZERO-observation cells of the R×C spine still contribute
+    * (their term is r·c·10⁶ DIV n²·... — algebraically (0·n−r·c)²
+    * over r·c·n), which the spine cross-join guarantees. Products
+    * run in DECIMAL(38,0)/HUGEINT (the q221 overflow rule: O·n is
+    * ~10¹⁸ at corpus scale and gets squared).
+    *
+    * Scale shape: one (source, lang) partial-agg count (the exchange
+    * carries the bounded cell domain), margins reduced from the cell
+    * table, an R×C spine built from two tiny broadcast margins — the
+    * corpus is scanned exactly once.
+    */
+  def chiSquareIndependence(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.load(spark, sfDir, "documents")
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+    val rowM = cells.groupBy(col("source")).agg(sum(col("o")).as("r"))
+    val colM = cells.groupBy(col("lang")).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"))
+    val spine = rowM.crossJoin(colM)
+      .join(cells, Seq("source", "lang"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    spine.crossJoin(broadcast(tot))
+      .select(col("n"), col("n_sources"), col("n_langs"),
+        expr("""CAST((CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)
+                * (CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)
+                AS DECIMAL(38,0))""").as("d2"),
+        expr("CAST(CAST(r AS DECIMAL(38,0)) * c * n AS DECIMAL(38,0))").as("den"))
+      // d²·10⁶ would breach even DECIMAL(38)/HUGEINT at corpus scale
+      // (d ~ n² ⇒ d² ~ 10³⁶): split the micro-scaling around the
+      // division — floor(d²·10⁶/den) = floor(d²/den)·10⁶ +
+      // floor((d² mod den)·10⁶/den), every factor ≤ 10³⁶ — exact to
+      // n = 10⁹ on both engines (DuckDB replays the same split)
+      .select(col("n"), col("n_sources"), col("n_langs"),
+        expr("""CAST(
+            CAST(CAST(d2 - PMOD(d2, den) AS DECIMAL(38,0)) / den AS BIGINT) * 1000000 +
+            CAST(CAST(PMOD(d2, den) * 1000000 -
+                PMOD(PMOD(d2, den) * 1000000, den) AS DECIMAL(38,0)) / den AS BIGINT)
+          AS BIGINT)""").as("term"))
+      .groupBy(col("n"), col("n_sources"), col("n_langs"))
+      .agg(sum(col("term")).cast("long").as("chi2_micro"))
+      .select(col("n"), col("n_sources").cast("long").as("n_sources"),
+        col("n_langs").cast("long").as("n_langs"), col("chi2_micro"),
+        expr("CAST((n_sources - 1) * (n_langs - 1) AS BIGINT)").as("dof"))
   }
 }

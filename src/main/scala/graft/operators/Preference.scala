@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Pairwise-preference aggregation — the ranking half of an RLHF /
+  * model-eval pipeline: many independent "contests" each rank a small
+  * set of alternatives, and the engine must aggregate them into
+  * per-alternative scores (Borda, Copeland) and fitted strengths
+  * (Bradley-Terry). The fixture's contests are user-days ranking
+  * event types by exact spend cents; in production the alternatives
+  * are model variants and the contests are annotator comparisons —
+  * the shapes are identical.
+  *
+  * Scale posture: contests are partitioned by (user, day) and each
+  * contest is tiny (≤ |type domain| alternatives), so the per-contest
+  * rank window and the within-contest pair self-join both shuffle on
+  * the contest key once; everything downstream lives on the bounded
+  * alternatives domain (types² pair matrix), exactly the q121/q232
+  * playbook.
+  */
+object Preference {
+
+  /** Contests: per (user, day), event types ranked by exact cents
+    * (desc), ties broken by type name — a total order, so no
+    * nondeterminism can leak into ranks. m = contest size.
+    */
+  private[graft] def contestRanked(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("ts").cast("date").as("d"),
+        col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy(col("user_id"), col("d"), col("event_type"))
+      .agg(sum(col("cents")).as("cents"))
+    val w = Window.partitionBy(col("user_id"), col("d"))
+      .orderBy(col("cents").desc, col("event_type").asc)
+    val wm = Window.partitionBy(col("user_id"), col("d"))
+    cents.withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("m", count(lit(1)).over(wm).cast("long"))
+  }
+
+  /** Directed win counts on the bounded type² domain: wins(a, b) =
+    * number of contests ranking a strictly above b. The self-join is
+    * within one contest (≤ m² rows per contest, m ≤ |types|), keyed
+    * on the contest key — one co-partitioned shuffle, never an
+    * all-contests product.
+    */
+  private[graft] def pairWins(ranked: DataFrame): DataFrame =
+    ranked.as("a")
+      .join(ranked.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.d") === col("b.d") &&
+          col("a.rk") < col("b.rk"))
+      .groupBy(col("a.event_type").as("winner"),
+        col("b.event_type").as("loser"))
+      .agg(count(lit(1)).as("n_wins"))
+
+  /** The q269 driver entry: BORDA + COPELAND PREFERENCE SCORES — the
+    * two classic voting aggregates over the contest stream. Borda:
+    * an alternative earns (m − rank) points per contest (winner of an
+    * m-way contest gets m−1). Copeland: on the GLOBAL pairwise
+    * matrix, +1 per opponent it beats strictly more often than it
+    * loses to, −1 per opponent that beats it; the spine is the full
+    * types×types cross (broadcast-tiny) so never-co-ranked pairs
+    * count as ties. All exact integers end to end.
+    */
+  def preferenceScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val ranked = contestRanked(spark, sfDir)
+    val borda = ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_contests"),
+        sum(col("m") - col("rk")).as("borda"))
+    val wins = pairWins(ranked)
+    val types = ranked.select(col("event_type")).distinct()
+    val spine = types.as("ta").crossJoin(types.as("tb"))
+      .filter(col("ta.event_type") =!= col("tb.event_type"))
+      .select(col("ta.event_type").as("t"), col("tb.event_type").as("opp"))
+    val duels = spine
+      .join(wins.withColumnRenamed("winner", "t")
+        .withColumnRenamed("loser", "opp")
+        .withColumnRenamed("n_wins", "w_for"), Seq("t", "opp"), "left")
+      .join(wins.withColumnRenamed("loser", "t")
+        .withColumnRenamed("winner", "opp")
+        .withColumnRenamed("n_wins", "w_against"), Seq("t", "opp"), "left")
+      .select(col("t"), coalesce(col("w_for"), lit(0L)).as("w_for"),
+        coalesce(col("w_against"), lit(0L)).as("w_against"))
+    val copeland = duels.groupBy(col("t").as("event_type"))
+      .agg(sum(col("w_for")).as("wins"),
+        sum(when(col("w_for") > col("w_against"), 1L)
+          .when(col("w_for") < col("w_against"), -1L)
+          .otherwise(0L)).as("copeland"))
+    borda.join(copeland, Seq("event_type"))
+      .select(col("event_type"), col("n_contests").cast("long"),
+        col("borda").cast("long").as("borda"),
+        col("wins").cast("long").as("wins"),
+        col("copeland").cast("long").as("copeland"))
+  }
+
+  /** The q270 driver entry: BRADLEY-TERRY STRENGTHS by the MM
+    * algorithm (Hunter 2004) — the model behind Elo-style leaderboard
+    * fits on pairwise preference data, made exact with the q232
+    * integer-iteration device: strengths live in micros, each MM
+    * round computes
+    *   denom_i = Σ_j (n_ij · 10⁶) DIV (p_i + p_j)   (per-term
+    *     truncating division ⇒ the sum is order-independent),
+    *   raw_i   = (W_i · 10¹²) DIV denom_i           (W_i = total wins),
+    * then renormalizes Σp = 10⁶. Zero-win alternatives converge to
+    * strength 0; alternatives enter the fit iff they appear in at
+    * least one pairwise comparison (the win matrix is the domain).
+    * 15 rounds on the collected types² win matrix run driver-side in
+    * BigInt; the oracle replays every round as generated MATERIALIZED
+    * CTEs over the same bounded domain.
+    *
+    * Scale shape: the only fact-scale stages are contestRanked's
+    * contest shuffle and the within-contest pair count (both q269's);
+    * iteration cost is O(types² · rounds), corpus-independent.
+    */
+  def bradleyTerry(
+      spark: SparkSession, sfDir: String, iters: Int = 15): DataFrame = {
+    import spark.implicits._
+    val wins = pairWins(contestRanked(spark, sfDir))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val types = (wins.map(_._1) ++ wins.map(_._2)).distinct.sorted
+    val idx = types.zipWithIndex.toMap
+    val k = types.length
+    val w = Array.ofDim[Long](k, k)
+    wins.foreach { case (a, b, n) => w(idx(a))(idx(b)) = n }
+    val wi = Array.tabulate(k)(i => w(i).sum)
+    def nij(i: Int, j: Int): Long = w(i)(j) + w(j)(i)
+    var p = Array.fill(k)(BigInt(1000000))
+    for (_ <- 1 to iters) {
+      val denom = Array.tabulate(k)(i =>
+        (0 until k).filter(j => j != i && nij(i, j) > 0)
+          .map(j => BigInt(nij(i, j)) * 1000000 / (p(i) + p(j))).sum)
+      val raw = Array.tabulate(k)(i =>
+        if (denom(i) == 0) p(i)
+        else BigInt(wi(i)) * BigInt(1000000) * BigInt(1000000) / denom(i))
+      val sp = raw.sum
+      if (sp != 0) p = raw.map(_ * 1000000 / sp)
+    }
+    types.indices.map(i => (types(i), wi(i), p(i).toLong))
+      .toDF("event_type", "n_wins", "strength_micro")
+  }
+}

@@ -2620,4 +2620,38 @@ object Relational {
         col("cusum_cents"),
         (unix_date(col("day")) === col("cp_epoch")).as("is_changepoint"))
   }
+
+  /** The q272 driver entry: HIERARCHICAL PREFIX ROLLUP — the
+    * S3-prefix usage accounting the reference's key listing implies
+    * but never computes (`s3utils.js:1-82` enumerates a prefix;
+    * this answers "how many objects / how many bytes under EVERY
+    * prefix at every depth" — the storage-billing / layout-planning
+    * query over a 100 TB bucket's key space). Parts act as objects
+    * with a 3-level key (type/name-adjective/name-noun) and
+    * retail-price cents as size.
+    *
+    * The trie is materialized by exploding each key into its ≤3
+    * ancestor prefixes (a bounded ×depth fan-out, not a join) and
+    * partial-agg counting per prefix — one pass, one exchange
+    * carrying the prefix domain. ROLLUP (q17) can't express this:
+    * rollup groups by column tuples, while prefixes are a
+    * VARIABLE-DEPTH path hierarchy within one string column.
+    */
+  def prefixRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = Tables.load(spark, sfDir, "part")
+      .select(concat_ws("/", lower(col("p_type")),
+          split(col("p_name"), " ")).as("segs"),
+        floor(col("p_retailprice") * 100.0 + 0.5).cast("long").as("cents"))
+      .select(split(col("segs"), "/").as("seg"), col("cents"))
+    parts
+      .select(explode(expr(
+        "transform(sequence(1, size(seg)), d -> array_join(slice(seg, 1, d), '/'))"))
+        .as("prefix"), col("cents"))
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_objects"), sum(col("cents")).as("size_cents"))
+      .select(col("prefix"),
+        (size(split(col("prefix"), "/"))).cast("long").as("depth"),
+        col("n_objects").cast("long").as("n_objects"),
+        col("size_cents").cast("long").as("size_cents"))
+  }
 }

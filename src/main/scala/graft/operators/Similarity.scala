@@ -934,4 +934,70 @@ object Similarity {
         (coalesce(col("n_overlap"), lit(0L)) * lit(1000L)).cast("long")
           .as("recall_bp"))
   }
+
+  /** Position-discount table for nDCG@10: floor(10⁶ / log2(rank+1))
+    * for ranks 1..10, precomputed ONCE as integer constants shared
+    * verbatim with the oracle — the q271 transcendental rule (q178's
+    * lesson): neither engine ever evaluates a log, so there is no
+    * float boundary to disagree on. None of the ten values sits
+    * within 4·10⁻³ of an integer boundary (closest: rank 9 at
+    * 301029.9957), so the constants are unambiguous.
+    */
+  private[graft] val ndcgGainMicro: Seq[Long] = Seq(
+    1000000L, 630929L, 500000L, 430676L, 386852L,
+    356207L, 333333L, 315464L, 301029L, 289064L)
+
+  /** Ideal-DCG prefix sums: idcg(r) = Σ_{i<=r} gain(i) — the DCG of
+    * packing all r relevant results at the top.
+    */
+  private[graft] val ndcgIdealMicro: Seq[Long] =
+    ndcgGainMicro.scanLeft(0L)(_ + _).tail
+
+  /** The q271 driver entry: nDCG@10 RETRIEVAL QUALITY AUDIT — the
+    * position-weighted companion of q228's recall@10: recall says
+    * whether the right neighbors are IN the top-10, nDCG says whether
+    * they are EARLY (a hit at rank 1 is worth 1/log2(11) ≈ 3.5× a hit
+    * at rank 10). Relevance is binary label agreement between query
+    * and result vectors (the q228/q183 semantic ground truth); the
+    * ranking audited is the exact brute-force cosine order, so the
+    * score isolates EMBEDDING quality from index recall. DCG sums
+    * rel·gain(rank) per query; IDCG is the prefix-sum of gains over
+    * the query's n_rel hits (ideal = all hits packed at the top);
+    * ndcg_micro = dcg·10⁶ DIV idcg, sentinel −1 for zero-hit queries
+    * (0/0 has no honest value). Exact integers end to end.
+    *
+    * Scale shape: annBrute's broadcast-queries × corpus-scan plan is
+    * the only corpus-touching stage; the audit itself joins a
+    * Q·k-row frame (tiny, broadcast) against the label column and
+    * reduces to Q rows.
+    */
+  def ndcgAudit(
+      spark: SparkSession, sfDir: String,
+      numQueries: Int = 5, k: Int = 10): DataFrame = {
+    require(k <= ndcgGainMicro.length, "gain table covers ranks 1..10")
+    val labels = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val gainArr = array(ndcgGainMicro.map(lit): _*)
+    val idealArr = array(ndcgIdealMicro.map(lit): _*)
+    annBrute(spark, sfDir, numQueries, k)
+      .join(labels.select(col("vec_id").as("q_id"),
+        col("label").as("q_label")), Seq("q_id"))
+      .join(labels.select(col("vec_id"), col("label").as("r_label")),
+        Seq("vec_id"))
+      .withColumn("rel",
+        when(col("q_label") === col("r_label"), 1L).otherwise(0L))
+      .groupBy(col("q_id"))
+      .agg(sum(col("rel")).as("n_rel"),
+        sum(col("rel") * element_at(gainArr, col("rk").cast("int")))
+          .as("dcg_micro"))
+      .select(col("q_id"), col("n_rel").cast("long").as("n_rel"),
+        col("dcg_micro").cast("long").as("dcg_micro"),
+        when(col("n_rel") > 0,
+          element_at(idealArr, col("n_rel").cast("int")))
+          .otherwise(0L).cast("long").as("idcg_micro"))
+      .withColumn("ndcg_micro",
+        when(col("n_rel") > 0,
+          expr("CAST(dcg_micro * 1000000 DIV idcg_micro AS BIGINT)"))
+          .otherwise(-1L).cast("long"))
+  }
 }

@@ -442,4 +442,104 @@ object Sketches {
                   DIV (n_a + n_b - coalesce(n_inter, 0)) AS BIGINT)""")
             .as("jaccard_ppm"))
     }
+
+  /** Mergeable Misra-Gries summary: a count map capped at `cap`
+    * entries plus the EXACT number of items observed. The classic
+    * guarantee (Misra & Gries 1982; merge rule per Agarwal et al.,
+    * "Mergeable Summaries", PODS 2012): every key's summary count
+    * undercounts its true frequency by at most n/(cap+1), and any key
+    * with true frequency > n/(cap+1) is GUARANTEED present — so with
+    * cap >= k, the summary is a no-false-negative candidate set for
+    * "frequency > n/k" heavy hitters, in O(cap) memory per partition
+    * regardless of the key cardinality.
+    */
+  case class MgSummary(counts: Map[Long, Long], n: Long)
+
+  /** Typed Aggregator formulation: Spark's partial aggregation IS the
+    * per-partition summary build and the exchange merge IS the
+    * mergeable-summary union, so the whole sketch rides the engine's
+    * existing two-phase aggregate machinery — at most `cap` map
+    * entries per (partition, group) ever reach the shuffle.
+    */
+  class MisraGriesAgg(cap: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, MgSummary, MgSummary] {
+    def zero: MgSummary = MgSummary(Map.empty, 0L)
+    def reduce(b: MgSummary, key: Long): MgSummary =
+      b.counts.get(key) match {
+        case Some(c) => MgSummary(b.counts.updated(key, c + 1), b.n + 1)
+        case None if b.counts.size < cap =>
+          MgSummary(b.counts.updated(key, 1L), b.n + 1)
+        case None =>
+          // full + unseen key: the decrement step. The new key's one
+          // count and one count of each incumbent cancel — cap+1
+          // total count is destroyed, which can happen at most
+          // n/(cap+1) times, hence the undercount bound.
+          MgSummary(b.counts.collect {
+            case (k, v) if v > 1 => k -> (v - 1)
+          }, b.n + 1)
+      }
+    def merge(x: MgSummary, y: MgSummary): MgSummary = {
+      val comb = (x.counts.keySet ++ y.counts.keySet).iterator
+        .map(k => k -> (x.counts.getOrElse(k, 0L) + y.counts.getOrElse(k, 0L)))
+        .toMap
+      val trimmed =
+        if (comb.size <= cap) comb
+        else {
+          // subtract the (cap+1)-th largest count from everything and
+          // drop the non-positive: at most cap keys can strictly
+          // exceed it, and the destroyed count per surviving key is
+          // <= the bound's budget (Agarwal et al. Lemma 1).
+          val d = comb.values.toIndexedSeq.sorted(Ordering[Long].reverse)(cap)
+          comb.collect { case (k, v) if v > d => k -> (v - d) }
+        }
+      MgSummary(trimmed, x.n + y.n)
+    }
+    def finish(b: MgSummary): MgSummary = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[MgSummary] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[MgSummary]()
+    def outputEncoder: org.apache.spark.sql.Encoder[MgSummary] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[MgSummary]()
+  }
+
+  /** The q267 driver entry: TWO-PASS EXACT HEAVY HITTERS — q132's
+    * Gini says THAT the key distribution is skewed; this names WHICH
+    * keys are hot (frequency > n/k over lineitem part keys), the
+    * direct input to a salting / hot-key-isolation decision, without
+    * ever shuffling the full key domain:
+    *
+    *   pass 1: a [[MisraGriesAgg]] global aggregate — per-partition
+    *     state and the exchange payload are both bounded by `cap`
+    *     entries (vs the full distinct-key domain an exact groupBy
+    *     ships; at 10^9 keys that bound is the whole point), and the
+    *     MG theorem makes the surviving keys a SUPERSET of every true
+    *     heavy hitter (cap >= k ⇒ undercount < threshold);
+    *   pass 2: exact counts of the <= cap candidate keys only
+    *     (an InSet literal filter — the pushed-down scan predicate —
+    *     so the groupBy domain is the candidate set, not the corpus),
+    *     then the exact threshold test. False positives die here;
+    *     false negatives can't exist by the pass-1 guarantee.
+    *
+    * Output is therefore EXACT (the oracle is the plain exact HH
+    * query); the sketch only bounds memory. cap == k == 1300 on the
+    * 2000-distinct-key fixture so the trim path genuinely runs.
+    */
+  def heavyHittersExact(
+      spark: SparkSession, sfDir: String,
+      cap: Int = 1300, k: Int = 1300): DataFrame = {
+    import spark.implicits._
+    require(cap >= k, "MG guarantee needs cap >= k")
+    val keys = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_partkey")).as[Long]
+    val mg = keys.select(new MisraGriesAgg(cap).toColumn).head()
+    val cands: Seq[Long] = mg.counts.keys.toSeq
+    val n = mg.n
+    keys.toDF("key")
+      .filter(col("key").isInCollection(cands))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k > lit(n))
+      .select(col("key").as("l_partkey"), col("cnt").cast("long").as("cnt"),
+        lit(n).as("n_total"),
+        expr(s"CAST(cnt * 1000000 DIV $n AS BIGINT)").as("freq_micro"))
+  }
 }

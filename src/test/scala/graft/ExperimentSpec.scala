@@ -558,4 +558,87 @@ class ExperimentSpec extends AnyFunSuite {
     assert(argmax == bestV)
     assert(dMicro >= 0L && dMicro <= 1000000L)
   }
+
+  test("q268 Fleiss kappa matches a from-first-principles driver-side replay") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val next = Map("de" -> "en", "en" -> "es", "es" -> "fr",
+      "fr" -> "zh", "zh" -> "de")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ratings = for {
+      (id, lang) <- docs
+      r <- 1 to 3
+    } yield {
+      val h = java.lang.Long.parseLong(md5hex(s"rate:$id:$r").take(15), 16)
+      if (h % 10 < r) (id, next(lang)) else (id, lang)
+    }
+    val nItems = docs.length.toLong
+    val nic = ratings.groupBy(identity).view.mapValues(_.size.toLong)
+    val ss = nic.values.map(c => c * c).sum
+    val sC = ratings.groupBy(_._2).view.mapValues(_.size.toLong)
+    val peNum = sC.values.map(c => BigInt(c) * c).sum
+    val pbar = (ss - nItems * 3) * 1000000L / (nItems * 3 * 2)
+    val pe = (peNum * 1000000 / (BigInt(nItems) * 3 * nItems * 3)).toLong
+    val kappa = (pbar - pe) * 1000000L / (1000000L - pe)
+    val row = Experiment.fleissKappa(spark, sf).head()
+    assert(row.getLong(0) == nItems)
+    assert(row.getLong(1) == 3L)
+    assert(row.getLong(2) == pbar, "pbar_micro")
+    assert(row.getLong(3) == pe, "pe_micro")
+    assert(row.getLong(4) == kappa, "kappa_micro")
+    // 10/20/30% corruption leaves substantial real agreement
+    assert(kappa > 300000L && kappa < 1000000L)
+  }
+
+  test("q273 conformal: rank formula, nearest-rank quantile, exact coverage") {
+    val sf = "/root/testdata/sf0.01"
+    val scored = Experiment.rocAucScored(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .map { case (id, score, isEn) =>
+        (id, if (isEn) 1000000L - score else score) }
+    val cal = scored.filter(_._1 % 2 == 0)
+    val eval = scored.filter(_._1 % 2 != 0)
+    val k = (cal.length + 1) * 90 / 100 +
+      (if ((cal.length + 1) * 90 % 100 == 0) 0 else 1)
+    val qhat = cal.sortBy(t => (t._2, t._1)).apply(k - 1)._2
+    val covered = eval.count(_._2 <= qhat).toLong
+    val row = Experiment.conformalCalibration(spark, sf).head()
+    assert(row.getLong(0) == cal.length.toLong)
+    assert(row.getLong(1) == k.toLong)
+    assert(row.getLong(2) == qhat)
+    assert(row.getLong(3) == eval.length.toLong)
+    assert(row.getLong(4) == covered)
+    assert(row.getLong(5) == covered * 1000000L / eval.length)
+  }
+
+  test("q274 chi-square matches a BigInt driver-side replay incl. zero cells") {
+    val sf = "/root/testdata/sf0.01"
+    val cells = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy(col("source"), col("lang")).count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    val sources = cells.keys.map(_._1).toSeq.distinct
+    val langs = cells.keys.map(_._2).toSeq.distinct
+    val n = cells.values.sum
+    val rM = sources.map(s => s -> cells.collect {
+      case ((s2, _), c) if s2 == s => c }.sum).toMap
+    val cM = langs.map(l => l -> cells.collect {
+      case ((_, l2), c) if l2 == l => c }.sum).toMap
+    val chi2 = (for (s <- sources; l <- langs) yield {
+      val o = BigInt(cells.getOrElse((s, l), 0L))
+      val d = o * n - BigInt(rM(s)) * cM(l)
+      val den = BigInt(rM(s)) * cM(l) * n
+      (d * d / den) * 1000000 + (d * d % den) * 1000000 / den
+    }).sum
+    val row = Experiment.chiSquareIndependence(spark, sf).head()
+    assert(row.getLong(0) == n)
+    assert(row.getLong(1) == sources.length.toLong)
+    assert(row.getLong(2) == langs.length.toLong)
+    assert(BigInt(row.getLong(3)) == chi2, "chi2_micro")
+    assert(row.getLong(4) == (sources.length - 1).toLong * (langs.length - 1))
+  }
 }

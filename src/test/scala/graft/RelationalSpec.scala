@@ -1230,4 +1230,30 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.keys.exists(_._1 == "part.p_size"),
       "expected value-overlap false positives are absent")
   }
+
+  test("q272 prefix rollup: every depth level re-partitions the full object set") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = Relational.prefixRollup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+    val nParts = parts.count()
+    val totalCents = parts
+      .select(sum(floor(col("p_retailprice") * 100.0 + 0.5).cast("long")))
+      .head().getLong(0)
+    // every object lives under exactly one prefix per depth, so each
+    // depth level's counts and sizes sum to the whole corpus
+    for (d <- 1L to 3L) {
+      val level = rows.filter(_._2 == d)
+      assert(level.map(_._3).sum == nParts, s"depth $d object count")
+      assert(level.map(_._4).sum == totalCents, s"depth $d size")
+    }
+    // trie law: a parent's totals equal the sum of its children
+    rows.filter(_._2 < 3).foreach { case (p, d, n, cents) =>
+      val children = rows.filter(r =>
+        r._2 == d + 1 && r._1.substring(0, r._1.lastIndexOf('/')) == p)
+      assert(children.map(_._3).sum == n, s"$p child counts")
+      assert(children.map(_._4).sum == cents, s"$p child sizes")
+    }
+  }
 }

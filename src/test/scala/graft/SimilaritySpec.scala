@@ -507,4 +507,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(audit.values.map(_._1).sum >= audit.size * 3,
       "mean recall@10 collapsed — LSH index broken")
   }
+
+  test("q271 nDCG gain table is the documented log2 discount and strictly decreasing") {
+    val g = Similarity.ndcgGainMicro
+    assert(g.length == 10)
+    g.zipWithIndex.foreach { case (v, i) =>
+      val expect = math.floor(1e6 / (math.log(i + 2) / math.log(2))).toLong
+      assert(v == expect, s"rank ${i + 1}")
+    }
+    assert(g == g.sorted(Ordering[Long].reverse))
+    assert(Similarity.ndcgIdealMicro == g.scanLeft(0L)(_ + _).tail)
+  }
+
+  test("q271 nDCG matches a driver-side replay over annBrute + labels") {
+    val sf = "/root/testdata/sf0.01"
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ranked = Similarity.annBrute(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val expect = ranked.groupBy(_._1).map { case (q, rows) =>
+      val rels = rows.map { case (_, v, rk) =>
+        (rk, if (labels(v) == labels(q)) 1L else 0L) }
+      val nRel = rels.map(_._2).sum
+      val dcg = rels.map { case (rk, rel) =>
+        rel * Similarity.ndcgGainMicro(rk - 1) }.sum
+      val idcg = if (nRel > 0) Similarity.ndcgIdealMicro(nRel.toInt - 1) else 0L
+      val ndcg = if (nRel > 0) dcg * 1000000L / idcg else -1L
+      q -> (nRel, dcg, idcg, ndcg)
+    }
+    val got = Similarity.ndcgAudit(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == expect.keySet && got.keySet.size == 5)
+    expect.foreach { case (q, e) => assert(got(q) == e, s"query $q") }
+    got.values.foreach { case (nRel, dcg, idcg, ndcg) =>
+      assert(dcg <= idcg, "DCG can never beat the ideal packing")
+      assert(ndcg == -1L || (ndcg >= 0L && ndcg <= 1000000L))
+    }
+  }
 }

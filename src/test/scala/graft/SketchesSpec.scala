@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 import graft.operators.Sketches
 
 class SketchesSpec extends AnyFunSuite {
@@ -183,5 +184,58 @@ class SketchesSpec extends AnyFunSuite {
           s"$sf $a~$b intersection")
       }
     }
+  }
+
+  test("q267 Misra-Gries summary: size bound, undercount bound, no false negatives") {
+    import spark.implicits._
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val cap = 1300
+      val keys = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_partkey")).as[Long]
+      val mg = keys.select(new Sketches.MisraGriesAgg(cap).toColumn).head()
+      val exact = keys.toDF("k").groupBy("k").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val n = exact.values.sum
+      assert(mg.n == n, s"$sf exact item count")
+      assert(mg.counts.size <= cap, s"$sf summary size")
+      mg.counts.foreach { case (k, c) =>
+        val t = exact(k)
+        assert(c <= t, s"$sf key $k: summary over-counts")
+        assert(t - c <= n / (cap + 1), s"$sf key $k: undercount bound")
+      }
+      // the theorem under the q267 oracle: every true heavy hitter
+      // (freq > n/cap) is present in the summary
+      exact.foreach { case (k, t) =>
+        if (t * cap > n)
+          assert(mg.counts.contains(k), s"$sf true HH $k missing")
+      }
+    }
+  }
+
+  test("q267 trim path: tiny cap on a skewed stream still keeps the heavy key") {
+    import spark.implicits._
+    // 500 distinct cold keys + one key at 30% frequency, cap = 5:
+    // massive trimming, but freq > n/(cap+1) guarantees survival
+    val data = (1 to 500).map(_.toLong) ++ Seq.fill(220)(9999L)
+    val ds = spark.createDataset(data).repartition(7)
+    val mg = ds.select(new Sketches.MisraGriesAgg(5).toColumn).head()
+    assert(mg.counts.size <= 5)
+    assert(mg.counts.contains(9999L), "heavy key trimmed away")
+    assert(mg.n == data.length.toLong)
+  }
+
+  test("q267 end-to-end equals the exact heavy-hitter query and is partitioning-invariant") {
+    val got = Sketches.heavyHittersExact(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.nonEmpty)
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val n = li.count()
+    val expect = li.groupBy(col("l_partkey")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (_, c) => c * 1300 > n }
+      .map { case (k, c) => (k, c, n, c * 1000000L / n) }
+      .sortBy(_._1)
+    assert(got.toSeq == expect.toSeq)
   }
 }
