@@ -340,6 +340,12 @@ object SparkEntry {
       Experiment.conformalCalibration(s, d)),
     "q274_chi_square" -> ((s: SparkSession, d: String) =>
       Experiment.chiSquareIndependence(s, d)),
+    "q275_avg_precision" -> ((s: SparkSession, d: String) =>
+      Experiment.averagePrecision(s, d)),
+    "q276_mann_whitney" -> ((s: SparkSession, d: String) =>
+      Experiment.mannWhitney(s, d)),
+    "q277_mad_outliers" -> ((s: SparkSession, d: String) =>
+      Experiment.madOutliers(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -4438,6 +4444,104 @@ object SparkEntry {
              AS chi2_micro,
            CAST((n_sources - 1) * (n_langs - 1) AS BIGINT) AS dof
          FROM terms GROUP BY 1, 2, 3""",
+    // q275: the q233 deterministic total order (score DESC, doc_id
+    // ASC), per-relevant-rank truncating precision terms (q252's
+    // order-independent device), one final DIV by n_pos.
+    "q275_avg_precision" ->
+      s"""WITH sc AS ($scoredDocsSql),
+         rk AS (
+           SELECT is_en,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+               AS BIGINT) AS rk,
+             CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) OVER
+               (ORDER BY score DESC, doc_id ASC ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+           FROM sc),
+         agg AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+             CAST(SUM(CASE WHEN is_en THEN (cum_pos * 1000000) // rk
+               ELSE 0 END) AS BIGINT) AS ap_sum_micro
+           FROM rk)
+         SELECT n_docs, n_pos, ap_sum_micro,
+           CAST(ap_sum_micro // n_pos AS BIGINT) AS ap_micro
+         FROM agg""",
+    // q276: grouped-by-score doubled mid-ranks (the q212 device) +
+    // the tie-cube term; z² folded to ONE HUGEINT truncating
+    // division — no sqrt, no float accumulation.
+    "q276_mann_whitney" ->
+      s"""WITH sc AS ($scoredDocsSql),
+         bysc AS (
+           SELECT score, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS p
+           FROM sc GROUP BY 1),
+         rk AS (
+           SELECT score, c, p,
+             CAST(COALESCE(SUM(c) OVER (ORDER BY score ASC ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+           FROM bysc),
+         agg AS (
+           SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+             CAST(SUM(c) - SUM(p) AS BIGINT) AS n_neg,
+             CAST(SUM(p * (2 * cum + c + 1)) AS BIGINT) AS r2_pos,
+             CAST(SUM(c * c * c - c) AS BIGINT) AS tie_cubes
+           FROM rk),
+         d AS (
+           SELECT n_pos, n_neg,
+             CAST(r2_pos - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+             tie_cubes
+           FROM agg),
+         e AS (
+           SELECT n_pos, n_neg, u2, tie_cubes,
+             CAST(u2 - n_pos * n_neg AS BIGINT) AS dev2,
+             CAST((n_pos + n_neg) * (n_pos + n_neg - 1) *
+               (n_pos + n_neg + 1) - tie_cubes AS BIGINT) AS tie_term
+           FROM d)
+         SELECT n_pos, n_neg, u2, tie_cubes, dev2, tie_term,
+           CASE WHEN n_pos = 0 OR n_neg = 0 OR tie_term = 0 THEN -1
+             ELSE CAST(CAST(3000000 AS HUGEINT) * dev2 * dev2 *
+               (n_pos + n_neg) * (n_pos + n_neg - 1) //
+               (CAST(n_pos AS HUGEINT) * n_neg * tie_term) AS BIGINT)
+             END AS z2_micro
+         FROM e""",
+    // q277: both medians by the q260 nearest-rank device (the value
+    // at rank ceil(n/2)); the gate is pure cross-multiplication.
+    "q277_mad_outliers" ->
+      """WITH ev AS (
+           SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+           FROM events),
+         r1 AS (
+           SELECT event_type, cents,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY cents ASC) AS BIGINT) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           FROM ev),
+         m AS (
+           SELECT event_type,
+             MAX(CASE WHEN rk * 2 <= n + 1 THEN cents END) AS med
+           FROM r1 GROUP BY 1),
+         d AS (
+           SELECT r1.event_type, r1.n, m.med,
+             ABS(r1.cents - m.med) AS dev
+           FROM r1 JOIN m USING (event_type)),
+         r2 AS (
+           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+             ORDER BY dev ASC) AS BIGINT) AS drk FROM d),
+         md AS (
+           SELECT event_type,
+             MAX(CASE WHEN drk * 2 <= n + 1 THEN dev END) AS mad
+           FROM r2 GROUP BY 1)
+         SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(d.med) AS BIGINT) AS med_cents,
+           CAST(MAX(md.mad) AS BIGINT) AS mad_cents,
+           CAST(SUM(CASE WHEN d.dev * 6745 > md.mad * 35000
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(CAST(SUM(CASE WHEN d.dev * 6745 > md.mad * 35000
+             THEN 1 ELSE 0 END) AS BIGINT) * 1000000 //
+             CAST(COUNT(*) AS BIGINT) AS BIGINT) AS outlier_ppm
+         FROM d JOIN md USING (event_type) GROUP BY 1""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

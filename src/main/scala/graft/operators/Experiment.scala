@@ -1082,4 +1082,138 @@ object Experiment {
         col("n_langs").cast("long").as("n_langs"), col("chi2_micro"),
         expr("CAST((n_sources - 1) * (n_langs - 1) AS BIGINT)").as("dof"))
   }
+
+  /** The q275 driver entry: AVERAGE PRECISION (area under the PR
+    * curve) for the q212 scorer — the metric that matters when
+    * positives are rare and ROC-AUC (q212) flatters: AP weights
+    * precision AT each relevant rank, so early false positives cost
+    * where ROC barely moves. Ranking is the deterministic total order
+    * (score DESC, doc_id ASC — the q233 convention), and each term is
+    * the per-rank truncating division (cum_pos·10⁶) DIV rank — the
+    * q252 RRF device, making the SUM order-independent and the whole
+    * statistic exact integer: ap_micro = Σ_terms DIV n_pos.
+    *
+    * Scale shape: like q233/q228, this is an EVALUATION metric — the
+    * frame is an eval set, not the corpus, so the single global rank
+    * window is the definition, not an accident (same bounded-domain
+    * rationale documented at q233). For corpus-scale ranking exports
+    * the q200 chunked-scan device applies.
+    */
+  def averagePrecision(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = rocAucScored(spark, sfDir)
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val ranked = scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum_pos",
+        sum(when(col("is_en"), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ranked.agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("is_en"), 1L).otherwise(0L)).cast("long").as("n_pos"),
+        sum(when(col("is_en"),
+            expr("CAST(cum_pos * 1000000 DIV rk AS BIGINT)"))
+          .otherwise(0L)).cast("long").as("ap_sum_micro"))
+      .select(col("n_docs"), col("n_pos"), col("ap_sum_micro"),
+        expr("CAST(ap_sum_micro DIV n_pos AS BIGINT)").as("ap_micro"))
+  }
+
+  /** The q276 driver entry: MANN-WHITNEY U — the distribution-free
+    * two-sample test beside q129's parametric z-test and q258's KS:
+    * do English-detected docs score differently than the rest,
+    * judged on RANKS alone? Reuses the q212 grouped-by-score device:
+    * with c docs and p positives at one score, the doubled mid-rank
+    * is (2·cum + c + 1), so 2·R₁ and 2·U₁ are exact BIGINTs without
+    * ever materializing per-row ranks; the tie term Σ(t³−t) comes
+    * from the same bounded by-score frame.
+    *
+    * Significance is reported as z²·10⁶ folded to ONE exact
+    * truncating division — z² = 3·dev2²·n(n−1) / (n₁n₂·T) with
+    * T = n(n−1)(n+1) − Σ(t³−t) and dev2 = 2U₁ − n₁n₂ — in
+    * DECIMAL(38,0)/HUGEINT (numerator ≤ ~10³⁵ at sf0.1; breaches 38
+    * digits only past ~10⁶ docs, documented like the q221 rule). No
+    * sqrt, no float accumulation, engine-exact.
+    *
+    * Scale shape: one doc pass into the by-score aggregate (score
+    * domain ≤ 10⁶ micros), then scalar arithmetic on one row.
+    */
+  def mannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = rocAucScored(spark, sfDir)
+    val byScore = scored.groupBy(col("score"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("is_en"), 1L).otherwise(0L)).as("p"))
+    val wc = Window.orderBy(col("score").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byScore
+      .withColumn("cum", coalesce(sum(col("c")).over(wc), lit(0L)))
+    ranked.agg(
+        sum(col("p")).cast("long").as("n_pos"),
+        (sum(col("c")) - sum(col("p"))).cast("long").as("n_neg"),
+        sum(col("p") * (lit(2L) * col("cum") + col("c") + lit(1L)))
+          .cast("long").as("r2_pos"),
+        sum(col("c") * col("c") * col("c") - col("c")).cast("long")
+          .as("tie_cubes"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("CAST(r2_pos - n_pos * (n_pos + 1) AS BIGINT)").as("u2"),
+        col("tie_cubes"))
+      .select(col("n_pos"), col("n_neg"), col("u2"), col("tie_cubes"),
+        expr("CAST(u2 - n_pos * n_neg AS BIGINT)").as("dev2"),
+        expr("""CAST((n_pos + n_neg) * (n_pos + n_neg - 1) *
+            (n_pos + n_neg + 1) - tie_cubes AS BIGINT)""").as("tie_term"))
+      .select(col("n_pos"), col("n_neg"), col("u2"), col("tie_cubes"),
+        col("dev2"), col("tie_term"),
+        when(col("n_pos") === 0 || col("n_neg") === 0 ||
+            col("tie_term") === 0, lit(-1L))
+          .otherwise(expr("""CAST(
+              CAST(3000000 AS DECIMAL(38,0)) * dev2 * dev2 *
+                (n_pos + n_neg) * (n_pos + n_neg - 1) DIV
+              (CAST(n_pos AS DECIMAL(38,0)) * n_neg * tie_term)
+            AS BIGINT)""")).as("z2_micro"))
+  }
+
+  /** The q277 driver entry: MAD ROBUST OUTLIER GATE — the
+    * median-absolute-deviation screen that survives exactly the heavy
+    * tails that break a mean/stddev z-score (one whale purchase
+    * inflates σ until nothing flags; the median barely moves). Per
+    * event type over exact spend cents: lower-median by the q260
+    * nearest-rank device (the value at rank ⌈n/2⌉ — no
+    * interpolation), MAD = the same rank over |x − med|, and the
+    * modified z-score gate |x − med|·6745 > 35000·MAD (Iglewicz-
+    * Hoaglin 0.6745·dev/MAD > 3.5, cross-multiplied — no division,
+    * no floats). MAD = 0 (over half the values at the median) flags
+    * any deviation, the conventional degenerate reading.
+    *
+    * Scale shape: two rank windows partitioned by type + one
+    * aggregate — three exchanges all keyed on the bounded type
+    * domain; at 100 TB the q279 histogram-refine device replaces the
+    * per-type sort windows.
+    */
+  def madOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+    val wt = Window.partitionBy(col("event_type"))
+    val wr = wt.orderBy(col("cents").asc)
+    val med = ev
+      .withColumn("rk", row_number().over(wr).cast("long"))
+      .withColumn("n", count(lit(1)).over(wt).cast("long"))
+      .withColumn("med",
+        max(when(col("rk") * 2 <= col("n") + 1, col("cents"))).over(wt))
+    val wd = wt.orderBy(abs(col("cents") - col("med")).asc)
+    val mad = med
+      .withColumn("drk", row_number().over(wd).cast("long"))
+      .withColumn("mad",
+        max(when(col("drk") * 2 <= col("n") + 1,
+          abs(col("cents") - col("med")))).over(wt))
+    mad.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        max(col("med")).cast("long").as("med_cents"),
+        max(col("mad")).cast("long").as("mad_cents"),
+        sum(when(abs(col("cents") - col("med")) * 6745 >
+            col("mad") * 35000, 1L).otherwise(0L)).cast("long")
+          .as("n_outliers"))
+      .select(col("event_type"), col("n"), col("med_cents"),
+        col("mad_cents"), col("n_outliers"),
+        expr("CAST(n_outliers * 1000000 DIV n AS BIGINT)")
+          .as("outlier_ppm"))
+  }
 }

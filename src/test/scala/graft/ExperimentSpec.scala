@@ -641,4 +641,79 @@ class ExperimentSpec extends AnyFunSuite {
     assert(BigInt(row.getLong(3)) == chi2, "chi2_micro")
     assert(row.getLong(4) == (sources.length - 1).toLong * (langs.length - 1))
   }
+
+  test("q275 average precision matches a driver-side replay of the total order") {
+    val scored = Experiment.rocAucScored(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val ranked = scored.sortBy { case (id, score, _) => (-score, id) }
+    var cum = 0L
+    var apSum = 0L
+    ranked.zipWithIndex.foreach { case ((_, _, isEn), i) =>
+      if (isEn) { cum += 1; apSum += cum * 1000000L / (i + 1) }
+    }
+    val nPos = ranked.count(_._3).toLong
+    val row = Experiment.averagePrecision(spark, sf).head()
+    assert(row.getLong(0) == ranked.length.toLong)
+    assert(row.getLong(1) == nPos)
+    assert(row.getLong(2) == apSum, "ap_sum_micro")
+    assert(row.getLong(3) == apSum / nPos, "ap_micro")
+    // AP of a better-than-random ranking beats the positive prior
+    assert(apSum / nPos > nPos * 1000000L / ranked.length)
+    assert(apSum / nPos <= 1000000L)
+  }
+
+  test("q276 Mann-Whitney: U and tie terms match per-row midrank arithmetic") {
+    val scored = Experiment.rocAucScored(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getBoolean(2)))
+    val n = scored.length.toLong
+    val nPos = scored.count(_._2).toLong
+    val nNeg = n - nPos
+    // doubled midranks straight from the definition (ascending score)
+    val byScore = scored.groupBy(_._1).map { case (s, g) =>
+      (s, g.length.toLong, g.count(_._2).toLong) }.toSeq.sortBy(_._1)
+    var cum = 0L; var r2 = 0L; var cubes = 0L
+    byScore.foreach { case (_, c, p) =>
+      r2 += p * (2 * cum + c + 1); cubes += c * c * c - c; cum += c }
+    val u2 = r2 - nPos * (nPos + 1)
+    val dev2 = u2 - nPos * nNeg
+    val tieTerm = n * (n - 1) * (n + 1) - cubes
+    val z2 = BigInt(3000000) * dev2 * dev2 * n * (n - 1) /
+      (BigInt(nPos) * nNeg * tieTerm)
+    val row = Experiment.mannWhitney(spark, sf).head()
+    assert((row.getLong(0), row.getLong(1)) == ((nPos, nNeg)))
+    assert(row.getLong(2) == u2, "u2")
+    assert(row.getLong(3) == cubes, "tie_cubes")
+    assert(row.getLong(4) == dev2, "dev2")
+    assert(row.getLong(5) == tieTerm, "tie_term")
+    assert(BigInt(row.getLong(6)) == z2, "z2_micro")
+    // 2U1 is bounded by twice the pair count
+    assert(u2 >= 0L && u2 <= 2 * nPos * nNeg)
+  }
+
+  test("q277 MAD outliers: medians and gate match a per-type replay; robust to a planted whale") {
+    val cents = events.map { case (_, _, _, t, v) =>
+      (t, math.floor(v * 100.0 + 0.5).toLong) }
+    val rows = Experiment.madOutliers(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.nonEmpty)
+    cents.groupBy(_._1).foreach { case (t, g) =>
+      val xs = g.map(_._2).sorted
+      val med = xs((xs.length + 1) / 2 - 1)
+      val devs = xs.map(x => math.abs(x - med)).sorted
+      val mad = devs((devs.length + 1) / 2 - 1)
+      val out = xs.count(x => math.abs(x - med) * 6745 > mad * 35000).toLong
+      val r = rows(t)
+      assert(r.getLong(1) == xs.length.toLong, s"$t n")
+      assert(r.getLong(2) == med, s"$t med")
+      assert(r.getLong(3) == mad, s"$t mad")
+      assert(r.getLong(4) == out, s"$t outliers")
+      assert(r.getLong(5) == out * 1000000L / xs.length, s"$t ppm")
+      // robustness: a 100x whale added to this type moves the median
+      // by at most one rank step — the mean would move by ~100x/n
+      val whale = (xs :+ xs.max * 100).sorted
+      val med2 = whale((whale.length + 1) / 2 - 1)
+      assert(math.abs(med2 - med) <= math.abs(xs(
+        math.min(xs.length - 1, (xs.length + 1) / 2)) - med))
+    }
+  }
 }
