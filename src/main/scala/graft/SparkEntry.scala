@@ -346,6 +346,12 @@ object SparkEntry {
       Experiment.mannWhitney(s, d)),
     "q277_mad_outliers" -> ((s: SparkSession, d: String) =>
       Experiment.madOutliers(s, d)),
+    "q278_isotonic" -> ((s: SparkSession, d: String) =>
+      Experiment.isotonicCalibration(s, d)),
+    "q279_histogram_median" -> ((s: SparkSession, d: String) =>
+      Sketches.histogramMedian(s, d)),
+    "q280_lpm_join" -> ((s: SparkSession, d: String) =>
+      Relational.longestPrefixMatch(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -4542,6 +4548,117 @@ object SparkEntry {
              THEN 1 ELSE 0 END) AS BIGINT) * 1000000 //
              CAST(COUNT(*) AS BIGINT) AS BIGINT) AS outlier_ppm
          FROM d JOIN md USING (event_type) GROUP BY 1""",
+    // q278: the minimax PAV characterization over the 10-bin domain;
+    // fractions ordered by the exact (p·10¹²) DIV n key, fit rendered
+    // by the nested-floor identity key DIV 10⁶.
+    "q278_isotonic" ->
+      s"""WITH sc AS ($scoredDocsSql),
+         b AS (
+           SELECT LEAST(CAST(FLOOR(CAST(score AS DOUBLE) / 100000.0)
+             AS BIGINT), 9) AS bin, is_en
+           FROM sc),
+         g AS (
+           SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS pos
+           FROM b GROUP BY 1),
+         cum AS (
+           SELECT bin, n, pos,
+             CAST(SUM(n) OVER (ORDER BY bin ASC ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+             CAST(SUM(pos) OVER (ORDER BY bin ASC ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cp
+           FROM g),
+         blocks AS (
+           SELECT j.bin AS jbin, k.bin AS kbin,
+             CAST((k.cp - (j.cp - j.pos)) * 1000000000000 //
+               (k.cn - (j.cn - j.n)) AS BIGINT) AS okey
+           FROM cum j, cum k WHERE j.bin <= k.bin),
+         fit1 AS (
+           SELECT i.bin, bl.jbin, MIN(bl.okey) AS mk
+           FROM cum i JOIN blocks bl
+             ON bl.jbin <= i.bin AND bl.kbin >= i.bin
+           GROUP BY 1, 2),
+         fit AS (
+           SELECT bin, CAST(MAX(mk) AS BIGINT) AS fit_key
+           FROM fit1 GROUP BY 1)
+         SELECT c.bin, c.n, c.pos,
+           CAST(c.pos * 1000000 // c.n AS BIGINT) AS raw_micro,
+           CAST(f.fit_key // 1000000 AS BIGINT) AS fit_micro
+         FROM cum c JOIN fit f USING (bin)""",
+    // q279: the oracle replicates the bucket bookkeeping but takes
+    // the median by the DIRECT full-sort nearest-rank — equality is
+    // the refinement-correctness theorem.
+    "q279_histogram_median" ->
+      """WITH li AS (
+           SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+             AS cents
+           FROM lineitem),
+         st AS (
+           SELECT CAST(MIN(cents) AS BIGINT) AS lo,
+             CAST(MAX(cents) AS BIGINT) AS hi,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM li),
+         p AS (
+           SELECT lo, hi, n, hi - lo + 1 AS w, (n + 1) // 2 AS k
+           FROM st),
+         h AS (
+           SELECT CAST((cents - p.lo) * 1024 // p.w AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+           FROM li, p GROUP BY 1),
+         cumh AS (
+           SELECT bucket, c,
+             CAST(COALESCE(SUM(c) OVER (ORDER BY bucket ASC ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+           FROM h),
+         cand AS (
+           SELECT bucket, c FROM cumh, p
+           WHERE cum_before < p.k AND cum_before + c >= p.k),
+         m AS (
+           SELECT cents,
+             CAST(ROW_NUMBER() OVER (ORDER BY cents ASC) AS BIGINT) AS rk
+           FROM li)
+         SELECT p.n, p.lo AS min_cents, p.hi AS max_cents,
+           CAST(p.k AS BIGINT) AS k, cand.bucket,
+           cand.c AS rows_in_bucket,
+           (SELECT m.cents FROM m, p WHERE m.rk = p.k) AS median_cents
+         FROM p, cand""",
+    // q280: same ancestor explode as q272; the routing subset and the
+    // deepest-match window replayed verbatim; '(default)' carries the
+    // LEFT-miss population.
+    "q280_lpm_join" ->
+      """WITH parts AS (
+           SELECT p_partkey,
+             string_split(lower(p_type) || '/' ||
+               replace(p_name, ' ', '/'), '/') AS seg,
+             CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS cents
+           FROM part),
+         anc AS (
+           SELECT p_partkey, array_to_string(seg[1:d], '/') AS prefix
+           FROM parts, LATERAL (SELECT UNNEST(range(1, len(seg) + 1)) AS d) t),
+         dimc AS (SELECT DISTINCT prefix FROM anc),
+         dim AS (
+           SELECT prefix,
+             CAST(len(string_split(prefix, '/')) AS BIGINT) AS depth,
+             ('0x' || substr(md5('route:' || prefix), 1, 15))::BIGINT AS h
+           FROM dimc),
+         dimf AS (
+           SELECT prefix, depth FROM dim
+           WHERE (depth = 1 AND h % 2 = 0) OR (depth = 2 AND h % 3 = 0)
+             OR (depth >= 3 AND h % 7 = 0)),
+         matched AS (
+           SELECT a.p_partkey, d.depth, d.prefix,
+             ROW_NUMBER() OVER (PARTITION BY a.p_partkey
+               ORDER BY d.depth DESC) AS rn
+           FROM anc a JOIN dimf d USING (prefix)),
+         best AS (
+           SELECT p_partkey, depth, prefix FROM matched WHERE rn = 1)
+         SELECT COALESCE(b.prefix, '(default)') AS route,
+           CAST(COALESCE(b.depth, 0) AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(p.cents) AS BIGINT) AS sum_cents
+         FROM parts p LEFT JOIN best b USING (p_partkey)
+         GROUP BY 1, 2""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

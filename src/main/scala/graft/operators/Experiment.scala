@@ -1170,6 +1170,58 @@ object Experiment {
             AS BIGINT)""")).as("z2_micro"))
   }
 
+  /** The q278 driver entry: ISOTONIC CALIBRATION (PAV fit) — the
+    * monotone recalibration map for the q212 scorer that q218's
+    * reliability diagram motivates: pool-adjacent-violators over the
+    * ten score deciles, computed NOT as the sequential pooling loop
+    * but by its closed-form minimax characterization
+    *   fit_i = max_{j<=i} min_{k>=i} (pos[j..k] / n[j..k])
+    * — pure relational algebra over the bounded bin domain (10³ block
+    * combinations, all broadcast), no driver iteration, no float.
+    *
+    * Fractions are compared by the EXACT ORDER KEY (p·10¹²) DIV n:
+    * two distinct fractions with denominators ≤ 10⁶ differ by at
+    * least 10⁻¹², so the scaled floor separates them — and the final
+    * fit renders by the nested-floor identity
+    * (key DIV 10⁶) == floor(p·10⁶/n). Valid to n = 10⁶ calibration
+    * rows per the same documented-bound rule as q221 (beyond that,
+    * lift the key into DECIMAL(38,0) at scale 10¹⁸).
+    *
+    * Scale shape: one doc pass into the 10-bin aggregate; everything
+    * after lives on the bin domain.
+    */
+  def isotonicCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val bins = rocAucScored(spark, sfDir)
+      .select(least(floor(col("score").cast("double") / 100000.0)
+        .cast("long"), lit(9L)).as("bin"), col("is_en"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_en"), 1L).otherwise(0L)).as("pos"))
+    val w = Window.orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins
+      .withColumn("cn", sum(col("n")).over(w).cast("long"))
+      .withColumn("cp", sum(col("pos")).over(w).cast("long"))
+    val blocks = cum.select(col("bin").as("jbin"),
+        (col("cn") - col("n")).as("cn_before"),
+        (col("cp") - col("pos")).as("cp_before"))
+      .crossJoin(cum.select(col("bin").as("kbin"),
+        col("cn").as("cn_k"), col("cp").as("cp_k")))
+      .filter(col("jbin") <= col("kbin"))
+      .select(col("jbin"), col("kbin"),
+        expr("""CAST((cp_k - cp_before) * 1000000000000 DIV
+            (cn_k - cn_before) AS BIGINT)""").as("key"))
+    val fit = cum.select(col("bin"))
+      .join(blocks, col("jbin") <= col("bin") && col("kbin") >= col("bin"))
+      .groupBy(col("bin"), col("jbin")).agg(min(col("key")).as("mk"))
+      .groupBy(col("bin")).agg(max(col("mk")).as("fit_key"))
+    cum.join(fit, Seq("bin"))
+      .select(col("bin"), col("n").cast("long").as("n"),
+        col("pos").cast("long").as("pos"),
+        expr("CAST(pos * 1000000 DIV n AS BIGINT)").as("raw_micro"),
+        expr("CAST(fit_key DIV 1000000 AS BIGINT)").as("fit_micro"))
+  }
+
   /** The q277 driver entry: MAD ROBUST OUTLIER GATE — the
     * median-absolute-deviation screen that survives exactly the heavy
     * tails that break a mean/stddev z-score (one whale purchase

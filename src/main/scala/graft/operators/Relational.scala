@@ -2654,4 +2654,59 @@ object Relational {
         col("n_objects").cast("long").as("n_objects"),
         col("size_cents").cast("long").as("size_cents"))
   }
+
+  /** The q280 driver entry: LONGEST-PREFIX-MATCH JOIN — the routing-
+    * table lookup shape (IP longest-prefix routing, storage-policy
+    * assignment by key prefix, log-stream → pipeline dispatch): each
+    * fact key must match the DEEPEST dimension prefix that prefixes
+    * it, with a default route for misses. The classic hazards at
+    * scale are a LIKE-prefix theta join (cartesian) or a per-row
+    * linear probe; the engine instead EXPLODES each key into its
+    * ≤ depth ancestor prefixes (bounded fan-out — exactly q272's
+    * trie device) and equi-joins the broadcast routing table, so the
+    * whole operator is one broadcast hash join + one key-grain
+    * aggregate taking max(struct(depth, prefix)) — deepest match,
+    * tie-free because a key has ONE ancestor per depth.
+    *
+    * The routing table is carved deterministically from the q272 key
+    * space so every depth genuinely routes: depth-1 prefixes with
+    * md5-mod-2 = 0, depth-2 with mod 3 = 0, deeper with mod 7 = 0;
+    * keys whose ancestors all miss take the '(default)' route (the
+    * LEFT posture under test — md5-mod-2 guarantees misses exist).
+    *
+    * Scale shape: routing tables are small by nature (broadcast);
+    * the only fact-scale exchange is the per-key max-depth aggregate.
+    */
+  def longestPrefixMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = Tables.load(spark, sfDir, "part")
+      .select(col("p_partkey"),
+        split(concat_ws("/", lower(col("p_type")),
+          split(col("p_name"), " ")), "/").as("seg"),
+        floor(col("p_retailprice") * 100.0 + 0.5).cast("long").as("cents"))
+    val ancestors = expr(
+      "transform(sequence(1, size(seg)), d -> array_join(slice(seg, 1, d), '/'))")
+    val dim = parts.select(explode(ancestors).as("prefix")).distinct()
+      .select(col("prefix"),
+        size(split(col("prefix"), "/")).cast("long").as("depth"),
+        expr("CAST(conv(substring(md5(concat('route:', prefix)), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+      .filter((col("depth") === 1 && col("h") % 2 === 0) ||
+        (col("depth") === 2 && col("h") % 3 === 0) ||
+        (col("depth") >= 3 && col("h") % 7 === 0))
+      .select(col("prefix"), col("depth"))
+    val best = parts
+      .select(col("p_partkey"), col("cents"), explode(ancestors).as("prefix"))
+      .join(broadcast(dim), Seq("prefix"))
+      .groupBy(col("p_partkey"))
+      .agg(max(struct(col("depth"), col("prefix"))).as("best"))
+      .select(col("p_partkey"), col("best.depth").as("depth"),
+        col("best.prefix").as("route"))
+    parts.select(col("p_partkey"), col("cents"))
+      .join(best, Seq("p_partkey"), "left")
+      .select(coalesce(col("route"), lit("(default)")).as("route"),
+        coalesce(col("depth"), lit(0L)).as("depth"), col("cents"))
+      .groupBy(col("route"), col("depth"))
+      .agg(count(lit(1)).cast("long").as("n_parts"),
+        sum(col("cents")).cast("long").as("sum_cents"))
+  }
 }

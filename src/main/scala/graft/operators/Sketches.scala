@@ -542,4 +542,69 @@ object Sketches {
         lit(n).as("n_total"),
         expr(s"CAST(cnt * 1000000 DIV $n AS BIGINT)").as("freq_micro"))
   }
+
+  /** The q279 driver entry: TWO-PASS HISTOGRAM-REFINE EXACT MEDIAN —
+    * the q267 candidate-then-recount posture applied to rank
+    * statistics: an exact nearest-rank median of lineitem price cents
+    * with NO corpus-wide sort and NO corpus-wide rank window (the two
+    * things a naive `ORDER BY` median costs at 100 TB):
+    *
+    *   pass 1: (min, max, n) — one aggregate row;
+    *   pass 2: a 1024-bucket equi-width histogram — the exchange
+    *     carries ≤ 1024 counted rows; a bounded cumsum locates the
+    *     single bucket containing rank k = ⌈n/2⌉;
+    *   pass 3: ONLY that bucket's values (expected n/1024 of the
+    *     corpus; exact range predicates on the cents expression) get
+    *     a rank window — the value at rank (k − cum_before) is the
+    *     median, exactly.
+    *
+    * Driver collects between passes are 1-row (the stats row, the
+    * candidate bucket) — coordination state, not data. Degenerate
+    * skew (one repeated value owning a bucket) only costs pass 3 the
+    * duplicates of ~1/1024 of the value RANGE; a further recursion
+    * level would bound it, documented not needed at these scales.
+    * Bucket arithmetic is exact: bucket = (c−lo)·1024 DIV (hi−lo+1),
+    * bounds by ceil-division, (c ≤ 10⁷ cents)·1024 far under 2⁶³.
+    *
+    * The oracle computes the SAME bucket bookkeeping in SQL but takes
+    * the median by the direct full-sort nearest-rank — equality IS
+    * the refinement-correctness theorem.
+    */
+  def histogramMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")
+        .as("cents"))
+    val st = li.agg(min(col("cents")), max(col("cents")), count(lit(1)))
+      .head()
+    val (lo, hi, n) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    val width = hi - lo + 1
+    val k = (n + 1) / 2
+    val cand = li
+      .select(expr(s"CAST((cents - $lo) * 1024 DIV $width AS BIGINT)")
+        .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      .withColumn("cum_before", coalesce(
+        sum(col("c")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("bucket").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") < k && col("cum_before") + col("c") >= k)
+      .head()
+    val (bucket, inBucket, cumBefore) =
+      (cand.getLong(0), cand.getLong(1), cand.getLong(2))
+    // bucket b holds cents in [lo + ceil(b·w/1024), lo + ceil((b+1)·w/1024))
+    val bLo = lo + (bucket * width + 1023) / 1024
+    val bHi = lo + ((bucket + 1) * width + 1023) / 1024
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cents").asc)
+    // rank window over the one-bucket slice only (the whole point)
+    val med = li.filter(col("cents") >= bLo && col("cents") < bHi)
+      .withColumn("rk", row_number().over(wr).cast("long"))
+      .filter(col("rk") === k - cumBefore)
+      .head().getLong(0)
+    Seq((n, lo, hi, k, bucket, inBucket, med))
+      .toDF("n", "min_cents", "max_cents", "k", "bucket", "rows_in_bucket",
+        "median_cents")
+  }
 }

@@ -690,6 +690,53 @@ class ExperimentSpec extends AnyFunSuite {
     assert(u2 >= 0L && u2 <= 2 * nPos * nNeg)
   }
 
+  test("q278 isotonic: minimax fit equals the classic PAV stack algorithm; monotone; pooling exercised") {
+    // sf0.01: the 0.001 fixture's raw rates are already monotone, so
+    // only the larger fixture exercises the pooling path
+    val sf = "/root/testdata/sf0.01"
+    val binned = Experiment.rocAucScored(spark, sf)
+      .collect().map(r => (math.min(r.getLong(1) / 100000L, 9L),
+        if (r.getBoolean(2)) 1L else 0L))
+      .groupBy(_._1).map { case (b, g) =>
+        (b, g.length.toLong, g.map(_._2).sum) }.toSeq.sortBy(_._1)
+    // classic PAV: merge adjacent blocks while the rate decreases
+    // (exact rational compare by cross-multiplication)
+    var stack = List.empty[(Long, Long)] // (n, pos) newest first
+    binned.foreach { case (_, n, p) =>
+      var top = (n, p)
+      while (stack.nonEmpty &&
+          stack.head._2 * top._1 >= top._2 * stack.head._1) {
+        top = (stack.head._1 + top._1, stack.head._2 + top._2)
+        stack = stack.tail
+      }
+      stack = top :: stack
+    }
+    // expand per bin: walk bins against the pooled blocks
+    val blocks = stack.reverse
+    var bi = 0; var left = blocks.head._1
+    val perBin = binned.map { case (b, n, p) =>
+      // bins fall entirely inside blocks (PAV pools whole bins)
+      val (bn, bp) = blocks(bi)
+      val fit = bp * 1000000L / bn
+      left -= n
+      if (left == 0 && bi < blocks.length - 1) { bi += 1; left = blocks(bi)._1 }
+      (b, n, p, fit)
+    }
+    val rows = Experiment.isotonicCalibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == perBin.map(_._1).toSeq)
+    rows.zip(perBin).foreach { case ((b, n, p, raw, fit), (b2, n2, p2, fitPav)) =>
+      assert((n, p) == ((n2, p2)), s"bin $b counts")
+      assert(raw == p * 1000000L / n, s"bin $b raw")
+      assert(fit == fitPav, s"bin $b: minimax fit must equal PAV")
+    }
+    // monotone nondecreasing, and at least one bin actually pooled
+    assert(rows.map(_._5).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    assert(rows.exists(r => r._5 != r._4),
+      "fixture must exercise the pooling path (a raw-rate violation)")
+  }
+
   test("q277 MAD outliers: medians and gate match a per-type replay; robust to a planted whale") {
     val cents = events.map { case (_, _, _, t, v) =>
       (t, math.floor(v * 100.0 + 0.5).toLong) }

@@ -1256,4 +1256,45 @@ class RelationalSpec extends AnyFunSuite {
       assert(children.map(_._4).sum == cents, s"$p child sizes")
     }
   }
+
+  test("q280 LPM join matches a per-part driver replay; default route carries real misses") {
+    def h(prefix: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(("route:" + prefix).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_partkey"), lower(col("p_type")).as("t"), col("p_name"),
+        floor(col("p_retailprice") * 100.0 + 0.5).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0),
+        (r.getString(1) +: r.getString(2).split(" ").toSeq),
+        r.getLong(3)))
+    val allPrefixes = parts.flatMap { case (_, segs, _) =>
+      (1 to segs.length).map(d => segs.take(d).mkString("/")) }.distinct
+    val dim = allPrefixes.filter { p =>
+      val depth = p.count(_ == '/') + 1
+      val hv = h(p)
+      (depth == 1 && hv % 2 == 0) || (depth == 2 && hv % 3 == 0) ||
+        (depth >= 3 && hv % 7 == 0)
+    }.toSet
+    val expect = parts.map { case (_, segs, cents) =>
+      val matches = (1 to segs.length).map(d => segs.take(d).mkString("/"))
+        .filter(dim.contains)
+      if (matches.isEmpty) (("(default)", 0L), cents)
+      else ((matches.last, matches.last.count(_ == '/') + 1L), cents)
+    }.groupBy(_._1).map { case ((route, depth), g) =>
+      (route, depth, g.length.toLong, g.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    val got = graft.operators.Relational.longestPrefixMatch(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq == expect)
+    assert(got.exists(_._1 == "(default)"),
+      "the md5-mod carve must leave genuine misses for the LEFT path")
+    assert(got.map(_._3).sum == parts.length.toLong)
+    assert(got.filter(_._1 != "(default)").map(_._2).distinct.size > 1,
+      "longest-match depth must genuinely vary")
+  }
 }

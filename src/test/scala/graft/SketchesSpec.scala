@@ -238,4 +238,26 @@ class SketchesSpec extends AnyFunSuite {
       .sortBy(_._1)
     assert(got.toSeq == expect.toSeq)
   }
+
+  test("q279 histogram-refine median equals the full-sort nearest-rank; refinement genuinely refines") {
+    val sf = SparkTestSession.sf
+    val row = Sketches.histogramMedian(spark, sf).head()
+    val cents = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length.toLong
+    val k = (n + 1) / 2
+    assert(row.getLong(0) == n)
+    assert(row.getLong(1) == cents.head && row.getLong(2) == cents.last)
+    assert(row.getLong(3) == k)
+    assert(row.getLong(6) == cents(k.toInt - 1), "median must be exact")
+    // the pass-3 slice is a small fraction of the corpus — the point
+    val inBucket = row.getLong(5)
+    assert(inBucket >= 1L && inBucket < n / 10,
+      s"bucket slice $inBucket should be far under n=$n")
+    // bucket bookkeeping: the k-th value falls inside the candidate
+    val width = cents.last - cents.head + 1
+    val bucketOfMedian = (cents(k.toInt - 1) - cents.head) * 1024 / width
+    assert(row.getLong(4) == bucketOfMedian)
+  }
 }
