@@ -352,6 +352,10 @@ object SparkEntry {
       Sketches.histogramMedian(s, d)),
     "q280_lpm_join" -> ((s: SparkSession, d: String) =>
       Relational.longestPrefixMatch(s, d)),
+    "q281_division" -> ((s: SparkSession, d: String) =>
+      Relational.relationalDivision(s, d)),
+    "q282_secret_scan" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.secretScan(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -4659,6 +4663,68 @@ object SparkEntry {
            CAST(SUM(p.cents) AS BIGINT) AS sum_cents
          FROM parts p LEFT JOIN best b USING (p_partkey)
          GROUP BY 1, 2""",
+    // q281: the oracle runs the textbook doubly-nested NOT EXISTS
+    // division — the engine runs Codd's count-matching identity, so
+    // hash equality is the equivalence theorem, not a plan echo.
+    "q281_division" ->
+      """WITH pr AS (SELECT DISTINCT o_orderpriority AS p FROM orders),
+         buyers AS (SELECT DISTINCT o_custkey FROM orders),
+         complete AS (
+           SELECT b.o_custkey FROM buyers b
+           WHERE NOT EXISTS (
+             SELECT 1 FROM pr
+             WHERE NOT EXISTS (
+               SELECT 1 FROM orders o
+               WHERE o.o_custkey = b.o_custkey
+                 AND o.o_orderpriority = pr.p)))
+         SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_buyers,
+           CAST(SUM(CASE WHEN b.o_custkey IN
+               (SELECT o_custkey FROM complete) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_complete
+         FROM buyers b JOIN customer ON c_custkey = b.o_custkey
+         GROUP BY 1""",
+    // q282: entropy recomputed through UNNEST-per-character — a
+    // structurally different route than the engine's alphabet fold.
+    "q282_secret_scan" ->
+      """WITH d AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 7 = 0
+               THEN ' api_key=' || md5('sk:' || CAST(doc_id AS VARCHAR))
+               ELSE '' END ||
+             CASE WHEN doc_id % 7 = 3
+               THEN ' session=abababababababababababababababab'
+               ELSE '' END AS t
+           FROM documents),
+         cd AS (SELECT doc_id,
+             regexp_extract_all(t, '[a-z0-9]{24,}', 0) AS cands
+           FROM d),
+         c1 AS (SELECT doc_id, i AS ci, cands[i] AS c
+           FROM cd, LATERAL (SELECT UNNEST(range(1, len(cands) + 1)) AS i) u
+           WHERE len(cands) > 0),
+         ch AS (SELECT doc_id, ci, c, substr(c, j, 1) AS ch
+           FROM c1, LATERAL (SELECT UNNEST(range(1, len(c) + 1)) AS j) v),
+         cc AS (SELECT doc_id, ci, c, ch, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM ch GROUP BY 1, 2, 3, 4),
+         ent AS (SELECT doc_id, ci, c,
+             CAST(FLOOR(1000000.0 * ln(CAST(len(c) AS DOUBLE))) AS BIGINT)
+               * len(c)
+             - CAST(SUM(CASE WHEN cnt > 1
+                 THEN cnt * CAST(FLOOR(1000000.0 * ln(CAST(cnt AS DOUBLE)))
+                   AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS gap,
+             CAST(len(c) AS BIGINT) AS l
+           FROM cc GROUP BY 1, 2, 3),
+         sec AS (SELECT doc_id, c FROM ent WHERE gap >= 2000000 * l),
+         base AS (SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates
+           FROM cd WHERE len(cands) > 0),
+         sagg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_secrets,
+             md5(string_agg(c, ',' ORDER BY c)) AS dg
+           FROM sec GROUP BY 1)
+         SELECT b.doc_id, b.n_candidates,
+           CAST(COALESCE(s.n_secrets, 0) AS BIGINT) AS n_secrets,
+           COALESCE(s.dg, md5('')) AS secret_digest
+         FROM base b LEFT JOIN sagg s USING (doc_id)""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

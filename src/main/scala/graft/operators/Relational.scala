@@ -2709,4 +2709,47 @@ object Relational {
       .agg(count(lit(1)).cast("long").as("n_parts"),
         sum(col("cents")).cast("long").as("sum_cents"))
   }
+
+  /** The q281 driver entry: RELATIONAL DIVISION — the "for ALL"
+    * query (which customers ordered in EVERY priority class?) that
+    * textbook SQL writes as doubly-nested NOT EXISTS and naive
+    * engines run as a correlated per-row re-scan. The scale-correct
+    * form is Codd's count-matching identity: distinct (key, divisor)
+    * pairs collapse map-side, one key-grain aggregate counts matched
+    * divisor values, and a customer is complete iff that count equals
+    * |divisor| — the divisor cardinality rides in as a broadcast
+    * 1-row frame, so the whole operator is two partial-agg exchanges
+    * and zero correlated probes.
+    *
+    * The oracle deliberately runs the OTHER form — the double
+    * negation (no priority exists that this buyer lacks) — so hash
+    * equality is the division-equivalence theorem itself, not a
+    * shared-plan tautology.
+    *
+    * Scale shape: distinct is map-side partial (priorities per
+    * customer ≤ 5, so the exchange is near the customer grain);
+    * the divisor is data-derived and tiny by nature (division only
+    * makes sense against a bounded domain); the dimension join is
+    * customer-grain. 100 TB of orders never meets a correlated
+    * subquery.
+    */
+  def relationalDivision(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val nDiv = orders.agg(
+      count_distinct(col("o_orderpriority")).cast("long").as("np"))
+    val perCust = orders
+      .select(col("o_custkey"), col("o_orderpriority")).distinct()
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).cast("long").as("nprio"))
+    val complete = perCust.crossJoin(broadcast(nDiv))
+      .select(col("o_custkey").as("c_custkey"),
+        (col("nprio") === col("np")).as("complete"))
+    val cust = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    complete.join(cust, Seq("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).cast("long").as("n_buyers"),
+        sum(when(col("complete"), 1L).otherwise(0L)).cast("long")
+          .as("n_complete"))
+  }
 }

@@ -577,6 +577,12 @@ object Sketches {
         .as("cents"))
     val st = li.agg(min(col("cents")), max(col("cents")), count(lit(1)))
       .head()
+    // empty corpus: no median exists — an empty frame, not a throw
+    // (EmptyInputSpec contract)
+    if (st.getLong(2) == 0L)
+      return Seq.empty[(Long, Long, Long, Long, Long, Long, Long)]
+        .toDF("n", "min_cents", "max_cents", "k", "bucket",
+          "rows_in_bucket", "median_cents")
     val (lo, hi, n) = (st.getLong(0), st.getLong(1), st.getLong(2))
     val width = hi - lo + 1
     val k = (n + 1) / 2

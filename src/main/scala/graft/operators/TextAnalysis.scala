@@ -623,6 +623,77 @@ object TextAnalysis {
           .as("valid_digest"))
   }
 
+  /** Comma-joined [a-z0-9] alphabet for the per-candidate entropy
+    * fold — a comma-split literal because `split(s, '')` char
+    * explosion is NOT portable between Spark and DuckDB.
+    */
+  val secretAlphabet: String = (('a' to 'z') ++ ('0' to '9')).mkString(",")
+
+  /** Per-candidate Shannon-entropy gate for [[secretScan]], as a SQL
+    * boolean over a lambda variable `c`: character counts come from
+    * the replace-shrink identity cnt(ch) = len − len(replace(c, ch)),
+    * folded over the 36-char alphabet row-locally (no shuffle, no
+    * explode); entropy compares as INTEGERS via the q182 device —
+    * ⌊10⁶ ln len⌋·len − Σ cnt·⌊10⁶ ln cnt⌋ ≥ 2·10⁶·len, i.e. ≥ 2.0
+    * nats/char. Random hex sits at ~2.4 nats; repeated-pattern
+    * decoys at ~0.7; English never forms 24-char [a-z0-9] runs.
+    */
+  val secretEntropyGate: String = {
+    val cnt = "(CAST(length(c) AS BIGINT) - CAST(length(replace(c, ch, '')) AS BIGINT))"
+    s"""(CAST(FLOOR(1000000.0 * ln(CAST(length(c) AS DOUBLE))) AS BIGINT)
+          * CAST(length(c) AS BIGINT)
+        - aggregate(split('$secretAlphabet', ','), CAST(0 AS BIGINT),
+            (acc, ch) -> acc + CASE WHEN $cnt > 1
+              THEN $cnt * CAST(FLOOR(1000000.0 * ln(CAST($cnt AS DOUBLE))) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END))
+       >= 2000000 * CAST(length(c) AS BIGINT)"""
+  }
+
+  /** The q282 driver entry: HIGH-ENTROPY SECRET/CREDENTIAL SCRUB —
+    * the leak gate beside q75's pattern-PII and q242's checksum-PII:
+    * API keys, tokens, and password hashes are long alphanumeric
+    * runs with NEAR-RANDOM character distribution, so the detector
+    * that survives false-positive floods is candidate-pattern ∧
+    * entropy (the truffleHog/detect-secrets design): ≥24-char
+    * [a-z0-9] runs gated at 2.0 nats/char of exact integer Shannon
+    * entropy ([[secretEntropyGate]]). The fixture has no organic
+    * secrets (verified), so the q75 planting device supplies both
+    * verdicts: doc_id % 7 == 0 appends a real high-entropy key
+    * (md5 hex), % 7 == 3 a same-length repeated-pattern decoy that
+    * the entropy gate must REJECT — pattern matching alone would
+    * flag both.
+    *
+    * Per flagged doc: candidate count, gate-passing count, and the
+    * sorted-secrets digest (the q242 convention — secrets never
+    * appear in clear in the output).
+    *
+    * Scale shape: everything is row-local codegen — regex extract +
+    * a 36-term fold per candidate; no shuffle at all before the
+    * (tiny) result. The oracle recomputes entropy through an
+    * UNNEST-per-character route — a structurally different encoding,
+    * so equality checks the fold, not the plan.
+    */
+  def secretScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" api_key="), md5(concat(lit("sk:"), col("doc_id")))))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 3,
+        lit(" session=" + "ab" * 16)).otherwise(lit("")))
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), planted.as("t"))
+      .select(col("doc_id"),
+        expr("regexp_extract_all(t, '[a-z0-9]{24,}', 0)").as("cands"))
+      .where(size(col("cands")) > 0)
+      .select(col("doc_id"),
+        size(col("cands")).cast("long").as("n_candidates"),
+        expr(s"CAST(size(filter(cands, c -> $secretEntropyGate)) AS BIGINT)")
+          .as("n_secrets"),
+        md5(concat_ws(",",
+          array_sort(expr(s"filter(cands, c -> $secretEntropyGate)"))))
+          .as("secret_digest"))
+  }
+
   def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "documents")
       .select(

@@ -159,6 +159,45 @@ class CleanPipelineSpec extends AnyFunSuite {
     assert(luhn("4111111111111111") && !luhn("4111111111111112"))
   }
 
+  test("q282 secret scan: entropy gate flags the planted key, rejects the repeated-pattern decoy") {
+    val spark = SparkTestSession.spark
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def entGapOk(c: String): Boolean = {
+      val n = c.length
+      val s = c.groupBy(identity).values.map(_.length).filter(_ > 1)
+        .map(k => k.toLong *
+          math.floor(1e6 * math.log(k.toDouble)).toLong).sum
+      math.floor(1e6 * math.log(n.toDouble)).toLong * n - s >= 2000000L * n
+    }
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.flatMap { case (id, text) =>
+      val t = text +
+        (if (id % 7 == 0) " api_key=" + md5hex("sk:" + id) else "") +
+        (if (id % 7 == 3) " session=" + "ab" * 16 else "")
+      val cands = "[a-z0-9]{24,}".r.findAllIn(t).toSeq
+      if (cands.isEmpty) None
+      else {
+        val secrets = cands.filter(entGapOk).sorted
+        Some((id, cands.size.toLong, secrets.size.toLong,
+          md5hex(secrets.mkString(","))))
+      }
+    }.sortBy(_._1)
+    val rows = graft.operators.TextAnalysis
+      .secretScan(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(rows.toSeq == expect.toSeq)
+    // a real key is caught; the same-shape low-entropy decoy is not
+    assert(expect.exists(e => e._1 % 7 == 0 && e._3 == 1))
+    assert(expect.filter(_._1 % 7 == 3).forall(_._3 == 0))
+    assert(expect.exists(_._1 % 7 == 3), "decoy population must exist")
+  }
+
   test("k-anonymity audit: small classes and homogeneous classes both suppress") {
     // class (sA, bucket 0): 6 members, 2 langs → passes both gates;
     // class (sB, bucket 0): 2 members → k fails;

@@ -1257,6 +1257,30 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q281 relational division: count-matching form equals a set replay; both populations non-trivial") {
+    val ords = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey"), col("o_orderpriority")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val divisor = ords.map(_._2).distinct.toSet
+    val byCust = ords.distinct.groupBy(_._1)
+      .map { case (k, g) => (k, g.map(_._2).toSet) }
+    val segs = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val expect = byCust.toSeq
+      .map { case (k, ps) => (segs(k), ps == divisor) }
+      .groupBy(_._1)
+      .map { case (s, g) => (s, g.size.toLong, g.count(_._2).toLong) }
+      .toSeq.sortBy(_._1)
+    val got = graft.operators.Relational.relationalDivision(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == expect)
+    // division is only interesting when some buyers are complete and
+    // some are not
+    assert(got.map(_._3).sum > 0 && got.map(_._3).sum < got.map(_._2).sum)
+  }
+
   test("q280 LPM join matches a per-part driver replay; default route carries real misses") {
     def h(prefix: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
