@@ -356,6 +356,8 @@ object SparkEntry {
       Relational.relationalDivision(s, d)),
     "q282_secret_scan" -> ((s: SparkSession, d: String) =>
       TextAnalysis.secretScan(s, d)),
+    "q283_fs_linkage" -> ((s: SparkSession, d: String) =>
+      Dedup.fellegiSunter(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -4725,6 +4727,71 @@ object SparkEntry {
            CAST(COALESCE(s.n_secrets, 0) AS BIGINT) AS n_secrets,
            COALESCE(s.dg, md5('')) AS secret_digest
          FROM base b LEFT JOIN sagg s USING (doc_id)""",
+    // q283: the oracle brute-forces the candidate definition with a
+    // direct OR join (nation match OR lev<=1 name) — the engine must
+    // surface the identical pair set through its two equi-join
+    // blocking channels; weight arithmetic replayed verbatim as the
+    // same identical-tree double chains.
+    "q283_fs_linkage" ->
+      """WITH clean AS (
+           SELECT c_custkey AS clean_id, c_name AS cn,
+             CAST(c_nationkey AS BIGINT) AS c_nat,
+             CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS c_cents
+           FROM customer),
+         dirty AS (
+           SELECT c_custkey + 1000000 AS dirty_id,
+             CASE WHEN c_custkey % 2 = 0
+               THEN substring(c_name, 1, 1) || substring(c_name, 3)
+               ELSE c_name END AS dn,
+             CASE WHEN c_custkey % 5 = 0
+               THEN (CAST(c_nationkey AS BIGINT) + 7) % 25
+               ELSE CAST(c_nationkey AS BIGINT) END AS d_nat,
+             CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) +
+               CASE WHEN c_custkey % 3 = 0 THEN 100 ELSE 0 END AS d_cents
+           FROM customer WHERE c_custkey % 11 = 0),
+         w AS (
+           SELECT
+             CAST(FLOOR(1000000.0 * ln((19.0 * dn_) / 20.0)) AS BIGINT)
+               AS w_name_a,
+             CAST(FLOOR(1000000.0 * ln(dn_ / (20.0 * (dn_ - 1.0))))
+               AS BIGINT) AS w_name_d,
+             CAST(FLOOR(1000000.0 * ln((19.0 * n_ * n_) / (20.0 * s2_)))
+               AS BIGINT) AS w_nat_a,
+             CAST(FLOOR(1000000.0 * ln((n_ * n_) / (20.0 * (n_ * n_ - s2_))))
+               AS BIGINT) AS w_nat_d,
+             CAST(FLOOR(1000000.0 * ln((19.0 * db_) / 20.0)) AS BIGINT)
+               AS w_bal_a,
+             CAST(FLOOR(1000000.0 * ln(db_ / (20.0 * (db_ - 1.0))))
+               AS BIGINT) AS w_bal_d
+           FROM (SELECT CAST(COUNT(DISTINCT cn) AS DOUBLE) AS dn_,
+                   CAST(COUNT(DISTINCT c_cents) AS DOUBLE) AS db_,
+                   CAST(COUNT(*) AS DOUBLE) AS n_
+                 FROM clean),
+                (SELECT CAST(SUM(c * c) AS DOUBLE) AS s2_
+                 FROM (SELECT COUNT(*) AS c FROM clean GROUP BY c_nat))),
+         cand AS (
+           SELECT d.dirty_id, c.clean_id, d.dn, c.cn, d.d_nat, c.c_nat,
+             d.d_cents, c.c_cents
+           FROM dirty d JOIN clean c
+             ON d.d_nat = c.c_nat OR levenshtein(d.dn, c.cn) <= 1),
+         scored AS (
+           SELECT dirty_id, clean_id,
+             levenshtein(dn, cn) <= 1 AS name_agree,
+             d_nat = c_nat AS nat_agree,
+             d_cents = c_cents AS bal_agree,
+             CAST((CASE WHEN levenshtein(dn, cn) <= 1
+                 THEN w.w_name_a ELSE w.w_name_d END)
+               + (CASE WHEN d_nat = c_nat
+                 THEN w.w_nat_a ELSE w.w_nat_d END)
+               + (CASE WHEN d_cents = c_cents
+                 THEN w.w_bal_a ELSE w.w_bal_d END) AS BIGINT)
+               AS score_micro
+           FROM cand, w)
+         SELECT dirty_id, clean_id, name_agree, nat_agree, bal_agree,
+           score_micro,
+           CASE WHEN score_micro >= 12000000 THEN 'match'
+                WHEN score_micro >= 1000000 THEN 'possible' END AS verdict
+         FROM scored WHERE score_micro >= 1000000""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

@@ -379,6 +379,110 @@ object Dedup {
       .select(col("dirty_id"), col("clean_id"), col("dist"))
   }
 
+  /** The q283 driver entry: FELLEGI–SUNTER PROBABILISTIC LINKAGE —
+    * the SCORING layer q111's blocking feeds (Fellegi & Sunter 1969,
+    * the model behind every production record-linkage system):
+    * per-field agreement weights ln(m/u) for agreement and
+    * ln((1−m)/(1−u)) for disagreement, summed into a log-likelihood
+    * score, thresholded into match / possible / non-match. m (field
+    * agreement probability among TRUE matches) is the conventional
+    * fixed 19/20; u (chance agreement among NON-matches) is estimated
+    * FROM THE DATA: 1/|distinct| for the high-cardinality fields
+    * (name, balance cents), Σ cntᵢ²/N² over the nation distribution
+    * for the bounded field — all exact-integer sufficient statistics,
+    * each weight ONE identical-tree double chain floored to
+    * micro-nats (the q170 discipline), so scores compare as BIGINTs.
+    *
+    * Candidates come from a two-channel blocking UNION (the
+    * multi-pass posture real linkers run): same-nation equi-join ∪
+    * name deletion-neighborhood (q111's device, complete for
+    * levenshtein ≤ 1 and post-filtered to it) — a nation-flipped
+    * record is still reachable through its name, a name-mangled one
+    * through its nation; the dirty×clean cartesian never forms. The
+    * perturbed copy plants all three damage types (char deletion
+    * %2, nation flip %5, +100-cent balance drift %3), so every
+    * agreement pattern and verdict class is exercised. Only
+    * match/possible pairs emit (a linker's output); the oracle
+    * brute-forces the same candidate definition with a direct OR
+    * join and replays the weight arithmetic verbatim.
+    *
+    * Scale shape: both blocking channels are equi-joins (nation key;
+    * deletion key); scoring is row-local on the candidate grain; the
+    * weights ride in as a broadcast 1-row frame. N² terms live in
+    * DOUBLE (exact to 2⁵³ — documented bound, the q221 rule).
+    */
+  def fellegiSunter(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.load(spark, sfDir, "customer")
+    val clean = cust.select(
+      col("c_custkey").as("clean_id"), col("c_name").as("cn"),
+      col("c_nationkey").cast("long").as("c_nat"),
+      floor(col("c_acctbal") * 100.0 + 0.5).cast("long").as("c_cents"))
+    val dirty = cust.filter(col("c_custkey") % 11 === 0)
+      .select((col("c_custkey") + 1000000L).as("dirty_id"),
+        when(col("c_custkey") % 2 === 0,
+          concat(col("c_name").substr(lit(1), lit(1)),
+            expr("substring(c_name, 3)")))
+          .otherwise(col("c_name")).as("dn"),
+        when(col("c_custkey") % 5 === 0,
+          (col("c_nationkey").cast("long") + 7) % 25)
+          .otherwise(col("c_nationkey").cast("long")).as("d_nat"),
+        (floor(col("c_acctbal") * 100.0 + 0.5).cast("long") +
+          when(col("c_custkey") % 3 === 0, 100L).otherwise(0L))
+          .as("d_cents"))
+    // channel A: nation equi-join
+    val blockA = dirty.select(col("dirty_id"), col("d_nat").as("bk"))
+      .join(clean.select(col("clean_id"), col("c_nat").as("bk")), "bk")
+      .select(col("dirty_id"), col("clean_id"))
+    // channel B: deletion-neighborhood on name (q111), lev <= 1
+    def delKeys(df: DataFrame, c: String) =
+      df.select(col("*"), explode(array_union(array(col(c)),
+        transform(sequence(lit(1), length(col(c))), i =>
+          concat(col(c).substr(lit(1), i - lit(1)),
+            col(c).substr(i + lit(1), length(col(c)) - i))))).as("k"))
+    val blockB = delKeys(dirty.select(col("dirty_id"), col("dn")), "dn")
+      .join(delKeys(clean.select(col("clean_id"), col("cn")), "cn"), "k")
+      .filter(levenshtein(col("dn"), col("cn")) <= 1)
+      .select(col("dirty_id"), col("clean_id"))
+    val cand = blockA.unionByName(blockB).distinct()
+    // u statistics + micro-nat weights as a broadcast 1-row frame
+    val stats = clean.agg(
+        count_distinct(col("cn")).cast("double").as("dn_"),
+        count_distinct(col("c_cents")).cast("double").as("db_"),
+        count(lit(1)).cast("double").as("n_"))
+      .crossJoin(clean.groupBy(col("c_nat")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).cast("double").as("s2_")))
+    val weights = stats.select(
+      expr("CAST(FLOOR(1000000.0 * ln((19.0 * dn_) / 20.0)) AS BIGINT)")
+        .as("w_name_a"),
+      expr("CAST(FLOOR(1000000.0 * ln(dn_ / (20.0 * (dn_ - 1.0)))) AS BIGINT)")
+        .as("w_name_d"),
+      expr("CAST(FLOOR(1000000.0 * ln((19.0 * n_ * n_) / (20.0 * s2_))) AS BIGINT)")
+        .as("w_nat_a"),
+      expr("CAST(FLOOR(1000000.0 * ln((n_ * n_) / (20.0 * (n_ * n_ - s2_)))) AS BIGINT)")
+        .as("w_nat_d"),
+      expr("CAST(FLOOR(1000000.0 * ln((19.0 * db_) / 20.0)) AS BIGINT)")
+        .as("w_bal_a"),
+      expr("CAST(FLOOR(1000000.0 * ln(db_ / (20.0 * (db_ - 1.0)))) AS BIGINT)")
+        .as("w_bal_d"))
+    cand
+      .join(dirty, "dirty_id").join(clean, "clean_id")
+      .crossJoin(broadcast(weights))
+      .withColumn("name_agree", levenshtein(col("dn"), col("cn")) <= 1)
+      .withColumn("nat_agree", col("d_nat") === col("c_nat"))
+      .withColumn("bal_agree", col("d_cents") === col("c_cents"))
+      .withColumn("score_micro",
+        when(col("name_agree"), col("w_name_a")).otherwise(col("w_name_d")) +
+        when(col("nat_agree"), col("w_nat_a")).otherwise(col("w_nat_d")) +
+        when(col("bal_agree"), col("w_bal_a")).otherwise(col("w_bal_d")))
+      .withColumn("verdict",
+        when(col("score_micro") >= 12000000L, "match")
+          .when(col("score_micro") >= 1000000L, "possible"))
+      .filter(col("verdict").isNotNull)
+      .select(col("dirty_id"), col("clean_id"), col("name_agree"),
+        col("nat_agree"), col("bal_agree"),
+        col("score_micro").cast("long").as("score_micro"), col("verdict"))
+  }
+
   /** INCREMENTAL near-dup: pairs that involve at least one NEW doc,
     * against a persisted signature corpus — the shape a daily 100 TB
     * ingest needs: signatures for history are READ (tiny: 64 longs per

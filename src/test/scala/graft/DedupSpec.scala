@@ -536,6 +536,64 @@ class DedupSpec extends AnyFunSuite {
       s"blocked=${got.size} brute=${want.size} missing=${(want -- got).take(3)}")
   }
 
+  test("q283 Fellegi-Sunter: blocked scoring equals a brute-force replay; all verdicts exercised") {
+    import graft.sources.Tables
+    val sf = SparkTestSession.sf
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i max j)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = (d(i - 1)(j) + 1) min (d(i)(j - 1) + 1) min
+          (d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val custs = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        col("c_nationkey").cast("long"),
+        floor(col("c_acctbal") * 100.0 + 0.5).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val clean = custs.map { case (k, n, nat, c) => (k, n, nat, c) }
+    val dirty = custs.filter(_._1 % 11 == 0).map { case (k, n, nat, c) =>
+      (k + 1000000L,
+        if (k % 2 == 0) n.take(1) + n.drop(2) else n,
+        if (k % 5 == 0) (nat + 7) % 25 else nat,
+        if (k % 3 == 0) c + 100 else c)
+    }
+    // weights: same identical-tree double chains as the operator
+    val dn = clean.map(_._2).distinct.length.toDouble
+    val db = clean.map(_._4).distinct.length.toDouble
+    val n = clean.length.toDouble
+    val s2 = clean.groupBy(_._3).values.map(g => g.size.toLong)
+      .map(c => c * c).sum.toDouble
+    def w(x: Double) = math.floor(1000000.0 * math.log(x)).toLong
+    val (wna, wnd) = (w((19.0 * dn) / 20.0), w(dn / (20.0 * (dn - 1.0))))
+    val (wta, wtd) = (w((19.0 * n * n) / (20.0 * s2)),
+      w((n * n) / (20.0 * (n * n - s2))))
+    val (wba, wbd) = (w((19.0 * db) / 20.0), w(db / (20.0 * (db - 1.0))))
+    val want = (for {
+      (did, dnm, dnat, dc) <- dirty
+      (cid, cnm, cnat, cc) <- clean
+      if dnat == cnat || lev(dnm, cnm) <= 1
+      na = lev(dnm, cnm) <= 1; ta = dnat == cnat; ba = dc == cc
+      s = (if (na) wna else wnd) + (if (ta) wta else wtd) +
+        (if (ba) wba else wbd)
+      if s >= 1000000L
+    } yield (did, cid, na, ta, ba, s,
+      if (s >= 12000000L) "match" else "possible")).toSet
+    val got = graft.operators.Dedup.fellegiSunter(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getLong(5), r.getString(6)))
+      .toSet
+    assert(got == want,
+      s"blocked=${got.size} brute=${want.size} missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // both verdicts live; a nation-flipped true pair is still found
+    assert(got.exists(_._7 == "match") && got.exists(_._7 == "possible"))
+    assert(got.exists(p => !p._4 && p._1 - 1000000L == p._2),
+      "the name channel must rescue a nation-flipped true pair")
+    // every true pair with at least two agreeing fields is recovered
+    val trueRecovered = got.count(p => p._1 - 1000000L == p._2)
+    assert(trueRecovered > 0)
+  }
+
   test("hyperplane plane families are disjoint across offsets") {
     import graft.functions.VectorExpressions.lsh_bucket
     val df = Seq((1L, Array.fill(16)(0.5f))).toDF("vec_id", "embedding")
