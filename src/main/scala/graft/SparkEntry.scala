@@ -358,6 +358,8 @@ object SparkEntry {
       TextAnalysis.secretScan(s, d)),
     "q283_fs_linkage" -> ((s: SparkSession, d: String) =>
       Dedup.fellegiSunter(s, d)),
+    "q284_ulm_train" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.ulmTrain(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -642,6 +644,100 @@ object SparkEntry {
 
   /** Normalized-text SQL twin of TextAnalysis.normalizedText. */
   private val normText = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** Generated DuckDB replay of TextAnalysis.ulmTrain (q284): seed
+    * substring counts over the distinct-word dictionary, then per
+    * round a CHAINED-CTE Viterbi (one b-table per word position —
+    * the bounded-unroll encoding of the DP the Spark side runs as a
+    * row-local nested `aggregate` HOF; two independent encodings of
+    * the identical recurrence) followed by the usage re-count and
+    * cost re-estimation. Tie-break = ORDER BY (cost, n, path) with
+    * rk=1, the oracle twin of the Spark struct total order. maxLen
+    * caps the unroll: a dictionary word longer than maxLen would
+    * drop from the usage count and fail the gate loudly (fixture max
+    * is 8).
+    */
+  private def ulmTrainOracleSql(
+      rounds: Int, multiK: Int, maxPiece: Int, maxLen: Int): String = {
+    val wd =
+      s"""wd AS MATERIALIZED (
+           SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+             SELECT UNNEST(string_split($normText, ' ')) AS w
+             FROM documents) t
+           WHERE w <> '' GROUP BY 1)"""
+    val sub =
+      s"""sub AS MATERIALIZED (
+           SELECT substr(w, CAST(i AS INT), CAST(k AS INT)) AS piece,
+             CAST(SUM(c) AS BIGINT) AS cnt
+           FROM wd,
+             LATERAL (SELECT UNNEST(range(1, len(w) + 1)) AS i) a,
+             LATERAL (SELECT UNNEST(range(1, $maxPiece + 1)) AS k) b
+           WHERE i + k - 1 <= len(w)
+           GROUP BY 1)"""
+    val v0 =
+      s"""v0p AS MATERIALIZED (
+           SELECT piece, cnt FROM sub WHERE len(piece) = 1
+           UNION ALL
+           SELECT piece, cnt FROM (
+             SELECT piece, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS rk
+             FROM sub WHERE len(piece) >= 2) t WHERE rk <= $multiK),
+         v0 AS MATERIALIZED (
+           SELECT piece, cnt,
+             -CAST(FLOOR(1000000.0 * ln(CAST(cnt AS DOUBLE) /
+               CAST(tot AS DOUBLE))) AS BIGINT) AS cost
+           FROM v0p, (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM v0p) s)"""
+    val perRound = (1 to rounds).flatMap { r =>
+      val b0 =
+        s"""b${r}_0 AS (
+             SELECT w, c, CAST(0 AS BIGINT) AS bc,
+               CAST(0 AS BIGINT) AS bn, '' AS bp FROM wd)"""
+      val positions = (1 to maxLen).map { i =>
+        val unionK = (1 to math.min(maxPiece, i)).map { k =>
+          s"""SELECT w, c, bc, bn, bp, $k AS k
+              FROM b${r}_${i - k} WHERE len(w) >= $i"""
+        }.mkString(" UNION ALL ")
+        val path =
+          "CASE WHEN cand.bp = '' THEN v.piece ELSE cand.bp || ' ' || v.piece END"
+        s"""b${r}_$i AS MATERIALIZED (
+             SELECT w, c, bc, bn, bp FROM (
+               SELECT cand.w, cand.c,
+                 cand.bc + v.cost AS bc, cand.bn + 1 AS bn,
+                 $path AS bp,
+                 ROW_NUMBER() OVER (PARTITION BY cand.w ORDER BY
+                   cand.bc + v.cost ASC, cand.bn + 1 ASC, $path ASC) AS rk
+               FROM ($unionK) cand
+               JOIN v${r - 1} v
+                 ON v.piece = substr(cand.w, $i - cand.k + 1, cand.k)
+             ) q WHERE rk = 1)"""
+      }
+      val eSel = (1 to maxLen).map(i =>
+        s"SELECT w, c, bp FROM b${r}_$i WHERE len(w) = $i")
+        .mkString(" UNION ALL ")
+      val em = Seq(
+        s"e$r AS MATERIALIZED ($eSel)",
+        s"""u$r AS MATERIALIZED (
+             SELECT piece, CAST(SUM(c) AS BIGINT) AS u FROM (
+               SELECT c, UNNEST(string_split(bp, ' ')) AS piece
+               FROM e$r) t
+             GROUP BY 1)""",
+        s"""v${r}p AS MATERIALIZED (
+             SELECT v.piece,
+               COALESCE(u.u, 0) +
+                 CASE WHEN len(v.piece) = 1 THEN 1 ELSE 0 END AS cnt
+             FROM v${r - 1} v LEFT JOIN u$r u USING (piece)
+             WHERE COALESCE(u.u, 0) > 0 OR len(v.piece) = 1)""",
+        s"""v$r AS MATERIALIZED (
+             SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+               -CAST(FLOOR(1000000.0 * ln(CAST(cnt AS DOUBLE) /
+                 CAST(tot AS DOUBLE))) AS BIGINT) AS cost
+             FROM v${r}p, (SELECT CAST(SUM(cnt) AS BIGINT) AS tot
+               FROM v${r}p) s)""")
+      Seq(b0) ++ positions ++ em
+    }
+    (Seq(wd, sub, v0) ++ perRound).mkString("WITH ", ",\n", "\n") +
+      s"SELECT piece, cnt AS n_uses, cost AS cost_micro FROM v$rounds"
+  }
 
   /** Generated DuckDB replay of TextAnalysis.bpeTrain (q155): the
     * same N-round BPE loop as chained CTEs — s0 wraps every char in
@@ -4792,6 +4888,10 @@ object SparkEntry {
            CASE WHEN score_micro >= 12000000 THEN 'match'
                 WHEN score_micro >= 1000000 THEN 'possible' END AS verdict
          FROM scored WHERE score_micro >= 1000000""",
+    // q284: ULM hard-EM trainer — generated chained-CTE replay
+    // (per-position Viterbi unroll vs the engine's nested HOF DP).
+    "q284_ulm_train" -> ulmTrainOracleSql(
+      rounds = 2, multiK = 48, maxPiece = 4, maxLen = 12),
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

@@ -408,6 +408,125 @@ object TextAnalysis {
     (vocab, encoded)
   }
 
+  /** The q284 driver entry: UNIGRAM-LM (SentencePiece-family)
+    * TOKENIZER TRAINER — the third tokenizer family, completing the
+    * set: BPE grows a vocabulary bottom-up by merging (q155/q164),
+    * WordPiece consumes greedily left-to-right (q261), and ULM
+    * (Kudo 2018) starts from an OVER-COMPLETE seed vocabulary and
+    * prunes it by language-model fit — each round re-segments the
+    * corpus under current piece costs and re-estimates costs from
+    * usage, so pieces that stop earning their keep fall out. This is
+    * the hard-EM (Viterbi-count) variant: the E-step takes each
+    * word's single best segmentation rather than expected counts — a
+    * standard exact-arithmetic reduction of Kudo's EM.
+    *
+    * Exactness devices: piece costs are −⌊10⁶ ln(cnt/total)⌋ integer
+    * micro-nats (ONE identical-tree double chain per piece, the q141
+    * rule), so Viterbi compares pure BIGINT path costs; ties break by
+    * the total order (cost, n_pieces, path) — lexicographic struct
+    * compare in Spark, ORDER BY + rk=1 in the oracle; the path
+    * strings under comparison always have equal length (equal piece
+    * count over the same word prefix), so the tie-break is
+    * DP-consistent. Both engines run the IDENTICAL recurrence — the
+    * oracle as a generated chain of per-position CTEs (q155's
+    * MATERIALIZED-replay discipline), Spark as a row-local nested
+    * `aggregate` HOF — so equality checks the algorithm through two
+    * independent encodings.
+    *
+    * Scale shape (the q155 dictionary lesson, applied from the
+    * start): training touches the DISTINCT-word dictionary weighted
+    * by count — seed substring counting, every Viterbi pass, and
+    * usage re-estimation are all dictionary-grain; corpus rows are
+    * read once to build the dictionary. The vocabulary is a bounded
+    * artifact (chars + top-[[ulmMultiK]] grams), so per-round state
+    * collects driver-side under the bounded-domain rule and ships
+    * back as a map literal — no joins inside the DP at all.
+    */
+  def ulmTrain(spark: SparkSession, sfDir: String,
+      rounds: Int = 2, multiK: Int = 48, maxPiece: Int = 4): DataFrame = {
+    import spark.implicits._
+    val words = Tables.load(spark, sfDir, "documents")
+      .select(explode(split(normalizedText(col("text")), " ")).as("w"))
+      .where(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint(true) // feeds the seed AND every E-step
+    // seed: every <=maxPiece substring of every dictionary word,
+    // weighted by word count; chars always kept (encoding closure),
+    // multi-char pieces tie-pinned top-K
+    val sub = words
+      .select(col("c"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)), i ->
+              transform(sequence(1, least($maxPiece, length(w) - i + 1)),
+                k -> substring(w, i, k))))""")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("c")).cast("long").as("cnt"))
+    val seed = sub.filter(length(col("piece")) === 1)
+      .unionByName(sub.filter(length(col("piece")) >= 2)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("piece").asc)))
+        .filter(col("rk") <= multiK).drop("rk"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq.sortBy(_._1)
+    // micro-nat costs: the same IEEE chain the oracle runs —
+    // -FLOOR(1e6 * ln(cnt/tot))
+    def withCosts(cnts: Seq[(String, Long)]): Map[String, Long] = {
+      val tot = cnts.map(_._2).sum
+      cnts.map { case (p, c) =>
+        p -> -math.floor(
+          1000000.0 * math.log(c.toDouble / tot.toDouble)).toLong
+      }.toMap
+    }
+    var counts = seed
+    var costs = withCosts(counts)
+    for (_ <- 1 to rounds) {
+      val usage = words
+        .select(col("w"), col("c"), typedlit(costs).as("vm"))
+        .select(col("c"), expr(ulmViterbiExpr(maxPiece)).as("path"))
+        .select(col("c"), explode(split(col("path"), " ")).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("c")).cast("long").as("u"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // prune zero-usage multi-char pieces; chars survive with
+      // add-one smoothing (closure must never break)
+      counts = counts.flatMap { case (p, _) =>
+        val u = usage.getOrElse(p, 0L)
+        if (u > 0 || p.length == 1)
+          Some(p -> (u + (if (p.length == 1) 1L else 0L)))
+        else None
+      }
+      costs = withCosts(counts)
+    }
+    counts.map { case (p, c) => (p, c, costs(p)) }
+      .toDF("piece", "n_uses", "cost_micro")
+  }
+
+  /** Row-local Viterbi over one dictionary word `w` under the map
+    * column `vm` (piece → micro-nat cost): nested `aggregate` HOFs —
+    * outer over positions building the best-state array, inner over
+    * the <=maxPiece last-piece lengths — with the (cost, n, path)
+    * struct total order doing both optimization and tie-break.
+    */
+  private def ulmViterbiExpr(maxPiece: Int): String = {
+    val piece = "substring(w, i - k + 1, k)"
+    val prev = "element_at(acc, i - k + 1)"
+    val cand = s"""named_struct(
+        'bc', $prev.bc + element_at(vm, $piece),
+        'bn', $prev.bn + CAST(1 AS BIGINT),
+        'bp', CASE WHEN $prev.bp = '' THEN $piece
+              ELSE $prev.bp || ' ' || $piece END)"""
+    s"""element_at(
+       aggregate(sequence(1, length(w)),
+         array(named_struct('bc', CAST(0 AS BIGINT),
+           'bn', CAST(0 AS BIGINT), 'bp', '')),
+         (acc, i) -> acc || array(
+           aggregate(sequence(1, least($maxPiece, i)),
+             named_struct('bc', CAST(4611686018427387904 AS BIGINT),
+               'bn', CAST(0 AS BIGINT), 'bp', ''),
+             (best, k) -> CASE
+               WHEN element_at(vm, $piece) IS NULL THEN best
+               WHEN $cand < best THEN $cand
+               ELSE best END))),
+       length(w) + 1).bp"""
+  }
+
   /** The q252 driver entry: RECIPROCAL RANK FUSION — the standard
     * zero-training ensemble for combining heterogeneous retrieval
     * lists (Cormack et al. 2009 shape): each system contributes

@@ -905,4 +905,69 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(entry.map(_._5).sum <= 1000000L)
     entry.foreach { case (_, p, len, _, _) => assert(len == p.length.toLong) }
   }
+
+  test("q284 ULM trainer: hard-EM rounds equal an independent Scala replay; pruning fires; closure holds") {
+    val sf = SparkTestSession.sf
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("text")).collect().map(_.getString(0))
+      .flatMap(t => t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, g) => (w, g.length.toLong) }.toSeq
+    val sub = collection.mutable.Map[String, Long]()
+    for ((w, c) <- words; i <- 0 until w.length;
+         k <- 1 to math.min(4, w.length - i)) {
+      val p = w.substring(i, i + k)
+      sub(p) = sub.getOrElse(p, 0L) + c
+    }
+    var counts = (sub.filter(_._1.length == 1).toSeq ++
+      sub.filter(_._1.length >= 2).toSeq
+        .sortBy { case (p, c) => (-c, p) }.take(48)).sortBy(_._1)
+    def costsOf(cs: Seq[(String, Long)]): Map[String, Long] = {
+      val tot = cs.map(_._2).sum
+      cs.map { case (p, c) => p ->
+        -math.floor(1e6 * math.log(c.toDouble / tot.toDouble)).toLong }.toMap
+    }
+    var costs = costsOf(counts)
+    def lt(a: (Long, Long, String), b: (Long, Long, String)) =
+      a._1 < b._1 || (a._1 == b._1 &&
+        (a._2 < b._2 || (a._2 == b._2 && a._3 < b._3)))
+    def viterbi(w: String): Seq[String] = {
+      val best = Array.fill[(Long, Long, String)](w.length + 1)((0L, 0L, ""))
+      for (i <- 1 to w.length) {
+        var b = (4611686018427387904L, 0L, "")
+        for (k <- 1 to math.min(4, i)) {
+          val p = w.substring(i - k, i)
+          costs.get(p).foreach { cst =>
+            val prev = best(i - k)
+            val cand = (prev._1 + cst, prev._2 + 1,
+              if (prev._3 == "") p else prev._3 + " " + p)
+            if (lt(cand, b)) b = cand
+          }
+        }
+        best(i) = b
+      }
+      best(w.length)._3.split(" ").toSeq
+    }
+    for (_ <- 1 to 2) {
+      val usage = collection.mutable.Map[String, Long]()
+      for ((w, c) <- words; p <- viterbi(w))
+        usage(p) = usage.getOrElse(p, 0L) + c
+      counts = counts.flatMap { case (p, _) =>
+        val u = usage.getOrElse(p, 0L)
+        if (u > 0 || p.length == 1)
+          Some(p -> (u + (if (p.length == 1) 1L else 0L)))
+        else None
+      }
+      costs = costsOf(counts)
+    }
+    val want = counts.map { case (p, c) => (p, c, costs(p)) }.toSet
+    val got = TextAnalysis.ulmTrain(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(got.exists(_._1.length >= 2), "multi-char pieces must survive")
+    assert(got.count(_._1.length >= 2) < 48, "seed pruning must fire")
+    // closure: every dictionary word re-encodes losslessly
+    for ((w, _) <- words)
+      assert(viterbi(w).mkString("") == w, s"lossy encode of $w")
+  }
 }
