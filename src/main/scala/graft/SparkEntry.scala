@@ -362,6 +362,8 @@ object SparkEntry {
       TextAnalysis.ulmTrain(s, d)),
     "q285_ulm_encode" -> ((s: SparkSession, d: String) =>
       TextAnalysis.ulmEncode(s, d)),
+    "q286_shapley_attribution" -> ((s: SparkSession, d: String) =>
+      Experiment.shapleyAttribution(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -4942,6 +4944,68 @@ object SparkEntry {
     // generated Viterbi chain + per-doc fertility aggregate.
     "q285_ulm_encode" -> ulmEncodeOracleSql(
       rounds = 2, multiK = 48, maxPiece = 4, maxLen = 12),
+    // q286: Shapley over the data-derived channel lattice, built in
+    // SQL from bit masks; v(S) in micros, credit as the exact
+    // integer numerator beside n! — no signed division anywhere.
+    "q286_shapley_attribution" ->
+      """WITH ch AS (
+           SELECT event_type AS c,
+             CAST(ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS INT)
+               AS idx
+           FROM (SELECT DISTINCT event_type FROM events
+                 WHERE event_type <> 'purchase') t),
+         nn AS (SELECT CAST(COUNT(*) AS INT) AS n FROM ch),
+         fp AS (SELECT user_id, MIN(ts) AS fp FROM events
+                WHERE event_type = 'purchase' GROUP BY 1),
+         expo AS (
+           SELECT e.user_id,
+             string_agg(DISTINCT e.event_type, ','
+               ORDER BY e.event_type) AS key
+           FROM events e LEFT JOIN fp USING (user_id)
+           WHERE e.event_type <> 'purchase'
+             AND (fp.fp IS NULL OR e.ts < fp.fp)
+           GROUP BY 1),
+         us AS (SELECT DISTINCT user_id FROM events),
+         stats AS (
+           SELECT COALESCE(x.key, '') AS key,
+             CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(CASE WHEN fp.user_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS c
+           FROM us LEFT JOIN expo x USING (user_id)
+           LEFT JOIN fp USING (user_id)
+           GROUP BY 1),
+         masks AS (SELECT CAST(UNNEST(range(0,
+             1 << (SELECT n FROM nn))) AS INT) AS mk),
+         subs AS (
+           SELECT mk,
+             COALESCE(string_agg(c, ',' ORDER BY c)
+               FILTER (WHERE (mk >> idx) & 1 = 1), '') AS key,
+             CAST(COUNT(*) FILTER (WHERE (mk >> idx) & 1 = 1) AS INT)
+               AS sz
+           FROM masks, ch GROUP BY mk),
+         vv AS (
+           SELECT s.mk, s.sz,
+             COALESCE(CAST(st.c * 1000000 // st.m AS BIGINT), 0) AS vmu
+           FROM subs s LEFT JOIN stats st USING (key)),
+         terms AS (
+           SELECT ch.c AS channel,
+             CAST(factorial(v0.sz) *
+               factorial((SELECT n FROM nn) - 1 - v0.sz) AS BIGINT)
+               * (v1.vmu - v0.vmu) AS term
+           FROM ch
+           JOIN vv v0 ON (v0.mk >> ch.idx) & 1 = 0
+           JOIN vv v1 ON v1.mk = v0.mk | (1 << ch.idx)),
+         phi AS (SELECT channel, CAST(SUM(term) AS BIGINT) AS phi_num
+                 FROM terms GROUP BY 1),
+         nexp AS (
+           SELECT ch.c AS channel,
+             CAST(COALESCE(SUM(st.m), 0) AS BIGINT) AS n_exposed
+           FROM ch LEFT JOIN stats st
+             ON (',' || st.key || ',') LIKE ('%,' || ch.c || ',%')
+           GROUP BY 1)
+         SELECT p.channel, nexp.n_exposed, p.phi_num,
+           CAST((SELECT n FROM nn) AS BIGINT) AS n_channels
+         FROM phi p JOIN nexp USING (channel)""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

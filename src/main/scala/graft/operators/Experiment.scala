@@ -1222,6 +1222,73 @@ object Experiment {
         expr("CAST(fit_key DIV 1000000 AS BIGINT)").as("fit_micro"))
   }
 
+  /** The q286 driver entry: SHAPLEY-VALUE CHANNEL ATTRIBUTION — the
+    * game-theoretic upgrade of q130's last-touch heuristic (Shao &
+    * Li 2011, the model behind data-driven attribution products):
+    * each user's pre-conversion exposure SET of channels defines a
+    * coalition; the characteristic function v(S) is the observed
+    * conversion rate of users exposed to exactly S; each channel's
+    * credit is its Shapley value over that game — the unique
+    * attribution satisfying efficiency/symmetry/dummy, where
+    * last-touch provably over-credits bottom-funnel channels.
+    *
+    * Exactness: v(S) folds to integer micros (c·10⁶ DIV m, both
+    * nonnegative — no division-sign hazard); the Shapley sum is
+    * emitted as its EXACT INTEGER NUMERATOR Σ_S |S|!(n−1−|S|)!·
+    * (vμ(S∪i) − vμ(S)) beside the n! denominator — no float, no
+    * truncating division of a signed quantity, order-independent.
+    * Unobserved subsets take v = 0 (the Shao–Li convention).
+    *
+    * Scale shape: the corpus-scale work is one first-purchase
+    * aggregate and one exposure-set aggregate, both user-keyed; the
+    * subset lattice is 2^|channels| over the BOUNDED type domain, so
+    * it collects driver-side (q270's bounded-matrix rule) and the
+    * Shapley arithmetic costs nothing. At 100 TB nothing but the two
+    * user-grain exchanges touches the events.
+    */
+  def shapleyAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, sfDir, "events")
+    val firstP = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("fp"))
+    val channels: Seq[String] = ev
+      .filter(col("event_type") =!= "purchase")
+      .select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val exposure = ev.filter(col("event_type") =!= "purchase")
+      .join(firstP, Seq("user_id"), "left")
+      .filter(col("fp").isNull || col("ts") < col("fp"))
+      .groupBy(col("user_id"))
+      .agg(concat_ws(",", array_sort(collect_set(col("event_type"))))
+        .as("key"))
+    val stats = ev.select(col("user_id")).distinct()
+      .join(exposure, Seq("user_id"), "left")
+      .join(firstP.select(col("user_id"), lit(1L).as("conv")),
+        Seq("user_id"), "left")
+      .groupBy(coalesce(col("key"), lit("")).as("key"))
+      .agg(count(lit(1)).cast("long").as("m"),
+        sum(coalesce(col("conv"), lit(0L))).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getString(0).split(",").filter(_.nonEmpty).toSet,
+        (r.getLong(1), r.getLong(2)))).toMap
+    val n = channels.length
+    def fact(x: Int): Long = (1 to x).map(_.toLong).product
+    def vmu(s: Set[String]): Long =
+      stats.get(s).map { case (m, c) => c * 1000000L / m }.getOrElse(0L)
+    channels.map { ch =>
+      val others = channels.filterNot(_ == ch)
+      var phi = 0L
+      for (mask <- 0 until (1 << (n - 1))) {
+        val s = others.zipWithIndex
+          .collect { case (c2, i) if ((mask >> i) & 1) == 1 => c2 }.toSet
+        phi += fact(s.size) * fact(n - 1 - s.size) * (vmu(s + ch) - vmu(s))
+      }
+      val nExp = stats.collect {
+        case (s, (m, _)) if s.contains(ch) => m }.sum
+      (ch, nExp, phi, n.toLong)
+    }.toDF("channel", "n_exposed", "phi_num", "n_channels")
+  }
+
   /** The q277 driver entry: MAD ROBUST OUTLIER GATE — the
     * median-absolute-deviation screen that survives exactly the heavy
     * tails that break a mean/stddev z-score (one whale purchase

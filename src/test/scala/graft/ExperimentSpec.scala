@@ -737,6 +737,45 @@ class ExperimentSpec extends AnyFunSuite {
       "fixture must exercise the pooling path (a raw-rate violation)")
   }
 
+  test("q286 Shapley attribution: equals a direct lattice replay; efficiency law holds") {
+    val channels = events.map(_._4).distinct.filter(_ != "purchase").sorted
+    val n = channels.length
+    val firstP = events.filter(_._4 == "purchase")
+      .groupBy(_._1).map { case (u, g) => (u, g.map(_._2).min) }
+    val users = events.map(_._1).distinct
+    val stats = users.map { u =>
+      val fp = firstP.get(u)
+      val key = events.filter(e => e._1 == u && e._4 != "purchase" &&
+        fp.forall(e._2 < _)).map(_._4).distinct.toSet
+      (key, fp.isDefined)
+    }.groupBy(_._1).map { case (s, g) =>
+      (s, (g.size.toLong, g.count(_._2).toLong)) }
+    def fact(x: Int): Long = (1 to x).map(_.toLong).product
+    def vmu(s: Set[String]): Long =
+      stats.get(s).map { case (m, c) => c * 1000000L / m }.getOrElse(0L)
+    val want = channels.map { ch =>
+      val others = channels.filterNot(_ == ch)
+      var phi = 0L
+      for (mask <- 0 until (1 << (n - 1))) {
+        val s = others.zipWithIndex
+          .collect { case (c2, i) if ((mask >> i) & 1) == 1 => c2 }.toSet
+        phi += fact(s.size) * fact(n - 1 - s.size) * (vmu(s + ch) - vmu(s))
+      }
+      (ch, stats.collect { case (s, (m, _)) if s.contains(ch) => m }.sum,
+        phi, n.toLong)
+    }
+    val got = Experiment.shapleyAttribution(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // efficiency: Sum phi_num = n! * (v(N) - v(empty)) — the credit
+    // exactly exhausts the full-coalition lift
+    assert(got.map(_._3).sum ==
+      fact(n) * (vmu(channels.toSet) - vmu(Set.empty)))
+    // the game is non-trivial: some channel earns nonzero credit
+    assert(got.exists(_._3 != 0L))
+  }
+
   test("q277 MAD outliers: medians and gate match a per-type replay; robust to a planted whale") {
     val cents = events.map { case (_, _, _, t, v) =>
       (t, math.floor(v * 100.0 + 0.5).toLong) }
