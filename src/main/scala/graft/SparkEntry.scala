@@ -364,6 +364,8 @@ object SparkEntry {
       TextAnalysis.ulmEncode(s, d)),
     "q286_shapley_attribution" -> ((s: SparkSession, d: String) =>
       Experiment.shapleyAttribution(s, d)),
+    "q287_quantile_align" -> ((s: SparkSession, d: String) =>
+      Experiment.quantileAlign(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -5006,6 +5008,29 @@ object SparkEntry {
          SELECT p.channel, nexp.n_exposed, p.phi_num,
            CAST((SELECT n FROM nn) AS BIGINT) AS n_channels
          FROM phi p JOIN nexp USING (channel)""",
+    // q287: quantile mapping replayed with the same rank windows and
+    // the same ceiling division; src0 is the fixed reference feed.
+    "q287_quantile_align" ->
+      s"""WITH sc AS ($scoredDocsSql),
+         s AS (SELECT sc.doc_id, sc.score, sc.is_en, d.source
+               FROM sc JOIN documents d USING (doc_id)),
+         r AS (SELECT doc_id, source, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY score ASC, doc_id ASC) AS BIGINT) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS m
+           FROM s),
+         ref AS (SELECT
+             CAST(ROW_NUMBER() OVER (ORDER BY score ASC, doc_id ASC)
+               AS BIGINT) AS ref_rk,
+             score AS aligned_score
+           FROM s WHERE source = 'src0' AND is_en),
+         nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ref FROM ref),
+         t AS (SELECT r.doc_id, r.source, r.score, r.rk,
+             CAST((r.rk * nr.n_ref + r.m - 1) // r.m AS BIGINT) AS ref_rk
+           FROM r, nr)
+         SELECT t.doc_id, t.source, t.score AS raw_score,
+           t.rk AS src_rank, ref.aligned_score
+         FROM t JOIN ref USING (ref_rk)""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

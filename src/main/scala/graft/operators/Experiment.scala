@@ -1222,6 +1222,56 @@ object Experiment {
         expr("CAST(fit_key DIV 1000000 AS BIGINT)").as("fit_micro"))
   }
 
+  /** The q287 driver entry: CROSS-SOURCE QUANTILE ALIGNMENT (CDF
+    * matching) — the score-normalization step a multi-source corpus
+    * needs before one threshold can govern all feeds: the same
+    * quality scorer reads systematically different on different
+    * sources (length and style shift the stopword density), so raw
+    * cross-source cutoffs keep junk from lenient-scoring feeds and
+    * drop good docs from strict ones. The classical fix is quantile
+    * mapping: a doc at rank r of m within its source maps to the
+    * REFERENCE source's value at nearest rank ⌈r·n_ref/m⌉ — after
+    * alignment, equal scores mean equal within-source standing.
+    * Reference docs map to themselves exactly (spec-pinned identity).
+    *
+    * Exactness: ranks are row_number under the (score, doc_id) total
+    * order; the target rank is one ceiling division of positive
+    * BIGINTs ((r·n+m−1) DIV m); aligned values come from an
+    * equi-join on the reference rank — no interpolation, no floats.
+    *
+    * Scale shape: two per-source rank windows (source-keyed
+    * exchanges; at corpus scale the q202 chunked dense-rank device
+    * replaces them) and one rank-keyed equi-join against the
+    * reference spine; n_ref rides in as a broadcast 1-row frame.
+    */
+  def quantileAlign(spark: SparkSession, sfDir: String,
+      refSource: String = "src0"): DataFrame = {
+    val s = rocAucScored(spark, sfDir)
+      .select(col("doc_id"), col("score"), col("is_en"))
+      .join(Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("source")), "doc_id")
+    val ranked = s
+      .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("score").asc, col("doc_id").asc)).cast("long"))
+      .withColumn("m", count(lit(1))
+        .over(Window.partitionBy(col("source"))).cast("long"))
+    // reference distribution: the english-detected slice of the
+    // reference feed (the audited gold population) — deliberately a
+    // different size than any source stratum, so the ceiling rescale
+    // genuinely fires
+    val ref = s.filter(col("source") === refSource && col("is_en"))
+      .withColumn("ref_rk", row_number().over(
+        Window.orderBy(col("score").asc, col("doc_id").asc)).cast("long"))
+      .select(col("ref_rk"), col("score").as("aligned_score"))
+    val nRef = ref.agg(count(lit(1)).cast("long").as("n_ref"))
+    ranked.crossJoin(broadcast(nRef))
+      .withColumn("ref_rk",
+        expr("CAST((rk * n_ref + m - 1) DIV m AS BIGINT)"))
+      .join(ref, Seq("ref_rk"))
+      .select(col("doc_id"), col("source"), col("score").as("raw_score"),
+        col("rk").as("src_rank"), col("aligned_score"))
+  }
+
   /** The q286 driver entry: SHAPLEY-VALUE CHANNEL ATTRIBUTION — the
     * game-theoretic upgrade of q130's last-touch heuristic (Shao &
     * Li 2011, the model behind data-driven attribution products):

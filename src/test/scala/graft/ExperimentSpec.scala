@@ -776,6 +776,39 @@ class ExperimentSpec extends AnyFunSuite {
     assert(got.exists(_._3 != 0L))
   }
 
+  test("q287 quantile align: equals a rank replay; rescale fires; alignment monotone per source") {
+    val scored = Experiment.rocAucScored(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val srcOf = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val ref = scored.filter { case (id, _, en) => en && srcOf(id) == "src0" }
+      .map { case (id, sc, _) => (sc, id) }.sorted.map(_._1)
+    val nRef = ref.length.toLong
+    assert(nRef > 0, "reference slice must be non-empty")
+    val want = scored.map { case (id, sc, _) => (srcOf(id), sc, id) }
+      .groupBy(_._1).toSeq.flatMap { case (src, g) =>
+        val sorted = g.map { case (_, sc, id) => (sc, id) }.sorted
+        val m = sorted.length.toLong
+        sorted.zipWithIndex.map { case ((sc, id), i) =>
+          val rk = i + 1L
+          val refRk = (rk * nRef + m - 1) / m
+          (id, src, sc, rk, ref((refRk - 1).toInt))
+        }
+      }.sortBy(_._1)
+    val got = Experiment.quantileAlign(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(got.toSeq == want)
+    // the ceiling rescale genuinely fires (ref is a strict slice)
+    assert(nRef != 25L)
+    // per source, higher rank never aligns lower
+    got.groupBy(_._2).values.foreach { g =>
+      val srt = g.sortBy(_._4).map(_._5)
+      assert(srt.sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    }
+  }
+
   test("q277 MAD outliers: medians and gate match a per-type replay; robust to a planted whale") {
     val cents = events.map { case (_, _, _, t, v) =>
       (t, math.floor(v * 100.0 + 0.5).toLong) }
