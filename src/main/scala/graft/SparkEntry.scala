@@ -366,6 +366,8 @@ object SparkEntry {
       Experiment.shapleyAttribution(s, d)),
     "q287_quantile_align" -> ((s: SparkSession, d: String) =>
       Experiment.quantileAlign(s, d)),
+    "q288_qte" -> ((s: SparkSession, d: String) =>
+      Experiment.quantileTreatmentEffects(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -5031,6 +5033,37 @@ object SparkEntry {
          SELECT t.doc_id, t.source, t.score AS raw_score,
            t.rk AS src_rank, ref.aligned_score
          FROM t JOIN ref USING (ref_rk)""",
+    // q288: arm quantiles replayed with the same nearest-rank spine.
+    "q288_qte" ->
+      """WITH spend AS (
+           SELECT user_id,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+               THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END), 0)
+               AS BIGINT) AS cents,
+             CAST(user_id % 2 AS BIGINT) AS variant
+           FROM events GROUP BY 1),
+         r AS (SELECT user_id, cents, variant,
+             CAST(ROW_NUMBER() OVER (PARTITION BY variant
+               ORDER BY cents ASC, user_id ASC) AS BIGINT) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY variant) AS BIGINT) AS n
+           FROM spend),
+         d AS (SELECT CAST(UNNEST(range(1, 10)) * 10 AS BIGINT) AS pct),
+         p AS (SELECT d.pct, r.variant, r.cents, r.n
+           FROM r JOIN d
+             ON r.rk = CAST((d.pct * r.n + 99) // 100 AS BIGINT))
+         SELECT pct,
+           CAST(MAX(CASE WHEN variant = 1 THEN n END) AS BIGINT)
+             AS n_treat,
+           CAST(MAX(CASE WHEN variant = 0 THEN n END) AS BIGINT)
+             AS n_control,
+           CAST(MAX(CASE WHEN variant = 1 THEN cents END) AS BIGINT)
+             AS treat_cents,
+           CAST(MAX(CASE WHEN variant = 0 THEN cents END) AS BIGINT)
+             AS control_cents,
+           CAST(MAX(CASE WHEN variant = 1 THEN cents END) -
+             MAX(CASE WHEN variant = 0 THEN cents END) AS BIGINT)
+             AS diff_cents
+         FROM p GROUP BY 1""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

@@ -1222,6 +1222,57 @@ object Experiment {
         expr("CAST(fit_key DIV 1000000 AS BIGINT)").as("fit_micro"))
   }
 
+  /** The q288 driver entry: QUANTILE TREATMENT EFFECTS — the
+    * heterogeneous-effect readout q129's mean z-test cannot give:
+    * an experiment that lifts the median while gutting the top
+    * decile (or vice versa) reads as "no effect" on averages, so
+    * serious experimentation reads the DIFFERENCE OF ARM QUANTILES
+    * across the distribution (Lehmann–Doksum QTE). Units are users
+    * under the q129 hash split; the metric is total purchase spend
+    * in exact cents (zero for non-purchasers — intent-to-treat);
+    * each decile is the nearest-rank value ⌈p·n/100⌉ per arm (the
+    * q260 device), so every number is an observed value, no
+    * interpolation, no floats anywhere.
+    *
+    * Scale shape: one user-grain aggregate, then per-arm rank
+    * windows over the 2-arm bounded partitioning and a 9-row decile
+    * spine join — at corpus scale the q279 histogram-refine device
+    * replaces the per-arm sort windows (noted there for the same
+    * reason).
+    */
+  def quantileTreatmentEffects(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val spend = Tables.load(spark, sfDir, "events")
+      .groupBy(col("user_id"))
+      .agg(coalesce(sum(when(col("event_type") === "purchase",
+        floor(col("value") * 100.0 + 0.5).cast("long"))), lit(0L))
+        .as("cents"))
+      .withColumn("variant", (col("user_id") % 2).cast("long"))
+    val ranked = spend
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("variant"))
+          .orderBy(col("cents").asc, col("user_id").asc)).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("variant"))).cast("long"))
+    val deciles = spark.range(1, 10)
+      .select((col("id") * 10).cast("long").as("pct"))
+    val picks = ranked
+      .join(broadcast(deciles),
+        col("rk") === expr("CAST((pct * n + 99) DIV 100 AS BIGINT)"))
+      .groupBy(col("pct"))
+      .agg(max(when(col("variant") === 1, col("cents"))).as("treat_cents"),
+        max(when(col("variant") === 0, col("cents"))).as("control_cents"),
+        max(when(col("variant") === 1, col("n"))).as("n_treat"),
+        max(when(col("variant") === 0, col("n"))).as("n_control"))
+    picks.select(col("pct"),
+      col("n_treat").cast("long").as("n_treat"),
+      col("n_control").cast("long").as("n_control"),
+      col("treat_cents").cast("long").as("treat_cents"),
+      col("control_cents").cast("long").as("control_cents"),
+      (col("treat_cents") - col("control_cents")).cast("long")
+        .as("diff_cents"))
+  }
+
   /** The q287 driver entry: CROSS-SOURCE QUANTILE ALIGNMENT (CDF
     * matching) — the score-normalization step a multi-source corpus
     * needs before one threshold can govern all feeds: the same

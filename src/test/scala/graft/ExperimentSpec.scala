@@ -809,6 +809,32 @@ class ExperimentSpec extends AnyFunSuite {
     }
   }
 
+  test("q288 QTE: arm quantiles match a sorted replay; quantiles monotone in pct") {
+    val spendByUser = events.groupBy(_._1).map { case (u, g) =>
+      (u, g.filter(_._4 == "purchase")
+        .map(e => math.floor(e._5 * 100.0 + 0.5).toLong).sum)
+    }
+    val arms = spendByUser.toSeq.groupBy(_._1 % 2)
+    val want = (1 to 9).map { d =>
+      val pct = d * 10L
+      def pick(v: Long): (Long, Long) = {
+        val sorted = arms(v).map { case (u, c) => (c, u) }.sorted.map(_._1)
+        val n = sorted.length.toLong
+        (n, sorted(((pct * n + 99) / 100).toInt - 1))
+      }
+      val (nt, t) = pick(1); val (nc, c) = pick(0)
+      (pct, nt, nc, t, c, t - c)
+    }
+    val got = Experiment.quantileTreatmentEffects(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(got.toSeq == want)
+    assert(got.length == 9)
+    // quantiles nondecreasing in pct within each arm
+    assert(got.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    assert(got.map(_._5).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+  }
+
   test("q277 MAD outliers: medians and gate match a per-type replay; robust to a planted whale") {
     val cents = events.map { case (_, _, _, t, v) =>
       (t, math.floor(v * 100.0 + 0.5).toLong) }
