@@ -368,6 +368,8 @@ object SparkEntry {
       Experiment.quantileAlign(s, d)),
     "q288_qte" -> ((s: SparkSession, d: String) =>
       Experiment.quantileTreatmentEffects(s, d)),
+    "q289_weighted_median" -> ((s: SparkSession, d: String) =>
+      Sketches.weightedHistogramMedian(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -5064,6 +5066,45 @@ object SparkEntry {
              MAX(CASE WHEN variant = 0 THEN cents END) AS BIGINT)
              AS diff_cents
          FROM p GROUP BY 1""",
+    // q289: same bucket bookkeeping, median by the DIRECT global
+    // running-mass rule — the weighted refinement theorem.
+    "q289_weighted_median" ->
+      """WITH li AS (
+           SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+             AS cents,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS wt
+           FROM lineitem),
+         st AS (
+           SELECT CAST(MIN(cents) AS BIGINT) AS lo,
+             CAST(MAX(cents) AS BIGINT) AS hi,
+             CAST(SUM(wt) AS BIGINT) AS w
+           FROM li),
+         p AS (SELECT lo, hi, w, hi - lo + 1 AS wd, (w + 1) // 2 AS k
+           FROM st),
+         h AS (
+           SELECT CAST((cents - p.lo) * 1024 // p.wd AS BIGINT) AS bucket,
+             CAST(SUM(wt) AS BIGINT) AS bw
+           FROM li, p GROUP BY 1),
+         cumh AS (
+           SELECT bucket, bw,
+             CAST(COALESCE(SUM(bw) OVER (ORDER BY bucket ASC ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+           FROM h),
+         cand AS (
+           SELECT bucket, bw FROM cumh, p
+           WHERE cum_before < p.k AND cum_before + bw >= p.k),
+         m AS (SELECT cents, CAST(SUM(wt) AS BIGINT) AS vw
+           FROM li GROUP BY 1),
+         mm AS (SELECT cents,
+             CAST(SUM(vw) OVER (ORDER BY cents ASC ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           FROM m)
+         SELECT p.w AS w_total, p.lo AS min_cents, p.hi AS max_cents,
+           CAST(p.k AS BIGINT) AS k, cand.bucket, cand.bw AS bucket_mass,
+           (SELECT MIN(mm.cents) FROM mm, p WHERE mm.cum >= p.k)
+             AS median_cents
+         FROM p, cand""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

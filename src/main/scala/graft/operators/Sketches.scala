@@ -570,6 +570,70 @@ object Sketches {
     * the median by the direct full-sort nearest-rank — equality IS
     * the refinement-correctness theorem.
     */
+  /** The q289 driver entry: WEIGHTED EXACT MEDIAN by histogram
+    * refine — the q279 device generalized to weight mass: the
+    * quantity-weighted median price ("the median shipped unit's
+    * price"), the statistic behind fair-price and cost-allocation
+    * reports, where the unweighted median (q279) answers a different
+    * question (the median LINE's price). Same three passes — (min,
+    * max, W) stats, a 1024-bucket histogram now carrying SUM(weight),
+    * then a rank window over ONLY the candidate bucket's slice —
+    * except the slice pass first collapses to DISTINCT cents (weight
+    * summed per value), so the running-mass walk has no tie-order
+    * freedom at all. k = ⌈(W+1)/2⌉; the median is the smallest value
+    * whose cumulative mass reaches k. Driver collects are 1-row
+    * coordination state (the q279 contract).
+    *
+    * The oracle computes the SAME bucket bookkeeping but takes the
+    * median by the direct full-sort running-mass rule — equality is
+    * the refinement-correctness theorem, weighted edition.
+    */
+  def weightedHistogramMedian(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")
+        .as("cents"),
+        floor(col("l_quantity") + 0.5).cast("long").as("wt"))
+    val st = li.agg(min(col("cents")), max(col("cents")),
+      coalesce(sum(col("wt")), lit(0L))).head()
+    if (st.getLong(2) == 0L)
+      return Seq.empty[(Long, Long, Long, Long, Long, Long, Long)]
+        .toDF("w_total", "min_cents", "max_cents", "k", "bucket",
+          "bucket_mass", "median_cents")
+    val (lo, hi, w) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    val width = hi - lo + 1
+    val k = (w + 1) / 2
+    val cand = li
+      .select(expr(s"CAST((cents - $lo) * 1024 DIV $width AS BIGINT)")
+        .as("bucket"), col("wt"))
+      .groupBy(col("bucket")).agg(sum(col("wt")).cast("long").as("bw"))
+      .withColumn("cum_before", coalesce(
+        sum(col("bw")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("bucket").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") < k && col("cum_before") + col("bw") >= k)
+      .head()
+    val (bucket, bucketMass, cumBefore) =
+      (cand.getLong(0), cand.getLong(1), cand.getLong(2))
+    val bLo = lo + (bucket * width + 1023) / 1024
+    val bHi = lo + ((bucket + 1) * width + 1023) / 1024
+    // per-value mass inside the slice, then the running-mass walk
+    val med = li.filter(col("cents") >= bLo && col("cents") < bHi)
+      .groupBy(col("cents")).agg(sum(col("wt")).cast("long").as("vw"))
+      .withColumn("cum", sum(col("vw")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("cents").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .filter(col("cum") + cumBefore >= k)
+      .orderBy(col("cents").asc)
+      .head().getLong(0)
+    Seq((w, lo, hi, k, bucket, bucketMass, med))
+      .toDF("w_total", "min_cents", "max_cents", "k", "bucket",
+        "bucket_mass", "median_cents")
+  }
+
   def histogramMedian(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.load(spark, sfDir, "lineitem")

@@ -239,6 +239,29 @@ class SketchesSpec extends AnyFunSuite {
     assert(got.toSeq == expect.toSeq)
   }
 
+  test("q289 weighted histogram median equals the direct running-mass rule; weights matter") {
+    val sf = SparkTestSession.sf
+    val row = Sketches.weightedHistogramMedian(spark, sf).head()
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long"),
+        floor(col("l_quantity") + 0.5).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val w = rows.map(_._2).sum
+    val k = (w + 1) / 2
+    assert(row.getLong(0) == w && row.getLong(3) == k)
+    // direct rule: smallest cents whose cumulative mass reaches k
+    val byVal = rows.groupBy(_._1).map { case (c, g) => (c, g.map(_._2).sum) }
+      .toSeq.sorted
+    var cum = 0L
+    val med = byVal.collectFirst {
+      case (c, vw) if { cum += vw; cum >= k } => c }.get
+    assert(row.getLong(6) == med, "weighted median must be exact")
+    // the weighted median differs from the unweighted one here —
+    // weights genuinely move the statistic (fixture property)
+    val un = rows.map(_._1).sorted.apply(((rows.length + 1) / 2) - 1)
+    assert(med != un || rows.map(_._2).distinct.length == 1)
+  }
+
   test("q279 histogram-refine median equals the full-sort nearest-rank; refinement genuinely refines") {
     val sf = SparkTestSession.sf
     val row = Sketches.histogramMedian(spark, sf).head()
