@@ -370,6 +370,8 @@ object SparkEntry {
       Experiment.quantileTreatmentEffects(s, d)),
     "q289_weighted_median" -> ((s: SparkSession, d: String) =>
       Sketches.weightedHistogramMedian(s, d)),
+    "q290_kcore" -> ((s: SparkSession, d: String) =>
+      Graph.kCore(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -667,6 +669,50 @@ object SparkEntry {
     * drop from the usage count and fail the gate loudly (fixture max
     * is 8).
     */
+  /** Generated DuckDB replay of Graph.kCore (q290): the q126 edge
+    * CTEs, then `rounds` h-index iterations — each a join + rank
+    * window + max(least(rank, value)) fold, the exact recurrence the
+    * Spark loop runs.
+    */
+  private def kCoreOracleSql(rounds: Int): String = {
+    val edges =
+      """e0 AS MATERIALIZED (
+           SELECT c.c_nationkey AS a, s.s_nationkey AS b,
+             CAST(COUNT(*) AS BIGINT) AS w
+           FROM orders o
+           JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON c.c_custkey = o.o_custkey
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           WHERE c.c_nationkey <> s.s_nationkey
+           GROUP BY 1, 2),
+         ed0 AS (SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v,
+                   CAST(SUM(w) AS BIGINT) AS w
+                 FROM e0 GROUP BY 1, 2),
+         tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw,
+                   CAST(COUNT(*) AS BIGINT) AS ne FROM ed0),
+         ed AS MATERIALIZED (
+           SELECT u, v FROM ed0, tot WHERE w * ne * 10 >= tw * 12),
+         adj AS MATERIALIZED (
+           SELECT u AS node, v AS nb FROM ed
+           UNION ALL SELECT v, u FROM ed),
+         c0 AS MATERIALIZED (
+           SELECT node, CAST(COUNT(*) AS BIGINT) AS c
+           FROM adj GROUP BY 1)"""
+    val rounds_ = (1 to rounds).map { t =>
+      s"""c$t AS MATERIALIZED (
+           SELECT node, CAST(MAX(LEAST(r, cv)) AS BIGINT) AS c FROM (
+             SELECT a.node, p.c AS cv,
+               CAST(ROW_NUMBER() OVER (PARTITION BY a.node
+                 ORDER BY p.c DESC) AS BIGINT) AS r
+             FROM adj a JOIN c${t - 1} p ON p.node = a.nb) t
+           GROUP BY 1)"""
+    }
+    (Seq(edges) ++ rounds_).mkString("WITH ", ",\n", "\n") +
+      s"""SELECT CAST(c0.node AS BIGINT) AS node, c0.c AS degree,
+          c$rounds.c AS core
+          FROM c0 JOIN c$rounds USING (node)"""
+  }
+
   /** One chained-CTE Viterbi pass (b{r}_0..b{r}_maxLen) for words
     * under vocabulary CTE `vocab` — shared by the training rounds
     * and the q285 encode chain.
@@ -5105,6 +5151,8 @@ object SparkEntry {
            (SELECT MIN(mm.cents) FROM mm, p WHERE mm.cum >= p.k)
              AS median_cents
          FROM p, cand""",
+    // q290: k-core by iterated h-index — generated per-round CTEs.
+    "q290_kcore" -> kCoreOracleSql(rounds = 8),
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

@@ -169,7 +169,14 @@ object Graph {
     * times — and on a general billion-edge graph the same plan holds
     * with the checkpoint swapped for a parquet stage write.
     */
-  def nationTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The q126/q290 shared heavy-edge set: the q124 fact-scale edge
+    * build (orders⋈lineitem, dims broadcast) aggregated to undirected
+    * nation pairs, kept where w·ne·10 ≥ tw·12 (integer
+    * cross-multiplied threshold — no float boundary), then
+    * `localCheckpoint`ed once for every downstream self-join/loop.
+    */
+  private[graft] def heavyTradeEdges(
+      spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.load(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
     val l = Tables.load(spark, sfDir, "lineitem")
@@ -189,10 +196,14 @@ object Graph {
         greatest(col("a"), col("b")).as("v"))
       .agg(sum(col("w")).as("w"))
     val tot = undirected.agg(sum(col("w")).as("tw"), count(lit(1)).as("ne"))
-    val ed = undirected.crossJoin(broadcast(tot))
+    undirected.crossJoin(broadcast(tot))
       .where(col("w") * col("ne") * 10 >= col("tw") * 12)
       .select(col("u"), col("v"))
       .localCheckpoint(true)
+  }
+
+  def nationTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val ed = heavyTradeEdges(spark, sfDir)
     val e1 = ed.select(col("u").as("a"), col("v").as("b"))
     val e2 = ed.select(col("u").as("b2"), col("v").as("c"))
     val e3 = ed.select(col("u").as("a3"), col("v").as("c3"))
@@ -203,6 +214,57 @@ object Graph {
       .unionAll(tri.select(col("b")))
       .unionAll(tri.select(col("c")))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** The q290 driver entry: K-CORE DECOMPOSITION by iterated
+    * H-INDEX — the degeneracy/cohesion primitive beside PageRank
+    * (influence, q124), triangles (local clustering, q126), and
+    * label propagation (communities, q199): a node's CORE NUMBER is
+    * the largest k such that it survives in the subgraph where every
+    * node keeps ≥ k neighbors — the standard peel statistic behind
+    * dense-community mining and graph-sampling retention rules. The
+    * sequential textbook algorithm PEELS minimum-degree nodes one at
+    * a time — inherently serial; the distributed form is Lü et al.
+    * 2016's iterated h-index: start every node at its degree, then
+    * repeatedly set c(v) ← H({c(u) : u ∈ N(v)}) (the largest h with
+    * ≥ h neighbors at ≥ h); the fixpoint IS the core number. Each
+    * round is one node-keyed join + one per-node rank window —
+    * embarrassingly parallel, O(E) per round.
+    *
+    * H folds relationally as max(least(rank, value)) over neighbor
+    * values ranked descending — order among equal values is
+    * irrelevant to the fold, so the statistic is partition- and
+    * engine-deterministic (all integers). `rounds` is fixed (8) and
+    * the spec proves it reaches the fixpoint on the fixture AND
+    * equals the sequential peel — the cross-algorithm theorem.
+    *
+    * Scale shape: the fact-scale stage is the shared
+    * [[heavyTradeEdges]] build; the loop touches (edge, value)
+    * tuples with localCheckpoint per round (the q124 discipline).
+    */
+  def kCore(spark: SparkSession, sfDir: String, rounds: Int = 8)
+      : DataFrame = {
+    val ed = heavyTradeEdges(spark, sfDir)
+    val adj = ed.select(col("u").as("node"), col("v").as("nb"))
+      .unionByName(ed.select(col("v").as("node"), col("u").as("nb")))
+      .localCheckpoint(true)
+    val deg = adj.groupBy(col("node"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    var c = deg
+    for (_ <- 1 to rounds) {
+      c = adj
+        .join(c.withColumnRenamed("node", "nb"), "nb")
+        .select(col("node"), col("c").as("cv"))
+        .withColumn("r", row_number().over(Window.partitionBy(col("node"))
+          .orderBy(col("cv").desc)).cast("long"))
+        .select(col("node"), least(col("r"), col("cv")).as("h"))
+        .groupBy(col("node")).agg(max(col("h")).cast("long").as("c"))
+        .localCheckpoint(true)
+    }
+    deg.withColumnRenamed("c", "degree")
+      .join(c.withColumnRenamed("c", "core"), "node")
+      .select(col("node").cast("long").as("node"), col("degree"),
+        col("core"))
   }
 
   /** Recursive-CTE k-hop reachability (q137): for every nation, the

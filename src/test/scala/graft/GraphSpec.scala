@@ -134,4 +134,52 @@ class GraphSpec extends AnyFunSuite {
     assert(g1.map(r => (r.getLong(0), r.getLong(1))).toSet ==
       g2.map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
+
+  test("q290 k-core: iterated h-index equals the sequential peel; fixpoint within 8 rounds") {
+    val sf = SparkTestSession.sf
+    val ed = graft.operators.Graph.heavyTradeEdges(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    val nodes = ed.flatMap(e => Seq(e._1, e._2)).distinct
+    val adj = nodes.map(n => n -> ed.collect {
+      case (u, v) if u == n => v
+      case (u, v) if v == n => u }.toSet).toMap
+    // sequential peel (Batagelj–Zaversnik): remove min-degree nodes,
+    // core = running max of removal degree
+    val degNow = collection.mutable.Map(nodes.map(n => n -> adj(n).size): _*)
+    val removed = collection.mutable.Set[Int]()
+    val core = collection.mutable.Map[Int, Int]()
+    var k = 0
+    while (removed.size < nodes.length) {
+      val v = nodes.filterNot(removed).minBy(n => (degNow(n), n))
+      k = math.max(k, degNow(v))
+      core(v) = k
+      removed += v
+      adj(v).filterNot(removed).foreach(u => degNow(u) -= 1)
+    }
+    // h-index iteration until fixpoint — must converge within the
+    // operator's fixed 8 rounds and agree with the peel
+    def hIndex(vals: Seq[Int]): Int = {
+      val s = vals.sorted(Ordering[Int].reverse)
+      s.zipWithIndex.map { case (v, i) => math.min(i + 1, v) }.max
+    }
+    var c = nodes.map(n => n -> adj(n).size).toMap
+    var roundsUsed = 0
+    var changed = true
+    while (changed) {
+      val next = nodes.map(n => n -> hIndex(adj(n).toSeq.map(c))).toMap
+      changed = next != c
+      if (changed) roundsUsed += 1
+      c = next
+    }
+    assert(roundsUsed <= 8, s"fixpoint took $roundsUsed rounds")
+    assert(c.toSeq.sorted == core.toSeq.sorted,
+      "h-index fixpoint must equal peel coreness")
+    val got = graft.operators.Graph.kCore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val want = nodes.sorted
+      .map(n => (n.toLong, adj(n).size.toLong, core(n).toLong))
+    assert(got.toSeq == want.toSeq)
+    assert(got.map(_._3).distinct.length > 1,
+      "core numbers must discriminate on the fixture")
+  }
 }
