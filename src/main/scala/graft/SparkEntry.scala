@@ -4969,7 +4969,8 @@ object SparkEntry {
            SELECT d.dirty_id, c.clean_id, d.dn, c.cn, d.d_nat, c.c_nat,
              d.d_cents, c.c_cents
            FROM dirty d JOIN clean c
-             ON d.d_nat = c.c_nat OR levenshtein(d.dn, c.cn) <= 1),
+             ON (d.d_nat = c.c_nat AND d.d_cents = c.c_cents)
+             OR levenshtein(d.dn, c.cn) <= 1),
          scored AS (
            SELECT dirty_id, clean_id,
              levenshtein(dn, cn) <= 1 AS name_agree,

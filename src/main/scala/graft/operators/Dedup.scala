@@ -394,11 +394,13 @@ object Dedup {
     * micro-nats (the q170 discipline), so scores compare as BIGINTs.
     *
     * Candidates come from a two-channel blocking UNION (the
-    * multi-pass posture real linkers run): same-nation equi-join ∪
-    * name deletion-neighborhood (q111's device, complete for
-    * levenshtein ≤ 1 and post-filtered to it) — a nation-flipped
-    * record is still reachable through its name, a name-mangled one
-    * through its nation; the dirty×clean cartesian never forms. The
+    * multi-pass posture real linkers run): a (nation, cents)
+    * composite equi-join ∪ name deletion-neighborhood (q111's
+    * device, complete for levenshtein ≤ 1 and post-filtered to it)
+    * — a nation-flipped record is still reachable through its name,
+    * a name-mangled one through its other fields; the dirty×clean
+    * cartesian never forms, and BOTH block keys have cardinality
+    * that grows with the data, so block sizes stay bounded. The
     * perturbed copy plants all three damage types (char deletion
     * %2, nation flip %5, +100-cent balance drift %3), so every
     * agreement pattern and verdict class is exercised. Only
@@ -429,9 +431,14 @@ object Dedup {
         (floor(col("c_acctbal") * 100.0 + 0.5).cast("long") +
           when(col("c_custkey") % 3 === 0, 100L).otherwise(0L))
           .as("d_cents"))
-    // channel A: nation equi-join
-    val blockA = dirty.select(col("dirty_id"), col("d_nat").as("bk"))
-      .join(clean.select(col("clean_id"), col("c_nat").as("bk")), "bk")
+    // channel A: (nation, cents) composite equi-join — a key whose
+    // cardinality grows WITH the data, so blocks stay bounded at any
+    // corpus size (nation alone would grow blocks linearly and pair
+    // counts quadratically — the q111 blocking lesson)
+    val blockA = dirty.select(col("dirty_id"),
+        col("d_nat").as("bn"), col("d_cents").as("bc"))
+      .join(clean.select(col("clean_id"),
+        col("c_nat").as("bn"), col("c_cents").as("bc")), Seq("bn", "bc"))
       .select(col("dirty_id"), col("clean_id"))
     // channel B: deletion-neighborhood on name (q111), lev <= 1
     def delKeys(df: DataFrame, c: String) =

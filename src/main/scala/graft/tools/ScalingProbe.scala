@@ -85,9 +85,17 @@ object ScalingProbe {
     // mutate and join on c_custkey; q111 blocks on p_name — names
     // repeat across copies, which is the realistic hard case for the
     // deletion-neighborhood join: candidate fan-out grows with K)
+    // customer names Caesar-ciphered per copy like part (below): a
+    // bigger registry means MORE DISTINCT people, not K copies of
+    // the same person — repeating names would grow q283's TRUE match
+    // output quadratically (workload, not operator)
+    val alphaC = "abcdefghijklmnopqrstuvwxyz"
     val cust = spark.read.parquet(s"$src/customer.parquet")
     (0 until k).map { c =>
+      val s = (3 * c) % 26
       cust.withColumn("c_custkey", col("c_custkey") + lit(c * 1000000L))
+        .withColumn("c_name",
+          translate(col("c_name"), alphaC, alphaC.drop(s) + alphaC.take(s)))
     }.reduce(_ unionAll _).write.mode("overwrite")
       .parquet(s"$big/customer.parquet")
     // part names Caesar-cipher per copy (bijective translate keeps
@@ -238,7 +246,24 @@ object ScalingProbe {
       "q258_ks_drift" -> (d => graft.operators.Experiment.ksDrift(spark, d)),
       "q259_cross_source" -> (d => graft.operators.Dedup.crossSourceDupMatrix(spark, d)),
       "q260_winsorize" -> (d => graft.operators.TrainingPrep.winsorize(spark, d)),
-      "q261_greedy_encode" -> (d => graft.operators.TextAnalysis.greedyEncode(spark, d)))
+      "q261_greedy_encode" -> (d => graft.operators.TextAnalysis.greedyEncode(spark, d)),
+      // round-13-session additions: histogram-refine medians (three
+      // bounded passes — ~linear), LPM join (part-grain ancestor
+      // explode + broadcast dim), FS linkage (two linear-cardinality
+      // block keys; ciphered names keep cross-copy candidates out),
+      // ULM trainer/encode (dictionary-weighted: rotated copies share
+      // the word dictionary, so unique-word cost is ~flat and only
+      // the corpus passes grow), Shapley (two user-grain exchanges +
+      // a bounded lattice), quantile align (per-source rank windows
+      // grow Kx), k-core (fact-scale edge build + 25-node loop)
+      "q279_hist_median" -> (d => graft.operators.Sketches.histogramMedian(spark, d)),
+      "q280_lpm_join" -> (d => graft.operators.Relational.longestPrefixMatch(spark, d)),
+      "q283_fs_linkage" -> (d => graft.operators.Dedup.fellegiSunter(spark, d)),
+      "q284_ulm_train" -> (d => graft.operators.TextAnalysis.ulmTrain(spark, d)),
+      "q286_shapley" -> (d => graft.operators.Experiment.shapleyAttribution(spark, d)),
+      "q287_quantile_align" -> (d => graft.operators.Experiment.quantileAlign(spark, d)),
+      "q289_weighted_median" -> (d => graft.operators.Sketches.weightedHistogramMedian(spark, d)),
+      "q290_kcore" -> (d => graft.operators.Graph.kCore(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))

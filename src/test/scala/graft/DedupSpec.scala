@@ -572,7 +572,7 @@ class DedupSpec extends AnyFunSuite {
     val want = (for {
       (did, dnm, dnat, dc) <- dirty
       (cid, cnm, cnat, cc) <- clean
-      if dnat == cnat || lev(dnm, cnm) <= 1
+      if (dnat == cnat && dc == cc) || lev(dnm, cnm) <= 1
       na = lev(dnm, cnm) <= 1; ta = dnat == cnat; ba = dc == cc
       s = (if (na) wna else wnd) + (if (ta) wta else wtd) +
         (if (ba) wba else wbd)
