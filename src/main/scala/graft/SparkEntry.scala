@@ -372,6 +372,10 @@ object SparkEntry {
       Sketches.weightedHistogramMedian(s, d)),
     "q290_kcore" -> ((s: SparkSession, d: String) =>
       Graph.kCore(s, d)),
+    "q291_item_neighbors" -> ((s: SparkSession, d: String) =>
+      Experiment.itemNeighbors(s, d)),
+    "q292_concurrency" -> ((s: SparkSession, d: String) =>
+      Relational.concurrencyTimeline(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -5154,6 +5158,66 @@ object SparkEntry {
          FROM p, cand""",
     // q290: k-core by iterated h-index — generated per-round CTEs.
     "q290_kcore" -> kCoreOracleSql(rounds = 8),
+    // q291: cosine-squared in HUGEINT (the DECIMAL(38) twin), same
+    // rank window and noise floor.
+    "q291_item_neighbors" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+           FROM lineitem),
+         ci AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS ci
+           FROM b GROUP BY 1),
+         p AS (SELECT a.i AS x, b2.i AS y, CAST(COUNT(*) AS BIGINT) AS cij
+           FROM b a JOIN b b2 ON a.o = b2.o AND a.i < b2.i
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         sym AS (SELECT x AS item, y AS nb, cij FROM p
+           UNION ALL SELECT y, x, cij FROM p),
+         sc AS (SELECT s.item, s.nb, s.cij, c1.ci AS c_item,
+             c2.ci AS c_nb,
+             CAST(CAST(s.cij AS HUGEINT) * s.cij * 1000000000000 //
+               (CAST(c1.ci AS HUGEINT) * c2.ci) AS BIGINT) AS sim2_ppt
+           FROM sym s JOIN ci c1 ON c1.i = s.item
+           JOIN ci c2 ON c2.i = s.nb),
+         r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY item
+             ORDER BY sim2_ppt DESC, nb ASC) AS BIGINT) AS rk FROM sc)
+         SELECT item, rk, nb, cij, c_item, c_nb, sim2_ppt
+         FROM r WHERE rk <= 5""",
+    // q292: q33's session rule verbatim, then the sweep — arrivals
+    // before departures at equal instants, per start-day partitions.
+    "q292_concurrency" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                      > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id
+             ORDER BY ts ASC, event_id ASC)),
+         numbered AS (
+           SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged),
+         sess AS (SELECT user_id, sid,
+             CAST(epoch_us(MIN(ts)) AS BIGINT) AS s_us,
+             CAST(epoch_us(MAX(ts)) AS BIGINT) AS e_us,
+             CAST(MIN(ts) AS DATE) AS day
+           FROM numbered GROUP BY 1, 2),
+         pts AS (SELECT day, s_us AS t, CAST(1 AS BIGINT) AS delta
+             FROM sess
+           UNION ALL
+           SELECT day, e_us + 1, CAST(-1 AS BIGINT) FROM sess),
+         sw AS (SELECT day, delta,
+             CAST(SUM(delta) OVER (PARTITION BY day
+               ORDER BY t ASC, delta DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS active
+           FROM pts)
+         SELECT day,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sessions,
+           CAST(MAX(active) AS BIGINT) AS peak_concurrent
+         FROM sw GROUP BY 1""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

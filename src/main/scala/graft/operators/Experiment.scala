@@ -1222,6 +1222,52 @@ object Experiment {
         expr("CAST(fit_key DIV 1000000 AS BIGINT)").as("fit_micro"))
   }
 
+  /** The q291 driver entry: ITEM-ITEM COSINE NEIGHBORS — the
+    * classical co-occurrence collaborative-filtering prep (the
+    * "customers who bought X also bought Y" table) that q133's raw
+    * pair counts feed: cosine-normalized co-occurrence
+    * cij/√(ci·cj) ranks neighbors fairly across popularity (raw
+    * counts hand every item the same blockbuster neighbors), then
+    * top-k per item is the serving artifact. Squared cosine in
+    * exact ppt — cij²·10¹² DIV (ci·cj) in DECIMAL(38)/HUGEINT (the
+    * q221 overflow rule) — ranks identically to cosine (both sides
+    * nonnegative, squaring monotone), so no sqrt ever runs.
+    *
+    * Scale shape: the pair fan-out is per-order and bounded by
+    * basket size (q133's device — never item×item); the noise
+    * floor (cij ≥ 2) prunes the singleton tail BEFORE the
+    * normalization join; top-k is a rank-≤-k window per item
+    * (InferWindowGroupLimit bounds shuffled rows at k per key).
+    */
+  def itemNeighbors(spark: SparkSession, sfDir: String,
+      topK: Int = 5, minCo: Int = 2): DataFrame = {
+    val b = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("i"))
+      .distinct()
+    val ci = b.groupBy(col("i")).agg(count(lit(1)).cast("long").as("ci"))
+    val pairs = b.as("a")
+      .join(b.as("bb"), col("a.o") === col("bb.o") &&
+        col("a.i") < col("bb.i"))
+      .groupBy(col("a.i").as("x"), col("bb.i").as("y"))
+      .agg(count(lit(1)).cast("long").as("cij"))
+      .filter(col("cij") >= minCo)
+    val sym = pairs.select(col("x").as("item"), col("y").as("nb"),
+        col("cij"))
+      .unionByName(pairs.select(col("y").as("item"), col("x").as("nb"),
+        col("cij")))
+    sym
+      .join(ci.select(col("i").as("item"), col("ci").as("c_item")), "item")
+      .join(ci.select(col("i").as("nb"), col("ci").as("c_nb")), "nb")
+      .withColumn("sim2_ppt", expr(
+        """CAST(CAST(cij AS DECIMAL(38,0)) * cij * 1000000000000
+           DIV (CAST(c_item AS DECIMAL(38,0)) * c_nb) AS BIGINT)"""))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("item"))
+        .orderBy(col("sim2_ppt").desc, col("nb").asc)).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("item"), col("rk"), col("nb"), col("cij"),
+        col("c_item"), col("c_nb"), col("sim2_ppt"))
+  }
+
   /** The q288 driver entry: QUANTILE TREATMENT EFFECTS — the
     * heterogeneous-effect readout q129's mean z-test cannot give:
     * an experiment that lifts the median while gutting the top

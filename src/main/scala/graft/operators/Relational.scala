@@ -1077,6 +1077,51 @@ object Relational {
         moneySum(col("value")).as("sum_value"))
   }
 
+  /** The q292 driver entry: CONCURRENCY TIMELINE (sweep line) — the
+    * capacity-planning number no per-session aggregate (q33) gives:
+    * the PEAK number of simultaneously-active sessions per day, the
+    * statistic connection pools, rate limits, and autoscaling floors
+    * are sized from. Sessions come from q33's gap rule verbatim;
+    * each becomes a +1 point at its start and a −1 point one
+    * microsecond after its (inclusive) end, and the classic sweep —
+    * a running sum over the point order — reads the active count;
+    * the per-day max is the peak. Point order (t, delta DESC) makes
+    * same-instant arrivals count before departures (touching
+    * sessions overlap), and permuting equal (t, delta) points cannot
+    * move the post-group sum or the in-group max, so the statistic
+    * is total-order-free and engine-exact (all integer micros).
+    *
+    * Sessions are attributed to their START day (documented
+    * convention; the fixture's 30-min gap makes midnight-crossing
+    * sessions rare and the convention is what on-call dashboards
+    * use). Scale shape: one user-keyed session pass (q33's
+    * exchange), then a day-keyed sweep window — per-day partitions;
+    * a corpus where one day holds billions of sessions moves to the
+    * q200/q202 chunked prefix-sum device, noted here.
+    */
+  def concurrencyTimeline(
+      spark: SparkSession, sfDir: String,
+      gapSeconds: Long = 1800): DataFrame = {
+    val sessions = sessionize(spark, sfDir, gapSeconds)
+      .select(to_date(col("t_start")).as("day"),
+        unix_micros(col("t_start")).as("s_us"),
+        unix_micros(col("t_end")).as("e_us"))
+    val points = sessions
+      .select(col("day"), col("s_us").as("t"), lit(1L).as("delta"))
+      .unionByName(sessions
+        .select(col("day"), (col("e_us") + 1L).as("t"),
+          lit(-1L).as("delta")))
+    val sweep = Window.partitionBy(col("day"))
+      .orderBy(col("t").asc, col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    points
+      .withColumn("active", sum(col("delta")).over(sweep))
+      .groupBy(col("day"))
+      .agg(sum(when(col("delta") === 1L, 1L).otherwise(0L)).cast("long")
+          .as("n_sessions"),
+        max(col("active")).cast("long").as("peak_concurrent"))
+  }
+
   /** Exact percentiles per group (linear interpolation — type-7, the
     * same convention as DuckDB's quantile_cont, so the oracle compares
     * exactly). Spark's `percentile` is the exact aggregator;

@@ -809,6 +809,45 @@ class ExperimentSpec extends AnyFunSuite {
     }
   }
 
+  test("q291 item neighbors: top-k equals a direct replay; cosine normalization reranks vs raw counts") {
+    val baskets = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val ci = baskets.groupBy(_._2).map { case (i, g) => (i, g.length.toLong) }
+    val byOrder = baskets.groupBy(_._1).values
+      .map(_.map(_._2).sorted).toSeq
+    val cij = collection.mutable.Map[(Long, Long), Long]()
+    for (items <- byOrder; a <- items; b <- items if a < b)
+      cij((a, b)) = cij.getOrElse((a, b), 0L) + 1L
+    val sym = cij.toSeq.filter(_._2 >= 2L).flatMap { case ((x, y), c) =>
+      Seq((x, y, c), (y, x, c)) }
+    val want = sym.groupBy(_._1).toSeq.flatMap { case (item, g) =>
+      val scored = g.map { case (_, nb, c) =>
+        val s2 = BigInt(c) * c * BigInt(1000000000000L) /
+          (BigInt(ci(item)) * ci(nb))
+        (nb, c, ci(item), ci(nb), s2.toLong)
+      }.sortBy { case (nb, _, _, _, s2) => (-s2, nb) }.take(5)
+      scored.zipWithIndex.map { case ((nb, c, cit, cnb, s2), i) =>
+        (item, i + 1L, nb, c, cit, cnb, s2) }
+    }.sortBy(t => (t._1, t._2))
+    val got = Experiment.itemNeighbors(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want)
+    assert(got.nonEmpty)
+    // normalization is not a no-op: some item's top neighbor by
+    // cosine is not its top neighbor by raw count
+    val rerank = sym.groupBy(_._1).exists { case (item, g) =>
+      val byCount = g.maxBy { case (_, nb, c) => (c, -nb) }._2
+      val byCos = g.maxBy { case (_, nb, c) =>
+        (BigInt(c) * c * BigInt(1000000000000L) /
+          (BigInt(ci(item)) * ci(nb)), -nb) }._2
+      byCount != byCos
+    }
+    assert(rerank, "cosine must rerank at least one item")
+  }
+
   test("q288 QTE: arm quantiles match a sorted replay; quantiles monotone in pct") {
     val spendByUser = events.groupBy(_._1).map { case (u, g) =>
       (u, g.filter(_._4 == "purchase")

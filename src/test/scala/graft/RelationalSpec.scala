@@ -1257,6 +1257,40 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q292 concurrency timeline: sweep equals an interval-stabbing replay; overlap exists") {
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sessions = ev.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(e => (e._2, e._3))
+      val bounds = collection.mutable.ArrayBuffer[(Long, Long)]()
+      var s = sorted.head._2; var e = sorted.head._2
+      for (x <- sorted.tail) {
+        if (x._2 - e > 1800000000L) { bounds += ((s, e)); s = x._2 }
+        e = x._2
+      }
+      bounds += ((s, e))
+      bounds
+    }.toSeq
+    val byDay = sessions.groupBy { case (s, _) =>
+      java.time.Instant.ofEpochSecond(Math.floorDiv(s, 1000000L))
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    }
+    // interval-stabbing replay: peak = max over start instants of
+    // the number of sessions containing that instant (a sweep peak
+    // is always attained at some arrival)
+    val want = byDay.map { case (day, ss) =>
+      val peak = ss.map { case (s, _) =>
+        ss.count { case (s2, e2) => s2 <= s && s <= e2 } }.max
+      (day.toString, ss.size.toLong, peak.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = graft.operators.Relational.concurrencyTimeline(spark, sf)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == want)
+    assert(got.exists(_._3 > 1L), "fixture must exhibit real overlap")
+  }
+
   test("q281 relational division: count-matching form equals a set replay; both populations non-trivial") {
     val ords = spark.read.parquet(s"$sf/orders.parquet")
       .select(col("o_custkey"), col("o_orderpriority")).collect()
