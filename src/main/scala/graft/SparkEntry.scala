@@ -376,6 +376,8 @@ object SparkEntry {
       Experiment.itemNeighbors(s, d)),
     "q292_concurrency" -> ((s: SparkSession, d: String) =>
       Relational.concurrencyTimeline(s, d)),
+    "q293_twap" -> ((s: SparkSession, d: String) =>
+      Relational.twap(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -5218,6 +5220,30 @@ object SparkEntry {
              AS n_sessions,
            CAST(MAX(active) AS BIGINT) AS peak_concurrent
          FROM sw GROUP BY 1""",
+    // q293: the same LOCF segment integral in HUGEINT; single-instant
+    // groups take the min-event-id sample.
+    "q293_twap" ->
+      """WITH e AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             epoch_us(ts) AS us, event_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+           FROM events),
+         seg AS (
+           SELECT event_type, day, us, event_id, cents,
+             LEAD(us) OVER (PARTITION BY event_type, day
+               ORDER BY us ASC, event_id ASC) AS next_us
+           FROM e)
+         SELECT event_type, day,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us,
+           CAST(CASE WHEN MAX(us) = MIN(us)
+             THEN CAST(arg_min(cents, event_id) AS BIGINT)
+             ELSE CAST(SUM(CASE WHEN next_us IS NULL
+                 THEN CAST(0 AS HUGEINT)
+                 ELSE CAST(cents AS HUGEINT) * (next_us - us) END) //
+               (MAX(us) - MIN(us)) AS BIGINT)
+             END AS BIGINT) AS twap_cents
+         FROM seg GROUP BY 1, 2""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

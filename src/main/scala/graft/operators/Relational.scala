@@ -1077,6 +1077,48 @@ object Relational {
         moneySum(col("value")).as("sum_value"))
   }
 
+  /** The q293 driver entry: TIME-WEIGHTED AVERAGE (TWAP) over
+    * irregular samples — the telemetry statistic a plain AVG gets
+    * wrong whenever sampling is bursty: a gauge that sits at 10 for
+    * an hour then ticks 100 five times in a second has a
+    * time-weighted mean of ~10, not ~85. Per (type, day): each
+    * sample holds its value until the next sample (the q104 LOCF
+    * convention), the integral is Σ cents·(t_next − t)µs, and TWAP
+    * = integral DIV (t_last − t_first). Products run in
+    * DECIMAL(38)/HUGEINT (cents·µs·rows exceeds 2⁶³ — the q221
+    * rule); segment order is pinned by (ts, event_id), and
+    * same-instant duplicates contribute zero-length segments, so the
+    * integral is tie-order-free. Single-sample groups take TWAP =
+    * the sample (zero-duration convention, both engines).
+    *
+    * Scale shape: one (type, day)-keyed lead window + one aggregate
+    * on the same key — the exchange is reused (q87's posture).
+    */
+  def twap(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val seg = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+    seg.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("n_samples"),
+        (max(col("us")) - min(col("us"))).cast("long").as("duration_us"),
+        expr("""CAST(SUM(CASE WHEN next_us IS NULL THEN CAST(0 AS DECIMAL(38,0))
+             ELSE CAST(cents AS DECIMAL(38,0)) * (next_us - us) END)
+             AS DECIMAL(38,0))""").as("integral"),
+        // only consulted when duration_us = 0, i.e. ALL samples share
+        // one instant — the tie-break is then event_id alone
+        expr("CAST(MIN_BY(cents, event_id) AS BIGINT)").as("first_cents"))
+      .select(col("event_type"), col("day"), col("n_samples"),
+        col("duration_us"),
+        when(col("duration_us") === 0L, col("first_cents"))
+          .otherwise(expr(
+            "CAST(integral DIV duration_us AS BIGINT)"))
+          .cast("long").as("twap_cents"))
+  }
+
   /** The q292 driver entry: CONCURRENCY TIMELINE (sweep line) — the
     * capacity-planning number no per-session aggregate (q33) gives:
     * the PEAK number of simultaneously-active sessions per day, the

@@ -1257,6 +1257,32 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q293 TWAP equals a segment-integral replay and diverges from the plain mean on bursty groups") {
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .selectExpr("event_type", "CAST(ts AS DATE) AS day",
+        "unix_micros(ts) AS us", "event_id",
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    val want = ev.groupBy(e => (e._1, e._2)).map { case ((t, d), g) =>
+      val s = g.sortBy(e => (e._3, e._4))
+      val dur = s.last._3 - s.head._3
+      val twap =
+        if (dur == 0L) s.minBy(_._4)._5
+        else (s.zip(s.tail).map { case (a, b) =>
+          BigInt(a._5) * (b._3 - a._3) }.sum / dur).toLong
+      (t, d, s.length.toLong, dur, twap)
+    }.toSeq.sortBy(x => (x._1, x._2))
+    val got = graft.operators.Relational.twap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(x => (x._1, x._2))
+    assert(got.toSeq == want)
+    // TWAP is not the plain mean somewhere (irregular spacing bites)
+    val plain = ev.groupBy(e => (e._1, e._2)).map { case (k, g) =>
+      k -> g.map(_._5).sum / g.length }
+    assert(want.exists { case (t, d, _, _, tw) => plain((t, d)) != tw })
+  }
+
   test("q292 concurrency timeline: sweep equals an interval-stabbing replay; overlap exists") {
     val ev = graft.sources.Tables.load(spark, sf, "events")
       .selectExpr("user_id", "unix_micros(ts) AS us", "event_id")
