@@ -378,6 +378,8 @@ object SparkEntry {
       Relational.concurrencyTimeline(s, d)),
     "q293_twap" -> ((s: SparkSession, d: String) =>
       Relational.twap(s, d)),
+    "q294_bitemporal" -> ((s: SparkSession, d: String) =>
+      Relational.bitemporalAsOf(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -5244,6 +5246,35 @@ object SparkEntry {
                (MAX(us) - MIN(us)) AS BIGINT)
              END AS BIGINT) AS twap_cents
          FROM seg GROUP BY 1, 2""",
+    // q294: bitemporal believed-state replayed with rank windows per
+    // transaction cut over the same two-axis register.
+    "q294_bitemporal" -> {
+      def believed(tx: String, name: String) =
+        s"""$name AS (
+             SELECT c_custkey, seg FROM (
+               SELECT c_custkey, seg,
+                 ROW_NUMBER() OVER (PARTITION BY c_custkey
+                   ORDER BY valid_from DESC, tx_from DESC) AS rk
+               FROM reg
+               WHERE valid_from <= DATE '1996-12-31'
+                 AND tx_from <= DATE '$tx') t
+             WHERE rk = 1)"""
+      s"""${scd2HistSql("1995-01-01", "1996-06-01")},
+         reg AS (
+           SELECT c_custkey, valid_from,
+             valid_from + CAST(c_custkey % 3 AS INT) AS tx_from,
+             c_mktsegment AS seg
+           FROM scd2_hist
+           UNION ALL
+           SELECT c_custkey, valid_from, valid_from + 10,
+             c_mktsegment || '*'
+           FROM scd2_hist WHERE c_custkey % 7 = 0),
+         ${believed("1996-06-01", "b1")},
+         ${believed("1999-01-01", "b2")}
+         SELECT b2.c_custkey, b1.seg AS seg_t1, b2.seg AS seg_t2,
+           (b1.seg IS NOT NULL AND b1.seg <> b2.seg) AS view_changed
+         FROM b2 LEFT JOIN b1 USING (c_custkey)"""
+    },
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

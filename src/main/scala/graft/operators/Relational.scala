@@ -723,6 +723,56 @@ object Relational {
       .select(col("c_custkey"), col("r.*"))
   }
 
+  /** The q294 driver entry: BITEMPORAL AS-OF (SQL:2011 shape) — the
+    * audit/restatement query the valid-time-only stack (q108 SCD2,
+    * q115 point-in-time, q117 CDC) cannot answer: "what did the
+    * system BELIEVE on transaction date T about the state valid on
+    * date V?" Regulated reporting (finance, healthcare) runs exactly
+    * this to reproduce past reports after late-arriving corrections.
+    * The register carries BOTH axes: each q108 version is RECORDED
+    * late (tx_from = valid_from + key%3 days — reporting lag), and
+    * every %7 key later gets a CORRECTION row (tx_from = +10 days,
+    * same valid_from, '*'-marked attrs — a restatement, not a new
+    * validity). believed(T, V) per key = the (valid_from, tx_from)
+    * lexicographic max among rows with valid_from ≤ V and tx_from ≤
+    * T: newest validity first, then latest recorded knowledge about
+    * it — one max_by aggregate per cut, no interval join at all.
+    * The entry contrasts an early cut T1 (corrections and some late
+    * recordings invisible) against a late cut T2, flagging keys
+    * whose believed state CHANGED between report dates.
+    *
+    * Scale shape: the register build is q108's merge + a per-row
+    * date shift; each cut is one key-grain aggregate. Nothing
+    * broadcasts, nothing explodes.
+    */
+  def bitemporalAsOf(spark: SparkSession, sfDir: String,
+      epochDate: String = "1995-01-01",
+      asOfDate: String = "1996-06-01",
+      validAt: String = "1996-12-31",
+      txEarly: String = "1996-06-01",
+      txLate: String = "1999-01-01"): DataFrame = {
+    val hist = scd2Merge(spark, sfDir, epochDate, asOfDate)
+    val base = hist.select(col("c_custkey"), col("valid_from"),
+      expr("date_add(valid_from, CAST(c_custkey % 3 AS INT))")
+        .as("tx_from"),
+      col("c_mktsegment").as("seg"))
+    val corr = hist.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), col("valid_from"),
+        expr("date_add(valid_from, 10)").as("tx_from"),
+        concat(col("c_mktsegment"), lit("*")).as("seg"))
+    val reg = base.unionByName(corr)
+    def believed(tx: String, out: String) = reg
+      .filter(col("valid_from") <= lit(java.sql.Date.valueOf(validAt)) &&
+        col("tx_from") <= lit(java.sql.Date.valueOf(tx)))
+      .groupBy(col("c_custkey"))
+      .agg(expr("MAX_BY(seg, STRUCT(valid_from, tx_from))").as(out))
+    believed(txLate, "seg_t2")
+      .join(believed(txEarly, "seg_t1"), Seq("c_custkey"), "left")
+      .select(col("c_custkey"), col("seg_t1"), col("seg_t2"),
+        (col("seg_t1").isNotNull && col("seg_t1") =!= col("seg_t2"))
+          .as("view_changed"))
+  }
+
   /** Point-in-time join (q115): enrich every order with the dimension
     * version that was valid ON ITS OWN DATE — the feature-store
     * correctness primitive (training rows must see the feature value

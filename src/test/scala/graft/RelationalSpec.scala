@@ -1257,6 +1257,40 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q294 bitemporal: believed state per cut equals a replay; restatements and late recordings visible") {
+    val hist = graft.operators.Relational
+      .scd2Merge(spark, sf, "1995-01-01", "1996-06-01")
+      .select(col("c_custkey"), col("valid_from"), col("c_mktsegment"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getString(2)))
+    val reg = hist.flatMap { case (k, vf, seg) =>
+      val base = (k, vf, vf.plusDays(k % 3), seg)
+      if (k % 7 == 0) Seq(base, (k, vf, vf.plusDays(10), seg + "*"))
+      else Seq(base)
+    }
+    val v = java.time.LocalDate.parse("1996-12-31")
+    def believed(t: String): Map[Long, String] = {
+      val cut = java.time.LocalDate.parse(t)
+      reg.filter(r => !r._2.isAfter(v) && !r._3.isAfter(cut))
+        .groupBy(_._1).map { case (k, g) =>
+          k -> g.maxBy(r => (r._2.toEpochDay, r._3.toEpochDay))._4 }
+    }
+    val b1 = believed("1996-06-01"); val b2 = believed("1999-01-01")
+    val want = b2.toSeq.map { case (k, s2) =>
+      val s1 = b1.get(k)
+      (k, s1.orNull, s2, s1.exists(_ != s2))
+    }.sortBy(_._1)
+    val got = graft.operators.Relational.bitemporalAsOf(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        r.getString(2), r.getBoolean(3))).sortBy(_._1)
+    assert(got.toSeq == want)
+    assert(got.exists(_._4), "a restatement must change the view between cuts")
+    assert(got.exists(_._2 == null), "a late-recorded key must be absent at T1")
+    assert(got.exists(_._3.endsWith("*")), "corrections must win at T2")
+  }
+
   test("q293 TWAP equals a segment-integral replay and diverges from the plain mean on bursty groups") {
     val ev = graft.sources.Tables.load(spark, sf, "events")
       .selectExpr("event_type", "CAST(ts AS DATE) AS day",
