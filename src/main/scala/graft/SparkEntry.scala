@@ -380,6 +380,8 @@ object SparkEntry {
       Relational.twap(s, d)),
     "q294_bitemporal" -> ((s: SparkSession, d: String) =>
       Relational.bitemporalAsOf(s, d)),
+    "q295_forecast_backtest" -> ((s: SparkSession, d: String) =>
+      Relational.forecastBacktest(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -5275,6 +5277,58 @@ object SparkEntry {
            (b1.seg IS NOT NULL AND b1.seg <> b2.seg) AS view_changed
          FROM b2 LEFT JOIN b1 USING (c_custkey)"""
     },
+    // q295: the q209 recursion per series, fit on the train prefix
+    // only; seasonal-naive from ranks; integer SAE, no division.
+    "q295_forecast_backtest" ->
+      """WITH RECURSIVE d AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT event_type, y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY day ASC) AS BIGINT) AS rn
+           FROM d),
+         nn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM r GROUP BY 1),
+         m AS (SELECT event_type, n, n - 7 AS m FROM nn WHERE n >= 16),
+         st AS (
+           SELECT r1.event_type, CAST(1 AS BIGINT) AS rn,
+             r1.y AS lvl, r2.y - r1.y AS tr
+           FROM r r1 JOIN r r2 ON r2.event_type = r1.event_type
+             AND r2.rn = 2
+           WHERE r1.rn = 1
+           UNION ALL
+           SELECT s.event_type, s.rn + 1,
+             CAST(FLOOR(CAST(rr.y + s.lvl + s.tr AS DOUBLE) / 2.0)
+               AS BIGINT),
+             CAST(FLOOR((CAST(FLOOR(CAST(rr.y + s.lvl + s.tr AS DOUBLE)
+               / 2.0) AS BIGINT) - s.lvl + s.tr) / 2.0) AS BIGINT)
+           FROM st s
+           JOIN m ON m.event_type = s.event_type
+           JOIN r rr ON rr.event_type = s.event_type
+             AND rr.rn = s.rn + 1
+           WHERE s.rn + 1 <= m.m),
+         fin AS (SELECT s.event_type, s.lvl, s.tr
+           FROM st s JOIN m ON m.event_type = s.event_type
+             AND s.rn = m.m),
+         err AS (
+           SELECT f.event_type,
+             CAST(SUM(ABS(f.lvl + h.h * f.tr - a.y)) AS BIGINT)
+               AS sae_holt,
+             CAST(SUM(ABS(nv.y - a.y)) AS BIGINT) AS sae_naive
+           FROM fin f
+           JOIN m ON m.event_type = f.event_type
+           CROSS JOIN range(1, 8) h(h)
+           JOIN r a ON a.event_type = f.event_type
+             AND a.rn = m.m + h.h
+           JOIN r nv ON nv.event_type = f.event_type
+             AND nv.rn = m.m + h.h - 7
+           GROUP BY 1)
+         SELECT e.event_type, nn.n AS n_days, e.sae_holt, e.sae_naive,
+           CASE WHEN e.sae_holt < e.sae_naive THEN 'holt'
+                WHEN e.sae_holt > e.sae_naive THEN 'naive'
+                ELSE 'tie' END AS winner
+         FROM err e JOIN nn USING (event_type)""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

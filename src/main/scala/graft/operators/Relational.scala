@@ -2718,6 +2718,66 @@ object Relational {
           .as("forecast_cents"))
   }
 
+  /** The q295 driver entry: FORECAST BACKTEST HARNESS — the
+    * evaluation loop that makes q209's forecast trustworthy: freeze
+    * a cut, fit on the train side only, forecast the held-out tail,
+    * and score against a mandatory NAIVE BASELINE (seasonal-naive:
+    * position i predicts the value 7 positions earlier — inside the
+    * train window for every held-out step at hold = 7, so nothing
+    * leaks). A forecast that can't beat naive on its own backtest
+    * has no business in capacity planning — this entry produces that
+    * verdict PER SERIES (event type), with integer sums of absolute
+    * errors (no MAE division, no floats anywhere; the Holt recursion
+    * is q209's exact ⌊·/2⌋ device, fit over the train prefix by the
+    * same in-row fold).
+    *
+    * Scale shape: one (type, day) map-side aggregate; each series
+    * folds inside its own row over the calendar-bounded day domain
+    * (q209's rule) — per-series cost is O(days), series are
+    * embarrassingly parallel.
+    */
+  def forecastBacktest(
+      spark: SparkSession, sfDir: String, hold: Int = 7): DataFrame = {
+    def half(x: Column): Column =
+      floor(x.cast("double") / lit(2.0)).cast("long")
+    Tables.load(spark, sfDir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        array_sort(collect_list(struct(col("day"), col("y")))).as("s"))
+      // need >= 2 train points and a full seasonal lag inside train
+      .where(col("n") >= lit(hold + 7L + 2L))
+      .select(col("event_type"), col("n"),
+        transform(col("s"), x => x.getField("y")).as("ys"))
+      .select(col("event_type"), col("n"), col("ys"),
+        aggregate(
+          slice(col("ys"), lit(2), size(col("ys")) - lit(1 + hold)),
+          struct(element_at(col("ys"), 1).as("lvl"),
+            (element_at(col("ys"), 2) - element_at(col("ys"), 1))
+              .as("tr")),
+          (st, y) => {
+            val lvl2 = half(y + st.getField("lvl") + st.getField("tr"))
+            struct(lvl2.as("lvl"),
+              half(lvl2 - st.getField("lvl") + st.getField("tr"))
+                .as("tr"))
+          }).as("st"))
+      .select(col("event_type"), col("n").cast("long").as("n_days"),
+        expr(s"""aggregate(sequence(1, $hold), CAST(0 AS BIGINT),
+            (acc, h) -> acc + abs(st.lvl + h * st.tr -
+              element_at(ys, CAST(size(ys) - $hold + h AS INT))))""")
+          .as("sae_holt"),
+        expr(s"""aggregate(sequence(1, $hold), CAST(0 AS BIGINT),
+            (acc, h) -> acc + abs(
+              element_at(ys, CAST(size(ys) - $hold + h - 7 AS INT)) -
+              element_at(ys, CAST(size(ys) - $hold + h AS INT))))""")
+          .as("sae_naive"))
+      .withColumn("winner",
+        when(col("sae_holt") < col("sae_naive"), "holt")
+          .when(col("sae_holt") > col("sae_naive"), "naive")
+          .otherwise("tie"))
+  }
+
   /** The q219 driver entry: CUSUM CHANGEPOINT on the daily revenue
     * series (Page 1954) — the standard drift detector a data
     * pipeline runs over ingest volume / quality metrics: cumulative
