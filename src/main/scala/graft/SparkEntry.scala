@@ -382,6 +382,8 @@ object SparkEntry {
       Relational.bitemporalAsOf(s, d)),
     "q295_forecast_backtest" -> ((s: SparkSession, d: String) =>
       Relational.forecastBacktest(s, d)),
+    "q296_span_corruption" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.spanCorruption(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -5329,6 +5331,51 @@ object SparkEntry {
                 WHEN e.sae_holt > e.sae_naive THEN 'naive'
                 ELSE 'tie' END AS winner
          FROM err e JOIN nn USING (event_type)""",
+    // q296: span corruption replayed token-by-token; rendered strings
+    // compare as md5 fingerprints.
+    "q296_span_corruption" ->
+      s"""WITH base AS (
+           SELECT doc_id, string_split($normText, ' ') AS ws
+           FROM documents),
+         toks AS (
+           SELECT doc_id, i - 1 AS pos, ws[CAST(i AS INT)] AS tok
+           FROM base, LATERAL
+             (SELECT UNNEST(range(1, len(ws) + 1)) AS i) u
+           WHERE ws[CAST(i AS INT)] <> ''),
+         m AS (SELECT doc_id, pos, tok,
+             (('0x' || substr(md5('mask:' || CAST(doc_id AS VARCHAR)
+               || ':' || CAST(pos AS VARCHAR)), 1, 15))::BIGINT % 100
+               < 15) AS mk
+           FROM toks),
+         s AS (SELECT doc_id, pos, tok, mk,
+             COALESCE(LAG(mk) OVER (PARTITION BY doc_id
+               ORDER BY pos ASC), FALSE) AS prev_m
+           FROM m),
+         s2 AS (SELECT *, (mk AND NOT prev_m) AS st FROM s),
+         s3 AS (SELECT *,
+             CASE WHEN mk THEN CAST(SUM(CASE WHEN st THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+               AS BIGINT) END AS span_idx
+           FROM s2),
+         p AS (SELECT doc_id, pos, mk, st,
+             CASE WHEN NOT mk THEN tok
+               WHEN st THEN '<extra_id_' || CAST(span_idx AS VARCHAR)
+                 || '>' END AS ip,
+             CASE WHEN st THEN '<extra_id_' || CAST(span_idx AS VARCHAR)
+                 || '>' || ' ' || tok
+               WHEN mk THEN tok END AS tp
+           FROM s3)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN mk THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_masked,
+           CAST(SUM(CASE WHEN st THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_spans,
+           md5(COALESCE(string_agg(ip, ' ' ORDER BY pos)
+             FILTER (WHERE ip IS NOT NULL), '')) AS input_fp,
+           md5(COALESCE(string_agg(tp, ' ' ORDER BY pos)
+             FILTER (WHERE tp IS NOT NULL), '')) AS target_fp
+         FROM p GROUP BY 1""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

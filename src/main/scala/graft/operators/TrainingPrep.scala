@@ -1109,4 +1109,58 @@ object TrainingPrep {
         (col("quota") + when(col("rk") <= col("seats"), 1L)
           .otherwise(0L)).as("alloc_tokens"))
   }
+
+  /** The q296 driver entry: SPAN-CORRUPTION MANIFEST (T5/UL2 shape) —
+    * the denoising-objective data transform: ~15% of tokens are
+    * masked, CONSECUTIVE masked tokens merge into one span, each
+    * span is replaced by a numbered sentinel in the input while the
+    * target lists every sentinel followed by its original tokens —
+    * the (input, target) pair a span-corruption pretraining batch
+    * feeds the model. The mask decision is the salted-md5 per-(doc,
+    * position) gate (the q118 60-bit device — re-runnable, and a
+    * re-ingested doc corrupts identically), span numbering is a
+    * start-flag cumsum per doc, and both rendered strings travel as
+    * md5 fingerprints under the hash compare, so a mis-merged span
+    * or mis-numbered sentinel fails the oracle.
+    *
+    * Scale shape: everything is doc-local — one (doc, pos) explode,
+    * one doc-keyed window pass for the span bookkeeping, one
+    * doc-grain ordered re-join (q266's posture). No joins.
+    */
+  def spanCorruption(
+      spark: SparkSession, sfDir: String, pct: Int = 15): DataFrame = {
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), posexplode(split(
+        graft.operators.TextAnalysis.normalizedText(col("text")), " "))
+        .as(Seq("pos", "tok")))
+      .where(length(col("tok")) >= 1)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val spans = toks
+      .withColumn("m", expr(
+        s"""CAST(conv(substring(md5(concat('mask:',
+            CAST(doc_id AS STRING), ':', CAST(pos AS STRING))), 1, 15),
+            16, 10) AS BIGINT) % 100 < $pct"""))
+      .withColumn("prev_m", lag(col("m"), 1, false).over(w))
+      .withColumn("start", col("m") && !col("prev_m"))
+      .withColumn("span_idx", when(col("m"),
+        sum(when(col("start"), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1L))
+    val sentinel = concat(lit("<extra_id_"), col("span_idx"), lit(">"))
+    val inputPiece = when(!col("m"), col("tok"))
+      .when(col("start"), sentinel)
+    val targetPiece = when(col("start"),
+      concat(sentinel, lit(" "), col("tok")))
+      .when(col("m"), col("tok"))
+    def rendered(piece: Column): Column =
+      md5(array_join(filter(transform(
+        array_sort(collect_list(struct(col("pos"), piece.as("p")))),
+        x => x.getField("p")), x => x.isNotNull), " "))
+    spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("m"), 1L).otherwise(0L)).cast("long").as("n_masked"),
+        sum(when(col("start"), 1L).otherwise(0L)).cast("long")
+          .as("n_spans"),
+        rendered(inputPiece).as("input_fp"),
+        rendered(targetPiece).as("target_fp"))
+  }
 }

@@ -677,4 +677,57 @@ class TrainingPrepSpec extends AnyFunSuite {
       assert(lo <= hi)
     }
   }
+
+  test("q296 span corruption: fingerprints equal a replay; stitching targets back reconstructs the doc") {
+    val spark = SparkTestSession.spark
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def masked(doc: Long, pos: Int): Boolean =
+      java.lang.Long.parseLong(
+        md5hex(s"mask:$doc:$pos").substring(0, 15), 16) % 100 < 15
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.flatMap { case (id, text) =>
+      val toks = text.trim.toLowerCase.replaceAll("\\s+", " ")
+        .split(" ").filter(_.nonEmpty)
+      if (toks.isEmpty) None
+      else {
+        val m = toks.indices.map(i => masked(id, i))
+        val starts = toks.indices.map(i => m(i) && (i == 0 || !m(i - 1)))
+        val spanIdx = starts.scanLeft(0)((a, s) => a + (if (s) 1 else 0))
+          .tail.map(_ - 1)
+        val input = toks.indices.flatMap { i =>
+          if (!m(i)) Some(toks(i))
+          else if (starts(i)) Some(s"<extra_id_${spanIdx(i)}>")
+          else None
+        }.mkString(" ")
+        val target = toks.indices.flatMap { i =>
+          if (starts(i)) Some(s"<extra_id_${spanIdx(i)}> ${toks(i)}")
+          else if (m(i)) Some(toks(i))
+          else None
+        }.mkString(" ")
+        // the round trip: substituting each sentinel's target span
+        // back into the input must reproduce the original doc
+        var stitched = input
+        val spanToks = toks.indices.filter(m).groupBy(spanIdx)
+          .map { case (k, idxs) => k -> idxs.map(toks).mkString(" ") }
+        for ((k, body) <- spanToks)
+          stitched = stitched.replace(s"<extra_id_$k>", body)
+        assert(stitched == toks.mkString(" "), s"doc $id round trip")
+        Some((id, toks.length.toLong, m.count(identity).toLong,
+          starts.count(identity).toLong, md5hex(input), md5hex(target)))
+      }
+    }.sortBy(_._1)
+    val got = graft.operators.TrainingPrep
+      .spanCorruption(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // spans genuinely merge somewhere (a span longer than one token)
+    assert(want.exists(w => w._3 > w._4),
+      "fixture must produce at least one multi-token span")
+  }
 }
