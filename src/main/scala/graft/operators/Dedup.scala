@@ -1186,6 +1186,42 @@ object Dedup {
       Seq("doc_id"), "left_anti")
   }
 
+  /** The q297 driver entry: SOFT-DEDUP LOSS WEIGHTS — the
+    * alternative to deletion that modern pretraining mixes favor
+    * (keep every copy, downweight so each near-dup CLUSTER
+    * contributes ~one document of loss mass): weight_micro =
+    * 10⁶ DIV cluster_size over q44's connected near-dup components,
+    * singletons at full weight. Hard dedup (q44) throws information
+    * away when near-dups differ in their tails; soft weights keep
+    * the tails and still kill the repetition gradient — and the
+    * artifact is a per-doc column a data loader joins, not a
+    * filtered corpus rebuild.
+    *
+    * Components come from the production MinHash-LSH + exact-verify
+    * path; the oracle recomputes them from the exhaustive Jaccard
+    * truth, so equality rides the pinned complete-banded-recall
+    * precondition (the q22/q220 caveat, spec-pinned in DedupSpec).
+    *
+    * Scale shape: q22's candidate path + one comp-keyed size
+    * aggregate + one comp-keyed join-back; weights are row-local.
+    */
+  def softDedupWeights(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashLshPairsVerified(spark, sfDir, threshold = threshold)
+    val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+    val comps = connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("comp"))
+    val withComp = docs.join(comps, Seq("doc_id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+    val sizes = withComp.groupBy(col("comp"))
+      .agg(count(lit(1)).cast("long").as("cluster_size"))
+    withComp.join(sizes, "comp")
+      .select(col("doc_id"), col("comp").as("cluster_rep"),
+        col("cluster_size"),
+        expr("CAST(1000000 DIV cluster_size AS BIGINT)")
+          .as("weight_micro"))
+  }
+
   // -------- embedding near-dup --------
 
   /** Embedding-cosine near-duplicates, exact all-pairs cartesian.

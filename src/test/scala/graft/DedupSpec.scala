@@ -536,6 +536,30 @@ class DedupSpec extends AnyFunSuite {
       s"blocked=${got.size} brute=${want.size} missing=${(want -- got).take(3)}")
   }
 
+  test("q297 soft-dedup weights: cluster mass law holds; survivors of q44 carry their cluster's weight") {
+    val rows = graft.operators.Dedup
+      .softDedupWeights(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet").count()
+    assert(rows.length.toLong == nDocs, "every doc gets a weight")
+    // weight law: weight = 10^6 DIV size, and each cluster's total
+    // mass is size * (10^6 DIV size) <= 10^6 (one-doc budget)
+    rows.foreach { case (_, _, s, w) => assert(w == 1000000L / s) }
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      val s = g.head._3
+      assert(g.length.toLong == s, "cluster_size must equal membership")
+      assert(s * (1000000L / s) <= 1000000L)
+    }
+    // non-trivial clusters exist and singletons keep full weight
+    assert(rows.exists(_._3 > 1L) && rows.exists(_._4 == 1000000L))
+    // consistency with q44: survivors are exactly the cluster reps
+    val survivors = graft.operators.Dedup
+      .nearDupSurvivors(spark, SparkTestSession.sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(rows.filter(r => r._1 == r._2).map(_._1).toSet == survivors)
+  }
+
   test("q283 Fellegi-Sunter: blocked scoring equals a brute-force replay; all verdicts exercised") {
     import graft.sources.Tables
     val sf = SparkTestSession.sf
