@@ -386,6 +386,8 @@ object SparkEntry {
       TrainingPrep.spanCorruption(s, d)),
     "q297_soft_dedup_weights" -> ((s: SparkSession, d: String) =>
       Dedup.softDedupWeights(s, d)),
+    "q298_stratified_folds" -> ((s: SparkSession, d: String) =>
+      Dedup.stratifiedGroupKFold(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -5415,6 +5417,56 @@ object SparkEntry {
          SELECT k.doc_id, k.comp AS cluster_rep, sz.cluster_size,
            CAST(1000000 // sz.cluster_size AS BIGINT) AS weight_micro
          FROM keyed k JOIN sz USING (comp)""",
+    // q298: the same CC prefix, then majority-language strata and
+    // the round-robin deal replayed with rank windows.
+    "q298_stratified_folds" ->
+      s"""WITH RECURSIVE words AS (
+           SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t
+           WHERE len(w) >= 5),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM common
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(n_common AS DOUBLE) /
+             CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id),
+         comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY 1),
+         keyed AS (
+           SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp, d.lang
+           FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         lc AS (SELECT comp, lang, CAST(COUNT(*) AS BIGINT) AS c
+           FROM keyed GROUP BY 1, 2),
+         stratum AS (
+           SELECT comp, lang AS stratum FROM (
+             SELECT comp, lang,
+               ROW_NUMBER() OVER (PARTITION BY comp
+                 ORDER BY c DESC, lang ASC) AS rk
+             FROM lc) t WHERE rk = 1),
+         sz AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS sz
+           FROM keyed GROUP BY 1),
+         folds AS (
+           SELECT s.comp, st.stratum,
+             CAST((ROW_NUMBER() OVER (PARTITION BY st.stratum
+               ORDER BY s.sz DESC, s.comp ASC) - 1) % 5 AS BIGINT)
+               AS fold
+           FROM sz s JOIN stratum st USING (comp))
+         SELECT k.doc_id, k.comp AS cluster_rep, f.stratum, f.fold
+         FROM keyed k JOIN folds f USING (comp)""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

@@ -1207,12 +1207,7 @@ object Dedup {
     */
   def softDedupWeights(spark: SparkSession, sfDir: String,
       threshold: Double = 0.5): DataFrame = {
-    val pairs = minhashLshPairsVerified(spark, sfDir, threshold = threshold)
-    val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
-    val comps = connectedComponents(pairs)
-      .select(col("id").as("doc_id"), col("comp"))
-    val withComp = docs.join(comps, Seq("doc_id"), "left")
-      .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+    val withComp = docClusters(spark, sfDir, threshold)
     val sizes = withComp.groupBy(col("comp"))
       .agg(count(lit(1)).cast("long").as("cluster_size"))
     withComp.join(sizes, "comp")
@@ -1220,6 +1215,63 @@ object Dedup {
         col("cluster_size"),
         expr("CAST(1000000 DIV cluster_size AS BIGINT)")
           .as("weight_micro"))
+  }
+
+  /** Every document's near-dup cluster id (singletons = own id) —
+    * the q44 components through the production LSH path, shared by
+    * q297 weights and q298 folds.
+    */
+  private[graft] def docClusters(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashLshPairsVerified(spark, sfDir, threshold = threshold)
+    val comps = connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("comp"))
+    Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+  }
+
+  /** The q298 driver entry: STRATIFIED GROUP K-FOLD — the evaluation
+    * split that respects BOTH leakage axes at once: folds must be
+    * cluster-atomic (a near-dup pair across train/validation
+    * inflates every metric — q162's lesson) AND stratum-balanced
+    * (each fold should mirror the language mix, or per-fold metrics
+    * are incomparable). sklearn's StratifiedGroupKFold is a greedy
+    * sequential assigner; the relational form deals clusters
+    * ROUND-ROBIN within each stratum ordered by (cluster size desc,
+    * rep asc) — fold = (rank−1) mod K — which is deterministic,
+    * one rank window per stratum, and balances cluster counts
+    * per (stratum, fold) to within one while spreading the big
+    * clusters first. A cluster's stratum is its majority language
+    * (ties by language asc).
+    *
+    * Scale shape: q22's candidate path + two bounded-key windows
+    * (stratum-keyed rank over CLUSTERS, not docs) + one comp-keyed
+    * join-back.
+    */
+  def stratifiedGroupKFold(spark: SparkSession, sfDir: String,
+      k: Int = 5): DataFrame = {
+    val withComp = docClusters(spark, sfDir)
+      .join(Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("lang")), "doc_id")
+    val langCnt = withComp.groupBy(col("comp"), col("lang"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val stratum = langCnt
+      .withColumn("rk", row_number().over(Window.partitionBy(col("comp"))
+        .orderBy(col("c").desc, col("lang").asc)))
+      .filter(col("rk") === 1)
+      .select(col("comp"), col("lang").as("stratum"))
+    val sizes = withComp.groupBy(col("comp"))
+      .agg(count(lit(1)).cast("long").as("sz"))
+    val folds = sizes.join(stratum, "comp")
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("stratum"))
+          .orderBy(col("sz").desc, col("comp").asc)).cast("long"))
+      .select(col("comp"), col("stratum"),
+        ((col("crk") - 1L) % k).cast("long").as("fold"))
+    withComp.join(folds, "comp")
+      .select(col("doc_id"), col("comp").as("cluster_rep"),
+        col("stratum"), col("fold"))
   }
 
   // -------- embedding near-dup --------

@@ -560,6 +560,30 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.filter(r => r._1 == r._2).map(_._1).toSet == survivors)
   }
 
+  test("q298 stratified group k-fold: cluster-atomic, count-balanced per stratum, all folds live") {
+    val rows = graft.operators.Dedup
+      .stratifiedGroupKFold(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val nDocs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet").count()
+    assert(rows.length.toLong == nDocs)
+    // leakage-freedom: one fold per cluster
+    rows.groupBy(_._2).foreach { case (c, g) =>
+      assert(g.map(_._4).distinct.length == 1, s"cluster $c split")
+      assert(g.map(_._3).distinct.length == 1, s"cluster $c stratum")
+    }
+    // per stratum, cluster counts per fold balanced within one
+    val byStratum = rows.map(r => (r._3, r._2, r._4)).distinct
+      .groupBy(_._1)
+    byStratum.foreach { case (s, g) =>
+      val perFold = g.groupBy(_._3).view.mapValues(_.size).toMap
+      val counts = (0L until 5L).map(f => perFold.getOrElse(f, 0))
+      assert(counts.max - counts.min <= 1, s"stratum $s unbalanced: $counts")
+    }
+    assert(rows.map(_._4).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(byStratum.size > 1, "strata must vary")
+  }
+
   test("q283 Fellegi-Sunter: blocked scoring equals a brute-force replay; all verdicts exercised") {
     import graft.sources.Tables
     val sf = SparkTestSession.sf
