@@ -388,6 +388,8 @@ object SparkEntry {
       Dedup.softDedupWeights(s, d)),
     "q298_stratified_folds" -> ((s: SparkSession, d: String) =>
       Dedup.stratifiedGroupKFold(s, d)),
+    "q299_binary_quant" -> ((s: SparkSession, d: String) =>
+      Similarity.binaryQuantAudit(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -5467,6 +5469,41 @@ object SparkEntry {
            FROM sz s JOIN stratum st USING (comp))
          SELECT k.doc_id, k.comp AS cluster_rep, f.stratum, f.fold
          FROM keyed k JOIN folds f USING (comp)""",
+    // q299: sign words rebuilt per-dimension, Hamming via
+    // bit_count(xor), truth side = the q30 brute oracle.
+    "q299_binary_quant" ->
+      s"""WITH words AS (
+           SELECT vec_id,
+             CAST(SUM(CASE WHEN embedding[CAST(i AS INT)] <= 0 THEN 0
+               WHEN i = 64 THEN -9223372036854775808
+               ELSE (1::BIGINT << (CAST(i AS INT) - 1))
+               END) AS BIGINT) AS w
+           FROM embeddings, LATERAL
+             (SELECT UNNEST(range(1, len(embedding) + 1)) AS i) u
+           GROUP BY 1),
+         qw AS (SELECT vec_id AS q_id, w AS qw FROM words
+           WHERE vec_id IN
+             (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)),
+         h AS (SELECT q_id, w2.vec_id,
+             CAST(bit_count(xor(w2.w, qw.qw)) AS BIGINT) AS hamming
+           FROM qw JOIN words w2 ON w2.vec_id != qw.q_id),
+         th AS (SELECT q_id, vec_id, hamming,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY hamming ASC, vec_id ASC) AS rk
+           FROM h),
+         topk AS (SELECT q_id, vec_id, hamming FROM th WHERE rk <= 10),
+         brute AS (SELECT q_id, vec_id FROM ($annBruteOracle) t),
+         ov AS (SELECT b.q_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+           FROM brute b JOIN topk USING (q_id, vec_id) GROUP BY 1),
+         agg AS (SELECT q_id,
+             CAST(MIN(hamming) AS BIGINT) AS best_hamming,
+             CAST(MAX(hamming) AS BIGINT) AS kth_hamming
+           FROM topk GROUP BY 1)
+         SELECT a.q_id,
+           CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(COALESCE(ov.n_overlap, 0) * 1000 AS BIGINT) AS recall_bp,
+           a.best_hamming, a.kth_hamming
+         FROM agg a LEFT JOIN ov USING (q_id)""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

@@ -922,6 +922,59 @@ object Similarity {
     * Scale shape: both inputs are top-k-bounded (queries x 10 rows);
     * the audit is a join + count over that bounded set.
     */
+  /** The q299 driver entry: BINARY (SIGN) QUANTIZATION + HAMMING
+    * RETRIEVAL AUDIT — the third leg of the quantization family:
+    * int8 preserves magnitudes (q71), PQ preserves subspace shape
+    * (q153), and sign bits keep ONE BIT per dimension — 64 bits per
+    * vector here, a 256× compression over float32 — with Hamming
+    * distance as the similarity proxy (the binary-quantization mode
+    * every production vector store now ships, typically as a
+    * prefilter before float re-rank). The audit measures exactly
+    * what that buys: Hamming top-k per query vs the exact float
+    * cosine top-k (q30), as recall plus the top/kth Hamming radii a
+    * re-rank budget would be tuned from.
+    *
+    * Exactness: the word is Σ 1≪(i−1) over positive dims (bit 63's
+    * two's-complement negativity is representation, not arithmetic —
+    * both engines fold the same distinct powers); distances are
+    * bit_count(xor) integers under a (hamming, vec_id) total order.
+    *
+    * Scale shape: 8-byte words ride a broadcast-queries × corpus
+    * scan — the corpus vectors themselves never join; rank-≤-k
+    * windows bound the shuffle at k rows per query.
+    */
+  def binaryQuantAudit(spark: SparkSession, sfDir: String,
+      numQueries: Int = 5, k: Int = 10): DataFrame = {
+    val words = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), expr(
+        """aggregate(sequence(1, size(embedding)), CAST(0 AS BIGINT),
+           (acc, i) -> acc + CASE
+             WHEN element_at(embedding, i) > CAST(0 AS FLOAT)
+             THEN SHIFTLEFT(CAST(1 AS BIGINT), i - 1)
+             ELSE CAST(0 AS BIGINT) END)""").as("w"))
+    val qw = words.orderBy(col("vec_id")).limit(numQueries)
+      .select(col("vec_id").as("q_id"), col("w").as("qw"))
+    val topH = words.join(broadcast(qw), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        expr("CAST(bit_count(w ^ qw) AS BIGINT)").as("hamming"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("hamming").asc, col("vec_id").asc)))
+      .filter(col("rk") <= k)
+    val overlap = annBrute(spark, sfDir, numQueries, k)
+      .select(col("q_id"), col("vec_id"))
+      .join(topH.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+    topH.groupBy(col("q_id"))
+      .agg(min(col("hamming")).cast("long").as("best_hamming"),
+        max(col("hamming")).cast("long").as("kth_hamming"))
+      .join(overlap, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_overlap"), lit(0L)).cast("long").as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) * lit(1000L)).cast("long")
+          .as("recall_bp"),
+        col("best_hamming"), col("kth_hamming"))
+  }
+
   def annRecallAudit(spark: SparkSession, sfDir: String): DataFrame = {
     val brute = annBrute(spark, sfDir).select(col("q_id"), col("vec_id"))
     val lsh = annLsh(spark, sfDir).select(col("q_id"), col("vec_id"))

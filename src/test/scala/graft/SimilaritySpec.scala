@@ -546,4 +546,42 @@ class SimilaritySpec extends AnyFunSuite {
       assert(ndcg == -1L || (ndcg >= 0L && ndcg <= 1000000L))
     }
   }
+
+  test("q299 binary quantization: words and Hamming top-k equal a replay; recall beats chance") {
+    import graft.sources.Tables
+    val sf = SparkTestSession.sf
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def word(v: Array[Float]): Long =
+      v.indices.foldLeft(0L)((acc, i) =>
+        acc + (if (v(i) > 0f) 1L << i else 0L))
+    val words = vecs.map { case (id, v) => (id, word(v)) }
+    val qids = vecs.map(_._1).sorted.take(5)
+    val wMap = words.toMap
+    def topH(q: Long): Seq[Long] = words.filter(_._1 != q)
+      .map { case (id, w) =>
+        (java.lang.Long.bitCount(w ^ wMap(q)).toLong, id) }
+      .sorted.take(10).map(_._2)
+    // cosine truth from the operator's own brute path (q30, already
+    // spec-pinned against an independent replay)
+    val brute = graft.operators.Similarity.annBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = qids.map { q =>
+      val th = topH(q)
+      val ov = th.count(brute(q))
+      (q, ov.toLong, ov * 1000L)
+    }
+    val got = graft.operators.Similarity.binaryQuantAudit(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq == want.toSeq)
+    got.foreach { case (_, _, _, best, kth) =>
+      assert(best <= kth && best >= 0L && kth <= 64L) }
+    // sign bits must retain real signal: average recall@10 far above
+    // the ~10/499 chance level
+    assert(got.map(_._2).sum >= 10L,
+      s"binary recall too low: ${got.map(_._2).toSeq}")
+  }
 }
