@@ -445,7 +445,11 @@ object TextAnalysis {
   def ulmTrain(spark: SparkSession, sfDir: String,
       rounds: Int = 2, multiK: Int = 48, maxPiece: Int = 4): DataFrame = {
     import spark.implicits._
-    ulmTrainedVocab(spark, sfDir, rounds, multiK, maxPiece)
+    // the TRAINER entry always trains — the memo belongs to the
+    // artifact CONSUMERS (q285's lifecycle), never to the entry that
+    // documents training cost (the q155-vs-q157 rule; a memoized
+    // trainer would bench its own cache hit)
+    ulmTrainCompute(spark, sfDir, rounds, multiK, maxPiece)
       .toDF("piece", "n_uses", "cost_micro")
   }
 
@@ -471,7 +475,13 @@ object TextAnalysis {
       : Seq[(String, Long, Long)] =
     ulmVocabMemo.getOrElseUpdate(
       (sfDir + "@" + Tables.fingerprint(sfDir, "documents"),
-        rounds, multiK, maxPiece), {
+        rounds, multiK, maxPiece),
+      ulmTrainCompute(spark, sfDir, rounds, multiK, maxPiece))
+
+  private def ulmTrainCompute(
+      spark: SparkSession, sfDir: String,
+      rounds: Int, multiK: Int, maxPiece: Int)
+      : Seq[(String, Long, Long)] = {
       val words = ulmWords(spark, sfDir)
         .localCheckpoint(true) // feeds the seed AND every E-step
       // seed: every <=maxPiece substring of every dictionary word,
@@ -519,7 +529,7 @@ object TextAnalysis {
         costs = withCosts(counts)
       }
       counts.map { case (p, c) => (p, c, costs(p)) }
-    })
+  }
 
   private val ulmVocabMemo = scala.collection.concurrent.TrieMap
     .empty[(String, Int, Int, Int), Seq[(String, Long, Long)]]
