@@ -1245,12 +1245,15 @@ object Experiment {
       .select(col("l_orderkey").as("o"), col("l_partkey").as("i"))
       .distinct()
     val ci = b.groupBy(col("i")).agg(count(lit(1)).cast("long").as("ci"))
+    // materialized once: the symmetrization below reads it twice,
+    // and recomputing the basket self-join is the expensive stage
     val pairs = b.as("a")
       .join(b.as("bb"), col("a.o") === col("bb.o") &&
         col("a.i") < col("bb.i"))
       .groupBy(col("a.i").as("x"), col("bb.i").as("y"))
       .agg(count(lit(1)).cast("long").as("cij"))
       .filter(col("cij") >= minCo)
+      .localCheckpoint(true)
     val sym = pairs.select(col("x").as("item"), col("y").as("nb"),
         col("cij"))
       .unionByName(pairs.select(col("y").as("item"), col("x").as("nb"),
