@@ -390,6 +390,8 @@ object SparkEntry {
       Dedup.stratifiedGroupKFold(s, d)),
     "q299_binary_quant" -> ((s: SparkSession, d: String) =>
       Similarity.binaryQuantAudit(s, d)),
+    "q300_markov_attribution" -> ((s: SparkSession, d: String) =>
+      Experiment.markovAttribution(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -687,6 +689,76 @@ object SparkEntry {
     * drop from the usage count and fail the gate loudly (fixture max
     * is 8).
     */
+  /** Generated DuckDB replay of Experiment.markovAttribution (q300):
+    * journey transitions in SQL, then `rounds` value-iteration CTEs
+    * over a VARIANT-AWARE edge table — all removal variants advance
+    * together, absorbing rows riding each round via UNION; per-term
+    * truncating division keeps every sum order-independent.
+    */
+  private def markovAttributionOracleSql(rounds: Int): String = {
+    val prefix =
+      """fp AS (SELECT user_id, MIN(ts) AS fp FROM events
+           WHERE event_type = 'purchase' GROUP BY 1),
+         us AS (SELECT DISTINCT e.user_id,
+             CASE WHEN fp.fp IS NOT NULL THEN 'CONV' ELSE 'NULL' END
+               AS outcome
+           FROM events e LEFT JOIN fp USING (user_id)),
+         pre AS (
+           SELECT e.user_id, e.event_type AS ch,
+             LEAD(e.event_type) OVER w AS nxt,
+             ROW_NUMBER() OVER w AS rn
+           FROM events e LEFT JOIN fp USING (user_id)
+           WHERE e.event_type <> 'purchase'
+             AND (fp.fp IS NULL OR e.ts < fp.fp)
+           WINDOW w AS (PARTITION BY e.user_id
+             ORDER BY e.ts ASC, e.event_id ASC)),
+         prew AS (SELECT p.*, us.outcome FROM pre p JOIN us USING (user_id)),
+         trans AS (
+           SELECT ch AS src, COALESCE(nxt, outcome) AS dst FROM prew
+           UNION ALL
+           SELECT 'S', ch FROM prew WHERE rn = 1
+           UNION ALL
+           SELECT 'S', outcome FROM us
+           WHERE user_id NOT IN (SELECT user_id FROM prew)),
+         cnts AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM trans GROUP BY 1, 2),
+         outn AS (SELECT src, CAST(SUM(cnt) AS BIGINT) AS o
+           FROM cnts GROUP BY 1),
+         chs AS (SELECT DISTINCT src AS c FROM cnts WHERE src <> 'S'),
+         variants AS (SELECT 'none' AS variant
+           UNION ALL SELECT c FROM chs),
+         edges AS MATERIALIZED (
+           SELECT v.variant, c.src,
+             CASE WHEN c.dst = v.variant THEN 'NULL' ELSE c.dst END
+               AS dst,
+             c.cnt, o.o
+           FROM variants v, cnts c JOIN outn o ON o.src = c.src
+           WHERE c.src <> v.variant),
+         p0 AS (
+           SELECT v.variant, s.state, s.p FROM variants v,
+             (SELECT 'CONV' AS state, CAST(1000000 AS BIGINT) AS p
+              UNION ALL SELECT 'NULL', 0) s)"""
+    val steps = (1 to rounds).map { t =>
+      s"""p$t AS MATERIALIZED (
+           SELECT variant, state, p FROM p0
+           UNION ALL
+           SELECT e.variant, e.src AS state,
+             CAST(SUM((e.cnt * COALESCE(pp.p, 0)) // e.o) AS BIGINT)
+               AS p
+           FROM edges e LEFT JOIN p${t - 1} pp
+             ON pp.variant = e.variant AND pp.state = e.dst
+           GROUP BY 1, 2)"""
+    }
+    (Seq(prefix) ++ steps).mkString("WITH ", ",\n", "\n") +
+      s"""SELECT c.c AS channel, b.p AS base_p_micro,
+          r.p AS removed_p_micro,
+          CAST(CASE WHEN b.p = 0 THEN 0
+            ELSE ((b.p - r.p) * 1000000) // b.p END AS BIGINT) AS re_ppm
+          FROM chs c
+          JOIN p$rounds b ON b.variant = 'none' AND b.state = 'S'
+          JOIN p$rounds r ON r.variant = c.c AND r.state = 'S'"""
+  }
+
   /** Generated DuckDB replay of Graph.kCore (q290): the q126 edge
     * CTEs, then `rounds` h-index iterations — each a join + rank
     * window + max(least(rank, value)) fold, the exact recurrence the
@@ -5504,6 +5576,9 @@ object SparkEntry {
            CAST(COALESCE(ov.n_overlap, 0) * 1000 AS BIGINT) AS recall_bp,
            a.best_hamming, a.kth_hamming
          FROM agg a LEFT JOIN ov USING (q_id)""",
+    // q300: Markov removal-effect attribution — 40 generated
+    // value-iteration rounds over a variant-aware edge table.
+    "q300_markov_attribution" -> markovAttributionOracleSql(rounds = 40),
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

@@ -1222,6 +1222,99 @@ object Experiment {
         expr("CAST(fit_key DIV 1000000 AS BIGINT)").as("fit_micro"))
   }
 
+  /** The q300 driver entry: MARKOV REMOVAL-EFFECT ATTRIBUTION — the
+    * third leg of the attribution trilogy (q130 last-touch heuristic,
+    * q286 Shapley over exposure SETS): the Anderl et al. 2014
+    * first-order Markov model works on journey ORDER — states are
+    * start/channels/conversion/null, transition counts come from
+    * observed pre-conversion paths, and a channel's credit is its
+    * REMOVAL EFFECT: how much the start→conversion absorption
+    * probability drops when journeys through that channel are cut
+    * (its edges redirected to null). Captures sequence position
+    * (an assist that only ever leads to dead ends earns nothing)
+    * where set-based Shapley cannot.
+    *
+    * Exactness (the q232 integer device end-to-end): absorption
+    * probabilities by T = 40 rounds of value iteration in micro
+    * units, each update Σ_b (cnt(a→b)·P_b) DIV out(a) with per-term
+    * truncating division — order-independent BIGINT sums, the
+    * monotone-from-below iteration, identical in both engines (the
+    * oracle replays all rounds for ALL removal variants at once as
+    * generated MATERIALIZED CTEs over a variant-aware edge table).
+    * T is a shared constant; parity needs the same T, not the
+    * fixpoint, and the spec pins near-convergence.
+    *
+    * Scale shape: one user-keyed window pass builds transitions;
+    * the count matrix lives on the bounded (channels+3)² domain and
+    * collects driver-side (q232/q270 rule); iteration cost is
+    * corpus-independent.
+    */
+  def markovAttribution(spark: SparkSession, sfDir: String,
+      rounds: Int = 40): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, sfDir, "events")
+    val firstP = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("fp"))
+    val users = ev.select(col("user_id")).distinct()
+      .join(firstP, Seq("user_id"), "left")
+      .withColumn("outcome", when(col("fp").isNotNull, "CONV")
+        .otherwise("NULL"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pre = ev.filter(col("event_type") =!= "purchase")
+      .join(firstP, Seq("user_id"), "left")
+      .filter(col("fp").isNull || col("ts") < col("fp"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("ch"))
+      .withColumn("nxt", lead(col("ch"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .join(users.select(col("user_id"), col("outcome")), "user_id")
+    val tFromChannels = pre.select(col("ch").as("src"),
+      coalesce(col("nxt"), col("outcome")).as("dst"))
+    val tStart = pre.filter(col("rn") === 1)
+      .select(lit("S").as("src"), col("ch").as("dst"))
+      .unionByName(users.join(
+        pre.select(col("user_id")).distinct(), Seq("user_id"), "left_anti")
+        .select(lit("S").as("src"), col("outcome").as("dst")))
+    val counts = tFromChannels.unionByName(tStart)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getLong(2))).toMap
+    // channels = observed SOURCE states besides S (every channel
+    // event emits a src edge, so dst-only channels cannot exist;
+    // the oracle derives the set the same way)
+    val channels = counts.keysIterator.map(_._1)
+      .filter(_ != "S").toSeq.distinct.sorted
+    val outN: Map[String, Long] = counts.groupBy(_._1._1)
+      .map { case (a, g) => a -> g.values.sum }
+    // value iteration for one variant (removed channel or None):
+    // edges INTO the removed channel redirect to NULL (p = 0)
+    def absorb(removed: Option[String]): Long = {
+      val nonAbs = "S" +: channels.filterNot(removed.contains)
+      var p: Map[String, Long] =
+        (nonAbs.map(_ -> 0L) :+ ("CONV" -> 1000000L) :+
+          ("NULL" -> 0L)).toMap ++ removed.map(_ -> 0L)
+      for (_ <- 1 to rounds) {
+        p = p ++ nonAbs.map { a =>
+          // empty input leaves S with no out-edges: p stays 0
+          val o = outN.getOrElse(a, 1L)
+          a -> counts.collect { case ((s, d), c) if s == a =>
+            val dEff = if (removed.contains(d)) "NULL" else d
+            c * p(dEff) / o
+          }.sum
+        }.toMap
+      }
+      p("S")
+    }
+    val base = absorb(None)
+    channels.map { c =>
+      val pc = absorb(Some(c))
+      (c, base, pc,
+        if (base == 0L) 0L else (base - pc) * 1000000L / base)
+    }.toDF("channel", "base_p_micro", "removed_p_micro", "re_ppm")
+  }
+
   /** The q291 driver entry: ITEM-ITEM COSINE NEIGHBORS — the
     * classical co-occurrence collaborative-filtering prep (the
     * "customers who bought X also bought Y" table) that q133's raw

@@ -737,6 +737,58 @@ class ExperimentSpec extends AnyFunSuite {
       "fixture must exercise the pooling path (a raw-rate violation)")
   }
 
+  test("q300 Markov attribution: transitions and value iteration equal a replay; removal bites") {
+    // journey replay from the shared events fixture
+    val firstP = events.filter(_._4 == "purchase")
+      .groupBy(_._1).map { case (u, g) => (u, g.map(_._2).min) }
+    val users = events.map(_._1).distinct
+    val trans = collection.mutable.Map[(String, String), Long]()
+    def bump(s: String, d: String): Unit =
+      trans((s, d)) = trans.getOrElse((s, d), 0L) + 1L
+    for (u <- users) {
+      val fp = firstP.get(u)
+      val path = events.filter(e => e._1 == u && e._4 != "purchase" &&
+        fp.forall(e._2 < _)).sortBy(e => (e._2, e._3)).map(_._4)
+      val outcome = if (fp.isDefined) "CONV" else "NULL"
+      if (path.isEmpty) bump("S", outcome)
+      else {
+        bump("S", path.head)
+        path.zip(path.tail).foreach { case (a, b) => bump(a, b) }
+        bump(path.last, outcome)
+      }
+    }
+    val channels = trans.keys.map(_._1).filter(_ != "S").toSeq.distinct.sorted
+    val outN = trans.groupBy(_._1._1).map { case (a, g) => a -> g.values.sum }
+    def absorb(removed: Option[String]): Long = {
+      val nonAbs = "S" +: channels.filterNot(removed.contains)
+      var p = (nonAbs.map(_ -> 0L) :+ ("CONV" -> 1000000L) :+
+        ("NULL" -> 0L)).toMap ++ removed.map(_ -> 0L)
+      for (_ <- 1 to 40) {
+        p = p ++ nonAbs.map { a =>
+          a -> trans.collect { case ((s, d), c) if s == a =>
+            c * p(if (removed.contains(d)) "NULL" else d) / outN(a)
+          }.sum
+        }.toMap
+      }
+      p("S")
+    }
+    val base = absorb(None)
+    val want = channels.map { c =>
+      val pc = absorb(Some(c))
+      (c, base, pc, if (base == 0L) 0L else (base - pc) * 1000000L / base)
+    }
+    val got = Experiment.markovAttribution(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // the base conversion probability is a real probability, and
+    // removing a channel never helps
+    assert(base > 0L && base <= 1000000L)
+    got.foreach { case (_, b, r, re) =>
+      assert(r <= b && re >= 0L && re <= 1000000L) }
+    assert(got.exists(_._4 > 0L), "some channel must carry real credit")
+  }
+
   test("q286 Shapley attribution: equals a direct lattice replay; efficiency law holds") {
     val channels = events.map(_._4).distinct.filter(_ != "purchase").sorted
     val n = channels.length
