@@ -392,6 +392,8 @@ object SparkEntry {
       Similarity.binaryQuantAudit(s, d)),
     "q300_markov_attribution" -> ((s: SparkSession, d: String) =>
       Experiment.markovAttribution(s, d)),
+    "q301_rag_context" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.ragContext(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -5579,6 +5581,32 @@ object SparkEntry {
     // q300: Markov removal-effect attribution — 40 generated
     // value-iteration rounds over a variant-aware edge table.
     "q300_markov_attribution" -> markovAttributionOracleSql(rounds = 40),
+    // q301: the q114 scores, top-100 candidate cut, then the
+    // prefix-packing running sum; digest in rank order.
+    "q301_rag_context" ->
+      s"""WITH sc AS ($bm25OracleSql),
+         tk AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS ntok
+           FROM documents),
+         rked AS (
+           SELECT sc.term, sc.doc_id, sc.score_micro, tk.ntok,
+             CAST(ROW_NUMBER() OVER (PARTITION BY sc.term
+               ORDER BY sc.score_micro DESC, sc.doc_id ASC) AS BIGINT)
+               AS rk
+           FROM sc JOIN tk USING (doc_id)),
+         cand AS (SELECT * FROM rked WHERE rk <= 100),
+         packed AS (
+           SELECT term, doc_id, rk, ntok,
+             CAST(SUM(ntok) OVER (PARTITION BY term ORDER BY rk ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM cand)
+         SELECT term, CAST(COUNT(*) AS BIGINT) AS n_ctx_docs,
+           CAST(MAX(cum) AS BIGINT) AS ctx_tokens,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rk ASC))
+             AS ctx_digest
+         FROM packed WHERE cum <= 256 GROUP BY 1""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

@@ -280,6 +280,44 @@ object TextAnalysis {
           .cast("long").as("score_micro"))
   }
 
+  /** The q301 driver entry: RAG CONTEXT ASSEMBLY — the serving step
+    * between retrieval and the model: take each query's ranked
+    * candidates (q114's BM25 order), and PACK the context window in
+    * rank order until the token budget is spent — stop at the first
+    * document that would overflow (the prefix-packing convention;
+    * skip-and-continue would reorder relevance, documented). Tokens
+    * are the q42 BPE-ish counts; the assembled context travels as
+    * the rank-ordered doc-id digest, so a mis-ordered or mis-cut
+    * context fails the hash compare.
+    *
+    * Scale shape: candidates are first cut to a serving-size top-100
+    * per query (rank ≤ k → WindowGroupLimit bounds shuffled rows —
+    * the q252 rationale: production packs from a bounded list, never
+    * the corpus), then one running sum over the same window
+    * partitioning. The doc-token join is doc-grain.
+    */
+  def ragContext(spark: SparkSession, sfDir: String,
+      budget: Long = 256, candK: Int = 100): DataFrame = {
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    bm25Search(spark, sfDir)
+      .select(col("term"), col("doc_id"), col("score_micro"))
+      .join(Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), bpeTokenCount(col("text")).as("ntok")),
+        "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= candK)
+      .withColumn("cum", sum(col("ntok"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum") <= budget)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("n_ctx_docs"),
+        max(col("cum")).cast("long").as("ctx_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("rk"), col("doc_id")))),
+          x => x.getField("doc_id")), ",")).as("ctx_digest"))
+  }
+
   /** The q246 driver entry: TWO-STAGE RETRIEVAL RERANK — the
     * standard serving funnel every production retrieval stack runs
     * (recall stage -> precision stage): q114's BM25 produces the

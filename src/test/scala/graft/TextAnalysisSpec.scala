@@ -906,6 +906,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     entry.foreach { case (_, p, len, _, _) => assert(len == p.length.toLong) }
   }
 
+  test("q301 RAG context: prefix packing equals a replay over the verified BM25 order; budget binds") {
+    val sf = SparkTestSession.sf
+    val scores = TextAnalysis.bm25Search(spark, sf)
+      .select(col("term"), col("doc_id"), col("score_micro")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val ntok = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = scores.groupBy(_._1).map { case (t, g) =>
+      val ranked = g.sortBy { case (_, id, sc) => (-sc, id) }.take(100)
+      var cum = 0L
+      val kept = ranked.takeWhile { case (_, id, _) =>
+        cum += ntok(id); cum <= 256L }
+      (t, kept.length.toLong, kept.map(k => ntok(k._2)).sum,
+        md5hex(kept.map(_._2).mkString(",")))
+    }.toSeq.sortBy(_._1)
+    val got = TextAnalysis.ragContext(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(_._1)
+    assert(got.toSeq == want)
+    got.foreach { case (_, n, tk, _) => assert(n >= 1L && tk <= 256L) }
+    // the budget genuinely cuts somewhere (some term has more
+    // candidates than fit)
+    val counts = scores.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(want.exists { case (t, n, _, _) => counts(t) > n },
+      "budget must exclude at least one candidate")
+  }
+
   test("q284 ULM trainer: hard-EM rounds equal an independent Scala replay; pruning fires; closure holds") {
     val sf = SparkTestSession.sf
     val words = spark.read.parquet(s"$sf/documents.parquet")
