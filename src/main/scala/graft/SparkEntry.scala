@@ -394,6 +394,8 @@ object SparkEntry {
       Experiment.markovAttribution(s, d)),
     "q301_rag_context" -> ((s: SparkSession, d: String) =>
       TextAnalysis.ragContext(s, d)),
+    "q302_topic_balanced" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.topicBalancedSample(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -5607,6 +5609,55 @@ object SparkEntry {
            md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rk ASC))
              AS ctx_digest
          FROM packed WHERE cum <= 256 GROUP BY 1""",
+    // q302: q32's assignment CTEs, sqrt-flattened Hamilton quotas,
+    // salted per-cell exact-k — the whole manifest replayed.
+    "q302_topic_balanced" ->
+      s"""WITH u AS ($normalizedVectors),
+         cents AS (SELECT vec_id AS c_id, v AS cv FROM u
+           WHERE vec_id < 16),
+         sims AS (
+           SELECT u.vec_id, c_id,
+             list_sum(list_transform(list_zip(u.v, cv),
+               p -> p[1] * p[2])) AS sim
+           FROM u CROSS JOIN cents),
+         assigned AS (
+           SELECT vec_id, c_id FROM (
+             SELECT vec_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY sim DESC, c_id ASC) AS rn
+             FROM sims) t WHERE rn = 1),
+         sizes AS (SELECT c_id, CAST(COUNT(*) AS BIGINT) AS sz
+           FROM assigned GROUP BY 1),
+         wts AS (SELECT c_id, sz,
+             CAST(FLOOR(SQRT(CAST(sz AS DOUBLE))) AS BIGINT) AS w
+           FROM sizes),
+         tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM wts),
+         base AS (SELECT c_id, sz, w,
+             CAST((100 * w) // tw AS BIGINT) AS quota,
+             CAST((100 * w) % tw AS BIGINT) AS rem
+           FROM wts, tot),
+         lo AS (SELECT CAST(100 - SUM(quota) AS BIGINT) AS seats
+           FROM base),
+         q AS (SELECT c_id, sz, w,
+             CAST(LEAST(quota + CASE WHEN rk <= seats THEN 1 ELSE 0 END,
+               sz) AS BIGINT) AS take
+           FROM (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rem DESC,
+               c_id ASC) AS BIGINT) AS rk FROM base) b, lo),
+         smp AS (SELECT a.c_id, a.vec_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY a.c_id
+               ORDER BY md5('tb:' || CAST(a.vec_id AS VARCHAR)) ASC,
+                 a.vec_id ASC) AS BIGINT) AS srk
+           FROM assigned a),
+         kept AS (SELECT s.c_id, s.vec_id FROM smp s
+           JOIN q ON q.c_id = s.c_id AND s.srk <= q.take),
+         agg AS (SELECT c_id, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+             md5(string_agg(CAST(vec_id AS VARCHAR), ','
+               ORDER BY CAST(vec_id AS VARCHAR) ASC)) AS sample_digest
+           FROM kept GROUP BY 1)
+         SELECT q.c_id, q.sz, q.w, q.take,
+           CAST(COALESCE(agg.n_sampled, 0) AS BIGINT) AS n_sampled,
+           COALESCE(agg.sample_digest, md5('')) AS sample_digest
+         FROM q LEFT JOIN agg USING (c_id)""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

@@ -1110,6 +1110,66 @@ object TrainingPrep {
           .otherwise(0L)).as("alloc_tokens"))
   }
 
+  /** The q302 driver entry: TOPIC-BALANCED SUBCORPUS MANIFEST — the
+    * cluster-balanced curation move (DCLM/DataComp lineage): web-scale
+    * corpora are topically lopsided, so a quality subcorpus samples
+    * ACROSS semantic clusters rather than uniformly. Composition of
+    * three proven devices: q32's seeded-codebook cell assignment
+    * (topics), q230's Hamilton largest-remainder apportionment over
+    * √size weights (α = ½ temperature flattening — q139's exponent,
+    * here on cluster mass: big topics can't swamp the budget, small
+    * topics keep representation), and q217's salted-md5 deterministic
+    * per-cell exact-k sample, capped at cell size (an under-full cell
+    * yields its shortfall rather than oversampling — documented).
+    * √size is ONE IEEE sqrt of an exact integer, floored (the q141
+    * single-op rule).
+    *
+    * Scale shape: one broadcast-codebook argmax pass (the q32 plan —
+    * vectors never shuffle), cell-grain apportionment on the bounded
+    * cell domain, one per-cell rank window for the sample.
+    */
+  def topicBalancedSample(spark: SparkSession, sfDir: String,
+      budget: Long = 100L, clusters: Int = 16): DataFrame = {
+    val corpus = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.Vectors.l2normalize(col("embedding")).as("u"))
+    val cells = graft.operators.Similarity.assignCells(corpus,
+      graft.operators.Similarity.seededCodebook(corpus, clusters))
+    val sizes = cells.groupBy(col("c_id"))
+      .agg(count(lit(1)).cast("long").as("sz"))
+      .withColumn("w",
+        expr("CAST(FLOOR(SQRT(CAST(sz AS DOUBLE))) AS BIGINT)"))
+    val tot = sizes.agg(sum(col("w")).as("tw"))
+    val base = sizes.crossJoin(broadcast(tot))
+      .select(col("c_id"), col("sz"), col("w"),
+        expr(s"(${budget}L * w) DIV tw").as("quota"),
+        expr(s"(${budget}L * w) % tw").as("rem"))
+    val leftover = base.agg((lit(budget) - sum(col("quota"))).as("seats"))
+    val quotas = base.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("c_id").asc)).cast("long"))
+      .select(col("c_id"), col("sz"), col("w"),
+        least(col("quota") +
+          when(col("rk") <= col("seats"), 1L).otherwise(0L), col("sz"))
+          .cast("long").as("take"))
+    val sampled = cells
+      .withColumn("srk", row_number().over(
+        Window.partitionBy(col("c_id")).orderBy(
+          md5(concat(lit("tb:"), col("vec_id").cast("string"))).asc,
+          col("vec_id").asc)).cast("long"))
+      .join(quotas.select(col("c_id"), col("take")), "c_id")
+      .filter(col("srk") <= col("take"))
+    quotas.join(sampled.groupBy(col("c_id"))
+        .agg(count(lit(1)).cast("long").as("n_sampled"),
+          md5(concat_ws(",", array_sort(
+            collect_list(col("vec_id").cast("string")))))
+            .as("sample_digest")),
+      Seq("c_id"), "left")
+      .select(col("c_id"), col("sz"), col("w"), col("take"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("sample_digest"), md5(lit(""))).as("sample_digest"))
+  }
+
   /** The q296 driver entry: SPAN-CORRUPTION MANIFEST (T5/UL2 shape) —
     * the denoising-objective data transform: ~15% of tokens are
     * masked, CONSECUTIVE masked tokens merge into one span, each

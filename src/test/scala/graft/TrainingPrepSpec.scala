@@ -678,6 +678,43 @@ class TrainingPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("q302 topic-balanced sample: Hamilton quotas on sqrt weights; flattening favors small cells; manifests consistent") {
+    val spark = SparkTestSession.spark
+    val rows = graft.operators.TrainingPrep
+      .topicBalancedSample(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    // Hamilton replay on the observed (size -> isqrt weight) table
+    val sizes = rows.map(r => (r._1, r._2)).sortBy(_._1)
+    val w = sizes.map { case (c, s) =>
+      (c, math.floor(math.sqrt(s.toDouble)).toLong) }
+    val tw = w.map(_._2).sum
+    val base = w.map { case (c, wi) => (c, 100L * wi / tw, 100L * wi % tw) }
+    val seats = 100L - base.map(_._2).sum
+    val bonus = base.sortBy { case (c, _, rem) => (-rem, c) }
+      .take(seats.toInt).map(_._1).toSet
+    val expTake = base.map { case (c, q, _) =>
+      val sz = sizes.find(_._1 == c).get._2
+      (c, math.min(q + (if (bonus(c)) 1L else 0L), sz))
+    }.toMap
+    rows.foreach { case (c, _, wi, take, n, _) =>
+      assert(wi == w.find(_._1 == c).get._2, s"cell $c weight")
+      assert(take == expTake(c), s"cell $c quota")
+      assert(n == take, s"cell $c sampled short")
+    }
+    // budget respected; and unless capping fired, exactly spent
+    val spent = rows.map(_._4).sum
+    assert(spent <= 100L)
+    val capped = rows.exists(r => r._4 == r._2)
+    assert(spent == 100L || capped)
+    // flattening law: the smallest cell's sampling rate (ppm) is at
+    // least the largest cell's
+    val smallest = rows.minBy(r => (r._2, r._1))
+    val largest = rows.maxBy(r => (r._2, -r._1))
+    assert(smallest._4 * 1000000L / smallest._2 >=
+      largest._4 * 1000000L / largest._2)
+  }
+
   test("q296 span corruption: fingerprints equal a replay; stitching targets back reconstructs the doc") {
     val spark = SparkTestSession.spark
     def md5hex(s: String): String =
