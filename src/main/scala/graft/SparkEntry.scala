@@ -396,6 +396,10 @@ object SparkEntry {
       TextAnalysis.ragContext(s, d)),
     "q302_topic_balanced" -> ((s: SparkSession, d: String) =>
       TrainingPrep.topicBalancedSample(s, d)),
+    "q303_contrastive_batches" -> ((s: SparkSession, d: String) =>
+      Dedup.contrastiveBatches(s, d)),
+    "q304_length_batches" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.lengthBucketedBatches(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -5658,6 +5662,87 @@ object SparkEntry {
            CAST(COALESCE(agg.n_sampled, 0) AS BIGINT) AS n_sampled,
            COALESCE(agg.sample_digest, md5('')) AS sample_digest
          FROM q LEFT JOIN agg USING (c_id)""",
+    // q303: the CC prefix, the cluster-consecutive salted order, the
+    // round-robin deal — batch-grain manifest with collision counts.
+    "q303_contrastive_batches" ->
+      s"""WITH RECURSIVE words AS (
+           SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t
+           WHERE len(w) >= 5),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM common
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(n_common AS DOUBLE) /
+             CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id),
+         comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY 1),
+         keyed AS (
+           SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp
+           FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         nb AS (SELECT CAST((COUNT(*) + 7) // 8 AS BIGINT) AS nb
+           FROM keyed),
+         ranked AS (
+           SELECT doc_id, comp,
+             CAST(ROW_NUMBER() OVER (ORDER BY
+               md5('cb:' || CAST(comp AS VARCHAR)) ASC, comp ASC,
+               md5('cb:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+               AS BIGINT) AS rk
+           FROM keyed),
+         dealt AS (SELECT doc_id, comp,
+             CAST((rk - 1) % nb.nb AS BIGINT) AS batch_id
+           FROM ranked, nb)
+         SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT comp) AS BIGINT) AS n_clusters,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+             ORDER BY CAST(doc_id AS VARCHAR) ASC)) AS batch_digest,
+           CAST(COUNT(*) - COUNT(DISTINCT comp) AS BIGINT)
+             AS n_collisions
+         FROM dealt GROUP BY 1""",
+    // q304: both batching schemes replayed with the same windows.
+    "q304_length_batches" -> {
+      def scheme(name: String, order: String) =
+        s"""SELECT '$name' AS scheme,
+            CAST(COUNT(*) AS BIGINT) AS n_batches,
+            CAST(SUM(bs * mx) AS BIGINT) AS capacity_tokens,
+            CAST(SUM(tk) AS BIGINT) AS payload_tokens,
+            CAST((CAST(SUM(bs * mx) AS BIGINT) -
+              CAST(SUM(tk) AS BIGINT)) * 1000000 //
+              CAST(SUM(bs * mx) AS BIGINT) AS BIGINT) AS waste_ppm
+          FROM (
+            SELECT CAST((rk - 1) // 8 AS BIGINT) AS batch_id,
+              CAST(COUNT(*) AS BIGINT) AS bs,
+              CAST(MAX(ntok) AS BIGINT) AS mx,
+              CAST(SUM(ntok) AS BIGINT) AS tk
+            FROM (
+              SELECT doc_id, ntok,
+                CAST(ROW_NUMBER() OVER (ORDER BY $order) AS BIGINT) AS rk
+              FROM toks) r
+            GROUP BY 1) b"""
+      s"""WITH toks AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS ntok
+           FROM documents)
+         ${scheme("hashed",
+          "md5('lb:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC")}
+         UNION ALL
+         ${scheme("length_sorted", "ntok ASC, doc_id ASC")}"""
+    },
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

@@ -1274,6 +1274,48 @@ object Dedup {
         col("stratum"), col("fold"))
   }
 
+  /** The q303 driver entry: CLUSTER-DISJOINT CONTRASTIVE BATCH
+    * MANIFEST — the batch-construction rule contrastive training
+    * (CLIP/SimCLR-style in-batch negatives) needs from the dedup
+    * stack: two near-duplicates inside one batch become a FALSE
+    * NEGATIVE (the loss pushes apart what should attract), so
+    * batches must be cluster-disjoint. Construction makes the law
+    * hold by design instead of auditing after the fact: docs order
+    * by (cluster's salted hash, cluster, member hash, id) — cluster
+    * members are CONSECUTIVE — and the round-robin deal
+    * batch = (rank−1) mod n_batches then lands same-cluster members
+    * in distinct batches whenever cluster_size ≤ n_batches (the
+    * q298 dealing device, one level down). Deterministic,
+    * re-runnable, and the spec pins both the disjointness law and
+    * its precondition.
+    *
+    * Scale shape: q22's candidate path for clusters, then one global
+    * rank over salted keys — at corpus scale the q202 chunked
+    * dense-rank replaces it, noted there; the manifest is
+    * batch-grain.
+    */
+  def contrastiveBatches(spark: SparkSession, sfDir: String,
+      batchSize: Int = 8): DataFrame = {
+    val withComp = docClusters(spark, sfDir)
+    // max(1, ...) keeps the modulus sound on an empty corpus
+    val nb = math.max(1L,
+      (withComp.count() + batchSize - 1) / batchSize).toInt
+    val ranked = withComp
+      .withColumn("rk", row_number().over(Window.orderBy(
+        md5(concat(lit("cb:"), col("comp").cast("string"))).asc,
+        col("comp").asc,
+        md5(concat(lit("cb:"), col("doc_id").cast("string"))).asc,
+        col("doc_id").asc)).cast("long"))
+      .withColumn("batch_id", ((col("rk") - 1L) % nb).cast("long"))
+    ranked.groupBy(col("batch_id"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        count_distinct(col("comp")).cast("long").as("n_clusters"),
+        md5(concat_ws(",", array_sort(
+          collect_list(col("doc_id").cast("string"))))).as("batch_digest"))
+      .withColumn("n_collisions",
+        (col("n_docs") - col("n_clusters")).cast("long"))
+  }
+
   // -------- embedding near-dup --------
 
   /** Embedding-cosine near-duplicates, exact all-pairs cartesian.

@@ -1110,6 +1110,51 @@ object TrainingPrep {
           .otherwise(0L)).as("alloc_tokens"))
   }
 
+  /** The q304 driver entry: LENGTH-BUCKETED BATCHING — the dynamic
+    * batching rule that turns q226's padding-waste DIAGNOSIS into a
+    * construction: batches of similar-length sequences waste less
+    * capacity (every batch pads to its max), and grouping the
+    * LENGTH-SORTED order into fixed-size batches provably minimizes
+    * total Σ batch·max among all equal-size partitions — so the
+    * entry builds BOTH manifests (salted-hash order = the naive
+    * baseline, length-sorted order = the bucketed scheme) and
+    * reports capacity, payload, and waste ppm for each; the spec
+    * pins waste(sorted) ≤ waste(hashed), the optimality law in
+    * miniature. All exact integers.
+    *
+    * Scale shape: one doc-grain token count, one global rank per
+    * scheme (the q202 chunked device at corpus scale), batch-grain
+    * aggregates after.
+    */
+  def lengthBucketedBatches(spark: SparkSession, sfDir: String,
+      batchSize: Int = 8): DataFrame = {
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.bpeTokenCount(col("text"))
+          .as("ntok"))
+    def scheme(name: String, order: Seq[org.apache.spark.sql.Column]) =
+      toks
+        .withColumn("rk",
+          row_number().over(Window.orderBy(order: _*)).cast("long"))
+        .withColumn("batch_id",
+          expr(s"CAST((rk - 1) DIV $batchSize AS BIGINT)"))
+        .groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("bs"), max(col("ntok")).as("mx"),
+          sum(col("ntok")).as("tk"))
+        .agg(count(lit(1)).cast("long").as("n_batches"),
+          sum(col("bs") * col("mx")).cast("long").as("capacity_tokens"),
+          sum(col("tk")).cast("long").as("payload_tokens"))
+        .select(lit(name).as("scheme"), col("n_batches"),
+          col("capacity_tokens"), col("payload_tokens"),
+          expr("""CAST((capacity_tokens - payload_tokens) * 1000000
+              DIV capacity_tokens AS BIGINT)""").as("waste_ppm"))
+    scheme("hashed",
+      Seq(md5(concat(lit("lb:"), col("doc_id").cast("string"))).asc,
+        col("doc_id").asc))
+      .unionByName(scheme("length_sorted",
+        Seq(col("ntok").asc, col("doc_id").asc)))
+  }
+
   /** The q302 driver entry: TOPIC-BALANCED SUBCORPUS MANIFEST — the
     * cluster-balanced curation move (DCLM/DataComp lineage): web-scale
     * corpora are topically lopsided, so a quality subcorpus samples

@@ -560,6 +560,29 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.filter(r => r._1 == r._2).map(_._1).toSet == survivors)
   }
 
+  test("q303 contrastive batches: cluster-disjoint by construction; sizes balanced") {
+    val rows = graft.operators.Dedup
+      .contrastiveBatches(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4)))
+    val nDocs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet").count()
+    assert(rows.map(_._2).sum == nDocs)
+    // precondition: the largest near-dup cluster fits under the
+    // batch count — then disjointness is guaranteed
+    val clusters = graft.operators.Dedup
+      .softDedupWeights(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val maxCluster = clusters.map(_._2).max
+    assert(maxCluster <= rows.length.toLong,
+      s"precondition: max cluster $maxCluster vs ${rows.length} batches")
+    rows.foreach { case (b, n, nc, _, coll) =>
+      assert(coll == 0L && nc == n, s"batch $b has a near-dup collision")
+    }
+    // round-robin balance: batch sizes within one of each other
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1L)
+  }
+
   test("q298 stratified group k-fold: cluster-atomic, count-balanced per stratum, all folds live") {
     val rows = graft.operators.Dedup
       .stratifiedGroupKFold(spark, SparkTestSession.sf).collect()

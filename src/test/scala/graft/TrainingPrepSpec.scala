@@ -678,6 +678,38 @@ class TrainingPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("q304 length-bucketed batching: both schemes equal a replay; sorting strictly cuts waste") {
+    val spark = SparkTestSession.spark
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.bpeTokenCount(col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def replay(order: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
+      val batches = order.grouped(8).toSeq
+      val cap = batches.map(b => b.length.toLong * b.map(_._2).max).sum
+      val pay = toks.map(_._2).sum
+      (batches.length.toLong, cap, pay, (cap - pay) * 1000000L / cap)
+    }
+    val hashed = replay(toks.sortBy { case (id, _) =>
+      (md5hex("lb:" + id), id) })
+    val sorted = replay(toks.sortBy { case (id, n) => (n, id) })
+    val got = graft.operators.TrainingPrep
+      .lengthBucketedBatches(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("hashed", hashed._1, hashed._2, hashed._3, hashed._4),
+      ("length_sorted", sorted._1, sorted._2, sorted._3, sorted._4)))
+    // the optimality law in miniature: with varied lengths, sorted
+    // batching strictly beats the hashed baseline
+    assert(toks.map(_._2).distinct.length > 1)
+    assert(sorted._4 < hashed._4, s"sorted ${sorted._4} vs hashed ${hashed._4}")
+  }
+
   test("q302 topic-balanced sample: Hamilton quotas on sqrt weights; flattening favors small cells; manifests consistent") {
     val spark = SparkTestSession.spark
     val rows = graft.operators.TrainingPrep
