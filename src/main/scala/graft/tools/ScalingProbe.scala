@@ -263,7 +263,22 @@ object ScalingProbe {
       "q286_shapley" -> (d => graft.operators.Experiment.shapleyAttribution(spark, d)),
       "q287_quantile_align" -> (d => graft.operators.Experiment.quantileAlign(spark, d)),
       "q289_weighted_median" -> (d => graft.operators.Sketches.weightedHistogramMedian(spark, d)),
-      "q290_kcore" -> (d => graft.operators.Graph.kCore(spark, d)))
+      "q290_kcore" -> (d => graft.operators.Graph.kCore(spark, d)),
+      // second continuation batch: item neighbors (bounded per-basket
+      // pair fan-out + noise floor), sweep-line concurrency (per-day
+      // windows over disjoint time copies), TWAP (reused (type, day)
+      // exchange), span corruption (doc-local), Markov attribution
+      // (user-grain pass + bounded matrix), RAG packing (top-100 cut
+      // before the cumsum), topic balancing (broadcast-argmax pass +
+      // cell-grain tail), length batching (two global rank windows)
+      "q291_item_neighbors" -> (d => graft.operators.Experiment.itemNeighbors(spark, d)),
+      "q292_concurrency" -> (d => graft.operators.Relational.concurrencyTimeline(spark, d)),
+      "q293_twap" -> (d => graft.operators.Relational.twap(spark, d)),
+      "q296_span_corruption" -> (d => graft.operators.TrainingPrep.spanCorruption(spark, d)),
+      "q300_markov" -> (d => graft.operators.Experiment.markovAttribution(spark, d)),
+      "q301_rag_context" -> (d => graft.operators.TextAnalysis.ragContext(spark, d)),
+      "q302_topic_balanced" -> (d => graft.operators.TrainingPrep.topicBalancedSample(spark, d)),
+      "q304_length_batches" -> (d => graft.operators.TrainingPrep.lengthBucketedBatches(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))
