@@ -191,9 +191,18 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val tStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - tStart) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    // WALL-CLOCK BUDGET (round-14): the driver kills the bench at a
+    // hard timeout; round 13's run died rc=124 INSIDE the confirm
+    // pass's backoff loop with nothing printed — the whole round lost
+    // its bench artifact. The sweep's results are now published before
+    // any confirm work (see below), and the confirm pass itself is
+    // skipped when the sweep already consumed the budget.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2100").toDouble
     val spark = GraftSession.local(cores = cpus, appName = "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -275,8 +284,51 @@ object Bench {
     // suppress confirmed numbers forever (round-9 advice)
     val q04Baseline = prev.getOrElse("q04_agg_2a",
       best.getOrElse("q04_agg_2a", -1.0))
+
+    // ---- EARLY PUBLISH (round-14) ----------------------------------
+    // Round 13's driver bench died rc=124 inside the confirm pass's
+    // backoff loop: the sweep had FINISHED, but neither the JSON line
+    // nor the medians file existed yet, so the round produced no bench
+    // artifact at all. The sweep's outputs are therefore published
+    // IMMEDIATELY after the sweep — a sweep-phase JSON line (confirmed
+    // fields empty, suspects visible) and the medians file under the
+    // sweep-only never-raise merge — and then the confirm pass runs
+    // and re-publishes both as the FINAL line / file. A killed confirm
+    // now costs the confirms, not the round. The driver keeps the
+    // stdout TAIL, so when both lines survive the final one wins (and
+    // parsePrevMedians' toMap is last-match-wins for scraped rounds).
+    val sweepQ04 = results.toMap.getOrElse("q04_agg_2a", -1.0)
+    val sweepDegraded = q04Baseline > 0 &&
+      (sweepQ04 <= 0 || sweepQ04 > q04Baseline * 2)
+    val nextRound = (byRound.map(_._1) :+ 0).max + 1
+    val mayPublishMedians = sfDir.endsWith("sf0.1") && !sweepDegraded
+    def writeMedians(baseline: Seq[(String, Double)]): Unit = {
+      val body = baseline
+        .map { case (k, v) => "  \"" + k + "\": " + fmtMedian(v) }
+        .mkString("{\n", ",\n", "\n}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"bench_medians_r$nextRound%02d.json"),
+        body.getBytes("UTF-8"))
+    }
+    val prevName = benchFiles.lastOption.map(_.getName).getOrElse("none")
+    def jsonLine(phase: String, regr: String, regrBest: String,
+        confirmTimes: String, confirmUnreliable: Boolean,
+        unresolvedJson: String, raiseRejectedJson: String,
+        confirmSkippedBudget: Boolean): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","phase":"$phase","queries":$qs,"prev":"$prevName","regressions":$regr,"regressions_vs_best":$regrBest,"suspect":${fmt(sweepRegr)},"suspect_vs_best":${fmt(sweepBest)},"confirm_times":$confirmTimes,"confirm_unreliable":$confirmUnreliable,"confirm_unresolved":$unresolvedJson,"confirm_skipped_budget":$confirmSkippedBudget,"baseline_raise_rejected":$raiseRejectedJson,"sweep_degraded":$sweepDegraded,"sf":"$sfDir"}"""
+    if (mayPublishMedians)
+      writeMedians(baselineMerge(results, Map.empty, prev)._1)
+    else if (sweepDegraded) System.err.println(
+      f"[bench] sweep degraded (q04 sweep median $sweepQ04%.3f vs baseline $q04Baseline%.3f): medians file NOT published")
+    println(jsonLine("sweep", "{}", "{}", "{}",
+      confirmUnreliable = false, "[]", "[]", confirmSkippedBudget = false))
+    System.out.flush()
+    // ---- CONFIRM PASS (budget-gated) -------------------------------
+    val budgetExceeded = flagged.nonEmpty && elapsedSec > budgetSec
+    if (budgetExceeded) System.err.println(
+      f"[bench] wall-clock budget exceeded ($elapsedSec%.0f s > $budgetSec%.0f s): confirm pass SKIPPED, sweep flags stay under suspect")
     val (remeasured: Map[String, Double], confirmReliable: Boolean) =
-      if (flagged.isEmpty) (Map.empty[String, Double], true)
+      if (flagged.isEmpty || budgetExceeded) (Map.empty[String, Double], true)
       else {
         spark.stop() // free the 32 cores + heap before forking
         forkQuickTime(flagged, sfDir, q04Baseline,
@@ -289,10 +341,17 @@ object Bench {
     val (adjudicated: Map[String, Double], unresolvedConfirms: Seq[String]) =
       if (!confirmReliable) (Map.empty[String, Double], remeasured.keys.toSeq.sorted)
       else adjudicateConfirms(remeasured, best, ns => {
-        Thread.sleep(60000L)
-        val (m, rel) = forkQuickTime(ns, sfDir, q04Baseline,
-          baselines = best ++ prev)
-        if (rel) m else Map.empty
+        // the refork (sleep + up to 3 gated forks) is the slowest
+        // confirm step — under budget pressure it resolves nothing
+        // rather than risking the driver's kill (entries stay under
+        // confirm_unresolved; the sweep line is already printed)
+        if (elapsedSec > budgetSec) Map.empty
+        else {
+          Thread.sleep(60000L)
+          val (m, rel) = forkQuickTime(ns, sfDir, q04Baseline,
+            baselines = best ++ prev)
+          if (rel) m else Map.empty
+        }
       })
     // a query the fork failed to time (absent / -1) or whose readings
     // stayed loud-and-irreproducible keeps its sweep median:
@@ -317,54 +376,40 @@ object Bench {
         .mkString("{", ",", "}")
     val unresolvedJson = unresolvedConfirms
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    // persist this round's medians where the driver tail can't eat
-    // them: a flagged query stores min(sweep median, confirmed
+    // ---- FINAL PUBLISH ---------------------------------------------
+    // Re-persist this round's medians with the adjudicated confirms
+    // folded in: a flagged query stores min(sweep median, confirmed
     // median) — BOTH are genuine measurements and the baseline should
     // be best-known, so a contended fork can never RAISE an entry
     // (the round-8 poisoning mechanism: confirmed-wins wrote 2-13x
     // inflated values into bench_medians_r09). An unreliable confirm
-    // pass contributes nothing. Only the driver's real bench config
-    // (sf0.1) may write — the sf0.001 mechanics probe must not poison
-    // baselines.
-    // SWEEP-LEVEL QUIETNESS (round-10): the round-9 confirm gate
-    // protects confirmed numbers but not the committed baseline — a
-    // sweep run in a degraded window (round 9: 47 thrown entries, the
-    // survivors 5-90x their quiet medians) still wrote
-    // bench_medians_r10.json and poisoned the next round's vs-prev
-    // gate. The sweep's own q04 flagship median is the cheap tell: if
-    // it read >2x its previous-round median (or threw), the whole
-    // sweep is suspect and NO medians file is published — a missing
+    // pass contributes nothing beyond the sweep-phase file already on
+    // disk. Only the driver's real bench config (sf0.1) may write —
+    // the sf0.001 mechanics probe must not poison baselines; and a
+    // degraded sweep (q04 >2x its previous-round median — the
+    // round-10 tell) publishes NO medians file at all: a missing
     // baseline round falls back to the tail-scrape, which is strictly
     // better than an inflated one.
-    val sweepQ04 = results.toMap.getOrElse("q04_agg_2a", -1.0)
-    val sweepDegraded = q04Baseline > 0 &&
-      (sweepQ04 <= 0 || sweepQ04 > q04Baseline * 2)
     val (mergedBaseline, raiseRejected) =
       baselineMerge(results, adjudicated, prev)
-    if (sfDir.endsWith("sf0.1") && !sweepDegraded) {
-      val nextRound = (byRound.map(_._1) :+ 0).max + 1
-      val body = mergedBaseline
-        .map { case (k, v) => "  \"" + k + "\": " + fmtMedian(v) }
-        .mkString("{\n", ",\n", "\n}")
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(f"bench_medians_r$nextRound%02d.json"),
-        body.getBytes("UTF-8"))
+    if (mayPublishMedians) {
+      writeMedians(mergedBaseline)
       if (raiseRejected.nonEmpty) System.err.println(
         s"[bench] baseline raises REJECTED (kept previous values, see never-raise rule): ${raiseRejected.mkString(",")}")
-    } else if (sweepDegraded) System.err.println(
-      f"[bench] sweep degraded (q04 sweep median $sweepQ04%.3f vs baseline $q04Baseline%.3f): medians file NOT published")
-    val prevName = benchFiles.lastOption.map(_.getName).getOrElse("none")
+    }
     val raiseRejectedJson = raiseRejected
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"prev":"$prevName","regressions":$regr,"regressions_vs_best":$regrBest,"suspect":${fmt(sweepRegr)},"suspect_vs_best":${fmt(sweepBest)},"confirm_times":$confirmTimes,"confirm_unreliable":${!confirmReliable},"confirm_unresolved":$unresolvedJson,"baseline_raise_rejected":$raiseRejectedJson,"sweep_degraded":$sweepDegraded,"sf":"$sfDir"}""")
+    println(jsonLine("final", regr, regrBest, confirmTimes,
+      confirmUnreliable = !confirmReliable, unresolvedJson,
+      raiseRejectedJson, confirmSkippedBudget = budgetExceeded))
     SparkSession.getActiveSession.foreach(_.stop())
   }
 
   /** Fork `graft.tools.QuickTime` with a quietness gate: the fork
     * times a flagship first (`flagship_check[:name]` line); if that
-    * reads more than 2x the flagship's committed median, the window is
-    * contended — back off and retry up to `maxAttempts` total forks.
+    * reads more than 2x the flagship's committed median + 0.5 s
+    * absolute, the window is contended — back off and retry up to
+    * `maxAttempts` total forks.
     * Returns (times, reliable): reliable is false when every attempt
     * failed the check, in which case the caller must publish
     * confirm_unreliable rather than numbers.
@@ -413,7 +458,15 @@ object Bench {
         case None | Some("q04_agg_2a") => q04Baseline
         case Some(other)               => baselines.getOrElse(other, -1.0)
       }
-      val quiet = base <= 0 || check <= base * 2
+      // ABSOLUTE FLOOR (round-14): every other gate in this file
+      // carries one (+0.1 s / +0.25 s) because sub-second readings
+      // jitter; this check did not, and q04's baseline had ratcheted
+      // to 0.169 s — a 169 ms-margin window no post-sweep fork could
+      // pass, which burned round 13's entire bench in backoff loops
+      // (BENCH_r13 rc=124). +0.5 s keeps the gate meaningful for a
+      // multi-second flagship while tolerating fixed-cost jitter on a
+      // sub-second one.
+      val quiet = base <= 0 || check <= base * 2 + 0.5
       if (quiet) return (last, true)
       System.err.println(
         f"[bench] confirm fork not quiet (flagship_check=$check%.3f vs baseline $base%.3f, attempt $attempt/$maxAttempts)")

@@ -400,6 +400,24 @@ object SparkEntry {
       Dedup.contrastiveBatches(s, d)),
     "q304_length_batches" -> ((s: SparkSession, d: String) =>
       TrainingPrep.lengthBucketedBatches(s, d)),
+    "q305_packed_windows" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.packedWindows(s, d)),
+    "q306_sliding_chunks" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.slidingChunks(s, d)),
+    "q307_repetition_filter" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.repetitionFilter(s, d)),
+    "q308_domain_affinity" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.domainAffinitySample(s, d)),
+    "q309_pii_scrub" -> ((s: SparkSession, d: String) =>
+      CleanPipeline.piiScrubAudit(s, d)),
+    "q310_epoch_shards" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.epochShards(s, d)),
+    "q311_vocab_growth" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.vocabGrowth(s, d)),
+    "q312_export_offsets" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.exportOffsets(s, d)),
+    "q313_split_contamination" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.splitContamination(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -4345,7 +4363,7 @@ object SparkEntry {
            SELECT v, n1, n2,
              ABS(cum1::HUGEINT * n2 - cum2::HUGEINT * n1) AS gap
            FROM walked, tot)
-         SELECT n1, n2, CAST(gap AS DECIMAL(38,0)) AS d_cross,
+         SELECT n1, n2, CAST(gap AS BIGINT) AS d_cross,
            CAST((gap * 1000000) // (n1::HUGEINT * n2) AS BIGINT)
              AS d_micro,
            v AS argmax_cents
@@ -5743,6 +5761,282 @@ object SparkEntry {
          UNION ALL
          ${scheme("length_sorted", "ntok ASC, doc_id ASC")}"""
     },
+    // q305: FFD sequence packing — the oracle replays the chunk-local
+    // first-fit fold as a recursive CTE carrying the per-window fills
+    // list, so hash equality proves the ENTIRE sequential recurrence
+    // (order, first-fit probe, window opens) step by step. NOTE the
+    // chunk rank here is the naive global window — the oracle-side
+    // stand-in for the chunked rank (same rationale as q202's oracle).
+    "q305_packed_windows" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS ntok
+           FROM documents),
+         items AS (
+           SELECT doc_id, ntok, ntok + 1 AS item,
+             CAST(ROW_NUMBER() OVER (ORDER BY ntok DESC, doc_id ASC)
+               AS BIGINT) AS rk
+           FROM toks),
+         ch AS (
+           SELECT doc_id, ntok, item, (rk - 1) // 256 AS chunk,
+             CAST(ROW_NUMBER() OVER (PARTITION BY (rk - 1) // 256
+               ORDER BY rk ASC) AS BIGINT) AS pos
+           FROM items),
+         step AS (
+           SELECT chunk, CAST(0 AS BIGINT) AS pos,
+             CAST([] AS BIGINT[]) AS fills,
+             CAST([] AS STRUCT(doc_id BIGINT, win BIGINT, ntok BIGINT,
+               item BIGINT)[]) AS asg
+           FROM (SELECT DISTINCT chunk FROM ch) c
+           UNION ALL
+           SELECT s.chunk, s.pos + 1,
+             CASE WHEN p.p = 0 THEN list_append(s.fills, d.item)
+               ELSE list_concat(list_concat(
+                 list_slice(s.fills, 1, p.p - 1),
+                 [s.fills[p.p] + d.item]),
+                 list_slice(s.fills, p.p + 1, len(s.fills))) END,
+             list_append(s.asg, CASE WHEN p.p = 0
+               THEN {'doc_id': d.doc_id,
+                     'win': CAST(len(s.fills) + 1 AS BIGINT),
+                     'ntok': d.ntok, 'item': d.item}
+               ELSE {'doc_id': d.doc_id, 'win': p.p,
+                     'ntok': d.ntok, 'item': d.item} END)
+           FROM step s
+           JOIN ch d ON d.chunk = s.chunk AND d.pos = s.pos + 1,
+           LATERAL (SELECT CAST(COALESCE(list_position(
+              list_transform(s.fills, f -> f + d.item <= 4096), true), 0)
+              AS BIGINT) AS p) p),
+         fin AS (
+           SELECT s.chunk, s.fills, s.asg FROM step s
+           JOIN (SELECT chunk, MAX(pos) AS mp FROM step GROUP BY 1) m
+             ON m.chunk = s.chunk AND m.mp = s.pos),
+         offs AS (
+           SELECT a.chunk, CAST(COALESCE(SUM(len(b.fills)), 0) AS BIGINT)
+             AS woff
+           FROM fin a LEFT JOIN fin b ON b.chunk < a.chunk
+           GROUP BY 1),
+         asg AS (
+           SELECT f.chunk, o.woff, UNNEST(f.asg, recursive := true)
+           FROM fin f JOIN offs o ON o.chunk = f.chunk)
+         SELECT CAST(woff + win AS BIGINT) AS window_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS payload_tokens,
+           CAST(SUM(item) AS BIGINT) AS used_tokens,
+           CAST(4096 - SUM(item) AS BIGINT) AS slack_tokens,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+             ORDER BY doc_id ASC)) AS win_digest
+         FROM asg GROUP BY 1""",
+    // q306: closed-form overlap-stride chunking — pure per-row
+    // arithmetic + array slices, replayed verbatim.
+    "q306_sliding_chunks" ->
+      s"""WITH words AS (
+           SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
+         d AS (
+           SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM words
+           WHERE len(w) > 0 AND w[1] <> ''),
+         k AS (
+           SELECT doc_id, w, n,
+             GREATEST(1, (n - 16 + 47) // 48) AS k FROM d),
+         c AS (
+           SELECT doc_id, w, n, k, UNNEST(range(0, k)) AS i FROM k)
+         SELECT doc_id, n AS n_tokens, CAST(k AS BIGINT) AS n_chunks,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(i * 48 AS BIGINT) AS start_tok,
+           CAST(LEAST(64, n - i * 48) AS BIGINT) AS len_tok,
+           md5(array_to_string(
+             w[(i * 48 + 1):(i * 48 + LEAST(64, n - i * 48))], ' '))
+             AS chunk_digest
+         FROM c""",
+    // q307: replayed doubling plant, trigram md5-16 digests (same
+    // digests both engines, so distinct/max counts agree exactly).
+    "q307_repetition_filter" ->
+      s"""WITH planted AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0
+               THEN $normText || ' ' || $normText
+               ELSE $normText END AS t
+           FROM documents),
+         words AS (
+           SELECT doc_id, string_split(t, ' ') AS w FROM planted),
+         d AS (
+           SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM words
+           WHERE len(w) >= 3),
+         grams AS (
+           SELECT doc_id, n,
+             substr(md5(w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]),
+               1, 16) AS g
+           FROM d, LATERAL (SELECT UNNEST(range(1, n - 1)) AS i) t),
+         gc AS (
+           SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS c
+           FROM grams GROUP BY 1, 2, 3)
+         SELECT doc_id,
+           CAST(MAX(n) - 2 AS BIGINT) AS n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST((MAX(n) - 2 - COUNT(*)) * 1000000 // (MAX(n) - 2)
+             AS BIGINT) AS dup_ppm,
+           CAST(MAX(c) AS BIGINT) AS max_rep,
+           (MAX(n) - 2 - COUNT(*)) * 1000000 // (MAX(n) - 2) > 150000
+             AS flagged
+         FROM gc GROUP BY 1""",
+    // q308: dictionary-grain affinity weights, doc mean in micros,
+    // top-k via QUALIFY over the naive window (oracle stand-in for
+    // the chunked rank, q202 rationale).
+    "q308_domain_affinity" ->
+      s"""WITH w2 AS (
+           SELECT doc_id, lang, tok FROM (
+             SELECT doc_id, lang,
+               UNNEST(string_split($normText, ' ')) AS tok
+             FROM documents) u
+           WHERE tok <> ''),
+         dict AS (
+           SELECT tok,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               * 1000000 // CAST(COUNT(*) AS BIGINT) AS w_micro
+           FROM w2 GROUP BY 1),
+         pd AS (
+           SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM w2 GROUP BY 1, 2),
+         sc AS (
+           SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+             CAST(SUM(cnt * w_micro) AS BIGINT) AS wsum
+           FROM pd JOIN dict USING (tok) GROUP BY 1)
+         SELECT CAST(ROW_NUMBER() OVER (ORDER BY wsum // n_words DESC,
+             doc_id ASC) AS BIGINT) AS rnk,
+           doc_id, n_words, CAST(wsum // n_words AS BIGINT) AS aff_micro
+         FROM sc QUALIFY rnk <= 100""",
+    // q309: replayed PII planting, same ASCII-class regexes (Java/RE2
+    // portable), DuckDB regexp_replace needs the 'g' flag to match
+    // Spark's replace-all default.
+    "q309_pii_scrub" ->
+      s"""WITH planted AS (
+           SELECT doc_id, $normText ||
+             CASE WHEN doc_id % 13 = 0
+               THEN ' contact user' || CAST(doc_id AS VARCHAR) ||
+                 '@mail.com' ELSE '' END ||
+             CASE WHEN doc_id % 17 = 0
+               THEN ' call +1555' ||
+                 lpad(CAST(doc_id % 10000000 AS VARCHAR), 7, '0')
+               ELSE '' END AS t
+           FROM documents),
+         audit AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(t,
+               '[a-z0-9]+@[a-z]+\\.[a-z]+')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(t,
+               '\\+1555[0-9]{7}')) AS BIGINT) AS n_phones,
+             md5(regexp_replace(regexp_replace(t,
+               '[a-z0-9]+@[a-z]+\\.[a-z]+', '<EMAIL>', 'g'),
+               '\\+1555[0-9]{7}', '<PHONE>', 'g')) AS masked_digest
+           FROM planted)
+         SELECT doc_id, n_emails, n_phones, masked_digest,
+           n_emails + n_phones = 0 AS clean
+         FROM audit""",
+    // q310: three salted epoch permutations, balanced contiguous
+    // shards by (rk-1)*S DIV n, per-shard member digest.
+    "q310_epoch_shards" ->
+      """WITH docs AS (SELECT doc_id FROM documents),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM docs),
+         e AS (SELECT UNNEST([1, 2, 3]) AS epoch),
+         r AS (
+           SELECT e.epoch, d.doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY e.epoch
+               ORDER BY md5('ep' || CAST(e.epoch AS VARCHAR) || ':' ||
+                 CAST(d.doc_id AS VARCHAR)) ASC, d.doc_id ASC)
+               AS BIGINT) AS rk
+           FROM docs d CROSS JOIN e),
+         s AS (
+           SELECT epoch, doc_id, rk,
+             CAST((rk - 1) * 8 // n.nn AS BIGINT) AS shard
+           FROM r, n)
+         SELECT CAST(epoch AS BIGINT) AS epoch, shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(rk) AS BIGINT) AS min_rank,
+           CAST(MAX(rk) AS BIGINT) AS max_rank,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+             ORDER BY doc_id ASC)) AS shard_digest
+         FROM s GROUP BY 1, 2""",
+    // q311: Heaps-curve audit — first-occurrence doc rank per bigram
+    // (dictionary-grain min), counts over the bounded checkpoint
+    // domain; naive rank window is the oracle stand-in (q202 rule).
+    // Checkpoints stop at 2^19 so no shift approaches bit 63.
+    "q311_vocab_growth" ->
+      s"""WITH d AS (
+           SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
+         d2 AS (
+           SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM d
+           WHERE len(w) >= 2),
+         ranked AS (
+           SELECT doc_id, w, n,
+             CAST(ROW_NUMBER() OVER (ORDER BY doc_id ASC) AS BIGINT)
+               AS drk
+           FROM d2),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM ranked),
+         grams AS (
+           SELECT drk, w[i] || ' ' || w[i + 1] AS g
+           FROM ranked, LATERAL (SELECT UNNEST(range(1, n)) AS i) t),
+         fr AS (
+           SELECT g, CAST(MIN(drk) AS BIGINT) AS first_rank
+           FROM grams GROUP BY 1),
+         ks AS (
+           SELECT DISTINCT k FROM (
+             SELECT UNNEST(list_transform(range(0, 20),
+               i -> CAST(1 << i AS BIGINT))) AS k
+             UNION ALL SELECT nn FROM nn) u
+           WHERE k <= (SELECT nn FROM nn)),
+         occ AS (
+           SELECT k, CAST(SUM(n - 1) AS BIGINT) AS total_bigrams
+           FROM ranked, ks WHERE drk <= k GROUP BY 1),
+         voc AS (
+           SELECT k, CAST(COUNT(*) AS BIGINT) AS vocab_size
+           FROM fr, ks WHERE first_rank <= k GROUP BY 1)
+         SELECT CAST(occ.k AS BIGINT) AS k_docs, total_bigrams,
+           vocab_size,
+           CAST(vocab_size * 1000000 // total_bigrams AS BIGINT)
+             AS ttr_micro
+         FROM occ JOIN voc USING (k)""",
+    // q312: the naive exclusive-prefix-sum window IS the oracle for
+    // the chunked device (q202 rule, SUM form).
+    "q312_export_offsets" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(n_chars + 1 AS BIGINT) AS n_bytes
+           FROM documents)
+         SELECT doc_id, n_bytes,
+           CAST(COALESCE(SUM(n_bytes) OVER (ORDER BY doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS start_offset,
+           CAST(COALESCE(SUM(n_bytes) OVER (ORDER BY doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + n_bytes AS BIGINT) AS end_offset
+         FROM d""",
+    // q313: q68's split replayed, distinct 5-gram md5-16 digests both
+    // sides, train dictionary LEFT join, per-eval-doc ppm verdict.
+    "q313_split_contamination" ->
+      s"""WITH d AS (
+           SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
+         d2 AS (
+           SELECT doc_id, w, CAST(len(w) AS BIGINT) AS nw,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+               1, 15))::BIGINT % 10 < 8 THEN 'train' ELSE 'eval' END
+               AS sp
+           FROM d WHERE len(w) >= 5),
+         grams AS (
+           SELECT DISTINCT doc_id, sp,
+             substr(md5(array_to_string(w[i:i+4], ' ')), 1, 16) AS g
+           FROM d2, LATERAL (SELECT UNNEST(range(1, nw - 3)) AS i) t),
+         tr AS (SELECT DISTINCT g FROM grams WHERE sp = 'train'),
+         ev AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_shared
+           FROM grams LEFT JOIN tr ON grams.g = tr.g
+           WHERE grams.sp = 'eval' GROUP BY 1)
+         SELECT doc_id, n_grams, n_shared,
+           CAST(n_shared * 1000000 // n_grams AS BIGINT)
+             AS contamination_ppm,
+           n_shared * 1000000 // n_grams > 500000 AS flagged
+         FROM ev""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness
@@ -8069,7 +8363,7 @@ object SparkEntry {
            FROM v),
          m AS ($pairRows)
          SELECT pair, n, sum_x, sum_y,
-           CAST(a_num AS DECIMAL(38,0)) AS a_num,
+           CAST(a_num AS BIGINT) AS a_num,
            CAST(CASE WHEN b_den * c_den < 1000000 THEN 0
              ELSE (CASE WHEN a_num < 0 THEN -1
                         WHEN a_num > 0 THEN 1 ELSE 0 END) *

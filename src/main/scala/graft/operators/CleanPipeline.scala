@@ -316,4 +316,46 @@ object CleanPipeline {
         count(lit(1)).as("n_orders"),
         sum(col("cents")).as("revenue_cents"))
   }
+
+  /** The q309 driver entry: MULTI-CLASS PII SCRUB AUDIT — the
+    * release-gate composition of the PII family: q75 scrubs ONE class
+    * (emails), q242 checksum-verifies cards; a real redaction pass
+    * chains EVERY class over the same text and reports a per-doc
+    * audit verdict. Per doc: how many of each class fired, the digest
+    * of the text after BOTH maskings applied in sequence (so a
+    * reviewer verifies the combined redaction without the audit table
+    * carrying PII — only counts and hashes leave the row), and the
+    * `clean` release verdict. PII is PLANTED deterministically and
+    * replayed verbatim in the oracle (the q75/q259 pattern): every
+    * 13th doc gains a contact email, every 17th a +1555 phone; docs
+    * at 13·17 strides carry both, exercising the chained replace
+    * order. Patterns are deliberately simple ASCII character
+    * classes — identical semantics in Java and RE2 regex dialects
+    * (the q94 portability rule).
+    *
+    * Scale shape: strictly row-local (two regexp_count, two chained
+    * regexp_replace, one md5 inside whole-stage codegen) — zero
+    * shuffle, the q50 embarrassing-parallel posture. Masked TEXT is
+    * never emitted, only its digest.
+    */
+  def piiScrubAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val emailPat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    val phonePat = "\\+1555[0-9]{7}"
+    val planted = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), concat(
+        graft.operators.TextAnalysis.normalizedText(col("text")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.com"))).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0,
+          concat(lit(" call +1555"),
+            lpad((col("doc_id") % 10000000L).cast("string"), 7, "0")))
+          .otherwise(lit(""))).as("t"))
+    planted.select(col("doc_id"),
+        regexp_count(col("t"), lit(emailPat)).cast("long").as("n_emails"),
+        regexp_count(col("t"), lit(phonePat)).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("t"),
+          emailPat, "<EMAIL>"), phonePat, "<PHONE>")).as("masked_digest"))
+      .withColumn("clean", col("n_emails") + col("n_phones") === 0L)
+  }
 }

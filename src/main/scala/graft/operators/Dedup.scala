@@ -1290,9 +1290,11 @@ object Dedup {
     * its precondition.
     *
     * Scale shape: q22's candidate path for clusters, then one global
-    * rank over salted keys — at corpus scale the q202 chunked
-    * dense-rank replaces it, noted there; the manifest is
-    * batch-grain.
+    * rank over salted keys via [[Relational.chunkedRowNumber]] (the
+    * q202 chunked device — bucket on the leading hash key's 2-hex
+    * prefix, 256 bounded buckets, per-bucket partitioned windows;
+    * round-13 verdict replaced the partition-less global window
+    * here); the manifest is batch-grain.
     */
   def contrastiveBatches(spark: SparkSession, sfDir: String,
       batchSize: Int = 8): DataFrame = {
@@ -1300,12 +1302,12 @@ object Dedup {
     // max(1, ...) keeps the modulus sound on an empty corpus
     val nb = math.max(1L,
       (withComp.count() + batchSize - 1) / batchSize).toInt
-    val ranked = withComp
-      .withColumn("rk", row_number().over(Window.orderBy(
-        md5(concat(lit("cb:"), col("comp").cast("string"))).asc,
-        col("comp").asc,
+    val clusterSalt = md5(concat(lit("cb:"), col("comp").cast("string")))
+    val ranked = Relational.chunkedRowNumber(withComp,
+      bucket = substring(clusterSalt, 1, 2),
+      order = Seq(clusterSalt.asc, col("comp").asc,
         md5(concat(lit("cb:"), col("doc_id").cast("string"))).asc,
-        col("doc_id").asc)).cast("long"))
+        col("doc_id").asc))
       .withColumn("batch_id", ((col("rk") - 1L) % nb).cast("long"))
     ranked.groupBy(col("batch_id"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
@@ -1787,10 +1789,12 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
     val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
     val n = docs.count()
-    val ranked = docs.withColumn("pos",
-      row_number().over(Window.orderBy(
-        md5(concat(lit("rk:"), col("doc_id").cast("string"))).asc,
-        col("doc_id").asc)).cast("long"))
+    // round-14: corpus-grain salted rank through the chunked device
+    // (2-hex prefix buckets) instead of a partition-less window
+    val rkSalt = md5(concat(lit("rk:"), col("doc_id").cast("string")))
+    val ranked = Relational.chunkedRowNumber(docs,
+      bucket = substring(rkSalt, 1, 2),
+      order = Seq(rkSalt.asc, col("doc_id").asc), out = "pos")
     val drawn = pairs
       .select(col("id_a"), col("id_b"),
         explode(sequence(lit(1), lit(negs))).as("neg_idx"))

@@ -812,8 +812,15 @@ object Experiment {
           "CAST(cum2 AS DECIMAL(38,0)) * n1")).as("gap"))
       .orderBy(col("gap").desc, col("v").asc)
       .limit(1)
+      // d_cross = |cum1*n2 - cum2*n1| <= n1*n2: BIGINT holds it to
+      // ~3e9 rows PER SEGMENT (n1*n2 < 2^63), far past any bench SF;
+      // past that the ANSI cast fails loudly on both engines. The
+      // intermediate `gap` products stay DECIMAL(38,0) — only the
+      // OUTPUT column narrows, because DECIMAL(38,0) output columns
+      // are the one type family the driver's hash canonicalizer
+      // renders differently per engine (round-13 q251/q258 reds).
       .select(col("n1"), col("n2"),
-        col("gap").cast("decimal(38,0)").as("d_cross"),
+        col("gap").cast("bigint").as("d_cross"),
         expr("CAST((CAST(gap AS DECIMAL(38,0)) * 1000000) " +
           "DIV (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)").as("d_micro"),
         col("v").as("argmax_cents"))
@@ -904,7 +911,14 @@ object Experiment {
     agg.select(explode(array(pairs: _*)).as("m"))
       .select(col("m.pair").as("pair"), col("m.n").as("n"),
         col("m.sum_x").as("sum_x"), col("m.sum_y").as("sum_y"),
-        col("m.a_num").as("a_num"),
+        // a_num = n*Σxy − Σx*Σy narrows to BIGINT at OUTPUT only
+        // (~5.4e12 at sf0.01, ~n^2-scaling keeps it < 2^63 to ~1e7
+        // rows — the same horizon as the 38-digit A²/BC bound above;
+        // ANSI cast fails loudly past it). The A/B/C INTERMEDIATES
+        // stay DECIMAL(38,0); only the output column narrows, because
+        // DECIMAL(38,0) outputs are the driver-hash hazard family
+        // (round-13 reds).
+        col("m.a_num").cast("bigint").as("a_num"),
         expr(s"""CAST(CASE
                  WHEN m.b_den * m.c_den < 1000000 THEN 0
                  ELSE CAST(SIGNUM(m.a_num) AS BIGINT) *
@@ -1425,7 +1439,11 @@ object Experiment {
     * mapping: a doc at rank r of m within its source maps to the
     * REFERENCE source's value at nearest rank ⌈r·n_ref/m⌉ — after
     * alignment, equal scores mean equal within-source standing.
-    * Reference docs map to themselves exactly (spec-pinned identity).
+    * NOTE the mapped population is ALL docs of a source while the
+    * reference spine is its is_en slice, so reference-source docs do
+    * NOT in general map to themselves (identity would hold only when
+    * the two populations coincide); the spec pins an independent
+    * replay and per-source monotonicity instead (round-13 advice).
     *
     * Exactness: ranks are row_number under the (score, doc_id) total
     * order; the target rank is one ceiling division of positive
@@ -1452,9 +1470,13 @@ object Experiment {
     // reference feed (the audited gold population) — deliberately a
     // different size than any source stratum, so the ceiling rescale
     // genuinely fires
-    val ref = s.filter(col("source") === refSource && col("is_en"))
-      .withColumn("ref_rk", row_number().over(
-        Window.orderBy(col("score").asc, col("doc_id").asc)).cast("long"))
+    // round-14: the reference-slice rank is corpus-grain at scale —
+    // chunked device instead of a partition-less window (q303/q304
+    // hazard class; the per-source ranks above are already keyed)
+    val ref = Relational.chunkedRowNumber(
+      s.filter(col("source") === refSource && col("is_en")),
+      bucket = floor(col("score") / lit(1024L)).cast("long"),
+      order = Seq(col("score").asc, col("doc_id").asc), out = "ref_rk")
       .select(col("ref_rk"), col("score").as("aligned_score"))
     val nRef = ref.agg(count(lit(1)).cast("long").as("n_ref"))
     ranked.crossJoin(broadcast(nRef))

@@ -486,8 +486,14 @@ object Multimodal {
           r += 1
         }
         (0 until grid * grid).iterator.map { cell =>
+          // a header-declared dimension below the grid leaves cells
+          // with zero pixels (fixture dims 16+n%64 x 16+n%48 can't,
+          // arbitrary BMPs can): such a cell reports mean 0 rather
+          // than dividing by zero (round-13 advice)
+          val mean =
+            if (counts(cell) == 0L) 0L else sums(cell) * 1000L / counts(cell)
           (m.media_id, (cell / grid).toLong, (cell % grid).toLong,
-            counts(cell), sums(cell), sums(cell) * 1000L / counts(cell))
+            counts(cell), sums(cell), mean)
         }
       }
     }.toDF("media_id", "pr", "pc", "n_px", "sum_i", "mean_milli")

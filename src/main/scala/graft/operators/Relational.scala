@@ -2383,10 +2383,14 @@ object Relational {
       .withColumn("ctr", p)
       .withColumn("wilson_micro",
         floor(lit(1000000.0) * w).cast("long"))
-    scored.withColumn("rk", row_number().over(
-        Window.orderBy(col("wilson_micro").desc, col("k").asc)))
+    // round-14: item-grain rank through the chunked device — item
+    // catalogs are corpus-scale, so the partition-less window here
+    // was the q303/q304 hazard class
+    chunkedRowNumber(scored,
+      bucket = (-floor(col("wilson_micro") / lit(10000L))).cast("long"),
+      order = Seq(col("wilson_micro").desc, col("k").asc))
       .select(col("k"), col("clicks"), col("n"), col("ctr"),
-        col("wilson_micro"), col("rk"))
+        col("wilson_micro"), col("rk").cast("int").as("rk"))
   }
 
   /** The q194 driver entry: CONVERSION LATENCY BY COHORT — for each
@@ -2948,5 +2952,72 @@ object Relational {
       .agg(count(lit(1)).cast("long").as("n_buyers"),
         sum(when(col("complete"), 1L).otherwise(0L)).cast("long")
           .as("n_complete"))
+  }
+
+  /** CHUNKED GLOBAL ROW NUMBER — output-identical to
+    * `row_number().over(Window.orderBy(order: _*))` but WITHOUT moving
+    * the corpus to one partition (WindowExec's "No Partition Defined"
+    * cliff — the reference's single-reducer shape reborn at scale).
+    * The q202/q200 prefix-scan device, generalized:
+    *
+    *   1. bucket each row by `bucket` — REQUIRED to be a PREFIX of the
+    *      ascending sort order (every row in a smaller bucket precedes
+    *      every row in a larger one under `order`), and BOUNDED in
+    *      cardinality (hex-prefix of a leading hash key, fixed-width
+    *      ranges of a leading numeric key, q154 equi-depth boundaries
+    *      under skew);
+    *   2. count rows per bucket and EXCLUSIVE-prefix-sum the counts
+    *      over the bucket domain — by a bounded triangular self-join
+    *      (B² pairs at B buckets: trivial for B ≤ ~10⁴ and free of
+    *      any partition-less window, so the warning cannot fire);
+    *   3. rank rows WITHIN each bucket (partitioned window — shuffles
+    *      by bucket, never collapses) and add the bucket's offset.
+    *
+    * Used by q303/q304 (round-13 verdict: both ranked the corpus
+    * through a partition-less window) and available to any future
+    * global-order manifest.
+    */
+  def chunkedRowNumber(
+      df: DataFrame, bucket: Column,
+      order: Seq[Column], out: String = "rk"): DataFrame = {
+    val b = df.withColumn("__bk", bucket)
+    val counts = b.groupBy(col("__bk")).agg(count(lit(1)).as("__c"))
+    val offs = counts.as("a")
+      .join(counts.as("b"), col("b.__bk") < col("a.__bk"), "left")
+      .groupBy(col("a.__bk").as("__bk"))
+      .agg(coalesce(sum(col("b.__c")), lit(0L)).as("__off"))
+    val wIn = Window.partitionBy(col("__bk")).orderBy(order: _*)
+    b.join(broadcast(offs), Seq("__bk"))
+      .withColumn(out, (col("__off") + row_number().over(wIn)).cast("long"))
+      .drop("__bk", "__off")
+  }
+
+  /** CHUNKED EXCLUSIVE PREFIX SUM — the SUM twin of
+    * [[chunkedRowNumber]]: output-identical to
+    * `sum(value).over(Window.orderBy(order).rowsBetween(
+    * unboundedPreceding, -1))` without the one-partition collapse.
+    * Same contract: `bucket` must be a bounded-cardinality PREFIX of
+    * the ascending sort order. Per-bucket totals prefix-sum over the
+    * bucket domain by the triangular join; rows then add their
+    * bucket-local running sum from a bucket-partitioned window. Used
+    * by q312's export offset index; the device behind any
+    * "byte offset of row i in the concatenated corpus" manifest.
+    */
+  def chunkedPrefixSum(
+      df: DataFrame, bucket: Column, order: Seq[Column],
+      value: Column, out: String = "psum"): DataFrame = {
+    val b = df.withColumn("__bk", bucket).withColumn("__v", value)
+    val totals = b.groupBy(col("__bk")).agg(sum(col("__v")).as("__s"))
+    val offs = totals.as("a")
+      .join(totals.as("b"), col("b.__bk") < col("a.__bk"), "left")
+      .groupBy(col("a.__bk").as("__bk"))
+      .agg(coalesce(sum(col("b.__s")), lit(0L)).as("__off"))
+    val wIn = Window.partitionBy(col("__bk")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    b.join(broadcast(offs), Seq("__bk"))
+      .withColumn(out,
+        (col("__off") + coalesce(sum(col("__v")).over(wIn), lit(0L)))
+          .cast("long"))
+      .drop("__bk", "__v", "__off")
   }
 }

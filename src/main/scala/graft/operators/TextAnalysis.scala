@@ -674,20 +674,24 @@ object TextAnalysis {
       Experiment.rocAucScored(spark, sfDir)
         .select(col("doc_id"), col("score").as("quality_micro")),
       "doc_id")
-    val fused = cand
-      .withColumn("rank_lex", row_number().over(
-        Window.orderBy(col("lex_total").desc, col("doc_id").asc))
-        .cast("long"))
-      .withColumn("rank_q", row_number().over(
-        Window.orderBy(col("quality_micro").desc, col("doc_id").asc))
-        .cast("long"))
+    // round-14: all three corpus-grain ranks ride the chunked device
+    // (fixed-width value-range buckets on the negated leading key) —
+    // the partition-less windows here were the q303/q304 hazard class
+    val fused = Relational.chunkedRowNumber(
+      Relational.chunkedRowNumber(cand,
+        bucket = (-floor(col("lex_total") / lit(1024L))).cast("long"),
+        order = Seq(col("lex_total").desc, col("doc_id").asc),
+        out = "rank_lex"),
+      bucket = (-floor(col("quality_micro") / lit(1024L))).cast("long"),
+      order = Seq(col("quality_micro").desc, col("doc_id").asc),
+      out = "rank_q")
       .withColumn("rrf_scaled",
         expr(s"1000000000000 DIV ($kConst + rank_lex) + " +
           s"1000000000000 DIV ($kConst + rank_q)"))
-    fused
-      .withColumn("rank_fused", row_number().over(
-        Window.orderBy(col("rrf_scaled").desc, col("doc_id").asc))
-        .cast("long"))
+    Relational.chunkedRowNumber(fused,
+      bucket = (-floor(col("rrf_scaled") / lit(1024L))).cast("long"),
+      order = Seq(col("rrf_scaled").desc, col("doc_id").asc),
+      out = "rank_fused")
       .where(col("rank_fused") <= topK)
       .select(col("doc_id"), col("lex_total"), col("quality_micro"),
         col("rank_lex"), col("rank_q"), col("rrf_scaled"),
@@ -2274,12 +2278,17 @@ object TextAnalysis {
     // n comes from a window over the SAME pass — a separate count()
     // action re-ran the whole q141 scoring pipeline (measured 6.1 s
     // vs q141's own 3.4 s median before the fold)
-    val w = Window.orderBy(col("nll_avg_micro").asc, col("doc_id").asc)
-    val wAll = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    scored
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(wAll))
+    // round-14: the corpus-grain rank + count windows were the
+    // q303/q304 single-partition hazard class. The scored frame is
+    // localCheckpoint'd ONCE (the q291 shared-subtree rule) so the
+    // chunked rank, the bounded count aggregate, and the output all
+    // reuse one materialization — still a single scoring pass.
+    val pinned = scored.localCheckpoint(true)
+    val n = pinned.crossJoin(broadcast(
+      pinned.agg(count(lit(1)).as("n"))))
+    Relational.chunkedRowNumber(n,
+      bucket = floor(col("nll_avg_micro") / lit(1024L)).cast("long"),
+      order = Seq(col("nll_avg_micro").asc, col("doc_id").asc))
       .withColumn("tercile", expr("(3 * (rk - 1)) DIV n"))
       .select(col("doc_id"), col("n_bigrams"), col("nll_avg_micro"),
         col("tercile"),
@@ -2335,5 +2344,113 @@ object TextAnalysis {
     dom.zip(w).toSeq
       .map { case ((lang, n, loss), wf) => (lang, n, loss, wf) }
       .toDF("lang", "n_docs", "loss_micro", "w_micro")
+  }
+
+  /** The q311 driver entry: VOCABULARY-GROWTH CURVE (Heaps'-law
+    * audit) over word BIGRAMS — the corpus-health diagnostic a data
+    * team reads before scaling a crawl: how fast does the distinct
+    * vocabulary grow as documents accumulate? A curve that flattens
+    * early means the marginal crawl adds tokens but no novelty (the
+    * dedup/diversity smell); bigrams (vocabulary ≤ 31² on this
+    * fixture) keep the curve from saturating in the first document.
+    * At doc-count checkpoints k ∈ {1, 2, 4, …} ∪ {N} (docs ordered
+    * by doc_id): total bigram occurrences among the first k docs,
+    * distinct bigrams seen (vocab), and the type-token ratio in
+    * micros.
+    *
+    * The scalable device: "distinct seen so far" is NOT a running
+    * distinct-count scan — each bigram's FIRST-OCCURRENCE doc rank
+    * is a dictionary-grain min-aggregate, and vocab(k) is then a
+    * count of first_ranks ≤ k over the BOUNDED checkpoint domain
+    * (broadcast ≤ 21 rows). Doc ranks ride
+    * [[Relational.chunkedRowNumber]] on fixed-width id ranges; no
+    * partition-less window, no occurrence-grain state.
+    */
+  def vocabGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), split(normalizedText(col("text")), " ").as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+      .where(col("n") >= 2)
+    val ranked = Relational.chunkedRowNumber(docs,
+      bucket = floor(col("doc_id") / lit(4096)).cast("long"),
+      order = Seq(col("doc_id").asc), out = "drk")
+    val n = ranked.count()
+    val grams = ranked
+      .withColumn("i", explode(expr("sequence(1, CAST(n AS INT) - 1)")))
+      .select(col("drk"), col("n"),
+        concat_ws(" ", element_at(col("w"), col("i")),
+          element_at(col("w"), col("i") + 1)).as("g"))
+    val firstRank = grams.groupBy(col("g"))
+      .agg(min(col("drk")).as("first_rank"))
+    val perDoc = ranked.select(col("drk"), (col("n") - 1L).as("occ"))
+    val ks = spark.range(0, 20)
+      .select(expr("CAST(shiftleft(1L, CAST(id AS INT)) AS BIGINT)").as("k"))
+      .where(col("k") <= n)
+      .unionByName(spark.range(1).select(lit(n).as("k")))
+      .distinct()
+    val occAtK = perDoc.crossJoin(broadcast(ks))
+      .where(col("drk") <= col("k"))
+      .groupBy(col("k")).agg(sum(col("occ")).cast("long").as("total_bigrams"))
+    val vocabAtK = firstRank.crossJoin(broadcast(ks))
+      .where(col("first_rank") <= col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).cast("long").as("vocab_size"))
+    occAtK.join(vocabAtK, Seq("k"))
+      .select(col("k").cast("long").as("k_docs"), col("total_bigrams"),
+        col("vocab_size"),
+        expr("vocab_size * 1000000 DIV total_bigrams").as("ttr_micro"))
+  }
+
+  /** The q307 driver entry: INTRA-DOCUMENT REPETITION FILTER — the
+    * Gopher-rule family's "fraction of duplicate n-grams" gate
+    * (Rae et al. 2021 §A1.1): generated/boilerplate text repeats
+    * itself, so a doc whose word-trigram stream is mostly
+    * re-occurrences is dropped before pretraining. Per doc over the
+    * normalized word stream: n₃ = n−2 trigrams, d₃ distinct,
+    * dup_ppm = (n₃−d₃)·10⁶ DIV n₃, the hottest trigram's count, and
+    * the gate dup_ppm > 150000. The fixture's 31-word vocabulary
+    * leaves natural docs near zero, so every 11th doc is PLANTED as
+    * its own text doubled (replayed verbatim in the oracle, the q259
+    * planting pattern) — those read ~50% duplicate and must flag.
+    * Extends q74's raw dup-fraction stat (double, no gate) into the
+    * exact-integer GATE with planted positives, the hottest-gram
+    * count, and word-trigram grain (the published rule's unit) rather
+    * than q74's 5-word shingles.
+    *
+    * Scale shape: trigram rows shuffle as (doc_id, md5-16 digest)
+    * pairs — never the trigram STRING (the q239 digests-not-text
+    * posture) — to the (doc, gram) count, then collapse doc-grain
+    * with map-side combine. Everything doc-local except that one
+    * bounded-width exchange; no dictionary, no joins.
+    */
+  def repetitionFilter(
+      spark: SparkSession, sfDir: String,
+      flagPpm: Long = 150000L): DataFrame = {
+    val planted = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0,
+          concat(normalizedText(col("text")), lit(" "),
+            normalizedText(col("text"))))
+          .otherwise(normalizedText(col("text"))).as("t"))
+      .select(col("doc_id"), split(col("t"), " ").as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+      .where(col("n") >= 3)
+    val grams = planted
+      .withColumn("i", explode(expr("sequence(1, CAST(n AS INT) - 2)")))
+      .select(col("doc_id"), col("n"),
+        substring(md5(concat_ws(" ",
+          element_at(col("w"), col("i")),
+          element_at(col("w"), col("i") + 1),
+          element_at(col("w"), col("i") + 2))), 1, 16).as("g"))
+    grams.groupBy(col("doc_id"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("n")) - 2L).cast("long").as("n_grams"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        max(col("c")).cast("long").as("max_rep"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        expr("(n_grams - n_distinct) * 1000000 DIV n_grams")
+          .as("dup_ppm"),
+        col("max_rep"))
+      .withColumn("flagged", col("dup_ppm") > flagPpm)
   }
 }

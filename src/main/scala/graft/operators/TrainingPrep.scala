@@ -1123,8 +1123,11 @@ object TrainingPrep {
     * miniature. All exact integers.
     *
     * Scale shape: one doc-grain token count, one global rank per
-    * scheme (the q202 chunked device at corpus scale), batch-grain
-    * aggregates after.
+    * scheme via [[Relational.chunkedRowNumber]] (the q202 chunked
+    * device — the hashed scheme buckets on the salt's 2-hex prefix,
+    * the length-sorted scheme on fixed-width ntok ranges; round-13
+    * verdict replaced the partition-less global windows here),
+    * batch-grain aggregates after.
     */
   def lengthBucketedBatches(spark: SparkSession, sfDir: String,
       batchSize: Int = 8): DataFrame = {
@@ -1132,10 +1135,9 @@ object TrainingPrep {
       .select(col("doc_id"),
         graft.operators.TextAnalysis.bpeTokenCount(col("text"))
           .as("ntok"))
-    def scheme(name: String, order: Seq[org.apache.spark.sql.Column]) =
-      toks
-        .withColumn("rk",
-          row_number().over(Window.orderBy(order: _*)).cast("long"))
+    def scheme(name: String, bucket: org.apache.spark.sql.Column,
+        order: Seq[org.apache.spark.sql.Column]) =
+      Relational.chunkedRowNumber(toks, bucket, order)
         .withColumn("batch_id",
           expr(s"CAST((rk - 1) DIV $batchSize AS BIGINT)"))
         .groupBy(col("batch_id"))
@@ -1148,11 +1150,325 @@ object TrainingPrep {
           col("capacity_tokens"), col("payload_tokens"),
           expr("""CAST((capacity_tokens - payload_tokens) * 1000000
               DIV capacity_tokens AS BIGINT)""").as("waste_ppm"))
+    val lbSalt = md5(concat(lit("lb:"), col("doc_id").cast("string")))
     scheme("hashed",
-      Seq(md5(concat(lit("lb:"), col("doc_id").cast("string"))).asc,
-        col("doc_id").asc))
+      bucket = substring(lbSalt, 1, 2),
+      Seq(lbSalt.asc, col("doc_id").asc))
       .unionByName(scheme("length_sorted",
+        bucket = floor(col("ntok") / lit(16)).cast("long"),
         Seq(col("ntok").asc, col("doc_id").asc)))
+  }
+
+  /** The q305 driver entry: GREEDY SEQUENCE-PACKING MANIFEST —
+    * first-fit-decreasing packing of documents into fixed
+    * context-window rows (pack-to-4096 with document boundaries kept
+    * and one EOD separator token per doc), the manifest a pretraining
+    * dataloader actually consumes: where q304 PADS equal-count
+    * batches to their max length, packing CONCATENATES docs until the
+    * window is full, so capacity per window is the constant tensor
+    * width C and waste is only the trailing slack. Docs walk in
+    * token-count-DESC order (the "decreasing" of FFD) and each lands
+    * in the FIRST window with room, opening a new window only when
+    * none fits — the classic 11/9·OPT+1 guarantee, and concretely:
+    * when a window opens on item x, every earlier window held
+    * fill > C − x, so within a chunk every window except the
+    * last-opened ends with slack < the chunk's max item (spec-pinned).
+    *
+    * Scale shape: the FFD recurrence is inherently sequential, so it
+    * runs CHUNK-LOCALLY — [[Relational.chunkedRowNumber]] ranks the
+    * corpus without a global window, fixed rank-ranges of 256 docs
+    * form chunks, and each chunk packs independently inside ONE
+    * higher-order `aggregate` over its collected 256-element array
+    * (the q284 bounded-fold device; state = per-window fills + the
+    * assignment list, first-fit probe = array_position over a
+    * transform — no UDF, no driver loop). Global window ids come from
+    * an exclusive prefix-sum of per-chunk window counts over the
+    * bounded chunk domain. Chunk independence costs at most one
+    * under-full window per chunk vs corpus-global FFD — the price of
+    * linear scaling, same trade as q202's buckets. The DuckDB oracle
+    * replays the identical fold as a recursive CTE carrying the fills
+    * list, so equality proves the whole sequential recurrence.
+    */
+  def packedWindows(spark: SparkSession, sfDir: String,
+      capacity: Int = 4096, chunkSize: Int = 256): DataFrame = {
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.bpeTokenCount(col("text"))
+          .as("ntok"))
+      .withColumn("item", (col("ntok") + lit(1L)).cast("long"))
+    val ranked = Relational.chunkedRowNumber(toks,
+      bucket = (-floor(col("ntok") / lit(16))).cast("long"),
+      order = Seq(col("ntok").desc, col("doc_id").asc))
+    val lists = ranked
+      .withColumn("chunk", expr(s"CAST((rk - 1) DIV $chunkSize AS BIGINT)"))
+      .groupBy(col("chunk"))
+      .agg(array_sort(collect_list(struct(col("rk"), col("doc_id"),
+        col("ntok"), col("item")))).as("xs"))
+    // first-fit probe: 1-based index of the first window with room,
+    // 0 when none (array_position's not-found convention)
+    val p = s"array_position(transform(acc.fills, f -> f + x.item <= ${capacity}L), true)"
+    val folded = lists.withColumn("st", expr(
+      s"""aggregate(
+            xs,
+            named_struct(
+              'fills', CAST(array() AS ARRAY<BIGINT>),
+              'asg', CAST(array() AS
+                ARRAY<STRUCT<doc_id: BIGINT, win: BIGINT,
+                             ntok: BIGINT, item: BIGINT>>)),
+            (acc, x) -> IF($p = 0L,
+              named_struct(
+                'fills', concat(acc.fills, array(x.item)),
+                'asg', concat(acc.asg, array(named_struct(
+                  'doc_id', x.doc_id,
+                  'win', CAST(size(acc.fills) + 1 AS BIGINT),
+                  'ntok', x.ntok, 'item', x.item)))),
+              named_struct(
+                'fills', concat(
+                  slice(acc.fills, 1, CAST($p AS INT) - 1),
+                  array(element_at(acc.fills, CAST($p AS INT)) + x.item),
+                  slice(acc.fills, CAST($p AS INT) + 1,
+                    size(acc.fills) - CAST($p AS INT))),
+                'asg', concat(acc.asg, array(named_struct(
+                  'doc_id', x.doc_id, 'win', CAST($p AS BIGINT),
+                  'ntok', x.ntok, 'item', x.item))))))"""))
+      .select(col("chunk"), col("st"))
+    // exclusive prefix-sum of per-chunk window counts: bounded chunk
+    // domain, triangular join (no partition-less window — the
+    // chunkedRowNumber rationale, reused)
+    val counts = folded
+      .select(col("chunk"), size(col("st.fills")).cast("long").as("nw"))
+    val offs = counts.as("a")
+      .join(counts.as("b"), col("b.chunk") < col("a.chunk"), "left")
+      .groupBy(col("a.chunk").as("chunk"))
+      .agg(coalesce(sum(col("b.nw")), lit(0L)).as("woff"))
+    folded.join(broadcast(offs), Seq("chunk"))
+      .select(col("woff"), explode(col("st.asg")).as("a"))
+      .select((col("woff") + col("a.win")).cast("long").as("window_id"),
+        col("a.doc_id").as("doc_id"), col("a.ntok").as("ntok"),
+        col("a.item").as("item"))
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("ntok")).cast("long").as("payload_tokens"),
+        sum(col("item")).cast("long").as("used_tokens"),
+        (lit(capacity.toLong) - sum(col("item"))).cast("long")
+          .as("slack_tokens"),
+        md5(concat_ws(",", transform(array_sort(collect_list(col("doc_id"))),
+          x => x.cast("string")))).as("win_digest"))
+  }
+
+  /** The q308 driver entry: DOMAIN-AFFINITY IMPORTANCE RESAMPLING
+    * MANIFEST — the DSIR-shaped move (Xie et al. 2023, hashed-n-gram
+    * importance weights) in exact integers: to up-sample corpus docs
+    * that "look like" a target domain (here the en-labeled slice),
+    * every word earns an affinity weight w = c_target·10⁶ DIV
+    * c_corpus from the corpus dictionary, each doc scores the MEAN
+    * weight of its word occurrences (Σ w(tok) DIV n_words — micro
+    * units, truncating DIV, order-independent), and the manifest is
+    * the top-`take` docs under (score DESC, doc_id ASC) — the
+    * resampled subcorpus a targeted continued-pretraining run reads.
+    *
+    * Scale shape: the dictionary aggregate is corpus-wide but
+    * DICTIONARY-grain (the q155 posture — exchanges carry distinct
+    * words, not occurrences); doc scoring joins the BROADCAST
+    * dictionary against doc-local word counts (no occurrence-grain
+    * shuffle: words collapse to (doc, word, cnt) map-side first);
+    * the top-k rank rides [[Relational.chunkedRowNumber]] (bucket =
+    * fixed-width score ranges DESC) instead of a partition-less
+    * window, then keeps `take` rows.
+    */
+  def domainAffinitySample(spark: SparkSession, sfDir: String,
+      take: Int = 100): DataFrame = {
+    val words = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(
+          graft.operators.TextAnalysis.normalizedText(col("text")), " "))
+          .as("tok"))
+      .where(col("tok") =!= "")
+    val dict = words.groupBy(col("tok"))
+      .agg(count(lit(1)).as("c_all"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_en"))
+      .select(col("tok"),
+        expr("c_en * 1000000 DIV c_all").as("w_micro"))
+    val perDoc = words.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(dict), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("long").as("n_words"),
+        sum(col("cnt") * col("w_micro")).cast("long").as("wsum"))
+      .select(col("doc_id"), col("n_words"),
+        expr("wsum DIV n_words").as("aff_micro"))
+    Relational.chunkedRowNumber(perDoc,
+      bucket = (-floor(col("aff_micro") / lit(10000L))).cast("long"),
+      order = Seq(col("aff_micro").desc, col("doc_id").asc))
+      .where(col("rk") <= take)
+      .select(col("rk").as("rnk"), col("doc_id"), col("n_words"),
+        col("aff_micro"))
+  }
+
+  /** The q310 driver entry: EPOCH-SHUFFLE SHARD MANIFEST — the
+    * deterministic reshuffle a multi-epoch pretraining run needs:
+    * each epoch e permutes the corpus by the salted order
+    * md5(e:doc_id) and deals it into `shards` contiguous rank
+    * ranges, so (a) every epoch reads a DIFFERENT order (no
+    * epoch-to-epoch correlation for the optimizer to exploit),
+    * (b) shard populations are balanced to ±1 by construction
+    * (shard = (rk−1)·S DIV n), and (c) the whole plan is re-runnable
+    * from the seed — no stored permutation, the q217 salted-hash
+    * posture. The manifest reports each (epoch, shard)'s population,
+    * rank span, and member digest.
+    *
+    * Scale shape: one corpus scan per epoch (a bounded union of 3),
+    * each ranked by [[Relational.chunkedRowNumber]] on the salt's
+    * 2-hex prefix — no partition-less window — and collapsed to the
+    * bounded (epoch × shard) grain. Doc ids never shuffle as text;
+    * the digest folds per shard.
+    */
+  def epochShards(spark: SparkSession, sfDir: String,
+      epochs: Int = 3, shards: Int = 8): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+    val n = docs.count()
+    val perEpoch = (1 to epochs).map { e =>
+      val salt = md5(concat(lit(s"ep$e:"), col("doc_id").cast("string")))
+      Relational.chunkedRowNumber(docs,
+        bucket = substring(salt, 1, 2),
+        order = Seq(salt.asc, col("doc_id").asc))
+        .select(lit(e.toLong).as("epoch"), col("doc_id"), col("rk"),
+          expr(s"CAST((rk - 1) * $shards DIV ${n}L AS BIGINT)").as("shard"))
+    }
+    perEpoch.reduce(_.unionByName(_))
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min(col("rk")).cast("long").as("min_rank"),
+        max(col("rk")).cast("long").as("max_rank"),
+        md5(concat_ws(",", transform(array_sort(collect_list(col("doc_id"))),
+          x => x.cast("string")))).as("shard_digest"))
+  }
+
+  /** The q313 driver entry: CROSS-SPLIT CONTAMINATION AUDIT — the
+    * train/eval n-gram overlap scan every serious eval pipeline runs
+    * (the GPT-3 appendix-C dedup rule, Brown et al. 2020): an eval
+    * doc whose word 5-grams largely appear in the training split is
+    * scoring the model on memorized text. Composes two proven
+    * devices: q68's content-addressed split (so the audit sees the
+    * SAME split the training manifest uses) and q21's distinct
+    * shingle grain. Per eval doc: distinct 5-grams, how many also
+    * occur anywhere in train, contamination ppm (truncating DIV),
+    * and the > 50% flag. The fixture's rotation twins make this
+    * genuinely fire (11 of 108 eval docs at sf0.01, one at 100%) —
+    * no planting needed.
+    *
+    * Scale shape: grams travel as md5-16 DIGESTS, never strings (the
+    * q307 posture); the train side collapses to its DISTINCT gram
+    * dictionary map-side before the one gram-keyed LEFT join; doc
+    * verdicts are a doc-grain aggregate. No all-pairs anything —
+    * cost is the shingle scan plus one dictionary-grain join.
+    */
+  def splitContamination(spark: SparkSession, sfDir: String,
+      n: Int = 5, flagPpm: Long = 500000L): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        split(graft.operators.TextAnalysis.normalizedText(col("text")), " ")
+          .as("w"))
+      .withColumn("nw", size(col("w")).cast("long"))
+      .where(col("nw") >= n)
+      .withColumn("split",
+        when(hashBucket(col("doc_id"), "", splitBuckets) < trainBuckets,
+          "train").otherwise("eval"))
+    val grams = docs
+      .withColumn("i", explode(expr(s"sequence(1, CAST(nw AS INT) - ${n - 1})")))
+      .select(col("doc_id"), col("split"),
+        substring(md5(concat_ws(" ",
+          (0 until n).map(d => element_at(col("w"), col("i") + d)): _*)),
+          1, 16).as("g"))
+      .distinct()
+    val trainSet = grams.where(col("split") === "train")
+      .select(col("g")).distinct()
+      .withColumn("in_train", lit(true))
+    grams.where(col("split") === "eval")
+      .join(trainSet, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum(when(col("in_train"), 1L).otherwise(0L)).cast("long")
+          .as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        expr("n_shared * 1000000 DIV n_grams").as("contamination_ppm"))
+      .withColumn("flagged", col("contamination_ppm") > flagPpm)
+  }
+
+  /** The q312 driver entry: CORPUS-EXPORT OFFSET INDEX — the byte
+    * manifest of the single-stream export format pretraining readers
+    * mmap: documents concatenate in doc_id order with a 1-byte
+    * separator, and each doc's [start, end) byte span in that stream
+    * is its exclusive running sum of (n_chars + 1). The index is what
+    * makes the flat file RANDOM-ACCESS (a reader seeks doc i without
+    * scanning), and building it at corpus scale is exactly the
+    * global-prefix-sum problem — served by
+    * [[Relational.chunkedPrefixSum]] (the q202 device with SUM in
+    * place of COUNT; fixed-width id-range buckets, no partition-less
+    * window; the naive window IS the oracle).
+    *
+    * Scale shape: one scan, one bounded bucket-domain triangular
+    * join, one bucket-partitioned window. Output is doc-grain
+    * arithmetic; text bytes never move.
+    */
+  def exportOffsets(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      .withColumn("n_bytes", (col("n_chars") + 1L).cast("long"))
+    Relational.chunkedPrefixSum(docs,
+      bucket = floor(col("doc_id") / lit(4096)).cast("long"),
+      order = Seq(col("doc_id").asc),
+      value = col("n_bytes"), out = "start_offset")
+      .select(col("doc_id"), col("n_bytes"), col("start_offset"),
+        (col("start_offset") + col("n_bytes")).cast("long")
+          .as("end_offset"))
+  }
+
+  /** The q306 driver entry: SLIDING-WINDOW CHUNK MANIFEST — the
+    * overlap-stride chunking every RAG ingestion and long-document
+    * embedding pipeline runs before q301 can assemble contexts: a doc
+    * of n (whitespace-normalized) words yields chunks of up to `win`
+    * words starting every `stride` words, so consecutive chunks share
+    * `win - stride` words of context and no boundary sentence is ever
+    * split away from both its neighbors. The chunk count is the
+    * closed form k = max(1, ⌈(n − overlap) / stride⌉) — chunk i
+    * covers [i·stride, min(i·stride + win, n)), the last chunk
+    * absorbs the tail remainder, and every word is covered (the spec
+    * pins coverage, the exact-overlap law, and a driver-side digest
+    * replay). Each chunk carries the md5 of its word span — the
+    * stand-in for the chunk id an embedding index would key on.
+    *
+    * Scale shape: strictly doc-local — one projection computes the
+    * word array, k explodes from a closed-form `sequence`, and every
+    * chunk column (start, len, digest) is arithmetic + an array
+    * slice on that row. No shuffle at all beyond the scan; at 100 TB
+    * this is the embarrassing-parallel shape (the q50 frame-sample
+    * posture). Chunk text itself never leaves the row — only the
+    * 32-hex digest is emitted.
+    */
+  def slidingChunks(spark: SparkSession, sfDir: String,
+      win: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride >= 1 && win > stride, "need 1 <= stride < win")
+    val ov = win - stride
+    val words = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        split(graft.operators.TextAnalysis.normalizedText(col("text")), " ")
+          .as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+      .where(col("n") > 0 && element_at(col("w"), 1) =!= "")
+    words
+      .withColumn("k", expr(
+        s"CAST(GREATEST(1L, (n - ${ov}L + ${stride - 1}L) DIV ${stride}L) AS BIGINT)"))
+      .withColumn("i", explode(expr("sequence(0L, k - 1L)")))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        col("k").as("n_chunks"), col("i").cast("long").as("chunk_idx"),
+        (col("i") * stride).cast("long").as("start_tok"),
+        least(lit(win.toLong), col("n") - col("i") * stride).cast("long")
+          .as("len_tok"),
+        md5(concat_ws(" ", slice(col("w"),
+          (col("i") * stride + 1).cast("int"),
+          least(lit(win.toLong), col("n") - col("i") * stride).cast("int"))))
+          .as("chunk_digest"))
   }
 
   /** The q302 driver entry: TOPIC-BALANCED SUBCORPUS MANIFEST — the

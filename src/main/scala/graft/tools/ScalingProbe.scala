@@ -278,7 +278,16 @@ object ScalingProbe {
       "q300_markov" -> (d => graft.operators.Experiment.markovAttribution(spark, d)),
       "q301_rag_context" -> (d => graft.operators.TextAnalysis.ragContext(spark, d)),
       "q302_topic_balanced" -> (d => graft.operators.TrainingPrep.topicBalancedSample(spark, d)),
-      "q304_length_batches" -> (d => graft.operators.TrainingPrep.lengthBucketedBatches(spark, d)))
+      "q304_length_batches" -> (d => graft.operators.TrainingPrep.lengthBucketedBatches(spark, d)),
+      "q305_packed_windows" -> (d => graft.operators.TrainingPrep.packedWindows(spark, d)),
+      "q306_sliding_chunks" -> (d => graft.operators.TrainingPrep.slidingChunks(spark, d)),
+      "q307_repetition" -> (d => graft.operators.TextAnalysis.repetitionFilter(spark, d)),
+      "q308_domain_affinity" -> (d => graft.operators.TrainingPrep.domainAffinitySample(spark, d)),
+      "q309_pii_scrub" -> (d => graft.operators.CleanPipeline.piiScrubAudit(spark, d)),
+      "q310_epoch_shards" -> (d => graft.operators.TrainingPrep.epochShards(spark, d)),
+      "q311_vocab_growth" -> (d => graft.operators.TextAnalysis.vocabGrowth(spark, d)),
+      "q312_export_offsets" -> (d => graft.operators.TrainingPrep.exportOffsets(spark, d)),
+      "q313_contamination" -> (d => graft.operators.TrainingPrep.splitContamination(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))

@@ -522,4 +522,74 @@ class EventStreamSpec extends AnyFunSuite {
       assert(2L * n * hours > 3L * total)
     }
   }
+
+  test("exactly-once sink: a crash AFTER the foreachBatch write, BEFORE the checkpoint commit, replays byte-identically") {
+    // The reference's S3-event redelivery is at-least-once (SURVEY §4);
+    // Spark closes the gap with replayable sources + idempotent sinks.
+    // This spec drives the EXACT failure window that distinguishes the
+    // two: the sink has durably written a microbatch, the crash lands
+    // before the offset commit, so the restart REDELIVERS that batch
+    // (same batch id, same pinned file set) and the
+    // overwrite-by-batch-id sink must rewrite it IDENTICALLY — the
+    // at-least-once delivery becomes exactly-once observable output.
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sink_crash").toString
+    def digest(dir: String): String = {
+      val rows = spark.read.parquet(dir).collect()
+        .map(r => s"${r.getLong(0)}|${r.getString(1)}|${r.getDouble(2)}")
+        .sorted.mkString("\n")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(rows.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    try {
+      spark.read.parquet(s"$sf/events.parquet")
+        .repartition(4).write.mode("overwrite").parquet(s"$base/in")
+      val totalRows = spark.read.parquet(s"$base/in").count()
+      val observed = spark.read.parquet(s"$base/in").schema
+      def src() = spark.readStream
+        .schema(observed)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$base/in")
+        .select(col("event_id"), col("event_type"), col("value"))
+      def run(out: String, ckpt: String,
+          crashOn: Option[Long]): Option[Throwable] = {
+        val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val q = src().writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+            b.write.mode("overwrite").parquet(s"$out/batch=$bid")
+            if (crashOn.contains(bid) && !crashed.getAndSet(true))
+              throw new RuntimeException("injected post-write crash")
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try { q.awaitTermination(); None }
+        catch { case e: org.apache.spark.sql.streaming
+          .StreamingQueryException => Some(e) }
+      }
+      // run 1: crash right after batch 1's files are on disk
+      val err = run(s"$base/out1", s"$base/ckpt1", crashOn = Some(1L))
+      assert(err.exists(_.getMessage.contains("injected")),
+        s"crash must surface: $err")
+      val writtenPreCrash = digest(s"$base/out1/batch=1")
+      // run 2: same checkpoint — batch 1 is redelivered (its offsets
+      // never committed) and rewritten; the rewrite must be identical
+      assert(run(s"$base/out1", s"$base/ckpt1", crashOn = None).isEmpty)
+      assert(digest(s"$base/out1/batch=1") == writtenPreCrash,
+        "idempotent sink replay changed batch 1's content")
+      // uninterrupted twin: the recovered sink equals a run that never
+      // crashed — same batch directories, same total content
+      assert(run(s"$base/out2", s"$base/ckpt2", crashOn = None).isEmpty)
+      def batchDirs(out: String) = new java.io.File(out).listFiles()
+        .filter(_.isDirectory).map(_.getName).sorted.toSeq
+      assert(batchDirs(s"$base/out1") == batchDirs(s"$base/out2"))
+      assert(batchDirs(s"$base/out1").size > 2,
+        "must exercise multiple microbatches")
+      assert(digest(s"$base/out1") == digest(s"$base/out2"),
+        "recovered sink diverged from the uninterrupted run")
+      assert(spark.read.parquet(s"$base/out1").count() == totalRows,
+        "exactly-once: no loss, no duplication")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
 }

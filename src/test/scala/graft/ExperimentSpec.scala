@@ -503,7 +503,7 @@ class ExperimentSpec extends AnyFunSuite {
     val sf = "/root/testdata/sf0.01"
     val rows = Experiment.correlationMatrix(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getDecimal(4), r.getLong(5)))
+        r.getLong(4), r.getLong(5)))
     assert(rows.length == 6 && rows.map(_._1).distinct.length == 6)
     // recompute the float correlation on the same fixed-point values
     import org.apache.spark.sql.functions._
@@ -525,7 +525,7 @@ class ExperimentSpec extends AnyFunSuite {
       assert(math.abs(r2 - expected) <= 3.0,
         s"$pair: r2_ppm=$r2 float=$expected")
       assert(n == 60000L)
-      assert(math.signum(r2.toDouble) == math.signum(aNum.doubleValue())
+      assert(math.signum(r2.toDouble) == math.signum(aNum.toDouble)
         || r2 == 0L, s"$pair sign")
     }
     vals.unpersist()
@@ -553,7 +553,7 @@ class ExperimentSpec extends AnyFunSuite {
         BigInt(b.count(_ <= x)) * a.length).abs
       if (gap > best || (gap == best && x < bestV)) { best = gap; bestV = x }
     }
-    assert(row.getDecimal(2) == new java.math.BigDecimal(best.bigInteger))
+    assert(row.getLong(2) == best.toLong && best.isValidLong)
     assert(dMicro == (best * 1000000 / (BigInt(n1) * n2)).toLong)
     assert(argmax == bestV)
     assert(dMicro >= 0L && dMicro <= 1000000L)

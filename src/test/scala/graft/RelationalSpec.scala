@@ -1448,4 +1448,66 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.filter(_._1 != "(default)").map(_._2).distinct.size > 1,
       "longest-match depth must genuinely vary")
   }
+
+  test("chunkedRowNumber is output-identical to the naive global window") {
+    // the q202-device generalization q303/q304 rank through: bucket =
+    // a PREFIX of the sort order -> same ranks as the one-partition
+    // row_number, for both a hash-prefix bucket (string) and a
+    // fixed-width numeric bucket, including heavy ties
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val salt = md5(concat(lit("crn:"), col("doc_id").cast("string")))
+    val byHash = graft.operators.Relational.chunkedRowNumber(
+        docs, substring(salt, 1, 2), Seq(salt.asc, col("doc_id").asc))
+      .select(col("doc_id"), col("rk"))
+    val naiveHash = docs.withColumn("rk",
+        row_number().over(Window.orderBy(salt.asc, col("doc_id").asc))
+          .cast("long"))
+      .select(col("doc_id"), col("rk"))
+    assert(byHash.except(naiveHash).isEmpty && naiveHash.except(byHash).isEmpty)
+    val byLen = graft.operators.Relational.chunkedRowNumber(
+        docs, floor(col("n_chars") / lit(16)).cast("long"),
+        Seq(col("n_chars").asc, col("doc_id").asc))
+      .select(col("doc_id"), col("rk"))
+    val naiveLen = docs.withColumn("rk",
+        row_number().over(
+          Window.orderBy(col("n_chars").asc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("rk"))
+    assert(byLen.except(naiveLen).isEmpty && naiveLen.except(byLen).isEmpty)
+    // ranks are a contiguous 1..N permutation
+    val n = docs.count()
+    assert(byLen.agg(min(col("rk")), max(col("rk")),
+      count_distinct(col("rk"))).head().toSeq == Seq(1L, n, n))
+    // and the plan carries NO partition-less window (the warning the
+    // round-13 verdict flagged fires from WindowExec on an empty
+    // partitionSpec; the helper's windows are all bucket-partitioned)
+    val plan = byHash.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [") ||
+      plan.contains("windowspecdefinition(__bk"), plan.take(2000))
+  }
+
+  test("chunkedPrefixSum is output-identical to the naive exclusive-sum window") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("v"))
+    val chunked = graft.operators.Relational.chunkedPrefixSum(
+        docs, floor(col("doc_id") / lit(64)).cast("long"),
+        Seq(col("doc_id").asc), col("v"))
+      .select(col("doc_id"), col("psum"))
+    val naive = docs.withColumn("psum",
+        coalesce(sum(col("v")).over(Window.orderBy(col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, -1L)), lit(0L))
+          .cast("long"))
+      .select(col("doc_id"), col("psum"))
+    assert(chunked.except(naive).isEmpty && naive.except(chunked).isEmpty)
+    // first row starts at 0; the final exclusive sum + its value =
+    // the corpus total
+    val total = docs.agg(sum(col("v"))).head().getLong(0)
+    val rows = chunked.join(docs, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.head._2 == 0L)
+    assert(rows.last._2 + rows.last._3 == total)
+  }
 }

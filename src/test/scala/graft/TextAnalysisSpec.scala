@@ -1024,4 +1024,73 @@ class TextAnalysisSpec extends AnyFunSuite {
     // fertility must be >= 1 piece per word everywhere
     assert(gotDocs.forall(_._4 >= 1000000L))
   }
+
+  test("q307 repetition filter: replay matches; planted doubles flag, naturals mostly clean") {
+    val spark = SparkTestSession.spark
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.flatMap { case (id, text) =>
+      val norm = text.trim.toLowerCase.replaceAll("\\s+", " ")
+      val t = if (id % 11 == 0) norm + " " + norm else norm
+      val w = t.split(" ")
+      if (w.length < 3) None
+      else {
+        val grams = w.sliding(3).map(_.mkString(" ")).toSeq
+        val n3 = grams.length.toLong
+        val counts = grams.groupBy(identity).view.mapValues(_.length.toLong)
+        val d3 = counts.size.toLong
+        val dup = (n3 - d3) * 1000000L / n3
+        Some((id, n3, d3, dup, counts.values.max, dup > 150000L))
+      }
+    }.sortBy(_._1)
+    val got = graft.operators.TextAnalysis
+      .repetitionFilter(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // the gate separates: every planted doc flags (a doubled text is
+    // ~half duplicate trigrams), and most naturals do not
+    val planted = got.filter(_._1 % 11 == 0)
+    assert(planted.nonEmpty && planted.forall(_._6),
+      "planted doubles must flag")
+    val naturals = got.filterNot(_._1 % 11 == 0)
+    assert(naturals.count(_._6) * 5 < naturals.length,
+      "most natural docs must pass")
+  }
+
+  test("q311 vocab growth: curve equals a replay and saturates monotonically") {
+    val spark = SparkTestSession.spark
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ")
+          .split(" ").toSeq))
+      .filter(_._2.length >= 2)
+      .sortBy(_._1)
+    val n = docs.length.toLong
+    val ks = ((0 until 20).map(i => 1L << i).filter(_ <= n) :+ n).distinct
+    val want = ks.map { k =>
+      val pre = docs.take(k.toInt)
+      val total = pre.map(_._2.length.toLong - 1L).sum
+      val vocab = pre.flatMap(d =>
+        d._2.sliding(2).map(_.mkString(" "))).distinct.length.toLong
+      (k, total, vocab, vocab * 1000000L / total)
+    }.sortBy(_._1)
+    val got = graft.operators.TextAnalysis
+      .vocabGrowth(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == want)
+    // Heaps-shape laws: vocab and totals monotone nondecreasing in k
+    // (ttr monotonicity is NOT a theorem — a maximally-novel doc can
+    // raise it — so it is not pinned), vocab never exceeds totals,
+    // and the curve genuinely grows
+    assert(got.map(_._3).toSeq == got.map(_._3).sorted.toSeq)
+    assert(got.map(_._2).toSeq == got.map(_._2).sorted.toSeq)
+    assert(got.forall(r => r._3 <= r._2))
+    assert(got.last._3 > got.head._3, "vocabulary must grow past doc 1")
+  }
 }

@@ -710,6 +710,240 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(sorted._4 < hashed._4, s"sorted ${sorted._4} vs hashed ${hashed._4}")
   }
 
+  test("q305 packed windows: full chunk-local FFD replay matches; FF slack law; packing beats hashed padding") {
+    val spark = SparkTestSession.spark
+    val C = 4096L
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.bpeTokenCount(col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // independent sequential FFD replay: token-desc order, 256-doc
+    // chunks, each window = (fill, member docs)
+    val chunks = toks.sortBy { case (id, n) => (-n, id) }.grouped(256).toSeq
+    var nextWin = 0L
+    val expect = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, String)]
+    for (chunk <- chunks) {
+      val wins = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, scala.collection.mutable.ArrayBuffer[(Long, Long)])]
+      for ((id, n) <- chunk) {
+        val item = n + 1L
+        wins.indexWhere(_._1 + item <= C) match {
+          case -1 => wins += ((item,
+            scala.collection.mutable.ArrayBuffer((id, n))))
+          case i => wins(i) = (wins(i)._1 + item, wins(i)._2 += ((id, n)))
+        }
+      }
+      // FF guarantee: when the LAST window of the chunk opened on item
+      // x, every earlier window already held fill > C - x; final fills
+      // only grow, so all but the last-opened window end with
+      // slack < the chunk's max item
+      val maxItem = chunk.map(_._2).max + 1L
+      wins.dropRight(1).foreach { case (fill, _) =>
+        assert(C - fill < maxItem, s"FF slack law: ${C - fill} >= $maxItem")
+      }
+      for ((fill, ds) <- wins) {
+        nextWin += 1L
+        expect += ((nextWin, ds.length.toLong, ds.map(_._2).sum, fill,
+          C - fill, md5hex(ds.map(_._1).sorted.mkString(","))))
+      }
+    }
+    val got = graft.operators.TrainingPrep
+      .packedWindows(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).sortBy(_._1)
+    assert(got.toSeq == expect.toSeq)
+    // conservation: every doc exactly once, payload preserved
+    assert(got.map(_._2).sum == toks.length.toLong)
+    assert(got.map(_._3).sum == toks.map(_._2).sum)
+    assert(got.forall(w => w._4 <= C && w._4 == w._3 + w._2))
+    // cross-scheme law vs q304: packing's fixed-C capacity wastes far
+    // less than hash-ordered pad-to-batch-max (the naive dataloader);
+    // NOT pinned against length_sorted — tight same-length batches
+    // can beat a fixed 4096 window's trailing slack on short docs
+    val packedWaste = {
+      val cap = got.length.toLong * C
+      (cap - got.map(_._3).sum) * 1000000L / cap
+    }
+    val hashedWaste = graft.operators.TrainingPrep
+      .lengthBucketedBatches(spark, SparkTestSession.sf).collect()
+      .find(_.getString(0) == "hashed").get.getLong(4)
+    assert(packedWaste < hashedWaste,
+      s"packed $packedWaste vs hashed $hashedWaste")
+  }
+
+  test("q306 sliding chunks: replay matches; coverage and exact-overlap laws") {
+    val spark = SparkTestSession.spark
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ")
+          .split(" ").toSeq))
+      .filter(d => d._2.nonEmpty && d._2.head.nonEmpty)
+    val (win, stride) = (64, 48)
+    val want = docs.flatMap { case (id, w) =>
+      val n = w.length
+      val k = math.max(1L, (n - (win - stride) + stride - 1L) / stride)
+      (0L until k).map { i =>
+        val start = (i * stride).toInt
+        val len = math.min(win.toLong, n - start).toInt
+        (id, n.toLong, k, i, start.toLong, len.toLong,
+          md5hex(w.slice(start, start + len).mkString(" ")))
+      }
+    }.sortBy(c => (c._1, c._4))
+    val got = graft.operators.TrainingPrep
+      .slidingChunks(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6)))
+      .sortBy(c => (c._1, c._4))
+    assert(got.toSeq == want.toSeq)
+    // laws: full coverage (last chunk ends at n), consecutive chunks
+    // overlap exactly win-stride words except possibly the tail pair,
+    // and a long doc genuinely yields multiple chunks somewhere
+    got.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._4)
+      assert(sorted.head._5 == 0L, s"doc $id must start at 0")
+      assert(sorted.last._5 + sorted.last._6 == sorted.head._2,
+        s"doc $id tail must end at n")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._5 == a._5 + stride, s"doc $id stride broken")
+          assert(a._5 + a._6 > b._5, s"doc $id gap between chunks")
+        case _ =>
+      }
+    }
+    assert(got.exists(_._3 > 1), "fixture must produce multi-chunk docs")
+  }
+
+  test("q308 domain affinity: weights and ranks equal a replay; en docs dominate the manifest") {
+    val spark = SparkTestSession.spark
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.toLowerCase.replaceAll("\\s+", " ")
+          .split(" ").filter(_.nonEmpty).toSeq))
+    val all = scala.collection.mutable.Map.empty[String, Long]
+    val en = scala.collection.mutable.Map.empty[String, Long]
+    for ((_, lang, ws) <- docs; w <- ws) {
+      all(w) = all.getOrElse(w, 0L) + 1L
+      if (lang == "en") en(w) = en.getOrElse(w, 0L) + 1L
+    }
+    val wMicro = all.map { case (t, c) =>
+      t -> en.getOrElse(t, 0L) * 1000000L / c }
+    val scored = docs.map { case (id, _, ws) =>
+      (id, ws.length.toLong, ws.map(wMicro).sum / ws.length) }
+    val want = scored.sortBy { case (id, _, a) => (-a, id) }
+      .zipWithIndex.take(100)
+      .map { case ((id, nw, a), i) => (i + 1L, id, nw, a) }
+    val got = graft.operators.TrainingPrep
+      .domainAffinitySample(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // the manifest must over-represent en: en share among selected >
+    // en share in the corpus
+    val langOf = docs.map(d => d._1 -> d._2).toMap
+    val selEn = got.count(g => langOf(g._2) == "en").toLong
+    assert(selEn * docs.length > got.length * docs.count(_._2 == "en"),
+      s"selected en $selEn/${got.length} vs corpus ${docs.count(_._2 == "en")}/${docs.length}")
+  }
+
+  test("q310 epoch shards: balanced, exhaustive, and epochs genuinely permute") {
+    val spark = SparkTestSession.spark
+    val rows = graft.operators.TrainingPrep
+      .epochShards(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    val n = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet").count()
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == Set(1L, 2L, 3L))
+    byEpoch.foreach { case (e, ss) =>
+      assert(ss.map(_._3).sum == n, s"epoch $e must cover the corpus")
+      assert(ss.map(_._2).sorted.toSeq == (0L until 8L), s"epoch $e shards")
+      // balanced to +-1 by the (rk-1)*S DIV n deal
+      assert(ss.map(_._3).max - ss.map(_._3).min <= 1L, s"epoch $e balance")
+      // shards tile the rank space contiguously
+      val spans = ss.sortBy(_._2).map(s => (s._4, s._5))
+      assert(spans.head._1 == 1L && spans.last._2 == n)
+      spans.sliding(2).foreach {
+        case Array(a, b) => assert(b._1 == a._2 + 1L)
+        case _ =>
+      }
+    }
+    // different epochs deal different membership: at least one shard
+    // digest differs between every epoch pair
+    val digests = byEpoch.view.mapValues(_.sortBy(_._2).map(_._6).toSeq)
+    for (a <- 1L to 3L; b <- (a + 1L) to 3L)
+      assert(digests(a) != digests(b), s"epochs $a and $b identical")
+  }
+
+  test("q313 split contamination: replay matches; flags fire on the fixture's rotation twins") {
+    val spark = SparkTestSession.spark
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(id.toString).substring(0, 15), 16) % 10
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ")
+          .split(" ").toSeq))
+      .filter(_._2.length >= 5)
+    val grams = docs.map { case (id, w) =>
+      (id, bucket(id) < 8,
+        w.sliding(5).map(g => md5hex(g.mkString(" ")).substring(0, 16))
+          .toSet)
+    }
+    val trainSet = grams.filter(_._2).flatMap(_._3).toSet
+    val want = grams.filterNot(_._2).map { case (id, _, gs) =>
+      val shared = gs.count(trainSet).toLong
+      val ppm = shared * 1000000L / gs.size
+      (id, gs.size.toLong, shared, ppm, ppm > 500000L)
+    }.sortBy(_._1)
+    val got = graft.operators.TrainingPrep
+      .splitContamination(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // the audit must fire on the fixture's natural near-dup twins —
+    // contamination detection with zero planted data is the point
+    assert(got.exists(_._5), "no eval doc flagged")
+    assert(got.exists(g => !g._5 && g._3 == 0L),
+      "clean eval docs must exist too")
+    assert(got.forall(g => g._3 <= g._2))
+  }
+
+  test("q312 export offsets: spans tile the stream exactly in doc order") {
+    val spark = SparkTestSession.spark
+    val got = graft.operators.TrainingPrep
+      .exportOffsets(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val want = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select(col("doc_id"), col("n_chars").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1) + 1L)).sortBy(_._1)
+    assert(got.length == want.length)
+    var off = 0L
+    got.zip(want).foreach { case ((id, nb, s, e), (wid, wnb)) =>
+      assert(id == wid && nb == wnb)
+      assert(s == off && e == s + nb, s"doc $id span")
+      off = e
+    }
+  }
+
   test("q302 topic-balanced sample: Hamilton quotas on sqrt weights; flattening favors small cells; manifests consistent") {
     val spark = SparkTestSession.spark
     val rows = graft.operators.TrainingPrep

@@ -7,6 +7,11 @@ differently from Spark's:
     HUGEINT while Spark returns BIGINT; the two sides then take
     different numeric-text paths in the driver hash (the round-6 q80 /
     round-7 q101-family mechanism). Fix: CAST(SUM(...) AS BIGINT).
+  * DECIMAL(p>18, 0) — wide scale-0 decimals (128-bit integers in
+    decimal clothing) hash-render differently per side, same family
+    as HUGEINT (the round-13 q251/q258 reds — values bit-identical,
+    driver hash red). Fix: CAST to BIGINT on both sides (document the
+    value bound), or rescale the statistic so it fits.
   * DECIMAL(p, s>0) — fixed-scale text ("1.40") vs Spark's float64
     repr ("1.4") diverges whenever a VALUE carries a trailing zero at
     declared scale (the q80/q117 mechanism). This is data-dependent,
@@ -46,9 +51,16 @@ for qname in sorted(oracle):
                   "(Spark returns BIGINT; CAST the aggregate)")
             hits += 1
         elif t.startswith("DECIMAL"):
-            scale = int(t.rstrip(")").split(",")[1]) if "," in t else 0
+            inner = t[t.index("(") + 1:t.rindex(")")] if "(" in t else "18,3"
+            prec = int(inner.split(",")[0])
+            scale = int(inner.split(",")[1]) if "," in inner else 0
             if scale > 0:
                 dec_cols.append((colname, t, scale))
+            elif prec > 18:
+                print(f"LINT {qname}.{colname}: {t} scale-0 wide decimal "
+                      "(driver hash renders 128-bit scale-0 decimals "
+                      "differently per side — CAST to BIGINT on both sides)")
+                hits += 1
     if dec_cols:
         rows = con.execute(oracle[qname]).fetchall()
         names = [d[0] for d in con.description]
