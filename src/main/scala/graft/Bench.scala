@@ -297,9 +297,27 @@ object Bench {
     // now costs the confirms, not the round. The driver keeps the
     // stdout TAIL, so when both lines survive the final one wins (and
     // parsePrevMedians' toMap is last-match-wins for scraped rounds).
-    val sweepQ04 = results.toMap.getOrElse("q04_agg_2a", -1.0)
-    val sweepDegraded = q04Baseline > 0 &&
-      (sweepQ04 <= 0 || sweepQ04 > q04Baseline * 2)
+    // SWEEP FLAGSHIP (round-14): the q04 tell (0.169 s baseline)
+    // leaves a 169 ms margin that a WARM-but-quiet machine trips on —
+    // this round's sweep read q04 at 2.41x while q109 (3.4 s), q155
+    // (5.6 s) and q22 (1.0 s) all sat at or under 1.03x their
+    // baselines, and the gate threw away a good sweep's medians on
+    // that one sub-second reading. The degraded tell now judges a
+    // MULTI-SECOND flagship (q109) when its baseline exists — 2x of
+    // 3.4 s genuinely means degraded — falling back to q04 with the
+    // same +0.5 s absolute floor every other sub-second gate carries.
+    // A false PUBLISH stays defused by the never-raise rule +
+    // per-entry adjudication, so the asymmetric risk is losing good
+    // medians, which is exactly what this loosens.
+    val resultMap = results.toMap
+    val sweepFlagName =
+      if (prev.getOrElse("q109_profile", -1.0) > 1.0) "q109_profile"
+      else "q04_agg_2a"
+    val sweepFlagBase = prev.getOrElse(sweepFlagName,
+      best.getOrElse(sweepFlagName, -1.0))
+    val sweepFlag = resultMap.getOrElse(sweepFlagName, -1.0)
+    val sweepDegraded = sweepFlagBase > 0 &&
+      (sweepFlag <= 0 || sweepFlag > sweepFlagBase * 2 + 0.5)
     val nextRound = (byRound.map(_._1) :+ 0).max + 1
     val mayPublishMedians = sfDir.endsWith("sf0.1") && !sweepDegraded
     def writeMedians(baseline: Seq[(String, Double)]): Unit = {
@@ -319,7 +337,7 @@ object Bench {
     if (mayPublishMedians)
       writeMedians(baselineMerge(results, Map.empty, prev)._1)
     else if (sweepDegraded) System.err.println(
-      f"[bench] sweep degraded (q04 sweep median $sweepQ04%.3f vs baseline $q04Baseline%.3f): medians file NOT published")
+      f"[bench] sweep degraded ($sweepFlagName sweep median $sweepFlag%.3f vs baseline $sweepFlagBase%.3f): medians file NOT published")
     println(jsonLine("sweep", "{}", "{}", "{}",
       confirmUnreliable = false, "[]", "[]", confirmSkippedBudget = false))
     System.out.flush()

@@ -418,6 +418,12 @@ object SparkEntry {
       TrainingPrep.exportOffsets(s, d)),
     "q313_split_contamination" -> ((s: SparkSession, d: String) =>
       TrainingPrep.splitContamination(s, d)),
+    "q314_interleaved_manifest" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.interleavedManifest(s, d)),
+    "q315_dataset_datasheet" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.datasetDatasheet(s, d)),
+    "q316_fim_transform" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.fimTransform(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -6037,6 +6043,127 @@ object SparkEntry {
              AS contamination_ppm,
            n_shared * 1000000 // n_grams > 500000 AS flagged
          FROM ev""",
+    // q314: row-local interleaving arithmetic, replayed; image docs
+    // (doc_id % 3 = 0, the q50 media convention) split text at
+    // ceil(n/2) around a 16-patch + 2-separator image block.
+    "q314_interleaved_manifest" ->
+      s"""WITH toks AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS ntok
+           FROM documents),
+         d AS (
+           SELECT doc_id, ntok, doc_id % 3 = 0 AS is_img,
+             CASE WHEN doc_id % 3 = 0 THEN ntok + 18 ELSE ntok END
+               AS total
+           FROM toks WHERE ntok >= 1),
+         segs AS (
+           SELECT doc_id, CAST(0 AS BIGINT) AS seg_idx,
+             'text' AS seg_type,
+             CASE WHEN is_img THEN (ntok + 1) // 2 ELSE ntok END
+               AS n_tokens, total, is_img
+           FROM d
+           UNION ALL
+           SELECT doc_id, 1, 'image', 18, total, is_img
+           FROM d WHERE is_img
+           UNION ALL
+           SELECT doc_id, 2, 'text', ntok - (ntok + 1) // 2, total,
+             is_img
+           FROM d WHERE is_img)
+         SELECT doc_id, seg_idx, seg_type,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(total AS BIGINT) AS doc_seq_len,
+           total <= 4096 AS fits_context
+         FROM segs""",
+    // q315: per-source release card — source-keyed aggregates, exact
+    // within-source dup mass, nearest-rank lower median.
+    "q315_dataset_datasheet" ->
+      s"""WITH docs AS (
+           SELECT doc_id, source, lang,
+             CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS ntok,
+             md5($normText) AS fp
+           FROM documents),
+         dup AS (
+           SELECT source,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+               AS n_dup_docs
+           FROM (SELECT source, fp, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM docs GROUP BY 1, 2) g
+           GROUP BY 1),
+         med AS (
+           SELECT source, n_chars AS median_chars FROM (
+             SELECT source, n_chars,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY n_chars ASC, doc_id ASC) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT)
+                 AS nsrc
+             FROM docs) r
+           WHERE rn = (nsrc + 1) // 2),
+         agg AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_en
+           FROM docs GROUP BY 1)
+         SELECT agg.source, n_docs, total_tokens, n_langs, n_en,
+           CAST(n_en * 1000000 // n_docs AS BIGINT) AS en_share_ppm,
+           n_dup_docs, median_chars
+         FROM agg
+           JOIN dup ON dup.source = agg.source
+           JOIN med ON med.source = agg.source""",
+    // q316: salted FIM gate/cuts/order replayed with the same 60-bit
+    // hex device; sentinel-interleaved stream digests compared.
+    "q316_fim_transform" ->
+      s"""WITH d AS (
+           SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
+         d2 AS (
+           SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM d
+           WHERE len(w) >= 4),
+         g AS (
+           SELECT doc_id, w, n,
+             ('0x' || substr(md5('fimg:' || CAST(doc_id AS VARCHAR)),
+               1, 15))::BIGINT % 100 < 50 AS fim
+           FROM d2),
+         c AS (
+           SELECT doc_id, w, n, fim,
+             CASE WHEN fim THEN 1 +
+               ('0x' || substr(md5('fimc1:' || CAST(doc_id AS VARCHAR)),
+                 1, 15))::BIGINT % (n - 2) ELSE 0 END AS c1
+           FROM g),
+         c2t AS (
+           SELECT doc_id, w, n, fim, c1,
+             CASE WHEN fim THEN c1 + 1 +
+               ('0x' || substr(md5('fimc2:' || CAST(doc_id AS VARCHAR)),
+                 1, 15))::BIGINT % (n - 1 - c1) ELSE 0 END AS c2,
+             CASE WHEN NOT fim THEN 'none'
+               WHEN ('0x' || substr(md5('fimm:' ||
+                 CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+               THEN 'psm' ELSE 'spm' END AS mode
+           FROM c),
+         s AS (
+           SELECT doc_id, fim, mode, n, c1, c2,
+             w[1:CAST(c1 AS INT)] AS pre,
+             w[CAST(c1 AS INT) + 1:CAST(c2 AS INT)] AS mid,
+             w[CAST(c2 AS INT) + 1:CAST(n AS INT)] AS suf, w
+           FROM c2t)
+         SELECT doc_id, fim, mode, n AS n_tokens, c1 AS cut1, c2 AS cut2,
+           CASE WHEN fim THEN c1 ELSE 0 END AS len_pre,
+           CASE WHEN fim THEN c2 - c1 ELSE 0 END AS len_mid,
+           CASE WHEN fim THEN n - c2 ELSE 0 END AS len_suf,
+           md5(array_to_string(
+             CASE WHEN mode = 'psm' THEN
+               list_concat(list_concat(list_concat(list_concat(list_concat(
+                 ['<fim_pre>'], pre), ['<fim_suf>']), suf),
+                 ['<fim_mid>']), mid)
+             WHEN mode = 'spm' THEN
+               list_concat(list_concat(list_concat(list_concat(list_concat(
+                 ['<fim_suf>'], suf), ['<fim_pre>']), pre),
+                 ['<fim_mid>']), mid)
+             ELSE w END, ' ')) AS stream_digest
+         FROM s""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

@@ -1457,10 +1457,15 @@ object Experiment {
     */
   def quantileAlign(spark: SparkSession, sfDir: String,
       refSource: String = "src0"): DataFrame = {
+    // pinned: consumed by the per-source ranks, the ref-slice chunked
+    // rank (which reads its input twice), and the totals — without
+    // the pin the scoring subtree re-evaluates per consumer (q291
+    // shared-subtree rule)
     val s = rocAucScored(spark, sfDir)
       .select(col("doc_id"), col("score"), col("is_en"))
       .join(Tables.load(spark, sfDir, "documents")
         .select(col("doc_id"), col("source")), "doc_id")
+      .localCheckpoint(true)
     val ranked = s
       .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
         .orderBy(col("score").asc, col("doc_id").asc)).cast("long"))

@@ -2379,6 +2379,9 @@ object Relational {
     val w = (p + zz / (lit(2.0) * nD) -
       lit(1.96) * sqrt((p * (lit(1.0) - p) + zz / (lit(4.0) * nD)) / nD)) /
       (lit(1.0) + zz / nD)
+    // NOT pinned: the chunked rank reads this twice, but the subtree
+    // is one map-side-combined aggregation — re-running it benched
+    // cheaper than a localCheckpoint materialization (measured both)
     val scored = byItem
       .withColumn("ctr", p)
       .withColumn("wilson_micro",

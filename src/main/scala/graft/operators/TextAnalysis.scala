@@ -670,29 +670,42 @@ object TextAnalysis {
     val lex = bm25Search(spark, sfDir)
       .groupBy(col("doc_id"))
       .agg(sum(col("score_micro")).as("lex_total"))
+    // pinned ONCE: chunkedRowNumber reads its input twice (bucket
+    // counts + the ranked join), and the three nested ranks would
+    // otherwise re-evaluate the BM25 + scoring subtree ~8x (the q291
+    // shared-subtree rule, compounded)
     val cand = lex.join(
       Experiment.rocAucScored(spark, sfDir)
         .select(col("doc_id"), col("score").as("quality_micro")),
       "doc_id")
+      .localCheckpoint(true)
     // round-14: all three corpus-grain ranks ride the chunked device
     // (fixed-width value-range buckets on the negated leading key) —
     // the partition-less windows here were the q303/q304 hazard class
+    // each rank's output is pinned before feeding the next: the
+    // helper reads its input twice, so UNpinned nesting re-executes
+    // every upstream rank's join+window per level
     val fused = Relational.chunkedRowNumber(
       Relational.chunkedRowNumber(cand,
         bucket = (-floor(col("lex_total") / lit(1024L))).cast("long"),
         order = Seq(col("lex_total").desc, col("doc_id").asc),
-        out = "rank_lex"),
+        out = "rank_lex").localCheckpoint(true),
       bucket = (-floor(col("quality_micro") / lit(1024L))).cast("long"),
       order = Seq(col("quality_micro").desc, col("doc_id").asc),
       out = "rank_q")
       .withColumn("rrf_scaled",
         expr(s"1000000000000 DIV ($kConst + rank_lex) + " +
           s"1000000000000 DIV ($kConst + rank_q)"))
-    Relational.chunkedRowNumber(fused,
-      bucket = (-floor(col("rrf_scaled") / lit(1024L))).cast("long"),
-      order = Seq(col("rrf_scaled").desc, col("doc_id").asc),
-      out = "rank_fused")
-      .where(col("rank_fused") <= topK)
+    // the FUSED rank only survives to topK rows, so the right plan at
+    // any scale is distributed top-k (TakeOrderedAndProject: per-
+    // partition heads + one merge — no global sort, no chunked
+    // machinery) and a rank window over the BOUNDED topK survivors
+    // (the bounded-domain exception; <= 10 rows)
+    fused.orderBy(col("rrf_scaled").desc, col("doc_id").asc)
+      .limit(topK)
+      .withColumn("rank_fused", row_number().over(
+        Window.orderBy(col("rrf_scaled").desc, col("doc_id").asc))
+        .cast("long"))
       .select(col("doc_id"), col("lex_total"), col("quality_micro"),
         col("rank_lex"), col("rank_q"), col("rrf_scaled"),
         col("rank_fused"))

@@ -1344,6 +1344,163 @@ object TrainingPrep {
           x => x.cast("string")))).as("shard_digest"))
   }
 
+  /** The q314 driver entry: INTERLEAVED MULTIMODAL SEQUENCE MANIFEST
+    * — the VLM data-prep shape (M3W/Flamingo lineage): an interleaved
+    * document is a SEGMENT LIST mixing text spans and image-patch
+    * blocks, and the trainer consumes a manifest of per-segment token
+    * counts, not raw bytes. The fixture's media convention (q50:
+    * doc_id % 3 == 0 carries a BMP) drives the layout: image docs
+    * split their text at ⌈n/2⌉ tokens and interleave
+    * [text, image, text] — the image block costs 16 patch tokens
+    * (q256's 4×4 grid) + 2 boundary separators — while text-only
+    * docs are one segment. Output is segment-grain: (doc_id,
+    * seg_idx, seg_type, n_tokens) plus the doc's total sequence
+    * length, the number a context-window packer (q305) would consume
+    * next.
+    *
+    * Scale shape: strictly row-local arithmetic on token counts —
+    * the payload bytes are never touched at all (the patch count is
+    * the grid constant, the decode stays in q256); zero shuffle.
+    */
+  def interleavedManifest(spark: SparkSession, sfDir: String,
+      grid: Int = 4): DataFrame = {
+    val patches = grid * grid
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.bpeTokenCount(col("text"))
+          .as("ntok"))
+      .where(col("ntok") >= 1)
+      .withColumn("is_img", col("doc_id") % 3 === 0)
+      .withColumn("total", when(col("is_img"),
+        col("ntok") + lit(patches.toLong + 2L)).otherwise(col("ntok")))
+    val segs = toks.select(col("doc_id"), col("ntok"), col("is_img"),
+      col("total"),
+      explode(when(col("is_img"), array(
+        struct(lit(0L).as("seg_idx"), lit("text").as("seg_type"),
+          expr("CAST((ntok + 1) DIV 2 AS BIGINT)").as("n_tokens")),
+        struct(lit(1L).as("seg_idx"), lit("image").as("seg_type"),
+          lit(patches.toLong + 2L).as("n_tokens")),
+        struct(lit(2L).as("seg_idx"), lit("text").as("seg_type"),
+          expr("CAST(ntok - (ntok + 1) DIV 2 AS BIGINT)").as("n_tokens"))))
+        .otherwise(array(
+          struct(lit(0L).as("seg_idx"), lit("text").as("seg_type"),
+            col("ntok").cast("bigint").as("n_tokens")))))
+        .as("s"))
+    segs.select(col("doc_id"), col("s.seg_idx").as("seg_idx"),
+      col("s.seg_type").as("seg_type"), col("s.n_tokens").as("n_tokens"),
+      col("total").cast("long").as("doc_seq_len"),
+      (col("total") <= 4096L).as("fits_context"))
+  }
+
+  /** The q315 driver entry: DATASET DATASHEET (per-source release
+    * card) — the statistics bundle every corpus release ships
+    * (Datasheets for Datasets, Gebru et al. 2021; the HF dataset-card
+    * table): per source, document and token counts, language spread,
+    * the english share, exact-duplicate pressure (docs whose
+    * normalized fingerprint repeats WITHIN the source), and the
+    * nearest-rank lower median of document length. One manifest row
+    * per source — the at-a-glance table a consumer reads before
+    * training on the feed.
+    *
+    * Scale shape: everything is source-keyed — fingerprint counts
+    * collapse (source, fp)-grain with map-side combine, the median
+    * rides a SOURCE-PARTITIONED rank window (keyed exchange, never a
+    * global one), and the final grain is the bounded source domain.
+    */
+  def datasetDatasheet(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"),
+        graft.operators.TextAnalysis.bpeTokenCount(col("text"))
+          .as("ntok"),
+        md5(graft.operators.TextAnalysis.normalizedText(col("text")))
+          .as("fp"))
+    val dupDocs = docs.groupBy(col("source"), col("fp"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("c") > 1L, col("c")).otherwise(0L))
+        .cast("long").as("n_dup_docs"))
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    val med = docs
+      .withColumn("rn", row_number().over(wSrc).cast("long"))
+      .withColumn("nsrc", count(lit(1))
+        .over(Window.partitionBy(col("source"))).cast("long"))
+      .where(col("rn") === expr("(nsrc + 1) DIV 2"))
+      .select(col("source"), col("n_chars").as("median_chars"))
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("ntok")).cast("long").as("total_tokens"),
+        count_distinct(col("lang")).cast("long").as("n_langs"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("long")
+          .as("n_en"))
+      .join(dupDocs, Seq("source"))
+      .join(med, Seq("source"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("n_langs"), col("n_en"),
+        expr("n_en * 1000000 DIV n_docs").as("en_share_ppm"),
+        col("n_dup_docs"), col("median_chars"))
+  }
+
+  /** The q316 driver entry: FIM (FILL-IN-THE-MIDDLE) TRANSFORM
+    * MANIFEST — the code/infilling data op (Bavarian et al. 2022):
+    * a deterministic fraction of docs is split at two salted cut
+    * points into prefix/middle/suffix and re-serialized with FIM
+    * sentinels in PSM ([pre][suf][mid]) or SPM ([suf][pre][mid])
+    * order, so the model learns to infill; the rest pass through.
+    * All randomness is the salted-md5 60-bit device (q118/q296):
+    * the FIM gate (50%), the two cuts (1 ≤ c1 < c2 ≤ n−1, all
+    * three spans nonempty by construction), and the PSM/SPM choice
+    * are each independent hashes of doc_id, so the whole transform
+    * is re-runnable and the oracle replays it bit-for-bit. The
+    * re-serialized stream travels as an md5 digest over the
+    * sentinel-interleaved word sequence (the q296 fingerprint
+    * discipline — transformed TEXT never shuttles).
+    *
+    * Scale shape: strictly row-local (hashes, slices, one digest);
+    * zero shuffle — the q50/q306 embarrassing-parallel posture.
+    * Spec pins the span partition law (pre+mid+suf reconstructs the
+    * doc), cut bounds, both orders occurring, and the ~50/50 gate.
+    */
+  def fimTransform(spark: SparkSession, sfDir: String): DataFrame = {
+    def h(salt: String): Column =
+      conv(substring(md5(concat(lit(salt),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        split(graft.operators.TextAnalysis.normalizedText(col("text")), " ")
+          .as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+      .where(col("n") >= 4L)
+      .withColumn("fim", h("fimg:") % 100L < 50L)
+      .withColumn("c1",
+        when(col("fim"), lit(1L) + h("fimc1:") % (col("n") - 2L))
+          .otherwise(0L))
+      .withColumn("c2",
+        when(col("fim"),
+          col("c1") + 1L + h("fimc2:") % (col("n") - 1L - col("c1")))
+          .otherwise(0L))
+      .withColumn("mode",
+        when(!col("fim"), "none")
+          .when(h("fimm:") % 2L === 0L, "psm").otherwise("spm"))
+    val pre = expr("slice(w, 1, CAST(c1 AS INT))")
+    val mid = expr("slice(w, CAST(c1 AS INT) + 1, CAST(c2 - c1 AS INT))")
+    val suf = expr("slice(w, CAST(c2 AS INT) + 1, CAST(n - c2 AS INT))")
+    val stream = when(col("mode") === "psm",
+        concat(array(lit("<fim_pre>")), pre, array(lit("<fim_suf>")), suf,
+          array(lit("<fim_mid>")), mid))
+      .when(col("mode") === "spm",
+        concat(array(lit("<fim_suf>")), suf, array(lit("<fim_pre>")), pre,
+          array(lit("<fim_mid>")), mid))
+      .otherwise(col("w"))
+    docs.select(col("doc_id"), col("fim"), col("mode"),
+      col("n").as("n_tokens"), col("c1").as("cut1"), col("c2").as("cut2"),
+      when(col("fim"), col("c1")).otherwise(0L).as("len_pre"),
+      when(col("fim"), col("c2") - col("c1")).otherwise(0L).as("len_mid"),
+      when(col("fim"), col("n") - col("c2")).otherwise(0L).as("len_suf"),
+      md5(concat_ws(" ", stream)).as("stream_digest"))
+  }
+
   /** The q313 driver entry: CROSS-SPLIT CONTAMINATION AUDIT — the
     * train/eval n-gram overlap scan every serious eval pipeline runs
     * (the GPT-3 appendix-C dedup rule, Brown et al. 2020): an eval

@@ -287,7 +287,10 @@ object ScalingProbe {
       "q310_epoch_shards" -> (d => graft.operators.TrainingPrep.epochShards(spark, d)),
       "q311_vocab_growth" -> (d => graft.operators.TextAnalysis.vocabGrowth(spark, d)),
       "q312_export_offsets" -> (d => graft.operators.TrainingPrep.exportOffsets(spark, d)),
-      "q313_contamination" -> (d => graft.operators.TrainingPrep.splitContamination(spark, d)))
+      "q313_contamination" -> (d => graft.operators.TrainingPrep.splitContamination(spark, d)),
+      "q314_interleaved" -> (d => graft.operators.TrainingPrep.interleavedManifest(spark, d)),
+      "q315_datasheet" -> (d => graft.operators.TrainingPrep.datasetDatasheet(spark, d)),
+      "q316_fim" -> (d => graft.operators.TrainingPrep.fimTransform(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))

@@ -925,6 +925,128 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(got.forall(g => g._3 <= g._2))
   }
 
+  test("q314 interleaved manifest: segments replay; totals reconcile; interleaving only on image docs") {
+    val spark = SparkTestSession.spark
+    val got = graft.operators.TrainingPrep
+      .interleavedManifest(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+      .sortBy(g => (g._1, g._2))
+    val toks = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.bpeTokenCount(col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._2 >= 1)
+    val want = toks.flatMap { case (id, n) =>
+      if (id % 3 == 0) {
+        val t = n + 18L
+        Seq((id, 0L, "text", (n + 1) / 2, t, t <= 4096L),
+          (id, 1L, "image", 18L, t, t <= 4096L),
+          (id, 2L, "text", n - (n + 1) / 2, t, t <= 4096L))
+      } else Seq((id, 0L, "text", n, n, n <= 4096L))
+    }.sortBy(g => (g._1, g._2))
+    assert(got.toSeq == want.toSeq)
+    // per-doc reconciliation: segment tokens sum to the declared
+    // sequence length, text tokens sum back to the doc's token count
+    got.groupBy(_._1).foreach { case (id, segs) =>
+      assert(segs.map(_._4).sum == segs.head._5, s"doc $id total")
+      val textSum = segs.filter(_._3 == "text").map(_._4).sum
+      assert(textSum == toks.find(_._1 == id).get._2, s"doc $id text")
+      if (id % 3 == 0) assert(segs.length == 3 &&
+        segs.map(_._3).toSeq == Seq("text", "image", "text"))
+      else assert(segs.length == 1)
+    }
+  }
+
+  test("q315 dataset datasheet: per-source card equals a replay") {
+    val spark = SparkTestSession.spark
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars").cast("long"),
+        graft.operators.TextAnalysis.bpeTokenCount(col("text")),
+        col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4),
+        md5hex(r.getString(5).trim.toLowerCase.replaceAll("\\s+", " "))))
+    val want = docs.groupBy(_._2).map { case (src, ds) =>
+      val nDocs = ds.length.toLong
+      val fpCounts = ds.groupBy(_._6).view.mapValues(_.length.toLong)
+      val dups = fpCounts.values.filter(_ > 1L).sum
+      val sorted = ds.sortBy(d => (d._4, d._1))
+      val median = sorted(((nDocs + 1) / 2 - 1).toInt)._4
+      val nEn = ds.count(_._3 == "en").toLong
+      (src, nDocs, ds.map(_._5).sum, ds.map(_._3).distinct.length.toLong,
+        nEn, nEn * 1000000L / nDocs, dups, median)
+    }.toSeq.sortBy(_._1)
+    val got = graft.operators.TrainingPrep
+      .datasetDatasheet(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // one row per source, every source covered
+    assert(got.map(_._1).distinct.length == got.length)
+    assert(got.map(_._2).sum == docs.length.toLong)
+  }
+
+  test("q316 FIM transform: replay matches; span partition law; both orders and the gate fire") {
+    val spark = SparkTestSession.spark
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h60(salt: String, id: Long): Long =
+      java.lang.Long.parseLong(md5hex(salt + id).substring(0, 15), 16)
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ")
+          .split(" ").toSeq))
+      .filter(_._2.length >= 4)
+    val want = docs.map { case (id, w) =>
+      val n = w.length.toLong
+      val fim = h60("fimg:", id) % 100L < 50L
+      if (!fim)
+        (id, false, "none", n, 0L, 0L, 0L, 0L, 0L, md5hex(w.mkString(" ")))
+      else {
+        val c1 = 1L + h60("fimc1:", id) % (n - 2L)
+        val c2 = c1 + 1L + h60("fimc2:", id) % (n - 1L - c1)
+        val mode = if (h60("fimm:", id) % 2L == 0L) "psm" else "spm"
+        val pre = w.slice(0, c1.toInt)
+        val mid = w.slice(c1.toInt, c2.toInt)
+        val suf = w.slice(c2.toInt, n.toInt)
+        // the partition law: the three spans reconstruct the doc
+        assert((pre ++ mid ++ suf) == w, s"doc $id spans")
+        val stream =
+          if (mode == "psm")
+            ("<fim_pre>" +: pre) ++ ("<fim_suf>" +: suf) ++
+              ("<fim_mid>" +: mid)
+          else ("<fim_suf>" +: suf) ++ ("<fim_pre>" +: pre) ++
+            ("<fim_mid>" +: mid)
+        (id, true, mode, n, c1, c2, c1, c2 - c1, n - c2,
+          md5hex(stream.mkString(" ")))
+      }
+    }.sortBy(_._1)
+    val got = graft.operators.TrainingPrep
+      .fimTransform(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8), r.getString(9))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // gate ~50%, both serialization orders occur, spans all nonempty
+    val fimmed = got.filter(_._2)
+    assert(fimmed.nonEmpty && fimmed.length < got.length)
+    assert(math.abs(fimmed.length * 2 - got.length) < got.length / 2)
+    assert(Set("psm", "spm").subsetOf(fimmed.map(_._3).toSet))
+    assert(fimmed.forall(g => g._7 >= 1 && g._8 >= 1 && g._9 >= 1))
+    assert(fimmed.forall(g => g._7 + g._8 + g._9 == g._4))
+  }
+
   test("q312 export offsets: spans tile the stream exactly in doc order") {
     val spark = SparkTestSession.spark
     val got = graft.operators.TrainingPrep
