@@ -190,6 +190,31 @@ object Bench {
     (out, rejected.result())
   }
 
+  /** SWEEP FLAGSHIP CHOICE (round-14): judge sweep health on a
+    * MULTI-SECOND entry when one has a baseline — 2x of q109's 3.4 s
+    * genuinely means degraded, where 2x of q04's ratcheted 0.169 s is
+    * a 169 ms window that a warm-but-quiet machine trips (this
+    * round's first sweep read q04 at 2.41x while q109/q155/q22 sat at
+    * or under 1.03x, and a good sweep's medians were discarded).
+    * Falls back to q04 when q109 has no multi-second baseline yet.
+    */
+  def sweepFlagship(
+      prev: Map[String, Double],
+      best: Map[String, Double]): (String, Double) = {
+    val name =
+      if (prev.getOrElse("q109_profile", -1.0) > 1.0) "q109_profile"
+      else "q04_agg_2a"
+    (name, prev.getOrElse(name, best.getOrElse(name, -1.0)))
+  }
+
+  /** The degraded tell itself: >2x the flagship baseline PLUS the
+    * +0.5 s absolute floor every sub-second gate in this file carries
+    * (missing/failed flagship counts as degraded). No baseline
+    * (<= 0) accepts the sweep — nothing to compare against.
+    */
+  def sweepIsDegraded(flagBase: Double, flag: Double): Boolean =
+    flagBase > 0 && (flag <= 0 || flag > flagBase * 2 + 0.5)
+
   def main(args: Array[String]): Unit = {
     val tStart = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - tStart) / 1e9
@@ -297,27 +322,13 @@ object Bench {
     // now costs the confirms, not the round. The driver keeps the
     // stdout TAIL, so when both lines survive the final one wins (and
     // parsePrevMedians' toMap is last-match-wins for scraped rounds).
-    // SWEEP FLAGSHIP (round-14): the q04 tell (0.169 s baseline)
-    // leaves a 169 ms margin that a WARM-but-quiet machine trips on —
-    // this round's sweep read q04 at 2.41x while q109 (3.4 s), q155
-    // (5.6 s) and q22 (1.0 s) all sat at or under 1.03x their
-    // baselines, and the gate threw away a good sweep's medians on
-    // that one sub-second reading. The degraded tell now judges a
-    // MULTI-SECOND flagship (q109) when its baseline exists — 2x of
-    // 3.4 s genuinely means degraded — falling back to q04 with the
-    // same +0.5 s absolute floor every other sub-second gate carries.
-    // A false PUBLISH stays defused by the never-raise rule +
-    // per-entry adjudication, so the asymmetric risk is losing good
-    // medians, which is exactly what this loosens.
-    val resultMap = results.toMap
-    val sweepFlagName =
-      if (prev.getOrElse("q109_profile", -1.0) > 1.0) "q109_profile"
-      else "q04_agg_2a"
-    val sweepFlagBase = prev.getOrElse(sweepFlagName,
-      best.getOrElse(sweepFlagName, -1.0))
-    val sweepFlag = resultMap.getOrElse(sweepFlagName, -1.0)
-    val sweepDegraded = sweepFlagBase > 0 &&
-      (sweepFlag <= 0 || sweepFlag > sweepFlagBase * 2 + 0.5)
+    // see sweepFlagship/sweepIsDegraded scaladoc (round-14): a false
+    // PUBLISH stays defused by the never-raise rule + per-entry
+    // adjudication, so the asymmetric risk is losing good medians —
+    // which is exactly what the multi-second flagship loosens.
+    val (sweepFlagName, sweepFlagBase) = sweepFlagship(prev, best)
+    val sweepFlag = results.toMap.getOrElse(sweepFlagName, -1.0)
+    val sweepDegraded = sweepIsDegraded(sweepFlagBase, sweepFlag)
     val nextRound = (byRound.map(_._1) :+ 0).max + 1
     val mayPublishMedians = sfDir.endsWith("sf0.1") && !sweepDegraded
     def writeMedians(baseline: Seq[(String, Double)]): Unit = {

@@ -424,6 +424,10 @@ object SparkEntry {
       TrainingPrep.datasetDatasheet(s, d)),
     "q316_fim_transform" -> ((s: SparkSession, d: String) =>
       TrainingPrep.fimTransform(s, d)),
+    "q317_data_echo" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.dataEchoAudit(s, d)),
+    "q318_sft_loss_density" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.sftLossDensity(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -6164,6 +6168,74 @@ object SparkEntry {
                  ['<fim_mid>']), mid)
              ELSE w END, ' ')) AS stream_digest
          FROM s""",
+    // q317: B = (17T) DIV 5, full epochs + salted-rank remainder
+    // prefix, last doc truncated — Σ seen = B exactly (telescoping).
+    "q317_data_echo" ->
+      s"""WITH toks AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS ntok
+           FROM documents),
+         t2 AS (SELECT doc_id, ntok FROM toks WHERE ntok >= 1),
+         tot AS (SELECT CAST(SUM(ntok) AS BIGINT) AS t FROM t2),
+         cfg AS (
+           SELECT t, (17 * t) // 5 AS budget,
+             ((17 * t) // 5) // t AS full_epochs,
+             (17 * t) // 5 - (((17 * t) // 5) // t) * t AS rem
+           FROM tot),
+         ranked AS (
+           SELECT doc_id, ntok,
+             CAST(ROW_NUMBER() OVER (ORDER BY
+               md5('echo:' || CAST(doc_id AS VARCHAR)) ASC,
+               doc_id ASC) AS BIGINT) AS echo_rank,
+             CAST(COALESCE(SUM(ntok) OVER (ORDER BY
+               md5('echo:' || CAST(doc_id AS VARCHAR)) ASC,
+               doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND
+               1 PRECEDING), 0) AS BIGINT) AS cum_before
+           FROM t2)
+         SELECT doc_id, ntok, echo_rank,
+           GREATEST(0, LEAST(ntok, rem - cum_before)) AS extra_tokens,
+           CAST(full_epochs + CASE WHEN
+             GREATEST(0, LEAST(ntok, rem - cum_before)) > 0
+             THEN 1 ELSE 0 END AS BIGINT) AS n_epochs_seen,
+           CAST(full_epochs * ntok +
+             GREATEST(0, LEAST(ntok, rem - cum_before)) AS BIGINT)
+             AS seen_tokens
+         FROM ranked, cfg""",
+    // q318: both q304 batching schemes under the SFT completion-mass
+    // lens; loss density = completion tokens per padded slot.
+    "q318_sft_loss_density" -> {
+      def scheme(name: String, order: String) =
+        s"""SELECT '$name' AS scheme,
+            CAST(COUNT(*) AS BIGINT) AS n_batches,
+            CAST(SUM(bs * mx) AS BIGINT) AS capacity_tokens,
+            CAST(SUM(lt) AS BIGINT) AS loss_tokens,
+            CAST(CAST(SUM(lt) AS BIGINT) * 1000000 //
+              CAST(SUM(bs * mx) AS BIGINT) AS BIGINT)
+              AS loss_density_ppm
+          FROM (
+            SELECT CAST((rk - 1) // 8 AS BIGINT) AS batch_id,
+              CAST(COUNT(*) AS BIGINT) AS bs,
+              CAST(MAX(ntok) AS BIGINT) AS mx,
+              CAST(SUM(n_completion) AS BIGINT) AS lt
+            FROM (
+              SELECT doc_id, ntok, n_completion,
+                CAST(ROW_NUMBER() OVER (ORDER BY $order) AS BIGINT) AS rk
+              FROM toks) r
+            GROUP BY 1) b"""
+      s"""WITH toks AS (
+           SELECT doc_id, ntok, (ntok + 1) // 2 AS n_prompt,
+             ntok - (ntok + 1) // 2 AS n_completion
+           FROM (
+             SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS ntok
+             FROM documents) t
+           WHERE ntok >= 2)
+         ${scheme("hashed",
+          "md5('sft:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC")}
+         UNION ALL
+         ${scheme("length_sorted", "ntok ASC, doc_id ASC")}""" },
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

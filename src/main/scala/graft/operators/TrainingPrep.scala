@@ -1442,6 +1442,113 @@ object TrainingPrep {
         col("n_dup_docs"), col("median_chars"))
   }
 
+  /** The q318 driver entry: SFT BATCH LOSS-DENSITY AUDIT — the
+    * instruction-tuning twin of q304's padding-waste audit: in SFT,
+    * loss is computed ONLY on completion tokens (the prompt is
+    * masked), so a batch's useful signal is not its payload but its
+    * COMPLETION mass — and batching policy changes it. Each doc
+    * splits prompt/completion at ⌈n/2⌉ (the fixture's stand-in for
+    * the prompt boundary); docs batch under BOTH q304 schemes
+    * (salted-hash order vs length-sorted order — monotone in
+    * completion length under the ⌈n/2⌉ split — fixed size 8, ranks
+    * via [[Relational.chunkedRowNumber]]); per scheme
+    * the audit reports capacity (Σ bs·max_len), completion mass, and
+    * LOSS DENSITY (completion tokens per padded slot, ppm) — the
+    * number that tells a training team how much of every padded
+    * batch actually trains the model. The spec pins the per-doc
+    * split law, conservation across schemes, and that sorting lifts
+    * density.
+    *
+    * Scale shape: q304's — doc-grain token counts, chunked ranks,
+    * batch-grain then scheme-grain aggregates; zero partition-less
+    * windows.
+    */
+  def sftLossDensity(spark: SparkSession, sfDir: String,
+      batchSize: Int = 8): DataFrame = {
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.bpeTokenCount(col("text"))
+          .as("ntok"))
+      .where(col("ntok") >= 2)
+      .withColumn("n_prompt", expr("CAST((ntok + 1) DIV 2 AS BIGINT)"))
+      .withColumn("n_completion", (col("ntok") - col("n_prompt")).cast("long"))
+    def scheme(name: String, bucket: Column, order: Seq[Column]) =
+      Relational.chunkedRowNumber(toks, bucket, order)
+        .withColumn("batch_id",
+          expr(s"CAST((rk - 1) DIV $batchSize AS BIGINT)"))
+        .groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("bs"), max(col("ntok")).as("mx"),
+          sum(col("n_completion")).as("loss_toks"))
+        .agg(count(lit(1)).cast("long").as("n_batches"),
+          sum(col("bs") * col("mx")).cast("long").as("capacity_tokens"),
+          sum(col("loss_toks")).cast("long").as("loss_tokens"))
+        .select(lit(name).as("scheme"), col("n_batches"),
+          col("capacity_tokens"), col("loss_tokens"),
+          expr("""CAST(loss_tokens * 1000000 DIV capacity_tokens
+              AS BIGINT)""").as("loss_density_ppm"))
+    val sftSalt = md5(concat(lit("sft:"), col("doc_id").cast("string")))
+    scheme("hashed",
+      bucket = substring(sftSalt, 1, 2),
+      Seq(sftSalt.asc, col("doc_id").asc))
+      .unionByName(scheme("length_sorted",
+        bucket = floor(col("ntok") / lit(16)).cast("long"),
+        Seq(col("ntok").asc, col("doc_id").asc)))
+  }
+
+  /** The q317 driver entry: DATA-ECHO BUDGET AUDIT — the
+    * data-constrained-scaling accounting (Muennighoff et al. 2023):
+    * when the token budget B exceeds the corpus T, every doc is seen
+    * ⌊B/T⌋ full epochs and a REMAINDER prefix of the (salted-hash
+    * ranked) corpus is echoed once more, the last remainder doc
+    * truncated so the budget is spent EXACTLY. Per doc: its rank in
+    * the echo order, epochs seen, and exact seen-token count; the
+    * spec pins the telescoping law Σ seen_tokens = B to the token
+    * (the clamp contributions telescope to exactly R = B mod T) and
+    * the {e, e+1} epoch partition.
+    *
+    * Budget here is B = (17·T) DIV 5 = 3.4 epochs — fixed rational
+    * so both engines derive it identically from the corpus.
+    *
+    * Scale shape: one token-count scan, one chunked salted rank
+    * ([[Relational.chunkedRowNumber]]) and one chunked EXCLUSIVE
+    * prefix sum ([[Relational.chunkedPrefixSum]]) over the same
+    * order — the remainder cut is then row-local clamp arithmetic;
+    * no partition-less window anywhere.
+    */
+  def dataEchoAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.bpeTokenCount(col("text"))
+          .as("ntok"))
+      .where(col("ntok") >= 1)
+    // empty corpus: SUM is NULL and there is no budget to spend —
+    // the ranked frame below is already empty, so any finite
+    // (budget, epochs, remainder) triple yields the correct empty
+    // output (the EmptyInputSpec contract)
+    val t = Option(toks.agg(sum(col("ntok"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val budget = (17L * t) / 5L
+    val fullEpochs = if (t > 0) budget / t else 0L
+    val remainder = budget - fullEpochs * t
+    val salt = md5(concat(lit("echo:"), col("doc_id").cast("string")))
+    val ranked = Relational.chunkedPrefixSum(
+      Relational.chunkedRowNumber(toks,
+        bucket = substring(salt, 1, 2),
+        order = Seq(salt.asc, col("doc_id").asc), out = "echo_rank"),
+      bucket = substring(salt, 1, 2),
+      order = Seq(salt.asc, col("doc_id").asc),
+      value = col("ntok"), out = "cum_before")
+    ranked.select(col("doc_id"), col("ntok"), col("echo_rank"),
+        greatest(lit(0L), least(col("ntok"),
+          lit(remainder) - col("cum_before"))).as("extra_tokens"))
+      .select(col("doc_id"), col("ntok"), col("echo_rank"),
+        col("extra_tokens"),
+        (lit(fullEpochs) + when(col("extra_tokens") > 0L, 1L)
+          .otherwise(0L)).cast("long").as("n_epochs_seen"),
+        (lit(fullEpochs) * col("ntok") + col("extra_tokens"))
+          .cast("long").as("seen_tokens"))
+  }
+
   /** The q316 driver entry: FIM (FILL-IN-THE-MIDDLE) TRANSFORM
     * MANIFEST — the code/infilling data op (Bavarian et al. 2022):
     * a deterministic fraction of docs is split at two salted cut

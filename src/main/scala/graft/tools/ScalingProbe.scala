@@ -290,7 +290,9 @@ object ScalingProbe {
       "q313_contamination" -> (d => graft.operators.TrainingPrep.splitContamination(spark, d)),
       "q314_interleaved" -> (d => graft.operators.TrainingPrep.interleavedManifest(spark, d)),
       "q315_datasheet" -> (d => graft.operators.TrainingPrep.datasetDatasheet(spark, d)),
-      "q316_fim" -> (d => graft.operators.TrainingPrep.fimTransform(spark, d)))
+      "q316_fim" -> (d => graft.operators.TrainingPrep.fimTransform(spark, d)),
+      "q317_data_echo" -> (d => graft.operators.TrainingPrep.dataEchoAudit(spark, d)),
+      "q318_sft_density" -> (d => graft.operators.TrainingPrep.sftLossDensity(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))

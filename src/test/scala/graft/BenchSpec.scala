@@ -123,6 +123,28 @@ class BenchSpec extends AnyFunSuite {
       .get("q07_broken").isEmpty)
   }
 
+  test("sweep flagship: multi-second q109 preferred, q04 fallback, floored tell") {
+    // with a multi-second q109 baseline, sweep health is judged on it
+    assert(Bench.sweepFlagship(
+      Map("q109_profile" -> 3.407, "q04_agg_2a" -> 0.169), Map.empty) ==
+      ("q109_profile", 3.407))
+    // a sub-second (or absent) q109 baseline falls back to q04
+    assert(Bench.sweepFlagship(
+      Map("q109_profile" -> 0.4, "q04_agg_2a" -> 0.169), Map.empty) ==
+      ("q04_agg_2a", 0.169))
+    assert(Bench.sweepFlagship(Map("q04_agg_2a" -> 0.169),
+      Map("q04_agg_2a" -> 0.15)) == ("q04_agg_2a", 0.169))
+    // the round-14 incident: q04 at 2.41x its 0.169s baseline is NOT
+    // degraded under the +0.5s floor (0.408 <= 0.838)...
+    assert(!Bench.sweepIsDegraded(0.169, 0.408))
+    // ...but a genuinely degraded window still trips the q109 tell
+    assert(Bench.sweepIsDegraded(3.407, 7.5))
+    assert(!Bench.sweepIsDegraded(3.407, 3.777))
+    // crash/missing flagship counts degraded; no baseline accepts
+    assert(Bench.sweepIsDegraded(3.407, -1.0))
+    assert(!Bench.sweepIsDegraded(-1.0, 99.0))
+  }
+
   test("confirm fork re-measures in a fresh JVM and reports a positive median") {
     // end-to-end: the test JVM's classpath/flags are what Bench would
     // fork with; a broken fork returns empty and must fail here, not

@@ -1047,6 +1047,78 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(fimmed.forall(g => g._7 + g._8 + g._9 == g._4))
   }
 
+  test("q317 data echo: replay matches; budget spent to the token; epoch partition {e, e+1}") {
+    val spark = SparkTestSession.spark
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.bpeTokenCount(col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._2 >= 1)
+    val t = toks.map(_._2).sum
+    val budget = 17L * t / 5L
+    val e = budget / t
+    val rem = budget - e * t
+    val order = toks.sortBy { case (id, _) => (md5hex("echo:" + id), id) }
+    var cum = 0L
+    val want = order.zipWithIndex.map { case ((id, n), i) =>
+      val extra = math.max(0L, math.min(n, rem - cum))
+      cum += n
+      (id, n, i + 1L, extra, e + (if (extra > 0) 1L else 0L),
+        e * n + extra)
+    }.sortBy(_._1)
+    val got = graft.operators.TrainingPrep
+      .dataEchoAudit(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // the telescoping law: the budget is spent EXACTLY, to the token
+    assert(got.map(_._6).sum == budget)
+    // epochs partition into {e, e+1}, both populated, and exactly one
+    // doc may be truncated (0 < extra < ntok)
+    assert(got.map(_._5).toSet == Set(e, e + 1L))
+    assert(got.count(g => g._4 > 0L && g._4 < g._2) <= 1)
+  }
+
+  test("q318 SFT loss density: replay matches; loss mass conserved; sorting lifts density") {
+    val spark = SparkTestSession.spark
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.bpeTokenCount(col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._2 >= 2)
+      .map { case (id, n) => (id, n, n - (n + 1) / 2) }
+    def replay(order: Seq[(Long, Long, Long)]) = {
+      val batches = order.grouped(8).toSeq
+      val cap = batches.map(b => b.length.toLong * b.map(_._2).max).sum
+      val loss = toks.map(_._3).sum
+      (batches.length.toLong, cap, loss, loss * 1000000L / cap)
+    }
+    val hashed = replay(toks.sortBy { case (id, _, _) =>
+      (md5hex("sft:" + id), id) })
+    val sorted = replay(toks.sortBy { case (id, n, _) => (n, id) })
+    val got = graft.operators.TrainingPrep
+      .sftLossDensity(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("hashed", hashed._1, hashed._2, hashed._3, hashed._4),
+      ("length_sorted", sorted._1, sorted._2, sorted._3, sorted._4)))
+    // loss mass identical across schemes (same docs, same split)...
+    assert(got.map(_._4).distinct.length == 1)
+    // ...so sorted batching's smaller capacity strictly lifts density
+    assert(sorted._4 > hashed._4, s"sorted ${sorted._4} vs hashed ${hashed._4}")
+    // per-doc split sanity: prompt+completion == total, prompt >= completion
+    toks.foreach { case (_, n, c) => assert((n + 1) / 2 + c == n && (n + 1) / 2 >= c) }
+  }
+
   test("q312 export offsets: spans tile the stream exactly in doc order") {
     val spark = SparkTestSession.spark
     val got = graft.operators.TrainingPrep
