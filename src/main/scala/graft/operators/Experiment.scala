@@ -743,17 +743,21 @@ object Experiment {
     * exact counts (lift in micro: capture·10·1e6 / (decile+1) ... the
     * cumulative-uniform baseline (decile+1)/10).
     *
-    * Scale shape: doc-grain rank window (q202's bucketed device at
-    * 100 TB), then a 10-row aggregate + bounded cumulative window.
+    * Scale shape: doc-grain rank via the q202 chunked device
+    * (USED, not just cited — round-14), then a 10-row aggregate +
+    * bounded cumulative window.
     */
   def gainsTable(spark: SparkSession, sfDir: String): DataFrame = {
-    val scored = rocAucScored(spark, sfDir)
-    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
-    val wAll = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val ranked = scored
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(wAll))
+    // round-14: the doc-grain rank + count rode partition-less
+    // windows (the q303/q304 hazard class the docstring already
+    // named); now the chunked device on bounded micro-score ranges,
+    // with the scored frame pinned once (q291 shared-subtree rule)
+    val scored = rocAucScored(spark, sfDir).localCheckpoint(true)
+    val withN = scored.crossJoin(broadcast(
+      scored.agg(count(lit(1)).as("n"))))
+    val ranked = Relational.chunkedRowNumber(withN,
+      bucket = (-floor(col("score") / lit(10000L))).cast("long"),
+      order = Seq(col("score").desc, col("doc_id").asc))
       .withColumn("decile", expr("(10 * (rk - 1)) DIV n"))
     val per = ranked.groupBy(col("decile"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1017,16 +1021,22 @@ object Experiment {
     */
   def conformalCalibration(
       spark: SparkSession, sfDir: String, alphaPct: Int = 10): DataFrame = {
+    // pinned: consumed by the chunked rank (two reads), the count,
+    // and the eval side (q291 shared-subtree rule)
     val scored = rocAucScored(spark, sfDir)
       .select(col("doc_id"),
         when(col("is_en"), lit(1000000L) - col("score"))
           .otherwise(col("score")).as("nonconf"),
         (col("doc_id") % 2 === 0).as("is_cal"))
+      .localCheckpoint(true)
     val cal = scored.filter(col("is_cal"))
     val nCal = cal.agg(count(lit(1)).as("n_cal"))
-    val w = Window.orderBy(col("nonconf").asc, col("doc_id").asc)
-    val qhat = cal
-      .withColumn("rk", row_number().over(w).cast("long"))
+    // round-14: the calibration rank through the chunked device —
+    // this construction's cal set is a corpus half, not a bounded
+    // sample, so the partition-less window was the q303/q304 class
+    val qhat = Relational.chunkedRowNumber(cal,
+      bucket = floor(col("nonconf") / lit(10000L)).cast("long"),
+      order = Seq(col("nonconf").asc, col("doc_id").asc))
       .crossJoin(broadcast(nCal))
       .withColumn("k_rank",
         // ceil((n+1)(1-alpha)) for positive ints: (a + 99) DIV 100
@@ -1114,13 +1124,21 @@ object Experiment {
     * the q200 chunked-scan device applies.
     */
   def averagePrecision(spark: SparkSession, sfDir: String): DataFrame = {
-    val scored = rocAucScored(spark, sfDir)
-    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
-    val ranked = scored
-      .withColumn("rk", row_number().over(w).cast("long"))
+    // round-14: the global rank AND the running positive count both
+    // ride the chunked devices over the same bounded micro-score
+    // buckets (rank, then exclusive prefix sum + own value = the
+    // inclusive cumulative) — the doc-grain frame here is the scored
+    // corpus, so the partition-less windows were the q303/q304 class
+    val scored = rocAucScored(spark, sfDir).localCheckpoint(true)
+    val bucket = (-floor(col("score") / lit(10000L))).cast("long")
+    val ord = Seq(col("score").desc, col("doc_id").asc)
+    val ranked = Relational.chunkedPrefixSum(
+      Relational.chunkedRowNumber(scored, bucket, ord)
+        .localCheckpoint(true),
+      bucket, ord,
+      value = when(col("is_en"), 1L).otherwise(0L), out = "pos_before")
       .withColumn("cum_pos",
-        sum(when(col("is_en"), 1L).otherwise(0L))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        col("pos_before") + when(col("is_en"), 1L).otherwise(0L))
     ranked.agg(
         count(lit(1)).cast("long").as("n_docs"),
         sum(when(col("is_en"), 1L).otherwise(0L)).cast("long").as("n_pos"),
