@@ -428,6 +428,8 @@ object SparkEntry {
       TrainingPrep.dataEchoAudit(s, d)),
     "q318_sft_loss_density" -> ((s: SparkSession, d: String) =>
       TrainingPrep.sftLossDensity(s, d)),
+    "q319_crawl_diff" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.crawlDiff(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -6236,6 +6238,45 @@ object SparkEntry {
           "md5('sft:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC")}
          UNION ALL
          ${scheme("length_sorted", "ntok ASC, doc_id ASC")}""" },
+    // q319: replayed two-snapshot planting (drop %31, mutate %29,
+    // re-add %37 under shifted ids), full-outer key join on digests,
+    // source-grain class counts + churn ppm.
+    "q319_crawl_diff" ->
+      s"""WITH v1 AS (
+           SELECT doc_id, source, md5($normText) AS fp FROM documents),
+         v2 AS (
+           SELECT doc_id, source,
+             CASE WHEN doc_id % 29 = 0
+               THEN md5($normText || ' recrawled')
+               ELSE md5($normText) END AS fp
+           FROM documents WHERE doc_id % 31 <> 0
+           UNION ALL
+           SELECT doc_id + 9000000, source, md5($normText) AS fp
+           FROM documents WHERE doc_id % 37 = 0),
+         j AS (
+           SELECT COALESCE(v1.source, v2.source) AS source,
+             CASE WHEN v1.fp IS NULL THEN 'added'
+               WHEN v2.fp IS NULL THEN 'removed'
+               WHEN v1.fp <> v2.fp THEN 'changed'
+               ELSE 'unchanged' END AS class
+           FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id),
+         c AS (
+           SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(CASE WHEN class = 'added' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_added,
+             CAST(SUM(CASE WHEN class = 'removed' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_removed,
+             CAST(SUM(CASE WHEN class = 'changed' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_changed,
+             CAST(SUM(CASE WHEN class = 'unchanged' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_unchanged
+           FROM j GROUP BY 1)
+         SELECT source, n_total, n_added, n_removed, n_changed,
+           n_unchanged,
+           CAST((n_added + n_removed + n_changed) * 1000000 // n_total
+             AS BIGINT) AS churn_ppm
+         FROM c""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

@@ -1495,6 +1495,68 @@ object TrainingPrep {
         Seq(col("ntok").asc, col("doc_id").asc)))
   }
 
+  /** The q319 driver entry: CRAWL-SNAPSHOT DIFF — q108's table-diff
+    * move lifted to corpus grain: two crawl snapshots of the same
+    * sources diff into added / removed / changed / unchanged classes
+    * by doc key, with content change detected on the normalized-text
+    * fingerprint (so whitespace-only churn is NOT a change), plus
+    * each source's changed-ratio — the freshness dashboard a
+    * recrawl pipeline publishes. Snapshot v2 is PLANTED from v1 and
+    * replayed verbatim in the oracle (the q259 discipline): every
+    * 31st doc is dropped (removed), every 29th surviving doc gains
+    * an appended marker word (changed), and every 37th doc returns
+    * under a shifted id (added).
+    *
+    * Scale shape: one full-outer join on doc key carrying ONLY
+    * (key, fp, source) — 16-byte digests, never text (the q20
+    * posture) — then a source-grain class count. At 100 TB both
+    * sides shuffle once on the key; nothing else moves.
+    */
+  def crawlDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val v1 = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(graft.operators.TextAnalysis.normalizedText(col("text")))
+          .as("fp"))
+    val v2base = Tables.load(spark, sfDir, "documents")
+      .where(col("doc_id") % 31 =!= 0)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 29 === 0,
+          md5(concat(graft.operators.TextAnalysis.normalizedText(col("text")),
+            lit(" recrawled"))))
+          .otherwise(md5(graft.operators.TextAnalysis
+            .normalizedText(col("text")))).as("fp"))
+    val v2 = v2base.unionByName(
+      Tables.load(spark, sfDir, "documents")
+        .where(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 9000000L).as("doc_id"), col("source"),
+          md5(graft.operators.TextAnalysis.normalizedText(col("text")))
+            .as("fp")))
+    v1.select(col("doc_id"), col("source").as("src1"), col("fp").as("fp1"))
+      .join(v2.select(col("doc_id"), col("source").as("src2"),
+        col("fp").as("fp2")), Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src1"), col("src2")).as("source"),
+        when(col("fp1").isNull, "added")
+          .when(col("fp2").isNull, "removed")
+          .when(col("fp1") =!= col("fp2"), "changed")
+          .otherwise("unchanged").as("class"))
+      .groupBy(col("source"), col("class"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).cast("long").as("n_total"),
+        sum(when(col("class") === "added", col("n_docs")).otherwise(0L))
+          .cast("long").as("n_added"),
+        sum(when(col("class") === "removed", col("n_docs")).otherwise(0L))
+          .cast("long").as("n_removed"),
+        sum(when(col("class") === "changed", col("n_docs")).otherwise(0L))
+          .cast("long").as("n_changed"),
+        sum(when(col("class") === "unchanged", col("n_docs")).otherwise(0L))
+          .cast("long").as("n_unchanged"))
+      .select(col("source"), col("n_total"), col("n_added"),
+        col("n_removed"), col("n_changed"), col("n_unchanged"),
+        expr("""CAST((n_added + n_removed + n_changed) * 1000000
+            DIV n_total AS BIGINT)""").as("churn_ppm"))
+  }
+
   /** The q317 driver entry: DATA-ECHO BUDGET AUDIT — the
     * data-constrained-scaling accounting (Muennighoff et al. 2023):
     * when the token budget B exceeds the corpus T, every doc is seen

@@ -1119,6 +1119,43 @@ class TrainingPrepSpec extends AnyFunSuite {
     toks.foreach { case (_, n, c) => assert((n + 1) / 2 + c == n && (n + 1) / 2 >= c) }
   }
 
+  test("q319 crawl diff: replay matches; class census equals the planting arithmetic") {
+    val spark = SparkTestSession.spark
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.flatMap { case (id, src) =>
+      val base =
+        if (id % 31 == 0) Seq((src, "removed"))
+        else if (id % 29 == 0) Seq((src, "changed"))
+        else Seq((src, "unchanged"))
+      val added = if (id % 37 == 0) Seq((src, "added")) else Seq.empty
+      base ++ added
+    }.groupBy(_._1).map { case (src, cs) =>
+      def n(c: String) = cs.count(_._2 == c).toLong
+      val (a, r, ch, u) =
+        (n("added"), n("removed"), n("changed"), n("unchanged"))
+      val tot = a + r + ch + u
+      (src, tot, a, r, ch, u, (a + r + ch) * 1000000L / tot)
+    }.toSeq.sortBy(_._1)
+    val got = graft.operators.TrainingPrep
+      .crawlDiff(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // census arithmetic: totals reconcile against the planting rules
+    assert(got.map(_._4).sum == docs.count(_._1 % 31 == 0).toLong)
+    assert(got.map(_._3).sum == docs.count(_._1 % 37 == 0).toLong)
+    assert(got.map(_._5).sum ==
+      docs.count(d => d._1 % 31 != 0 && d._1 % 29 == 0).toLong)
+    assert(got.map(_._2).sum == docs.length.toLong +
+      docs.count(_._1 % 37 == 0).toLong)
+    // every class fires somewhere on the fixture
+    assert(got.map(_._3).sum > 0 && got.map(_._4).sum > 0 &&
+      got.map(_._5).sum > 0 && got.map(_._6).sum > 0)
+  }
+
   test("q312 export offsets: spans tile the stream exactly in doc order") {
     val spark = SparkTestSession.spark
     val got = graft.operators.TrainingPrep
