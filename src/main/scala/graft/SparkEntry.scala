@@ -430,6 +430,10 @@ object SparkEntry {
       TrainingPrep.sftLossDensity(s, d)),
     "q319_crawl_diff" -> ((s: SparkSession, d: String) =>
       TrainingPrep.crawlDiff(s, d)),
+    "q320_watermark_detect" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.watermarkDetect(s, d)),
+    "q321_preference_pairs" -> ((s: SparkSession, d: String) =>
+      Preference.preferencePairs(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -6277,6 +6281,70 @@ object SparkEntry {
            CAST((n_added + n_removed + n_changed) * 1000000 // n_total
              AS BIGINT) AS churn_ppm
          FROM c""",
+    // q320: the watermark sampler replayed as a per-planted-doc
+    // recursive CTE over the vocab table (greedy min-green walk),
+    // then the same parity detector both sides.
+    "q320_watermark_detect" ->
+      s"""WITH RECURSIVE words AS (
+           SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
+         vocab AS (
+           SELECT DISTINCT v FROM
+             (SELECT UNNEST(w) AS v FROM words) u WHERE v <> ''),
+         d AS (
+           SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,
+             doc_id % 41 = 0 AS planted
+           FROM words WHERE len(w) >= 2),
+         rec AS (
+           SELECT doc_id, CAST(1 AS BIGINT) AS i, w[1] AS prev,
+             [w[1]] AS acc, n
+           FROM d WHERE planted
+           UNION ALL
+           SELECT r.doc_id, r.i + 1, p.pick,
+             list_append(r.acc, p.pick), r.n
+           FROM rec r, LATERAL (SELECT COALESCE(
+               (SELECT MIN(v) FROM vocab
+                WHERE ('0x' || substr(md5(r.prev || ':' || v), 1, 15))
+                  ::BIGINT % 2 = 0),
+               (SELECT MIN(v) FROM vocab)) AS pick) p
+           WHERE r.i < r.n),
+         reb AS (
+           SELECT r.doc_id, r.acc FROM rec r
+           JOIN (SELECT doc_id AS d2, MAX(i) AS mi FROM rec GROUP BY 1) m
+             ON m.d2 = r.doc_id AND m.mi = r.i),
+         t2 AS (
+           SELECT d.doc_id, d.n, d.planted,
+             CASE WHEN d.planted THEN reb.acc ELSE d.w END AS w2
+           FROM d LEFT JOIN reb ON reb.doc_id = d.doc_id),
+         g AS (
+           SELECT doc_id, planted, n,
+             CAST(len(list_filter(range(2, n + 1),
+               i -> ('0x' || substr(md5(w2[i - 1] || ':' || w2[i]),
+                 1, 15))::BIGINT % 2 = 0)) AS BIGINT) AS n_green
+           FROM t2)
+         SELECT doc_id, planted, CAST(n - 1 AS BIGINT) AS n_trans,
+           n_green,
+           CAST(n_green * 1000000 // (n - 1) AS BIGINT) AS green_ppm,
+           n_green * 1000000 // (n - 1) >= 900000 AS flagged
+         FROM g""",
+    // q321: stratum-grain max/min selection under the composite
+    // (score, doc_id) order packed into one BIGINT (score*1e7 + id —
+    // DuckDB v1.0 arg_max can't order by STRUCT); same key both sides.
+    "q321_preference_pairs" ->
+      s"""WITH sc AS ($scoredDocsSql),
+         j AS (
+           SELECT sc.doc_id, sc.score, d.source, d.lang
+           FROM sc JOIN documents d ON d.doc_id = sc.doc_id)
+         SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(arg_max(doc_id, score * 10000000 + doc_id) AS BIGINT)
+             AS chosen_id,
+           CAST(arg_min(doc_id, score * 10000000 + doc_id) AS BIGINT)
+             AS rejected_id,
+           CAST(MAX(score) AS BIGINT) AS chosen_score,
+           CAST(MIN(score) AS BIGINT) AS rejected_score,
+           CAST(MAX(score) - MIN(score) AS BIGINT) AS margin_micro
+         FROM j GROUP BY 1, 2
+         HAVING COUNT(*) >= 2""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

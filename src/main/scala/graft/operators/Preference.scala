@@ -23,6 +23,44 @@ import graft.sources.Tables
   */
 object Preference {
 
+  /** The q321 driver entry: PREFERENCE-PAIR MINING (DPO/RLHF data
+    * prep) — the step that turns a scored corpus into (chosen,
+    * rejected) training pairs: within each stratum (the prompt-group
+    * stand-in; here (source, lang)), the highest-quality document is
+    * `chosen`, the lowest is `rejected`, and the pair ships with its
+    * score margin — the max-margin heuristic preference-data
+    * pipelines use to avoid training on ambiguous pairs. Selection
+    * is max_by/min_by under the TOTAL order (score, doc_id), so ties
+    * pick deterministically (high id wins chosen, low id wins
+    * rejected — distinct docs whenever the stratum has ≥ 2, which is
+    * the emission gate). The composite order packs into ONE BIGINT —
+    * score·10⁷ + doc_id (score ≤ 10⁶ micros, ids < 10⁷ on any
+    * fixture SF, so the key is strictly monotone in (score, id) and
+    * < 10¹³) — because DuckDB v1.0's arg_max cannot order by STRUCT;
+    * the same packed key runs on both engines, proving the tie rule.
+    *
+    * Scale shape: one scored scan, one stratum-keyed aggregate
+    * (map-side combined; max_by/min_by are single-row state) — the
+    * pair table lives on the bounded stratum domain. No ranks, no
+    * windows, no joins beyond the score build.
+    */
+  def preferencePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Experiment.rocAucScored(spark, sfDir)
+      .select(col("doc_id"), col("score"))
+      .join(Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("source"), col("lang")), "doc_id")
+    val key = col("score") * lit(10000000L) + col("doc_id")
+    scored.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        max_by(col("doc_id"), key).cast("long").as("chosen_id"),
+        min_by(col("doc_id"), key).cast("long").as("rejected_id"),
+        max(col("score")).cast("long").as("chosen_score"),
+        min(col("score")).cast("long").as("rejected_score"))
+      .where(col("n_docs") >= 2L)
+      .withColumn("margin_micro",
+        (col("chosen_score") - col("rejected_score")).cast("long"))
+  }
+
   /** Contests: per (user, day), event types ranked by exact cents
     * (desc), ties broken by type name — a total order, so no
     * nondeterminism can leak into ranks. m = contest size.

@@ -2359,6 +2359,83 @@ object TextAnalysis {
       .toDF("lang", "n_docs", "loss_micro", "w_micro")
   }
 
+  /** The q320 driver entry: AI-TEXT WATERMARK DETECTION — the
+    * green-list statistic (Kirchenbauer et al. 2023) a training
+    * corpus runs to keep synthetic text out of the next model's
+    * data: a watermarking sampler biases each token toward a "green"
+    * half of the vocabulary keyed by the PREVIOUS token's hash, so
+    * watermarked text shows a green-transition fraction far above
+    * the ~50% a natural source produces. The green rule here is the
+    * salted-md5 60-bit parity of (prev, word) — portable to the
+    * oracle bit-for-bit — and per doc the detector reports the
+    * transition count, green count, green ppm, and the >= 90% flag.
+    * Watermarked POSITIVES are PLANTED by running the actual
+    * watermark sampler in miniature (every 41st doc is rebuilt
+    * greedily: keep its first word, then each next word is the
+    * lexicographically-first vocabulary word green under the
+    * previous — the deterministic limit of green-biased sampling),
+    * so the detector is exercised against text genuinely generated
+    * by the process it detects; the oracle replays the same
+    * generation as a per-doc recursive CTE over the vocab table.
+    *
+    * Exactness: the greedy pick is min(v) over a green filter (a
+    * COALESCE to min(v) keeps totality — with a 31-word vocab the
+    * no-green branch has probability 2⁻³¹ per step); the detector is
+    * a row-local filter-count over positions. Vocabulary is the
+    * corpus's distinct-word dictionary, collected under the
+    * bounded-domain rule (31 words on this fixture; a production
+    * tokenizer vocab is likewise a bounded artifact).
+    *
+    * Scale shape: one dictionary pass, then everything is row-local
+    * (the planted rebuild is an `aggregate` HOF over the doc's own
+    * positions against the BROADCAST vocab literal; detection is a
+    * per-row filter-size) — zero shuffle beyond the dictionary
+    * collapse, the q50/q306 posture.
+    */
+  def watermarkDetect(spark: SparkSession, sfDir: String,
+      flagPpm: Long = 900000L): DataFrame = {
+    val vocab: Seq[String] = Tables.load(spark, sfDir, "documents")
+      .select(explode(split(normalizedText(col("text")), " ")).as("v"))
+      .where(col("v") =!= "")
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    val vLit = typedlit(vocab)
+    // green(prev, w): 60-bit md5 parity — the q68/q118 hex device
+    def green(prev: String, w: String): String =
+      s"CAST(conv(substring(md5(concat($prev, ':', $w)), 1, 15), 16, 10) AS BIGINT) % 2 = 0"
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        split(normalizedText(col("text")), " ").as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+      .where(col("n") >= 2)
+      .withColumn("planted", col("doc_id") % 41 === 0)
+      .withColumn("V", vLit)
+    // the miniature watermark sampler: greedy green walk, original
+    // first word, original length
+    val rebuilt = expr(
+      s"""aggregate(
+            sequence(2, CAST(n AS INT)),
+            named_struct('prev', element_at(w, 1),
+              'acc', array(element_at(w, 1))),
+            (st, i) -> named_struct(
+              'prev', COALESCE(
+                array_min(filter(V, v -> ${green("st.prev", "v")})),
+                element_at(V, 1)),
+              'acc', concat(st.acc, array(COALESCE(
+                array_min(filter(V, v -> ${green("st.prev", "v")})),
+                element_at(V, 1))))),
+            st -> st.acc)""")
+    val scored = docs
+      .withColumn("w2", when(col("planted"), rebuilt).otherwise(col("w")))
+      .withColumn("n_green", expr(
+        s"""CAST(size(filter(sequence(2, CAST(n AS INT)),
+             i -> ${green("element_at(w2, i - 1)", "element_at(w2, i)")}))
+           AS BIGINT)"""))
+    scored.select(col("doc_id"), col("planted"),
+        (col("n") - 1L).cast("long").as("n_trans"), col("n_green"),
+        expr("n_green * 1000000 DIV (n - 1)").as("green_ppm"))
+      .withColumn("flagged", col("green_ppm") >= flagPpm)
+  }
+
   /** The q311 driver entry: VOCABULARY-GROWTH CURVE (Heaps'-law
     * audit) over word BIGRAMS — the corpus-health diagnostic a data
     * team reads before scaling a crawl: how fast does the distinct

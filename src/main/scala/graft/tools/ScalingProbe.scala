@@ -293,7 +293,9 @@ object ScalingProbe {
       "q316_fim" -> (d => graft.operators.TrainingPrep.fimTransform(spark, d)),
       "q317_data_echo" -> (d => graft.operators.TrainingPrep.dataEchoAudit(spark, d)),
       "q318_sft_density" -> (d => graft.operators.TrainingPrep.sftLossDensity(spark, d)),
-      "q319_crawl_diff" -> (d => graft.operators.TrainingPrep.crawlDiff(spark, d)))
+      "q319_crawl_diff" -> (d => graft.operators.TrainingPrep.crawlDiff(spark, d)),
+      "q320_watermark" -> (d => graft.operators.TextAnalysis.watermarkDetect(spark, d)),
+      "q321_pref_pairs" -> (d => graft.operators.Preference.preferencePairs(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))

@@ -81,4 +81,35 @@ class PreferenceSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(2))).sortBy(-_._2).map(_._1).toSeq
     assert(gotOrder == floatOrder)
   }
+
+  test("q321 preference pairs: selections equal a replay under the composite order; pairs well-formed") {
+    val scored = graft.operators.Experiment.rocAucScored(spark, sf)
+      .select(col("doc_id"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(d => scored.contains(d._1))
+    val want = docs.groupBy(d => (d._2, d._3)).collect {
+      case ((src, lang), ds) if ds.length >= 2 =>
+        val byOrder = ds.map(d => (scored(d._1), d._1)).sorted
+        val (loS, loId) = byOrder.head
+        val (hiS, hiId) = byOrder.last
+        (src, lang, ds.length.toLong, hiId, loId, hiS, loS, hiS - loS)
+    }.toSeq.sortBy(p => (p._1, p._2))
+    val got = Preference.preferencePairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .sortBy(p => (p._1, p._2))
+    assert(got.toSeq == want.toSeq)
+    // well-formed pairs: distinct docs, nonnegative margin, scores
+    // really are the stratum extremes
+    assert(got.nonEmpty)
+    got.foreach { p =>
+      assert(p._4 != p._5, s"${p._1}/${p._2} chose itself")
+      assert(p._8 >= 0L && p._6 >= p._7)
+    }
+    // margins genuinely vary on the fixture (not all ties)
+    assert(got.exists(_._8 > 0L))
+  }
 }

@@ -1060,6 +1060,50 @@ class TextAnalysisSpec extends AnyFunSuite {
       "most natural docs must pass")
   }
 
+  test("q320 watermark detect: replay matches; planted walks read fully green; naturals sit near 50%") {
+    val spark = SparkTestSession.spark
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def green(prev: String, w: String): Boolean =
+      java.lang.Long.parseLong(
+        md5hex(prev + ":" + w).substring(0, 15), 16) % 2 == 0
+    val docsRaw = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ")
+          .split(" ").toSeq))
+    val vocab = docsRaw.flatMap(_._2).filter(_.nonEmpty).distinct.sorted
+    val want = docsRaw.filter(_._2.length >= 2).map { case (id, w) =>
+      val planted = id % 41 == 0
+      val w2 =
+        if (!planted) w
+        else w.drop(1).indices.foldLeft(Vector(w.head)) { (acc, _) =>
+          acc :+ vocab.find(v => green(acc.last, v)).getOrElse(vocab.head)
+        }
+      val nGreen = w2.sliding(2).count { case Seq(a, b) => green(a, b) }
+      val ppm = nGreen.toLong * 1000000L / (w2.length - 1)
+      (id, planted, w2.length.toLong - 1L, nGreen.toLong, ppm,
+        ppm >= 900000L)
+    }.sortBy(_._1)
+    val got = graft.operators.TextAnalysis
+      .watermarkDetect(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // the sampler's signature: every planted walk is FULLY green
+    // (greedy pick; the no-green fallback has probability 2^-31 per
+    // step) and flags; naturals average near 50% and rarely flag
+    val planted = got.filter(_._2)
+    assert(planted.nonEmpty && planted.forall(g => g._4 == g._3 && g._6))
+    val naturals = got.filterNot(_._2)
+    val meanPpm = naturals.map(_._5).sum / naturals.length
+    assert(meanPpm > 400000L && meanPpm < 600000L, s"mean $meanPpm")
+    assert(naturals.count(_._6) * 20 < naturals.length,
+      "naturals must rarely flag")
+  }
+
   test("q311 vocab growth: curve equals a replay and saturates monotonically") {
     val spark = SparkTestSession.spark
     val docs = spark.read
