@@ -434,6 +434,18 @@ object SparkEntry {
       TextAnalysis.watermarkDetect(s, d)),
     "q321_preference_pairs" -> ((s: SparkSession, d: String) =>
       Preference.preferencePairs(s, d)),
+    "q322_ann_hard_negatives" -> ((s: SparkSession, d: String) =>
+      Similarity.annHardNegatives(s, d)),
+    "q323_ann_bitext_mine" -> ((s: SparkSession, d: String) =>
+      Similarity.annBitextMine(s, d)),
+    "q324_prefix_cache" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.prefixCacheAudit(s, d)),
+    "q325_pass_at_k" -> ((s: SparkSession, d: String) =>
+      Experiment.passAtK(s, d)),
+    "q326_nucleus_audit" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.nucleusAudit(s, d)),
+    "q327_curriculum" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.curriculumStages(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -718,6 +730,32 @@ object SparkEntry {
 
   /** Normalized-text SQL twin of TextAnalysis.normalizedText. */
   private val normText = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** Generated DuckDB twin of Experiment.passAtK (q325): the same
+    * user-grain (n, c) census over events, then per k the IDENTICAL
+    * fixed factor chain 1 − Π_{i=0..k−1} (n−c−i)/(n−i) — each factor
+    * the same CASE-guarded double ratio, multiplied left-to-right in
+    * the same literal order, floored once to ppm. Exact-integer
+    * inputs + identical expression tree ⇒ bit-equal doubles in both
+    * engines (the q325 identical-tree device).
+    */
+  private def passAtKOracleSql(ks: Seq[Int], centsThreshold: Long): String = {
+    val arms = ks.map { k =>
+      val prod = (0 until k).map(i =>
+        s"(CASE WHEN n - c - $i <= 0 THEN 0.0 ELSE " +
+          s"CAST(n - c - $i AS DOUBLE) / CAST(n - $i AS DOUBLE) END)")
+        .mkString(" * ")
+      s"""SELECT user_id, CAST($k AS BIGINT) AS k, n, c,
+           CAST(floor(1000000.0 * (1.0 - $prod)) AS BIGINT) AS pass_ppm
+         FROM per WHERE n >= $k"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"""WITH per AS MATERIALIZED (
+           SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+               >= $centsThreshold THEN 1 ELSE 0 END) AS BIGINT) AS c
+           FROM events GROUP BY 1)
+         $arms"""
+  }
 
   /** Generated DuckDB replay of TextAnalysis.ulmTrain (q284): seed
     * substring counts over the distinct-word dictionary, then per
@@ -6243,7 +6281,8 @@ object SparkEntry {
          UNION ALL
          ${scheme("length_sorted", "ntok ASC, doc_id ASC")}""" },
     // q319: replayed two-snapshot planting (drop %31, mutate %29,
-    // re-add %37 under shifted ids), full-outer key join on digests,
+    // re-add %37 under shifted ids — negative key space, disjoint
+    // from any genuine id), full-outer key join on digests,
     // source-grain class counts + churn ppm.
     "q319_crawl_diff" ->
       s"""WITH v1 AS (
@@ -6255,7 +6294,7 @@ object SparkEntry {
                ELSE md5($normText) END AS fp
            FROM documents WHERE doc_id % 31 <> 0
            UNION ALL
-           SELECT doc_id + 9000000, source, md5($normText) AS fp
+           SELECT -doc_id - 1, source, md5($normText) AS fp
            FROM documents WHERE doc_id % 37 = 0),
          j AS (
            SELECT COALESCE(v1.source, v2.source) AS source,
@@ -6345,6 +6384,195 @@ object SparkEntry {
            CAST(MAX(score) - MIN(score) AS BIGINT) AS margin_micro
          FROM j GROUP BY 1, 2
          HAVING COUNT(*) >= 2""",
+    // q322: the ANN-COMPOSED hard-negative path — q32's IVF replay
+    // (seeded codebook, argmax assignment, 4-cell probing) generates
+    // the candidates, then q169's band/rank arithmetic runs verbatim
+    // over them. A green hash certifies the composed 100 TB plan, not
+    // just its pieces.
+    "q322_ann_hard_negatives" ->
+      s"""WITH un AS MATERIALIZED (
+           SELECT u.vec_id, u.v, e.label
+           FROM ($normalizedVectors) u
+           JOIN embeddings e ON e.vec_id = u.vec_id),
+         cents AS (SELECT vec_id AS c_id, v AS cv FROM un WHERE vec_id < 16),
+         sims AS MATERIALIZED (
+           SELECT un.vec_id, c_id,
+             list_sum(list_transform(list_zip(un.v, cv), p -> p[1]*p[2])) AS sim
+           FROM un CROSS JOIN cents),
+         assigned AS (
+           SELECT vec_id, c_id FROM (
+             SELECT vec_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY sim DESC, c_id ASC) AS rn
+             FROM sims) WHERE rn = 1),
+         aprobes AS (
+           SELECT vec_id AS a_id, c_id FROM (
+             SELECT vec_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY sim DESC, c_id ASC) AS rn
+             FROM sims) WHERE rn <= 4),
+         cand AS (
+           SELECT p.a_id, a.vec_id AS n_id
+           FROM aprobes p JOIN assigned a ON a.c_id = p.c_id
+           WHERE a.vec_id != p.a_id),
+         scored AS (
+           SELECT c.a_id, c.n_id,
+             CAST(floor(1000000.0 * list_sum(list_transform(
+               list_zip(ua.v, ub.v), p -> p[1]*p[2]))) AS BIGINT) AS sim_micro
+           FROM cand c
+           JOIN un ua ON ua.vec_id = c.a_id
+           JOIN un ub ON ub.vec_id = c.n_id
+           WHERE ua.label != ub.label)
+         SELECT a_id, n_id, sim_micro, CAST(rn AS INTEGER) AS neg_rank
+         FROM (
+           SELECT a_id, n_id, sim_micro, ROW_NUMBER() OVER (
+             PARTITION BY a_id ORDER BY sim_micro DESC, n_id ASC) AS rn
+           FROM scored
+           WHERE sim_micro >= 100000 AND sim_micro < 950000)
+         WHERE rn <= 5""",
+    // q323: the ANN-composed bitext path — source rows probe 4 IVF
+    // cells, candidates are targets assigned there, and q168's margin
+    // arithmetic (top-4 sums per side OVER THE CANDIDATE SET, one
+    // final division, forward-best rank, >= 105) replays verbatim.
+    "q323_ann_bitext_mine" ->
+      s"""WITH un AS MATERIALIZED (
+           SELECT u.vec_id, u.v, e.label
+           FROM ($normalizedVectors) u
+           JOIN embeddings e ON e.vec_id = u.vec_id),
+         cents AS (SELECT vec_id AS c_id, v AS cv FROM un WHERE vec_id < 16),
+         csims AS MATERIALIZED (
+           SELECT un.vec_id, un.label, c_id,
+             list_sum(list_transform(list_zip(un.v, cv), p -> p[1]*p[2])) AS sim
+           FROM un CROSS JOIN cents),
+         assigned AS (
+           SELECT vec_id, c_id FROM (
+             SELECT vec_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY sim DESC, c_id ASC) AS rn
+             FROM csims) WHERE rn = 1),
+         tgt AS (
+           SELECT a.c_id, a.vec_id AS t_id FROM assigned a
+           JOIN un ON un.vec_id = a.vec_id WHERE un.label = 1),
+         sprobes AS (
+           SELECT vec_id AS s_id, c_id FROM (
+             SELECT vec_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY sim DESC, c_id ASC) AS rn
+             FROM csims WHERE label = 0) WHERE rn <= 4),
+         sims AS MATERIALIZED (
+           SELECT p.s_id, t.t_id,
+             CAST(floor(1000000.0 * list_sum(list_transform(
+               list_zip(us.v, ut.v), p -> p[1]*p[2]))) AS BIGINT) AS sim_micro
+           FROM sprobes p JOIN tgt t ON t.c_id = p.c_id
+           JOIN un us ON us.vec_id = p.s_id
+           JOIN un ut ON ut.vec_id = t.t_id),
+         tops AS (
+           SELECT s_id, CAST(SUM(sim_micro) AS BIGINT) AS sk FROM (
+             SELECT s_id, sim_micro, ROW_NUMBER() OVER (PARTITION BY s_id
+               ORDER BY sim_micro DESC, t_id ASC) AS rn FROM sims)
+           WHERE rn <= 4 GROUP BY 1),
+         topt AS (
+           SELECT t_id, CAST(SUM(sim_micro) AS BIGINT) AS tk FROM (
+             SELECT t_id, sim_micro, ROW_NUMBER() OVER (PARTITION BY t_id
+               ORDER BY sim_micro DESC, s_id ASC) AS rn FROM sims)
+           WHERE rn <= 4 GROUP BY 1),
+         sc AS (
+           SELECT s.s_id, s.t_id, s.sim_micro,
+             CAST(floor(CAST(800 * s.sim_micro AS DOUBLE) /
+               CAST(a.sk + b.tk AS DOUBLE)) AS BIGINT) AS margin_pct
+           FROM sims s JOIN tops a USING (s_id) JOIN topt b USING (t_id)
+           WHERE a.sk + b.tk > 0)
+         SELECT s_id, t_id, sim_micro, margin_pct FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY s_id
+             ORDER BY margin_pct DESC, sim_micro DESC, t_id ASC) AS rn
+           FROM sc)
+         WHERE rn = 1 AND margin_pct >= 105""",
+    // q324: prefix-cache hit rates by depth — md5 of each doc's first
+    // d*16 normalized chars (full blocks only), per-depth distinct
+    // census, hit_ppm = (n_docs - n_distinct)*1e6 DIV n_docs.
+    "q324_prefix_cache" ->
+      s"""WITH t AS (SELECT $normText AS t FROM documents),
+         d AS (
+           SELECT CAST(i AS BIGINT) AS depth,
+             md5(substr(t, 1, CAST(i * 16 AS INT))) AS pfx
+           FROM t, LATERAL (SELECT UNNEST(range(1, 9)) AS i) g
+           WHERE length(t) >= i * 16),
+         g AS (
+           SELECT depth, pfx, CAST(COUNT(*) AS BIGINT) AS c
+           FROM d GROUP BY 1, 2)
+         SELECT depth, CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+             AS n_shared_docs,
+           CAST((SUM(c) - COUNT(*)) * 1000000 // SUM(c) AS BIGINT)
+             AS hit_ppm
+         FROM g GROUP BY 1""",
+    // q325: pass@k in the product form, the factor chain generated
+    // with the same literal indices and multiplication order as the
+    // Spark side (identical-tree doubles over exact integers).
+    "q325_pass_at_k" -> passAtKOracleSql(Seq(1, 5, 10), 5000L),
+    // q326: nucleus truncation — bigram counts, (c desc, nxt asc)
+    // running sums per context, first rank with 10*cum >= 9*total.
+    "q326_nucleus_audit" ->
+      s"""WITH words AS (
+           SELECT string_split($normText, ' ') AS w FROM documents),
+         big AS (
+           SELECT w[i] AS prev, w[i + 1] AS nxt
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w))) AS i) g
+           WHERE len(w) >= 2),
+         cnt AS (
+           SELECT prev, nxt, CAST(COUNT(*) AS BIGINT) AS c
+           FROM big GROUP BY 1, 2),
+         rk AS (
+           SELECT prev, c,
+             ROW_NUMBER() OVER (PARTITION BY prev
+               ORDER BY c DESC, nxt ASC) AS rk,
+             SUM(c) OVER (PARTITION BY prev
+               ORDER BY c DESC, nxt ASC ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER (PARTITION BY prev) AS total,
+             COUNT(*) OVER (PARTITION BY prev) AS fanout
+           FROM cnt)
+         SELECT prev, CAST(fanout AS BIGINT) AS fanout,
+           CAST(total AS BIGINT) AS total,
+           CAST(MIN(rk) AS BIGINT) AS nucleus_k,
+           CAST(arg_min(cum, rk) * 1000000 // total AS BIGINT) AS mass_ppm
+         FROM rk WHERE cum * 10 >= total * 9
+         GROUP BY prev, fanout, total""",
+    // q327: curriculum pacing — word-rarity difficulty (per-term
+    // truncating division, order-free), global easy-first rank,
+    // exponential stage boundaries nn*(2^s - 1) DIV 15.
+    "q327_curriculum" ->
+      s"""WITH wf AS (
+           SELECT doc_id, w FROM (
+             SELECT doc_id, UNNEST(string_split($normText, ' ')) AS w
+             FROM documents)
+           WHERE w <> ''),
+         cnts AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM wf GROUP BY 1),
+         diff AS (
+           SELECT doc_id, CAST(SUM(1000000 // cnt) AS BIGINT) AS difficulty,
+             CAST(COUNT(*) AS BIGINT) AS ntok
+           FROM wf JOIN cnts USING (w) GROUP BY 1),
+         rk AS (
+           SELECT doc_id, difficulty, ntok,
+             ROW_NUMBER() OVER (ORDER BY difficulty ASC, doc_id ASC) AS rk
+           FROM diff),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM diff),
+         st AS (
+           SELECT difficulty, ntok, rk,
+             CASE WHEN rk <= nn * 1 // 15 THEN 1
+                  WHEN rk <= nn * 3 // 15 THEN 2
+                  WHEN rk <= nn * 7 // 15 THEN 3
+                  ELSE 4 END AS stage
+           FROM rk CROSS JOIN tot)
+         SELECT CAST(stage AS BIGINT) AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(difficulty) AS BIGINT) AS min_difficulty,
+           CAST(MAX(difficulty) AS BIGINT) AS max_difficulty,
+           CAST(SUM(ntok) AS BIGINT) AS stage_tokens,
+           CAST(MIN(rk) AS BIGINT) AS first_rank,
+           CAST(MAX(rk) AS BIGINT) AS last_rank
+         FROM st GROUP BY 1""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

@@ -756,7 +756,7 @@ object Experiment {
     val withN = scored.crossJoin(broadcast(
       scored.agg(count(lit(1)).as("n"))))
     val ranked = Relational.chunkedRowNumber(withN,
-      bucket = (-floor(col("score") / lit(10000L))).cast("long"),
+      bucket = Relational.rangeBucket(col("score"), 10000L, descending = true),
       order = Seq(col("score").desc, col("doc_id").asc))
       .withColumn("decile", expr("(10 * (rk - 1)) DIV n"))
     val per = ranked.groupBy(col("decile"))
@@ -1035,7 +1035,7 @@ object Experiment {
     // this construction's cal set is a corpus half, not a bounded
     // sample, so the partition-less window was the q303/q304 class
     val qhat = Relational.chunkedRowNumber(cal,
-      bucket = floor(col("nonconf") / lit(10000L)).cast("long"),
+      bucket = Relational.rangeBucket(col("nonconf"), 10000L),
       order = Seq(col("nonconf").asc, col("doc_id").asc))
       .crossJoin(broadcast(nCal))
       .withColumn("k_rank",
@@ -1130,7 +1130,7 @@ object Experiment {
     // inclusive cumulative) — the doc-grain frame here is the scored
     // corpus, so the partition-less windows were the q303/q304 class
     val scored = rocAucScored(spark, sfDir).localCheckpoint(true)
-    val bucket = (-floor(col("score") / lit(10000L))).cast("long")
+    val bucket = Relational.rangeBucket(col("score"), 10000L, descending = true)
     val ord = Seq(col("score").desc, col("doc_id").asc)
     val ranked = Relational.chunkedPrefixSum(
       Relational.chunkedRowNumber(scored, bucket, ord)
@@ -1498,7 +1498,7 @@ object Experiment {
     // hazard class; the per-source ranks above are already keyed)
     val ref = Relational.chunkedRowNumber(
       s.filter(col("source") === refSource && col("is_en")),
-      bucket = floor(col("score") / lit(1024L)).cast("long"),
+      bucket = Relational.rangeBucket(col("score"), 1024L),
       order = Seq(col("score").asc, col("doc_id").asc), out = "ref_rk")
       .select(col("ref_rk"), col("score").as("aligned_score"))
     val nRef = ref.agg(count(lit(1)).cast("long").as("n_ref"))
@@ -1622,5 +1622,46 @@ object Experiment {
         col("mad_cents"), col("n_outliers"),
         expr("CAST(n_outliers * 1000000 DIV n AS BIGINT)")
           .as("outlier_ppm"))
+  }
+  /** The q325 driver entry: PASS@K ESTIMATOR — the unbiased
+    * best-of-n evaluation statistic of Chen et al. 2021 (Codex,
+    * eq. 1): a task with n sampled attempts of which c are correct
+    * has pass@k = 1 − C(n−c, k)/C(n, k), computed in the numerically
+    * stable product form 1 − Π_{i=0..k−1} (n−c−i)/(n−i) (the paper's
+    * own implementation note — binomials overflow where the product
+    * does not). Tasks here are users, attempts their events, and
+    * "correct" is the exact-cents threshold (≥ `centsThreshold`), so
+    * n and c are exact integers and the product is a fixed
+    * left-to-right chain of k literal-indexed factors — the
+    * identical-tree double device (both engines multiply the same
+    * exact-integer ratios in the same order, then floor once to ppm).
+    * A factor with n−c−i ≤ 0 short-circuits the whole product to 0
+    * exactly (every k-subset contains a correct attempt: pass@k = 1).
+    *
+    * Scale shape: ONE map-side-combined user-grain aggregate over the
+    * fact table; the per-k product is row-local arithmetic on that
+    * bounded (user × k) grain. No windows, no joins.
+    */
+  def passAtK(
+      spark: SparkSession, sfDir: String,
+      ks: Seq[Int] = Seq(1, 5, 10),
+      centsThreshold: Long = 5000L): DataFrame = {
+    val per = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("cents") >= centsThreshold, 1L).otherwise(0L))
+          .cast("long").as("c"))
+    ks.map { k =>
+      val prod = (0 until k).map(i =>
+        s"(CASE WHEN n - c - $i <= 0 THEN 0.0 ELSE " +
+          s"CAST(n - c - $i AS DOUBLE) / CAST(n - $i AS DOUBLE) END)")
+        .mkString(" * ")
+      per.where(col("n") >= k)
+        .select(col("user_id"), lit(k.toLong).as("k"), col("n"), col("c"),
+          expr(s"CAST(floor(1000000.0 * (1.0 - $prod)) AS BIGINT)")
+            .as("pass_ppm"))
+    }.reduce(_ unionByName _)
   }
 }

@@ -38,18 +38,34 @@ object Preference {
     * fixture SF, so the key is strictly monotone in (score, id) and
     * < 10¹³) — because DuckDB v1.0's arg_max cannot order by STRUCT;
     * the same packed key runs on both engines, proving the tie rule.
+    * The id bound is LOAD-BEARING for monotonicity and — since the
+    * oracle packs identically — a violation would reorder BOTH
+    * engines in agreement, invisibly; a doc_id outside [0, 10⁷)
+    * therefore raises at evaluation time (round-15 advice) instead of
+    * silently making chosen_id inconsistent with chosen_score.
     *
     * Scale shape: one scored scan, one stratum-keyed aggregate
     * (map-side combined; max_by/min_by are single-row state) — the
     * pair table lives on the bounded stratum domain. No ranks, no
     * windows, no joins beyond the score build.
     */
-  def preferencePairs(spark: SparkSession, sfDir: String): DataFrame = {
+  def preferencePairs(spark: SparkSession, sfDir: String,
+      idBound: Long = 10000000L): DataFrame = {
+    // idBound is the packed-key multiplier: callers on corpora with
+    // ids >= 10^7 pass a wider bound (score <= 10^6 micros keeps the
+    // key under 2^63 up to idBound = 10^12); the oracle packs with
+    // the DEFAULT, so only the default runs under the hash gate
     val scored = Experiment.rocAucScored(spark, sfDir)
       .select(col("doc_id"), col("score"))
       .join(Tables.load(spark, sfDir, "documents")
         .select(col("doc_id"), col("source"), col("lang")), "doc_id")
-    val key = col("score") * lit(10000000L) + col("doc_id")
+    val guardedId = when(
+      col("doc_id") < 0L || col("doc_id") >= lit(idBound),
+      raise_error(lit("preferencePairs: doc_id outside the packed-key " +
+        s"domain [0, $idBound) — widen idBound (and the oracle's " +
+        "multiplier) before mining pairs on this corpus")))
+      .otherwise(col("doc_id"))
+    val key = col("score") * lit(idBound) + guardedId
     scored.groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         max_by(col("doc_id"), key).cast("long").as("chosen_id"),

@@ -2390,7 +2390,7 @@ object Relational {
     // catalogs are corpus-scale, so the partition-less window here
     // was the q303/q304 hazard class
     chunkedRowNumber(scored,
-      bucket = (-floor(col("wilson_micro") / lit(10000L))).cast("long"),
+      bucket = rangeBucket(col("wilson_micro"), 10000L, descending = true),
       order = Seq(col("wilson_micro").desc, col("k").asc))
       .select(col("k"), col("clicks"), col("n"), col("ctr"),
         col("wilson_micro"), col("rk").cast("int").as("rk"))
@@ -2979,11 +2979,19 @@ object Relational {
     * Used by q303/q304 (round-13 verdict: both ranked the corpus
     * through a partition-less window) and available to any future
     * global-order manifest.
+    *
+    * `bucket` MUST be non-null on every row: the offset equi-join and
+    * the triangular `<` both discard NULL keys, which would silently
+    * drop rows where the naive global window keeps them (NULLS FIRST).
+    * Rather than inventing a type-generic "sorts before everything"
+    * sentinel, a NULL bucket fails loudly at evaluation time
+    * (round-15 advice) — callers with nullable keys coalesce to an
+    * explicit in-domain bucket themselves.
     */
   def chunkedRowNumber(
       df: DataFrame, bucket: Column,
       order: Seq[Column], out: String = "rk"): DataFrame = {
-    val b = df.withColumn("__bk", bucket)
+    val b = df.withColumn("__bk", guardNonNullBucket(bucket))
     val counts = b.groupBy(col("__bk")).agg(count(lit(1)).as("__c"))
     val offs = counts.as("a")
       .join(counts.as("b"), col("b.__bk") < col("a.__bk"), "left")
@@ -2994,6 +3002,40 @@ object Relational {
       .withColumn(out, (col("__off") + row_number().over(wIn)).cast("long"))
       .drop("__bk", "__off")
   }
+
+  /** EXACT fixed-width range bucket for the chunked-rank family
+    * (round-15 advice): `floor(key / lit(w))` runs Spark's `/` on
+    * BIGINTs as DOUBLE division — exact for the micro/cents keys used
+    * today (bounded well under 2^53) but a key above 2^53 could round
+    * ACROSS a bucket boundary and silently violate the
+    * bucket-is-a-prefix-of-the-order contract at exactly the scale the
+    * device targets. `IntegralDivide` is exact for any BIGINT.
+    * Truncation-toward-zero (vs floor) merely merges the buckets
+    * nearest zero a little differently — x DIV w is still monotone
+    * non-decreasing in x for either sign, which is ALL the prefix
+    * contract requires, and the helper's output ranks are identical.
+    * `descending = true` negates the quotient for keys ranked DESC
+    * (ascending bucket = descending key prefix).
+    */
+  def rangeBucket(key: Column, width: Long, descending: Boolean = false): Column = {
+    import org.apache.spark.sql.graftshim
+    val q = graftshim.exprToColumn(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        graftshim.columnToExpr(key.cast("long")),
+        graftshim.columnToExpr(lit(width))))
+    (if (descending) -q else q).cast("long")
+  }
+
+  /** NULL-bucket tripwire shared by the chunked-rank family: a
+    * whole-stage-codegen'd branch (no UDF) that raises on the first
+    * NULL bucket instead of letting the offset joins drop the row.
+    */
+  private def guardNonNullBucket(bucket: Column): Column =
+    when(bucket.isNull, raise_error(lit(
+      "chunkedRowNumber/chunkedPrefixSum: bucket expression evaluated to NULL " +
+        "(contract: bucket is a non-null prefix of the sort order; " +
+        "coalesce nullable keys to an in-domain bucket)")))
+      .otherwise(bucket)
 
   /** CHUNKED EXCLUSIVE PREFIX SUM — the SUM twin of
     * [[chunkedRowNumber]]: output-identical to
@@ -3009,7 +3051,8 @@ object Relational {
   def chunkedPrefixSum(
       df: DataFrame, bucket: Column, order: Seq[Column],
       value: Column, out: String = "psum"): DataFrame = {
-    val b = df.withColumn("__bk", bucket).withColumn("__v", value)
+    val b = df.withColumn("__bk", guardNonNullBucket(bucket))
+      .withColumn("__v", value)
     val totals = b.groupBy(col("__bk")).agg(sum(col("__v")).as("__s"))
     val offs = totals.as("a")
       .join(totals.as("b"), col("b.__bk") < col("a.__bk"), "left")

@@ -658,6 +658,139 @@ object Similarity {
       .where(col("neg_rank") <= m)
   }
 
+  /** The q322 driver entry: ANN-COMPOSED HARD-NEGATIVE MINING — the
+    * production form of [[hardNegatives]]: the candidate frame comes
+    * from the q32 IVF index (seeded codebook, cell co-membership)
+    * instead of the exact cross join, and the band/rank arithmetic
+    * downstream is IDENTICAL. This is the entry that turns the "at
+    * 100 TB the candidates come from ANN" prose on [[hardNegatives]]
+    * into an oracle-proven plan (round-15 verdict #3).
+    *
+    * Candidate generation: every corpus vector is assigned to its one
+    * nearest cell ([[assignCells]] — broadcast codebook, argmax, no
+    * corpus-side shuffle of the vectors); every ANCHOR probes its
+    * `probes` nearest cells; candidates = different-label vectors
+    * assigned to a probed cell. Because assignment is a partition,
+    * each (anchor, candidate) pair arises at most once — no dedup
+    * stage. The cell-keyed join co-partitions both sides on `c_id`:
+    * per-cell work is |cell| x (anchors probing it), the classic IVF
+    * block product — probes/clusters of the quadratic, and the
+    * quadratic itself never materializes (same candidate-cost law as
+    * [[annIvf]]: ~probes/clusters of the corpus per anchor).
+    *
+    * Exactness: identical to q169 — cosines floor to micro-units
+    * once, the band is integer, the rank's (sim desc, id asc) order
+    * is total. The oracle replays codebook, assignment, probing, and
+    * the band/rank verbatim, so the GREEN row certifies the composed
+    * scale path itself, not just its pieces.
+    */
+  def annHardNegatives(
+      spark: SparkSession, sfDir: String,
+      m: Int = 5, loMicro: Long = 100000L, hiMicro: Long = 950000L,
+      clusters: Int = ivfClusters, probes: Int = ivfProbes): DataFrame = {
+    val u = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        Vectors.l2normalize(col("embedding")).as("v"))
+    val corpus = u.select(col("vec_id"), col("v").as("u"))
+    val cents = seededCodebook(corpus, clusters)
+    val assigned = assignCells(corpus, cents).join(u, "vec_id")
+      .select(col("c_id"), col("vec_id").as("n_id"),
+        col("label").as("n_label"), col("v").as("nv"))
+    val wp = Window.partitionBy(col("a_id"))
+      .orderBy(col("sim").desc, col("c_id").asc)
+    val aProbes = u
+      .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("v").as("av"))
+      .crossJoin(broadcast(cents))
+      .select(col("a_id"), col("a_label"), col("av"), col("c_id"),
+        Vectors.dot(col("av"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(wp))
+      .where(col("rn") <= probes)
+      .select(col("a_id"), col("a_label"), col("av"), col("c_id"))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("sim_micro").desc, col("n_id").asc)
+    aProbes.join(assigned, "c_id")
+      .where(col("a_id") =!= col("n_id") &&
+        col("a_label") =!= col("n_label"))
+      .select(col("a_id"), col("n_id"),
+        floor(lit(1000000.0) * Vectors.dot(col("av"), col("nv")))
+          .cast("long").as("sim_micro"))
+      .where(col("sim_micro") >= loMicro && col("sim_micro") < hiMicro)
+      .withColumn("neg_rank", row_number().over(w))
+      .where(col("neg_rank") <= m)
+  }
+
+  /** The q323 driver entry: ANN-COMPOSED BITEXT MINING — [[bitextMine]]
+    * with its sims frame served by the q32 IVF index instead of the
+    * exact label-slice cross join (the CCMatrix deployment shape: the
+    * margin is computed over each side's ANN shortlist, Artetxe &
+    * Schwenk 2019 §3.2). Source rows probe their `probes` nearest
+    * cells; the candidate sims are (source x targets assigned to a
+    * probed cell); sk/tk are each side's top-k sums OVER THE CANDIDATE
+    * SET — exactly how the production system computes them, since the
+    * all-pairs sims never exist. Margin arithmetic, the one final
+    * division, the forward-best rank, and the threshold are q168's
+    * verbatim.
+    *
+    * Scale shape: one broadcast-codebook assignment pass per side,
+    * one cell-keyed co-partitioned join (probes/clusters of the
+    * quadratic), two candidate-grain top-k windows keyed on one
+    * side's id, one margin join. The candidate frame is pinned once
+    * (read 3x: both top-k sides + the margin join — the q291 rule,
+    * inherited from q168).
+    */
+  def annBitextMine(
+      spark: SparkSession, sfDir: String,
+      srcLabel: Int = 0, tgtLabel: Int = 1,
+      k: Int = 4, marginPct: Long = 105L,
+      clusters: Int = ivfClusters, probes: Int = ivfProbes): DataFrame = {
+    val u = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        Vectors.l2normalize(col("embedding")).as("v"))
+    val corpus = u.select(col("vec_id"), col("v").as("u"))
+    val cents = seededCodebook(corpus, clusters)
+    val tgt = assignCells(corpus, cents).join(u, "vec_id")
+      .where(col("label") === tgtLabel)
+      .select(col("c_id"), col("vec_id").as("t_id"), col("v").as("tv"))
+    val wp = Window.partitionBy(col("s_id"))
+      .orderBy(col("sim").desc, col("c_id").asc)
+    val sProbes = u.where(col("label") === srcLabel)
+      .select(col("vec_id").as("s_id"), col("v").as("sv"))
+      .crossJoin(broadcast(cents))
+      .select(col("s_id"), col("sv"), col("c_id"),
+        Vectors.dot(col("sv"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(wp))
+      .where(col("rn") <= probes)
+      .select(col("s_id"), col("sv"), col("c_id"))
+    val sims = sProbes.join(tgt, "c_id")
+      .select(col("s_id"), col("t_id"),
+        floor(lit(1000000.0) * Vectors.dot(col("sv"), col("tv")))
+          .cast("long").as("sim_micro"))
+      .localCheckpoint(true) // read 3x (top-k both sides + the join)
+    val wS = Window.partitionBy(col("s_id"))
+      .orderBy(col("sim_micro").desc, col("t_id").asc)
+    val topS = sims.withColumn("rn", row_number().over(wS))
+      .where(col("rn") <= k)
+      .groupBy(col("s_id")).agg(sum(col("sim_micro")).as("sk"))
+    val wT = Window.partitionBy(col("t_id"))
+      .orderBy(col("sim_micro").desc, col("s_id").asc)
+    val topT = sims.withColumn("rn", row_number().over(wT))
+      .where(col("rn") <= k)
+      .groupBy(col("t_id")).agg(sum(col("sim_micro")).as("tk"))
+    val wBest = Window.partitionBy(col("s_id"))
+      .orderBy(col("margin_pct").desc, col("sim_micro").desc,
+        col("t_id").asc)
+    sims.join(topS, "s_id").join(topT, "t_id")
+      .where(col("sk") + col("tk") > 0)
+      .withColumn("margin_pct",
+        floor((lit(100L * 2 * k) * col("sim_micro")).cast("double") /
+          (col("sk") + col("tk")).cast("double")).cast("long"))
+      .withColumn("rn", row_number().over(wBest))
+      .where(col("rn") === 1 && col("margin_pct") >= marginPct)
+      .select(col("s_id"), col("t_id"), col("sim_micro"),
+        col("margin_pct"))
+  }
+
   /** The q175 driver entry: EMBEDDING DRIFT MONITOR — the standing
     * alarm a production feature store runs between embedding-model
     * versions: per-label centroids of the day-1 encoding vs the

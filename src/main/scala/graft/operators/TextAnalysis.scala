@@ -687,10 +687,10 @@ object TextAnalysis {
     // every upstream rank's join+window per level
     val fused = Relational.chunkedRowNumber(
       Relational.chunkedRowNumber(cand,
-        bucket = (-floor(col("lex_total") / lit(1024L))).cast("long"),
+        bucket = Relational.rangeBucket(col("lex_total"), 1024L, descending = true),
         order = Seq(col("lex_total").desc, col("doc_id").asc),
         out = "rank_lex").localCheckpoint(true),
-      bucket = (-floor(col("quality_micro") / lit(1024L))).cast("long"),
+      bucket = Relational.rangeBucket(col("quality_micro"), 1024L, descending = true),
       order = Seq(col("quality_micro").desc, col("doc_id").asc),
       out = "rank_q")
       .withColumn("rrf_scaled",
@@ -2300,7 +2300,7 @@ object TextAnalysis {
     val n = pinned.crossJoin(broadcast(
       pinned.agg(count(lit(1)).as("n"))))
     Relational.chunkedRowNumber(n,
-      bucket = floor(col("nll_avg_micro") / lit(1024L)).cast("long"),
+      bucket = Relational.rangeBucket(col("nll_avg_micro"), 1024L),
       order = Seq(col("nll_avg_micro").asc, col("doc_id").asc))
       .withColumn("tercile", expr("(3 * (rk - 1)) DIV n"))
       .select(col("doc_id"), col("n_bigrams"), col("nll_avg_micro"),
@@ -2462,7 +2462,7 @@ object TextAnalysis {
       .withColumn("n", size(col("w")).cast("long"))
       .where(col("n") >= 2)
     val ranked = Relational.chunkedRowNumber(docs,
-      bucket = floor(col("doc_id") / lit(4096)).cast("long"),
+      bucket = Relational.rangeBucket(col("doc_id"), 4096),
       order = Seq(col("doc_id").asc), out = "drk")
     val n = ranked.count()
     val grams = ranked
@@ -2542,5 +2542,100 @@ object TextAnalysis {
           .as("dup_ppm"),
         col("max_rep"))
       .withColumn("flagged", col("dup_ppm") > flagPpm)
+  }
+
+  /** The q324 driver entry: PREFIX-CACHE AUDIT — the serving-side
+    * accounting behind paged-KV prefix caching (vLLM's radix-tree /
+    * "automatic prefix caching", SGLang's RadixAttention): when many
+    * requests share a leading span (system prompts, few-shot headers,
+    * RAG boilerplate), the KV blocks of the shared prefix are computed
+    * once and reused, and capacity planning needs the HIT RATE BY
+    * DEPTH before the cache is built. The corpus stands in for the
+    * request log: per depth d (1..maxDepth blocks of `blockChars`
+    * normalized chars), documents group by the md5 of their first
+    * d·blockChars chars — only 16-byte digests shuffle, never the
+    * prefixes — and a doc is a cache HIT at depth d iff an earlier doc
+    * shares the group (first-per-group is the miss), so
+    * hit_ppm = (n_docs − n_distinct) · 10⁶ / n_docs exactly.
+    *
+    * All counting is integer; full blocks only (a doc shorter than
+    * d·blockChars leaves the audit at depth d — partial-block sharing
+    * would claim savings a block-granular cache cannot realize).
+    *
+    * Scale shape: one scan exploding ≤ maxDepth rows per doc, one
+    * digest-grain map-side-combined count, then a reduce onto the
+    * BOUNDED depth domain (maxDepth rows total). Nothing here is
+    * corpus-quadratic and no window exists at all.
+    */
+  def prefixCacheAudit(
+      spark: SparkSession, sfDir: String,
+      blockChars: Int = 16, maxDepth: Int = 8): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(normalizedText(col("text")).as("t"))
+    docs
+      .select(col("t"),
+        explode(sequence(lit(1), lit(maxDepth))).as("depth"))
+      .where(length(col("t")) >= col("depth") * blockChars)
+      .select(col("depth").cast("long").as("depth"),
+        md5(expr(s"substr(t, 1, depth * $blockChars)")).as("pfx"))
+      .groupBy(col("depth"), col("pfx"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("depth"))
+      .agg(sum(col("c")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        sum(when(col("c") >= 2L, col("c")).otherwise(0L)).cast("long")
+          .as("n_shared_docs"))
+      .withColumn("hit_ppm",
+        expr("(n_docs - n_distinct) * 1000000 DIV n_docs"))
+  }
+
+  /** The q326 driver entry: NUCLEUS (top-p) TRUNCATION AUDIT — the
+    * sampling-head accounting (Holtzman et al. 2020): per context the
+    * next-token distribution is cut at the smallest prefix of
+    * probability-sorted tokens whose mass reaches p. Here the contexts
+    * are the corpus's previous-word unigram states and the
+    * distribution is the observed bigram frequency — the exact
+    * integer-count setting where nucleus size and captured mass are
+    * computable WITHOUT floats: sort next-words by (count desc, word
+    * asc) — a total order — take the running sum, and the nucleus at
+    * p = 9/10 is the first rank where 10·cum ≥ 9·total. Reported per
+    * context: fan-out, nucleus size, captured-mass ppm (one
+    * truncating division at the very end).
+    *
+    * Scale shape: bigram counts are the only fact-scale stage
+    * (map-side combined, bigram-key exchange); every window below
+    * runs on the BOUNDED context domain (the vocabulary), partitioned
+    * by context — the bounded-domain exception to the global-window
+    * rule, documented per the q303/q304 hazard survey.
+    */
+  def nucleusAudit(
+      spark: SparkSession, sfDir: String, pNum: Int = 9,
+      pDen: Int = 10): DataFrame = {
+    val words = Tables.load(spark, sfDir, "documents")
+      .select(split(normalizedText(col("text")), " ").as("w"))
+    val bigrams = words
+      .where(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS prev, w[i] AS nxt))"))
+        .as("b"))
+      .groupBy(col("b.prev").as("prev"), col("b.nxt").as("nxt"))
+      .agg(count(lit(1)).as("c"))
+    val wRank = Window.partitionBy(col("prev"))
+      .orderBy(col("c").desc, col("nxt").asc)
+    val wCum = wRank.rowsBetween(Window.unboundedPreceding, 0L)
+    val wTot = Window.partitionBy(col("prev"))
+    val ranked = bigrams
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("cum", sum(col("c")).over(wCum).cast("long"))
+      .withColumn("total", sum(col("c")).over(wTot).cast("long"))
+      .withColumn("fanout", count(lit(1)).over(wTot).cast("long"))
+    ranked
+      .where(col("cum") * pDen >= col("total") * pNum)
+      .groupBy(col("prev"), col("fanout"), col("total"))
+      .agg(min(col("rk")).cast("long").as("nucleus_k"),
+        min(struct(col("rk"), col("cum"))).getField("cum").cast("long")
+          .as("nucleus_mass"))
+      .select(col("prev"), col("fanout"), col("total"), col("nucleus_k"),
+        expr("nucleus_mass * 1000000 DIV total").as("mass_ppm"))
   }
 }

@@ -1155,7 +1155,7 @@ object TrainingPrep {
       bucket = substring(lbSalt, 1, 2),
       Seq(lbSalt.asc, col("doc_id").asc))
       .unionByName(scheme("length_sorted",
-        bucket = floor(col("ntok") / lit(16)).cast("long"),
+        bucket = Relational.rangeBucket(col("ntok"), 16),
         Seq(col("ntok").asc, col("doc_id").asc)))
   }
 
@@ -1197,7 +1197,7 @@ object TrainingPrep {
           .as("ntok"))
       .withColumn("item", (col("ntok") + lit(1L)).cast("long"))
     val ranked = Relational.chunkedRowNumber(toks,
-      bucket = (-floor(col("ntok") / lit(16))).cast("long"),
+      bucket = Relational.rangeBucket(col("ntok"), 16, descending = true),
       order = Seq(col("ntok").desc, col("doc_id").asc))
     val lists = ranked
       .withColumn("chunk", expr(s"CAST((rk - 1) DIV $chunkSize AS BIGINT)"))
@@ -1298,7 +1298,7 @@ object TrainingPrep {
       .select(col("doc_id"), col("n_words"),
         expr("wsum DIV n_words").as("aff_micro"))
     Relational.chunkedRowNumber(perDoc,
-      bucket = (-floor(col("aff_micro") / lit(10000L))).cast("long"),
+      bucket = Relational.rangeBucket(col("aff_micro"), 10000L, descending = true),
       order = Seq(col("aff_micro").desc, col("doc_id").asc))
       .where(col("rk") <= take)
       .select(col("rk").as("rnk"), col("doc_id"), col("n_words"),
@@ -1491,7 +1491,7 @@ object TrainingPrep {
       bucket = substring(sftSalt, 1, 2),
       Seq(sftSalt.asc, col("doc_id").asc))
       .unionByName(scheme("length_sorted",
-        bucket = floor(col("ntok") / lit(16)).cast("long"),
+        bucket = Relational.rangeBucket(col("ntok"), 16),
         Seq(col("ntok").asc, col("doc_id").asc)))
   }
 
@@ -1505,7 +1505,12 @@ object TrainingPrep {
     * replayed verbatim in the oracle (the q259 discipline): every
     * 31st doc is dropped (removed), every 29th surviving doc gains
     * an appended marker word (changed), and every 37th doc returns
-    * under a shifted id (added).
+    * under a shifted id (added). The shift maps into the NEGATIVE
+    * key space (−id−1): corpus ids are non-negative on every SF, so
+    * the planted "added" rows can never collide with a genuine v1
+    * key — an additive offset (the old +9·10⁶) silently reclassifies
+    * planted rows once ids reach the offset, and both engines would
+    * agree on the wrong answer (round-15 advice).
     *
     * Scale shape: one full-outer join on doc key carrying ONLY
     * (key, fp, source) — 16-byte digests, never text (the q20
@@ -1528,7 +1533,7 @@ object TrainingPrep {
     val v2 = v2base.unionByName(
       Tables.load(spark, sfDir, "documents")
         .where(col("doc_id") % 37 === 0)
-        .select((col("doc_id") + 9000000L).as("doc_id"), col("source"),
+        .select((-col("doc_id") - 1L).as("doc_id"), col("source"),
           md5(graft.operators.TextAnalysis.normalizedText(col("text")))
             .as("fp")))
     v1.select(col("doc_id"), col("source").as("src1"), col("fp").as("fp1"))
@@ -1742,7 +1747,7 @@ object TrainingPrep {
       .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
       .withColumn("n_bytes", (col("n_chars") + 1L).cast("long"))
     Relational.chunkedPrefixSum(docs,
-      bucket = floor(col("doc_id") / lit(4096)).cast("long"),
+      bucket = Relational.rangeBucket(col("doc_id"), 4096),
       order = Seq(col("doc_id").asc),
       value = col("n_bytes"), out = "start_offset")
       .select(col("doc_id"), col("n_bytes"), col("start_offset"),
@@ -1909,5 +1914,60 @@ object TrainingPrep {
           .as("n_spans"),
         rendered(inputPiece).as("input_fp"),
         rendered(targetPiece).as("target_fp"))
+  }
+  /** The q327 driver entry: CURRICULUM PACING MANIFEST — the
+    * easy-to-hard training schedule (Bengio et al. 2009 curriculum
+    * learning, with the exponential pacing of Platanios et al. 2019):
+    * documents are scored for difficulty by WORD RARITY — per doc,
+    * difficulty = Σ_w (10⁶ DIV corpus_count(w)), a per-term
+    * truncating division so the sum is order-free and exact (rare
+    * words dominate; the 31-word fixture dictionary broadcasts, as
+    * any real vocabulary's count table would) — then globally ranked
+    * easy-first through [[graft.operators.Relational.chunkedRowNumber]]
+    * (fixed-width difficulty-range buckets, no partition-less window)
+    * and cut into `stages` exponentially growing stages: stage s
+    * covers ranks up to N·(2^s − 1) DIV (2^stages − 1), so each stage
+    * doubles the budget of the previous and the boundaries tile N
+    * exactly (the telescoping is spec-pinned). Output: one row per
+    * stage — counts, the difficulty span, token mass — the manifest a
+    * training loop reads its schedule from.
+    *
+    * Scale shape: one fact-scale word explode into a broadcast-
+    * dictionary join and a doc-grain sum, one chunked global rank,
+    * then a bounded reduce onto the `stages` domain. The stage CASE
+    * chain is row-local integer arithmetic.
+    */
+  def curriculumStages(
+      spark: SparkSession, sfDir: String, stages: Int = 4): DataFrame = {
+    val words = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(split(graft.operators.TextAnalysis
+          .normalizedText(col("text")), " ")).as("w"))
+      .where(col("w") =!= "")
+    val counts = words.groupBy(col("w"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val difficulty = words.join(broadcast(counts), "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("1000000 DIV cnt")).cast("long").as("difficulty"),
+        count(lit(1)).cast("long").as("ntok"))
+    val ranked = Relational.chunkedRowNumber(difficulty,
+      bucket = Relational.rangeBucket(col("difficulty"), 1L << 20),
+      order = Seq(col("difficulty").asc, col("doc_id").asc))
+    val total = difficulty.agg(count(lit(1)).cast("long").as("nn"))
+    val denom = (1L << stages) - 1L
+    val stageExpr = (1 to stages).foldRight(lit(stages.toLong): Column) {
+      (s, rest) =>
+        when(col("rk") <= expr(s"nn * ${(1L << s) - 1L} DIV $denom"),
+          lit(s.toLong)).otherwise(rest)
+    }
+    ranked.crossJoin(broadcast(total))
+      .withColumn("stage", stageExpr)
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min(col("difficulty")).cast("long").as("min_difficulty"),
+        max(col("difficulty")).cast("long").as("max_difficulty"),
+        sum(col("ntok")).cast("long").as("stage_tokens"),
+        min(col("rk")).cast("long").as("first_rank"),
+        max(col("rk")).cast("long").as("last_rank"))
   }
 }

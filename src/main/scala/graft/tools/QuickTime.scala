@@ -49,12 +49,16 @@ object QuickTime {
       case None =>
         println("[quick] flagship_check:none median=-1.000 min=-1.000 max=-1.000")
     }
+    // hand-run diagnosis keeps the 5-rep default; Bench's deadline-
+    // driven confirm forks set 3 (round-15) so a fork's cost fits the
+    // remaining driver budget more often
+    val reps = sys.env.getOrElse("SPARK_GRAFT_QUICK_RUNS", "5").toInt
     names.foreach { n =>
       // a query that throws must not kill the remaining re-measures
       // (Bench's confirm pass runs a whole flagged set in one fork);
       // median=-1.000 marks the failure machine-readably
-      val ts = Seq.fill(5)(scala.util.Try(once(n)).getOrElse(-1.0)).sorted
-      val med = if (ts.contains(-1.0)) -1.0 else ts(2)
+      val ts = Seq.fill(reps)(scala.util.Try(once(n)).getOrElse(-1.0)).sorted
+      val med = if (ts.contains(-1.0)) -1.0 else ts(reps / 2)
       println(f"[quick] $n median=$med%.3f min=${ts.head}%.3f max=${ts.last}%.3f")
     }
     spark.stop()

@@ -295,7 +295,23 @@ object ScalingProbe {
       "q318_sft_density" -> (d => graft.operators.TrainingPrep.sftLossDensity(spark, d)),
       "q319_crawl_diff" -> (d => graft.operators.TrainingPrep.crawlDiff(spark, d)),
       "q320_watermark" -> (d => graft.operators.TextAnalysis.watermarkDetect(spark, d)),
-      "q321_pref_pairs" -> (d => graft.operators.Preference.preferencePairs(spark, d)))
+      // K-copy ids reach (K-1)*10^7 + 10^6 — past the default packed-
+      // key domain, which now raises loudly (round-15 advice); the
+      // probe passes the wider bound the guard asks for
+      "q321_pref_pairs" -> (d => graft.operators.Preference
+        .preferencePairs(spark, d, idBound = 10000000000L)),
+      // round-15: the ANN-composed mining entries (verdict #3) — cell-
+      // keyed IVF block products, the q158 law: per-anchor candidates
+      // ~ probes·n/clusters, so a FIXED 16-cell codebook grows the
+      // block product with the corpus; production scales `clusters`
+      // with n (n²/k), probed here by the 64-cell variants exactly as
+      // q158_semdedup_64cell does
+      "q322_ann_hard_neg" -> (d => graft.operators.Similarity.annHardNegatives(spark, d)),
+      "q322_ann_hard_neg_64cell" -> (d =>
+        graft.operators.Similarity.annHardNegatives(spark, d, clusters = 64)),
+      "q323_ann_bitext" -> (d => graft.operators.Similarity.annBitextMine(spark, d)),
+      "q323_ann_bitext_64cell" -> (d =>
+        graft.operators.Similarity.annBitextMine(spark, d, clusters = 64)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))

@@ -145,6 +145,47 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.sweepIsDegraded(-1.0, 99.0))
   }
 
+  test("sweep flagship: best-ever q109 is consulted when prev lacks it (missing-medians round)") {
+    // the rc=124 failure leaves the next round's prev without q109;
+    // best-ever still carries the multi-second baseline and must win
+    // over the fragile sub-second q04 tell (round-15 advice)
+    assert(Bench.sweepFlagship(
+      Map("q04_agg_2a" -> 0.169),
+      Map("q109_profile" -> 3.407, "q04_agg_2a" -> 0.15)) ==
+      ("q109_profile", 3.407))
+  }
+
+  test("confirm budget: no fork launches when the remaining budget can't fit one") {
+    // rounds 13/14 died rc=124 retrying into the driver's kill — with
+    // the budget below the first-fork estimate the gate must bail
+    // BEFORE forking and come back unreliable
+    var forks = 0
+    def fork(names: Seq[String], sfDir: String): Map[String, Double] = {
+      forks += 1; Map("flagship_check" -> 0.45, "x" -> 1.0)
+    }
+    val (got, reliable) = Bench.forkQuickTime(
+      Seq("x"), "unused", q04Baseline = 0.4,
+      maxAttempts = 3, backoffMs = 0L, forkOnce = fork,
+      remainingSecFn = () => 10.0, firstForkEstSec = 120.0)
+    assert(!reliable && forks == 0 && got.isEmpty)
+  }
+
+  test("confirm budget: a contended fork stops retrying when backoff+fork no longer fit") {
+    // first fork reads loud; the measured fork cost (~0s in-test, so
+    // est floors at 30s) plus the 60s backoff exceeds the 50s left ->
+    // exactly one fork, unreliable, last times still visible
+    var forks = 0
+    def noisy(names: Seq[String], sfDir: String): Map[String, Double] = {
+      forks += 1; Map("flagship_check" -> 4.0, "x" -> 15.0)
+    }
+    val (got, reliable) = Bench.forkQuickTime(
+      Seq("x"), "unused", q04Baseline = 0.4,
+      maxAttempts = 3, backoffMs = 60000L, forkOnce = noisy,
+      remainingSecFn = () => 50.0, firstForkEstSec = 40.0)
+    assert(!reliable && forks == 1)
+    assert(got == Map("x" -> 15.0))
+  }
+
   test("confirm fork re-measures in a fresh JVM and reports a positive median") {
     // end-to-end: the test JVM's classpath/flags are what Bench would
     // fork with; a broken fork returns empty and must fail here, not

@@ -952,4 +952,51 @@ class ExperimentSpec extends AnyFunSuite {
         math.min(xs.length - 1, (xs.length + 1) / 2)) - med))
     }
   }
+
+  test("q325 pass@k: estimator equals a replay; monotone in k; short-circuit hits pass@k = 1") {
+    val spark = SparkTestSession.spark
+    import graft.sources.Tables
+    val per = Tables.load(spark, SparkTestSession.sf, "events")
+      .select(col("user_id"), col("value")).collect()
+      .map(r => (r.getLong(0),
+        math.floor(r.getDouble(1) * 100.0 + 0.5).toLong))
+      .groupBy(_._1).map { case (u, rows) =>
+        (u, rows.length.toLong, rows.count(_._2 >= 5000L).toLong)
+      }.toSeq
+    val want = Seq(1, 5, 10).flatMap { k =>
+      per.filter(_._2 >= k).map { case (u, n, c) =>
+        val prod = (0 until k).foldLeft(1.0) { (acc, i) =>
+          acc * (if (n - c - i <= 0) 0.0
+                 else (n - c - i).toDouble / (n - i).toDouble)
+        }
+        (u, k.toLong, n, c,
+          math.floor(1000000.0 * (1.0 - prod)).toLong)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = Experiment.passAtK(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want.toSeq)
+    // pass@k is monotone non-decreasing in k per user (more draws can
+    // only help), and a user with c > n - k short-circuits to exactly 1
+    val byUser = got.groupBy(_._1)
+    byUser.values.foreach { rows =>
+      val s = rows.sortBy(_._2).map(_._5)
+      assert(s.zip(s.tail).forall { case (a, b) => a <= b })
+    }
+    got.foreach { case (_, k, n, c, ppm) =>
+      if (c > n - k) assert(ppm == 1000000L) }
+    // the default 5000-cent threshold never saturates a user on the
+    // fixture, so the short-circuit arm (a zero factor => pass@k = 1
+    // EXACTLY, no float residue) is driven explicitly: with threshold
+    // 0 every attempt is correct, c = n, and every factor's numerator
+    // n - c - i = -i <= 0
+    val saturated = Experiment.passAtK(spark, SparkTestSession.sf,
+      ks = Seq(2), centsThreshold = 0L).collect()
+    assert(saturated.nonEmpty)
+    saturated.foreach(r => assert(r.getLong(4) == 1000000L,
+      s"short-circuit must yield exactly 1000000 ppm, got ${r.getLong(4)}"))
+    assert(got.exists(r => r._5 > 0L && r._5 < 1000000L),
+      "fixture never exercises a strict-interior estimate")
+  }
 }

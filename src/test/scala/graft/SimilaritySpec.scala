@@ -584,4 +584,98 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.map(_._2).sum >= 10L,
       s"binary recall too low: ${got.map(_._2).toSeq}")
   }
+
+  /** Driver-side replay of the IVF machinery shared by q322/q323:
+    * normalize (left-to-right double fold, zero-safe), assign every
+    * vector to its argmax cell vs the 16 seeded centroids (ties to
+    * lowest c_id), and rank each vector's probe list. Mirrors
+    * Vectors.dot/l2normalize bit-for-bit.
+    */
+  private def ivfReplay(): (Map[Long, Array[Double]], Map[Long, Int],
+      Map[Long, Long], Map[Long, Seq[Long]]) = {
+    import graft.sources.Tables
+    val rows = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def normed(v: Array[Float]): Array[Double] = {
+      val n = math.sqrt(v.foldLeft(0.0)((a, x) =>
+        a + x.toDouble * x.toDouble))
+      v.map(x => if (n > 0.0) x.toDouble / n else 0.0)
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val vs = rows.map { case (id, v, _) => id -> normed(v) }.toMap
+    val labels = rows.map { case (id, _, l) => id -> l }.toMap
+    val cents = vs.filter(_._1 < 16L).toSeq.sortBy(_._1)
+    def cellsRanked(id: Long): Seq[Long] = cents
+      .map { case (cId, cv) => (-dot(vs(id), cv), cId) }
+      .sorted.map(_._2)
+    val assign = vs.keys.map(id => id -> cellsRanked(id).head).toMap
+    val probes = vs.keys.map(id => id -> cellsRanked(id).take(4)).toMap
+    (vs, labels, assign, probes)
+  }
+
+  test("q322 ANN hard negatives equal a full driver-side replay of the composed path") {
+    val (vs, labels, assign, probes) = ivfReplay()
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val byCell = assign.toSeq.groupBy(_._2)
+      .view.mapValues(_.map(_._1)).toMap
+    val want = vs.keys.toSeq.sorted.flatMap { a =>
+      val cand = probes(a).flatMap(c => byCell.getOrElse(c, Seq.empty))
+        .filter(n => n != a && labels(n) != labels(a))
+      cand.map { n =>
+        (a, n, math.floor(1000000.0 * dot(vs(a), vs(n))).toLong)
+      }.filter(t => t._3 >= 100000L && t._3 < 950000L)
+        .sortBy { case (_, n, s) => (-s, n) }
+        .take(5).zipWithIndex
+        .map { case ((aa, n, s), i) => (aa, n, s, i + 1) }
+    }
+    val got = Similarity.annHardNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(got.toSeq == want.toSeq)
+    // the composition is doing real work on the fixture: pairs exist,
+    // and every mined pair is cell-co-located with its anchor
+    assert(got.nonEmpty)
+    got.foreach { case (a, n, _, _) =>
+      assert(probes(a).contains(assign(n)),
+        s"pair ($a,$n) not from a probed cell — not ANN-served") }
+  }
+
+  test("q323 ANN bitext mining equals a full driver-side replay of the composed path") {
+    val (vs, labels, assign, probes) = ivfReplay()
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val byCell = assign.toSeq.groupBy(_._2)
+      .view.mapValues(_.map(_._1).filter(labels(_) == 1)).toMap
+    val sims = vs.keys.toSeq.filter(labels(_) == 0).sorted.flatMap { s =>
+      probes(s).flatMap(c => byCell.getOrElse(c, Seq.empty)).map { t =>
+        (s, t, math.floor(1000000.0 * dot(vs(s), vs(t))).toLong)
+      }
+    }
+    val sk = sims.groupBy(_._1).view.mapValues(
+      _.sortBy { case (_, t, m) => (-m, t) }.take(4).map(_._3).sum).toMap
+    val tk = sims.groupBy(_._2).view.mapValues(
+      _.sortBy { case (s, _, m) => (-m, s) }.take(4).map(_._3).sum).toMap
+    val want = sims
+      .filter { case (s, t, _) => sk(s) + tk(t) > 0 }
+      .map { case (s, t, m) =>
+        val margin = math.floor(800.0 * m / (sk(s) + tk(t)).toDouble).toLong
+        (s, t, m, margin)
+      }
+      .groupBy(_._1).toSeq
+      .map { case (_, rows) =>
+        rows.minBy { case (_, t, m, mg) => (-mg, -m, t) } }
+      .filter(_._4 >= 105L)
+      .sortBy(_._1)
+    val got = Similarity.annBitextMine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // mined pairs come only from probed cells (the ANN serving claim)
+    got.foreach { case (s, t, _, _) =>
+      assert(probes(s).contains(assign(t)),
+        s"pair ($s,$t) not from a probed cell — not ANN-served") }
+  }
 }

@@ -1264,4 +1264,48 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(want.exists(w => w._3 > w._4),
       "fixture must produce at least one multi-token span")
   }
+
+  test("q327 curriculum stages: manifest equals a replay; stages tile N; budgets double") {
+    val spark = SparkTestSession.spark
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ")
+          .split(" ", -1).filter(_.nonEmpty).toSeq))
+      .filter(_._2.nonEmpty)
+    val cnt = docs.flatMap(_._2).groupBy(identity)
+      .map { case (w, g) => (w, g.length.toLong) }
+    val scored = docs.map { case (id, ws) =>
+      (id, ws.map(w => 1000000L / cnt(w)).sum, ws.length.toLong)
+    }
+    val ranked = scored.sortBy { case (id, d, _) => (d, id) }.zipWithIndex
+      .map { case ((id, d, t), i) => (id, d, t, i + 1L) }
+    val nn = ranked.length.toLong
+    def stageOf(rk: Long): Long =
+      if (rk <= nn * 1L / 15L) 1L
+      else if (rk <= nn * 3L / 15L) 2L
+      else if (rk <= nn * 7L / 15L) 3L
+      else 4L
+    val want = ranked.groupBy(r => stageOf(r._4)).map { case (s, rows) =>
+      (s, rows.length.toLong, rows.map(_._2).min, rows.map(_._2).max,
+        rows.map(_._3).sum, rows.map(_._4).min, rows.map(_._4).max)
+    }.toSeq.sortBy(_._1)
+    val got = graft.operators.TrainingPrep
+      .curriculumStages(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // stages tile N contiguously, easy-first (difficulty spans ordered)
+    assert(got.map(_._2).sum == nn)
+    got.zip(got.tail).foreach { case (a, b) =>
+      assert(a._7 + 1L == b._6, "rank ranges must tile contiguously")
+      assert(a._4 <= b._3, "difficulty spans must be ordered easy-first")
+    }
+    // exponential pacing: each stage's rank budget ~doubles (exact
+    // boundaries nn*(2^s - 1) DIV 15)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(got(0)._7 == nn * 1L / 15L && got(1)._7 == nn * 3L / 15L &&
+      got(2)._7 == nn * 7L / 15L && got(3)._7 == nn)
+  }
 }
