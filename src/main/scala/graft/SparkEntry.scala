@@ -446,6 +446,14 @@ object SparkEntry {
       TextAnalysis.nucleusAudit(s, d)),
     "q327_curriculum" -> ((s: SparkSession, d: String) =>
       TrainingPrep.curriculumStages(s, d)),
+    "q328_spec_decode" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.specDecodeAudit(s, d)),
+    "q329_ann_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.annRecallEval(s, d)),
+    "q330_index_staleness" -> ((s: SparkSession, d: String) =>
+      Similarity.indexStaleness(s, d)),
+    "q331_feature_drift" -> ((s: SparkSession, d: String) =>
+      Experiment.featureDrift(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -739,6 +747,74 @@ object SparkEntry {
     * inputs + identical expression tree ⇒ bit-equal doubles in both
     * engines (the q325 identical-tree device).
     */
+  /** Generated DuckDB twin of Similarity.annRecallEval (q329): the
+    * q322 codebook/assignment/probing replay builds the ANN shortlist,
+    * an eval-set cross join builds the brute truth, both rank under
+    * the identical (floored-micro sim desc, id asc) total order, and
+    * the per-k arms count hits/denominators from the SAME frames.
+    */
+  private def annRecallOracleSql(
+      ks: Seq[Int], sampleMod: Long, clusters: Int, probes: Int): String = {
+    val kMax = ks.max
+    val arms = ks.map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS k,
+           (SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) FROM brute
+             WHERE b_rn <= $k) AS n_queries,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM brute
+             WHERE b_rn <= $k) AS denom,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM j
+             WHERE b_rn <= $k AND a_rn <= $k) AS n_hits"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"""WITH un AS MATERIALIZED (SELECT vec_id, v FROM ($normalizedVectors)),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM un
+           WHERE vec_id % $sampleMod = 0),
+         bsim AS MATERIALIZED (
+           SELECT q.q_id, un.vec_id AS n_id,
+             CAST(floor(1000000.0 * list_sum(list_transform(
+               list_zip(q.qv, un.v), z -> z[1]*z[2]))) AS BIGINT) AS sim_micro
+           FROM q CROSS JOIN un WHERE un.vec_id != q.q_id),
+         brute AS MATERIALIZED (
+           SELECT q_id, n_id, CAST(rn AS BIGINT) AS b_rn FROM (
+             SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY sim_micro DESC, n_id ASC) AS rn FROM bsim)
+           WHERE rn <= $kMax),
+         cents AS (SELECT vec_id AS c_id, v AS cv FROM un
+           WHERE vec_id < $clusters),
+         csims AS MATERIALIZED (
+           SELECT un.vec_id, c_id,
+             list_sum(list_transform(list_zip(un.v, cv), z -> z[1]*z[2])) AS sim
+           FROM un CROSS JOIN cents),
+         assigned AS (
+           SELECT vec_id, c_id FROM (
+             SELECT vec_id, c_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY sim DESC, c_id ASC) AS rn FROM csims) WHERE rn = 1),
+         qprobes AS (
+           SELECT vec_id AS q_id, c_id FROM (
+             SELECT vec_id, c_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY sim DESC, c_id ASC) AS rn
+             FROM csims WHERE vec_id % $sampleMod = 0) WHERE rn <= $probes),
+         asim AS MATERIALIZED (
+           SELECT p.q_id, a.vec_id AS n_id,
+             CAST(floor(1000000.0 * list_sum(list_transform(
+               list_zip(uq.v, ua.v), z -> z[1]*z[2]))) AS BIGINT) AS sim_micro
+           FROM qprobes p JOIN assigned a USING (c_id)
+           JOIN un uq ON uq.vec_id = p.q_id
+           JOIN un ua ON ua.vec_id = a.vec_id
+           WHERE a.vec_id != p.q_id),
+         ann AS MATERIALIZED (
+           SELECT q_id, n_id, CAST(rn AS BIGINT) AS a_rn FROM (
+             SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY sim_micro DESC, n_id ASC) AS rn FROM asim)
+           WHERE rn <= $kMax),
+         j AS MATERIALIZED (
+           SELECT brute.q_id, b_rn, a_rn
+           FROM brute JOIN ann USING (q_id, n_id)),
+         arms AS ($arms)
+         SELECT k, n_queries, denom, n_hits,
+           CAST(n_hits * 1000000 // denom AS BIGINT) AS recall_ppm
+         FROM arms"""
+  }
+
   private def passAtKOracleSql(ks: Seq[Int], centsThreshold: Long): String = {
     val arms = ks.map { k =>
       val prod = (0 until k).map(i =>
@@ -6573,6 +6649,144 @@ object SparkEntry {
            CAST(MIN(rk) AS BIGINT) AS first_rank,
            CAST(MAX(rk) AS BIGINT) AS last_rank
          FROM st GROUP BY 1""",
+    // q328: bigram-draft vs trigram-target greedy agreement — both
+    // argmax tables under the (count desc, word asc) total order,
+    // per-source weighted sums over trigram-type counts, trailing
+    // ppm divisions only.
+    "q328_spec_decode" ->
+      s"""WITH docs AS (
+           SELECT source, string_split($normText, ' ') AS w
+           FROM documents),
+         big AS (
+           SELECT w[i] AS prev, w[i + 1] AS nxt
+           FROM docs, LATERAL (SELECT UNNEST(range(1, len(w))) AS i) g
+           WHERE len(w) >= 2),
+         bcnt AS (
+           SELECT prev, nxt, CAST(COUNT(*) AS BIGINT) AS c
+           FROM big GROUP BY 1, 2),
+         draft AS (
+           SELECT prev AS p1, nxt AS draft_pred FROM (
+             SELECT prev, nxt, ROW_NUMBER() OVER (PARTITION BY prev
+               ORDER BY c DESC, nxt ASC) AS rn FROM bcnt) WHERE rn = 1),
+         tri AS (
+           SELECT source, w[i] AS p2, w[i + 1] AS p1, w[i + 2] AS nxt
+           FROM docs, LATERAL (SELECT UNNEST(range(1, len(w) - 1)) AS i) g
+           WHERE len(w) >= 3),
+         tocc AS (
+           SELECT source, p2, p1, nxt, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM tri GROUP BY 1, 2, 3, 4),
+         tcnt AS (
+           SELECT p2, p1, nxt, CAST(SUM(cnt) AS BIGINT) AS c
+           FROM tocc GROUP BY 1, 2, 3),
+         tgt AS (
+           SELECT p2, p1, nxt AS target_pred FROM (
+             SELECT p2, p1, nxt, ROW_NUMBER() OVER (PARTITION BY p2, p1
+               ORDER BY c DESC, nxt ASC) AS rn FROM tcnt) WHERE rn = 1)
+         SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN draft_pred = target_pred THEN cnt ELSE 0 END)
+             AS BIGINT) AS n_agree,
+           CAST(SUM(CASE WHEN draft_pred = t.nxt THEN cnt ELSE 0 END)
+             AS BIGINT) AS n_draft_hit,
+           CAST(SUM(CASE WHEN target_pred = t.nxt THEN cnt ELSE 0 END)
+             AS BIGINT) AS n_target_hit,
+           CAST(SUM(CASE WHEN draft_pred = target_pred THEN cnt ELSE 0 END)
+             * 1000000 // SUM(cnt) AS BIGINT) AS accept_ppm,
+           CAST(SUM(CASE WHEN draft_pred = t.nxt THEN cnt ELSE 0 END)
+             * 1000000 // SUM(cnt) AS BIGINT) AS draft_hit_ppm,
+           CAST(SUM(CASE WHEN target_pred = t.nxt THEN cnt ELSE 0 END)
+             * 1000000 // SUM(cnt) AS BIGINT) AS target_hit_ppm
+         FROM tocc t
+         JOIN draft USING (p1)
+         JOIN tgt USING (p2, p1)
+         GROUP BY source""",
+    // q329: generated replay — q322's IVF serve for the ANN shortlist,
+    // eval-set cross join for the brute truth, per-k counted recall.
+    "q329_ann_recall" -> annRecallOracleSql(Seq(1, 5, 10), 37L, 16, 4),
+    // q330: frozen-codebook staleness — BOTH assignments replay the
+    // q32 argmax (original and 7-rotated re-encoding for labels >= 5),
+    // self-similarity floors per pair, integer cell means.
+    "q330_index_staleness" ->
+      s"""WITH raw AS (
+           SELECT vec_id, label, embedding AS e1,
+             CASE WHEN label < 5 THEN embedding
+               ELSE list_concat(embedding[8:], embedding[1:7]) END AS e2
+           FROM embeddings),
+         un AS MATERIALIZED (
+           SELECT vec_id,
+             list_transform(e1, x -> CASE WHEN n1 > 0
+               THEN CAST(x AS DOUBLE)/n1 ELSE 0.0 END) AS v1,
+             list_transform(e2, x -> CASE WHEN n2 > 0
+               THEN CAST(x AS DOUBLE)/n2 ELSE 0.0 END) AS v2
+           FROM (SELECT vec_id, e1, e2,
+             sqrt(list_sum(list_transform(e1,
+               x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS n1,
+             sqrt(list_sum(list_transform(e2,
+               x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS n2
+             FROM raw)),
+         cents AS (SELECT vec_id AS c_id, v1 AS cv FROM un
+           WHERE vec_id < 16),
+         a1 AS (
+           SELECT vec_id, c_id FROM (
+             SELECT un.vec_id, c_id, ROW_NUMBER() OVER (
+               PARTITION BY un.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(un.v1, cv),
+                   z -> z[1]*z[2])) DESC, c_id ASC) AS rn
+             FROM un CROSS JOIN cents) WHERE rn = 1),
+         a2 AS (
+           SELECT vec_id, c_id AS c_id2 FROM (
+             SELECT un.vec_id, c_id, ROW_NUMBER() OVER (
+               PARTITION BY un.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(un.v2, cv),
+                   z -> z[1]*z[2])) DESC, c_id ASC) AS rn
+             FROM un CROSS JOIN cents) WHERE rn = 1),
+         per AS (
+           SELECT a1.c_id,
+             CASE WHEN a1.c_id != a2.c_id2 THEN 1 ELSE 0 END AS moved,
+             CAST(floor(1000000.0 * list_sum(list_transform(
+               list_zip(un.v1, un.v2), z -> z[1]*z[2]))) AS BIGINT)
+               AS self_sim_micro
+           FROM un JOIN a1 USING (vec_id) JOIN a2 USING (vec_id))
+         SELECT c_id, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(moved) AS BIGINT) AS n_moved,
+           CAST(SUM(moved) * 1000000 // COUNT(*) AS BIGINT) AS moved_ppm,
+           CAST(SUM(self_sim_micro) // COUNT(*) AS BIGINT)
+             AS mean_self_sim_micro
+         FROM per GROUP BY 1""",
+    // q331: early/late split at the time midpoint, fixed-width cent
+    // bins over the global range, per-term ppm shares, TVD DIV 2.
+    "q331_feature_drift" ->
+      s"""WITH ev AS (
+           SELECT event_type, epoch_us(ts) AS tm,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+           FROM events),
+         b AS (SELECT MIN(tm) AS tmin, MAX(tm) AS tmax,
+             MIN(cents) AS cmin, MAX(cents) AS cmax FROM ev),
+         binned AS (
+           SELECT event_type, (tm * 2 <= tmin + tmax) AS early,
+             (cents - cmin) * 10 // (cmax - cmin + 1) AS bin
+           FROM ev CROSS JOIN b),
+         cells AS (
+           SELECT event_type, bin,
+             CAST(SUM(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS ce,
+             CAST(SUM(CASE WHEN NOT early THEN 1 ELSE 0 END) AS BIGINT) AS cl
+           FROM binned GROUP BY 1, 2),
+         totals AS (
+           SELECT event_type,
+             CAST(SUM(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_early,
+             CAST(SUM(CASE WHEN NOT early THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late
+           FROM binned GROUP BY 1),
+         gaps AS (
+           SELECT c.event_type, n_early, n_late,
+             abs(ce * 1000000 // n_early - cl * 1000000 // n_late) AS gap
+           FROM cells c JOIN totals USING (event_type))
+         SELECT event_type, n_early, n_late,
+           CAST(SUM(gap) // 2 AS BIGINT) AS tvd_ppm,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_ppm,
+           CAST(SUM(gap) // 2 AS BIGINT) > 50000 AS flagged
+         FROM gaps GROUP BY 1, 2, 3""",
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

@@ -1664,4 +1664,55 @@ object Experiment {
             .as("pass_ppm"))
     }.reduce(_ unionByName _)
   }
+
+  /** The q331 driver entry: FEATURE DISTRIBUTION DRIFT MONITOR — the
+    * standing alarm between a model's training window and its serving
+    * window (the PSI/KS check every feature store schedules; TVD is
+    * the metric here because it is EXACTLY computable in integers —
+    * PSI's logarithms would put a libm transcendental on both sides
+    * of the engine boundary): the event stream splits at its time
+    * midpoint into an EARLY (training-era) and LATE (serving-era)
+    * half, each event_type's value distribution lands in `bins`
+    * fixed-width cent buckets over the global [min, max], and drift
+    * per type is the total-variation distance between the two halves'
+    * bucket shares: TVD_ppm = Σ_b |p_b − q_b| / 2 over ppm shares
+    * (one truncating DIV per share, the per-term order-free
+    * discipline). `flagged` fires past `flagPpm` — the retrain/alert
+    * threshold.
+    *
+    * Scale shape: one tiny global bounds aggregate broadcast back,
+    * then ONE map-side-combined (type, bin) count with conditional
+    * sums — the only fact-scale exchange; everything downstream lives
+    * on the bounded (type × bins) domain. No windows at all.
+    */
+  def featureDrift(
+      spark: SparkSession, sfDir: String,
+      bins: Int = 10, flagPpm: Long = 50000L): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("tm"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+    val bounds = ev.agg(
+      min(col("tm")).as("tmin"), max(col("tm")).as("tmax"),
+      min(col("cents")).as("cmin"), max(col("cents")).as("cmax"))
+    val binned = ev.crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        (col("tm") * 2 <= col("tmin") + col("tmax")).as("early"),
+        expr(s"(cents - cmin) * $bins DIV (cmax - cmin + 1)").as("bin"))
+    val cells = binned.groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("early"), 1L).otherwise(0L)).cast("long").as("ce"),
+        sum(when(!col("early"), 1L).otherwise(0L)).cast("long").as("cl"))
+    val totals = binned.groupBy(col("event_type"))
+      .agg(sum(when(col("early"), 1L).otherwise(0L)).cast("long")
+          .as("n_early"),
+        sum(when(!col("early"), 1L).otherwise(0L)).cast("long")
+          .as("n_late"))
+    cells.join(totals, "event_type")
+      .select(col("event_type"), col("n_early"), col("n_late"),
+        abs(expr("ce * 1000000 DIV n_early") -
+          expr("cl * 1000000 DIV n_late")).as("gap"))
+      .groupBy(col("event_type"), col("n_early"), col("n_late"))
+      .agg(expr("CAST(SUM(gap) DIV 2 AS BIGINT)").as("tvd_ppm"),
+        max(col("gap")).cast("long").as("max_gap_ppm"))
+      .withColumn("flagged", col("tvd_ppm") > flagPpm)
+  }
 }

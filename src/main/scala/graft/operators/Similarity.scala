@@ -791,6 +791,144 @@ object Similarity {
         col("margin_pct"))
   }
 
+  /** The q329 driver entry: ANN RECALL EVALUATION — the index-quality
+    * gate every production vector store runs before switching serving
+    * to an approximate index (FAISS's recall@k convention, Johnson et
+    * al. 2017): on a FIXED eval set of query vectors, the IVF
+    * shortlist's top-k is compared against the exhaustive top-k, and
+    * recall@k = |ANN∩BRUTE| / |BRUTE| over the whole set. Queries are
+    * the deterministic vec_id % `sampleMod` slice — the standard
+    * sampled-eval design: brute force is the EVAL-ONLY cost (queries
+    * fixed as the corpus grows), never the serving path. Both sides
+    * rank by the identical floored-micro cosine under the identical
+    * (sim desc, id asc) total order, so recall here is exact, not a
+    * float approximation; the per-k denominator is COUNTED from the
+    * brute frame (min(k, n−1) per query by construction), never
+    * assumed.
+    *
+    * Scale shape: the IVF side is the q32/q322 serving plan (broadcast
+    * codebook, argmax assignment, cell-keyed co-partitioned candidate
+    * join — probes/clusters of the quadratic); the brute side is
+    * (eval queries × corpus), linear in the corpus for a fixed eval
+    * set. Both shortlists pin once (each is read per k — the q291
+    * rule); the per-k reduces land on counted scalars.
+    */
+  def annRecallEval(
+      spark: SparkSession, sfDir: String,
+      ks: Seq[Int] = Seq(1, 5, 10), sampleMod: Long = 37L,
+      clusters: Int = ivfClusters, probes: Int = ivfProbes): DataFrame = {
+    val u = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), Vectors.l2normalize(col("embedding")).as("v"))
+    val corpus = u.select(col("vec_id"), col("v").as("u"))
+    val queries = u.where(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val kMax = ks.max
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim_micro").desc, col("n_id").asc)
+    val brute = queries
+      .crossJoin(u.select(col("vec_id").as("n_id"), col("v").as("nv")))
+      .where(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        floor(lit(1000000.0) * Vectors.dot(col("qv"), col("nv")))
+          .cast("long").as("sim_micro"))
+      .withColumn("b_rn", row_number().over(wRank))
+      .where(col("b_rn") <= kMax)
+      .select(col("q_id"), col("n_id"), col("b_rn").cast("long").as("b_rn"))
+      .localCheckpoint(true) // read per k below
+    val cents = seededCodebook(corpus, clusters)
+    val assigned = assignCells(corpus, cents).join(u, "vec_id")
+      .select(col("c_id"), col("vec_id").as("n_id"), col("v").as("nv"))
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id").asc)
+    val qProbes = queries.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qv"), col("c_id"),
+        Vectors.dot(col("qv"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(wp))
+      .where(col("rn") <= probes)
+      .select(col("q_id"), col("qv"), col("c_id"))
+    val ann = qProbes.join(assigned, "c_id")
+      .where(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        floor(lit(1000000.0) * Vectors.dot(col("qv"), col("nv")))
+          .cast("long").as("sim_micro"))
+      .withColumn("a_rn", row_number().over(wRank))
+      .where(col("a_rn") <= kMax)
+      .select(col("q_id"), col("n_id"), col("a_rn").cast("long").as("a_rn"))
+    val joined = brute.join(ann, Seq("q_id", "n_id"))
+      .localCheckpoint(true) // read per k below
+    ks.map { k =>
+      val d = brute.where(col("b_rn") <= k)
+        .agg(count(lit(1)).cast("long").as("denom"),
+          countDistinct(col("q_id")).cast("long").as("n_queries"))
+      val h = joined.where(col("b_rn") <= k && col("a_rn") <= k)
+        .agg(count(lit(1)).cast("long").as("n_hits"))
+      d.crossJoin(h).select(lit(k.toLong).as("k"), col("n_queries"),
+        col("denom"), col("n_hits"),
+        // the ungrouped aggregates above emit a row even on an EMPTY
+        // corpus (denom = 0), where recall is undefined — NULL, not a
+        // DIVIDE_BY_ZERO (ANSI mode)
+        expr("CASE WHEN denom > 0 THEN n_hits * 1000000 DIV denom END")
+          .as("recall_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The q330 driver entry: ANN INDEX STALENESS AUDIT — the ops
+    * question q175's drift alarm raises but does not answer: after an
+    * encoder version change, HOW MUCH of the serving index is stale?
+    * Production cannot retrain the codebook the moment the encoder
+    * ships (reindexing 10^10 vectors takes days), so it serves the
+    * FROZEN codebook against re-encoded queries/ingest and needs the
+    * damage quantified per cell: the fraction of each cell's vectors
+    * whose argmax assignment MOVES under the new encoding, and the
+    * cell's mean self-similarity across the boundary (re-encoded
+    * vector vs its own old self — cos ~1 means comparable, ~0 means
+    * the cell's geometry is gone). Re-encoding reuses q175's device:
+    * labels >= 5 get the deterministic 7-rotation "new encoder",
+    * labels < 5 pass through — so the audit must localize staleness
+    * to exactly the cells dominated by re-encoded labels.
+    *
+    * Exactness: assignments are the q32 argmax under the (sim desc,
+    * c_id asc) total order on both encodings; self-similarity floors
+    * to micro per PAIR then integer-averages (SUM DIV n) — no float
+    * aggregate crosses an engine boundary.
+    *
+    * Scale shape: two broadcast-codebook assignment passes (linear,
+    * no vector shuffle — the q322 serve plan), one row-local pair
+    * cosine, one map-side-combined cell-grain aggregate. The output
+    * is codebook-bounded.
+    */
+  def indexStaleness(
+      spark: SparkSession, sfDir: String,
+      clusters: Int = ivfClusters, rot: Int = 7): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val v = col("embedding")
+    val reencoded = when(col("label") < 5, v)
+      .otherwise(concat(slice(v, lit(rot + 1), size(v) - rot),
+        slice(v, lit(1), lit(rot))))
+    val u1 = emb.select(col("vec_id"),
+      Vectors.l2normalize(v).as("v1"))
+    val u2 = emb.select(col("vec_id"),
+      Vectors.l2normalize(reencoded).as("v2"))
+    val corpus1 = u1.select(col("vec_id"), col("v1").as("u"))
+    val cents = seededCodebook(corpus1, clusters)
+    val a1 = assignCells(corpus1, cents)
+      .select(col("vec_id"), col("c_id"))
+    val a2 = assignCells(u2.select(col("vec_id"), col("v2").as("u")), cents)
+      .select(col("vec_id"), col("c_id").as("c_id2"))
+    u1.join(u2, "vec_id").join(a1, "vec_id").join(a2, "vec_id")
+      .select(col("c_id"),
+        when(col("c_id") =!= col("c_id2"), 1L).otherwise(0L).as("moved"),
+        floor(lit(1000000.0) * Vectors.dot(col("v1"), col("v2")))
+          .cast("long").as("self_sim_micro"))
+      .groupBy(col("c_id"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("moved")).cast("long").as("n_moved"),
+        sum(col("self_sim_micro")).cast("long").as("sim_sum"))
+      .select(col("c_id"), col("n"), col("n_moved"),
+        expr("n_moved * 1000000 DIV n").as("moved_ppm"),
+        expr("sim_sum DIV n").as("mean_self_sim_micro"))
+  }
+
   /** The q175 driver entry: EMBEDDING DRIFT MONITOR — the standing
     * alarm a production feature store runs between embedding-model
     * versions: per-label centroids of the day-1 encoding vs the

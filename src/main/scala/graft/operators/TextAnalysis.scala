@@ -2638,4 +2638,81 @@ object TextAnalysis {
       .select(col("prev"), col("fanout"), col("total"), col("nucleus_k"),
         expr("nucleus_mass * 1000000 DIV total").as("mass_ppm"))
   }
+
+  /** The q328 driver entry: SPECULATIVE-DECODING ACCEPTANCE AUDIT —
+    * the serving-capacity statistic behind draft-model speculation
+    * (Leviathan et al. 2023; Chen et al. 2023): a small DRAFT model
+    * proposes tokens that the large TARGET model verifies, and
+    * throughput scales with the rate at which the target ACCEPTS the
+    * draft's proposals. Under greedy decoding both sides, acceptance
+    * at a position is exactly "draft argmax == target argmax", so the
+    * rate is computable corpus-side BEFORE any serving run: the draft
+    * stands in as the corpus bigram language model, the target as the
+    * trigram model (the classic order-(n-1) distillation gap), and
+    * every position with two words of context is audited. Reported
+    * per source: positions, draft/target agreements (the acceptance
+    * proxy), and each model's hit rate against the corpus's ACTUAL
+    * next word — target_hit >= draft_hit spread is the quality gap
+    * speculation trades against.
+    *
+    * All arithmetic is integer (counts + one trailing DIV per ppm);
+    * argmax tie order is (count desc, word asc) — a total order, so
+    * both engines pick the same prediction.
+    *
+    * Scale shape: two fact-scale explodes collapse IMMEDIATELY to
+    * dictionary grain (per-source trigram-type counts; global bigram/
+    * trigram count tables), so everything downstream lives on the
+    * bounded n-gram domain: the argmax windows partition by context
+    * (the bounded-domain exception), the draft table is
+    * vocabulary-bounded and BROADCASTS, the target join is key-
+    * co-partitioned on (p2, p1), and the final reduce lands on the
+    * source domain. Media-scale text never shuffles — only n-gram
+    * keys and counts.
+    */
+  def specDecodeAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("source"),
+        split(normalizedText(col("text")), " ").as("w"))
+    val bigrams = docs.where(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS prev, w[i] AS nxt))"))
+        .as("b"))
+      .groupBy(col("b.prev").as("prev"), col("b.nxt").as("nxt"))
+      .agg(count(lit(1)).as("c"))
+    val wDraft = Window.partitionBy(col("prev"))
+      .orderBy(col("c").desc, col("nxt").asc)
+    val draft = bigrams.withColumn("rn", row_number().over(wDraft))
+      .where(col("rn") === 1)
+      .select(col("prev").as("p1"), col("nxt").as("draft_pred"))
+    val triOcc = docs.where(size(col("w")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(3, size(w)), i -> struct(w[i-3] AS p2, w[i-2] AS p1, w[i-1] AS nxt))"))
+        .as("t"))
+      .groupBy(col("source"), col("t.p2").as("p2"),
+        col("t.p1").as("p1"), col("t.nxt").as("nxt"))
+      .agg(count(lit(1)).as("cnt"))
+    val triCounts = triOcc.groupBy(col("p2"), col("p1"), col("nxt"))
+      .agg(sum(col("cnt")).as("c"))
+    val wTgt = Window.partitionBy(col("p2"), col("p1"))
+      .orderBy(col("c").desc, col("nxt").asc)
+    val target = triCounts.withColumn("rn", row_number().over(wTgt))
+      .where(col("rn") === 1)
+      .select(col("p2"), col("p1"), col("nxt").as("target_pred"))
+    triOcc
+      .join(broadcast(draft), Seq("p1"))
+      .join(target, Seq("p2", "p1"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).cast("long").as("n_pos"),
+        sum(when(col("draft_pred") === col("target_pred"), col("cnt"))
+          .otherwise(0L)).cast("long").as("n_agree"),
+        sum(when(col("draft_pred") === col("nxt"), col("cnt"))
+          .otherwise(0L)).cast("long").as("n_draft_hit"),
+        sum(when(col("target_pred") === col("nxt"), col("cnt"))
+          .otherwise(0L)).cast("long").as("n_target_hit"))
+      .select(col("source"), col("n_pos"), col("n_agree"),
+        col("n_draft_hit"), col("n_target_hit"),
+        expr("n_agree * 1000000 DIV n_pos").as("accept_ppm"),
+        expr("n_draft_hit * 1000000 DIV n_pos").as("draft_hit_ppm"),
+        expr("n_target_hit * 1000000 DIV n_pos").as("target_hit_ppm"))
+  }
 }

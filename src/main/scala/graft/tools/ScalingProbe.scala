@@ -311,7 +311,21 @@ object ScalingProbe {
         graft.operators.Similarity.annHardNegatives(spark, d, clusters = 64)),
       "q323_ann_bitext" -> (d => graft.operators.Similarity.annBitextMine(spark, d)),
       "q323_ann_bitext_64cell" -> (d =>
-        graft.operators.Similarity.annBitextMine(spark, d, clusters = 64)))
+        graft.operators.Similarity.annBitextMine(spark, d, clusters = 64)),
+      // round-15 extension batch: q324/q326-q328 are n-gram/digest
+      // census shapes (fact-scale explode -> bounded-domain reduce),
+      // q325/q331 ride the events axis, q329's brute side is the
+      // documented eval-only cost (queries grow with the corpus here,
+      // so the probe ratio overstates production, where the eval set
+      // is FIXED), q330 is two q322-style assignment passes
+      "q324_prefix_cache" -> (d => graft.operators.TextAnalysis.prefixCacheAudit(spark, d)),
+      "q325_pass_at_k" -> (d => graft.operators.Experiment.passAtK(spark, d)),
+      "q326_nucleus" -> (d => graft.operators.TextAnalysis.nucleusAudit(spark, d)),
+      "q327_curriculum" -> (d => graft.operators.TrainingPrep.curriculumStages(spark, d)),
+      "q328_spec_decode" -> (d => graft.operators.TextAnalysis.specDecodeAudit(spark, d)),
+      "q329_ann_recall" -> (d => graft.operators.Similarity.annRecallEval(spark, d)),
+      "q330_index_staleness" -> (d => graft.operators.Similarity.indexStaleness(spark, d)),
+      "q331_feature_drift" -> (d => graft.operators.Experiment.featureDrift(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))

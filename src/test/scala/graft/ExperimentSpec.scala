@@ -999,4 +999,38 @@ class ExperimentSpec extends AnyFunSuite {
     assert(got.exists(r => r._5 > 0L && r._5 < 1000000L),
       "fixture never exercises a strict-interior estimate")
   }
+
+  test("q331 feature drift equals a replay; TVD bounded by construction") {
+    val spark = SparkTestSession.spark
+    import graft.sources.Tables
+    val ev = Tables.load(spark, SparkTestSession.sf, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("tm"),
+        col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 100.0 + 0.5).toLong))
+    val tmin = ev.map(_._2).min; val tmax = ev.map(_._2).max
+    val cmin = ev.map(_._3).min; val cmax = ev.map(_._3).max
+    val binned = ev.map { case (t, tm, c) =>
+      (t, tm * 2 <= tmin + tmax, (c - cmin) * 10L / (cmax - cmin + 1L))
+    }
+    val want = binned.groupBy(_._1).map { case (t, g) =>
+      val nE = g.count(_._2).toLong; val nL = g.count(!_._2).toLong
+      val gaps = g.groupBy(_._3).map { case (_, cell) =>
+        val ce = cell.count(_._2).toLong
+        val cl = cell.count(!_._2).toLong
+        math.abs(ce * 1000000L / nE - cl * 1000000L / nL)
+      }.toSeq
+      (t, nE, nL, gaps.sum / 2L, gaps.max, gaps.sum / 2L > 50000L)
+    }.toSeq.sortBy(_._1)
+    val got = Experiment.featureDrift(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // sanity: TVD lives in [0, 10^6], both halves are populated, and
+    // the fixture's organic early/late noise registers somewhere
+    got.foreach { case (_, nE, nL, tvd, mg, _) =>
+      assert(nE > 0 && nL > 0 && tvd >= 0 && tvd <= 1000000L && mg >= tvd / 5)
+    }
+    assert(got.exists(_._4 > 0L))
+  }
 }

@@ -678,4 +678,85 @@ class SimilaritySpec extends AnyFunSuite {
       assert(probes(s).contains(assign(t)),
         s"pair ($s,$t) not from a probed cell — not ANN-served") }
   }
+
+  test("q329 ANN recall eval equals a replay; IVF shortlist genuinely approximates") {
+    val (vs, _, assign, probes) = ivfReplay()
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val qs = vs.keys.filter(_ % 37L == 0L).toSeq.sorted
+    val kMax = 10
+    def topk(cands: Long => Seq[Long]): Map[Long, Seq[(Long, Int)]] =
+      qs.map { q =>
+        q -> cands(q).filter(_ != q)
+          .map(n => (n, math.floor(1000000.0 * dot(vs(q), vs(n))).toLong))
+          .sortBy { case (n, m) => (-m, n) }.take(kMax)
+          .zipWithIndex.map { case ((n, _), i) => (n, i + 1) }
+      }.toMap
+    val byCell = assign.toSeq.groupBy(_._2)
+      .view.mapValues(_.map(_._1)).toMap
+    val brute = topk(_ => vs.keys.toSeq)
+    val ann = topk(q =>
+      probes(q).flatMap(c => byCell.getOrElse(c, Seq.empty)).distinct)
+    val want = Seq(1, 5, 10).map { k =>
+      val denom = qs.map(q => brute(q).count(_._2 <= k)).sum.toLong
+      val nQ = qs.count(q => brute(q).exists(_._2 <= k)).toLong
+      val hits = qs.map { q =>
+        val b = brute(q).filter(_._2 <= k).map(_._1).toSet
+        val a = ann(q).filter(_._2 <= k).map(_._1).toSet
+        (b intersect a).size
+      }.sum.toLong
+      (k.toLong, nQ, denom, hits, hits * 1000000L / denom)
+    }
+    val got = Similarity.annRecallEval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // the eval is doing real work: recall is positive (the index finds
+    // true neighbors) and below perfect at some k (it is genuinely
+    // approximate on the fixture) — a recall@k of exactly 10^6 at all
+    // k would mean the probe set covers everything and the entry
+    // proves nothing
+    assert(got.forall(r => r._5 > 0L && r._5 <= 1000000L))
+    assert(got.exists(r => r._5 < 1000000L),
+      "IVF recall is perfect at every k on this fixture - not approximating")
+  }
+
+  test("q330 index staleness equals a replay; unchanged labels stay put, re-encoded ones move") {
+    import graft.sources.Tables
+    val rows = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def normed(v: Array[Float]): Array[Double] = {
+      val n = math.sqrt(v.foldLeft(0.0)((a, x) =>
+        a + x.toDouble * x.toDouble))
+      v.map(x => if (n > 0.0) x.toDouble / n else 0.0)
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def rot7(v: Array[Float]): Array[Float] = v.drop(7) ++ v.take(7)
+    val v1 = rows.map { case (id, v, _) => id -> normed(v) }.toMap
+    val v2 = rows.map { case (id, v, l) =>
+      id -> normed(if (l < 5) v else rot7(v)) }.toMap
+    val cents = v1.filter(_._1 < 16L).toSeq.sortBy(_._1)
+    def assign(vs: Map[Long, Array[Double]], id: Long): Long = cents
+      .map { case (cId, cv) => (-dot(vs(id), cv), cId) }.sorted.head._2
+    val per = rows.map(_._1).map { id =>
+      val c1 = assign(v1, id); val c2 = assign(v2, id)
+      (c1, if (c1 != c2) 1L else 0L,
+        math.floor(1000000.0 * dot(v1(id), v2(id))).toLong)
+    }
+    val want = per.groupBy(_._1).map { case (c, g) =>
+      val n = g.length.toLong
+      val moved = g.map(_._2).sum
+      (c, n, moved, moved * 1000000L / n, g.map(_._3).sum / n)
+    }.toSeq.sortBy(_._1)
+    val got = Similarity.indexStaleness(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // staleness is real but partial: re-encoded vectors move cells,
+    // untouched labels (< 5, identity re-encode) cannot all move
+    assert(got.map(_._3).sum > 0L)
+    assert(got.map(_._3).sum < got.map(_._2).sum)
+  }
 }

@@ -1204,4 +1204,54 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.forall(r => r._5 >= 900000L))
     assert(got.exists(r => r._4 < r._2))
   }
+
+  test("q328 speculative-decoding audit equals a replay; agreement is non-trivial") {
+    val spark = SparkTestSession.spark
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0),
+        r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ")
+          .split(" ", -1)))
+    val bcnt = docs.flatMap { case (_, w) =>
+      if (w.length < 2) Seq.empty else w.sliding(2).map(p => (p(0), p(1)))
+    }.groupBy(identity).map { case (k, g) => (k, g.length.toLong) }
+    val draft = bcnt.groupBy(_._1._1).map { case (prev, rows) =>
+      prev -> rows.toSeq.sortBy { case ((_, n), c) => (-c, n) }.head._1._2
+    }
+    val tocc = docs.flatMap { case (src, w) =>
+      if (w.length < 3) Seq.empty
+      else w.sliding(3).map(t => (src, t(0), t(1), t(2)))
+    }.groupBy(identity).map { case (k, g) => (k, g.length.toLong) }
+    val tcnt = tocc.toSeq.groupBy { case ((_, p2, p1, n), _) => (p2, p1, n) }
+      .map { case (k, rows) => (k, rows.map(_._2).sum) }
+    val target = tcnt.groupBy { case ((p2, p1, _), _) => (p2, p1) }
+      .map { case (ctx, rows) =>
+        ctx -> rows.toSeq.sortBy { case ((_, _, n), c) => (-c, n) }
+          .head._1._3
+      }
+    val want = tocc.toSeq.groupBy(_._1._1).map { case (src, rows) =>
+      def s(f: ((String, String, String, String)) => Boolean) =
+        rows.filter(r => f(r._1)).map(_._2).sum
+      val nPos = rows.map(_._2).sum
+      val nAgree = s { case (_, p2, p1, _) =>
+        draft(p1) == target((p2, p1)) }
+      val nDraft = s { case (_, _, p1, n) => draft(p1) == n }
+      val nTgt = s { case (_, p2, p1, n) => target((p2, p1)) == n }
+      (src, nPos, nAgree, nDraft, nTgt, nAgree * 1000000L / nPos,
+        nDraft * 1000000L / nPos, nTgt * 1000000L / nPos)
+    }.toSeq.sortBy(_._1)
+    val got = TextAnalysis.specDecodeAudit(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // the audit is non-trivial on the fixture: agreement exists but is
+    // not universal (the draft genuinely disagrees with the target
+    // somewhere), and the models are predictive above zero
+    assert(got.map(_._3).sum > 0L)
+    assert(got.map(_._3).sum < got.map(_._2).sum)
+    assert(got.map(_._4).sum > 0L && got.map(_._5).sum > 0L)
+  }
 }
