@@ -454,6 +454,10 @@ object SparkEntry {
       Similarity.indexStaleness(s, d)),
     "q331_feature_drift" -> ((s: SparkSession, d: String) =>
       Experiment.featureDrift(s, d)),
+    "q332_lsh_banding_eval" -> ((s: SparkSession, d: String) =>
+      Dedup.lshBandingEval(s, d)),
+    "q333_watermark_planner" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.watermarkDelayPlanner(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -747,6 +751,40 @@ object SparkEntry {
     * inputs + identical expression tree ⇒ bit-equal doubles in both
     * engines (the q325 identical-tree device).
     */
+  /** Generated DuckDB twin of EventStream.watermarkDelayPlanner
+    * (q333): the same planted ingestion-delay model (every 17th event
+    * arrives event_id%7+1 minutes late), the high-water mark as a
+    * running MAX over arrival order, and one conditional-sum arm per
+    * candidate delay.
+    */
+  private def watermarkPlannerOracleSql(delaysSec: Seq[Long]): String = {
+    val arms = delaysSec.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS delay_s,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN lt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(SUM(CASE WHEN lt > $d * 1000000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dropped,
+           CASE WHEN COUNT(*) > 0 THEN
+             CAST(SUM(CASE WHEN lt > $d * 1000000 THEN 1 ELSE 0 END)
+               * 1000000 // COUNT(*) AS BIGINT) END AS dropped_ppm
+         FROM late"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"""WITH ev AS (
+           SELECT event_id, epoch_us(ts) AS t,
+             epoch_us(ts) + CASE WHEN event_id % 17 = 0
+               THEN (event_id % 7 + 1) * 60000000 ELSE 0 END AS arr
+           FROM events),
+         wm AS (
+           SELECT event_id, t, MAX(t) OVER (ORDER BY arr ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS w
+           FROM ev),
+         late AS MATERIALIZED (
+           SELECT CASE WHEN w IS NULL OR w <= t THEN 0 ELSE w - t END AS lt
+           FROM wm)
+         $arms"""
+  }
+
   /** Generated DuckDB twin of Similarity.annRecallEval (q329): the
     * q322 codebook/assignment/probing replay builds the ANN shortlist,
     * an eval-set cross join builds the brute truth, both rank under
@@ -6787,6 +6825,80 @@ object SparkEntry {
            CAST(MAX(gap) AS BIGINT) AS max_gap_ppm,
            CAST(SUM(gap) // 2 AS BIGINT) > 50000 AS flagged
          FROM gaps GROUP BY 1, 2, 3""",
+    // q332: full banding replay (one md5 per shingle, h1 + i*h2 slot
+    // mins, md5 band keys) against the q189 exhaustive 5-gram truth;
+    // per-stage counted recall/precision with zero-guards.
+    "q332_lsh_banding_eval" ->
+      s"""WITH words AS (
+           SELECT doc_id, string_split($normText, ' ') AS w
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS sh
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t
+           WHERE len(w) >= 5),
+         sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         truth AS MATERIALIZED (
+           SELECT id_a, id_b FROM common
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE 5 * n_common >= 3 * (sa.n + sb.n - n_common)),
+         h AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(sh), 17, 14))::BIGINT AS h2
+           FROM sh),
+         slots AS MATERIALIZED (
+           SELECT doc_id, i, MIN(h1 + i * h2) AS v
+           FROM h, LATERAL (SELECT UNNEST(range(0, 64)) AS i) g
+           GROUP BY 1, 2),
+         bands AS (
+           SELECT doc_id, i // 4 AS band,
+             md5(string_agg(CAST(v AS VARCHAR), ':' ORDER BY i)) AS bh
+           FROM slots GROUP BY doc_id, i // 4),
+         cand AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         msig AS (SELECT doc_id, list(v ORDER BY i) AS sig
+           FROM slots GROUP BY 1),
+         est AS MATERIALIZED (
+           SELECT id_a, id_b FROM cand
+           JOIN msig sa ON sa.doc_id = id_a
+           JOIN msig sb ON sb.doc_id = id_b
+           WHERE 10 * len(list_filter(list_zip(sa.sig, sb.sig),
+             z -> z[1] = z[2])) >= 6 * 64),
+         c AS (SELECT
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_band,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM est) AS n_est,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+             JOIN cand USING (id_a, id_b)) AS hit_band,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+             JOIN est USING (id_a, id_b)) AS hit_est)
+         SELECT n_truth, n_band, n_est, hit_band, hit_est,
+           CASE WHEN n_truth > 0
+             THEN CAST(hit_band * 1000000 // n_truth AS BIGINT) END
+             AS recall_band_ppm,
+           CASE WHEN n_truth > 0
+             THEN CAST(hit_est * 1000000 // n_truth AS BIGINT) END
+             AS recall_est_ppm,
+           CASE WHEN n_band > 0
+             THEN CAST(hit_band * 1000000 // n_band AS BIGINT) END
+             AS precision_band_ppm,
+           CASE WHEN n_est > 0
+             THEN CAST(hit_est * 1000000 // n_est AS BIGINT) END
+             AS precision_est_ppm
+         FROM c""",
+    // q333: generated — planted delay model + running-max watermark +
+    // per-delay conditional sums.
+    "q333_watermark_planner" ->
+      watermarkPlannerOracleSql(Seq(0L, 60L, 120L, 300L, 600L)),
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

@@ -1983,4 +1983,96 @@ object Dedup {
         sum(when(col("shared"), 1L).otherwise(0L)).as("n_shared_fps"))
       .where(col("n_dup_pairs") > 0)
   }
+
+  /** The q332 driver entry: LSH BANDING QUALITY EVAL — the MEASURED
+    * counterpart of q196's theoretical S-curve: q196 predicts banded
+    * MinHash's catch probability from (bands, rows); this entry
+    * measures what the banding actually delivers on the corpus, as
+    * recall/precision against the LOSSLESS prefix-filter truth
+    * ([[prefixFilterJoinOn]], the q189 AllPairs/PPJoin device) at the
+    * same J >= 3/5 threshold over the same 5-gram shingle space —
+    * the eval every dedup deployment runs before trusting its index
+    * parameters, reported for BOTH pipeline stages: raw band
+    * candidates and the est-filtered set (>= 60% matching slots, the
+    * integer rule 10·matches >= 6·64).
+    *
+    * Hash family: ONE md5 per shingle, split into h1 (60 bits) and
+    * h2 (56 bits), with slot_i = min over shingles of (h1 + i·h2) —
+    * Kirsch–Mitzenmacher double hashing, chosen over q22's
+    * production xxhash64 family precisely so the ENTIRE banding
+    * (signatures, band keys, candidate set) replays exactly in the
+    * oracle: this is the one entry whose point is measuring the
+    * approximation itself, so the approximation must live INSIDE the
+    * cross-engine hash compare, not beside it. Sums stay under 2^62
+    * (60-bit h1 + 63·2^56), band keys are md5 of the ':'-joined slot
+    * quadruple.
+    *
+    * Scale shape: signatures are ROW-LOCAL higher-order functions
+    * (one md5 per distinct shingle, no explode of the slot axis);
+    * banding exchanges (doc, band, 16-byte key) rows — O(n·bands);
+    * candidates are quadratic only inside a band bucket (the q22
+    * law); est verification touches candidates only; the truth side
+    * is the prefix-filter join, subquadratic by the rarest-first
+    * prefix argument. Every frame read twice+ is pinned (q291 rule).
+    */
+  def lshBandingEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val truth = prefixFilterJoinOn(docs)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true) // read by both hit joins
+    val sigs = docs
+      .select(col("doc_id"),
+        split(TextAnalysis.normalizedText(col("text")), " ").as("w"))
+      .where(size(col("w")) >= 5)
+      .select(col("doc_id"), expr(
+        """transform(array_distinct(transform(sequence(1, size(w) - 4),
+             i -> array_join(slice(w, i, 5), ' '))),
+           s -> struct(
+             CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) AS h1,
+             CAST(conv(substring(md5(s), 17, 14), 16, 10) AS BIGINT) AS h2))
+        """).as("hs"))
+      .select(col("doc_id"), expr(
+        """transform(sequence(0, 63),
+             i -> array_min(transform(hs, p -> p.h1 + i * p.h2)))""")
+        .as("sig"))
+      .localCheckpoint(true) // read by bands + twice by the est join
+    val bands = sigs.select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 15), b -> struct(b AS band,
+             md5(array_join(transform(slice(sig, 4 * b + 1, 4),
+               x -> CAST(x AS STRING)), ':')) AS bh))""")).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.bh").as("bh"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+      .localCheckpoint(true) // read by est + the hit join + its count
+    val est = cand
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")),
+        "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")),
+        "id_b")
+      .where(expr(
+        "10 * size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m)) >= 6 * 64"))
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true) // read by the hit join + its count
+    def cnt(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).cast("long").as(name))
+    cnt(truth, "n_truth")
+      .crossJoin(cnt(cand, "n_band"))
+      .crossJoin(cnt(est, "n_est"))
+      .crossJoin(cnt(truth.join(cand, Seq("id_a", "id_b")), "hit_band"))
+      .crossJoin(cnt(truth.join(est, Seq("id_a", "id_b")), "hit_est"))
+      .select(col("n_truth"), col("n_band"), col("n_est"),
+        col("hit_band"), col("hit_est"),
+        expr("CASE WHEN n_truth > 0 THEN hit_band * 1000000 DIV n_truth END")
+          .as("recall_band_ppm"),
+        expr("CASE WHEN n_truth > 0 THEN hit_est * 1000000 DIV n_truth END")
+          .as("recall_est_ppm"),
+        expr("CASE WHEN n_band > 0 THEN hit_band * 1000000 DIV n_band END")
+          .as("precision_band_ppm"),
+        expr("CASE WHEN n_est > 0 THEN hit_est * 1000000 DIV n_est END")
+          .as("precision_est_ppm"))
+  }
 }

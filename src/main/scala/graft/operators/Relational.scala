@@ -3066,4 +3066,41 @@ object Relational {
           .cast("long"))
       .drop("__bk", "__v", "__off")
   }
+
+  /** CHUNKED EXCLUSIVE PREFIX MAX — the MAX member of the chunked-
+    * rank family ([[chunkedRowNumber]] / [[chunkedPrefixSum]]):
+    * output-identical to `max(value).over(Window.orderBy(order)
+    * .rowsBetween(unboundedPreceding, -1))` — NULL on the global
+    * first row, exactly like the naive window's empty frame — with
+    * no partition-less window anywhere. Same contract: `bucket` is
+    * a NON-NULL monotone prefix of `order` (the tripwire raises
+    * otherwise). Unlike the SUM twin, the cross-bucket offset is a
+    * running MAX over the bounded bucket domain (max is not
+    * invertible, so the triangular join carries each earlier
+    * bucket's max and the group-max collapses it — still
+    * bucket-domain work only).
+    *
+    * First use: the q333 watermark-lateness planner (running
+    * event-time high-water mark over ARRIVAL order, a corpus-scale
+    * total order — the q303/q304 hazard class without this device).
+    */
+  def chunkedPrefixMax(
+      df: DataFrame, bucket: Column, order: Seq[Column],
+      value: Column, out: String = "pmax"): DataFrame = {
+    val b = df.withColumn("__bk", guardNonNullBucket(bucket))
+      .withColumn("__v", value)
+    val totals = b.groupBy(col("__bk")).agg(max(col("__v")).as("__m"))
+    val offs = totals.as("a")
+      .join(totals.as("b"), col("b.__bk") < col("a.__bk"), "left")
+      .groupBy(col("a.__bk").as("__bk"))
+      .agg(max(col("b.__m")).as("__off")) // NULL when no earlier bucket
+    val wIn = Window.partitionBy(col("__bk")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    b.join(broadcast(offs), Seq("__bk"))
+      // greatest() skips NULLs and returns NULL only when BOTH sides
+      // are NULL — the naive window's empty-frame semantics
+      .withColumn(out,
+        greatest(col("__off"), max(col("__v")).over(wIn)).cast("long"))
+      .drop("__bk", "__v", "__off")
+  }
 }

@@ -1399,4 +1399,59 @@ object EventStream {
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
     }
+
+  /** The q333 driver entry: WATERMARK-DELAY PLANNER — the tuning
+    * table behind every `withWatermark` in this file: a delay too
+    * short DROPS late rows silently, too long holds state and
+    * latency, and the right value is read off the corpus's ARRIVAL
+    * log, not guessed. The fixture's event log is arrival-ordered
+    * (zero organic lateness), so the ingestion-delay model is
+    * PLANTED and replayed on both engines (the q320
+    * sampler-replay discipline): every 17th event arrives
+    * (event_id % 7 + 1) minutes after its event time — a
+    * deterministic network-delay model producing 1–7-minute
+    * stragglers. The planner computes each event's lateness against
+    * the stream's event-time high-water mark at its arrival (the
+    * exact quantity Structured Streaming compares to the watermark)
+    * and tabulates, per candidate delay d: events arriving late at
+    * all, events a watermark of d would DROP, and the drop rate —
+    * the curve an operator reads to pick the delay where drops hit
+    * zero (d >= 420 s here, the plant's own bound, which the table
+    * must and does rediscover).
+    *
+    * Scale shape: the high-water mark is a running MAX over arrival
+    * order — a corpus-scale total order, ranked through
+    * [[graft.operators.Relational.chunkedPrefixMax]] (fixed-width
+    * arrival-time buckets; no partition-less window). The lateness
+    * frame pins once; every delay arm is a conditional sum over it,
+    * landing on the bounded delay-grid domain.
+    */
+  def watermarkDelayPlanner(
+      spark: SparkSession, sfDir: String,
+      delaysSec: Seq[Long] = Seq(0L, 60L, 120L, 300L, 600L)): DataFrame = {
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("t"))
+      .withColumn("arr", col("t") + expr(
+        "CASE WHEN event_id % 17 = 0 THEN (event_id % 7 + 1) * 60000000 ELSE 0 END"))
+    val wm = graft.operators.Relational.chunkedPrefixMax(ev,
+      bucket = graft.operators.Relational.rangeBucket(col("arr"), 3600000000L),
+      order = Seq(col("arr").asc, col("event_id").asc),
+      value = col("t"), out = "wm")
+    val late = wm.select(
+      when(col("wm").isNull || col("wm") <= col("t"), 0L)
+        .otherwise(col("wm") - col("t")).as("lt"))
+      .localCheckpoint(true) // read once per delay arm
+    delaysSec.map { d =>
+      late.agg(
+        count(lit(1)).cast("long").as("n_events"),
+        sum(when(col("lt") > 0L, 1L).otherwise(0L)).cast("long")
+          .as("n_late"),
+        sum(when(col("lt") > d * 1000000L, 1L).otherwise(0L)).cast("long")
+          .as("n_dropped"))
+        .select(lit(d).as("delay_s"), col("n_events"), col("n_late"),
+          col("n_dropped"),
+          expr("CASE WHEN n_events > 0 THEN n_dropped * 1000000 DIV n_events END")
+            .as("dropped_ppm"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -592,4 +592,39 @@ class EventStreamSpec extends AnyFunSuite {
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
+
+  test("q333 watermark planner equals a replay; drop curve is monotone and hits zero past the plant bound") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables
+      .load(spark, SparkTestSession.sf, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val arr = ev.map { case (id, t) =>
+      (id, t, t + (if (id % 17 == 0) (id % 7 + 1) * 60000000L else 0L))
+    }.sortBy { case (id, _, a) => (a, id) }
+    var hi = Long.MinValue
+    val lts = arr.map { case (_, t, _) =>
+      val lt = if (hi == Long.MinValue || hi <= t) 0L else hi - t
+      if (t > hi) hi = t
+      lt
+    }
+    val want = Seq(0L, 60L, 120L, 300L, 600L).map { d =>
+      (d, lts.length.toLong, lts.count(_ > 0L).toLong,
+        lts.count(_ > d * 1000000L).toLong)
+    }.map { case (d, n, nl, nd) => (d, n, nl, nd, nd * 1000000L / n) }
+    val got = graft.streaming.EventStream
+      .watermarkDelayPlanner(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // the plant produces genuine stragglers, the drop curve is
+    // monotone non-increasing in the delay, and a delay past the
+    // plant's own 7-minute bound drops nothing — the number the
+    // planner exists to find
+    assert(got.head._3 > 0L)
+    val drops = got.map(_._4)
+    assert(drops.zip(drops.tail).forall { case (a, b) => b <= a })
+    assert(drops.last == 0L)
+  }
 }

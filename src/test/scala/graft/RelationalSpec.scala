@@ -1510,4 +1510,32 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.head._2 == 0L)
     assert(rows.last._2 + rows.last._3 == total)
   }
+
+  test("chunkedPrefixMax is output-identical to the naive global running-max window") {
+    import spark.implicits._
+    // adversarial layout: duplicate order keys, negative values, and
+    // bucket boundaries that split runs of equal keys
+    val rows = Seq(
+      (1L, 5L), (2L, -3L), (2L, 9L), (3L, 1L), (7L, 2L), (8L, 9L),
+      (9L, -1L), (15L, 4L), (16L, 20L), (17L, 3L), (31L, 7L), (32L, 0L)
+    ).zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }
+    val df = rows.toDF("row_id", "k", "v")
+    val got = Relational.chunkedPrefixMax(df,
+      bucket = Relational.rangeBucket(col("k"), 8L),
+      order = Seq(col("k").asc, col("row_id").asc),
+      value = col("v"), out = "pm")
+      .select(col("row_id"), col("pm")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    val naive = df.withColumn("pm",
+      max(col("v")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("k").asc, col("row_id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1L)))
+      .select(col("row_id"), col("pm")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(got == naive)
+    assert(got(0L).isEmpty, "global first row must be NULL (empty frame)")
+  }
 }
