@@ -458,6 +458,8 @@ object SparkEntry {
       Dedup.lshBandingEval(s, d)),
     "q333_watermark_planner" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.watermarkDelayPlanner(s, d)),
+    "q334_bm25_retrieval_eval" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bm25RetrievalEval(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -751,6 +753,84 @@ object SparkEntry {
     * inputs + identical expression tree ⇒ bit-equal doubles in both
     * engines (the q325 identical-tree device).
     */
+  /** Generated DuckDB twin of TextAnalysis.bm25RetrievalEval (q334):
+    * the q313 split + gram-overlap truth, q114's BM25 float tree
+    * verbatim per term (floored to micro BEFORE the per-(q,d) sum, so
+    * the score is an order-free integer), topK rank, per-k arms.
+    */
+  private def bm25RetrievalOracleSql(
+      ks: Seq[Int], minShared: Long, topK: Int): String = {
+    val arms = ks.map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN rk <= $k THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           CASE WHEN COUNT(*) > 0 THEN
+             CAST(SUM(CASE WHEN rk <= $k THEN 1 ELSE 0 END)
+               * 1000000 // COUNT(*) AS BIGINT) END AS recall_ppm,
+           CASE WHEN COUNT(*) > 0 THEN
+             CAST(SUM(CASE WHEN rk <= $k THEN 1000000 // rk ELSE 0 END)
+               // COUNT(*) AS BIGINT) END AS mrr_ppm
+         FROM relrank"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"""WITH docs AS (
+           SELECT doc_id, string_split($normText, ' ') AS w,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 10 < 8 THEN 'train' ELSE 'eval' END AS split
+           FROM documents
+           WHERE len(string_split($normText, ' ')) >= 5),
+         grams AS (
+           SELECT DISTINCT doc_id, split,
+             substr(md5(array_to_string(w[i:i+4], ' ')), 1, 16) AS g
+           FROM docs, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t),
+         ov AS (
+           SELECT e.doc_id AS q_id, t.doc_id AS td,
+             CAST(COUNT(*) AS BIGINT) AS shared
+           FROM grams e JOIN grams t
+             ON e.g = t.g AND e.split = 'eval' AND t.split = 'train'
+           GROUP BY 1, 2),
+         truth AS MATERIALIZED (
+           SELECT q_id, td AS rel FROM (
+             SELECT q_id, td, shared, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY shared DESC, td ASC) AS rn FROM ov)
+           WHERE rn = 1 AND shared >= $minShared),
+         train AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl
+           FROM docs WHERE split = 'train'),
+         stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM train),
+         tf AS (
+           SELECT doc_id AS d_id, term, CAST(COUNT(*) AS BIGINT) AS tf,
+             MAX(dl) AS dl
+           FROM (SELECT doc_id, UNNEST(w) AS term, dl FROM train)
+           GROUP BY 1, 2),
+         dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+           FROM tf GROUP BY 1),
+         qterms AS (
+           SELECT DISTINCT truth.q_id, term FROM truth
+           JOIN (SELECT doc_id, UNNEST(w) AS term FROM docs
+             WHERE split = 'eval') e ON e.doc_id = truth.q_id),
+         contrib AS (
+           SELECT q.q_id, tf.d_id,
+             CAST(FLOOR(1000000 *
+               (ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))))
+               AS BIGINT) AS c
+           FROM qterms q JOIN tf USING (term) JOIN dfreq USING (term)
+           CROSS JOIN stats),
+         ranked AS MATERIALIZED (
+           SELECT q_id, d_id, rk FROM (
+             SELECT q_id, d_id, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY s DESC, d_id ASC) AS rk
+             FROM (SELECT q_id, d_id, CAST(SUM(c) AS BIGINT) AS s
+               FROM contrib GROUP BY 1, 2))
+           WHERE rk <= $topK),
+         relrank AS MATERIALIZED (
+           SELECT truth.q_id, CAST(r.rk AS BIGINT) AS rk
+           FROM truth LEFT JOIN ranked r
+             ON r.q_id = truth.q_id AND r.d_id = truth.rel)
+         $arms"""
+  }
+
   /** Generated DuckDB twin of EventStream.watermarkDelayPlanner
     * (q333): the same planted ingestion-delay model (every 17th event
     * arrives event_id%7+1 minutes late), the high-water mark as a
@@ -6899,6 +6979,10 @@ object SparkEntry {
     // per-delay conditional sums.
     "q333_watermark_planner" ->
       watermarkPlannerOracleSql(Seq(0L, 60L, 120L, 300L, 600L)),
+    // q334: generated — q313 twin truth + q114 BM25 tree per term,
+    // floored-then-summed scores, per-k recall/MRR arms.
+    "q334_bm25_retrieval_eval" ->
+      bm25RetrievalOracleSql(Seq(1, 5, 10), 5L, 10),
     // q189: prefix-filter join runs the lossless AllPairs pruning, so
     // its oracle is the exhaustive token-set truth at the same
     // integer threshold (5·∩ ≥ 3·∪) — equality IS the completeness

@@ -2715,4 +2715,107 @@ object TextAnalysis {
         expr("n_draft_hit * 1000000 DIV n_pos").as("draft_hit_ppm"),
         expr("n_target_hit * 1000000 DIV n_pos").as("target_hit_ppm"))
   }
+
+  /** The q334 driver entry: LEXICAL RETRIEVAL EVAL (BM25 recall@k /
+    * MRR@k against contamination twins) — the retrieval-quality
+    * counterpart of q329's vector eval, over the LEXICAL index: the
+    * corpus's natural cross-split near-duplicates (the q313 device —
+    * eval docs sharing >= `minShared` distinct 5-gram digests with a
+    * train doc; relevant doc = the argmax-overlap train doc under the
+    * (shared desc, id asc) total order) become the relevance
+    * judgments, each flagged eval doc queries the train corpus with
+    * its distinct words, and recall@k / MRR@k measure whether
+    * doc-as-query BM25 surfaces the twin. On this fixture's 31-word
+    * vocabulary, bag-of-words retrieval genuinely struggles (sf0.001
+    * reads 2/4/6 of 10 twins at k = 1/5/10) — exactly the gap that
+    * motivates the dense path (q329), measured rather than asserted.
+    *
+    * Float discipline: BM25's ln keeps q114's proven tree verbatim
+    * (identical literals 2.2 / 1.2 / 0.25 / 0.75); each per-term
+    * contribution floors to micro BIGINT FIRST and the per-(q, d)
+    * score is the INTEGER sum of floored terms — a float Σ across an
+    * engine boundary would be summation-order-dependent, the floored
+    * sum is order-free by construction.
+    *
+    * Scale shape: gram overlap rides the q313 posting-list shape
+    * (digests only); tf/df are dictionary-grain; the per-query rank
+    * cuts to topK via WindowGroupLimit (candidates = term-sharing
+    * train docs, the q21 posting discipline); the per-k arms reduce a
+    * pinned (query, rank) frame of |queries| rows.
+    */
+  def bm25RetrievalEval(
+      spark: SparkSession, sfDir: String,
+      ks: Seq[Int] = Seq(1, 5, 10), minShared: Long = 5L,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    import graft.operators.TrainingPrep.{hashBucket, splitBuckets, trainBuckets}
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        split(normalizedText(col("text")), " ").as("w"))
+      .where(size(col("w")) >= 5)
+      .withColumn("split",
+        when(hashBucket(col("doc_id"), "", splitBuckets) < trainBuckets,
+          "train").otherwise("eval"))
+      .localCheckpoint(true) // read by grams, train tf, and qterms
+    val grams = docs.select(col("doc_id"), col("split"), explode(expr(
+        """array_distinct(transform(sequence(1, size(w) - 4),
+             i -> substring(md5(array_join(slice(w, i, 5), ' ')), 1, 16)))"""))
+        .as("g"))
+    val ov = grams.where(col("split") === "eval")
+      .select(col("doc_id").as("q_id"), col("g"))
+      .join(grams.where(col("split") === "train")
+        .select(col("doc_id").as("td"), col("g")), "g")
+      .groupBy(col("q_id"), col("td"))
+      .agg(count(lit(1)).as("shared"))
+    val wT = Window.partitionBy(col("q_id"))
+      .orderBy(col("shared").desc, col("td").asc)
+    val truth = ov.withColumn("rn", row_number().over(wT))
+      .where(col("rn") === 1 && col("shared") >= minShared)
+      .select(col("q_id"), col("td").as("rel"))
+    val train = docs.where(col("split") === "train")
+      .withColumn("dl", size(col("w")).cast("long"))
+    val stats = train.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = train
+      .select(col("doc_id").as("d_id"), col("dl"),
+        explode(col("w")).as("term"))
+      .groupBy(col("d_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qterms = docs.where(col("split") === "eval")
+      .join(truth, col("doc_id") === col("q_id"))
+      .select(col("q_id"), explode(array_distinct(col("w"))).as("term"))
+    val contrib = qterms.join(tf, "term").join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .select(col("q_id"), col("d_id"),
+        floor(lit(1e6) * (col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) *
+            (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))))
+          .cast("long").as("c"))
+    val wR = Window.partitionBy(col("q_id"))
+      .orderBy(col("s").desc, col("d_id").asc)
+    val ranked = contrib.groupBy(col("q_id"), col("d_id"))
+      .agg(sum(col("c")).cast("long").as("s"))
+      .withColumn("rk", row_number().over(wR))
+      .where(col("rk") <= topK)
+    val relRank = truth.as("t")
+      .join(ranked.as("r"),
+        col("t.q_id") === col("r.q_id") && col("t.rel") === col("r.d_id"),
+        "left")
+      .select(col("t.q_id"), col("r.rk").cast("long").as("rk"))
+      .localCheckpoint(true) // read once per k arm
+    ks.map { k =>
+      relRank.agg(count(lit(1)).cast("long").as("n_queries"),
+        sum(when(col("rk") <= k, 1L).otherwise(0L)).cast("long")
+          .as("n_hits"),
+        sum(when(col("rk") <= k, expr("1000000 DIV rk")).otherwise(0L))
+          .cast("long").as("rr_sum"))
+        .select(lit(k.toLong).as("k"), col("n_queries"), col("n_hits"),
+          expr("CASE WHEN n_queries > 0 THEN n_hits * 1000000 DIV n_queries END")
+            .as("recall_ppm"),
+          expr("CASE WHEN n_queries > 0 THEN rr_sum DIV n_queries END")
+            .as("mrr_ppm"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -326,7 +326,11 @@ object ScalingProbe {
       "q329_ann_recall" -> (d => graft.operators.Similarity.annRecallEval(spark, d)),
       "q330_index_staleness" -> (d => graft.operators.Similarity.indexStaleness(spark, d)),
       "q331_feature_drift" -> (d => graft.operators.Experiment.featureDrift(spark, d)),
-      "q332_lsh_banding_eval" -> (d => graft.operators.Dedup.lshBandingEval(spark, d)))
+      "q332_lsh_banding_eval" -> (d => graft.operators.Dedup.lshBandingEval(spark, d)),
+      "q333_watermark_planner" -> (d =>
+        graft.streaming.EventStream.watermarkDelayPlanner(spark, d)),
+      "q334_bm25_eval" -> (d =>
+        graft.operators.TextAnalysis.bm25RetrievalEval(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))

@@ -112,4 +112,20 @@ class PreferenceSpec extends AnyFunSuite {
     // margins genuinely vary on the fixture (not all ties)
     assert(got.exists(_._8 > 0L))
   }
+
+  test("q321 packed-key guard raises on ids outside the declared domain instead of silently reordering") {
+    val spark = SparkTestSession.spark
+    // the fixture's ids are inside [0, 10^7) so the default passes
+    // (every green q321 row proves that); an idBound BELOW the
+    // corpus's ids must fail loudly with the documented message
+    val e = intercept[Exception] {
+      graft.operators.Preference
+        .preferencePairs(spark, SparkTestSession.sf, idBound = 10L)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("packed-key")), s"unexpected: $e")
+  }
 }

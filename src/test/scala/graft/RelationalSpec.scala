@@ -1538,4 +1538,39 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == naive)
     assert(got(0L).isEmpty, "global first row must be NULL (empty frame)")
   }
+
+  test("rangeBucket is exact past 2^53 where double division would cross a bucket boundary") {
+    import spark.implicits._
+    // x = 2^53 + 3 rounds UP to 2^53 + 4 as a double, so
+    // floor(x / 2.0) reads 4503599627370498 — one bucket PAST the
+    // exact quotient 4503599627370497 (the latent corruption the
+    // round-15 advice flagged); IntegralDivide must stay exact
+    val x = (1L << 53) + 3L
+    val got = Seq(x).toDF("k")
+      .select(Relational.rangeBucket(col("k"), 2L).as("b"))
+      .head().getLong(0)
+    assert(got == 4503599627370497L)
+    assert(math.floor(x.toDouble / 2.0).toLong == 4503599627370498L,
+      "the double path must actually disagree for this probe to prove anything")
+    // descending variant: negated quotient, same exactness
+    val gotD = Seq(x).toDF("k")
+      .select(Relational.rangeBucket(col("k"), 2L, descending = true).as("b"))
+      .head().getLong(0)
+    assert(gotD == -4503599627370497L)
+  }
+
+  test("chunkedRowNumber raises loudly on a NULL bucket instead of dropping the row") {
+    import spark.implicits._
+    val df = Seq((1L, java.lang.Long.valueOf(5L)),
+      (2L, null.asInstanceOf[java.lang.Long])).toDF("id", "k")
+    val e = intercept[Exception] {
+      Relational.chunkedRowNumber(df, bucket = col("k"),
+        order = Seq(col("k").asc, col("id").asc)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("bucket expression evaluated to NULL")),
+      s"unexpected failure: $e")
+  }
 }

@@ -1254,4 +1254,80 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.map(_._3).sum < got.map(_._2).sum)
     assert(got.map(_._4).sum > 0L && got.map(_._5).sum > 0L)
   }
+
+  test("q334 BM25 retrieval eval equals a replay; lexical recall genuinely partial on this vocab") {
+    val spark = SparkTestSession.spark
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ")
+          .split(" ", -1)))
+      .filter(_._2.length >= 5)
+      .map { case (id, w) =>
+        val train = java.lang.Long
+          .parseLong(md5hex(id.toString).substring(0, 15), 16) % 10 < 8
+        (id, w, train)
+      }
+    val grams = docs.map { case (id, w, tr) =>
+      (id, tr, w.sliding(5).map(g => md5hex(g.mkString(" "))
+        .substring(0, 16)).toSet)
+    }
+    val evalG = grams.filter(!_._2); val trainG = grams.filter(_._2)
+    val truth = evalG.flatMap { case (q, _, gs) =>
+      val ov = trainG.map { case (t, _, tg) => (t, (gs intersect tg).size) }
+        .filter(_._2 > 0)
+      if (ov.isEmpty) None
+      else {
+        val (td, shared) = ov.minBy { case (t, sh) => (-sh, t) }
+        if (shared >= 5) Some(q -> td) else None
+      }
+    }.toMap
+    val train = docs.filter(_._3)
+    val nDocs = train.length.toLong
+    val avgdl = train.map(_._2.length.toLong).sum.toDouble / nDocs
+    val tf = train.flatMap { case (id, w, _) =>
+      w.groupBy(identity).map { case (t, g) =>
+        (t, id, g.length.toLong, w.length.toLong) }
+    }
+    val dfm = tf.groupBy(_._1).map { case (t, g) => t -> g.length.toLong }
+    val byTerm = tf.groupBy(_._1)
+    val relRank = truth.map { case (q, rel) =>
+      val qts = docs.find(_._1 == q).get._2.distinct
+      val scores = qts.flatMap(t => byTerm.getOrElse(t, Array.empty[
+          (String, Long, Long, Long)]).map { case (_, d, f, dl) =>
+        val df = dfm(t)
+        val idf = math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+        (d, math.floor(1000000.0 * (idf * (f * 2.2) /
+          (f + 1.2 * (0.25 + 0.75 * dl / avgdl)))).toLong)
+      }).groupBy(_._1).map { case (d, g) => (d, g.map(_._2).sum) }.toSeq
+      val top = scores.sortBy { case (d, sc) => (-sc, d) }.take(10)
+      q -> top.indexWhere(_._1 == rel) // -1 if absent, else rank-1
+    }
+    val want = Seq(1, 5, 10).map { k =>
+      val n = relRank.size.toLong
+      val hits = relRank.values.count(i => i >= 0 && i + 1 <= k).toLong
+      val rr = relRank.values.filter(i => i >= 0 && i + 1 <= k)
+        .map(i => 1000000L / (i + 1)).sum
+      (k.toLong, n, hits, hits * 1000000L / n, rr / n)
+    }
+    val got = TextAnalysis.bm25RetrievalEval(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // non-vacuous and genuinely partial: judgments exist, the twin is
+    // found for SOME query, and bag-of-words misses at least one at
+    // k=1 on the 31-word vocabulary (the gap that motivates q329)
+    assert(got.head._2 > 0L)
+    assert(got.last._3 > 0L)
+    assert(got.head._3 < got.head._2)
+    // recall monotone in k
+    val rs = got.map(_._4)
+    assert(rs.zip(rs.tail).forall { case (a, b) => a <= b })
+  }
 }
+
