@@ -460,6 +460,8 @@ object SparkEntry {
       graft.streaming.EventStream.watermarkDelayPlanner(s, d)),
     "q334_bm25_retrieval_eval" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bm25RetrievalEval(s, d)),
+    "q335_packing_attention" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.packingAttentionAudit(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -6075,6 +6077,75 @@ object SparkEntry {
            md5(string_agg(CAST(doc_id AS VARCHAR), ','
              ORDER BY doc_id ASC)) AS win_digest
          FROM asg GROUP BY 1""",
+    // q335: the q305 recursive first-fit replay with the attention
+    // pair-arithmetic tail (triangular counts, trailing ppm DIV).
+    "q335_packing_attention" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS ntok
+           FROM documents),
+         items AS (
+           SELECT doc_id, ntok, ntok + 1 AS item,
+             CAST(ROW_NUMBER() OVER (ORDER BY ntok DESC, doc_id ASC)
+               AS BIGINT) AS rk
+           FROM toks),
+         ch AS (
+           SELECT doc_id, ntok, item, (rk - 1) // 256 AS chunk,
+             CAST(ROW_NUMBER() OVER (PARTITION BY (rk - 1) // 256
+               ORDER BY rk ASC) AS BIGINT) AS pos
+           FROM items),
+         step AS (
+           SELECT chunk, CAST(0 AS BIGINT) AS pos,
+             CAST([] AS BIGINT[]) AS fills,
+             CAST([] AS STRUCT(doc_id BIGINT, win BIGINT, ntok BIGINT,
+               item BIGINT)[]) AS asg
+           FROM (SELECT DISTINCT chunk FROM ch) c
+           UNION ALL
+           SELECT s.chunk, s.pos + 1,
+             CASE WHEN p.p = 0 THEN list_append(s.fills, d.item)
+               ELSE list_concat(list_concat(
+                 list_slice(s.fills, 1, p.p - 1),
+                 [s.fills[p.p] + d.item]),
+                 list_slice(s.fills, p.p + 1, len(s.fills))) END,
+             list_append(s.asg, CASE WHEN p.p = 0
+               THEN {'doc_id': d.doc_id,
+                     'win': CAST(len(s.fills) + 1 AS BIGINT),
+                     'ntok': d.ntok, 'item': d.item}
+               ELSE {'doc_id': d.doc_id, 'win': p.p,
+                     'ntok': d.ntok, 'item': d.item} END)
+           FROM step s
+           JOIN ch d ON d.chunk = s.chunk AND d.pos = s.pos + 1,
+           LATERAL (SELECT CAST(COALESCE(list_position(
+              list_transform(s.fills, f -> f + d.item <= 4096), true), 0)
+              AS BIGINT) AS p) p),
+         fin AS (
+           SELECT s.chunk, s.fills, s.asg FROM step s
+           JOIN (SELECT chunk, MAX(pos) AS mp FROM step GROUP BY 1) m
+             ON m.chunk = s.chunk AND m.mp = s.pos),
+         offs AS (
+           SELECT a.chunk, CAST(COALESCE(SUM(len(b.fills)), 0) AS BIGINT)
+             AS woff
+           FROM fin a LEFT JOIN fin b ON b.chunk < a.chunk
+           GROUP BY 1),
+         asg AS (
+           SELECT f.chunk, o.woff, UNNEST(f.asg, recursive := true)
+           FROM fin f JOIN offs o ON o.chunk = f.chunk),
+         g AS (
+           SELECT CAST(woff + win AS BIGINT) AS window_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(item) AS BIGINT) AS tokens,
+             CAST(SUM(item * (item - 1) // 2) AS BIGINT) AS intra_pairs
+           FROM asg GROUP BY 1)
+         SELECT window_id, n_docs, tokens,
+           CAST(tokens * (tokens - 1) // 2 AS BIGINT) AS total_pairs,
+           intra_pairs,
+           CAST(tokens * (tokens - 1) // 2 - intra_pairs AS BIGINT)
+             AS cross_pairs,
+           CASE WHEN tokens > 1 THEN
+             CAST((tokens * (tokens - 1) // 2 - intra_pairs) * 1000000
+               // (tokens * (tokens - 1) // 2) AS BIGINT) END AS cross_ppm
+         FROM g""",
     // q306: closed-form overlap-stride chunking — pure per-row
     // arithmetic + array slices, replayed verbatim.
     "q306_sliding_chunks" ->

@@ -1190,6 +1190,16 @@ object TrainingPrep {
     * list, so equality proves the whole sequential recurrence.
     */
   def packedWindows(spark: SparkSession, sfDir: String,
+      capacity: Int = 4096, chunkSize: Int = 256): DataFrame =
+    packedWindowsFrom(
+      packedAssignments(spark, sfDir, capacity, chunkSize), capacity)
+
+  /** The per-doc (window_id, doc_id, ntok, item) assignment frame the
+    * q305 manifest groups over — exposed so downstream audits (q335's
+    * attention-mask accounting) consume the IDENTICAL first-fit fold
+    * rather than re-deriving it.
+    */
+  def packedAssignments(spark: SparkSession, sfDir: String,
       capacity: Int = 4096, chunkSize: Int = 256): DataFrame = {
     val toks = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),
@@ -1246,7 +1256,10 @@ object TrainingPrep {
       .select((col("woff") + col("a.win")).cast("long").as("window_id"),
         col("a.doc_id").as("doc_id"), col("a.ntok").as("ntok"),
         col("a.item").as("item"))
-      .groupBy(col("window_id"))
+  }
+
+  def packedWindowsFrom(asg: DataFrame, capacity: Int): DataFrame =
+    asg.groupBy(col("window_id"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("ntok")).cast("long").as("payload_tokens"),
         sum(col("item")).cast("long").as("used_tokens"),
@@ -1254,7 +1267,6 @@ object TrainingPrep {
           .as("slack_tokens"),
         md5(concat_ws(",", transform(array_sort(collect_list(col("doc_id"))),
           x => x.cast("string")))).as("win_digest"))
-  }
 
   /** The q308 driver entry: DOMAIN-AFFINITY IMPORTANCE RESAMPLING
     * MANIFEST — the DSIR-shaped move (Xie et al. 2023, hashed-n-gram
@@ -1970,4 +1982,45 @@ object TrainingPrep {
         min(col("rk")).cast("long").as("first_rank"),
         max(col("rk")).cast("long").as("last_rank"))
   }
+
+  /** The q335 driver entry: PACKING ATTENTION-MASK AUDIT — the
+    * cross-document attention accounting behind "document masking"
+    * (Llama 3's packing ablations; the contamination every packed
+    * pretraining batch carries unless the attention mask blocks it):
+    * in a packed window holding docs of lengths l₁..lₘ (q305's
+    * first-fit fills, consumed via [[packedAssignments]] — the SAME
+    * fold, never re-derived), causal attention offers T·(T−1)/2
+    * token pairs (T = Σ lᵢ), of which only Σ lᵢ·(lᵢ−1)/2 are
+    * intra-document; everything else is cross-document leakage a
+    * mask must remove (or the trainer accepts as noise). Reported
+    * per window: doc count, tokens, total/intra/cross pairs, and
+    * cross-leakage ppm — the table that decides whether the masking
+    * kernel is worth its cost at a given capacity.
+    *
+    * All arithmetic is integer (pair counts are exact triangular
+    * numbers; one trailing DIV for the ppm — the established
+    * per-term-truncation discipline).
+    *
+    * Scale shape: one window-grain map-side-combined aggregate over
+    * the q305 assignment frame; every pair count is row-local
+    * arithmetic. Nothing here touches text.
+    */
+  def packingAttentionAudit(
+      spark: SparkSession, sfDir: String,
+      capacity: Int = 4096, chunkSize: Int = 256): DataFrame =
+    packedAssignments(spark, sfDir, capacity, chunkSize)
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("item")).cast("long").as("tokens"),
+        sum(expr("item * (item - 1) DIV 2")).cast("long")
+          .as("intra_pairs"))
+      .select(col("window_id"), col("n_docs"), col("tokens"),
+        expr("tokens * (tokens - 1) DIV 2").as("total_pairs"),
+        col("intra_pairs"),
+        expr("tokens * (tokens - 1) DIV 2 - intra_pairs")
+          .as("cross_pairs"),
+        expr("""CASE WHEN tokens > 1 THEN
+            (tokens * (tokens - 1) DIV 2 - intra_pairs) * 1000000
+              DIV (tokens * (tokens - 1) DIV 2) END""")
+          .as("cross_ppm"))
 }

@@ -330,7 +330,9 @@ object ScalingProbe {
       "q333_watermark_planner" -> (d =>
         graft.streaming.EventStream.watermarkDelayPlanner(spark, d)),
       "q334_bm25_eval" -> (d =>
-        graft.operators.TextAnalysis.bm25RetrievalEval(spark, d)))
+        graft.operators.TextAnalysis.bm25RetrievalEval(spark, d)),
+      "q335_packing_attention" -> (d =>
+        graft.operators.TrainingPrep.packingAttentionAudit(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))

@@ -1308,4 +1308,56 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(got(0)._7 == nn * 1L / 15L && got(1)._7 == nn * 3L / 15L &&
       got(2)._7 == nn * 7L / 15L && got(3)._7 == nn)
   }
+
+  test("q335 packing attention audit: pair arithmetic equals an FFD replay; leakage laws hold") {
+    val spark = SparkTestSession.spark
+    val C = 4096L
+    val toks = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.bpeTokenCount(col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the same independent FFD replay as the q305 spec, reduced to
+    // per-window item lists
+    val chunks = toks.sortBy { case (id, n) => (-n, id) }.grouped(256).toSeq
+    var nextWin = 0L
+    val expect = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long, Long)]
+    for (chunk <- chunks) {
+      val wins = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, scala.collection.mutable.ArrayBuffer[Long])]
+      for ((id, n) <- chunk) {
+        val item = n + 1L
+        wins.indexWhere(_._1 + item <= C) match {
+          case -1 => wins += ((item,
+            scala.collection.mutable.ArrayBuffer(item)))
+          case i => wins(i) = (wins(i)._1 + item, wins(i)._2 += item)
+        }
+      }
+      for ((fill, items) <- wins) {
+        nextWin += 1L
+        val t = items.sum
+        val total = t * (t - 1) / 2
+        val intra = items.map(x => x * (x - 1) / 2).sum
+        expect += ((nextWin, items.length.toLong, t, total, intra,
+          total - intra, (total - intra) * 1000000L / total))
+      }
+    }
+    val got = graft.operators.TrainingPrep
+      .packingAttentionAudit(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
+    assert(got.toSeq == expect.toSeq)
+    // leakage laws: cross >= 0 everywhere; single-doc windows leak
+    // ZERO; multi-doc windows leak SOMETHING; and packed windows at
+    // this capacity carry real cross-document mass (the reason
+    // document masking exists)
+    got.foreach { case (_, nd, _, total, intra, cross, _) =>
+      assert(cross >= 0L && intra + cross == total)
+      if (nd == 1L) assert(cross == 0L)
+      if (nd > 1L) assert(cross > 0L)
+    }
+    assert(got.exists(_._2 > 1L), "fixture never packs 2+ docs - vacuous")
+  }
 }
+
