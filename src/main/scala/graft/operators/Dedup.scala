@@ -2031,6 +2031,11 @@ object Dedup {
              CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) AS h1,
              CAST(conv(substring(md5(s), 17, 14), 16, 10) AS BIGINT) AS h2))
         """).as("hs"))
+      // PIN between the two HOF projections: CollapseProject would
+      // otherwise inline the per-shingle md5 transform into the
+      // 64-slot loop below — 64x the md5 work (measured 57 s vs ~3 s
+      // at sf0.1; the q291 shared-subtree rule, intra-plan edition)
+      .localCheckpoint(true)
       .select(col("doc_id"), expr(
         """transform(sequence(0, 63),
              i -> array_min(transform(hs, p -> p.h1 + i * p.h2)))""")
