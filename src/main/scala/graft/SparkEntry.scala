@@ -462,6 +462,14 @@ object SparkEntry {
       TextAnalysis.bm25RetrievalEval(s, d)),
     "q335_packing_attention" -> ((s: SparkSession, d: String) =>
       TrainingPrep.packingAttentionAudit(s, d)),
+    "q336_epoch_waterfill" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.epochWaterfill(s, d)),
+    "q337_ips_policy_eval" -> ((s: SparkSession, d: String) =>
+      Experiment.ipsPolicyEval(s, d)),
+    "q338_best_of_n" -> ((s: SparkSession, d: String) =>
+      Experiment.bestOfN(s, d)),
+    "q339_arena_leaderboard" -> ((s: SparkSession, d: String) =>
+      Experiment.arenaLeaderboard(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -8793,7 +8801,162 @@ object SparkEntry {
          ('0x' || substr(md5(text), 9, 8))::BIGINT / 4294967296.0 AS f1,
          ('0x' || substr(md5(text), 17, 8))::BIGINT / 4294967296.0 AS f2,
          ('0x' || substr(md5(text), 25, 8))::BIGINT / 4294967296.0 AS f3
-         FROM documents"""
+         FROM documents""",
+    // q336: max-min fair water-filling with epoch caps — the
+    // saturated set is a prefix of the cap-ascending order (f(k) =
+    // P(k-1) + c_k(m-k+1) is monotone), so k* is a COUNT and the
+    // level arithmetic is all BIGINT: rem DIV u each, remainder
+    // tokens one each to the lowest unsaturated ranks.
+    "q336_epoch_waterfill" ->
+      """WITH dom AS (
+           SELECT source, lang,
+             CAST(SUM(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+               AS avail_tokens
+           FROM documents GROUP BY 1, 2),
+         caps AS (
+           SELECT source, lang, avail_tokens,
+             CAST(4 * avail_tokens AS BIGINT) AS cap_tokens FROM dom),
+         tot AS (
+           SELECT CAST(2 * SUM(avail_tokens) AS BIGINT) AS b,
+                  CAST(COUNT(*) AS BIGINT) AS m FROM dom),
+         ranked AS (
+           SELECT c.*, t.b, t.m,
+             CAST(ROW_NUMBER() OVER (ORDER BY cap_tokens ASC,
+               source ASC, lang ASC) AS BIGINT) AS rk,
+             CAST(SUM(cap_tokens) OVER (ORDER BY cap_tokens ASC,
+               source ASC, lang ASC) AS BIGINT) AS pref
+           FROM caps c, tot t),
+         lvl AS (
+           SELECT
+             COALESCE(CAST(SUM(CASE WHEN pref - cap_tokens
+               + cap_tokens * (m - rk + 1) <= b THEN 1 ELSE 0 END)
+               AS BIGINT), 0) AS k,
+             COALESCE(CAST(SUM(CASE WHEN pref - cap_tokens
+               + cap_tokens * (m - rk + 1) <= b THEN cap_tokens
+               ELSE 0 END) AS BIGINT), 0) AS prefk,
+             MAX(b) AS b2, MAX(m) AS m2
+           FROM ranked)
+         SELECT r.source, r.lang, r.avail_tokens, r.cap_tokens,
+           CAST(CASE WHEN r.rk <= l.k THEN r.cap_tokens
+             ELSE (l.b2 - l.prefk) // (l.m2 - l.k)
+               + CASE WHEN r.rk - l.k <= (l.b2 - l.prefk) % (l.m2 - l.k)
+                 THEN 1 ELSE 0 END END AS BIGINT) AS alloc_tokens,
+           r.rk <= l.k AS saturated,
+           CAST(CASE WHEN r.rk <= l.k THEN r.cap_tokens
+             ELSE (l.b2 - l.prefk) // (l.m2 - l.k)
+               + CASE WHEN r.rk - l.k <= (l.b2 - l.prefk) % (l.m2 - l.k)
+                 THEN 1 ELSE 0 END END * 1000000 // r.avail_tokens
+             AS BIGINT) AS epochs_ppm
+         FROM ranked r, lvl l""",
+    // q337: IPS/SNIPS with empirical behavior propensities — the IPS
+    // weight is the exact rational n_x/n_{x,a}, carried as ONE
+    // milli-scaled truncating DIV per (user, action) cell, so both
+    // engines truncate identically.
+    "q337_ips_policy_eval" ->
+      """WITH ev AS (
+           SELECT user_id, event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+         ua AS (
+           SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_ua,
+             CAST(SUM(cents) AS BIGINT) AS r_ua
+           FROM ev GROUP BY 1, 2),
+         u AS (SELECT user_id, CAST(SUM(n_ua) AS BIGINT) AS n_u
+           FROM ua GROUP BY 1),
+         n AS (SELECT CAST(SUM(n_u) AS BIGINT) AS n FROM u),
+         w AS (
+           SELECT ua.event_type, ua.n_ua, ua.r_ua,
+             u.n_u * 1000 // ua.n_ua AS w_e3
+           FROM ua JOIN u USING (user_id))
+         SELECT w.event_type,
+           CAST(SUM(w.n_ua) AS BIGINT) AS n_logged,
+           CAST(SUM(w.r_ua) // SUM(w.n_ua) AS BIGINT) AS dm_cents,
+           CAST(SUM(w.w_e3 * w.n_ua) AS BIGINT) AS weight_mass_e3,
+           CAST(SUM(w.w_e3 * w.r_ua) // (SELECT n FROM n) AS BIGINT)
+             AS ips_milli_cents,
+           CAST(SUM(w.w_e3 * w.r_ua) // SUM(w.w_e3 * w.n_ua) AS BIGINT)
+             AS snips_cents
+         FROM w GROUP BY 1""",
+    // q338: exact best-of-n combinatorics over the first-256-arrivals
+    // pool per arm; integer powers written out (no POWER — it returns
+    // DOUBLE), denominators the ACTUAL per-arm pool count.
+    "q338_best_of_n" ->
+      """WITH ev AS (
+           SELECT event_id, event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+         sampled AS (
+           SELECT event_type, cents,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY event_id ASC) AS BIGINT) AS srk
+           FROM ev),
+         pool AS (
+           SELECT event_type, cents,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY cents ASC, srk ASC) AS BIGINT) AS j
+           FROM sampled WHERE srk <= 256),
+         mean AS (
+           SELECT event_type,
+             CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mean_cents
+           FROM pool GROUP BY 1),
+         bon AS (
+           SELECT event_type, CAST(1 AS BIGINT) AS k,
+             CAST(SUM(cents * (j - (j - 1))) // COUNT(*) AS BIGINT)
+               AS bon_cents
+           FROM pool GROUP BY 1
+           UNION ALL
+           SELECT event_type, CAST(2 AS BIGINT),
+             CAST(SUM(cents * (j*j - (j-1)*(j-1)))
+               // (COUNT(*) * COUNT(*)) AS BIGINT)
+           FROM pool GROUP BY 1
+           UNION ALL
+           SELECT event_type, CAST(4 AS BIGINT),
+             CAST(SUM(cents * (j*j*j*j - (j-1)*(j-1)*(j-1)*(j-1)))
+               // (COUNT(*) * COUNT(*) * COUNT(*) * COUNT(*)) AS BIGINT)
+           FROM pool GROUP BY 1)
+         SELECT b.event_type, b.k, m.mean_cents, b.bon_cents,
+           CAST(b.bon_cents - m.mean_cents AS BIGINT) AS lift_cents
+         FROM bon b JOIN mean m USING (event_type)""",
+    // q339: duel matrix by cross-multiplied mean comparison, Copeland
+    // x2 / Borda / Condorcet flags, majority-3-cycle audit (COUNT
+    // DIV 3 — each directed triangle matches three edge rotations).
+    "q339_arena_leaderboard" ->
+      """WITH ua AS (
+           SELECT user_id, event_type AS m,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS r
+           FROM events GROUP BY 1, 2),
+         duels AS (
+           SELECT a.m AS ma, b.m AS mb,
+             CAST(SUM(CASE WHEN a.r * b.n > b.r * a.n THEN 1 ELSE 0 END)
+               AS BIGINT) AS wins,
+             CAST(SUM(CASE WHEN a.r * b.n = b.r * a.n THEN 1 ELSE 0 END)
+               AS BIGINT) AS ties,
+             CAST(COUNT(*) AS BIGINT) AS n_judges
+           FROM ua a JOIN ua b ON a.user_id = b.user_id AND a.m <> b.m
+           GROUP BY 1, 2),
+         majority AS (
+           SELECT d.ma, d.mb, d.wins, d.n_judges,
+             CASE WHEN d.wins > o.wins THEN 1 ELSE 0 END AS beats,
+             CASE WHEN d.wins = o.wins THEN 1 ELSE 0 END AS drawn
+           FROM duels d JOIN duels o ON o.ma = d.mb AND o.mb = d.ma),
+         cyc AS (
+           SELECT CAST(COUNT(*) // 3 AS BIGINT) AS n_cycles
+           FROM majority e1
+           JOIN majority e2 ON e2.ma = e1.mb AND e2.beats = 1
+           JOIN majority e3 ON e3.ma = e2.mb AND e3.mb = e1.ma
+             AND e3.beats = 1
+           WHERE e1.beats = 1)
+         SELECT m.ma AS model,
+           CAST(SUM(m.wins) AS BIGINT) AS borda,
+           CAST(SUM(m.wins) * 1000000 // SUM(m.n_judges) AS BIGINT)
+             AS win_ppm,
+           CAST(2 * SUM(m.beats) + SUM(m.drawn) AS BIGINT) AS copeland_x2,
+           SUM(m.beats) = COUNT(*) AS is_condorcet,
+           (SELECT n_cycles FROM cyc) AS n_cycles
+         FROM majority m GROUP BY 1"""
   )
 
   /** q14's window top-per-key SQL — shared verbatim by q89 (bounded

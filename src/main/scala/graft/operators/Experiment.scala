@@ -1715,4 +1715,179 @@ object Experiment {
         max(col("gap")).cast("long").as("max_gap_ppm"))
       .withColumn("flagged", col("tvd_ppm") > flagPpm)
   }
+
+  /** The q337 driver entry: OFF-POLICY EVALUATION by inverse
+    * propensity scoring — the counterfactual "what if we always
+    * served action a" table every recommendation/RLHF team reads
+    * before an online test (Horvitz–Thompson IPS and its
+    * self-normalized SNIPS variant, Swaminathan & Joachims 2015).
+    * Contexts are users, actions the event types, rewards exact
+    * cents; the behavior policy is ESTIMATED from its own logs
+    * (empirical propensity μ(a|x) = n_{x,a}/n_x — the standard move
+    * when the logger kept no propensities), so the IPS weight for a
+    * logged (x, a) event is the exact rational n_x/n_{x,a}, carried
+    * as one milli-scaled truncating DIV per (x, a) cell (the
+    * per-term-truncation discipline; both engines truncate the SAME
+    * cell, so the estimates agree bit-for-bit). Per action:
+    * `dm_cents` the direct-method mean over its own logs,
+    * `ips_milli_cents` = Σ w·r DIV n (value per LOGGED event under
+    * always-a, milli-cents), `snips_cents` = Σ w·r DIV Σ w — the
+    * self-normalized estimate, immune to the weight-mass deficit
+    * that plain IPS inherits from users who never took a
+    * (`weight_mass_e3` exposes exactly that diagnostic: ≈ n·10³ only
+    * when every user tried the action).
+    *
+    * Scale shape: ONE map-side-combined (user, action) aggregate is
+    * the only fact-scale exchange; the per-user totals derive from it
+    * by a second tiny aggregate and rejoin on the user grain, and the
+    * final table lives on the bounded action domain. No windows.
+    */
+  def ipsPolicyEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val ua = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_ua"),
+        sum(col("cents")).cast("long").as("r_ua"))
+    val perUser = ua.groupBy(col("user_id"))
+      .agg(sum(col("n_ua")).cast("long").as("n_u"))
+    val n = perUser.agg(sum(col("n_u")).cast("long").as("n"))
+    ua.join(perUser, "user_id")
+      .select(col("event_type"), col("n_ua"), col("r_ua"),
+        expr("n_u * 1000 DIV n_ua").as("w_e3"))
+      .crossJoin(broadcast(n))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_ua")).cast("long").as("n_logged"),
+        expr("CAST(SUM(r_ua) DIV SUM(n_ua) AS BIGINT)").as("dm_cents"),
+        sum(col("w_e3") * col("n_ua")).cast("long").as("weight_mass_e3"),
+        expr("CAST(SUM(w_e3 * r_ua) DIV MAX(n) AS BIGINT)")
+          .as("ips_milli_cents"),
+        expr("CAST(SUM(w_e3 * r_ua) DIV SUM(w_e3 * n_ua) AS BIGINT)")
+          .as("snips_cents"))
+  }
+
+  /** The q338 driver entry: BEST-OF-N REWARD SCALING CURVE — the
+    * exact expected value of rejection sampling (take n draws, keep
+    * the best) against a reward distribution, the curve that prices
+    * best-of-n inference and reward-model overoptimization studies
+    * (Gao et al. 2023 read it off before the KL term matters). For
+    * the empirical distribution of a FIXED pool of N logged samples
+    * per arm, E[max of n iid draws] = Σⱼ r₍ⱼ₎·(jⁿ − (j−1)ⁿ)/Nⁿ over
+    * the sorted pool — exact BIGINT combinatorics when n and N are
+    * bounded (N = `poolSize` = 256, n ∈ `ns` ⊆ {1,2,4}: the largest
+    * term is r·4·256³ ≈ 7·10¹³, far inside int64). The pool is the
+    * FIRST N events per arm in event_id order (arrival order, not
+    * value order — a value-ranked pool would bias the curve), and
+    * n = 1 must reproduce the pool mean EXACTLY (the telescoping law
+    * Σ r·(j − (j−1)) = Σ r, same trailing DIV) — a built-in
+    * self-check the spec pins.
+    *
+    * Scale shape: one arm-partitioned rank window prunes to the
+    * bounded N-per-arm pool (WindowGroupLimit pushes rk ≤ N below
+    * the sort at the scan, the q250 device); the second rank window
+    * and the per-n sums then live on the bounded (arm × N) grain.
+    */
+  def bestOfN(
+      spark: SparkSession, sfDir: String,
+      poolSize: Int = 256, ns: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    require(ns.forall(n => n >= 1 && n <= 4), "n > 4 overflows int64")
+    val wArr = Window.partitionBy(col("event_type"))
+      .orderBy(col("event_id").asc)
+    val wVal = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents").asc, col("srk").asc)
+    val pool = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .withColumn("srk", row_number().over(wArr).cast("long"))
+      .where(col("srk") <= poolSize)
+      .withColumn("j", row_number().over(wVal).cast("long"))
+    // denominators use the ACTUAL pool count per arm (an arm with
+    // fewer than poolSize logged events has a smaller empirical pool)
+    val mean = pool.groupBy(col("event_type"))
+      .agg(expr("CAST(SUM(cents) DIV COUNT(*) AS BIGINT)")
+        .as("mean_cents"))
+    val bon = ns.map { k =>
+      val pow = (j: String) => Seq.fill(k)(j).mkString(" * ")
+      pool.groupBy(col("event_type"))
+        .agg(expr(s"""CAST(SUM(cents * (${pow("j")} - ${pow("(j - 1)")}))
+            DIV (${pow("COUNT(*)")}) AS BIGINT)""").as("bon_cents"))
+        .withColumn("k", lit(k.toLong))
+    }.reduce(_ unionByName _)
+    bon.join(mean, "event_type")
+      .select(col("event_type"), col("k"), col("mean_cents"),
+        col("bon_cents"),
+        (col("bon_cents") - col("mean_cents")).as("lift_cents"))
+  }
+
+  /** The q339 driver entry: ARENA LEADERBOARD — the nonparametric
+    * pairwise-preference ranking of a model arena (Chatbot-Arena
+    * style), complementing q270's Bradley–Terry MLE with the two
+    * classical order statistics that need NO model: per ordered pair
+    * of arms (event types), each user with both arms in their log is
+    * a judge, and arm a beats arm b for that judge iff its mean
+    * reward is higher — compared EXACTLY by cross-multiplication
+    * (rₐ·n_b > r_b·nₐ, no division). The duel matrix then yields
+    * `borda` (total pairwise wins), `win_ppm`, `copeland_x2`
+    * (2 per majority win + 1 per drawn duel — integer-scaled to
+    * avoid the ½ convention), `is_condorcet` (beats every other arm
+    * outright), and `n_cycles` — the count of majority 3-cycles, the
+    * intransitivity audit that tells you whether a total order even
+    * exists before you fit one.
+    *
+    * Scale shape: the fact table collapses to the (user, arm)
+    * grain in one map-side-combined exchange; duels are a self-join
+    * keyed on user_id at that bounded grain (each user holds ≤ K
+    * arms, so the join fans out K² per user, K bounded); everything
+    * after — majority digraph, triangle count — lives on the K-node
+    * arm domain. The cycle join is K³ on single-digit K, a constant.
+    */
+  def arenaLeaderboard(spark: SparkSession, sfDir: String): DataFrame =
+    arenaFromJudgments(Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("cents")).cast("long").as("r")))
+
+  /** The q339 core over an already-aggregated judgment frame
+    * `(user_id, event_type, n, r)` — split out so the cycle-audit arm
+    * (vacuous on the acyclic fixture) is provable on a synthetic
+    * rock-paper-scissors frame through the SAME plan.
+    */
+  def arenaFromJudgments(ua: DataFrame): DataFrame = {
+    val a = ua.select(col("user_id"), col("event_type").as("ma"),
+      col("n").as("na"), col("r").as("ra"))
+    val b = ua.select(col("user_id"), col("event_type").as("mb"),
+      col("n").as("nb"), col("r").as("rb"))
+    val duels = a.join(b, Seq("user_id"))
+      .where(col("ma") =!= col("mb"))
+      .groupBy(col("ma"), col("mb"))
+      .agg(sum(when(col("ra") * col("nb") > col("rb") * col("na"), 1L)
+          .otherwise(0L)).cast("long").as("wins"),
+        sum(when(col("ra") * col("nb") === col("rb") * col("na"), 1L)
+          .otherwise(0L)).cast("long").as("ties"),
+        count(lit(1)).cast("long").as("n_judges"))
+    val opp = duels.select(col("ma").as("mb"), col("mb").as("ma"),
+      col("wins").as("owins"))
+    val majority = duels.join(opp, Seq("ma", "mb"))
+      .select(col("ma"), col("mb"), col("wins"), col("n_judges"),
+        when(col("wins") > col("owins"), 1L).otherwise(0L).as("beats"),
+        when(col("wins") === col("owins"), 1L).otherwise(0L).as("drawn"))
+    val e = majority.where(col("beats") === 1L)
+      .select(col("ma"), col("mb"))
+    val cycles = e.as("e1")
+      .join(e.as("e2"), col("e2.ma") === col("e1.mb"))
+      .join(e.as("e3"), col("e3.ma") === col("e2.mb") &&
+        col("e3.mb") === col("e1.ma"))
+      .agg(coalesce(expr("CAST(COUNT(*) DIV 3 AS BIGINT)"), lit(0L))
+        .as("n_cycles"))
+    majority.groupBy(col("ma").as("model"))
+      .agg(sum(col("wins")).cast("long").as("borda"),
+        expr("CAST(SUM(wins) * 1000000 DIV SUM(n_judges) AS BIGINT)")
+          .as("win_ppm"),
+        (sum(col("beats")) * 2 + sum(col("drawn"))).cast("long")
+          .as("copeland_x2"),
+        (sum(col("beats")) === count(lit(1))).as("is_condorcet"))
+      .crossJoin(broadcast(cycles))
+  }
 }

@@ -2023,4 +2023,78 @@ object TrainingPrep {
             (tokens * (tokens - 1) DIV 2 - intra_pairs) * 1000000
               DIV (tokens * (tokens - 1) DIV 2) END""")
           .as("cross_ppm"))
+
+  /** The q336 driver entry: EPOCH WATER-FILLING under a token budget —
+    * the data-constrained allocation question of Muennighoff et al.
+    * 2023 ("Scaling Data-Constrained Language Models"): a training run
+    * has `budgetX` × the corpus's tokens to spend, each (source, lang)
+    * cell may be repeated at most `maxEpochs` times before repetition
+    * stops helping, and the allocator wants the MAX-MIN FAIR fill —
+    * every cell gets the same water level L of tokens except cells
+    * whose epoch cap is below the level, which saturate at the cap
+    * (q230's Hamilton apportionment is the PROPORTIONAL law; this is
+    * the complementary max-min law with caps).
+    *
+    * Exact integer construction, no floats anywhere: sort the bounded
+    * cell domain by cap ascending (ties broken by (source, lang), a
+    * total order); with caps c₍₁..ₘ₎ and prefix sums P, cell k
+    * saturates iff P₍ₖ₋₁₎ + c₍ₖ₎·(m−k+1) ≤ B — monotone in k because
+    * f(k+1) − f(k) = (c₍ₖ₊₁₎ − c₍ₖ₎)(m−k) ≥ 0, so the saturated set is
+    * a prefix and k* is a COUNT. Unsaturated cells split the remaining
+    * budget rem = B − P₍ₖ*₎ as rem DIV u tokens each, with the
+    * rem MOD u leftover tokens handed one each to the u' lowest-ranked
+    * unsaturated cells — allocations sum to B exactly and any two
+    * unsaturated cells differ by at most one token. `epochs_ppm` is
+    * the resulting repeat factor (alloc·10⁶ DIV avail).
+    *
+    * Scale shape: one map-side-combined (source, lang) token
+    * aggregate is the only fact-scale exchange (the tokenizer count is
+    * row-local); everything after lives on the bounded cell domain
+    * (sources × langs), where the global sort window is over m ≈ 100
+    * rows — the q277 bounded-domain window discipline, not a
+    * data-scale cliff. At 100 TB the cell aggregate is the same one
+    * exchange; the allocator itself never grows.
+    */
+  def epochWaterfill(
+      spark: SparkSession, sfDir: String,
+      budgetX: Int = 2, maxEpochs: Int = 4): DataFrame = {
+    require(budgetX >= 1 && maxEpochs >= 1, "degenerate budget")
+    val dom = Tables.load(spark, sfDir, "documents")
+      .select(col("source"), col("lang"),
+        size(regexp_extract_all(col("text"),
+          lit(TextAnalysis.bpeTokenPattern), lit(0)))
+          .cast("long").as("ntok"))
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(col("ntok")).cast("long").as("avail_tokens"))
+      .withColumn("cap_tokens", col("avail_tokens") * maxEpochs)
+    val tot = dom.agg(
+      (sum(col("avail_tokens")) * budgetX).cast("long").as("b"),
+      count(lit(1)).cast("long").as("m"))
+    val w = Window
+      .orderBy(col("cap_tokens").asc, col("source").asc, col("lang").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = dom.crossJoin(broadcast(tot))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("pref", sum(col("cap_tokens")).over(w).cast("long"))
+    // saturation indicator per rank; the set is a prefix (see doc), so
+    // k* is the SUM of indicators and P(k*) the SUM of saturated caps
+    val satCond = col("pref") - col("cap_tokens") +
+      col("cap_tokens") * (col("m") - col("rk") + lit(1L)) <= col("b")
+    val level = ranked.agg(
+      sum(when(satCond, 1L).otherwise(0L)).cast("long").as("k"),
+      sum(when(satCond, col("cap_tokens")).otherwise(0L)).cast("long")
+        .as("prefk"),
+      max(col("b")).as("b2"), max(col("m")).as("m2"))
+    ranked.crossJoin(broadcast(level))
+      .select(col("source"), col("lang"), col("avail_tokens"),
+        col("cap_tokens"),
+        when(col("rk") <= col("k"), col("cap_tokens"))
+          .otherwise(expr("""(b2 - prefk) DIV (m2 - k) +
+              CASE WHEN rk - k <= (b2 - prefk) % (m2 - k)
+                THEN 1 ELSE 0 END"""))
+          .cast("long").as("alloc_tokens"),
+        (col("rk") <= col("k")).as("saturated"))
+      .withColumn("epochs_ppm",
+        expr("alloc_tokens * 1000000 DIV avail_tokens"))
+  }
 }

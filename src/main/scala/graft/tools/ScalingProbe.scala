@@ -332,7 +332,18 @@ object ScalingProbe {
       "q334_bm25_eval" -> (d =>
         graft.operators.TextAnalysis.bm25RetrievalEval(spark, d)),
       "q335_packing_attention" -> (d =>
-        graft.operators.TrainingPrep.packingAttentionAudit(spark, d)))
+        graft.operators.TrainingPrep.packingAttentionAudit(spark, d)),
+      // q336 rides the documents tokenizer axis (one cell aggregate,
+      // bounded allocator); q337-q339 ride the events axis — q337/q339
+      // collapse to the (user, type) grain in one exchange, q338's
+      // pool is rank-pruned to 256/arm so only the pruning scan grows
+      "q336_epoch_waterfill" -> (d =>
+        graft.operators.TrainingPrep.epochWaterfill(spark, d)),
+      "q337_ips_policy_eval" -> (d =>
+        graft.operators.Experiment.ipsPolicyEval(spark, d)),
+      "q338_best_of_n" -> (d => graft.operators.Experiment.bestOfN(spark, d)),
+      "q339_arena_leaderboard" -> (d =>
+        graft.operators.Experiment.arenaLeaderboard(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))

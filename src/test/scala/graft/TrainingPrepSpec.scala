@@ -1359,5 +1359,52 @@ class TrainingPrepSpec extends AnyFunSuite {
     }
     assert(got.exists(_._2 > 1L), "fixture never packs 2+ docs - vacuous")
   }
+
+  test("q336 epoch waterfill: allocation equals an independent replay; max-min laws hold") {
+    val spark = SparkTestSession.spark
+    val cells = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select(col("source"), col("lang"),
+        graft.operators.TextAnalysis.bpeTokenCount(col("text")))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .groupBy(_._1).map { case (k, rows) => (k, rows.map(_._2).sum) }
+      .toSeq
+    val b = 2L * cells.map(_._2).sum
+    val m = cells.length.toLong
+    // cap-ascending total order, replayed waterfill
+    val ranked = cells.map { case ((s, l), avail) => (s, l, avail, 4L * avail) }
+      .sortBy { case (s, l, _, cap) => (cap, s, l) }
+    val prefs = ranked.scanLeft(0L)(_ + _._4).tail
+    val kStar = ranked.zipWithIndex.count { case ((_, _, _, cap), i) =>
+      prefs(i) - cap + cap * (m - i) <= b } // rk = i+1 => m - rk + 1 = m - i
+    val prefk = prefs.lift(kStar - 1).getOrElse(0L)
+    val (rem, u) = (b - prefk, m - kStar)
+    val expect = ranked.zipWithIndex.map { case ((s, l, avail, cap), i) =>
+      val rk = i + 1L
+      val alloc = if (rk <= kStar) cap
+        else rem / u + (if (rk - kStar <= rem % u) 1L else 0L)
+      (s, l, avail, cap, alloc, rk <= kStar, alloc * 1000000L / avail)
+    }.sortBy(t => (t._1, t._2))
+    val got = graft.operators.TrainingPrep
+      .epochWaterfill(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getLong(6)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == expect.toSeq)
+    // max-min fairness laws: the budget is spent exactly; no cell
+    // exceeds its epoch cap; unsaturated cells differ by at most one
+    // token; and the water level separates the two sets (every
+    // saturated cap <= every unsaturated allocation)
+    assert(got.map(_._5).sum == math.min(b, ranked.map(_._4).sum))
+    got.foreach { case (_, _, _, cap, alloc, _, ppm) =>
+      assert(alloc <= cap); assert(ppm <= 4000000L) }
+    val unsat = got.filter(!_._6).map(_._5)
+    val sat = got.filter(_._6)
+    assert(sat.nonEmpty && unsat.nonEmpty,
+      "fixture never exercises both saturation arms - vacuous")
+    assert(unsat.max - unsat.min <= 1L, "max-min fairness violated")
+    assert(sat.map(_._4).max <= unsat.min, "water level not separating")
+  }
 }
 
