@@ -470,6 +470,16 @@ object SparkEntry {
       Experiment.bestOfN(s, d)),
     "q339_arena_leaderboard" -> ((s: SparkSession, d: String) =>
       Experiment.arenaLeaderboard(s, d)),
+    "q340_rloo_advantage" -> ((s: SparkSession, d: String) =>
+      Experiment.rlooAdvantage(s, d)),
+    "q341_dup_span_fraction" -> ((s: SparkSession, d: String) =>
+      Dedup.dupSpanFraction(s, d)),
+    "q342_successive_halving" -> ((s: SparkSession, d: String) =>
+      Experiment.successiveHalving(s, d)),
+    "q343_doubly_robust" -> ((s: SparkSession, d: String) =>
+      Experiment.doublyRobust(s, d)),
+    "q344_moe_routing" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.moeRoutingAudit(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -8956,7 +8966,166 @@ object SparkEntry {
            CAST(2 * SUM(m.beats) + SUM(m.drawn) AS BIGINT) AS copeland_x2,
            SUM(m.beats) = COUNT(*) AS is_condorcet,
            (SELECT n_cycles FROM cyc) AS n_cycles
-         FROM majority m GROUP BY 1"""
+         FROM majority m GROUP BY 1""",
+    // q340: RLOO group-relative advantages — the signed trailing DIV
+    // truncates toward zero in BOTH engines (probed: DuckDB // and
+    // Spark DIV agree at (-7)//2 = -3); centered ranks are pure
+    // integers and sum to zero per group.
+    "q340_rloo_advantage" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+         g AS (
+           SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents
+           FROM ev GROUP BY 1 HAVING COUNT(*) >= 2),
+         r AS (
+           SELECT ev.*, g.n, g.sum_cents,
+             CAST(ROW_NUMBER() OVER (PARTITION BY ev.user_id
+               ORDER BY cents DESC, event_id ASC) AS BIGINT) AS rk
+           FROM ev JOIN g USING (user_id))
+         SELECT user_id, event_id, event_type, cents, n,
+           CAST((n * cents - sum_cents) * 1000 // (n - 1) AS BIGINT)
+             AS rloo_adv_milli,
+           CAST(n + 1 - rk * 2 AS BIGINT) AS centered_rank_x2
+         FROM r""",
+    // q341: cross-doc duplicated-span fraction — the q332 shingle
+    // space (5-word grams, per-doc distinct); a shingle is duplicated
+    // iff its census spans >= 2 docs.
+    "q341_dup_span_fraction" ->
+      s"""WITH words AS (
+           SELECT doc_id, string_split($normText, ' ') AS w
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS sh
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t
+           WHERE len(w) >= 5),
+         census AS (
+           SELECT sh, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM sh GROUP BY 1)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) * 1000000
+             // COUNT(*) AS BIGINT) AS dup_ppm
+         FROM sh JOIN census USING (sh)
+         GROUP BY 1""",
+    // q342: successive halving, unrolled to three rounds at budgets
+    // 128/256/512 over the arrival-order prefix; keep rule
+    // rank*2 <= survivors+1 under (truncated micro-mean desc, arm asc).
+    "q342_successive_halving" ->
+      """WITH ev AS (
+           SELECT event_id, event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+         pool AS (
+           SELECT event_type, cents,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY event_id ASC) AS BIGINT) AS srk
+           FROM ev),
+         arms AS (
+           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_raced,
+             CAST(SUM(CASE WHEN srk <= 128 THEN cents END) * 1000000
+               // SUM(CASE WHEN srk <= 128 THEN 1 END) AS BIGINT)
+               AS mean0_micro,
+             CAST(SUM(CASE WHEN srk <= 256 THEN cents END) * 1000000
+               // SUM(CASE WHEN srk <= 256 THEN 1 END) AS BIGINT)
+               AS mean1_micro,
+             CAST(SUM(cents) * 1000000 // COUNT(*) AS BIGINT)
+               AS mean2_micro
+           FROM pool WHERE srk <= 512 GROUP BY 1),
+         r0 AS (
+           SELECT a.*, COUNT(*) OVER () AS k0,
+             RANK() OVER (ORDER BY mean0_micro DESC, event_type ASC)
+               AS rk0
+           FROM arms a),
+         r1 AS (SELECT r0.*, rk0 * 2 <= k0 + 1 AS in_r1 FROM r0),
+         r2 AS (
+           SELECT r1.*,
+             SUM(CASE WHEN in_r1 THEN 1 ELSE 0 END) OVER () AS k1,
+             RANK() OVER (PARTITION BY in_r1
+               ORDER BY mean1_micro DESC, event_type ASC) AS rk1
+           FROM r1),
+         r3 AS (SELECT r2.*, in_r1 AND rk1 * 2 <= k1 + 1 AS in_r2 FROM r2),
+         r4 AS (
+           SELECT r3.*,
+             SUM(CASE WHEN in_r2 THEN 1 ELSE 0 END) OVER () AS k2,
+             RANK() OVER (PARTITION BY in_r2
+               ORDER BY mean2_micro DESC, event_type ASC) AS rk2
+           FROM r3)
+         SELECT event_type, n_raced, mean0_micro,
+           CASE WHEN in_r1 THEN mean1_micro END AS mean1_micro,
+           CASE WHEN in_r2 THEN mean2_micro END AS mean2_micro,
+           in_r1, in_r2,
+           in_r2 AND rk2 * 2 <= k2 + 1 AS champion
+         FROM r4""",
+    // q343: doubly-robust off-policy value — q337's weights, a coarse
+    // per-action model, signed residual mass in HUGEINT, one trailing
+    // signed DIV by n*1000.
+    "q343_doubly_robust" ->
+      """WITH ev AS (
+           SELECT user_id, event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+         ua AS (
+           SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_ua,
+             CAST(SUM(cents) AS BIGINT) AS r_ua
+           FROM ev GROUP BY 1, 2),
+         u AS (SELECT user_id, CAST(SUM(n_ua) AS BIGINT) AS n_u
+           FROM ua GROUP BY 1),
+         n AS (SELECT CAST(SUM(n_u) AS BIGINT) AS n FROM u),
+         model AS (
+           SELECT event_type,
+             CAST(SUM(r_ua) * 1000 // SUM(n_ua) AS BIGINT) AS rhat_milli
+           FROM ua GROUP BY 1),
+         cells AS (
+           SELECT ua.event_type, ua.n_ua, m.rhat_milli,
+             u.n_u * 1000 // ua.n_ua AS w_e3,
+             ua.r_ua * 1000 - ua.n_ua * m.rhat_milli AS res_milli
+           FROM ua JOIN u USING (user_id) JOIN model m USING (event_type))
+         SELECT event_type,
+           CAST(SUM(n_ua) AS BIGINT) AS n_logged,
+           CAST(MAX(rhat_milli) AS BIGINT) AS rhat_milli,
+           CAST(SUM(w_e3 * res_milli) // ((SELECT n FROM n) * 1000)
+             AS BIGINT) AS corr_milli,
+           CAST(MAX(rhat_milli) + SUM(w_e3 * res_milli)
+             // ((SELECT n FROM n) * 1000) AS BIGINT) AS dr_milli
+         FROM cells GROUP BY 1""",
+    // q344: MoE routing audit — content-hash routing (md5 mod 8),
+    // Switch capacity (5T + 4E - 1) DIV 4E, position-order drops;
+    // balance = E * sum(f^2) in ppm via a HUGEINT counts-squared sum.
+    "q344_moe_routing" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS ts
+           FROM documents),
+         pos AS (
+           SELECT doc_id, CAST(len(ts) AS BIGINT) AS ntok,
+             CAST(i AS BIGINT) AS pos,
+             ('0x' || substr(md5(ts[i]), 1, 8))::BIGINT % 8 AS expert
+           FROM toks, LATERAL (SELECT UNNEST(range(1, len(ts) + 1)) AS i) g),
+         capped AS (
+           SELECT expert, (5 * ntok + 31) // 32 AS cap,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id, expert
+               ORDER BY pos ASC) AS BIGINT) AS erk
+           FROM pos),
+         per AS (
+           SELECT expert, CAST(COUNT(*) AS BIGINT) AS routed,
+             CAST(SUM(CASE WHEN erk <= cap THEN 1 ELSE 0 END) AS BIGINT)
+               AS kept
+           FROM capped GROUP BY 1),
+         tot AS (
+           SELECT CAST(SUM(routed) AS BIGINT) AS total,
+             CAST(8 * SUM(routed * routed) * 1000000
+               // (SUM(routed) * SUM(routed)) AS BIGINT) AS balance_x_e6
+           FROM per)
+         SELECT expert, routed, kept,
+           CAST(routed - kept AS BIGINT) AS dropped,
+           CAST((routed - kept) * 1000000 // routed AS BIGINT) AS drop_ppm,
+           CAST(routed * 1000000 // total AS BIGINT) AS load_ppm,
+           balance_x_e6
+         FROM per, tot"""
   )
 
   /** q14's window top-per-key SQL — shared verbatim by q89 (bounded

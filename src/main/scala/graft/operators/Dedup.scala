@@ -2080,4 +2080,41 @@ object Dedup {
         expr("CASE WHEN n_est > 0 THEN hit_est * 1000000 DIV n_est END")
           .as("precision_est_ppm"))
   }
+
+  /** The q341 driver entry: CROSS-DOCUMENT DUPLICATED-SPAN FRACTION —
+    * the per-document statistic behind exact-substring dedup (Lee
+    * 2021, "Deduplicating Training Data Makes Language Models
+    * Better"): what fraction of a document's 5-word shingles also
+    * occur in at least one OTHER document. Unlike the pairwise
+    * families (q21 Jaccard, q22 MinHash), this is a per-DOC number
+    * from a global shingle census — the column a span-level dedup
+    * pass thresholds on, and the corpus health metric ("X% of tokens
+    * are duplicated text") reported in every dataset datasheet.
+    *
+    * A shingle counts as duplicated iff its census spans ≥ 2 DISTINCT
+    * docs — shingles are per-doc distinct first, so the census count
+    * IS the doc count and intra-doc repetition (q74's axis) never
+    * inflates it. Docs under 5 words carry no shingles and are
+    * absent (documented; the spec reconciles the count).
+    *
+    * Scale shape: NO pairs anywhere — the explode is fact-scale but
+    * shingles travel as 16-byte md5 digests (never text), the census
+    * is one digest-keyed map-side-combined count, and the verdict
+    * join is digest-keyed back to the doc grain: two linear
+    * exchanges, O(corpus) regardless of duplication structure —
+    * exactly why span-census dedup is the 100 TB workhorse while
+    * pairwise verification is reserved for banded candidates.
+    */
+  def dupSpanFraction(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(Tables.load(spark, sfDir, "documents"), 5)
+      .select(col("doc_id"), unhex(md5(col("shingle"))).as("dig"))
+    val census = sh.groupBy(col("dig"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    sh.join(census, "dig")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        sum(when(col("n_docs") >= 2L, 1L).otherwise(0L)).cast("long")
+          .as("n_dup"))
+      .withColumn("dup_ppm", expr("n_dup * 1000000 DIV n_shingles"))
+  }
 }

@@ -1890,4 +1890,173 @@ object Experiment {
         (sum(col("beats")) === count(lit(1))).as("is_condorcet"))
       .crossJoin(broadcast(cycles))
   }
+
+  /** The q340 driver entry: RLOO / GRPO-style GROUP-RELATIVE
+    * ADVANTAGES — the per-completion credit signal of
+    * REINFORCE-leave-one-out (Kool 2019, Ahmadian 2024) and the
+    * rank-centered variant GRPO-style trainers use when rewards are
+    * only ordinal. Groups are users (a "prompt"), completions their
+    * logged events, rewards exact cents. For a group of size N ≥ 2:
+    * the RLOO advantage r_i − mean(r_{-i}) equals (N·r_i − Σr)/(N−1)
+    * — emitted as `rloo_adv_milli` with ONE trailing signed
+    * truncating DIV (Spark DIV and DuckDB `//` both truncate toward
+    * zero on signed operands — probed, and the replay spec re-pins
+    * it). The ordinal twin `centered_rank_x2` = (N+1) − 2·rank
+    * (reward desc, event_id asc) is pure integer and sums to ZERO
+    * over every group exactly — the self-check a baseline-subtracted
+    * advantage must satisfy (the RLOO numerators Σ(N·r_i − Σr) also
+    * cancel exactly; only the per-row DIV truncation is visible).
+    * Singleton groups have no leave-one-out baseline and are
+    * excluded (documented; the spec counts them).
+    *
+    * Scale shape: one map-side-combined per-user aggregate, rejoined
+    * on the user grain (both sides co-keyed on user_id — one shuffle
+    * each, no broadcast of fact-scale state), plus one per-user rank
+    * window on the same key. Output is completion-grain, as a credit
+    * signal must be.
+    */
+  def rlooAdvantage(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+    val grp = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("cents")).cast("long").as("sum_cents"))
+      .where(col("n") >= 2)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("cents").desc, col("event_id").asc)
+    ev.join(grp, "user_id")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("cents"), col("n"),
+        expr("(n * cents - sum_cents) * 1000 DIV (n - 1)")
+          .as("rloo_adv_milli"),
+        (col("n") + 1L - col("rk") * 2L).cast("long")
+          .as("centered_rank_x2"))
+  }
+
+  /** The q342 driver entry: SUCCESSIVE HALVING — the fixed-budget
+    * best-arm race (Karnin 2013; the inner loop of Hyperband) a
+    * hyperparameter sweep or prompt-variant bake-off runs instead of
+    * a full A/B on every arm: round r evaluates every surviving arm
+    * on its first b·2^r logged events (ARRIVAL order — a
+    * value-ordered prefix would bias the race), keeps the top
+    * ⌈S/2⌉ by truncated micro-cent mean (ties by arm name, a total
+    * order), and halves again. Arms = event types, three rounds at
+    * budgets 128/256/512. Per arm: the per-round means (NULL once
+    * eliminated — an eliminated arm never spends budget, exactly the
+    * point of the race), survival flags, and the champion.
+    *
+    * Exactness: means are one truncating DIV per (arm, round) over
+    * the ACTUAL prefix count (an arm with fewer events than the
+    * budget races on what it has); the keep rule compares those
+    * truncated means under (mean desc, arm asc) — both engines rank
+    * the identical integers. n=128 at round 0 makes the race
+    * non-degenerate on the fixture (spec pins a real elimination).
+    *
+    * Scale shape: ONE arm-partitioned arrival-rank window whose
+    * rk ≤ 512 prune pushes to the scan via WindowGroupLimit (the
+    * q250/q338 device — the fact table never ranks beyond the max
+    * budget), one conditional aggregate to the bounded arm domain,
+    * then the halving recursion entirely on K rows (bounded-domain
+    * windows, the documented exception).
+    */
+  def successiveHalving(
+      spark: SparkSession, sfDir: String, b0: Int = 128): DataFrame = {
+    val wArr = Window.partitionBy(col("event_type"))
+      .orderBy(col("event_id").asc)
+    val arms = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .withColumn("srk", row_number().over(wArr).cast("long"))
+      .where(col("srk") <= b0 * 4)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_raced"),
+        sum(when(col("srk") <= b0, col("cents"))).cast("long").as("s0"),
+        sum(when(col("srk") <= b0, 1L)).cast("long").as("c0"),
+        sum(when(col("srk") <= b0 * 2, col("cents"))).cast("long").as("s1"),
+        sum(when(col("srk") <= b0 * 2, 1L)).cast("long").as("c1"),
+        sum(col("cents")).cast("long").as("s2"),
+        count(lit(1)).cast("long").as("c2"))
+      .select(col("event_type"), col("n_raced"),
+        expr("s0 * 1000000 DIV c0").as("mean0_micro"),
+        expr("s1 * 1000000 DIV c1").as("mean1_micro"),
+        expr("s2 * 1000000 DIV c2").as("mean2_micro"))
+    // halving on the bounded arm domain: rank within survivors only
+    val wAll = Window.orderBy(col("mean0_micro").desc,
+      col("event_type").asc)
+    val r0 = arms
+      .withColumn("k0", count(lit(1)).over(
+        Window.partitionBy(lit(1))).cast("long"))
+      .withColumn("in_r1",
+        rank().over(wAll).cast("long") * 2 <= col("k0") + 1L)
+    val w1 = Window.partitionBy(col("in_r1"))
+      .orderBy(col("mean1_micro").desc, col("event_type").asc)
+    val r1 = r0
+      .withColumn("k1", sum(when(col("in_r1"), 1L).otherwise(0L)).over(
+        Window.partitionBy(lit(1))).cast("long"))
+      .withColumn("in_r2", col("in_r1") &&
+        rank().over(w1).cast("long") * 2 <= col("k1") + 1L)
+    val w2 = Window.partitionBy(col("in_r2"))
+      .orderBy(col("mean2_micro").desc, col("event_type").asc)
+    r1
+      .withColumn("k2", sum(when(col("in_r2"), 1L).otherwise(0L)).over(
+        Window.partitionBy(lit(1))).cast("long"))
+      .withColumn("champion", col("in_r2") &&
+        rank().over(w2).cast("long") * 2 <= col("k2") + 1L)
+      .select(col("event_type"), col("n_raced"), col("mean0_micro"),
+        when(col("in_r1"), col("mean1_micro")).as("mean1_micro"),
+        when(col("in_r2"), col("mean2_micro")).as("mean2_micro"),
+        col("in_r1"), col("in_r2"), col("champion"))
+  }
+
+  /** The q343 driver entry: DOUBLY-ROBUST off-policy value — the
+    * estimator that closes q337's loop (Dudík 2011): DR(a) = r̂(a) +
+    * (1/n)·Σ w·(r − r̂(a)) — the model's answer plus the
+    * importance-weighted correction of the model's own residuals.
+    * The reward model r̂(a) here is the global per-action truncated
+    * milli-cent mean (a deliberately COARSE model: per-(user, action)
+    * empirical means would zero every residual and make the entry
+    * vacuous — the spec pins a non-zero correction). Weights are
+    * q337's exact empirical-propensity rationals (w_e3 = n_u·10³ DIV
+    * n_ua, one truncation per cell); residuals r_ua·10³ − n_ua·r̂ are
+    * SIGNED and their weighted sum accumulates in DECIMAL(38,0)
+    * (HUGEINT on the oracle side — the q291/q293 wide-sum device)
+    * before the single trailing signed DIV by n·10³. When the
+    * correction is small relative to IPS-vs-DM disagreement, DR is
+    * doing its job: it inherits the model's variance, not the
+    * weights'.
+    *
+    * Scale shape: identical to q337 — ONE map-side (user, action)
+    * exchange, per-user totals rejoined on the user grain, the model
+    * broadcast from the bounded action domain, final table on the
+    * action domain.
+    */
+  def doublyRobust(spark: SparkSession, sfDir: String): DataFrame = {
+    val ua = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_ua"),
+        sum(col("cents")).cast("long").as("r_ua"))
+    val perUser = ua.groupBy(col("user_id"))
+      .agg(sum(col("n_ua")).cast("long").as("n_u"))
+    val model = ua.groupBy(col("event_type"))
+      .agg(expr("CAST(SUM(r_ua) * 1000 DIV SUM(n_ua) AS BIGINT)")
+        .as("rhat_milli"))
+    val n = perUser.agg(sum(col("n_u")).cast("long").as("n"))
+    ua.join(perUser, "user_id")
+      .join(broadcast(model), "event_type")
+      .select(col("event_type"), col("n_ua"), col("rhat_milli"),
+        expr("n_u * 1000 DIV n_ua").as("w_e3"),
+        expr("r_ua * 1000 - n_ua * rhat_milli").as("res_milli"))
+      .crossJoin(broadcast(n))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_ua")).cast("long").as("n_logged"),
+        max(col("rhat_milli")).as("rhat_milli"),
+        expr("""CAST(SUM(CAST(w_e3 * res_milli AS DECIMAL(38, 0)))
+            DIV (MAX(n) * 1000) AS BIGINT)""").as("corr_milli"))
+      .withColumn("dr_milli",
+        (col("rhat_milli") + col("corr_milli")).cast("long"))
+  }
 }

@@ -2097,4 +2097,64 @@ object TrainingPrep {
       .withColumn("epochs_ppm",
         expr("alloc_tokens * 1000000 DIV avail_tokens"))
   }
+
+  /** The q344 driver entry: MIXTURE-OF-EXPERTS ROUTING AUDIT — the
+    * load-balance / token-drop accounting every MoE training run
+    * watches (Shazeer 2017's aux loss, Switch Transformer's capacity
+    * factor): route each document's tokens to E=8 experts by CONTENT
+    * hash (md5 of the token mod E — the deterministic stand-in for a
+    * learned router, so identical tokens land on identical experts
+    * and the whole audit replays cross-engine), cap each expert's
+    * intake PER DOCUMENT at capacity = ⌈1.25·T/E⌉ = (5·T + 4·E − 1)
+    * DIV (4·E) (the Switch capacity-factor rule, exact ceiling
+    * arithmetic), and drop overflow tokens in POSITION order — late
+    * tokens drop first, as a capacity-bound router does. Per expert:
+    * routed/kept/dropped counts, `drop_ppm`, `load_ppm` (share of
+    * all tokens), and the corpus-level balance statistic
+    * `balance_x_e6` = E·Σ f_e²·10⁶ — the counts-squared form of the
+    * aux load-balance loss, exactly 10⁶ under perfect balance and
+    * E·10⁶ under total collapse (sums accumulate in DECIMAL(38,0)
+    * before the single trailing DIV by total²).
+    *
+    * Scale shape: the token explode is fact-scale but row-local; the
+    * per-(doc, expert) arrival-rank window partitions on the
+    * high-cardinality (doc, expert) key, so it shuffles once and
+    * never serializes; everything after lives on the bounded
+    * 8-expert domain. Media never moves — only (digest-routed token
+    * position, expert) pairs.
+    */
+  def moeRoutingAudit(
+      spark: SparkSession, sfDir: String, experts: Int = 8): DataFrame = {
+    require(experts >= 2, "routing needs at least two experts")
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"),
+          lit(TextAnalysis.bpeTokenPattern), lit(0)).as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("ntok"),
+        posexplode(col("ts")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("ntok"), col("pos").cast("long").as("pos"),
+        expr(s"CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) " +
+          s"% $experts").as("expert"))
+      .withColumn("cap",
+        expr(s"(5 * ntok + ${4 * experts - 1}) DIV ${4 * experts}"))
+    val w = Window.partitionBy(col("doc_id"), col("expert"))
+      .orderBy(col("pos").asc)
+    val routed = toks
+      .withColumn("erk", row_number().over(w).cast("long"))
+      .groupBy(col("expert"))
+      .agg(count(lit(1)).cast("long").as("routed"),
+        sum(when(col("erk") <= col("cap"), 1L).otherwise(0L)).cast("long")
+          .as("kept"))
+      .withColumn("dropped", (col("routed") - col("kept")).cast("long"))
+    val tot = routed.agg(
+      sum(col("routed")).cast("long").as("total"),
+      expr(s"""CAST($experts * SUM(CAST(routed AS DECIMAL(38, 0)) * routed)
+          * 1000000 DIV (SUM(routed) * SUM(routed)) AS BIGINT)""")
+        .as("balance_x_e6"))
+    routed.crossJoin(broadcast(tot))
+      .select(col("expert"), col("routed"), col("kept"), col("dropped"),
+        expr("dropped * 1000000 DIV routed").as("drop_ppm"),
+        expr("routed * 1000000 DIV total").as("load_ppm"),
+        col("balance_x_e6"))
+  }
 }

@@ -1036,5 +1036,35 @@ class DedupSpec extends AnyFunSuite {
     // banding finds at least one of them
     assert(want._1 > 0L && want._4 > 0L)
   }
+
+  test("q341 duplicated-span fraction equals a census replay; near-dups read high") {
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def norm(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+    val sh = docs.flatMap { case (id, t) =>
+      val w = norm(t).split(" ")
+      if (w.length < 5) Seq.empty
+      else w.sliding(5).map(s => (id, s.mkString(" "))).toSeq.distinct
+    }
+    val census = sh.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val want = sh.groupBy(_._1).map { case (id, g) =>
+      val nd = g.count(s => census(s._2) >= 2L).toLong
+      (id, g.length.toLong, nd, nd * 1000000L / g.length)
+    }.toSeq.sortBy(_._1)
+    val got = Dedup.dupSpanFraction(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == want)
+    // the fixture's planted near-dups make the metric non-vacuous in
+    // BOTH directions: some doc shares spans, some doc shares none
+    assert(got.exists(_._3 > 0L), "no duplicated span anywhere")
+    assert(got.exists(_._3 == 0L), "every doc shares a span - suspicious")
+    // only sub-5-word docs are absent
+    assert(got.length ==
+      docs.count(d => norm(d._2).split(" ").length >= 5))
+  }
 }
 

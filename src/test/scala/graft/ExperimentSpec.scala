@@ -1159,4 +1159,101 @@ class ExperimentSpec extends AnyFunSuite {
     assert(cyc.length == 3 && cyc.forall(_._3 == 1L))
     assert(cyc.forall(!_._2), "a cycle admits no Condorcet winner")
   }
+
+  test("q340 RLOO advantages equal a replay; baseline-cancellation laws hold") {
+    val ev = events.map(t => (t._1, t._3, t._4,
+      math.floor(t._5 * 100.0 + 0.5).toLong))
+    val groups = ev.groupBy(_._1).toSeq.filter(_._2.length >= 2)
+    val want = groups.flatMap { case (u, g) =>
+      val n = g.length.toLong
+      val s = g.map(_._4).sum
+      g.sortBy(e => (-e._4, e._2)).zipWithIndex.map {
+        case ((_, eid, et, c), i) =>
+          (u, eid, et, c, n, (n * c - s) * 1000L / (n - 1),
+            n + 1 - 2L * (i + 1))
+      }
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = Experiment.rlooAdvantage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want)
+    // signed-DIV cross-engine pin: replay used Scala / (truncates
+    // toward zero) and some advantage must be negative for it to bite
+    assert(got.exists(_._6 < 0L), "no negative advantage - the signed " +
+      "truncation semantics are untested by this fixture")
+    // baseline cancellation: centered ranks sum to ZERO per group
+    // exactly; RLOO numerators cancel too (pre-truncation law)
+    got.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._7).sum == 0L)
+      val n = rows.head._5
+      assert(rows.map(r => n * r._4).sum ==
+        rows.map(_._4).sum * rows.length)
+    }
+    // singleton groups are excluded, nothing else
+    assert(got.map(_._1).distinct.length ==
+      ev.groupBy(_._1).count(_._2.length >= 2))
+  }
+
+  test("q342 successive halving equals a replay; halving counts are exact") {
+    val ev = events.map(t => (t._3, t._4,
+      math.floor(t._5 * 100.0 + 0.5).toLong))
+    val byArm = ev.groupBy(_._2).view.mapValues(
+      _.sortBy(_._1).map(_._3)).toMap
+    def mean(xs: Seq[Long], b: Int): Long = {
+      val p = xs.take(b); p.sum * 1000000L / p.length
+    }
+    val arms = byArm.map { case (a, xs) =>
+      (a, math.min(xs.length, 512).toLong,
+        mean(xs, 128), mean(xs, 256), mean(xs, 512))
+    }.toSeq
+    val k0 = arms.length
+    val s1 = arms.sortBy(t => (-t._3, t._1)).take((k0 + 1) / 2)
+      .map(_._1).toSet
+    val s2 = arms.filter(t => s1(t._1)).sortBy(t => (-t._4, t._1))
+      .take((s1.size + 1) / 2).map(_._1).toSet
+    val s3 = arms.filter(t => s2(t._1)).sortBy(t => (-t._5, t._1))
+      .take((s2.size + 1) / 2).map(_._1).toSet
+    val want = arms.map { case (a, nr, m0, m1, m2) =>
+      (a, nr, m0, if (s1(a)) Some(m1) else None,
+        if (s2(a)) Some(m2) else None, s1(a), s2(a), s3(a))
+    }.sortBy(_._1)
+    val got = Experiment.successiveHalving(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))
+      .sortBy(_._1)
+    assert(got.toSeq == want)
+    // the race genuinely eliminates and crowns: ceil-half counts at
+    // every round, and at least one arm is eliminated at round 0
+    assert(got.count(_._6) == (k0 + 1) / 2)
+    assert(got.count(_._7) == ((k0 + 1) / 2 + 1) / 2)
+    assert(got.count(_._8) == (((k0 + 1) / 2 + 1) / 2 + 1) / 2)
+    assert(got.exists(!_._6), "no arm eliminated - the race is vacuous")
+  }
+
+  test("q343 doubly robust equals a BigInt replay; the correction is non-vacuous") {
+    val ev = events.map(t => (t._1, t._4,
+      math.floor(t._5 * 100.0 + 0.5).toLong))
+    val ua = ev.groupBy(e => (e._1, e._2)).map { case ((u, a), g) =>
+      (u, a, g.length.toLong, g.map(_._3).sum) }.toSeq
+    val nU = ua.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val n = ev.length.toLong
+    val rhat = ua.groupBy(_._2).view.mapValues { g =>
+      g.map(_._4).sum * 1000L / g.map(_._3).sum }.toMap
+    val want = ua.groupBy(_._2).map { case (a, g) =>
+      val mass = g.map { case (u, _, nua, rua) =>
+        BigInt(nU(u) * 1000L / nua) * (rua * 1000L - nua * rhat(a))
+      }.sum
+      val corr = (mass / BigInt(n * 1000L)).toLong
+      (a, g.map(_._3).sum, rhat(a), corr, rhat(a) + corr)
+    }.toSeq.sortBy(_._1)
+    val got = Experiment.doublyRobust(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(got.toSeq == want)
+    assert(got.exists(_._4 != 0L),
+      "every correction is zero - the coarse model is not coarse")
+  }
 }

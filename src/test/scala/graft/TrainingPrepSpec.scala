@@ -1360,6 +1360,51 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(got.exists(_._2 > 1L), "fixture never packs 2+ docs - vacuous")
   }
 
+  test("q344 MoE routing equals a replay; conservation and balance laws hold") {
+    val spark = SparkTestSession.spark
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val pat = graft.operators.TextAnalysis.bpeTokenPattern.r
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val routedAll = docs.flatMap { case (_, t) =>
+      val ts = pat.findAllIn(t).toSeq
+      val ntok = ts.length.toLong
+      val cap = (5L * ntok + 31L) / 32L
+      ts.map(tok => java.lang.Long.parseLong(md5hex(tok).take(8), 16) % 8L)
+        .foldLeft((Map.empty[Long, Long], Seq.empty[(Long, Boolean)])) {
+          case ((seen, acc), e) =>
+            val k = seen.getOrElse(e, 0L) + 1L
+            (seen.updated(e, k), acc :+ (e, k <= cap))
+        }._2
+    }
+    val want = routedAll.groupBy(_._1).map { case (e, g) =>
+      (e, g.length.toLong, g.count(_._2).toLong)
+    }.toSeq.sortBy(_._1)
+    val total = routedAll.length.toLong
+    val bal = (BigInt(8) * want.map(w => BigInt(w._2) * w._2).sum *
+      1000000 / (BigInt(total) * total)).toLong
+    val got = TrainingPrep.moeRoutingAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq == want)
+    got.foreach { case (_, routed, kept, dropped, dropPpm, loadPpm, b) =>
+      assert(kept + dropped == routed)
+      assert(dropPpm == dropped * 1000000L / routed)
+      assert(loadPpm == routed * 1000000L / total)
+      assert(b == bal)
+    }
+    assert(got.map(_._2).sum == total, "routing must conserve tokens")
+    // balance >= 1e6 with equality iff perfectly uniform
+    // (Cauchy-Schwarz); content routing is skewed, so strictly above
+    assert(bal > 1000000L)
+    // the capacity factor genuinely binds somewhere (drops observed)
+    assert(got.exists(_._4 > 0L), "no expert ever overflows - vacuous cap")
+  }
+
   test("q336 epoch waterfill: allocation equals an independent replay; max-min laws hold") {
     val spark = SparkTestSession.spark
     val cells = spark.read
