@@ -343,7 +343,21 @@ object ScalingProbe {
         graft.operators.Experiment.ipsPolicyEval(spark, d)),
       "q338_best_of_n" -> (d => graft.operators.Experiment.bestOfN(spark, d)),
       "q339_arena_leaderboard" -> (d =>
-        graft.operators.Experiment.arenaLeaderboard(spark, d)))
+        graft.operators.Experiment.arenaLeaderboard(spark, d)),
+      // q340/q343 collapse to the (user, type) grain in one exchange;
+      // q341 is the pair-free span census (digest exchanges only);
+      // q342's rank prune is budget-bounded; q344's explode is
+      // row-local with a keyed (doc, expert) window
+      "q340_rloo_advantage" -> (d =>
+        graft.operators.Experiment.rlooAdvantage(spark, d)),
+      "q341_dup_span_fraction" -> (d =>
+        graft.operators.Dedup.dupSpanFraction(spark, d)),
+      "q342_successive_halving" -> (d =>
+        graft.operators.Experiment.successiveHalving(spark, d)),
+      "q343_doubly_robust" -> (d =>
+        graft.operators.Experiment.doublyRobust(spark, d)),
+      "q344_moe_routing" -> (d =>
+        graft.operators.TrainingPrep.moeRoutingAudit(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))
