@@ -480,6 +480,14 @@ object SparkEntry {
       Experiment.doublyRobust(s, d)),
     "q344_moe_routing" -> ((s: SparkSession, d: String) =>
       TrainingPrep.moeRoutingAudit(s, d)),
+    "q345_bleu_overlap" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bleuOverlapEval(s, d)),
+    "q346_kruskal_wallis" -> ((s: SparkSession, d: String) =>
+      Experiment.kruskalWallis(s, d)),
+    "q347_token_transitions" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tokenClassTransitions(s, d)),
+    "q348_shuffle_runs" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.shuffleRunsTest(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -9125,7 +9133,171 @@ object SparkEntry {
            CAST((routed - kept) * 1000000 // routed AS BIGINT) AS drop_ppm,
            CAST(routed * 1000000 // total AS BIGINT) AS load_ppm,
            balance_x_e6
-         FROM per, tot"""
+         FROM per, tot""",
+    // q345: BLEU/ROUGE overlap over the q334 twin pairing — clipped
+    // multiset n-gram intersections on md5 digests, closed-form
+    // denominators len - n + 1, no geometric mean (no libm on either
+    // side).
+    "q345_bleu_overlap" ->
+      s"""WITH docs AS (
+           SELECT doc_id, string_split($normText, ' ') AS w,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 10 < 8 THEN 'train' ELSE 'eval' END AS split
+           FROM documents
+           WHERE len(string_split($normText, ' ')) >= 5),
+         grams AS (
+           SELECT DISTINCT doc_id, split,
+             substr(md5(array_to_string(w[i:i+4], ' ')), 1, 16) AS g
+           FROM docs, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t),
+         ov AS (
+           SELECT e.doc_id AS q_id, t.doc_id AS td,
+             CAST(COUNT(*) AS BIGINT) AS shared
+           FROM grams e JOIN grams t
+             ON e.g = t.g AND e.split = 'eval' AND t.split = 'train'
+           GROUP BY 1, 2),
+         truth AS MATERIALIZED (
+           SELECT q_id, td AS rel FROM (
+             SELECT q_id, td, shared, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY shared DESC, td ASC) AS rn FROM ov)
+           WHERE rn = 1 AND shared >= 5),
+         lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS len FROM docs),
+         n1 AS (
+           SELECT doc_id, substr(md5(w[i]), 1, 16) AS g,
+             CAST(COUNT(*) AS BIGINT) AS c
+           FROM docs, LATERAL (SELECT UNNEST(range(1, len(w) + 1)) AS i) t
+           GROUP BY 1, 2),
+         n2 AS (
+           SELECT doc_id,
+             substr(md5(array_to_string(w[i:i+1], ' ')), 1, 16) AS g,
+             CAST(COUNT(*) AS BIGINT) AS c
+           FROM docs, LATERAL (SELECT UNNEST(range(1, len(w))) AS i) t
+           GROUP BY 1, 2),
+         c1 AS (
+           SELECT tr.q_id, tr.rel,
+             CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS clip1
+           FROM truth tr
+           JOIN n1 a ON a.doc_id = tr.q_id
+           JOIN n1 b ON b.doc_id = tr.rel AND b.g = a.g
+           GROUP BY 1, 2),
+         c2 AS (
+           SELECT tr.q_id, tr.rel,
+             CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS clip2
+           FROM truth tr
+           JOIN n2 a ON a.doc_id = tr.q_id
+           JOIN n2 b ON b.doc_id = tr.rel AND b.g = a.g
+           GROUP BY 1, 2)
+         SELECT tr.q_id, tr.rel, lc.len AS len_c, lr.len AS len_r,
+           CAST(COALESCE(c1.clip1, 0) AS BIGINT) AS clip1,
+           CAST(COALESCE(c2.clip2, 0) AS BIGINT) AS clip2,
+           CAST(COALESCE(c1.clip1, 0) * 1000000 // lc.len AS BIGINT)
+             AS p1_ppm,
+           CAST(COALESCE(c2.clip2, 0) * 1000000 // (lc.len - 1) AS BIGINT)
+             AS p2_ppm,
+           CAST(COALESCE(c1.clip1, 0) * 1000000 // lr.len AS BIGINT)
+             AS r1_ppm,
+           CAST(COALESCE(c2.clip2, 0) * 1000000 // (lr.len - 1) AS BIGINT)
+             AS r2_ppm,
+           CAST(lc.len * 1000000 // lr.len AS BIGINT) AS brevity_ppm
+         FROM truth tr
+         JOIN lens lc ON lc.doc_id = tr.q_id
+         JOIN lens lr ON lr.doc_id = tr.rel
+         LEFT JOIN c1 ON c1.q_id = tr.q_id AND c1.rel = tr.rel
+         LEFT JOIN c2 ON c2.q_id = tr.q_id AND c2.rel = tr.rel""",
+    // q346: Kruskal-Wallis via q276's doubled mid-ranks; the square
+    // R2^2 rides HUGEINT (DECIMAL(38) on the Spark side), one
+    // truncating DIV per group term, trailing tie-correction rational.
+    "q346_kruskal_wallis" ->
+      """WITH ev AS (
+           SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+         pvt AS (
+           SELECT cents, event_type, CAST(COUNT(*) AS BIGINT) AS c_vt
+           FROM ev GROUP BY 1, 2),
+         pv AS (SELECT cents, CAST(SUM(c_vt) AS BIGINT) AS c_v
+           FROM pvt GROUP BY 1),
+         cum AS (
+           SELECT cents, c_v,
+             COALESCE(CAST(SUM(c_v) OVER (ORDER BY cents ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS cum
+           FROM pv),
+         grp AS (
+           SELECT event_type, CAST(SUM(c_vt) AS BIGINT) AS n_i,
+             CAST(SUM(c_vt * (cum * 2 + c_v + 1)) AS BIGINT) AS r2_i
+           FROM pvt JOIN cum USING (cents) GROUP BY 1),
+         gl AS (
+           SELECT CAST(SUM(c_v) AS BIGINT) AS n,
+             CAST(SUM(c_v * c_v * c_v - c_v) AS BIGINT) AS tie_cubes
+           FROM cum),
+         hh AS (
+           SELECT n, tie_cubes,
+             CAST(3000 * SUM(CAST(CAST(r2_i AS HUGEINT) * r2_i // n_i
+               AS BIGINT)) // (n * (n + 1)) - 3000 * (n + 1) AS BIGINT)
+               AS h_milli
+           FROM grp, gl GROUP BY 1, 2),
+         ht AS (
+           SELECT n, h_milli,
+             CAST(CAST(h_milli AS HUGEINT) * (n * n * n - n)
+               // (n * n * n - n - tie_cubes) AS BIGINT) AS h_tie_milli
+           FROM hh)
+         SELECT g.event_type, g.n_i, g.r2_i, ht.n, ht.h_milli,
+           ht.h_tie_milli
+         FROM grp g, ht""",
+    // q347: token-class transitions — entirely list-local; classes by
+    // first character (total under the lexer's token shapes).
+    "q347_token_transitions" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS ts
+           FROM documents),
+         cls AS (
+           SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+             list_transform(ts, t -> CASE
+               WHEN regexp_matches(t[1], '[A-Za-z]') THEN 0
+               WHEN regexp_matches(t[1], '[0-9]') THEN 1
+               ELSE 2 END) AS cl
+           FROM toks WHERE len(ts) >= 2),
+         counted AS (
+           SELECT doc_id, n_tokens,
+             CAST(len(list_filter(cl, c -> c = 0)) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(cl, c -> c = 1)) AS BIGINT) AS n_digit,
+             CAST(len(list_filter(cl, c -> c = 2)) AS BIGINT) AS n_other,
+             CAST(len(list_filter(
+               list_zip(cl[1:len(cl) - 1], cl[2:len(cl)]),
+               z -> z[1] != z[2])) AS BIGINT) AS n_switches
+           FROM cls)
+         SELECT doc_id, n_tokens, n_alpha, n_digit, n_other, n_switches,
+           CAST(n_switches * 1000000 // (n_tokens - 1) AS BIGINT)
+             AS switch_ppm
+         FROM counted""",
+    // q348: Wald-Wolfowitz runs test over q257's epoch-0 shuffle
+    // order; the oracle's naive global LAG window IS the contract the
+    // chunked-rank lag join must reproduce.
+    "q348_shuffle_runs" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             md5('ep0:' || CAST(doc_id AS VARCHAR)) AS pri
+           FROM documents),
+         f AS (
+           SELECT source,
+             CASE WHEN LAG(source) OVER (ORDER BY pri, doc_id)
+               IS DISTINCT FROM source THEN 1 ELSE 0 END AS run_start
+           FROM d),
+         s AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
+             CAST(SUM(run_start) AS BIGINT) AS runs_s
+           FROM f GROUP BY 1),
+         g AS (
+           SELECT CAST(SUM(n_s) AS BIGINT) AS n,
+             CAST(SUM(runs_s) AS BIGINT) AS r_obs,
+             CAST(SUM(n_s * n_s) AS BIGINT) AS sum_sq
+           FROM s)
+         SELECT source, n_s, runs_s, n, r_obs,
+           CAST((n * (n + 1) - sum_sq) * 1000 // n AS BIGINT) AS e_milli,
+           CAST((r_obs * n - (n * (n + 1) - sum_sq)) * 1000000
+             // (n * (n + 1) - sum_sq) AS BIGINT) AS excess_ppm
+         FROM s, g"""
   )
 
   /** q14's window top-per-key SQL — shared verbatim by q89 (bounded

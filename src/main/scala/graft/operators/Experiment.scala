@@ -2059,4 +2059,62 @@ object Experiment {
       .withColumn("dr_milli",
         (col("rhat_milli") + col("corr_milli")).cast("long"))
   }
+
+  /** The q346 driver entry: KRUSKAL–WALLIS k-SAMPLE RANK TEST — the
+    * omnibus "do ANY of these k arms differ?" gate run before
+    * pairwise drill-downs (q276 Mann–Whitney is its k=2 special
+    * case), on exactly q276's integer discipline: mid-ranks under
+    * ties carried as DOUBLED ranks (2·avg-rank of a tied value block
+    * = 2·cum_below + block + 1, an integer), so the rank sums R2ᵢ
+    * are exact and Σᵢ R2ᵢ = n(n+1) — the conservation law the spec
+    * pins. H = 3/(n(n+1))·Σ R2ᵢ²/nᵢ − 3(n+1) in milli with one
+    * truncating DIV per group term (R2ᵢ² in DECIMAL(38)/HUGEINT —
+    * the square tops 2⁶³ once n passes ~3M) and the standard tie
+    * correction H/(1 − Σ(t³−t)/(n³−n)) applied as a trailing
+    * rational multiply. Valid to n = 10⁶ rows per the q278
+    * documented-bound rule (beyond that, lift the n³ products into
+    * DECIMAL on both sides).
+    *
+    * Scale shape: the q276 value-domain device — ranks never
+    * materialize per ROW; one map-side (value, arm) count collapses
+    * the fact table, the cumulative window runs over the bounded
+    * DISTINCT-value domain (cents), and the statistic assembles on
+    * the arm domain.
+    */
+  def kruskalWallis(spark: SparkSession, sfDir: String): DataFrame = {
+    val perVT = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy(col("cents"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("c_vt"))
+    val perV = perVT.groupBy(col("cents"))
+      .agg(sum(col("c_vt")).cast("long").as("c_v"))
+    val wc = Window.orderBy(col("cents").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = perV
+      .withColumn("cum", coalesce(sum(col("c_v")).over(wc), lit(0L)))
+    val groups = perVT.join(cum, "cents")
+      .groupBy(col("event_type"))
+      .agg(sum(col("c_vt")).cast("long").as("n_i"),
+        sum(col("c_vt") * (col("cum") * 2L + col("c_v") + 1L))
+          .cast("long").as("r2_i"))
+    val glob = cum.agg(sum(col("c_v")).cast("long").as("n"),
+      sum(col("c_v") * col("c_v") * col("c_v") - col("c_v")).cast("long")
+        .as("tie_cubes"))
+    val h = groups.crossJoin(broadcast(glob))
+      .select(col("n"), col("tie_cubes"),
+        expr("CAST(CAST(r2_i AS DECIMAL(38, 0)) * r2_i DIV n_i AS BIGINT)")
+          .as("t_i"))
+      .groupBy(col("n"), col("tie_cubes"))
+      .agg(expr("""CAST(CAST(3000 AS DECIMAL(38, 0)) * SUM(t_i)
+          DIV (MAX(n) * (MAX(n) + 1)) - 3000 * (MAX(n) + 1) AS BIGINT)""")
+        .as("h_milli"))
+      .select(col("n"), col("h_milli"),
+        expr("""CAST(CAST(h_milli AS DECIMAL(38, 0)) * (n * n * n - n)
+            DIV (n * n * n - n - tie_cubes) AS BIGINT)""")
+          .as("h_tie_milli"))
+    groups.crossJoin(broadcast(h))
+      .select(col("event_type"), col("n_i"), col("r2_i"), col("n"),
+        col("h_milli"), col("h_tie_milli"))
+  }
 }

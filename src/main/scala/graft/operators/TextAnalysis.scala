@@ -2818,4 +2818,153 @@ object TextAnalysis {
             .as("mrr_ppm"))
     }.reduce(_ unionByName _)
   }
+
+  /** The q345 driver entry: BLEU/ROUGE OVERLAP EVAL over the
+    * contamination twins — the n-gram-overlap metrics (Papineni 2002
+    * modified precision; Lin 2004 ROUGE recall) computed for exactly
+    * the pairs a decontamination audit flags: each eval doc's
+    * argmax-shared-grams train twin (the q313/q334 pairing, same
+    * 5-gram truth, same `minShared` floor) is scored as the
+    * REFERENCE against the eval doc as the CANDIDATE. The table
+    * answers the question the binary contamination flag can't: is
+    * the twin a verbatim copy (p₁≈p₂≈10⁶), a paraphrase (high p₁,
+    * collapsed p₂ — bigram order broke), or a shared-boilerplate
+    * artifact (low both)?
+    *
+    * Exactness: clipped counts Σ_g min(c_cand, c_ref) are pure
+    * integers over md5-digested n-grams (multiplicity preserved —
+    * the MODIFIED precision, not set overlap); denominators are the
+    * closed-form totals len − n + 1 WITH multiplicity; one ppm DIV
+    * per metric; brevity is the exact length ratio. No geometric
+    * mean is taken (that would put exp/log on both engines): the
+    * per-n precisions ARE the published table, as in a BLEU
+    * breakdown report.
+    *
+    * Scale shape: the twin truth is the q334 plan (5-gram digest
+    * join, argmax window); n-gram multisets travel as digests;
+    * clipped joins key on (pair, digest) with the candidate side
+    * broadcast (it is |flagged evals| · grams — eval-set-bounded,
+    * the documented eval-only cost axis). Pair-grain output.
+    */
+  def bleuOverlapEval(
+      spark: SparkSession, sfDir: String,
+      minShared: Long = 5L): DataFrame = {
+    import graft.operators.TrainingPrep.{hashBucket, splitBuckets, trainBuckets}
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        split(normalizedText(col("text")), " ").as("w"))
+      .where(size(col("w")) >= 5)
+      .withColumn("split",
+        when(hashBucket(col("doc_id"), "", splitBuckets) < trainBuckets,
+          "train").otherwise("eval"))
+      .localCheckpoint(true) // read by the truth grams + both multisets
+    val grams5 = docs.select(col("doc_id"), col("split"), explode(expr(
+        """array_distinct(transform(sequence(1, size(w) - 4),
+             i -> substring(md5(array_join(slice(w, i, 5), ' ')), 1, 16)))"""))
+        .as("g"))
+    val ov = grams5.where(col("split") === "eval")
+      .select(col("doc_id").as("q_id"), col("g"))
+      .join(grams5.where(col("split") === "train")
+        .select(col("doc_id").as("td"), col("g")), "g")
+      .groupBy(col("q_id"), col("td"))
+      .agg(count(lit(1)).as("shared"))
+    val wT = Window.partitionBy(col("q_id"))
+      .orderBy(col("shared").desc, col("td").asc)
+    val truth = ov.withColumn("rn", row_number().over(wT))
+      .where(col("rn") === 1 && col("shared") >= minShared)
+      .select(col("q_id"), col("td").as("rel"))
+      .localCheckpoint(true) // read by lens + both clip joins
+    val lens = docs.select(col("doc_id"), size(col("w")).cast("long")
+      .as("len"))
+    // n-gram MULTISETS (digest, count) — multiplicity is the point
+    def ngrams(n: Int) = docs.select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(w) - ${n - 1}),
+              i -> substring(md5(array_join(slice(w, i, $n), ' ')), 1, 16))"""))
+        .as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    def clip(n: Int) = {
+      val ng = ngrams(n)
+      broadcast(truth.join(
+          ng.select(col("doc_id").as("q_id"), col("g"),
+            col("c").as("cc")), Seq("q_id")))
+        .join(ng.select(col("doc_id").as("rel"), col("g"),
+          col("c").as("cr")), Seq("rel", "g"))
+        .groupBy(col("q_id"), col("rel"))
+        .agg(sum(least(col("cc"), col("cr"))).cast("long")
+          .as(s"clip$n"))
+    }
+    truth
+      .join(lens.select(col("doc_id").as("q_id"), col("len").as("len_c")),
+        "q_id")
+      .join(lens.select(col("doc_id").as("rel"), col("len").as("len_r")),
+        "rel")
+      .join(clip(1), Seq("q_id", "rel"), "left")
+      .join(clip(2), Seq("q_id", "rel"), "left")
+      .select(col("q_id"), col("rel"), col("len_c"), col("len_r"),
+        coalesce(col("clip1"), lit(0L)).as("clip1"),
+        coalesce(col("clip2"), lit(0L)).as("clip2"))
+      .select(col("q_id"), col("rel"), col("len_c"), col("len_r"),
+        col("clip1"), col("clip2"),
+        expr("clip1 * 1000000 DIV len_c").as("p1_ppm"),
+        expr("clip2 * 1000000 DIV (len_c - 1)").as("p2_ppm"),
+        expr("clip1 * 1000000 DIV len_r").as("r1_ppm"),
+        expr("clip2 * 1000000 DIV (len_r - 1)").as("r2_ppm"),
+        expr("len_c * 1000000 DIV len_r").as("brevity_ppm"))
+  }
+
+  /** The q347 driver entry: TOKEN-CLASS TRANSITION AUDIT — the
+    * code-switching / prose-vs-code density signal a pretraining
+    * mixture uses to route documents (a math page alternates
+    * digit↔alpha constantly; prose almost never does; minified code
+    * is punctuation-dense AND switch-dense). Tokens (the q42/q336
+    * BPE-ish lexer classes: alpha runs, digit runs, single
+    * non-alphanumerics) map to three classes, and the audit counts
+    * CLASS TRANSITIONS between consecutive tokens — an intra-doc
+    * sequence statistic, where q41's quality ratios are bag-of-token.
+    * Per doc: class counts, `n_switches`, and `switch_ppm` =
+    * switches·10⁶ DIV (ntok − 1) — the fraction of adjacent pairs
+    * that cross classes.
+    *
+    * Scale shape: ZERO shuffles beyond the scan — the token array,
+    * its class projection, and the shifted-pair comparison are all
+    * row-local higher-order functions (the q306 embarrassing-parallel
+    * posture); class is decided by the token's FIRST CHARACTER
+    * (total by lexer construction: an alpha run starts alpha, a
+    * digit run starts with a digit, everything else is a single
+    * non-alphanumeric char).
+    */
+  def tokenClassTransitions(
+      spark: SparkSession, sfDir: String): DataFrame =
+    tokenClassTransitionsOn(Tables.load(spark, sfDir, "documents"))
+
+  /** The q347 core over any `(doc_id, text)` frame — split out so the
+    * spec can prove the switch-counting arm on a synthetic
+    * mixed-class doc through the SAME plan (the tiny spec fixture's
+    * prose happens to be single-class).
+    */
+  def tokenClassTransitionsOn(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit(bpeTokenPattern), lit(0))
+          .as("ts"))
+      .where(size(col("ts")) >= 2)
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"),
+        expr("""transform(ts, t -> CASE
+            WHEN substring(t, 1, 1) RLIKE '[A-Za-z]' THEN 0
+            WHEN substring(t, 1, 1) RLIKE '[0-9]' THEN 1
+            ELSE 2 END)""").as("cls"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("CAST(size(filter(cls, c -> c = 0)) AS BIGINT)")
+          .as("n_alpha"),
+        expr("CAST(size(filter(cls, c -> c = 1)) AS BIGINT)")
+          .as("n_digit"),
+        expr("CAST(size(filter(cls, c -> c = 2)) AS BIGINT)")
+          .as("n_other"),
+        expr("""CAST(size(filter(
+            zip_with(slice(cls, 1, size(cls) - 1),
+                     slice(cls, 2, size(cls) - 1), (a, b) -> a != b),
+            m -> m)) AS BIGINT)""").as("n_switches"))
+      .withColumn("switch_ppm",
+        expr("n_switches * 1000000 DIV (n_tokens - 1)"))
 }

@@ -2157,4 +2157,58 @@ object TrainingPrep {
         expr("routed * 1000000 DIV total").as("load_ppm"),
         col("balance_x_e6"))
   }
+
+  /** The q348 driver entry: SHUFFLE-QUALITY RUNS TEST — the
+    * Wald–Wolfowitz audit of q257's epoch order: a good global
+    * shuffle leaves no source-level clumping, and the detector is
+    * the RUNS COUNT (maximal blocks of consecutive same-source docs)
+    * against its exact permutation expectation E[R] = n + 1 − Σnₛ²/n.
+    * Clumping (a broken shuffle, a sorted-by-source export leaking
+    * through) drives R far BELOW E; the signed `excess_ppm` =
+    * (R·n − (n(n+1) − Σnₛ²))·10⁶ DIV (n(n+1) − Σnₛ²) reads ≈ 0 for
+    * a true shuffle. The order IS q257's epoch-0 key (salted md5,
+    * doc_id tiebreak) — auditing the exact permutation the trainer
+    * would consume. Valid to n = 10⁶ docs per the q278
+    * documented-bound rule (past that the ·10⁶ products need
+    * DECIMAL on both sides).
+    *
+    * Scale shape: the global-order LAG is built WITHOUT a
+    * partition-less window — `Relational.chunkedRowNumber` (hash-hex
+    * prefix buckets, an order prefix by lowercase-hex collation)
+    * assigns the global rank, and the predecessor arrives by a
+    * co-keyed rk = rk+1 self-join (one shuffle, keyed, no
+    * serialization point); run heads then collapse map-side to the
+    * bounded source domain. Both chunked passes read a pinned
+    * input (the documented double-read rule).
+    */
+  def shuffleRunsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val ordered = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("pri",
+        md5(concat(lit("ep0:"), col("doc_id").cast("string"))))
+      .localCheckpoint(true) // chunkedRowNumber reads its input twice
+    val rk = Relational.chunkedRowNumber(ordered,
+        bucket = expr("CAST(conv(substring(pri, 1, 3), 16, 10) AS BIGINT)"),
+        order = Seq(col("pri").asc, col("doc_id").asc), out = "rk")
+      .select(col("rk"), col("source"))
+      .localCheckpoint(true) // read by both sides of the lag join
+    val flags = rk.join(rk.select((col("rk") + 1L).as("rk"),
+        col("source").as("prev_src")), Seq("rk"), "left")
+      .select(col("source"),
+        when(col("prev_src").isNull ||
+          col("source") =!= col("prev_src"), 1L).otherwise(0L)
+          .as("run_start"))
+    val perSource = flags.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_s"),
+        sum(col("run_start")).cast("long").as("runs_s"))
+    val glob = perSource.agg(sum(col("n_s")).cast("long").as("n"),
+      sum(col("runs_s")).cast("long").as("r_obs"),
+      sum(col("n_s") * col("n_s")).cast("long").as("sum_sq"))
+    perSource.crossJoin(broadcast(glob))
+      .select(col("source"), col("n_s"), col("runs_s"), col("n"),
+        col("r_obs"),
+        expr("(n * (n + 1) - sum_sq) * 1000 DIV n").as("e_milli"),
+        expr("""(r_obs * n - (n * (n + 1) - sum_sq)) * 1000000
+            DIV (n * (n + 1) - sum_sq)""").as("excess_ppm"))
+  }
 }

@@ -1256,4 +1256,35 @@ class ExperimentSpec extends AnyFunSuite {
     assert(got.exists(_._4 != 0L),
       "every correction is zero - the coarse model is not coarse")
   }
+
+  test("q346 Kruskal-Wallis equals a replay; rank-sum conservation holds") {
+    val ev = events.map(t => (t._4, math.floor(t._5 * 100.0 + 0.5).toLong))
+    val byV = ev.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val vals = byV.keys.toSeq.sorted
+    val cums = vals.scanLeft(0L)((acc, v) => acc + byV(v)).init
+    val r2v = vals.zip(cums).map { case (v, c) =>
+      v -> (2L * c + byV(v) + 1L) }.toMap
+    val groups = ev.groupBy(_._1).view.mapValues { g =>
+      (g.length.toLong, g.map(e => r2v(e._2)).sum) }.toMap
+    val n = ev.length.toLong
+    val tieCubes = byV.values.map(c => c * c * c - c).sum
+    val sumT = groups.values.map { case (ni, r2) =>
+      (BigInt(r2) * r2 / ni).toLong }.map(BigInt(_)).sum
+    val hMilli = (BigInt(3000) * sumT / (n * (n + 1))).toLong -
+      3000L * (n + 1)
+    val hTie = (BigInt(hMilli) * (BigInt(n) * n * n - n) /
+      (BigInt(n) * n * n - n - tieCubes)).toLong
+    val want = groups.toSeq.map { case (a, (ni, r2)) =>
+      (a, ni, r2, n, hMilli, hTie) }.sortBy(_._1)
+    val got = Experiment.kruskalWallis(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(got.toSeq == want)
+    // conservation: doubled mid-ranks sum to n(n+1) exactly
+    assert(got.map(_._3).sum == n * (n + 1))
+    // tie correction can only inflate a nonnegative H
+    assert(hMilli >= 0L && hTie >= hMilli)
+    assert(got.map(_._1).distinct.length >= 3,
+      "fewer than 3 arms - KW degenerates to Mann-Whitney")
+  }
 }

@@ -1329,5 +1329,118 @@ class TextAnalysisSpec extends AnyFunSuite {
     val rs = got.map(_._4)
     assert(rs.zip(rs.tail).forall { case (a, b) => a <= b })
   }
+
+  test("q345 BLEU/ROUGE overlap equals a multiset replay over the twin pairs") {
+    val spark = SparkTestSession.spark
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ")
+          .split(" ", -1)))
+      .filter(_._2.length >= 5)
+      .map { case (id, w) =>
+        val train = java.lang.Long
+          .parseLong(md5hex(id.toString).substring(0, 15), 16) % 10 < 8
+        (id, w, train)
+      }
+    val grams = docs.map { case (id, w, tr) =>
+      (id, tr, w.sliding(5).map(_.mkString(" ")).toSet)
+    }
+    val evalG = grams.filter(!_._2); val trainG = grams.filter(_._2)
+    val truth = evalG.flatMap { case (q, _, gs) =>
+      val ov = trainG.map { case (t, _, tg) => (t, (gs intersect tg).size) }
+        .filter(_._2 > 0)
+      if (ov.isEmpty) None
+      else {
+        val (td, shared) = ov.minBy { case (t, sh) => (-sh, t) }
+        if (shared >= 5) Some(q -> td) else None
+      }
+    }
+    val byId = docs.map(d => d._1 -> d._2).toMap
+    def multiset(w: Array[String], n: Int): Map[String, Long] =
+      w.sliding(n).map(_.mkString(" ")).toSeq
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = truth.map { case (q, rel) =>
+      val (wc, wr) = (byId(q), byId(rel))
+      def clip(n: Int): Long = {
+        val (mc, mr) = (multiset(wc, n), multiset(wr, n))
+        mc.map { case (g, c) => math.min(c, mr.getOrElse(g, 0L)) }.sum
+      }
+      val (lc, lr) = (wc.length.toLong, wr.length.toLong)
+      (q, rel, lc, lr, clip(1), clip(2),
+        clip(1) * 1000000L / lc, clip(2) * 1000000L / (lc - 1),
+        clip(1) * 1000000L / lr, clip(2) * 1000000L / (lr - 1),
+        lc * 1000000L / lr)
+    }.toSeq.sortBy(_._1)
+    val gotFixed = TextAnalysis.bleuOverlapEval(spark, SparkTestSession.sf)
+      .select("q_id", "rel", "len_c", "len_r", "clip1", "clip2",
+        "p1_ppm", "p2_ppm", "r1_ppm", "r2_ppm", "brevity_ppm")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9), r.getLong(10)))
+      .sortBy(_._1)
+    assert(gotFixed.toSeq == want)
+    // overlap is non-vacuous at BOTH gram orders, and precision
+    // respects its probability bound
+    assert(gotFixed.exists(_._6 > 0L), "no bigram overlap on any twin")
+    gotFixed.foreach { t =>
+      assert(t._7 <= 1000000L && t._8 <= 1000000L)
+    }
+  }
+
+  test("q347 token-class transitions equal a replay; counts conserve") {
+    val spark = SparkTestSession.spark
+    val pat = TextAnalysis.bpeTokenPattern.r
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.flatMap { case (id, t) =>
+      val cls = pat.findAllIn(t).map { tok =>
+        val c = tok.charAt(0)
+        if (c.isLetter && c < 128) 0 else if (c >= '0' && c <= '9') 1
+        else 2
+      }.toSeq
+      if (cls.length < 2) None
+      else {
+        val sw = cls.zip(cls.tail).count { case (a, b) => a != b }.toLong
+        Some((id, cls.length.toLong, cls.count(_ == 0).toLong,
+          cls.count(_ == 1).toLong, cls.count(_ == 2).toLong, sw,
+          sw * 1000000L / (cls.length - 1)))
+      }
+    }.sortBy(_._1)
+    val got = TextAnalysis.tokenClassTransitions(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    got.foreach { t =>
+      assert(t._3 + t._4 + t._5 == t._2, "class counts must conserve")
+      assert(t._7 <= 1000000L)
+    }
+    // the tiny spec fixture's prose is single-class; prove the
+    // switch-counting arm on a synthetic mixed doc via the SAME plan
+    val sess = spark
+    import sess.implicits._
+    val synth = Seq(
+      (1L, "ab1 cd, 42 ef"),
+      (2L, "alpha beta"),
+      (3L, "1 2 3"))
+      .toDF("doc_id", "text")
+    val s = TextAnalysis.tokenClassTransitionsOn(synth).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1).toSeq
+    // doc 1 tokens [ab, 1, cd, ',', 42, ef] → classes 0 1 0 2 1 0 →
+    // 5 switches over 5 pairs; doc 2 all-alpha → 0; doc 3 all-digit → 0
+    assert(s == Seq(
+      (1L, 6L, 3L, 2L, 1L, 5L, 1000000L),
+      (2L, 2L, 2L, 0L, 0L, 0L, 0L),
+      (3L, 3L, 0L, 3L, 0L, 0L, 0L)))
+  }
 }
 

@@ -1405,6 +1405,42 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(got.exists(_._4 > 0L), "no expert ever overflows - vacuous cap")
   }
 
+  test("q348 shuffle runs test equals a naive-order replay; chunked lag = global lag") {
+    val spark = SparkTestSession.spark
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ordered = docs.map { case (id, src) =>
+      (md5hex(s"ep0:$id"), id, src) }.sortBy(t => (t._1, t._2))
+    val srcs = ordered.map(_._3)
+    val runStarts = srcs.zipWithIndex.map { case (s, i) =>
+      (s, i == 0 || srcs(i - 1) != s) }
+    val perSrc = runStarts.groupBy(_._1).view.mapValues { g =>
+      (g.length.toLong, g.count(_._2).toLong) }.toMap
+    val n = srcs.length.toLong
+    val rObs = runStarts.count(_._2).toLong
+    val sumSq = perSrc.values.map(v => v._1 * v._1).sum
+    val eDen = n * (n + 1) - sumSq
+    val want = perSrc.toSeq.map { case (s, (ns, rs)) =>
+      (s, ns, rs, n, rObs, eDen * 1000L / n,
+        (rObs * n - eDen) * 1000000L / eDen) }.sortBy(_._1)
+    val got = TrainingPrep.shuffleRunsTest(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
+    assert(got.toSeq == want)
+    // runs decompose exactly over sources, and a salted-hash order
+    // should sit NEAR its permutation expectation (within 5% —
+    // the audit's null case; a sorted-by-source order would read
+    // excess_ppm near -1e6)
+    assert(got.map(_._3).sum == rObs)
+    assert(math.abs(got.head._7) < 50000L,
+      s"hash shuffle reads ${got.head._7} ppm off expectation")
+  }
+
   test("q336 epoch waterfill: allocation equals an independent replay; max-min laws hold") {
     val spark = SparkTestSession.spark
     val cells = spark.read
