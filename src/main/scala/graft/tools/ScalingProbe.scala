@@ -357,7 +357,18 @@ object ScalingProbe {
       "q343_doubly_robust" -> (d =>
         graft.operators.Experiment.doublyRobust(spark, d)),
       "q344_moe_routing" -> (d =>
-        graft.operators.TrainingPrep.moeRoutingAudit(spark, d)))
+        graft.operators.TrainingPrep.moeRoutingAudit(spark, d)),
+      // q345's twin truth is the q334 eval-bounded join; q346 rides
+      // the events value domain; q347 is row-local; q348 is two
+      // chunked passes + a keyed self-join on the documents axis
+      "q345_bleu_overlap" -> (d =>
+        graft.operators.TextAnalysis.bleuOverlapEval(spark, d)),
+      "q346_kruskal_wallis" -> (d =>
+        graft.operators.Experiment.kruskalWallis(spark, d)),
+      "q347_token_transitions" -> (d =>
+        graft.operators.TextAnalysis.tokenClassTransitions(spark, d)),
+      "q348_shuffle_runs" -> (d =>
+        graft.operators.TrainingPrep.shuffleRunsTest(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))

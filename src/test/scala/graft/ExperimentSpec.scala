@@ -1287,4 +1287,20 @@ class ExperimentSpec extends AnyFunSuite {
     assert(got.map(_._1).distinct.length >= 3,
       "fewer than 3 arms - KW degenerates to Mann-Whitney")
   }
+
+  test("q338/q342 arrival-rank prunes compile to WindowGroupLimit at the scan") {
+    // the docstrings CLAIM the srk <= budget filter pushes below the
+    // sort via InferWindowGroupLimit — pin it so a regression in the
+    // window shape (e.g. an added unbounded frame) surfaces here, not
+    // as a silent full-sort at 100 TB
+    for ((name, df) <- Seq(
+        "q338" -> Experiment.bestOfN(spark, sf),
+        "q342" -> Experiment.successiveHalving(spark, sf))) {
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("WindowGroupLimit"),
+        s"$name arrival-rank prune must be a bounded window, got:\n" +
+          plan.take(4000))
+    }
+  }
 }
