@@ -488,6 +488,12 @@ object SparkEntry {
       TextAnalysis.tokenClassTransitions(s, d)),
     "q348_shuffle_runs" -> ((s: SparkSession, d: String) =>
       TrainingPrep.shuffleRunsTest(s, d)),
+    "q349_self_consistency" -> ((s: SparkSession, d: String) =>
+      Experiment.selfConsistency(s, d)),
+    "q350_dup_span_incremental" -> ((s: SparkSession, d: String) =>
+      Dedup.dupSpanIncremental(s, d)),
+    "q351_canonicalize_clusters" -> ((s: SparkSession, d: String) =>
+      Dedup.canonicalizeClusters(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -9297,7 +9303,149 @@ object SparkEntry {
            CAST((n * (n + 1) - sum_sq) * 1000 // n AS BIGINT) AS e_milli,
            CAST((r_obs * n - (n * (n + 1) - sum_sq)) * 1000000
              // (n * (n + 1) - sum_sq) AS BIGINT) AS excess_ppm
-         FROM s, g"""
+         FROM s, g""",
+    // q349: self-consistency curve — k-prefix mode vs full-log mode
+    // per user (>= 5 events), ties by type asc via a rank window
+    // (no struct-argmax: the q321 DuckDB lesson).
+    "q349_self_consistency" ->
+      """WITH ev AS (
+           SELECT user_id, event_type,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC) AS BIGINT) AS srk
+           FROM events),
+         eligible AS (
+           SELECT user_id FROM ev GROUP BY 1 HAVING COUNT(*) >= 5),
+         counts AS (
+           SELECT user_id, event_type,
+             CAST(COUNT(*) AS BIGINT) AS c_all,
+             CAST(SUM(CASE WHEN srk <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_1,
+             CAST(SUM(CASE WHEN srk <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_3,
+             CAST(SUM(CASE WHEN srk <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_5
+           FROM ev JOIN eligible USING (user_id)
+           GROUP BY 1, 2),
+         m_all AS (
+           SELECT user_id, event_type AS mode_all FROM (
+             SELECT user_id, event_type, ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY c_all DESC, event_type ASC)
+               AS rn FROM counts WHERE c_all > 0) WHERE rn = 1),
+         m1 AS (
+           SELECT user_id, event_type AS mode_k FROM (
+             SELECT user_id, event_type, ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY c_1 DESC, event_type ASC)
+               AS rn FROM counts WHERE c_1 > 0) WHERE rn = 1),
+         m3 AS (
+           SELECT user_id, event_type AS mode_k FROM (
+             SELECT user_id, event_type, ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY c_3 DESC, event_type ASC)
+               AS rn FROM counts WHERE c_3 > 0) WHERE rn = 1),
+         m5 AS (
+           SELECT user_id, event_type AS mode_k FROM (
+             SELECT user_id, event_type, ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY c_5 DESC, event_type ASC)
+               AS rn FROM counts WHERE c_5 > 0) WHERE rn = 1)
+         SELECT CAST(1 AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN m.mode_k = a.mode_all THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_agree,
+           CAST(SUM(CASE WHEN m.mode_k = a.mode_all THEN 1 ELSE 0 END)
+             * 1000000 // COUNT(*) AS BIGINT) AS agree_ppm
+         FROM m_all a JOIN m1 m USING (user_id)
+         UNION ALL
+         SELECT CAST(3 AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN m.mode_k = a.mode_all THEN 1 ELSE 0 END)
+             AS BIGINT),
+           CAST(SUM(CASE WHEN m.mode_k = a.mode_all THEN 1 ELSE 0 END)
+             * 1000000 // COUNT(*) AS BIGINT)
+         FROM m_all a JOIN m3 m USING (user_id)
+         UNION ALL
+         SELECT CAST(5 AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN m.mode_k = a.mode_all THEN 1 ELSE 0 END)
+             AS BIGINT),
+           CAST(SUM(CASE WHEN m.mode_k = a.mode_all THEN 1 ELSE 0 END)
+             * 1000000 // COUNT(*) AS BIGINT)
+         FROM m_all a JOIN m5 m USING (user_id)""",
+    // q350: incremental span census — the oracle recomputes both
+    // censuses from the raw corpus; hash equality proves the parquet
+    // artifact round-trip loses nothing.
+    "q350_dup_span_incremental" ->
+      s"""WITH words AS (
+           SELECT doc_id, string_split($normText, ' ') AS w
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS sh
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t
+           WHERE len(w) >= 5),
+         hist AS (
+           SELECT sh, CAST(COUNT(*) AS BIGINT) AS n_hist
+           FROM sh WHERE doc_id % 5 <> 0 GROUP BY 1),
+         batch AS (SELECT doc_id, sh FROM sh WHERE doc_id % 5 = 0),
+         bc AS (
+           SELECT sh, CAST(COUNT(*) AS BIGINT) AS n_batch
+           FROM batch GROUP BY 1)
+         SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN h.sh IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hist_dup,
+           CAST(SUM(CASE WHEN h.sh IS NULL AND c.n_batch >= 2
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_batch_dup,
+           CAST((SUM(CASE WHEN h.sh IS NOT NULL THEN 1 ELSE 0 END)
+             + SUM(CASE WHEN h.sh IS NULL AND c.n_batch >= 2
+               THEN 1 ELSE 0 END)) * 1000000 // COUNT(*) AS BIGINT)
+             AS dup_ppm
+         FROM batch b
+         LEFT JOIN hist h ON h.sh = b.sh
+         JOIN bc c ON c.sh = b.sh
+         GROUP BY 1""",
+    // q351: canonicalization over q44's recursive-CTE components —
+    // longest member wins (n_chars desc, doc_id asc via rank window,
+    // not struct-argmax).
+    "q351_canonicalize_clusters" ->
+      s"""WITH RECURSIVE words AS (
+           SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t
+           WHERE len(w) >= 5),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM common
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(n_common AS DOUBLE) /
+             CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id),
+         comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY 1),
+         member AS (
+           SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+             CAST(COALESCE(c.comp, d.doc_id) AS BIGINT) AS cluster
+           FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         canon AS (
+           SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+             CAST(MIN(canonical_id) AS BIGINT) AS canonical_id
+           FROM (
+             SELECT cluster,
+               CASE WHEN ROW_NUMBER() OVER (PARTITION BY cluster
+                 ORDER BY n_chars DESC, doc_id ASC) = 1
+                 THEN doc_id END AS canonical_id
+             FROM member)
+           GROUP BY 1)
+         SELECT m.doc_id, m.cluster, c.cluster_size, c.canonical_id,
+           m.doc_id = c.canonical_id AS kept
+         FROM member m JOIN canon c USING (cluster)"""
   )
 
   /** q14's window top-per-key SQL — shared verbatim by q89 (bounded

@@ -2117,4 +2117,107 @@ object Dedup {
           .as("n_dup"))
       .withColumn("dup_ppm", expr("n_dup * 1000000 DIV n_shingles"))
   }
+
+  /** The q350 driver entry: INCREMENTAL SPAN-CENSUS DEDUP — q341's
+    * daily-ingest form, the q46 persisted-artifact discipline applied
+    * to the span census: "yesterday" materializes the HISTORY span
+    * census (16-byte digest → doc count) as a parquet artifact;
+    * "today" shingles ONLY the new batch (doc_id % `newModulus` = 0,
+    * the q46 split) and joins it against the read-back artifact —
+    * history TEXT is never re-read, which is the entire economics of
+    * a daily pass over a 100 TB corpus (the census artifact is ~16
+    * bytes per distinct span; the corpus is not). Per new doc:
+    * spans already in history (`n_hist_dup`), spans new to history
+    * but duplicated WITHIN today's batch (`n_batch_dup` — the two
+    * deduplication axes a real ingest must separate, because only
+    * the first can be decided against yesterday's artifact), and the
+    * combined `dup_ppm`.
+    *
+    * The oracle recomputes both censuses from the raw corpus — hash
+    * equality proves the artifact round-trip loses nothing. The spec
+    * additionally plan-asserts the single documents scan on the
+    * today side.
+    *
+    * Scale shape: pair-free like q341 — digest exchanges only; the
+    * history census build is the once-per-day cost, the incremental
+    * side scans only the batch and joins two digest-keyed frames.
+    */
+  def dupSpanIncremental(
+      spark: SparkSession, sfDir: String, newModulus: Int = 5,
+      censusPath: Option[String] = None): DataFrame = {
+    val path = censusPath.getOrElse(Scratch.dir(spark, "q350_census", sfDir))
+    try {
+      val docs = Tables.load(spark, sfDir, "documents")
+      // 1. "yesterday": persist the history span census
+      shingles(docs.filter(col("doc_id") % newModulus =!= 0), 5)
+        .select(unhex(md5(col("shingle"))).as("dig"))
+        .groupBy(col("dig"))
+        .agg(count(lit(1)).cast("long").as("n_hist"))
+        .write.mode("overwrite").parquet(path)
+      // 2. "today": census read back; only the new batch is shingled
+      val census = spark.read.parquet(path)
+      val newSh = shingles(docs.filter(col("doc_id") % newModulus === 0), 5)
+        .select(col("doc_id"), unhex(md5(col("shingle"))).as("dig"))
+        .localCheckpoint(true) // feeds the batch census AND the verdict
+      val batchCensus = newSh.groupBy(col("dig"))
+        .agg(count(lit(1)).cast("long").as("n_batch"))
+      newSh.join(census, Seq("dig"), "left")
+        .join(batchCensus, "dig")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_shingles"),
+          sum(when(col("n_hist").isNotNull, 1L).otherwise(0L))
+            .cast("long").as("n_hist_dup"),
+          sum(when(col("n_hist").isNull && col("n_batch") >= 2L, 1L)
+            .otherwise(0L)).cast("long").as("n_batch_dup"))
+        .withColumn("dup_ppm",
+          expr("(n_hist_dup + n_batch_dup) * 1000000 DIV n_shingles"))
+        .localCheckpoint(true) // materialize before the artifact deletes
+    } finally if (censusPath.isEmpty)
+      Scratch.delete(spark, new java.io.File(path).getParent)
+  }
+
+  /** The q351 driver entry: CLUSTER CANONICALIZATION — the selection
+    * policy layer over q44's near-dup components: instead of q44's
+    * keep-min-id, keep the LONGEST member (max n_chars, ties to the
+    * smaller id) — the policy real pipelines prefer because the
+    * longest variant is the least-truncated crawl of the same page,
+    * and min-id is an accident of crawl order. Doc-grain output
+    * (cluster, size, canonical, kept flag) — the joinable artifact
+    * form (q297's lesson: a rebuild is a policy decision, a column
+    * is reusable).
+    *
+    * Components come from the production MinHash-LSH + exact-verify
+    * path; the oracle recomputes them from the exhaustive Jaccard
+    * truth (the q44/q297 recursive-CTE precedent), so equality rides
+    * the same pinned complete-banded-recall precondition. The
+    * canonical pick avoids struct-argmax in the oracle (q321's
+    * DuckDB lesson): a rank window over the bounded per-cluster
+    * membership takes rn = 1.
+    *
+    * Scale shape: q22's candidate path + CC on the (few) near-dup
+    * pairs + one cluster-keyed argmin aggregate + one cluster-keyed
+    * join-back; singletons never enter the CC loop (coalesce to
+    * their own id).
+    */
+  def canonicalizeClusters(
+      spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashLshPairsVerified(spark, sfDir, threshold = threshold)
+    val comps = connectedComponents(pairs)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    val member = docs
+      .join(comps.select(col("id").as("doc_id"), col("comp")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("comp"), col("doc_id")))
+      .drop("comp")
+    val canon = member.groupBy(col("cluster"))
+      .agg(count(lit(1)).cast("long").as("cluster_size"),
+        min(struct((-col("n_chars")).as("neg"), col("doc_id").as("id")))
+          .getField("id").cast("long").as("canonical_id"))
+    member.join(canon, "cluster")
+      .select(col("doc_id"), col("cluster"), col("cluster_size"),
+        col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("kept"))
+  }
 }

@@ -2117,4 +2117,66 @@ object Experiment {
       .select(col("event_type"), col("n_i"), col("r2_i"), col("n"),
         col("h_milli"), col("h_tie_milli"))
   }
+
+  /** The q349 driver entry: SELF-CONSISTENCY CURVE — the
+    * majority-vote convergence statistic of Wang 2022 ("Self-
+    * Consistency Improves Chain of Thought"): sample k answers, take
+    * the mode, and measure how fast the k-sample mode converges to
+    * the full-distribution mode as k grows. Users are prompts, their
+    * arrival-ordered events the samples, the answer the event type.
+    * Per k ∈ {1, 3, 5}: the mode of the FIRST k samples (ties broken
+    * by type ascending — a total order both engines share) against
+    * the user's full-log mode under the same tie rule; the curve is
+    * `agree_ppm` per k. Only users with ≥ 5 events vote (a shorter
+    * log makes the k=5 prefix equal the full log and inflates the
+    * tail point — the spec counts the exclusion).
+    *
+    * Exactness: modes are argmins of the integer pair (−count, type)
+    * — no probability estimates anywhere; one trailing ppm DIV per
+    * k arm. The mode extraction avoids struct-argmax (the q321
+    * DuckDB arg_max-over-STRUCT lesson): a bounded rank window over
+    * the (user, type) count grain takes rn = 1.
+    *
+    * Scale shape: ONE user-keyed arrival-rank window (no prune — the
+    * full-log mode needs every row anyway), one map-side-combined
+    * (user, type) conditional count feeding all k arms at once, mode
+    * windows on the bounded per-user type domain, and a final
+    * k-arm reduce on the user grain.
+    */
+  def selfConsistency(
+      spark: SparkSession, sfDir: String,
+      ks: Seq[Int] = Seq(1, 3, 5)): DataFrame = {
+    val kMax = ks.max
+    val wArr = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"))
+      .withColumn("srk", row_number().over(wArr).cast("long"))
+    val kCols = ks.map(k => sum(when(col("srk") <= k, 1L).otherwise(0L))
+      .cast("long").as(s"c_$k"))
+    val counts = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("c_all"), kCols: _*)
+      .withColumn("n_user",
+        sum(col("c_all")).over(Window.partitionBy(col("user_id")))
+          .cast("long"))
+      .where(col("n_user") >= kMax)
+    def mode(cCol: String, out: String) = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col(cCol).desc, col("event_type").asc)
+      counts.where(col(cCol) > 0L)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as(out))
+    }
+    val base = mode("c_all", "mode_all")
+    ks.map { k =>
+      base.join(mode(s"c_$k", s"mode_$k"), "user_id")
+        .agg(count(lit(1)).cast("long").as("n_users"),
+          sum(when(col(s"mode_$k") === col("mode_all"), 1L)
+            .otherwise(0L)).cast("long").as("n_agree"))
+        .select(lit(k.toLong).as("k"), col("n_users"), col("n_agree"),
+          expr("n_agree * 1000000 DIV n_users").as("agree_ppm"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -1066,5 +1066,75 @@ class DedupSpec extends AnyFunSuite {
     assert(got.length ==
       docs.count(d => norm(d._2).split(" ").length >= 5))
   }
+
+  test("q350 incremental span census: artifact path equals the full-corpus law on batch docs") {
+    val inc = Dedup.dupSpanIncremental(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    // exactly the batch residue class, and only >= 5-word docs
+    assert(inc.nonEmpty && inc.forall(_._1 % 5 == 0))
+    // cross-entry law: a batch doc's (history-dup + batch-dup) spans
+    // are EXACTLY its corpus-wide duplicated spans from q341 — a span
+    // seen in history has census >= 2, a batch-internal dup likewise,
+    // and per-doc-distinct shingling rules out any third source
+    val full = Dedup.dupSpanFraction(spark, SparkTestSession.sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    inc.foreach { case (id, nSh, nHist, nBatch, _) =>
+      val (fullSh, fullDup) = full(id)
+      assert(nSh == fullSh, s"doc $id shingle count drifted")
+      assert(nHist + nBatch == fullDup,
+        s"doc $id: incremental axes ${nHist}+${nBatch} != corpus $fullDup")
+    }
+    // the history axis genuinely fires (planted near-dups cross the
+    // residue split at this scale)
+    assert(inc.exists(_._3 > 0L), "no history duplication found")
+  }
+
+  test("q351 canonicalization: longest-member policy over a union-find replay") {
+    def norm(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val sets = docs.map { case (id, t, _) =>
+      id -> norm(t).split(" ").toSeq.sliding(5).filter(_.length == 5)
+        .map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty).toMap
+    val ids = sets.keys.toSeq.sorted
+    val parent = scala.collection.mutable.Map(
+      docs.map(d => d._1 -> d._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      inter = (sets(a) intersect sets(b)).size
+      if inter * 2 >= (sets(a).size + sets(b).size - inter)
+    } { parent(find(a)) = find(b) }
+    val nChars = docs.map(d => d._1 -> d._3).toMap
+    val byCluster = docs.map(_._1).groupBy(find)
+    val want = byCluster.toSeq.flatMap { case (_, members) =>
+      val canon = members.minBy(m => (-nChars(m), m))
+      val cl = members.min // cluster label = min member id (CC MIN law)
+      members.map(m => (m, cl, members.length.toLong, canon, m == canon))
+    }.sortBy(_._1)
+    val gotFixed = Dedup.canonicalizeClusters(spark, SparkTestSession.sf)
+      .select("doc_id", "cluster", "cluster_size", "canonical_id", "kept")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).sortBy(_._1)
+    assert(gotFixed.toSeq == want)
+    // policy laws: one keeper per cluster, the keeper is maximal
+    gotFixed.groupBy(_._2).values.foreach { g =>
+      assert(g.count(_._5) == 1)
+      val keeper = g.find(_._5).get
+      assert(g.forall(m => nChars(m._1) <= nChars(keeper._1)))
+    }
+    // the policy genuinely diverges from keep-min-id somewhere
+    assert(gotFixed.exists(t => t._5 && t._1 != t._2),
+      "canonical always equals the min-id representative - policy untested")
+  }
 }
 

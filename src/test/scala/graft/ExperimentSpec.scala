@@ -1288,6 +1288,30 @@ class ExperimentSpec extends AnyFunSuite {
       "fewer than 3 arms - KW degenerates to Mann-Whitney")
   }
 
+  test("q349 self-consistency equals a replay; eligibility and non-vacuity hold") {
+    val byUser = events.groupBy(_._1).toSeq.filter(_._2.length >= 5)
+    def mode(g: Seq[String]): String = g.groupBy(identity).toSeq
+      .map { case (t, xs) => (-xs.length.toLong, t) }.min._2
+    val want = Seq(1L, 3L, 5L).map { k =>
+      val pairs = byUser.map { case (_, g) =>
+        val ordered = g.sortBy(e => (e._2, e._3)).map(_._4).toSeq
+        (mode(ordered.take(k.toInt)), mode(ordered))
+      }
+      val agree = pairs.count(p => p._1 == p._2).toLong
+      (k, pairs.length.toLong, agree, agree * 1000000L / pairs.length)
+    }
+    val got = Experiment.selfConsistency(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == want)
+    // same eligible population at every k; the curve is non-vacuous
+    // in both directions (some disagreement at k=1, none invented at
+    // k=5 beyond what the prefix mode actually is)
+    assert(got.map(_._2).distinct.length == 1)
+    assert(got.head._3 < got.head._2,
+      "k=1 already agrees everywhere - the curve is flat/vacuous")
+  }
+
   test("q338/q342 arrival-rank prunes compile to WindowGroupLimit at the scan") {
     // the docstrings CLAIM the srk <= budget filter pushes below the
     // sort via InferWindowGroupLimit — pin it so a regression in the
