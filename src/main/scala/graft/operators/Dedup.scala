@@ -2106,11 +2106,16 @@ object Dedup {
     * pairwise verification is reserved for banded candidates.
     */
   def dupSpanFraction(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingles(Tables.load(spark, sfDir, "documents"), 5)
-      .select(col("doc_id"), unhex(md5(col("shingle"))).as("dig"))
-    val census = sh.groupBy(col("dig"))
+    // the single-pass 64-bit shingle hasher (no string building, no
+    // md5): the output carries only per-doc COUNTS, so any injective-
+    // on-the-corpus hash yields the identical table — the same
+    // no-collision caveat the q21 inverted index rides under its
+    // string-truth oracle. The dedup exchange carries (long, long).
+    val sh = shingleHashes(Tables.load(spark, sfDir, "documents"), 5)
+      .distinct()
+    val census = sh.groupBy(col("sh"))
       .agg(count(lit(1)).cast("long").as("n_docs"))
-    sh.join(census, "dig")
+    sh.join(census, "sh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_shingles"),
         sum(when(col("n_docs") >= 2L, 1L).otherwise(0L)).cast("long")
@@ -2148,21 +2153,22 @@ object Dedup {
     val path = censusPath.getOrElse(Scratch.dir(spark, "q350_census", sfDir))
     try {
       val docs = Tables.load(spark, sfDir, "documents")
+      // the q341 single-pass 64-bit hasher on both sides — the
+      // artifact stores (hash, count), ~16 B/span either way
+      def digested(side: DataFrame) = shingleHashes(side, 5).distinct()
       // 1. "yesterday": persist the history span census
-      shingles(docs.filter(col("doc_id") % newModulus =!= 0), 5)
-        .select(unhex(md5(col("shingle"))).as("dig"))
-        .groupBy(col("dig"))
+      digested(docs.filter(col("doc_id") % newModulus =!= 0))
+        .groupBy(col("sh"))
         .agg(count(lit(1)).cast("long").as("n_hist"))
         .write.mode("overwrite").parquet(path)
       // 2. "today": census read back; only the new batch is shingled
       val census = spark.read.parquet(path)
-      val newSh = shingles(docs.filter(col("doc_id") % newModulus === 0), 5)
-        .select(col("doc_id"), unhex(md5(col("shingle"))).as("dig"))
+      val newSh = digested(docs.filter(col("doc_id") % newModulus === 0))
         .localCheckpoint(true) // feeds the batch census AND the verdict
-      val batchCensus = newSh.groupBy(col("dig"))
+      val batchCensus = newSh.groupBy(col("sh"))
         .agg(count(lit(1)).cast("long").as("n_batch"))
-      newSh.join(census, Seq("dig"), "left")
-        .join(batchCensus, "dig")
+      newSh.join(census, Seq("sh"), "left")
+        .join(batchCensus, "sh")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).cast("long").as("n_shingles"),
           sum(when(col("n_hist").isNotNull, 1L).otherwise(0L))

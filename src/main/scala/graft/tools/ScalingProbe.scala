@@ -368,7 +368,16 @@ object ScalingProbe {
       "q347_token_transitions" -> (d =>
         graft.operators.TextAnalysis.tokenClassTransitions(spark, d)),
       "q348_shuffle_runs" -> (d =>
-        graft.operators.TrainingPrep.shuffleRunsTest(spark, d)))
+        graft.operators.TrainingPrep.shuffleRunsTest(spark, d)),
+      // q349 is user-keyed windows + bounded mode domains; q350 is
+      // the pair-free census with a persisted artifact; q351 is the
+      // q22 candidate path + CC on the (few) near-dup pairs
+      "q349_self_consistency" -> (d =>
+        graft.operators.Experiment.selfConsistency(spark, d)),
+      "q350_dup_span_incremental" -> (d =>
+        graft.operators.Dedup.dupSpanIncremental(spark, d)),
+      "q351_canonicalize_clusters" -> (d =>
+        graft.operators.Dedup.canonicalizeClusters(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))
