@@ -494,6 +494,12 @@ object SparkEntry {
       Dedup.dupSpanIncremental(s, d)),
     "q351_canonicalize_clusters" -> ((s: SparkSession, d: String) =>
       Dedup.canonicalizeClusters(s, d)),
+    "q352_instruction_scan" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.instructionScan(s, d)),
+    "q353_length_bias" -> ((s: SparkSession, d: String) =>
+      Preference.lengthBiasAudit(s, d)),
+    "q354_needle_manifest" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.needleManifest(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -9445,7 +9451,76 @@ object SparkEntry {
            GROUP BY 1)
          SELECT m.doc_id, m.cluster, c.cluster_size, c.canonical_id,
            m.doc_id = c.canonical_id AS kept
-         FROM member m JOIN canon c USING (cluster)"""
+         FROM member m JOIN canon c USING (cluster)""",
+    // q352: directive-lexicon density — literal alternations only, so
+    // Java and RE2 match identically (leftmost non-overlapping).
+    "q352_instruction_scan" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text),
+               '${TextAnalysis.directivePattern}')) AS BIGINT)
+               AS n_directives,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
+           FROM documents)
+         SELECT doc_id, n_directives, n_tokens,
+           CAST(n_directives * 1000000 // n_tokens AS BIGINT)
+             AS density_ppm,
+           n_directives * 1000000 // n_tokens > 5000 AS flagged
+         FROM t WHERE n_tokens >= 1""",
+    // q353: verbosity-bias audit over the q321 pair frame (same
+    // packed-key CTE), lengths joined per side, sign-test globals.
+    "q353_length_bias" ->
+      s"""WITH sc AS ($scoredDocsSql),
+         j AS (
+           SELECT sc.doc_id, sc.score, d.source, d.lang
+           FROM sc JOIN documents d ON d.doc_id = sc.doc_id),
+         pairs AS (
+           SELECT source, lang,
+             CAST(arg_max(doc_id, score * 10000000 + doc_id) AS BIGINT)
+               AS chosen_id,
+             CAST(arg_min(doc_id, score * 10000000 + doc_id) AS BIGINT)
+               AS rejected_id
+           FROM j GROUP BY 1, 2
+           HAVING COUNT(*) >= 2),
+         sized AS (
+           SELECT p.source, p.lang, p.chosen_id, p.rejected_id,
+             CAST(dc.n_chars AS BIGINT) AS chosen_len,
+             CAST(dr.n_chars AS BIGINT) AS rejected_len,
+             CAST(dc.n_chars - dr.n_chars AS BIGINT) AS len_gap,
+             dc.n_chars > dr.n_chars AS chosen_longer
+           FROM pairs p
+           JOIN documents dc ON dc.doc_id = p.chosen_id
+           JOIN documents dr ON dr.doc_id = p.rejected_id),
+         g AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN chosen_len = rejected_len
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_ties,
+             CAST(SUM(CASE WHEN chosen_longer THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_longer,
+             CAST(SUM(len_gap) AS BIGINT) AS gap_sum
+           FROM sized)
+         SELECT s.*, g.n_pairs, g.n_ties,
+           CASE WHEN g.n_pairs > g.n_ties
+             THEN CAST(g.n_longer * 1000000 // (g.n_pairs - g.n_ties)
+               AS BIGINT) END AS longer_ppm,
+           CAST(g.gap_sum * 1000 // g.n_pairs AS BIGINT)
+             AS mean_gap_milli
+         FROM sized s, g""",
+    // q354: needle placement over q312's offsets — the oracle's
+    // naive global window prefix sum IS the chunked device's contract.
+    "q354_needle_manifest" ->
+      """WITH offs AS (
+           SELECT doc_id, CAST(n_chars + 1 AS BIGINT) AS n_bytes,
+             CAST(COALESCE(SUM(n_chars + 1) OVER (ORDER BY doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_offset
+           FROM documents)
+         SELECT doc_id, n_bytes, start_offset,
+           CAST(d AS BIGINT) AS depth_pct,
+           CAST(n_bytes * d // 100 AS BIGINT) AS doc_pos,
+           CAST(start_offset + n_bytes * d // 100 AS BIGINT) AS insert_at
+         FROM offs, LATERAL (SELECT UNNEST([10, 50, 90]) AS d) t"""
   )
 
   /** q14's window top-per-key SQL — shared verbatim by q89 (bounded

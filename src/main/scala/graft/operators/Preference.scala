@@ -196,4 +196,51 @@ object Preference {
     types.indices.map(i => (types(i), wi(i), p(i).toLong))
       .toDF("event_type", "n_wins", "strength_micro")
   }
+
+  /** The q353 driver entry: LENGTH-BIAS AUDIT of the q321 preference
+    * pairs — the verbosity-bias check every RLHF/DPO data pass runs
+    * before training a reward model (longer answers win human and
+    * LLM judges far above their merit; a pair set where `chosen` is
+    * systematically longer teaches the model to pad). Per q321 pair:
+    * both members' character lengths, the signed gap, and the
+    * chosen-is-longer flag; globally (broadcast onto each row): the
+    * sign-test counts (`longer_ppm` over non-tied pairs — ≈ 500 000
+    * for an unbiased judge) and the exact mean gap in milli-chars
+    * (one signed trailing DIV, the q340 discipline).
+    *
+    * Scale shape: q321's bounded (source, lang) pair table joins the
+    * doc-length projection twice on doc_id (both sides
+    * broadcastable — the pair table is cell-bounded); the audit
+    * aggregate lives on the pair domain.
+    */
+  def lengthBiasAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val lens = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("len"))
+    val pairs = preferencePairs(spark, sfDir)
+      .select(col("source"), col("lang"), col("chosen_id"),
+        col("rejected_id"))
+    val sized = broadcast(pairs)
+      .join(lens.select(col("doc_id").as("chosen_id"),
+        col("len").as("chosen_len")), "chosen_id")
+      .join(lens.select(col("doc_id").as("rejected_id"),
+        col("len").as("rejected_len")), "rejected_id")
+      .select(col("source"), col("lang"), col("chosen_id"),
+        col("rejected_id"), col("chosen_len"), col("rejected_len"),
+        (col("chosen_len") - col("rejected_len")).cast("long")
+          .as("len_gap"),
+        (col("chosen_len") > col("rejected_len")).as("chosen_longer"))
+    val glob = sized.agg(
+      count(lit(1)).cast("long").as("n_pairs"),
+      sum(when(col("chosen_longer"), 1L).otherwise(0L)).cast("long")
+        .as("n_longer"),
+      sum(when(col("chosen_len") === col("rejected_len"), 1L)
+        .otherwise(0L)).cast("long").as("n_ties"),
+      sum(col("len_gap")).cast("long").as("gap_sum"))
+      .select(col("n_pairs"), col("n_ties"),
+        expr("""CASE WHEN n_pairs > n_ties
+            THEN n_longer * 1000000 DIV (n_pairs - n_ties) END""")
+          .as("longer_ppm"),
+        expr("gap_sum * 1000 DIV n_pairs").as("mean_gap_milli"))
+    sized.crossJoin(broadcast(glob))
+  }
 }

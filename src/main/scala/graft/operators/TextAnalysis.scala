@@ -2967,4 +2967,52 @@ object TextAnalysis {
             m -> m)) AS BIGINT)""").as("n_switches"))
       .withColumn("switch_ppm",
         expr("n_switches * 1000000 DIV (n_tokens - 1)"))
+
+  /** Directive-phrase lexicon for [[instructionScan]] — literal
+    * alternations only (no lookaround, no \b): the subset of regex
+    * both Java (Spark codegen) and RE2 (DuckDB) execute identically,
+    * matched leftmost-non-overlapping by both engines.
+    */
+  val directivePattern: String =
+    "ignore (all )?(previous|prior|above)|disregard (the|all|any)|" +
+      "you must (not|never|always)|do not (reveal|share|mention|tell)|" +
+      "system prompt|as an ai|pretend (to be|you are)|" +
+      "override (the|all|your)|jailbreak"
+
+  /** The q352 driver entry: INSTRUCTION-DENSITY SCAN — the
+    * prompt-injection / instruction-contamination gate a pretraining
+    * or RAG ingest runs beside q282's secret scan: web text that
+    * TALKS LIKE A SYSTEM PROMPT ("ignore previous instructions",
+    * "do not reveal…") poisons instruction-following behavior when
+    * it lands in training data, and poisons retrieval contexts when
+    * it lands in a RAG corpus (indirect prompt injection). Counts
+    * leftmost-non-overlapping matches of the fixed directive
+    * lexicon over lowercased text, exact per-token density in ppm,
+    * and the gate flag at `flagPpm`.
+    *
+    * Scale shape: q347's embarrassing-parallel posture — regexp
+    * count and token count are row-local; the only exchange is
+    * whatever the consumer does with the flag column.
+    */
+  def instructionScan(
+      spark: SparkSession, sfDir: String,
+      flagPpm: Long = 5000L): DataFrame =
+    instructionScanOn(Tables.load(spark, sfDir, "documents"), flagPpm)
+
+  /** The q352 core over any `(doc_id, text)` frame — split out so the
+    * spec can fire the detector on synthetic injected prose through
+    * the SAME plan (the fixture corpus is organically directive-free,
+    * which is itself the expected clean-corpus reading).
+    */
+  def instructionScanOn(
+      docs: DataFrame, flagPpm: Long = 5000L): DataFrame =
+    docs
+      .select(col("doc_id"),
+        regexp_count(lower(col("text")), lit(directivePattern))
+          .cast("long").as("n_directives"),
+        bpeTokenCount(col("text")).as("n_tokens"))
+      .where(col("n_tokens") >= 1L)
+      .withColumn("density_ppm",
+        expr("n_directives * 1000000 DIV n_tokens"))
+      .withColumn("flagged", col("density_ppm") > flagPpm)
 }

@@ -2211,4 +2211,33 @@ object TrainingPrep {
         expr("""(r_obs * n - (n * (n + 1) - sum_sq)) * 1000000
             DIV (n * (n + 1) - sum_sq)""").as("excess_ppm"))
   }
+
+  /** The q354 driver entry: NEEDLE-PLACEMENT EVAL MANIFEST — the
+    * byte-exact insertion plan behind a needle-in-a-haystack
+    * long-context eval (Kamradt's NIAH grid, the Gemini/Claude
+    * long-context ablations): for each document and each depth
+    * fraction d ∈ {10, 50, 90}%, the GLOBAL byte offset in q312's
+    * single-stream export where the needle is spliced — global,
+    * because the eval harness seeks into the flat export, not into
+    * per-doc files. In-doc position = (n_bytes·d) DIV 100 (exact
+    * floor, 0 ≤ pos ≤ n_bytes), global = start_offset + pos. The
+    * manifest composes q312's chunked global prefix sum — the same
+    * scale device, consumed rather than re-derived.
+    *
+    * Scale shape: q312's one scan + bounded bucket-domain triangular
+    * join + bucket-partitioned window, then a 3-way row-local
+    * explode; everything after the prefix sum is arithmetic.
+    */
+  def needleManifest(
+      spark: SparkSession, sfDir: String,
+      depths: Seq[Int] = Seq(10, 50, 90)): DataFrame = {
+    require(depths.forall(d => d >= 0 && d <= 100), "depth is a percent")
+    exportOffsets(spark, sfDir)
+      .select(col("doc_id"), col("n_bytes"), col("start_offset"),
+        explode(lit(depths.map(_.toLong).toArray)).as("depth_pct"))
+      .withColumn("doc_pos",
+        expr("n_bytes * depth_pct DIV 100"))
+      .withColumn("insert_at",
+        (col("start_offset") + col("doc_pos")).cast("long"))
+  }
 }

@@ -377,7 +377,16 @@ object ScalingProbe {
       "q350_dup_span_incremental" -> (d =>
         graft.operators.Dedup.dupSpanIncremental(spark, d)),
       "q351_canonicalize_clusters" -> (d =>
-        graft.operators.Dedup.canonicalizeClusters(spark, d)))
+        graft.operators.Dedup.canonicalizeClusters(spark, d)),
+      // q352 is row-local regexp counting; q353 rides q321's bounded
+      // pair table; q354 is q312's chunked prefix sum + a 3-way
+      // row-local explode
+      "q352_instruction_scan" -> (d =>
+        graft.operators.TextAnalysis.instructionScan(spark, d)),
+      "q353_length_bias" -> (d =>
+        graft.operators.Preference.lengthBiasAudit(spark, d)),
+      "q354_needle_manifest" -> (d =>
+        graft.operators.TrainingPrep.needleManifest(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))

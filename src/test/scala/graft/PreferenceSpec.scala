@@ -128,4 +128,37 @@ class PreferenceSpec extends AnyFunSuite {
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("packed-key")), s"unexpected: $e")
   }
+
+  test("q353 length-bias audit: per-pair lengths replay; sign-test globals are exact") {
+    val lens = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Preference.preferencePairs(spark, sf).collect()
+      .map(r => (r.getLong(3), r.getLong(4))) // chosen_id, rejected_id
+    val gaps = pairs.map { case (c, rj) => lens(c) - lens(rj) }
+    val nTies = gaps.count(_ == 0L).toLong
+    val nLonger = gaps.count(_ > 0L).toLong
+    val wantPpm = nLonger * 1000000L / (pairs.length - nTies)
+    val wantGap = gaps.sum * 1000L / pairs.length
+    val got = Preference.lengthBiasAudit(spark, sf)
+      .select("chosen_id", "rejected_id", "chosen_len", "rejected_len",
+        "len_gap", "chosen_longer", "n_pairs", "n_ties", "longer_ppm",
+        "mean_gap_milli")
+      .collect()
+    assert(got.length == pairs.length)
+    got.foreach { r =>
+      assert(r.getLong(2) == lens(r.getLong(0)))
+      assert(r.getLong(3) == lens(r.getLong(1)))
+      assert(r.getLong(4) == r.getLong(2) - r.getLong(3))
+      assert(r.getBoolean(5) == (r.getLong(4) > 0L))
+      assert(r.getLong(6) == pairs.length.toLong)
+      assert(r.getLong(7) == nTies)
+      assert(r.getLong(8) == wantPpm)
+      assert(r.getLong(9) == wantGap)
+    }
+    // the audit is non-vacuous: the fixture's judge shows a real
+    // direction (not exactly 50/50), and both directions occur
+    assert(wantPpm != 500000L)
+    assert(gaps.exists(_ > 0L) && gaps.exists(_ < 0L))
+  }
 }

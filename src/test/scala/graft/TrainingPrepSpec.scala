@@ -1441,6 +1441,33 @@ class TrainingPrepSpec extends AnyFunSuite {
       s"hash shuffle reads ${got.head._7} ppm off expectation")
   }
 
+  test("q354 needle manifest: offsets equal a running-sum replay; depths cover and order") {
+    val spark = SparkTestSession.spark
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var off = 0L
+    val want = docs.flatMap { case (id, nc) =>
+      val nb = nc + 1
+      val rows = Seq(10L, 50L, 90L).map { d =>
+        (id, nb, off, d, nb * d / 100, off + nb * d / 100) }
+      off += nb
+      rows
+    }.sortBy(t => (t._1, t._4))
+    val got = TrainingPrep.needleManifest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(t => (t._1, t._4))
+    assert(got.toSeq == want.toSeq)
+    // every insertion point lands inside its own doc's byte span, and
+    // deeper fractions never move backwards
+    got.groupBy(_._1).values.foreach { g =>
+      val byD = g.sortBy(_._4)
+      assert(byD.forall(t => t._5 >= 0 && t._5 <= t._2))
+      assert(byD.map(_._6).toSeq == byD.map(_._6).sorted.toSeq)
+    }
+  }
+
   test("q336 epoch waterfill: allocation equals an independent replay; max-min laws hold") {
     val spark = SparkTestSession.spark
     val cells = spark.read
