@@ -213,10 +213,11 @@ object Preference {
     * broadcastable — the pair table is cell-bounded); the audit
     * aggregate lives on the pair domain.
     */
-  def lengthBiasAudit(spark: SparkSession, sfDir: String): DataFrame = {
+  def lengthBiasAudit(spark: SparkSession, sfDir: String,
+      idBound: Long = 10000000L): DataFrame = {
     val lens = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("n_chars").cast("long").as("len"))
-    val pairs = preferencePairs(spark, sfDir)
+    val pairs = preferencePairs(spark, sfDir, idBound = idBound)
       .select(col("source"), col("lang"), col("chosen_id"),
         col("rejected_id"))
     val sized = broadcast(pairs)

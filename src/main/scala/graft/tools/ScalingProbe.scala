@@ -383,8 +383,11 @@ object ScalingProbe {
       // row-local explode
       "q352_instruction_scan" -> (d =>
         graft.operators.TextAnalysis.instructionScan(spark, d)),
+      // the probe's K-copy ids exceed the default packed-key bound
+      // (by design — the q321 guard raises); widen it here only
       "q353_length_bias" -> (d =>
-        graft.operators.Preference.lengthBiasAudit(spark, d)),
+        graft.operators.Preference.lengthBiasAudit(spark, d,
+          idBound = 1000000000L)),
       "q354_needle_manifest" -> (d =>
         graft.operators.TrainingPrep.needleManifest(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
