@@ -500,6 +500,10 @@ object SparkEntry {
       Preference.lengthBiasAudit(s, d)),
     "q354_needle_manifest" -> ((s: SparkSession, d: String) =>
       TrainingPrep.needleManifest(s, d)),
+    "q355_t_closeness" -> ((s: SparkSession, d: String) =>
+      CleanPipeline.tClosenessAudit(s, d)),
+    "q356_headset_drift" -> ((s: SparkSession, d: String) =>
+      Experiment.headSetDrift(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -9520,7 +9524,87 @@ object SparkEntry {
            CAST(d AS BIGINT) AS depth_pct,
            CAST(n_bytes * d // 100 AS BIGINT) AS doc_pos,
            CAST(start_offset + n_bytes * d // 100 AS BIGINT) AS insert_at
-         FROM offs, LATERAL (SELECT UNNEST([10, 50, 90]) AS d) t"""
+         FROM offs, LATERAL (SELECT UNNEST([10, 50, 90]) AS d) t""",
+    // q355: t-closeness — ordered-domain EMD in cross-multiplied
+    // integers over a DENSE cell x lang grid; the abs-sum rides
+    // HUGEINT, one trailing DIV by n_cell*n*(V-1).
+    "q355_t_closeness" ->
+      """WITH d AS (
+           SELECT source, LEAST(n_chars // 64, 9) AS len_bucket, lang
+           FROM documents),
+         vl AS (
+           SELECT source, len_bucket, lang, CAST(COUNT(*) AS BIGINT) AS c
+           FROM d GROUP BY 1, 2, 3),
+         cells AS (
+           SELECT source, len_bucket, CAST(SUM(c) AS BIGINT) AS n_cell
+           FROM vl GROUP BY 1, 2),
+         gl AS (
+           SELECT lang,
+             CAST(SUM(g) OVER (ORDER BY lang ASC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(SUM(g) OVER () AS BIGINT) AS n,
+             CAST(COUNT(*) OVER () AS BIGINT) AS v
+           FROM (SELECT lang, SUM(c) AS g FROM vl GROUP BY 1)),
+         grid AS (
+           SELECT c.source, c.len_bucket, c.n_cell, g.cum, g.n, g.v,
+             CAST(SUM(COALESCE(vl.c, 0)) OVER (
+               PARTITION BY c.source, c.len_bucket
+               ORDER BY g.lang ASC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_cell
+           FROM cells c CROSS JOIN gl g
+           LEFT JOIN vl ON vl.source = c.source
+             AND vl.len_bucket = c.len_bucket AND vl.lang = g.lang)
+         SELECT source, CAST(len_bucket AS BIGINT) AS len_bucket,
+           CAST(MAX(n_cell) AS BIGINT) AS n_cell,
+           CAST(SUM(abs(cum_cell * n - cum * n_cell)) * 1000000
+             // (MAX(n_cell) * MAX(n) * (MAX(v) - 1)) AS BIGINT)
+             AS t_ppm,
+           CAST(SUM(abs(cum_cell * n - cum * n_cell)) * 1000000
+             // (MAX(n_cell) * MAX(n) * (MAX(v) - 1)) AS BIGINT)
+             <= 200000 AS t_ok
+         FROM grid GROUP BY 1, 2""",
+    // q356: head-set drift — each half's rank <= k sits on its own
+    // window (WindowGroupLimit-shaped); absent side reads k+1;
+    // footrule = sum of displacements.
+    "q356_headset_drift" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS tm FROM events),
+         b AS (SELECT MIN(tm) AS tmin, MAX(tm) AS tmax FROM ev),
+         counts AS (
+           SELECT user_id,
+             CAST(SUM(CASE WHEN tm * 2 <= tmin + tmax THEN 1 ELSE 0 END)
+               AS BIGINT) AS ce,
+             CAST(SUM(CASE WHEN tm * 2 > tmin + tmax THEN 1 ELSE 0 END)
+               AS BIGINT) AS cl
+           FROM ev CROSS JOIN b GROUP BY 1),
+         te AS (
+           SELECT user_id, rk AS rank_early FROM (
+             SELECT user_id, CAST(ROW_NUMBER() OVER (
+               ORDER BY ce DESC, user_id ASC) AS BIGINT) AS rk
+             FROM counts) WHERE rk <= 10),
+         tl AS (
+           SELECT user_id, rk AS rank_late FROM (
+             SELECT user_id, CAST(ROW_NUMBER() OVER (
+               ORDER BY cl DESC, user_id ASC) AS BIGINT) AS rk
+             FROM counts) WHERE rk <= 10),
+         j AS (
+           SELECT COALESCE(te.user_id, tl.user_id) AS user_id,
+             COALESCE(rank_early, 11) AS rank_early,
+             COALESCE(rank_late, 11) AS rank_late,
+             CAST(abs(COALESCE(rank_early, 11) - COALESCE(rank_late, 11))
+               AS BIGINT) AS displacement
+           FROM te FULL OUTER JOIN tl ON te.user_id = tl.user_id),
+         g AS (
+           SELECT CAST(SUM(CASE WHEN rank_early <= 10 AND rank_late <= 10
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+             CAST(SUM(displacement) AS BIGINT) AS footrule
+           FROM j)
+         SELECT j.user_id, CAST(j.rank_early AS BIGINT) AS rank_early,
+           CAST(j.rank_late AS BIGINT) AS rank_late, j.displacement,
+           g.n_both, g.footrule,
+           CAST(g.n_both * 1000000 // (20 - g.n_both) AS BIGINT)
+             AS jaccard_ppm
+         FROM j, g"""
   )
 
   /** q14's window top-per-key SQL — shared verbatim by q89 (bounded

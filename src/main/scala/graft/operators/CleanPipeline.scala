@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -357,5 +358,68 @@ object CleanPipeline {
         md5(regexp_replace(regexp_replace(col("t"),
           emailPat, "<EMAIL>"), phonePat, "<PHONE>")).as("masked_digest"))
       .withColumn("clean", col("n_emails") + col("n_phones") === 0L)
+  }
+
+  /** The q355 driver entry: T-CLOSENESS AUDIT — the third leg of the
+    * release-readiness trilogy (q201 k-anonymity + l-diversity,
+    * q241 DP release): l-diversity only counts DISTINCT sensitive
+    * values per quasi-identifier cell, so a cell that is 99% one
+    * language still passes l=2 while leaking the attribute —
+    * t-closeness (Li 2007) instead bounds the DISTANCE between the
+    * cell's sensitive distribution and the global one. On the
+    * ordered sensitive domain the Earth-Mover's Distance has the
+    * exact prefix form EMD = Σᵥ |F_cell(v) − F(v)| / (V−1), computed
+    * here with NO division until the end: the per-value term is the
+    * integer |cum_cell·n − cum·n_cell| (cross-multiplied CDFs), the
+    * sum rides DECIMAL(38)/HUGEINT, and one trailing DIV lands
+    * `t_ppm` = Σ·10⁶ DIV (n_cell·n·(V−1)). QI cells are q201's
+    * (source, len_bucket); sensitive = lang ordered ascending (langs
+    * have no canonical order — the ordering is part of the audit's
+    * declared convention, same both engines).
+    *
+    * Scale shape: ONE fact-scale (cell, lang) count; the CDFs,
+    * cross-multiplications, and the verdict all live on the bounded
+    * cells × langs domain (the DENSE cell×lang grid is built by a
+    * bounded cross join so absent languages still contribute their
+    * |0 − cum·n_cell| mass — forgetting them understates EMD).
+    */
+  def tClosenessAudit(
+      spark: SparkSession, sfDir: String,
+      flagPpm: Long = 200000L): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("source"),
+        least(floor(col("n_chars") / lit(64)).cast("long"), lit(9L))
+          .as("len_bucket"),
+        col("lang"))
+    val vl = docs.groupBy(col("source"), col("len_bucket"), col("lang"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint(true) // feeds cells, globals, and the grid
+    val cells = vl.groupBy(col("source"), col("len_bucket"))
+      .agg(sum(col("c")).cast("long").as("n_cell"))
+    val wLang = Window.orderBy(col("lang").asc)
+      .rowsBetween(Window.unboundedPreceding, 0L)
+    val glob = vl.groupBy(col("lang"))
+      .agg(sum(col("c")).cast("long").as("g"))
+      .withColumn("cum", sum(col("g")).over(wLang).cast("long"))
+      .withColumn("n", sum(col("g")).over(
+        Window.partitionBy(lit(1))).cast("long"))
+      .withColumn("v", count(lit(1)).over(
+        Window.partitionBy(lit(1))).cast("long"))
+      .select(col("lang"), col("cum"), col("n"), col("v"))
+    // dense grid: every cell x every global language
+    val wCellLang = Window.partitionBy(col("source"), col("len_bucket"))
+      .orderBy(col("lang").asc)
+      .rowsBetween(Window.unboundedPreceding, 0L)
+    val grid = cells.crossJoin(broadcast(glob))
+      .join(vl, Seq("source", "len_bucket", "lang"), "left")
+      .withColumn("cum_cell",
+        sum(coalesce(col("c"), lit(0L))).over(wCellLang).cast("long"))
+    grid.groupBy(col("source"), col("len_bucket"))
+      .agg(max(col("n_cell")).as("n_cell"),
+        expr("""CAST(SUM(CAST(abs(cum_cell * n - cum * n_cell)
+            AS DECIMAL(38, 0))) * 1000000
+            DIV (MAX(n_cell) * MAX(n) * (MAX(v) - 1)) AS BIGINT)""")
+          .as("t_ppm"))
+      .withColumn("t_ok", col("t_ppm") <= flagPpm)
   }
 }

@@ -2179,4 +2179,57 @@ object Experiment {
           expr("n_agree * 1000000 DIV n_users").as("agree_ppm"))
     }.reduce(_ unionByName _)
   }
+
+  /** The q356 driver entry: HEAD-SET DRIFT — the "did the head of the
+    * distribution change?" monitor complementing q331's
+    * whole-distribution TVD: dashboards, caches, and negative-
+    * sampling tables key on the TOP-k entities, so the operational
+    * question is whether the top-k SET and its ORDER moved between
+    * the stream's early and late halves (q331's exact midpoint
+    * split). Per entity in either half's top-k (by count desc,
+    * user_id asc — a total order): both ranks (absent side reads
+    * k+1, the standard truncated-list convention), the absolute
+    * displacement, and globally the set-overlap Jaccard in ppm and
+    * the Spearman-footrule sum Σ|r₁ − r₂| — the exact-integer rank
+    * distance (Diaconis–Graham), zero iff the head is stable.
+    *
+    * Scale shape: ONE map-side-combined per-entity conditional count
+    * (both halves in one pass), then each half's rank ≤ k filter
+    * sits directly on its own rank window, so WindowGroupLimit
+    * prunes the sort to k rows (the q250 device — asserted for the
+    * q338/q342 siblings); the full-outer join and globals live on
+    * ≤ 2k rows.
+    */
+  def headSetDrift(
+      spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tm"))
+    val bounds = ev.agg(min(col("tm")).as("tmin"), max(col("tm")).as("tmax"))
+    val counts = ev.crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        (col("tm") * 2 <= col("tmin") + col("tmax")).as("early"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("early"), 1L).otherwise(0L)).cast("long").as("ce"),
+        sum(when(!col("early"), 1L).otherwise(0L)).cast("long").as("cl"))
+      .localCheckpoint(true) // read by both top-k sides
+    def topK(c: String, rk: String) = counts
+      .withColumn(rk, row_number().over(
+        Window.orderBy(col(c).desc, col("user_id").asc)).cast("long"))
+      .where(col(rk) <= k)
+      .select(col("user_id"), col(rk))
+    val joined = topK("ce", "rank_early")
+      .join(topK("cl", "rank_late"), Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("rank_early"), lit(k + 1L)).as("rank_early"),
+        coalesce(col("rank_late"), lit(k + 1L)).as("rank_late"))
+      .withColumn("displacement",
+        abs(col("rank_early") - col("rank_late")).cast("long"))
+    val glob = joined.agg(
+      sum(when(col("rank_early") <= k && col("rank_late") <= k, 1L)
+        .otherwise(0L)).cast("long").as("n_both"),
+      sum(col("displacement")).cast("long").as("footrule"))
+      .withColumn("jaccard_ppm",
+        expr(s"n_both * 1000000 DIV (${2 * k} - n_both)"))
+    joined.crossJoin(broadcast(glob))
+  }
 }

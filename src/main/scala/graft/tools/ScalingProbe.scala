@@ -389,7 +389,13 @@ object ScalingProbe {
         graft.operators.Preference.lengthBiasAudit(spark, d,
           idBound = 1000000000L)),
       "q354_needle_manifest" -> (d =>
-        graft.operators.TrainingPrep.needleManifest(spark, d)))
+        graft.operators.TrainingPrep.needleManifest(spark, d)),
+      // q355 collapses to the bounded cell x lang grid in one count;
+      // q356 to the user grain with WindowGroupLimit top-k prunes
+      "q355_t_closeness" -> (d =>
+        graft.operators.CleanPipeline.tClosenessAudit(spark, d)),
+      "q356_headset_drift" -> (d =>
+        graft.operators.Experiment.headSetDrift(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))

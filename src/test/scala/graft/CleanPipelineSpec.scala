@@ -273,4 +273,39 @@ class CleanPipelineSpec extends AnyFunSuite {
       .distinct().count()
     assert(nKeys == nPseud)
   }
+
+  test("q355 t-closeness equals a BigInt EMD replay; bounds and non-vacuity hold") {
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select("source", "n_chars", "lang").collect()
+      .map(r => (r.getString(0), math.min(r.getLong(1) / 64, 9L),
+        r.getString(2)))
+    val langs = docs.map(_._3).distinct.sorted
+    val n = docs.length.toLong
+    val v = langs.length.toLong
+    val globCum = langs.map { l =>
+      l -> docs.count(d => d._3 <= l).toLong }.toMap
+    val want = docs.groupBy(d => (d._1, d._2)).map { case ((s, b), g) =>
+      val nCell = g.length.toLong
+      val emd = langs.map { l =>
+        val cumCell = g.count(_._3 <= l).toLong
+        (BigInt(cumCell) * n - BigInt(globCum(l)) * nCell).abs
+      }.sum
+      ((s, b), (nCell, (emd * 1000000 / (BigInt(nCell) * n * (v - 1)))
+        .toLong))
+    }
+    val got = CleanPipeline.tClosenessAudit(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))))
+    assert(got.length == want.size)
+    got.foreach { case (key, (nCell, tPpm, tOk)) =>
+      val (wN, wT) = want(key)
+      assert(nCell == wN && tPpm == wT, s"cell $key")
+      assert(tOk == (tPpm <= 200000L))
+      assert(tPpm >= 0L && tPpm <= 1000000L)
+    }
+    // small cells genuinely diverge from the global mix
+    assert(got.exists(_._2._2 > 0L), "every cell matches globally - vacuous")
+  }
 }

@@ -1312,6 +1312,36 @@ class ExperimentSpec extends AnyFunSuite {
       "k=1 already agrees everywhere - the curve is flat/vacuous")
   }
 
+  test("q356 head-set drift equals a replay; footrule and jaccard laws hold") {
+    val tms = events.map(_._2)
+    val mid = tms.min + tms.max
+    val counts = events.groupBy(_._1).map { case (u, g) =>
+      (u, g.count(_._2 * 2 <= mid).toLong,
+        g.count(_._2 * 2 > mid).toLong) }.toSeq
+    def topK(sel: ((Long, Long, Long)) => Long): Map[Long, Long] =
+      counts.sortBy(t => (-sel(t), t._1)).take(10).zipWithIndex
+        .map { case (t, i) => t._1 -> (i + 1L) }.toMap
+    val te = topK(_._2); val tl = topK(_._3)
+    val want = (te.keySet ++ tl.keySet).toSeq.sorted.map { u =>
+      val re = te.getOrElse(u, 11L); val rl = tl.getOrElse(u, 11L)
+      (u, re, rl, math.abs(re - rl))
+    }
+    val nBoth = (te.keySet intersect tl.keySet).size.toLong
+    val footrule = want.map(_._4).sum
+    val got = Experiment.headSetDrift(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq == want)
+    got.foreach { t =>
+      assert(t._5 == nBoth && t._6 == footrule)
+      assert(t._7 == nBoth * 1000000L / (20L - nBoth))
+      assert(t._4 <= 10L, "displacement cannot exceed k")
+    }
+    // the fixture's head genuinely moves between halves (some churn),
+    // yet the halves share at least one heavy user (some stability)
+    assert(footrule > 0L && nBoth >= 1L)
+  }
+
   test("q338/q342 arrival-rank prunes compile to WindowGroupLimit at the scan") {
     // the docstrings CLAIM the srk <= budget filter pushes below the
     // sort via InferWindowGroupLimit — pin it so a regression in the
