@@ -504,6 +504,12 @@ object SparkEntry {
       CleanPipeline.tClosenessAudit(s, d)),
     "q356_headset_drift" -> ((s: SparkSession, d: String) =>
       Experiment.headSetDrift(s, d)),
+    "q357_boilerplate_grams" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.boilerplateHeadGrams(s, d)),
+    "q358_truncation_loss" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.truncationLoss(s, d)),
+    "q359_effective_waterfill" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.effectiveWaterfill(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -9604,7 +9610,157 @@ object SparkEntry {
            g.n_both, g.footrule,
            CAST(g.n_both * 1000000 // (20 - g.n_both) AS BIGINT)
              AS jaccard_ppm
-         FROM j, g"""
+         FROM j, g""",
+    // q357: shared-boilerplate head-grams — per-source top-10 5-gram
+    // digests (count desc, digest asc), kept iff in >= 2 heads;
+    // heaviest carrier by (count desc, source asc) rank.
+    "q357_boilerplate_grams" ->
+      s"""WITH words AS (
+           SELECT source, string_split($normText, ' ') AS w
+           FROM documents),
+         grams AS (
+           SELECT source,
+             substr(md5(array_to_string(w[i:i+4], ' ')), 1, 16) AS g
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t
+           WHERE len(w) >= 5),
+         counts AS (
+           SELECT source, g, CAST(COUNT(*) AS BIGINT) AS c
+           FROM grams GROUP BY 1, 2),
+         heads AS (
+           SELECT source, g, c FROM (
+             SELECT source, g, c, ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY c DESC, g ASC) AS rk
+             FROM counts) WHERE rk <= 10),
+         ranked AS (
+           SELECT heads.*, ROW_NUMBER() OVER (PARTITION BY g
+             ORDER BY c DESC, source ASC) AS rn
+           FROM heads)
+         SELECT g, CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(SUM(c) AS BIGINT) AS n_total,
+           MIN(CASE WHEN rn = 1 THEN source END) AS top_source
+         FROM ranked GROUP BY 1 HAVING COUNT(*) >= 2""",
+    // q358: truncation-loss curve at L in {128, 512, 2048} over the
+    // BPE-ish token count; one aggregate, three unioned arms.
+    "q358_truncation_loss" ->
+      """WITH t AS (
+           SELECT source, CAST(len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS ntok
+           FROM documents),
+         base AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(ntok) AS BIGINT) AS tokens_total,
+             CAST(SUM(CASE WHEN ntok > 128 THEN 1 ELSE 0 END) AS BIGINT)
+               AS over_128,
+             CAST(SUM(CASE WHEN ntok > 128 THEN ntok - 128 ELSE 0 END)
+               AS BIGINT) AS lost_128,
+             CAST(SUM(CASE WHEN ntok > 512 THEN 1 ELSE 0 END) AS BIGINT)
+               AS over_512,
+             CAST(SUM(CASE WHEN ntok > 512 THEN ntok - 512 ELSE 0 END)
+               AS BIGINT) AS lost_512,
+             CAST(SUM(CASE WHEN ntok > 2048 THEN 1 ELSE 0 END) AS BIGINT)
+               AS over_2048,
+             CAST(SUM(CASE WHEN ntok > 2048 THEN ntok - 2048 ELSE 0 END)
+               AS BIGINT) AS lost_2048
+           FROM t GROUP BY 1)
+         SELECT source, CAST(128 AS BIGINT) AS ctx_len, n_docs,
+           tokens_total, over_128 AS docs_truncated, lost_128 AS
+           tokens_lost,
+           CAST(lost_128 * 1000000 // tokens_total AS BIGINT) AS lost_ppm
+         FROM base
+         UNION ALL
+         SELECT source, CAST(512 AS BIGINT), n_docs, tokens_total,
+           over_512, lost_512,
+           CAST(lost_512 * 1000000 // tokens_total AS BIGINT)
+         FROM base
+         UNION ALL
+         SELECT source, CAST(2048 AS BIGINT), n_docs, tokens_total,
+           over_2048, lost_2048,
+           CAST(lost_2048 * 1000000 // tokens_total AS BIGINT)
+         FROM base""",
+    // q359: the q336 water-fill over q297's soft-dedup-effective
+    // token supply (per-doc ntok*w DIV 1e6, per-term truncation);
+    // same saturated-prefix law, raw_tokens joined for the haircut.
+    "q359_effective_waterfill" ->
+      s"""WITH RECURSIVE words AS (
+           SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t
+           WHERE len(w) >= 5),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         prs AS (
+           SELECT id_a, id_b FROM common
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(n_common AS DOUBLE) /
+             CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM prs
+           UNION SELECT id_b, id_a FROM prs),
+         reach(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id),
+         comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY 1),
+         keyed AS (
+           SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp
+           FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         sz AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size
+           FROM keyed GROUP BY 1),
+         wts AS (
+           SELECT k.doc_id, CAST(1000000 // sz.cluster_size AS BIGINT) AS w
+           FROM keyed k JOIN sz USING (comp)),
+         toks AS (
+           SELECT doc_id, source, lang,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS ntok
+           FROM documents),
+         cells AS (
+           SELECT source, lang, CAST(SUM(ntok) AS BIGINT) AS raw_tokens,
+             CAST(SUM(ntok * w // 1000000) AS BIGINT) AS avail_tokens
+           FROM toks JOIN wts USING (doc_id) GROUP BY 1, 2
+           HAVING SUM(ntok * w // 1000000) >= 1),
+         caps AS (
+           SELECT source, lang, raw_tokens, avail_tokens,
+             CAST(4 * avail_tokens AS BIGINT) AS cap_tokens FROM cells),
+         tot AS (
+           SELECT CAST(2 * SUM(avail_tokens) AS BIGINT) AS b,
+                  CAST(COUNT(*) AS BIGINT) AS m FROM cells),
+         ranked AS (
+           SELECT c.*, t.b, t.m,
+             CAST(ROW_NUMBER() OVER (ORDER BY cap_tokens ASC,
+               source ASC, lang ASC) AS BIGINT) AS rk,
+             CAST(SUM(cap_tokens) OVER (ORDER BY cap_tokens ASC,
+               source ASC, lang ASC) AS BIGINT) AS pref
+           FROM caps c, tot t),
+         lvl AS (
+           SELECT
+             COALESCE(CAST(SUM(CASE WHEN pref - cap_tokens
+               + cap_tokens * (m - rk + 1) <= b THEN 1 ELSE 0 END)
+               AS BIGINT), 0) AS k,
+             COALESCE(CAST(SUM(CASE WHEN pref - cap_tokens
+               + cap_tokens * (m - rk + 1) <= b THEN cap_tokens
+               ELSE 0 END) AS BIGINT), 0) AS prefk,
+             MAX(b) AS b2, MAX(m) AS m2
+           FROM ranked)
+         SELECT r.source, r.lang, r.avail_tokens, r.cap_tokens,
+           CAST(CASE WHEN r.rk <= l.k THEN r.cap_tokens
+             ELSE (l.b2 - l.prefk) // (l.m2 - l.k)
+               + CASE WHEN r.rk - l.k <= (l.b2 - l.prefk) % (l.m2 - l.k)
+                 THEN 1 ELSE 0 END END AS BIGINT) AS alloc_tokens,
+           r.rk <= l.k AS saturated,
+           CAST(CASE WHEN r.rk <= l.k THEN r.cap_tokens
+             ELSE (l.b2 - l.prefk) // (l.m2 - l.k)
+               + CASE WHEN r.rk - l.k <= (l.b2 - l.prefk) % (l.m2 - l.k)
+                 THEN 1 ELSE 0 END END * 1000000 // r.avail_tokens
+             AS BIGINT) AS epochs_ppm,
+           r.raw_tokens
+         FROM ranked r, lvl l"""
   )
 
   /** q14's window top-per-key SQL — shared verbatim by q89 (bounded

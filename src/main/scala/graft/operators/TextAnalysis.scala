@@ -2999,6 +2999,58 @@ object TextAnalysis {
       flagPpm: Long = 5000L): DataFrame =
     instructionScanOn(Tables.load(spark, sfDir, "documents"), flagPpm)
 
+  /** The q357 driver entry: SHARED-BOILERPLATE HEAD-GRAMS — the
+    * C4-style boilerplate detector at the SOURCE grain: each feed's
+    * most frequent 5-grams are its candidate boilerplate (nav bars,
+    * cookie banners, license footers), and a gram sitting in the
+    * top-k of TWO OR MORE sources is template text that survives
+    * per-source dedup and should be line-filtered corpus-wide. Per
+    * qualifying gram: the digest, how many sources carry it in
+    * their head (`n_sources`), total occurrences, and the heaviest
+    * carrier under the (count desc, source asc) total order. Grams
+    * are counted WITH multiplicity (a nav bar repeats within a
+    * page) — q341's per-doc-distinct census answers a different
+    * question.
+    *
+    * Scale shape: one fact-scale (source, digest) count — the gram
+    * key is a 16-hex md5 prefix because it IS the output key (the
+    * 64-bit internal hasher never leaves a plan; an output key must
+    * be oracle-computable), each source's rank ≤ k filter sits
+    * directly on its source-partitioned rank window
+    * (WindowGroupLimit prunes at the exchange), then the share
+    * census lives on the bounded sources × k domain.
+    */
+  def boilerplateHeadGrams(
+      spark: SparkSession, sfDir: String, k: Int = 10): DataFrame =
+    boilerplateHeadGramsOn(Tables.load(spark, sfDir, "documents"), k)
+
+  /** The q357 core over any `(source, text)` frame — split out so the
+    * spec can plant a cross-source cookie banner and watch it
+    * surface through the SAME plan.
+    */
+  def boilerplateHeadGramsOn(docs: DataFrame, k: Int = 10): DataFrame = {
+    val counts = docs
+      .select(col("source"), split(normalizedText(col("text")), " ").as("w"))
+      .where(size(col("w")) >= 5)
+      .select(col("source"), explode(expr(
+        """transform(sequence(1, size(w) - 4),
+             i -> substring(md5(array_join(slice(w, i, 5), ' ')), 1, 16))"""))
+        .as("g"))
+      .groupBy(col("source"), col("g"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("g").asc)
+    val heads = counts
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+    heads.groupBy(col("g"))
+      .agg(count(lit(1)).cast("long").as("n_sources"),
+        sum(col("c")).cast("long").as("n_total"),
+        min(struct((-col("c")).as("neg"), col("source").as("s")))
+          .getField("s").as("top_source"))
+      .where(col("n_sources") >= 2L)
+  }
+
   /** The q352 core over any `(doc_id, text)` frame — split out so the
     * spec can fire the detector on synthetic injected prose through
     * the SAME plan (the fixture corpus is organically directive-free,

@@ -2057,15 +2057,24 @@ object TrainingPrep {
     */
   def epochWaterfill(
       spark: SparkSession, sfDir: String,
-      budgetX: Int = 2, maxEpochs: Int = 4): DataFrame = {
-    require(budgetX >= 1 && maxEpochs >= 1, "degenerate budget")
-    val dom = Tables.load(spark, sfDir, "documents")
+      budgetX: Int = 2, maxEpochs: Int = 4): DataFrame =
+    waterfillOn(Tables.load(spark, sfDir, "documents")
       .select(col("source"), col("lang"),
         size(regexp_extract_all(col("text"),
           lit(TextAnalysis.bpeTokenPattern), lit(0)))
           .cast("long").as("ntok"))
       .groupBy(col("source"), col("lang"))
-      .agg(sum(col("ntok")).cast("long").as("avail_tokens"))
+      .agg(sum(col("ntok")).cast("long").as("avail_tokens")),
+      budgetX, maxEpochs)
+
+  /** The q336 allocator core over any `(source, lang, avail_tokens)`
+    * cell frame — split out so q359 can run the SAME max-min law
+    * over soft-dedup-effective token counts.
+    */
+  def waterfillOn(
+      cells: DataFrame, budgetX: Int, maxEpochs: Int): DataFrame = {
+    require(budgetX >= 1 && maxEpochs >= 1, "degenerate budget")
+    val dom = cells
       .withColumn("cap_tokens", col("avail_tokens") * maxEpochs)
     val tot = dom.agg(
       (sum(col("avail_tokens")) * budgetX).cast("long").as("b"),
@@ -2228,6 +2237,81 @@ object TrainingPrep {
     * join + bucket-partitioned window, then a 3-way row-local
     * explode; everything after the prefix sum is arithmetic.
     */
+  /** The q358 driver entry: CONTEXT-TRUNCATION LOSS CURVE — the
+    * complement of q226's padding waste: padding wastes compute on
+    * SHORT docs, truncation loses CONTENT on LONG ones, and the
+    * context-length decision trades the two. Per source and per
+    * candidate context length L ∈ {128, 512, 2048} tokens: documents
+    * over the limit, tokens lost Σ max(0, ntok − L), and `lost_ppm`
+    * of the source's token mass — the table a context-length
+    * ablation reads before committing a packing config.
+    *
+    * Scale shape: ONE row-local tokenizer count collapses to the
+    * (source) grain with per-L conditional sums in the same
+    * aggregate; the L arms union on the bounded source domain.
+    */
+  def truncationLoss(
+      spark: SparkSession, sfDir: String,
+      ls: Seq[Int] = Seq(128, 512, 2048)): DataFrame = {
+    val aggs = Seq(count(lit(1)).cast("long").as("n_docs"),
+      sum(col("ntok")).cast("long").as("tokens_total")) ++
+      ls.flatMap(l => Seq(
+        sum(when(col("ntok") > l, 1L).otherwise(0L)).cast("long")
+          .as(s"over_$l"),
+        sum(when(col("ntok") > l, col("ntok") - l).otherwise(0L))
+          .cast("long").as(s"lost_$l")))
+    val base = Tables.load(spark, sfDir, "documents")
+      .select(col("source"),
+        TextAnalysis.bpeTokenCount(col("text")).as("ntok"))
+      .groupBy(col("source"))
+      .agg(aggs.head, aggs.tail: _*)
+    ls.map { l =>
+      base.select(col("source"), lit(l.toLong).as("ctx_len"),
+        col("n_docs"), col("tokens_total"),
+        col(s"over_$l").as("docs_truncated"),
+        col(s"lost_$l").as("tokens_lost"),
+        expr(s"lost_$l * 1000000 DIV tokens_total").as("lost_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The q359 driver entry: EFFECTIVE-TOKEN WATER-FILLING — the q336
+    * allocator composed with q297's soft-dedup weights: a cell full
+    * of near-duplicates has fewer EFFECTIVE tokens than raw tokens
+    * (each near-dup cluster contributes ~one document of loss mass),
+    * so the data-constrained allocation should fill against
+    * Σ ntok·w DIV 10⁶ per doc (per-term truncation, order-free)
+    * rather than raw counts — otherwise duplicate-heavy cells soak
+    * budget that buys repeated gradients. Same exact max-min law,
+    * same saturated-prefix COUNT device, different (honest) supply
+    * curve. Output adds `raw_tokens` beside `avail_tokens` so the
+    * dedup haircut per cell is visible.
+    *
+    * Scale shape: q297's banded-LSH components + one doc-grain
+    * weight join + the q336 cell aggregate; the allocator itself is
+    * unchanged (bounded cell domain).
+    */
+  def effectiveWaterfill(
+      spark: SparkSession, sfDir: String,
+      budgetX: Int = 2, maxEpochs: Int = 4): DataFrame = {
+    val weights = graft.operators.Dedup.softDedupWeights(spark, sfDir)
+      .select(col("doc_id"), col("weight_micro"))
+    val cells = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        TextAnalysis.bpeTokenCount(col("text")).as("ntok"))
+      .join(weights, "doc_id")
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(col("ntok")).cast("long").as("raw_tokens"),
+        sum(expr("ntok * weight_micro DIV 1000000")).cast("long")
+          .as("avail_tokens"))
+      // a cell whose effective supply truncates to zero has nothing
+      // to allocate (and would 0-divide epochs_ppm) — drop it
+      .where(col("avail_tokens") >= 1L)
+    waterfillOn(cells.select(col("source"), col("lang"),
+        col("avail_tokens")), budgetX, maxEpochs)
+      .join(cells.select(col("source"), col("lang"), col("raw_tokens")),
+        Seq("source", "lang"))
+  }
+
   def needleManifest(
       spark: SparkSession, sfDir: String,
       depths: Seq[Int] = Seq(10, 50, 90)): DataFrame = {

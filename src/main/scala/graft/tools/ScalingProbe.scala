@@ -395,7 +395,15 @@ object ScalingProbe {
       "q355_t_closeness" -> (d =>
         graft.operators.CleanPipeline.tClosenessAudit(spark, d)),
       "q356_headset_drift" -> (d =>
-        graft.operators.Experiment.headSetDrift(spark, d)))
+        graft.operators.Experiment.headSetDrift(spark, d)),
+      // q357 is one (source, digest) count + bounded heads; q358 one
+      // tokenizer aggregate; q359 rides q297's banded-LSH components
+      "q357_boilerplate_grams" -> (d =>
+        graft.operators.TextAnalysis.boilerplateHeadGrams(spark, d)),
+      "q358_truncation_loss" -> (d =>
+        graft.operators.TrainingPrep.truncationLoss(spark, d)),
+      "q359_effective_waterfill" -> (d =>
+        graft.operators.TrainingPrep.effectiveWaterfill(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))

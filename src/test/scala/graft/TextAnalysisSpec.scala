@@ -1476,5 +1476,53 @@ class TextAnalysisSpec extends AnyFunSuite {
     // 'you must never' = 4 directive hits; doc 2 clean
     assert(s(0) == ((1L, 4L, true)) && s(1)._2 == 0L && !s(1)._3)
   }
+
+  test("q357 boilerplate head-grams equal a replay; a planted banner surfaces") {
+    val spark = SparkTestSession.spark
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ")
+          .split(" ", -1)))
+    val counts = docs.filter(_._2.length >= 5)
+      .flatMap { case (s, w) =>
+        w.sliding(5).map(g => (s, md5hex(g.mkString(" ")).take(16))) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((s, g), c) => (s, g, c) }
+    val heads = counts.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      g.sortBy(t => (-t._3, t._2)).take(10) }
+    val want = heads.groupBy(_._2).toSeq
+      .map { case (g, carriers) =>
+        (g, carriers.length.toLong, carriers.map(_._3).sum,
+          carriers.minBy(t => (-t._3, t._1))._1) }
+      .filter(_._2 >= 2L).sortBy(_._1)
+    val got = TextAnalysis.boilerplateHeadGrams(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(_._1)
+    assert(got.toSeq == want)
+    // tripwire: a cookie banner planted into two sources' top grams
+    // surfaces through the same plan with the right carrier
+    val sess = spark
+    import sess.implicits._
+    val banner = "we use cookies to improve your experience"
+    val synth = (
+      (1 to 8).map(i => ("feedA", s"$banner unique a$i words here")) ++
+      (1 to 5).map(i => ("feedB", s"$banner unique b$i words here")) ++
+      Seq(("feedC", "wholly unrelated text with no template at all")))
+      .toDF("source", "text")
+    val hits = TextAnalysis.boilerplateHeadGramsOn(synth).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(3)))
+    val bannerGram = md5hex(banner.split(" ").take(5).mkString(" "))
+      .take(16)
+    val hit = hits.find(_._1 == bannerGram)
+    assert(hit.isDefined, "planted banner gram did not surface")
+    assert(hit.get._2 == 2L && hit.get._3 == "feedA",
+      "carrier census wrong: feedA holds 8 copies vs feedB's 5")
+  }
 }
 

@@ -1468,6 +1468,73 @@ class TrainingPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("q358 truncation loss equals a replay; monotone in context length") {
+    val spark = SparkTestSession.spark
+    val pat = graft.operators.TextAnalysis.bpeTokenPattern.r
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), pat.findAllIn(r.getString(1)).length.toLong))
+    val want = docs.groupBy(_._1).toSeq.flatMap { case (s, g) =>
+      val tot = g.map(_._2).sum
+      Seq(128L, 512L, 2048L).map { l =>
+        val lost = g.map(d => math.max(0L, d._2 - l)).sum
+        (s, l, g.length.toLong, tot, g.count(_._2 > l).toLong, lost,
+          lost * 1000000L / tot)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = TrainingPrep.truncationLoss(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want)
+    // loss can only shrink as the window grows; the smallest window
+    // genuinely truncates something
+    got.groupBy(_._1).values.foreach { g =>
+      val byL = g.sortBy(_._2).map(_._6)
+      assert(byL.zip(byL.tail).forall { case (a, b) => a >= b })
+    }
+    // the tiny fixture's docs all fit in 128 tokens (loss-free is the
+    // correct reading there); a tighter window through the SAME code
+    // path must show real loss
+    val tight = TrainingPrep.truncationLoss(spark, sf, ls = Seq(16))
+      .collect().map(r => r.getLong(5))
+    assert(tight.exists(_ > 0L),
+      "no doc exceeds even 16 tokens - fixture degenerate")
+  }
+
+  test("q359 effective waterfill: haircut, budget conservation, and fairness laws") {
+    val spark = SparkTestSession.spark
+    val got = TrainingPrep.effectiveWaterfill(spark, sf)
+      .select("source", "lang", "avail_tokens", "cap_tokens",
+        "alloc_tokens", "saturated", "epochs_ppm", "raw_tokens")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getLong(6), r.getLong(7)))
+    assert(got.nonEmpty)
+    // supply haircut: effective <= raw everywhere, strict somewhere
+    // (the fixture's near-dups bite), equality where clusters are
+    // all singletons
+    assert(got.forall(t => t._3 <= t._8))
+    assert(got.exists(t => t._3 < t._8),
+      "no cell lost effective tokens - soft-dedup weights vacuous here")
+    // exact budget conservation: allocations spend 2x the effective
+    // supply to the token
+    assert(got.map(_._5).sum == 2L * got.map(_._3).sum)
+    // max-min fairness: saturated cells sit at cap; unsaturated cells
+    // differ by at most one token
+    got.filter(_._6).foreach(t => assert(t._5 == t._4))
+    val unsat = got.filter(!_._6).map(_._5)
+    if (unsat.nonEmpty) assert(unsat.max - unsat.min <= 1L)
+    // and the raw-supply allocation (q336) differs somewhere — the
+    // haircut actually moves the fill
+    val raw = TrainingPrep.epochWaterfill(spark, sf)
+      .select("source", "lang", "alloc_tokens").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got.exists(t => raw.get((t._1, t._2)).exists(_ != t._5)),
+      "effective fill identical to raw fill - composition is vacuous")
+  }
+
   test("q336 epoch waterfill: allocation equals an independent replay; max-min laws hold") {
     val spark = SparkTestSession.spark
     val cells = spark.read
