@@ -510,6 +510,38 @@ object SparkEntry {
       TrainingPrep.truncationLoss(s, d)),
     "q359_effective_waterfill" -> ((s: SparkSession, d: String) =>
       TrainingPrep.effectiveWaterfill(s, d)),
+    "q360_word_fertility" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.wordFertility(s, d)),
+    "q361_toxicity_gate" -> ((s: SparkSession, d: String) =>
+      CleanPipeline.toxicityGate(s, d)),
+    "q362_sft_unroll_cost" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.sftUnrollCost(s, d)),
+    "q363_merkle_manifest" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.merkleManifest(s, d)),
+    "q364_transport_plan" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.lengthTransportPlan(s, d)),
+    "q365_license_propagation" -> ((s: SparkSession, d: String) =>
+      Graph.licensePropagation(s, d)),
+    "q366_wilson_gate" -> ((s: SparkSession, d: String) =>
+      Experiment.wilsonGate(s, d)),
+    "q367_takedown_impact" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.takedownImpact(s, d)),
+    "q368_krippendorff" -> ((s: SparkSession, d: String) =>
+      Experiment.krippendorffAlpha(s, d)),
+    "q369_unseen_vocab" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.unseenVocab(s, d)),
+    "q370_early_stopping" -> ((s: SparkSession, d: String) =>
+      Experiment.earlyStoppingAudit(s, d)),
+    "q371_negative_samples" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.negativeSamples(s, d)),
+    "q372_int8_quant" -> ((s: SparkSession, d: String) =>
+      Similarity.int8QuantAudit(s, d)),
+    "q373_schema_drift" -> ((s: SparkSession, d: String) =>
+      Relational.schemaDrift(s, d)),
+    "q374_permutation_test" -> ((s: SparkSession, d: String) =>
+      Experiment.permutationTest(s, d)),
+    "q375_filter_curve" -> ((s: SparkSession, d: String) =>
+      CleanPipeline.filterOperatingCurve(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -9760,7 +9792,483 @@ object SparkEntry {
                  THEN 1 ELSE 0 END END * 1000000 // r.avail_tokens
              AS BIGINT) AS epochs_ppm,
            r.raw_tokens
-         FROM ranked r, lvl l"""
+         FROM ranked r, lvl l""",
+    // q360: word fertility — corpus-grain integer ppm over the
+    // (lang, source) cell's token/word/char sums.
+    "q360_word_fertility" ->
+      s"""WITH t AS (
+           SELECT lang, source,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS ntok,
+             CAST(len(string_split($normText, ' ')) AS BIGINT) AS nwords,
+             CAST(length(text) AS BIGINT) AS nchars
+           FROM documents)
+         SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           CAST(SUM(nwords) AS BIGINT) AS n_words,
+           CAST(SUM(nchars) AS BIGINT) AS n_chars,
+           CAST(SUM(ntok) * 1000000 // SUM(nwords) AS BIGINT)
+             AS fertility_ppm,
+           CAST(SUM(nchars) * 1000000 // SUM(ntok) AS BIGINT)
+             AS chars_per_token_ppm
+         FROM t WHERE ntok >= 1 AND nwords >= 1 GROUP BY 1, 2""",
+    // q361: severity-weighted toxicity gate — per-term whole-word
+    // counts generated from the SAME compile-time lexicon the Spark
+    // plan uses (an edit to one cannot silently decouple the twin).
+    "q361_toxicity_gate" ->
+      s"""WITH w AS (
+           SELECT source, string_split($normText, ' ') AS w
+           FROM documents),
+         d AS (
+           SELECT source, CAST(len(w) AS BIGINT) AS n_words,
+             ${CleanPipeline.toxicLexicon.map { case (t, _) =>
+               s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT)"
+             }.mkString(" + ")} AS n_hits,
+             ${CleanPipeline.toxicLexicon.map { case (t, s) =>
+               s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT) * $s"
+             }.mkString(" + ")} AS score
+           FROM w),
+         f AS (
+           SELECT source, n_words, n_hits, score,
+             score * 1000000 // n_words > 20000 AS flagged
+           FROM d WHERE n_words >= 1)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+           CAST(SUM(score) AS BIGINT) AS total_score,
+           CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) * 1000000
+             // COUNT(*) AS BIGINT) AS flagged_ppm,
+           SUM(CASE WHEN flagged THEN 1 ELSE 0 END) * 1000000
+             // COUNT(*) > 100000 AS quarantine
+         FROM f GROUP BY 1""",
+    // q362: SFT unrolling cost — q33's gap sessionization, then
+    // position/prefix windows on the conversation key; token proxy
+    // is the k payload field; roles alternate by turn parity.
+    "q362_sft_unroll_cost" ->
+      """WITH t AS (
+           SELECT user_id, ts, event_id,
+             CAST(COALESCE(CAST(json_extract_string(props, '$.k')
+               AS BIGINT), 0) AS BIGINT) AS tok,
+             epoch_us(ts) AS us
+           FROM events),
+         s AS (
+           SELECT *, CASE WHEN lag(us) OVER w IS NULL
+               OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END
+               AS new_sess
+           FROM t WINDOW w AS (PARTITION BY user_id
+             ORDER BY ts ASC, event_id ASC)),
+         s2 AS (
+           SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+             ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING)
+             AS session_idx
+           FROM s),
+         p AS (
+           SELECT *, ROW_NUMBER() OVER w2 AS pos,
+             SUM(tok) OVER (PARTITION BY user_id, session_idx
+               ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING)
+               AS prefix_tok
+           FROM s2 WINDOW w2 AS (PARTITION BY user_id, session_idx
+             ORDER BY ts ASC, event_id ASC)),
+         g AS (
+           SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+             CAST(COUNT(*) AS BIGINT) AS n_turns,
+             CAST(SUM(CASE WHEN pos % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_samples,
+             CAST(SUM(tok) AS BIGINT) AS packed_tokens,
+             CAST(SUM(CASE WHEN pos % 2 = 0 THEN tok ELSE 0 END)
+               AS BIGINT) AS trained_tokens,
+             CAST(SUM(CASE WHEN pos % 2 = 0 THEN prefix_tok ELSE 0 END)
+               AS BIGINT) AS unrolled_tokens
+           FROM p GROUP BY 1, 2)
+         SELECT *, CAST(unrolled_tokens * 1000000 // packed_tokens
+             AS BIGINT) AS overhead_ppm,
+           CAST(trained_tokens * 1000000 // packed_tokens AS BIGINT)
+             AS trained_ppm
+         FROM g WHERE n_samples >= 1 AND packed_tokens >= 1""",
+    // q363: Merkle shard manifest — leaf md5 of normalized text,
+    // shard digest over the doc-id-ordered leaf concatenation,
+    // root over the shard-id-ordered shard digests.
+    "q363_merkle_manifest" ->
+      s"""WITH leaves AS (
+           SELECT doc_id // 64 AS shard_id, doc_id,
+             md5($normText) AS leaf,
+             CAST(length(text) AS BIGINT) AS nch
+           FROM documents),
+         shards AS (
+           SELECT CAST(shard_id AS BIGINT) AS shard_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(nch) AS BIGINT) AS n_chars,
+             md5(string_agg(leaf, '' ORDER BY doc_id ASC)) AS shard_digest
+           FROM leaves GROUP BY 1),
+         root AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+             md5(string_agg(shard_digest, '' ORDER BY shard_id ASC))
+               AS root_digest
+           FROM shards)
+         SELECT s.shard_id, s.n_docs, s.n_chars, s.shard_digest,
+           r.n_shards, r.root_digest
+         FROM shards s, root r""",
+    // q364: 1D transport plan — Hamilton-rounded uniform target over
+    // observed length buckets, prefix-difference flows, |flow| fold.
+    "q364_transport_plan" ->
+      """WITH cur AS (
+           SELECT n_chars // 64 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS current
+           FROM documents GROUP BY 1),
+         tot AS (
+           SELECT CAST(SUM(current) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS m FROM cur),
+         rk AS (
+           SELECT bucket, current, n, m,
+             CAST(ROW_NUMBER() OVER (ORDER BY bucket ASC) AS BIGINT) AS rk
+           FROM cur, tot),
+         t2 AS (
+           SELECT bucket, current,
+             CAST(n // m + CASE WHEN rk <= n % m THEN 1 ELSE 0 END
+               AS BIGINT) AS target
+           FROM rk),
+         t3 AS (
+           SELECT CAST(bucket AS BIGINT) AS bucket, current, target,
+             CAST(SUM(current - target) OVER (ORDER BY bucket ASC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_flow
+           FROM t2),
+         w AS (SELECT CAST(SUM(abs(cum_flow)) AS BIGINT) AS total_work
+           FROM t3)
+         SELECT bucket, current, target, cum_flow, total_work
+         FROM t3, w""",
+    // q365: license propagation — recursive-CTE climb of the shared
+    // derivation device (d % 3 = 0 -> parent d DIV 2), max tier over
+    // the ancestry, ancestor count = deepest climb row.
+    "q365_license_propagation" ->
+      """WITH RECURSIVE base AS (
+           SELECT doc_id,
+             CAST(ascii(right(source, 1)) % 4 AS BIGINT) AS own_tier,
+             CASE WHEN doc_id % 3 = 0 AND doc_id >= 3
+               THEN doc_id // 2 END AS parent
+           FROM documents),
+         climb(id, cur, tier, n) AS (
+           SELECT doc_id, doc_id, own_tier, CAST(0 AS BIGINT) FROM base
+           UNION ALL
+           SELECT c.id, b.parent, GREATEST(c.tier, pb.own_tier), c.n + 1
+           FROM climb c
+           JOIN base b ON b.doc_id = c.cur AND b.parent IS NOT NULL
+           JOIN base pb ON pb.doc_id = b.parent)
+         SELECT c.id AS doc_id, b.own_tier,
+           CAST(MAX(c.tier) AS BIGINT) AS eff_tier,
+           CAST(MAX(c.n) AS BIGINT) AS n_anc,
+           MAX(c.tier) > b.own_tier AS restricted
+         FROM climb c JOIN base b ON b.doc_id = c.id
+         GROUP BY 1, 2""",
+    // q366: Wilson gate — the interval arithmetic is the SAME
+    // expression text the Spark plan runs (Experiment.wilsonSql),
+    // so both engines floor identical IEEE doubles.
+    "q366_wilson_gate" ->
+      s"""WITH t AS (
+           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS k
+           FROM events GROUP BY 1)
+         SELECT event_type, n, k,
+           CAST(k * 1000000 // n AS BIGINT) AS rate_ppm,
+           ${Experiment.wilsonSql("lo")} AS wilson_lo_ppm,
+           ${Experiment.wilsonSql("hi")} AS wilson_hi_ppm,
+           ${Experiment.wilsonSql("lo")} > 333333 AS gate
+         FROM t""",
+    // q367: takedown impact — opt-out = 2 lexicographically-first
+    // sources (derived in-query, shared device), per-shard blast
+    // radius + global removed share.
+    "q367_takedown_impact" ->
+      """WITH opt AS (
+           SELECT source FROM (
+             SELECT source, ROW_NUMBER() OVER (ORDER BY source ASC) AS srk
+             FROM (SELECT DISTINCT source FROM documents))
+           WHERE srk <= 2),
+         d AS (
+           SELECT doc_id // 64 AS shard_id,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS ntok,
+             documents.source IN (SELECT source FROM opt) AS opt_out
+           FROM documents),
+         shards AS (
+           SELECT CAST(shard_id AS BIGINT) AS shard_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(ntok) AS BIGINT) AS tokens_total,
+             CAST(SUM(CASE WHEN opt_out THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_removed,
+             CAST(SUM(CASE WHEN opt_out THEN ntok ELSE 0 END) AS BIGINT)
+               AS tokens_removed
+           FROM d GROUP BY 1),
+         f AS (SELECT *, docs_removed >= 1 AS touched FROM shards),
+         g AS (
+           SELECT CAST(SUM(CASE WHEN touched THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_shards_touched,
+             CAST(SUM(tokens_removed) * 1000000 // SUM(tokens_total)
+               AS BIGINT) AS removed_ppm
+           FROM f)
+         SELECT f.shard_id, f.n_docs, f.tokens_total, f.docs_removed,
+           f.tokens_removed, f.touched, g.n_shards_touched, g.removed_ppm
+         FROM f, g""",
+    // q368: Krippendorff nominal alpha — q268's rating matrix plus
+    // an md5-decided 20% skip for rater 3; exact-integer ratio with
+    // the per-unit term scaled by 2 (m_u in {2,3}).
+    "q368_krippendorff" ->
+      """WITH rated AS (
+           SELECT d.doc_id,
+             CASE WHEN ('0x' || substr(md5('rate:' ||
+                 CAST(d.doc_id AS VARCHAR) || ':' ||
+                 CAST(r.r AS VARCHAR)), 1, 15))::BIGINT % 10 < r.r
+               THEN CASE d.lang WHEN 'de' THEN 'en' WHEN 'en' THEN 'es'
+                 WHEN 'es' THEN 'fr' WHEN 'fr' THEN 'zh' ELSE 'de' END
+               ELSE d.lang END AS label
+           FROM documents d, (SELECT UNNEST([1,2,3]) AS r) r
+           WHERE NOT (r.r = 3 AND ('0x' || substr(md5('skip:' ||
+             CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 < 2)),
+         nic AS (SELECT doc_id, label, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM rated GROUP BY 1, 2),
+         per_unit AS (
+           SELECT doc_id, CAST(SUM(c) AS BIGINT) AS m_u,
+             CAST(SUM(c*c) AS BIGINT) AS ssq
+           FROM nic GROUP BY 1),
+         pairable AS (
+           SELECT doc_id, 2 * (m_u * m_u - ssq) // (m_u - 1) AS do2
+           FROM per_unit WHERE m_u >= 2),
+         margins AS (
+           SELECT label, CAST(SUM(c) AS BIGINT) AS n_c
+           FROM nic JOIN pairable USING (doc_id) GROUP BY 1),
+         de AS (
+           SELECT CAST(SUM(n_c) AS BIGINT) AS n,
+             SUM(CAST(n_c AS HUGEINT) * n_c) AS sq_c
+           FROM margins),
+         dosum AS (
+           SELECT CAST(SUM(do2) AS HUGEINT) AS do2_sum,
+             CAST(COUNT(*) AS BIGINT) AS n_items
+           FROM pairable),
+         excl AS (
+           SELECT CAST(COALESCE(SUM(CASE WHEN m_u <= 1 THEN 1 END), 0)
+             AS BIGINT) AS n_excluded
+           FROM per_unit)
+         SELECT dosum.n_items, excl.n_excluded, de.n,
+           CAST(1000000 - (CAST(de.n - 1 AS HUGEINT) * do2_sum * 1000000
+               - (CAST(de.n - 1 AS HUGEINT) * do2_sum * 1000000)
+                 % (2 * (CAST(de.n AS HUGEINT) * de.n - de.sq_c)))
+             // (2 * (CAST(de.n AS HUGEINT) * de.n - de.sq_c))
+             AS BIGINT) AS alpha_micro
+         FROM dosum, de, excl""",
+    // q369: unseen-vocabulary estimators — Chao1 bias-corrected
+    // floor + Good-Turing singleton mass over the (lang, word) count.
+    "q369_unseen_vocab" ->
+      s"""WITH w AS (
+           SELECT lang, UNNEST(string_split($normText, ' ')) AS w
+           FROM documents),
+         c AS (
+           SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+           FROM w WHERE length(w) >= 1 GROUP BY 1, 2),
+         g AS (
+           SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS distinct_words,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+           FROM c GROUP BY 1)
+         SELECT lang, n_tokens, distinct_words, f1, f2,
+           CAST(distinct_words + f1 * (f1 - 1) // (2 * (f2 + 1))
+             AS BIGINT) AS chao1_est,
+           CAST(f1 * 1000000 // n_tokens AS BIGINT) AS unseen_mass_ppm
+         FROM g""",
+    // q370: early-stopping audit — patience-5 rule over per-run eval
+    // curves; strict improvement against the running prefix min.
+    "q370_early_stopping" ->
+      """WITH t AS (
+           SELECT user_id, ts, event_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+           FROM events),
+         s AS (
+           SELECT *, CAST(ROW_NUMBER() OVER w AS BIGINT) AS step,
+             MIN(cents) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_min,
+             MIN(cents) OVER (PARTITION BY user_id) AS run_min
+           FROM t WINDOW w AS (PARTITION BY user_id
+             ORDER BY ts ASC, event_id ASC)),
+         s2 AS (
+           SELECT *, (prev_min IS NULL OR cents < prev_min) AS improving
+           FROM s),
+         s3 AS (
+           SELECT *, MAX(CASE WHEN improving THEN step END)
+             OVER (PARTITION BY user_id ORDER BY step
+               ROWS UNBOUNDED PRECEDING) AS last_imp
+           FROM s2),
+         g AS (
+           SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_steps,
+             CAST(MIN(cents) AS BIGINT) AS best_cents,
+             CAST(MIN(CASE WHEN cents = run_min THEN step END) AS BIGINT)
+               AS best_step,
+             CAST(MIN(CASE WHEN step - last_imp >= 5 THEN step END)
+               AS BIGINT) AS stop_raw
+           FROM s3 GROUP BY 1)
+         SELECT user_id, n_steps, best_cents, best_step,
+           stop_raw IS NOT NULL AS stopped,
+           COALESCE(stop_raw, n_steps) AS stop_step,
+           n_steps - COALESCE(stop_raw, n_steps) AS steps_saved
+         FROM g""",
+    // q371: negative-sampling manifest — md5-derived offsets over the
+    // contiguous id domain, cross-source filter, first-k in draw
+    // order; the oracle replays the identical draw.
+    "q371_negative_samples" ->
+      """WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         cand AS (
+           SELECT d.doc_id AS anchor_id, d.source AS anchor_src, j.j,
+             ('0x' || substr(md5('neg:' || CAST(d.doc_id AS VARCHAR)
+               || ':' || CAST(j.j AS VARCHAR)), 1, 15))::BIGINT
+               % (nn.n - 1) + 1 AS off
+           FROM documents d, nn, (SELECT UNNEST(range(1, 9)) AS j) j),
+         withneg AS (
+           SELECT anchor_id, anchor_src, j,
+             (anchor_id + off) % nn.n AS neg_id
+           FROM cand, nn),
+         filtered AS (
+           SELECT w.anchor_id, w.j, w.neg_id, d.source AS neg_src
+           FROM withneg w JOIN documents d ON d.doc_id = w.neg_id
+           WHERE d.source <> w.anchor_src),
+         ranked AS (
+           SELECT anchor_id, neg_id, neg_src,
+             CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+               ORDER BY j ASC) AS BIGINT) AS rank
+           FROM filtered),
+         keep AS (SELECT * FROM ranked WHERE rank <= 4),
+         kc AS (SELECT anchor_id, CAST(COUNT(*) AS BIGINT) AS n_kept
+           FROM keep GROUP BY 1)
+         SELECT k.anchor_id, k.rank, k.neg_id, k.neg_src, kc.n_kept
+         FROM keep k JOIN kc USING (anchor_id)""",
+    // q372: int8 per-channel quantization error — per-element micro
+    // floor BEFORE any sum (order-free integer sums).
+    "q372_int8_quant" ->
+      """WITH el AS (
+           SELECT vec_id, CAST(i - 1 AS BIGINT) AS channel,
+             CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings,
+             LATERAL (SELECT UNNEST(range(1, len(embedding) + 1)) AS i) t),
+         sc AS (SELECT channel, MAX(ABS(x)) AS maxabs FROM el GROUP BY 1),
+         e2 AS (
+           SELECT el.channel, sc.maxabs,
+             CAST(floor(1000000.0 * (CASE WHEN maxabs = 0.0 THEN 0.0
+               ELSE abs(x - (floor(x * 127.0 / maxabs + 0.5)
+                             * maxabs / 127.0)) END)) AS BIGINT) AS err_micro
+           FROM el JOIN sc USING (channel))
+         SELECT channel, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(floor(1000000.0 * MAX(maxabs)) AS BIGINT) AS maxabs_micro,
+           CAST(SUM(err_micro) AS BIGINT) AS total_err_micro,
+           CAST(MAX(err_micro) AS BIGINT) AS max_err_micro,
+           CAST(SUM(err_micro) * 1000 // COUNT(*) AS BIGINT)
+             AS mean_err_nano
+         FROM e2 GROUP BY 1""",
+    // q373: payload schema drift — dense day x key grid (a key that
+    // skips a day must read dropped-then-added), lag by day rank.
+    "q373_schema_drift" ->
+      """WITH counts AS (
+           SELECT day, k AS key, CAST(COUNT(*) AS BIGINT) AS n
+           FROM (SELECT CAST(ts AS DATE) AS day,
+                   UNNEST(json_keys(CAST(props AS JSON))) AS k
+                 FROM events)
+           GROUP BY 1, 2),
+         days AS (
+           SELECT day, CAST(ROW_NUMBER() OVER (ORDER BY day ASC)
+             AS BIGINT) AS day_rank
+           FROM (SELECT DISTINCT day FROM counts)),
+         keys AS (SELECT DISTINCT key FROM counts),
+         grid AS (
+           SELECT d.day, d.day_rank, keys.key, c.n
+           FROM days d CROSS JOIN keys
+           LEFT JOIN counts c ON c.day = d.day AND c.key = keys.key),
+         lg AS (
+           SELECT day, day_rank, key, n,
+             lag(n) OVER (PARTITION BY key ORDER BY day_rank ASC) AS np
+           FROM grid),
+         st AS (
+           SELECT day, day_rank, key, n, np,
+             CASE WHEN day_rank = 1 AND n IS NOT NULL THEN 'baseline'
+                  WHEN n IS NOT NULL AND np IS NULL THEN 'added'
+                  WHEN n IS NULL AND np IS NOT NULL THEN 'dropped'
+                  WHEN n IS NOT NULL AND np IS NOT NULL THEN 'kept'
+             END AS status
+           FROM lg)
+         SELECT day, day_rank, key, CAST(COALESCE(n, 0) AS BIGINT) AS n,
+           CAST(COALESCE(np, 0) AS BIGINT) AS n_prev, status
+         FROM st WHERE status IS NOT NULL""",
+    // q374: paired sign-flip permutation test — md5-replayed flips,
+    // add-one p (Phipson & Smyth).
+    "q374_permutation_test" ->
+      """WITH diffs AS (
+           SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                 THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END)
+               // NULLIF(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0)
+               AS BIGINT) AS click_cents,
+             CAST(SUM(CASE WHEN event_type = 'view'
+                 THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END)
+               // NULLIF(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0)
+               AS BIGINT) AS view_cents
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY 1),
+         d2 AS (
+           SELECT user_id, click_cents - view_cents AS d
+           FROM diffs
+           WHERE click_cents IS NOT NULL AND view_cents IS NOT NULL),
+         obs AS (SELECT CAST(SUM(d) AS BIGINT) AS t_obs,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs FROM d2),
+         reps AS (
+           SELECT r.r,
+             CAST(SUM(CASE WHEN ('0x' || substr(md5('flip:' ||
+                 CAST(user_id AS VARCHAR) || ':' ||
+                 CAST(r.r AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+               THEN d ELSE -d END) AS BIGINT) AS t_r
+           FROM d2, (SELECT UNNEST(range(1, 201)) AS r) r
+           GROUP BY 1)
+         SELECT obs.n_pairs, obs.t_obs AS t_obs_cents,
+           CAST(SUM(CASE WHEN abs(t_r) >= abs(obs.t_obs) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_extreme,
+           CAST(200 AS BIGINT) AS n_replicates,
+           CAST((SUM(CASE WHEN abs(t_r) >= abs(obs.t_obs)
+               THEN 1 ELSE 0 END) + 1) * 1000000 // 201 AS BIGINT)
+             AS p_micro
+         FROM reps, obs GROUP BY 1, 2""",
+    // q375: filter operating curve — one scored scan, per-threshold
+    // conditional sums, arms unioned; thresholds shared with the
+    // Spark default grid.
+    "q375_filter_curve" ->
+      s"""WITH sc AS ($scoredDocsSql),
+         base AS (
+           SELECT d.source,
+             CAST(len(regexp_extract_all(d.text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS ntok,
+             sc.score
+           FROM documents d JOIN sc ON sc.doc_id = d.doc_id),
+         g AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(ntok) AS BIGINT) AS tokens_total,
+             ${Seq(0L, 100000L, 200000L, 300000L).map { t =>
+               s"""CAST(SUM(CASE WHEN score >= $t THEN 1 ELSE 0 END)
+                  AS BIGINT) AS kept_$t,
+                CAST(SUM(CASE WHEN score >= $t THEN ntok ELSE 0 END)
+                  AS BIGINT) AS ktok_$t,
+                CAST(SUM(CASE WHEN score >= $t THEN score ELSE 0 END)
+                  AS BIGINT) AS ksc_$t"""
+             }.mkString(",\n             ")}
+           FROM base GROUP BY 1)
+         ${Seq(0L, 100000L, 200000L, 300000L).map { t =>
+           s"""SELECT source, CAST($t AS BIGINT) AS threshold_micro,
+              n_docs, tokens_total, kept_$t AS kept_docs,
+              ktok_$t AS kept_tokens,
+              CAST(kept_$t * 1000000 // n_docs AS BIGINT)
+                AS kept_docs_ppm,
+              CAST(ktok_$t * 1000000 // tokens_total AS BIGINT)
+                AS kept_tokens_ppm,
+              CAST(CASE WHEN kept_$t = 0 THEN -1
+                ELSE ksc_$t // kept_$t END AS BIGINT)
+                AS kept_mean_score_micro
+            FROM g"""
+         }.mkString("\n         UNION ALL\n         ")}"""
   )
 
   /** q14's window top-per-key SQL — shared verbatim by q89 (bounded

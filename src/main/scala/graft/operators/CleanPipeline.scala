@@ -422,4 +422,125 @@ object CleanPipeline {
           .as("t_ppm"))
       .withColumn("t_ok", col("t_ppm") <= flagPpm)
   }
+
+  /** Severity-weighted toxicity lexicon for [[toxicityGate]] —
+    * exact-word terms only (matched by whole-word equality over the
+    * normalized split, NOT substring/regex: "assassin" must not fire
+    * "ass"-class terms; word equality is the portable semantics both
+    * engines execute identically). Severities are small integers so
+    * the weighted score stays in exact BIGINT arithmetic.
+    */
+  val toxicLexicon: Seq[(String, Long)] = Seq(
+    "kill" -> 3L, "die" -> 3L, "racist" -> 3L,
+    "hate" -> 2L, "attack" -> 2L, "abuse" -> 2L, "violence" -> 2L,
+    "stupid" -> 1L, "idiot" -> 1L, "dumb" -> 1L)
+
+  /** The q361 driver entry: SEVERITY-WEIGHTED TOXICITY GATE — the
+    * lexicon safety filter every pretraining ingest runs beside the
+    * PII scrub (q75/q309) and the injection scan (q352): per-doc
+    * weighted hit score (Σ severity·count over [[toxicLexicon]]) in
+    * ppm of the doc's words, a doc flag at `docPpm`, then the
+    * SOURCE-grain quarantine decision at `srcPpm` flagged-doc share
+    * — source-level quarantine (drop/review the whole feed) is the
+    * operational action, per-doc deletion alone leaves the feed
+    * resupplying toxic text next crawl. Counting is whole-word
+    * multiplicity over the normalized split (row-local higher-order
+    * filters, one per term — the lexicon is a compile-time constant
+    * so every count is codegen'd; no regex, no UDF). The fixture
+    * corpus is organically hit-free — the expected clean-corpus
+    * reading; the spec plants toxic docs through the same core.
+    *
+    * Scale shape: q347's embarrassingly parallel posture — per-doc
+    * scoring is row-local; the only exchange is the single
+    * map-side-combined aggregate onto the bounded source domain.
+    */
+  def toxicityGate(
+      spark: SparkSession, sfDir: String,
+      docPpm: Long = 20000L, srcPpm: Long = 100000L): DataFrame =
+    toxicityGateOn(Tables.load(spark, sfDir, "documents"), docPpm, srcPpm)
+
+  /** The q361 core over any `(doc_id, source, text)` frame. */
+  def toxicityGateOn(
+      docs: DataFrame, docPpm: Long = 20000L,
+      srcPpm: Long = 100000L): DataFrame = {
+    val hits = toxicLexicon.map { case (t, _) =>
+      expr(s"CAST(size(filter(w, x -> x = '$t')) AS BIGINT)")
+    }.reduce(_ + _)
+    val score = toxicLexicon.map { case (t, s) =>
+      expr(s"CAST(size(filter(w, x -> x = '$t')) AS BIGINT) * CAST($s AS BIGINT)")
+    }.reduce(_ + _)
+    val perDoc = docs
+      .select(col("source"),
+        split(TextAnalysis.normalizedText(col("text")), " ").as("w"))
+      .select(col("source"), size(col("w")).cast("long").as("n_words"),
+        hits.as("n_hits"), score.as("score"))
+      .where(col("n_words") >= 1L)
+      .withColumn("score_ppm", expr("score * 1000000 DIV n_words"))
+      .withColumn("flagged", col("score_ppm") > docPpm)
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).cast("long")
+          .as("n_flagged"),
+        sum(col("n_hits")).cast("long").as("total_hits"),
+        sum(col("score")).cast("long").as("total_score"))
+      .withColumn("flagged_ppm", expr("n_flagged * 1000000 DIV n_docs"))
+      .withColumn("quarantine", col("flagged_ppm") > srcPpm)
+  }
+
+  /** The q375 driver entry: FILTER OPERATING CURVE — the tuning
+    * table behind every quality-threshold decision: for each
+    * candidate threshold on q212's stopword-ratio score (the
+    * pipeline's cheap quality scorer), what fraction of each
+    * source's documents AND token mass survives, and what the
+    * survivors' mean score is — kept-mass vs quality-lift is the
+    * tradeoff a curation team reads before fixing the operating
+    * point (a threshold that lifts mean quality 2× but keeps 3% of
+    * tokens starves the run). One tokenizer+scorer pass feeds every
+    * arm: per-threshold columns are conditional sums, arms union on
+    * the bounded source × thresholds domain (q358's parametric-arm
+    * pattern). Laws: kept counts/mass are monotone non-increasing
+    * in the threshold, and kept mean score is monotone
+    * non-decreasing (spec-pinned).
+    *
+    * Scale shape: one doc-grain scan (score + token count), one
+    * map-side-combined aggregate onto the source domain, |T| cheap
+    * projections unioned — the fact scan is paid once, not per arm.
+    */
+  def filterOperatingCurve(
+      spark: SparkSession, sfDir: String,
+      thresholds: Seq[Long] = Seq(0L, 100000L, 200000L, 300000L)): DataFrame = {
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted,
+      "thresholds are an ascending ppm grid")
+    val scored = Experiment.rocAucScored(spark, sfDir)
+      .select(col("doc_id"), col("score"))
+    val aggs = Seq(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(col("ntok")).cast("long").as("tokens_total")) ++
+      thresholds.flatMap { t =>
+        Seq(
+          sum(when(col("score") >= t, 1L).otherwise(0L)).cast("long")
+            .as(s"kept_$t"),
+          sum(when(col("score") >= t, col("ntok")).otherwise(0L))
+            .cast("long").as(s"ktok_$t"),
+          sum(when(col("score") >= t, col("score")).otherwise(0L))
+            .cast("long").as(s"ksc_$t"))
+      }
+    val base = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.bpeTokenCount(col("text")).as("ntok"))
+      .join(scored, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(aggs.head, aggs.tail: _*)
+    thresholds.map { t =>
+      base.select(col("source"), lit(t).as("threshold_micro"),
+        col("n_docs"), col("tokens_total"),
+        col(s"kept_$t").as("kept_docs"),
+        col(s"ktok_$t").as("kept_tokens"),
+        expr(s"kept_$t * 1000000 DIV n_docs").as("kept_docs_ppm"),
+        expr(s"ktok_$t * 1000000 DIV tokens_total").as("kept_tokens_ppm"),
+        expr(s"CASE WHEN kept_$t = 0 THEN -1 " +
+          s"ELSE ksc_$t DIV kept_$t END").cast("long")
+          .as("kept_mean_score_micro"))
+    }.reduce(_ unionByName _)
+  }
 }

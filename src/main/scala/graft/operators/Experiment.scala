@@ -2232,4 +2232,243 @@ object Experiment {
         expr(s"n_both * 1000000 DIV (${2 * k} - n_both)"))
     joined.crossJoin(broadcast(glob))
   }
+
+  /** Wilson-interval arithmetic shared VERBATIM between the Spark
+    * plan and the DuckDB oracle (both engines run the identical
+    * IEEE-754 expression text, so the floored micro bounds are
+    * bit-equal): z = 1.96, z² = 3.8416 exactly; the only floats are
+    * inside this floor.
+    */
+  private[graft] def wilsonSql(bound: String): String = {
+    val sign = if (bound == "lo") "-" else "+"
+    s"""CAST(floor(1000000.0 * (
+        ((CAST(k AS DOUBLE) / n) + 3.8416 / (2.0 * n)
+         $sign 1.96 * sqrt(((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n)
+                            + 3.8416 / (4.0 * n)) / n))
+        / (1.0 + 3.8416 / n))) AS BIGINT)"""
+  }
+
+  /** The q366 driver entry: WILSON PASS-RATE GATE — the per-task
+    * eval significance report behind every "did the model clear the
+    * bar?" dashboard: a raw pass rate on 30 samples and on 3000
+    * samples are not the same evidence, and the normal-approximation
+    * interval misbehaves exactly where evals live (rates near 0 or
+    * 1, small n). Wilson (1927) score bounds fix both. Per task
+    * (event_type; pass = value > 50): n, passes, exact rate ppm,
+    * Wilson lower/upper micro bounds at 95%, and the gate flag —
+    * the lower bound clears `barPpm` (default one-in-three, the bar
+    * that discriminates on the fixture's synthetic judge; a real
+    * eval passes its own SLA): "significantly above the bar", not
+    * "point estimate above the bar", is the whole point.
+    * The float sqrt is confined to [[wilsonSql]], shared verbatim
+    * with the oracle so both engines floor identical doubles —
+    * the q30-cosine portability discipline.
+    *
+    * Scale shape: one map-side-combined count onto the bounded task
+    * domain; everything after is per-row arithmetic on that domain.
+    */
+  def wilsonGate(
+      spark: SparkSession, sfDir: String,
+      barPpm: Long = 333333L): DataFrame =
+    Tables.load(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("value") > 50.0, 1L).otherwise(0L)).cast("long")
+          .as("k"))
+      .withColumn("rate_ppm", expr("k * 1000000 DIV n"))
+      .withColumn("wilson_lo_ppm", expr(wilsonSql("lo")))
+      .withColumn("wilson_hi_ppm", expr(wilsonSql("hi")))
+      .withColumn("gate", col("wilson_lo_ppm") > barPpm)
+
+  /** The q368 driver entry: KRIPPENDORFF'S ALPHA (nominal) — the
+    * agreement statistic an annotation pipeline needs once raters
+    * SKIP items: q268's Fleiss kappa assumes every item gets all R
+    * ratings; real labeling queues have per-item coverage m_u ∈
+    * {2, 3, …} and Krippendorff (2004) is the standard statistic
+    * that handles it (items with m_u < 2 carry no pairable
+    * information and are excluded — the count is reported, never
+    * silently dropped). Same deterministic rating matrix as q268
+    * (md5-decided cyclic-next corruption, rater r noisier with
+    * r/10), plus an md5-decided 20% skip for rater 3.
+    *
+    * Exact-integer statistic: with n = Σm_u pairable ratings, n_uc
+    * the per-item category counts and n_c the margins,
+    *   α = 1 − (n−1)·Σ_u (m_u² − Σ_c n_uc²)/(m_u−1)
+    *           / (n² − Σ_c n_c²),
+    * computed with NO division until the trailing micro: the
+    * per-unit term is scaled by 2 (integer for m_u ∈ {2,3}: the
+    * m_u−1 denominators are 1 and 2), products run in
+    * DECIMAL(38,0)/HUGEINT per the q221 rule, one truncating micro
+    * DIV at the end.
+    *
+    * Scale shape: q268's — explode ×R, one (doc, label) count, a
+    * category-domain reduce, a 1-row finish.
+    */
+  def krippendorffAlpha(spark: SparkSession, sfDir: String): DataFrame = {
+    val raters = 3
+    val rated = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(array((1 to raters).map(lit): _*)).as("r"))
+      // rater 3 skips ~20% of items (md5-decided, oracle-replayed)
+      .where(!(col("r") === 3 &&
+        conv(substring(md5(concat(lit("skip:"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 10 < 2))
+      .select(col("doc_id"),
+        when(conv(substring(md5(concat(lit("rate:"),
+            col("doc_id").cast("string"), lit(":"), col("r").cast("string"))),
+            1, 15), 16, 10).cast("long") % 10 < col("r"),
+          langNext).otherwise(col("lang")).as("label"))
+    krippendorffFromRatings(rated)
+  }
+
+  /** The q368 statistic over any `(doc_id, label)` rating frame —
+    * split out so the spec can drive a hand matrix (including the
+    * single-rating exclusion arm the fixture never produces: raters
+    * 1 and 2 rate everything there, so m_u ≥ 2 always).
+    */
+  def krippendorffFromRatings(rated: DataFrame): DataFrame = {
+    val nic = rated.groupBy(col("doc_id"), col("label"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val perUnit = nic.groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("m_u"),
+        sum(col("c") * col("c")).cast("long").as("ssq"))
+    // items with a single rating are unpairable: excluded, counted
+    val pairable = perUnit.where(col("m_u") >= 2L)
+      .withColumn("do2",
+        expr("2 * (m_u * m_u - ssq) DIV (m_u - 1)").cast("long"))
+    val margins = nic
+      .join(pairable.select(col("doc_id")), Seq("doc_id"))
+      .groupBy(col("label"))
+      .agg(sum(col("c")).cast("long").as("n_c"))
+    val de = margins.agg(
+      sum(col("n_c")).cast("long").as("n"),
+      sum(col("n_c").cast("decimal(38,0)") * col("n_c")).as("sq_c"))
+    val doSum = pairable.agg(
+      sum(col("do2")).cast("decimal(38,0)").as("do2_sum"),
+      count(lit(1)).cast("long").as("n_items"))
+    val excluded = perUnit.where(col("m_u") <= 1L)
+      .agg(count(lit(1)).cast("long").as("n_excluded"))
+      .select(coalesce(col("n_excluded"), lit(0L)).as("n_excluded"))
+    doSum.crossJoin(broadcast(de)).crossJoin(broadcast(excluded))
+      .select(col("n_items"), col("n_excluded"), col("n"),
+        expr("""CAST(1000000 - (CAST(n - 1 AS DECIMAL(38,0)) * do2_sum
+             * 1000000 - PMOD(CAST(n - 1 AS DECIMAL(38,0)) * do2_sum
+             * 1000000, 2 * (CAST(n AS DECIMAL(38,0)) * n - sq_c)))
+             / (2 * (CAST(n AS DECIMAL(38,0)) * n - sq_c)) AS BIGINT)""")
+          .as("alpha_micro"))
+  }
+
+  /** The q370 driver entry: EARLY-STOPPING AUDIT — the
+    * patience-rule post-mortem every training-ops dashboard runs
+    * over its eval curves: for each run (user_id; step = arrival
+    * order, metric = value in exact cents, lower is better), where
+    * was the best step, when would patience-P early stopping have
+    * fired (first step ≥ P steps past the last strict improvement),
+    * and how many steps the run wasted past that point — the
+    * compute-savings number that decides whether to wire the rule
+    * into the trainer. Strict improvement against the running
+    * prefix minimum; a run that never triggers reports its full
+    * length with `stopped = false`.
+    *
+    * Scale shape: run-keyed windows only (arrival rank, prefix min,
+    * running last-improvement max) and one aggregate on the same
+    * key — a single exchange, per-run state bounded by run length.
+    */
+  def earlyStoppingAudit(
+      spark: SparkSession, sfDir: String, patience: Int = 5): DataFrame =
+    earlyStoppingAuditOn(Tables.load(spark, sfDir, "events"), patience)
+
+  /** The q370 core over any events-shaped frame `(user_id, ts,
+    * event_id, value)` — split out so the spec can pin a hand-built
+    * curve with a known patience firing point.
+    */
+  def earlyStoppingAuditOn(
+      events: DataFrame, patience: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .withColumn("step", row_number().over(w).cast("long"))
+      .withColumn("prev_min", min(col("cents")).over(prior))
+      .withColumn("improving",
+        col("prev_min").isNull || col("cents") < col("prev_min"))
+      .withColumn("last_imp",
+        max(when(col("improving"), col("step"))).over(run))
+      .withColumn("fire",
+        when(col("step") - col("last_imp") >= patience.toLong, col("step")))
+      .withColumn("run_min",
+        min(col("cents")).over(Window.partitionBy(col("user_id"))))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_steps"),
+        min(col("cents")).cast("long").as("best_cents"),
+        min(when(col("cents") === col("run_min"), col("step")))
+          .cast("long").as("best_step"),
+        min(col("fire")).cast("long").as("stop_step_raw"))
+      .withColumn("stopped", col("stop_step_raw").isNotNull)
+      .withColumn("stop_step",
+        coalesce(col("stop_step_raw"), col("n_steps")))
+      .drop("stop_step_raw")
+      .withColumn("steps_saved", col("n_steps") - col("stop_step"))
+  }
+
+  /** The q374 driver entry: PAIRED PERMUTATION TEST (sign-flip) —
+    * the assumption-free significance test for paired eval metrics
+    * (two models on the same prompts, two variants on the same
+    * users): no normality, no rank approximation (q276's
+    * Mann–Whitney is the UNPAIRED rank test) — just the exact
+    * randomization logic: under H₀ each pair's difference is
+    * sign-symmetric, so T = Σdᵢ is compared against R md5-derived
+    * sign-flip replicates (the cross-engine pseudo-randomness
+    * device — DuckDB replays the identical flips; a true RNG would
+    * be unfalsifiable under the differential gate). Pairs = users
+    * holding both arms (click vs view mean value per user, exact
+    * cents with per-term truncating DIV); p = (#{|T_r| ≥ |T|} + 1)
+    * / (R + 1) in micro — the add-one form that keeps p valid
+    * (Phipson & Smyth 2010).
+    *
+    * Scale shape: one user-keyed aggregate builds the diffs, the
+    * ×R explode lands on the bounded replicate domain (R rows out),
+    * one 1-row finish — map-side combine carries everything.
+    */
+  def permutationTest(
+      spark: SparkSession, sfDir: String, replicates: Int = 200): DataFrame = {
+    val diffs = Tables.load(spark, sfDir, "events")
+      .where(col("event_type").isin("click", "view"))
+      .groupBy(col("user_id"))
+      .agg(
+        expr("""CAST(SUM(CASE WHEN event_type = 'click'
+             THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END) DIV
+             NULLIF(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0)
+             AS BIGINT)""").as("click_cents"),
+        expr("""CAST(SUM(CASE WHEN event_type = 'view'
+             THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END) DIV
+             NULLIF(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0)
+             AS BIGINT)""").as("view_cents"))
+      .where(col("click_cents").isNotNull && col("view_cents").isNotNull)
+      .select(col("user_id"),
+        (col("click_cents") - col("view_cents")).as("d"))
+    val obs = diffs.agg(sum(col("d")).cast("long").as("t_obs"),
+      count(lit(1)).cast("long").as("n_pairs"))
+    val reps = diffs
+      .select(col("user_id"), col("d"),
+        explode(array((1 to replicates).map(lit): _*)).as("r"))
+      .withColumn("s",
+        when(conv(substring(md5(concat(lit("flip:"),
+          col("user_id").cast("string"), lit(":"), col("r").cast("string"))),
+          1, 15), 16, 10).cast("long") % 2 === 0L, 1L).otherwise(-1L))
+      .groupBy(col("r"))
+      .agg(sum(col("s") * col("d")).cast("long").as("t_r"))
+    reps.crossJoin(broadcast(obs))
+      .agg(max(col("n_pairs")).cast("long").as("n_pairs"),
+        max(col("t_obs")).cast("long").as("t_obs_cents"),
+        sum(when(abs(col("t_r")) >= abs(col("t_obs")), 1L).otherwise(0L))
+          .cast("long").as("n_extreme"))
+      .withColumn("n_replicates", lit(replicates.toLong))
+      .withColumn("p_micro",
+        expr(s"(n_extreme + 1) * 1000000 DIV ${replicates + 1}"))
+  }
 }

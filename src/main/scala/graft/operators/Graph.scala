@@ -340,4 +340,64 @@ object Graph {
       finally spark.catalog.dropTempView("graft_q137_edges")
     }
   }
+
+  /** The q365 driver entry: LICENSE PROPAGATION over the derivation
+    * DAG — the compliance rule behind every derived-work audit: a
+    * document's EFFECTIVE license is the most restrictive tier
+    * anywhere in its ancestry (a CC-BY summary of an
+    * all-rights-reserved article inherits the restriction), so tier
+    * must propagate along derivation edges before any
+    * license-filtered export. The fixture carries no derivation
+    * column, so edges come from the deterministic device shared
+    * verbatim with the oracle: doc d (d ≥ 3, d ≡ 0 mod 3) derives
+    * from parent d DIV 2 — parent < child guarantees acyclicity and
+    * chains are log-deep; own tier = ascii(last char of source) mod
+    * 4 (0 = permissive … 3 = restricted). Output per doc: own tier,
+    * effective tier (max over ancestors incl. self), ancestor count,
+    * and the `restricted` flag (effective > own — the docs an
+    * own-tier-only filter would wrongly export).
+    *
+    * Scale shape: frontier-climbing loop (q44's device) — each round
+    * joins only the still-unresolved frontier against the bounded
+    * parent map and absorbs the parent's tier; resolved rows leave
+    * the loop immediately, so round r touches only docs with ≥ r
+    * ancestors (geometrically shrinking — 1/3, 1/9, … of the corpus
+    * under the edge rule). The `rounds` cap is a canary, not a
+    * truncation: a `require` fails loudly if any pointer survives
+    * (depth ≤ log₂ max id, so 24 covers any BIGINT fixture this
+    * library reads). The oracle is the recursive-CTE twin.
+    */
+  def licensePropagation(
+      spark: SparkSession, sfDir: String, rounds: Int = 24): DataFrame = {
+    val base = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        (ascii(expr("right(source, 1)")) % 4).cast("long").as("own_tier"),
+        expr("CASE WHEN doc_id % 3 = 0 AND doc_id >= 3 " +
+          "THEN doc_id DIV 2 END").as("parent"))
+      .localCheckpoint(true) // read once per climbing round
+    val parents = base.select(col("doc_id").as("anc"),
+      col("own_tier").as("anc_tier"), col("parent").as("anc_parent"))
+    // seed with an empty correctly-shaped slice so an empty corpus
+    // still reduces to an empty frame instead of throwing
+    var done = Seq(base.where(lit(false)).select(col("doc_id"),
+      col("own_tier"), col("own_tier").as("eff_tier"), lit(0L).as("n_anc")))
+    var todo = base.select(col("doc_id"), col("own_tier"),
+      col("own_tier").as("eff_tier"), col("parent").as("anc"),
+      lit(0L).as("n_anc"))
+    for (_ <- 1 to rounds if !todo.isEmpty) {
+      done = done :+ todo.where(col("anc").isNull)
+        .select(col("doc_id"), col("own_tier"), col("eff_tier"),
+          col("n_anc"))
+      todo = todo.where(col("anc").isNotNull)
+        .join(parents, Seq("anc"))
+        .select(col("doc_id"), col("own_tier"),
+          greatest(col("eff_tier"), col("anc_tier")).as("eff_tier"),
+          col("anc_parent").as("anc"), (col("n_anc") + 1L).as("n_anc"))
+        .localCheckpoint(true)
+    }
+    require(todo.isEmpty,
+      "license chain deeper than the rounds canary — raise rounds")
+    done.reduce(_ unionByName _)
+      .withColumn("restricted", col("eff_tier") > col("own_tier"))
+  }
 }

@@ -3103,4 +3103,53 @@ object Relational {
         greatest(col("__off"), max(col("__v")).over(wIn)).cast("long"))
       .drop("__bk", "__v", "__off")
   }
+
+  /** The q373 driver entry: PAYLOAD SCHEMA-DRIFT AUDIT — the
+    * data-ops monitor over semi-structured event payloads (q103
+    * parses them; THIS watches their shape move): per day, the JSON
+    * key census of `props`, and per (day, key) the drift status
+    * against the PREVIOUS observed day — `added` (present today,
+    * absent yesterday), `dropped` (the reverse), `kept`, or
+    * `baseline` (the first day). A producer silently renaming a
+    * field is the classic upstream break every ingest pipeline
+    * wants surfaced the day it happens, not when a consumer crashes.
+    * The comparison runs on the DENSE day × key grid (q355's dense-
+    * grid lesson: a key that skips a day must read dropped-then-
+    * added, which a per-key lag over PRESENT rows alone would
+    * silently misread as consecutive days).
+    *
+    * Scale shape: one fact-scale (day, key) count; the day and key
+    * domains are bounded (retention window × payload schema), so
+    * the grid, its lag window, and the statuses never touch corpus
+    * scale again.
+    */
+  def schemaDrift(spark: SparkSession, sfDir: String): DataFrame =
+    schemaDriftOn(Tables.load(spark, sfDir, "events"))
+
+  /** The q373 core over any events-shaped frame `(ts, props)`. */
+  def schemaDriftOn(events: DataFrame): DataFrame = {
+    val counts = events
+      .select(to_date(col("ts")).as("day"),
+        explode(expr("json_object_keys(props)")).as("key"))
+      .groupBy(col("day"), col("key"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val days = counts.select(col("day")).distinct()
+      .withColumn("day_rank",
+        row_number().over(Window.orderBy(col("day").asc)).cast("long"))
+    val keys = counts.select(col("key")).distinct()
+    val grid = days.crossJoin(broadcast(keys))
+      .join(counts, Seq("day", "key"), "left")
+    val byKey = Window.partitionBy(col("key")).orderBy(col("day_rank").asc)
+    grid
+      .withColumn("n_prev", lag(col("n"), 1).over(byKey))
+      .withColumn("status",
+        when(col("day_rank") === 1L && col("n").isNotNull, "baseline")
+          .when(col("n").isNotNull && col("n_prev").isNull, "added")
+          .when(col("n").isNull && col("n_prev").isNotNull, "dropped")
+          .when(col("n").isNotNull && col("n_prev").isNotNull, "kept"))
+      .where(col("status").isNotNull)
+      .select(col("day"), col("day_rank"), col("key"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_prev"), lit(0L)).as("n_prev"), col("status"))
+  }
 }

@@ -1324,4 +1324,47 @@ object Similarity {
           expr("CAST(dcg_micro * 1000000 DIV idcg_micro AS BIGINT)"))
           .otherwise(-1L).cast("long"))
   }
+
+  /** The q372 driver entry: INT8 QUANTIZATION ERROR AUDIT — the
+    * per-channel report run before shipping a quantized embedding
+    * index (4× smaller than fp32; q299's sign bits are the 32×
+    * extreme): symmetric per-channel int8 with scale = maxabs/127,
+    * q = floor(x·127/maxabs + 0.5) — no clamp needed because
+    * |x| ≤ maxabs bounds q to [−127, 127] by construction — and the
+    * reconstruction error |x − q·maxabs/127| floored to micro
+    * PER ELEMENT before any sum (the q334 float discipline: a float
+    * Σ would be summation-order-dependent; integer sums of floored
+    * micros are order-free and hash-stable). Per channel: n, the
+    * channel's maxabs in micro, total/max/mean reconstruction error
+    * — the table that flags outlier-dominated channels where
+    * per-channel symmetric int8 is NOT enough (the argument for
+    * per-block scales).
+    *
+    * Scale shape: one posexplode pass computes the 64-row channel
+    * maxabs; the second pass joins that broadcast dim and floors
+    * per-element errors into a channel-domain aggregate — two
+    * linear scans, no corpus-sized shuffle (the exchange carries 64
+    * channels).
+    */
+  def int8QuantAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val elems = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
+      .select(col("vec_id"), col("i").cast("long").as("channel"),
+        col("xf").cast("double").as("x"))
+    val scales = elems.groupBy(col("channel"))
+      .agg(max(abs(col("x"))).as("maxabs"))
+    elems.join(broadcast(scales), Seq("channel"))
+      .withColumn("err_micro", expr(
+        """CAST(floor(1000000.0 * (CASE WHEN maxabs = 0.0 THEN 0.0
+             ELSE abs(x - (floor(x * 127.0 / maxabs + 0.5)
+                           * maxabs / 127.0)) END)) AS BIGINT)"""))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        expr("CAST(floor(1000000.0 * MAX(maxabs)) AS BIGINT)")
+          .as("maxabs_micro"),
+        sum(col("err_micro")).cast("long").as("total_err_micro"),
+        max(col("err_micro")).cast("long").as("max_err_micro"))
+      .withColumn("mean_err_nano",
+        expr("total_err_micro * 1000 DIV n"))
+  }
 }

@@ -3067,4 +3067,87 @@ object TextAnalysis {
       .withColumn("density_ppm",
         expr("n_directives * 1000000 DIV n_tokens"))
       .withColumn("flagged", col("density_ppm") > flagPpm)
+
+  /** The q360 driver entry: WORD-FERTILITY AUDIT — the
+    * tokenizer-efficiency report at the MIXTURE-TABLE grain: q238
+    * prices chars per token per LANGUAGE under the trained BPE merge
+    * table; this prices tokens per whitespace WORD (fertility — the
+    * metric quoted by the multilingual-tokenizer fairness
+    * literature) per (lang, source) CELL under the pre-tokenizer,
+    * the grain mixture reweighting actually operates on. A cell at
+    * 2–3× median fertility pays that factor in context window and
+    * compute for the same content. Ratios are
+    * corpus-grain integer ppm over the cell's SUMS (Σtok·10⁶ DIV
+    * Σwords — not a mean of per-doc ratios, which would weight a
+    * 3-word doc like a 3000-word one). Fertility ≥ 10⁶ by lexer
+    * construction: every non-empty whitespace word emits at least
+    * one BPE-ish token (spec-pinned law).
+    *
+    * Scale shape: embarrassingly parallel row-local counting (the
+    * q347 posture) into one aggregate on the bounded lang × source
+    * domain — a single map-side-combined exchange.
+    */
+  def wordFertility(spark: SparkSession, sfDir: String): DataFrame =
+    wordFertilityOn(Tables.load(spark, sfDir, "documents"))
+
+  /** The q360 core over any `(lang, source, text)` frame — split out
+    * so the spec can replay the fertility law on a synthetic
+    * punctuation-heavy doc through the SAME plan (the fixture's
+    * prose is near-1:1, which is itself the expected clean reading).
+    */
+  def wordFertilityOn(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), col("source"),
+        bpeTokenCount(col("text")).as("ntok"),
+        size(split(normalizedText(col("text")), " ")).cast("long")
+          .as("nwords"),
+        length(col("text")).cast("long").as("nchars"))
+      .where(col("ntok") >= 1L && col("nwords") >= 1L)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("ntok")).cast("long").as("n_tokens"),
+        sum(col("nwords")).cast("long").as("n_words"),
+        sum(col("nchars")).cast("long").as("n_chars"))
+      .withColumn("fertility_ppm",
+        expr("n_tokens * 1000000 DIV n_words"))
+      .withColumn("chars_per_token_ppm",
+        expr("n_chars * 1000000 DIV n_tokens"))
+
+  /** The q369 driver entry: UNSEEN-VOCABULARY ESTIMATORS — the
+    * "how much of this language's vocabulary have we NOT crawled
+    * yet" report that prioritizes scraping budget: per lang, the
+    * bias-corrected Chao1 richness floor
+    * D + f₁(f₁−1) DIV (2(f₂+1)) (Chao 1984 — the abundance-based
+    * lower bound on total species from singleton/doubleton counts;
+    * the +1 form is exact-integer and defined even at f₂ = 0) and
+    * the Good–Turing unseen-probability mass f₁/N in ppm (the
+    * chance the NEXT crawled word is novel). q311's Heaps curve
+    * shows the growth TRAJECTORY; these estimate the DESTINATION.
+    * Words are the normalized whitespace vocabulary (q41's
+    * convention).
+    *
+    * Scale shape: one fact-scale (lang, word) count — the same
+    * exchange any vocabulary pass pays — then a lang-domain
+    * aggregate over frequency-of-frequency classes; nothing else
+    * shuffles.
+    */
+  def unseenVocab(spark: SparkSession, sfDir: String): DataFrame =
+    unseenVocabOn(Tables.load(spark, sfDir, "documents"))
+
+  /** The q369 core over any `(lang, text)` frame. */
+  def unseenVocabOn(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"),
+        explode(split(normalizedText(col("text")), " ")).as("w"))
+      .where(length(col("w")) >= 1)
+      .groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("distinct_words"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).cast("long").as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).cast("long").as("f2"))
+      .withColumn("chao1_est",
+        expr("distinct_words + f1 * (f1 - 1) DIV (2 * (f2 + 1))"))
+      .withColumn("unseen_mass_ppm", expr("f1 * 1000000 DIV n_tokens"))
 }

@@ -2324,4 +2324,281 @@ object TrainingPrep {
       .withColumn("insert_at",
         (col("start_offset") + col("doc_pos")).cast("long"))
   }
+
+  /** The q362 driver entry: SFT UNROLLING-COST AUDIT — the
+    * quadratic-context accounting behind the "pack multi-turn chats,
+    * don't unroll them" rule: unrolling a conversation of turns
+    * t₁…tₙ into one training sample per assistant turn reprocesses
+    * every prefix (sample at position p costs Σ|t₁..tₚ| tokens), so
+    * unrolled token mass = Σ_{assistant p} prefix(p) — up to
+    * n_samples× the packed mass of training the conversation ONCE
+    * with a loss mask on user turns. Per conversation (q33's
+    * gap-sessionized event stream; roles alternate user/assistant
+    * by turn parity, per-turn token proxy = the `k` payload field):
+    * turn/sample counts, packed vs trained vs unrolled token mass,
+    * and the overhead in ppm of packed. Laws (spec-pinned):
+    * trained ≤ packed, trained ≤ unrolled ≤ n_samples·packed, and
+    * a 2-turn conversation unrolls to exactly its packed mass.
+    *
+    * Scale shape: two user-keyed windows (session index, then
+    * position/prefix within conversation) and one aggregate, all on
+    * the SAME user-anchored key — a single exchange reused three
+    * times (q87's posture); per-user state is bounded by that
+    * user's history, never corpus-wide.
+    */
+  def sftUnrollCost(
+      spark: SparkSession, sfDir: String,
+      gapSeconds: Long = 1800L): DataFrame =
+    sftUnrollCostOn(Tables.load(spark, sfDir, "events"), gapSeconds)
+
+  /** The q362 core over any events-shaped frame `(user_id, ts,
+    * event_id, props)` — split out so the spec can hand-build a
+    * conversation with known prefix sums through the SAME plan.
+    */
+  def sftUnrollCostOn(
+      events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val running = order.rowsBetween(Window.unboundedPreceding, 0)
+    val turns = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"),
+          lit(0L)).as("tok"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(order))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapSeconds * 1000000L,
+          1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_sess")).over(running))
+    val conv = Window.partitionBy(col("user_id"), col("session_idx"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val convRun = conv.rowsBetween(Window.unboundedPreceding, 0)
+    turns
+      .withColumn("pos", row_number().over(conv).cast("long"))
+      .withColumn("prefix_tok", sum(col("tok")).over(convRun).cast("long"))
+      .withColumn("is_target", col("pos") % 2L === 0L)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).cast("long").as("n_turns"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).cast("long")
+          .as("n_samples"),
+        sum(col("tok")).cast("long").as("packed_tokens"),
+        sum(when(col("is_target"), col("tok")).otherwise(0L)).cast("long")
+          .as("trained_tokens"),
+        sum(when(col("is_target"), col("prefix_tok")).otherwise(0L))
+          .cast("long").as("unrolled_tokens"))
+      .where(col("n_samples") >= 1L && col("packed_tokens") >= 1L)
+      .withColumn("overhead_ppm",
+        expr("unrolled_tokens * 1000000 DIV packed_tokens"))
+      .withColumn("trained_ppm",
+        expr("trained_tokens * 1000000 DIV packed_tokens"))
+  }
+
+  /** The q363 driver entry: MERKLE SHARD MANIFEST — the
+    * content-integrity tree a reproducible corpus release publishes
+    * beside q312's offset index and q315's datasheet: leaf = md5 of
+    * each doc's normalized text (the exact-dedup key, q-fingerprint
+    * convention), shard digest = md5 of the doc-id-ordered
+    * concatenation of its leaves (shard = doc_id DIV `shardDocs`,
+    * the key-range layout of q310), root = md5 of the
+    * shard-id-ordered concatenation of shard digests. The tree is
+    * what makes re-verification INCREMENTAL: a consumer re-hashes
+    * only the shard whose bytes changed and checks it against the
+    * root — the spec's tamper tripwire pins that editing one doc
+    * moves exactly its own shard's digest (and the root) and no
+    * other's. One row per shard, root columns attached to every row.
+    *
+    * Scale shape: per-shard state is bounded by the constant shard
+    * size (collect_list inside a shard-keyed aggregate — never
+    * corpus-wide); the root folds the shard-digest table, which is
+    * n_docs/shardDocs rows. At 100 TB the two-level tree generalizes
+    * to k levels by re-applying the same shard fold on shard ids —
+    * each level shrinks the table by the fan-out, exactly a
+    * treeAggregate (q06's device) over digests.
+    */
+  def merkleManifest(
+      spark: SparkSession, sfDir: String, shardDocs: Long = 64L): DataFrame =
+    merkleManifestOn(Tables.load(spark, sfDir, "documents"), shardDocs)
+
+  /** The q364 driver entry: LENGTH-HISTOGRAM TRANSPORT PLAN — the
+    * 1D optimal-transport move plan that takes the corpus's length
+    * distribution to a target shape (uniform over the observed
+    * buckets, Hamilton-rounded — q302's quota device): on an ORDERED
+    * domain the optimal plan is unique and closed-form, flow across
+    * the boundary right of bucket b = Σ_{i≤b}(current_i − target_i)
+    * (positive = mass moves up-bucket), and total work Σ|flow| is
+    * the exact minimum unit-moves — the number every
+    * rebalance-by-truncation/padding/resampling job quotes before
+    * deciding the rebalance is worth it. q355 prices the DISTANCE
+    * (t-closeness EMD); this emits the PLAN. Conservation laws
+    * spec-pinned: Σtarget = Σcurrent and the last boundary's flow is
+    * exactly zero.
+    *
+    * Scale shape: one fact-scale bucket count; the rank window,
+    * prefix sum, and work fold all live on the bounded bucket
+    * domain (max n_chars DIV bucketChars rows — the partition-less
+    * windows here order ~10 rows, never the corpus).
+    */
+  def lengthTransportPlan(
+      spark: SparkSession, sfDir: String, bucketChars: Long = 64L): DataFrame =
+    lengthTransportPlanOn(Tables.load(spark, sfDir, "documents"), bucketChars)
+
+  /** The q364 core over any frame with an `n_chars` column. */
+  def lengthTransportPlanOn(
+      docs: DataFrame, bucketChars: Long = 64L): DataFrame = {
+    require(bucketChars >= 1L, "bucket width is a positive char count")
+    val cur = docs
+      .select(expr(s"n_chars DIV $bucketChars").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("current"))
+    val tot = cur.agg(sum(col("current")).cast("long").as("n"),
+      count(lit(1)).cast("long").as("m"))
+    val wAsc = Window.orderBy(col("bucket").asc)
+    val planned = cur.crossJoin(broadcast(tot))
+      .withColumn("rk", row_number().over(wAsc).cast("long"))
+      .withColumn("target",
+        expr("n DIV m + CASE WHEN rk <= n % m THEN 1 ELSE 0 END")
+          .cast("long"))
+      .withColumn("cum_flow",
+        sum(col("current") - col("target"))
+          .over(wAsc.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("long"))
+      .select(col("bucket"), col("current"), col("target"), col("cum_flow"))
+    val work = planned
+      .agg(sum(abs(col("cum_flow"))).cast("long").as("total_work"))
+    planned.crossJoin(broadcast(work))
+  }
+
+  /** The q367 driver entry: TAKEDOWN IMPACT MANIFEST — the
+    * compliance question every licensed corpus answers under a
+    * robots/opt-out/GDPR takedown: when these sources leave, which
+    * SHARDS are touched (and must re-hash under q363's Merkle tree,
+    * re-pack under q312's offsets) and which are untouched — the
+    * whole point of key-range sharding is that a takedown's blast
+    * radius is enumerable, not "re-export everything". Opt-out set
+    * = the `optOutN` lexicographically-first sources (deterministic
+    * stand-in for the legal list, derived in-plan so the oracle
+    * shares it). Per shard (q363's doc_id DIV `shardDocs` layout):
+    * doc/token counts, removed doc/token counts, the touched flag;
+    * global columns: shards touched and the corpus-wide removed
+    * token share in ppm.
+    *
+    * Scale shape: the opt-out dimension is bounded (sources) and
+    * broadcast; one shard-keyed aggregate over the fact scan; the
+    * global fold runs on the n/shardDocs-row shard table.
+    */
+  def takedownImpact(
+      spark: SparkSession, sfDir: String,
+      shardDocs: Long = 64L, optOutN: Int = 2): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val opt = docs.select(col("source")).distinct()
+      .withColumn("srk",
+        row_number().over(Window.orderBy(col("source").asc)).cast("long"))
+      .where(col("srk") <= optOutN.toLong)
+      .select(col("source"), lit(true).as("opt_out"))
+    val shards = docs
+      .select(expr(s"doc_id DIV $shardDocs").as("shard_id"), col("source"),
+        TextAnalysis.bpeTokenCount(col("text")).as("ntok"))
+      .join(broadcast(opt), Seq("source"), "left")
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("ntok")).cast("long").as("tokens_total"),
+        sum(when(col("opt_out"), 1L).otherwise(0L)).cast("long")
+          .as("docs_removed"),
+        sum(when(col("opt_out"), col("ntok")).otherwise(0L)).cast("long")
+          .as("tokens_removed"))
+      .withColumn("touched", col("docs_removed") >= 1L)
+    val glob = shards.agg(
+      sum(when(col("touched"), 1L).otherwise(0L)).cast("long")
+        .as("n_shards_touched"),
+      expr("CAST(SUM(tokens_removed) * 1000000 DIV SUM(tokens_total) AS BIGINT)")
+        .as("removed_ppm"))
+    shards.crossJoin(broadcast(glob))
+  }
+
+  /** The q371 driver entry: CONTRASTIVE NEGATIVE-SAMPLING MANIFEST —
+    * the deterministic negatives table an embedding-training job
+    * materializes beside q303's cluster-disjoint batches: for each
+    * anchor doc, k pseudo-random negatives drawn by md5-derived
+    * offsets over the contiguous id domain (offset ∈ [1, n−1] ⇒
+    * never the anchor itself — collision-free by construction, no
+    * rejection loop), then CROSS-SOURCE filtered (a same-feed
+    * "negative" is too often boilerplate or a near-dup — a false
+    * negative that actively hurts the contrastive objective). Each
+    * anchor emits m > k candidates and keeps the first k surviving
+    * the source filter in candidate order; `n_kept` reports anchors
+    * left short (never silently padded). Determinism = the whole
+    * manifest is reproducible from the corpus alone — the q23/q31
+    * md5 portability device, so the oracle replays the exact draw.
+    *
+    * Scale shape: explode ×m (constant), one id-keyed join to pull
+    * negative metadata, one anchor-keyed rank window — all linear;
+    * the id-domain guard (`require` max id = n−1) fails loudly if
+    * the corpus isn't contiguously keyed rather than skewing draws.
+    */
+  def negativeSamples(
+      spark: SparkSession, sfDir: String,
+      k: Int = 4, m: Int = 8): DataFrame =
+    negativeSamplesOn(Tables.load(spark, sfDir, "documents"), k, m)
+
+  /** The q371 core over any `(doc_id, source)` frame — split out so
+    * the spec can drive a tiny corpus where the cross-source filter
+    * genuinely leaves anchors short of k.
+    */
+  def negativeSamplesOn(
+      frame: DataFrame, k: Int = 4, m: Int = 8): DataFrame = {
+    require(m >= k && k >= 1, "need m >= k >= 1 candidates")
+    val docs = frame.select(col("doc_id"), col("source"))
+    val bounds = docs.agg(count(lit(1)).cast("long").as("n"),
+      max(col("doc_id")).cast("long").as("mx")).head()
+    val n = bounds.getLong(0)
+    require(n == 0L || (n >= 2L && bounds.getLong(1) == n - 1L),
+      "negative sampling assumes >= 2 contiguous doc ids [0, n)")
+    val cand = docs
+      .select(col("doc_id").as("anchor_id"), col("source").as("anchor_src"),
+        explode(array((1 to m).map(lit): _*)).as("j"))
+      .withColumn("off",
+        conv(substring(md5(concat(lit("neg:"),
+          col("anchor_id").cast("string"), lit(":"),
+          col("j").cast("string"))), 1, 15), 16, 10).cast("long")
+          % lit(n - 1L) + 1L)
+      .withColumn("neg_id",
+        pmod(col("anchor_id") + col("off"), lit(n)).cast("long"))
+    val negs = cand
+      .join(docs.select(col("doc_id").as("neg_id"),
+        col("source").as("neg_src")), Seq("neg_id"))
+      .where(col("neg_src") =!= col("anchor_src"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("anchor_id")).orderBy(col("j").asc))
+        .cast("long"))
+      .where(col("rank") <= k.toLong)
+      .select(col("anchor_id"), col("rank"), col("neg_id"), col("neg_src"))
+    val kept = negs.groupBy(col("anchor_id"))
+      .agg(count(lit(1)).cast("long").as("n_kept"))
+    negs.join(kept, Seq("anchor_id"))
+  }
+
+  /** The q363 core over any `(doc_id, text)` frame. */
+  def merkleManifestOn(docs: DataFrame, shardDocs: Long = 64L): DataFrame = {
+    require(shardDocs >= 1L, "shard size is a positive doc count")
+    val shards = docs
+      .select(expr(s"doc_id DIV $shardDocs").as("shard_id"), col("doc_id"),
+        md5(TextAnalysis.normalizedText(col("text"))).as("leaf"),
+        length(col("text")).cast("long").as("nch"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("nch")).cast("long").as("n_chars"),
+        array_sort(collect_list(struct(col("doc_id").as("d"),
+          col("leaf").as("l")))).as("ls"))
+      .withColumn("shard_digest",
+        md5(expr("array_join(transform(ls, x -> x.l), '')")))
+      .drop("ls")
+    val root = shards
+      .groupBy()
+      .agg(count(lit(1)).cast("long").as("n_shards"),
+        array_sort(collect_list(struct(col("shard_id").as("s"),
+          col("shard_digest").as("g")))).as("gs"))
+      .select(col("n_shards"),
+        md5(expr("array_join(transform(gs, x -> x.g), '')")).as("root_digest"))
+    shards.crossJoin(broadcast(root))
+  }
 }

@@ -403,7 +403,61 @@ object ScalingProbe {
       "q358_truncation_loss" -> (d =>
         graft.operators.TrainingPrep.truncationLoss(spark, d)),
       "q359_effective_waterfill" -> (d =>
-        graft.operators.TrainingPrep.effectiveWaterfill(spark, d)))
+        graft.operators.TrainingPrep.effectiveWaterfill(spark, d)),
+      // q360/q361 are row-local counting into bounded-domain
+      // aggregates; q362 is user-keyed windows (per-user state only);
+      // q363 is a shard-keyed fold with constant per-shard state
+      "q360_word_fertility" -> (d =>
+        graft.operators.TextAnalysis.wordFertility(spark, d)),
+      "q361_toxicity_gate" -> (d =>
+        graft.operators.CleanPipeline.toxicityGate(spark, d)),
+      "q362_sft_unroll_cost" -> (d =>
+        graft.operators.TrainingPrep.sftUnrollCost(spark, d)),
+      "q363_merkle_manifest" -> (d =>
+        graft.operators.TrainingPrep.merkleManifest(spark, d)),
+      // q364 is one bucket count + bounded-domain windows; q365's
+      // frontier shrinks geometrically (1/3, 1/9, … have parents);
+      // q366 is one count onto the task domain; q367 one shard-keyed
+      // aggregate with a broadcast opt-out dim
+      "q364_transport_plan" -> (d =>
+        graft.operators.TrainingPrep.lengthTransportPlan(spark, d)),
+      "q365_license_propagation" -> (d =>
+        graft.operators.Graph.licensePropagation(spark, d)),
+      "q366_wilson_gate" -> (d =>
+        graft.operators.Experiment.wilsonGate(spark, d)),
+      "q367_takedown_impact" -> (d =>
+        graft.operators.TrainingPrep.takedownImpact(spark, d)),
+      // q368 explodes x3 into one (doc,label) count + a 5-row finish;
+      // q369 is one (lang, word) count; q370 is user-keyed windows;
+      // q371 explodes x8 into an id-keyed join + anchor-keyed rank
+      "q368_krippendorff" -> (d =>
+        graft.operators.Experiment.krippendorffAlpha(spark, d)),
+      "q369_unseen_vocab" -> (d =>
+        graft.operators.TextAnalysis.unseenVocab(spark, d)),
+      "q370_early_stopping" -> (d =>
+        graft.operators.Experiment.earlyStoppingAudit(spark, d)),
+      // the probe's copies occupy disjoint id ranges (c*10^7 + orig),
+      // which the operator's contiguity guard rejects BY DESIGN —
+      // re-key densely (copy c -> [c*nDocs, (c+1)*nDocs)) so the
+      // probe measures the draw/join/rank path, not the guard
+      "q371_negative_samples" -> (d =>
+        graft.operators.TrainingPrep.negativeSamplesOn(
+          spark.read.parquet(s"$d/documents.parquet")
+            .select((expr("doc_id DIV 10000000") * lit(nDocs)
+              + col("doc_id") % lit(10000000L)).cast("long").as("doc_id"),
+              col("source")))),
+      // q372 is two linear scans into a 64-row channel domain; q373
+      // one (day,key) count + bounded grid; q374 one user-keyed agg
+      // + x200 explode onto the replicate domain; q375 one scored
+      // scan into the source domain
+      "q372_int8_quant" -> (d =>
+        graft.operators.Similarity.int8QuantAudit(spark, d)),
+      "q373_schema_drift" -> (d =>
+        graft.operators.Relational.schemaDrift(spark, d)),
+      "q374_permutation_test" -> (d =>
+        graft.operators.Experiment.permutationTest(spark, d)),
+      "q375_filter_curve" -> (d =>
+        graft.operators.CleanPipeline.filterOperatingCurve(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))

@@ -308,4 +308,65 @@ class CleanPipelineSpec extends AnyFunSuite {
     // small cells genuinely diverge from the global mix
     assert(got.exists(_._2._2 > 0L), "every cell matches globally - vacuous")
   }
+
+  test("q361 toxicity gate: planted docs score exactly; fixture is organically clean") {
+    // the fixture corpus never contains lexicon words — that's the
+    // expected clean-corpus reading, and it must NOT quarantine
+    val clean = CleanPipeline.toxicityGate(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(clean.nonEmpty)
+    assert(clean.forall(t => t._4 == 0L && t._5 == 0L && !t._7),
+      "organic fixture should be hit-free")
+    // planted corpus through the SAME core: multiplicity, weighting,
+    // per-doc flag, and the source-grain quarantine all exact.
+    // bad: "kill kill hate" = hits 3, score 3+3+2=8, 3 words
+    //      -> score_ppm 2_666_666 > 20_000 -> flagged
+    //      "Stupid idiot!" normalizes to "stupid idiot!" — "idiot!"
+    //      is NOT a whole-word hit (word equality, not substring):
+    //      hits 1, score 1, 2 words -> 500_000 ppm -> flagged
+    // ok:  "the data pipeline runs" + "kill" x1 in a 50-word doc
+    //      -> score_ppm 3*1e6/50 = 60_000 > 20_000 -> flagged, but
+    //      the source's OTHER 19 docs are clean -> 50_000 ppm share
+    //      -> below the 100_000 quarantine bar
+    val okDocs = (1 to 19).map(i =>
+      (100L + i, "ok", ("spark " * 10).trim)) :+
+      (120L, "ok", (("spark " * 49).trim + " kill"))
+    val docs = (Seq(
+      (1L, "bad", "kill kill hate"),
+      (2L, "bad", "Stupid idiot!")) ++ okDocs)
+      .toDF("doc_id", "source", "text")
+    val got = CleanPipeline.toxicityGateOn(docs).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(got("bad") == ((2L, 2L, 4L, 9L, 1000000L, true)),
+      s"bad source wrong: ${got("bad")}")
+    assert(got("ok") == ((20L, 1L, 1L, 3L, 50000L, false)),
+      s"ok source wrong: ${got("ok")}")
+  }
+
+  test("q375 filter curve: threshold-0 keeps all; monotone tradeoff laws") {
+    val rows = CleanPipeline.filterOperatingCurve(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8)))
+    assert(rows.nonEmpty)
+    // threshold 0 is the identity filter (scores are nonnegative)
+    rows.filter(_._2 == 0L).foreach { t =>
+      assert(t._5 == t._3 && t._6 == t._4 && t._7 == 1000000L)
+    }
+    rows.groupBy(_._1).values.foreach { g =>
+      val byT = g.sortBy(_._2)
+      // kept docs and kept tokens can only shrink as the bar rises
+      byT.map(_._5).sliding(2).foreach(p => assert(p.head >= p.last))
+      byT.map(_._6).sliding(2).foreach(p => assert(p.head >= p.last))
+      // survivors' mean quality can only rise (where anything is kept)
+      byT.map(_._9).filter(_ >= 0L).sliding(2)
+        .foreach(p => if (p.length == 2) assert(p.head <= p.last))
+    }
+    // the grid genuinely discriminates somewhere: the top bar drops
+    // documents for at least one source
+    assert(rows.filter(_._2 == 300000L).exists(t => t._5 < t._3),
+      "top threshold filters nothing - vacuous")
+  }
 }

@@ -1357,4 +1357,121 @@ class ExperimentSpec extends AnyFunSuite {
           plan.take(4000))
     }
   }
+
+  test("q366 wilson gate equals a double replay; interval laws") {
+    val ev = spark.read
+      .parquet(s"${SparkTestSession.sf}/events.parquet")
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def wilson(k: Long, n: Long, sign: Double): Long = {
+      val p = k.toDouble / n
+      val b = (p + 3.8416 / (2.0 * n) +
+        sign * 1.96 * math.sqrt((p * (1.0 - p) + 3.8416 / (4.0 * n)) / n)) /
+        (1.0 + 3.8416 / n)
+      math.floor(1000000.0 * b).toLong
+    }
+    val want = ev.groupBy(_._1).map { case (t, g) =>
+      val (n, k) = (g.length.toLong, g.count(_._2 > 50.0).toLong)
+      t -> (n, k, k * 1000000L / n, wilson(k, n, -1.0), wilson(k, n, 1.0))
+    }
+    val got = Experiment.wilsonGate(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))))
+    assert(got.length == want.size)
+    got.foreach { case (t, (n, k, rate, lo, hi, gate)) =>
+      assert((n, k, rate, lo, hi) == want(t), s"task $t")
+      // the score interval brackets the point estimate (floored micro
+      // bounds can touch it but never cross)
+      assert(lo <= rate && rate <= hi + 1L, s"task $t bracket")
+      assert(gate == (lo > 333333L))
+    }
+    // both gate arms fire on the fixture (value > 50 splits tasks)
+    assert(got.exists(_._2._6) && got.exists(!_._2._6),
+      "gate is vacuous on this fixture")
+  }
+
+  test("q368 krippendorff alpha: hand matrix with exclusion; fixture sanity") {
+    import spark.implicits._
+    // units: [a,a] agree, [a,b] disagree, [b,b,b] agree, [a] excluded
+    // do2 = 0 + 4 + 0; margins a=3, b=4, n=7, sq=25
+    // alpha = 1 - 6*4 / (2*(49-25)) = 1/2 exactly
+    val rated = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "b"), (3L, "b"), (3L, "b"), (4L, "a")).toDF("doc_id", "label")
+    val r = Experiment.krippendorffFromRatings(rated).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 1L, 7L, 500000L)))
+    // perfect agreement reads exactly 1.0
+    val perfect = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))
+      .toDF("doc_id", "label")
+    assert(Experiment.krippendorffFromRatings(perfect)
+      .collect().head.getLong(3) == 1000000L)
+    // fixture: raters 1/2 rate everything, so nothing is excluded;
+    // the noisy raters keep alpha strictly inside (0, 1)
+    val fx = Experiment.krippendorffAlpha(spark, sf).collect().head
+    assert(fx.getLong(1) == 0L)
+    assert(fx.getLong(3) > 0L && fx.getLong(3) < 1000000L)
+  }
+
+  test("q370 early stopping: hand curve fires at patience; fixture laws") {
+    import spark.implicits._
+    val mk = (uid: Long, vs: Seq[Double], base: Long) => vs.zipWithIndex.map {
+      case (v, i) => (uid, java.sql.Timestamp.valueOf(
+        s"2026-01-01 10:0${i / 10}:${i % 10}0"), base + i, v)
+    }
+    val ev = (mk(1L, Seq(0.50, 0.40, 0.41, 0.42, 0.43, 0.44, 0.45, 0.35), 1L)
+      ++ mk(2L, Seq(0.80, 0.70, 0.60, 0.50, 0.40, 0.30, 0.20, 0.10), 11L))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = Experiment.earlyStoppingAuditOn(ev).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getLong(5), r.getLong(6)))).toMap
+    // run 1: improvements at steps 1,2,8; patience-5 fires at step 7
+    // (7 - 2 = 5) BEFORE the true best lands at step 8 — the classic
+    // early-stopping miss, reported honestly (best_step > stop_step)
+    assert(got(1L) == ((8L, 35L, 8L, true, 7L, 1L)))
+    // run 2: strictly improving, never fires
+    assert(got(2L) == ((8L, 10L, 8L, false, 8L, 0L)))
+    // fixture-wide laws
+    val fx = Experiment.earlyStoppingAudit(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getLong(5), r.getLong(6)))
+    assert(fx.nonEmpty)
+    fx.foreach { case (n, _, best, stopped, stop, saved) =>
+      assert(best >= 1L && best <= n && stop <= n && saved == n - stop)
+      if (stopped) assert(stop >= 6L) // patience 5 needs >= 6 steps
+      else assert(saved == 0L)
+    }
+    assert(fx.exists(_._4), "no run ever triggers patience - vacuous")
+  }
+
+  test("q374 permutation test equals an md5 replay; p is valid") {
+    def md5head(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(15), 16)
+    val ev = spark.read.parquet(s"${SparkTestSession.sf}/events.parquet")
+      .select("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .filter(t => t._2 == "click" || t._2 == "view")
+    val diffs = ev.groupBy(_._1).flatMap { case (u, g) =>
+      def mean(t: String): Option[Long] = {
+        val cs = g.filter(_._2 == t)
+          .map(e => math.floor(e._3 * 100.0 + 0.5).toLong)
+        if (cs.isEmpty) None else Some(cs.sum / cs.length)
+      }
+      for (c <- mean("click"); v <- mean("view")) yield (u, c - v)
+    }.toSeq
+    val tObs = diffs.map(_._2).sum
+    val extreme = (1 to 200).count { r =>
+      val tR = diffs.map { case (u, d) =>
+        if (md5head(s"flip:$u:$r") % 2L == 0L) d else -d
+      }.sum
+      math.abs(tR) >= math.abs(tObs)
+    }
+    val got = Experiment.permutationTest(spark, sf).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) == ((diffs.length.toLong, tObs, extreme.toLong, 200L,
+      (extreme + 1L) * 1000000L / 201L)))
+    // add-one p is valid: never zero, never above one
+    assert(got.getLong(4) >= 1000000L / 201L && got.getLong(4) <= 1000000L)
+  }
 }

@@ -182,4 +182,36 @@ class GraphSpec extends AnyFunSuite {
     assert(got.map(_._3).distinct.length > 1,
       "core numbers must discriminate on the fixture")
   }
+
+  test("q365 license propagation equals a recursive replay; monotone laws") {
+    val base = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1).last.toInt.toLong % 4L))
+      .toMap
+    def climb(d: Long): (Long, Long) = { // (effTier, nAnc)
+      var (cur, tier, n) = (d, base(d), 0L)
+      while (cur % 3L == 0L && cur >= 3L) {
+        cur = cur / 2L
+        tier = math.max(tier, base(cur))
+        n += 1L
+      }
+      (tier, n)
+    }
+    val want = base.keys.map(d =>
+      d -> (base(d), climb(d)._1, climb(d)._2)).toMap
+    val got = Graph.licensePropagation(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))))
+    assert(got.length == base.size, "every doc must resolve exactly once")
+    got.foreach { case (d, (own, eff, n, restricted)) =>
+      assert((own, eff, n) == want(d), s"doc $d")
+      assert(eff >= own && restricted == (eff > own))
+      if (n == 0L) assert(eff == own, "rootless doc must keep its tier")
+    }
+    // the fixture exercises real inheritance: someone is restricted by
+    // an ancestor, and chains genuinely nest (depth >= 2 somewhere)
+    assert(got.exists(_._2._4), "no doc inherits a restriction - vacuous")
+    assert(got.exists(_._2._3 >= 2L), "no grandparent chain - vacuous")
+  }
 }

@@ -1573,4 +1573,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("bucket expression evaluated to NULL")),
       s"unexpected failure: $e")
   }
+
+  test("q373 schema drift: planted add/drop/skip-a-day; fixture is drift-free") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // fixture payloads carry exactly {"k"} every day: baseline day 1,
+    // kept everywhere after — the drift-free reading
+    val fx = Relational.schemaDrift(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getString(5)))
+    assert(fx.nonEmpty && fx.forall(_._2 == "k"))
+    fx.foreach { case (rank, _, status) =>
+      assert(status == (if (rank == 1L) "baseline" else "kept"))
+    }
+    // planted drift through the SAME core: key a lives days 1-2 then
+    // drops; b appears day 2; c skips day 2 entirely — the dense grid
+    // must read c as dropped-then-added, not as consecutive presence
+    def ev(day: Int, props: String) = (
+      java.sql.Timestamp.valueOf(f"2026-02-0$day%d 09:00:00"), props)
+    val planted = Seq(
+      ev(1, """{"a": 1, "c": 1}"""),
+      ev(2, """{"a": 2, "b": 1}"""),
+      ev(3, """{"b": 2, "c": 2}"""))
+      .toDF("ts", "props")
+    val got = Relational.schemaDriftOn(planted).collect()
+      .map(r => ((r.getLong(1), r.getString(2)), r.getString(5))).toMap
+    assert(got == Map(
+      (1L, "a") -> "baseline", (1L, "c") -> "baseline",
+      (2L, "a") -> "kept", (2L, "b") -> "added", (2L, "c") -> "dropped",
+      (3L, "a") -> "dropped", (3L, "b") -> "kept", (3L, "c") -> "added"))
+  }
 }

@@ -759,4 +759,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.map(_._3).sum > 0L)
     assert(got.map(_._3).sum < got.map(_._2).sum)
   }
+
+  test("q372 int8 quant audit equals a double replay; error bound law") {
+    val vecs = spark.read
+      .parquet(s"${SparkTestSession.sf}/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dims = vecs.head.length
+    val want = (0 until dims).map { c =>
+      val xs = vecs.map(_(c))
+      val maxabs = xs.map(math.abs).max
+      val errs = xs.map { x =>
+        val e = if (maxabs == 0.0) 0.0
+        else math.abs(x - math.floor(x * 127.0 / maxabs + 0.5) * maxabs / 127.0)
+        math.floor(1000000.0 * e).toLong
+      }
+      (c.toLong, (xs.length.toLong, math.floor(1000000.0 * maxabs).toLong,
+        errs.sum, errs.max, errs.sum * 1000L / xs.length))
+    }.toMap
+    val got = Similarity.int8QuantAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == want)
+    // symmetric int8 rounds to the nearest level: the per-element
+    // error is at most scale/2 = maxabs/254 (+1 micro of floor slack)
+    got.foreach { case (c, (_, maxabsMicro, _, maxErr, _)) =>
+      assert(maxErr <= maxabsMicro / 254L + 1L, s"channel $c beyond half-scale")
+    }
+    // quantization genuinely loses something on real floats
+    assert(got.values.map(_._3).sum > 0L, "zero total error - vacuous")
+  }
 }

@@ -1524,5 +1524,69 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(hit.get._2 == 2L && hit.get._3 == "feedA",
       "carrier census wrong: feedA holds 8 copies vs feedB's 5")
   }
+
+  test("q360 word fertility equals a replay; fertility law >= 1e6") {
+    val spark = SparkTestSession.spark
+    val sf = SparkTestSession.sf
+    val pat = TextAnalysis.bpeTokenPattern.r
+    val rows = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select("lang", "source", "text").collect()
+      .map { r =>
+        val text = r.getString(2)
+        val norm = text.trim.toLowerCase.replaceAll("\\s+", " ")
+        ((r.getString(0), r.getString(1)),
+          (pat.findAllIn(text).length.toLong,
+            norm.split(" ", -1).length.toLong,
+            text.codePointCount(0, text.length).toLong))
+      }
+      .filter { case (_, (tok, w, _)) => tok >= 1L && w >= 1L }
+    val want = rows.groupBy(_._1).map { case ((l, s), g) =>
+      val (tok, w, ch) =
+        (g.map(_._2._1).sum, g.map(_._2._2).sum, g.map(_._2._3).sum)
+      (l, s, g.length.toLong, tok, w, ch,
+        tok * 1000000L / w, ch * 1000000L / tok)
+    }.toSet
+    val got = TextAnalysis.wordFertility(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+    assert(got == want)
+    // lexer law: every whitespace word emits >= 1 BPE-ish token
+    assert(got.forall(_._7 >= 1000000L), "fertility below 1:1 is impossible")
+    // a punctuation-heavy doc through the SAME plan pays real fertility:
+    // "don't stop, won't stop." = 4 words, 10 tokens
+    val heavy = TextAnalysis.wordFertilityOn(
+      Seq(("xx", "synth", "don't stop, won't stop."))
+        .toDF("lang", "source", "text")).collect().head
+    assert(heavy.getLong(3) == 10L && heavy.getLong(4) == 4L)
+    assert(heavy.getLong(6) == 2500000L, "fertility 2.5 expected")
+  }
+
+  test("q369 unseen vocab: saturated fixture reads zero; synthetic estimators exact") {
+    // the fixture's 31-word vocabulary is fully saturated at 500 docs
+    // — every word repeats, f1 = 0, so Chao1 collapses to D and the
+    // Good-Turing unseen mass is zero: the CORRECT reading for a
+    // closed vocabulary, and the tripwire that the estimators don't
+    // invent unseen species where there are none
+    val sf = SparkTestSession.sf
+    val fx = TextAnalysis.unseenVocab(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(fx.length == 5)
+    fx.foreach { case (_, n, d, f1, _, chao1, mass) =>
+      assert(f1 == 0L && chao1 == d && mass == 0L)
+      assert(d <= n)
+    }
+    // open-vocabulary corpus through the SAME plan:
+    // tokens: a x3, b x2, c, d, e -> N=8, D=5, f1=3 (c,d,e), f2=1 (b)
+    // chao1 = 5 + 3*2 DIV (2*2) = 6; unseen = 3e6/8 = 375000
+    val syn = TextAnalysis.unseenVocabOn(
+      Seq(("xx", "a a a b b c"), ("xx", "d e"))
+        .toDF("lang", "text")).collect().head
+    assert((syn.getLong(1), syn.getLong(2), syn.getLong(3), syn.getLong(4),
+      syn.getLong(5), syn.getLong(6)) == ((8L, 5L, 3L, 1L, 6L, 375000L)))
+    // Chao1 is a floor: never below the observed richness
+    assert(syn.getLong(5) >= syn.getLong(2))
+  }
 }
 
