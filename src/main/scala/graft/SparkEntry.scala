@@ -542,6 +542,22 @@ object SparkEntry {
       Experiment.permutationTest(s, d)),
     "q375_filter_curve" -> ((s: SparkSession, d: String) =>
       CleanPipeline.filterOperatingCurve(s, d)),
+    "q376_banding_planner" -> ((s: SparkSession, d: String) =>
+      Dedup.lshBandingPlanner(s, d)),
+    "q377_stride_efficiency" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.strideEfficiency(s, d)),
+    "q378_code_switching" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.codeSwitchCensus(s, d)),
+    "q379_funnel_significance" -> ((s: SparkSession, d: String) =>
+      Experiment.funnelSignificance(s, d)),
+    "q380_mmr_topk" -> ((s: SparkSession, d: String) =>
+      Similarity.mmrTopK(s, d)),
+    "q381_champion_lists" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.championListEval(s, d)),
+    "q382_bot_gate" -> ((s: SparkSession, d: String) =>
+      Experiment.botRegularityGate(s, d)),
+    "q383_packing_policy" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.packingPolicyCompare(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -10268,7 +10284,385 @@ object SparkEntry {
                 ELSE ksc_$t // kept_$t END AS BIGINT)
                 AS kept_mean_score_micro
             FROM g"""
-         }.mkString("\n         UNION ALL\n         ")}"""
+         }.mkString("\n         UNION ALL\n         ")}""",
+    // q376: banding planner — q21's exact-Jaccard pair CTE feeds the
+    // S-curve square-chain expression GENERATED by the same function
+    // the Spark plan uses (Dedup.sCurvePSql).
+    "q376_banding_planner" ->
+      s"""WITH words AS (
+           SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t
+           WHERE len(w) >= 5),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         prs AS (
+           SELECT CAST(n_common AS DOUBLE) /
+             CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+           FROM common
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(n_common AS DOUBLE) /
+             CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5)
+         ${Seq((1, 64), (2, 32), (4, 16), (8, 8), (16, 4)).map {
+           case (r, b) =>
+             s"""SELECT CAST($r AS BIGINT) AS rows_per_band,
+                CAST($b AS BIGINT) AS bands,
+                CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                CAST(SUM(p) // COUNT(*) AS BIGINT) AS expected_catch_ppm,
+                CAST(MIN(p) AS BIGINT) AS min_p_micro,
+                CAST(SUM(CASE WHEN p < 900000 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_at_risk
+              FROM (SELECT CAST(floor(1000000.0 *
+                ${Dedup.sCurvePSql(r, b, "jaccard")}) AS BIGINT) AS p
+                FROM prs)"""
+         }.mkString("\n         UNION ALL\n         ")}""",
+    // q377: stride efficiency — q306's chunk CTE collapsed to doc
+    // grain, re-keyed onto sources; waste = encoded - raw tokens.
+    "q377_stride_efficiency" ->
+      s"""WITH words AS (
+           SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
+         d AS (
+           SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM words
+           WHERE len(w) > 0 AND w[1] <> ''),
+         k AS (
+           SELECT doc_id, n, GREATEST(1, (n - 16 + 47) // 48) AS k FROM d),
+         c AS (
+           SELECT doc_id, n, k, UNNEST(range(0, k)) AS i FROM k),
+         ch AS (
+           SELECT doc_id, n, k, i,
+             CAST(LEAST(64, n - i * 48) AS BIGINT) AS len_tok FROM c),
+         per_doc AS (
+           SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+             CAST(MAX(k) AS BIGINT) AS n_chunks,
+             CAST(SUM(len_tok) AS BIGINT) AS encoded_tokens,
+             CAST(SUM(CASE WHEN i > 0 AND len_tok < 32 THEN 1 ELSE 0 END)
+               AS BIGINT) AS runt_chunks
+           FROM ch GROUP BY 1)
+         SELECT dd.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_tokens) AS BIGINT) AS raw_tokens,
+           CAST(SUM(p.encoded_tokens) AS BIGINT) AS encoded_tokens,
+           CAST(SUM(p.n_chunks) AS BIGINT) AS n_chunks,
+           CAST(SUM(p.runt_chunks) AS BIGINT) AS runt_chunks,
+           CAST((SUM(p.encoded_tokens) - SUM(p.n_tokens)) * 1000000
+             // SUM(p.n_tokens) AS BIGINT) AS waste_ppm,
+           CAST(SUM(p.runt_chunks) * 1000000 // SUM(p.n_chunks) AS BIGINT)
+             AS runt_ppm
+         FROM per_doc p JOIN documents dd USING (doc_id)
+         GROUP BY 1""",
+    // q378: code-switching census — span fan-out, whole-word marker
+    // counts, declared-order argmax, und-transparent switch lag.
+    "q378_code_switching" ->
+      s"""WITH words AS (
+           SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
+         d AS (
+           SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM words
+           WHERE len(w) >= 1 AND w[1] <> ''),
+         sp AS (
+           SELECT doc_id, i,
+             w[(i * 10 + 1):(i * 10 + 10)] AS sw
+           FROM d, LATERAL (SELECT UNNEST(range(0, (n + 9) // 10)) AS i) t),
+         scored AS (
+           SELECT doc_id, i,
+             ${TextAnalysis.langMarkers.map { case (lang, ws) =>
+               s"CAST(len(list_filter(sw, x -> list_contains(" +
+                 s"[${ws.map(w => s"'$w'").mkString(", ")}], x))) AS BIGINT)" +
+                 s" AS c_$lang"
+             }.mkString(",\n             ")}
+           FROM sp),
+         pred AS (
+           SELECT doc_id, i,
+             CASE WHEN GREATEST(c_en, c_de, c_fr, c_es, c_zh) = 0 THEN 'und'
+               ${TextAnalysis.langMarkers.map { case (lang, _) =>
+                 s"WHEN c_$lang = GREATEST(c_en, c_de, c_fr, c_es, c_zh) " +
+                   s"THEN '$lang'"
+               }.mkString("\n               ")}
+             END AS span_lang
+           FROM scored),
+         lagged AS (
+           SELECT doc_id, i, span_lang,
+             last_value(CASE WHEN span_lang <> 'und' THEN span_lang END
+               IGNORE NULLS) OVER (PARTITION BY doc_id ORDER BY i ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_lang
+           FROM pred)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN span_lang <> 'und' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_identified,
+           CAST(SUM(CASE WHEN span_lang <> 'und' AND prev_lang IS NOT NULL
+             AND span_lang <> prev_lang THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_switches,
+           CAST(COUNT(DISTINCT CASE WHEN span_lang <> 'und'
+             THEN span_lang END) AS BIGINT) AS n_langs,
+           COUNT(DISTINCT CASE WHEN span_lang <> 'und' THEN span_lang END)
+             >= 2 AS mixed
+         FROM lagged GROUP BY 1""",
+    // q379: funnel significance under Holm — q112's funnel CTEs, the
+    // q374 randomization device per step, cross-multiplied Holm.
+    "q379_funnel_significance" ->
+      """WITH l1 AS (
+           SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+           FROM events GROUP BY user_id),
+         l2 AS (
+           SELECT e.user_id,
+             MIN(CASE WHEN e.event_type = 'click' AND e.ts > l1.t1
+                  AND e.ts <= l1.t1 + INTERVAL 48 HOURS
+                  THEN e.ts END) AS t2
+           FROM events e JOIN l1 USING (user_id)
+           GROUP BY e.user_id, l1.t1),
+         l3 AS (
+           SELECT e.user_id,
+             MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > l2.t2
+                  AND e.ts <= l2.t2 + INTERVAL 48 HOURS
+                  THEN e.ts END) AS t3
+           FROM events e JOIN l2 USING (user_id)
+           GROUP BY e.user_id, l2.t2),
+         fl AS (
+           SELECT l1.user_id,
+             CASE WHEN l1.t1 IS NULL THEN 0 WHEN l2.t2 IS NULL THEN 1
+                  WHEN l3.t3 IS NULL THEN 2 ELSE 3 END AS steps
+           FROM l1 JOIN l2 USING (user_id) JOIN l3 USING (user_id)),
+         scoped AS (
+           SELECT CAST(1 AS BIGINT) AS step, user_id,
+             CASE WHEN steps >= 2 THEN 1 ELSE 0 END AS conv,
+             user_id % 2 = 0 AS arm_a
+           FROM fl WHERE steps >= 1
+           UNION ALL
+           SELECT CAST(2 AS BIGINT), user_id,
+             CASE WHEN steps >= 3 THEN 1 ELSE 0 END,
+             user_id % 2 = 0
+           FROM fl WHERE steps >= 2),
+         obs AS (
+           SELECT step,
+             CAST(SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm_a THEN conv ELSE 0 END) AS BIGINT)
+               AS k_a,
+             CAST(SUM(CASE WHEN arm_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN arm_a THEN 0 ELSE conv END) AS BIGINT)
+               AS k_b
+           FROM scoped GROUP BY 1),
+         obs2 AS (
+           SELECT *, CAST(k_a * n_b - k_b * n_a AS BIGINT) AS t_obs
+           FROM obs),
+         flips AS (
+           SELECT s.step, s.conv, r.r,
+             s.arm_a <> (('0x' || substr(md5('fs:' ||
+               CAST(s.step AS VARCHAR) || ':' ||
+               CAST(s.user_id AS VARCHAR) || ':' ||
+               CAST(r.r AS VARCHAR)), 1, 15))::BIGINT % 2 = 1) AS a2
+           FROM scoped s, (SELECT UNNEST(range(1, 201)) AS r) r),
+         reps AS (
+           SELECT step, r,
+             CAST(SUM(CASE WHEN a2 THEN conv ELSE 0 END)
+                 * SUM(CASE WHEN a2 THEN 0 ELSE 1 END)
+               - SUM(CASE WHEN a2 THEN 0 ELSE conv END)
+                 * SUM(CASE WHEN a2 THEN 1 ELSE 0 END) AS BIGINT) AS t_r
+           FROM flips GROUP BY 1, 2),
+         pv AS (
+           SELECT o.step, o.n_a, o.k_a, o.n_b, o.k_b, o.t_obs,
+             CAST(SUM(CASE WHEN abs(t_r) >= abs(o.t_obs) THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_extreme,
+             CAST((SUM(CASE WHEN abs(t_r) >= abs(o.t_obs) THEN 1 ELSE 0 END)
+               + 1) * 1000000 // 201 AS BIGINT) AS p_micro
+           FROM reps JOIN obs2 o USING (step)
+           GROUP BY 1, 2, 3, 4, 5, 6),
+         holm AS (
+           SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p_micro ASC,
+             step ASC) AS BIGINT) AS holm_rank
+           FROM pv)
+         SELECT step, n_a, k_a, n_b, k_b, t_obs, n_extreme, p_micro,
+           holm_rank,
+           MIN(CASE WHEN p_micro * (2 - holm_rank + 1) <= 50000
+             THEN 1 ELSE 0 END) OVER (ORDER BY holm_rank ASC
+             ROWS UNBOUNDED PRECEDING) = 1 AS significant
+         FROM holm""",
+    // q380: MMR — the greedy k-step selection unrolled as generated
+    // CTEs; all scores integer (micro sims, lambda in tenths), the
+    // (score desc, vec_id) tie rule shared with the Spark loop.
+    "q380_mmr_topk" ->
+      s"""WITH u AS MATERIALIZED ($normalizedVectors),
+         q AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM u
+               WHERE vec_id IN (SELECT vec_id FROM embeddings
+                 ORDER BY vec_id LIMIT 5)),
+         s AS MATERIALIZED (SELECT q_id, u.vec_id,
+                 list_sum(list_transform(list_zip(qv, u.v),
+                   p -> p[1]*p[2])) AS cosine
+               FROM q JOIN u ON u.vec_id != q.q_id),
+         pool AS MATERIALIZED (
+           SELECT q_id, vec_id,
+             CAST(floor(1000000.0 * cosine) AS BIGINT) AS simq
+           FROM (SELECT q_id, vec_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY cosine DESC, vec_id ASC) AS rk
+                 FROM s)
+           WHERE rk <= 50),
+         ps AS MATERIALIZED (
+           SELECT p1.q_id, p1.vec_id AS a, p2.vec_id AS b,
+             CAST(floor(1000000.0 * list_sum(list_transform(
+               list_zip(ua.v, ub.v), p -> p[1]*p[2]))) AS BIGINT) AS sim
+           FROM pool p1
+           JOIN pool p2 ON p1.q_id = p2.q_id AND p1.vec_id != p2.vec_id
+           JOIN u ua ON ua.vec_id = p1.vec_id
+           JOIN u ub ON ub.vec_id = p2.vec_id),
+         selu1 AS MATERIALIZED (
+           SELECT q_id, vec_id, simq, CAST(0 AS BIGINT) AS penalty,
+             7 * simq AS score, CAST(1 AS BIGINT) AS mmr_rank
+           FROM (SELECT pool.*, ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY 7 * simq DESC, vec_id ASC) AS rk FROM pool)
+           WHERE rk = 1),
+         ${(2 to 10).map { t =>
+           s"""sel$t AS (
+           SELECT q_id, vec_id, simq, penalty, score,
+             CAST($t AS BIGINT) AS mmr_rank
+           FROM (
+             SELECT c.q_id, c.vec_id, c.simq, p.penalty,
+               7 * c.simq - 3 * p.penalty AS score,
+               ROW_NUMBER() OVER (PARTITION BY c.q_id
+                 ORDER BY 7 * c.simq - 3 * p.penalty DESC,
+                   c.vec_id ASC) AS rk
+             FROM pool c
+             JOIN (SELECT ps.q_id, ps.a, MAX(ps.sim) AS penalty
+                   FROM ps JOIN selu${t - 1} s
+                     ON s.q_id = ps.q_id AND s.vec_id = ps.b
+                   GROUP BY 1, 2) p
+               ON p.q_id = c.q_id AND p.a = c.vec_id
+             WHERE NOT EXISTS (SELECT 1 FROM selu${t - 1} s2
+               WHERE s2.q_id = c.q_id AND s2.vec_id = c.vec_id))
+           WHERE rk = 1),
+         selu$t AS MATERIALIZED (SELECT * FROM selu${t - 1}
+           UNION ALL SELECT * FROM sel$t)"""
+         }.mkString(",\n         ")}
+         SELECT q_id, vec_id, simq, penalty, CAST(score AS BIGINT)
+           AS score, mmr_rank
+         FROM selu10""",
+    // q381: champion-list pruning — q114's oracle feeds both the
+    // full and the tf-champion-restricted rankings.
+    "q381_champion_lists" ->
+      s"""WITH hits AS ($bm25OracleSql),
+         fullr AS (
+           SELECT term, doc_id FROM (
+             SELECT term, doc_id, ROW_NUMBER() OVER (PARTITION BY term
+               ORDER BY score_micro DESC, doc_id ASC) AS rk FROM hits)
+           WHERE rk <= 10),
+         champ AS (
+           SELECT * FROM (
+             SELECT hits.*, ROW_NUMBER() OVER (PARTITION BY term
+               ORDER BY tf DESC, doc_id ASC) AS crk FROM hits)
+           WHERE crk <= 20),
+         pruned AS (
+           SELECT term, doc_id, CAST(1 AS BIGINT) AS in_pruned FROM (
+             SELECT term, doc_id, ROW_NUMBER() OVER (PARTITION BY term
+               ORDER BY score_micro DESC, doc_id ASC) AS prk FROM champ)
+           WHERE prk <= 10),
+         dfreq AS (
+           SELECT term, CAST(MAX(df) AS BIGINT) AS postings_full
+           FROM hits GROUP BY 1),
+         r AS (
+           SELECT f.term, CAST(COUNT(*) AS BIGINT) AS n_full,
+             CAST(SUM(COALESCE(p.in_pruned, 0)) AS BIGINT) AS n_overlap
+           FROM fullr f LEFT JOIN pruned p
+             ON p.term = f.term AND p.doc_id = f.doc_id
+           GROUP BY 1)
+         SELECT r.term, r.n_full, r.n_overlap, d.postings_full,
+           CAST(LEAST(d.postings_full, 20) AS BIGINT)
+             AS postings_scanned,
+           CAST(r.n_overlap * 1000000 // r.n_full AS BIGINT)
+             AS recall_ppm,
+           CAST((d.postings_full - LEAST(d.postings_full, 20)) * 1000000
+             // d.postings_full AS BIGINT) AS scan_savings_ppm
+         FROM r JOIN dfreq d USING (term)""",
+    // q382: bot-regularity gate — division-free CV² in ppm over
+    // user-keyed inter-event gaps.
+    "q382_bot_gate" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS us, ts, event_id FROM events),
+         g AS (
+           SELECT user_id, us - lag(us) OVER w AS gap
+           FROM e WINDOW w AS (PARTITION BY user_id
+             ORDER BY us ASC, event_id ASC)),
+         a AS (
+           SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap) AS BIGINT) AS s,
+             SUM(CAST(gap AS HUGEINT) * gap) AS q
+           FROM g WHERE gap IS NOT NULL
+           GROUP BY 1 HAVING COUNT(*) >= 5)
+         SELECT user_id, n_gaps, CAST(s // n_gaps AS BIGINT)
+             AS mean_gap_us,
+           CAST((CAST(n_gaps AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+             * 1000000 // (CAST(s AS HUGEINT) * s) AS BIGINT) AS cv2_ppm,
+           (CAST(n_gaps AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+             * 1000000 // (CAST(s AS HUGEINT) * s) < 40000 AS bot
+         FROM a""",
+    // q383: packing policy — the q305 recursive first-fit replay
+    // (q335's precedent) with the lower-bound comparison tail.
+    "q383_packing_policy" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS ntok
+           FROM documents),
+         items AS (
+           SELECT doc_id, ntok, ntok + 1 AS item,
+             CAST(ROW_NUMBER() OVER (ORDER BY ntok DESC, doc_id ASC)
+               AS BIGINT) AS rk
+           FROM toks),
+         ch AS (
+           SELECT doc_id, ntok, item, (rk - 1) // 256 AS chunk,
+             CAST(ROW_NUMBER() OVER (PARTITION BY (rk - 1) // 256
+               ORDER BY rk ASC) AS BIGINT) AS pos
+           FROM items),
+         step AS (
+           SELECT chunk, CAST(0 AS BIGINT) AS pos,
+             CAST([] AS BIGINT[]) AS fills,
+             CAST([] AS STRUCT(doc_id BIGINT, win BIGINT, ntok BIGINT,
+               item BIGINT)[]) AS asg
+           FROM (SELECT DISTINCT chunk FROM ch) c
+           UNION ALL
+           SELECT s.chunk, s.pos + 1,
+             CASE WHEN p.p = 0 THEN list_append(s.fills, d.item)
+               ELSE list_concat(list_concat(
+                 list_slice(s.fills, 1, p.p - 1),
+                 [s.fills[p.p] + d.item]),
+                 list_slice(s.fills, p.p + 1, len(s.fills))) END,
+             list_append(s.asg, CASE WHEN p.p = 0
+               THEN {'doc_id': d.doc_id,
+                     'win': CAST(len(s.fills) + 1 AS BIGINT),
+                     'ntok': d.ntok, 'item': d.item}
+               ELSE {'doc_id': d.doc_id, 'win': p.p,
+                     'ntok': d.ntok, 'item': d.item} END)
+           FROM step s
+           JOIN ch d ON d.chunk = s.chunk AND d.pos = s.pos + 1,
+           LATERAL (SELECT CAST(COALESCE(list_position(
+              list_transform(s.fills, f -> f + d.item <= 4096), true), 0)
+              AS BIGINT) AS p) p),
+         fin AS (
+           SELECT s.chunk, s.fills FROM step s
+           JOIN (SELECT chunk, MAX(pos) AS mp FROM step GROUP BY 1) m
+             ON m.chunk = s.chunk AND m.mp = s.pos),
+         tot AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(item) AS BIGINT) AS total_items
+           FROM items),
+         bins AS (
+           SELECT CAST(SUM(len(fills)) AS BIGINT) AS bins_ffd FROM fin)
+         SELECT CAST(4096 AS BIGINT) AS capacity, t.n_docs,
+           t.total_items, b.bins_ffd,
+           CAST((t.total_items + 4095) // 4096 AS BIGINT) AS bins_lb,
+           CAST(t.total_items * 1000000 // (b.bins_ffd * 4096) AS BIGINT)
+             AS ffd_util_ppm,
+           CAST(t.total_items * 1000000
+             // (((t.total_items + 4095) // 4096) * 4096) AS BIGINT)
+             AS lb_util_ppm,
+           CAST((b.bins_ffd - (t.total_items + 4095) // 4096) * 1000000
+             // ((t.total_items + 4095) // 4096) AS BIGINT)
+             AS overhead_ppm
+         FROM tot t, bins b"""
   )
 
   /** q14's window top-per-key SQL — shared verbatim by q89 (bounded

@@ -136,6 +136,61 @@ object Dedup {
     } finally index.unpersist()
   }
 
+  /** The (1 − (1 − s^r)^b) banding S-curve as ONE expression string
+    * shared verbatim between the Spark plan and the DuckDB oracle —
+    * r and b are powers of two, so both powers are pure squaring
+    * chains (each squaring is one IEEE multiply; no libm `pow`,
+    * whose last-ulp behavior differs across engines).
+    */
+  private[graft] def sCurvePSql(r: Int, b: Int, s: String): String = {
+    require(Integer.bitCount(r) == 1 && Integer.bitCount(b) == 1,
+      "squaring chains need power-of-two r and b")
+    def sq(x: String, k: Int): String =
+      (1 to k).foldLeft(x)((e, _) => s"(($e) * ($e))")
+    val sr = sq(s"($s)", Integer.numberOfTrailingZeros(r))
+    s"(1.0 - ${sq(s"(1.0 - $sr)", Integer.numberOfTrailingZeros(b))})"
+  }
+
+  /** The q376 driver entry: LSH BANDING PLANNER — the analytic
+    * complement to q332's empirical banding eval: before re-sharding
+    * a 100 TB signature store onto a new (rows-per-band r, bands b)
+    * split, compute what the change does to the near-dups the
+    * pipeline ALREADY catches. For every q21-verified pair (exact
+    * Jaccard s — the SQL-replayable truth; q22's signatures are not
+    * SQL-expressible) and every 64-slot split r·b = 64, the catch
+    * probability 1 − (1 − s^r)^b, floored to micro PER PAIR before
+    * aggregation (the q334 float discipline). Per config: expected
+    * catch rate over the observed near-dup population, the
+    * worst-case pair, and how many pairs fall at risk (p < 0.9) —
+    * the table that says "8-row bands would drop a third of what
+    * 4-row bands catch at this corpus's similarity profile".
+    *
+    * Scale shape: the pair frame is q21's capped-posting-list output
+    * (linear); each config arm is a row-local projection of it; the
+    * final aggregate lands on the 5-row config domain.
+    */
+  def lshBandingPlanner(
+      spark: SparkSession, sfDir: String,
+      configs: Seq[(Int, Int)] =
+        Seq((1, 64), (2, 32), (4, 16), (8, 8), (16, 4))): DataFrame = {
+    require(configs.nonEmpty && configs.forall { case (r, b) => r * b == 64 },
+      "configs split the 64-slot signature")
+    val pairs = ngramJaccardPairs(spark, sfDir).select(col("jaccard"))
+    configs.map { case (r, b) =>
+      pairs.select(
+        lit(r.toLong).as("rows_per_band"), lit(b.toLong).as("bands"),
+        expr(s"CAST(floor(1000000.0 * ${sCurvePSql(r, b, "jaccard")}) " +
+          "AS BIGINT)").as("p_micro"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("rows_per_band"), col("bands"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        expr("CAST(SUM(p_micro) DIV COUNT(*) AS BIGINT)")
+          .as("expected_catch_ppm"),
+        min(col("p_micro")).cast("long").as("min_p_micro"),
+        sum(when(col("p_micro") < 900000L, 1L).otherwise(0L)).cast("long")
+          .as("n_at_risk"))
+  }
+
   /** The q240 driver entry: SHINGLE CONTAINMENT PAIRS — the
     * quote-inclusion detector resemblance dedup structurally misses:
     * containment C(a in b) = |A ∩ B| / |A| flags a document EMBEDDED

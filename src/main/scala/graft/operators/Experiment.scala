@@ -2471,4 +2471,132 @@ object Experiment {
       .withColumn("p_micro",
         expr(s"(n_extreme + 1) * 1000000 DIV ${replicates + 1}"))
   }
+
+  /** The q382 driver entry: BOT-REGULARITY GATE — the traffic-
+    * cleaning filter run before any engagement metric is trusted:
+    * scripted clients fire on timers, so their inter-event gaps are
+    * far too REGULAR for a human (squared coefficient of variation
+    * CV² = Var/mean² near zero), while organic traffic is bursty
+    * (CV² ≈ 1 for Poisson-ish arrivals — exactly what the fixture
+    * reads). Per user with ≥ `minGaps` gaps: gap count, mean gap,
+    * and CV² in exact ppm via the division-free identity
+    * CV²·10⁶ = (n·Σg² − (Σg)²)·10⁶ / (Σg)² — numerator nonnegative
+    * by Cauchy–Schwarz, products in DECIMAL(38)/HUGEINT (q221
+    * rule), ONE trailing truncating division; `bot` fires below
+    * `cv2Ppm`. The fixture is organically bot-free (spec-pinned);
+    * the spec plants a metronome client through the same core.
+    *
+    * Scale shape: one user-keyed lag window + one aggregate on the
+    * same key — a single exchange (q87's posture).
+    */
+  def botRegularityGate(
+      spark: SparkSession, sfDir: String,
+      minGaps: Int = 5, cv2Ppm: Long = 40000L): DataFrame =
+    botRegularityGateOn(Tables.load(spark, sfDir, "events"),
+      minGaps, cv2Ppm)
+
+  /** The q382 core over any events-shaped frame `(user_id, ts,
+    * event_id)`.
+    */
+  def botRegularityGateOn(
+      events: DataFrame, minGaps: Int = 5,
+      cv2Ppm: Long = 40000L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(col("user_id"), (col("us") - col("prev")).as("gap"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_gaps"),
+        sum(col("gap")).cast("long").as("s"),
+        sum(col("gap").cast("decimal(38,0)") * col("gap")).as("q"))
+      .where(col("n_gaps") >= minGaps.toLong)
+      .withColumn("mean_gap_us", expr("s DIV n_gaps"))
+      .withColumn("cv2_ppm", expr(
+        """CAST((CAST((CAST(n_gaps AS DECIMAL(38,0)) * q
+             - CAST(s AS DECIMAL(38,0)) * s) * 1000000 AS DECIMAL(38,0))
+           - PMOD(CAST((CAST(n_gaps AS DECIMAL(38,0)) * q
+             - CAST(s AS DECIMAL(38,0)) * s) * 1000000 AS DECIMAL(38,0)),
+             CAST(s AS DECIMAL(38,0)) * s))
+           / (CAST(s AS DECIMAL(38,0)) * s) AS BIGINT)"""))
+      .withColumn("bot", col("cv2_ppm") < cv2Ppm)
+      .drop("s", "q")
+  }
+
+  /** The q379 driver entry: FUNNEL SIGNIFICANCE UNDER HOLM — the
+    * multiple-testing discipline for per-step A/B readouts: testing
+    * every funnel transition separately at α inflates the family
+    * false-positive rate, so each step's randomization p (q374's
+    * device, here the UNPAIRED form: arm labels md5-reassigned per
+    * replicate, T = k_A·n_B − k_B·n_A cross-multiplied — no
+    * division, exact BIGINT to ~3·10⁹ users per arm) passes through
+    * Holm's step-down: rank p ascending, reject while
+    * p·(m−rank+1) ≤ α (cross-multiplied — α never divides), stop at
+    * the first failure. Steps = q112's funnel transitions
+    * (view→click, click→purchase); arms = user parity.
+    *
+    * Scale shape: q112's funnel collapses to (user, step, conv)
+    * once (localCheckpoint — read by the observed AND replicate
+    * passes); the ×R explode lands on the bounded (step, R) domain;
+    * Holm runs on the m-row step domain.
+    */
+  def funnelSignificance(
+      spark: SparkSession, sfDir: String,
+      replicates: Int = 200, alphaMicro: Long = 50000L): DataFrame = {
+    val steps = Seq(1, 2)
+    val f = Relational.funnel(spark, sfDir)
+      .select(col("user_id"), col("steps"))
+    val scoped = steps.map { i =>
+      f.where(col("steps") >= i.toLong)
+        .select(lit(i.toLong).as("step"), col("user_id"),
+          when(col("steps") >= (i + 1).toLong, 1L).otherwise(0L).as("conv"),
+          (col("user_id") % 2 === 0).as("arm_a"))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+    def armAgg(df: DataFrame, keys: Seq[String]): DataFrame = df
+      .groupBy(keys.map(col): _*)
+      .agg(sum(when(col("arm_a"), 1L).otherwise(0L)).cast("long").as("n_a"),
+        sum(when(col("arm_a"), col("conv")).otherwise(0L)).cast("long")
+          .as("k_a"),
+        sum(when(!col("arm_a"), 1L).otherwise(0L)).cast("long").as("n_b"),
+        sum(when(!col("arm_a"), col("conv")).otherwise(0L)).cast("long")
+          .as("k_b"))
+      .withColumn("t", expr("k_a * n_b - k_b * n_a").cast("long"))
+    val obs = armAgg(scoped, Seq("step"))
+      .select(col("step"), col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+        col("t").as("t_obs"))
+    val reps = armAgg(
+      scoped
+        .select(col("step"), col("user_id"), col("conv"), col("arm_a"),
+          explode(array((1 to replicates).map(lit): _*)).as("r"))
+        .withColumn("arm_a", col("arm_a") =!=
+          (conv(substring(md5(concat(lit("fs:"),
+            col("step").cast("string"), lit(":"),
+            col("user_id").cast("string"), lit(":"),
+            col("r").cast("string"))), 1, 15), 16, 10).cast("long")
+            % 2 === 1L)),
+      Seq("step", "r"))
+      .select(col("step"), col("t").as("t_r"))
+    val p = reps.join(broadcast(obs), Seq("step"))
+      .groupBy(col("step"))
+      .agg(max(col("n_a")).as("n_a"), max(col("k_a")).as("k_a"),
+        max(col("n_b")).as("n_b"), max(col("k_b")).as("k_b"),
+        max(col("t_obs")).as("t_obs"),
+        sum(when(abs(col("t_r")) >= abs(col("t_obs")), 1L).otherwise(0L))
+          .cast("long").as("n_extreme"))
+      .withColumn("p_micro",
+        expr(s"(n_extreme + 1) * 1000000 DIV ${replicates + 1}"))
+    val m = steps.length
+    val byP = Window.orderBy(col("p_micro").asc, col("step").asc)
+    p.withColumn("holm_rank", row_number().over(byP).cast("long"))
+      .withColumn("ok",
+        when(expr(s"p_micro * ($m - holm_rank + 1) <= $alphaMicro"), 1L)
+          .otherwise(0L))
+      .withColumn("significant",
+        min(col("ok")).over(byP.rowsBetween(Window.unboundedPreceding, 0))
+          === 1L)
+      .drop("ok")
+  }
 }

@@ -1325,6 +1325,80 @@ object Similarity {
           .otherwise(-1L).cast("long"))
   }
 
+  /** The q380 driver entry: MMR DIVERSIFIED TOP-K — the greedy
+    * maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998)
+    * every RAG retriever bolts onto plain top-k once it notices the
+    * context window filling with five near-identical passages:
+    * select iteratively, scoring each candidate by
+    * λ·sim(q, d) − (1−λ)·max_{s ∈ selected} sim(d, s). Everything
+    * runs in exact integers — sims floor to micro ONCE, λ = 7/10
+    * is applied as integer tenths (score = 7·simq − 3·penalty), so
+    * the greedy argmax and its (score desc, vec_id asc) tie rule
+    * are engine-deterministic and the DuckDB oracle replays the
+    * identical k-step selection as generated unrolled CTEs.
+    *
+    * Scale shape: relevance candidates come from the ANN/brute
+    * top-`poolSize` (the production source is q32's IVF — this
+    * composes with any (q_id, vec_id, cosine) pool); the greedy
+    * loop runs k bounded iterations over the queries × poolSize
+    * frame (pairwise sims are poolSize² per query, all broadcast-
+    * scale), never over the corpus — the corpus is touched exactly
+    * once, by the pool builder.
+    */
+  def mmrTopK(
+      spark: SparkSession, sfDir: String,
+      numQueries: Int = 5, k: Int = 10, poolSize: Int = 50,
+      lamTenths: Int = 7): DataFrame = {
+    require(k >= 1 && poolSize >= k, "pool must cover k selections")
+    require(lamTenths >= 0 && lamTenths <= 10, "lambda in tenths of [0,1]")
+    val lam = lamTenths.toLong
+    val pool = annBrute(spark, sfDir, numQueries, poolSize)
+      .select(col("q_id"), col("vec_id"),
+        expr("CAST(floor(1000000.0 * cosine) AS BIGINT)").as("simq"))
+      .localCheckpoint(true)
+    val corpus = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), Vectors.l2normalize(col("embedding")).as("u"))
+    val pairs = pool.select(col("q_id"), col("vec_id").as("a"))
+      .join(pool.select(col("q_id"), col("vec_id").as("b")), Seq("q_id"))
+      .where(col("a") =!= col("b"))
+      .join(corpus.select(col("vec_id").as("a"), col("u").as("ua")),
+        Seq("a"))
+      .join(corpus.select(col("vec_id").as("b"), col("u").as("ub")),
+        Seq("b"))
+      .select(col("q_id"), col("a"), col("b"),
+        floor(lit(1000000.0) * Vectors.dot(col("ua"), col("ub")))
+          .cast("long").as("sim"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    var selected = pool
+      .withColumn("penalty", lit(0L))
+      .withColumn("score", lit(lam) * col("simq"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("q_id"), col("vec_id"), col("simq"), col("penalty"),
+        col("score"), lit(1L).as("mmr_rank"))
+      .localCheckpoint(true)
+    for (t <- 2 to k) {
+      val pen = pairs
+        .join(selected.select(col("q_id"), col("vec_id").as("b")),
+          Seq("q_id", "b"))
+        .groupBy(col("q_id"), col("a"))
+        .agg(max(col("sim")).as("penalty"))
+        .withColumnRenamed("a", "vec_id")
+      val next = pool
+        .join(selected.select(col("q_id"), col("vec_id")),
+          Seq("q_id", "vec_id"), "left_anti")
+        .join(pen, Seq("q_id", "vec_id"))
+        .withColumn("score",
+          lit(lam) * col("simq") - lit(10L - lam) * col("penalty"))
+        .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(col("q_id"), col("vec_id"), col("simq"), col("penalty"),
+          col("score"), lit(t.toLong).as("mmr_rank"))
+      selected = selected.unionByName(next).localCheckpoint(true)
+    }
+    selected
+  }
+
   /** The q372 driver entry: INT8 QUANTIZATION ERROR AUDIT — the
     * per-channel report run before shipping a quantized embedding
     * index (4× smaller than fp32; q299's sign bits are the 32×

@@ -280,6 +280,59 @@ object TextAnalysis {
           .cast("long").as("score_micro"))
   }
 
+  /** The q381 driver entry: CHAMPION-LIST PRUNING EVAL — the static
+    * index-pruning tradeoff every lexical-retrieval deployment
+    * measures before shipping champion lists (Manning IR §7.1.3): a
+    * term's champion list keeps only its top-`m` postings by raw tf
+    * (computable at INDEX BUILD time, before any query), and
+    * query-time scoring touches m postings instead of df. This
+    * entry scores q114's BM25 both ways and reports, per term,
+    * recall@k of the pruned ranking against the full one plus the
+    * postings-scanned savings — the "how much quality does the
+    * speedup cost" table. Champion membership ranks by (tf desc,
+    * doc asc); both rankings by (score desc, doc asc); all counts
+    * exact (score_micro is q114's established floored micro).
+    *
+    * Scale shape: one q114 hits pass (localCheckpointed — read by
+    * the full ranking, the champion cut, and the df rollup), three
+    * term-keyed rank windows all ≤ k/m rows after WindowGroupLimit,
+    * one bounded term-domain finish.
+    */
+  def championListEval(
+      spark: SparkSession, sfDir: String,
+      m: Int = 20, k: Int = 10): DataFrame = {
+    require(m >= k && k >= 1, "champion list must cover the serving k")
+    val hits = bm25Search(spark, sfDir).localCheckpoint(true)
+    val wScore = Window.partitionBy(col("term"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    val wTf = Window.partitionBy(col("term"))
+      .orderBy(col("tf").desc, col("doc_id").asc)
+    val full = hits
+      .withColumn("rk", row_number().over(wScore))
+      .where(col("rk") <= k)
+      .select(col("term"), col("doc_id"))
+    val pruned = hits
+      .withColumn("crk", row_number().over(wTf))
+      .where(col("crk") <= m)
+      .withColumn("prk", row_number().over(wScore))
+      .where(col("prk") <= k)
+      .select(col("term"), col("doc_id"), lit(1L).as("in_pruned"))
+    val dfreq = hits.groupBy(col("term"))
+      .agg(max(col("df")).cast("long").as("postings_full"))
+    full.join(pruned, Seq("term", "doc_id"), "left")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("n_full"),
+        sum(coalesce(col("in_pruned"), lit(0L))).cast("long")
+          .as("n_overlap"))
+      .join(dfreq, Seq("term"))
+      .withColumn("postings_scanned",
+        least(col("postings_full"), lit(m.toLong)))
+      .withColumn("recall_ppm", expr("n_overlap * 1000000 DIV n_full"))
+      .withColumn("scan_savings_ppm",
+        expr("(postings_full - postings_scanned) * 1000000 " +
+          "DIV postings_full"))
+  }
+
   /** The q301 driver entry: RAG CONTEXT ASSEMBLY — the serving step
     * between retrieval and the model: take each query's ranked
     * candidates (q114's BM25 order), and PACK the context window in
@@ -3150,4 +3203,73 @@ object TextAnalysis {
       .withColumn("chao1_est",
         expr("distinct_words + f1 * (f1 - 1) DIV (2 * (f2 + 1))"))
       .withColumn("unseen_mass_ppm", expr("f1 * 1000000 DIV n_tokens"))
+
+  /** The q378 driver entry: CODE-SWITCHING CENSUS — the within-doc
+    * language-mixing monitor a monolingual-corpus builder runs after
+    * q40's DOC-level lang-ID: a document that flips language
+    * mid-stream passes the doc gate on its majority language while
+    * smuggling the other language's text into the "clean" split.
+    * Spans = consecutive `spanWords`-word windows; each span gets
+    * q40's marker-argmax verdict (declared-order ties, `und` when
+    * no marker fires — marker matching is whole-word equality over
+    * the span slice, no regex); a SWITCH is two consecutive
+    * IDENTIFIED spans disagreeing (`und` spans are transparent —
+    * unidentifiable text must not break a run). Per doc: span
+    * counts, identified-span count, switches, distinct identified
+    * languages, and the `mixed` flag (≥ 2). The fixture's
+    * single-marker vocabulary reads zero switches everywhere — the
+    * clean-corpus reading; the spec plants a bilingual doc through
+    * the same core.
+    *
+    * Scale shape: row-local span fan-out (q306's posture), one
+    * doc-keyed window for the previous-identified-span lag (per-doc
+    * state bounded by doc length), one doc-grain aggregate.
+    */
+  def codeSwitchCensus(
+      spark: SparkSession, sfDir: String, spanWords: Int = 10): DataFrame =
+    codeSwitchCensusOn(Tables.load(spark, sfDir, "documents"), spanWords)
+
+  /** The q378 core over any `(doc_id, text)` frame. */
+  def codeSwitchCensusOn(docs: DataFrame, spanWords: Int = 10): DataFrame = {
+    require(spanWords >= 1, "span is a positive word count")
+    val counts = langMarkers.map { case (lang, ws) =>
+      lang -> expr(s"CAST(size(filter(sw, x -> x IN " +
+        s"(${ws.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)")
+    }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    val pred = counts.reverse.foldLeft(lit("und")) {
+      case (acc, (lang, c)) => when(c === best && best > 0L, lit(lang))
+        .otherwise(acc)
+    }
+    val spans = docs
+      .select(col("doc_id"),
+        split(normalizedText(col("text")), " ").as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+      .where(col("n") >= 1L && element_at(col("w"), 1) =!= "")
+      .withColumn("i",
+        explode(expr(s"sequence(0L, (n + ${spanWords - 1}L) " +
+          s"DIV ${spanWords}L - 1L)")))
+      .withColumn("sw", expr(
+        s"slice(w, CAST(i * $spanWords + 1 AS INT), $spanWords)"))
+      .select(col("doc_id"), col("i"), pred.as("span_lang"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    spans
+      .withColumn("prev_lang",
+        last(when(col("span_lang") =!= "und", col("span_lang")), true)
+          .over(byDoc))
+      .withColumn("switch",
+        col("span_lang") =!= "und" && col("prev_lang").isNotNull &&
+          col("span_lang") =!= col("prev_lang"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        sum(when(col("span_lang") =!= "und", 1L).otherwise(0L)).cast("long")
+          .as("n_identified"),
+        sum(when(col("switch"), 1L).otherwise(0L)).cast("long")
+          .as("n_switches"),
+        size(array_distinct(collect_list(
+          when(col("span_lang") =!= "und", col("span_lang")))))
+          .cast("long").as("n_langs"))
+      .withColumn("mixed", col("n_langs") >= 2L)
+  }
 }

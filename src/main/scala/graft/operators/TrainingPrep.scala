@@ -2515,6 +2515,83 @@ object TrainingPrep {
     shards.crossJoin(broadcast(glob))
   }
 
+  /** The q383 driver entry: PACKING-POLICY COMPARISON — the number
+    * behind the "may we split documents across windows?" debate:
+    * q305's FFD packs whole documents (no split — attention never
+    * crosses a document boundary, q335's invariant), while a
+    * split-allowed packer fills every window exactly (bins =
+    * ⌈Σitems/capacity⌉ — the bin-packing lower bound, achieved when
+    * splitting is free). The gap between the two IS the price of
+    * document integrity: bins, utilization ppm for both policies,
+    * and the FFD overhead in ppm of the lower bound. Consumes
+    * q305's EXACT fold (`packedAssignments` — the same first-fit
+    * recurrence the q305 oracle replays recursively), so this row
+    * can never drift from the packing it audits.
+    *
+    * Scale shape: one aggregate over the q305 assignment frame;
+    * everything after is single-row arithmetic.
+    */
+  def packingPolicyCompare(
+      spark: SparkSession, sfDir: String,
+      capacity: Int = 4096, chunkSize: Int = 256): DataFrame =
+    packedAssignments(spark, sfDir, capacity, chunkSize)
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("item")).cast("long").as("total_items"),
+        countDistinct(col("window_id")).cast("long").as("bins_ffd"))
+      .withColumn("capacity", lit(capacity.toLong))
+      .withColumn("bins_lb",
+        expr(s"(total_items + ${capacity - 1}L) DIV ${capacity}L"))
+      .withColumn("ffd_util_ppm",
+        expr(s"total_items * 1000000 DIV (bins_ffd * ${capacity}L)"))
+      .withColumn("lb_util_ppm",
+        expr(s"total_items * 1000000 DIV (bins_lb * ${capacity}L)"))
+      .withColumn("overhead_ppm",
+        expr("(bins_ffd - bins_lb) * 1000000 DIV bins_lb"))
+      .select(col("capacity"), col("n_docs"), col("total_items"),
+        col("bins_ffd"), col("bins_lb"), col("ffd_util_ppm"),
+        col("lb_util_ppm"), col("overhead_ppm"))
+
+  /** The q377 driver entry: STRIDE-EFFICIENCY AUDIT — the overlap
+    * bill for q306's sliding-window chunking: every overlapped token
+    * is RE-ENCODED (and re-embedded, re-indexed, re-stored) once per
+    * extra chunk it lands in, so per source this reports the encoded
+    * token mass vs the raw mass (waste_ppm — the compute/storage
+    * overhead the stride choice buys), plus the runt census: non-
+    * first chunks shorter than win/2 (a short FIRST chunk is just a
+    * short document; a short LAST chunk is stride-geometry debris
+    * that pollutes training batches and retrieval indexes). The
+    * win/stride knob is priced by exactly these two columns.
+    *
+    * Scale shape: q306's plan (row-local chunk fan-out) collapsed by
+    * one doc-grain aggregate re-keyed once onto the bounded source
+    * domain — no new shuffle beyond the census itself.
+    */
+  def strideEfficiency(
+      spark: SparkSession, sfDir: String,
+      win: Int = 64, stride: Int = 48): DataFrame = {
+    val perDoc = slidingChunks(spark, sfDir, win, stride)
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).cast("long").as("n_tokens"),
+        max(col("n_chunks")).cast("long").as("n_chunks"),
+        sum(col("len_tok")).cast("long").as("encoded_tokens"),
+        sum(when(col("chunk_idx") > 0L &&
+          col("len_tok") < (win / 2).toLong, 1L).otherwise(0L))
+          .cast("long").as("runt_chunks"))
+    perDoc
+      .join(Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("raw_tokens"),
+        sum(col("encoded_tokens")).cast("long").as("encoded_tokens"),
+        sum(col("n_chunks")).cast("long").as("n_chunks"),
+        sum(col("runt_chunks")).cast("long").as("runt_chunks"))
+      .withColumn("waste_ppm",
+        expr("(encoded_tokens - raw_tokens) * 1000000 DIV raw_tokens"))
+      .withColumn("runt_ppm",
+        expr("runt_chunks * 1000000 DIV n_chunks"))
+  }
+
   /** The q371 driver entry: CONTRASTIVE NEGATIVE-SAMPLING MANIFEST —
     * the deterministic negatives table an embedding-training job
     * materializes beside q303's cluster-disjoint batches: for each

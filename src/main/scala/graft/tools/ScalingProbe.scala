@@ -457,7 +457,31 @@ object ScalingProbe {
       "q374_permutation_test" -> (d =>
         graft.operators.Experiment.permutationTest(spark, d)),
       "q375_filter_curve" -> (d =>
-        graft.operators.CleanPipeline.filterOperatingCurve(spark, d)))
+        graft.operators.CleanPipeline.filterOperatingCurve(spark, d)),
+      // q376 rides q21's capped posting lists + 5 row-local arms;
+      // q377 is q306's fan-out + two keyed aggs; q378 is span
+      // fan-out + a doc-keyed lag; q379 is the funnel frame + x200
+      // explode onto the (step, r) domain
+      "q376_banding_planner" -> (d =>
+        graft.operators.Dedup.lshBandingPlanner(spark, d)),
+      "q377_stride_efficiency" -> (d =>
+        graft.operators.TrainingPrep.strideEfficiency(spark, d)),
+      "q378_code_switching" -> (d =>
+        graft.operators.TextAnalysis.codeSwitchCensus(spark, d)),
+      "q379_funnel_significance" -> (d =>
+        graft.operators.Experiment.funnelSignificance(spark, d)),
+      // q380's greedy loop runs on the bounded query x pool frame
+      // (the corpus is touched once, by the pool builder); q381 is
+      // q114's hits + three WindowGroupLimit rank cuts; q382 one
+      // user-keyed lag + same-key agg; q383 one agg over q305's fold
+      "q380_mmr_topk" -> (d =>
+        graft.operators.Similarity.mmrTopK(spark, d)),
+      "q381_champion_lists" -> (d =>
+        graft.operators.TextAnalysis.championListEval(spark, d)),
+      "q382_bot_gate" -> (d =>
+        graft.operators.Experiment.botRegularityGate(spark, d)),
+      "q383_packing_policy" -> (d =>
+        graft.operators.TrainingPrep.packingPolicyCompare(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))

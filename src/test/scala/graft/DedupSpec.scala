@@ -1136,5 +1136,35 @@ class DedupSpec extends AnyFunSuite {
     assert(gotFixed.exists(t => t._5 && t._1 != t._2),
       "canonical always equals the min-id representative - policy untested")
   }
+
+  test("q376 banding planner equals an S-curve replay; stricter bands catch less") {
+    val sf = SparkTestSession.sf
+    val jacs = Dedup.ngramJaccardPairs(spark, sf).collect()
+      .map(_.getDouble(3))
+    assert(jacs.nonEmpty, "no near-dup pairs on the fixture")
+    val configs = Seq((1, 64), (2, 32), (4, 16), (8, 8), (16, 4))
+    def p(s: Double, r: Int, b: Int): Long = {
+      var sr = s
+      (1 to Integer.numberOfTrailingZeros(r)).foreach(_ => sr = sr * sr)
+      var t = 1.0 - sr
+      (1 to Integer.numberOfTrailingZeros(b)).foreach(_ => t = t * t)
+      math.floor(1000000.0 * (1.0 - t)).toLong
+    }
+    val want = configs.map { case (r, b) =>
+      val ps = jacs.map(p(_, r, b))
+      (r.toLong, b.toLong) -> (ps.length.toLong, ps.sum / ps.length,
+        ps.min, ps.count(_ < 900000L).toLong)
+    }.toMap
+    val got = Dedup.lshBandingPlanner(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == want)
+    // for near-dups (s >= 0.5), raising rows-per-band at fixed 64
+    // slots can only lose catches — the planner's whole point
+    val byR = configs.map { case (r, b) => got((r.toLong, b.toLong))._2 }
+    byR.sliding(2).foreach(p2 => assert(p2.head >= p2.last))
+    assert(byR.head > byR.last,
+      "S-curve flat across configs - fixture similarities degenerate")
+  }
 }
 

@@ -1474,4 +1474,85 @@ class ExperimentSpec extends AnyFunSuite {
     // add-one p is valid: never zero, never above one
     assert(got.getLong(4) >= 1000000L / 201L && got.getLong(4) <= 1000000L)
   }
+
+  test("q379 funnel significance equals a flip replay; Holm step-down holds") {
+    def md5head(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(15), 16)
+    val funnel = graft.operators.Relational.funnel(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(4))) // (user_id, steps)
+    val want = Seq(1, 2).map { step =>
+      val scope = funnel.filter(_._2 >= step)
+        .map { case (u, s) => (u, if (s >= step + 1) 1L else 0L,
+          u % 2L == 0L) }
+      def t(arm: (Long, Long, Boolean) => Boolean): Long = {
+        val a = scope.filter(x => arm(x._1, x._2, x._3))
+        val b = scope.filterNot(x => arm(x._1, x._2, x._3))
+        a.map(_._2).sum * b.length - b.map(_._2).sum * a.length
+      }
+      val tObs = t((_, _, a) => a)
+      val extreme = (1 to 200).count { r =>
+        val tR = {
+          val flipped = scope.map { case (u, c, a) =>
+            (u, c, a != (md5head(s"fs:$step:$u:$r") % 2L == 1L))
+          }
+          val a = flipped.filter(_._3); val b = flipped.filterNot(_._3)
+          a.map(_._2).sum * b.length - b.map(_._2).sum * a.length
+        }
+        math.abs(tR) >= math.abs(tObs)
+      }
+      (step.toLong, (scope.count(_._3).toLong,
+        scope.filter(_._3).map(_._2).sum,
+        scope.count(!_._3).toLong,
+        scope.filterNot(_._3).map(_._2).sum,
+        tObs, extreme.toLong, (extreme + 1L) * 1000000L / 201L))
+    }.toMap
+    val got = Experiment.funnelSignificance(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getBoolean(9))))
+    assert(got.length == 2)
+    got.foreach { case (step, t) =>
+      assert((t._1, t._2, t._3, t._4, t._5, t._6, t._7) == want(step))
+    }
+    // Holm step-down: ranks are 1 and 2, rank order follows p, and a
+    // significant rank-2 requires a significant rank-1
+    val byRank = got.sortBy(_._2._8)
+    assert(byRank.map(_._2._8).toSeq == Seq(1L, 2L))
+    assert(byRank.head._2._7 <= byRank.last._2._7)
+    if (byRank.last._2._9) assert(byRank.head._2._9)
+    byRank.foreach { case (_, t) =>
+      val expectOk = t._7 * (2L - t._8 + 1L) <= 50000L
+      if (t._8 == 1L) assert(t._9 == expectOk)
+    }
+  }
+
+  test("q382 bot gate: metronome fires, jitter passes, fixture is organic") {
+    import spark.implicits._
+    // metronome: 9 events exactly 60 s apart -> CV2 = 0 -> bot;
+    // jitter: gaps alternating 10 s / 110 s -> CV2 ~ 0.69 -> clean
+    def at(uid: Long, secs: Seq[Long], base: Long) =
+      secs.zipWithIndex.map { case (s, i) =>
+        (uid, new java.sql.Timestamp(1600000000000L + s * 1000L),
+          base + i) }
+    val ev = (at(1L, (0L to 8L).map(_ * 60L), 1L)
+      ++ at(2L, Seq(0L, 10L, 120L, 130L, 240L, 250L, 360L, 370L, 480L), 11L))
+      .toDF("user_id", "ts", "event_id")
+    val got = Experiment.botRegularityGateOn(ev).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    assert(got(1L) == ((8L, 60000000L, 0L, true)))
+    val (nj, mj, cvj, botj) = got(2L)
+    assert(nj == 8L && mj == 60000000L && !botj)
+    // alternating 10/110 around a 60 mean: CV2 = (50/60)^2 ~ 694444
+    assert(cvj == 694444L, s"jitter cv2 $cvj")
+    // the organic fixture is bot-free and bursty (CV2 well above the bar)
+    val fx = Experiment.botRegularityGate(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getBoolean(4)))
+    assert(fx.nonEmpty)
+    fx.foreach { case (n, cv2, bot) =>
+      assert(n >= 5L && cv2 >= 0L && !bot)
+    }
+  }
 }

@@ -789,4 +789,46 @@ class SimilaritySpec extends AnyFunSuite {
     // quantization genuinely loses something on real floats
     assert(got.values.map(_._3).sum > 0L, "zero total error - vacuous")
   }
+
+  test("q380 mmr top-k equals a greedy replay; diversity penalty engages") {
+    val sf = SparkTestSession.sf
+    val pool = Similarity.annBrute(spark, sf, numQueries = 5, k = 50)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.floor(1000000.0 * r.getDouble(2)).toLong))
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        graft.functions.Vectors.l2normalize(col("embedding")).as("u"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    def sim(a: Long, b: Long): Long = math.floor(1000000.0 *
+      vecs(a).zip(vecs(b)).map(p => p._1 * p._2).sum).toLong
+    val want = pool.groupBy(_._1).flatMap { case (q, cands0) =>
+      val cands = cands0.map(c => (c._2, c._3))
+      var selected = Vector.empty[(Long, Long, Long, Long)] // id,simq,pen,score
+      (1 to 10).foreach { t =>
+        val picked = cands
+          .filter(c => !selected.exists(_._1 == c._1))
+          .map { case (id, sq) =>
+            val pen = if (selected.isEmpty) 0L
+              else selected.map(s => sim(id, s._1)).max
+            (id, sq, pen, 7L * sq - 3L * pen)
+          }.minBy(c => (-c._4, c._1))
+        selected :+= picked
+      }
+      selected.zipWithIndex.map { case ((id, sq, pen, sc), i) =>
+        (q, i + 1L) -> (id, sq, pen, sc)
+      }
+    }
+    val got = Similarity.mmrTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(5)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == want)
+    // rank 1 pays no penalty; later ranks genuinely pay one somewhere
+    got.foreach { case ((_, rk), (_, _, pen, _)) =>
+      if (rk == 1L) assert(pen == 0L)
+    }
+    assert(got.exists { case ((_, rk), (_, _, pen, _)) =>
+      rk > 1L && pen > 0L }, "diversity penalty never engaged - vacuous")
+  }
 }

@@ -1588,5 +1588,58 @@ class TextAnalysisSpec extends AnyFunSuite {
     // Chao1 is a floor: never below the observed richness
     assert(syn.getLong(5) >= syn.getLong(2))
   }
+
+  test("q378 code switching: fixture is switch-free; planted bilingual and und-transparency") {
+    val sf = SparkTestSession.sf
+    // fixture vocabulary identifies at most one language per doc
+    val fx = TextAnalysis.codeSwitchCensus(spark, sf).collect()
+      .map(r => (r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(fx.nonEmpty)
+    fx.foreach { case (switches, langs, mixed) =>
+      assert(switches == 0L && langs <= 1L && !mixed)
+    }
+    // planted spans at 4 words each through the SAME core:
+    //  doc 1: en-span then de-span -> 1 switch, mixed
+    //  doc 2: en, und, de -> the und span is transparent, still 1 switch
+    //  doc 3: en, und, en -> no switch, one language
+    val planted = Seq(
+      (1L, "the and of is der die und ist"),
+      (2L, "the and of is xxx yyy zzz www der die und ist"),
+      (3L, "the and of is xxx yyy zzz www the and of is"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.codeSwitchCensusOn(planted, spanWords = 4)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got(1L) == ((2L, 2L, 1L, 2L, true)))
+    assert(got(2L) == ((3L, 2L, 1L, 2L, true)))
+    assert(got(3L) == ((3L, 2L, 0L, 1L, false)))
+  }
+
+  test("q381 champion lists equal a pruning replay; savings are real") {
+    val sf = SparkTestSession.sf
+    val hits = TextAnalysis.bm25Search(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(5))) // term, doc, tf, df, score
+    val want = hits.groupBy(_._1).map { case (term, g) =>
+      val full = g.sortBy(h => (-h._5, h._2)).take(10).map(_._2).toSet
+      val champ = g.sortBy(h => (-h._3, h._2)).take(20)
+      val pruned = champ.sortBy(h => (-h._5, h._2)).take(10).map(_._2).toSet
+      val df = g.head._4
+      term -> (full.size.toLong, (full & pruned).size.toLong, df,
+        math.min(df, 20L), (full & pruned).size.toLong * 1000000L / full.size,
+        (df - math.min(df, 20L)) * 1000000L / df)
+    }
+    val got = TextAnalysis.championListEval(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got == want)
+    // pruning genuinely cuts postings on this corpus (df >> m), and
+    // recall is a valid fraction
+    got.values.foreach { t =>
+      assert(t._2 <= t._1 && t._5 <= 1000000L && t._4 <= t._3)
+    }
+    assert(got.values.exists(_._6 > 0L), "no postings saved - vacuous")
+  }
 }
 

@@ -1681,6 +1681,63 @@ class TrainingPrepSpec extends AnyFunSuite {
       s"shard ${t._1} would be emptied - sources not partial here"))
   }
 
+  test("q377 stride efficiency equals a chunk-math replay; overlap bounds") {
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map { r =>
+        val w = r.getString(2).trim.toLowerCase.replaceAll("\\s+", " ")
+          .split(" ", -1)
+        (r.getString(1), w.length.toLong, w.headOption.exists(_.nonEmpty))
+      }
+      .filter(d => d._2 > 0 && d._3)
+    val want = docs.groupBy(_._1).map { case (src, g) =>
+      val per = g.map { case (_, n, _) =>
+        val k = math.max(1L, (n - 16L + 47L) / 48L)
+        val lens = (0L until k).map(i => math.min(64L, n - i * 48L))
+        (n, k, lens.sum, lens.zipWithIndex.count {
+          case (l, i) => i > 0 && l < 32L
+        }.toLong)
+      }
+      val (raw, chunks, enc, runts) =
+        (per.map(_._1).sum, per.map(_._2).sum, per.map(_._3).sum,
+          per.map(_._4).sum)
+      src -> (g.length.toLong, raw, enc, chunks, runts,
+        (enc - raw) * 1000000L / raw, runts * 1000000L / chunks)
+    }
+    val got = TrainingPrep.strideEfficiency(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got == want)
+    // overlap accounting: encoded mass exceeds raw mass (multi-chunk
+    // docs exist) and never by more than overlap x (chunks - docs)
+    got.foreach { case (src, (nd, raw, enc, chunks, _, _, _)) =>
+      assert(enc >= raw && enc - raw <= 16L * (chunks - nd), src)
+    }
+    assert(got.values.exists(t => t._3 > t._2), "no overlap paid - vacuous")
+  }
+
+  test("q383 packing policy: lower-bound replay and the integrity price") {
+    val pat = graft.operators.TextAnalysis.bpeTokenPattern.r
+    val items = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select("text").collect()
+      .map(r => pat.findAllIn(r.getString(0)).length.toLong + 1L)
+    val total = items.sum
+    val lb = (total + 4095L) / 4096L
+    val ffdBins = TrainingPrep.packedWindows(spark, sf).count()
+    val got = TrainingPrep.packingPolicyCompare(spark, sf).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) == ((4096L, items.length.toLong, total, ffdBins, lb)))
+    assert(got.getLong(5) == total * 1000000L / (ffdBins * 4096L))
+    assert(got.getLong(6) == total * 1000000L / (lb * 4096L))
+    assert(got.getLong(7) == (ffdBins - lb) * 1000000L / lb)
+    // document integrity can only cost bins, never save them; and
+    // both utilizations are valid fractions
+    assert(ffdBins >= lb && got.getLong(5) <= got.getLong(6) &&
+      got.getLong(6) <= 1000000L)
+  }
+
   test("q371 negative samples: exact draw replay; cross-source and short-kept arms") {
     def md5head(s: String): Long = java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")
