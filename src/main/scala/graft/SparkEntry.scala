@@ -558,6 +558,14 @@ object SparkEntry {
       Experiment.botRegularityGate(s, d)),
     "q383_packing_policy" -> ((s: SparkSession, d: String) =>
       TrainingPrep.packingPolicyCompare(s, d)),
+    "q384_systematic_sample" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.systematicSample(s, d)),
+    "q385_dedup_yield" -> ((s: SparkSession, d: String) =>
+      Dedup.dedupYieldCurve(s, d)),
+    "q386_source_gini" -> ((s: SparkSession, d: String) =>
+      Relational.sourceConcentration(s, d)),
+    "q387_anisotropy" -> ((s: SparkSession, d: String) =>
+      Similarity.anisotropyAudit(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -10662,7 +10670,127 @@ object SparkEntry {
            CAST((b.bins_ffd - (t.total_items + 4095) // 4096) * 1000000
              // ((t.total_items + 4095) // 4096) AS BIGINT)
              AS overhead_ppm
-         FROM tot t, bins b"""
+         FROM tot t, bins b""",
+    // q384: mass-proportional systematic sample — q312's prefix sums
+    // + closed-form grid-point counting, no RNG.
+    "q384_systematic_sample" ->
+      """WITH offs AS (
+           SELECT doc_id, n_chars + 1 AS n_bytes,
+             CAST(COALESCE(SUM(n_chars + 1) OVER (ORDER BY doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_offset
+           FROM documents),
+         h AS (
+           SELECT doc_id, start_offset, CAST(n_bytes AS BIGINT)
+               AS n_bytes,
+             CASE WHEN start_offset <= 512 THEN 0
+               ELSE (start_offset - 512 + 1023) // 1024 END AS j0,
+             CASE WHEN start_offset + n_bytes <= 512 THEN 0
+               ELSE (start_offset + n_bytes - 512 + 1023) // 1024 END
+               - CASE WHEN start_offset <= 512 THEN 0
+                 ELSE (start_offset - 512 + 1023) // 1024 END AS n_hits
+           FROM offs)
+         SELECT CAST(j AS BIGINT) AS sample_idx,
+           CAST(512 + j * 1024 AS BIGINT) AS position,
+           doc_id, start_offset, n_bytes, CAST(n_hits AS BIGINT) AS n_hits
+         FROM h, LATERAL (SELECT UNNEST(range(j0, j0 + n_hits)) AS j) t
+         WHERE n_hits >= 1""",
+    // q385: dedup yield curve — the q21 pair CTE at the loosest
+    // threshold, one arm per tightening threshold.
+    "q385_dedup_yield" ->
+      s"""WITH words AS (
+           SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t
+           WHERE len(w) >= 5),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         prs AS (
+           SELECT id_a, id_b,
+             CAST(n_common AS DOUBLE) /
+               CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+           FROM common
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(n_common AS DOUBLE) /
+             CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.3),
+         toks AS (
+           SELECT doc_id, CAST(len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS ntok
+           FROM documents)
+         ${Seq(300000L, 400000L, 500000L, 600000L, 700000L, 800000L,
+             900000L).map { t =>
+           s"""SELECT CAST($t AS BIGINT) AS threshold_ppm,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM prs
+                WHERE jaccard >= $t / 1000000.0) AS n_pairs,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                (SELECT DISTINCT id_b FROM prs
+                  WHERE jaccard >= $t / 1000000.0)) AS n_docs_dropped,
+              (SELECT CAST(COALESCE(SUM(ntok), 0) AS BIGINT) FROM toks
+                WHERE doc_id IN (SELECT DISTINCT id_b FROM prs
+                  WHERE jaccard >= $t / 1000000.0)) AS tokens_recovered"""
+         }.mkString("\n         UNION ALL\n         ")}""",
+    // q386: source-concentration Gini — exact sorted-mass identity,
+    // DECIMAL(38) products, one trailing micro DIV.
+    "q386_source_gini" ->
+      s"""WITH mass AS (
+           SELECT source, CAST(SUM(len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS x
+           FROM documents GROUP BY 1),
+         ranked AS (
+           SELECT x,
+             CAST(ROW_NUMBER() OVER (ORDER BY x ASC, source ASC)
+               AS BIGINT) AS i,
+             CAST(ROW_NUMBER() OVER (ORDER BY x DESC, source DESC)
+               AS BIGINT) AS rd
+           FROM mass),
+         g AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+             CAST(SUM(x) AS BIGINT) AS total_tokens,
+             SUM(CAST(i AS HUGEINT) * x) AS s_ix,
+             CAST(SUM(CASE WHEN rd <= 1 THEN x ELSE 0 END) AS BIGINT)
+               AS top1,
+             CAST(SUM(CASE WHEN rd <= 3 THEN x ELSE 0 END) AS BIGINT)
+               AS top3
+           FROM ranked)
+         SELECT n_sources, total_tokens,
+           CAST(top1 * 1000000 // total_tokens AS BIGINT)
+             AS top1_share_ppm,
+           CAST(top3 * 1000000 // total_tokens AS BIGINT)
+             AS top3_share_ppm,
+           CAST((2 * s_ix - (CAST(n_sources AS HUGEINT) + 1)
+             * total_tokens) * 1000000
+             // (CAST(n_sources AS HUGEINT) * total_tokens) AS BIGINT)
+             AS gini_ppm
+         FROM g""",
+    // q387: anisotropy — per-element micro floors into channel sums,
+    // squares over the channel domain, nonneg-only divisions.
+    "q387_anisotropy" ->
+      s"""WITH u AS ($normalizedVectors),
+         el AS (
+           SELECT CAST(i - 1 AS BIGINT) AS channel,
+             CAST(floor(1000000.0 * v[i]) AS BIGINT) AS xm
+           FROM u, LATERAL (SELECT UNNEST(range(1, len(v) + 1)) AS i) t),
+         byc AS (
+           SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(xm) AS BIGINT) AS s_c
+           FROM el GROUP BY 1),
+         g AS (
+           SELECT CAST(MAX(n_vecs) AS BIGINT) AS n_vecs,
+             CAST(COUNT(*) AS BIGINT) AS dims,
+             SUM(CAST(s_c AS HUGEINT) * s_c) AS ssq,
+             CAST(MAX(ABS(s_c)) AS BIGINT) AS max_abs_s
+           FROM byc)
+         SELECT n_vecs, dims,
+           CAST(ssq * 1000000 // (CAST(n_vecs AS HUGEINT) * n_vecs
+             * 1000000000000) AS BIGINT) AS anisotropy_ppm,
+           CAST(max_abs_s // n_vecs AS BIGINT) AS max_mean_channel_micro
+         FROM g"""
   )
 
   /** q14's window top-per-key SQL — shared verbatim by q89 (bounded

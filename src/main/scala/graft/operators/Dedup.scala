@@ -191,6 +191,49 @@ object Dedup {
           .as("n_at_risk"))
   }
 
+  /** The q385 driver entry: DEDUP-THRESHOLD YIELD CURVE — the
+    * diminishing-returns table behind "how aggressive should the
+    * near-dup threshold be": per candidate threshold (0.3 → 0.9),
+    * the verified pair count, the documents a drop-higher-id policy
+    * would remove, and the token mass recovered — tightening from
+    * 0.5 to 0.3 usually buys little mass at real false-positive
+    * risk, and THIS is the curve that shows it for the corpus at
+    * hand. All arms read ONE q21 pair computation (the exact
+    * Jaccard values are computed once at the loosest threshold;
+    * each arm is a filter over the tiny pair frame — never a
+    * recomputation of the posting-list join).
+    *
+    * Scale shape: one capped-posting-list pair pass (q21's linear
+    * plan), then |T| cheap passes over the near-dup pair frame
+    * (pairs ≪ corpus by construction) and a doc-grain token join
+    * per arm on the dropped ids only.
+    */
+  def dedupYieldCurve(
+      spark: SparkSession, sfDir: String,
+      thresholdsPpm: Seq[Long] =
+        Seq(300000L, 400000L, 500000L, 600000L, 700000L, 800000L,
+          900000L)): DataFrame = {
+    require(thresholdsPpm.nonEmpty && thresholdsPpm == thresholdsPpm.sorted,
+      "thresholds are an ascending ppm grid")
+    val pairs = ngramJaccardPairs(spark, sfDir,
+      threshold = thresholdsPpm.head / 1000000.0)
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("ntok"))
+    thresholdsPpm.map { t =>
+      val p = pairs.where(col("jaccard") >= t / 1000000.0)
+      val dropped = p.select(col("id_b").as("doc_id")).distinct()
+      val stats = p.agg(count(lit(1)).cast("long").as("n_pairs"))
+      val mass = dropped.join(toks, Seq("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_docs_dropped"),
+          coalesce(sum(col("ntok")), lit(0L)).cast("long")
+            .as("tokens_recovered"))
+      stats.crossJoin(mass)
+        .select(lit(t).as("threshold_ppm"), col("n_pairs"),
+          col("n_docs_dropped"), col("tokens_recovered"))
+    }.reduce(_ unionByName _)
+  }
+
   /** The q240 driver entry: SHINGLE CONTAINMENT PAIRS — the
     * quote-inclusion detector resemblance dedup structurally misses:
     * containment C(a in b) = |A ∩ B| / |A| flags a document EMBEDDED

@@ -3104,6 +3104,62 @@ object Relational {
       .drop("__bk", "__v", "__off")
   }
 
+  /** The q386 driver entry: SOURCE-CONCENTRATION AUDIT (Gini) — the
+    * governance number on every dataset datasheet: how concentrated
+    * is the corpus's token mass across sources? A Gini near 0 reads
+    * "balanced", near 1 reads "three feeds ARE the corpus" — the
+    * fact that decides whether a per-source quality incident (q361's
+    * quarantine, q367's takedown) is survivable. Exact integer Gini
+    * over the sorted mass vector: G = (2Σ i·x₍ᵢ₎ − (n+1)Σx) /
+    * (n·Σx), products in DECIMAL(38) (i·x breaches BIGINT past
+    * ~10¹⁵ tokens/source), one trailing micro DIV; plus the top-1
+    * and top-3 share ppm (the headline numbers people actually
+    * quote). Ascending ties broken by source name — engine-pinned.
+    *
+    * Scale shape: one fact-scale token count onto the bounded
+    * source domain; the sort, ranks, and folds all run on that
+    * domain (~tens of rows at any corpus size).
+    */
+  def sourceConcentration(spark: SparkSession, sfDir: String): DataFrame =
+    sourceConcentrationOn(Tables.load(spark, sfDir, "documents"))
+
+  /** The q386 core over any `(source, text)` frame — split out so the
+    * spec can pin the law endpoints (equal masses read 0; one source
+    * holding everything reads (n-1)/n) through the SAME plan.
+    */
+  def sourceConcentrationOn(docs: DataFrame): DataFrame = {
+    val mass = docs
+      .select(col("source"),
+        TextAnalysis.bpeTokenCount(col("text")).as("ntok"))
+      .groupBy(col("source"))
+      .agg(sum(col("ntok")).cast("long").as("x"))
+    val wAsc = Window.orderBy(col("x").asc, col("source").asc)
+    val wDesc = Window.orderBy(col("x").desc, col("source").desc)
+    mass
+      .withColumn("i", row_number().over(wAsc).cast("long"))
+      .withColumn("rd", row_number().over(wDesc).cast("long"))
+      .agg(count(lit(1)).cast("long").as("n_sources"),
+        sum(col("x")).cast("long").as("total_tokens"),
+        sum(col("i").cast("decimal(38,0)") * col("x")).as("s_ix"),
+        sum(when(col("rd") <= 1L, col("x")).otherwise(0L)).cast("long")
+          .as("top1_tokens"),
+        sum(when(col("rd") <= 3L, col("x")).otherwise(0L)).cast("long")
+          .as("top3_tokens"))
+      .withColumn("top1_share_ppm",
+        expr("top1_tokens * 1000000 DIV total_tokens"))
+      .withColumn("top3_share_ppm",
+        expr("top3_tokens * 1000000 DIV total_tokens"))
+      .withColumn("gini_ppm", expr(
+        """CAST((CAST((2 * s_ix - (CAST(n_sources AS DECIMAL(38,0)) + 1)
+             * total_tokens) * 1000000 AS DECIMAL(38,0))
+           - PMOD(CAST((2 * s_ix - (CAST(n_sources AS DECIMAL(38,0)) + 1)
+             * total_tokens) * 1000000 AS DECIMAL(38,0)),
+             CAST(n_sources AS DECIMAL(38,0)) * total_tokens))
+           / (CAST(n_sources AS DECIMAL(38,0)) * total_tokens)
+           AS BIGINT)"""))
+      .drop("s_ix", "top1_tokens", "top3_tokens")
+  }
+
   /** The q373 driver entry: PAYLOAD SCHEMA-DRIFT AUDIT — the
     * data-ops monitor over semi-structured event payloads (q103
     * parses them; THIS watches their shape move): per day, the JSON

@@ -1325,6 +1325,56 @@ object Similarity {
           .otherwise(-1L).cast("long"))
   }
 
+  /** The q387 driver entry: EMBEDDING ANISOTROPY AUDIT — the
+    * representation-quality number (Ethayarajh 2019) checked before
+    * trusting cosine anywhere downstream: anisotropic embeddings
+    * cluster in a narrow cone, so the expected cosine between
+    * RANDOM vectors is ≈ ‖mean‖² instead of ≈ 0, and every cosine
+    * threshold in the stack (dedup, ANN, drift) silently shifts.
+    * Over L2-normalized vectors: per-channel sums of PER-ELEMENT
+    * micro floors (Σᵢ ⌊10⁶ xᵢ꜀⌋ — integer, summation-order-free,
+    * the q372 discipline), then anisotropy_ppm =
+    * Σ꜀ S꜀² · 10⁶ / (n²·10¹²) ≈ ‖mean vector‖² in ppm — all
+    * products in DECIMAL(38), squares keep every division
+    * nonneg-over-nonneg (no signed-truncation hazard). Also the
+    * worst channel's |mean| in micro — the "one hot dimension"
+    * tell.
+    *
+    * Scale shape: one posexplode pass into a 64-row channel
+    * aggregate, then single-row arithmetic — the corpus is read
+    * once and nothing fact-scale shuffles.
+    */
+  def anisotropyAudit(spark: SparkSession, sfDir: String): DataFrame =
+    anisotropyAuditOn(Tables.load(spark, sfDir, "embeddings"))
+
+  /** The q387 core over any frame with an `embedding` column — split
+    * out so the spec can pin the isotropy endpoints (identical
+    * vectors read ~10^6 ppm; sign-balanced vectors read ~0) through
+    * the SAME plan.
+    */
+  def anisotropyAuditOn(emb: DataFrame): DataFrame =
+    emb
+      .select(posexplode(Vectors.l2normalize(col("embedding")))
+        .as(Seq("i", "x")))
+      .select(col("i").cast("long").as("channel"),
+        expr("CAST(floor(1000000.0 * x) AS BIGINT)").as("xm"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        sum(col("xm")).cast("long").as("s_c"))
+      .agg(max(col("n_vecs")).cast("long").as("n_vecs"),
+        count(lit(1)).cast("long").as("dims"),
+        sum(col("s_c").cast("decimal(38,0)") * col("s_c")).as("ssq"),
+        max(abs(col("s_c"))).cast("long").as("max_abs_s"))
+      .withColumn("anisotropy_ppm", expr(
+        """CAST((CAST(ssq * 1000000 AS DECIMAL(38,0))
+           - PMOD(CAST(ssq * 1000000 AS DECIMAL(38,0)),
+             CAST(n_vecs AS DECIMAL(38,0)) * n_vecs * 1000000000000))
+           / (CAST(n_vecs AS DECIMAL(38,0)) * n_vecs * 1000000000000)
+           AS BIGINT)"""))
+      .withColumn("max_mean_channel_micro",
+        expr("max_abs_s DIV n_vecs"))
+      .drop("ssq", "max_abs_s")
+
   /** The q380 driver entry: MMR DIVERSIFIED TOP-K — the greedy
     * maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998)
     * every RAG retriever bolts onto plain top-k once it notices the

@@ -2515,6 +2515,47 @@ object TrainingPrep {
     shards.crossJoin(broadcast(glob))
   }
 
+  /** The q384 driver entry: MASS-PROPORTIONAL SYSTEMATIC SAMPLE —
+    * the deterministic "sample documents proportional to their byte
+    * mass" draw an eval-subset builder wants (uniform-by-doc
+    * oversamples short docs relative to the token mass the model
+    * actually trains on): lay a fixed grid of positions
+    * p_j = φ + j·B over q312's single-stream export and take the
+    * document containing each grid point — a doc's hit count is
+    * exactly the number of grid points in [start, end), so
+    * E[hits] ∝ bytes with zero variance beyond rounding (systematic
+    * sampling), no RNG, no weights arithmetic, replayed bit-exactly
+    * by the oracle. Per hit: sample index, stream position, the
+    * doc, its byte span, and its total hit count (a doc longer than
+    * B appears multiple times — by design; that IS
+    * mass-proportionality).
+    *
+    * Scale shape: q312's chunked prefix sum provides offsets; hit
+    * counts and positions are closed-form row-local arithmetic
+    * (count = pointsBelow(end) − pointsBelow(start)) — no join, no
+    * shuffle beyond the offsets themselves.
+    */
+  def systematicSample(
+      spark: SparkSession, sfDir: String,
+      grid: Long = 1024L): DataFrame = {
+    require(grid >= 1L, "grid step is a positive byte count")
+    val phi = grid / 2L
+    // grid points below x: none at or above x; zero when x <= phi
+    def below(x: String): String =
+      s"CASE WHEN $x <= ${phi}L THEN 0L ELSE ($x - ${phi}L + ${grid - 1}L) DIV ${grid}L END"
+    exportOffsets(spark, sfDir)
+      .withColumn("j0", expr(below("start_offset")))
+      .withColumn("n_hits",
+        expr(below("end_offset")) - col("j0"))
+      .where(col("n_hits") >= 1L)
+      .withColumn("sample_idx",
+        explode(expr("sequence(j0, j0 + n_hits - 1L)")))
+      .select(col("sample_idx").cast("long").as("sample_idx"),
+        (lit(phi) + col("sample_idx") * grid).cast("long").as("position"),
+        col("doc_id"), col("start_offset"), col("n_bytes"),
+        col("n_hits").cast("long").as("n_hits"))
+  }
+
   /** The q383 driver entry: PACKING-POLICY COMPARISON — the number
     * behind the "may we split documents across windows?" debate:
     * q305's FFD packs whole documents (no split — attention never

@@ -481,7 +481,19 @@ object ScalingProbe {
       "q382_bot_gate" -> (d =>
         graft.operators.Experiment.botRegularityGate(spark, d)),
       "q383_packing_policy" -> (d =>
-        graft.operators.TrainingPrep.packingPolicyCompare(spark, d)))
+        graft.operators.TrainingPrep.packingPolicyCompare(spark, d)),
+      // q384 is q312's chunked prefix sums + row-local grid math;
+      // q385 rides q21's capped pair pass + tiny arm filters; q386
+      // one count onto the source domain; q387 one posexplode into
+      // a 64-row channel aggregate
+      "q384_systematic_sample" -> (d =>
+        graft.operators.TrainingPrep.systematicSample(spark, d)),
+      "q385_dedup_yield" -> (d =>
+        graft.operators.Dedup.dedupYieldCurve(spark, d)),
+      "q386_source_gini" -> (d =>
+        graft.operators.Relational.sourceConcentration(spark, d)),
+      "q387_anisotropy" -> (d =>
+        graft.operators.Similarity.anisotropyAudit(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))

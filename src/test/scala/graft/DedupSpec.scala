@@ -1166,5 +1166,36 @@ class DedupSpec extends AnyFunSuite {
     assert(byR.head > byR.last,
       "S-curve flat across configs - fixture similarities degenerate")
   }
+
+  test("q385 dedup yield curve equals a pair replay; yields only shrink") {
+    val sf = SparkTestSession.sf
+    val pairs = Dedup.ngramJaccardPairs(spark, sf, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val pat = graft.operators.TextAnalysis.bpeTokenPattern.r
+    val ntok = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), pat.findAllIn(r.getString(1)).length.toLong))
+      .toMap
+    val grid = Seq(300000L, 400000L, 500000L, 600000L, 700000L,
+      800000L, 900000L)
+    val want = grid.map { t =>
+      val p = pairs.filter(_._3 >= t / 1000000.0)
+      val dropped = p.map(_._2).distinct
+      t -> (p.length.toLong, dropped.length.toLong,
+        dropped.map(ntok).sum)
+    }.toMap
+    val got = Dedup.dedupYieldCurve(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == want)
+    // tightening the bar can only shrink every yield column
+    val byT = grid.map(got)
+    Seq[((Long, Long, Long)) => Long](_._1, _._2, _._3).foreach { f =>
+      byT.map(f).sliding(2).foreach(p2 => assert(p2.head >= p2.last))
+    }
+    // the curve genuinely discriminates on the fixture
+    assert(byT.head._1 > byT.last._1, "flat yield curve - vacuous")
+  }
 }
 

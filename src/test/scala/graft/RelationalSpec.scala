@@ -1602,4 +1602,40 @@ class RelationalSpec extends AnyFunSuite {
       (2L, "a") -> "kept", (2L, "b") -> "added", (2L, "c") -> "dropped",
       (3L, "a") -> "dropped", (3L, "b") -> "kept", (3L, "c") -> "added"))
   }
+
+  test("q386 source gini equals a sorted-mass replay; law endpoints") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val pat = graft.operators.TextAnalysis.bpeTokenPattern.r
+    val mass = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), pat.findAllIn(r.getString(1)).length.toLong))
+      .groupBy(_._1).map { case (s, g) => (s, g.map(_._2).sum) }.toSeq
+    val sorted = mass.sortBy(t => (t._2, t._1)).map(_._2)
+    val (n, tot) = (sorted.length.toLong, sorted.sum)
+    val sIx = sorted.zipWithIndex.map { case (x, i) =>
+      BigInt(i + 1) * BigInt(x) }.sum
+    val gini = ((2 * sIx - BigInt(n + 1) * BigInt(tot)) * 1000000 /
+      (BigInt(n) * BigInt(tot))).toLong
+    val top = mass.sortBy(t => (-t._2, t._1)).map(_._2)
+    val r = Relational.sourceConcentration(spark, sf).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((n, tot)))
+    assert(r.getLong(2) == top.head * 1000000L / tot)
+    assert(r.getLong(3) == top.take(3).sum * 1000000L / tot)
+    assert(r.getLong(4) == gini)
+    assert(r.getLong(4) >= 0L && r.getLong(4) < 1000000L)
+    // endpoints through the SAME plan: perfectly balanced reads 0;
+    // one source holding everything reads (n-1)/n
+    val equal = Seq(("a", "x y z"), ("b", "x y z"), ("c", "x y z"),
+      ("d", "x y z")).toDF("source", "text")
+    assert(Relational.sourceConcentrationOn(equal)
+      .collect().head.getLong(4) == 0L)
+    val skew = Seq(("a", ("x " * 100).trim), ("b", "x"), ("c", "x"),
+      ("d", "x")).toDF("source", "text")
+    val gSkew = Relational.sourceConcentrationOn(skew)
+      .collect().head.getLong(4)
+    // (2*(1*1+2*1+3*1+4*100) - 5*103) / (4*103) = 297/412 = 0.72087...
+    assert(gSkew == 720873L, s"skew gini $gSkew")
+  }
 }

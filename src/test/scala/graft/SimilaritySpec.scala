@@ -831,4 +831,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.exists { case ((_, rk), (_, _, pen, _)) =>
       rk > 1L && pen > 0L }, "diversity penalty never engaged - vacuous")
   }
+
+  test("q387 anisotropy equals a channel-sum replay; isotropy endpoints") {
+    val vecs = spark.read
+      .parquet(s"${SparkTestSession.sf}/embeddings.parquet")
+      .select(graft.functions.Vectors.l2normalize(col("embedding"))
+        .as("u")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val (n, d) = (vecs.length.toLong, vecs.head.length)
+    val sC = (0 until d).map(c =>
+      vecs.map(v => math.floor(1000000.0 * v(c)).toLong).sum)
+    val ssq = sC.map(s => BigInt(s) * BigInt(s)).sum
+    val aniso = (ssq * 1000000 /
+      (BigInt(n) * BigInt(n) * BigInt(1000000000000L))).toLong
+    val got = Similarity.anisotropyAudit(spark, sf).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3)) ==
+      ((n, d.toLong, aniso, sC.map(math.abs).max / n)))
+    // random-ish fixture vectors are near-isotropic
+    assert(aniso < 100000L, s"fixture unexpectedly anisotropic: $aniso")
+    // endpoints through the SAME plan: identical vectors read ~1e6;
+    // a sign-balanced pair reads ~0
+    import spark.implicits._
+    val same = Seq.fill(8)(Array.fill(4)(0.5f))
+      .map(Tuple1(_)).toDF("embedding")
+    val hot = Similarity.anisotropyAuditOn(same).collect().head.getLong(2)
+    assert(hot >= 990000L, s"identical vectors read $hot")
+    val balanced = Seq(Array(0.5f, 0.5f, 0.5f, 0.5f),
+      Array(-0.5f, -0.5f, -0.5f, -0.5f)).map(Tuple1(_)).toDF("embedding")
+    val iso = Similarity.anisotropyAuditOn(balanced)
+      .collect().head.getLong(2)
+    assert(iso <= 10L, s"sign-balanced pair reads $iso")
+  }
 }

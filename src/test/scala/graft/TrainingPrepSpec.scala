@@ -1717,6 +1717,37 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(got.values.exists(t => t._3 > t._2), "no overlap paid - vacuous")
   }
 
+  test("q384 systematic sample: grid partition, proportionality, and a replay") {
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1) + 1L)).sortBy(_._1)
+    val offsets = docs.scanLeft(0L)(_ + _._2)
+    val total = offsets.last
+    def below(x: Long): Long =
+      if (x <= 512L) 0L else (x - 512L + 1023L) / 1024L
+    val want = docs.zipWithIndex.flatMap { case ((id, nb), i) =>
+      val (s, e) = (offsets(i), offsets(i) + nb)
+      (below(s) until below(e)).map(j =>
+        (j, 512L + j * 1024L, id, s, nb, below(e) - below(s)))
+    }
+    val got = TrainingPrep.systematicSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // partition law: every grid point below the stream end is taken
+    // exactly once — the sample is a disjoint cover of the grid
+    assert(got.map(_._1).toSeq == (0L until below(total)).toSeq)
+    // each hit lands inside its document's byte span
+    got.foreach { case (_, pos, _, s, nb, _) =>
+      assert(pos >= s && pos < s + nb)
+    }
+    // mass-proportionality tell: any doc spanning >= 2 grid steps is
+    // hit at least twice; docs shorter than one step at most once
+    got.filter(_._5 >= 2048L).foreach(t => assert(t._6 >= 2L))
+    got.filter(_._5 < 1024L).foreach(t => assert(t._6 <= 1L))
+  }
+
   test("q383 packing policy: lower-bound replay and the integrity price") {
     val pat = graft.operators.TextAnalysis.bpeTokenPattern.r
     val items = spark.read
