@@ -566,6 +566,14 @@ object SparkEntry {
       Relational.sourceConcentration(s, d)),
     "q387_anisotropy" -> ((s: SparkSession, d: String) =>
       Similarity.anisotropyAudit(s, d)),
+    "q388_tokenizer_migration" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tokenizerMigrationDiff(s, d)),
+    "q389_prefix_mass" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.sharedPrefixMass(s, d)),
+    "q390_quality_dup" -> ((s: SparkSession, d: String) =>
+      Experiment.qualityDupCalibration(s, d)),
+    "q391_splitter_bias" -> ((s: SparkSession, d: String) =>
+      Experiment.splitterBias(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -10790,7 +10798,139 @@ object SparkEntry {
            CAST(ssq * 1000000 // (CAST(n_vecs AS HUGEINT) * n_vecs
              * 1000000000000) AS BIGINT) AS anisotropy_ppm,
            CAST(max_abs_s // n_vecs AS BIGINT) AS max_mean_channel_micro
-         FROM g"""
+         FROM g""",
+    // q388: tokenizer migration — the q157 encode chain to v2 rounds
+    // carries BOTH taps (s10 is v1, s20 is v2) in one training.
+    "q388_tokenizer_migration" ->
+      (bpeEncodeChainSql(20) +
+        """SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(trim(a.stream, chr(1)),
+             chr(1)||chr(1)))) AS BIGINT) AS tokens_v1,
+           CAST(SUM(len(string_split(trim(b.stream, chr(1)),
+             chr(1)||chr(1)))) AS BIGINT) AS tokens_v2,
+           CAST(SUM(len(string_split(trim(a.stream, chr(1)),
+               chr(1)||chr(1))))
+             - SUM(len(string_split(trim(b.stream, chr(1)),
+               chr(1)||chr(1)))) AS BIGINT) AS saved_tokens,
+           CAST((SUM(len(string_split(trim(a.stream, chr(1)),
+               chr(1)||chr(1))))
+             - SUM(len(string_split(trim(b.stream, chr(1)),
+               chr(1)||chr(1))))) * 1000000
+             // SUM(len(string_split(trim(a.stream, chr(1)),
+               chr(1)||chr(1)))) AS BIGINT) AS saved_ppm
+         FROM s10 a JOIN s20 b USING (doc_id)
+         JOIN documents d ON d.doc_id = a.doc_id
+         GROUP BY 1"""),
+    // q389: shared-prefix mass — first-char buckets make the
+    // sort-neighbor lcp identity exact (cross-bucket lcp = 0).
+    "q389_prefix_mass" ->
+      s"""WITH t AS (
+           SELECT source, $normText AS s FROM documents
+           WHERE length($normText) >= 1),
+         lagged AS (
+           SELECT source, s,
+             lag(s) OVER (PARTITION BY source, substr(s, 1, 1)
+               ORDER BY s ASC) AS prev
+           FROM t),
+         lcps AS (
+           SELECT source, CAST(length(s) AS BIGINT) AS len_s,
+             CASE WHEN prev IS NULL THEN 0
+               WHEN COALESCE(list_position(
+                 list_transform(range(1,
+                   CAST(LEAST(length(s), length(prev)) AS BIGINT) + 1),
+                   i -> substr(s, CAST(i AS INT), 1)
+                     = substr(prev, CAST(i AS INT), 1)),
+                 false), 0) = 0
+               THEN CAST(LEAST(length(s), length(prev)) AS BIGINT)
+               ELSE CAST(list_position(
+                 list_transform(range(1,
+                   CAST(LEAST(length(s), length(prev)) AS BIGINT) + 1),
+                   i -> substr(s, CAST(i AS INT), 1)
+                     = substr(prev, CAST(i AS INT), 1)),
+                 false) - 1 AS BIGINT) END AS lcp
+           FROM lagged)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len_s) AS BIGINT) AS total_chars,
+           CAST(SUM(lcp) AS BIGINT) AS shared_chars,
+           CAST(SUM(len_s) - SUM(lcp) AS BIGINT) AS trie_chars,
+           CAST(SUM(lcp) * 1000000 // SUM(len_s) AS BIGINT) AS shared_ppm
+         FROM lcps GROUP BY 1""",
+    // q390: quality-vs-dup calibration — q212's scored docs against
+    // q21's verified pair membership, fixed-width deciles.
+    "q390_quality_dup" ->
+      s"""WITH sc AS ($scoredDocsSql),
+         words AS (
+           SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t
+           WHERE len(w) >= 5),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         prs AS (
+           SELECT id_a, id_b FROM common
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(n_common AS DOUBLE) /
+             CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+         dup AS (
+           SELECT DISTINCT doc_id FROM (
+             SELECT id_a AS doc_id FROM prs
+             UNION ALL SELECT id_b FROM prs)),
+         j AS (
+           SELECT LEAST(sc.score // 100000, 9) AS decile,
+             CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup
+           FROM sc LEFT JOIN dup ON dup.doc_id = sc.doc_id)
+         SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dup,
+           CAST(SUM(is_dup) * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm
+         FROM j GROUP BY 1""",
+    // q391: splitter bias — q68's split rule, contingency margins,
+    // division-free chi-square contributions in micro.
+    "q391_splitter_bias" ->
+      """WITH asg AS (
+           SELECT d.source,
+             CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                 1, 15))::BIGINT % 10 < 8 THEN 'train'
+               WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                 1, 15))::BIGINT % 10 = 8 THEN 'val'
+               ELSE 'test' END AS split
+           FROM documents d),
+         cells AS (
+           SELECT split, source, CAST(COUNT(*) AS BIGINT) AS o
+           FROM asg GROUP BY 1, 2),
+         rt AS (SELECT split, CAST(SUM(o) AS BIGINT) AS r_tot
+           FROM cells GROUP BY 1),
+         ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c_tot
+           FROM cells GROUP BY 1),
+         nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+           FROM cells),
+         contrib AS (
+           SELECT c.split, c.source, c.o, rt.r_tot, ct.c_tot,
+             CAST((CAST(c.o AS HUGEINT) * nn.n
+                 - CAST(rt.r_tot AS HUGEINT) * ct.c_tot)
+               * (CAST(c.o AS HUGEINT) * nn.n
+                 - CAST(rt.r_tot AS HUGEINT) * ct.c_tot)
+               * 1000000
+               // (CAST(rt.r_tot AS HUGEINT) * ct.c_tot * nn.n)
+               AS BIGINT) AS contrib_micro
+           FROM cells c JOIN rt USING (split) JOIN ct USING (source),
+             nn),
+         gl AS (
+           SELECT CAST(SUM(contrib_micro) AS BIGINT) AS chi2_micro,
+             CAST((MAX(nn.n_splits) - 1) * (MAX(nn.n_sources) - 1)
+               AS BIGINT) AS dof
+           FROM contrib, nn)
+         SELECT c.split, c.source, c.o, c.r_tot, c.c_tot,
+           c.contrib_micro, g.chi2_micro, g.dof
+         FROM contrib c, gl g"""
   )
 
   /** q14's window top-per-key SQL — shared verbatim by q89 (bounded

@@ -2526,6 +2526,98 @@ object Experiment {
       .drop("s", "q")
   }
 
+  /** The q390 driver entry: QUALITY-vs-DUP CALIBRATION — the
+    * diagnostic that decides whether the quality gate and the dedup
+    * pass are redundant or complementary: per decile of q212's
+    * quality score, what fraction of documents sit in a verified
+    * near-dup pair (q21's exact truth)? A strong negative slope
+    * ("low-quality docs are the duplicated ones") means the quality
+    * gate already removes most dup mass and dedup's marginal yield
+    * is concentrated; a flat curve means the two filters are
+    * orthogonal and BOTH earn their cost. Deciles are the q218
+    * fixed-width integer bins; membership is exact.
+    *
+    * Scale shape: one scored doc-grain pass + q21's capped pair
+    * pass, one doc-grain join, one 10-row decile aggregate.
+    */
+  def qualityDupCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = rocAucScored(spark, sfDir)
+      .select(col("doc_id"), col("score"))
+    val dup = graft.operators.Dedup.ngramJaccardPairs(spark, sfDir)
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+      .withColumn("is_dup", lit(1L))
+    scored.join(dup, Seq("doc_id"), "left")
+      .withColumn("decile",
+        least(floor(col("score").cast("double") / 100000.0).cast("long"),
+          lit(9L)))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).cast("long").as("n_dup"))
+      .withColumn("dup_ppm", expr("n_dup * 1000000 DIV n_docs"))
+  }
+
+  /** The q391 driver entry: SPLITTER BIAS AUDIT — the independence
+    * check on q68's content-addressed splitter: train/val/test
+    * assignment must be independent of SOURCE (a splitter that
+    * sorts one feed into test makes every eval a domain-shift eval
+    * by accident). Per (split, source) cell of the contingency
+    * table: observed count, both margins, and the cell's exact
+    * chi-square contribution in micro via the division-free
+    * cross-multiplied form (O·N − R·C)²·10⁶ / (R·C·N) — products in
+    * DECIMAL(38) (the numerator squares O(N²) terms), per-term
+    * truncating DIV (q232's device); the global statistic and its
+    * degrees of freedom ride every row for the consumer's
+    * threshold. q274 tests two generic columns; THIS audits the
+    * pipeline's own splitter, which is the version reviewers ask
+    * for.
+    *
+    * Scale shape: one doc-grain join (split is row-local md5
+    * arithmetic), one count onto the bounded split × source grid,
+    * margins and the fold on that grid.
+    */
+  def splitterBias(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = TrainingPrep.splitAssign(spark, sfDir)
+      .select(col("doc_id"), col("split"))
+      .join(Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).cast("long").as("o"))
+      .localCheckpoint(true) // read by margins and the cell pass
+    val rTot = cells.groupBy(col("split"))
+      .agg(sum(col("o")).cast("long").as("r_tot"))
+    val cTot = cells.groupBy(col("source"))
+      .agg(sum(col("o")).cast("long").as("c_tot"))
+    val n = cells.agg(sum(col("o")).cast("long").as("n"),
+      countDistinct(col("split")).cast("long").as("n_splits"),
+      countDistinct(col("source")).cast("long").as("n_sources"))
+    val contrib = cells
+      .join(broadcast(rTot), Seq("split"))
+      .join(broadcast(cTot), Seq("source"))
+      .crossJoin(broadcast(n))
+      .withColumn("contrib_micro", expr(
+        """CAST((CAST((CAST(o AS DECIMAL(38,0)) * n
+             - CAST(r_tot AS DECIMAL(38,0)) * c_tot)
+             * (CAST(o AS DECIMAL(38,0)) * n
+             - CAST(r_tot AS DECIMAL(38,0)) * c_tot)
+             * 1000000 AS DECIMAL(38,0))
+           - PMOD(CAST((CAST(o AS DECIMAL(38,0)) * n
+             - CAST(r_tot AS DECIMAL(38,0)) * c_tot)
+             * (CAST(o AS DECIMAL(38,0)) * n
+             - CAST(r_tot AS DECIMAL(38,0)) * c_tot)
+             * 1000000 AS DECIMAL(38,0)),
+             CAST(r_tot AS DECIMAL(38,0)) * c_tot * n))
+           / (CAST(r_tot AS DECIMAL(38,0)) * c_tot * n) AS BIGINT)"""))
+    val glob = contrib.agg(
+      sum(col("contrib_micro")).cast("long").as("chi2_micro"),
+      expr("CAST((MAX(n_splits) - 1) * (MAX(n_sources) - 1) AS BIGINT)")
+        .as("dof"))
+    contrib
+      .select(col("split"), col("source"), col("o"), col("r_tot"),
+        col("c_tot"), col("contrib_micro"))
+      .crossJoin(broadcast(glob))
+  }
+
   /** The q379 driver entry: FUNNEL SIGNIFICANCE UNDER HOLM — the
     * multiple-testing discipline for per-step A/B readouts: testing
     * every funnel transition separately at α inflates the family

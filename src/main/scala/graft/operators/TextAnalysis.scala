@@ -3204,6 +3204,102 @@ object TextAnalysis {
         expr("distinct_words + f1 * (f1 - 1) DIV (2 * (f2 + 1))"))
       .withColumn("unseen_mass_ppm", expr("f1 * 1000000 DIV n_tokens"))
 
+  /** The q388 driver entry: TOKENIZER MIGRATION DIFF — the
+    * re-encode bill for upgrading a deployment's merge table: BPE
+    * training is greedy-sequential, so a v1 tokenizer of r₁ rounds
+    * is EXACTLY the first r₁ merges of the v2 training (trained
+    * once, prefix taken — never two trainings that could diverge on
+    * ties), and this entry encodes the corpus under both and
+    * reports, per language, the token counts and the v2 saving.
+    * Monotone law (spec-pinned): applying MORE merges can only
+    * shrink or keep a document's token count — a negative saving
+    * anywhere is a bug, not a finding. The per-language split shows
+    * WHO the new merges serve: merges learned on a skewed corpus
+    * concentrate their savings on the dominant language (the q360
+    * fairness lens, now at the migration decision).
+    *
+    * Scale shape: q157's zero-shuffle replace-chain encode, run
+    * twice over one scan each; the training loop's bounded driver
+    * state is q155's (measured caps); one lang-domain aggregate.
+    */
+  def tokenizerMigrationDiff(
+      spark: SparkSession, sfDir: String,
+      v1Rounds: Int = 10, v2Rounds: Int = 20): DataFrame = {
+    require(v2Rounds > v1Rounds && v1Rounds >= 1,
+      "v2 must extend v1's merge table")
+    val merges = trainedMerges(spark, sfDir, v2Rounds)
+      .map { case (_, l, r, _, _) => (l, r) }
+    val docs = Tables.load(spark, sfDir, "documents")
+    val e1 = bpeEncodeWith(spark, docs.select(col("doc_id"), col("text")),
+      merges.take(v1Rounds), headN = 1)
+      .select(col("doc_id"), col("n_tokens").as("t1"))
+    val e2 = bpeEncodeWith(spark, docs.select(col("doc_id"), col("text")),
+      merges, headN = 1)
+      .select(col("doc_id"), col("n_tokens").as("t2"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(e1, Seq("doc_id")).join(e2, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("t1")).cast("long").as("tokens_v1"),
+        sum(col("t2")).cast("long").as("tokens_v2"))
+      .withColumn("saved_tokens", col("tokens_v1") - col("tokens_v2"))
+      .withColumn("saved_ppm",
+        expr("(tokens_v1 - tokens_v2) * 1000000 DIV tokens_v1"))
+  }
+
+  /** The q389 driver entry: SHARED-PREFIX (TRIE) MASS AUDIT — the
+    * sizing number for a prefix cache / prefix-compressed index
+    * (q324 audits HIT RATES on a serving log; THIS prices the
+    * corpus itself): the number of distinct prefix characters (=
+    * trie nodes) per source equals Σ(len − lcp to the previous doc
+    * in sorted order) — the classic sort-neighbors identity, made
+    * DISTRIBUTION-EXACT by bucketing on the FIRST CHARACTER: the
+    * bucket key is itself a prefix, so cross-bucket neighbors share
+    * lcp 0 and within-bucket sort-neighbor lcp sums are the whole
+    * answer (at larger scale, bucket by the first k chars — same
+    * argument). High shared_ppm = the corpus pays for a prefix
+    * cache; low = it won't.
+    *
+    * Scale shape: one (source, first-char)-keyed sort window with a
+    * row-local lcp expression (bounded by doc length); one
+    * source-domain aggregate.
+    */
+  def sharedPrefixMass(spark: SparkSession, sfDir: String): DataFrame =
+    sharedPrefixMassOn(Tables.load(spark, sfDir, "documents"))
+
+  /** The q389 core over any `(source, text)` frame. */
+  def sharedPrefixMassOn(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source"), col("c1"))
+      .orderBy(col("s").asc)
+    docs
+      .select(col("source"), normalizedText(col("text")).as("s"))
+      .where(length(col("s")) >= 1)
+      .withColumn("c1", substring(col("s"), 1, 1))
+      .withColumn("prev", lag(col("s"), 1).over(w))
+      // array_position returns 0 (not NULL) when no mismatch exists —
+      // i.e. one string is a strict prefix of the other, where the lcp
+      // is the shorter length
+      .withColumn("lcp", when(col("prev").isNull, 0L).otherwise(expr(
+        """CAST(CASE WHEN array_position(
+               transform(sequence(1, CAST(least(length(s), length(prev))
+                   AS INT)),
+                 i -> substring(s, i, 1) = substring(prev, i, 1)),
+               false) = 0
+             THEN least(length(s), length(prev))
+             ELSE array_position(
+               transform(sequence(1, CAST(least(length(s), length(prev))
+                   AS INT)),
+                 i -> substring(s, i, 1) = substring(prev, i, 1)),
+               false) - 1 END AS BIGINT)""")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(length(col("s"))).cast("long").as("total_chars"),
+        sum(col("lcp")).cast("long").as("shared_chars"))
+      .withColumn("trie_chars", col("total_chars") - col("shared_chars"))
+      .withColumn("shared_ppm",
+        expr("shared_chars * 1000000 DIV total_chars"))
+  }
+
   /** The q378 driver entry: CODE-SWITCHING CENSUS — the within-doc
     * language-mixing monitor a monolingual-corpus builder runs after
     * q40's DOC-level lang-ID: a document that flips language

@@ -493,7 +493,18 @@ object ScalingProbe {
       "q386_source_gini" -> (d =>
         graft.operators.Relational.sourceConcentration(spark, d)),
       "q387_anisotropy" -> (d =>
-        graft.operators.Similarity.anisotropyAudit(spark, d)))
+        graft.operators.Similarity.anisotropyAudit(spark, d)),
+      // q388 is two replace-chain encodes + a lang reduce; q389 one
+      // (source, first-char)-keyed sort window with row-local lcp;
+      // q390 a doc-grain join onto 10 deciles; q391 a bounded grid
+      "q388_tokenizer_migration" -> (d =>
+        graft.operators.TextAnalysis.tokenizerMigrationDiff(spark, d)),
+      "q389_prefix_mass" -> (d =>
+        graft.operators.TextAnalysis.sharedPrefixMass(spark, d)),
+      "q390_quality_dup" -> (d =>
+        graft.operators.Experiment.qualityDupCalibration(spark, d)),
+      "q391_splitter_bias" -> (d =>
+        graft.operators.Experiment.splitterBias(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))

@@ -1555,4 +1555,65 @@ class ExperimentSpec extends AnyFunSuite {
       assert(n >= 5L && cv2 >= 0L && !bot)
     }
   }
+
+  test("q390 quality-dup calibration equals a replay; mass conserves") {
+    val scored = Experiment.rocAucScored(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val dup = graft.operators.Dedup.ngramJaccardPairs(spark, sf)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val want = scored.groupBy(t => math.min(t._2 / 100000L, 9L))
+      .map { case (d, g) =>
+        val nd = g.count(t => dup(t._1)).toLong
+        d -> (g.length.toLong, nd, nd * 1000000L / g.length)
+      }
+    val got = Experiment.qualityDupCalibration(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == want)
+    // every doc lands in exactly one decile; dup mass matches the
+    // pair universe
+    assert(got.values.map(_._1).sum == scored.length.toLong)
+    assert(got.values.map(_._2).sum == dup.size.toLong)
+    assert(got.values.exists(_._2 > 0L), "no dup mass anywhere - vacuous")
+  }
+
+  test("q391 splitter bias equals a chi-square replay; margins conserve") {
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5head(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(15), 16)
+    val asg = docs.map { case (id, src) =>
+      val b = md5head(id.toString) % 10L
+      (if (b < 8) "train" else if (b == 8) "val" else "test", src)
+    }
+    val cells = asg.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rT = asg.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cT = asg.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = asg.length.toLong
+    val wantContrib = cells.map { case ((sp, src), o) =>
+      val diff = BigInt(o) * BigInt(n) - BigInt(rT(sp)) * BigInt(cT(src))
+      (sp, src) -> (o, rT(sp), cT(src),
+        (diff * diff * 1000000 / (BigInt(rT(sp)) * BigInt(cT(src))
+          * BigInt(n))).toLong)
+    }
+    val got = Experiment.splitterBias(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    assert(got.map(t => t._1 -> (t._2._1, t._2._2, t._2._3, t._2._4))
+      .toMap == wantContrib)
+    val chi2 = wantContrib.values.map(_._4).sum
+    got.foreach { case (_, t) =>
+      assert(t._5 == chi2)
+      assert(t._6 == (rT.size.toLong - 1L) * (cT.size.toLong - 1L))
+    }
+    // a content-addressed splitter should NOT be wildly source-biased:
+    // chi2/dof stays within an order of magnitude of 1 (in micro)
+    val dof = (rT.size.toLong - 1L) * (cT.size.toLong - 1L)
+    assert(chi2 / dof < 10000000L, s"splitter badly biased: $chi2/$dof")
+  }
 }

@@ -1641,5 +1641,58 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
     assert(got.values.exists(_._6 > 0L), "no postings saved - vacuous")
   }
+
+  test("q388 tokenizer migration: monotone savings; v1 is v2's prefix") {
+    val sf = SparkTestSession.sf
+    val got = TextAnalysis.tokenizerMigrationDiff(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    got.foreach { case (lang, _, v1, v2, saved, ppm) =>
+      // more merges can only shrink the stream
+      assert(v2 <= v1, s"$lang grew under more merges")
+      assert(saved == v1 - v2 && ppm == saved * 1000000L / v1)
+    }
+    // the extra ten merges genuinely buy something somewhere
+    assert(got.exists(_._5 > 0L), "v2 merges saved nothing - vacuous")
+    // prefix property: encoding with the v2 table's first 10 merges
+    // equals encoding with a freshly trained 10-round table
+    val m20 = TextAnalysis.trainedMerges(spark, sf, 20)
+      .map { case (_, l, r, _, _) => (l, r) }
+    val m10 = TextAnalysis.trainedMerges(spark, sf, 10)
+      .map { case (_, l, r, _, _) => (l, r) }
+    assert(m20.take(10) == m10, "greedy training is not prefix-stable")
+  }
+
+  test("q389 prefix mass equals an lcp replay; trie identity holds") {
+    val sf = SparkTestSession.sf
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ")))
+      .filter(_._2.nonEmpty)
+    def lcp(a: String, b: String): Long =
+      a.zip(b).takeWhile(p => p._1 == p._2).length.toLong
+    val want = docs.groupBy(_._1).map { case (src, g) =>
+      val shared = g.map(_._2).groupBy(_.head).values.map { bucket =>
+        val sorted = bucket.sorted
+        sorted.zip(sorted.drop(1)).map(p => lcp(p._1, p._2)).sum
+      }.sum
+      val total = g.map(_._2.length.toLong).sum
+      src -> (g.length.toLong, total, shared, total - shared,
+        shared * 1000000L / total)
+    }
+    val got = TextAnalysis.sharedPrefixMass(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got == want)
+    // trie identity on a hand corpus: {"ab", "abc", "ad"} shares
+    // "ab"(2) + "a"(1) = 3 chars; trie holds 4 distinct prefix chars
+    import spark.implicits._
+    val tiny = Seq(("s", "ab"), ("s", "abc"), ("s", "ad"))
+      .toDF("source", "text")
+    val t = TextAnalysis.sharedPrefixMassOn(tiny).collect().head
+    assert((t.getLong(2), t.getLong(3), t.getLong(4)) == ((7L, 3L, 4L)))
+  }
 }
 
