@@ -574,6 +574,10 @@ object SparkEntry {
       Experiment.qualityDupCalibration(s, d)),
     "q391_splitter_bias" -> ((s: SparkSession, d: String) =>
       Experiment.splitterBias(s, d)),
+    "q392_cluster_profile" -> ((s: SparkSession, d: String) =>
+      Dedup.clusterSizeProfile(s, d)),
+    "q393_epoch_fixed_points" -> ((s: SparkSession, d: String) =>
+      TrainingPrep.epochFixedPoints(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -10930,7 +10934,78 @@ object SparkEntry {
            FROM contrib, nn)
          SELECT c.split, c.source, c.o, c.r_tot, c.c_tot,
            c.contrib_micro, g.chi2_micro, g.dof
-         FROM contrib c, gl g"""
+         FROM contrib c, gl g""",
+    // q392: cluster-size profile — the q44 recursive-CC prefix
+    // (exact pairs; equal to the banded path whenever recall is
+    // complete, the q22/q297 convention) + the size histogram.
+    "q392_cluster_profile" ->
+      s"""WITH RECURSIVE words AS (
+           SELECT doc_id, string_split($normText, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t
+           WHERE len(w) >= 5),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         prs AS (
+           SELECT id_a, id_b FROM common
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(n_common AS DOUBLE) /
+             CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM prs
+           UNION SELECT id_b, id_a FROM prs),
+         reach(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id),
+         comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY 1),
+         keyed AS (
+           SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp
+           FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         sz AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS size
+           FROM keyed GROUP BY 1),
+         prof AS (
+           SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(size * COUNT(*) AS BIGINT) AS n_docs
+           FROM sz GROUP BY 1),
+         tot AS (
+           SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+             CAST(SUM(n_clusters) AS BIGINT) AS total_clusters
+           FROM prof)
+         SELECT p.size, p.n_clusters, p.n_docs, t.total_docs,
+           t.total_clusters,
+           CAST(p.n_docs * 1000000 // t.total_docs AS BIGINT)
+             AS doc_share_ppm
+         FROM prof p, tot t""",
+    // q393: epoch-shuffle independence — q257's md5 orders, adjacent
+    // epochs joined on doc, fixed points + displacement.
+    "q393_epoch_fixed_points" ->
+      """WITH e AS (
+           SELECT doc_id, ep.epoch,
+             md5('ep' || CAST(ep.epoch AS VARCHAR) || ':' ||
+               CAST(doc_id AS VARCHAR)) AS pri
+           FROM documents, (SELECT UNNEST(range(0, 4)) AS epoch) ep),
+         p AS (
+           SELECT doc_id, epoch,
+             CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+               ORDER BY pri ASC, doc_id ASC) AS BIGINT) AS pos
+           FROM e)
+         SELECT CAST(a.epoch AS BIGINT) AS epoch,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN a.pos = b.pos THEN 1 ELSE 0 END) AS BIGINT)
+             AS fixed_points,
+           CAST(SUM(ABS(a.pos - b.pos)) AS BIGINT) AS sum_abs_disp,
+           CAST(MAX(ABS(a.pos - b.pos)) AS BIGINT) AS max_disp,
+           CAST(SUM(ABS(a.pos - b.pos)) * 1000 // COUNT(*) AS BIGINT)
+             AS mean_disp_milli
+         FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.epoch = a.epoch + 1
+         GROUP BY 1"""
   )
 
   /** q14's window top-per-key SQL — shared verbatim by q89 (bounded

@@ -191,6 +191,33 @@ object Dedup {
           .as("n_at_risk"))
   }
 
+  /** The q392 driver entry: CLUSTER-SIZE PROFILE — the dup-structure
+    * headline on every corpus datasheet: the histogram of q44's
+    * near-dup component sizes (how much of the corpus is singletons
+    * vs pairs vs mega-clusters). The shape decides the dedup POLICY:
+    * a pair-dominated profile suits drop-one (q25's cheap rule), a
+    * heavy-tailed one demands canonicalization (q351) and soft
+    * weights (q297) because dropping all-but-one of a 400-doc
+    * cluster erases real mass. Per size: cluster count, doc count,
+    * doc-share ppm, with corpus totals on every row.
+    *
+    * Scale shape: q44's banded-LSH + CC machinery (the only
+    * fact-scale work), then two tiny aggregates — components, then
+    * the size histogram (bounded by the largest cluster).
+    */
+  def clusterSizeProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val prof = docClusters(spark, sfDir)
+      .groupBy(col("comp")).agg(count(lit(1)).cast("long").as("size"))
+      .groupBy(col("size"))
+      .agg(count(lit(1)).cast("long").as("n_clusters"))
+      .withColumn("n_docs", (col("size") * col("n_clusters")).cast("long"))
+    val tot = prof.agg(sum(col("n_docs")).cast("long").as("total_docs"),
+      sum(col("n_clusters")).cast("long").as("total_clusters"))
+    prof.crossJoin(broadcast(tot))
+      .withColumn("doc_share_ppm",
+        expr("n_docs * 1000000 DIV total_docs"))
+  }
+
   /** The q385 driver entry: DEDUP-THRESHOLD YIELD CURVE — the
     * diminishing-returns table behind "how aggressive should the
     * near-dup threshold be": per candidate threshold (0.3 → 0.9),

@@ -2515,6 +2515,49 @@ object TrainingPrep {
     shards.crossJoin(broadcast(glob))
   }
 
+  /** The q393 driver entry: EPOCH-SHUFFLE INDEPENDENCE AUDIT — the
+    * between-epoch complement to q348's within-epoch runs test: a
+    * broken shuffle seed that silently reuses one permutation across
+    * epochs (the classic data-loader bug — the model sees batches in
+    * the identical order every epoch) shows up here as
+    * fixed_points = n between consecutive epochs, while independent
+    * permutations read ≈ 1 (the derangement law: a uniform random
+    * permutation has exactly ONE expected fixed point, at any n).
+    * Per consecutive epoch pair of q257's md5 orders: doc count,
+    * fixed points, total and max absolute position displacement —
+    * the dashboard row that distinguishes "reshuffled" from
+    * "replayed" at a glance.
+    *
+    * Scale shape: q257's per-epoch rank window (the q78
+    * range-partition device at 100 TB), a doc-keyed self-join of
+    * adjacent epochs, one epoch-domain aggregate.
+    */
+  def epochFixedPoints(
+      spark: SparkSession, sfDir: String, epochs: Int = 4): DataFrame = {
+    require(epochs >= 2, "need at least two epochs to compare")
+    val w = Window.partitionBy(col("epoch"))
+      .orderBy(col("pri").asc, col("doc_id").asc)
+    val pos = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), lit(epochs - 1L))).as("epoch"))
+      .withColumn("pri", md5(concat(lit("ep"), col("epoch").cast("string"),
+        lit(":"), col("doc_id").cast("string"))))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("epoch"), col("pos"))
+    pos
+      .join(pos.select(col("doc_id"), (col("epoch") - 1L).as("epoch"),
+        col("pos").as("pos_next")), Seq("doc_id", "epoch"))
+      .groupBy(col("epoch"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("pos") === col("pos_next"), 1L).otherwise(0L))
+          .cast("long").as("fixed_points"),
+        sum(abs(col("pos") - col("pos_next"))).cast("long")
+          .as("sum_abs_disp"),
+        max(abs(col("pos") - col("pos_next"))).cast("long").as("max_disp"))
+      .withColumn("mean_disp_milli",
+        expr("sum_abs_disp * 1000 DIV n_docs"))
+  }
+
   /** The q384 driver entry: MASS-PROPORTIONAL SYSTEMATIC SAMPLE —
     * the deterministic "sample documents proportional to their byte
     * mass" draw an eval-subset builder wants (uniform-by-doc

@@ -504,7 +504,13 @@ object ScalingProbe {
       "q390_quality_dup" -> (d =>
         graft.operators.Experiment.qualityDupCalibration(spark, d)),
       "q391_splitter_bias" -> (d =>
-        graft.operators.Experiment.splitterBias(spark, d)))
+        graft.operators.Experiment.splitterBias(spark, d)),
+      // q392 rides q44's banded CC; q393 is q257's per-epoch rank +
+      // a doc-keyed adjacent-epoch join
+      "q392_cluster_profile" -> (d =>
+        graft.operators.Dedup.clusterSizeProfile(spark, d)),
+      "q393_epoch_fixed_points" -> (d =>
+        graft.operators.TrainingPrep.epochFixedPoints(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))

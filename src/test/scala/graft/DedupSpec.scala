@@ -1197,5 +1197,30 @@ class DedupSpec extends AnyFunSuite {
     // the curve genuinely discriminates on the fixture
     assert(byT.head._1 > byT.last._1, "flat yield curve - vacuous")
   }
+
+  test("q392 cluster profile equals a components replay; mass conserves") {
+    val sf = SparkTestSession.sf
+    val comps = Dedup.docClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = comps.groupBy(_._2).values
+      .groupBy(_.size.toLong).map { case (sz, cs) =>
+        sz -> (cs.size.toLong, sz * cs.size)
+      }
+    val totalDocs = comps.length.toLong
+    val totalClusters = comps.map(_._2).distinct.length.toLong
+    val got = Dedup.clusterSizeProfile(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.map(t => t._1 -> (t._2._1, t._2._2)).toMap == want)
+    got.foreach { case (sz, (_, nd, td, tc, share)) =>
+      assert(td == totalDocs && tc == totalClusters)
+      assert(share == nd * 1000000L / totalDocs)
+    }
+    // mass conservation + the fixture's known structure: singletons
+    // dominate, and at least one multi-doc cluster exists
+    assert(got.map(_._2._2).sum == totalDocs)
+    assert(got.exists(_._1 == 1L) && got.exists(_._1 >= 2L),
+      "no dup structure on the fixture - vacuous")
+  }
 }
 

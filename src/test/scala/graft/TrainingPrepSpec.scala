@@ -1717,6 +1717,36 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(got.values.exists(t => t._3 > t._2), "no overlap paid - vacuous")
   }
 
+  test("q393 epoch fixed points equal an md5 replay; derangement law holds") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val posOf = (0 to 3).map { e =>
+      e -> ids.sortBy(id => (md5hex(s"ep$e:$id"), id)).zipWithIndex
+        .map { case (id, i) => (id, i + 1L) }.toMap
+    }.toMap
+    val want = (0 to 2).map { e =>
+      val (a, b) = (posOf(e), posOf(e + 1))
+      val disps = ids.map(id => math.abs(a(id) - b(id)))
+      (e.toLong, (ids.length.toLong, ids.count(id => a(id) == b(id)).toLong,
+        disps.sum, disps.max, disps.sum * 1000L / ids.length))
+    }.toMap
+    val got = TrainingPrep.epochFixedPoints(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got == want)
+    // independence: a uniform permutation has ONE expected fixed
+    // point at any n; ten is astronomically unlikely, n would mean
+    // the loader replayed the same order
+    got.values.foreach { case (n, fixed, sumDisp, _, _) =>
+      assert(fixed <= 10L, s"suspiciously many fixed points: $fixed")
+      assert(sumDisp > n, "orders barely moved - replay suspected")
+    }
+  }
+
   test("q384 systematic sample: grid partition, proportionality, and a replay") {
     val docs = spark.read
       .parquet(s"${SparkTestSession.sf}/documents.parquet")
