@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. Two sbt behaviors defeat that parse and are disabled here:
+//  1. the "[success] Total time: ..." banner prints AFTER the program's
+//     final line (BENCH_r15.json: rc=0 but parsed=null — the driver's
+//     tail parse read the banner), and
+//  2. forked-run output is logged through sbt with an "[info] " prefix
+//     ("[info] {\"metric\":...}" is not valid JSON either) — pass the
+//     child's stdout/stderr through untouched instead.
+showSuccess := false
+// showSuccess is consumed by sbt's command loop, not by settings/tasks —
+// exclude it from the unused-key lint so the build stays warning-free
+Global / excludeLintKeys += showSuccess
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -9866,7 +9866,8 @@ object SparkEntry {
            FROM w),
          f AS (
            SELECT source, n_words, n_hits, score,
-             score * 1000000 // n_words > 20000 AS flagged
+             score * 1000000 // n_words > ${CleanPipeline.toxicDocPpm}
+               AS flagged
            FROM d WHERE n_words >= 1)
          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
@@ -9876,7 +9877,7 @@ object SparkEntry {
            CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) * 1000000
              // COUNT(*) AS BIGINT) AS flagged_ppm,
            SUM(CASE WHEN flagged THEN 1 ELSE 0 END) * 1000000
-             // COUNT(*) > 100000 AS quarantine
+             // COUNT(*) > ${CleanPipeline.toxicSrcPpm} AS quarantine
          FROM f GROUP BY 1""",
     // q362: SFT unrolling cost — q33's gap sessionization, then
     // position/prefix windows on the conversation key; token proxy
@@ -10085,11 +10086,12 @@ object SparkEntry {
              AS BIGINT) AS n_excluded
            FROM per_unit)
          SELECT dosum.n_items, excl.n_excluded, de.n,
-           CAST(1000000 - (CAST(de.n - 1 AS HUGEINT) * do2_sum * 1000000
+           CASE WHEN CAST(de.n AS HUGEINT) * de.n = de.sq_c THEN 1000000
+           ELSE CAST(1000000 - (CAST(de.n - 1 AS HUGEINT) * do2_sum * 1000000
                - (CAST(de.n - 1 AS HUGEINT) * do2_sum * 1000000)
                  % (2 * (CAST(de.n AS HUGEINT) * de.n - de.sq_c)))
              // (2 * (CAST(de.n AS HUGEINT) * de.n - de.sq_c))
-             AS BIGINT) AS alpha_micro
+             AS BIGINT) END AS alpha_micro
          FROM dosum, de, excl""",
     // q369: unseen-vocabulary estimators — Chao1 bias-corrected
     // floor + Good-Turing singleton mass over the (lang, word) count.
@@ -10283,7 +10285,7 @@ object SparkEntry {
          g AS (
            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(ntok) AS BIGINT) AS tokens_total,
-             ${Seq(0L, 100000L, 200000L, 300000L).map { t =>
+             ${CleanPipeline.filterCurveThresholds.map { t =>
                s"""CAST(SUM(CASE WHEN score >= $t THEN 1 ELSE 0 END)
                   AS BIGINT) AS kept_$t,
                 CAST(SUM(CASE WHEN score >= $t THEN ntok ELSE 0 END)
@@ -10292,7 +10294,7 @@ object SparkEntry {
                   AS BIGINT) AS ksc_$t"""
              }.mkString(",\n             ")}
            FROM base GROUP BY 1)
-         ${Seq(0L, 100000L, 200000L, 300000L).map { t =>
+         ${CleanPipeline.filterCurveThresholds.map { t =>
            s"""SELECT source, CAST($t AS BIGINT) AS threshold_micro,
               n_docs, tokens_total, kept_$t AS kept_docs,
               ktok_$t AS kept_tokens,
@@ -10351,17 +10353,23 @@ object SparkEntry {
            SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM words
            WHERE len(w) > 0 AND w[1] <> ''),
          k AS (
-           SELECT doc_id, n, GREATEST(1, (n - 16 + 47) // 48) AS k FROM d),
+           SELECT doc_id, n, GREATEST(1,
+             (n - ${TrainingPrep.chunkWin - TrainingPrep.chunkStride}
+              + ${TrainingPrep.chunkStride - 1})
+             // ${TrainingPrep.chunkStride}) AS k FROM d),
          c AS (
            SELECT doc_id, n, k, UNNEST(range(0, k)) AS i FROM k),
          ch AS (
            SELECT doc_id, n, k, i,
-             CAST(LEAST(64, n - i * 48) AS BIGINT) AS len_tok FROM c),
+             CAST(LEAST(${TrainingPrep.chunkWin},
+               n - i * ${TrainingPrep.chunkStride}) AS BIGINT) AS len_tok
+           FROM c),
          per_doc AS (
            SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
              CAST(MAX(k) AS BIGINT) AS n_chunks,
              CAST(SUM(len_tok) AS BIGINT) AS encoded_tokens,
-             CAST(SUM(CASE WHEN i > 0 AND len_tok < 32 THEN 1 ELSE 0 END)
+             CAST(SUM(CASE WHEN i > 0 AND
+               len_tok < ${TrainingPrep.chunkWin / 2} THEN 1 ELSE 0 END)
                AS BIGINT) AS runt_chunks
            FROM ch GROUP BY 1)
          SELECT dd.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -10509,7 +10517,7 @@ object SparkEntry {
       s"""WITH u AS MATERIALIZED ($normalizedVectors),
          q AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM u
                WHERE vec_id IN (SELECT vec_id FROM embeddings
-                 ORDER BY vec_id LIMIT 5)),
+                 ORDER BY vec_id LIMIT ${Similarity.mmrNumQueries})),
          s AS MATERIALIZED (SELECT q_id, u.vec_id,
                  list_sum(list_transform(list_zip(qv, u.v),
                    p -> p[1]*p[2])) AS cosine
@@ -10521,7 +10529,7 @@ object SparkEntry {
                    ROW_NUMBER() OVER (PARTITION BY q_id
                      ORDER BY cosine DESC, vec_id ASC) AS rk
                  FROM s)
-           WHERE rk <= 50),
+           WHERE rk <= ${Similarity.mmrPoolSize}),
          ps AS MATERIALIZED (
            SELECT p1.q_id, p1.vec_id AS a, p2.vec_id AS b,
              CAST(floor(1000000.0 * list_sum(list_transform(
@@ -10532,19 +10540,23 @@ object SparkEntry {
            JOIN u ub ON ub.vec_id = p2.vec_id),
          selu1 AS MATERIALIZED (
            SELECT q_id, vec_id, simq, CAST(0 AS BIGINT) AS penalty,
-             7 * simq AS score, CAST(1 AS BIGINT) AS mmr_rank
+             ${Similarity.mmrLamTenths} * simq AS score,
+             CAST(1 AS BIGINT) AS mmr_rank
            FROM (SELECT pool.*, ROW_NUMBER() OVER (PARTITION BY q_id
-                   ORDER BY 7 * simq DESC, vec_id ASC) AS rk FROM pool)
+                   ORDER BY ${Similarity.mmrLamTenths} * simq DESC,
+                     vec_id ASC) AS rk FROM pool)
            WHERE rk = 1),
-         ${(2 to 10).map { t =>
+         ${(2 to Similarity.mmrK).map { t =>
+           val lam = Similarity.mmrLamTenths
+           val mu = 10 - Similarity.mmrLamTenths
            s"""sel$t AS (
            SELECT q_id, vec_id, simq, penalty, score,
              CAST($t AS BIGINT) AS mmr_rank
            FROM (
              SELECT c.q_id, c.vec_id, c.simq, p.penalty,
-               7 * c.simq - 3 * p.penalty AS score,
+               $lam * c.simq - $mu * p.penalty AS score,
                ROW_NUMBER() OVER (PARTITION BY c.q_id
-                 ORDER BY 7 * c.simq - 3 * p.penalty DESC,
+                 ORDER BY $lam * c.simq - $mu * p.penalty DESC,
                    c.vec_id ASC) AS rk
              FROM pool c
              JOIN (SELECT ps.q_id, ps.a, MAX(ps.sim) AS penalty
@@ -10560,7 +10572,7 @@ object SparkEntry {
          }.mkString(",\n         ")}
          SELECT q_id, vec_id, simq, penalty, CAST(score AS BIGINT)
            AS score, mmr_rank
-         FROM selu10""",
+         FROM selu${Similarity.mmrK}""",
     // q381: champion-list pruning — q114's oracle feeds both the
     // full and the tf-champion-restricted rankings.
     "q381_champion_lists" ->
@@ -10569,17 +10581,17 @@ object SparkEntry {
            SELECT term, doc_id FROM (
              SELECT term, doc_id, ROW_NUMBER() OVER (PARTITION BY term
                ORDER BY score_micro DESC, doc_id ASC) AS rk FROM hits)
-           WHERE rk <= 10),
+           WHERE rk <= ${TextAnalysis.championK}),
          champ AS (
            SELECT * FROM (
              SELECT hits.*, ROW_NUMBER() OVER (PARTITION BY term
                ORDER BY tf DESC, doc_id ASC) AS crk FROM hits)
-           WHERE crk <= 20),
+           WHERE crk <= ${TextAnalysis.championM}),
          pruned AS (
            SELECT term, doc_id, CAST(1 AS BIGINT) AS in_pruned FROM (
              SELECT term, doc_id, ROW_NUMBER() OVER (PARTITION BY term
                ORDER BY score_micro DESC, doc_id ASC) AS prk FROM champ)
-           WHERE prk <= 10),
+           WHERE prk <= ${TextAnalysis.championK}),
          dfreq AS (
            SELECT term, CAST(MAX(df) AS BIGINT) AS postings_full
            FROM hits GROUP BY 1),
@@ -10590,11 +10602,12 @@ object SparkEntry {
              ON p.term = f.term AND p.doc_id = f.doc_id
            GROUP BY 1)
          SELECT r.term, r.n_full, r.n_overlap, d.postings_full,
-           CAST(LEAST(d.postings_full, 20) AS BIGINT)
+           CAST(LEAST(d.postings_full, ${TextAnalysis.championM}) AS BIGINT)
              AS postings_scanned,
            CAST(r.n_overlap * 1000000 // r.n_full AS BIGINT)
              AS recall_ppm,
-           CAST((d.postings_full - LEAST(d.postings_full, 20)) * 1000000
+           CAST((d.postings_full
+             - LEAST(d.postings_full, ${TextAnalysis.championM})) * 1000000
              // d.postings_full AS BIGINT) AS scan_savings_ppm
          FROM r JOIN dfreq d USING (term)""",
     // q382: bot-regularity gate — division-free CV² in ppm over
@@ -10730,13 +10743,13 @@ object SparkEntry {
            JOIN sizes sa ON sa.doc_id = id_a
            JOIN sizes sb ON sb.doc_id = id_b
            WHERE CAST(n_common AS DOUBLE) /
-             CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.3),
+             CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)
+             >= ${Dedup.yieldThresholdsPpm.head} / 1000000.0),
          toks AS (
            SELECT doc_id, CAST(len(regexp_extract_all(text,
              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS ntok
            FROM documents)
-         ${Seq(300000L, 400000L, 500000L, 600000L, 700000L, 800000L,
-             900000L).map { t =>
+         ${Dedup.yieldThresholdsPpm.map { t =>
            s"""SELECT CAST($t AS BIGINT) AS threshold_ppm,
               (SELECT CAST(COUNT(*) AS BIGINT) FROM prs
                 WHERE jaccard >= $t / 1000000.0) AS n_pairs,

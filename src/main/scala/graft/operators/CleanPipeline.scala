@@ -429,11 +429,30 @@ object CleanPipeline {
     * "ass"-class terms; word equality is the portable semantics both
     * engines execute identically). Severities are small integers so
     * the weighted score stays in exact BIGINT arithmetic.
+    *
+    * Cross-lingual collision rule: a term that is a common FUNCTION
+    * WORD in another ingested language is banned from the lexicon —
+    * "die" (English verb, severity-3 candidate) is also the German
+    * definite article (one of this repo's own langMarkers), so on a
+    * real German feed it would mass-flag documents and quarantine
+    * the source wholesale, the opposite of the operator's
+    * multilingual-ingest purpose. A production deployment scopes the
+    * lexicon per language (join the doc's `lang` before counting);
+    * this illustrative single-table lexicon instead keeps only terms
+    * with no function-word homograph across the corpus languages
+    * ("murder" replaces "die").
     */
   val toxicLexicon: Seq[(String, Long)] = Seq(
-    "kill" -> 3L, "die" -> 3L, "racist" -> 3L,
+    "kill" -> 3L, "murder" -> 3L, "racist" -> 3L,
     "hate" -> 2L, "attack" -> 2L, "abuse" -> 2L, "violence" -> 2L,
     "stupid" -> 1L, "idiot" -> 1L, "dumb" -> 1L)
+
+  /** q361 default gate thresholds — named so the oracle generator
+    * interpolates THE SAME values the Spark defaults use (a default
+    * change cannot silently decouple the twins).
+    */
+  val toxicDocPpm: Long = 20000L
+  val toxicSrcPpm: Long = 100000L
 
   /** The q361 driver entry: SEVERITY-WEIGHTED TOXICITY GATE — the
     * lexicon safety filter every pretraining ingest runs beside the
@@ -456,13 +475,13 @@ object CleanPipeline {
     */
   def toxicityGate(
       spark: SparkSession, sfDir: String,
-      docPpm: Long = 20000L, srcPpm: Long = 100000L): DataFrame =
+      docPpm: Long = toxicDocPpm, srcPpm: Long = toxicSrcPpm): DataFrame =
     toxicityGateOn(Tables.load(spark, sfDir, "documents"), docPpm, srcPpm)
 
   /** The q361 core over any `(doc_id, source, text)` frame. */
   def toxicityGateOn(
-      docs: DataFrame, docPpm: Long = 20000L,
-      srcPpm: Long = 100000L): DataFrame = {
+      docs: DataFrame, docPpm: Long = toxicDocPpm,
+      srcPpm: Long = toxicSrcPpm): DataFrame = {
     val hits = toxicLexicon.map { case (t, _) =>
       expr(s"CAST(size(filter(w, x -> x = '$t')) AS BIGINT)")
     }.reduce(_ + _)
@@ -506,9 +525,15 @@ object CleanPipeline {
     * map-side-combined aggregate onto the source domain, |T| cheap
     * projections unioned — the fact scan is paid once, not per arm.
     */
+  /** q375 default threshold grid — named so the oracle generator and
+    * the Spark default cannot silently diverge.
+    */
+  val filterCurveThresholds: Seq[Long] =
+    Seq(0L, 100000L, 200000L, 300000L)
+
   def filterOperatingCurve(
       spark: SparkSession, sfDir: String,
-      thresholds: Seq[Long] = Seq(0L, 100000L, 200000L, 300000L)): DataFrame = {
+      thresholds: Seq[Long] = filterCurveThresholds): DataFrame = {
     require(thresholds.nonEmpty && thresholds == thresholds.sorted,
       "thresholds are an ascending ppm grid")
     val scored = Experiment.rocAucScored(spark, sfDir)

@@ -235,11 +235,15 @@ object Dedup {
     * (pairs ≪ corpus by construction) and a doc-grain token join
     * per arm on the dropped ids only.
     */
+  /** q385 default threshold grid — named so the oracle generator and
+    * the Spark default cannot silently diverge.
+    */
+  val yieldThresholdsPpm: Seq[Long] =
+    Seq(300000L, 400000L, 500000L, 600000L, 700000L, 800000L, 900000L)
+
   def dedupYieldCurve(
       spark: SparkSession, sfDir: String,
-      thresholdsPpm: Seq[Long] =
-        Seq(300000L, 400000L, 500000L, 600000L, 700000L, 800000L,
-          900000L)): DataFrame = {
+      thresholdsPpm: Seq[Long] = yieldThresholdsPpm): DataFrame = {
     require(thresholdsPpm.nonEmpty && thresholdsPpm == thresholdsPpm.sorted,
       "thresholds are an ascending ppm grid")
     val pairs = ngramJaccardPairs(spark, sfDir,
@@ -2140,31 +2144,43 @@ object Dedup {
     * is the prefix-filter join, subquadratic by the rarest-first
     * prefix argument. Every frame read twice+ is pinned (q291 rule).
     */
+  /** q332's 64-slot Kirsch–Mitzenmacher signature frame, split out so
+    * DedupSpec can plan-assert the checkpoint pin: the optimized plan
+    * of the RETURNED frame must contain ZERO Md5 expressions — all
+    * md5 work happens once per shingle BEFORE the internal pin. If a
+    * future optimizer change (or someone deleting the pin) lets
+    * CollapseProject re-inline the per-shingle md5 into the 64-slot
+    * loop, Md5 reappears downstream and the spec fails loudly instead
+    * of the entry silently re-inflating 9.6 s → 57 s.
+    */
+  def bandingSigs(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      split(TextAnalysis.normalizedText(col("text")), " ").as("w"))
+    .where(size(col("w")) >= 5)
+    .select(col("doc_id"), expr(
+      """transform(array_distinct(transform(sequence(1, size(w) - 4),
+           i -> array_join(slice(w, i, 5), ' '))),
+         s -> struct(
+           CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) AS h1,
+           CAST(conv(substring(md5(s), 17, 14), 16, 10) AS BIGINT) AS h2))
+      """).as("hs"))
+    // PIN between the two HOF projections: CollapseProject would
+    // otherwise inline the per-shingle md5 transform into the
+    // 64-slot loop below — 64x the md5 work (measured 57 s vs ~3 s
+    // at sf0.1; the q291 shared-subtree rule, intra-plan edition).
+    // Guarded by DedupSpec's zero-Md5-downstream plan assertion.
+    .localCheckpoint(true)
+    .select(col("doc_id"), expr(
+      """transform(sequence(0, 63),
+           i -> array_min(transform(hs, p -> p.h1 + i * p.h2)))""")
+      .as("sig"))
+
   def lshBandingEval(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
     val truth = prefixFilterJoinOn(docs)
       .select(col("id_a"), col("id_b"))
       .localCheckpoint(true) // read by both hit joins
-    val sigs = docs
-      .select(col("doc_id"),
-        split(TextAnalysis.normalizedText(col("text")), " ").as("w"))
-      .where(size(col("w")) >= 5)
-      .select(col("doc_id"), expr(
-        """transform(array_distinct(transform(sequence(1, size(w) - 4),
-             i -> array_join(slice(w, i, 5), ' '))),
-           s -> struct(
-             CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) AS h1,
-             CAST(conv(substring(md5(s), 17, 14), 16, 10) AS BIGINT) AS h2))
-        """).as("hs"))
-      // PIN between the two HOF projections: CollapseProject would
-      // otherwise inline the per-shingle md5 transform into the
-      // 64-slot loop below — 64x the md5 work (measured 57 s vs ~3 s
-      // at sf0.1; the q291 shared-subtree rule, intra-plan edition)
-      .localCheckpoint(true)
-      .select(col("doc_id"), expr(
-        """transform(sequence(0, 63),
-             i -> array_min(transform(hs, p -> p.h1 + i * p.h2)))""")
-        .as("sig"))
+    val sigs = bandingSigs(docs)
       .localCheckpoint(true) // read by bands + twice by the est join
     val bands = sigs.select(col("doc_id"), explode(expr(
         """transform(sequence(0, 15), b -> struct(b AS band,

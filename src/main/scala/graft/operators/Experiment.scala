@@ -2334,9 +2334,18 @@ object Experiment {
       .agg(sum(col("c")).cast("long").as("m_u"),
         sum(col("c") * col("c")).cast("long").as("ssq"))
     // items with a single rating are unpairable: excluded, counted
+    // The ×2 scaling makes the per-unit term exact ONLY for coverage
+    // m_u ∈ {2, 3} (denominators 1 and 2) — beyond that the DIV would
+    // silently truncate and drift alpha, so fail loudly instead of
+    // returning a wrong statistic on a ≥4-rater frame.
     val pairable = perUnit.where(col("m_u") >= 2L)
       .withColumn("do2",
-        expr("2 * (m_u * m_u - ssq) DIV (m_u - 1)").cast("long"))
+        when(col("m_u") <= 3L,
+          expr("2 * (m_u * m_u - ssq) DIV (m_u - 1)").cast("long"))
+          .otherwise(raise_error(lit(
+            "krippendorffFromRatings: exact-integer path supports per-item" +
+              " coverage m_u <= 3 only (2*(m_u^2-ssq) DIV (m_u-1)" +
+              " truncates for m_u >= 4)"))))
     val margins = nic
       .join(pairable.select(col("doc_id")), Seq("doc_id"))
       .groupBy(col("label"))
@@ -2352,10 +2361,16 @@ object Experiment {
       .select(coalesce(col("n_excluded"), lit(0L)).as("n_excluded"))
     doSum.crossJoin(broadcast(de)).crossJoin(broadcast(excluded))
       .select(col("n_items"), col("n_excluded"), col("n"),
-        expr("""CAST(1000000 - (CAST(n - 1 AS DECIMAL(38,0)) * do2_sum
+        // degenerate frame where every pairable rating shares one
+        // label: n² = Σn_c² zeroes the expected-disagreement
+        // denominator (0/0). Convention: no disagreement observed or
+        // possible → α = 1 (alpha_micro = 1000000), never a
+        // divide-by-zero NULL.
+        expr("""CASE WHEN CAST(n AS DECIMAL(38,0)) * n = sq_c THEN 1000000
+             ELSE CAST(1000000 - (CAST(n - 1 AS DECIMAL(38,0)) * do2_sum
              * 1000000 - PMOD(CAST(n - 1 AS DECIMAL(38,0)) * do2_sum
              * 1000000, 2 * (CAST(n AS DECIMAL(38,0)) * n - sq_c)))
-             / (2 * (CAST(n AS DECIMAL(38,0)) * n - sq_c)) AS BIGINT)""")
+             / (2 * (CAST(n AS DECIMAL(38,0)) * n - sq_c)) AS BIGINT) END""")
           .as("alpha_micro"))
   }
 
@@ -2470,6 +2485,10 @@ object Experiment {
       .withColumn("n_replicates", lit(replicates.toLong))
       .withColumn("p_micro",
         expr(s"(n_extreme + 1) * 1000000 DIV ${replicates + 1}"))
+      // degenerate corpus (no user holds both arms): the global agg
+      // over the empty reps×obs frame would emit one all-NULL row
+      // while the oracle's GROUP-BY form emits zero — align on zero
+      .where(col("n_pairs") >= 1L)
   }
 
   /** The q382 driver entry: BOT-REGULARITY GATE — the traffic-

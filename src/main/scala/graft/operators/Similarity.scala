@@ -1395,10 +1395,20 @@ object Similarity {
     * scale), never over the corpus — the corpus is touched exactly
     * once, by the pool builder.
     */
+  /** q380 default knobs — named so the oracle generator (unrolled
+    * CTE count, pool size, lambda weights) interpolates the SAME
+    * values the Spark defaults use.
+    */
+  val mmrNumQueries: Int = 5
+  val mmrK: Int = 10
+  val mmrPoolSize: Int = 50
+  val mmrLamTenths: Int = 7
+
   def mmrTopK(
       spark: SparkSession, sfDir: String,
-      numQueries: Int = 5, k: Int = 10, poolSize: Int = 50,
-      lamTenths: Int = 7): DataFrame = {
+      numQueries: Int = mmrNumQueries, k: Int = mmrK,
+      poolSize: Int = mmrPoolSize,
+      lamTenths: Int = mmrLamTenths): DataFrame = {
     require(k >= 1 && poolSize >= k, "pool must cover k selections")
     require(lamTenths >= 0 && lamTenths <= 10, "lambda in tenths of [0,1]")
     val lam = lamTenths.toLong

@@ -298,9 +298,15 @@ object TextAnalysis {
     * term-keyed rank windows all ≤ k/m rows after WindowGroupLimit,
     * one bounded term-domain finish.
     */
+  /** q381 default knobs — named so the oracle generator interpolates
+    * the SAME values the Spark defaults use.
+    */
+  val championM: Int = 20
+  val championK: Int = 10
+
   def championListEval(
       spark: SparkSession, sfDir: String,
-      m: Int = 20, k: Int = 10): DataFrame = {
+      m: Int = championM, k: Int = championK): DataFrame = {
     require(m >= k && k >= 1, "champion list must cover the serving k")
     val hits = bm25Search(spark, sfDir).localCheckpoint(true)
     val wScore = Window.partitionBy(col("term"))

@@ -1789,8 +1789,14 @@ object TrainingPrep {
     * posture). Chunk text itself never leaves the row — only the
     * 32-hex digest is emitted.
     */
+  /** q306/q377 default chunk geometry — named so the oracle
+    * generators interpolate the SAME values the Spark defaults use.
+    */
+  val chunkWin: Int = 64
+  val chunkStride: Int = 48
+
   def slidingChunks(spark: SparkSession, sfDir: String,
-      win: Int = 64, stride: Int = 48): DataFrame = {
+      win: Int = chunkWin, stride: Int = chunkStride): DataFrame = {
     require(stride >= 1 && win > stride, "need 1 <= stride < win")
     val ov = win - stride
     val words = Tables.load(spark, sfDir, "documents")
@@ -2652,7 +2658,7 @@ object TrainingPrep {
     */
   def strideEfficiency(
       spark: SparkSession, sfDir: String,
-      win: Int = 64, stride: Int = 48): DataFrame = {
+      win: Int = chunkWin, stride: Int = chunkStride): DataFrame = {
     val perDoc = slidingChunks(spark, sfDir, win, stride)
       .groupBy(col("doc_id"))
       .agg(max(col("n_tokens")).cast("long").as("n_tokens"),

@@ -413,4 +413,91 @@ class BenchSpec extends AnyFunSuite {
     assert(flagged.keySet == Set("slow"))
     assert(math.abs(flagged("slow") - 1.6) < 1e-9)
   }
+
+  test("sbt must not print a success banner after the bench JSON (driver last-line parse)") {
+    // BENCH_r15.json had rc:0 but parsed:null — the program's final
+    // JSON line WAS last in its own stdout, but sbt appended
+    // "[success] Total time: ..." after it and the driver's tail
+    // parse read the banner. The fix is `showSuccess := false` in
+    // build.sbt; this pins it so the one-line setting can't silently
+    // vanish in a build refactor.
+    val buildSbt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("build.sbt")), "UTF-8")
+    assert(buildSbt.contains("showSuccess := false"),
+      "build.sbt lost `showSuccess := false` - sbt's [success] banner " +
+        "would print after Bench's final JSON and defeat the driver's " +
+        "last-stdout-line parse (BENCH_r15 parsed:null)")
+    assert(buildSbt.contains("OutputStrategy.StdoutOutput"),
+      "build.sbt lost `outputStrategy := Some(OutputStrategy.StdoutOutput)`" +
+        " - sbt would log the forked run's stdout with an '[info] ' " +
+        "prefix, which is equally unparseable as JSON")
+  }
+
+  test("artifact contract: a real Bench run's LAST stdout line is final-phase JSON with every query") {
+    // The end-to-end format gate the driver depends on: fork graft.Bench
+    // in a fresh JVM (exactly how the driver's sbt fork runs it, minus
+    // sbt) against sf0.001 with single-run timing, then assert
+    //   - exit code 0,
+    //   - the last stdout line parses as JSON,
+    //   - phase is "final" (the sweep line was superseded),
+    //   - its "queries" object carries EVERY SparkEntry query.
+    // This would have caught the rc=124 rounds (no final line) and any
+    // in-JVM print-after-JSON regression (the r14 StateStore WARN race).
+    import scala.jdk.CollectionConverters._
+    val javaBin = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports")
+        || a.startsWith("--enable-native-access") || a.startsWith("-X"))
+    val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
+      "-cp", System.getProperty("java.class.path"), "graft.Bench")
+    val pb = new ProcessBuilder(cmd.asJava)
+    // run in a scratch dir: the bench must not read this checkout's
+    // BENCH_r*/medians history (slow confirm paths) nor write into it
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-bench-selfcheck").toFile
+    pb.directory(scratch)
+    // single-run sweep in a history-less scratch dir: no baselines ->
+    // one run per entry, no regression flags, no confirm forks; a
+    // same-shape run measured 682 s at 2-3 runs/entry, so one run
+    // fits ~350-450 s — the 900 s budget is headroom, not target
+    pb.environment().put("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    pb.environment().put("SPARK_GRAFT_RUNS", "1")
+    pb.environment().put("SPARK_GRAFT_CPUS", "8")
+    pb.environment().put("SPARK_GRAFT_BENCH_BUDGET_SEC", "900")
+    val p = pb.start()
+    val out = new java.io.ByteArrayOutputStream()
+    val err = new java.io.ByteArrayOutputStream()
+    val tOut = new Thread(() => { try p.getInputStream.transferTo(out) catch { case _: Throwable => } })
+    val tErr = new Thread(() => { try p.getErrorStream.transferTo(err) catch { case _: Throwable => } })
+    tOut.setDaemon(true); tErr.setDaemon(true); tOut.start(); tErr.start()
+    val done = p.waitFor(960, java.util.concurrent.TimeUnit.SECONDS)
+    if (!done) p.destroyForcibly()
+    tOut.join(5000); tErr.join(5000)
+    assert(done, "bench self-check fork exceeded its budget (rc=124 class)")
+    val rc = p.exitValue()
+    val stdout = out.toString("UTF-8")
+    assert(rc == 0,
+      s"bench exited $rc; stderr tail: ${err.toString("UTF-8").takeRight(800)}")
+    val lines = stdout.split("\n").map(_.trim).filter(_.nonEmpty)
+    assert(lines.nonEmpty, "bench printed nothing to stdout")
+    val last = lines.last
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = // parse failure = the driver's parsed:null failure mode
+      try mapper.readTree(last)
+      catch { case e: Exception =>
+        fail(s"last stdout line is not JSON (${e.getMessage}): " +
+          s"${last.takeRight(300)}")
+      }
+    assert(node.get("phase").asText() == "final",
+      "last line is not the final-phase publish")
+    val qNode = node.get("queries")
+    assert(qNode != null && qNode.isObject, "no queries object in last line")
+    val got = qNode.fieldNames().asScala.toSet
+    val want = SparkEntry.queries.keySet
+    assert(got == want,
+      s"queries object mismatch: missing ${(want diff got).take(5)}, " +
+        s"extra ${(got diff want).take(5)} (of ${want.size})")
+  }
 }

@@ -1037,6 +1037,33 @@ class DedupSpec extends AnyFunSuite {
     assert(want._1 > 0L && want._4 > 0L)
   }
 
+  test("q332 plan guard: the checkpoint pin keeps md5 OUT of the 64-slot loop (one md5 per shingle)") {
+    // bandingSigs pins a localCheckpoint between the per-shingle md5
+    // projection and the 64-slot min-hash loop. Without it,
+    // CollapseProject inlines the md5 transform into the loop — 64x
+    // the md5 work (measured 57.5 s vs 9.6 s at sf0.1). The pin's
+    // observable: the optimized plan DOWNSTREAM of the pin (i.e. of
+    // the returned frame) contains zero Md5 expressions — every md5
+    // was materialized exactly once per shingle behind the scan. If
+    // the pin is deleted or a future optimizer re-inlines, Md5
+    // reappears here and this fails loudly.
+    import org.apache.spark.sql.catalyst.expressions.Md5
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+    val sigs = Dedup.bandingSigs(docs)
+    val nMd5 = sigs.queryExecution.optimizedPlan
+      .flatMap(_.expressions)
+      .map(_.collect { case m: Md5 => m }.size)
+      .sum
+    assert(nMd5 == 0,
+      s"md5 leaked past the q332 checkpoint pin into the slot loop " +
+        s"($nMd5 Md5 nodes in the downstream optimized plan) - " +
+        s"CollapseProject would now run 64 md5s per shingle")
+    // and the frame still computes: 64-slot signatures, non-empty
+    val r = sigs.limit(1).collect()
+    assert(r.nonEmpty && r.head.getSeq[Long](1).size == 64)
+  }
+
   test("q341 duplicated-span fraction equals a census replay; near-dups read high") {
     val docs = spark.read
       .parquet(s"${SparkTestSession.sf}/documents.parquet")
