@@ -1774,8 +1774,15 @@ object Dedup {
       sets)
   }
 
-  def prefixFilterJoinOn(docs: DataFrame): DataFrame = {
-    val sets = docShingleSets(docs)
+  def prefixFilterJoinOn(docs: DataFrame): DataFrame =
+    prefixFilterJoinOnSets(docShingleSets(docs))
+
+  /** q189's join over an ALREADY-BUILT distinct (doc_id, sh) frame —
+    * split out so q332 can share ONE materialized shingle pass
+    * between its truth and signature sides instead of re-scanning
+    * and re-shingling the corpus text twice.
+    */
+  private def prefixFilterJoinOnSets(sets: DataFrame): DataFrame = {
     val df = sets.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val wRank = Window.partitionBy(col("doc_id"))
       .orderBy(col("df").asc, col("sh").asc)
@@ -2145,42 +2152,51 @@ object Dedup {
     * prefix argument. Every frame read twice+ is pinned (q291 rule).
     */
   /** q332's 64-slot Kirsch–Mitzenmacher signature frame, split out so
-    * DedupSpec can plan-assert the checkpoint pin: the optimized plan
-    * of the RETURNED frame must contain ZERO Md5 expressions — all
-    * md5 work happens once per shingle BEFORE the internal pin. If a
-    * future optimizer change (or someone deleting the pin) lets
-    * CollapseProject re-inline the per-shingle md5 into the 64-slot
-    * loop, Md5 reappears downstream and the spec fails loudly instead
-    * of the entry silently re-inflating 9.6 s → 57 s.
+    * DedupSpec can plan-assert the one-md5-per-shingle shape.
+    *
+    * History: the first shape computed the per-shingle (h1, h2) pairs
+    * and the 64-slot loop as two stacked higher-order-function
+    * projections, and needed a localCheckpoint PIN between them —
+    * CollapseProject counts an attribute referenced once inside a
+    * lambda as one reference and inlined the md5 transform into the
+    * slot loop, re-evaluating it 64× per row (measured 57 s vs 9.6 s
+    * at sf0.1). This shape makes the blowup STRUCTURALLY impossible:
+    * the 64 slots are plain min() aggregate expressions that each
+    * reference h1/h2 — 64 static references to a non-cheap producer,
+    * which CollapseProject refuses to inline by its own cost rule,
+    * and the Aggregate is a barrier besides. md5 appears exactly
+    * twice in the plan (h1's and h2's substring of the same call —
+    * runtime-deduplicated by subexpression elimination), evaluated
+    * once per (doc, shingle) row; the mins are map-side combined.
+    * DedupSpec pins the exactly-2-Md5-nodes invariant.
     */
-  def bandingSigs(docs: DataFrame): DataFrame = docs
-    .select(col("doc_id"),
-      split(TextAnalysis.normalizedText(col("text")), " ").as("w"))
-    .where(size(col("w")) >= 5)
-    .select(col("doc_id"), expr(
-      """transform(array_distinct(transform(sequence(1, size(w) - 4),
-           i -> array_join(slice(w, i, 5), ' '))),
-         s -> struct(
-           CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) AS h1,
-           CAST(conv(substring(md5(s), 17, 14), 16, 10) AS BIGINT) AS h2))
-      """).as("hs"))
-    // PIN between the two HOF projections: CollapseProject would
-    // otherwise inline the per-shingle md5 transform into the
-    // 64-slot loop below — 64x the md5 work (measured 57 s vs ~3 s
-    // at sf0.1; the q291 shared-subtree rule, intra-plan edition).
-    // Guarded by DedupSpec's zero-Md5-downstream plan assertion.
-    .localCheckpoint(true)
-    .select(col("doc_id"), expr(
-      """transform(sequence(0, 63),
-           i -> array_min(transform(hs, p -> p.h1 + i * p.h2)))""")
-      .as("sig"))
+  def bandingSigs(docs: DataFrame): DataFrame =
+    bandingSigsFromSets(docShingleSets(docs))
+
+  private def bandingSigsFromSets(sets: DataFrame): DataFrame = {
+    val hs = sets.select(col("doc_id"),
+      expr("CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT)")
+        .as("h1"),
+      expr("CAST(conv(substring(md5(sh), 17, 14), 16, 10) AS BIGINT)")
+        .as("h2"))
+    val mins = (0 until 64).map(i =>
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"s$i"))
+    hs.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 64).map(i => col(s"s$i")): _*).as("sig"))
+  }
 
   def lshBandingEval(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val truth = prefixFilterJoinOn(docs)
+    // ONE shingle pass feeds both the truth and the signature sides
+    // (each used to re-scan and re-shingle the text independently —
+    // the two stages were ~70% of the entry's 10 s)
+    val sets = docShingleSets(docs).localCheckpoint(true)
+    val truth = prefixFilterJoinOnSets(sets)
       .select(col("id_a"), col("id_b"))
       .localCheckpoint(true) // read by both hit joins
-    val sigs = bandingSigs(docs)
+    val sigs = bandingSigsFromSets(sets)
       .localCheckpoint(true) // read by bands + twice by the est join
     val bands = sigs.select(col("doc_id"), explode(expr(
         """transform(sequence(0, 15), b -> struct(b AS band,

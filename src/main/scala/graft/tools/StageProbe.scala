@@ -27,14 +27,60 @@ object StageProbe {
         val docs = graft.sources.Tables.load(spark, sf, "documents")
         // warm-up: JVM + codegen + parquet footer cache
         noop(docs.select(count(lit(1))))
-        time("truth: prefixFilterJoinOn") {
-          noop(graft.operators.Dedup.prefixFilterJoinOn(docs))
+        noop(graft.operators.Dedup.lshBandingEval(spark, sf))
+        for (r <- 1 to 2) {
+          time(s"truth: prefixFilterJoinOn #$r") {
+            noop(graft.operators.Dedup.prefixFilterJoinOn(docs))
+          }
+          time(s"sigs: bandingSigs #$r") {
+            noop(graft.operators.Dedup.bandingSigs(docs))
+          }
+          time(s"bands+cand #$r") {
+            val sigs = graft.operators.Dedup.bandingSigs(docs)
+              .localCheckpoint(true)
+            val bands = sigs.select(col("doc_id"), explode(expr(
+                """transform(sequence(0, 15), b -> struct(b AS band,
+                     md5(array_join(transform(slice(sig, 4 * b + 1, 4),
+                       x -> CAST(x AS STRING)), ':')) AS bh))""")).as("bk"))
+              .select(col("doc_id"), col("bk.band").as("band"),
+                col("bk.bh").as("bh"))
+            noop(bands.as("a").join(bands.as("b"),
+                col("a.band") === col("b.band") &&
+                  col("a.bh") === col("b.bh") &&
+                  col("a.doc_id") < col("b.doc_id"))
+              .select(col("a.doc_id").as("id_a"),
+                col("b.doc_id").as("id_b"))
+              .distinct())
+          }
+          time(s"full: lshBandingEval #$r") {
+            noop(graft.operators.Dedup.lshBandingEval(spark, sf))
+          }
         }
-        time("sigs: bandingSigs") {
-          noop(graft.operators.Dedup.bandingSigs(docs))
-        }
-        time("full: lshBandingEval") {
-          noop(graft.operators.Dedup.lshBandingEval(spark, sf))
+      case "q233" =>
+        noop(graft.sources.Tables.load(spark, sf, "documents")
+          .select(count(lit(1))))
+        noop(graft.operators.Experiment.gainsTable(spark, sf)) // warm-up
+        for (r <- 1 to 3) {
+          time(s"scored: rocAucScored #$r") {
+            noop(graft.operators.Experiment.rocAucScored(spark, sf))
+          }
+          time(s"scored+checkpoint #$r") {
+            graft.operators.Experiment.rocAucScored(spark, sf)
+              .localCheckpoint(true)
+          }
+          time(s"chunked rank #$r") {
+            val scored = graft.operators.Experiment.rocAucScored(spark, sf)
+              .localCheckpoint(true)
+            val withN = scored.crossJoin(broadcast(
+              scored.agg(count(lit(1)).as("n"))))
+            noop(graft.operators.Relational.chunkedRowNumber(withN,
+              bucket = graft.operators.Relational.rangeBucket(
+                col("score"), 10000L, descending = true),
+              order = Seq(col("score").desc, col("doc_id").asc)))
+          }
+          time(s"full: gainsTable #$r") {
+            noop(graft.operators.Experiment.gainsTable(spark, sf))
+          }
         }
       case other =>
         System.err.println(s"[stage] no stage breakdown wired for $other")

@@ -1037,28 +1037,38 @@ class DedupSpec extends AnyFunSuite {
     assert(want._1 > 0L && want._4 > 0L)
   }
 
-  test("q332 plan guard: the checkpoint pin keeps md5 OUT of the 64-slot loop (one md5 per shingle)") {
-    // bandingSigs pins a localCheckpoint between the per-shingle md5
-    // projection and the 64-slot min-hash loop. Without it,
-    // CollapseProject inlines the md5 transform into the loop — 64x
-    // the md5 work (measured 57.5 s vs 9.6 s at sf0.1). The pin's
-    // observable: the optimized plan DOWNSTREAM of the pin (i.e. of
-    // the returned frame) contains zero Md5 expressions — every md5
-    // was materialized exactly once per shingle behind the scan. If
-    // the pin is deleted or a future optimizer re-inlines, Md5
-    // reappears here and this fails loudly.
+  test("q332 plan guard: md5 runs once per shingle, never inside the 64-slot loop") {
+    // bandingSigs computes the 64 signature slots as plain min()
+    // aggregates over a per-shingle (h1, h2) projection. The md5 must
+    // be evaluated once per (doc, shingle) row — exactly 2 Md5 nodes
+    // in the optimized plan (h1's and h2's substring of the same
+    // call), both BELOW the Aggregate. The first implementation of
+    // this operator stacked two HOF projections instead and
+    // CollapseProject inlined the md5 into the slot lambda (one
+    // STATIC reference, 64 runtime evaluations — 57.5 s vs 9.6 s at
+    // sf0.1). If a future rewrite or optimizer change multiplies the
+    // md5 into the slot expressions, the node count jumps (64+) and
+    // this fails loudly.
     import org.apache.spark.sql.catalyst.expressions.Md5
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
     val docs = spark.read
       .parquet(s"${SparkTestSession.sf}/documents.parquet")
     val sigs = Dedup.bandingSigs(docs)
-    val nMd5 = sigs.queryExecution.optimizedPlan
-      .flatMap(_.expressions)
-      .map(_.collect { case m: Md5 => m }.size)
-      .sum
-    assert(nMd5 == 0,
-      s"md5 leaked past the q332 checkpoint pin into the slot loop " +
-        s"($nMd5 Md5 nodes in the downstream optimized plan) - " +
-        s"CollapseProject would now run 64 md5s per shingle")
+    val plan = sigs.queryExecution.optimizedPlan
+    def md5In(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.flatMap(_.expressions).map(_.collect { case m: Md5 => m }.size).sum
+    assert(md5In(plan) == 2,
+      s"expected exactly 2 Md5 nodes (h1/h2 substrings of one call per " +
+        s"shingle row), found ${md5In(plan)} - md5 work multiplied into " +
+        s"the slot expressions")
+    // none of the 64 slot aggregates may carry the md5 itself
+    val aggMd5 = plan.collect { case a: Aggregate =>
+      a.aggregateExpressions
+        .map(_.collect { case m: Md5 => m }.size).sum
+    }.sum
+    assert(aggMd5 == 0,
+      s"$aggMd5 Md5 nodes inside aggregate expressions - the per-" +
+        s"shingle hash leaked into the 64-slot loop")
     // and the frame still computes: 64-slot signatures, non-empty
     val r = sigs.limit(1).collect()
     assert(r.nonEmpty && r.head.getSeq[Long](1).size == 64)
