@@ -578,6 +578,18 @@ object SparkEntry {
       Dedup.clusterSizeProfile(s, d)),
     "q393_epoch_fixed_points" -> ((s: SparkSession, d: String) =>
       TrainingPrep.epochFixedPoints(s, d)),
+    "q394_kn_discounts" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.knDiscounts(s, d)),
+    "q395_burstiness" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.burstinessCensus(s, d)),
+    "q396_matryoshka_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.matryoshkaRecall(s, d)),
+    "q397_bbit_minwise" -> ((s: SparkSession, d: String) =>
+      Dedup.bbitMinwiseEval(s, d)),
+    "q398_jl_distortion" -> ((s: SparkSession, d: String) =>
+      Similarity.jlDistortionAudit(s, d)),
+    "q399_bh_fdr" -> ((s: SparkSession, d: String) =>
+      Experiment.bhFdr(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -7162,6 +7174,161 @@ object SparkEntry {
              THEN CAST(hit_est * 1000000 // n_est AS BIGINT) END
              AS precision_est_ppm
          FROM c""",
+    // q397: b-bit minwise eval — q332's md5 signature/banding replay,
+    // exact Jaccard on candidates, then one estimator arm per b from
+    // the SAME bbitGrid constant the Spark default uses.
+    "q397_bbit_minwise" ->
+      s"""WITH words AS (
+           SELECT doc_id, string_split($normText, ' ') AS w
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS sh
+           FROM words, LATERAL (SELECT UNNEST(range(1, len(w) - 3)) AS i) t
+           WHERE len(w) >= 5),
+         sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM sh GROUP BY 1),
+         h AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(sh), 17, 14))::BIGINT AS h2
+           FROM sh),
+         slots AS MATERIALIZED (
+           SELECT doc_id, i, MIN(h1 + i * h2) AS v
+           FROM h, LATERAL (SELECT UNNEST(range(0, 64)) AS i) g
+           GROUP BY 1, 2),
+         bands AS (
+           SELECT doc_id, i // 4 AS band,
+             md5(string_agg(CAST(v AS VARCHAR), ':' ORDER BY i)) AS bh
+           FROM slots GROUP BY doc_id, i // 4),
+         cand AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         common AS (
+           SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+           FROM cand c
+           JOIN sh a ON a.doc_id = c.id_a
+           JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+           GROUP BY 1, 2),
+         jt AS (
+           SELECT id_a, id_b,
+             CAST(n_common * 1000000
+               // (sa.n + sb.n - n_common) AS BIGINT) AS j_micro
+           FROM common
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b),
+         msig AS (SELECT doc_id, list(v ORDER BY i) AS sig
+           FROM slots GROUP BY 1),
+         paired AS MATERIALIZED (
+           SELECT c.id_a, c.id_b,
+             COALESCE(jt.j_micro, 0) AS j_micro,
+             CAST(len(list_filter(list_zip(sa.sig, sb.sig),
+               z -> z[1] = z[2])) AS BIGINT) AS m_full,
+             sa.sig AS sig_a, sb.sig AS sig_b
+           FROM cand c
+           LEFT JOIN jt ON jt.id_a = c.id_a AND jt.id_b = c.id_b
+           JOIN msig sa ON sa.doc_id = c.id_a
+           JOIN msig sb ON sb.doc_id = c.id_b)
+         ${Dedup.bbitGrid.map { b =>
+           val pow = 1L << b
+           s"""SELECT CAST($b AS BIGINT) AS bits_per_slot,
+              CAST(${64L * b / 8L} AS BIGINT) AS sig_bytes,
+              CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              CAST(SUM(ABS(GREATEST(0, (CAST(len(list_filter(
+                  list_zip(sig_a, sig_b),
+                  z -> z[1] % $pow = z[2] % $pow)) AS BIGINT)
+                * $pow - 64) * 1000000 // (64 * ${pow - 1}))
+                - j_micro)) // COUNT(*) AS BIGINT) AS mae_b_micro,
+              CAST(SUM(ABS(m_full * 1000000 // 64 - j_micro))
+                // COUNT(*) AS BIGINT) AS mae_full_micro
+            FROM paired"""
+         }.mkString("\n         UNION ALL\n         ")}""",
+    // q398: JL distortion audit — q30's brute top-k pair set, the
+    // md5-parity Rademacher matrix replayed entry-by-entry, squared
+    // sums in the identical fold order, one floor per pair.
+    "q398_jl_distortion" ->
+      s"""WITH u AS MATERIALIZED ($normalizedVectors),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM u
+               WHERE vec_id IN (SELECT vec_id FROM embeddings
+                 ORDER BY vec_id LIMIT ${Similarity.jlQueries})),
+         s AS (SELECT q_id, u.vec_id,
+                 list_sum(list_transform(list_zip(qv, u.v),
+                   p -> p[1] * p[2])) AS cosine
+               FROM q JOIN u ON u.vec_id != q.q_id),
+         pool AS (SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY cosine DESC, vec_id ASC) AS rk FROM s)
+           WHERE rk <= ${Similarity.jlK}),
+         pr AS (
+           SELECT p.q_id, p.vec_id,
+             list_transform(list_zip(ea.embedding, eb.embedding),
+               z -> CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) AS d
+           FROM pool p
+           JOIN embeddings ea ON ea.vec_id = p.q_id
+           JOIN embeddings eb ON eb.vec_id = p.vec_id),
+         met AS (
+           SELECT q_id, vec_id,
+             list_sum(list_transform(d, x -> x * x)) AS orig_sq,
+             list_sum(list_transform(
+               list_transform(range(0, ${Similarity.jlOutDim}), j ->
+                 list_sum(list_transform(range(1, len(d) + 1), i ->
+                   (CASE WHEN ('0x' || substr(md5('jl:' ||
+                       CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+                       1, 8))::BIGINT % 2 = 0
+                     THEN 1.0 ELSE -1.0 END) * d[i]))),
+               p -> p * p)) AS proj_sq
+           FROM pr)
+         SELECT q_id, vec_id,
+           CASE WHEN orig_sq = 0.0 THEN CAST(1000000 AS BIGINT)
+             ELSE CAST(floor(1000000.0
+               * (proj_sq / ${Similarity.jlOutDim}) / orig_sq) AS BIGINT)
+             END AS distortion_ppm
+         FROM met""",
+    // q399: BH FDR — q374's sign-flip machinery per event_type, then
+    // the integer cross-multiplied step-up rule; R and alpha are
+    // GENERATED from the same constants the Spark defaults use.
+    "q399_bh_fdr" ->
+      s"""WITH pu AS MATERIALIZED (
+           SELECT event_type, user_id,
+             CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+               AS BIGINT) AS cents,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE -1 END AS s
+           FROM events GROUP BY 1, 2),
+         obs AS (
+           SELECT event_type, CAST(SUM(s * cents) AS BIGINT) AS t_obs,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+           FROM pu GROUP BY 1),
+         reps AS (
+           SELECT event_type, r.r,
+             CAST(SUM((CASE WHEN ('0x' || substr(md5('bh:' || event_type
+               || ':' || CAST(user_id AS VARCHAR) || ':'
+               || CAST(r.r AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+               THEN 1 ELSE -1 END) * s * cents) AS BIGINT) AS t_r
+           FROM pu, (SELECT UNNEST(range(1,
+             ${Experiment.bhReplicates + 1})) AS r) r
+           GROUP BY 1, 2),
+         p AS (
+           SELECT o.event_type, o.n_users, o.t_obs AS t_obs_cents,
+             CAST((SUM(CASE WHEN ABS(t_r) >= ABS(o.t_obs) THEN 1 ELSE 0
+               END) + 1) * 1000000
+               // ${Experiment.bhReplicates + 1} AS BIGINT) AS p_micro
+           FROM reps JOIN obs o USING (event_type)
+           GROUP BY 1, 2, 3),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM p),
+         rk AS (
+           SELECT p.*, m.m,
+             CAST(ROW_NUMBER() OVER (ORDER BY p_micro ASC,
+               event_type ASC) AS BIGINT) AS rank
+           FROM p, m),
+         ranked AS (
+           SELECT rk.*,
+             p_micro * m <= rank * ${Experiment.bhAlphaMicro} AS bh_ok
+           FROM rk),
+         ks AS (SELECT CAST(COALESCE(MAX(CASE WHEN bh_ok THEN rank END),
+           0) AS BIGINT) AS k_star FROM ranked)
+         SELECT event_type, n_users, t_obs_cents, p_micro, rank,
+           m AS n_tests, bh_ok, k_star, rank <= k_star AS rejected
+         FROM ranked, ks""",
     // q333: generated — planted delay model + running-max watermark +
     // per-delay conditional sums.
     "q333_watermark_planner" ->
@@ -11018,7 +11185,117 @@ object SparkEntry {
            CAST(SUM(ABS(a.pos - b.pos)) * 1000 // COUNT(*) AS BIGINT)
              AS mean_disp_milli
          FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.epoch = a.epoch + 1
-         GROUP BY 1"""
+         GROUP BY 1""",
+    // q394: Kneser-Ney discounts — bigram count-of-counts n1..n4 per
+    // lang, Y and the three modified discounts in exact micro (D1
+    // algebraically simplified to 1 - 2n2/(n1+2n2); HUGEINT products
+    // for D2/D3; -1 sentinel on zero denominators).
+    "q394_kn_discounts" ->
+      s"""WITH words AS (
+           SELECT lang, string_split($normText, ' ') AS w FROM documents),
+         d AS (SELECT lang, w FROM words WHERE len(w) >= 2),
+         bi AS (
+           SELECT lang, w[i] AS w1, w[i + 1] AS w2
+           FROM d, LATERAL (SELECT UNNEST(range(1, len(w))) AS i) t),
+         c AS (
+           SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+           FROM bi GROUP BY 1, 2, 3),
+         g AS (
+           SELECT lang, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(COUNT(*) AS BIGINT) AS distinct_bigrams,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(SUM(CASE WHEN c = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+           FROM c GROUP BY 1)
+         SELECT lang, n_bigrams, distinct_bigrams, n1, n2, n3, n4,
+           CAST(CASE WHEN n1 + 2 * n2 = 0 THEN -1
+             ELSE n1 * 1000000 // (n1 + 2 * n2) END AS BIGINT) AS y_micro,
+           CAST(CASE WHEN n1 + 2 * n2 = 0 THEN -1
+             ELSE 1000000 - 2 * n2 * 1000000 // (n1 + 2 * n2) END
+             AS BIGINT) AS d1_micro,
+           CAST(CASE WHEN n1 + 2 * n2 = 0 OR n2 = 0 THEN -1
+             ELSE 2000000 - CAST(3 * CAST(n1 AS HUGEINT) * n3 * 1000000
+               // (CAST(n1 + 2 * n2 AS HUGEINT) * n2) AS BIGINT) END
+             AS BIGINT) AS d2_micro,
+           CAST(CASE WHEN n1 + 2 * n2 = 0 OR n3 = 0 THEN -1
+             ELSE 3000000 - CAST(4 * CAST(n1 AS HUGEINT) * n4 * 1000000
+               // (CAST(n1 + 2 * n2 AS HUGEINT) * n3) AS BIGINT) END
+             AS BIGINT) AS d3_micro
+         FROM g""",
+    // q395: term burstiness census — (lang, w, doc) incidence
+    // pre-aggregate, per-term (cf, df), lang-domain reduce.
+    "q395_burstiness" ->
+      s"""WITH t AS (
+           SELECT lang, doc_id,
+             UNNEST(string_split($normText, ' ')) AS w
+           FROM documents),
+         i AS (
+           SELECT lang, w, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+           FROM t WHERE length(w) >= 1 GROUP BY 1, 2, 3),
+         pt AS (
+           SELECT lang, w, CAST(SUM(c) AS BIGINT) AS cf,
+             CAST(COUNT(*) AS BIGINT) AS df
+           FROM i GROUP BY 1, 2),
+         g AS (
+           SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(cf) AS BIGINT) AS n_tokens,
+             CAST(SUM(df) AS BIGINT) AS n_incidences,
+             CAST(SUM(CASE WHEN cf >= 2 * df THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bursty_terms,
+             CAST(SUM(CASE WHEN cf >= 2 * df THEN cf ELSE 0 END) AS BIGINT)
+               AS bursty_tokens
+           FROM pt GROUP BY 1)
+         SELECT lang, n_terms, n_tokens, n_incidences, n_bursty_terms,
+           bursty_tokens,
+           CAST(n_bursty_terms * 1000000 // n_terms AS BIGINT)
+             AS bursty_terms_ppm,
+           CAST(bursty_tokens * 1000000 // n_tokens AS BIGINT)
+             AS bursty_mass_ppm,
+           CAST(n_tokens * 1000000 // n_incidences AS BIGINT)
+             AS burstiness_micro
+         FROM g""",
+    // q396: Matryoshka truncation recall — per-dim renormalized
+    // truncated cosine top-k vs the full-dim exact top-k; the dim
+    // grid, query count, and k are GENERATED from the same constants
+    // the Spark defaults use.
+    "q396_matryoshka_recall" ->
+      s"""WITH q_ids AS (SELECT vec_id FROM embeddings
+             ORDER BY vec_id LIMIT ${Similarity.mrlQueries}),
+         ${(Similarity.mrlDims.map(Option(_)) :+ None).map { d =>
+           val tag = d.map(_.toString).getOrElse("full")
+           val sl = d.map(dd => s"embedding[1:$dd]").getOrElse("embedding")
+           s"""u_$tag AS MATERIALIZED (
+           SELECT vec_id, list_transform($sl,
+             x -> CASE WHEN nrm > 0 THEN CAST(x AS DOUBLE) / nrm
+                  ELSE 0.0 END) AS v
+           FROM (SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform($sl,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+             FROM embeddings)),
+         top_$tag AS MATERIALIZED (
+           SELECT q_id, vec_id FROM (
+             SELECT q.vec_id AS q_id, u.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY CAST(floor(1000000.0 * list_sum(list_transform(
+                   list_zip(qu.v, u.v), p -> p[1] * p[2]))) AS BIGINT)
+                   DESC, u.vec_id ASC) AS rk
+             FROM q_ids q
+             JOIN u_$tag qu ON qu.vec_id = q.vec_id
+             JOIN u_$tag u ON u.vec_id != q.vec_id)
+           WHERE rk <= ${Similarity.mrlK})"""
+         }.mkString(",\n         ")}
+         ${Similarity.mrlDims.map { dd =>
+           s"""SELECT CAST($dd AS BIGINT) AS dim,
+              CAST(COUNT(*) AS BIGINT) AS n_ranked,
+              CAST(SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+              CAST(${Similarity.mrlK} AS BIGINT) AS k,
+              CAST(SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+            FROM top_$dd t LEFT JOIN top_full f
+              ON f.q_id = t.q_id AND f.vec_id = t.vec_id"""
+         }.mkString("\n         UNION ALL\n         ")}"""
   )
 
   /** q14's window top-per-key SQL — shared verbatim by q89 (bounded

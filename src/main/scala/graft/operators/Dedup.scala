@@ -2238,6 +2238,106 @@ object Dedup {
           .as("precision_est_ppm"))
   }
 
+  /** q397 default bit grid — named so the oracle generator and the
+    * Spark default cannot silently diverge.
+    */
+  val bbitGrid: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** The q397 driver entry: B-BIT MINWISE HASHING EVAL (Li & König
+    * 2010) — the storage-side ablation of the MinHash index: keeping
+    * only the lowest b bits of each signature slot shrinks the
+    * signature store 64/b× (the difference between an index that
+    * fits in memory and one that doesn't at 100 TB), at the cost of
+    * chance collisions that the estimator corrects for exactly:
+    * a slot matches by chance with probability 2⁻ᵇ, so
+    * Ĵ_b = (m_b·2ᵇ − S)/(S·(2ᵇ − 1)) over S slots with m_b b-bit
+    * matches — all exact integers in micro (estimates below chance
+    * clamp to 0, stated convention). Per b ∈ [[bbitGrid]]: mean
+    * absolute error of Ĵ_b vs the EXACT verified Jaccard over the
+    * banded candidate pairs, beside the full-slot estimator's MAE
+    * (m/S) and the per-signature byte cost — the table that picks b
+    * (q332 evals the BANDING's recall; this evals the stored
+    * signature's width).
+    *
+    * Hash family: q332's md5 Kirsch–Mitzenmacher double hashing
+    * (one md5 per shingle), chosen so signatures, band keys, slot
+    * matches, and the estimator replay EXACTLY in the oracle — the
+    * approximation under eval lives inside the cross-engine compare.
+    *
+    * Scale shape: one shingle pass feeds sets → signatures → bands
+    * (the q332 economics); candidates are banded (never n²); exact
+    * verification and the |grid| estimator arms touch candidate
+    * pairs only, one projection each over one joined pair frame.
+    */
+  def bbitMinwiseEval(
+      spark: SparkSession, sfDir: String,
+      bitsGrid: Seq[Int] = bbitGrid): DataFrame = {
+    require(bitsGrid.nonEmpty && bitsGrid == bitsGrid.sorted &&
+      bitsGrid.forall(b => b >= 1 && b <= 32), "ascending bit grid")
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sets = docShingleSets(docs).localCheckpoint(true)
+    val sigs = bandingSigsFromSets(sets)
+      .localCheckpoint(true) // read by bands + twice by the pair join
+    val bands = sigs.select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 15), b -> struct(b AS band,
+             md5(array_join(transform(slice(sig, 4 * b + 1, 4),
+               x -> CAST(x AS STRING)), ':')) AS bh))""")).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.bh").as("bh"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+      .localCheckpoint(true) // read by the truth join + the sig join
+    // exact Jaccard on candidates only (the q22 verify discipline)
+    val sizes = sets.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val truth = cand
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .where(col("sh_a") === col("sh_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("long").as("n_common"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("n_common * 1000000 DIV (n_a + n_b - n_common)")
+          .as("j_micro"))
+    val paired = cand
+      .join(truth, Seq("id_a", "id_b"), "left")
+      .withColumn("j_micro", coalesce(col("j_micro"), lit(0L)))
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")),
+        Seq("id_a"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")),
+        Seq("id_b"))
+      .withColumn("m_full", expr(
+        "CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m)) AS BIGINT)"))
+      .localCheckpoint(true) // read once per grid arm
+    bitsGrid.map { b =>
+      val pow = 1L << b
+      paired
+        .withColumn("m_b", expr(
+          s"CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x % $pow = y % $pow), m -> m)) AS BIGINT)"))
+        .withColumn("est_b", expr(
+          s"GREATEST(0L, (m_b * $pow - 64) * 1000000 DIV (64 * ${pow - 1}))"))
+        .withColumn("est_full", expr("m_full * 1000000 DIV 64"))
+        .groupBy()
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          expr("CAST(SUM(ABS(est_b - j_micro)) DIV COUNT(*) AS BIGINT)")
+            .as("mae_b_micro"),
+          expr("CAST(SUM(ABS(est_full - j_micro)) DIV COUNT(*) AS BIGINT)")
+            .as("mae_full_micro"))
+        .select(lit(b.toLong).as("bits_per_slot"),
+          lit(64L * b / 8L).as("sig_bytes"),
+          col("n_pairs"), col("mae_b_micro"), col("mae_full_micro"))
+    }.reduce(_ unionByName _)
+  }
+
   /** The q341 driver entry: CROSS-DOCUMENT DUPLICATED-SPAN FRACTION —
     * the per-document statistic behind exact-substring dedup (Lee
     * 2021, "Deduplicating Training Data Makes Language Models

@@ -2524,6 +2524,80 @@ object Experiment {
       .where(col("n_pairs") >= 1L)
   }
 
+  /** q399 default knobs — named so the oracle generator interpolates
+    * the SAME values the Spark defaults use.
+    */
+  val bhReplicates: Int = 200
+  val bhAlphaMicro: Long = 50000L
+
+  /** The q399 driver entry: BENJAMINI–HOCHBERG FDR ACROSS A METRIC
+    * FAMILY — the multiple-testing control an experimentation
+    * platform applies when ONE experiment reads MANY metrics (q379's
+    * Holm controls family-wise error down a funnel; BH controls the
+    * FALSE DISCOVERY RATE across parallel metrics, the standard
+    * dashboard correction): per event_type, a sign-flip permutation
+    * test (q374's exact randomization machinery, md5-replayed flips)
+    * of the per-user arm-signed value sums under the q129 hash
+    * split, then the step-up rule — rank p ascending, reject every
+    * rank ≤ k* where k* is the largest k with p₍ₖ₎·m ≤ k·α. The
+    * comparison is integer cross-multiplied (p_micro·m vs
+    * k·alpha_micro — no division anywhere in the decision), p
+    * carries the add-one Phipson–Smyth form, and ties rank by
+    * (p, event_type) total order.
+    *
+    * Scale shape: one (type, user) cents aggregate (map-side
+    * combined), the ×R explode lands on the bounded type×replicate
+    * domain, the step-up is a window over m ≤ |event types| rows.
+    */
+  def bhFdr(
+      spark: SparkSession, sfDir: String,
+      replicates: Int = bhReplicates,
+      alphaMicro: Long = bhAlphaMicro): DataFrame = {
+    val perUser = Tables.load(spark, sfDir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(expr("CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)")
+        .as("cents"))
+      // arm sign from the q129 hash split: A = even user_id
+      .withColumn("s",
+        when(col("user_id") % 2 === 0L, 1L).otherwise(-1L))
+      .localCheckpoint(true) // read by the observed and replicate arms
+    val obs = perUser.groupBy(col("event_type"))
+      .agg(sum(col("s") * col("cents")).cast("long").as("t_obs"),
+        count(lit(1)).cast("long").as("n_users"))
+    val reps = perUser
+      .select(col("event_type"), col("user_id"), col("s"), col("cents"),
+        explode(array((1 to replicates).map(lit): _*)).as("r"))
+      .withColumn("f",
+        when(conv(substring(md5(concat(lit("bh:"), col("event_type"),
+          lit(":"), col("user_id").cast("string"), lit(":"),
+          col("r").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 2 === 0L, 1L).otherwise(-1L))
+      .groupBy(col("event_type"), col("r"))
+      .agg(sum(col("f") * col("s") * col("cents")).cast("long").as("t_r"))
+    val p = reps.join(broadcast(obs), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_users")).cast("long").as("n_users"),
+        max(col("t_obs")).cast("long").as("t_obs_cents"),
+        sum(when(abs(col("t_r")) >= abs(col("t_obs")), 1L).otherwise(0L))
+          .cast("long").as("n_extreme"))
+      .withColumn("p_micro",
+        expr(s"(n_extreme + 1) * 1000000 DIV ${replicates + 1}"))
+    val m = p.agg(count(lit(1)).cast("long").as("m"))
+    val wRank = Window.orderBy(col("p_micro").asc, col("event_type").asc)
+    val ranked = p.crossJoin(broadcast(m))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("bh_ok",
+        col("p_micro") * col("m") <= col("rank") * lit(alphaMicro))
+    val kStar = ranked
+      .agg(coalesce(max(when(col("bh_ok"), col("rank"))), lit(0L))
+        .as("k_star"))
+    ranked.crossJoin(broadcast(kStar))
+      .select(col("event_type"), col("n_users"), col("t_obs_cents"),
+        col("p_micro"), col("rank"), col("m").as("n_tests"),
+        col("bh_ok"), col("k_star"),
+        (col("rank") <= col("k_star")).as("rejected"))
+  }
+
   /** The q382 driver entry: BOT-REGULARITY GATE — the traffic-
     * cleaning filter run before any engagement metric is trusted:
     * scripted clients fire on timers, so their inter-event gaps are

@@ -1459,6 +1459,137 @@ object Similarity {
     selected
   }
 
+  /** q396 default knobs — named so the oracle generator (per-dim
+    * CTEs) interpolates the SAME values the Spark defaults use.
+    */
+  val mrlDims: Seq[Int] = Seq(8, 16, 32)
+  val mrlQueries: Int = 5
+  val mrlK: Int = 10
+
+  /** The q396 driver entry: MATRYOSHKA TRUNCATION RECALL CURVE — the
+    * dimension-ablation eval behind Matryoshka Representation
+    * Learning deployments (Kusupati 2022; every "use the first d
+    * dims at serve time" decision): for each prefix dimension d,
+    * re-normalize the truncated vectors, rank the corpus per query
+    * by truncated cosine, and report top-k recall against the
+    * full-dimension exact top-k — the storage/recall tradeoff table
+    * that picks the serving dimension. Completes the index-ablation
+    * family on its missing axis: q299 ablates bits-per-value
+    * (binary), q372 int8, q153 PQ codebooks — this ablates the
+    * DIMENSIONS themselves.
+    *
+    * Determinism: per-element double normalize (the q30 device),
+    * dot via the codegen'd element-order accumulator, scores floored
+    * to micro BEFORE ranking so the (sim desc, vec_id asc) order is
+    * integer-exact on both engines.
+    *
+    * Scale shape: queries broadcast; each arm is one corpus-linear
+    * scoring pass + a per-query top-k rank (fixture-scale brute — at
+    * 100 TB each arm serves from its own IVF/LSH index, q31/q32's
+    * path, and THIS entry is the offline eval that validates those
+    * truncated indexes, exactly like q329 validates full-dim ANN).
+    */
+  def matryoshkaRecall(
+      spark: SparkSession, sfDir: String,
+      numQueries: Int = mrlQueries, k: Int = mrlK,
+      dims: Seq[Int] = mrlDims): DataFrame = {
+    require(dims.nonEmpty && dims == dims.sorted, "ascending dim grid")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .localCheckpoint(true) // read by the truth arm + every dim arm
+    def topkAt(d: Option[Int]): DataFrame = {
+      def trunc(c: Column) = d.map(dd => slice(c, 1, dd)).getOrElse(c)
+      val corpus = emb.select(col("vec_id"),
+        Vectors.l2normalize(trunc(col("embedding"))).as("u"))
+      val q = emb.orderBy(col("vec_id")).limit(numQueries)
+        .select(col("vec_id").as("q_id"),
+          Vectors.l2normalize(trunc(col("embedding"))).as("qv"))
+      corpus.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          floor(lit(1000000.0) * Vectors.dot(col("qv"), col("u")))
+            .cast("long").as("sim_micro"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("sim_micro").desc, col("vec_id").asc)))
+        .where(col("rk") <= k)
+    }
+    val truth = topkAt(None)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+      .localCheckpoint(true) // read by every dim arm's join
+    dims.map { dd =>
+      topkAt(Some(dd))
+        .select(lit(dd.toLong).as("dim"), col("q_id"), col("vec_id"))
+    }.reduce(_ unionByName _)
+      .join(truth, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).cast("long").as("n_ranked"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"))
+      .withColumn("k", lit(k.toLong))
+      .withColumn("recall_ppm", expr("n_hits * 1000000 DIV n_ranked"))
+  }
+
+  /** q398 default knobs — named so the oracle generator interpolates
+    * the SAME values the Spark defaults use.
+    */
+  val jlOutDim: Int = 16
+  val jlQueries: Int = 5
+  val jlK: Int = 10
+
+  /** The q398 driver entry: JOHNSON–LINDENSTRAUSS RANDOM-PROJECTION
+    * DISTORTION AUDIT — the check run before trusting any
+    * projected-space shortcut (coarse ANN routing, sketch-space
+    * clustering, cheap pre-filters): project each evaluated
+    * difference vector through a DETERMINISTIC Rademacher (±1)
+    * matrix (Achlioptas 2003 — database-friendly JL; entries are
+    * md5-parity signs, so the oracle replays the exact matrix) and
+    * report per pair the squared-distance distortion
+    * ‖P(a−b)‖²/d' vs ‖a−b‖² in ppm. The eval pair set is q30's
+    * brute top-k per query — the pairs whose distances the ANN
+    * stack actually consumes. JL says distortion concentrates near
+    * 10⁶; the spread IS the audit.
+    *
+    * Determinism: P(a−b) by linearity (one projection of the
+    * difference, never two), each output coordinate an
+    * index-ordered fold (the q30 accumulation device), squares and
+    * ONE division per pair, floored to ppm; a zero original
+    * distance emits the 10⁶ identity by convention (never 0/0).
+    *
+    * Scale shape: pairs are numQueries·k (bounded); the projection
+    * is row-local HOF arithmetic over the bounded (d'×d) sign grid
+    * — no exchange beyond the pair join.
+    */
+  def jlDistortionAudit(
+      spark: SparkSession, sfDir: String,
+      outDim: Int = jlOutDim, numQueries: Int = jlQueries,
+      k: Int = jlK): DataFrame = {
+    require(outDim >= 1, "need at least one projected dimension")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val pairs = annBrute(spark, sfDir, numQueries, k)
+      .select(col("q_id"), col("vec_id"))
+      .join(emb.select(col("vec_id").as("q_id"), col("embedding").as("ea")),
+        Seq("q_id"))
+      .join(emb.select(col("vec_id"), col("embedding").as("eb")),
+        Seq("vec_id"))
+      .withColumn("d", expr(
+        "zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"))
+    val sign =
+      """CASE WHEN CAST(conv(substring(md5(concat('jl:',
+           CAST(j AS STRING), ':', CAST(i AS STRING))), 1, 8), 16, 10)
+           AS BIGINT) % 2 = 0 THEN 1.0D ELSE -1.0D END"""
+    pairs
+      .withColumn("orig_sq", expr(
+        "aggregate(d, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"))
+      .withColumn("proj_sq", expr(
+        s"""aggregate(transform(sequence(0, ${outDim - 1}),
+              j -> aggregate(sequence(1, size(d)), CAST(0.0 AS DOUBLE),
+                (acc, i) -> acc + ($sign) * element_at(d, i))),
+            CAST(0.0 AS DOUBLE), (acc, p) -> acc + p * p)"""))
+      .select(col("q_id"), col("vec_id"),
+        expr(s"""CASE WHEN orig_sq = 0.0 THEN CAST(1000000 AS BIGINT)
+             ELSE CAST(floor(1000000.0 * (proj_sq / $outDim) / orig_sq)
+               AS BIGINT) END""").as("distortion_ppm"))
+  }
+
   /** The q372 driver entry: INT8 QUANTIZATION ERROR AUDIT — the
     * per-channel report run before shipping a quantized embedding
     * index (4× smaller than fp32; q299's sign bits are the 32×

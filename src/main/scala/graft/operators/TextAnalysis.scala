@@ -3210,6 +3210,110 @@ object TextAnalysis {
         expr("distinct_words + f1 * (f1 - 1) DIV (2 * (f2 + 1))"))
       .withColumn("unseen_mass_ppm", expr("f1 * 1000000 DIV n_tokens"))
 
+  /** The q394 driver entry: KNESER–NEY DISCOUNT ESTIMATION — the
+    * smoothing-parameter pass run before training any modified-KN
+    * n-gram LM (Chen & Goodman 1998; what KenLM executes on every
+    * corpus): from the bigram count-of-counts n₁..n₄ (bigram TYPES
+    * occurring exactly 1..4 times), Y = n₁/(n₁+2n₂) and the three
+    * modified discounts D₁ = 1 − 2Y·n₂/n₁, D₂ = 2 − 3Y·n₃/n₂,
+    * D₃₊ = 3 − 4Y·n₄/n₃ — reported per language because mixed
+    * corpora need per-slice smoothing (a lang with thin data reads
+    * larger singleton mass and heavier discounts). D₁ simplifies
+    * exactly to 1 − 2n₂/(n₁+2n₂) (the n₁ cancels), so every output
+    * is a ratio of exact BIGINT products — micro via one truncating
+    * DIV each, DECIMAL(38,0) products per the q221 rule; a zero
+    * denominator (no singletons+doubletons, or n₂/n₃ = 0) emits the
+    * −1 sentinel (q185 rule), never NULL or a divide-by-zero.
+    *
+    * Scale shape: q369's — one (lang, w1, w2) map-side-combined
+    * count (the exchange carries the bigram TYPE domain, not
+    * corpus positions), then a lang-domain count-of-counts reduce;
+    * the discounts are per-row arithmetic on ≤ |langs| rows.
+    */
+  def knDiscounts(spark: SparkSession, sfDir: String): DataFrame =
+    knDiscountsOn(Tables.load(spark, sfDir, "documents"))
+
+  /** The q394 core over any `(lang, text)` frame. */
+  def knDiscountsOn(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"),
+        split(normalizedText(col("text")), " ").as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("lang"), explode(expr(
+        """transform(sequence(1, size(w) - 1),
+             i -> struct(element_at(w, i) AS w1,
+                         element_at(w, i + 1) AS w2))""")).as("b"))
+      .groupBy(col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).cast("long").as("n_bigrams"),
+        count(lit(1)).cast("long").as("distinct_bigrams"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).cast("long").as("n1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).cast("long").as("n2"),
+        sum(when(col("c") === 3L, 1L).otherwise(0L)).cast("long").as("n3"),
+        sum(when(col("c") === 4L, 1L).otherwise(0L)).cast("long").as("n4"))
+      .withColumn("y_micro", expr(
+        "CASE WHEN n1 + 2 * n2 = 0 THEN -1 ELSE n1 * 1000000 DIV (n1 + 2 * n2) END"))
+      .withColumn("d1_micro", expr(
+        """CASE WHEN n1 + 2 * n2 = 0 THEN -1
+           ELSE 1000000 - 2 * n2 * 1000000 DIV (n1 + 2 * n2) END"""))
+      .withColumn("d2_micro", expr(
+        """CASE WHEN n1 + 2 * n2 = 0 OR n2 = 0 THEN -1
+           ELSE 2000000 - CAST(3 * CAST(n1 AS DECIMAL(38,0)) * n3 * 1000000
+             DIV (CAST(n1 + 2 * n2 AS DECIMAL(38,0)) * n2) AS BIGINT) END"""))
+      .withColumn("d3_micro", expr(
+        """CASE WHEN n1 + 2 * n2 = 0 OR n3 = 0 THEN -1
+           ELSE 3000000 - CAST(4 * CAST(n1 AS DECIMAL(38,0)) * n4 * 1000000
+             DIV (CAST(n1 + 2 * n2 AS DECIMAL(38,0)) * n3) AS BIGINT) END"""))
+
+  /** The q395 driver entry: TERM BURSTINESS CENSUS (Church & Gale
+    * 1995) — the df-vs-cf discrimination behind stopword discovery
+    * and keyword weighting that TF-IDF (q61) consumes but never
+    * reports: content words BURST (when a document mentions a term
+    * once it tends to repeat it — cf well above df), while function
+    * words spread evenly (cf ≈ df). Per language over the (term →
+    * document frequency df, collection frequency cf) table: term
+    * counts, the bursty-type share (cf ≥ 2·df — mean within-doc
+    * repetition ≥ 2), the token MASS carried by bursty types (the
+    * number that says whether burst-aware weighting matters), and
+    * the corpus burstiness ratio Σcf·10⁶ DIV Σdf. All exact
+    * integers; shares in ppm by truncating DIV.
+    *
+    * Scale shape: one (lang, w, doc_id) pre-aggregate (map-side
+    * combined — the exchange carries DISTINCT doc-term incidences),
+    * one (lang, w) reduce onto the vocabulary domain, one lang
+    * reduce; nothing corpus-scale survives the first combine.
+    */
+  def burstinessCensus(spark: SparkSession, sfDir: String): DataFrame =
+    burstinessCensusOn(Tables.load(spark, sfDir, "documents"))
+
+  /** The q395 core over any `(lang, doc_id, text)` frame. */
+  def burstinessCensusOn(docs: DataFrame): DataFrame = {
+    val incid = docs
+      .select(col("lang"), col("doc_id"),
+        explode(split(normalizedText(col("text")), " ")).as("w"))
+      .where(length(col("w")) >= 1)
+      .groupBy(col("lang"), col("w"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val perTerm = incid.groupBy(col("lang"), col("w"))
+      .agg(sum(col("c")).cast("long").as("cf"),
+        count(lit(1)).cast("long").as("df"))
+    perTerm.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        sum(col("cf")).cast("long").as("n_tokens"),
+        sum(col("df")).cast("long").as("n_incidences"),
+        sum(when(col("cf") >= lit(2L) * col("df"), 1L).otherwise(0L))
+          .cast("long").as("n_bursty_terms"),
+        sum(when(col("cf") >= lit(2L) * col("df"), col("cf")).otherwise(0L))
+          .cast("long").as("bursty_tokens"))
+      .withColumn("bursty_terms_ppm",
+        expr("n_bursty_terms * 1000000 DIV n_terms"))
+      .withColumn("bursty_mass_ppm",
+        expr("bursty_tokens * 1000000 DIV n_tokens"))
+      .withColumn("burstiness_micro",
+        expr("n_tokens * 1000000 DIV n_incidences"))
+  }
+
   /** The q388 driver entry: TOKENIZER MIGRATION DIFF — the
     * re-encode bill for upgrading a deployment's merge table: BPE
     * training is greedy-sequential, so a v1 tokenizer of r₁ rounds

@@ -22,17 +22,34 @@ object ScalingProbe {
     val spark = graft.GraftSession.local(cores = 32, appName = "graft-scale")
     spark.sparkContext.setLogLevel("ERROR")
 
-    // K× documents: copy c rotates each doc's words by 11*c positions
+    // K× documents: copy c Caesar-ciphers the TEXT (bijective letter
+    // translate, shift (3c)%26 — injective across c<26 since
+    // gcd(3,26)=1), the same device part/customer names use below.
+    // Round-16 correction: the original device ROTATED each doc's
+    // words, but a rotation keeps every 5-gram shingle except the
+    // ~8 at the two junctions — cross-copy Jaccard ≈ (n−8)/n ≈
+    // 0.85–0.97, so every copy family was a K-clique of TRUE
+    // near-dups and the near-dup/CC operators' measured growth was
+    // the quadratic TRUE-OUTPUT of that workload, not operator cost
+    // (q392 read 7.4× at K=20 under rotation, the derivative of
+    // K²/2 family pairs). Ciphering keeps within-copy organic dup
+    // structure exactly (both members of an organic pair shift
+    // identically) while making cross-copy shingle sets disjoint —
+    // a bigger corpus means MORE DISTINCT documents, the probe's
+    // stated contract. Word counts, lengths, and per-copy
+    // distributions are unchanged (bijective on letters).
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val nDocs = docs.count()
+    val alphaD = "abcdefghijklmnopqrstuvwxyz"
+    val alphaDU = alphaD.toUpperCase
     val copies = (0 until k).map { c =>
-      val words = split(col("text"), " ")
-      val n = size(words)
-      val rot = lit(11 * c) % greatest(n, lit(1))
+      val s = (3 * c) % 26
       docs.select(
         (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
-        array_join(concat(slice(words, rot + 1, n - rot),
-          slice(words, lit(1), rot)), " ").as("text"),
+        translate(col("text"),
+          alphaD + alphaDU,
+          alphaD.drop(s) + alphaD.take(s) +
+            alphaDU.drop(s) + alphaDU.take(s)).as("text"),
         col("lang"), col("n_chars"), col("source"))
     }
     copies.reduce(_ unionAll _).write.mode("overwrite")
@@ -510,7 +527,26 @@ object ScalingProbe {
       "q392_cluster_profile" -> (d =>
         graft.operators.Dedup.clusterSizeProfile(spark, d)),
       "q393_epoch_fixed_points" -> (d =>
-        graft.operators.TrainingPrep.epochFixedPoints(spark, d)))
+        graft.operators.TrainingPrep.epochFixedPoints(spark, d)),
+      // q394/q395 are (lang, gram/term) map-side-combined counts +
+      // domain reduces; q396 is |dims|+1 brute scoring passes (the
+      // fixture-scale eval; production serves truncated dims from
+      // their own ANN indexes, q31/q32's path)
+      "q394_kn_discounts" -> (d =>
+        graft.operators.TextAnalysis.knDiscounts(spark, d)),
+      "q395_burstiness" -> (d =>
+        graft.operators.TextAnalysis.burstinessCensus(spark, d)),
+      "q396_matryoshka_recall" -> (d =>
+        graft.operators.Similarity.matryoshkaRecall(spark, d)),
+      // q397 rides the q332 banded path (one shingle pass, candidate-
+      // bounded arms); q398 is a bounded pair set over one corpus
+      // scoring pass; q399 is a (type,user) combine + bounded domain
+      "q397_bbit_minwise" -> (d =>
+        graft.operators.Dedup.bbitMinwiseEval(spark, d)),
+      "q398_jl_distortion" -> (d =>
+        graft.operators.Similarity.jlDistortionAudit(spark, d)),
+      "q399_bh_fdr" -> (d =>
+        graft.operators.Experiment.bhFdr(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))

@@ -1074,6 +1074,76 @@ class DedupSpec extends AnyFunSuite {
     assert(r.nonEmpty && r.head.getSeq[Long](1).size == 64)
   }
 
+  test("q397 b-bit minwise eval equals a full replay: banding, exact truth, clamped estimators") {
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ")
+          .split(" ", -1)))
+      .filter(_._2.length >= 5)
+    val shs = docs.map { case (id, w) =>
+      id -> w.sliding(5).map(_.mkString(" ")).toSet
+    }.toMap
+    def sig(id: Long): IndexedSeq[Long] = {
+      val hs = shs(id).toSeq.map { sh =>
+        val m = md5hex(sh)
+        (java.lang.Long.parseLong(m.substring(0, 15), 16),
+          java.lang.Long.parseLong(m.substring(16, 30), 16))
+      }
+      (0 until 64).map(i => hs.map { case (h1, h2) => h1 + i * h2 }.min)
+    }
+    val sigs = docs.map(_._1).map(id => id -> sig(id)).toMap
+    val byBand = docs.map(_._1).flatMap(id => (0 until 16).map(b =>
+        ((b, md5hex(sigs(id).slice(4 * b, 4 * b + 4).mkString(":"))), id)))
+      .groupBy(_._1).values
+    val cand = byBand.flatMap { g =>
+      val ds = g.map(_._2).distinct.sorted
+      for (i <- ds.indices; j <- (i + 1) until ds.length)
+        yield (ds(i), ds(j))
+    }.toSet.toSeq
+    def jMicro(a: Long, b: Long): Long = {
+      val inter = (shs(a) intersect shs(b)).size.toLong
+      val uni = shs(a).size + shs(b).size - inter
+      inter * 1000000L / uni
+    }
+    val want = Dedup.bbitGrid.map { b =>
+      val pow = 1L << b
+      val rows = cand.map { case (a, c) =>
+        val j = jMicro(a, c)
+        val mF = sigs(a).zip(sigs(c)).count { case (x, y) => x == y }.toLong
+        val mB = sigs(a).zip(sigs(c))
+          .count { case (x, y) => x % pow == y % pow }.toLong
+        val estB = math.max(0L, (mB * pow - 64L) * 1000000L / (64L * (pow - 1)))
+        val estF = mF * 1000000L / 64L
+        (math.abs(estB - j), math.abs(estF - j))
+      }
+      b.toLong -> (rows.length.toLong,
+        rows.map(_._1).sum / rows.length, rows.map(_._2).sum / rows.length)
+    }.toMap
+    val got = Dedup.bbitMinwiseEval(spark, SparkTestSession.sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (b, (n, maeB, maeF) ) =>
+      val (bytes, gn, gMaeB, gMaeF) = got(b)
+      assert(bytes == 64L * b / 8L)
+      assert(gn == n && gMaeB == maeB && gMaeF == maeF, s"b=$b")
+    }
+    assert(want.values.head._1 > 0L, "no banded candidates - vacuous")
+    // structural invariants: every arm reads the SAME pair set and
+    // the SAME full-slot reference (the b-axis varies only the b-bit
+    // estimator). No b-ordering law is asserted: on banded candidates
+    // (mostly high-J pairs) small-sample luck can order the arms
+    // either way — the fixture reads mae(b=1) BELOW mae(b=8).
+    assert(got.values.map(_._2).toSet.size == 1, "pair sets diverge")
+    assert(got.values.map(_._4).toSet.size == 1,
+      "full-slot reference diverges across arms")
+  }
+
   test("q341 duplicated-span fraction equals a census replay; near-dups read high") {
     val docs = spark.read
       .parquet(s"${SparkTestSession.sf}/documents.parquet")

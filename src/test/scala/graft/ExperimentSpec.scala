@@ -1616,4 +1616,55 @@ class ExperimentSpec extends AnyFunSuite {
     val dof = (rT.size.toLong - 1L) * (cT.size.toLong - 1L)
     assert(chi2 / dof < 10000000L, s"splitter badly biased: $chi2/$dof")
   }
+
+  test("q399 BH FDR equals a full randomization replay; rejections are a p-rank prefix") {
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val ev = spark.read.parquet(s"${SparkTestSession.sf}/events.parquet")
+      .select(col("event_type"), col("user_id"),
+        expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val pu = ev.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(_._3).sum).toMap
+    val R = Experiment.bhReplicates
+    val stats = pu.keys.map(_._1).toSeq.distinct.sorted.map { tp =>
+      val users = pu.keys.filter(_._1 == tp).map(_._2).toSeq
+      def signed(u: Long) =
+        (if (u % 2 == 0) 1L else -1L) * pu((tp, u))
+      val tObs = users.map(signed).sum
+      val nExtreme = (1 to R).count { r =>
+        val tr = users.map { u =>
+          val f = if (java.lang.Long.parseLong(
+            md5hex(s"bh:$tp:$u:$r").substring(0, 15), 16) % 2 == 0) 1L
+          else -1L
+          f * signed(u)
+        }.sum
+        math.abs(tr) >= math.abs(tObs)
+      }
+      (tp, users.size.toLong, tObs,
+        (nExtreme + 1).toLong * 1000000L / (R + 1))
+    }
+    val m = stats.size.toLong
+    val ranked = stats.sortBy(s => (s._4, s._1)).zipWithIndex
+      .map { case ((tp, n, t, p), i) =>
+        (tp, n, t, p, (i + 1).toLong,
+          p * m <= (i + 1) * Experiment.bhAlphaMicro) }
+    val kStar = ranked.filter(_._6).map(_._5).maxOption.getOrElse(0L)
+    val got = Experiment.bhFdr(spark, SparkTestSession.sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6), r.getLong(7),
+        r.getBoolean(8))).toMap
+    assert(got.keySet == ranked.map(_._1).toSet)
+    ranked.foreach { case (tp, n, t, p, rk, ok) =>
+      val g = got(tp)
+      assert((g._1, g._2, g._3, g._4) == ((n, t, p, rk)), s"type $tp")
+      assert(g._5 == m && g._6 == ok && g._7 == kStar)
+      assert(g._8 == (rk <= kStar))
+    }
+    // structural law: the rejection set is a PREFIX of the p-ranking
+    val rejRanks = got.values.filter(_._8).map(_._4).toSeq.sorted
+    assert(rejRanks == (1L to rejRanks.size.toLong))
+  }
 }

@@ -863,4 +863,106 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().head.getLong(2)
     assert(iso <= 10L, s"sign-balanced pair reads $iso")
   }
+
+  test("q396 matryoshka recall equals a driver-side truncation replay; full dim is self-recall 1") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    val qids = vecs.take(Similarity.mrlQueries).map(_._1).toSet
+    def unit(v: Array[Float], d: Int): Array[Double] = {
+      val t = v.take(d).map(_.toDouble)
+      val n = math.sqrt(t.map(x => x * x).sum)
+      if (n > 0) t.map(_ / n) else t.map(_ => 0.0)
+    }
+    def topk(d: Int): Map[Long, Set[Long]] = {
+      val u = vecs.map { case (id, v) => id -> unit(v, d) }.toMap
+      qids.map { q =>
+        q -> vecs.map(_._1).filter(_ != q)
+          .map { id =>
+            val s = math.floor(1e6 *
+              u(q).zip(u(id)).map { case (a, b) => a * b }.sum).toLong
+            (id, s)
+          }
+          .sortBy { case (id, s) => (-s, id) }
+          .take(Similarity.mrlK).map(_._1).toSet
+      }.toMap
+    }
+    val full = topk(vecs.head._2.length)
+    val want = Similarity.mrlDims.map { d =>
+      val hits = topk(d).map { case (q, s) => (s intersect full(q)).size }.sum
+      d.toLong -> hits.toLong
+    }.toMap
+    val got = Similarity.matryoshkaRecall(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (d, hits) =>
+      val (nRanked, nHits, ppm) = got(d)
+      assert(nRanked == qids.size.toLong * Similarity.mrlK, s"dim $d")
+      assert(nHits == hits, s"dim $d")
+      assert(ppm == hits * 1000000L / nRanked)
+    }
+    // the curve genuinely discriminates on the fixture: the smallest
+    // dim must lose SOME recall, or the eval is vacuous
+    assert(got(Similarity.mrlDims.head.toLong)._2 <
+      qids.size.toLong * Similarity.mrlK,
+      "8-dim truncation is lossless on the fixture - vacuous eval")
+    // a full-dimension arm through the SAME plan is exact self-recall
+    val self = Similarity.matryoshkaRecall(spark, sf,
+      dims = Seq(vecs.head._2.length)).collect().head
+    assert(self.getLong(2) == self.getLong(1) &&
+      self.getLong(4) == 1000000L)
+  }
+
+  test("q398 JL distortion equals a driver-side Rademacher replay; concentration sanity") {
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def jlSign(j: Int, i: Int): Double =
+      if (java.lang.Long.parseLong(md5hex(s"jl:$j:$i").substring(0, 8), 16)
+        % 2 == 0) 1.0 else -1.0
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    val byId = vecs.toMap
+    // q30's pair set: raw-cosine brute top-k per query (normalized
+    // dot, ties by vec_id) — the annBrute order, replayed
+    val qids = vecs.take(Similarity.jlQueries).map(_._1)
+    def unit(v: Array[Float]): Array[Double] = {
+      val t = v.map(_.toDouble)
+      val n = math.sqrt(t.map(x => x * x).sum)
+      if (n > 0) t.map(_ / n) else t.map(_ => 0.0)
+    }
+    val pairs = qids.flatMap { q =>
+      val qu = unit(byId(q))
+      vecs.map(_._1).filter(_ != q)
+        .map(id => (id, qu.zip(unit(byId(id)))
+          .map { case (a, b) => a * b }.sum))
+        .sortBy { case (id, c) => (-c, id) }
+        .take(Similarity.jlK).map(p => (q, p._1))
+    }
+    val want = pairs.map { case (q, v) =>
+      val d = byId(q).zip(byId(v))
+        .map { case (a, b) => a.toDouble - b.toDouble }
+      val origSq = d.map(x => x * x).sum
+      val projSq = (0 until Similarity.jlOutDim).map { j =>
+        val c = d.indices.map(i => jlSign(j, i + 1) * d(i)).sum
+        c * c
+      }.sum
+      (q, v) -> (if (origSq == 0.0) 1000000L
+        else math.floor(1e6 * (projSq / Similarity.jlOutDim) / origSq).toLong)
+    }.toMap
+    val got = Similarity.jlDistortionAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == want.keySet,
+      s"pair set mismatch: ${got.keySet.size} vs ${want.keySet.size}")
+    want.foreach { case (k, v) => assert(got(k) == v, s"pair $k") }
+    // JL concentration sanity: distortions center near 1e6, not at 0
+    // or 10x — a sign-matrix bug reads as systematic shrink/blowup
+    val mean = got.values.sum / got.size
+    assert(mean > 300000L && mean < 3000000L,
+      s"mean distortion $mean ppm - projection is not norm-preserving")
+  }
 }

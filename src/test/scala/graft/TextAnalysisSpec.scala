@@ -1694,5 +1694,107 @@ class TextAnalysisSpec extends AnyFunSuite {
     val t = TextAnalysis.sharedPrefixMassOn(tiny).collect().head
     assert((t.getLong(2), t.getLong(3), t.getLong(4)) == ((7L, 3L, 4L)))
   }
+
+  test("q394 KN discounts: count-of-counts replay; synthetic exact; degenerate sentinels") {
+    // full driver-side replay of the bigram count-of-counts on the
+    // fixture, per lang
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ").split(" ")))
+    val cc = docs.filter(_._2.length >= 2)
+      .flatMap { case (l, w) => w.sliding(2).map(p => (l, p(0), p(1))) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .groupBy(_._1._1)
+    val got = TextAnalysis.knDiscounts(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9), r.getLong(10))).toMap
+    assert(got.keySet == cc.keySet)
+    cc.foreach { case (l, m) =>
+      val counts = m.values.toSeq
+      val (n1, n2, n3, n4) = (counts.count(_ == 1L).toLong,
+        counts.count(_ == 2L).toLong, counts.count(_ == 3L).toLong,
+        counts.count(_ == 4L).toLong)
+      val g = got(l)
+      assert((g._1, g._2) == ((counts.sum, counts.size.toLong)), s"lang $l")
+      assert((g._3, g._4, g._5, g._6) == ((n1, n2, n3, n4)), s"lang $l")
+      // Y and D1 from the same integers
+      if (n1 + 2 * n2 > 0) {
+        assert(g._7 == n1 * 1000000L / (n1 + 2 * n2))
+        assert(g._8 == 1000000L - 2 * n2 * 1000000L / (n1 + 2 * n2))
+      } else assert(g._7 == -1L && g._8 == -1L)
+      // discounts live in sane ranges when defined (0 < D1 < 1 etc.
+      // holds for any corpus with n1, n2 > 0 by the formulas)
+      if (n1 > 0 && n2 > 0) assert(g._8 > 0L && g._8 < 1000000L)
+    }
+    // synthetic: bigrams (a b) x1, (b a) x2, (a c) x3, (c a) x4
+    // -> n1..n4 = 1 each; Y = 1/3; D1 = 1 - 2/3 = 1/3;
+    // D2 = 2 - 3*(1*1)/(3*1) = 1; D3 = 3 - 4*(1*1)/(3*1) = 5/3
+    import spark.implicits._
+    val syn = TextAnalysis.knDiscountsOn(Seq(
+      ("xx", "a b"), ("xx", "b a"), ("xx", "b a"),
+      ("xx", "a c"), ("xx", "a c"), ("xx", "a c"),
+      ("xx", "c a"), ("xx", "c a"), ("xx", "c a"), ("xx", "c a"))
+      .toDF("lang", "text")).collect().head
+    assert((syn.getLong(3), syn.getLong(4), syn.getLong(5),
+      syn.getLong(6)) == ((1L, 1L, 1L, 1L)))
+    assert(syn.getLong(7) == 333333L)  // Y
+    assert(syn.getLong(8) == 1000000L - 666666L)  // D1 = 333334 (trunc)
+    assert(syn.getLong(9) == 2000000L - 1000000L) // D2 = 1.0
+    assert(syn.getLong(10) == 3000000L - 1333333L) // D3+ = 1666667
+    // degenerate: every bigram repeats >= 5 times -> n1..n4 = 0 ->
+    // all three sentinels
+    val deg = TextAnalysis.knDiscountsOn(
+      Seq.fill(5)(("yy", "p q")).toDF("lang", "text")).collect().head
+    assert((deg.getLong(7), deg.getLong(8), deg.getLong(9),
+      deg.getLong(10)) == ((-1L, -1L, -1L, -1L)))
+  }
+
+  test("q395 burstiness: census replay; bursty term identified; laws hold") {
+    // driver-side (lang, w) -> (cf, df) replay on the fixture
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sf}/documents.parquet")
+      .select("lang", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).trim.toLowerCase.replaceAll("\\s+", " ").split(" ")))
+    val perTerm = docs
+      .flatMap { case (l, id, w) => w.filter(_.nonEmpty).map(t => (l, t, id)) }
+      .groupBy(t => (t._1, t._2))
+      .map { case ((l, w), rows) =>
+        (l, w, rows.length.toLong, rows.map(_._3).distinct.length.toLong) }
+    val want = perTerm.groupBy(_._1).map { case (l, ts) =>
+      val bursty = ts.filter(t => t._3 >= 2 * t._4)
+      l -> (ts.size.toLong, ts.map(_._3).sum, ts.map(_._4).sum,
+        bursty.size.toLong, bursty.map(_._3).sum)
+    }
+    val got = TextAnalysis.burstinessCensus(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (l, (nt, tok, inc, nb, bt)) =>
+      val g = got(l)
+      assert((g._1, g._2, g._3, g._4, g._5) == ((nt, tok, inc, nb, bt)),
+        s"lang $l")
+      assert(g._6 == nb * 1000000L / nt && g._7 == bt * 1000000L / tok)
+      assert(g._8 == tok * 1000000L / inc)
+      // laws: cf >= df termwise implies the corpus ratio >= 1e6
+      assert(g._8 >= 1000000L)
+    }
+    // planted: "x x x y" + "y z" -> x bursts (cf 3, df 1), y spreads
+    // (cf 2, df 2), z singleton (cf 1, df 1; 1 >= 2 is false)
+    import spark.implicits._
+    val syn = TextAnalysis.burstinessCensusOn(
+      Seq(("xx", 1L, "x x x y"), ("xx", 2L, "y z"))
+        .toDF("lang", "doc_id", "text")).collect().head
+    assert((syn.getLong(1), syn.getLong(2), syn.getLong(3)) ==
+      ((3L, 6L, 4L)))
+    assert((syn.getLong(4), syn.getLong(5)) == ((1L, 3L)),
+      "exactly x is bursty, carrying its 3 tokens")
+  }
 }
 
