@@ -590,6 +590,12 @@ object SparkEntry {
       Similarity.jlDistortionAudit(s, d)),
     "q399_bh_fdr" -> ((s: SparkSession, d: String) =>
       Experiment.bhFdr(s, d)),
+    "q400_judge_position_bias" -> ((s: SparkSession, d: String) =>
+      Experiment.judgePositionBias(s, d)),
+    "q401_kendall_w" -> ((s: SparkSession, d: String) =>
+      Experiment.kendallW(s, d)),
+    "q402_adaptive_ece" -> ((s: SparkSession, d: String) =>
+      Experiment.adaptiveEce(s, d)),
     "q109_profile" -> (Relational.profileTable _),
     "q112_funnel" -> (Relational.funnel _),
     "q113_cohort" -> (Relational.cohortRetention _),
@@ -7243,6 +7249,117 @@ object SparkEntry {
                 // COUNT(*) AS BIGINT) AS mae_full_micro
             FROM paired"""
          }.mkString("\n         UNION ALL\n         ")}""",
+    // q400: judge position-bias swap audit — adjacent-id pairs over
+    // the q212 scorer, the planted-bias md5 judge replayed per
+    // presentation order, bucket + global shares; bias/amp GENERATED
+    // from the shared constants.
+    "q400_judge_position_bias" ->
+      s"""WITH sc AS ($scoredDocsSql),
+         pr AS (
+           SELECT a.doc_id AS id_a, a.score AS s_a, b.score AS s_b
+           FROM sc a JOIN sc b ON b.doc_id = a.doc_id + 1
+           WHERE a.doc_id % 2 = 0),
+         v AS (
+           SELECT id_a,
+             s_a - s_b + ${Experiment.pjBiasMicro}
+               + (('0x' || substr(md5('pj:' || CAST(id_a AS VARCHAR)
+                 || ':0'), 1, 15))::BIGINT
+                 % ${2 * Experiment.pjNoiseAmp + 1}
+                 - ${Experiment.pjNoiseAmp}) >= 0 AS w0_is_a,
+             s_b - s_a + ${Experiment.pjBiasMicro}
+               + (('0x' || substr(md5('pj:' || CAST(id_a AS VARCHAR)
+                 || ':1'), 1, 15))::BIGINT
+                 % ${2 * Experiment.pjNoiseAmp + 1}
+                 - ${Experiment.pjNoiseAmp}) >= 0 AS w1_is_b,
+             LEAST(ABS(s_a - s_b) // 100000, 9) AS diff_decile
+           FROM pr),
+         per AS (
+           SELECT diff_decile, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN w0_is_a != w1_is_b THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_consistent,
+             CAST(SUM((CASE WHEN w0_is_a THEN 1 ELSE 0 END)
+               + (CASE WHEN w1_is_b THEN 1 ELSE 0 END)) AS BIGINT)
+               AS n_first_wins
+           FROM v GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS t_pairs,
+             CAST(SUM(n_consistent) AS BIGINT) AS t_cons,
+             CAST(SUM(n_first_wins) AS BIGINT) AS t_first FROM per)
+         SELECT CAST(diff_decile AS BIGINT) AS diff_decile, n_pairs,
+           n_consistent, n_first_wins,
+           CAST(n_consistent * 1000000 // n_pairs AS BIGINT)
+             AS consistency_ppm,
+           CAST(n_first_wins * 1000000 // (2 * n_pairs) AS BIGINT)
+             AS first_win_ppm,
+           CAST(t_cons * 1000000 // t_pairs AS BIGINT)
+             AS total_consistency_ppm,
+           CAST(t_first * 1000000 // (2 * t_pairs) AS BIGINT)
+             AS total_first_win_ppm
+         FROM per, tot""",
+    // q401: Kendall's W — per-judge perturbed rankings, rank sums,
+    // the 4S integer deviation form, one trailing micro DIV; judges
+    // and amp GENERATED from the shared constants.
+    "q401_kendall_w" ->
+      s"""WITH sc AS ($scoredDocsSql),
+         jd AS (
+           SELECT doc_id, j.j,
+             score + (('0x' || substr(md5('kw:' || CAST(j.j AS VARCHAR)
+               || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % ${2 * Experiment.kwNoiseAmp + 1}
+               - ${Experiment.kwNoiseAmp}) AS jscore
+           FROM sc, (SELECT UNNEST(range(1,
+             ${Experiment.kwJudges + 1})) AS j) j),
+         rk AS (
+           SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY j
+               ORDER BY jscore DESC, doc_id ASC) AS BIGINT) AS rk_j
+           FROM jd),
+         rs AS (SELECT doc_id, CAST(SUM(rk_j) AS BIGINT) AS r_i
+           FROM rk GROUP BY 1),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sc),
+         s AS (
+           SELECT CAST(SUM(CAST(2 * r_i - ${Experiment.kwJudges} * (n + 1)
+               AS HUGEINT) * (2 * r_i - ${Experiment.kwJudges} * (n + 1)))
+             AS HUGEINT) AS s2, MAX(n) AS n
+           FROM rs, nn),
+         w AS (
+           SELECT CAST(${Experiment.kwJudges} AS BIGINT) AS m,
+             n AS n_docs,
+             CAST(3 * s2 * 1000000
+               // (${Experiment.kwJudges * Experiment.kwJudges}
+                 * (CAST(n AS HUGEINT) * n * n - n)) AS BIGINT) AS w_micro
+           FROM s)
+         SELECT m, n_docs, w_micro,
+           CAST((${Experiment.kwJudges} * w_micro - 1000000)
+             // ${Experiment.kwJudges - 1} AS BIGINT) AS rho_bar_micro
+         FROM w""",
+    // q402: equal-mass (adaptive-bin) ECE — the q233 rank-decile cut
+    // over the q212 scorer; the oracle takes the simple doc-grain
+    // rank form of the same deciles.
+    "q402_adaptive_ece" ->
+      s"""WITH sc AS ($scoredDocsSql),
+         r AS (
+           SELECT doc_id, score, is_en,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+               AS BIGINT) AS rk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+           FROM sc),
+         per AS (
+           SELECT (10 * (rk - 1)) // n AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(score) AS BIGINT) AS sum_score,
+             CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos
+           FROM r GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t_n,
+             CAST(SUM(ABS(sum_score - 1000000 * n_pos)) AS HUGEINT)
+               AS t_gap FROM per)
+         SELECT CAST(decile AS BIGINT) AS decile, n_docs,
+           CAST(sum_score // n_docs AS BIGINT) AS mean_score_micro,
+           CAST((n_pos * 1000000) // n_docs AS BIGINT) AS rate_micro,
+           CAST(sum_score // n_docs - (n_pos * 1000000) // n_docs
+             AS BIGINT) AS gap_micro,
+           CAST(t_gap // t_n AS BIGINT) AS ece_micro
+         FROM per, tot""",
     // q398: JL distortion audit — q30's brute top-k pair set, the
     // md5-parity Rademacher matrix replayed entry-by-entry, squared
     // sums in the identical fold order, one floor per pair.

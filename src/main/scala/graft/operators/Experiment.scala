@@ -750,22 +750,27 @@ object Experiment {
     * ≤ 9 boundary-straddling groups, then a 10-row aggregate +
     * bounded cumulative window.
     */
-  def gainsTable(spark: SparkSession, sfDir: String): DataFrame = {
-    // round-14 replaced the partition-less doc-grain rank window with
-    // the chunked device; round-16 removes the doc-grain rank
-    // ENTIRELY: a decile only needs COUNTS, and under the global
-    // order (score desc, doc_id asc) a whole score GROUP occupies the
-    // contiguous rank range [cum0+1, cum0+c] — it lands wholly inside
-    // one decile unless it straddles a boundary, and at most 9 groups
-    // can straddle (one per interior boundary). So the plan is one
-    // map-side-combined per-score aggregate (exchange = the bounded
-    // micro-score domain, the q119/q258 bounded-domain window
-    // rationale), whole groups folded arithmetically, and doc-grain
-    // tie-resolution (doc_id asc within the group, exactly the global
-    // order's tiebreak) ONLY for the straddling groups' docs — the
-    // same exact table as the global rank at ~domain-sized cost
-    // (restored the 2.3x median drift the round-15 verdict flagged).
-    val scored = rocAucScored(spark, sfDir).localCheckpoint(true)
+  /** SCORE-GROUP DECILE SPLIT (round-16, shared by q233 and q402):
+    * exact rank-decile aggregates WITHOUT any doc-grain rank. Under
+    * the global order (score desc, doc_id asc), a whole score GROUP
+    * occupies the contiguous rank range [cum0+1, cum0+c] — it lands
+    * wholly inside one decile unless it straddles a boundary, and at
+    * most 9 groups can straddle (one per interior boundary). The
+    * plan: one map-side-combined per-score aggregate (exchange = the
+    * bounded micro-score domain, the q119/q258 bounded-domain window
+    * rationale), whole groups folded arithmetically — a group's
+    * score is constant, so its score mass is c·score — and doc-grain
+    * tie resolution (doc_id asc within the group, exactly the global
+    * order's tiebreak) ONLY for the straddling groups' docs. Same
+    * tables as a global rank at ~domain-sized cost (this rewrite
+    * restored q233's 2.3× median drift flagged by the round-15
+    * verdict).
+    *
+    * Input: a `(doc_id, score, is_en)` frame. Output per decile
+    * (0 = top-ranked tenth): n_docs, n_pos, sum_score.
+    */
+  private[graft] def scoreGroupDecileAgg(scoredIn: DataFrame): DataFrame = {
+    val scored = scoredIn.localCheckpoint(true)
     val n = scored.agg(count(lit(1)).cast("long").as("n"))
     val wDesc = Window.orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -781,7 +786,8 @@ object Experiment {
       .localCheckpoint(true) // read by the whole-group and straddle arms
     val whole = grp.where(col("d_first") === col("d_last"))
       .select(col("d_first").as("decile"), col("c").as("nd"),
-        col("p").as("np"))
+        col("p").as("np"),
+        (col("c") * col("score")).cast("long").as("ssum"))
     val straddle = scored
       .join(broadcast(grp.where(col("d_first") =!= col("d_last"))
         .select(col("score"), col("cum0"), col("n"))), Seq("score"))
@@ -791,10 +797,20 @@ object Experiment {
       .withColumn("decile", expr("(10 * (cum0 + rk_in - 1)) DIV n"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).cast("long").as("nd"),
-        sum(when(col("is_en"), 1L).otherwise(0L)).cast("long").as("np"))
-    val per = whole.unionByName(straddle)
+        sum(when(col("is_en"), 1L).otherwise(0L)).cast("long").as("np"),
+        sum(col("score")).cast("long").as("ssum"))
+    whole.unionByName(straddle)
       .groupBy(col("decile"))
-      .agg(sum(col("nd")).as("n_docs"), sum(col("np")).as("n_pos"))
+      .agg(sum(col("nd")).cast("long").as("n_docs"),
+        sum(col("np")).cast("long").as("n_pos"),
+        sum(col("ssum")).cast("long").as("sum_score"))
+  }
+
+  def gainsTable(spark: SparkSession, sfDir: String): DataFrame = {
+    // round-16: decile aggregates via the shared score-group split
+    // (scaladoc on scoreGroupDecileAgg) — no doc-grain rank anywhere
+    val per = scoreGroupDecileAgg(rocAucScored(spark, sfDir))
+      .select(col("decile"), col("n_docs"), col("n_pos"))
     val wCum = Window.orderBy(col("decile").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = per.agg(sum(col("n_pos")).as("tp"))
@@ -2596,6 +2612,188 @@ object Experiment {
         col("p_micro"), col("rank"), col("m").as("n_tests"),
         col("bh_ok"), col("k_star"),
         (col("rank") <= col("k_star")).as("rejected"))
+  }
+
+  /** q400 default knobs — named so the oracle generator interpolates
+    * the SAME values the Spark defaults use. The PLANTED
+    * first-position bias (the q353 fixture-judge device: the defect
+    * under audit is built into the deterministic judge so the audit
+    * provably detects it) and the judge's md5 noise amplitude.
+    */
+  val pjBiasMicro: Long = 80000L
+  val pjNoiseAmp: Long = 150000L
+
+  /** The q400 driver entry: JUDGE POSITION-BIAS SWAP AUDIT — the
+    * standard diagnostic for pairwise preference judges (LLM judges
+    * are measurably first-position biased; every serious eval runs
+    * each duel twice with the order swapped): items are adjacent-id
+    * doc pairs scored by q212's quality scorer, the judge prefers
+    * the FIRST presentation iff q_first − q_second + bias + noise ≥ 0
+    * (bias and noise per [[pjBiasMicro]]/[[pjNoiseAmp]]; noise is an
+    * md5-derived integer uniform on [−amp, +amp], drawn
+    * independently per presentation order so swap inconsistency is
+    * genuine), and the audit reports, per |score-diff| decile
+    * bucket: swap-consistency (same winner under both orders) and
+    * the first-position win share over both presentations — close
+    * calls flip most, and the global first-win share above 50%
+    * measures the planted bias. Tie semantics: an exact score tie
+    * with zero bias+noise prefers the first presentation BOTH times
+    * → inconsistent by construction (stated, spec-pinned).
+    *
+    * Scale shape: one scored pass, one id-adjacency self-join, then
+    * row-local verdicts and a bounded 10-bucket aggregate.
+    */
+  def judgePositionBias(
+      spark: SparkSession, sfDir: String,
+      biasMicro: Long = pjBiasMicro,
+      noiseAmp: Long = pjNoiseAmp): DataFrame =
+    judgePositionBiasOn(rocAucScored(spark, sfDir)
+      .select(col("doc_id"), col("score")), biasMicro, noiseAmp)
+
+  /** The q400 core over any `(doc_id, score)` frame. */
+  def judgePositionBiasOn(
+      scored: DataFrame, biasMicro: Long = pjBiasMicro,
+      noiseAmp: Long = pjNoiseAmp): DataFrame = {
+    def noise(o: Int) = expr(
+      s"""CAST(conv(substring(md5(concat('pj:',
+           CAST(id_a AS STRING), ':', '$o')), 1, 15), 16, 10)
+           AS BIGINT) % ${2 * noiseAmp + 1} - $noiseAmp""")
+    val verdicts = scored.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("id_a"), col("score").as("s_a"))
+      .join(scored.select(col("doc_id").as("id_b"),
+        col("score").as("s_b")), col("id_b") === col("id_a") + 1)
+      .withColumn("w0_is_a",
+        col("s_a") - col("s_b") + lit(biasMicro) + noise(0) >= 0)
+      .withColumn("w1_is_b",
+        col("s_b") - col("s_a") + lit(biasMicro) + noise(1) >= 0)
+      // winner0 = if w0_is_a then a else b; winner1 = if w1_is_b
+      // then b else a; same winner <=> the flags DISAGREE
+      .withColumn("consistent", col("w0_is_a") =!= col("w1_is_b"))
+      .withColumn("first_wins",
+        when(col("w0_is_a"), 1L).otherwise(0L) +
+          when(col("w1_is_b"), 1L).otherwise(0L))
+      .withColumn("diff_decile",
+        least(floor(abs(col("s_a") - col("s_b")).cast("double") / 100000.0)
+          .cast("long"), lit(9L)))
+      .localCheckpoint(true) // read by the bucket and global arms
+    val per = verdicts.groupBy(col("diff_decile"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(when(col("consistent"), 1L).otherwise(0L)).cast("long")
+          .as("n_consistent"),
+        sum(col("first_wins")).cast("long").as("n_first_wins"))
+      .withColumn("consistency_ppm",
+        expr("n_consistent * 1000000 DIV n_pairs"))
+      .withColumn("first_win_ppm",
+        expr("n_first_wins * 1000000 DIV (2 * n_pairs)"))
+    val tot = verdicts.agg(
+      count(lit(1)).cast("long").as("t_pairs"),
+      sum(when(col("consistent"), 1L).otherwise(0L)).cast("long")
+        .as("t_consistent"),
+      sum(col("first_wins")).cast("long").as("t_first"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("total_consistency_ppm",
+        expr("t_consistent * 1000000 DIV t_pairs"))
+      .withColumn("total_first_win_ppm",
+        expr("t_first * 1000000 DIV (2 * t_pairs)"))
+      .drop("t_pairs", "t_consistent", "t_first")
+  }
+
+  /** q401 default knobs — named so the oracle generator interpolates
+    * the SAME values the Spark defaults use.
+    */
+  val kwJudges: Int = 3
+  val kwNoiseAmp: Long = 120000L
+
+  /** The q401 driver entry: KENDALL'S W RANKING CONCORDANCE — the
+    * m-judge generalization of q247's two-scorer tau (Kendall 1939):
+    * each judge ranks every doc (q212's score perturbed by
+    * md5-derived per-judge noise, ties broken (score desc, doc_id
+    * asc) so every ranking is a PERMUTATION — no tie correction
+    * needed, stated), and W = 12·S / (m²(n³−n)) over the rank-sum
+    * deviations S measures how far the panel is from one shared
+    * ordering. Computed division-free until one trailing micro DIV:
+    * S2 = Σ(2Rᵢ − m(n+1))² = 4S keeps everything integer regardless
+    * of m(n+1) parity, products in DECIMAL(38,0)/HUGEINT (n³ at
+    * corpus scale passes 2⁶³ immediately), w_micro = 3·S2·10⁶ DIV
+    * (m²(n³−n)); the derived mean pairwise Spearman ρ̄ =
+    * (mW − 1)/(m − 1) ships beside it.
+    *
+    * The per-judge doc-grain rank rides ONE chunked-rank call with
+    * bucket = (judge, score range): the global chunked rank orders
+    * judges consecutively, so rank-within-judge = global rank −
+    * (j−1)·n — m× the corpus rows, never a partition-less window
+    * (the q303/q304 hazard).
+    */
+  def kendallW(
+      spark: SparkSession, sfDir: String,
+      judges: Int = kwJudges, noiseAmp: Long = kwNoiseAmp): DataFrame =
+    kendallWOn(rocAucScored(spark, sfDir)
+      .select(col("doc_id"), col("score")), judges, noiseAmp)
+
+  /** The q401 core over any `(doc_id, score)` frame. */
+  def kendallWOn(
+      scored: DataFrame, judges: Int = kwJudges,
+      noiseAmp: Long = kwNoiseAmp): DataFrame = {
+    require(judges >= 2, "concordance needs at least two judges")
+    val judged = scored
+      .select(col("doc_id"), col("score"),
+        explode(array((1 to judges).map(lit): _*)).as("j"))
+      .withColumn("jscore", col("score") + expr(
+        s"""CAST(conv(substring(md5(concat('kw:', CAST(j AS STRING),
+             ':', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)
+             % ${2 * noiseAmp + 1} - $noiseAmp"""))
+    val n = scored.agg(count(lit(1)).cast("long").as("n"))
+    val ranked = Relational.chunkedRowNumber(
+      judged.crossJoin(broadcast(n)),
+      bucket = struct(col("j"),
+        Relational.rangeBucket(col("jscore"), 10000L, descending = true)),
+      order = Seq(col("j").asc, col("jscore").desc, col("doc_id").asc))
+      .withColumn("rk_j", col("rk") - (col("j") - 1).cast("long") * col("n"))
+    val rsum = ranked.groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n"),
+        sum(col("rk_j")).cast("long").as("r_i"))
+    rsum
+      .select(col("n"), expr(
+        s"""CAST((2 * r_i - $judges * (n + 1)) AS DECIMAL(38,0))
+             * (2 * r_i - $judges * (n + 1))""").as("dev2"))
+      .groupBy(col("n"))
+      .agg(sum(col("dev2")).as("s2"))
+      .select(lit(judges.toLong).as("m"), col("n").as("n_docs"),
+        expr(s"""CAST((3 * s2 * 1000000 - PMOD(3 * s2 * 1000000,
+             ${judges.toLong * judges} * (CAST(n AS DECIMAL(38,0)) * n * n - n)))
+             / (${judges.toLong * judges}
+               * (CAST(n AS DECIMAL(38,0)) * n * n - n)) AS BIGINT)""")
+          .as("w_micro"))
+      .withColumn("rho_bar_micro", expr(
+        s"($judges * w_micro - 1000000) DIV ${judges - 1}"))
+  }
+
+  /** The q402 driver entry: EQUAL-MASS CALIBRATION / ADAPTIVE-BIN ECE
+    * — q218's reliability table re-binned by RANK deciles instead of
+    * fixed score widths (the standard adaptive-ECE variant: a scorer
+    * whose mass piles into two fixed-width bins gets a vacuous q218
+    * table; equal-mass bins put n/10 docs in every row by
+    * construction). Rides the SAME score-group decile split as q233
+    * ([[scoreGroupDecileAgg]] — a score group's mass is c·score, so
+    * the whole table needs no doc-grain rank), reporting per decile
+    * the population, claimed confidence (mean score), empirical
+    * positive rate, signed gap, and the global equal-mass ECE
+    * Σ_b |sum_score_b − 10⁶·pos_b| DIV n on every row — one
+    * truncating division total.
+    */
+  def adaptiveEce(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = scoreGroupDecileAgg(rocAucScored(spark, sfDir))
+    val tot = per.agg(
+      sum(col("n_docs")).cast("long").as("t_n"),
+      sum(expr("ABS(sum_score - 1000000 * n_pos)"))
+        .cast("decimal(38,0)").as("t_gap"))
+    per.crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_docs"),
+        expr("sum_score DIV n_docs").as("mean_score_micro"),
+        expr("(n_pos * 1000000) DIV n_docs").as("rate_micro"),
+        (expr("sum_score DIV n_docs") -
+          expr("(n_pos * 1000000) DIV n_docs")).as("gap_micro"),
+        expr("CAST(t_gap DIV t_n AS BIGINT)").as("ece_micro"))
   }
 
   /** The q382 driver entry: BOT-REGULARITY GATE — the traffic-

@@ -546,7 +546,16 @@ object ScalingProbe {
       "q398_jl_distortion" -> (d =>
         graft.operators.Similarity.jlDistortionAudit(spark, d)),
       "q399_bh_fdr" -> (d =>
-        graft.operators.Experiment.bhFdr(spark, d)))
+        graft.operators.Experiment.bhFdr(spark, d)),
+      // q400 is pairwise row-local verdicts + a 10-bucket aggregate;
+      // q401 is m chunked-rank passes + a doc-keyed sum; q402 rides
+      // the q233 score-group decile split
+      "q400_judge_position_bias" -> (d =>
+        graft.operators.Experiment.judgePositionBias(spark, d)),
+      "q401_kendall_w" -> (d =>
+        graft.operators.Experiment.kendallW(spark, d)),
+      "q402_adaptive_ece" -> (d =>
+        graft.operators.Experiment.adaptiveEce(spark, d)))
     val ratios = pairs.filter(p => only.forall(_.contains(p._1))).map { case (name, q) =>
       val t1 = time(s"$name @1x")(q(src))
       val tk = time(s"$name @${k}x")(q(big))

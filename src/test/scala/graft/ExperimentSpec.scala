@@ -1667,4 +1667,122 @@ class ExperimentSpec extends AnyFunSuite {
     val rejRanks = got.values.filter(_._8).map(_._4).toSeq.sorted
     assert(rejRanks == (1L to rejRanks.size.toLong))
   }
+
+  test("q400 position-bias audit: replay exact; planted bias visible; tie semantics pinned") {
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def noise(a: Long, o: Int, amp: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"pj:$a:$o").substring(0, 15), 16) %
+        (2 * amp + 1) - amp
+    // fixture replay through the production scorer
+    val sc = Experiment.rocAucScored(spark, SparkTestSession.sf)
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val B = Experiment.pjBiasMicro; val A = Experiment.pjNoiseAmp
+    val verd = sc.keys.filter(a => a % 2 == 0 && sc.contains(a + 1)).toSeq
+      .map { a =>
+        val (sa, sb) = (sc(a), sc(a + 1))
+        val w0 = sa - sb + B + noise(a, 0, A) >= 0
+        val w1 = sb - sa + B + noise(a, 1, A) >= 0
+        (math.min(math.abs(sa - sb) / 100000L, 9L),
+          w0 != w1,
+          (if (w0) 1L else 0L) + (if (w1) 1L else 0L))
+      }
+    val want = verd.groupBy(_._1).map { case (d, g) =>
+      d -> (g.size.toLong, g.count(_._2).toLong, g.map(_._3).sum)
+    }
+    val got = Experiment.judgePositionBias(spark, SparkTestSession.sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(got.keySet == want.keySet)
+    val (tp, tc, tf) = (verd.size.toLong, verd.count(_._2).toLong,
+      verd.map(_._3).sum)
+    want.foreach { case (d, (n, c, f)) =>
+      val g = got(d)
+      assert((g._1, g._2, g._3) == ((n, c, f)), s"bucket $d")
+      assert(g._4 == c * 1000000L / n && g._5 == f * 1000000L / (2 * n))
+      assert(g._6 == tc * 1000000L / tp && g._7 == tf * 1000000L / (2 * tp))
+    }
+    // the planted first-position bias is DETECTED: global first-win
+    // share reads above 50%
+    assert(got.values.head._7 > 500000L,
+      s"planted +${B} bias invisible: ${got.values.head._7} ppm")
+    // tie semantics on a hand frame with bias = 0, amp = 0: an exact
+    // score tie prefers the first presentation BOTH times ->
+    // inconsistent; a strict order is consistent with first-win = 1
+    import spark.implicits._
+    val hand = Experiment.judgePositionBiasOn(
+      Seq((0L, 500000L), (1L, 500000L), (2L, 700000L), (3L, 100000L))
+        .toDF("doc_id", "score"), biasMicro = 0L, noiseAmp = 0L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(hand(0L) == ((1L, 0L, 2L)), "tie pair: inconsistent, first wins both")
+    assert(hand(6L) == ((1L, 1L, 1L)), "decided pair: consistent, one first win")
+  }
+
+  test("q401 Kendall W: replay exact; zero-noise panel reads W = 1 exactly") {
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val sc = Experiment.rocAucScored(spark, SparkTestSession.sf)
+      .select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val m = Experiment.kwJudges; val A = Experiment.kwNoiseAmp
+    val ranks = (1 to m).flatMap { j =>
+      sc.map { case (id, s) =>
+        val e = java.lang.Long.parseLong(
+          md5hex(s"kw:$j:$id").substring(0, 15), 16) % (2 * A + 1) - A
+        (j, id, s + e)
+      }.sortBy { case (_, id, js) => (-js, id) }
+        .zipWithIndex.map { case ((_, id, _), i) => (id, (i + 1).toLong) }
+    }
+    val n = sc.length.toLong
+    val rsum = ranks.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val s2 = rsum.values.map { r =>
+      val d = BigInt(2 * r - m * (n + 1)); d * d
+    }.sum
+    val wantW = (BigInt(3) * s2 * 1000000 /
+      (BigInt(m * m) * (BigInt(n) * n * n - n))).toLong
+    val row = Experiment.kendallW(spark, SparkTestSession.sf).collect().head
+    assert((row.getLong(0), row.getLong(1)) == ((m.toLong, n)))
+    assert(row.getLong(2) == wantW, s"W ${row.getLong(2)} vs $wantW")
+    assert(row.getLong(3) == (m * row.getLong(2) - 1000000L) / (m - 1))
+    // identical judges (zero noise) = perfect concordance, exactly
+    import spark.implicits._
+    val perfect = Experiment.kendallWOn(
+      (1L to 30L).map(i => (i, i * 1000L)).toDF("doc_id", "score"),
+      judges = 3, noiseAmp = 0L).collect().head
+    assert(perfect.getLong(2) == 1000000L && perfect.getLong(3) == 1000000L)
+    // the fixture panel genuinely disagrees somewhere (noise works)
+    assert(row.getLong(2) < 1000000L)
+  }
+
+  test("q402 adaptive ECE: doc-grain rank replay; equal-mass bins within one") {
+    val sc = Experiment.rocAucScored(spark, SparkTestSession.sf)
+      .select("doc_id", "score", "is_en").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val n = sc.length.toLong
+    val per = sc.sortBy(t => (-t._2, t._1)).zipWithIndex
+      .map { case ((_, s, en), i) => (10L * i / n, s, en) }
+      .groupBy(_._1).map { case (d, g) =>
+        d -> (g.size.toLong, g.map(_._2).sum, g.count(_._3).toLong)
+      }
+    val tGap = per.values.map { case (_, ss, p) =>
+      BigInt((ss - 1000000L * p).abs) }.sum
+    val got = Experiment.adaptiveEce(spark, SparkTestSession.sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet == per.keySet && got.keySet == (0L to 9L).toSet)
+    per.foreach { case (d, (nd, ss, p)) =>
+      val g = got(d)
+      assert(g._1 == nd && g._2 == ss / nd && g._3 == p * 1000000L / nd,
+        s"decile $d")
+      assert(g._4 == ss / nd - p * 1000000L / nd)
+      assert(g._5 == (tGap / n).toLong)
+      // the equal-mass property q218's fixed-width bins cannot give
+      assert(math.abs(nd - n / 10) <= 1L, s"decile $d holds $nd of $n")
+    }
+  }
 }
