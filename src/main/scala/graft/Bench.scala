@@ -219,6 +219,32 @@ object Bench {
   def sweepIsDegraded(flagBase: Double, flag: Double): Boolean =
     flagBase > 0 && (flag <= 0 || flag > flagBase * 2 + 0.5)
 
+  /** COMPACT LAST LINE (round-17, verdict #1): the driver captures
+    * only the final ~2,000 chars of stdout and JSON-parses the LAST
+    * line — a 402-entry per-query map (~15 KB) on that line can never
+    * parse (BENCH_r16 had rc=0, last-line JSON, and STILL parsed:null
+    * because the line was longer than the tail). The last line is now
+    * a compact summary; the full per-query map prints on EARLIER
+    * lines (phase "sweep" and "final_detail") and persists in the
+    * committed bench_medians_r{N}.json. Degradation order when even
+    * the summary runs long (33 unresolved entries + a bad confirm
+    * round could reach ~2.3 KB): drop the confirm_times map to a
+    * count, then the unresolved list to a count, then the suspect
+    * ratio maps to counts — every dropped map still lives verbatim on
+    * the final_detail line. The first candidate under `limit` wins;
+    * candidates must be ordered most- to least-detailed.
+    */
+  def shrinkToLimit(candidates: Seq[String], limit: Int = 1700): String =
+    candidates.find(_.length <= limit).getOrElse(candidates.last)
+
+  /** The bounded headline subset for the compact last line's
+    * "queries" object: the reference's own benchmark queries (scan
+    * 1a/1b, projection, aggregate 2a/2b, global sum — BASELINE.md's
+    * published numbers) — six entries, never grows with the suite.
+    */
+  val headlineQueries: Seq[String] = Seq("q01_scan_1a", "q02_scan_1b",
+    "q03_project_scalar", "q04_agg_2a", "q05_agg_multi", "q06_global_sum")
+
   def main(args: Array[String]): Unit = {
     val tStart = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - tStart) / 1e9
@@ -511,9 +537,34 @@ object Bench {
     try org.apache.logging.log4j.core.config.Configurator.setRootLevel(
       org.apache.logging.log4j.Level.OFF)
     catch { case _: Throwable => }
-    println(jsonLine("final", regr, regrBest, confirmTimes,
+    // full per-query detail on an EARLIER line (humans + the
+    // tail-scrape fallback when this line partially survives) ...
+    println(jsonLine("final_detail", regr, regrBest, confirmTimes,
       confirmUnreliable = !confirmReliable, unresolvedJson,
       raiseRejectedJson, confirmSkippedBudget = confirmBudgetHit))
+    // ... then the guaranteed-parseable compact LAST line (round-17):
+    // bounded headline queries + gate outcomes, degradable under 1700
+    // chars — see shrinkToLimit scaladoc for why the full map cannot
+    // be here. NOTE confirm_times keeps the 3-decimal median format
+    // (scrape-safe, adjudicated-only); ratios keep 2 decimals.
+    val resMap = results.toMap
+    val headline = headlineQueries
+      .map(k => "\"" + k + "\":" + fmtMedian(resMap.getOrElse(k, -1.0)))
+      .mkString("{", ",", "}")
+    val mediansFile =
+      if (mayPublishMedians) f"bench_medians_r$nextRound%02d.json" else "none"
+    def compact(rg: String, rgB: String, ct: String, un: String,
+        susp: String, suspB: String, rr: String) =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","phase":"final","sf":"$sfDir","n_queries":${results.size},"medians_file":"$mediansFile","queries":$headline,"regressions":$rg,"regressions_vs_best":$rgB,"suspect_n":${sweepRegr.size},"suspect":$susp,"suspect_vs_best":$suspB,"confirm_times_n":${if (confirmReliable) adjudicated.size else 0},"confirm_times":$ct,"confirm_unreliable":${!confirmReliable},"confirm_unresolved_n":${unresolvedConfirms.size},"confirm_unresolved":$un,"confirm_skipped_budget":$confirmBudgetHit,"baseline_raise_rejected_n":${raiseRejected.size},"baseline_raise_rejected":$rr,"sweep_degraded":$sweepDegraded,"prev":"$prevName"}"""
+    println(shrinkToLimit(Seq(
+      compact(regr, regrBest, confirmTimes, unresolvedJson,
+        fmt(sweepRegr), fmt(sweepBest), raiseRejectedJson),
+      compact(regr, regrBest, "{}", unresolvedJson,
+        fmt(sweepRegr), fmt(sweepBest), raiseRejectedJson),
+      compact(regr, regrBest, "{}", "[]",
+        fmt(sweepRegr), fmt(sweepBest), raiseRejectedJson),
+      compact(regr, regrBest, "{}", "[]", "{}", "{}", raiseRejectedJson),
+      compact("{}", "{}", "{}", "[]", "{}", "{}", "[]"))))
     System.out.flush()
     sys.exit(0)
   }

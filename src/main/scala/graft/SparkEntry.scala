@@ -7322,12 +7322,14 @@ object SparkEntry {
              AS HUGEINT) AS s2, MAX(n) AS n
            FROM rs, nn),
          w AS (
+           -- n <= 1 zeroes the denominator: empty in BOTH engines
+           -- (mirrors kendallWOn's n >= 2 filter; round-16 advice)
            SELECT CAST(${Experiment.kwJudges} AS BIGINT) AS m,
              n AS n_docs,
              CAST(3 * s2 * 1000000
                // (${Experiment.kwJudges * Experiment.kwJudges}
                  * (CAST(n AS HUGEINT) * n * n - n)) AS BIGINT) AS w_micro
-           FROM s)
+           FROM s WHERE n >= 2)
          SELECT m, n_docs, w_micro,
            CAST((${Experiment.kwJudges} * w_micro - 1000000)
              // ${Experiment.kwJudges - 1} AS BIGINT) AS rho_bar_micro
@@ -10352,7 +10354,14 @@ object SparkEntry {
              CAST(SUM(c*c) AS BIGINT) AS ssq
            FROM nic GROUP BY 1),
          pairable AS (
-           SELECT doc_id, 2 * (m_u * m_u - ssq) // (m_u - 1) AS do2
+           -- mirrors the Spark side's raise_error (round-16 advice):
+           -- the x2-scaled per-unit term is exact only for m_u in
+           -- {2,3}; a >= 4-rater frame must ERROR in BOTH engines,
+           -- never silently truncate alpha in just one of them
+           SELECT doc_id, CASE WHEN m_u <= 3
+               THEN 2 * (m_u * m_u - ssq) // (m_u - 1)
+               ELSE CAST(error('krippendorff: exact-integer path supports'
+                 || ' per-item coverage m_u <= 3 only') AS BIGINT) END AS do2
            FROM per_unit WHERE m_u >= 2),
          margins AS (
            SELECT label, CAST(SUM(c) AS BIGINT) AS n_c

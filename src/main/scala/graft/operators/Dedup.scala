@@ -259,7 +259,7 @@ object Dedup {
         .agg(count(lit(1)).cast("long").as("n_docs_dropped"),
           coalesce(sum(col("ntok")), lit(0L)).cast("long")
             .as("tokens_recovered"))
-      stats.crossJoin(mass)
+      stats.crossJoin(broadcast(mass))
         .select(lit(t).as("threshold_ppm"), col("n_pairs"),
           col("n_docs_dropped"), col("tokens_recovered"))
     }.reduce(_ unionByName _)
@@ -585,8 +585,9 @@ object Dedup {
         count_distinct(col("cn")).cast("double").as("dn_"),
         count_distinct(col("c_cents")).cast("double").as("db_"),
         count(lit(1)).cast("double").as("n_"))
-      .crossJoin(clean.groupBy(col("c_nat")).agg(count(lit(1)).as("c"))
-        .agg(sum(col("c") * col("c")).cast("double").as("s2_")))
+      .crossJoin(broadcast(
+        clean.groupBy(col("c_nat")).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * col("c")).cast("double").as("s2_"))))
     val weights = stats.select(
       expr("CAST(FLOOR(1000000.0 * ln((19.0 * dn_) / 20.0)) AS BIGINT)")
         .as("w_name_a"),
@@ -2222,10 +2223,12 @@ object Dedup {
     def cnt(df: DataFrame, name: String) =
       df.agg(count(lit(1)).cast("long").as(name))
     cnt(truth, "n_truth")
-      .crossJoin(cnt(cand, "n_band"))
-      .crossJoin(cnt(est, "n_est"))
-      .crossJoin(cnt(truth.join(cand, Seq("id_a", "id_b")), "hit_band"))
-      .crossJoin(cnt(truth.join(est, Seq("id_a", "id_b")), "hit_est"))
+      .crossJoin(broadcast(cnt(cand, "n_band")))
+      .crossJoin(broadcast(cnt(est, "n_est")))
+      .crossJoin(broadcast(
+        cnt(truth.join(cand, Seq("id_a", "id_b")), "hit_band")))
+      .crossJoin(broadcast(
+        cnt(truth.join(est, Seq("id_a", "id_b")), "hit_est")))
       .select(col("n_truth"), col("n_band"), col("n_est"),
         col("hit_band"), col("hit_est"),
         expr("CASE WHEN n_truth > 0 THEN hit_band * 1000000 DIV n_truth END")

@@ -464,7 +464,7 @@ object Experiment {
       col("n").as("na"))
     val b = cells.select(col("bx").as("bxb"), col("by").as("byb"),
       col("n").as("nb"))
-    val pairs = a.crossJoin(b)
+    val pairs = a.crossJoin(broadcast(b)) // bounded 10x10 bin domain
     val cd = pairs.agg(
       expr("""CAST(SUM(CASE WHEN bxb > bxa AND byb > bya
             THEN CAST(na AS DECIMAL(38,0)) * nb ELSE 0 END)
@@ -484,7 +484,8 @@ object Experiment {
       .select(col("nd").as("n_docs"),
         expr("CAST(CAST(nd AS DECIMAL(38,0)) * (nd - 1) DIV 2 AS BIGINT)")
           .as("n_pairs"))
-    tot.crossJoin(cd).crossJoin(tx).crossJoin(ty)
+    tot.crossJoin(broadcast(cd)).crossJoin(broadcast(tx))
+      .crossJoin(broadcast(ty))
   }
 
   private[graft] def rocAucScored(
@@ -638,7 +639,7 @@ object Experiment {
       sum(col("n")).as("nn"),
       sum(when(col("lang_true") === col("lang_pred"), col("n"))
         .otherwise(0L)).as("sdiag"))
-    diag.crossJoin(rc)
+    diag.crossJoin(broadcast(rc))
       .select(
         col("nn").cast("long").as("n"),
         col("sdiag").cast("long").as("n_agree"),
@@ -769,7 +770,9 @@ object Experiment {
     * Input: a `(doc_id, score, is_en)` frame. Output per decile
     * (0 = top-ranked tenth): n_docs, n_pos, sum_score.
     */
-  private[graft] def scoreGroupDecileAgg(scoredIn: DataFrame): DataFrame = {
+  private[graft] def scoreGroupDecileAgg(
+      scoredIn: DataFrame,
+      straddleWindowMax: Long = 1L << 20): DataFrame = {
     val scored = scoredIn.localCheckpoint(true)
     val n = scored.agg(count(lit(1)).cast("long").as("n"))
     val wDesc = Window.orderBy(col("score").desc)
@@ -788,17 +791,79 @@ object Experiment {
       .select(col("d_first").as("decile"), col("c").as("nd"),
         col("p").as("np"),
         (col("c") * col("score")).cast("long").as("ssum"))
-    val straddle = scored
-      .join(broadcast(grp.where(col("d_first") =!= col("d_last"))
-        .select(col("score"), col("cum0"), col("n"))), Seq("score"))
-      .withColumn("rk_in", row_number().over(
-        Window.partitionBy(col("score")).orderBy(col("doc_id").asc))
-        .cast("long"))
-      .withColumn("decile", expr("(10 * (cum0 + rk_in - 1)) DIV n"))
-      .groupBy(col("decile"))
-      .agg(count(lit(1)).cast("long").as("nd"),
-        sum(when(col("is_en"), 1L).otherwise(0L)).cast("long").as("np"),
-        sum(col("score")).cast("long").as("ssum"))
+    // STRADDLE ARM (round-16 advice, medium): ranking straddling-group
+    // docs with row_number() over Window.partitionBy(score) puts a
+    // whole tie group in ONE window partition — the ≤9-group bound
+    // limits how many groups straddle, not how BIG one is (the score=0
+    // stopword-ratio mass is O(corpus)). Rank through the chunked-rank
+    // device instead: bucket = (score, 1024-way doc_id range), order =
+    // (score asc, doc_id asc) — a global rank over the straddle frame,
+    // converted to the within-group rank by subtracting each group's
+    // offset (adj = cum0 − preceding-straddle-doc count, a ≤9-row
+    // triangular fold). Bucket domain ≤ 9 × 1024 — the device's B²
+    // offset join stays trivial — and the widest window partition is
+    // ~1/1024 of the largest tie group instead of all of it.
+    // ROUTING (round-17): the two rank devices trade differently —
+    // the per-score window is one pass and exact but puts a whole tie
+    // group in ONE window partition; the chunked-rank path bounds the
+    // widest partition at ~1/1024 of the group but costs three extra
+    // jobs over the checkpointed frame (measured: q233 0.75 -> 2.33 s
+    // quiet at sf0.1 when it ran unconditionally). The straddling-
+    // group table is <= 9 rows BY CONSTRUCTION (one per interior
+    // boundary), so reading it is bounded driver state: take the
+    // cheap window while every straddling group fits a partition
+    // (default bound 2^20 docs), the chunked device only when a
+    // corpus-scale tie group (the round-16 advice hazard) is present.
+    val sg = grp.where(col("d_first") =!= col("d_last"))
+      .select(col("score"), col("cum0"), col("n"), col("c"))
+      .localCheckpoint(true) // <= 9 rows; read by the route probe + arms
+    val maxStraddle = sg.agg(coalesce(max(col("c")), lit(0L)))
+      .head().getLong(0)
+    val straddle = if (maxStraddle <= straddleWindowMax) {
+      scored
+        .join(broadcast(sg.select(col("score"), col("cum0"), col("n"))),
+          Seq("score"))
+        .withColumn("rk_in", row_number().over(
+          Window.partitionBy(col("score")).orderBy(col("doc_id").asc))
+          .cast("long"))
+        .withColumn("decile", expr("(10 * (cum0 + rk_in - 1)) DIV n"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).cast("long").as("nd"),
+          sum(when(col("is_en"), 1L).otherwise(0L)).cast("long").as("np"),
+          sum(col("score")).cast("long").as("ssum"))
+    } else {
+      // chunked-rank path: a global rank over the straddle frame with
+      // bucket = (score, 1024-way doc_id range), order = (score asc,
+      // doc_id asc), converted to the within-group rank by subtracting
+      // each group's offset (adj = cum0 - preceding-straddle-doc
+      // count, a <= 9-row triangular fold). Bucket domain <= 9 x 1024
+      // - the device's B^2 offset join stays trivial - and the widest
+      // window partition is ~1/1024 of the largest tie group.
+      val adjG = sg.as("a")
+        .join(sg.as("b"), col("b.score") < col("a.score"), "left")
+        .groupBy(col("a.score").as("score"), col("a.cum0").as("cum0"),
+          col("a.n").as("n"))
+        .agg(coalesce(sum(col("b.c")), lit(0L)).as("off"))
+        .select(col("score"), col("n"),
+          (col("cum0") - col("off")).as("adj"))
+      val mm = scored.join(broadcast(adjG.select(col("score"))), Seq("score"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      val sdocs = scored.join(broadcast(adjG), Seq("score"))
+        .crossJoin(broadcast(mm))
+      // 1024-way equal-width id range: monotone in doc_id (prefix of
+      // the order), exact for any BIGINT id via the DECIMAL product
+      val idBucket = expr(
+        "CAST((CAST(doc_id AS DECIMAL(38,0)) - mn) * 1024 " +
+          "DIV (CAST(mx AS DECIMAL(38,0)) - mn + 1) AS BIGINT)")
+      Relational.chunkedRowNumber(sdocs,
+          struct(col("score"), idBucket),
+          Seq(col("score").asc, col("doc_id").asc), out = "srk")
+        .withColumn("decile", expr("(10 * (adj + srk - 1)) DIV n"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).cast("long").as("nd"),
+          sum(when(col("is_en"), 1L).otherwise(0L)).cast("long").as("np"),
+          sum(col("score")).cast("long").as("ssum"))
+    }
     whole.unionByName(straddle)
       .groupBy(col("decile"))
       .agg(sum(col("nd")).cast("long").as("n_docs"),
@@ -1129,7 +1194,7 @@ object Experiment {
     val tot = cells.agg(sum(col("o")).as("n"),
       countDistinct(col("source")).as("n_sources"),
       countDistinct(col("lang")).as("n_langs"))
-    val spine = rowM.crossJoin(colM)
+    val spine = rowM.crossJoin(broadcast(colM))
       .join(cells, Seq("source", "lang"), "left")
       .withColumn("o", coalesce(col("o"), lit(0L)))
     spine.crossJoin(broadcast(tot))
@@ -1286,8 +1351,8 @@ object Experiment {
     val blocks = cum.select(col("bin").as("jbin"),
         (col("cn") - col("n")).as("cn_before"),
         (col("cp") - col("pos")).as("cp_before"))
-      .crossJoin(cum.select(col("bin").as("kbin"),
-        col("cn").as("cn_k"), col("cp").as("cp_k")))
+      .crossJoin(broadcast(cum.select(col("bin").as("kbin"),
+        col("cn").as("cn_k"), col("cp").as("cp_k"))))
       .filter(col("jbin") <= col("kbin"))
       .select(col("jbin"), col("kbin"),
         expr("""CAST((cp_k - cp_before) * 1000000000000 DIV
@@ -2758,6 +2823,12 @@ object Experiment {
              * (2 * r_i - $judges * (n + 1))""").as("dev2"))
       .groupBy(col("n"))
       .agg(sum(col("dev2")).as("s2"))
+      // n <= 1 zeroes the m^2*(n^3 - n) denominator: Spark's DECIMAL
+      // division would yield NULL where DuckDB's HUGEINT // 0 errors
+      // (round-16 advice, divergent cross-engine behavior on a legal
+      // degenerate frame). W is undefined with nothing to rank —
+      // filter to EMPTY in both engines (q374's empty-frame alignment)
+      .where(col("n") >= 2L)
       .select(lit(judges.toLong).as("m"), col("n").as("n_docs"),
         expr(s"""CAST((3 * s2 * 1000000 - PMOD(3 * s2 * 1000000,
              ${judges.toLong * judges} * (CAST(n AS DECIMAL(38,0)) * n * n - n)))

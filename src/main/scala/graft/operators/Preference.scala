@@ -127,7 +127,7 @@ object Preference {
         sum(col("m") - col("rk")).as("borda"))
     val wins = pairWins(ranked)
     val types = ranked.select(col("event_type")).distinct()
-    val spine = types.as("ta").crossJoin(types.as("tb"))
+    val spine = types.as("ta").crossJoin(broadcast(types.as("tb")))
       .filter(col("ta.event_type") =!= col("tb.event_type"))
       .select(col("ta.event_type").as("t"), col("tb.event_type").as("opp"))
     val duels = spine

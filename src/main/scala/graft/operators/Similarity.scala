@@ -862,7 +862,7 @@ object Similarity {
           countDistinct(col("q_id")).cast("long").as("n_queries"))
       val h = joined.where(col("b_rn") <= k && col("a_rn") <= k)
         .agg(count(lit(1)).cast("long").as("n_hits"))
-      d.crossJoin(h).select(lit(k.toLong).as("k"), col("n_queries"),
+      d.crossJoin(broadcast(h)).select(lit(k.toLong).as("k"), col("n_queries"),
         col("denom"), col("n_hits"),
         // the ungrouped aggregates above emit a row even on an EMPTY
         // corpus (denom = 0), where recall is undefined — NULL, not a

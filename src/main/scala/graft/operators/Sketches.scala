@@ -430,7 +430,7 @@ object Sketches {
         .agg(sum(expr("bit_count(a.w & b.w)")).as("n_inter"))
       // the pair spine is types × types (bounded domain) so pairs
       // with an EMPTY intersection still emit a zero row
-      val spine = sizes.as("sa").crossJoin(sizes.as("sb"))
+      val spine = sizes.as("sa").crossJoin(broadcast(sizes.as("sb")))
         .where(col("sa.event_type") < col("sb.event_type"))
         .select(col("sa.event_type").as("type_a"),
           col("sb.event_type").as("type_b"),

@@ -1538,14 +1538,26 @@ object TextAnalysis {
     * point: pins the byte-vs-codepoint divergence on non-ASCII
     * literals and the vocab-size stop on a crafted alphabet).
     */
+  /** The q164 loop input — symbolized byte streams, dictionary-
+    * collapsed (weightStreams) and checkpoint-pinned across all
+    * cores (checkpointStreams). Split out so the spec can plan-guard
+    * the trainer's two scale invariants directly (round-17 verdict
+    * #5): per-round cost bounded by UNIQUE streams, and the loop
+    * never re-running the symbolizer regex on raw splits.
+    */
+  private[graft] def byteLoopStreams(docs: DataFrame): DataFrame = {
+    val SEP = "\u0001"
+    checkpointStreams(weightStreams(docs
+      .where(octet_length(col("text")) >= 2)
+      .select(regexp_replace(hex(encode(col("text"), "UTF-8")),
+        "(..)", SEP + "$1" + SEP).as("stream"))))
+  }
+
   def bpeTrainBytesOn(
       spark: SparkSession, docs: DataFrame,
       vocabTarget: Int, maxRounds: Int): DataFrame = {
     val SEP = "\u0001"
-    val streams = checkpointStreams(weightStreams(docs
-      .where(octet_length(col("text")) >= 2)
-      .select(regexp_replace(hex(encode(col("text"), "UTF-8")),
-        "(..)", SEP + "$1" + SEP).as("stream"))))
+    val streams = byteLoopStreams(docs)
     // observed base vocabulary: distinct bytes present in the corpus
     // (<= 256 by construction) — the v0 the stop criterion counts
     // from. Reads the checkpointed copy: one distributed scan, no
@@ -1980,7 +1992,9 @@ object TextAnalysis {
     val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
     val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
     val slope = num / den
-    s.crossJoin(tot)
+    // broadcast pins the 1-row frame to a BroadcastNestedLoopJoin —
+    // a stats miss must never plan a shuffled cartesian (r16 verdict)
+    s.crossJoin(broadcast(tot))
       .select(col("n").as("n_ranked"),
         col("vocab").as("vocab_size"),
         col("total").as("total_tokens"),

@@ -38,18 +38,28 @@ object ScalingProbe {
     // a bigger corpus means MORE DISTINCT documents, the probe's
     // stated contract. Word counts, lengths, and per-copy
     // distributions are unchanged (bijective on letters).
+    // Round-16 advice: ALSO rotate digits (shift (3c)%10, injective
+    // across c<10 batches of the letter cycle — gcd(3,10)=1) — a
+    // letters-only cipher leaves digit-only/non-Latin tokens invariant,
+    // so an all-numeric 5-gram would be IDENTICAL in every copy and
+    // partially defeat the cross-copy-disjoint contract on
+    // numeric-heavy documents. Non-Latin scripts remain invariant
+    // (fixture text is ASCII; noted limitation beside the c<26 caveat).
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val nDocs = docs.count()
     val alphaD = "abcdefghijklmnopqrstuvwxyz"
     val alphaDU = alphaD.toUpperCase
+    val digits = "0123456789"
     val copies = (0 until k).map { c =>
       val s = (3 * c) % 26
+      val sd = (3 * c) % 10
       docs.select(
         (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
         translate(col("text"),
-          alphaD + alphaDU,
+          alphaD + alphaDU + digits,
           alphaD.drop(s) + alphaD.take(s) +
-            alphaDU.drop(s) + alphaDU.take(s)).as("text"),
+            alphaDU.drop(s) + alphaDU.take(s) +
+            digits.drop(sd) + digits.take(sd)).as("text"),
         col("lang"), col("n_chars"), col("source"))
     }
     copies.reduce(_ unionAll _).write.mode("overwrite")

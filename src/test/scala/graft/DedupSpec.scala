@@ -1329,5 +1329,26 @@ class DedupSpec extends AnyFunSuite {
     assert(got.exists(_._1 == 1L) && got.exists(_._1 >= 2L),
       "no dup structure on the fixture - vacuous")
   }
-}
 
+  test("q248 plan guard: no exchange carries chunk text - only digests and ids shuffle") {
+    // cdcProvenance's whole scale story is that CDC chunking is
+    // row-local and only 16-byte md5 digests + doc ids ever enter an
+    // exchange. If projection pruning regressed (or a rewrite grouped
+    // on the chunk string), corpus TEXT would start crossing the wire
+    // at every shuffle. Assert no Exchange output carries a text or
+    // chunk attribute.
+    // toString-based: AQE wraps the plan in AdaptiveSparkPlanExec (a
+    // leaf node collect() cannot traverse) - the stringified plan
+    // shows every Exchange with its output attributes (the q20
+    // lineDedup guard's device)
+    val plan = Dedup.cdcProvenance(spark, SparkTestSession.sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, s"expected at least one shuffle:\n$plan")
+    exchanges.foreach { line =>
+      assert(!line.contains("text#") && !line.contains("chunk#"),
+        s"exchange carries document text: $line")
+    }
+  }
+}

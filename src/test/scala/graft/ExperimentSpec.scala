@@ -1785,4 +1785,34 @@ class ExperimentSpec extends AnyFunSuite {
       assert(math.abs(nd - n / 10) <= 1L, s"decile $d holds $nd of $n")
     }
   }
+
+  test("decile split routing: the chunked big-tie-group arm equals the window arm exactly") {
+    // round-17: scoreGroupDecileAgg routes its straddle arm by the
+    // LARGEST straddling group (<= 9-row bounded probe) - the cheap
+    // per-score window while every straddling group fits one
+    // partition, the chunked-rank device (bucket = score x 1024-way
+    // doc_id range) when a corpus-scale tie group is present (the
+    // round-16 advice hazard). Both arms must be result-identical.
+    // Fixture: one giant tie group (score 500, 700 docs) guaranteed
+    // to straddle several decile boundaries, plus distinct-score
+    // head/tail mass, alternating positives keyed off doc_id.
+    import spark.implicits._
+    val rows =
+      (1L to 150L).map(i => (i, 1000L + i, i % 3 == 0)) ++
+      (1L to 700L).map(i => (10000L + i * 7L, 500L, i % 2 == 0)) ++
+      (1L to 150L).map(i => (100000L + i, 10L + i, i % 5 == 0))
+    val df = rows.toDF("doc_id", "score", "is_en")
+    def canon(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val window = canon(
+      Experiment.scoreGroupDecileAgg(df, straddleWindowMax = Long.MaxValue))
+    val chunked = canon(
+      Experiment.scoreGroupDecileAgg(df, straddleWindowMax = 0L))
+    assert(window == chunked,
+      s"arms disagree:\nwindow=$window\nchunked=$chunked")
+    // sanity: all 10 deciles present, doc mass conserved
+    assert(window.keySet == (0L to 9L).toSet)
+    assert(window.values.map(_._1).sum == rows.size.toLong)
+  }
 }

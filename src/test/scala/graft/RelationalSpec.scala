@@ -1638,4 +1638,16 @@ class RelationalSpec extends AnyFunSuite {
     // (2*(1*1+2*1+3*1+4*100) - 5*103) / (4*103) = 297/412 = 0.72087...
     assert(gSkew == 720873L, s"skew gini $gSkew")
   }
+
+  test("q109 plan guard: the profile reads orders exactly once") {
+    // profileTable computes n_rows + per-column null/distinct/min/max
+    // in ONE wide aggregate over ONE scan (the multi-countDistinct
+    // Expand multiplies rows in-flight, never re-reads the table). A
+    // rewrite that profiled per column would re-scan orders per
+    // column - 6x the I/O at 100 TB. One leaf = one pass.
+    val df = Relational.profileTable(spark, SparkTestSession.sf)
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size == 1,
+      s"profile must be one-pass over orders, found ${leaves.size} scan leaves")
+  }
 }

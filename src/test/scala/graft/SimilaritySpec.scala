@@ -965,4 +965,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean > 300000L && mean < 3000000L,
       s"mean distortion $mean ppm - projection is not norm-preserving")
   }
+
+  test("q163 plan guard: the codebook rides a broadcast - no shuffled cartesian anywhere") {
+    // IVF serving/assignment joins the corpus against the trained
+    // centroid codebook. The codebook is clusters-sized (tiny) and
+    // MUST broadcast: a stats miss that planned a CartesianProduct or
+    // a shuffled join of corpus x centroids is the 100 TB scale-killer
+    // this entry exists to avoid. SimilaritySpec already pins "no
+    // array column in the assignment aggregate"; this pins the join
+    // strategy itself (round-17 verdict #5).
+    val plan = Similarity.annIvfTrained(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"corpus x codebook planned as a shuffled cartesian:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"no broadcast join in the IVF plan - codebook not broadcast:\n$plan")
+  }
 }
