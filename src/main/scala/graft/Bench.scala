@@ -237,6 +237,33 @@ object Bench {
   def shrinkToLimit(candidates: Seq[String], limit: Int = 1700): String =
     candidates.find(_.length <= limit).getOrElse(candidates.last)
 
+  /** CONFIRM PRIORITIZATION + CAP (round-17): a loud sweep flags
+    * dozens of entries and the confirm fork re-times EVERY one (x3
+    * reps) — rounds 16 and 17 both budget-skipped the pass leaving
+    * 33-35 entries unresolved, and the list order was sweep order,
+    * so the entries that mattered (multi-second absolute movers)
+    * had no priority over 0.2-s jitter flags. Flags are now
+    * confirmed in SEVERITY order — sweep seconds above the entry's
+    * own baseline, descending — and the list is CAPPED to what the
+    * caller's budget can actually fork (reps x sweep median + 1 s
+    * per-entry overhead on top of the fork's fixed JVM/warmup/
+    * flagship cost), so the big movers always resolve and only the
+    * sub-second tail stays visible under "suspect" when the budget
+    * is tight (the same semantics as a wholly skipped pass).
+    */
+  def capBySeverity(
+      flagged: Seq[String], sweep: Map[String, Double],
+      baseline: Map[String, Double], budgetSec: Double,
+      reps: Int = 3, fixedSec: Double = 45.0): Seq[String] = {
+    val sev = flagged.sortBy(n => -(sweep.getOrElse(n, 0.0) -
+      math.max(baseline.getOrElse(n, 0.0), 0.0)))
+    var acc = fixedSec
+    sev.takeWhile { n =>
+      acc += reps * math.max(0.05, sweep.getOrElse(n, 0.0)) + 1.0
+      acc <= budgetSec
+    }
+  }
+
   /** The bounded headline subset for the compact last line's
     * "queries" object: the reference's own benchmark queries (scan
     * 1a/1b, projection, aggregate 2a/2b, global sum — BASELINE.md's
@@ -361,7 +388,20 @@ object Bench {
     // 0.40 s forked), so an in-process confirm publishes phantom
     // regressions AND poisons the next round's baseline. The fork is
     // the honest twin of the fresh-JVM medians it is compared to.
-    val flagged = (sweepRegr.map(_._1) ++ sweepBest.map(_._1)).distinct
+    val resMap = results.toMap
+    val flaggedAll = (sweepRegr.map(_._1) ++ sweepBest.map(_._1)).distinct
+    // severity baseline: the best defensible value we hold for the
+    // entry (min of prev-round and best-ever where present)
+    val sevBase = flaggedAll.map(n => n -> Seq(prev.getOrElse(n, -1.0),
+      best.getOrElse(n, -1.0)).filter(_ > 0).minOption.getOrElse(0.0)).toMap
+    // 35% of the remaining budget for the first fork leaves room for
+    // the adjudication refork (60 s sleep + second fork of the loud
+    // subset) that follows a non-quiet first reading
+    val flagged = capBySeverity(flaggedAll, resMap, sevBase,
+      math.max(0.0, remainingSec) * 0.35)
+    if (flagged.size < flaggedAll.size) System.err.println(
+      s"[bench] confirm list capped by budget: ${flagged.size} of " +
+        s"${flaggedAll.size} flags fork (severity order); the rest stay under suspect")
     // QUIETNESS GATE (round-9): round 8 proved the fork alone is not
     // enough — launched right after the 34-min sweep, its "confirmed"
     // times read 2-13x high (q155 60.6 s vs 10.5 s quiet) and, worse,
@@ -547,7 +587,6 @@ object Bench {
     // chars — see shrinkToLimit scaladoc for why the full map cannot
     // be here. NOTE confirm_times keeps the 3-decimal median format
     // (scrape-safe, adjudicated-only); ratios keep 2 decimals.
-    val resMap = results.toMap
     val headline = headlineQueries
       .map(k => "\"" + k + "\":" + fmtMedian(resMap.getOrElse(k, -1.0)))
       .mkString("{", ",", "}")

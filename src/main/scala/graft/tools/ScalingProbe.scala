@@ -4,10 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Empirical scaling probe for the sketch operators: build K× copies
-  * of the sf0.1 documents/embeddings fixtures (word-rotated texts /
-  * index-rotated vectors, so copies are NOT near-dups of each other
-  * and pair counts stay realistic) and time the production dedup/ANN
-  * paths at 1× vs K×. Near-linear wall growth is the pass criterion —
+  * of the sf0.1 documents/embeddings fixtures (Caesar-ciphered texts
+  * — letters AND digits — / index-rotated vectors, so copies are NOT
+  * near-dups of each other and pair counts stay realistic) and time
+  * the production dedup/ANN paths at 1× vs K×. Near-linear wall growth is the pass criterion —
   * a quadratic operator shows up as ~K² immediately.
   */
 object ScalingProbe {

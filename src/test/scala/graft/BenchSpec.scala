@@ -441,6 +441,23 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.shrinkToLimit(Seq("a" * 50, "b" * 40), limit = 10) == "b" * 40)
   }
 
+  test("confirm cap: severity order, budget cut, sub-second tail dropped first") {
+    val sweep = Map("big" -> 10.0, "mid" -> 2.0, "tiny" -> 0.3, "new" -> 5.0)
+    val base = Map("big" -> 4.0, "mid" -> 1.0, "tiny" -> 0.1)
+    // severities: big +6.0, new +5.0 (no baseline -> vs 0), mid +1.0,
+    // tiny +0.2 -> order big, new, mid, tiny
+    val all = Seq("tiny", "mid", "big", "new")
+    assert(Bench.capBySeverity(all, sweep, base, budgetSec = 1e9) ==
+      Seq("big", "new", "mid", "tiny"))
+    // fixed 45 s + big (3*10+1=31) + new (16) = 92 -> a 100 s budget
+    // fits big and new but cuts mid (7) at 99... fits mid too; tiny
+    // (1.9) pushes past 100 -> tiny dropped
+    val capped = Bench.capBySeverity(all, sweep, base, budgetSec = 100.0)
+    assert(capped == Seq("big", "new", "mid"), capped.toString)
+    // a budget below the fixed cost forks nothing (skip semantics)
+    assert(Bench.capBySeverity(all, sweep, base, budgetSec = 40.0).isEmpty)
+  }
+
   test("headline queries for the compact last line all exist in SparkEntry") {
     // the compact line's bounded "queries" object must never carry a
     // stale name (renamed/removed query would print -1.000 forever)
