@@ -63,4 +63,33 @@ class AqeSpec extends AnyFunSuite {
     assert(coalesced < configured,
       s"AQE should coalesce $configured shuffle partitions for 40 tiny groups, got $coalesced")
   }
+
+  test("source hygiene: every crossJoin is broadcast-pinned except the documented eval arm") {
+    // Round-17 sweep wrapped every scalar/bounded-domain crossJoin in
+    // broadcast(...) so a stats miss can never plan a shuffled
+    // nested-loop/cartesian join; this guard keeps future operators
+    // from reintroducing one. Whitelist: annRecallEval's brute
+    // ground-truth arm (Similarity.scala — documented eval-only,
+    // linear in corpus BY DESIGN, never the serving path).
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { f =>
+        val name = f.getFileName.toString
+        new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+          .linesIterator.zipWithIndex
+          .filter { case (l, _) =>
+            l.contains(".crossJoin(") && !l.contains("crossJoin(broadcast")
+          }
+          .map { case (l, i) => s"$name:${i + 1}: ${l.trim}" }
+      }.toSeq
+    val whitelisted = offenders.filter(_.startsWith("Similarity.scala"))
+    assert(whitelisted.size <= 1,
+      s"unexpected extra Similarity crossJoin: $whitelisted")
+    val rest = offenders.filterNot(_.startsWith("Similarity.scala"))
+    assert(rest.isEmpty,
+      "non-broadcast crossJoin found - wrap the bounded side in " +
+        s"broadcast(...) or whitelist a documented eval arm:\n${rest.mkString("\n")}")
+  }
 }
