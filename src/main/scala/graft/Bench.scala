@@ -257,10 +257,16 @@ object Bench {
       reps: Int = 3, fixedSec: Double = 45.0): Seq[String] = {
     val sev = flagged.sortBy(n => -(sweep.getOrElse(n, 0.0) -
       math.max(baseline.getOrElse(n, 0.0), 0.0)))
+    // skip-and-continue, NOT takeWhile: one mover too big for the
+    // budget must not starve the cheap entries behind it (a 40 s
+    // q155 flag would otherwise block a 0.6 s q04 confirm that fits
+    // with room to spare)
     var acc = fixedSec
-    sev.takeWhile { n =>
-      acc += reps * math.max(0.05, sweep.getOrElse(n, 0.0)) + 1.0
-      acc <= budgetSec
+    sev.filter { n =>
+      val cost = reps * math.max(0.05, sweep.getOrElse(n, 0.0)) + 1.0
+      val fits = acc + cost <= budgetSec
+      if (fits) acc += cost
+      fits
     }
   }
 
@@ -399,7 +405,12 @@ object Bench {
     // subset) that follows a non-quiet first reading
     val flagged = capBySeverity(flaggedAll, resMap, sevBase,
       math.max(0.0, remainingSec) * 0.35)
-    if (flagged.size < flaggedAll.size) System.err.println(
+    // entries starved by the cap are a BUDGET skip and must say so:
+    // without this, a budget too small for even one fork empties
+    // `flagged` and the round publishes confirm_skipped_budget:false
+    // — indistinguishable from a clean round with nothing to confirm
+    val confirmCapped = flagged.size < flaggedAll.size
+    if (confirmCapped) System.err.println(
       s"[bench] confirm list capped by budget: ${flagged.size} of " +
         s"${flaggedAll.size} flags fork (severity order); the rest stay under suspect")
     // QUIETNESS GATE (round-9): round 8 proved the fork alone is not
@@ -473,7 +484,10 @@ object Bench {
     val budgetExceeded = flagged.nonEmpty && remainingSec < 120.0
     if (budgetExceeded) System.err.println(
       f"[bench] wall-clock budget nearly spent ($elapsedSec%.0f s of $budgetSec%.0f s): confirm pass SKIPPED, sweep flags stay under suspect")
-    var confirmBudgetHit = budgetExceeded
+    // a severity-capped list is a (partial) budget skip and must
+    // publish as one — the capped-out entries are an unconfirmed
+    // backlog even though the survivors still fork below
+    var confirmBudgetHit = budgetExceeded || confirmCapped
     val (remeasured: Map[String, Double], confirmReliable: Boolean) =
       if (flagged.isEmpty || budgetExceeded) (Map.empty[String, Double], true)
       else try {
@@ -523,8 +537,10 @@ object Bench {
     // suspicious-but-unconfirmed stays visible under "suspect" without
     // crashing the gate, and -1 never publishes (t > 0 guard)
     def confirmed(n: String): Double = adjudicated.getOrElse(n, -1.0)
-    val regr = fmt(confirmRegressions(prev, flagged, confirmed))
-    val regrBest = fmt(confirmRegressions(best, flagged, confirmed))
+    val regrSeq = confirmRegressions(prev, flagged, confirmed)
+    val regrBestSeq = confirmRegressions(best, flagged, confirmed)
+    val regr = fmt(regrSeq)
+    val regrBest = fmt(regrBestSeq)
     // an UNRELIABLE confirm pass prints NO times: parsePrevMedians
     // scrapes every qNN:D.DDD pair last-match-wins and the driver's
     // ~2 KB log tail keeps exactly the end of the line, so contended
@@ -594,7 +610,7 @@ object Bench {
       if (mayPublishMedians) f"bench_medians_r$nextRound%02d.json" else "none"
     def compact(rg: String, rgB: String, ct: String, un: String,
         susp: String, suspB: String, rr: String) =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","phase":"final","sf":"$sfDir","n_queries":${results.size},"medians_file":"$mediansFile","queries":$headline,"regressions":$rg,"regressions_vs_best":$rgB,"suspect_n":${sweepRegr.size},"suspect":$susp,"suspect_vs_best":$suspB,"confirm_times_n":${if (confirmReliable) adjudicated.size else 0},"confirm_times":$ct,"confirm_unreliable":${!confirmReliable},"confirm_unresolved_n":${unresolvedConfirms.size},"confirm_unresolved":$un,"confirm_skipped_budget":$confirmBudgetHit,"baseline_raise_rejected_n":${raiseRejected.size},"baseline_raise_rejected":$rr,"sweep_degraded":$sweepDegraded,"prev":"$prevName"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","phase":"final","sf":"$sfDir","n_queries":${results.size},"medians_file":"$mediansFile","queries":$headline,"regressions_n":${regrSeq.size},"regressions":$rg,"regressions_vs_best_n":${regrBestSeq.size},"regressions_vs_best":$rgB,"suspect_n":${sweepRegr.size},"suspect":$susp,"suspect_vs_best_n":${sweepBest.size},"suspect_vs_best":$suspB,"confirm_times_n":${if (confirmReliable) adjudicated.size else 0},"confirm_times":$ct,"confirm_unreliable":${!confirmReliable},"confirm_unresolved_n":${unresolvedConfirms.size},"confirm_unresolved":$un,"confirm_skipped_budget":$confirmBudgetHit,"baseline_raise_rejected_n":${raiseRejected.size},"baseline_raise_rejected":$rr,"sweep_degraded":$sweepDegraded,"prev":"$prevName"}"""
     println(shrinkToLimit(Seq(
       compact(regr, regrBest, confirmTimes, unresolvedJson,
         fmt(sweepRegr), fmt(sweepBest), raiseRejectedJson),

@@ -1534,10 +1534,6 @@ object TextAnalysis {
       Tables.load(spark, sfDir, "documents").select(col("text")),
       vocabTarget, maxRounds)
 
-  /** The byte trainer over any one-string-column corpus (spec entry
-    * point: pins the byte-vs-codepoint divergence on non-ASCII
-    * literals and the vocab-size stop on a crafted alphabet).
-    */
   /** The q164 loop input — symbolized byte streams, dictionary-
     * collapsed (weightStreams) and checkpoint-pinned across all
     * cores (checkpointStreams). Split out so the spec can plan-guard
@@ -1553,6 +1549,10 @@ object TextAnalysis {
         "(..)", SEP + "$1" + SEP).as("stream"))))
   }
 
+  /** The byte trainer over any one-string-column corpus (spec entry
+    * point: pins the byte-vs-codepoint divergence on non-ASCII
+    * literals and the vocab-size stop on a crafted alphabet).
+    */
   def bpeTrainBytesOn(
       spark: SparkSession, docs: DataFrame,
       vocabTarget: Int, maxRounds: Int): DataFrame = {

@@ -456,6 +456,13 @@ class BenchSpec extends AnyFunSuite {
     assert(capped == Seq("big", "new", "mid"), capped.toString)
     // a budget below the fixed cost forks nothing (skip semantics)
     assert(Bench.capBySeverity(all, sweep, base, budgetSec = 40.0).isEmpty)
+    // SKIP-AND-CONTINUE (review fix): one mover too big for the budget
+    // must not starve the cheap entries behind it - a 40 s flag
+    // (cost 121) is skipped, and new/mid/tiny (16+7+1.9 on top of the
+    // 45 s fixed cost) still fork inside the same 100 s budget
+    val sweep2 = sweep + ("big" -> 40.0)
+    assert(Bench.capBySeverity(all, sweep2, base, budgetSec = 100.0) ==
+      Seq("new", "mid", "tiny"))
   }
 
   test("headline queries for the compact last line all exist in SparkEntry") {
