@@ -826,6 +826,9 @@ object Similarity {
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("sim_micro").desc, col("n_id").asc)
     val brute = queries
+      // BARE-CROSSJOIN-OK: eval-only brute ground-truth arm (see
+      // scaladoc) — deliberately unpinned; AqeSpec's hygiene guard
+      // whitelists exactly marker-adjacent sites, nothing else
       .crossJoin(u.select(col("vec_id").as("n_id"), col("v").as("nv")))
       .where(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),

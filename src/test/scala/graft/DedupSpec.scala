@@ -1346,8 +1346,13 @@ class DedupSpec extends AnyFunSuite {
     val exchanges = plan.linesIterator
       .filter(_.contains("Exchange")).toSeq
     assert(exchanges.nonEmpty, s"expected at least one shuffle:\n$plan")
+    // word-boundary match (round-17 advice): a bare substring test on
+    // "text#"/"chunk#" would false-fail on any attribute whose name
+    // merely CONTAINS those words (context#, ntext#) — pin exactly the
+    // text/chunk columns, exprId digits included
+    val textAttr = """\b(?:text|chunk)#\d+""".r
     exchanges.foreach { line =>
-      assert(!line.contains("text#") && !line.contains("chunk#"),
+      assert(textAttr.findFirstIn(line).isEmpty,
         s"exchange carries document text: $line")
     }
   }

@@ -1412,6 +1412,35 @@ class ExperimentSpec extends AnyFunSuite {
     assert(fx.getLong(3) > 0L && fx.getLong(3) < 1000000L)
   }
 
+  test("q368 krippendorff m_u >= 4 guard: errors loudly, never truncates") {
+    import spark.implicits._
+    // the x2-scaled exact-integer per-unit term is only exact for
+    // coverage m_u in {2,3}; a 4-rater item must raise, not drift
+    // alpha (round-17 advice: the DuckDB oracle twin carries the same
+    // CASE/error() guard — tools/check_q368_guard.py pins THAT side,
+    // this spec pins the Spark side, so an engine upgrade changing
+    // error() evaluation order on either side fails in CI, not in the
+    // driver round)
+    val four = Seq((1L, "a"), (1L, "a"), (1L, "b"), (1L, "b"),
+      (2L, "a"), (2L, "a")).toDF("doc_id", "label")
+    val e = intercept[Exception] {
+      Experiment.krippendorffFromRatings(four).collect()
+    }
+    def rootMsg(t: Throwable): String = {
+      val m = Option(t.getMessage).getOrElse("")
+      if (m.contains("m_u <= 3") || t.getCause == null) m
+      else rootMsg(t.getCause)
+    }
+    assert(rootMsg(e).contains("m_u <= 3"),
+      s"expected the raise_error guard, got: ${e.getMessage}")
+    // and the boundary case m_u == 3 stays on the happy path (the
+    // denominators 1 and 2 are exact): a pure 3-rater frame computes
+    val three = Seq((1L, "a"), (1L, "a"), (1L, "b"),
+      (2L, "a"), (2L, "a"), (2L, "a")).toDF("doc_id", "label")
+    assert(Experiment.krippendorffFromRatings(three)
+      .collect().head.getLong(2) == 6L)
+  }
+
   test("q370 early stopping: hand curve fires at patience; fixture laws") {
     import spark.implicits._
     val mk = (uid: Long, vs: Seq[Double], base: Long) => vs.zipWithIndex.map {
