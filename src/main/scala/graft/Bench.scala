@@ -158,34 +158,92 @@ object Bench {
     }
   }
 
-  /** BASELINE NEVER-RAISE RULE (round-11): round 10's committed
-    * bench_medians_r14 carried q155=34.5 s / q124=11.9 s against
-    * same-commit quiet medians of 15.3 s / 2.1 s — a contended sweep
-    * (whose q04 canary passed) wrote its inflated values straight into
-    * the next round's vs-prev baseline, masking real regressions. A
-    * candidate that would RAISE an existing baseline entry past the
-    * regression-gate thresholds (>1.5x and >0.25 s) is now accepted
-    * only when the raise was adjudicated as a real regression by
-    * `adjudicateConfirms` (reproduced across two spaced quiet forks);
-    * otherwise the previous baseline value is kept and the entry is
-    * reported under "baseline_raise_rejected" — the gate then keeps
-    * flagging it every round until it is fixed or quietly reproduces.
-    * Sub-threshold drift still tracks through (so baselines follow
-    * honest noise), and lowering is always accepted.
+  /** MEASUREMENT-REGIME EPOCH (round-18). Two measurement regimes
+    * coexist in this file's history and rounds 16/17 proved they must
+    * never share a baseline store:
+    *   - SWEEP regime: a reading taken inside the 402-entry bench
+    *     session (~1,200 plan executions in one JVM). Session aging
+    *     inflates sub-second entries 2-3x over a fresh JVM (q01 sweep
+    *     0.34 s vs 0.102 s forked, same commit, same minute).
+    *   - QUIET regime: a flagship-gated fresh-JVM fork (QuickTime).
+    * Through round 17, `baselineMerge` folded quiet confirm values
+    * into the committed medians via min() — so every confirmed entry
+    * acquired a quiet-regime baseline that the NEXT sweep (sweep
+    * regime, 2-3x higher on the same plan) could never meet: the
+    * entry re-flagged every round, re-confirmed every round, and the
+    * confirm budget drowned (r16/r17 both published
+    * confirm_skipped_budget:true with a 16-entry backlog; 44 of the
+    * r36-baseline entries sat >1.5x their own polluted best-ever).
+    * The fix is regime separation: bench_medians_r{N}.json holds
+    * SWEEP-regime medians only (see baselineMerge), a parallel
+    * bench_quiet_r{N}.json holds QUIET-regime adjudicated medians
+    * (see quietStore), and files older than this epoch — whose values
+    * are an unrecoverable mix of the two — feed no gate. The epoch
+    * cut itself is adjudicated, not hidden: SURVEY §7.3a's round-18
+    * table records, for every entry in the r17 confirm backlog, the
+    * polluted best, the fresh K=10 quiet median, and the fresh sweep
+    * median, with same-window IoProbe anchors.
+    */
+  val regimeEpoch = 37
+
+  def epochRounds(
+      byRound: Seq[(Int, Map[String, Double])]): Seq[(Int, Map[String, Double])] =
+    byRound.filter(_._1 >= regimeEpoch)
+
+  /** The quiet-regime store: latest adjudicated fresh-JVM median per
+    * entry, later files overriding earlier ones (each write already
+    * carries the previous store forward, so the fold is belt and
+    * braces for a partially-committed history). Values enter ONLY
+    * through `adjudicateConfirms` (flagship-gated fork, per-entry
+    * canary, loud readings reproduced-or-dropped) or a hand-run
+    * documented QuickTime session — never from a sweep.
+    */
+  def quietStore(files: Seq[(Int, String)]): Map[String, Double] =
+    files.sortBy(_._1).foldLeft(Map.empty[String, Double]) {
+      case (acc, (_, content)) =>
+        acc ++ parseMediansFile(content).filter(_._2 > 0)
+    }
+
+  /** BASELINE NEVER-RAISE RULE (round-11, regime-pure since round-18):
+    * round 10's committed bench_medians_r14 carried q155=34.5 s /
+    * q124=11.9 s against same-commit quiet medians of 15.3 s / 2.1 s —
+    * a contended sweep (whose q04 canary passed) wrote its inflated
+    * values straight into the next round's vs-prev baseline, masking
+    * real regressions. A candidate that would RAISE an existing
+    * baseline entry past the regression-gate thresholds (>1.5x and
+    * >0.25 s) is accepted only when the quiet confirm itself
+    * reproduces the regression against the QUIET baseline (regime-
+    * matched realness; the sweep baseline is the conservative fallback
+    * where no quiet history exists); otherwise the previous baseline
+    * value is kept and the entry is reported under
+    * "baseline_raise_rejected" — the gate then keeps flagging it every
+    * round until it is fixed or quietly reproduces. Sub-threshold
+    * drift still tracks through (so baselines follow honest noise),
+    * and lowering is always accepted.
+    *
+    * REGIME-PURE (round-18): the merged value is always the SWEEP
+    * median — an adjudicated quiet confirm decides WHETHER a raise
+    * stands but its (systematically 2-3x lower) value never replaces
+    * the sweep reading. The round-8..17 min(sweep, confirmed) fold is
+    * exactly the poisoning mechanism described at `regimeEpoch`.
     * Returns (merged baseline, rejected-raise entry names).
     */
   def baselineMerge(
       sweep: Seq[(String, Double)],
       adjudicated: Map[String, Double],
-      prevBase: Map[String, Double]): (Seq[(String, Double)], Seq[String]) = {
+      prevBase: Map[String, Double],
+      quietBase: Map[String, Double] = Map.empty)
+      : (Seq[(String, Double)], Seq[String]) = {
     val rejected = Seq.newBuilder[String]
     val out = sweep.map { case (k, v) =>
       val conf = adjudicated.getOrElse(k, -1.0)
-      val cand = if (conf > 0 && (v <= 0 || conf < v)) conf else v
       val pb = prevBase.getOrElse(k, -1.0)
-      val raising = pb > 0 && cand > pb * 1.5 && cand - pb > 0.25
-      if (raising && conf <= 0) { rejected += k; k -> pb }
-      else k -> cand
+      val raising = pb > 0 && v > pb * 1.5 && v - pb > 0.25
+      val qb = quietBase.getOrElse(k, pb)
+      val confirmsReal = conf > 0 && qb > 0 &&
+        conf > qb * 1.5 && conf - qb > 0.25
+      if (raising && !confirmsReal) { rejected += k; k -> pb }
+      else k -> v
     }
     (out, rejected.result())
   }
@@ -255,15 +313,35 @@ object Bench {
       flagged: Seq[String], sweep: Map[String, Double],
       baseline: Map[String, Double], budgetSec: Double,
       reps: Int = 3, fixedSec: Double = 45.0): Seq[String] = {
-    val sev = flagged.sortBy(n => -(sweep.getOrElse(n, 0.0) -
-      math.max(baseline.getOrElse(n, 0.0), 0.0)))
+    // entries WITH a real baseline confirm first (round-17 advice): a
+    // never-baselined entry's severity would otherwise be its FULL
+    // sweep time (delta vs 0), so one new-but-legitimately-slow query
+    // could consume most of the budget while genuine multi-second
+    // regressions with history stay unconfirmed — history first, then
+    // delta-descending within each group
+    val sev = flagged.sortBy { n =>
+      val hasBase = baseline.getOrElse(n, 0.0) > 0
+      (if (hasBase) 0 else 1,
+        -(sweep.getOrElse(n, 0.0) - math.max(baseline.getOrElse(n, 0.0), 0.0)))
+    }
     // skip-and-continue, NOT takeWhile: one mover too big for the
     // budget must not starve the cheap entries behind it (a 40 s
     // q155 flag would otherwise block a 0.6 s q04 confirm that fits
     // with room to spare)
     var acc = fixedSec
     sev.filter { n =>
-      val cost = reps * math.max(0.05, sweep.getOrElse(n, 0.0)) + 1.0
+      // fork-cost estimate (round-18): the fork re-times the entry on
+      // a QUIET fresh JVM, so a session-aging spike in the sweep
+      // reading (q81 read 11.6 s in a seeding sweep, 1.4 s quiet)
+      // must not price the confirm at 3x the spike — where a baseline
+      // exists, the quiet re-measure costs ~reps x baseline even when
+      // the sweep reading is inflated; a GENUINE regression costs
+      // more, but the fork loop is separately deadline-gated
+      // (remainingSecFn), so underestimating there risks nothing
+      val base = baseline.getOrElse(n, 0.0)
+      val per = if (base > 0) math.min(sweep.getOrElse(n, 0.0), base * 1.3)
+        else sweep.getOrElse(n, 0.0)
+      val cost = reps * math.max(0.05, per) + 1.0
       val fits = acc + cost <= budgetSec
       if (fits) acc += cost
       fits
@@ -344,9 +422,20 @@ object Bench {
       .map(f => roundNo(f.getName) -> parsePrevMedians(slurp(f))).toMap
     val fromFiles = medianFiles
       .map(f => roundNo(f.getName) -> parseMediansFile(slurp(f))).toMap
-    val byRound = (scraped ++ fromFiles).toSeq.sortBy(_._1) // file wins
+    val byRoundAll = (scraped ++ fromFiles).toSeq.sortBy(_._1) // file wins
+    // REGIME EPOCH (round-18, see regimeEpoch scaladoc): pre-epoch
+    // files mix sweep- and quiet-regime values and feed NO gate; the
+    // driver's BENCH_r{N} scrapes carry driver round numbers (< 37
+    // forever), so the scrape fallback is pre-epoch by construction —
+    // a missing post-epoch medians file falls back to the previous
+    // post-epoch one, never to a mixed-regime scrape
+    val byRound = epochRounds(byRoundAll)
     val allRounds = byRound.map(_._2)
     val prev = allRounds.lastOption.getOrElse(Map.empty)
+    // quiet-regime baselines (adjudicated fresh-JVM medians)
+    val quietFiles = cwd.filter(_.getName.matches("bench_quiet_r\\d+\\.json"))
+    val quietBase = quietStore(
+      quietFiles.map(f => roundNo(f.getName) -> slurp(f)))
     def fmt(rs: Seq[(String, Double)]) = rs
       .map { case (k, r) => "\"" + k + "\":" + fmtRatio(r) }
       .mkString("{", ",", "}")
@@ -400,11 +489,14 @@ object Bench {
     // entry (min of prev-round and best-ever where present)
     val sevBase = flaggedAll.map(n => n -> Seq(prev.getOrElse(n, -1.0),
       best.getOrElse(n, -1.0)).filter(_ > 0).minOption.getOrElse(0.0)).toMap
-    // 35% of the remaining budget for the first fork leaves room for
+    // 40% of the remaining budget for the first fork leaves room for
     // the adjudication refork (60 s sleep + second fork of the loud
-    // subset) that follows a non-quiet first reading
+    // subset) that follows a non-quiet first reading — raised from
+    // 35% in round 18: with the quiet store in place most confirm
+    // readings pass the per-entry canary outright, so the refork path
+    // engages rarely and the first fork deserves the larger share
     val flagged = capBySeverity(flaggedAll, resMap, sevBase,
-      math.max(0.0, remainingSec) * 0.35)
+      math.max(0.0, remainingSec) * 0.40)
     // entries starved by the cap are a BUDGET skip and must say so:
     // without this, a budget too small for even one fork empties
     // `flagged` and the round publishes confirm_skipped_budget:false
@@ -448,7 +540,10 @@ object Bench {
     val (sweepFlagName, sweepFlagBase) = sweepFlagship(prev, best)
     val sweepFlag = results.toMap.getOrElse(sweepFlagName, -1.0)
     val sweepDegraded = sweepIsDegraded(sweepFlagBase, sweepFlag)
-    val nextRound = (byRound.map(_._1) :+ 0).max + 1
+    // numbering spans ALL files (epoch-filtered or not) — a new file
+    // must never collide with a pre-epoch round number
+    val nextRound = (byRoundAll.map(_._1) ++
+      quietFiles.map(f => roundNo(f.getName)) :+ 0).max + 1
     val mayPublishMedians = sfDir.endsWith("sf0.1") && !sweepDegraded
     def writeMedians(baseline: Seq[(String, Double)]): Unit = {
       val body = baseline
@@ -511,7 +606,12 @@ object Bench {
         (Map.empty[String, Double],
           (if (remeasured.isEmpty) flagged else remeasured.keys.toSeq).sorted)
       else try {
-        adjudicateConfirms(remeasured, best, ns => {
+        // per-entry canary judged against the QUIET store where one
+        // exists (regime-matched: a fork reading vs an adjudicated
+        // fork median); sweep best-ever is the loose fallback — a
+        // quiet reading passes it easily, which only means "stands
+        // without a refork", never a published regression
+        adjudicateConfirms(remeasured, best ++ quietBase, ns => {
           // the refork (sleep + up to 3 gated forks) is the slowest
           // confirm step — under budget pressure it resolves nothing
           // rather than risking the driver's kill (entries stay under
@@ -537,8 +637,14 @@ object Bench {
     // suspicious-but-unconfirmed stays visible under "suspect" without
     // crashing the gate, and -1 never publishes (t > 0 guard)
     def confirmed(n: String): Double = adjudicated.getOrElse(n, -1.0)
-    val regrSeq = confirmRegressions(prev, flagged, confirmed)
-    val regrBestSeq = confirmRegressions(best, flagged, confirmed)
+    // published regressions are regime-matched (round-18): the quiet
+    // confirm reading is judged against the quiet store where one
+    // exists; entries without quiet history fall back to the sweep
+    // baselines — conservative (a quiet reading clears a sweep
+    // baseline unless the regression outweighs the 2-3x session-aging
+    // discount), and the raw sweep flag stays visible under "suspect"
+    val regrSeq = confirmRegressions(prev ++ quietBase, flagged, confirmed)
+    val regrBestSeq = confirmRegressions(best ++ quietBase, flagged, confirmed)
     val regr = fmt(regrSeq)
     val regrBest = fmt(regrBestSeq)
     // an UNRELIABLE confirm pass prints NO times: parsePrevMedians
@@ -572,11 +678,23 @@ object Bench {
     // baseline round falls back to the tail-scrape, which is strictly
     // better than an inflated one.
     val (mergedBaseline, raiseRejected) =
-      baselineMerge(results, adjudicated, prev)
+      baselineMerge(results, adjudicated, prev, quietBase)
     if (mayPublishMedians) {
       writeMedians(mergedBaseline)
       if (raiseRejected.nonEmpty) System.err.println(
         s"[bench] baseline raises REJECTED (kept previous values, see never-raise rule): ${raiseRejected.mkString(",")}")
+      // persist adjudicated quiet-regime medians to their OWN store
+      // (carrying the previous store forward): these values gate
+      // future confirm adjudication but never touch the sweep-regime
+      // medians file — see the regimeEpoch scaladoc
+      if (confirmReliable && adjudicated.nonEmpty) {
+        val body = (quietBase ++ adjudicated).toSeq.sorted
+          .map { case (k, v) => "  \"" + k + "\": " + fmtMedian(v) }
+          .mkString("{\n", ",\n", "\n}")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(f"bench_quiet_r$nextRound%02d.json"),
+          body.getBytes("UTF-8"))
+      }
     }
     val raiseRejectedJson = raiseRejected
       .map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -372,11 +372,34 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("baseline never-raise: an adjudicated real regression raises the baseline") {
+    // regime-pure (round-18): the raise is ACCEPTED because the quiet
+    // confirm (5.5) reproduces the regression against the quiet
+    // baseline (2.1), but the merged value is the SWEEP median (6.0)
+    // — the quiet reading never replaces a sweep-regime value
     val (merged, rejected) = Bench.baselineMerge(
       sweep = Seq("real" -> 6.0),
       adjudicated = Map("real" -> 5.5),
-      prevBase = Map("real" -> 2.0))
-    assert(merged.toMap == Map("real" -> 5.5) && rejected.isEmpty)
+      prevBase = Map("real" -> 2.0),
+      quietBase = Map("real" -> 2.1))
+    assert(merged.toMap == Map("real" -> 6.0) && rejected.isEmpty)
+  }
+
+  test("baseline never-raise: a quiet-exonerated raise is rejected (regime separation)") {
+    // THE round-16/17 backlog mechanism: sweep reads 0.45 (aged
+    // session), prev baseline 0.102 (a quiet fork value folded in by
+    // the pre-epoch min-merge), confirm fork reads 0.105 quiet. The
+    // raise must be rejected (plan did not regress: the quiet reading
+    // matches the quiet baseline) AND the quiet reading must not be
+    // re-folded into the sweep store — the entry keeps its previous
+    // value and stays visible under rejected until a post-epoch
+    // sweep-regime baseline replaces it
+    val (merged, rejected) = Bench.baselineMerge(
+      sweep = Seq("q01_scan_1a" -> 0.45),
+      adjudicated = Map("q01_scan_1a" -> 0.105),
+      prevBase = Map("q01_scan_1a" -> 0.102),
+      quietBase = Map("q01_scan_1a" -> 0.102))
+    assert(merged.toMap == Map("q01_scan_1a" -> 0.102))
+    assert(rejected == Seq("q01_scan_1a"))
   }
 
   test("baseline never-raise: sub-threshold drift and lowering pass through") {
@@ -391,14 +414,37 @@ class BenchSpec extends AnyFunSuite {
     assert(rejected.isEmpty)
   }
 
-  test("baseline merge prefers an adjudicated quiet confirm below the sweep median") {
-    // sweep measured 11.9 under load; the adjudicated refork read 2.2
-    // quiet -> the baseline stores the quiet value
-    val (merged, _) = Bench.baselineMerge(
+  test("baseline merge NEVER folds a quiet confirm into the sweep store (round-18)") {
+    // pre-epoch behavior stored min(sweep, confirmed) — sweep 11.9
+    // under load, quiet refork 2.2 -> stored 2.2, and every later
+    // sweep (2-3x a fresh JVM on the same plan) re-flagged the entry
+    // forever. Regime-pure: the raise is rejected against prev 2.1
+    // (quiet confirm 2.2 is NOT a real regression vs quiet 2.1), the
+    // sweep store keeps 2.1, and 2.2 belongs in the quiet store only
+    val (merged, rejected) = Bench.baselineMerge(
       sweep = Seq("q124_pagerank" -> 11.9),
       adjudicated = Map("q124_pagerank" -> 2.2),
-      prevBase = Map("q124_pagerank" -> 2.1))
-    assert(merged.toMap == Map("q124_pagerank" -> 2.2))
+      prevBase = Map("q124_pagerank" -> 2.1),
+      quietBase = Map("q124_pagerank" -> 2.1))
+    assert(merged.toMap == Map("q124_pagerank" -> 2.1))
+    assert(rejected == Seq("q124_pagerank"))
+  }
+
+  test("regime epoch: pre-epoch rounds feed no gate; quiet store merges latest-wins") {
+    val rounds = Seq(
+      17 -> Map("q01_scan_1a" -> 0.102), // mixed-regime, pre-epoch
+      36 -> Map("q01_scan_1a" -> 0.102),
+      37 -> Map("q01_scan_1a" -> 0.31),  // first sweep-regime file
+      38 -> Map("q01_scan_1a" -> 0.29))
+    assert(Bench.epochRounds(rounds).map(_._1) == Seq(37, 38))
+    // bestEver over epoch rounds never sees the 0.102 quiet fold
+    val best = Bench.bestEver(Bench.epochRounds(rounds).map(_._2))
+    assert(best == Map("q01_scan_1a" -> 0.29))
+    // quiet store: later files override, non-positive values dropped
+    val q = Bench.quietStore(Seq(
+      37 -> """{"q01_scan_1a": 0.102, "q61_tfidf_terms": 0.84}""",
+      38 -> """{"q01_scan_1a": 0.110, "q44_neardup_clusters": -1.000}"""))
+    assert(q == Map("q01_scan_1a" -> 0.110, "q61_tfidf_terms" -> 0.84))
   }
 
   test("regression gate flags >1.5x AND >0.1s absolute only") {
@@ -444,25 +490,35 @@ class BenchSpec extends AnyFunSuite {
   test("confirm cap: severity order, budget cut, sub-second tail dropped first") {
     val sweep = Map("big" -> 10.0, "mid" -> 2.0, "tiny" -> 0.3, "new" -> 5.0)
     val base = Map("big" -> 4.0, "mid" -> 1.0, "tiny" -> 0.1)
-    // severities: big +6.0, new +5.0 (no baseline -> vs 0), mid +1.0,
-    // tiny +0.2 -> order big, new, mid, tiny
+    // HISTORY FIRST (round-17 advice): "new" has no baseline, so its
+    // raw delta (5.0 vs 0) would outrank every real regression with
+    // history — never-baselined entries now confirm AFTER all
+    // baselined ones. Order: big +6.0, mid +1.0, tiny +0.2, then new
     val all = Seq("tiny", "mid", "big", "new")
     assert(Bench.capBySeverity(all, sweep, base, budgetSec = 1e9) ==
-      Seq("big", "new", "mid", "tiny"))
-    // fixed 45 s + big (3*10+1=31) + new (16) = 92 -> a 100 s budget
-    // fits big and new but cuts mid (7) at 99... fits mid too; tiny
-    // (1.9) pushes past 100 -> tiny dropped
-    val capped = Bench.capBySeverity(all, sweep, base, budgetSec = 100.0)
-    assert(capped == Seq("big", "new", "mid"), capped.toString)
+      Seq("big", "mid", "tiny", "new"))
+    // QUIET-COST pricing (round-18): the fork re-times on a quiet JVM,
+    // so a baselined entry costs ~reps x min(sweep, 1.3 x base):
+    // big 3*5.2+1=16.6, mid 3*1.3+1=4.9, tiny 3*0.13+1=1.39; "new"
+    // (no baseline) keeps the sweep price 3*5+1=16. Fixed 45 s +
+    // 16.6+4.9+1.39=67.9 fits a 70 s budget; new (16) would not
+    val capped = Bench.capBySeverity(all, sweep, base, budgetSec = 70.0)
+    assert(capped == Seq("big", "mid", "tiny"), capped.toString)
+    // a sweep-side aging SPIKE must not reprice the confirm: big read
+    // 40 s in the sweep but its quiet re-measure still costs ~16.6 —
+    // everything keeps fitting the same 70 s budget
+    val spiked = sweep + ("big" -> 40.0)
+    assert(Bench.capBySeverity(all, spiked, base, budgetSec = 70.0) ==
+      Seq("big", "mid", "tiny"))
     // a budget below the fixed cost forks nothing (skip semantics)
     assert(Bench.capBySeverity(all, sweep, base, budgetSec = 40.0).isEmpty)
-    // SKIP-AND-CONTINUE (review fix): one mover too big for the budget
-    // must not starve the cheap entries behind it - a 40 s flag
-    // (cost 121) is skipped, and new/mid/tiny (16+7+1.9 on top of the
-    // 45 s fixed cost) still fork inside the same 100 s budget
-    val sweep2 = sweep + ("big" -> 40.0)
-    assert(Bench.capBySeverity(all, sweep2, base, budgetSec = 100.0) ==
-      Seq("new", "mid", "tiny"))
+    // SKIP-AND-CONTINUE (review fix): one GENUINELY expensive entry
+    // (base 40 -> quiet cost 121) too big for the budget must not
+    // starve the cheap entries behind it
+    val huge = sweep + ("huge" -> 70.0)
+    val baseH = base + ("huge" -> 40.0)
+    assert(Bench.capBySeverity(all :+ "huge", huge, baseH, budgetSec = 100.0) ==
+      Seq("big", "mid", "tiny", "new"))
   }
 
   test("headline queries for the compact last line all exist in SparkEntry") {
