@@ -36,6 +36,7 @@ object SparkEntry {
     "q08_topk" -> (ReferenceQueries.topK _),
     "q18_mapreduce_typed" -> (MapReduceSurface.agg2aTyped _),
     "q89_topk_agg" -> ((s: SparkSession, d: String) => MapReduceSurface.topKPerGroup(s, d)),
+    "q403_tree_reduce" -> ((s: SparkSession, d: String) => MapReduceSurface.treeReduceSum(s, d)),
     "q19_csv_lifecycle" -> (ReferenceQueries.csvLifecycle _),
     "q59_json_lifecycle" -> (ReferenceQueries.jsonLifecycle _),
     "q63_orc_lifecycle" -> (ReferenceQueries.orcLifecycle _),
@@ -1739,6 +1740,12 @@ object SparkEntry {
          COUNT(*) AS n_rows
          FROM lineitem GROUP BY 1, 2""",
     "q06_global_sum" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price, COUNT(*) AS n_rows FROM lineitem""",
+    // q403 is the O8 reduction tree (depth-3 keyed-agg chain) over the
+    // same money sum — one oracle, two topologies: the tree must be
+    // row-identical to the one-shuffle q06 plan
+    "q403_tree_reduce" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
          AS total_price, COUNT(*) AS n_rows FROM lineitem""",
     "q07_distinct" ->

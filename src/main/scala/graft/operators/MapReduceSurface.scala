@@ -147,4 +147,60 @@ object MapReduceSurface {
     val depth = math.max(1, math.ceil(math.log(parts) / math.log(math.max(fanIn, 2))).toInt)
     vals.treeAggregate(0L)(_ + _, _ + _, depth) / 100.0
   }
+
+  /** The q403 driver entry: the O8 REDUCTION TREE as a DataFrame plan
+    * (round-17 verdict #6) — the reference's coordinator state machine
+    * (`src/python/reducerCoordinator.py:107-189`) schedules
+    * ⌈log_F(mappers)⌉ rounds of reducer lambdas, each merging F
+    * partial-aggregate objects, until one `result` remains. This is
+    * that tree verbatim, in Catalyst terms: round 0 buckets the fact
+    * table into `leaves` keyed partials (the "mapper outputs"), then
+    * each round folds bucket → ⌊bucket/F⌋ with a keyed SUM until one
+    * bucket remains — a depth-⌈log_F(leaves)⌉ chain of HashAggregates
+    * the optimizer is NOT allowed to fuse (each round's grouping key
+    * is a fresh projection of the last).
+    *
+    * Why it benches: q06 is the one-shuffle plan Spark would pick
+    * itself; this entry prices the reference's literal topology on
+    * the same data so the "shuffle agg beats an explicit tree"
+    * superiority claim in §2/O8 is a measured number, not prose. At
+    * 100 TB the corpus still shuffles ZERO rows here — round 0's
+    * partial aggregation reduces map-side to ≤ leaves rows per task,
+    * and every post-round-0 exchange carries ≤ `leaves` rows total;
+    * AQE coalesces those micro-shuffles to single-partition exchanges
+    * (MapReduceSpec asserts depth AND the coalescing) so the tree's
+    * cost is per-round latency, exactly like the reference's per-round
+    * lambda invocations minus the S3 round-trips.
+    *
+    * Shares q06's oracle verbatim (same money-sum Decimal(18,2)
+    * discipline), so row-identity between the tree and the one-shuffle
+    * plan is driver-checked every round, never claimed.
+    */
+  def treeReduceSum(
+      spark: SparkSession, sfDir: String,
+      fanIn: Int = 4, leaves: Int = 64): DataFrame = {
+    require(fanIn >= 2 && leaves >= 1, "degenerate tree")
+    // round 0 ("mappers"): deterministic key-derived bucketing — NOT
+    // spark_partition_id(), whose value depends on split planning and
+    // would make the result layout-dependent at a different
+    // maxPartitionBytes
+    var agg = Tables.load(spark, sfDir, "lineitem")
+      .select(
+        pmod(col("l_orderkey"), lit(leaves.toLong)).as("bucket"),
+        col("l_extendedprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("x"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("x")).as("part_sum"), count(lit(1)).as("part_n"))
+    var width = leaves
+    while (width > 1) { // static unroll: depth fixed by (leaves, fanIn)
+      width = math.ceil(width.toDouble / fanIn).toInt
+      agg = agg
+        .groupBy((col("bucket") / fanIn).cast("long").as("bucket"))
+        .agg(sum(col("part_sum")).as("part_sum"),
+          sum(col("part_n")).as("part_n"))
+    }
+    agg.select(
+      col("part_sum").cast("double").as("total_price"),
+      col("part_n").cast("long").as("n_rows"))
+  }
 }

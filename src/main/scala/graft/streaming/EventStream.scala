@@ -917,15 +917,26 @@ object EventStream {
       val ev = spark.read.parquet(s"$sfDir/events.parquet")
       val evTs = ev.withColumn("ts",
         graft.sources.Tables.normalizeTs(ev, "ts"))
-      // three ordered batches by event_id mod 3 (mtime order — each
-      // later write lands later; the sleeps guard second-granularity
-      // filesystems)
+      // three ordered batches by event_id mod 3. FileStreamSource
+      // schedules files oldest-mtime-first, so batch order is pinned
+      // by STAMPING each write's data files with an explicit,
+      // strictly-increasing mtime (one minute apart, anchored in the
+      // past) — round-18: the previous 2x1.1 s sleeps existed only to
+      // out-wait second-granularity filesystem timestamps and were
+      // over half of this entry's bench cost
+      def dataFiles(): Seq[java.io.File] =
+        Option(new java.io.File(s"$dir/in").listFiles()).toSeq.flatten
+          .filter(_.getName.startsWith("part-"))
+      val mtimeBase = System.currentTimeMillis() - 600000L
       evTs.where(col("event_id") % 3 === 0)
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+      dataFiles().foreach(_.setLastModified(mtimeBase))
       for (m <- Seq(1, 2)) {
-        Thread.sleep(1100)
+        val before = dataFiles().map(_.getName).toSet
         evTs.where(col("event_id") % 3 === m)
           .coalesce(1).write.mode("append").parquet(s"$dir/in")
+        dataFiles().filterNot(f => before(f.getName))
+          .foreach(_.setLastModified(mtimeBase + m * 60000L))
       }
       val sp = statePinnedSession(spark)
       val in = sp.readStream
@@ -1212,8 +1223,12 @@ object EventStream {
     * refreshed with the accepted digests for tomorrow's run (the q46
     * persisted-signature lifecycle, upgraded from batch to the
     * streaming arrival path). History = even doc_ids, arrivals = odd
-    * doc_ids — rendered as multiple files with maxFilesPerTrigger=1
-    * so the gate genuinely runs across several micro-batches.
+    * doc_ids — rendered as four files streamed two per trigger, so
+    * the gate genuinely runs across multiple micro-batches AND each
+    * batch carries multiple files (round-18: was one file per
+    * trigger; batch-split invariance needs ≥2 batches, not 4, and
+    * each extra stateless micro-batch pays ~0.3-0.5 s of pure
+    * planning/commit fixed cost at fixture scale).
     *
     * Semantics pinned batch-split-invariant BY CONSTRUCTION: each
     * batch anti-joins against the STATIC day-1 index only (novelty
@@ -1251,7 +1266,7 @@ object EventStream {
       val schema = spark.read.parquet(s"$dir/incoming").schema
       val out = s"$dir/out"
       val q = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(s"$dir/incoming")
         .writeStream
         .option("checkpointLocation", s"$dir/ckpt")
@@ -1320,7 +1335,7 @@ object EventStream {
       val weights = model.where(col("bucket") >= 0L).localCheckpoint(true)
       val bq = model.where(col("bucket") === -1L).head().getLong(1)
       val q = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(s"$dir/incoming")
         .writeStream
         .option("checkpointLocation", s"$dir/ckpt")
@@ -1373,7 +1388,7 @@ object EventStream {
       val schema = spark.read.parquet(s"$dir/incoming").schema
       val out = s"$dir/out"
       val q = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(s"$dir/incoming")
         .writeStream
         .option("checkpointLocation", s"$dir/ckpt")
