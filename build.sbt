@@ -40,4 +40,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 403-entry bench/verify session generates >40k JIT nmethods
+  // (every query compiles several whole-stage-codegen classes); the
+  // JDK-17 default 240 MB segmented code cache saturates its
+  // 'profiled nmethods' segment mid-sweep, after which HotSpot stops
+  // tier-2/3 compiling and hot paths decay toward interpreted — the
+  // measured "session aging" (late-sweep sub-second entries read
+  // 2-3x their fresh-JVM times). 512 MB is JVM-arena sizing, not a
+  // data-scale knob: it applies identically at any SF/cluster size.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "512m")}",
 )

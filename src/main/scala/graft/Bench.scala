@@ -377,13 +377,34 @@ object Bench {
     def remainingSec: Double = budgetSec - 30.0 - elapsedSec
     val spark = GraftSession.local(cores = cpus, appName = "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
+    // the between-measurement unpersist (runOnce) of dead
+    // localCheckpointed RDDs logs one benign WARN per block
+    // ("lineage has been truncated and cannot be recomputed") — 400+
+    // stderr lines per sweep for an intended, safe operation
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => }
 
     def runOnce(s: SparkSession)(name: String): Double = {
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(s, sfDir)
           .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // BETWEEN-MEASUREMENT HYGIENE (round-18): entries pin shared
+        // subtrees with eager localCheckpoint/persist, whose blocks
+        // outlive the query — nothing unpersists them once the frame
+        // goes out of scope until a driver GC lets ContextCleaner
+        // catch up, so a 403-entry sweep accumulates hundreds of dead
+        // cached RDDs (storage-memory pressure + GC churn = part of
+        // the measured session aging). Each run computes from parquet
+        // regardless (a fresh invocation builds fresh RDDs — nothing
+        // here ever REUSES a previous run's blocks, so this is the
+        // opposite of cross-run caching); dropping the dead blocks
+        // happens OUTSIDE the timed region.
+        s.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        dt
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")

@@ -1287,15 +1287,20 @@ object Dedup {
         .join(labels.select(col("id").as("src"), col("comp").as("src_comp")), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("src_comp")).as("nbr_comp"))
-      val updated = materialize(labels
+      // the changed-flag is computed IN the update pass (old and new
+      // comp sit in the same row pre-projection), so convergence is a
+      // filter over the materialized frame instead of a second
+      // updated-x-labels join per iteration (round-18; identical
+      // labels, one less job per iteration)
+      val updatedFlagged = materialize(labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp")))
-      converged = updated
-        .join(labels.select(col("id"), col("comp").as("old")), "id")
-        .filter(col("comp") =!= col("old"))
-        .limit(1).count() == 0
-      labels = updated
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+          (least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
+            =!= col("comp")).as("chg")))
+      converged = updatedFlagged
+        .filter(col("chg")).limit(1).count() == 0
+      labels = updatedFlagged.select(col("id"), col("comp"))
       i += 1
     }
     labels
@@ -1359,6 +1364,12 @@ object Dedup {
     Tables.load(spark, sfDir, "documents").select(col("doc_id"))
       .join(comps, Seq("doc_id"), "left")
       .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+      // pin: every consumer (q297 weights, q298 folds, q303 batches,
+      // q363 size profile) reads this frame 2-3x — sizes aggregate +
+      // join-back, count + chunked rank — and unpinned each read
+      // re-ran the doc scan + comps join (the q291 shared-subtree
+      // rule; pairs/labels are already materialized upstream)
+      .localCheckpoint(true)
   }
 
   /** The q298 driver entry: STRATIFIED GROUP K-FOLD — the evaluation
@@ -1865,13 +1876,25 @@ object Dedup {
   /** Distinct 5-gram word shingles per doc (the q21/q22 shingle
     * definition verbatim).
     */
+  // Shingle emission is explode(sequence(positions)) + a TOP-LEVEL
+  // slice/array_join, not transform(sequence, lambda): higher-order
+  // functions are CodegenFallback (interpreted per element, and they
+  // sever the whole-stage-codegen span), and the lambda form also
+  // materializes the full per-row shingle-string array before the
+  // explode. The position-explode form keeps the whole pipeline in
+  // one codegen stage — the shingle string is built once per OUTPUT
+  // row inside the generate loop, no intermediate array — and emits
+  // the identical (doc_id, sh) multiset (DedupSpec pins equality
+  // against the lambda form). Round-18 A/B at sf0.1: see
+  // OPTIMIZATION_r18.md (shingle-family entries).
   private def docShingleSets(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"),
       split(TextAnalysis.normalizedText(col("text")), " ").as("w"))
     .where(size(col("w")) >= 5)
-    .select(col("doc_id"), explode(transform(
-      sequence(lit(1), size(col("w")) - 4),
-      i => array_join(slice(col("w"), i, lit(5)), " "))).as("sh"))
+    .select(col("doc_id"), col("w"),
+      explode(sequence(lit(1), size(col("w")) - 4)).as("i"))
+    .select(col("doc_id"),
+      array_join(slice(col("w"), col("i"), lit(5)), " ").as("sh"))
     .distinct()
 
   /** Exact verification of candidate pairs: count shared tokens,
@@ -2477,6 +2500,9 @@ object Dedup {
         Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("comp"), col("doc_id")))
       .drop("comp")
+      // pin: read by the canonical-pick aggregate AND the join-back
+      // (q291 shared-subtree rule)
+      .localCheckpoint(true)
     val canon = member.groupBy(col("cluster"))
       .agg(count(lit(1)).cast("long").as("cluster_size"),
         min(struct((-col("n_chars")).as("neg"), col("doc_id").as("id")))

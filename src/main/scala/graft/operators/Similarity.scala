@@ -189,9 +189,28 @@ object Similarity {
     // every per-iteration aggregate: ~1 TB at 1 B x 128-dim doubles)
     val c = corpus.repartition(col("vec_id")).persist()
     try {
-      var cents = seededCodebook(c, clusters).localCheckpoint(true)
+      // CODEBOOK STATE DRIVER-SIDE (round-18, guide §1.2): the book
+      // is `clusters` rows (a KNOB — 16 here), but each Lloyd's
+      // iteration used to maintain it as a DataFrame: a left-join of
+      // the previous book against the new means plus an eager
+      // localCheckpoint per iteration (2+ extra jobs x iters). The
+      // corpus-linear work (assignment, pico-exact means) stays in
+      // Spark unchanged; only the bounded (c_id, cv) table collects
+      // (the q215/q380 bounded-domain rule) and re-enters each
+      // iteration as a local relation that assignCells broadcasts.
+      // Every double passes through collect/re-literal bit-exactly,
+      // and cv_new (incl. l2normalize) is still computed BY SPARK, so
+      // the trained book — and the q163 oracle's per-iteration CTE
+      // replay — is unchanged (SimilaritySpec green).
+      import c.sparkSession.implicits._
+      def toDf(rows: Seq[(Long, Seq[Double])]): DataFrame =
+        rows.toDF("c_id", "cv")
+      var cents: Seq[(Long, Seq[Double])] =
+        seededCodebook(c, clusters).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1)))
+          .sortBy(_._1).toSeq
       for (_ <- 0 until iters) {
-        val assigned = assignCells(c, cents).join(c, "vec_id")
+        val assigned = assignCells(c, toDf(cents)).join(c, "vec_id")
         val means = assigned
           .select(col("c_id"), posexplode(col("u")).as(Seq("pos", "x")))
           // exact fixed-point accumulate; ONE division so the double
@@ -207,12 +226,13 @@ object Similarity {
             s => s.getField("mx")).as("mean"))
           .select(col("c_id"),
             Vectors.l2normalize(col("mean")).as("cv_new"))
-        cents = cents.as("c")
-          .join(means.as("m"), Seq("c_id"), "left")
-          .select(col("c_id"), coalesce(col("cv_new"), col("cv")).as("cv"))
-          .localCheckpoint(true)
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+        // empty cells keep their previous centroid (the old left-join
+        // + coalesce, driver-side)
+        cents = cents.map { case (id, cv) => (id, means.getOrElse(id, cv)) }
       }
-      cents
+      toDf(cents)
     } finally c.unpersist()
   }
 
@@ -1418,7 +1438,7 @@ object Similarity {
     val pool = annBrute(spark, sfDir, numQueries, poolSize)
       .select(col("q_id"), col("vec_id"),
         expr("CAST(floor(1000000.0 * cosine) AS BIGINT)").as("simq"))
-      .localCheckpoint(true)
+      .localCheckpoint(true) // read by the pair builder + the collect
     val corpus = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), Vectors.l2normalize(col("embedding")).as("u"))
     val pairs = pool.select(col("q_id"), col("vec_id").as("a"))
@@ -1431,35 +1451,54 @@ object Similarity {
       .select(col("q_id"), col("a"), col("b"),
         floor(lit(1000000.0) * Vectors.dot(col("ua"), col("ub")))
           .cast("long").as("sim"))
-      .localCheckpoint(true)
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("vec_id").asc)
-    var selected = pool
-      .withColumn("penalty", lit(0L))
-      .withColumn("score", lit(lam) * col("simq"))
-      .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
-      .select(col("q_id"), col("vec_id"), col("simq"), col("penalty"),
-        col("score"), lit(1L).as("mmr_rank"))
-      .localCheckpoint(true)
-    for (t <- 2 to k) {
-      val pen = pairs
-        .join(selected.select(col("q_id"), col("vec_id").as("b")),
-          Seq("q_id", "b"))
-        .groupBy(col("q_id"), col("a"))
-        .agg(max(col("sim")).as("penalty"))
-        .withColumnRenamed("a", "vec_id")
-      val next = pool
-        .join(selected.select(col("q_id"), col("vec_id")),
-          Seq("q_id", "vec_id"), "left_anti")
-        .join(pen, Seq("q_id", "vec_id"))
-        .withColumn("score",
-          lit(lam) * col("simq") - lit(10L - lam) * col("penalty"))
-        .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
-        .select(col("q_id"), col("vec_id"), col("simq"), col("penalty"),
-          col("score"), lit(t.toLong).as("mmr_rank"))
-      selected = selected.unionByName(next).localCheckpoint(true)
+    // GREEDY DRIVER-SIDE (round-18, guide §1.2 "the distributed
+    // algorithm"): the k-step selection loop ran as k DataFrame
+    // iterations — each a join + window + localCheckpoint job — over
+    // frames bounded by the KNOBS, not the corpus (pool =
+    // numQueries·poolSize rows, pairs = numQueries·poolSize² rows;
+    // 250 / 12,250 at the defaults). The corpus-touching work (pool
+    // builder, pairwise sims) stays in Spark; both bounded frames
+    // collect under the bounded-domain rule (the q215/q214/BPE
+    // precedent) and the greedy argmax runs driver-side on the SAME
+    // exact integers — every score is lam·simq − (10−lam)·penalty in
+    // Long arithmetic, so the selection and tie-break (score desc,
+    // vec_id asc) are bit-identical to the iterative-DataFrame form
+    // (SimilaritySpec pins the equivalence). sf0.1 A/B: 3.91 s quiet
+    // → see OPTIMIZATION_r18.md.
+    val poolRows = pool.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val simRows = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val simMap = simRows.groupBy(t => (t._1, t._2))
+      .map { case (key, ts) => key -> ts.map(t => t._3 -> t._4).toMap }
+    val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Long)]
+    poolRows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (qId, cands) =>
+      var selected = Vector.empty[Long]
+      for (t <- 1 to math.min(k, cands.length)) {
+        val remaining = cands.filterNot(c => selected.contains(c._2))
+        // penalty = max over selected of sim(cand -> sel); the
+        // DataFrame form's inner join drops t>=2 candidates with no
+        // pair row, which cannot happen (pairs covers all a != b
+        // inside the pool) — replicated here as a plain max
+        val scored = remaining.map { case (_, vecId, simq) =>
+          val penalty =
+            if (t == 1) 0L
+            else selected.map(s => simMap((qId, vecId))(s)).max
+          val score =
+            if (t == 1) lam * simq
+            else lam * simq - (10L - lam) * penalty
+          (vecId, simq, penalty, score)
+        }
+        val pick = scored.minBy { case (vecId, _, _, score) =>
+          (-score, vecId)
+        }
+        out += ((qId, pick._1, pick._2, pick._3, pick._4, t.toLong))
+        selected :+= pick._1
+      }
     }
-    selected
+    import spark.implicits._
+    out.result()
+      .toDF("q_id", "vec_id", "simq", "penalty", "score", "mmr_rank")
   }
 
   /** q396 default knobs — named so the oracle generator (per-dim

@@ -1033,9 +1033,12 @@ object TextAnalysis {
       spark: SparkSession, sfDir: String, k: Int = 50): DataFrame =
     Tables.load(spark, sfDir, "documents")
       .where(length(col("text")) >= 2)
-      .select(explode(transform(
-        sequence(lit(1), length(col("text")) - 1),
-        i => col("text").substr(i, lit(2)))).as("pair"))
+      // position-explode + top-level substr (the docShingleSets
+      // codegen rule): same pair multiset, one codegen stage, no
+      // per-row pair-array materialization
+      .select(col("text"),
+        explode(sequence(lit(1), length(col("text")) - 1)).as("i"))
+      .select(col("text").substr(col("i"), lit(2)).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair").asc)
       .limit(k)
@@ -1236,16 +1239,20 @@ object TextAnalysis {
     // element (O(len^2) per row: measured 152 s vs 10 s on q155). The
     // size>=2 filter guards sequence()'s auto-descend on stop < start,
     // which would fabricate reversed pairs on 1-symbol streams.
+    // position-explode + top-level element_at (the docShingleSets
+    // codegen rule): higher-order lambdas are CodegenFallback and
+    // build the full per-row pair-struct array before exploding; this
+    // form emits the identical pair multiset in one codegen stage
     def explodePairs(df: DataFrame, streamCol: String,
         carry: Seq[Column]): DataFrame =
       df.select(carry :+
         split(btrim(col(streamCol), lit(SEP)), SEP + SEP).as("syms"): _*)
         .where(size(col("syms")) >= 2)
-        .select(carry :+ explode(transform(
-          sequence(lit(1), size(col("syms")) - 1),
-          i => struct(
-            element_at(col("syms"), i).as("l"),
-            element_at(col("syms"), i + 1).as("r")))).as("p"): _*)
+        .select(carry ++ Seq(col("syms"),
+          explode(sequence(lit(1), size(col("syms")) - 1)).as("i")): _*)
+        .select(carry :+ struct(
+          element_at(col("syms"), col("i")).as("l"),
+          element_at(col("syms"), col("i") + 1).as("r")).as("p"): _*)
     def recount(df: DataFrame): DataFrame =
       explodePairs(df, "stream", Seq(col("cnt")))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
@@ -1825,11 +1832,17 @@ object TextAnalysis {
   def perplexityScore(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
+    // bigram emission via explode(sequence(positions)) + a top-level
+    // substr — the docShingleSets codegen rule (higher-order lambdas
+    // are CodegenFallback and materialize the full bigram array per
+    // row; the position-explode form is one codegen stage and builds
+    // each bigram exactly once). Identical (doc, bg) multiset.
     def bigrams(df: DataFrame) = df
       .where(length(col("text")) >= 2)
-      .select(col("doc_id"), col("lang"), explode(transform(
-        sequence(lit(1), length(col("text")) - 1),
-        i => col("text").substr(i, lit(2)))).as("bg"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 1)).as("i"))
+      .select(col("doc_id"), col("lang"),
+        col("text").substr(col("i"), lit(2)).as("bg"))
     val model = bigrams(docs.where(col("lang") === "en"))
       .groupBy(col("bg")).agg(count(lit(1)).as("c"))
     val ctx = model.groupBy(substring(col("bg"), 1, 1).as("c1"))
@@ -2534,9 +2547,14 @@ object TextAnalysis {
       .select(col("doc_id"), split(normalizedText(col("text")), " ").as("w"))
       .withColumn("n", size(col("w")).cast("long"))
       .where(col("n") >= 2)
+    // pin: ranked is read by the count action, the bigram explode,
+    // and perDoc — and chunkedRowNumber itself reads ITS input twice,
+    // so unpinned each downstream read re-ran the scan+split subtree
+    // (the q291/q252 shared-subtree rule)
     val ranked = Relational.chunkedRowNumber(docs,
       bucket = Relational.rangeBucket(col("doc_id"), 4096),
       order = Seq(col("doc_id").asc), out = "drk")
+      .localCheckpoint(true)
     val n = ranked.count()
     val grams = ranked
       .withColumn("i", explode(expr("sequence(1, CAST(n AS INT) - 1)")))
@@ -3402,19 +3420,24 @@ object TextAnalysis {
       .withColumn("prev", lag(col("s"), 1).over(w))
       // array_position returns 0 (not NULL) when no mismatch exists —
       // i.e. one string is a strict prefix of the other, where the lcp
-      // is the shorter length
-      .withColumn("lcp", when(col("prev").isNull, 0L).otherwise(expr(
-        """CAST(CASE WHEN array_position(
-               transform(sequence(1, CAST(least(length(s), length(prev))
-                   AS INT)),
-                 i -> substring(s, i, 1) = substring(prev, i, 1)),
-               false) = 0
-             THEN least(length(s), length(prev))
-             ELSE array_position(
-               transform(sequence(1, CAST(least(length(s), length(prev))
-                   AS INT)),
-                 i -> substring(s, i, 1) = substring(prev, i, 1)),
-               false) - 1 END AS BIGINT)""")))
+      // is the shorter length. The mismatch scan is a HOF (interpreted
+      // — no position-explode rewrite here: the row needs ONE scalar
+      // back, not per-position rows); naming it in its own projection
+      // evaluates it ONCE per row where the old inline CASE repeated
+      // the whole transform in both branches (CodegenFallback has no
+      // common-subexpression elimination), and CollapseProject's cost
+      // rule keeps a twice-referenced non-cheap producer un-inlined
+      // (the q332 sigs lesson). Identical values.
+      .withColumn("mp", when(col("prev").isNotNull, expr(
+        """array_position(
+             transform(sequence(1, CAST(least(length(s), length(prev))
+                 AS INT)),
+               i -> substring(s, i, 1) = substring(prev, i, 1)),
+             false)""")))
+      .withColumn("lcp", when(col("prev").isNull, 0L)
+        .when(col("mp") === 0,
+          least(length(col("s")), length(col("prev"))).cast("long"))
+        .otherwise((col("mp") - 1).cast("long")))
       .groupBy(col("source"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(length(col("s"))).cast("long").as("total_chars"),

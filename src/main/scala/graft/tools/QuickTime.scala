@@ -18,7 +18,14 @@ object QuickTime {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(n)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // same between-measurement hygiene as Bench.runOnce (the quiet
+      // fork is the sweep's regime twin): drop dead checkpoint/persist
+      // blocks OUTSIDE the timed region so rep k never pays rep k-1's
+      // leaked storage
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      dt
     }
     // QUIETNESS SELF-CHECK (round-9, hardened round-10): warm up and
     // median-time a flagship, reported on a non-query label. The
