@@ -2500,9 +2500,6 @@ object Dedup {
         Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("comp"), col("doc_id")))
       .drop("comp")
-      // pin: read by the canonical-pick aggregate AND the join-back
-      // (q291 shared-subtree rule)
-      .localCheckpoint(true)
     val canon = member.groupBy(col("cluster"))
       .agg(count(lit(1)).cast("long").as("cluster_size"),
         min(struct((-col("n_chars")).as("neg"), col("doc_id").as("id")))

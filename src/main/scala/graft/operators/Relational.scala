@@ -1018,12 +1018,27 @@ object Relational {
       col("o_orderdate").cast("date").as("o_orderdate"),
       col("o_orderpriority"))
     val cols = raw.columns.toSeq
-    val aggExprs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+    // TWO aggregate passes, NOT one (round-18, guide §2.4 "check for
+    // Exchanges/Sorts you did not expect"): mixing the 6 exact
+    // countDistinct aggs with min/max in a single Aggregate made the
+    // distinct rewrite carry partial min/max buffers of STRING /
+    // DECIMAL / DATE type through the Expand — immutable buffer types
+    // disqualify HashAggregateExec, so the whole 7x-expanded input
+    // was SORTED twice (map side + post-exchange) by a 7-column wide
+    // key (plans/r18/q109_profile_before.txt nodes 4/7). Split:
+    //   - `basic`: the non-distinct aggs as ONE global aggregate (no
+    //     grouping keys -> no sort, no Expand);
+    //   - `nd`: the 6 distinct counts alone — the Expand survives but
+    //     the first-stage aggregate is now pure grouping with long
+    //     buffers -> HashAggregate, zero sorts.
+    // Same 25 aggregate values, crossJoined 1-row x 1-row.
+    val basicExprs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
       count(col(c)).as(s"nn_$c"),
-      countDistinct(col(c)).as(s"nd_$c"),
       min(col(c)).cast("string").as(s"mn_$c"),
       max(col(c)).cast("string").as(s"mx_$c")))
-    raw.agg(aggExprs.head, aggExprs.tail: _*)
+    val ndExprs = cols.map(c => countDistinct(col(c)).as(s"nd_$c"))
+    raw.agg(basicExprs.head, basicExprs.tail: _*)
+      .crossJoin(broadcast(raw.agg(ndExprs.head, ndExprs.tail: _*)))
       .select(cols.map(c => struct(
         (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
         col(s"nd_$c").as("n_distinct"),
