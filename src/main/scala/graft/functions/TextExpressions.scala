@@ -107,4 +107,104 @@ object TextExpressions {
 
   def shingle_hashes(text: Column, n: Int): Column =
     exprToColumn(ShingleHashes(columnToExpr(text), n))
+
+  /** Content-defined chunks of `child` (the q239/q248 CDC device),
+    * byte-identical to the SQL higher-order-function form it
+    * replaces (kept verbatim in DedupSpec as the differential twin):
+    *
+    *   bnd  = [p in w..nchars | conv(substr(md5(substring(text,
+    *            p-w+1, w)), 1, 4), 16, 10) % rate == 0]
+    *   ends = array_distinct(bnd ++ [nchars])
+    *   chunks(i) = substring(text, prev_end+1, ends(i) - prev_end)
+    *
+    * The HOF form is CodegenFallback and interprets the lambda PER
+    * CHARACTER POSITION — each element allocates a window substring,
+    * renders the full md5 as a 32-char hex string, substrings it and
+    * parses it back through conv; three more interpreted array passes
+    * (filter, array_distinct, the chunk-extraction transform) follow.
+    * This expression does one compiled pass per ROW: char-start byte
+    * offsets once, one incremental MessageDigest per window, boundary
+    * test on the first two digest bytes, chunks sliced straight from
+    * the original bytes. Positions are CODE POINTS (UTF8String char
+    * semantics — identical to SQL substring/length) and md5 runs over
+    * the window's UTF-8 bytes, so multi-byte text chunks identically.
+    */
+  case class CdcChunkStrings(child: Expression, w: Int, rate: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    require(w >= 1 && rate >= 1, "window and boundary rate must be >= 1")
+
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"cdc_chunk_strings needs a string column, got $other")
+      }
+
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String]
+      val bytes = s.getBytes
+      val len = bytes.length
+      // char-start byte offsets: charStart(i) = byte offset of char i
+      // (0-based), charStart(nchars) = len — UTF-8 char = any byte
+      // that is not a continuation byte (0b10xxxxxx), matching
+      // UTF8String.numChars()/substring() code-point semantics
+      var nchars = 0
+      var b = 0
+      while (b < len) {
+        if ((bytes(b) & 0xC0) != 0x80) nchars += 1
+        b += 1
+      }
+      val charStart = new Array[Int](nchars + 1)
+      var ci = 0
+      b = 0
+      while (b < len) {
+        if ((bytes(b) & 0xC0) != 0x80) { charStart(ci) = b; ci += 1 }
+        b += 1
+      }
+      charStart(nchars) = len
+      // boundary positions (1-based char positions p in w..nchars):
+      // first 16 bits of md5(window bytes) % rate == 0
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val ends = new java.util.ArrayList[Int]()
+      var p = w
+      while (p <= nchars) {
+        val from = charStart(p - w)
+        val until = charStart(p)
+        md.reset()
+        md.update(bytes, from, until - from)
+        val d = md.digest()
+        if ((((d(0) & 0xFF) << 8) | (d(1) & 0xFF)) % rate == 0)
+          ends.add(p)
+        p += 1
+      }
+      // append nchars unless it is already the last boundary
+      // (array_distinct on an ascending list + one append)
+      if (ends.isEmpty || ends.get(ends.size - 1) != nchars)
+        ends.add(nchars)
+      val out = new Array[AnyRef](ends.size)
+      var i = 0
+      var prev = 0
+      while (i < ends.size) {
+        val e = ends.get(i)
+        out(i) = UTF8String.fromBytes(
+          bytes, charStart(prev), charStart(e) - charStart(prev))
+        prev = e
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): CdcChunkStrings =
+      copy(child = c)
+  }
+
+  def cdc_chunk_strings(text: Column, w: Int, rate: Int): Column =
+    exprToColumn(CdcChunkStrings(columnToExpr(text), w, rate))
 }

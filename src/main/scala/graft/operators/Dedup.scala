@@ -251,11 +251,22 @@ object Dedup {
     val toks = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),
         TextAnalysis.bpeTokenCount(col("text")).as("ntok"))
+    // a doc is dropped at threshold t iff it is id_b of SOME pair with
+    // jaccard >= t, i.e. iff max(jaccard over its id_b pairs) >= t —
+    // so ONE doc-grain tokenize+join serves every arm (the per-arm
+    // dropped.join(toks) form re-ran the corpus regexp_count once per
+    // threshold: dropped is broadcast-joined, so nothing below the
+    // toks scan is shared across arms). Pinned because the |T| arms
+    // are separate subplans over it; the frame is one row per
+    // ever-dropped doc, never corpus-scale.
+    val droppedMass = pairs
+      .groupBy(col("id_b").as("doc_id")).agg(max(col("jaccard")).as("max_j"))
+      .join(toks, Seq("doc_id"))
+      .localCheckpoint(true)
     thresholdsPpm.map { t =>
-      val p = pairs.where(col("jaccard") >= t / 1000000.0)
-      val dropped = p.select(col("id_b").as("doc_id")).distinct()
-      val stats = p.agg(count(lit(1)).cast("long").as("n_pairs"))
-      val mass = dropped.join(toks, Seq("doc_id"))
+      val stats = pairs.where(col("jaccard") >= t / 1000000.0)
+        .agg(count(lit(1)).cast("long").as("n_pairs"))
+      val mass = droppedMass.where(col("max_j") >= t / 1000000.0)
         .agg(count(lit(1)).cast("long").as("n_docs_dropped"),
           coalesce(sum(col("ntok")), lit(0L)).cast("long")
             .as("tokens_recovered"))
@@ -966,29 +977,16 @@ object Dedup {
   /** The row-local chunker shared by q239 (stats) and q248
     * (provenance): (doc_id, source, chunk) rows.
     */
-  private[graft] def cdcChunks(docsIn: DataFrame): DataFrame = {
-    val w = CdcWindow
+  private[graft] def cdcChunks(docsIn: DataFrame): DataFrame =
+    // one compiled pass per row (boundary scan + chunk slicing) in a
+    // custom expression — the SQL HOF form it replaces interpreted
+    // the md5 window lambda per character position and is kept as the
+    // differential twin in DedupSpec (byte-identical chunks pinned on
+    // the fixture + multi-byte adversarial literals)
     docsIn.where(length(col("text")) >= 1)
-      .select(col("doc_id"), col("source"), col("text"),
-        expr(s"""CASE WHEN length(text) >= $w THEN
-            filter(transform(sequence($w, length(text)),
-              p -> CASE WHEN conv(substring(md5(substring(
-                     text, p - ${w - 1}, $w)), 1, 4), 16, 10)
-                   % $CdcBoundaryRate = 0 THEN p END),
-              x -> x IS NOT NULL)
-          ELSE array() END""").as("bnd"))
-      .select(col("doc_id"), col("source"), col("text"),
-        expr("array_distinct(concat(bnd, array(length(text))))")
-          .as("ends"))
-      .select(col("doc_id"), col("source"), explode(expr(
-        """transform(sequence(1, size(ends)),
-             i -> substring(text,
-               CASE WHEN i = 1 THEN 1
-                 ELSE element_at(ends, i - 1) + 1 END,
-               element_at(ends, i) -
-                 CASE WHEN i = 1 THEN 0
-                   ELSE element_at(ends, i - 1) END))""")).as("chunk"))
-  }
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.TextExpressions.cdc_chunk_strings(
+          col("text"), CdcWindow, CdcBoundaryRate)).as("chunk"))
 
   def cdcChunkStatsOn(docsIn: DataFrame): DataFrame =
     cdcChunks(docsIn)
@@ -1203,14 +1201,17 @@ object Dedup {
       chunkWords: Int = 10, maxCount: Int = 5): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
     val w = split(col("text"), " ")
-    val chunks = docs.select(
-      col("doc_id"),
-      posexplode(transform(
-        sequence(lit(0),
-          ceil(size(w) / lit(chunkWords.toDouble)).cast("int") - 1),
-        i => array_join(slice(w, i * chunkWords + 1, lit(chunkWords)), " "))))
+    // position-explode + top-level slice/array_join (the round-18
+    // codegen rule; the lambda form was interpreted per chunk) — the
+    // exploded sequence value IS the former array index, so `pos`
+    // and the chunk expression are unchanged
+    val chunks = docs.select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(sequence(lit(0),
+          ceil(size(col("w")) / lit(chunkWords.toDouble)).cast("int") - 1)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-        col("col").as("line"))
+        array_join(slice(col("w"), col("col") * chunkWords + 1,
+          lit(chunkWords)), " ").as("line"))
     val header = docs.filter(col("doc_id") % 3 === 0)
       .select(col("doc_id"), lit(0L).as("pos"),
         lit(boilerplateHeader).as("line"))
@@ -1355,6 +1356,14 @@ object Dedup {
   /** Every document's near-dup cluster id (singletons = own id) —
     * the q44 components through the production LSH path, shared by
     * q297 weights and q298 folds.
+    *
+    * SIDE EFFECT (round-18 advice): the returned frame is pinned with
+    * an EAGER localCheckpoint, so merely CONSTRUCTING it (explain-only
+    * paths, PlanDump) executes the full LSH + connected-components
+    * pipeline, and the pinned blocks live until the caller's
+    * session-level unpersist hygiene runs (Bench.runOnce / QuickTime /
+    * Verify all drop dead blocks between entries). Accepted for the
+    * 2-3x consumer reuse documented below.
     */
   private[graft] def docClusters(spark: SparkSession, sfDir: String,
       threshold: Double = 0.5): DataFrame = {

@@ -1903,25 +1903,28 @@ object TextAnalysis {
         split(normalizedText(col("text")), " ").as("toks"))
       .where(size(col("toks")) >= 3)
     val en = docs.where(col("lang") === "en")
+    // position-explode + top-level codegen'd slice/array_join (the
+    // round-18 docShingleSets rewrite): the transform(sequence, i ->
+    // ...) lambda form is CodegenFallback — interpreted per element
+    // with the full per-row gram array materialized before the explode
     def gramCounts(df: DataFrame, n: Int): DataFrame = df
-      .select(explode(transform(
-        sequence(lit(1), size(col("toks")) - (n - 1)),
-        i => array_join(slice(col("toks"), i, lit(n)), " "))).as("g"))
+      .select(col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - (n - 1))).as("i"))
+      .select(array_join(slice(col("toks"), col("i"), lit(n)), " ").as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
     val tri = gramCounts(en, 3)
     val bi = gramCounts(en, 2)
     val uni = gramCounts(en, 1)
     val nTot = uni.agg(sum(col("c")).cast("long").as("n"))
     val pos = docs
+      .select(col("doc_id"), col("lang"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - 2)).as("i"))
       .select(col("doc_id"), col("lang"),
-        explode(transform(sequence(lit(1), size(col("toks")) - 2),
-          i => struct(
-            array_join(slice(col("toks"), i, lit(3)), " ").as("t3"),
-            array_join(slice(col("toks"), i, lit(2)), " ").as("ctx2"),
-            array_join(slice(col("toks"), i + 1, lit(2)), " ").as("b2"),
-            element_at(col("toks"), i + 1).as("w2"),
-            element_at(col("toks"), i + 2).as("w3")))).as("g"))
-      .select(col("doc_id"), col("lang"), col("g.*"))
+        array_join(slice(col("toks"), col("i"), lit(3)), " ").as("t3"),
+        array_join(slice(col("toks"), col("i"), lit(2)), " ").as("ctx2"),
+        array_join(slice(col("toks"), col("i") + 1, lit(2)), " ").as("b2"),
+        element_at(col("toks"), col("i") + 1).as("w2"),
+        element_at(col("toks"), col("i") + 2).as("w3"))
     def lookup(t: DataFrame, key: String, cnt: String) =
       t.select(col("g").as(key), col("c").as(cnt))
     val joined = pos
@@ -2063,14 +2066,14 @@ object TextAnalysis {
       .where(col("tok") =!= "")
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val nu = uni.agg(sum(col("c")).cast("long").as("nu"))
+    // position-explode + top-level element_at (the round-18 codegen
+    // rule) — the transform lambda form was interpreted per element
     val bi = toks
       .where(size(col("w")) >= 2)
-      .select(explode(transform(
-        sequence(lit(1), size(col("w")) - 1),
-        i => struct(
-          element_at(col("w"), i).as("w1"),
-          element_at(col("w"), i + 1).as("w2")))).as("g"))
-      .select(col("g.w1"), col("g.w2"))
+      .select(col("w"),
+        explode(sequence(lit(1), size(col("w")) - 1)).as("i"))
+      .select(element_at(col("w"), col("i")).as("w1"),
+        element_at(col("w"), col("i") + 1).as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
     val nb = bi.agg(sum(col("cab")).cast("long").as("nb"))
     val ranked = bi
@@ -2129,12 +2132,15 @@ object TextAnalysis {
   val lowEntropyNats = 2.0
 
   def charEntropyOn(docs: DataFrame): DataFrame = {
+    // position-explode + top-level substr (the round-18 codegen rule):
+    // the transform lambda interpreted one substr per char position
+    // and materialized the full per-row char array before the explode
     val ch = docs
       .select(col("doc_id"), normalizedText(col("text")).as("nt"))
       .where(length(col("nt")) >= 1)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), length(col("nt"))),
-        i => col("nt").substr(i, lit(1)))).as("ch"))
+      .select(col("doc_id"), col("nt"),
+        explode(sequence(lit(1), length(col("nt")))).as("i"))
+      .select(col("doc_id"), col("nt").substr(col("i"), lit(1)).as("ch"))
     val cc = ch.groupBy(col("doc_id"), col("ch"))
       .agg(count(lit(1)).as("c"))
     val s = cc.groupBy(col("doc_id"))

@@ -203,6 +203,68 @@ class DedupSpec extends AnyFunSuite {
     assert(one.getLong(5) * one.getLong(1) / 1000000 <= docA.length)
   }
 
+  test("cdc chunking: compiled expression chunks byte-identically to the SQL HOF twin") {
+    // the SQL higher-order-function form the round-19 CdcChunkStrings
+    // expression replaced — kept VERBATIM as the differential oracle
+    val w = Dedup.CdcWindow
+    def sqlChunks(docs: org.apache.spark.sql.DataFrame) = docs
+      .where(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"),
+        expr(s"""CASE WHEN length(text) >= $w THEN
+            filter(transform(sequence($w, length(text)),
+              p -> CASE WHEN conv(substring(md5(substring(
+                     text, p - ${w - 1}, $w)), 1, 4), 16, 10)
+                   % ${Dedup.CdcBoundaryRate} = 0 THEN p END),
+              x -> x IS NOT NULL)
+          ELSE array() END""").as("bnd"))
+      .select(col("doc_id"), col("text"),
+        expr("array_distinct(concat(bnd, array(length(text))))").as("ends"))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(1, size(ends)),
+             i -> substring(text,
+               CASE WHEN i = 1 THEN 1
+                 ELSE element_at(ends, i - 1) + 1 END,
+               element_at(ends, i) -
+                 CASE WHEN i = 1 THEN 0
+                   ELSE element_at(ends, i - 1) END))""")))
+      .select(col("doc_id"), col("pos"), col("col").as("chunk"))
+    def exprChunks(docs: org.apache.spark.sql.DataFrame) = docs
+      .where(length(col("text")) >= 1)
+      .select(col("doc_id"), posexplode(
+        graft.functions.TextExpressions.cdc_chunk_strings(
+          col("text"), Dedup.CdcWindow, Dedup.CdcBoundaryRate)))
+      .select(col("doc_id"), col("pos"), col("col").as("chunk"))
+    val rnd = new scala.util.Random(7)
+    def noise(n: Int) = (0 until n)
+      .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    // adversarial literals: multi-byte chars (2/3/4-byte UTF-8, incl.
+    // a supplementary code point) around and inside windows, short
+    // (< w) and exactly-w texts, and a long random body
+    val docs = Seq(
+      (1L, noise(500)),
+      (2L, "über-straße " + noise(60) + " Ø" + noise(30)),
+      (3L, "日本語のテキスト断片" + noise(40) + "中文片段"),
+      (4L, "emoji 😀 inside " + noise(50) + " 🚀 tail"),
+      (5L, "short"),
+      (6L, noise(w)),
+      (7L, "ü"),
+      (8L, noise(w - 1) + "é")
+    ).toDF("doc_id", "text")
+    val a = exprChunks(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    val b = sqlChunks(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    assert(a.toSeq == b.toSeq)
+    // and on the fixture corpus itself (boilerplate-injected q239 form)
+    val fx = graft.sources.Tables.load(spark, SparkTestSession.sf, "documents")
+      .select(col("doc_id"), col("text")).limit(200)
+    val af = exprChunks(fx).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    val bf = sqlChunks(fx).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    assert(af.toSeq == bf.toSeq)
+  }
+
   test("cdc provenance: boilerplate-sharing docs pair through shared chunks (q248)") {
     val got = Dedup.cdcProvenance(spark, SparkTestSession.sf)
       .collect()
