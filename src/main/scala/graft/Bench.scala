@@ -190,6 +190,43 @@ object Bench {
       byRound: Seq[(Int, Map[String, Double])]): Seq[(Int, Map[String, Double])] =
     byRound.filter(_._1 >= regimeEpoch)
 
+  /** CORE-COUNT REGIME (round-19). The driver runs the bench at BOTH
+    * $SPARK_GRAFT_CPUS=32 and a lower core count (8, the scaling
+    * probe), and both runs wrote medians/quiet files —
+    * `mayPublishMedians` only checked the SF. At sf0.1 the suite is
+    * fixed-overhead-bound, so 8-core readings sit systematically
+    * LOWER on many entries (q173_bpe_extend 1.44 s at 8c vs
+    * 2.4-3.4 s at 32c across five 32c sweeps); round 18's 8-core
+    * file (bench_medians_r41 — byte-identical to BENCH_r18_c8's
+    * values, provenance checked) entered the 32-core prev/best-ever
+    * chains and manufactured phantom "regressions" two rounds in a
+    * row (r18's q13_join_anti/q170_zipf_audit verdict gate; this
+    * round's q173/q21/q205/q274 flags, all of which read AT their
+    * 32-core baselines in a same-window clean-tree sweep). Files now
+    * carry an `"_cpus"` key — invisible to `parseMediansFile`'s
+    * qNN-only regex, so older parsers are unaffected — and every
+    * gate reads only files of its own core-count regime. Legacy
+    * files without the key are attributed by provenance: medians r41
+    * is the 8-core driver run; everything else pre-tag was written
+    * at 32 cores.
+    */
+  def parseFileCpus(content: String): Option[Int] =
+    """"_cpus"\s*:\s*(\d+)""".r.findFirstMatchIn(content)
+      .map(_.group(1).toInt)
+  val legacyMedianCpus: Map[Int, Int] = Map(41 -> 8)
+  def fileCpus(round: Int, content: String): Int =
+    parseFileCpus(content).getOrElse(legacyMedianCpus.getOrElse(round, 32))
+
+  /** Legacy quiet files whose carry-forward MIXES core regimes:
+    * bench_quiet_r41 (32c base ++ the 8-core run's adjudications —
+    * e.g. q170_zipf_audit 0.377 at 8c vs its 32c quiet 1.385) and
+    * r42, which carried r41's 8-core delta forward. Their pure-32c
+    * adjudications were reconstructed into the `_cpus`-tagged
+    * bench_quiet_r43 (round-19); the mixed files feed no gate in
+    * either regime.
+    */
+  val legacyQuietMixed: Set[Int] = Set(41, 42)
+
   /** The quiet-regime store: latest adjudicated fresh-JVM median per
     * entry, later files overriding earlier ones (each write already
     * carries the previous store forward, so the fold is belt and
@@ -380,9 +417,13 @@ object Bench {
     // the between-measurement unpersist (runOnce) of dead
     // localCheckpointed RDDs logs one benign WARN per block
     // ("lineage has been truncated and cannot be recomputed") — 400+
-    // stderr lines per sweep for an intended, safe operation
+    // stderr lines per sweep for an intended, safe operation. Scoped
+    // to the RDD CLASS logger that emits it (verified: the message
+    // string lives in org.apache.spark.rdd.RDD), not the whole rdd
+    // package — block-eviction/memory-store warnings from sibling
+    // classes must stay visible (round-18 advice).
     try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+      "org.apache.spark.rdd.RDD", org.apache.logging.log4j.Level.ERROR)
     catch { case _: Throwable => }
 
     def runOnce(s: SparkSession)(name: String): Double = {
@@ -390,7 +431,12 @@ object Bench {
       try {
         SparkEntry.queries(name)(s, sfDir)
           .write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+      } finally {
         // BETWEEN-MEASUREMENT HYGIENE (round-18): entries pin shared
         // subtrees with eager localCheckpoint/persist, whose blocks
         // outlive the query — nothing unpersists them once the frame
@@ -401,14 +447,11 @@ object Bench {
         // regardless (a fresh invocation builds fresh RDDs — nothing
         // here ever REUSES a previous run's blocks, so this is the
         // opposite of cross-run caching); dropping the dead blocks
-        // happens OUTSIDE the timed region.
+        // happens OUTSIDE the timed region, and in a finally so a
+        // FAILED entry's pinned blocks don't sit in storage during
+        // the next entry's timed region (round-18 advice).
         s.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
-        dt
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
       }
     }
 
@@ -441,8 +484,14 @@ object Bench {
       new String(java.nio.file.Files.readAllBytes(f.toPath))
     val scraped = benchFiles
       .map(f => roundNo(f.getName) -> parsePrevMedians(slurp(f))).toMap
+    // CORE-COUNT REGIME filter (round-19, see fileCpus scaladoc): only
+    // same-core-count medians files feed this run's prev/best gates —
+    // the 8-core scaling-probe run's files otherwise poison the
+    // 32-core baseline chain (and vice versa)
     val fromFiles = medianFiles
-      .map(f => roundNo(f.getName) -> parseMediansFile(slurp(f))).toMap
+      .map(f => (roundNo(f.getName), slurp(f)))
+      .filter { case (r, c) => fileCpus(r, c) == cpus }
+      .map { case (r, c) => r -> parseMediansFile(c) }.toMap
     val byRoundAll = (scraped ++ fromFiles).toSeq.sortBy(_._1) // file wins
     // REGIME EPOCH (round-18, see regimeEpoch scaladoc): pre-epoch
     // files mix sweep- and quiet-regime values and feed NO gate; the
@@ -453,10 +502,15 @@ object Bench {
     val byRound = epochRounds(byRoundAll)
     val allRounds = byRound.map(_._2)
     val prev = allRounds.lastOption.getOrElse(Map.empty)
-    // quiet-regime baselines (adjudicated fresh-JVM medians)
+    // quiet-regime baselines (adjudicated fresh-JVM medians) — same
+    // core-count regime only, and never the legacy mixed-regime files
+    // (see legacyQuietMixed scaladoc)
     val quietFiles = cwd.filter(_.getName.matches("bench_quiet_r\\d+\\.json"))
     val quietBase = quietStore(
-      quietFiles.map(f => roundNo(f.getName) -> slurp(f)))
+      quietFiles
+        .map(f => (roundNo(f.getName), slurp(f)))
+        .filterNot { case (r, _) => legacyQuietMixed(r) }
+        .filter { case (_, c) => parseFileCpus(c).getOrElse(32) == cpus })
     def fmt(rs: Seq[(String, Double)]) = rs
       .map { case (k, r) => "\"" + k + "\":" + fmtRatio(r) }
       .mkString("{", ",", "}")
@@ -505,6 +559,21 @@ object Bench {
     // regressions AND poisons the next round's baseline. The fork is
     // the honest twin of the fresh-JVM medians it is compared to.
     val resMap = results.toMap
+    // FULL-SUITE COMPARISON (round-19, r18 verdict #3/#8): the compact
+    // last line previously exposed only the 6 headline queries, so the
+    // driver's ground-truth comparison was blind to 98% of the suite.
+    // geomean_vs_prev_all covers every entry present in both this
+    // sweep and the previous same-regime medians file (prev/now, >1 =
+    // faster); worst_movers is the bounded top-8 now/prev ratio map
+    // (2-decimal ratios — the scrape regex never mistakes them for
+    // 3-decimal medians).
+    val commonRatios = results.flatMap { case (k, v) =>
+      prev.get(k).filter(_ > 0).collect { case p if v > 0 => k -> (v / p) } }
+    val geomeanAll = if (commonRatios.isEmpty) -1.0
+      else math.exp(commonRatios.map(r => math.log(1.0 / r._2)).sum / commonRatios.size)
+    val worstMoversJson = commonRatios.sortBy(-_._2).take(8)
+      .map { case (k, r) => "\"" + k + "\":" + fmtRatio(r) }
+      .mkString("{", ",", "}")
     val flaggedAll = (sweepRegr.map(_._1) ++ sweepBest.map(_._1)).distinct
     // severity baseline: the best defensible value we hold for the
     // entry (min of prev-round and best-ever where present)
@@ -561,14 +630,17 @@ object Bench {
     val (sweepFlagName, sweepFlagBase) = sweepFlagship(prev, best)
     val sweepFlag = results.toMap.getOrElse(sweepFlagName, -1.0)
     val sweepDegraded = sweepIsDegraded(sweepFlagBase, sweepFlag)
-    // numbering spans ALL files (epoch-filtered or not) — a new file
-    // must never collide with a pre-epoch round number
+    // numbering spans ALL files (epoch- or regime-filtered or not) — a
+    // new file must never collide with an existing round number
     val nextRound = (byRoundAll.map(_._1) ++
+      medianFiles.map(f => roundNo(f.getName)) ++
       quietFiles.map(f => roundNo(f.getName)) :+ 0).max + 1
     val mayPublishMedians = sfDir.endsWith("sf0.1") && !sweepDegraded
     def writeMedians(baseline: Seq[(String, Double)]): Unit = {
-      val body = baseline
-        .map { case (k, v) => "  \"" + k + "\": " + fmtMedian(v) }
+      // "_cpus" regime tag (round-19, see fileCpus): qNN-only parsers
+      // skip it; regime-aware readers filter on it
+      val body = (("  \"_cpus\": " + cpus) +: baseline
+        .map { case (k, v) => "  \"" + k + "\": " + fmtMedian(v) })
         .mkString("{\n", ",\n", "\n}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(f"bench_medians_r$nextRound%02d.json"),
@@ -709,8 +781,9 @@ object Bench {
       // future confirm adjudication but never touch the sweep-regime
       // medians file — see the regimeEpoch scaladoc
       if (confirmReliable && adjudicated.nonEmpty) {
-        val body = (quietBase ++ adjudicated).toSeq.sorted
-          .map { case (k, v) => "  \"" + k + "\": " + fmtMedian(v) }
+        val body = (("  \"_cpus\": " + cpus) +:
+          (quietBase ++ adjudicated).toSeq.sorted
+            .map { case (k, v) => "  \"" + k + "\": " + fmtMedian(v) })
           .mkString("{\n", ",\n", "\n}")
         java.nio.file.Files.write(
           java.nio.file.Paths.get(f"bench_quiet_r$nextRound%02d.json"),
@@ -748,17 +821,18 @@ object Bench {
     val mediansFile =
       if (mayPublishMedians) f"bench_medians_r$nextRound%02d.json" else "none"
     def compact(rg: String, rgB: String, ct: String, un: String,
-        susp: String, suspB: String, rr: String) =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","phase":"final","sf":"$sfDir","n_queries":${results.size},"medians_file":"$mediansFile","queries":$headline,"regressions_n":${regrSeq.size},"regressions":$rg,"regressions_vs_best_n":${regrBestSeq.size},"regressions_vs_best":$rgB,"suspect_n":${sweepRegr.size},"suspect":$susp,"suspect_vs_best_n":${sweepBest.size},"suspect_vs_best":$suspB,"confirm_times_n":${if (confirmReliable) adjudicated.size else 0},"confirm_times":$ct,"confirm_unreliable":${!confirmReliable},"confirm_unresolved_n":${unresolvedConfirms.size},"confirm_unresolved":$un,"confirm_skipped_budget":$confirmBudgetHit,"baseline_raise_rejected_n":${raiseRejected.size},"baseline_raise_rejected":$rr,"sweep_degraded":$sweepDegraded,"prev":"$prevName"}"""
+        susp: String, suspB: String, rr: String, wm: String) =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","phase":"final","sf":"$sfDir","n_queries":${results.size},"medians_file":"$mediansFile","queries":$headline,"geomean_vs_prev_all":${fmtRatio(geomeanAll)},"n_common_all":${commonRatios.size},"worst_movers":$wm,"regressions_n":${regrSeq.size},"regressions":$rg,"regressions_vs_best_n":${regrBestSeq.size},"regressions_vs_best":$rgB,"suspect_n":${sweepRegr.size},"suspect":$susp,"suspect_vs_best_n":${sweepBest.size},"suspect_vs_best":$suspB,"confirm_times_n":${if (confirmReliable) adjudicated.size else 0},"confirm_times":$ct,"confirm_unreliable":${!confirmReliable},"confirm_unresolved_n":${unresolvedConfirms.size},"confirm_unresolved":$un,"confirm_skipped_budget":$confirmBudgetHit,"baseline_raise_rejected_n":${raiseRejected.size},"baseline_raise_rejected":$rr,"sweep_degraded":$sweepDegraded,"prev":"$prevName"}"""
     println(shrinkToLimit(Seq(
       compact(regr, regrBest, confirmTimes, unresolvedJson,
-        fmt(sweepRegr), fmt(sweepBest), raiseRejectedJson),
+        fmt(sweepRegr), fmt(sweepBest), raiseRejectedJson, worstMoversJson),
       compact(regr, regrBest, "{}", unresolvedJson,
-        fmt(sweepRegr), fmt(sweepBest), raiseRejectedJson),
+        fmt(sweepRegr), fmt(sweepBest), raiseRejectedJson, worstMoversJson),
       compact(regr, regrBest, "{}", "[]",
-        fmt(sweepRegr), fmt(sweepBest), raiseRejectedJson),
-      compact(regr, regrBest, "{}", "[]", "{}", "{}", raiseRejectedJson),
-      compact("{}", "{}", "{}", "[]", "{}", "{}", "[]"))))
+        fmt(sweepRegr), fmt(sweepBest), raiseRejectedJson, worstMoversJson),
+      compact(regr, regrBest, "{}", "[]", "{}", "{}", raiseRejectedJson,
+        worstMoversJson),
+      compact("{}", "{}", "{}", "[]", "{}", "{}", "[]", "{}"))))
     System.out.flush()
     sys.exit(0)
   }

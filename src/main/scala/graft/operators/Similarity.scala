@@ -1434,6 +1434,15 @@ object Similarity {
       lamTenths: Int = mmrLamTenths): DataFrame = {
     require(k >= 1 && poolSize >= k, "pool must cover k selections")
     require(lamTenths >= 0 && lamTenths <= 10, "lambda in tenths of [0,1]")
+    // the greedy selection collects the pairs frame
+    // (numQueries·poolSize² rows) to the driver — knob-bounded at the
+    // defaults (12,250 rows) but QUADRATIC in poolSize, so non-default
+    // knobs must fail loudly instead of OOMing the driver (round-18
+    // advice). 10M rows ≈ 320 MB of (long,long,long,long) tuples —
+    // far under driver heap, far over any sensible MMR pool.
+    require(numQueries.toLong * poolSize * poolSize <= 10000000L,
+      s"mmrTopK collects numQueries*poolSize^2 pair rows driver-side; " +
+        s"${numQueries.toLong * poolSize * poolSize} exceeds the 10M bound")
     val lam = lamTenths.toLong
     val pool = annBrute(spark, sfDir, numQueries, poolSize)
       .select(col("q_id"), col("vec_id"),

@@ -12,7 +12,10 @@ object QuickTime {
   def main(args: Array[String]): Unit = {
     val names = args(0).split(",")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = graft.GraftSession.local(cores = 32, appName = "quicktime")
+    // honor the bench's core-count contract so quiet adjudications can
+    // run in BOTH core regimes (round-19: quiet stores are per-cpus)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.GraftSession.local(cores = cpus, appName = "quicktime")
     spark.sparkContext.setLogLevel("ERROR")
     def once(n: String): Double = {
       val t0 = System.nanoTime()

@@ -447,6 +447,30 @@ class BenchSpec extends AnyFunSuite {
     assert(q == Map("q01_scan_1a" -> 0.110, "q61_tfidf_terms" -> 0.84))
   }
 
+  test("core-count regime: _cpus tag parses, legacy r41 reads as 8-core, mixed quiet files named") {
+    // tagged files: the key is invisible to the qNN-only medians regex
+    val tagged = "{\n  \"_cpus\": 8,\n  \"q01_scan_1a\": 0.145\n}"
+    assert(Bench.parseFileCpus(tagged) == Some(8))
+    assert(Bench.parseMediansFile(tagged) == Map("q01_scan_1a" -> 0.145))
+    assert(Bench.fileCpus(44, tagged) == 8)
+    // legacy attribution: medians r41 is the verified 8-core driver
+    // run; any other untagged file defaults to the 32-core regime
+    val untagged = "{\n  \"q01_scan_1a\": 0.222\n}"
+    assert(Bench.fileCpus(41, untagged) == 8)
+    assert(Bench.fileCpus(40, untagged) == 32)
+    assert(Bench.fileCpus(42, untagged) == 32)
+    // the two carry-forward-contaminated quiet files feed no gate
+    assert(Bench.legacyQuietMixed == Set(41, 42))
+    // and the reconstructed store exists, is tagged 32-core, and holds
+    // no value from the 8-core run's adjudication delta
+    val r43 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("bench_quiet_r43.json")))
+    assert(Bench.parseFileCpus(r43) == Some(32))
+    val store = Bench.parseMediansFile(r43)
+    assert(store.get("q170_zipf_audit") != Some(0.377), // the 8c value
+      "8-core adjudication leaked into the 32-core quiet store")
+  }
+
   test("regression gate flags >1.5x AND >0.1s absolute only") {
     val prev = Map("slow" -> 1.0, "tiny" -> 0.05, "mild" -> 2.0,
       "faster" -> 1.0, "failed" -> 3.0)

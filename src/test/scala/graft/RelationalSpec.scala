@@ -1656,8 +1656,22 @@ class RelationalSpec extends AnyFunSuite {
     // string/decimal buffers — but with zero grouping keys it sorts
     // nothing; the before-plan's cost was two Sort nodes over the
     // 7x-expanded input.)
-    val phys = df.queryExecution.executedPlan.toString
-    assert(!phys.contains("Sort ["),
-      "profile must not sort the expanded input (Sort found)")
+    // structural collect, not substring-matching the rendered plan:
+    // plan rendering differs across Spark versions and AQE
+    // re-optimization can insert sorts after toString (round-18
+    // advice). collect recurses into AdaptiveSparkPlanExec's current
+    // physical plan via its children.
+    def sortNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SortExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        sortNodes(a.executedPlan)
+      case s: org.apache.spark.sql.execution.SortExec =>
+        s +: s.children.flatMap(sortNodes)
+      case other => other.children.flatMap(sortNodes) ++
+        other.subqueries.flatMap(sortNodes)
+    }
+    val sorts = sortNodes(df.queryExecution.executedPlan)
+    assert(sorts.isEmpty,
+      s"profile must not sort the expanded input (found ${sorts.size} SortExec)")
   }
 }
