@@ -418,12 +418,15 @@ object Bench {
     // localCheckpointed RDDs logs one benign WARN per block
     // ("lineage has been truncated and cannot be recomputed") — 400+
     // stderr lines per sweep for an intended, safe operation. Scoped
-    // to the RDD CLASS logger that emits it (verified: the message
-    // string lives in org.apache.spark.rdd.RDD), not the whole rdd
-    // package — block-eviction/memory-store warnings from sibling
-    // classes must stay visible (round-18 advice).
-    try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.RDD", org.apache.logging.log4j.Level.ERROR)
+    // to the concrete class loggers that emit it (Spark's Logging
+    // names loggers by runtime class, so the warning — whose string
+    // lives in RDD.unpersist — surfaces as MapPartitionsRDD, the
+    // class every localCheckpointed frame bottoms out in), not the
+    // whole rdd package: warnings from sibling classes stay visible
+    // (round-18 advice).
+    try Seq("org.apache.spark.rdd.RDD", "org.apache.spark.rdd.MapPartitionsRDD")
+      .foreach(org.apache.logging.log4j.core.config.Configurator.setLevel(
+        _, org.apache.logging.log4j.Level.ERROR))
     catch { case _: Throwable => }
 
     def runOnce(s: SparkSession)(name: String): Double = {

@@ -2220,6 +2220,31 @@ object Dedup {
         array((0 until 64).map(i => col(s"s$i")): _*).as("sig"))
   }
 
+  /** Round-19 codegen devices for the signature eval paths (q332 /
+    * q397). Signatures are FIXED-WIDTH (64 non-null slots), so the
+    * interpreted `size(filter(zip_with(...)))` slot-match counts
+    * rewrite to 64-term whole-stage-codegen sums, and the per-band
+    * key build rewrites to position-explode + concat_ws (the
+    * docShingleSets rule) — byte-identical band hashes: slice(sig,
+    * 4b+1, 4) elements ARE element_at(sig, 4b+j) j=1..4, CAST AS
+    * STRING is the same cast, and array_join and concat_ws render
+    * non-null string arrays identically.
+    */
+  private def slotMatches(a: Column, b: Column)(
+      eq: (Column, Column) => Column): Column =
+    (1 to 64).map(i =>
+      when(eq(element_at(a, i), element_at(b, i)), lit(1L))
+        .otherwise(lit(0L))).reduce(_ + _)
+
+  private def bandKeysOf(sigs: DataFrame): DataFrame =
+    sigs
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(15))).as("band"))
+      .select(col("doc_id"), col("band"),
+        md5(concat_ws(":", (1 to 4).map(j =>
+          element_at(col("sig"), col("band") * 4 + j).cast("string")): _*))
+          .as("bh"))
+
   def lshBandingEval(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
     // ONE shingle pass feeds both the truth and the signature sides
@@ -2231,12 +2256,7 @@ object Dedup {
       .localCheckpoint(true) // read by both hit joins
     val sigs = bandingSigsFromSets(sets)
       .localCheckpoint(true) // read by bands + twice by the est join
-    val bands = sigs.select(col("doc_id"), explode(expr(
-        """transform(sequence(0, 15), b -> struct(b AS band,
-             md5(array_join(transform(slice(sig, 4 * b + 1, 4),
-               x -> CAST(x AS STRING)), ':')) AS bh))""")).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"),
-        col("bk.bh").as("bh"))
+    val bands = bandKeysOf(sigs)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -2248,8 +2268,8 @@ object Dedup {
         "id_a")
       .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")),
         "id_b")
-      .where(expr(
-        "10 * size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m)) >= 6 * 64"))
+      .where(lit(10) * slotMatches(col("sig_a"), col("sig_b"))(_ === _) >=
+        lit(6 * 64))
       .select(col("id_a"), col("id_b"))
       .localCheckpoint(true) // read by the hit join + its count
     def cnt(df: DataFrame, name: String) =
@@ -2313,12 +2333,7 @@ object Dedup {
     val sets = docShingleSets(docs).localCheckpoint(true)
     val sigs = bandingSigsFromSets(sets)
       .localCheckpoint(true) // read by bands + twice by the pair join
-    val bands = sigs.select(col("doc_id"), explode(expr(
-        """transform(sequence(0, 15), b -> struct(b AS band,
-             md5(array_join(transform(slice(sig, 4 * b + 1, 4),
-               x -> CAST(x AS STRING)), ':')) AS bh))""")).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"),
-        col("bk.bh").as("bh"))
+    val bands = bandKeysOf(sigs)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -2350,14 +2365,15 @@ object Dedup {
         Seq("id_a"))
       .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")),
         Seq("id_b"))
-      .withColumn("m_full", expr(
-        "CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m)) AS BIGINT)"))
+      .withColumn("m_full",
+        slotMatches(col("sig_a"), col("sig_b"))(_ === _))
       .localCheckpoint(true) // read once per grid arm
     bitsGrid.map { b =>
       val pow = 1L << b
       paired
-        .withColumn("m_b", expr(
-          s"CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x % $pow = y % $pow), m -> m)) AS BIGINT)"))
+        .withColumn("m_b",
+          slotMatches(col("sig_a"), col("sig_b"))(
+            (x, y) => x % lit(pow) === y % lit(pow)))
         .withColumn("est_b", expr(
           s"GREATEST(0L, (m_b * $pow - 64) * 1000000 DIV (64 * ${pow - 1}))"))
         .withColumn("est_full", expr("m_full * 1000000 DIV 64"))

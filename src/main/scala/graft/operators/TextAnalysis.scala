@@ -1849,16 +1849,34 @@ object TextAnalysis {
       .agg(sum(col("c")).as("u"))
     val vocab = model
       .agg(count_distinct(substring(col("bg"), 1, 1)).as("v"))
-    bigrams(docs)
-      .join(broadcast(model), Seq("bg"), "left")
-      .join(broadcast(ctx),
-        substring(col("bg"), 1, 1) === col("c1"), "left")
+    // PRECOMPUTED TERMS (round-19, guide §1.2 "per-task work"): the
+    // log + division + floor depend only on (c, u, v) — constants of
+    // the BOUNDED model/context tables — yet ran once per corpus
+    // char position. Hoist them into the broadcast tables (identical
+    // IEEE expression tree over the same long inputs, so every term
+    // is bit-identical) and score with two hash probes + coalesce:
+    //   bg seen               -> term_s(bg)   [c>0, its c1 always in ctx]
+    //   bg unseen, c1 seen    -> term_u(c1)   [c=0]
+    //   both unseen (OOV)     -> term_o       [c=0, u=0]
+    def termOf(c: Column, u: Column): Column =
+      floor(lit(1000000.0) * log(
+        (c + lit(1)).cast("double") / (u + col("v")).cast("double")))
+        .cast("long")
+    val termSeen = model
+      .join(broadcast(ctx), substring(col("bg"), 1, 1) === col("c1"))
       .crossJoin(broadcast(vocab))
+      .select(col("bg"), termOf(col("c"), col("u")).as("term_s"))
+    val termCtx = ctx.crossJoin(broadcast(vocab))
+      .select(col("c1"), termOf(lit(0L), col("u")).as("term_u"))
+    val termOov = vocab
+      .select(termOf(lit(0L), lit(0L)).as("term_o"))
+    bigrams(docs)
+      .join(broadcast(termSeen), Seq("bg"), "left")
+      .join(broadcast(termCtx),
+        substring(col("bg"), 1, 1) === col("c1"), "left")
+      .crossJoin(broadcast(termOov))
       .withColumn("term",
-        floor(lit(1000000.0) * log(
-          (coalesce(col("c"), lit(0L)) + lit(1)).cast("double") /
-            (coalesce(col("u"), lit(0L)) + col("v")).cast("double")))
-          .cast("long"))
+        coalesce(col("term_s"), col("term_u"), col("term_o")))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("ll_micro"))
       .withColumn("avg_nll",
