@@ -1868,8 +1868,15 @@ object TextAnalysis {
       .select(col("bg"), termOf(col("c"), col("u")).as("term_s"))
     val termCtx = ctx.crossJoin(broadcast(vocab))
       .select(col("c1"), termOf(lit(0L), col("u")).as("term_u"))
+    // v > 0 guard: vocab is a global aggregate, so it has ONE row even
+    // on an empty corpus (v = 0), where the original per-row form
+    // simply had no scoring rows to evaluate — without the guard the
+    // ANSI division 1.0/(0+0) throws at table-build time. Any corpus
+    // with scoring rows through the en model has v >= 1, where the
+    // branch computes the identical term.
     val termOov = vocab
-      .select(termOf(lit(0L), lit(0L)).as("term_o"))
+      .select(when(col("v") > 0, termOf(lit(0L), lit(0L)))
+        .otherwise(lit(null).cast("long")).as("term_o"))
     bigrams(docs)
       .join(broadcast(termSeen), Seq("bg"), "left")
       .join(broadcast(termCtx),
