@@ -2262,25 +2262,37 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-      .localCheckpoint(true) // read by est + the hit join + its count
-    val est = cand
+    // ONE flags pass over the candidate pairs (round-19, guide §2.4):
+    // the per-pair signature estimate and the truth membership become
+    // two columns of a single frame, and one aggregate produces
+    // n_band/n_est/hit_band/hit_est — replacing two pinned
+    // intermediates (cand, est — each an eager materialization job),
+    // two hit joins, and three of the five count branches. Identical
+    // numbers: est was a subset of cand, so count(est) =
+    // count(in_est), |truth ∩ cand| = count(truth-matched),
+    // |truth ∩ est| = count(truth-matched AND in_est).
+    val flags = cand
       .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")),
         "id_a")
       .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")),
         "id_b")
-      .where(lit(10) * slotMatches(col("sig_a"), col("sig_b"))(_ === _) >=
-        lit(6 * 64))
-      .select(col("id_a"), col("id_b"))
-      .localCheckpoint(true) // read by the hit join + its count
+      .withColumn("in_est",
+        lit(10) * slotMatches(col("sig_a"), col("sig_b"))(_ === _) >=
+          lit(6 * 64))
+      .join(truth.select(col("id_a"), col("id_b"), lit(1L).as("tr")),
+        Seq("id_a", "id_b"), "left")
+    val bandAgg = flags.agg(
+      count(lit(1)).cast("long").as("n_band"),
+      coalesce(sum(when(col("in_est"), 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("n_est"),
+      coalesce(sum(when(col("tr").isNotNull, 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("hit_band"),
+      coalesce(sum(when(col("tr").isNotNull && col("in_est"), 1L)
+        .otherwise(0L)), lit(0L)).cast("long").as("hit_est"))
     def cnt(df: DataFrame, name: String) =
       df.agg(count(lit(1)).cast("long").as(name))
     cnt(truth, "n_truth")
-      .crossJoin(broadcast(cnt(cand, "n_band")))
-      .crossJoin(broadcast(cnt(est, "n_est")))
-      .crossJoin(broadcast(
-        cnt(truth.join(cand, Seq("id_a", "id_b")), "hit_band")))
-      .crossJoin(broadcast(
-        cnt(truth.join(est, Seq("id_a", "id_b")), "hit_est")))
+      .crossJoin(broadcast(bandAgg))
       .select(col("n_truth"), col("n_band"), col("n_est"),
         col("hit_band"), col("hit_est"),
         expr("CASE WHEN n_truth > 0 THEN hit_band * 1000000 DIV n_truth END")

@@ -19,7 +19,12 @@ object ScalingProbe {
       if (args.length > 1) Some(args(1).split(",").toSet) else None
     val src = "/root/testdata/sf0.1"
     val big = "/tmp/graft-scale-probe"
-    val spark = graft.GraftSession.local(cores = 32, appName = "graft-scale")
+    // honor the bench's core-count contract (round-19): the K-scaled
+    // fixture is the right place to measure 8-vs-32-core scaling —
+    // at plain sf0.1 the suite is fixed-overhead-bound and core
+    // ratios read ~1 (the r18 scaling block's known blind spot)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.GraftSession.local(cores = cpus, appName = "graft-scale")
     spark.sparkContext.setLogLevel("ERROR")
 
     // K× documents: copy c Caesar-ciphers the TEXT (bijective letter
