@@ -547,6 +547,30 @@ object ScalingProbe {
       // domain reduces; q396 is |dims|+1 brute scoring passes (the
       // fixture-scale eval; production serves truncated dims from
       // their own ANN indexes, q31/q32's path)
+      // round-19 additions — the current most-expensive sweep entries
+      // not yet probed: the compiled CDC chunker (row-local, must be
+      // linear), the q76 capstone composition, the q141-family
+      // scorers, and the LSH-consumer tail
+      "q239_cdc_chunks" -> (d =>
+        graft.operators.Dedup.cdcChunkStats(spark, d)),
+      "q248_cdc_provenance" -> (d =>
+        graft.operators.Dedup.cdcProvenance(spark, d)),
+      "q76_corpus_manifest" -> (d =>
+        graft.operators.CleanPipeline.corpusManifest(spark, d)),
+      "q190_quality_verdict" -> (d =>
+        graft.operators.CleanPipeline.qualityVerdict(spark, d)),
+      "q95_map_struct" -> (d =>
+        graft.operators.Relational.mapStructFuncs(spark, d)),
+      "q247_scorer_agreement" -> (d =>
+        graft.operators.Experiment.scorerAgreement(spark, d)),
+      "q175_embedding_drift" -> (d =>
+        graft.operators.Similarity.embeddingDrift(spark, d)),
+      "q167_backoff_lm" -> (d =>
+        graft.operators.TextAnalysis.backoffLmScore(spark, d)),
+      "q215_mixture_reweight" -> (d =>
+        graft.operators.TextAnalysis.mixtureReweight(spark, d)),
+      "q182_char_entropy" -> (d =>
+        graft.operators.TextAnalysis.charEntropy(spark, d)),
       "q394_kn_discounts" -> (d =>
         graft.operators.TextAnalysis.knDiscounts(spark, d)),
       "q395_burstiness" -> (d =>
