@@ -60,15 +60,41 @@ object CleanPipeline {
     */
   def corpusManifest(
       spark: SparkSession, sfDir: String,
-      maxDupFrac: Double = 0.5): DataFrame =
-    cleanCorpus(spark, sfDir)
+      maxDupFrac: Double = 0.5): DataFrame = {
+    // SINGLE-SCAN base (round-19, guide §1.2 "remove passes"): the
+    // lang gate, token gate, PII columns, and split assignment are
+    // all ROW-LOCAL over one text column, yet the join-of-operators
+    // form scanned documents once per component (each join side its
+    // own scan + regex pass). The shared COLUMN builders
+    // (TextAnalysis.langPredCols / plantedEmailText / emailCountCol /
+    // redactedFpCol, TrainingPrep.splitOfBucket) are the operators'
+    // own expressions, so every value is identical; only the
+    // aggregate-shaped components (exact dedup, near-dup pairs,
+    // repetition stats) remain joins. 4 corpus scans fold into 1.
+    val d = Tables.load(spark, sfDir, "documents")
+    val (pred, _) = TextAnalysis.langPredCols(col("text"))
+    val planted = TextAnalysis.plantedEmailText(col("doc_id"), col("text"))
+    val base = d.select(col("doc_id"),
+        pred.as("lang_pred"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+        TextAnalysis.emailCountCol(planted).as("n_emails"),
+        TextAnalysis.redactedFpCol(planted).as("redacted_fp"),
+        TrainingPrep.splitOfBucket(TrainingPrep.hashBucket(
+          col("doc_id"), "", TrainingPrep.splitBuckets)).as("split"))
+      .filter(col("lang_pred") =!= "und" && col("n_ws_tokens") >= 20)
+    val exactKeep = Dedup.exactSurvivors(spark, sfDir)
+    val nearDrop = Dedup
+      .minhashLshPairsVerified(spark, sfDir, threshold = 0.5)
+      .select(col("id_b").as("doc_id")).distinct()
+    base
+      .join(exactKeep, Seq("doc_id"), "left_semi")
+      .join(nearDrop, Seq("doc_id"), "left_anti")
       .join(TextAnalysis.repetitionStats(spark, sfDir)
         .select(col("doc_id"), col("dup_frac")), "doc_id")
       .filter(col("dup_frac") <= maxDupFrac)
-      .join(TextAnalysis.redactPii(spark, sfDir)
-        .select(col("doc_id"), col("n_emails"), col("redacted_fp")), "doc_id")
-      .join(TrainingPrep.splitAssign(spark, sfDir)
-        .select(col("doc_id"), col("split")), "doc_id")
+      .select(col("doc_id"), col("lang_pred"), col("n_ws_tokens"),
+        col("dup_frac"), col("n_emails"), col("redacted_fp"), col("split"))
+  }
 
   /** The q190 driver entry: QUALITY VERDICT WITH REASON CODES — the
     * per-document filter REPORT a C4/Gopher-class pipeline emits

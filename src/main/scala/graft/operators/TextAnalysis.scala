@@ -169,16 +169,25 @@ object TextAnalysis {
   private def markerPattern(ws: Seq[String]): String =
     ws.mkString("\\b(", "|", ")\\b")
 
-  def langId(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.load(spark, sfDir, "documents")
+  /** q40's row-local classifier as (pred, best-hits) COLUMNS over a
+    * text column — one definition shared by langId and the q76
+    * single-scan manifest so the expressions cannot diverge.
+    */
+  private[graft] def langPredCols(text: Column): (Column, Column) = {
     val scores = langMarkers.map { case (lang, ws) =>
-      lang -> regexp_count(col("text"), lit(markerPattern(ws))).cast("long")
+      lang -> regexp_count(text, lit(markerPattern(ws))).cast("long")
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     // first language in declared order reaching the max (and > 0) wins
     val pred = scores.reverse.foldLeft(lit("und")) {
       case (acc, (lang, s)) => when(s === best && best > 0, lit(lang)).otherwise(acc)
     }
+    (pred, best)
+  }
+
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val (pred, best) = langPredCols(col("text"))
     d.select(col("doc_id"), pred.as("lang_pred"), best.as("marker_hits"))
   }
 
@@ -875,17 +884,25 @@ object TextAnalysis {
     * redacted text goes under the hash compare, so a missed or
     * mangled redaction fails the oracle.
     */
-  def redactPii(spark: SparkSession, sfDir: String): DataFrame = {
-    val planted = when(col("doc_id") % 7 === 0,
-      concat(col("text"),
-        lit(" contact: user"), col("doc_id"), lit("@example.com")))
-      .otherwise(col("text"))
+  /** q75's row-local pieces as COLUMN builders — one definition
+    * shared by redactPii and the q76 single-scan manifest.
+    */
+  private[graft] def plantedEmailText(docId: Column, text: Column): Column =
+    when(docId % 7 === 0,
+      concat(text, lit(" contact: user"), docId, lit("@example.com")))
+      .otherwise(text)
+  private[graft] def emailCountCol(t: Column): Column =
+    regexp_count(t, lit(emailPattern)).cast("long")
+  private[graft] def redactedFpCol(t: Column): Column =
+    md5(regexp_replace(t, emailPattern, "<EMAIL>"))
+
+  def redactPii(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), planted.as("t"))
       .select(col("doc_id"),
-        regexp_count(col("t"), lit(emailPattern)).cast("long").as("n_emails"),
-        md5(regexp_replace(col("t"), emailPattern, "<EMAIL>")).as("redacted_fp"))
-  }
+        plantedEmailText(col("doc_id"), col("text")).as("t"))
+      .select(col("doc_id"),
+        emailCountCol(col("t")).as("n_emails"),
+        redactedFpCol(col("t")).as("redacted_fp"))
 
   /** The q242 driver entry: LUHN-VALIDATED PII DETECTION — the
     * checksum-verified upgrade of q75's pattern-only email scan:

@@ -42,14 +42,20 @@ object TrainingPrep {
     * ingests. Embarrassingly parallel — no shuffle at all; the md5
     * prefix is the same 60-bit construction DuckDB replays exactly.
     */
+  /** q68's bucket→split rule as a COLUMN — one definition shared by
+    * splitAssign and the q76 single-scan manifest.
+    */
+  private[graft] def splitOfBucket(bucket: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(bucket < trainBuckets, "train")
+      .when(bucket === trainBuckets, "val")
+      .otherwise("test")
+
   def splitAssign(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),
         hashBucket(col("doc_id"), "", splitBuckets).as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < trainBuckets, "train")
-          .when(col("bucket") === trainBuckets, "val")
-          .otherwise("test"))
+      .withColumn("split", splitOfBucket(col("bucket")))
 
   /** The q162 driver entry: LEAKAGE-FREE train/val/test split — the
     * q68 content-addressed rule lifted from documents to NEAR-DUP
